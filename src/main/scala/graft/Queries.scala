@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared query-surface plumbing.
+  *
+  * Every operator from SURVEY §2 is demonstrated as a named query over the
+  * driver's test tables, with (where SQL-expressible) a DuckDB oracle that
+  * must hash-match. Cross-engine determinism rules used throughout:
+  *
+  *  - money/double sums go through exact integer cents:
+  *    `sum(floor(x*100 + 0.5)::bigint)` — both engines do the identical
+  *    IEEE multiply/floor, then exact integer addition (no FP
+  *    associativity drift), divided by 100.0 at the end.
+  *  - double→int conversions always use an explicit `floor` (Spark casts
+  *    truncate, DuckDB casts round — never rely on cast behavior).
+  *  - timestamps are emitted as dates or epoch-second bigints (the events
+  *    table is ns-precision parquet; Spark truncates to µs, DuckDB keeps
+  *    ns — raw timestamp output would hash-mismatch).
+  *  - every aggregate/computed column is aliased identically on both
+  *    sides (the driver sorts columns by name before hashing).
+  */
+object Q {
+  final case class Entry(
+      fn: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  def t(s: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") events(s, dir)
+    else s.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table is ns-precision parquet, which Spark's vectorized
+    * reader rejects; read the ns epoch as long (legacy conf) and convert
+    * to a µs TimestampType with exact integer arithmetic (the ns epoch
+    * exceeds 2^53, so float division would corrupt it). */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Exact cents encoding of a double money value. */
+  def cents(c: Column): Column = floor(c * 100 + lit(0.5)).cast("long")
+
+  /** Deterministic cross-engine sum of a money column, in units. */
+  def moneySum(c: Column): Column = sum(cents(c)) / 100.0
+
+  /** SQL-side equivalent of [[moneySum]]. */
+  def sqlMoneySum(x: String): String =
+    s"sum(cast(floor(($x)*100 + 0.5) as bigint))/100.0"
+}

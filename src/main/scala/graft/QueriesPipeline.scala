@@ -1,0 +1,291 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Q._
+import graft.functions.{Norm, Text}
+import graft.operators.{Dedup, Similarity}
+
+/** Scalar-function surface (SURVEY §2.9), streaming/incremental semantics
+  * (§2.10), and the training-data-pipeline operators (dedup, similarity,
+  * text analysis) over documents/embeddings/events.
+  */
+object QueriesPipeline {
+
+  val entries: Seq[(String, Entry)] = Seq(
+
+    // ---- F-class scalar functions -----------------------------------
+    // F12/F13/F14: id↔path codecs, slugs, reference-link synthesis.
+    "q_fn_codecs" -> Entry(
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("CVE-2024-"), col("doc_id")).as("cve_id"))
+        .select(col("doc_id"), col("cve_id"),
+          Norm.cve_to_path(col("cve_id")).as("path"),
+          Norm.ref_link_for_id(col("cve_id")).as("link"),
+          Norm.ecosystem_slug(concat(lit("Ubuntu:22.04:"), col("doc_id")))
+            .as("slug")),
+      Some("""SELECT doc_id, 'CVE-2024-' || doc_id AS cve_id,
+        '2024/cve-2024-' || doc_id AS path,
+        'https://nvd.nist.gov/vuln/detail/CVE-2024-' || doc_id AS link,
+        'ubuntu-22.04-' || doc_id AS slug
+        FROM documents""")),
+
+    // F9: severity normalization CASE chains.
+    "q_fn_severity_norm" -> Entry(
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        val raw = when(col("event_type") === "error", "IMPORTANT")
+          .when(col("event_type") === "purchase", "MODERATE")
+          .when(col("event_type") === "click", "low")
+          .otherwise("untriaged")
+        e.select(col("event_id"), Norm.normalize_severity(raw).as("severity"))
+      },
+      Some("""SELECT event_id,
+        CASE WHEN event_type = 'error' THEN 'High'
+             WHEN event_type = 'purchase' THEN 'Medium'
+             WHEN event_type = 'click' THEN 'Low'
+             ELSE 'Unknown' END AS severity
+        FROM events""")),
+
+    // F17: JSON extraction from the events props column.
+    "q_fn_json" -> Entry(
+      (s, dir) => t(s, dir, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k")),
+      Some("""SELECT event_id, cast(props->>'$.k' as int) AS k
+        FROM events""")),
+
+    // F18: portable digests with algo label (vunnel utils/hasher.py
+    // labeled_digests; sha-256 is engine-portable, unlike xxh64 seeds).
+    "q_fn_digest" -> Entry(
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("sha256:"), sha2(col("text"), 256)).as("digest")),
+      Some("""SELECT doc_id, 'sha256:' || sha256(text) AS digest
+        FROM documents""")),
+
+    // F15: array union/distinct ops (reference-url merge shape).
+    "q_fn_array_ops" -> Entry(
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(array_union(array_distinct(split(trim(col("text")), "\\s+")),
+            array(lit("spark"), lit("flink"), lit("trino"))))
+            .as("n_merged_refs")),
+      Some("""SELECT doc_id,
+        len(list_distinct(list_concat(
+          list_distinct(regexp_split_to_array(trim(text), '\s+')),
+          ['spark','flink','trino']))) AS n_merged_refs
+        FROM documents""")),
+
+    // F10: fuzzy multi-format date normalization round-trip.
+    "q_fn_fuzzy_date" -> Entry(
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        val raw = when(col("user_id") % 3 === 0,
+          date_format(col("ts"), "yyyy-MM-dd"))
+          .when(col("user_id") % 3 === 1,
+            date_format(col("ts"), "yyyy/MM/dd"))
+          .otherwise(date_format(col("ts"), "MM/dd/yyyy"))
+        e.select(col("event_id"),
+          date_format(Norm.fuzzy_to_date(raw), "yyyy-MM-dd").as("day"))
+      },
+      Some("""SELECT event_id, strftime(cast(ts as date), '%Y-%m-%d') AS day
+        FROM events""")),
+
+    // ---- streaming / incremental ------------------------------------
+    // I1: watermark-driven incremental window (last-3-days slice).
+    "q_inc_watermark" -> Entry(
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        e.join(e.agg(max(col("ts")).as("max_ts")))
+          .filter(col("ts") > col("max_ts") - expr("INTERVAL 3 DAYS"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), moneySum(col("value")).as("total"))
+      },
+      Some(s"""SELECT event_type, count(*) AS n,
+        ${sqlMoneySum("value")} AS total
+        FROM events
+        WHERE ts > (SELECT max(ts) - INTERVAL 3 DAY FROM events)
+        GROUP BY event_type""")),
+
+    // Event-time tumbling window aggregation (Structured Streaming's
+    // windowed-agg semantics, run on the batch table; window start
+    // emitted as epoch seconds — ns-vs-µs-safe).
+    "q_stream_hourly_window" -> Entry(
+      (s, dir) => t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), moneySum(col("value")).as("total"))
+        .select(unix_timestamp(col("window.start")).as("hour_start"),
+          col("event_type"), col("n"), col("total")),
+      Some(s"""SELECT cast(floor(epoch(time_bucket(INTERVAL 1 HOUR,
+          cast(ts as timestamp)))) as bigint) AS hour_start,
+        event_type, count(*) AS n, ${sqlMoneySum("value")} AS total
+        FROM events GROUP BY 1, 2""")),
+
+    // Sessionization-lite: per-user event ordering with lag gaps —
+    // stateful-streaming shape expressed with a window function.
+    "q_stream_session_gaps" -> Entry(
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        e.select(col("user_id"), col("event_id"),
+          (unix_timestamp(col("ts")) -
+            unix_timestamp(lag(col("ts"), 1).over(w))).as("gap_sec"))
+      },
+      Some("""SELECT user_id, event_id,
+        cast(floor(epoch(cast(ts as timestamp))) as bigint) -
+          cast(floor(epoch(cast(lag(ts, 1) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) as timestamp))) as bigint) AS gap_sec
+        FROM events""")),
+
+    // ---- text analysis ----------------------------------------------
+    "q_text_tokens" -> Entry(
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), Text.token_count(col("text")).as("n_tokens"),
+          length(col("text")).as("n_chars_actual")),
+      Some("""SELECT doc_id,
+        len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        length(text) AS n_chars_actual
+        FROM documents""")),
+
+    "q_text_quality" -> Entry(
+      (s, dir) => {
+        val f = Text.quality_features(col("text"))
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            f.getField("n_words").cast("long").as("n_words"),
+            round(f.getField("mean_word_len"), 4).as("mean_word_len"),
+            round(f.getField("stopword_ratio"), 4).as("stopword_ratio"))
+      },
+      Some("""SELECT doc_id,
+        cast(len(regexp_split_to_array(trim(text), '\s+')) as bigint)
+          AS n_words,
+        round(length(trim(text)) /
+          greatest(len(regexp_split_to_array(trim(text), '\s+')), 1)::double,
+          4) AS mean_word_len,
+        round(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+            w -> lower(w) IN ('the','a','an','and','or','of','to','in','is',
+              'it','that','for','on','with','as'))) /
+          greatest(len(regexp_split_to_array(trim(text), '\s+')), 1)::double,
+          4) AS stopword_ratio
+        FROM documents""")),
+
+    // A1-shape explode+merge over documents (secdb explode→group→merge):
+    // word-level inverted aggregation.
+    "q_text_word_index" -> Entry(
+      (s, dir) => t(s, dir, "documents")
+        .select(col("lang"),
+          explode(split(trim(col("text")), "\\s+")).as("word"))
+        .filter(length(col("word")) > 4)
+        .groupBy(col("lang"), col("word"))
+        .agg(count(lit(1)).as("n")),
+      Some("""SELECT lang, word, count(*) AS n FROM (
+        SELECT lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        FROM documents) WHERE length(word) > 4
+        GROUP BY lang, word""")),
+
+    // ---- dedup ------------------------------------------------------
+    // Exact dedup on normalized-text fingerprint.
+    "q_dedup_exact" -> Entry(
+      (s, dir) => Dedup.exact(t(s, dir, "documents"), "text", "doc_id"),
+      Some("""SELECT sha256(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+          AS fp,
+        min(doc_id) AS keep_id, count(*) AS n_copies
+        FROM documents GROUP BY 1""")),
+
+    // MinHash+LSH candidate pairs (band equi-join, no O(n²)); verified
+    // with exact word-shingle Jaccard ≥ 0.4. Non-SQL-expressible
+    // (xxhash64 seeds) → rows-only check + ScalaTest oracle.
+    "q_dedup_minhash" -> Entry(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val bands = Dedup.minhashBands(docs, "text", "doc_id")
+        val cands = Dedup.minhashCandidates(bands, "doc_id")
+        val shingled = docs.select(col("doc_id"),
+          Text.word_shingles(col("text"), 3).as("sh"))
+        cands
+          .join(shingled.withColumnRenamed("doc_id", "id1")
+            .withColumnRenamed("sh", "sh1"), "id1")
+          .join(shingled.withColumnRenamed("doc_id", "id2")
+            .withColumnRenamed("sh", "sh2"), "id2")
+          .withColumn("jaccard", round(Dedup.jaccard(col("sh1"), col("sh2")), 3))
+          .filter(col("jaccard") >= 0.4)
+          .select(col("id1"), col("id2"), col("jaccard"))
+      },
+      None),
+
+    // SimHash 64-bit signatures + near-dup pairs by Hamming ≤ 6 within
+    // LSH candidate set.
+    "q_dedup_simhash" -> Entry(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        // hash array materialized behind a Project boundary so the 64
+        // bit-vote aggregates share one tokenize+hash pass
+        val sigs = docs
+          .select(col("doc_id"),
+            Dedup.tokenHashes(split(lower(trim(col("text"))), "\\s+")).as("h"))
+          .select(col("doc_id"), Dedup.simhashFromHashes(col("h")).as("sig"))
+        val bands = Dedup.minhashBands(docs, "text", "doc_id")
+        Dedup.minhashCandidates(bands, "doc_id")
+          .join(sigs.select(col("doc_id").as("id1"), col("sig").as("sig1")), "id1")
+          .join(sigs.select(col("doc_id").as("id2"), col("sig").as("sig2")), "id2")
+          .select(col("id1"), col("id2"),
+            Dedup.hamming64(col("sig1"), col("sig2")).as("hamming"))
+          .filter(col("hamming") <= 6)
+      },
+      None),
+
+    // Embedding near-duplicates: cosine ≥ threshold on LSH-bucketed
+    // pairs (0.3 ≈ p99 of this synthetic corpus — real corpora with true
+    // dups would use 0.95+).
+    "q_dedup_embedding" -> Entry(
+      (s, dir) => {
+        val em = t(s, dir, "embeddings")
+        val sig = em.select(col("vec_id"), col("embedding"),
+          Similarity.hyperplaneSignature(col("embedding"), 6).as("sig"))
+        val a = sig.select(col("sig"), col("vec_id").as("id1"),
+          col("embedding").as("v1"))
+        val b = sig.select(col("sig"), col("vec_id").as("id2"),
+          col("embedding").as("v2"))
+        a.join(b, Seq("sig")).filter(col("id1") < col("id2"))
+          .withColumn("sim", Similarity.cosine(col("v1"), col("v2")))
+          .filter(col("sim") >= 0.3)
+          .select(col("id1"), col("id2"), round(col("sim"), 3).as("sim"))
+      },
+      None),
+
+    // ---- similarity search ------------------------------------------
+    // Brute-force cosine top-k (correctness baseline; queries broadcast).
+    "q_sim_bruteforce" -> Entry(
+      (s, dir) => {
+        val em = t(s, dir, "embeddings")
+        val queries = em.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        Similarity.bruteForceTopK(em, queries, 10)
+          .select(col("qid"), col("rank").as("rnk"), col("vec_id"))
+      },
+      Some("""SELECT qid, rnk, vec_id FROM (
+        SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+          row_number() OVER (PARTITION BY q.vec_id
+            ORDER BY list_cosine_similarity(
+              cast(c.embedding as double[]),
+              cast(q.embedding as double[])) DESC, c.vec_id) AS rnk
+        FROM embeddings c JOIN embeddings q
+          ON q.vec_id < 5 AND c.vec_id <> q.vec_id)
+        WHERE rnk <= 10""")),
+
+    // LSH-bucketed ANN (scale path; rows-only — recall tested in spec).
+    "q_sim_lsh" -> Entry(
+      (s, dir) => {
+        val em = t(s, dir, "embeddings")
+        val queries = em.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        Similarity.lshTopK(em, queries, 10, bits = 4)
+          .select(col("qid"), col("rank").as("rnk"), col("vec_id"))
+      },
+      None),
+  )
+}

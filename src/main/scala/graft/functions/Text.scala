@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * token counting, language-ID, quality scoring, fingerprinting, shingles.
+  * All pure Column pipelines (codegen'd, no UDFs) so they survive a 100 TB
+  * scan: each is a narrow map over the `text` column with no shuffle.
+  */
+object Text {
+
+  /** Whitespace token count. */
+  def token_count(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  /** BPE-ish subword token estimate: words + punctuation marks counted
+    * separately (a cheap proxy for a real tokenizer's token count). */
+  def subword_token_count(text: Column): Column =
+    size(split(trim(text), "\\s+")) +
+      length(regexp_replace(text, "[\\p{L}\\p{N}\\s]", ""))
+
+  /** n-gram character shingles of the normalized text (lowercased,
+    * whitespace collapsed). Returns ArrayType(StringType). */
+  def char_shingles(text: Column, n: Int): Column = {
+    val norm = lower(regexp_replace(trim(text), "\\s+", " "))
+    when(length(norm) >= n,
+      transform(sequence(lit(1), length(norm) - (n - 1)),
+        i => norm.substr(i, lit(n))))
+      .otherwise(array(norm))
+  }
+
+  /** Word n-gram shingles. Returns ArrayType(StringType). */
+  def word_shingles(text: Column, n: Int): Column = {
+    val words = split(lower(trim(text)), "\\s+")
+    val count = greatest(size(words) - (n - 1), lit(0))
+    transform(sequence(lit(1), greatest(count, lit(1))),
+      i => concat_ws(" ", slice(words, i, lit(n))))
+  }
+
+  /** Quality-score features: length, mean word length, punctuation ratio,
+    * stopword ratio, uppercase ratio — the standard cheap heuristics. */
+  def quality_features(text: Column): Column = {
+    val t = trim(text)
+    val nChars = length(t).cast("double")
+    val words = split(t, "\\s+")
+    val nWords = size(words).cast("double")
+    val punct = length(regexp_replace(t, "[^.,;:!?]", "")).cast("double")
+    val upperChars = length(regexp_replace(t, "[^A-Z]", "")).cast("double")
+    val stopwords: Seq[Any] = Seq("the", "a", "an", "and", "or", "of", "to",
+      "in", "is", "it", "that", "for", "on", "with", "as")
+    val stopHits =
+      size(filter(words, w => lower(w).isin(stopwords: _*))).cast("double")
+    struct(
+      nChars.as("n_chars"),
+      nWords.as("n_words"),
+      (nChars / greatest(nWords, lit(1.0))).as("mean_word_len"),
+      (punct / greatest(nChars, lit(1.0))).as("punct_ratio"),
+      (stopHits / greatest(nWords, lit(1.0))).as("stopword_ratio"),
+      (upperChars / greatest(nChars, lit(1.0))).as("upper_ratio"))
+  }
+
+  /** Simple additive quality score in [0,1]. */
+  def quality_score(text: Column): Column = {
+    val f = quality_features(text)
+    val lenOk = when(f.getField("n_words").between(5, 100000), 0.4).otherwise(0.0)
+    val punctOk = when(f.getField("punct_ratio") <= 0.1, 0.3).otherwise(0.0)
+    val stopOk = when(f.getField("stopword_ratio") >= 0.05, 0.3).otherwise(0.0)
+    round(lenOk + punctOk + stopOk, 1)
+  }
+
+  /** Deterministic document fingerprint: sha-256 of the normalized text
+    * (lowercase, whitespace collapsed) — the exact-dedup key. sha2 is
+    * portable across engines (DuckDB sha256), unlike xxhash64 seeds. */
+  def fingerprint(text: Column): Column =
+    sha2(lower(regexp_replace(trim(text), "\\s+", " ")), 256)
+
+  /** Heuristic language-ID over stopword markers per language. Returns the
+    * language with the highest marker hit-count ('und' when nothing hits;
+    * ties break toward the later language code). One narrow pass. */
+  def lang_id(text: Column): Column = {
+    val markers: Seq[(String, Seq[Any])] = Seq(
+      "en" -> Seq("the", "and", "of", "to", "is"),
+      "es" -> Seq("el", "la", "de", "que", "los"),
+      "de" -> Seq("der", "die", "und", "das", "ist"),
+      "fr" -> Seq("le", "la", "les", "et", "est"))
+    val words = split(lower(trim(text)), "\\s+")
+    val scores = markers.map { case (lang, ws) =>
+      struct(
+        size(filter(words, w => w.isin(ws: _*))).as("hits"),
+        lit(lang).as("lang"))
+    }
+    val best = array_max(array(scores: _*))
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise("und")
+  }
+}

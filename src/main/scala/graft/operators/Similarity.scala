@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (Array[Float]).
+  *
+  * Scale design: brute-force is the *correctness baseline* — a broadcast of
+  * the (small) query set against the full corpus, i.e. a map-side nested
+  * loop with zero shuffle of the corpus. The scale path is
+  * random-hyperplane LSH: each vector gets a b-bit signature; candidate
+  * generation is an equi-join on the signature (or on multi-probe
+  * neighbors), turning O(n·q) dot products into O(bucket) work per query.
+  * At 100 TB the corpus side never shuffles its vectors: signatures (8
+  * bytes) shuffle, vectors stay where the scan put them until the final
+  * per-bucket rerank.
+  */
+object Similarity {
+
+  /** Cosine similarity of two float-array columns (double accumulation,
+    * sequential in index order — deterministic). */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+    val nb = sqrt(aggregate(b, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+    dot / (na * nb)
+  }
+
+  /** Brute-force top-k cosine neighbors for each query vector.
+    * `queries` must be small (it is broadcast); the corpus is only mapped +
+    * locally reduced — the shuffle carries q·k candidate rows, not vectors. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joined = corpus.select(col(idCol), col(vecCol))
+      .join(broadcast(queries.select(col(qidCol), col(qvecCol))),
+        col(idCol) =!= col(qidCol)) // exclude self-match
+      .withColumn("sim", cosine(col(vecCol), col(qvecCol)))
+    val w = Window.partitionBy(col(qidCol))
+      .orderBy(col("sim").desc, col(idCol).asc)
+    joined
+      .select(col(qidCol), col(idCol), col("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Random-hyperplane signature: bit i = sign(v · h_i) where h_i is a
+    * deterministic pseudo-random hyperplane derived from (i, dim) via a
+    * splitmix-style integer mix — reproducible with no stored model. */
+  def hyperplaneSignature(vec: Column, bits: Int): Column = {
+    val sigBits: Seq[Column] = (0 until bits).map { i =>
+      // h_i[d] = mix(i, d) mapped to {-1, +1}
+      val dot = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1), (v, d) => {
+          val mixed = xxhash64(lit(i), d)
+          when(mixed.bitwiseAND(1L) === 1L, v.cast("double"))
+            .otherwise(-v.cast("double"))
+        }),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    sigBits.reduce((a: Column, b: Column) => a.bitwiseOR(b))
+  }
+
+  /** LSH-bucketed ANN: candidates = corpus rows whose signature equals the
+    * query's signature (single-probe), reranked exactly within the bucket.
+    * Recall is tuned by `bits` (fewer bits → bigger buckets → higher
+    * recall, more rerank work). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sigCorpus = corpus.select(col(idCol), col(vecCol),
+      hyperplaneSignature(col(vecCol), bits).as("sig"))
+    val sigQueries = queries.select(col(qidCol), col(qvecCol),
+      hyperplaneSignature(col(qvecCol), bits).as("sig"))
+    val cands = sigCorpus.join(broadcast(sigQueries), Seq("sig"))
+      .filter(col(idCol) =!= col(qidCol))
+      .withColumn("sim", cosine(col(vecCol), col(qvecCol)))
+    val w = Window.partitionBy(col(qidCol))
+      .orderBy(col("sim").desc, col(idCol).asc)
+    cands.select(col(qidCol), col(idCol), col("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

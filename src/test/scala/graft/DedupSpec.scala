@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Similarity}
+import graft.functions.Text
+
+/** Semantics of the dedup / similarity operators on controlled inputs
+  * (these have no SQL oracle — xxhash64-seeded signatures — so the
+  * ground truth is pinned here instead). */
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("exact dedup groups identical normalized text") {
+    val df = Seq(
+      (1L, "Hello   World"), (2L, "hello world"), (3L, "something else")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exact(df, "text", "doc_id").collect()
+    assert(out.length == 2)
+    val dup = out.find(_.getAs[Long]("n_copies") == 2).get
+    assert(dup.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("minhash LSH finds near-identical docs, not unrelated ones") {
+    val near1 = "the quick brown fox jumps over the lazy dog again and again today"
+    val near2 = "the quick brown fox jumps over the lazy dog again and again yesterday"
+    val far = "completely unrelated content about spark catalyst optimizer internals"
+    val df = Seq((1L, near1), (2L, near2), (3L, far)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashCandidates(
+      Dedup.minhashBands(df, "text", "doc_id"), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("jaccard on word shingles") {
+    val df = Seq((
+      "a b c d e",
+      "a b c d e"
+    )).toDF("t1", "t2")
+    val sim = df.select(Dedup.jaccard(
+      Text.word_shingles(col("t1"), 3),
+      Text.word_shingles(col("t2"), 3)).as("j")).head().getDouble(0)
+    assert(sim == 1.0)
+  }
+
+  test("simhash hamming distance: near texts closer than far texts") {
+    val near1 = "the quick brown fox jumps over the lazy dog again and again today"
+    val near2 = "the quick brown fox jumps over the lazy dog again and again yesterday"
+    val far = "completely unrelated content about catalyst optimizer internals"
+    val df = Seq((near1, near2, far)).toDF("a", "b", "c")
+    def sig(c: String) = Dedup.simhash(split(lower(trim(col(c))), "\\s+"))
+    val r = df.select(
+      Dedup.hamming64(sig("a"), sig("b")).as("near"),
+      Dedup.hamming64(sig("a"), sig("c")).as("far")).head()
+    assert(r.getAs[Int]("near") < r.getAs[Int]("far"))
+  }
+
+  test("brute-force top-k returns k neighbors per query, self excluded") {
+    val vecs = (0 until 20).map(i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 31 + d).toFloat)))
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 2)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val out = Similarity.bruteForceTopK(corpus, queries, 5).collect()
+    assert(out.length == 10)
+    assert(!out.exists(r => r.getAs[Long]("qid") == r.getAs[Long]("vec_id")))
+    val ranks = out.filter(_.getAs[Long]("qid") == 0L).map(_.getAs[Int]("rank")).sorted
+    assert(ranks.toSeq == Seq(1, 2, 3, 4, 5))
+  }
+
+  test("LSH top-k recall vs brute force is sane on clustered vectors") {
+    // two tight clusters; LSH with few bits must keep same-cluster
+    // neighbors in the same bucket
+    val base = Array.tabulate(8)(_.toFloat + 1f)
+    val vecs = (0 until 40).map { i =>
+      val cluster = i % 2
+      val v = base.zipWithIndex.map { case (x, d) =>
+        (if (cluster == 0) x else -x) + 0.01f * ((i * 7 + d) % 5)
+      }
+      (i.toLong, v)
+    }
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 2)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val brute = Similarity.bruteForceTopK(corpus, queries, 5)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(corpus, queries, 5, bits = 4)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall=$recall")
+  }
+}

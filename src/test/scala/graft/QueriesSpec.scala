@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+/** Every registered query runs at sf0.001 and (for the non-candidate-set
+  * queries) returns rows; the flagship entry returns envelope rows. */
+class QueriesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val dir = "/root/testdata/sf0.001"
+
+  // Queries whose correct output may legitimately be small/empty on the
+  // tiny smoke SF (candidate-pair generators, filtered joins).
+  private val mayBeEmpty = Set("q_join_prefix_theta", "q_set_except")
+
+  for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+    test(s"$name runs at sf0.001") {
+      val df = fn(spark, dir)
+      val n = df.count()
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("entry (flagship) returns envelope rows with required columns") {
+    val df = SparkEntry.entry(spark)
+    assert(df.columns.toSet == Set("identifier", "schema", "item"))
+    assert(df.count() > 0)
+  }
+
+  test("every oracleSql key exists in queries") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+}

@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: run graft.Verify output
+against the DuckDB oracle on the same parquet tables and diff values.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+"""
+import sys, os, json, glob
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(6)
+        # normalize timestamp precisions
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        if df[c].dtype == object:
+            df[c] = df[c].apply(
+                lambda v: tuple(v) if isinstance(v, (list,)) else v)
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    n_pass = n_fail = n_rows_only = 0
+    for qdir in sorted(glob.glob(os.path.join(out_dir, "*"))):
+        if not os.path.isdir(qdir):
+            continue
+        name = os.path.basename(qdir)
+        files = glob.glob(os.path.join(qdir, "*.parquet"))
+        if not files:
+            print(f"QUERY_FAILED       {name} (no parquet written)")
+            n_fail += 1
+            continue
+        got = pd.concat([pd.read_parquet(f) for f in files],
+                        ignore_index=True)
+        if name not in oracles:
+            status = "ROWS_ONLY" if len(got) > 0 else "ROWS_ONLY_EMPTY!"
+            n_rows_only += 1
+            print(f"{status:18s} {name} rows={len(got)}")
+            continue
+        try:
+            exp = con.execute(oracles[name]).df()
+        except Exception as e:
+            print(f"ORACLE_ERR         {name}: {e}")
+            n_fail += 1
+            continue
+        g, x = canon(got), canon(exp)
+        if list(g.columns) != list(x.columns):
+            print(f"SCHEMA_MISMATCH    {name}: spark={list(g.columns)} duck={list(x.columns)}")
+            n_fail += 1
+            continue
+        if len(g) != len(x):
+            print(f"ROWCOUNT_MISMATCH  {name}: spark={len(g)} duck={len(x)}")
+            n_fail += 1
+            continue
+        try:
+            pd.testing.assert_frame_equal(g, x, check_dtype=False,
+                                          check_exact=False, rtol=1e-9, atol=1e-9)
+            print(f"PASS               {name} rows={len(g)}")
+            n_pass += 1
+        except AssertionError as e:
+            msg = str(e).split("\n")[0:3]
+            print(f"VALUE_MISMATCH     {name}: {' | '.join(msg)}")
+            n_fail += 1
+    print(f"\n== {n_pass} pass, {n_fail} fail, {n_rows_only} rows-only ==")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
