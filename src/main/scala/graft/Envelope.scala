@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The universal record model (vunnel `result.py:33-37`): every provider
+  * pipeline produces a Dataset of envelopes — a schema-versioned,
+  * identifier-keyed JSON payload. The OS-schema vulnerability family
+  * (`utils/vulnerability.py:83-146`) is modeled as typed case classes;
+  * pass-through families stay as JSON strings in `item`.
+  */
+final case class Envelope(identifier: String, schema: String, item: String)
+
+/** OS-schema vulnerability shapes (schema/vulnerability/os/schema-1.1.0),
+  * with the reference's sentinel semantics preserved: `version = "None"`
+  * means unfixed, `"0"` means not-affected NAK (`utils/vulnerability.py:
+  * 85-89`) — these are string VALUES, never SQL NULLs (SURVEY §7.4.2).
+  */
+final case class FixedIn(
+    Name: String,
+    NamespaceName: String,
+    VersionFormat: String, // rpm | dpkg | apk
+    Version: String,       // "None" = unfixed, "0" = NAK
+    Module: Option[String] = None)
+
+final case class CvssBaseMetrics(
+    base_score: Double,
+    exploitability_score: Double,
+    impact_score: Double,
+    base_severity: String)
+
+final case class CvssRecord(
+    version: String,
+    vector_string: String,
+    base_metrics: CvssBaseMetrics,
+    status: String = "N/A")
+
+final case class Vulnerability(
+    Name: String,
+    NamespaceName: String,
+    Description: String,
+    Severity: String,
+    Link: String,
+    CVSS: Seq[CvssRecord] = Seq.empty,
+    FixedIn: Seq[FixedIn] = Seq.empty)
+
+object Envelope {
+  /** Schema registry mirroring `src/vunnel/schema.py` (urls are ours —
+    * the design point is: every envelope names its payload schema+version). */
+  val OsSchema = "https://example.invalid/graft/vulnerability/os/schema-1.1.0.json"
+  val NvdSchema = "https://example.invalid/graft/vulnerability/nvd/schema-2.0.0.json"
+  val OsvSchema = "https://example.invalid/graft/vulnerability/osv/schema-1.6.1.json"
+
+  /** Canonical JSON: sorted struct fields, no nulls — the golden-test
+    * equality representation (reference sorted-key orjson,
+    * `tests/conftest.py:221-224`). Struct fields must be assembled in
+    * sorted order by the caller; this wraps to_json with null dropping. */
+  def canonicalJson(c: Column): Column = to_json(c, Map("ignoreNullFields" -> "true"))
+
+  /** Assemble envelope columns from (identifier, schema, payload struct). */
+  def assemble(identifier: Column, schemaUrl: String, payload: Column): Seq[Column] =
+    Seq(identifier.as("identifier"), lit(schemaUrl).as("schema"),
+      canonicalJson(payload).as("item"))
+}

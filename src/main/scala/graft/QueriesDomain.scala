@@ -1,0 +1,176 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.Q._
+import graft.functions.{Cvss, Norm}
+import graft.operators.RpmStreamReduce
+import graft.plans.RpmExpressions
+
+/** Domain-function queries: the vunnel-specific computation kernels (RPM
+  * EVR ordering F1, CVSS scoring F8, severity ranking A3) exercised
+  * through their REAL implementations (native Catalyst expressions,
+  * typed Aggregator) with cross-engine oracles built on zero-padded
+  * version encodings (lexicographic order provably equals EVR order on
+  * that restricted alphabet — see q_agg_rpm_max).
+  */
+object QueriesDomain {
+
+  // "%d.%03d-%02d%s" over lineitem columns: EVR order == string order.
+  private def synthVer = format_string("%d.%03d-%02d%s",
+    col("l_linenumber"),
+    floor(col("l_quantity")).cast("int"),
+    floor(col("l_discount") * 100 + lit(0.5)).cast("int"),
+    lower(col("l_returnflag")))
+
+  private val synthVerSql = """printf('%d.%03d-%02d%s', l_linenumber,
+    cast(floor(l_quantity) as int),
+    cast(floor(l_discount*100 + 0.5) as int), lower(l_returnflag))"""
+
+  val entries: Seq[(String, Entry)] = Seq(
+
+    // F1 via the native codegen expression: pairwise EVR compare of each
+    // line's version against its order's first-line version.
+    "q_rpm_cmp_native" -> Entry(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"), synthVer.as("ver"))
+        val first = li.filter(col("l_linenumber") === 1)
+          .select(col("l_orderkey").as("k"), col("ver").as("first_ver"))
+        li.join(first, col("l_orderkey") === col("k"))
+          .select(col("l_orderkey"), col("l_linenumber"),
+            RpmExpressions.rpm_ver_cmp(col("ver"), col("first_ver"))
+              .as("cmp"))
+      },
+      Some(s"""SELECT l.l_orderkey, l.l_linenumber,
+        CASE WHEN l.ver > f.first_ver THEN 1
+             WHEN l.ver < f.first_ver THEN -1 ELSE 0 END AS cmp
+        FROM (SELECT l_orderkey, l_linenumber, $synthVerSql AS ver
+              FROM lineitem) l
+        JOIN (SELECT l_orderkey, $synthVerSql AS first_ver
+              FROM lineitem WHERE l_linenumber = 1) f
+          ON l.l_orderkey = f.l_orderkey""")),
+
+    // A2: the typed Aggregator — per-stream maxima + canonical pick,
+    // partial-aggregated map-side (the shuffle carries maps, not rows).
+    "q_rpm_stream_reduce" -> Entry(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        li.select(col("l_partkey"), synthVer.as("ver"))
+          .groupBy(col("l_partkey"))
+          .agg(RpmStreamReduce.rpm_stream_reduce(col("ver")).as("r"))
+          .select(col("l_partkey"),
+            col("r.canonical").as("canonical"),
+            col("r.n_streams").as("n_streams"),
+            array_join(transform(col("r.streams"),
+              x => concat_ws(":", x.getField("base"), x.getField("version"))),
+              ",").as("streams"))
+      },
+      Some(s"""WITH v AS (
+          SELECT l_partkey, $synthVerSql AS ver,
+            cast(l_linenumber as varchar) AS base
+          FROM lineitem),
+        per_base AS (
+          SELECT l_partkey, base, max(ver) AS max_ver
+          FROM v GROUP BY l_partkey, base)
+        SELECT l_partkey, max(max_ver) AS canonical,
+          cast(count(*) as int) AS n_streams,
+          string_agg(base || ':' || max_ver, ',' ORDER BY base) AS streams
+        FROM per_base GROUP BY l_partkey""")),
+
+    // F8: CVSS v3.1 scoring. Vectors are synthesized deterministically
+    // from lineitem columns; the oracle re-implements the FIRST base
+    // formula in SQL (roundup, scope-conditional impact, severity word).
+    "q_cvss_score" -> Entry(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val av = element_at(array(lit("N"), lit("A"), lit("L"), lit("P")),
+          (col("l_linenumber") % 4 + 1).cast("int"))
+        val ac = when(col("l_quantity") < 25, "L").otherwise("H")
+        val pr = element_at(array(lit("N"), lit("L"), lit("H")),
+          (col("l_partkey") % 3 + 1).cast("int"))
+        val ui = when(col("l_discount") < 0.05, "N").otherwise("R")
+        val sc = when(col("l_returnflag") === "R", "C").otherwise("U")
+        val c = element_at(array(lit("H"), lit("L"), lit("N")),
+          (col("l_orderkey") % 3 + 1).cast("int"))
+        val vec = concat(lit("CVSS:3.1/AV:"), av, lit("/AC:"), ac,
+          lit("/PR:"), pr, lit("/UI:"), ui, lit("/S:"), sc,
+          lit("/C:"), c, lit("/I:H/A:L"))
+        li.select(col("l_orderkey"), col("l_linenumber"), vec.as("vector"))
+          .withColumn("s", Cvss.cvss3_score(col("vector")))
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("s.baseScore").as("base_score"),
+            col("s.baseSeverity").as("severity"))
+      },
+      Some("""WITH m AS (
+        SELECT l_orderkey, l_linenumber,
+          ['N','A','L','P'][cast(l_linenumber % 4 + 1 as int)] AS av,
+          CASE WHEN l_quantity < 25 THEN 'L' ELSE 'H' END AS ac,
+          ['N','L','H'][cast(l_partkey % 3 + 1 as int)] AS pr,
+          CASE WHEN l_discount < 0.05 THEN 'N' ELSE 'R' END AS ui,
+          CASE WHEN l_returnflag = 'R' THEN 'C' ELSE 'U' END AS sc,
+          ['H','L','N'][cast(l_orderkey % 3 + 1 as int)] AS c
+        FROM lineitem),
+      w AS (
+        SELECT l_orderkey, l_linenumber, sc,
+          CASE av WHEN 'N' THEN 0.85 WHEN 'A' THEN 0.62 WHEN 'L' THEN 0.55
+                  ELSE 0.2 END AS wav,
+          CASE ac WHEN 'L' THEN 0.77 ELSE 0.44 END AS wac,
+          CASE WHEN pr = 'N' THEN 0.85
+               WHEN pr = 'L' AND sc = 'C' THEN 0.68
+               WHEN pr = 'L' THEN 0.62
+               WHEN sc = 'C' THEN 0.5 ELSE 0.27 END AS wpr,
+          CASE ui WHEN 'N' THEN 0.85 ELSE 0.62 END AS wui,
+          CASE c WHEN 'H' THEN 0.56 WHEN 'L' THEN 0.22 ELSE 0.0 END AS wc,
+          0.56 AS wi, 0.22 AS wa
+        FROM m),
+      calc AS (
+        SELECT l_orderkey, l_linenumber,
+          1 - (1 - wc) * (1 - wi) * (1 - wa) AS iscb,
+          8.22 * wav * wac * wpr * wui AS esc, sc
+        FROM w),
+      sc2 AS (
+        SELECT l_orderkey, l_linenumber, esc, sc,
+          CASE WHEN sc = 'C'
+            THEN 7.52 * (iscb - 0.029) - 3.25 * pow(iscb - 0.02, 15)
+            ELSE 6.42 * iscb END AS isc
+        FROM calc),
+      base AS (
+        SELECT l_orderkey, l_linenumber,
+          CASE WHEN isc <= 0 THEN 0.0 ELSE
+            CASE WHEN round(least(CASE WHEN sc = 'C' THEN 1.08 * (isc + esc)
+                  ELSE isc + esc END, 10.0) * 100000) % 10000 = 0
+              THEN round(least(CASE WHEN sc = 'C' THEN 1.08 * (isc + esc)
+                  ELSE isc + esc END, 10.0) * 100000) / 100000
+              ELSE (floor(round(least(CASE WHEN sc = 'C' THEN 1.08 * (isc + esc)
+                  ELSE isc + esc END, 10.0) * 100000) / 10000) + 1) / 10
+            END END AS base_score
+        FROM sc2)
+      SELECT l_orderkey, l_linenumber, base_score,
+        CASE WHEN base_score <= 0 THEN 'None'
+             WHEN base_score < 4 THEN 'Low'
+             WHEN base_score < 7 THEN 'Medium'
+             WHEN base_score < 9 THEN 'High'
+             ELSE 'Critical' END AS severity
+      FROM base""")),
+
+    // A3 with the real severity-rank function over a synthesized severity
+    // word column (round-trips Norm.severity_rank / normalize_severity).
+    "q_severity_rank_merge" -> Entry(
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        val sev = element_at(array(lit("Negligible"), lit("Low"), lit("Medium"),
+          lit("High"), lit("Critical")), (col("event_id") % 5 + 1).cast("int"))
+        e.select(col("user_id"), sev.as("sev"))
+          .groupBy(col("user_id"))
+          .agg(max_by(col("sev"), Norm.severity_rank(col("sev")))
+            .as("max_severity"), count(lit(1)).as("n"))
+      },
+      Some("""SELECT user_id,
+        arg_max(sev, rank) AS max_severity, count(*) AS n FROM (
+          SELECT user_id,
+            ['Negligible','Low','Medium','High','Critical']
+              [cast(event_id % 5 + 1 as int)] AS sev,
+            [1,2,3,4,5][cast(event_id % 5 + 1 as int)] AS rank
+          FROM events) GROUP BY user_id""")),
+  )
+}

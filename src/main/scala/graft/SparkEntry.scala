@@ -39,7 +39,8 @@ object SparkEntry {
   }
 
   private val registry: Seq[(String, Q.Entry)] =
-    QueriesRelational.entries ++ QueriesPipeline.entries
+    QueriesRelational.entries ++ QueriesPipeline.entries ++
+      QueriesDomain.entries
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,74 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.RpmVersion
+
+/** Native Catalyst expressions for the RPM-EVR domain (SURVEY §2.9 F1/F2,
+  * §7.4 hard part 1) — the hot-path versions of the UDFs in
+  * [[graft.functions.RpmVersion]].
+  *
+  * Both generate code that calls the static comparator directly, so they
+  * stay inside whole-stage codegen (no UDF serialization, no Option
+  * boxing, null handling inherited from Unary/BinaryExpression's
+  * nullSafeCodeGen). `RpmSortKey` emits the byte-comparable encoding, so
+  * downstream `orderBy`/`max_by`/`min_by` use plain binary string
+  * comparison — sorting never calls back into the comparator.
+  */
+case class RpmVerCmpExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "rpm_ver_cmp"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    RpmVersion.compareVersions(a.toString, b.toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.RpmVersion.compareVersions($a.toString(), $b.toString())")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+case class RpmSortKeyExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "rpm_sort_key"
+
+  override def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(RpmVersion.sortKey(v.toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.functions.RpmVersion.sortKey($v.toString()))")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RpmExpressions {
+  import org.apache.spark.sql.graft.bridge.{column, expression}
+
+  /** Codegen'd column API (preferred over RpmVersion's UDFs on hot paths). */
+  def rpm_ver_cmp(a: Column, b: Column): Column =
+    column(RpmVerCmpExpr(expression(a), expression(b)))
+  def rpm_sort_key(v: Column): Column =
+    column(RpmSortKeyExpr(expression(v)))
+
+  /** SQL registration: `SELECT rpm_ver_cmp(a, b), rpm_sort_key(v)`. */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "rpm_ver_cmp", exprs => RpmVerCmpExpr(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "rpm_sort_key", exprs => RpmSortKeyExpr(exprs.head), "scala_udf")
+  }
+}

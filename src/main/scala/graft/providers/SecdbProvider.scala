@@ -1,0 +1,52 @@
+package graft.providers
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Envelope
+import graft.functions.Norm
+import graft.sources.Sources
+
+/** The secdb provider family (wolfi/alpine/chainguard/minimos/echo —
+  * config-differentiated, like the reference's chainguard reusing the
+  * wolfi parser): SURVEY §7.2's minimum vertical slice.
+  *
+  * Pipeline: secdb JSON scan (S10) → explode packages/secfixes (F16) →
+  * split multi-CVE strings (F15) → CVE-id regex filter (P2) → group by
+  * (namespace, vuln-id) (A1 first-writer-header + FixedIn append, as an
+  * order-explicit collect) → Vulnerability struct → canonical-JSON
+  * envelope. The NAK sentinel `Version: "0"` passes through as a value
+  * (§7.4.2).
+  *
+  * Scale: one shuffle (the A1 groupBy on (namespace, vuln_id)); the
+  * explode fan-out happens map-side; FixedIn arrays are bounded by
+  * packages-per-CVE (small). Reference: wolfi `parser.py:162-257`.
+  */
+object SecdbProvider {
+
+  def envelopes(spark: SparkSession, secdbPath: String,
+      namespace: String): DataFrame = {
+    val rows = Sources.secdb(spark, secdbPath)
+      .filter(col("vuln_id").rlike("^CVE-")) // P2: non-CVE ids skipped
+    rows
+      .groupBy(col("vuln_id"))
+      .agg(
+        // O3 canonical FixedIn ordering by (Name, Version) — explicit
+        // sort keys, never input row order
+        array_sort(collect_list(struct(
+          col("pkg_name").as("Name"),
+          lit(namespace).as("NamespaceName"),
+          lit("apk").as("VersionFormat"),
+          col("fix_version").as("Version")))).as("fixed_in"),
+        count(lit(1)).as("n_fixes"))
+      .select(Envelope.assemble(
+        concat(lit(namespace), lit("/"), lower(col("vuln_id"))),
+        Envelope.OsSchema,
+        struct(
+          col("vuln_id").as("Name"),
+          lit(namespace).as("NamespaceName"),
+          lit("").as("Description"),
+          lit("Unknown").as("Severity"),
+          Norm.ref_link_for_id(col("vuln_id")).as("Link"),
+          col("fixed_in").as("FixedIn"))): _*)
+  }
+}

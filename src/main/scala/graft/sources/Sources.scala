@@ -1,0 +1,86 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Source adapters for the reference's scan families (SURVEY §2.1),
+  * re-expressed as Spark readers. The HTTP/cursor layers (S1-S4) are
+  * driver-side fetch infrastructure by design; what lands here is the
+  * *parse* stage each source needs once bytes are staged:
+  *
+  *  - S10 secdb JSON  → nested packages[].pkg.secfixes{ver → [ids]}
+  *  - S6  OVAL XML    → 4 element classes via the built-in XML reader
+  *  - S9  EPSS CSV    → '#'-comment header + typed columns
+  *  - S7  RSS XML     → rowTag="item" advisory summaries
+  */
+object Sources {
+
+  /** S10: secdb security.json (wolfi/alpine/chainguard shape, vunnel
+    * `providers/wolfi/parser.py:132-160`). One row per (package,
+    * fix-version, vuln-id), the A1 explode pipeline:
+    * packages[] → secfixes map → whitespace-split multi-CVE strings. */
+  def secdb(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    // explicit schema: secfixes has dynamic version keys → MapType
+    // (inference would type it as a struct of the versions seen)
+    val schema = StructType(Seq(
+      StructField("reponame", StringType),
+      StructField("urlprefix", StringType),
+      StructField("packages", ArrayType(StructType(Seq(
+        StructField("pkg", StructType(Seq(
+          StructField("name", StringType),
+          StructField("secfixes",
+            MapType(StringType, ArrayType(StringType))))))))))))
+    spark.read.option("multiLine", "true").schema(schema).json(path)
+      .select(col("reponame"), explode(col("packages")).as("p"))
+      .select(col("reponame"), col("p.pkg.name").as("pkg_name"),
+        explode(col("p.pkg.secfixes")).as(Seq("fix_version", "vuln_ids")))
+      // secfixes values are arrays of space-separated id strings
+      .select(col("reponame"), col("pkg_name"), col("fix_version"),
+        explode(col("vuln_ids")).as("vuln_str"))
+      .select(col("reponame"), col("pkg_name"), col("fix_version"),
+        explode(split(col("vuln_str"), "\\s+")).as("vuln_id"))
+      .filter(col("vuln_id") =!= "")
+  }
+
+  /** S6: OVAL XML — the 4 element classes the reference's streaming
+    * parser collects (`utils/oval_v2.py:443-494`), each as a DataFrame
+    * scan with its own rowTag (column pruning happens at the XML reader
+    * instead of iterparse+clear). Join them with J8's chained equi-joins. */
+  def ovalDefinitions(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("xml").option("rowTag", "definition").load(path)
+
+  def ovalTests(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("xml").option("rowTag", "rpminfo_test").load(path)
+
+  def ovalObjects(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("xml").option("rowTag", "rpminfo_object").load(path)
+
+  def ovalStates(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("xml").option("rowTag", "rpminfo_state").load(path)
+
+  /** S9: EPSS CSV with '#' comment header carrying score_date
+    * (`providers/epss/manager.py:46-134`): comment rows skipped by the
+    * reader; the score_date is read once driver-side from the head. */
+  def epss(spark: SparkSession, path: String): DataFrame = {
+    val scoreDate = {
+      val src = scala.io.Source.fromFile(path)
+      try src.getLines().take(5).find(_.startsWith("#"))
+        .flatMap(l => "score_date:(\\S+)".r.findFirstMatchIn(l).map(_.group(1)))
+        .orNull
+      finally src.close()
+    }
+    spark.read.option("comment", "#").option("header", "true")
+      .option("inferSchema", "true").csv(path)
+      .withColumn("score_date", lit(scoreDate))
+  }
+
+  /** S7: RSS feed (amazon ALAS shape, `providers/amazon/parser.py:86-114`):
+    * one row per <item>, summary fields projected + typed. */
+  def rss(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("xml").option("rowTag", "item").load(path)
+      .select(col("title"), col("link"),
+        regexp_extract(col("title"), "(ALAS[0-9-]*)", 1).as("alas_id"),
+        regexp_extract(col("title"), "\\((\\w+)\\)", 1).as("severity"),
+        col("pubDate"))
+}

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.providers.SecdbProvider
+import graft.sinks.ResultStore
+import graft.sources.Sources
+
+/** End-to-end provider slice (SURVEY §7.2) + source adapters + result
+  * store semantics. */
+class ProviderSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def fixture(name: String): String =
+    getClass.getResource(s"/fixtures/$name").getPath
+
+  test("secdb scan explodes packages/secfixes/multi-CVE strings") {
+    val rows = Sources.secdb(spark, fixture("secdb.json")).collect()
+    // busybox: 1+2; openssl: 2+1 (NAK "0" row kept); zlib: 2 (GHSA kept at
+    // scan level — provider filters)
+    assert(rows.length == 8)
+    val naks = rows.filter(_.getAs[String]("fix_version") == "0")
+    assert(naks.map(_.getAs[String]("vuln_id")).toSeq == Seq("CVE-2021-9999"))
+  }
+
+  test("secdb provider: envelopes with merged FixedIn, sentinel preserved") {
+    val env = SecdbProvider.envelopes(spark, fixture("secdb.json"), "wolfi:rolling")
+    val rows = env.collect()
+    // CVE-2022-30065 appears in busybox AND openssl → one envelope, 2 fixes
+    val merged = rows.find(_.getAs[String]("identifier") ==
+      "wolfi:rolling/cve-2022-30065").get
+    val item = merged.getAs[String]("item")
+    assert(item.contains("\"busybox\"") && item.contains("\"openssl\""))
+    // GHSA id filtered (P2), NAK "0" version survives as a value
+    assert(!rows.exists(_.getAs[String]("identifier").contains("ghsa")))
+    assert(rows.find(_.getAs[String]("identifier") ==
+      "wolfi:rolling/cve-2021-9999").get.getAs[String]("item")
+      .contains("\"Version\":\"0\""))
+  }
+
+  test("secdb provider envelopes are canonically stable across runs") {
+    val a = SecdbProvider.envelopes(spark, fixture("secdb.json"), "ns")
+      .orderBy("identifier").collect().map(_.getAs[String]("item")).toSeq
+    val b = SecdbProvider.envelopes(spark, fixture("secdb.json"), "ns")
+      .orderBy("identifier").collect().map(_.getAs[String]("item")).toSeq
+    assert(a == b)
+  }
+
+  test("OVAL 4-way reference join (J8) resolves package + evr per CVE") {
+    val p = fixture("oval.xml")
+    val defs = Sources.ovalDefinitions(spark, p)
+      .select(col("_id").as("def_id"),
+        col("metadata.severity").as("severity"),
+        col("metadata.reference._ref_id").as("cve"),
+        col("criteria.criterion._test_ref").as("test_ref"))
+    val tests = Sources.ovalTests(spark, p)
+      .select(col("_id").as("test_id"),
+        col("object._object_ref").as("object_ref"),
+        col("state._state_ref").as("state_ref"))
+    val objs = Sources.ovalObjects(spark, p)
+      .select(col("_id").as("obj_id"), col("name").as("pkg"))
+    val states = Sources.ovalStates(spark, p)
+      .select(col("_id").as("state_id"), col("evr._VALUE").as("evr"),
+        col("evr._operation").as("op"))
+    val joined = defs
+      .join(tests, col("test_ref") === col("test_id"))
+      .join(objs, col("object_ref") === col("obj_id"))
+      .join(states, col("state_ref") === col("state_id"))
+      .select("cve", "pkg", "evr", "op", "severity")
+      .collect()
+    assert(joined.length == 2)
+    val r = joined.find(_.getAs[String]("cve") == "CVE-2023-1000").get
+    assert(r.getAs[String]("pkg") == "libfoo")
+    assert(r.getAs[String]("evr") == "0:1.2-3")
+    assert(r.getAs[String]("op") == "less than")
+  }
+
+  test("EPSS CSV scan: comment skipped, score_date captured, typed") {
+    val df = Sources.epss(spark, fixture("epss.csv"))
+    val rows = df.collect()
+    assert(rows.length == 3)
+    assert(rows.head.getAs[String]("score_date") == "2024-02-07T00:00:00+0000")
+    val top = df.orderBy(col("epss").desc).head()
+    assert(top.getAs[String]("cve") == "CVE-2023-1000")
+  }
+
+  test("RSS scan: ALAS id + severity extracted per item") {
+    val rows = Sources.rss(spark, fixture("alas.rss")).collect()
+    assert(rows.length == 2)
+    val r = rows.find(_.getAs[String]("alas_id") == "ALAS-2023-1726").get
+    assert(r.getAs[String]("severity") == "important")
+  }
+
+  test("result store: OR REPLACE vs OR IGNORE dedup semantics") {
+    val df = Seq(
+      ("a", "s", "v1", 1), ("a", "s", "v2", 2), ("b", "s", "v1", 1)
+    ).toDF("identifier", "schema", "item", "precedence")
+    val rep = ResultStore.dedupKeyed(df, ResultStore.Replace)
+      .select("identifier", "item").as[(String, String)].collect().toMap
+    assert(rep == Map("a" -> "v2", "b" -> "v1"))
+    val ign = ResultStore.dedupKeyed(df, ResultStore.Ignore)
+      .select("identifier", "item").as[(String, String)].collect().toMap
+    assert(ign == Map("a" -> "v1", "b" -> "v1"))
+  }
+
+  test("result store: upsert + atomic commit + manifest round-trip") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-store").toString
+    val dest = s"$dir/results"
+    val snap = Seq(("a", "s", "v1"), ("b", "s", "v1"))
+      .toDF("identifier", "schema", "item")
+    val d1 = ResultStore.commit(spark, snap, dest)
+    assert(ResultStore.manifest(dest).get.startsWith("xxh64:"))
+    assert(d1.startsWith("xxh64:"))
+
+    val batch = Seq(("b", "s", "v2"), ("c", "s", "v1"))
+      .toDF("identifier", "schema", "item")
+    val merged = ResultStore.upsert(ResultStore.read(spark, dest), batch)
+    val d2 = ResultStore.commit(spark, merged, dest)
+    val out = ResultStore.read(spark, dest)
+      .select("identifier", "item").as[(String, String)].collect().toMap
+    assert(out == Map("a" -> "v1", "b" -> "v2", "c" -> "v1"))
+    assert(d1 != d2)
+    // identical content → identical manifest digest (determinism)
+    val d3 = ResultStore.commit(spark, ResultStore.read(spark, dest), dest)
+    assert(d2 == d3)
+  }
+}
