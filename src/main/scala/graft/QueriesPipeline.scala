@@ -222,12 +222,8 @@ object QueriesPipeline {
     "q_dedup_simhash" -> Entry(
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        // hash array materialized behind a Project boundary so the 64
-        // bit-vote aggregates share one tokenize+hash pass
-        val sigs = docs
-          .select(col("doc_id"),
-            Dedup.tokenHashes(split(lower(trim(col("text"))), "\\s+")).as("h"))
-          .select(col("doc_id"), Dedup.simhashFromHashes(col("h")).as("sig"))
+        val sigs = docs.select(col("doc_id"),
+          Dedup.simhash(split(lower(trim(col("text"))), "\\s+")).as("sig"))
         val bands = Dedup.minhashBands(docs, "text", "doc_id")
         Dedup.minhashCandidates(bands, "doc_id")
           .join(sigs.select(col("doc_id").as("id1"), col("sig").as("sig1")), "id1")

@@ -21,22 +21,16 @@ object Text {
       length(regexp_replace(text, "[\\p{L}\\p{N}\\s]", ""))
 
   /** n-gram character shingles of the normalized text (lowercased,
-    * whitespace collapsed). Returns ArrayType(StringType). */
-  def char_shingles(text: Column, n: Int): Column = {
-    val norm = lower(regexp_replace(trim(text), "\\s+", " "))
-    when(length(norm) >= n,
-      transform(sequence(lit(1), length(norm) - (n - 1)),
-        i => norm.substr(i, lit(n))))
-      .otherwise(array(norm))
-  }
+    * whitespace collapsed). Returns ArrayType(StringType). Native
+    * single-pass kernel — the composable transform/sequence/substr form
+    * re-runs the normalization regex per element (quadratic, see
+    * graft.plans.TextExpressions). */
+  def char_shingles(text: Column, n: Int): Column =
+    graft.plans.TextExpressions.char_shingles(text, n)
 
   /** Word n-gram shingles. Returns ArrayType(StringType). */
-  def word_shingles(text: Column, n: Int): Column = {
-    val words = split(lower(trim(text)), "\\s+")
-    val count = greatest(size(words) - (n - 1), lit(0))
-    transform(sequence(lit(1), greatest(count, lit(1))),
-      i => concat_ws(" ", slice(words, i, lit(n))))
-  }
+  def word_shingles(text: Column, n: Int): Column =
+    graft.plans.TextExpressions.word_shingles(text, n)
 
   /** Quality-score features: length, mean word length, punctuation ratio,
     * stopword ratio, uppercase ratio — the standard cheap heuristics. */

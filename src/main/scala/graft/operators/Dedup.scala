@@ -30,22 +30,15 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
   }
 
-  /** Base 64-bit hash per shingle/token — computed ONCE; the k minhash
-    * "permutations" and the 64 simhash bit-tests derive from this array
-    * with cheap integer ops. (Naively re-hashing per seed re-expands the
-    * whole shingle expression k times: measured 20-70× slower.) */
+  /** Base 64-bit hash per shingle/token (interpreted higher-order form;
+    * the hot paths below use the native kernels in graft.plans instead). */
   def tokenHashes(tokens: Column): Column =
     transform(tokens, t => xxhash64(t))
 
-  /** MinHash signature: k seeded re-hashes of the precomputed base hashes
-    * (xxhash64 over a long is cheap; modular-multiply permutations would
-    * trip ANSI-mode overflow checks). Returns ArrayType(LongType), len k. */
-  def minhashSignature(hashes: Column, k: Int): Column = {
-    val mins = (0 until k).map { i =>
-      array_min(transform(hashes, h => xxhash64(h, lit(i))))
-    }
-    array(mins: _*)
-  }
+  /** MinHash signature via the native single-pass codegen kernel
+    * ([[graft.plans.MinHashSigExpr]]). Returns ArrayType(LongType), len k. */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    graft.plans.HashExpressions.minhash_sig(shingles, k)
 
   /** LSH banding: split a k-length signature into `bands` bands of
     * k/bands rows each; one output row per (docId, bandIdx, bandHash).
@@ -55,8 +48,8 @@ object Dedup {
       shingleLen: Int = 5, k: Int = 20, bands: Int = 5): DataFrame = {
     val rowsPerBand = k / bands
     df.select(col(idCol),
-        tokenHashes(Text.char_shingles(col(textCol), shingleLen)).as("h"))
-      .select(col(idCol), minhashSignature(col("h"), k).as("sig"))
+        minhashSignature(Text.char_shingles(col(textCol), shingleLen), k)
+          .as("sig"))
       .select(col(idCol), posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(concat_ws("_",
@@ -89,20 +82,10 @@ object Dedup {
   }
 
   /** SimHash: 64-bit signature where bit j = sign of Σ_tokens (±1 by bit j
-    * of xxhash64(token)). Near-dups have small Hamming distance.
-    * Single expression over a precomputed hash array (see tokenHashes). */
-  def simhashFromHashes(hashes: Column): Column = {
-    val bits: Seq[Column] = (0 until 64).map { j =>
-      val votes = aggregate(hashes, lit(0L),
-        (acc, h) => acc + shiftright(h, j).bitwiseAND(1L) * 2L - 1L)
-      when(votes > 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    bits.reduce((a: Column, b: Column) => a.bitwiseOR(b))
-  }
-
-  /** Convenience: simhash straight from a token array (hashes the tokens
-    * once, then derives all 64 bits). */
-  def simhash(tokens: Column): Column = simhashFromHashes(tokenHashes(tokens))
+    * of the token hash). Near-dups have small Hamming distance. Native
+    * single-pass codegen kernel ([[graft.plans.SimHash64Expr]]). */
+  def simhash(tokens: Column): Column =
+    graft.plans.HashExpressions.simhash64(tokens)
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column =
