@@ -114,6 +114,50 @@ object QueriesRelational {
         count(*) AS n_builds
         FROM lineitem GROUP BY l_partkey""")),
 
+    // A7/A11: flatten-merge of per-subgroup arrays into the parent group
+    // (SLES FixedIn concat / ubuntu base-pass envelope merge) — order
+    // made explicit by sorting after the flatten, never by row arrival.
+    "q_agg_flatten_merge" -> Entry(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val o = t(s, dir, "orders")
+        val perOrder = li.groupBy(col("l_orderkey"))
+          .agg(sort_array(collect_list(col("l_linenumber"))).as("lines"))
+        o.join(perOrder, col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_custkey"))
+          .agg(array_sort(flatten(collect_list(col("lines")))).as("merged"))
+          .select(col("o_custkey"),
+            size(col("merged")).as("n_lines"),
+            array_join(transform(col("merged"), x => x.cast("string")), ",")
+              .as("lines"))
+      },
+      Some("""SELECT o_custkey, cast(count(*) as int) AS n_lines,
+        string_agg(l_linenumber, ',' ORDER BY l_linenumber) AS lines
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_custkey""")),
+
+    // F19: nested array-of-struct patch (the OSV fixes walk:
+    // affected[].ranges[].events[].fixed → database_specific patch) —
+    // collect to nested, transform to add a computed field, explode back.
+    "q_nested_patch" -> Entry(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val nested = li.groupBy(col("l_orderkey"))
+          .agg(collect_list(struct(col("l_partkey"), col("l_quantity")))
+            .as("items"))
+        nested
+          .select(col("l_orderkey"),
+            explode(filter(
+              transform(col("items"), it => struct(
+                it.getField("l_partkey").as("partkey"),
+                (it.getField("l_quantity") * 2).as("dq"))),
+              it => it.getField("dq") > 50)).as("item"))
+          .select(col("l_orderkey"), col("item.partkey").as("partkey"),
+            col("item.dq").as("dq"))
+      },
+      Some("""SELECT l_orderkey, l_partkey AS partkey,
+        l_quantity * 2 AS dq FROM lineitem WHERE l_quantity * 2 > 50""")),
+
     // ---- P-class: projections / filters -----------------------------
     // P1: field projection + rename + computed column.
     "q_proj_rename" -> Entry(

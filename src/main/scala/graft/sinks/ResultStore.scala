@@ -90,6 +90,19 @@ object ResultStore {
     s"xxh64:$digest"
   }
 
+  /** K4: per-ecosystem fragment sink (ubuntu `parser.py:307-373`
+    * DELETE_BEFORE_WRITE): dynamic partition overwrite replaces ONLY the
+    * partitions present in `batch`; untouched (frozen/EOL, I6) partitions
+    * keep their files. At 100 TB this is the difference between rewriting
+    * one ecosystem and rewriting the store. */
+  def writeFragments(batch: DataFrame, destDir: String,
+      partitionCol: String): Unit = {
+    batch.sparkSession.conf
+      .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    batch.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCol).parquet(destDir)
+  }
+
   /** Read back a committed store. */
   def read(spark: SparkSession, destDir: String): DataFrame =
     spark.read.parquet(Paths.get(destDir).resolve("results").toString)
