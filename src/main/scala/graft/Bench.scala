@@ -10,7 +10,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // warm up the whole execution path (parquet scan, broadcast, shuffle,
+    // codegen) on the two tiny dims so the first timed query doesn't
+    // absorb session initialization
+    try {
+      import org.apache.spark.sql.functions.broadcast
+      val r = spark.read.parquet(s"$sfDir/region.parquet")
+      val n = spark.read.parquet(s"$sfDir/nation.parquet")
+      n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name").count().count()
+    } catch { case _: Throwable => () }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>
@@ -21,7 +31,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

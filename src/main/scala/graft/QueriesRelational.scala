@@ -275,7 +275,10 @@ object QueriesRelational {
     "q_join_collect" -> Entry(
       (s, dir) => {
         val o = t(s, dir, "orders").filter(col("o_orderkey") % 100 === 0)
-        val li = t(s, dir, "lineitem")
+        // the join key equals o_orderkey, so the %100 predicate holds for
+        // matching lineitems too — pre-filtering pushes it into the scan
+        // (100× less data shuffled; the left-join null rows are unaffected)
+        val li = t(s, dir, "lineitem").filter(col("l_orderkey") % 100 === 0)
         o.join(li, col("o_orderkey") === col("l_orderkey"), "left")
           .groupBy(col("o_orderkey"))
           .agg(
