@@ -67,7 +67,7 @@ object QueriesDomain {
       },
       Some(s"""WITH v AS (
           SELECT l_partkey, $synthVerSql AS ver,
-            cast(l_linenumber as varchar) AS base
+            split_part($synthVerSql, '-', 1) AS base
           FROM lineitem),
         per_base AS (
           SELECT l_partkey, base, max(ver) AS max_ver

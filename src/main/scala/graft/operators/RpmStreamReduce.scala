@@ -30,15 +30,12 @@ object RpmStreamReduce {
       n_streams: Int,
       streams: Seq[StreamFix])
 
-  /** Upstream base stream of an EVR string: epoch dropped, version's
-    * leading segment before the first '.'. */
-  def versionBase(full: String): String = {
-    val (_, v, _) = RpmVersion.splitFullVersion(full)
-    if (v == null) "" else {
-      val dot = v.indexOf('.')
-      if (dot < 0) v else v.substring(0, dot)
-    }
-  }
+  /** Upstream base stream of an EVR string = epoch:version with the
+    * release dropped (`_get_version_base`, rhel parser.py:1090-1105):
+    * the release carries the .elN_M dist tag that differentiates
+    * z-stream builds of the SAME upstream version. */
+  def versionBase(full: String): String =
+    graft.functions.Constraints.versionBase(full)
 
   val aggregator: Aggregator[String, Map[String, String], Result] =
     new Aggregator[String, Map[String, String], Result] {
