@@ -1,0 +1,65 @@
+package graft.providers
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** NVD pipeline pieces (SURVEY §3.1): the override join (J2,
+  * `providers/nvd/manager.py:304-339`) and the cpeMatch fix enrichment
+  * (`manager.py:354-392`), relational.
+  */
+object NvdProvider {
+
+  val pageSchema: StructType = StructType.fromDDL(
+    "vulnerabilities ARRAY<STRUCT<cve: STRUCT<" +
+      "id: STRING, lastModified: STRING, vulnStatus: STRING, " +
+      "descriptions: ARRAY<STRUCT<lang: STRING, value: STRING>>, " +
+      "configurations: ARRAY<STRUCT<nodes: ARRAY<STRUCT<operator: STRING, " +
+      "cpeMatch: ARRAY<STRUCT<vulnerable: BOOLEAN, criteria: STRING, " +
+      "versionEndExcluding: STRING>>>>>>, " +
+      "references: ARRAY<STRUCT<url: STRING, source: STRING>>>>>")
+
+  /** One row per CVE from an API page document. */
+  def cves(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("multiLine", "true").schema(pageSchema).json(path)
+      .select(explode(col("vulnerabilities")).as("v"))
+      .select(col("v.cve.id").as("id"),
+        col("v.cve.lastModified").as("last_modified"),
+        col("v.cve.configurations").as("configurations"),
+        col("v.cve.references").as("references"))
+
+  /** J2: override join — override's configurations REPLACE the record's;
+    * references are unioned BY URL (first occurrence wins, original
+    * order preserved then override-only urls appended) —
+    * `manager.py:304-339`. Overrides are a small dimension → broadcast. */
+  def applyOverrides(cves: DataFrame, overrides: DataFrame): DataFrame = {
+    val ov = overrides.select(
+      col("id").as("ov_id"),
+      col("configurations").as("ov_configurations"),
+      col("references").as("ov_references"))
+    cves.join(broadcast(ov), col("id") === col("ov_id"), "left")
+      .select(
+        col("id"), col("last_modified"),
+        coalesce(col("ov_configurations"), col("configurations"))
+          .as("configurations"),
+        when(col("ov_references").isNotNull,
+          // union by url: originals, then override refs whose url is new
+          concat(col("references"),
+            filter(col("ov_references"),
+              r => !array_contains(
+                transform(col("references"), o => o.getField("url")),
+                r.getField("url")))))
+          .otherwise(col("references")).as("references"))
+  }
+
+  /** cpeMatch fix extraction: one row per (cve, criteria) where the match
+    * is vulnerable AND carries versionEndExcluding — the fix version used
+    * for the fixdate join (`manager.py:354-392`). */
+  def cpeFixRows(cves: DataFrame): DataFrame =
+    cves.select(col("id"), explode(col("configurations")).as("c"))
+      .select(col("id"), explode(col("c.nodes")).as("n"))
+      .select(col("id"), explode(col("n.cpeMatch")).as("m"))
+      .filter(col("m.vulnerable") && col("m.versionEndExcluding").isNotNull)
+      .select(col("id"), col("m.criteria").as("cpe"),
+        col("m.versionEndExcluding").as("fix_version"))
+}

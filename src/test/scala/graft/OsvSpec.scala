@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.providers.OsvProvider
+
+/** OSV→OS downconvert (F20) + fix-date patch (F19) semantics, pinned to
+  * the reference's documented encoding rules. */
+class OsvSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def fixture = getClass.getResource("/fixtures/osv.json").getPath
+  private lazy val osv = OsvProvider.read(spark, fixture)
+  private lazy val fixdates = Seq(
+    ("CVE-2023-1111", "openssl", "3.0.2-0ubuntu1.9", "2023-03-15", "first-observed")
+  ).toDF("cve", "pkg", "version", "date", "kind")
+
+  test("ecosystem mapping: base, plain Pro→+esm, FIPS dropped") {
+    val rows = OsvProvider.affectedRows(osv).collect()
+    val ecos = rows.map(r => (r.getAs[String]("cve"), r.getAs[String]("namespace"))).toSet
+    assert(ecos.contains(("CVE-2023-1111", "ubuntu:22.04")))
+    assert(ecos.contains(("CVE-2023-1111", "ubuntu:18.04+esm")))
+    // FIPS variant must not appear
+    assert(!rows.exists(_.getAs[String]("namespace").contains("fips")))
+    assert(rows.count(_.getAs[String]("cve") == "CVE-2023-1111") == 2)
+  }
+
+  test("withdrawn and non-CVE records are dropped") {
+    val cves = OsvProvider.affectedRows(osv).select("cve").as[String].collect().toSet
+    assert(!cves.contains("CVE-2023-4444")) // withdrawn
+    assert(cves == Set("CVE-2023-1111", "CVE-2023-2222", "CVE-2023-3333"))
+  }
+
+  test("FixedIn encoding: released / wont-fix / no-fix / +esm-suppression") {
+    val fi = OsvProvider.fixedInRows(OsvProvider.affectedRows(osv), fixdates)
+      .collect()
+    // released with fixdate join hit → accurate date
+    val rel = fi.find(r => r.getAs[String]("cve") == "CVE-2023-1111" &&
+      r.getAs[String]("namespace") == "ubuntu:22.04").get
+    assert(rel.getAs[String]("version") == "3.0.2-0ubuntu1.9")
+    assert(rel.getAs[String]("available_date") == "2023-03-15")
+    assert(rel.getAs[String]("available_kind") == "first-observed")
+    // released without fixdate hit → published-date fallback, kind=advisory
+    val esm = fi.find(r => r.getAs[String]("namespace") == "ubuntu:18.04+esm").get
+    assert(esm.getAs[String]("available_date") == "2023-03-01")
+    assert(esm.getAs[String]("available_kind") == "advisory")
+    // wont-fix → Version None + NoAdvisory=true
+    val wf = fi.find(r => r.getAs[String]("cve") == "CVE-2023-2222" &&
+      r.getAs[String]("namespace") == "ubuntu:24.10").get
+    assert(wf.getAs[String]("version") == "None")
+    assert(wf.getAs[Boolean]("no_advisory"))
+    // Pro channel with NO fix emits nothing (+esm suppression)
+    assert(!fi.exists(r => r.getAs[String]("namespace") == "ubuntu:24.10+esm"))
+    // no-fix, no wont-fix → Version None, NoAdvisory=false
+    val nf = fi.find(r => r.getAs[String]("cve") == "CVE-2023-3333").get
+    assert(nf.getAs[String]("version") == "None" && !nf.getAs[Boolean]("no_advisory"))
+  }
+
+  test("envelopes: identifier shape, severity mapping, canonical item") {
+    val env = OsvProvider.envelopes(
+      OsvProvider.fixedInRows(OsvProvider.affectedRows(osv), fixdates))
+    val rows = env.collect()
+    val ids = rows.map(_.getAs[String]("identifier")).toSet
+    assert(ids.contains("ubuntu:22.04/cve-2023-1111"))
+    assert(ids.contains("ubuntu:18.04+esm/cve-2023-1111"))
+    val item = rows.find(_.getAs[String]("identifier") == "ubuntu:22.04/cve-2023-1111")
+      .get.getAs[String]("item")
+    assert(item.contains("\"Severity\":\"Medium\""))
+    assert(item.contains("\"Date\":\"2023-03-15\""))
+    // untriaged → Unknown
+    val wf = rows.find(_.getAs[String]("identifier") == "ubuntu:24.10/cve-2023-2222")
+      .get.getAs[String]("item")
+    assert(wf.contains("\"Severity\":\"Unknown\""))
+    assert(wf.contains("\"Version\":\"None\""))
+  }
+}
