@@ -23,10 +23,23 @@ import graft.sources.Sources
   */
 object SecdbProvider {
 
-  def envelopes(spark: SparkSession, secdbPath: String,
-      namespace: String): DataFrame = {
-    val rows = Sources.secdb(spark, secdbPath)
+  /** @param rejections optional (pkg_name, vuln_id) pairs to suppress —
+    *   the alpine rejections anti-join (J9, `providers/alpine/parser.py:
+    *   243-273`): a rejected secfix is removed and replaced by a NAK row
+    *   (`Version: "0"`) marking the package not-affected. */
+  def envelopes(spark: SparkSession, secdbPath: String, namespace: String,
+      rejections: Option[DataFrame] = None): DataFrame = {
+    val scanned = Sources.secdb(spark, secdbPath)
       .filter(col("vuln_id").rlike("^CVE-")) // P2: non-CVE ids skipped
+    val rows = rejections match {
+      case None => scanned
+      case Some(rej) =>
+        val r = broadcast(rej.toDF("pkg_name", "vuln_id"))
+        val kept = scanned.join(r, Seq("pkg_name", "vuln_id"), "left_anti")
+        val naks = scanned.join(r, Seq("pkg_name", "vuln_id"), "left_semi")
+          .withColumn("fix_version", lit("0")).distinct()
+        kept.unionByName(naks)
+    }
     rows
       .groupBy(col("vuln_id"))
       .agg(

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.FixDate
+import graft.providers.SecdbProvider
+
+/** Fix-date best() resolution (W2/J1) + alpine rejections NAK (J9). */
+class FixDateSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def fixture(name: String): String =
+    getClass.getResource(s"/fixtures/$name").getPath
+
+  // dimension rows: vuln_id, pkg, fix_version, date, kind, rank,
+  // accurate_first_observed
+  private def dim(rows: Seq[(String, String, String, String, String, Int, String)]) =
+    rows.toDF("vuln_id", "pkg", "fix_version", "date", "kind", "rank",
+      "accurate_first_observed")
+
+  private def resolve(rows: Seq[(String, String, String)],
+      d: org.apache.spark.sql.DataFrame) =
+    FixDate.enrich(rows.toDF("vuln_id", "pkg", "fix_version"), d)
+      .select(col("vuln_id"), col("available.date").as("date"),
+        col("available.kind").as("kind"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+
+  test("quality rank order: accurate candidate beats strategy beats fallback") {
+    val d = dim(Seq(
+      ("CVE-1", "p", "1.0", "2023-02-01", "strategy", 1, null),
+      ("CVE-1", "p", "1.0", "2023-03-01", "usn", 0, null),
+      ("CVE-1", "p", "1.0", "2023-01-01", "advisory", 2, null)))
+    assert(resolve(Seq(("CVE-1", "p", "1.0")), d).head ==
+      ("CVE-1", "2023-03-01", "usn"))
+  }
+
+  test("accurate first-observed discards later candidates, wins when none survive") {
+    // candidate after the accurate first-observed date → discarded →
+    // first-observed itself returned
+    val d = dim(Seq(
+      ("CVE-2", "p", "1.0", "2023-06-01", "strategy", 1, "2023-04-01")))
+    assert(resolve(Seq(("CVE-2", "p", "1.0")), d).head ==
+      ("CVE-2", "2023-04-01", "first-observed"))
+    // candidate before first-observed → kept
+    val d2 = dim(Seq(
+      ("CVE-3", "p", "1.0", "2023-03-01", "strategy", 1, "2023-04-01")))
+    assert(resolve(Seq(("CVE-3", "p", "1.0")), d2).head ==
+      ("CVE-3", "2023-03-01", "strategy"))
+  }
+
+  test("sentinel versions None/0 never resolve; unmatched rows yield null") {
+    val d = dim(Seq(("CVE-4", "p", "None", "2023-01-01", "strategy", 1, null)))
+    val got = resolve(Seq(("CVE-4", "p", "None"), ("CVE-5", "q", "2.0")), d)
+    assert(got.toSet == Set(("CVE-4", null, null), ("CVE-5", null, null)))
+  }
+
+  test("alpine rejections: secfix suppressed and replaced by NAK (J9)") {
+    val rejections = Seq(("busybox", "CVE-2022-30065")).toDF("pkg_name", "vuln_id")
+    val env = SecdbProvider.envelopes(spark, fixture("secdb.json"),
+      "alpine:3.18", rejections = Some(rejections))
+    val item = env.filter(col("identifier") === "alpine:3.18/cve-2022-30065")
+      .head().getAs[String]("item")
+    // busybox entry becomes a NAK ("0"); openssl keeps its real fix
+    assert(item.contains("\"Name\":\"busybox\",\"NamespaceName\":\"alpine:3.18\",\"Version\":\"0\"")
+      || (item.contains("\"busybox\"") && item.contains("\"Version\":\"0\"")))
+    assert(item.contains("\"openssl\"") && item.contains("3.0.8-r0"))
+  }
+}

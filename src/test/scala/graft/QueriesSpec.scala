@@ -41,6 +41,16 @@ class QueriesSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("custom expressions are SQL-callable after registration") {
+    graft.plans.GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT rpm_ver_cmp('1:2', '1') AS c, rpm_sort_key('1.2-3') AS k, " +
+        "simhash64(array('a','b')) AS s").head()
+    assert(r.getAs[Int]("c") == 1)
+    assert(r.getAs[String]("k").startsWith("E"))
+    assert(r.getAs[Long]("s") != 0L)
+  }
+
   test("every oracleSql key exists in queries") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle without query: $missing")
