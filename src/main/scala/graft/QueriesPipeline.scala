@@ -273,6 +273,19 @@ object QueriesPipeline {
           ON q.vec_id < 5 AND c.vec_id <> q.vec_id)
         WHERE rnk <= 10""")),
 
+    // Multimodal: binary media columns → partition-batch feature
+    // extraction (stub codec, real plumbing — see operators/Multimodal).
+    // Rows-only: the feature math is pinned in StreamingSpec.
+    "q_multimodal_features" -> Entry(
+      (s, dir) => {
+        import graft.operators.Multimodal
+        val feats = Multimodal.extractFeatures(Multimodal.syntheticMedia(s, dir))
+        feats.groupBy(col("kind"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("n_bytes")).as("total_bytes"))
+      },
+      None),
+
     // LSH-bucketed ANN (scale path; rows-only — recall tested in spec).
     "q_sim_lsh" -> Entry(
       (s, dir) => {

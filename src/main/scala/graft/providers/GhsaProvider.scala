@@ -1,0 +1,66 @@
+package graft.providers
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import graft.functions.Cvss
+
+/** GHSA provider parse stage (S3's per-page payload; the GraphQL cursor
+  * loop itself is driver-side fetch): advisory nodes → per-package rows
+  * with the ecosystem allow-list (P7, `providers/github/parser.py:42-55,
+  * 717-756`), severity normalization (`parser.py:595-602`) and CVSS
+  * scoring from the vector string (F8, `parser.py:604-628` — trailing
+  * '/' stripped, malformed vectors skipped).
+  */
+object GhsaProvider {
+
+  /** GHSA ecosystem → syft package type; unmapped ecosystems DROPPED. */
+  val ecosystemMap: Map[String, String] = Map(
+    "COMPOSER" -> "php-composer", "GO" -> "go-module", "MAVEN" -> "java-archive",
+    "NPM" -> "npm", "NUGET" -> "dotnet", "PIP" -> "python",
+    "PUB" -> "dart-pub", "RUBYGEMS" -> "gem", "RUST" -> "rust-crate",
+    "SWIFT" -> "swift")
+
+  val pageSchema: StructType = StructType.fromDDL(
+    "data STRUCT<securityAdvisories: STRUCT<nodes: ARRAY<STRUCT<" +
+      "ghsaId: STRING, severity: STRING, summary: STRING, " +
+      "publishedAt: STRING, updatedAt: STRING, " +
+      "identifiers: ARRAY<STRUCT<type: STRING, value: STRING>>, " +
+      "cvss: STRUCT<vectorString: STRING>, " +
+      "vulnerabilities: STRUCT<nodes: ARRAY<STRUCT<" +
+      "package: STRUCT<ecosystem: STRING, name: STRING>, " +
+      "vulnerableVersionRange: STRING, " +
+      "firstPatchedVersion: STRUCT<identifier: STRING>>>>>>>>")
+
+  private def severityWord(raw: Column): Column =
+    when(raw === "LOW", "Low").when(raw === "MODERATE", "Medium")
+      .when(raw === "HIGH", "High").when(raw === "CRITICAL", "Critical")
+      .otherwise("Unknown")
+
+  /** One row per (advisory, package): ecosystem-mapped (unmapped dropped),
+    * CVE id extracted when present, CVSS scored from the vector. */
+  def advisories(spark: SparkSession, path: String): DataFrame = {
+    val ecoMap = map(ecosystemMap.toSeq
+      .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    spark.read.option("multiLine", "true").schema(pageSchema).json(path)
+      .select(explode(col("data.securityAdvisories.nodes")).as("a"))
+      .select(
+        col("a.ghsaId").as("ghsa_id"),
+        try_element_at(filter(col("a.identifiers"),
+          i => i.getField("type") === "CVE"), lit(1)).getField("value")
+          .as("cve"),
+        severityWord(col("a.severity")).as("severity"),
+        col("a.summary").as("summary"),
+        col("a.publishedAt").as("published"),
+        Cvss.cvss3_score(nullif(col("a.cvss.vectorString"), lit("")))
+          .as("cvss"),
+        explode(col("a.vulnerabilities.nodes")).as("v"))
+      .select(col("ghsa_id"), col("cve"), col("severity"), col("summary"),
+        col("published"), col("cvss"),
+        element_at(ecoMap, col("v.package.ecosystem")).as("ecosystem"),
+        col("v.package.name").as("pkg"),
+        col("v.vulnerableVersionRange").as("range"),
+        col("v.firstPatchedVersion.identifier").as("fixed_in"))
+      .filter(col("ecosystem").isNotNull) // P7: unmapped dropped
+  }
+}
