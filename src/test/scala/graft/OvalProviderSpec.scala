@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.providers.OvalProvider
+import graft.sources.ChangeDetect
+
+class OvalProviderSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def fixture = getClass.getResource("/fixtures/oval.xml").getPath
+
+  test("OVAL envelopes: severity mapped, less-than EVR becomes FixedIn") {
+    val env = OvalProvider.envelopes(
+      OvalProvider.resolvedRows(spark, fixture), "sles:15.5")
+    val rows = env.collect()
+    assert(rows.map(_.getAs[String]("identifier")).toSet ==
+      Set("sles:15.5/cve-2023-1000", "sles:15.5/cve-2023-2000"))
+    val e1 = rows.find(_.getAs[String]("identifier") == "sles:15.5/cve-2023-1000")
+      .get.getAs[String]("item")
+    assert(e1.contains("\"Severity\":\"High\""))      // Important → High
+    assert(e1.contains("\"Version\":\"0:1.2-3\""))
+    assert(e1.contains("\"VersionFormat\":\"rpm\""))
+    val e2 = rows.find(_.getAs[String]("identifier") == "sles:15.5/cve-2023-2000")
+      .get.getAs[String]("item")
+    assert(e2.contains("\"Severity\":\"Medium\""))    // Moderate → Medium
+  }
+
+  test("two-tier change detection partitions ids into fetch/skip/delete (S4)") {
+    val api = Seq(
+      ("CVE-1", "2023-01-01", "High"),   // unchanged
+      ("CVE-2", "2023-02-02", "Low"),    // changed content
+      ("CVE-3", "2023-03-01", "Medium")  // new
+    ).toDF("id", "modified", "sev")
+    val cached = Seq(
+      ("CVE-1", "2023-01-01", "High"),
+      ("CVE-2", "2023-01-15", "Low"),
+      ("CVE-9", "2022-12-01", "High")    // gone from api → delete
+    ).toDF("id", "modified", "sev")
+    val plan = ChangeDetect.plan(api, cached, "id").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(plan == Map("CVE-1" -> "skip", "CVE-2" -> "fetch",
+      "CVE-3" -> "fetch", "CVE-9" -> "delete"))
+  }
+}
