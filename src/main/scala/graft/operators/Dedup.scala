@@ -95,4 +95,42 @@ object Dedup {
     * all-pairs within random-hyperplane buckets — see Similarity.scala for
     * the shared primitives. */
   def cosine(a: Column, b: Column): Column = Similarity.cosine(a, b)
+
+  /** Resolve near-dup candidate pairs into duplicate clusters: iterative
+    * min-label propagation (each id adopts the smallest id reachable so
+    * far) until fixpoint or maxIter. Returns (id, component) where
+    * component = the cluster's minimum id — the "keep" representative.
+    *
+    * At scale each iteration is one join + one groupBy on the edge list
+    * (no driver-side union-find); near-dup clusters are shallow (most
+    * have diameter ≤ 2-3), so convergence is fast and bounded. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val spark = pairs.sparkSession
+    // undirected edges, both directions
+    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+      .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges
+        .join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("component")).as("nbr_min"))
+      val updated = labels.join(neighborMin,
+          labels("id") === neighborMin("src"), "left")
+        .select(labels("id"),
+          least(col("component"), coalesce(col("nbr_min"), col("component")))
+            .as("component"))
+      val changes = updated.alias("u")
+        .join(labels.alias("l"), col("u.id") === col("l.id"))
+        .filter(col("u.component") =!= col("l.component")).count()
+      labels = updated.localCheckpoint(eager = true) // cut lineage per round
+      converged = changes == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
 }
