@@ -74,6 +74,16 @@ object Dedup {
       .select(col("pair.id1"), col("pair.id2")).distinct()
   }
 
+  /** Jaccard ESTIMATE from two equal-length minhash signatures: the
+    * fraction of agreeing components (the MinHash guarantee). Cheap
+    * pre-filter on candidate pairs before exact shingle verification —
+    * signatures are k longs vs full shingle arrays. */
+  def minhashJaccardEstimate(sigA: Column, sigB: Column): Column = {
+    val agree = size(filter(zip_with(sigA, sigB,
+      (a, b) => when(a === b, 1).otherwise(0)), x => x === 1))
+    agree.cast("double") / size(sigA).cast("double")
+  }
+
   /** Exact n-gram Jaccard similarity between two shingle arrays. */
   def jaccard(a: Column, b: Column): Column = {
     val ua = array_distinct(a); val ub = array_distinct(b)

@@ -41,6 +41,20 @@ object Streams {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"), col("total"))
 
+  /** I1 as a true stream: Trigger.AvailableNow drains everything newer
+    * than the checkpoint and stops — exactly the reference's
+    * "process since last successful run" loop, with the checkpoint dir
+    * playing the run-state sidecar's role. Returns the started query;
+    * callers awaitTermination. */
+  def incrementalResync(events: DataFrame, outPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    hourlyCounts(events).writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet").option("path", outPath)
+      .start()
+
   /** Custom keyed state: per-user running session aggregate via
     * mapGroupsWithState — the KeyValueGroupedDataset stateful-op surface
     * (the reference's incremental per-provider state is the batch analog). */

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.Cpe
+import graft.operators.{Dedup, Skew}
+import graft.streaming.Streams
+
+/** Skew salting, CPE normalization, minhash estimate, AvailableNow
+  * incremental resync. */
+class ScaleOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("salted two-stage aggregation equals direct aggregation") {
+    val df = (1 to 10000).map(i => (if (i % 100 == 0) "cold" + i else "hot", i.toDouble))
+      .toDF("k", "v")
+    val direct = df.groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val salted = Skew.saltedAgg(df, Seq(col("k")), 16,
+      Seq(count(lit(1)).as("n"), sum(col("v")).as("s")),
+      Seq(sum(col("n")).as("n"), sum(col("s")).as("s")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(salted == direct)
+  }
+
+  test("salted join replication preserves equi-join results") {
+    val big = (1 to 1000).map(i => (if (i % 10 == 0) "k2" else "k1", i))
+      .toDF("key", "v")
+    val small = Seq(("k1", "a"), ("k2", "b")).toDF("key", "label")
+    val (sb, ss) = Skew.saltJoinSides(big, small, 8)
+    val salted = sb.join(ss, Seq("key", "__salt"))
+      .groupBy("label").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = big.join(small, Seq("key"))
+      .groupBy("label").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == direct)
+  }
+
+  test("CPE parse + short-form normalization (both syntaxes)") {
+    assert(Cpe.normalize("cpe:2.3:a:vendor:product:1.2:*:*:*:*:*:*:*")
+      == "cpe:/a:vendor:product")
+    assert(Cpe.normalize("cpe:/o:redhat:enterprise_linux:9")
+      == "cpe:/o:redhat:enterprise_linux")
+    assert(Cpe.parse("cpe:2.3:a:vendor:product:1.2:*:*:*:*:*:*:*").version == "1.2")
+    assert(Cpe.parse("cpe:2.3:a:vendor:product:*:*:*:*:*:*:*:*").version == null)
+    assert(Cpe.normalize("garbage") == null)
+  }
+
+  test("minhash Jaccard estimate tracks exact Jaccard on near/far pairs") {
+    val near1 = "the quick brown fox jumps over the lazy dog again and again today"
+    val near2 = "the quick brown fox jumps over the lazy dog again and again yesterday"
+    val far = "completely unrelated content about catalyst optimizer internals"
+    val df = Seq((near1, near2, far)).toDF("a", "b", "c")
+    def sig(c: String) = Dedup.minhashSignature(
+      graft.functions.Text.char_shingles(col(c), 5), 64)
+    val r = df.select(
+      Dedup.minhashJaccardEstimate(sig("a"), sig("b")).as("near"),
+      Dedup.minhashJaccardEstimate(sig("a"), sig("c")).as("far")).head()
+    assert(r.getDouble(0) > 0.5)
+    assert(r.getDouble(1) < 0.2)
+    assert(r.getDouble(0) > r.getDouble(1))
+  }
+
+  test("AvailableNow resync: first run drains, second run is a no-op") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-resync").toString
+    val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    val dir = "/root/testdata/sf0.001"
+    val q1 = Streams.incrementalResync(Streams.readEvents(spark, dir), out, ckpt)
+    q1.awaitTermination()
+    val n1 = spark.read.parquet(out).count()
+    assert(n1 > 0)
+    // second resync with the same checkpoint: no new source data → no new rows
+    val q2 = Streams.incrementalResync(Streams.readEvents(spark, dir), out, ckpt)
+    q2.awaitTermination()
+    assert(spark.read.parquet(out).count() == n1)
+  }
+}
