@@ -273,6 +273,42 @@ object QueriesPipeline {
           ON q.vec_id < 5 AND c.vec_id <> q.vec_id)
         WHERE rnk <= 10""")),
 
+    // Gaps-and-islands sessionization: 30-minute inactivity gap starts a
+    // new session — the deterministic batch expression of session
+    // windows (both engines compute the identical window chain).
+    "q_stream_sessionize" -> Entry(
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val newSession = when(
+          unix_timestamp(col("ts")) -
+            unix_timestamp(lag(col("ts"), 1).over(w)) > 1800, 1)
+          .otherwise(0)
+        val withSess = e
+          .withColumn("new_s", coalesce(newSession, lit(0)))
+          .withColumn("session_no",
+            sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        withSess.groupBy(col("user_id"), col("session_no"))
+          .agg(count(lit(1)).as("n_events"),
+            moneySum(col("value")).as("session_value"))
+      },
+      Some(s"""WITH g AS (
+          SELECT user_id, value,
+            CASE WHEN cast(floor(epoch(cast(ts as timestamp))) as bigint) -
+              cast(floor(epoch(cast(lag(ts,1) OVER w as timestamp))) as bigint)
+              > 1800 THEN 1 ELSE 0 END AS new_s,
+            ts, event_id
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s AS (
+          SELECT user_id, value,
+            sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+          FROM g)
+        SELECT user_id, session_no, count(*) AS n_events,
+          ${sqlMoneySum("value")} AS session_value
+        FROM s GROUP BY user_id, session_no""")),
+
     // Multimodal: binary media columns → partition-batch feature
     // extraction (stub codec, real plumbing — see operators/Multimodal).
     // Rows-only: the feature math is pinned in StreamingSpec.

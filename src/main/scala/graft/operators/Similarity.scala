@@ -65,6 +65,61 @@ object Similarity {
     sigBits.reduce((a: Column, b: Column) => a.bitwiseOR(b))
   }
 
+  /** IVF (inverted-file) ANN: a coarse k-means quantizer partitions the
+    * corpus into `nlist` cells; each query probes its `nprobe` nearest
+    * centroids and reranks exactly within those cells only.
+    *
+    * Scale: centroids are tiny (broadcast); the corpus is scanned once
+    * to assign cells (narrow map) and thereafter only probed cells'
+    * rows are reranked — at 100 TB the corpus would be WRITTEN
+    * partitioned by cell so a probe prunes parquet partitions instead
+    * of scanning. Returns (qid, vec_id, sim, rank ≤ k). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.sql.expressions.Window
+
+    val train = corpus.select(array_to_vector(
+      col(vecCol).cast("array<double>")).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
+      .fit(train)
+    val centroids = model.clusterCenters.zipWithIndex.map {
+      case (c, i) => (i, c.toArray.map(_.toFloat))
+    }
+    val centDf = corpus.sparkSession.createDataFrame(centroids.toSeq)
+      .toDF("cell", "centroid")
+
+    // assign corpus rows to their nearest cell (argmax cosine; one
+    // broadcast join + window, no shuffle of vectors beyond the agg)
+    def nearestCells(df: DataFrame, vc: String, n: Int, out: String) = {
+      val w = Window.partitionBy(df.columns.map(col): _*)
+        .orderBy(col("__sim").desc, col("cell").asc)
+      df.join(broadcast(centDf))
+        .withColumn("__sim", cosine(col(vc), col("centroid")))
+        .withColumn("__r", row_number().over(w))
+        .filter(col("__r") <= n)
+        .drop("__sim", "__r", "centroid")
+        .withColumnRenamed("cell", out)
+    }
+    val assigned = nearestCells(corpus.select(col(idCol), col(vecCol)),
+      vecCol, 1, "cell")
+    val probes = nearestCells(queries.select(col(qidCol), col(qvecCol)),
+      qvecCol, nprobe, "cell")
+
+    val w = Window.partitionBy(col(qidCol))
+      .orderBy(col("sim").desc, col(idCol).asc)
+    assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col(idCol) =!= col(qidCol))
+      .withColumn("sim", cosine(col(vecCol), col(qvecCol)))
+      .select(col(qidCol), col(idCol), col("sim"))
+      .dropDuplicates(qidCol, idCol) // a pair may meet in several cells
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** LSH-bucketed ANN: candidates = corpus rows whose signature equals the
     * query's signature (single-probe), reranked exactly within the bucket.
     * Recall is tuned by `bits` (fewer bits → bigger buckets → higher

@@ -63,6 +63,20 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(r.getDouble(0) > r.getDouble(1))
   }
 
+  test("IVF ANN recall vs brute force on the real embeddings table") {
+    import graft.operators.Similarity
+    val em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = em.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val brute = Similarity.bruteForceTopK(em, queries, 5)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(em, queries, 5, nlist = 8, nprobe = 4)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.6, s"recall=$recall") // 4/8 cells probed
+    assert(ivf.size == 15) // 3 queries × k=5
+  }
+
   test("AvailableNow resync: first run drains, second run is a no-op") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-resync").toString
     val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
