@@ -58,7 +58,12 @@ object ResultStore {
 
   /** Write results + manifest to a staging dir, then atomically promote.
     * Returns the manifest digest (digest-of-sorted-listing, the
-    * workspace.py:268-284 scheme, with Spark's xxhash64). */
+    * workspace.py:268-284 scheme, with Spark's xxhash64).
+    *
+    * `df` MAY read from `destDir` itself (the upsert path): it is fully
+    * materialized into staging before the promote. But the caller must
+    * not re-execute `df` after commit — its lazy plan still references
+    * the replaced files; use [[read]] on the committed store instead. */
   def commit(spark: SparkSession, df: DataFrame, destDir: String): String = {
     val dest = Paths.get(destDir)
     val staging = Paths.get(destDir + ".staging")

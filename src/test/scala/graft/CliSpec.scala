@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Quarantine
+import graft.sinks.{Catalog, ResultStore}
+
+class CliSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def fixture(name: String): String =
+    getClass.getResource(s"/fixtures/$name").getPath
+
+  test("cli: run secdb → status → list → clear round-trip (§3.4)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-cli").toString
+    Cli.run(spark, List("run", "secdb", fixture("secdb.json"),
+      "wolfi:rolling", root))
+    val status = Catalog.status(spark, root).collect()
+    assert(status.length == 1)
+    assert(status.head.getString(0) == "wolfi")
+    assert(status.head.getLong(1) == 6) // 6 distinct CVE envelopes
+    // re-run is an upsert: same identifiers, same count
+    Cli.run(spark, List("run", "secdb", fixture("secdb.json"),
+      "wolfi:rolling", root))
+    assert(ResultStore.read(spark, s"$root/wolfi").count() == 6)
+    Cli.run(spark, List("clear", root, "wolfi"))
+    assert(Catalog.status(spark, root).count() == 0)
+  }
+
+  test("quarantine: failing rows routed aside, job survives (§7.4.7)") {
+    val df = Seq("2023-01-15", "garbage", "2023-02-20").toDF("raw")
+    val parse = Quarantine.tryUdf { s =>
+      java.time.LocalDate.parse(s).toString // throws on garbage
+    }
+    val (good, bad) = Quarantine.split(df, parse(col("raw")), "day")
+    assert(good.select("day").as[String].collect().sorted.toSeq ==
+      Seq("2023-01-15", "2023-02-20"))
+    val q = bad.collect()
+    assert(q.length == 1)
+    assert(q.head.getAs[String]("raw") == "garbage")
+    assert(q.head.getAs[String]("error") != null)
+  }
+}
