@@ -153,6 +153,46 @@ object QueriesDomain {
              ELSE 'Critical' END AS severity
       FROM base""")),
 
+    // F6: purl parsing through the real grammar (synthesized deb purls);
+    // the oracle re-derives the fields with SQL string ops.
+    "q_fn_purl" -> Entry(
+      (s, dir) => {
+        val p = t(s, dir, "part")
+        val purl = concat(lit("pkg:deb/ubuntu/"),
+          regexp_replace(col("p_name"), "\\s+", "-"),
+          lit("@1."), col("p_size"), lit("?distro=jammy&arch=amd64"))
+        p.select(col("p_partkey"), purl.as("purl"))
+          .withColumn("parsed", graft.functions.Purl.purl_parse(col("purl")))
+          .select(col("p_partkey"), col("purl"),
+            col("parsed.purlType").as("ptype"),
+            col("parsed.namespace").as("namespace"),
+            col("parsed.name").as("name"),
+            col("parsed.version").as("version"),
+            element_at(col("parsed.qualifiers"), "distro").as("distro"))
+      },
+      Some("""SELECT p_partkey,
+        'pkg:deb/ubuntu/' || regexp_replace(p_name, '\s+', '-', 'g') ||
+          '@1.' || p_size || '?distro=jammy&arch=amd64' AS purl,
+        'deb' AS ptype, 'ubuntu' AS namespace,
+        regexp_replace(p_name, '\s+', '-', 'g') AS name,
+        '1.' || p_size AS version, 'jammy' AS distro
+        FROM part""")),
+
+    // F7: CPE normalization to the short lookup key.
+    "q_fn_cpe" -> Entry(
+      (s, dir) => {
+        val p = t(s, dir, "part")
+        val cpe = concat(lit("cpe:2.3:a:"), col("p_brand"), lit(":"),
+          regexp_replace(col("p_name"), "\\s+", "_"),
+          lit(":1."), col("p_size"), lit(":*:*:*:*:*:*:*"))
+        p.select(col("p_partkey"),
+          graft.functions.Cpe.cpe_normalize(cpe).as("cpe_short"))
+      },
+      Some("""SELECT p_partkey,
+        'cpe:/a:' || p_brand || ':' ||
+          regexp_replace(p_name, '\s+', '_', 'g') AS cpe_short
+        FROM part""")),
+
     // A3 with the real severity-rank function over a synthesized severity
     // word column (round-trips Norm.severity_rank / normalize_severity).
     "q_severity_rank_merge" -> Entry(
