@@ -273,6 +273,32 @@ object QueriesPipeline {
           ON q.vec_id < 5 AND c.vec_id <> q.vec_id)
         WHERE rnk <= 10""")),
 
+    // As-of join: each event joined to the latest signup at-or-before its
+    // time by the same user. Spark lacks a native as-of join; the
+    // composition (preference (a) of the custom-operator ladder) is a
+    // conditional last-non-null over an ordered window — one shuffle on
+    // user_id, no range join. The oracle is DuckDB's NATIVE ASOF JOIN,
+    // so the composed operator is checked against a real implementation.
+    "q_asof_last_signup" -> Entry(
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        e.withColumn("signup_ts",
+          last(when(col("event_type") === "signup", col("ts")),
+            ignoreNulls = true).over(w))
+          .select(col("event_id"), col("user_id"),
+            unix_timestamp(col("signup_ts")).as("last_signup_epoch"))
+      },
+      Some("""SELECT e.event_id, e.user_id,
+        cast(floor(epoch(cast(s.ts as timestamp))) as bigint)
+          AS last_signup_epoch
+        FROM events e
+        ASOF LEFT JOIN (SELECT user_id, ts FROM events
+          WHERE event_type = 'signup') s
+        ON e.user_id = s.user_id AND e.ts >= s.ts""")),
+
     // Gaps-and-islands sessionization: 30-minute inactivity gap starts a
     // new session — the deterministic batch expression of session
     // windows (both engines compute the identical window chain).
