@@ -273,6 +273,30 @@ object QueriesPipeline {
           ON q.vec_id < 5 AND c.vec_id <> q.vec_id)
         WHERE rnk <= 10""")),
 
+    // Range (interval) join: events banded into value tiers via a
+    // broadcast interval dimension — the non-equi join shape (the
+    // version-range semantics of the reference are strings, but the
+    // training-pipeline analog is a real range join). The 3-row dim
+    // broadcasts; the fact side never shuffles for the join.
+    "q_join_range" -> Entry(
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        val tiers = s.createDataFrame(Seq(
+          ("low", 0.0, 50.0), ("mid", 50.0, 150.0), ("high", 150.0, 1e9)))
+          .toDF("tier", "lo", "hi")
+        e.join(broadcast(tiers),
+            col("value") >= col("lo") && col("value") < col("hi"))
+          .groupBy(col("tier"))
+          .agg(count(lit(1)).as("n"), moneySum(col("value")).as("total"))
+      },
+      Some(s"""SELECT tier, count(*) AS n, ${sqlMoneySum("value")} AS total
+        FROM events JOIN (
+          SELECT 'low' AS tier, 0.0 AS lo, 50.0 AS hi UNION ALL
+          SELECT 'mid', 50.0, 150.0 UNION ALL
+          SELECT 'high', 150.0, 1e9) t
+        ON value >= lo AND value < hi
+        GROUP BY tier""")),
+
     // As-of join: each event joined to the latest signup at-or-before its
     // time by the same user. Spark lacks a native as-of join; the
     // composition (preference (a) of the custom-operator ladder) is a

@@ -43,6 +43,45 @@ object Sources {
       .filter(col("vuln_id") =!= "")
   }
 
+  /** S5/S12: streaming-tar scan (ubuntu OSV `parser.py:190-201,286-302`;
+    * govulndb zip is the same shape): read archives as binary files and
+    * stream members matching `memberGlob` out per partition WITHOUT
+    * extraction — commons-compress (bundled with Spark) walks the tar
+    * inside mapPartitions, so a 100-archive corpus fans out across
+    * executors and no archive is ever fully materialized. Returns
+    * (archive_path, member_name, content_string). */
+  def tarMembers(spark: SparkSession, path: String,
+      memberGlob: String = "*"): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.catalyst.encoders.RowEncoder
+    import org.apache.spark.sql.types._
+    val regex = ("^" + java.util.regex.Pattern.quote(memberGlob)
+      .replace("*", "\\E.*\\Q").replace("?", "\\E.\\Q") + "$").r
+    val schema = StructType(Seq(
+      StructField("archive", StringType),
+      StructField("member", StringType),
+      StructField("content", StringType)))
+    val bin = spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content"))
+    bin.mapPartitions { it =>
+      it.flatMap { r =>
+        val archive = r.getString(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val tin = new org.apache.commons.compress.archivers.tar.TarArchiveInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        Iterator.continually(tin.getNextEntry).takeWhile(_ != null)
+          .filter(e => !e.isDirectory && regex.matches(e.getName))
+          .map { e =>
+            val out = new java.io.ByteArrayOutputStream()
+            val buf = new Array[Byte](8192)
+            var n = tin.read(buf)
+            while (n > 0) { out.write(buf, 0, n); n = tin.read(buf) }
+            Row(archive, e.getName, out.toString("UTF-8"))
+          }.toList
+      }
+    }(RowEncoder.encoderFor(schema))
+  }
+
   /** S6: OVAL XML — the 4 element classes the reference's streaming
     * parser collects (`utils/oval_v2.py:443-494`), each as a DataFrame
     * scan with its own rowTag (column pruning happens at the XML reader

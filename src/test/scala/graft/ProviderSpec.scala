@@ -76,6 +76,19 @@ class ProviderSpec extends AnyFunSuite {
     assert(r.getAs[String]("op") == "less than")
   }
 
+  test("streaming-tar scan yields matching members without extraction (S5)") {
+    val df = Sources.tarMembers(spark, fixture("osv-all.tar"),
+      "osv/cve/*.json")
+    val rows = df.collect()
+    assert(rows.map(_.getAs[String]("member")).sorted.toSeq == Seq(
+      "osv/cve/2023/CVE-2023-1111.json", "osv/cve/2023/CVE-2023-2222.json"))
+    // members parse as JSON downstream (the OSV read path)
+    val parsed = df.select(
+      get_json_object(col("content"), "$.id").as("id")).collect()
+      .map(_.getString(0)).sorted.toSeq
+    assert(parsed == Seq("CVE-2023-1111", "CVE-2023-2222"))
+  }
+
   test("EPSS CSV scan: comment skipped, score_date captured, typed") {
     val df = Sources.epss(spark, fixture("epss.csv"))
     val rows = df.collect()
