@@ -50,6 +50,9 @@ object Cli {
       case "list" :: root :: Nil =>
         Catalog.status(spark, root).collect()
           .foreach(r => println(r.getString(0)))
+      case "list-providers" :: Nil =>
+        graft.providers.Registry.providers.foreach(s =>
+          println(f"${s.name}%-22s ${s.family}%-12s ${s.source}%-18s ${s.tags.toSeq.sorted.mkString(",")}"))
       case "clear" :: root :: provider :: Nil =>
         val p = java.nio.file.Paths.get(root, provider)
         if (java.nio.file.Files.exists(p)) {

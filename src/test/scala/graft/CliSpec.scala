@@ -28,6 +28,19 @@ class CliSpec extends AnyFunSuite {
     assert(Catalog.status(spark, root).count() == 0)
   }
 
+  test("registry mirrors the reference's 27-provider catalog + tag select") {
+    import graft.providers.Registry
+    assert(Registry.providers.size == 27)
+    assert(Registry.byName.contains("nvd") && Registry.byName.contains("kev"))
+    // T6: ALL-of includes, NONE-of excludes
+    val osvOs = Registry.select(Set("os", "osv"))
+    assert(osvOs.map(_.name).toSet == Set("alma", "rocky", "ubuntu"))
+    val aux = Registry.select(Set("aux"))
+    assert(aux.map(_.name).toSet == Set("kev", "epss", "eol"))
+    assert(Registry.select(Set("os"), excludes = Set("osv"))
+      .forall(s => !s.tags.contains("osv")))
+  }
+
   test("quarantine: failing rows routed aside, job survives (§7.4.7)") {
     val df = Seq("2023-01-15", "garbage", "2023-02-20").toDF("raw")
     val parse = Quarantine.tryUdf { s =>
