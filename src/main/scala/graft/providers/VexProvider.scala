@@ -1,0 +1,72 @@
+package graft.providers
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** VEX pass-through families:
+  *
+  *  - CSAF-VEX (hummingbird, vunnel `providers/hummingbird/`): one row
+  *    per (cve, product_id, status) from `vulnerabilities[].
+  *    product_status` — the four status buckets flattened.
+  *  - OpenVEX (chainguard_libraries): `statements[]` flattened to
+  *    (vuln, product, status).
+  *
+  * Both are annotation dimensions: downstream they broadcast-join onto
+  * vulnerability rows (the ubuntu VEX wont-fix overlay J5 is exactly a
+  * left-semi against the `known_not_affected`/`not_affected` slice).
+  */
+object VexProvider {
+
+  val csafSchema: StructType = StructType.fromDDL(
+    "document STRUCT<title: STRING, tracking: STRUCT<id: STRING>>, " +
+      "vulnerabilities ARRAY<STRUCT<cve: STRING, " +
+      "product_status: STRUCT<fixed: ARRAY<STRING>, " +
+      "known_affected: ARRAY<STRING>, known_not_affected: ARRAY<STRING>, " +
+      "under_investigation: ARRAY<STRING>>>>")
+
+  /** CSAF product-status rows: (doc_id, cve, product_id, status). */
+  def csafStatusRows(spark: SparkSession, path: String): DataFrame = {
+    val doc = spark.read.option("multiLine", "true").schema(csafSchema)
+      .json(path)
+    val base = doc.select(col("document.tracking.id").as("doc_id"),
+      explode(col("vulnerabilities")).as("v"))
+    def slice(status: String, field: String) = base.select(
+      col("doc_id"), col("v.cve").as("cve"),
+      explode(coalesce(col(s"v.product_status.$field"),
+        array().cast("array<string>"))).as("product_id"),
+      lit(status).as("status"))
+    slice("fixed", "fixed")
+      .unionByName(slice("known_affected", "known_affected"))
+      .unionByName(slice("known_not_affected", "known_not_affected"))
+      .unionByName(slice("under_investigation", "under_investigation"))
+  }
+
+  val openVexSchema: StructType = StructType.fromDDL(
+    "`@id` STRING, statements ARRAY<STRUCT<" +
+      "vulnerability: STRUCT<name: STRING>, " +
+      "products: ARRAY<STRUCT<`@id`: STRING>>, status: STRING>>")
+
+  /** OpenVEX statement rows: (doc_id, vuln, product, status). */
+  def openVexRows(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("multiLine", "true").schema(openVexSchema).json(path)
+      .select(col("`@id`").as("doc_id"), explode(col("statements")).as("s"))
+      .select(col("doc_id"), col("s.vulnerability.name").as("vuln"),
+        explode(col("s.products")).as("p"), col("s.status").as("status"))
+      .select(col("doc_id"), col("vuln"), col("p.`@id`").as("product"),
+        col("status"))
+
+  /** J5: the wont-fix overlay — stamp rows whose (cve, product) appears
+    * in the VEX not-affected/wont-fix slice (ubuntu
+    * `parser.py:203-234`). */
+  def stampWontFix(rows: DataFrame, vexStatus: DataFrame,
+      cveCol: String = "cve", productCol: String = "product"): DataFrame = {
+    val marks = broadcast(vexStatus
+      .filter(col("status").isin("known_not_affected", "not_affected",
+        "wont-fix"))
+      .select(col(cveCol), col(productCol)).distinct()
+      .withColumn("wont_fix", lit(true)))
+    rows.join(marks, Seq(cveCol, productCol), "left")
+      .withColumn("wont_fix", coalesce(col("wont_fix"), lit(false)))
+  }
+}
