@@ -204,14 +204,29 @@ object QueriesPipeline {
         val docs = t(s, dir, "documents")
         val bands = Dedup.minhashBands(docs, "text", "doc_id")
         val cands = Dedup.minhashCandidates(bands, "doc_id")
-        val shingled = docs.select(col("doc_id"),
-          Text.word_shingles(col("text"), 3).as("sh"))
+        // Exact-Jaccard verification cost must scale with |candidates|,
+        // not |corpus|: semi-join the corpus down to ids that appear in
+        // some candidate pair BEFORE shingling, then broadcast the
+        // shingled survivors to both sides of the pair join.
+        val candIds = cands
+          .select(explode(array(col("id1"), col("id2"))).as("doc_id"))
+          .distinct()
+        // Shingle sets as sorted distinct 64-bit hashes: per-pair exact
+        // Jaccard is then a linear merge (native kernel), not a string
+        // hash-set build — the candidate count, not the corpus, already
+        // bounds this stage, and the kernel bounds the per-pair cost.
+        val shingled = docs.join(candIds, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"),
+            graft.plans.HashExpressions
+              .word_shingle_hashes(col("text"), 3).as("sh"))
         cands
-          .join(shingled.withColumnRenamed("doc_id", "id1")
-            .withColumnRenamed("sh", "sh1"), "id1")
-          .join(shingled.withColumnRenamed("doc_id", "id2")
-            .withColumnRenamed("sh", "sh2"), "id2")
-          .withColumn("jaccard", round(Dedup.jaccard(col("sh1"), col("sh2")), 3))
+          .join(broadcast(shingled.select(col("doc_id").as("id1"),
+            col("sh").as("sh1"))), "id1")
+          .join(broadcast(shingled.select(col("doc_id").as("id2"),
+            col("sh").as("sh2"))), "id2")
+          .withColumn("jaccard", round(
+            graft.plans.HashExpressions.sorted_jaccard(col("sh1"), col("sh2")),
+            3))
           .filter(col("jaccard") >= 0.4)
           .select(col("id1"), col("id2"), col("jaccard"))
       },
@@ -222,12 +237,22 @@ object QueriesPipeline {
     "q_dedup_simhash" -> Entry(
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val sigs = docs.select(col("doc_id"),
-          Dedup.simhash(split(lower(trim(col("text"))), "\\s+")).as("sig"))
         val bands = Dedup.minhashBands(docs, "text", "doc_id")
-        Dedup.minhashCandidates(bands, "doc_id")
-          .join(sigs.select(col("doc_id").as("id1"), col("sig").as("sig1")), "id1")
-          .join(sigs.select(col("doc_id").as("id2"), col("sig").as("sig2")), "id2")
+        val cands = Dedup.minhashCandidates(bands, "doc_id")
+        // SimHash only the docs that appear in a candidate pair, then
+        // broadcast the (id, 8-byte sig) survivors to both pair sides —
+        // verification cost tracks |candidates|, never |corpus|.
+        val candIds = cands
+          .select(explode(array(col("id1"), col("id2"))).as("doc_id"))
+          .distinct()
+        val sigs = docs.join(candIds, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"),
+            Dedup.simhash(split(lower(trim(col("text"))), "\\s+")).as("sig"))
+        cands
+          .join(broadcast(sigs.select(col("doc_id").as("id1"),
+            col("sig").as("sig1"))), "id1")
+          .join(broadcast(sigs.select(col("doc_id").as("id2"),
+            col("sig").as("sig2"))), "id2")
           .select(col("id1"), col("id2"),
             Dedup.hamming64(col("sig1"), col("sig2")).as("hamming"))
           .filter(col("hamming") <= 6)

@@ -260,14 +260,14 @@ object QueriesRelational {
         c.join(broadcast(n),
             col("c_nationkey") === col("n_nationkey") &&
               col("c_name").startsWith(
-                concat(lit("Customer#00000000"), col("n_regionkey"))))
+                concat(lit("Customer#0000"), col("n_regionkey").cast("string"))))
           .groupBy(col("n_name"))
           .agg(count(lit(1)).as("n_matched"))
       },
       Some("""SELECT n_name, count(*) AS n_matched
         FROM customer JOIN nation
           ON c_nationkey = n_nationkey
-         AND starts_with(c_name, 'Customer#00000000' || n_regionkey)
+         AND starts_with(c_name, 'Customer#0000' || n_regionkey)
         GROUP BY n_name""")),
 
     // J4: left join + ordered collect (debian DSA advisory list) —
@@ -421,12 +421,18 @@ object QueriesRelational {
     "q_set_except" -> Entry(
       (s, dir) => {
         val p = t(s, dir, "part")
-        val li = t(s, dir, "lineitem").select(col("l_partkey")).distinct()
+        // "parts with no recent shipment": the date predicate pushes to
+        // the lineitem scan, the distinct prunes to the join key, and
+        // the anti-join side stays a fraction of the fact table.
+        val li = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("2001-06-01").cast("timestamp_ntz"))
+          .select(col("l_partkey")).distinct()
         p.join(li, col("p_partkey") === col("l_partkey"), "left_anti")
           .groupBy(col("p_brand")).agg(count(lit(1)).as("n_unshipped"))
       },
       Some("""SELECT p_brand, count(*) AS n_unshipped FROM part
-        WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
+        WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '2001-06-01')
         GROUP BY p_brand""")),
 
     // T4: legacy ∪ fresh with last-wins precedence (debian 3-way merge):

@@ -21,11 +21,23 @@ import graft.functions.Text
   */
 object Dedup {
 
+  /** Round-robin fan-out before a CPU-bound per-row kernel (sha-256,
+    * minhash, shingling). Kernel parallelism is otherwise capped by input
+    * split count — a single-row-group parquet file scans as ONE partition
+    * no matter how many cores the cluster has — and round-robin also
+    * rebalances skewed document lengths. The shuffle moves only the
+    * already-pruned (id, text) projection, which the kernel cost dwarfs;
+    * where the scan is already well-split (the 100 TB case) the exchange
+    * is cheap relative to the kernel stage it feeds. */
+  def fanOut(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+
   /** Exact dedup: keep the lowest `idCol` per normalized-text fingerprint.
     * At scale: shuffle key is the 256-bit digest string; the text column is
     * pruned before the shuffle (only id+fingerprint move). */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    df.select(col(idCol), Text.fingerprint(col(textCol)).as("fp"))
+    fanOut(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), Text.fingerprint(col(textCol)).as("fp"))
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
   }
@@ -47,8 +59,9 @@ object Dedup {
   def minhashBands(df: DataFrame, textCol: String, idCol: String,
       shingleLen: Int = 5, k: Int = 20, bands: Int = 5): DataFrame = {
     val rowsPerBand = k / bands
-    df.select(col(idCol),
-        minhashSignature(Text.char_shingles(col(textCol), shingleLen), k)
+    fanOut(df.select(col(idCol), col(textCol)))
+      .select(col(idCol),
+        graft.plans.HashExpressions.minhash_text(col(textCol), shingleLen, k)
           .as("sig"))
       .select(col(idCol), posexplode(
         transform(sequence(lit(0), lit(bands - 1)),

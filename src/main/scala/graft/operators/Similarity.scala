@@ -19,14 +19,13 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Cosine similarity of two float-array columns (double accumulation,
-    * sequential in index order — deterministic). */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
-    val nb = sqrt(aggregate(b, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
-    dot / (na * nb)
-  }
+    * sequential in index order — deterministic). Native codegen kernel:
+    * the composable aggregate/zip_with form evaluates its lambdas
+    * interpreted per element with boxing, which dominates every rerank
+    * stage; [[graft.plans.CosineSimExpr]] is one primitive loop per pair
+    * producing bit-identical results. */
+  def cosine(a: Column, b: Column): Column =
+    graft.plans.HashExpressions.cosine_sim(a, b)
 
   /** Brute-force top-k cosine neighbors for each query vector.
     * `queries` must be small (it is broadcast); the corpus is only mapped +
@@ -50,20 +49,8 @@ object Similarity {
   /** Random-hyperplane signature: bit i = sign(v · h_i) where h_i is a
     * deterministic pseudo-random hyperplane derived from (i, dim) via a
     * splitmix-style integer mix — reproducible with no stored model. */
-  def hyperplaneSignature(vec: Column, bits: Int): Column = {
-    val sigBits: Seq[Column] = (0 until bits).map { i =>
-      // h_i[d] = mix(i, d) mapped to {-1, +1}
-      val dot = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1), (v, d) => {
-          val mixed = xxhash64(lit(i), d)
-          when(mixed.bitwiseAND(1L) === 1L, v.cast("double"))
-            .otherwise(-v.cast("double"))
-        }),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot > 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    sigBits.reduce((a: Column, b: Column) => a.bitwiseOR(b))
-  }
+  def hyperplaneSignature(vec: Column, bits: Int): Column =
+    graft.plans.HashExpressions.hyperplane_sig(vec, bits)
 
   /** IVF (inverted-file) ANN: a coarse k-means quantizer partitions the
     * corpus into `nlist` cells; each query probes its `nprobe` nearest

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -40,6 +40,134 @@ object HashKernels {
       i += 1
     }
     new GenericArrayData(out)
+  }
+
+  /** Fused normalize→char-shingle→minhash: the whole signature from the
+    * raw text in ONE pass, with zero per-shingle allocation on the ASCII
+    * fast path (window hashes are computed over byte ranges of the
+    * normalized text's UTF-8 buffer). Produces bit-identical output to
+    * `minhash(charShingles(text, n), k)` — the composed form allocates a
+    * UTF8String per window (~|text| allocations per document), which is
+    * the dominant cost of the composed kernel at sf0.1. */
+  def minhashText(s: UTF8String, n: Int, k: Int): ArrayData = {
+    val t = TextKernels.normalize(s)
+    val bytes = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    // Non-ASCII: byte windows != char windows; fall back to the composed
+    // path so the output stays identical on every input.
+    if (bytes.length != t.length || t.length < n)
+      return minhash(TextKernels.charShingles(s, n), k)
+    val out = new Array[Long](k)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    val off = org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET
+    var i = 0
+    val last = t.length - n
+    while (i <= last) {
+      val base = XXH64.hashUnsafeBytes(bytes, off + i, n, 42L)
+      var j = 0
+      while (j < k) {
+        val m = XXH64.hashLong(base, j)
+        if (m < out(j)) out(j) = m
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Word n-gram shingles of the normalized text, each hashed to 64 bits,
+    * returned sorted + deduped — the representation that makes pairwise
+    * exact-Jaccard verification a linear merge instead of per-pair string
+    * hash-set builds. Set equality to the string-shingle form holds up to
+    * 64-bit hash collisions (~|set|²/2⁶⁴ per document — negligible). */
+  def wordShingleHashes(s: UTF8String, n: Int): ArrayData = {
+    val words = TextKernels.splitWords(s)
+    val m = if (words.length <= n) 1 else words.length - n + 1
+    val hs = new Array[Long](m)
+    if (words.length <= n) {
+      val all = words.mkString(" ")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      hs(0) = XXH64.hashUnsafeBytes(all,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, all.length, 42L)
+    } else {
+      val sb = new java.lang.StringBuilder(64)
+      var i = 0
+      while (i < m) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(words(i + j)); j += 1
+        }
+        val b = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        hs(i) = XXH64.hashUnsafeBytes(b,
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
+        i += 1
+      }
+    }
+    java.util.Arrays.sort(hs)
+    // in-place dedupe of the sorted array
+    var w = 0
+    var r = 0
+    while (r < m) {
+      if (r == 0 || hs(r) != hs(r - 1)) { hs(w) = hs(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hs, w))
+  }
+
+  /** Jaccard of two SORTED DISTINCT long arrays: one linear merge. */
+  def sortedJaccard(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements(); val nb = b.numElements()
+    if (na == 0 && nb == 0) return 0.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / (na + nb - inter).toDouble
+  }
+
+  /** Cosine similarity of two equal-length float arrays, double
+    * accumulation in index order (bit-identical to the sequential
+    * aggregate/zip_with form it replaces). Null on length mismatch. */
+  def cosineFloat(a: ArrayData, b: ArrayData): Any = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Random-hyperplane LSH signature: bit i = sign(v · h_i), where
+    * h_i[d] = ±1 by the low bit of xxhash64(i, d) — bit-compatible with
+    * the composed Column form (seed 42, int-hash chaining) so signatures
+    * are stable across engine versions. All `bits` planes in one pass. */
+  def hyperplaneSig(vec: ArrayData, bits: Int): Long = {
+    val dim = vec.numElements()
+    var sig = 0L
+    var i = 0
+    while (i < bits) {
+      val hi = XXH64.hashInt(i, 42L)
+      var dot = 0.0
+      var d = 0
+      while (d < dim) {
+        val h = XXH64.hashInt(d, hi)
+        val v = vec.getFloat(d).toDouble
+        dot += (if ((h & 1L) == 1L) v else -v)
+        d += 1
+      }
+      if (dot > 0) sig |= (1L << i)
+      i += 1
+    }
+    sig
   }
 
   /** 64-bit SimHash: bit j set iff Σ_tokens ±1 (by bit j of the token
@@ -82,6 +210,100 @@ case class MinHashSigExpr(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Fused text→normalize→shingle→minhash signature (see
+  * [[HashKernels.minhashText]]). */
+case class MinHashTextExpr(child: Expression, n: Int, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_text"
+
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.minhashText(v.asInstanceOf[UTF8String], n, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.plans.HashKernels.minhashText($t, $n, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Sorted-distinct 64-bit hashes of word n-gram shingles (see
+  * [[HashKernels.wordShingleHashes]]). */
+case class WordShingleHashesExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "word_shingle_hashes"
+
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.wordShingleHashes(v.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.plans.HashKernels.wordShingleHashes($t, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Linear-merge Jaccard over two sorted distinct long arrays. */
+case class SortedJaccardExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sorted_jaccard"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashKernels.sortedJaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.plans.HashKernels.sortedJaccard($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Native cosine over two float-array columns (nullable on length
+  * mismatch, so no defineCodeGen — nullSafeCodeGen with a null check). */
+case class CosineSimExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "cosine_sim"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashKernels.cosineFloat(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+      Object r = graft.plans.HashKernels.cosineFloat($a, $b);
+      if (r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ((Double) r).doubleValue(); }
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** All-planes-in-one-pass random-hyperplane signature (see
+  * [[HashKernels.hyperplaneSig]]). */
+case class HyperplaneSigExpr(child: Expression, bits: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hyperplane_sig"
+
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.hyperplaneSig(v.asInstanceOf[ArrayData], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.plans.HashKernels.hyperplaneSig($v, $bits)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class SimHash64Expr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
@@ -101,6 +323,16 @@ object HashExpressions {
 
   def minhash_sig(shingles: Column, k: Int): Column =
     column(MinHashSigExpr(expression(shingles), k))
+  def minhash_text(text: Column, n: Int, k: Int): Column =
+    column(MinHashTextExpr(expression(text), n, k))
   def simhash64(tokens: Column): Column =
     column(SimHash64Expr(expression(tokens)))
+  def word_shingle_hashes(text: Column, n: Int): Column =
+    column(WordShingleHashesExpr(expression(text), n))
+  def sorted_jaccard(a: Column, b: Column): Column =
+    column(SortedJaccardExpr(expression(a), expression(b)))
+  def cosine_sim(a: Column, b: Column): Column =
+    column(CosineSimExpr(expression(a), expression(b)))
+  def hyperplane_sig(vec: Column, bits: Int): Column =
+    column(HyperplaneSigExpr(expression(vec), bits))
 }

@@ -19,9 +19,13 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextKernels {
 
+  // Pattern.compile once — String.replaceAll/split(regex) recompile the
+  // regex on every call, which is per-row cost inside the kernel.
+  private val WS = java.util.regex.Pattern.compile("\\s+")
+
   /** Lowercase + collapse whitespace runs to single spaces. */
   def normalize(s: UTF8String): String =
-    s.toString.trim.toLowerCase.replaceAll("\\s+", " ")
+    WS.matcher(s.toString.trim.toLowerCase).replaceAll(" ")
 
   def charShingles(s: UTF8String, n: Int): ArrayData = {
     val t = normalize(s)
@@ -35,8 +39,12 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** Normalized word split (trim, lowercase, whitespace runs). */
+  def splitWords(s: UTF8String): Array[String] =
+    WS.split(s.toString.trim.toLowerCase)
+
   def wordShingles(s: UTF8String, n: Int): ArrayData = {
-    val words = s.toString.trim.toLowerCase.split("\\s+")
+    val words = splitWords(s)
     if (words.length <= n) {
       return new GenericArrayData(
         Array[Any](UTF8String.fromString(words.mkString(" "))))

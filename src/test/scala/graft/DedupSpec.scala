@@ -91,4 +91,26 @@ class DedupSpec extends AnyFunSuite {
     val recall = (brute & lsh).size.toDouble / brute.size
     assert(recall >= 0.8, s"recall=$recall")
   }
+
+  test("fused minhash_text == minhash_sig(char_shingles) on all paths") {
+    import graft.plans.HashExpressions
+    import graft.functions.Text
+    import org.apache.spark.sql.functions.col
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",   // ascii fast path
+      "  Weird   WHITESPACE\tand\nnewlines  here  ",   // normalization
+      "héllo wörld with nön-ascii çharacters über",    // utf-8 fallback
+      "tiny",                                          // shorter than n=5
+      "abc")                                           // == fallback branch
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val both = df.select(
+      HashExpressions.minhash_text(col("text"), 5, 20).as("fused"),
+      HashExpressions.minhash_sig(Text.char_shingles(col("text"), 5), 20)
+        .as("composed"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+  }
 }
