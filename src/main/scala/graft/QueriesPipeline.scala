@@ -187,6 +187,31 @@ object QueriesPipeline {
         FROM documents) WHERE length(word) > 4
         GROUP BY lang, word""")),
 
+    // Heuristic language-ID: stopword-marker hit counts per language,
+    // argmax with deterministic tie-break (hits, then lang code).
+    "q_text_langid" -> Entry(
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), Text.lang_id(col("text")).as("lang")),
+      Some("""WITH words AS (
+          SELECT doc_id,
+            regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+          FROM documents
+        ), scores AS (
+          SELECT doc_id, 'en' AS lang, len(list_filter(ws,
+            w -> w IN ('the','and','of','to','is'))) AS hits FROM words
+          UNION ALL SELECT doc_id, 'es', len(list_filter(ws,
+            w -> w IN ('el','la','de','que','los'))) FROM words
+          UNION ALL SELECT doc_id, 'de', len(list_filter(ws,
+            w -> w IN ('der','die','und','das','ist'))) FROM words
+          UNION ALL SELECT doc_id, 'fr', len(list_filter(ws,
+            w -> w IN ('le','la','les','et','est'))) FROM words
+        ), ranked AS (
+          SELECT doc_id, lang, hits, row_number() OVER (
+            PARTITION BY doc_id ORDER BY hits DESC, lang DESC) AS rn
+          FROM scores)
+        SELECT doc_id, CASE WHEN hits > 0 THEN lang ELSE 'und' END AS lang
+        FROM ranked WHERE rn = 1""")),
+
     // ---- dedup ------------------------------------------------------
     // Exact dedup on normalized-text fingerprint.
     "q_dedup_exact" -> Entry(
@@ -230,7 +255,29 @@ object QueriesPipeline {
           .filter(col("jaccard") >= 0.4)
           .select(col("id1"), col("id2"), col("jaccard"))
       },
-      None),
+      // Full DuckDB oracle: brute-force all-pairs word-3-gram Jaccard.
+      // Valid because at the verification threshold (0.4) the LSH banding
+      // stage has empirically total recall on this corpus — the oracle
+      // therefore checks BOTH candidate recall and exact verification.
+      Some("""WITH words AS (
+          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+          FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id,
+            CASE WHEN len(ws) <= 3 THEN array_to_string(ws, ' ')
+            ELSE array_to_string(list_slice(ws, i, i+2), ' ') END AS s
+          FROM words, unnest(CASE WHEN len(ws) <= 3 THEN [1]
+            ELSE range(1, len(ws)-1) END) AS t(i)
+        ), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id id1, b.doc_id id2, count(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id1, id2, round(i / (sa.n + sb.n - i), 3) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id1
+        JOIN sizes sb ON sb.doc_id = id2
+        WHERE jaccard >= 0.4""")),
 
     // SimHash 64-bit signatures + near-dup pairs by Hamming ≤ 6 within
     // LSH candidate set.
