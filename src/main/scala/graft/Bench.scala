@@ -10,6 +10,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftExtensions.register(spark)
     // warm up the whole execution path (parquet scan, broadcast, shuffle,
     // codegen) on the two tiny dims so the first timed query doesn't
     // absorb session initialization

@@ -3,17 +3,19 @@ package graft.plans
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
 /** SparkSessionExtensions entry point: registers every graft custom
-  * expression for SQL use. Activate with
+  * expression for SQL use plus the [[JaccardLengthPruning]] optimizer
+  * rule. Activate with
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")` or
   * call [[GraftExtensions.register]] on an existing session.
   *
-  * (No custom Rule/SparkStrategy is needed for the reference's surface —
+  * (The reference's own surface needs no custom Rule/SparkStrategy —
   * SURVEY §4: its optimizations are source-protocol concerns or
-  * join-strategy hints; the genuinely custom Catalyst work is these
-  * expressions.)
+  * join-strategy hints. The optimizer rule here serves the beyond-
+  * reference set-similarity operators.)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => JaccardLengthPruning)
     e.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("rpm_ver_cmp"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
@@ -36,10 +38,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
-  /** Register the same functions on an already-built session. */
+  /** Register the same functions + optimizer rule on an already-built
+    * session (extraOptimizations is the post-build hook for rules). */
   def register(spark: SparkSession): Unit = {
     RpmExpressions.register(spark)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64Expr(exprs.head), "scala_udf")
+    if (!spark.experimental.extraOptimizations.contains(JaccardLengthPruning))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ JaccardLengthPruning
   }
 }

@@ -49,4 +49,34 @@ class PlanAssertionsSpec extends AnyFunSuite {
     // aggregate appears below AND above the shuffle
     assert(p.contains("partial_"), s"no partial aggregation:\n$p")
   }
+
+  test("JaccardLengthPruning injects the O(1) size guard before the merge") {
+    graft.plans.GraftExtensions.register(spark)
+    val p = plan("q_dedup_minhash")
+    // the guard shape: size(sh) cast to double compared against t*size
+    assert(p.contains("size(sh"), s"no length guard in plan:\n$p")
+    assert(p.contains("sorted_jaccard"), "kernel disappeared from plan")
+  }
+
+  test("JaccardLengthPruning preserves results exactly") {
+    import org.apache.spark.sql.functions._
+    import graft.plans.HashExpressions._
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e f g h"), (2L, "a b c d e f g x"),
+      (3L, "a b"), (4L, "totally different words here now ok"))
+      .toDF("id", "text")
+      .select(col("id"), word_shingle_hashes(col("text"), 3).as("sh"))
+    val pairs = df.as("l").join(df.as("r"), col("l.id") < col("r.id"))
+      .select(col("l.id").as("id1"), col("r.id").as("id2"),
+        round(sorted_jaccard(col("l.sh"), col("r.sh")), 3).as("j"))
+    val noRule = pairs.filter(col("j") >= 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.plans.GraftExtensions.register(spark)
+    val withRule = pairs.filter(col("j") >= 0.4)
+    assert(withRule.queryExecution.optimizedPlan.toString.contains("size("),
+      "rule did not fire on the guardable filter")
+    assert(withRule.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      == noRule)
+  }
 }
