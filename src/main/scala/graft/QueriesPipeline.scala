@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Q._
 import graft.functions.{Norm, Text}
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Similarity, Skew}
 
 /** Scalar-function surface (SURVEY §2.9), streaming/incremental semantics
   * (§2.10), and the training-data-pipeline operators (dedup, similarity,
@@ -454,5 +454,36 @@ object QueriesPipeline {
           .select(col("qid"), col("rank").as("rnk"), col("vec_id"))
       },
       None),
+
+    // IVF ANN (coarse k-means cells + nprobe rerank): the partition-
+    // pruning scale path. Approximate by design → rows-only here; recall
+    // vs brute force is pinned in ScaleOpsSpec.
+    "q_sim_ivf" -> Entry(
+      (s, dir) => {
+        val em = t(s, dir, "embeddings")
+        val queries = em.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        Similarity.ivfTopK(em, queries, 10, nlist = 8, nprobe = 4)
+          .select(col("qid"), col("rank").as("rnk"), col("vec_id"))
+      },
+      None),
+
+    // Skew-mitigated aggregation: two-stage salted groupBy (hot grouping
+    // keys spread over 16 reducers, then partials combine). The oracle is
+    // the plain one-stage aggregate — the decomposition must be exact,
+    // which is why the money sum goes through integer cents.
+    "q_skew_salted_agg" -> Entry(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        Skew.saltedAgg(
+          li.select(col("l_returnflag"), col("l_quantity")),
+          Seq(col("l_returnflag")), 16,
+          Seq(count(lit(1)).as("pn"), sum(cents(col("l_quantity"))).as("ps")),
+          Seq(sum(col("pn")).as("n_rows"),
+            (sum(col("ps")) / 100.0).as("sum_qty")))
+      },
+      Some("""SELECT l_returnflag, count(*) AS n_rows,
+        sum(cast(floor(l_quantity*100 + 0.5) as bigint))/100.0 AS sum_qty
+        FROM lineitem GROUP BY l_returnflag""")),
   )
 }
