@@ -69,4 +69,45 @@ object Multimodal {
       }
     }(enc)
   }
+
+  /** Frame sampling (video → one row per fixed-size frame slice): the
+    * explode happens BEFORE any decode, so per-frame work distributes
+    * across the cluster instead of hiding inside one fat row. Pure
+    * column ops — `substr` slices the binary payload directly. */
+  def sampleFrames(media: DataFrame, frameBytes: Int = 1024): DataFrame = {
+    val nFrames = greatest(
+      ceil(length(col("content")) / lit(frameBytes.toDouble)).cast("int"),
+      lit(1))
+    media.filter(col("kind") === "video")
+      .select(col("media_id"),
+        explode(sequence(lit(0), nFrames - 1)).as("frame_idx"),
+        col("content"))
+      .select(col("media_id"), col("frame_idx"),
+        col("content")
+          .substr(col("frame_idx") * frameBytes + 1, lit(frameBytes))
+          .as("frame"))
+  }
+
+  /** STUB resize: deterministic byte-decimation to ≈`targetBytes` (a real
+    * build decodes, scales, re-encodes in this partition loop — only this
+    * body changes). Metadata columns are rewritten alongside the payload,
+    * which is the actual Spark-side contract being exercised. */
+  def resize(media: DataFrame, targetBytes: Int = 256): DataFrame = {
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    media.select("media_id", "kind", "content", "meta_width", "meta_height")
+      .mapPartitions { it =>
+        // real build: codec init once per partition
+        it.map { r =>
+          val content = r.getAs[Array[Byte]]("content")
+          val step = math.max(content.length / targetBytes, 1)
+          val out = Array.tabulate(
+            math.min(targetBytes, content.length))(i => content(i * step))
+          Row(r.getAs[Long]("media_id"), r.getAs[String]("kind"), out,
+            Option(r.getAs[Integer]("meta_width"))
+              .map(w => Integer.valueOf(w / step)).orNull,
+            Option(r.getAs[Integer]("meta_height"))
+              .map(h => Integer.valueOf(h / step)).orNull)
+        }
+      }(enc)
+  }
 }

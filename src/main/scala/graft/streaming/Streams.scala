@@ -55,6 +55,72 @@ object Streams {
       .format("parquet").option("path", outPath)
       .start()
 
+  final case class ClosedSession(user_id: Long,
+      session_start: java.sql.Timestamp, session_end: java.sql.Timestamp,
+      n_events: Long)
+
+  /** Streaming exact dedup by key: the streaming form of the K2
+    * `OR IGNORE` keyed sink / Dedup.exact — first writer wins, and the
+    * dedup state is BOUNDED by the watermark horizon (state for keys
+    * older than the watermark is dropped), which is what makes this safe
+    * on an unbounded 100 TB stream where a plain dropDuplicates would
+    * accumulate state forever. */
+  def dedupByKey(events: DataFrame, delay: String = "10 minutes",
+      keys: Seq[String] = Seq("event_id")): DataFrame =
+    events.withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  /** Gap-based sessionization as a true stream: flatMapGroupsWithState
+    * with an EVENT-TIME timeout. A session closes (and is emitted, Append
+    * mode) when the watermark passes `last_event + gap` — the streaming
+    * equivalent of the batch gaps-and-islands query
+    * (q_stream_sessionize), with bounded per-user state instead of a
+    * global sort. In-batch events are gap-split locally; the timeout
+    * closes the trailing session. */
+  def gapSessions(spark: SparkSession, events: DataFrame,
+      gapMinutes: Int = 30, delay: String = "10 minutes")
+      : Dataset[ClosedSession] = {
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+    events.withWatermark("ts", delay)
+      .select("event_id", "ts", "user_id", "event_type", "value").as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, Long), ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, it: Iterator[Event], state: GroupState[(Long, Long, Long)]) =>
+          if (state.hasTimedOut) {
+            val (s, e, n) = state.get
+            state.remove()
+            Iterator(ClosedSession(uid, new java.sql.Timestamp(s),
+              new java.sql.Timestamp(e), n))
+          } else {
+            val out = scala.collection.mutable.ArrayBuffer[ClosedSession]()
+            var cur = state.getOption
+            it.map(_.ts.getTime).toArray.sorted.foreach { t =>
+              cur match {
+                case Some((s, e, n)) if t - e > gapMs =>
+                  out += ClosedSession(uid, new java.sql.Timestamp(s),
+                    new java.sql.Timestamp(e), n)
+                  cur = Some((t, t, 1L))
+                case Some((s, e, n)) =>
+                  cur = Some((s, math.max(e, t), n + 1))
+                case None =>
+                  cur = Some((t, t, 1L))
+              }
+            }
+            cur.foreach { v =>
+              state.update(v)
+              // timeout once the watermark passes session end + gap (the
+              // max() keeps it legal when replaying old data whose gap
+              // horizon is already behind the watermark)
+              state.setTimeoutTimestamp(math.max(v._2 + gapMs,
+                state.getCurrentWatermarkMs() + 1))
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** Custom keyed state: per-user running session aggregate via
     * mapGroupsWithState — the KeyValueGroupedDataset stateful-op surface
     * (the reference's incremental per-provider state is the batch analog). */

@@ -52,6 +52,55 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops in-watermark duplicate keys") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[Streams.Event]
+    def ev(id: Long, min: Int) = Streams.Event(id,
+      java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00"), 1L, "view", 1.0)
+    val q = Streams.dedupByKey(ms.toDF())
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("dedup_out").start()
+    try {
+      ms.addData(ev(1, 0), ev(1, 1), ev(2, 2), ev(1, 3), ev(3, 4))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("gap sessions close via event-time timeout and in-batch splits") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[Streams.Event]
+    def at(h: Int, min: Int) =
+      java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$min%02d:00")
+    def ev(id: Long, h: Int, min: Int) =
+      Streams.Event(id, at(h, min), 7L, "view", 1.0)
+    val q = Streams.gapSessions(spark, ms.toDF(), gapMinutes = 30)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("gap_out").start()
+    try {
+      // session A: 10:00, 10:05; then same-batch gap-split session B at 11:00
+      ms.addData(ev(1, 10, 0), ev(2, 10, 5), ev(3, 11, 0))
+      q.processAllAvailable()
+      // watermark jumps to 13:50 (14:00 - 10m) > 11:00 + 30m → B times out
+      ms.addData(ev(4, 14, 0))
+      q.processAllAvailable()
+      ms.addData(ev(5, 16, 0)) // closes the 14:00 session
+      q.processAllAvailable()
+      val rows = spark.table("gap_out")
+        .select("session_start", "session_end", "n_events").collect()
+        .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2))).toSet
+      assert(rows.contains((at(10, 0), at(10, 5), 2L)), s"in-batch split: $rows")
+      assert(rows.contains((at(11, 0), at(11, 0), 1L)), s"timeout close: $rows")
+      assert(rows.contains((at(14, 0), at(14, 0), 1L)), s"second timeout: $rows")
+    } finally q.stop()
+  }
+
   test("multimodal: binary columns flow through partition-batch extract") {
     val media = Multimodal.syntheticMedia(spark, dir)
     val feats = Multimodal.extractFeatures(media)
@@ -67,6 +116,28 @@ class StreamingSpec extends AnyFunSuite {
     rows.foreach { r =>
       assert(again(r.getLong(0)) ==
         r.getSeq[Float](r.fieldIndex("feature")).toList)
+    }
+  }
+
+  test("multimodal: frame sampling explodes before decode; resize rewrites meta") {
+    val media = Multimodal.syntheticMedia(spark, dir)
+    val frames = Multimodal.sampleFrames(media, frameBytes = 100)
+    val byId = frames.groupBy("media_id")
+      .agg(count(lit(1)).as("n"), max(length(col("frame"))).as("max_len"))
+      .collect()
+    assert(byId.nonEmpty)
+    byId.foreach { r => assert(r.getAs[Int]("max_len") <= 100) }
+    // frame count = ceil(bytes/100) for each video row
+    val video = media.filter(col("kind") === "video")
+      .select(col("media_id"), ceil(length(col("content")) / 100.0).as("exp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byId.foreach { r =>
+      assert(r.getAs[Long]("n") == math.max(video(r.getAs[Long]("media_id")), 1L))
+    }
+    val resized = Multimodal.resize(media, targetBytes = 64).collect()
+    assert(resized.length == media.count())
+    resized.foreach { r =>
+      assert(r.getAs[Array[Byte]]("content").length <= 64)
     }
   }
 }
