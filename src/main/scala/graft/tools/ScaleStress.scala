@@ -1,0 +1,83 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Scale-stress drill for the dedup pipeline: replicate the documents
+  * corpus Nx with per-copy token perturbation (every source doc gains
+  * N near-duplicate variants — the adversarial, dup-heavy case where
+  * LSH candidate volume grows ~quadratically in cluster size) and
+  * measure each stage. `sbt "runMain graft.tools.ScaleStress [maxScale]"`.
+  *
+  * What it demonstrates (recorded in SCALE.md): candidate generation
+  * stays an equi-shuffle on band keys; verification cost tracks
+  * candidate count; connected components converge in O(cluster
+  * diameter) rounds with no driver-side state.
+  */
+object ScaleStress {
+
+  def corpus(spark: SparkSession, dir: String, copies: Int): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val n = docs.count()
+    // copy c of doc d: id = d + c*n, text perturbed by replacing the
+    // copy-marker token so copies are near- (not exact-) duplicates
+    docs.crossJoin(
+        spark.range(copies).select(col("id").as("copy")))
+      .select(
+        (col("doc_id") + col("copy") * n).as("doc_id"),
+        when(col("copy") === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" variant marker token "),
+            col("copy").cast("string"))).as("text"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val maxScale = args.headOption.map(_.toInt).getOrElse(10)
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftExtensions.register(spark)
+
+    println(f"${"copies"}%8s ${"docs"}%9s ${"cands"}%9s ${"pairs"}%9s " +
+      f"${"clusters"}%9s ${"t_cand"}%8s ${"t_verify"}%9s ${"t_cc"}%8s")
+    for (copies <- Seq(1, maxScale)) {
+      val docs = corpus(spark, dir, copies).cache()
+      val nDocs = docs.count()
+
+      var t0 = System.nanoTime()
+      val cands = Dedup.minhashCandidates(
+        Dedup.minhashBands(docs, "text", "doc_id"), "doc_id").cache()
+      val nCands = cands.count()
+      val tCand = (System.nanoTime() - t0) / 1e9
+
+      t0 = System.nanoTime()
+      val candIds = cands
+        .select(explode(array(col("id1"), col("id2"))).as("doc_id"))
+        .distinct()
+      val shingled = docs.join(candIds, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), graft.plans.HashExpressions
+          .word_shingle_hashes(col("text"), 3).as("sh"))
+      val verified = cands
+        .join(shingled.select(col("doc_id").as("id1"), col("sh").as("sh1")), "id1")
+        .join(shingled.select(col("doc_id").as("id2"), col("sh").as("sh2")), "id2")
+        .filter(graft.plans.HashExpressions
+          .sorted_jaccard(col("sh1"), col("sh2")) >= 0.4)
+        .select(col("id1"), col("id2")).cache()
+      val nPairs = verified.count()
+      val tVerify = (System.nanoTime() - t0) / 1e9
+
+      t0 = System.nanoTime()
+      val nClusters = Dedup.connectedComponents(verified)
+        .select(col("component")).distinct().count()
+      val tCc = (System.nanoTime() - t0) / 1e9
+
+      println(f"$copies%8d $nDocs%9d $nCands%9d $nPairs%9d $nClusters%9d " +
+        f"$tCand%8.1f $tVerify%9.1f $tCc%8.1f")
+      docs.unpersist(); cands.unpersist(); verified.unpersist()
+    }
+    spark.stop()
+  }
+}
