@@ -122,4 +122,17 @@ object Sources {
         regexp_extract(col("title"), "(ALAS[0-9-]*)", 1).as("alas_id"),
         regexp_extract(col("title"), "\\((\\w+)\\)", 1).as("severity"),
         col("pubDate"))
+
+  /** S11: git-repo scan (alma/photon/bitnami: `providers/alma/parser.py:
+    * 29,56-101`) — the clone/pull is a driver-side staging step (like
+    * every fetch); the scan over the checked-out worktree is this:
+    * recursive JSON read with a glob, path retained so records can be
+    * keyed/sliced by repo layout (e.g. `osv/cve/2023/...`). */
+  def repoJson(spark: SparkSession, worktree: String,
+      glob: String = "*.json"): DataFrame =
+    spark.read
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", glob)
+      .json(worktree)
+      .withColumn("source_path", input_file_name())
 }

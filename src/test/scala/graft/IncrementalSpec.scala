@@ -80,4 +80,56 @@ class IncrementalSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getAs[String]("url")).toMap
     assert(got == Map("1" -> "u2", "2" -> "u3"))
   }
+
+  test("I7 retry policy: RETRY(n) succeeds on a later attempt") {
+    import graft.streaming.JobControl
+    var calls = 0
+    val out = JobControl.run(JobControl.Retry(3)) { () =>
+      calls += 1
+      if (calls < 3) sys.error("transient")
+      "ok"
+    }
+    assert(out.result.contains("ok") && out.attempts == 3)
+  }
+
+  test("I7 retry policy: exhaustion falls back to SKIP with disposal") {
+    import graft.streaming.JobControl
+    var disposed = false
+    val out = JobControl.run(
+      JobControl.Retry(2, onExhausted = JobControl.Skip),
+      dispose = () => disposed = true) { () =>
+      sys.error("permanent"): String
+    }
+    assert(!out.succeeded && out.attempts == 3 && disposed)
+    assert(out.error.exists(_.getMessage == "permanent"))
+  }
+
+  test("I7 retry policy: FAIL propagates after disposal") {
+    import graft.streaming.JobControl
+    var disposed = false
+    val e = intercept[RuntimeException] {
+      JobControl.run(JobControl.Fail, dispose = () => disposed = true) {
+        () => sys.error("boom"): String
+      }
+    }
+    assert(e.getMessage == "boom" && disposed)
+  }
+
+  test("S11 repo scan: recursive glob read over a worktree layout") {
+    import graft.sources.Sources
+    val root = java.nio.file.Files.createTempDirectory("repo").toFile
+    val sub = new java.io.File(root, "osv/cve/2023"); sub.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(sub, "CVE-2023-1.json").toPath,
+      """{"id":"CVE-2023-1","summary":"a"}""")
+    java.nio.file.Files.writeString(
+      new java.io.File(root, "osv/cve/README.md").toPath, "not json")
+    java.nio.file.Files.writeString(
+      new java.io.File(sub, "CVE-2023-2.json").toPath,
+      """{"id":"CVE-2023-2","summary":"b"}""")
+    val df = Sources.repoJson(spark, root.getAbsolutePath)
+    val rows = df.select("id").collect().map(_.getString(0)).sorted
+    assert(rows.toSeq == Seq("CVE-2023-1", "CVE-2023-2"))
+    assert(df.columns.contains("source_path"))
+  }
 }
