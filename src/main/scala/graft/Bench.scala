@@ -34,7 +34,9 @@ object Bench {
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val cold = once(name, fn)
-      val warm = once(name, fn)
+      // min of two timed runs: steady-state latency without scheduler
+      // noise (single-machine 32-thread runs jitter up to ~2x)
+      val warm = math.min(once(name, fn), once(name, fn))
       (name, warm, cold)
     }
     val qs = results.map { case (k, w, _) => s"\"" + k + "\":" + w }

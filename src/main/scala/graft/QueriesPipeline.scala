@@ -13,6 +13,61 @@ import graft.operators.{Dedup, Similarity, Skew}
   */
 object QueriesPipeline {
 
+  /** Verified near-dup pairs: LSH banding → candidate pairs → exact
+    * word-3-gram Jaccard ≥ 0.4 (shared by q_dedup_minhash and
+    * q_dedup_cluster). Exact-Jaccard verification cost must scale with
+    * |candidates|, not |corpus|: the corpus is semi-joined down to ids
+    * that appear in some candidate pair BEFORE shingling; shingle sets
+    * are sorted distinct 64-bit hashes so the per-pair exact Jaccard is
+    * a linear merge (native kernel, size-guarded by the
+    * JaccardLengthPruning rule), and the shingled survivors broadcast to
+    * both sides of the pair join. */
+  private def minhashVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val bands = Dedup.minhashBands(docs, "text", "doc_id")
+    val cands = Dedup.minhashCandidates(bands, "doc_id")
+    val candIds = cands
+      .select(explode(array(col("id1"), col("id2"))).as("doc_id"))
+      .distinct()
+    val shingled = docs.join(candIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        graft.plans.HashExpressions.word_shingle_hashes(col("text"), 3)
+          .as("sh"))
+    cands
+      .join(broadcast(shingled.select(col("doc_id").as("id1"),
+        col("sh").as("sh1"))), "id1")
+      .join(broadcast(shingled.select(col("doc_id").as("id2"),
+        col("sh").as("sh2"))), "id2")
+      .withColumn("jaccard", round(
+        graft.plans.HashExpressions.sorted_jaccard(col("sh1"), col("sh2")),
+        3))
+      .filter(col("jaccard") >= 0.4)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
+  /** DuckDB CTE chain computing the brute-force ground truth of
+    * [[minhashVerifiedPairs]] (`pairs(id1, id2, jaccard)`). */
+  private val minhashPairsCtes: String = """words AS (
+          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+          FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id,
+            CASE WHEN len(ws) <= 3 THEN array_to_string(ws, ' ')
+            ELSE array_to_string(list_slice(ws, i, i+2), ' ') END AS s
+          FROM words, unnest(CASE WHEN len(ws) <= 3 THEN [1]
+            ELSE range(1, len(ws)-1) END) AS t(i)
+        ), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id id1, b.doc_id id2, count(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT id1, id2, round(i / (sa.n + sb.n - i), 3) AS jaccard
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = id1
+          JOIN sizes sb ON sb.doc_id = id2
+          WHERE jaccard >= 0.4)"""
+
   val entries: Seq[(String, Entry)] = Seq(
 
     // ---- F-class scalar functions -----------------------------------
@@ -222,62 +277,34 @@ object QueriesPipeline {
         FROM documents GROUP BY 1""")),
 
     // MinHash+LSH candidate pairs (band equi-join, no O(n²)); verified
-    // with exact word-shingle Jaccard ≥ 0.4. Non-SQL-expressible
-    // (xxhash64 seeds) → rows-only check + ScalaTest oracle.
+    // with exact word-shingle Jaccard ≥ 0.4.
     "q_dedup_minhash" -> Entry(
-      (s, dir) => {
-        val docs = t(s, dir, "documents")
-        val bands = Dedup.minhashBands(docs, "text", "doc_id")
-        val cands = Dedup.minhashCandidates(bands, "doc_id")
-        // Exact-Jaccard verification cost must scale with |candidates|,
-        // not |corpus|: semi-join the corpus down to ids that appear in
-        // some candidate pair BEFORE shingling, then broadcast the
-        // shingled survivors to both sides of the pair join.
-        val candIds = cands
-          .select(explode(array(col("id1"), col("id2"))).as("doc_id"))
-          .distinct()
-        // Shingle sets as sorted distinct 64-bit hashes: per-pair exact
-        // Jaccard is then a linear merge (native kernel), not a string
-        // hash-set build — the candidate count, not the corpus, already
-        // bounds this stage, and the kernel bounds the per-pair cost.
-        val shingled = docs.join(candIds, Seq("doc_id"), "left_semi")
-          .select(col("doc_id"),
-            graft.plans.HashExpressions
-              .word_shingle_hashes(col("text"), 3).as("sh"))
-        cands
-          .join(broadcast(shingled.select(col("doc_id").as("id1"),
-            col("sh").as("sh1"))), "id1")
-          .join(broadcast(shingled.select(col("doc_id").as("id2"),
-            col("sh").as("sh2"))), "id2")
-          .withColumn("jaccard", round(
-            graft.plans.HashExpressions.sorted_jaccard(col("sh1"), col("sh2")),
-            3))
-          .filter(col("jaccard") >= 0.4)
-          .select(col("id1"), col("id2"), col("jaccard"))
-      },
+      (s, dir) => minhashVerifiedPairs(s, dir),
       // Full DuckDB oracle: brute-force all-pairs word-3-gram Jaccard.
       // Valid because at the verification threshold (0.4) the LSH banding
       // stage has empirically total recall on this corpus — the oracle
       // therefore checks BOTH candidate recall and exact verification.
-      Some("""WITH words AS (
-          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
-          FROM documents
-        ), sh AS (
-          SELECT DISTINCT doc_id,
-            CASE WHEN len(ws) <= 3 THEN array_to_string(ws, ' ')
-            ELSE array_to_string(list_slice(ws, i, i+2), ' ') END AS s
-          FROM words, unnest(CASE WHEN len(ws) <= 3 THEN [1]
-            ELSE range(1, len(ws)-1) END) AS t(i)
-        ), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        inter AS (
-          SELECT a.doc_id id1, b.doc_id id2, count(*) AS i
-          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-          GROUP BY 1, 2)
-        SELECT id1, id2, round(i / (sa.n + sb.n - i), 3) AS jaccard
-        FROM inter
-        JOIN sizes sa ON sa.doc_id = id1
-        JOIN sizes sb ON sb.doc_id = id2
-        WHERE jaccard >= 0.4""")),
+      Some(s"""WITH $minhashPairsCtes
+        SELECT id1, id2, jaccard FROM pairs""")),
+
+    // Duplicate-cluster resolution: iterative min-label propagation over
+    // the verified near-dup pairs (one join + one groupBy per round, no
+    // driver-side union-find) vs the oracle's recursive-CTE transitive
+    // closure — a distributed fixpoint checked against SQL recursion.
+    "q_dedup_cluster" -> Entry(
+      (s, dir) => Dedup
+        .connectedComponents(minhashVerifiedPairs(s, dir)
+          .select(col("id1"), col("id2")))
+        .select(col("id").as("doc_id"), col("component")),
+      Some(s"""WITH RECURSIVE $minhashPairsCtes,
+        edges AS (
+          SELECT id1 AS a, id2 AS b FROM pairs
+          UNION SELECT id2, id1 FROM pairs),
+        reach(id, r) AS (
+          SELECT DISTINCT a, a FROM edges
+          UNION
+          SELECT e.a, r.r FROM edges e JOIN reach r ON r.id = e.b)
+        SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id""")),
 
     // SimHash 64-bit signatures + near-dup pairs by Hamming ≤ 6 within
     // LSH candidate set.
