@@ -141,16 +141,18 @@ object Dedup {
       val neighborMin = edges
         .join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("component")).as("nbr_min"))
+      // the change flag rides along with the update (old `component` is
+      // still in scope inside this select), so convergence detection is
+      // a filter-count on the checkpointed result — not a second join
       val updated = labels.join(neighborMin,
           labels("id") === neighborMin("src"), "left")
         .select(labels("id"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
-            .as("component"))
-      val changes = updated.alias("u")
-        .join(labels.alias("l"), col("u.id") === col("l.id"))
-        .filter(col("u.component") =!= col("l.component")).count()
-      labels = updated.localCheckpoint(eager = true) // cut lineage per round
-      converged = changes == 0
+            .as("component"),
+          (col("nbr_min") < col("component")).as("__changed"))
+        .localCheckpoint(eager = true) // cut lineage per round
+      converged = updated.filter(col("__changed")).count() == 0
+      labels = updated.drop("__changed")
       i += 1
     }
     edges.unpersist()
