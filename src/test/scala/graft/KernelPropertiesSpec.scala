@@ -1,0 +1,93 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop}
+import org.scalacheck.Prop.forAll
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import graft.plans.HashKernels
+
+/** Property laws for the native sketch kernels — pure JVM, no Spark
+  * session, so thousands of cases run in milliseconds. */
+class KernelPropertiesSpec extends AnyFunSuite {
+
+  private def check(p: Prop): Unit = {
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private def arr(xs: Seq[Long]) = new GenericArrayData(xs.toArray)
+  private def farr(xs: Seq[Float]) =
+    new GenericArrayData(xs.toArray.map(x => x: Any))
+
+  test("sortedJaccard equals classic set Jaccard on random long sets") {
+    val gen = for {
+      a <- Gen.listOf(Gen.chooseNum(-50L, 50L))
+      b <- Gen.listOf(Gen.chooseNum(-50L, 50L))
+    } yield (a.distinct.sorted, b.distinct.sorted)
+    check(forAll(gen) { case (a, b) =>
+      val expected =
+        if (a.isEmpty && b.isEmpty) 0.0
+        else {
+          val sa = a.toSet; val sb = b.toSet
+          sa.intersect(sb).size.toDouble / sa.union(sb).size.toDouble
+        }
+      math.abs(HashKernels.sortedJaccard(arr(a), arr(b)) - expected) < 1e-12
+    })
+  }
+
+  test("wordShingleHashes output is sorted and distinct") {
+    check(forAll(Gen.listOf(Gen.alphaLowerStr.suchThat(_.nonEmpty))) { words =>
+      val out = HashKernels
+        .wordShingleHashes(UTF8String.fromString(words.mkString(" ")), 3)
+      val xs = (0 until out.numElements()).map(out.getLong)
+      xs == xs.sorted && xs.distinct == xs
+    })
+  }
+
+  test("minhashText: permutation-invariant to duplicate shingles, " +
+      "identical text => identical signature") {
+    check(forAll(Gen.alphaNumStr) { s =>
+      val a = HashKernels.minhashText(UTF8String.fromString(s), 5, 20)
+      val b = HashKernels.minhashText(UTF8String.fromString(s), 5, 20)
+      (0 until 20).forall(i => a.getLong(i) == b.getLong(i))
+    })
+    // doubling the text adds no new 5-shingles beyond the seam — the
+    // signature is a set sketch, so min values can only move down with
+    // new shingles, never up
+    check(forAll(Gen.alphaLowerStr.suchThat(_.length >= 5)) { s =>
+      val once = HashKernels.minhashText(UTF8String.fromString(s), 5, 20)
+      val twice = HashKernels.minhashText(UTF8String.fromString(s + s), 5, 20)
+      (0 until 20).forall(i => twice.getLong(i) <= once.getLong(i))
+    })
+  }
+
+  test("cosineFloat: symmetric, self-similarity 1, bounded") {
+    val vec = Gen.listOfN(8, Gen.chooseNum(-10.0f, 10.0f))
+      .suchThat(v => v.exists(x => math.abs(x) > 1e-3))
+    check(forAll(vec, vec) { (a, b) =>
+      val ab = HashKernels.cosineFloat(farr(a), farr(b)).asInstanceOf[Double]
+      val ba = HashKernels.cosineFloat(farr(b), farr(a)).asInstanceOf[Double]
+      ab == ba && ab >= -1.0 - 1e-9 && ab <= 1.0 + 1e-9
+    })
+    check(forAll(vec) { a =>
+      val aa = HashKernels.cosineFloat(farr(a), farr(a)).asInstanceOf[Double]
+      math.abs(aa - 1.0) < 1e-6
+    })
+  }
+
+  test("hyperplaneSig: deterministic; negation flips (almost) every bit") {
+    val vec = Gen.listOfN(8, Gen.chooseNum(-10.0f, 10.0f))
+      .suchThat(v => v.exists(x => math.abs(x) > 1e-3))
+    check(forAll(vec) { v =>
+      val s1 = HashKernels.hyperplaneSig(farr(v), 16)
+      val s2 = HashKernels.hyperplaneSig(farr(v), 16)
+      val neg = HashKernels.hyperplaneSig(farr(v.map(-_)), 16)
+      // dot products flip sign under negation, so bits complement except
+      // where a dot lands exactly on 0.0 (both sides then report 0)
+      val hamming = java.lang.Long.bitCount((s1 ^ neg) & 0xFFFFL)
+      s1 == s2 && hamming >= 14
+    })
+  }
+}
