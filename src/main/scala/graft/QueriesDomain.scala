@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.Q._
-import graft.functions.{Cvss, Norm}
+import graft.functions.{Cvss, Norm, RpmVersion}
 import graft.operators.RpmStreamReduce
 import graft.plans.RpmExpressions
 
@@ -27,6 +27,45 @@ object QueriesDomain {
     cast(floor(l_discount*100 + 0.5) as int), lower(l_returnflag))"""
 
   val entries: Seq[(String, Entry)] = Seq(
+
+    // F2: EVR split (epoch:version-release, epoch = first ':', release =
+    // last '-', nulls for absent parts — rpm.py:53-87 semantics).
+    "q_fn_evr_split" -> Entry(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val full = concat(
+          when(col("l_linenumber") % 3 === 0, lit("2:")).otherwise(lit("")),
+          format_string("%d.%03d-%02d%s",
+            col("l_linenumber"),
+            floor(col("l_quantity")).cast("int"),
+            floor(col("l_discount") * 100 + lit(0.5)).cast("int"),
+            lower(col("l_returnflag"))))
+        li.select(col("l_orderkey"), col("l_linenumber"), full.as("full_ver"))
+          .select(col("l_orderkey"), col("l_linenumber"), col("full_ver"),
+            RpmVersion.rpm_epoch(col("full_ver")).as("epoch"),
+            RpmVersion.rpm_version(col("full_ver")).as("version"),
+            RpmVersion.rpm_release(col("full_ver")).as("release"))
+      },
+      Some("""WITH v AS (
+          SELECT l_orderkey, l_linenumber,
+            (CASE WHEN l_linenumber % 3 = 0 THEN '2:' ELSE '' END) ||
+            printf('%d.%03d-%02d%s', l_linenumber,
+              cast(floor(l_quantity) as int),
+              cast(floor(l_discount*100 + 0.5) as int),
+              lower(l_returnflag)) AS full_ver
+          FROM lineitem),
+        p AS (
+          SELECT *, CASE WHEN contains(full_ver, '-')
+              THEN regexp_replace(full_ver, '-[^-]*$', '') ELSE full_ver END AS vp
+          FROM v)
+        SELECT l_orderkey, l_linenumber, full_ver,
+          CASE WHEN contains(vp, ':')
+            THEN regexp_extract(vp, '^([^:]*):', 1) END AS epoch,
+          CASE WHEN contains(vp, ':')
+            THEN regexp_extract(vp, '^[^:]*:(.*)$', 1) ELSE vp END AS version,
+          CASE WHEN contains(full_ver, '-')
+            THEN regexp_extract(full_ver, '-([^-]*)$', 1) END AS release
+        FROM p""")),
 
     // F1 via the native codegen expression: pairwise EVR compare of each
     // line's version against its order's first-line version.
