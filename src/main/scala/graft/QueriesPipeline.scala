@@ -13,37 +13,12 @@ import graft.operators.{Dedup, Similarity, Skew}
   */
 object QueriesPipeline {
 
-  /** Verified near-dup pairs: LSH banding → candidate pairs → exact
-    * word-3-gram Jaccard ≥ 0.4 (shared by q_dedup_minhash and
-    * q_dedup_cluster). Exact-Jaccard verification cost must scale with
-    * |candidates|, not |corpus|: the corpus is semi-joined down to ids
-    * that appear in some candidate pair BEFORE shingling; shingle sets
-    * are sorted distinct 64-bit hashes so the per-pair exact Jaccard is
-    * a linear merge (native kernel, size-guarded by the
-    * JaccardLengthPruning rule), and the shingled survivors broadcast to
-    * both sides of the pair join. */
-  private def minhashVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    val bands = Dedup.minhashBands(docs, "text", "doc_id")
-    val cands = Dedup.minhashCandidates(bands, "doc_id")
-    val candIds = cands
-      .select(explode(array(col("id1"), col("id2"))).as("doc_id"))
-      .distinct()
-    val shingled = docs.join(candIds, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"),
-        graft.plans.HashExpressions.word_shingle_hashes(col("text"), 3)
-          .as("sh"))
-    cands
-      .join(broadcast(shingled.select(col("doc_id").as("id1"),
-        col("sh").as("sh1"))), "id1")
-      .join(broadcast(shingled.select(col("doc_id").as("id2"),
-        col("sh").as("sh2"))), "id2")
-      .withColumn("jaccard", round(
-        graft.plans.HashExpressions.sorted_jaccard(col("sh1"), col("sh2")),
-        3))
-      .filter(col("jaccard") >= 0.4)
-      .select(col("id1"), col("id2"), col("jaccard"))
-  }
+  /** Verified near-dup pairs (shared by q_dedup_minhash and
+    * q_dedup_cluster): see [[Dedup.verifiedPairs]] — the verification-
+    * gate scale broadcasts the shingled survivor set (one ReuseExchange-
+    * shared build for both pair sides). */
+  private def minhashVerifiedPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.verifiedPairs(t(s, dir, "documents"), "text", "doc_id")
 
   /** DuckDB CTE chain computing the brute-force ground truth of
     * [[minhashVerifiedPairs]] (`pairs(id1, id2, jaccard)`). */

@@ -33,8 +33,11 @@ object Dedup {
     df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
 
   /** Exact dedup: keep the lowest `idCol` per normalized-text fingerprint.
-    * At scale: shuffle key is the 256-bit digest string; the text column is
-    * pruned before the shuffle (only id+fingerprint move). */
+    * Two exchanges: the fanOut moves the pruned (id, text) projection so
+    * hashing parallelism isn't capped by input splits (worth it when the
+    * scan is poorly split or document lengths skew; at a well-split
+    * 100 TB layout, drop it); the groupBy then shuffles only
+    * (fingerprint, id) pairs — the text never crosses twice. */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     fanOut(df.select(col(idCol), col(textCol)))
       .select(col(idCol), Text.fingerprint(col(textCol)).as("fp"))
@@ -85,6 +88,43 @@ object Dedup {
       .select(explode(filter(pairs,
         p => p.getField("id1") < p.getField("id2"))).as("pair"))
       .select(col("pair.id1"), col("pair.id2")).distinct()
+  }
+
+  /** Full near-dup pipeline: LSH banding → candidate pairs → exact
+    * word-n-gram Jaccard ≥ `threshold` (rounded to 3 decimals, matching
+    * the oracle encoding). Verification cost scales with |candidates|,
+    * not |corpus|: the corpus is semi-joined down to ids appearing in
+    * some candidate pair BEFORE shingling; shingle sets are sorted
+    * distinct 64-bit hashes so per-pair exact Jaccard is a linear merge
+    * (native kernel, size-guarded by the JaccardLengthPruning rule).
+    *
+    * `broadcastSurvivors` broadcasts the shingled survivor set to both
+    * pair sides — both joins reference the SAME exchange subtree, so
+    * ReuseExchange builds it once. Right when survivors are small (the
+    * verification-gate scale); leave false on dup-heavy corpora where
+    * the survivor set is a large fraction of the corpus (ScaleStress)
+    * and a shuffle join is the safe plan. */
+  def verifiedPairs(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double = 0.4, shingleWords: Int = 3,
+      broadcastSurvivors: Boolean = true): DataFrame = {
+    val cands = minhashCandidates(minhashBands(df, textCol, idCol), idCol)
+    val candIds = cands
+      .select(explode(array(col("id1"), col("id2"))).as(idCol))
+      .distinct()
+    val shingled0 = df.join(candIds, Seq(idCol), "left_semi")
+      .select(col(idCol).as("__sid"),
+        graft.plans.HashExpressions
+          .word_shingle_hashes(col(textCol), shingleWords).as("__sh"))
+    val shingled =
+      if (broadcastSurvivors) broadcast(shingled0) else shingled0
+    cands
+      .join(shingled.as("s1"), col("id1") === col("s1.__sid"))
+      .join(shingled.as("s2"), col("id2") === col("s2.__sid"))
+      .withColumn("jaccard", round(
+        graft.plans.HashExpressions
+          .sorted_jaccard(col("s1.__sh"), col("s2.__sh")), 3))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
   }
 
   /** Jaccard ESTIMATE from two equal-length minhash signatures: the

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -213,7 +213,8 @@ case class MinHashSigExpr(child: Expression, k: Int) extends UnaryExpression {
 /** Fused text→normalize→shingle→minhash signature (see
   * [[HashKernels.minhashText]]). */
 case class MinHashTextExpr(child: Expression, n: Int, k: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_text"
 
@@ -230,7 +231,8 @@ case class MinHashTextExpr(child: Expression, n: Int, k: Int)
 /** Sorted-distinct 64-bit hashes of word n-gram shingles (see
   * [[HashKernels.wordShingleHashes]]). */
 case class WordShingleHashesExpr(child: Expression, n: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "word_shingle_hashes"
 
@@ -246,7 +248,8 @@ case class WordShingleHashesExpr(child: Expression, n: Int)
 
 /** Linear-merge Jaccard over two sorted distinct long arrays. */
 case class SortedJaccardExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "sorted_jaccard"
 
@@ -265,7 +268,10 @@ case class SortedJaccardExpr(left: Expression, right: Expression)
 /** Native cosine over two float-array columns (nullable on length
   * mismatch, so no defineCodeGen — nullSafeCodeGen with a null check). */
 case class CosineSimExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+  // getFloat kernels: non-float numeric arrays MUST be cast up front —
+  // reading a double slot as float silently corrupts similarities
+  override def inputTypes = Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "cosine_sim"
@@ -290,7 +296,8 @@ case class CosineSimExpr(left: Expression, right: Expression)
 /** All-planes-in-one-pass random-hyperplane signature (see
   * [[HashKernels.hyperplaneSig]]). */
 case class HyperplaneSigExpr(child: Expression, bits: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(ArrayType(FloatType))
   override def dataType: DataType = LongType
   override def prettyName: String = "hyperplane_sig"
 

@@ -39,12 +39,16 @@ object JaccardLengthPruning extends Rule[LogicalPlan] {
         asDouble(v).map((a, b, _))
       case GreaterThan(SortedJaccardExpr(a, b), Literal(v, _)) =>
         asDouble(v).map((a, b, _))
-      case GreaterThanOrEqual(r: Round, Literal(v, _)) =>
-        (r.child, r.scale) match {
-          case (SortedJaccardExpr(a, b), Literal(s: Int, IntegerType)) =>
-            asDouble(v).map(t => (a, b, t - 0.5 * math.pow(10, -s)))
-          case _ => None
-        }
+      case GreaterThanOrEqual(r: Round, Literal(v, _)) => roundedBound(r, v)
+      case GreaterThan(r: Round, Literal(v, _)) => roundedBound(r, v)
+      case _ => None
+    }
+
+  private def roundedBound(r: Round, v: Any)
+      : Option[(Expression, Expression, Double)] =
+    (r.child, r.scale) match {
+      case (SortedJaccardExpr(a, b), Literal(s: Int, IntegerType)) =>
+        asDouble(v).map(t => (a, b, t - 0.5 * math.pow(10, -s)))
       case _ => None
     }
 

@@ -40,9 +40,21 @@ object JobControl {
       try {
         return Outcome(Some(body()), attempts, None)
       } catch {
-        case e: Throwable =>
+        // NonFatal only: OOM/interrupt/fatal errors are not provider
+        // failures and must not be retried or swallowed
+        case scala.util.control.NonFatal(e) =>
           lastErr = e
-          if (attempts <= retries && delayMs > 0) Thread.sleep(delayMs)
+          if (attempts <= retries && delayMs > 0) {
+            try Thread.sleep(delayMs)
+            catch {
+              case ie: InterruptedException =>
+                // cancellation during backoff: restore the flag, clean
+                // up state, and propagate — no further attempts
+                Thread.currentThread().interrupt()
+                dispose()
+                throw ie
+            }
+          }
       }
     }
     dispose()

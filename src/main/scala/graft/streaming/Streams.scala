@@ -96,14 +96,24 @@ object Streams {
           } else {
             val out = scala.collection.mutable.ArrayBuffer[ClosedSession]()
             var cur = state.getOption
+            // batch events sorted ascending; a late-but-in-watermark event
+            // may still precede the open session's start
             it.map(_.ts.getTime).toArray.sorted.foreach { t =>
               cur match {
                 case Some((s, e, n)) if t - e > gapMs =>
+                  // beyond the gap after the session: close it, start new
                   out += ClosedSession(uid, new java.sql.Timestamp(s),
                     new java.sql.Timestamp(e), n)
                   cur = Some((t, t, 1L))
+                case Some((s, e, n)) if s - t > gapMs =>
+                  // late outlier more than a gap BEFORE the session
+                  // start: its own (already-closable) session
+                  out += ClosedSession(uid, new java.sql.Timestamp(t),
+                    new java.sql.Timestamp(t), 1L)
+                  cur = Some((s, e, n))
                 case Some((s, e, n)) =>
-                  cur = Some((s, math.max(e, t), n + 1))
+                  // within a gap of the open interval: extend either edge
+                  cur = Some((math.min(s, t), math.max(e, t), n + 1))
                 case None =>
                   cur = Some((t, t, 1L))
               }

@@ -54,17 +54,11 @@ object ScaleStress {
       val tCand = (System.nanoTime() - t0) / 1e9
 
       t0 = System.nanoTime()
-      val candIds = cands
-        .select(explode(array(col("id1"), col("id2"))).as("doc_id"))
-        .distinct()
-      val shingled = docs.join(candIds, Seq("doc_id"), "left_semi")
-        .select(col("doc_id"), graft.plans.HashExpressions
-          .word_shingle_hashes(col("text"), 3).as("sh"))
-      val verified = cands
-        .join(shingled.select(col("doc_id").as("id1"), col("sh").as("sh1")), "id1")
-        .join(shingled.select(col("doc_id").as("id2"), col("sh").as("sh2")), "id2")
-        .filter(graft.plans.HashExpressions
-          .sorted_jaccard(col("sh1"), col("sh2")) >= 0.4)
+      // same builder as the q_dedup_minhash/q_dedup_cluster queries, but
+      // with the shuffle-join plan: on this dup-heavy corpus the shingled
+      // survivor set is most of the corpus — too big to broadcast
+      val verified = Dedup
+        .verifiedPairs(docs, "text", "doc_id", broadcastSurvivors = false)
         .select(col("id1"), col("id2")).cache()
       val nPairs = verified.count()
       val tVerify = (System.nanoTime() - t0) / 1e9

@@ -53,8 +53,8 @@ class PlanAssertionsSpec extends AnyFunSuite {
   test("JaccardLengthPruning injects the O(1) size guard before the merge") {
     graft.plans.GraftExtensions.register(spark)
     val p = plan("q_dedup_minhash")
-    // the guard shape: size(sh) cast to double compared against t*size
-    assert(p.contains("size(sh"), s"no length guard in plan:\n$p")
+    // the guard shape: size(__sh) cast to double compared against t*size
+    assert(p.contains("size(__sh"), s"no length guard in plan:\n$p")
     assert(p.contains("sorted_jaccard"), "kernel disappeared from plan")
   }
 
@@ -62,21 +62,33 @@ class PlanAssertionsSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     import graft.plans.HashExpressions._
     import spark.implicits._
-    val df = Seq(
+    val texts = Seq(
       (1L, "a b c d e f g h"), (2L, "a b c d e f g x"),
       (3L, "a b"), (4L, "totally different words here now ok"))
-      .toDF("id", "text")
+    // engine-independent ground truth: word-3-gram set Jaccard in Scala
+    // (the earlier test already registered the rule on the shared
+    // session, so a Spark "no-rule" baseline would be rule-on anyway)
+    def shingles(t: String): Set[String] = {
+      val w = t.split("\\s+").toSeq
+      if (w.length <= 3) Set(w.mkString(" "))
+      else w.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val expected = (for {
+      (i, ti) <- texts; (j, tj) <- texts if i < j
+      inter = shingles(ti).intersect(shingles(tj)).size.toDouble
+      union = shingles(ti).union(shingles(tj)).size.toDouble
+      if math.rint(inter / union * 1000) / 1000 >= 0.4
+    } yield (i, j)).toSet
+    val df = texts.toDF("id", "text")
       .select(col("id"), word_shingle_hashes(col("text"), 3).as("sh"))
-    val pairs = df.as("l").join(df.as("r"), col("l.id") < col("r.id"))
+    graft.plans.GraftExtensions.register(spark)
+    val withRule = df.as("l").join(df.as("r"), col("l.id") < col("r.id"))
       .select(col("l.id").as("id1"), col("r.id").as("id2"),
         round(sorted_jaccard(col("l.sh"), col("r.sh")), 3).as("j"))
-    val noRule = pairs.filter(col("j") >= 0.4)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    graft.plans.GraftExtensions.register(spark)
-    val withRule = pairs.filter(col("j") >= 0.4)
+      .filter(col("j") >= 0.4)
     assert(withRule.queryExecution.optimizedPlan.toString.contains("size("),
       "rule did not fire on the guardable filter")
     assert(withRule.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      == noRule)
+      == expected)
   }
 }

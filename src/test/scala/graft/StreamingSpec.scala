@@ -101,6 +101,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("gap sessions absorb late in-watermark events before session start") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[Streams.Event]
+    def at(h: Int, min: Int) =
+      java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$min%02d:00")
+    def ev(id: Long, h: Int, min: Int) =
+      Streams.Event(id, at(h, min), 3L, "view", 1.0)
+    val q = Streams.gapSessions(spark, ms.toDF(), gapMinutes = 30,
+        delay = "1 hour")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("gap_late_out").start()
+    try {
+      ms.addData(ev(1, 10, 0))
+      q.processAllAvailable()
+      // late event at 09:50 (within the 1h watermark) precedes the open
+      // session's start by less than the gap: the session must extend
+      // backwards, not report a 10:00 start
+      ms.addData(ev(2, 9, 50))
+      q.processAllAvailable()
+      ms.addData(ev(3, 14, 0)) // advance watermark, close the session
+      q.processAllAvailable()
+      val rows = spark.table("gap_late_out")
+        .select("session_start", "session_end", "n_events").collect()
+        .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2))).toSet
+      assert(rows.contains((at(9, 50), at(10, 0), 2L)),
+        s"late event not absorbed: $rows")
+    } finally q.stop()
+  }
+
   test("multimodal: binary columns flow through partition-batch extract") {
     val media = Multimodal.syntheticMedia(spark, dir)
     val feats = Multimodal.extractFeatures(media)
