@@ -78,16 +78,20 @@ class KernelPropertiesSpec extends AnyFunSuite {
   }
 
   test("hyperplaneSig: deterministic; negation flips (almost) every bit") {
-    val vec = Gen.listOfN(8, Gen.chooseNum(-10.0f, 10.0f))
-      .suchThat(v => v.exists(x => math.abs(x) > 1e-3))
-    check(forAll(vec) { v =>
+    // seeded continuous floats, NOT scalacheck: shrinking steers toward
+    // "nice" values (0.0, ±1.0, ±10.0) whose ± sums cancel to an exact
+    // 0.0 dot product, where both signs legitimately report bit 0
+    val rnd = new scala.util.Random(42)
+    (1 to 300).foreach { _ =>
+      val v = List.fill(8)((rnd.nextFloat() - 0.5f) * 20f + 1e-3f)
       val s1 = HashKernels.hyperplaneSig(farr(v), 16)
       val s2 = HashKernels.hyperplaneSig(farr(v), 16)
       val neg = HashKernels.hyperplaneSig(farr(v.map(-_)), 16)
       // dot products flip sign under negation, so bits complement except
-      // where a dot lands exactly on 0.0 (both sides then report 0)
+      // where a dot lands exactly on 0.0 (measure-zero for these values)
       val hamming = java.lang.Long.bitCount((s1 ^ neg) & 0xFFFFL)
-      s1 == s2 && hamming >= 14
-    })
+      assert(s1 == s2)
+      assert(hamming >= 15, s"v=$v hamming=$hamming")
+    }
   }
 }
