@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column
@@ -103,6 +103,70 @@ object Similarity {
       .withColumn("sim", cosine(col(vecCol), col(qvecCol)))
       .select(col(qidCol), col(idCol), col("sim"))
       .dropDuplicates(qidCol, idCol) // a pair may meet in several cells
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Materialize the IVF index: corpus written partitioned by its coarse
+    * k-means cell, centroids as a tiny sidecar. At 100 TB this is the
+    * load-bearing half of IVF — a probe then reads `nprobe` parquet
+    * partitions instead of scanning the corpus (storage-level partition
+    * pruning, see [[ivfTopKFromIndex]]). */
+  def writeIvfIndex(corpus: DataFrame, path: String, nlist: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.sql.expressions.Window
+    val train = corpus.select(array_to_vector(
+      col(vecCol).cast("array<double>")).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
+      .fit(train)
+    val centroids = model.clusterCenters.zipWithIndex.map {
+      case (c, i) => (i, c.toArray.map(_.toFloat))
+    }
+    val centDf = corpus.sparkSession.createDataFrame(centroids.toSeq)
+      .toDF("cell", "centroid")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__sim").desc,
+      col("cell").asc)
+    corpus.select(col(idCol), col(vecCol))
+      .join(broadcast(centDf))
+      .withColumn("__sim", cosine(col(vecCol), col("centroid")))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1)
+      .select(col(idCol), col(vecCol), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/index")
+    centDf.write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Probe a materialized IVF index: the `cell isin(probes)` predicate is
+    * a PARTITION filter on the index layout — Spark prunes unprobed
+    * cells at the file-listing level, so probe I/O is |probed cells|,
+    * not |corpus|. Centroids and queries are driver-small. */
+  def ivfTopKFromIndex(spark: SparkSession, path: String,
+      queries: DataFrame, k: Int, nprobe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centDf = spark.read.parquet(s"$path/centroids")
+    val wq = Window.partitionBy(col(qidCol)).orderBy(col("__sim").desc,
+      col("cell").asc)
+    val probes = queries.select(col(qidCol), col(qvecCol))
+      .join(broadcast(centDf))
+      .withColumn("__sim", cosine(col(qvecCol), col("centroid")))
+      .withColumn("__r", row_number().over(wq))
+      .filter(col("__r") <= nprobe)
+      .select(col(qidCol), col(qvecCol), col("cell"))
+    val probedCells = probes.select("cell").distinct()
+      .collect().map(_.getInt(0))
+    val index = spark.read.parquet(s"$path/index")
+      .filter(col("cell").isin(probedCells.toSeq: _*)) // partition pruning
+    val w = Window.partitionBy(col(qidCol))
+      .orderBy(col("sim").desc, col(idCol).asc)
+    index.join(broadcast(probes), Seq("cell"))
+      .filter(col(idCol) =!= col(qidCol))
+      .withColumn("sim", cosine(col(vecCol), col(qvecCol)))
+      .select(col(qidCol), col(idCol), col("sim"))
+      .dropDuplicates(qidCol, idCol)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }

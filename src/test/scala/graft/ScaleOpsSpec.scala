@@ -77,6 +77,28 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(ivf.size == 15) // 3 queries × k=5
   }
 
+  test("materialized IVF index probes with storage-level partition pruning") {
+    import graft.operators.Similarity
+    val em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = em.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val path = java.nio.file.Files.createTempDirectory("ivf").toString
+    Similarity.writeIvfIndex(em, path, nlist = 8)
+    val probed = Similarity.ivfTopKFromIndex(spark, path, queries, 5,
+      nprobe = 4)
+    // the cell predicate must reach the file listing as a PARTITION
+    // filter (pruned cells are never read), not a data filter
+    val plan = probed.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      s"no partition pruning in plan:\n$plan")
+    // same quantizer seed => identical results to the inline IVF path
+    val inline = Similarity.ivfTopK(em, queries, 5, nlist = 8, nprobe = 4)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val fromIndex = probed
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    assert(fromIndex == inline)
+  }
+
   test("AvailableNow resync: first run drains, second run is a no-op") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-resync").toString
     val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
