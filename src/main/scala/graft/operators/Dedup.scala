@@ -106,8 +106,31 @@ object Dedup {
     * and a shuffle join is the safe plan. */
   def verifiedPairs(df: DataFrame, textCol: String, idCol: String,
       threshold: Double = 0.4, shingleWords: Int = 3,
-      broadcastSurvivors: Boolean = true): DataFrame = {
-    val cands = minhashCandidates(minhashBands(df, textCol, idCol), idCol)
+      broadcastSurvivors: Boolean = true,
+      estimatePrefilter: Option[Double] = None): DataFrame = {
+    val cands0 = minhashCandidates(minhashBands(df, textCol, idCol), idCol)
+    // Optional signature-level prefilter: drop candidate pairs whose
+    // MinHash Jaccard ESTIMATE is below `minEst` before any shingle
+    // array is attached (signatures are 160 B/doc vs KBs of shingles).
+    // minEst must sit well below `threshold` (estimate std ≈
+    // sqrt(J(1-J)/k) ≈ 0.11 at k=20) — this is a recall/IO tradeoff for
+    // low-dup corpora, NOT valid for exact-oracle paths.
+    val cands = estimatePrefilter match {
+      case Some(minEst) =>
+        val sigs = fanOut(df.select(col(idCol), col(textCol)))
+          .select(col(idCol).as("__pid"),
+            graft.plans.HashExpressions.minhash_text(col(textCol), 5, 20)
+              .as("__psig"))
+        cands0
+          .join(sigs.select(col("__pid").as("id1"), col("__psig").as("__sig1")),
+            "id1")
+          .join(sigs.select(col("__pid").as("id2"), col("__psig").as("__sig2")),
+            "id2")
+          .filter(minhashJaccardEstimate(col("__sig1"), col("__sig2"))
+            >= minEst)
+          .select(col("id1"), col("id2"))
+      case None => cands0
+    }
     val candIds = cands
       .select(explode(array(col("id1"), col("id2"))).as(idCol))
       .distinct()

@@ -70,6 +70,17 @@ object ScaleStress {
 
       println(f"$copies%8d $nDocs%9d $nCands%9d $nPairs%9d $nClusters%9d " +
         f"$tCand%8.1f $tVerify%9.1f $tCc%8.1f")
+
+      if (copies == maxScale) {
+        // signature-estimate prefilter variant: pairs whose 20-lane
+        // estimate < 0.2 skip shingle attachment entirely
+        val t1 = System.nanoTime()
+        val nPre = Dedup.verifiedPairs(docs, "text", "doc_id",
+            broadcastSurvivors = false, estimatePrefilter = Some(0.2))
+          .count()
+        println(f"  prefilter(0.2) at ${copies}x: pairs=$nPre " +
+          f"t_verify=${(System.nanoTime() - t1) / 1e9}%.1f s")
+      }
       docs.unpersist(); cands.unpersist(); verified.unpersist()
     }
     spark.stop()

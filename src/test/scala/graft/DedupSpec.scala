@@ -92,6 +92,18 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall=$recall")
   }
 
+  test("estimate prefilter keeps every true near-dup pair (loose bound)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plain = Dedup.verifiedPairs(docs, "text", "doc_id")
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val pre = Dedup.verifiedPairs(docs, "text", "doc_id",
+        estimatePrefilter = Some(0.2))
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(pre == plain, s"prefilter dropped ${plain -- pre}")
+  }
+
   test("fused minhash_text == minhash_sig(char_shingles) on all paths") {
     import graft.plans.HashExpressions
     import graft.functions.Text
