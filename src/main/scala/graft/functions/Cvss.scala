@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.udf
+import org.apache.spark.sql.functions.{lit, regexp_replace, struct, udf, when}
 
 /** CVSS v3.x base / exploitability / impact scoring from a vector string.
   *
@@ -106,4 +106,23 @@ object Cvss extends Serializable {
   /** struct(version, baseScore, exploitabilityScore, impactScore,
     * baseSeverity) or null for malformed vectors. */
   def cvss3_score(vector: Column): Column = scoreUdf(vector)
+
+  /** CVSS v4.0 base-vector grammar: the 11 mandatory base metrics in
+    * spec order, then any optional threat/environmental/supplemental
+    * metrics. */
+  private val cvss4Pattern =
+    "^CVSS:4\\.0/AV:[NALP]/AC:[LH]/AT:[NP]/PR:[NLH]/UI:[NPA]" +
+      "/VC:[HLN]/VI:[HLN]/VA:[HLN]/SC:[HLN]/SI:[HLN]/SA:[HLN]" +
+      "(/[A-Z]{1,4}:[A-Za-z0-9.]+)*$"
+
+  /** CVSS v4 pass-through with validation — the reference computes NO v4
+    * scores, it validates the vector and emits `{version, vector}`
+    * (`providers/github/parser.py:648-665`): same here, null for
+    * malformed vectors. A trailing '/' is stripped first
+    * (`parser.py:650`). */
+  def cvss4_validate(vector: Column): Column = {
+    val trimmed = regexp_replace(vector, "/$", "")
+    when(trimmed.rlike(cvss4Pattern),
+      struct(lit("4.0").as("version"), trimmed.as("vector")))
+  }
 }

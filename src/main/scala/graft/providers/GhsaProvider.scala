@@ -27,6 +27,7 @@ object GhsaProvider {
       "publishedAt: STRING, updatedAt: STRING, " +
       "identifiers: ARRAY<STRUCT<type: STRING, value: STRING>>, " +
       "cvss: STRUCT<vectorString: STRING>, " +
+      "cvssSeverities: STRUCT<cvssV4: STRUCT<vectorString: STRING>>, " +
       "vulnerabilities: STRUCT<nodes: ARRAY<STRUCT<" +
       "package: STRUCT<ecosystem: STRING, name: STRING>, " +
       "vulnerableVersionRange: STRING, " +
@@ -54,9 +55,12 @@ object GhsaProvider {
         col("a.publishedAt").as("published"),
         Cvss.cvss3_score(nullif(col("a.cvss.vectorString"), lit("")))
           .as("cvss"),
+        Cvss.cvss4_validate(
+          nullif(col("a.cvssSeverities.cvssV4.vectorString"), lit("")))
+          .as("cvss_v4"),
         explode(col("a.vulnerabilities.nodes")).as("v"))
       .select(col("ghsa_id"), col("cve"), col("severity"), col("summary"),
-        col("published"), col("cvss"),
+        col("published"), col("cvss"), col("cvss_v4"),
         element_at(ecoMap, col("v.package.ecosystem")).as("ecosystem"),
         col("v.package.name").as("pkg"),
         col("v.vulnerableVersionRange").as("range"),

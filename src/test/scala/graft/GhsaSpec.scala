@@ -35,6 +35,17 @@ class GhsaSpec extends AnyFunSuite {
     assert(req.getAs[org.apache.spark.sql.Row]("cvss") == null)
   }
 
+  test("CVSS v4 pass-through: validated vector kept (trailing slash " +
+      "stripped), malformed → null, no score computed") {
+    val lodash = rows.find(_.getAs[String]("pkg") == "lodash").get
+    val v4 = lodash.getAs[org.apache.spark.sql.Row]("cvss_v4")
+    assert(v4.getAs[String]("version") == "4.0")
+    assert(v4.getAs[String]("vector") ==
+      "CVSS:4.0/AV:N/AC:L/AT:N/PR:N/UI:N/VC:L/VI:L/VA:N/SC:N/SI:N/SA:N")
+    val req = rows.find(_.getAs[String]("pkg") == "requests").get
+    assert(req.getAs[org.apache.spark.sql.Row]("cvss_v4") == null)
+  }
+
   test("range + fixed version surfaced per package") {
     val lodash = rows.find(_.getAs[String]("pkg") == "lodash").get
     assert(lodash.getAs[String]("range") == ">= 1.0.0, < 4.17.21")
