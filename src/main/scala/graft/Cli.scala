@@ -61,9 +61,14 @@ object Cli {
             .forEach(f => java.nio.file.Files.delete(f))
           println(s"[graft] cleared $provider")
         } else println(s"[graft] nothing to clear for $provider")
+      case "config" :: rest if rest.length <= 1 =>
+        // `vunnel config` parity: resolved defaults ⊕ YAML ⊕ env as YAML
+        print(ConfigLayer.render(ConfigLayer.resolve(
+          graft.providers.Registry.providers.map(_.name), rest.headOption)))
       case other =>
         System.err.println(s"unknown command: ${other.mkString(" ")}")
         System.err.println("commands: run secdb <path> <ns> <root> | " +
-          "status <root> | list <root> | clear <root> <provider>")
+          "status <root> | list <root> | clear <root> <provider> | " +
+          "config [file.yaml]")
     }
 }

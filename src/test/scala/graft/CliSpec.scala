@@ -41,6 +41,36 @@ class CliSpec extends AnyFunSuite {
       .forall(s => !s.tags.contains("osv")))
   }
 
+  test("config layer: defaults + YAML + env deep-merge, stable YAML out") {
+    val yaml = java.nio.file.Files.createTempFile("cfg", ".yaml")
+    java.nio.file.Files.writeString(yaml,
+      """root: /data/custom
+        |providers:
+        |  nvd:
+        |    request_timeout: 30
+        |""".stripMargin)
+    val cfg = ConfigLayer.resolve(Seq("nvd", "wolfi"), Some(yaml.toString),
+      env = Map("GRAFT_WOLFI_ON_ERROR__ACTION" -> "skip",
+        "GRAFT_NVD_REQUEST_TIMEOUT" -> "99"))
+    def providers(c: Map[String, Any]) =
+      c("providers").asInstanceOf[Map[String, Any]]
+    def nvd = providers(cfg)("nvd").asInstanceOf[Map[String, Any]]
+    def wolfi = providers(cfg)("wolfi").asInstanceOf[Map[String, Any]]
+    assert(cfg("root") == "/data/custom")                  // file beats default
+    assert(nvd("request_timeout") == 99)                   // env beats file
+    assert(nvd("existing_results") == "delete-before-write") // default kept
+    val onErr = wolfi("on_error").asInstanceOf[Map[String, Any]]
+    assert(onErr("action") == "skip")                      // nested env path
+    assert(onErr("retry_count") == 3)                      // sibling default
+    val rendered = ConfigLayer.render(cfg)
+    assert(rendered.contains("action: skip"))
+    assert(rendered.contains("retry_count: 3"))
+    // round-trips through the YAML reader
+    val tmp2 = java.nio.file.Files.createTempFile("cfg2", ".yaml")
+    java.nio.file.Files.writeString(tmp2, rendered)
+    assert(ConfigLayer.loadYaml(tmp2.toString)("root") == "/data/custom")
+  }
+
   test("quarantine: failing rows routed aside, job survives (§7.4.7)") {
     val df = Seq("2023-01-15", "garbage", "2023-02-20").toDF("raw")
     val parse = Quarantine.tryUdf { s =>
