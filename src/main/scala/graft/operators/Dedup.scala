@@ -190,12 +190,43 @@ object Dedup {
     * At scale each iteration is one join + one groupBy on the edge list
     * (no driver-side union-find); near-dup clusters are shallow (most
     * have diameter ≤ 2-3), so convergence is fast and bounded. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10,
+      driverThreshold: Long = 100000L): DataFrame = {
     val spark = pairs.sparkSession
     // undirected edges, both directions
     val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
       .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
       .distinct().cache()
+    // Adaptive fast path: below the threshold a driver union-find is one
+    // collect instead of diameter-many join rounds. The iterative path
+    // below is the scale story; this is the (equally exact) small-graph
+    // engineering answer — near-dup edge sets are usually tiny relative
+    // to their corpus.
+    val nEdges = edges.count()
+    if (nEdges > 0 && nEdges <= driverThreshold) {
+      // collect from the CACHED edges (one upstream execution total);
+      // the doubled directions are harmless to union-find
+      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) {
+          val n = parent.getOrElse(c, c); parent(c) = r; c = n
+        }
+        r
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val ids = es.flatMap { case (a, b) => Seq(a, b) }.distinct
+      val out = ids.map(id => (id, find(id)))
+      edges.unpersist()
+      import spark.implicits._
+      return out.toSeq.toDF("id", "component")
+    }
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
     var converged = false

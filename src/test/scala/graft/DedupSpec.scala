@@ -92,6 +92,21 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall=$recall")
   }
 
+  test("connected components: distributed path == driver fast path") {
+    // chain 1-2-3-4, pair 5-6, singleton edge 7-8
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L), (7L, 8L))
+      .toDF("id1", "id2")
+    def labels(threshold: Long) =
+      Dedup.connectedComponents(pairs, driverThreshold = threshold)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fast = labels(100000L)
+    val dist = labels(0L) // force the iterative label-propagation path
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L)
+    assert(fast == expected)
+    assert(dist == expected)
+  }
+
   test("estimate prefilter keeps every true near-dup pair (loose bound)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val plain = Dedup.verifiedPairs(docs, "text", "doc_id")
