@@ -413,11 +413,17 @@ object QueriesPipeline {
           .withColumn("new_s", coalesce(newSession, lit(0)))
           .withColumn("session_no",
             sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
-        withSess.groupBy(col("user_id"), col("session_no"))
+        // Every output column is integer-typed: DuckDB's windowed
+        // sum() yields HUGEINT (stringifies as float through pandas)
+        // and money doubles stringify engine-dependently — both were
+        // hash-mismatch classes in the driver's strict compare even
+        // though value-tolerant local checks passed.
+        withSess.groupBy(col("user_id"),
+            col("session_no").cast("long").as("session_no"))
           .agg(count(lit(1)).as("n_events"),
-            moneySum(col("value")).as("session_value"))
+            sum(cents(col("value"))).as("session_cents"))
       },
-      Some(s"""WITH g AS (
+      Some("""WITH g AS (
           SELECT user_id, value,
             CASE WHEN cast(floor(epoch(cast(ts as timestamp))) as bigint) -
               cast(floor(epoch(cast(lag(ts,1) OVER w as timestamp))) as bigint)
@@ -426,11 +432,13 @@ object QueriesPipeline {
           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         s AS (
           SELECT user_id, value,
-            sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+            cast(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint)
+              AS session_no
           FROM g)
         SELECT user_id, session_no, count(*) AS n_events,
-          ${sqlMoneySum("value")} AS session_value
+          cast(sum(cast(floor((value)*100 + 0.5) as bigint)) as bigint)
+            AS session_cents
         FROM s GROUP BY user_id, session_no""")),
 
     // Multimodal: binary media columns → partition-batch feature

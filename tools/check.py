@@ -65,6 +65,27 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"ROWCOUNT_MISMATCH  {name}: spark={len(g)} duck={len(x)}")
             n_fail += 1
             continue
+        # The driver's compare is a strict stringify-hash: a column that
+        # is int64 on one side and float64 on the other (e.g. DuckDB
+        # HUGEINT -> pandas float) stringifies differently ("3" vs
+        # "3.0") even when values are equal — flag it as a failure here
+        # so it can't pass locally and fail driver-side.
+        dtype_mismatch = [
+            c for c in g.columns
+            if (pd.api.types.is_float_dtype(g[c])
+                != pd.api.types.is_float_dtype(x[c]))
+        ]
+        if dtype_mismatch:
+            print(f"DTYPE_MISMATCH     {name}: "
+                  + ", ".join(f"{c}: spark={g[c].dtype} duck={x[c].dtype}"
+                              for c in dtype_mismatch))
+            n_fail += 1
+            continue
+        float_cols = [c for c in g.columns
+                      if pd.api.types.is_float_dtype(g[c])]
+        if float_cols:
+            print(f"FLOAT_COLS         {name}: {float_cols} "
+                  "(driver hashes strictly; prefer integer encodings)")
         try:
             pd.testing.assert_frame_equal(g, x, check_dtype=False,
                                           check_exact=False, rtol=1e-9, atol=1e-9)
