@@ -52,50 +52,57 @@ object Similarity {
   def hyperplaneSignature(vec: Column, bits: Int): Column =
     graft.plans.HashExpressions.hyperplane_sig(vec, bits)
 
-  /** IVF (inverted-file) ANN: a coarse k-means quantizer partitions the
-    * corpus into `nlist` cells; each query probes its `nprobe` nearest
-    * centroids and reranks exactly within those cells only.
-    *
-    * Scale: centroids are tiny (broadcast); the corpus is scanned once
-    * to assign cells (narrow map) and thereafter only probed cells'
-    * rows are reranked — at 100 TB the corpus would be WRITTEN
-    * partitioned by cell so a probe prunes parquet partitions instead
-    * of scanning. Returns (qid, vec_id, sim, rank ≤ k). */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nlist: Int = 16, nprobe: Int = 4,
-      idCol: String = "vec_id", vecCol: String = "embedding",
-      qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+  /** Train the coarse quantizer and return its centroids driver-side
+    * (nlist × dim floats — a few KB, the legitimate "broadcast" size).
+    * `trainFraction` < 1 fits k-means on a seeded sample: at 100 TB the
+    * quantizer is trained on a sliver of the corpus, never the whole. */
+  def trainCentroids(corpus: DataFrame, vecCol: String, nlist: Int,
+      trainFraction: Double = 1.0): Seq[(Int, Array[Float])] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    import org.apache.spark.sql.expressions.Window
-
-    val train = corpus.select(array_to_vector(
+    val sampled =
+      if (trainFraction < 1.0)
+        corpus.sample(withReplacement = false, trainFraction, 42L)
+      else corpus
+    val train = sampled.select(array_to_vector(
       col(vecCol).cast("array<double>")).as("features"))
     val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
       .fit(train)
-    val centroids = model.clusterCenters.zipWithIndex.map {
+    model.clusterCenters.zipWithIndex.map {
       case (c, i) => (i, c.toArray.map(_.toFloat))
-    }
-    val centDf = corpus.sparkSession.createDataFrame(centroids.toSeq)
-      .toDF("cell", "centroid")
+    }.toSeq
+  }
 
-    // assign corpus rows to their nearest cell (argmax cosine; one
-    // broadcast join + window, no shuffle of vectors beyond the agg)
-    def nearestCells(df: DataFrame, vc: String, n: Int, out: String) = {
-      val w = Window.partitionBy(df.columns.map(col): _*)
-        .orderBy(col("__sim").desc, col("cell").asc)
-      df.join(broadcast(centDf))
-        .withColumn("__sim", cosine(col(vc), col("centroid")))
-        .withColumn("__r", row_number().over(w))
-        .filter(col("__r") <= n)
-        .drop("__sim", "__r", "centroid")
-        .withColumnRenamed("cell", out)
-    }
-    val assigned = nearestCells(corpus.select(col(idCol), col(vecCol)),
-      vecCol, 1, "cell")
-    val probes = nearestCells(queries.select(col(qidCol), col(qvecCol)),
-      qvecCol, nprobe, "cell")
+  /** Per-cell cosine sims as array<struct<sim, negCell>> — a pure
+    * projection over literal (driver-broadcast) centroids: no join, no
+    * Window, no Exchange. Struct ordering is lexicographic, so the max
+    * element is the highest sim with ties going to the LOWEST cell id
+    * (negCell trick). */
+  private def cellSims(vec: Column, cents: Seq[(Int, Array[Float])]): Column =
+    array(cents.map { case (i, c) =>
+      struct(cosine(vec, typedLit(c.toSeq)).as("sim"),
+        lit(-i).as("negCell"))
+    }: _*)
 
+  /** Nearest cell id of a vector — argmax cosine over the centroid
+    * literals, evaluated row-local inside whole-stage codegen. */
+  def nearestCell(vec: Column, cents: Seq[(Int, Array[Float])]): Column =
+    (array_max(cellSims(vec, cents)).getField("negCell") * -1).as("cell")
+
+  /** The `nprobe` nearest cell ids, best-first (sim desc, cell asc on
+    * ties) — row-local like [[nearestCell]]. */
+  def probeCells(vec: Column, cents: Seq[(Int, Array[Float])],
+      nprobe: Int): Column =
+    transform(slice(reverse(array_sort(cellSims(vec, cents))), 1, nprobe),
+      s => s.getField("negCell") * -1)
+
+  /** Shared rerank: candidates = cell-equi-join of the assigned corpus
+    * against broadcast probes; exact cosine within probed cells only;
+    * the only shuffle is the q·k window. */
+  private def rerankWithinCells(assigned: DataFrame, probes: DataFrame,
+      k: Int, idCol: String, vecCol: String, qidCol: String,
+      qvecCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(qidCol))
       .orderBy(col("sim").desc, col(idCol).asc)
     assigned.join(broadcast(probes), Seq("cell"))
@@ -107,68 +114,67 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF (inverted-file) ANN: a coarse k-means quantizer partitions the
+    * corpus into `nlist` cells; each query probes its `nprobe` nearest
+    * centroids and reranks exactly within those cells only.
+    *
+    * Scale: cell assignment is a pure expression over centroid literals
+    * — the corpus is scanned once with zero Exchange of vectors; the
+    * only shuffle in the whole plan carries (qid, id, sim) candidate
+    * triples. For repeated querying materialize the assignment once
+    * with [[writeIvfIndex]] and probe via [[ivfTopKFromIndex]], which
+    * prunes unprobed cells at the parquet-partition level. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    val cents = trainCentroids(corpus, vecCol, nlist)
+    val assigned = corpus.select(col(idCol), col(vecCol),
+      nearestCell(col(vecCol), cents).as("cell"))
+    val probes = queries.select(col(qidCol), col(qvecCol),
+      explode(probeCells(col(qvecCol), cents, nprobe)).as("cell"))
+    rerankWithinCells(assigned, probes, k, idCol, vecCol, qidCol, qvecCol)
+  }
+
   /** Materialize the IVF index: corpus written partitioned by its coarse
     * k-means cell, centroids as a tiny sidecar. At 100 TB this is the
     * load-bearing half of IVF — a probe then reads `nprobe` parquet
     * partitions instead of scanning the corpus (storage-level partition
-    * pruning, see [[ivfTopKFromIndex]]). */
+    * pruning, see [[ivfTopKFromIndex]]). Assignment is the zero-shuffle
+    * [[nearestCell]] expression; the partitioned write itself lays rows
+    * out by cell without any preceding Exchange. */
   def writeIvfIndex(corpus: DataFrame, path: String, nlist: Int = 16,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    import org.apache.spark.sql.expressions.Window
-    val train = corpus.select(array_to_vector(
-      col(vecCol).cast("array<double>")).as("features"))
-    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
-      .fit(train)
-    val centroids = model.clusterCenters.zipWithIndex.map {
-      case (c, i) => (i, c.toArray.map(_.toFloat))
-    }
-    val centDf = corpus.sparkSession.createDataFrame(centroids.toSeq)
-      .toDF("cell", "centroid")
-    val w = Window.partitionBy(col(idCol)).orderBy(col("__sim").desc,
-      col("cell").asc)
-    corpus.select(col(idCol), col(vecCol))
-      .join(broadcast(centDf))
-      .withColumn("__sim", cosine(col(vecCol), col("centroid")))
-      .withColumn("__r", row_number().over(w))
-      .filter(col("__r") === 1)
-      .select(col(idCol), col(vecCol), col("cell"))
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      trainFraction: Double = 1.0): Unit = {
+    val cents = trainCentroids(corpus, vecCol, nlist, trainFraction)
+    corpus.select(col(idCol), col(vecCol),
+        nearestCell(col(vecCol), cents).as("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/index")
-    centDf.write.mode("overwrite").parquet(s"$path/centroids")
+    val centDf = corpus.sparkSession.createDataFrame(cents)
+      .toDF("cell", "centroid")
+    centDf.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
   }
 
   /** Probe a materialized IVF index: the `cell isin(probes)` predicate is
     * a PARTITION filter on the index layout — Spark prunes unprobed
     * cells at the file-listing level, so probe I/O is |probed cells|,
-    * not |corpus|. Centroids and queries are driver-small. */
+    * not |corpus|. Centroids (nlist rows) are collected driver-side and
+    * folded into the probe expression; queries are broadcast. */
   def ivfTopKFromIndex(spark: SparkSession, path: String,
       queries: DataFrame, k: Int, nprobe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding",
       qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val centDf = spark.read.parquet(s"$path/centroids")
-    val wq = Window.partitionBy(col(qidCol)).orderBy(col("__sim").desc,
-      col("cell").asc)
-    val probes = queries.select(col(qidCol), col(qvecCol))
-      .join(broadcast(centDf))
-      .withColumn("__sim", cosine(col(qvecCol), col("centroid")))
-      .withColumn("__r", row_number().over(wq))
-      .filter(col("__r") <= nprobe)
-      .select(col(qidCol), col(qvecCol), col("cell"))
+    val cents: Seq[(Int, Array[Float])] =
+      spark.read.parquet(s"$path/centroids").collect().toSeq
+        .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+    val probes = queries.select(col(qidCol), col(qvecCol),
+      explode(probeCells(col(qvecCol), cents, nprobe)).as("cell"))
     val probedCells = probes.select("cell").distinct()
-      .collect().map(_.getInt(0))
+      .collect().map(_.getInt(0)) // |q|·nprobe ints — driver-bounded
     val index = spark.read.parquet(s"$path/index")
       .filter(col("cell").isin(probedCells.toSeq: _*)) // partition pruning
-    val w = Window.partitionBy(col(qidCol))
-      .orderBy(col("sim").desc, col(idCol).asc)
-    index.join(broadcast(probes), Seq("cell"))
-      .filter(col(idCol) =!= col(qidCol))
-      .withColumn("sim", cosine(col(vecCol), col(qvecCol)))
-      .select(col(qidCol), col(idCol), col("sim"))
-      .dropDuplicates(qidCol, idCol)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    rerankWithinCells(index, probes, k, idCol, vecCol, qidCol, qvecCol)
   }
 
   /** LSH-bucketed ANN: candidates = corpus rows whose signature equals the

@@ -91,4 +91,20 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(withRule.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       == expected)
   }
+
+  test("q_sim_ivf never exchanges embedding vectors") {
+    val p = plan("q_sim_ivf") // builds the index on first touch
+    // Cell assignment is a literal-centroid expression and probes are
+    // broadcast: the only allowed Exchange carries (qid, id, sim)
+    // candidate triples into the top-k window. An Exchange whose
+    // output includes an embedding/qvec column means the corpus
+    // vectors started shuffling again (the round-2 regression).
+    val exchanges = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(exchanges.forall(l =>
+      !l.contains("embedding") && !l.contains("qvec")),
+      s"vector column in an Exchange:\n${exchanges.mkString("\n")}")
+    // and the probe must prune index partitions at the file listing
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined,
+      s"no partition pruning in plan:\n$p")
+  }
 }
