@@ -308,21 +308,16 @@ object QueriesPipeline {
       },
       None),
 
-    // Embedding near-duplicates: cosine ≥ threshold on LSH-bucketed
-    // pairs (0.3 ≈ p99 of this synthetic corpus — real corpora with true
-    // dups would use 0.95+).
+    // Embedding near-duplicates: multi-band hyperplane LSH candidates
+    // (bucket-capped, mirroring MinHash banding — recall comes from
+    // more bands, not from a single small key whose buckets go
+    // quadratic) verified by exact cosine ≥ threshold (0.3 ≈ p99 of
+    // this synthetic corpus — real corpora with true dups use 0.95+).
     "q_dedup_embedding" -> Entry(
       (s, dir) => {
         val em = t(s, dir, "embeddings")
-        val sig = em.select(col("vec_id"), col("embedding"),
-          Similarity.hyperplaneSignature(col("embedding"), 6).as("sig"))
-        val a = sig.select(col("sig"), col("vec_id").as("id1"),
-          col("embedding").as("v1"))
-        val b = sig.select(col("sig"), col("vec_id").as("id2"),
-          col("embedding").as("v2"))
-        a.join(b, Seq("sig")).filter(col("id1") < col("id2"))
-          .withColumn("sim", Similarity.cosine(col("v1"), col("v2")))
-          .filter(col("sim") >= 0.3)
+        Dedup.embeddingNearDups(em, "vec_id", "embedding", 0.3,
+            bands = 6, bitsPerBand = 6)
           .select(col("id1"), col("id2"), round(col("sim"), 3).as("sim"))
       },
       None),

@@ -182,6 +182,52 @@ object Dedup {
     * the shared primitives. */
   def cosine(a: Column, b: Column): Column = Similarity.cosine(a, b)
 
+  /** Multi-band random-hyperplane banding for embedding near-dup: one
+    * `bands·bitsPerBand`-plane signature per vector (single kernel
+    * pass), band b's key = bit range [b·bitsPerBand, (b+1)·bitsPerBand).
+    * Same AND-OR structure as MinHash-LSH — similar vectors collide on
+    * SOME band with prob 1-(1-p^bits)^bands, p = 1 - θ/π — so recall is
+    * tuned by adding bands, not by shrinking the key until buckets go
+    * quadratic (the single-table failure mode). One row per (id, band,
+    * band_hash); candidates come from the same capped equi-shuffle as
+    * [[minhashCandidates]]. */
+  def embeddingBands(df: DataFrame, idCol: String, vecCol: String,
+      bands: Int = 6, bitsPerBand: Int = 6): DataFrame = {
+    require(bands * bitsPerBand <= 64, "signature exceeds 64 bits")
+    val mask = (1L << bitsPerBand) - 1
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("__sig"), b * bitsPerBand)
+          .bitwiseAND(lit(mask)).as("band_hash"))
+    }
+    fanOut(df.select(col(idCol), col(vecCol)))
+      .select(col(idCol),
+        Similarity.hyperplaneSignature(col(vecCol), bands * bitsPerBand)
+          .as("__sig"))
+      .select(col(idCol), explode(array(bandCols: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"),
+        col("bb.band_hash").as("band_hash"))
+  }
+
+  /** Embedding near-duplicates: banded hyperplane candidates (bucket-
+    * capped, never all-pairs) verified by exact cosine ≥ `threshold`.
+    * The banding shuffle carries (id, band, band_hash) — 20 B rows, not
+    * vectors; vectors are attached to candidate ids only. */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bands: Int = 6, bitsPerBand: Int = 6,
+      maxBucket: Int = 1000): DataFrame = {
+    val cands = minhashCandidates(
+      embeddingBands(df, idCol, vecCol, bands, bitsPerBand), idCol,
+      maxBucket)
+    val vecs = df.select(col(idCol), col(vecCol))
+    cands
+      .join(vecs.select(col(idCol).as("id1"), col(vecCol).as("__v1")), "id1")
+      .join(vecs.select(col(idCol).as("id2"), col(vecCol).as("__v2")), "id2")
+      .withColumn("sim", cosine(col("__v1"), col("__v2")))
+      .filter(col("sim") >= threshold)
+      .select(col("id1"), col("id2"), col("sim"))
+  }
+
   /** Resolve near-dup candidate pairs into duplicate clusters: iterative
     * min-label propagation (each id adopts the smallest id reachable so
     * far) until fixpoint or maxIter. Returns (id, component) where
@@ -203,10 +249,19 @@ object Dedup {
     // engineering answer — near-dup edge sets are usually tiny relative
     // to their corpus.
     val nEdges = edges.count()
-    if (nEdges > 0 && nEdges <= driverThreshold) {
+    // The driver fast path unifies on Long keys, so it only applies to
+    // integral id columns (cast back to the input type on return);
+    // string/other ids keep the type-generic iterative path regardless
+    // of edge count.
+    val idType = edges.schema("src").dataType
+    val integralId = idType == org.apache.spark.sql.types.LongType ||
+      idType == org.apache.spark.sql.types.IntegerType
+    if (nEdges > 0 && nEdges <= driverThreshold && integralId) {
       // collect from the CACHED edges (one upstream execution total);
       // the doubled directions are harmless to union-find
-      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val es = edges
+        .select(col("src").cast("long"), col("dst").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.Map[Long, Long]()
       def find(x: Long): Long = {
         var r = x
@@ -226,6 +281,8 @@ object Dedup {
       edges.unpersist()
       import spark.implicits._
       return out.toSeq.toDF("id", "component")
+        .select(col("id").cast(idType).as("id"),
+          col("component").cast(idType).as("component"))
     }
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))

@@ -140,4 +140,54 @@ class DedupSpec extends AnyFunSuite {
       assert(r.getSeq[Long](0) == r.getSeq[Long](1))
     }
   }
+
+  test("embedding near-dups: exact precision, banded recall on real table") {
+    val em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val brute = em.select($"vec_id".as("id1"), $"embedding".as("v1"))
+      .join(em.select($"vec_id".as("id2"), $"embedding".as("v2")),
+        $"id1" < $"id2")
+      .withColumn("sim", Dedup.cosine($"v1", $"v2"))
+      .filter($"sim" >= 0.3)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val got = Dedup.embeddingNearDups(em, "vec_id", "embedding", 0.3)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    // precision is exact by construction (cosine verify), so the output
+    // must be a subset of brute force; recall floor reflects
+    // 1-(1-p^6)^6 ≈ 0.24 at sim = 0.3 (true-dup corpora sit near 1.0)
+    assert(got.subsetOf(brute), s"unverified pairs: ${got -- brute}")
+    val recall =
+      if (brute.isEmpty) 1.0 else (brute & got).size.toDouble / brute.size
+    assert(recall >= 0.1, s"recall=$recall over ${brute.size} true pairs")
+  }
+
+  test("degenerate embedding buckets are capped, not exploded") {
+    // 50 identical vectors: every band bucket holds all 50 ids.
+    // maxBucket=10 must drop those buckets — candidate volume is 0,
+    // not 50·49/2 — while the uncapped run still finds every pair.
+    val vecs = (0 until 50).map(i =>
+      (i.toLong, Array.tabulate(8)(d => (d + 1).toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val capped = Dedup.minhashCandidates(
+      Dedup.embeddingBands(df, "vec_id", "embedding"), "vec_id",
+      maxBucket = 10)
+    assert(capped.count() == 0)
+    val uncapped = Dedup.embeddingNearDups(df, "vec_id", "embedding", 0.99)
+    assert(uncapped.count() == 50L * 49 / 2)
+  }
+
+  test("connected components fast path preserves non-Long id types") {
+    val intPairs = Seq((1, 2), (2, 3), (7, 8)).toDF("id1", "id2")
+    val outInt = Dedup.connectedComponents(intPairs)
+    assert(outInt.schema("id").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    assert(outInt.collect().map(r => r.getInt(0) -> r.getInt(1)).toMap ==
+      Map(1 -> 1, 2 -> 1, 3 -> 1, 7 -> 7, 8 -> 7))
+    // string ids: the Long fast path must NOT fire; the iterative path
+    // handles them (min-label propagation orders lexicographically)
+    val strPairs = Seq(("a", "b"), ("b", "c"), ("x", "y"))
+      .toDF("id1", "id2")
+    val outStr = Dedup.connectedComponents(strPairs)
+    assert(outStr.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      == Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
+  }
 }
