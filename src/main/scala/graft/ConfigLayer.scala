@@ -72,18 +72,23 @@ object ConfigLayer {
     * double underscore, e.g. GRAFT_NVD_ON_ERROR__ACTION=skip). */
   def envOverrides(env: Map[String, String], providers: Seq[String])
       : Map[String, Any] = {
-    val byProvider = providers.flatMap { p =>
-      val prefix = s"GRAFT_${p.toUpperCase.replace('-', '_')}_"
-      val fields = env.collect {
-        case (k, v) if k.startsWith(prefix) =>
-          val path = k.stripPrefix(prefix).toLowerCase.split("__").toList
-          path -> coerce(v)
+    // Each env key is assigned to exactly ONE provider — the one with
+    // the longest matching prefix — so with providers that are prefixes
+    // of one another (nvd / nvd-extra), GRAFT_NVD_EXTRA_X goes only to
+    // nvd-extra instead of also hitting nvd as field "extra_x".
+    val prefixed = providers
+      .map(p => p -> s"GRAFT_${p.toUpperCase.replace('-', '_')}_")
+      .sortBy(-_._2.length)
+    val assigned = env.toSeq.flatMap { case (k, v) =>
+      prefixed.collectFirst { case (p, pre) if k.startsWith(pre) =>
+        (p, k.stripPrefix(pre).toLowerCase.split("__").toList, coerce(v))
       }
-      if (fields.isEmpty) None
-      else Some(p -> fields.foldLeft(Map.empty[String, Any]) {
-        case (acc, (path, v)) => merge(acc, nest(path, v))
-      }.asInstanceOf[Any])
-    }.toMap
+    }
+    val byProvider = assigned.groupBy(_._1).map { case (p, fs) =>
+      p -> fs.foldLeft(Map.empty[String, Any]) {
+        case (acc, (_, path, v)) => merge(acc, nest(path, v))
+      }.asInstanceOf[Any]
+    }
     if (byProvider.isEmpty) Map.empty
     else Map("providers" -> byProvider.asInstanceOf[Any])
   }
@@ -97,7 +102,7 @@ object ConfigLayer {
 
   private def coerce(v: String): Any =
     if (v == "true" || v == "false") v.toBoolean
-    else v.toIntOption.getOrElse(v)
+    else v.toIntOption.orElse(v.toDoubleOption).getOrElse(v)
 
   /** Resolved config: defaults ⊕ YAML file ⊕ env. */
   def resolve(providers: Seq[String], yamlPath: Option[String],

@@ -107,13 +107,26 @@ object Cvss extends Serializable {
     * baseSeverity) or null for malformed vectors. */
   def cvss3_score(vector: Column): Column = scoreUdf(vector)
 
-  /** CVSS v4.0 base-vector grammar: the 11 mandatory base metrics in
-    * spec order, then any optional threat/environmental/supplemental
-    * metrics. */
+  /** CVSS v4.0 vector grammar (FIRST CVSS v4.0 spec §7, Table 23): the
+    * 11 mandatory base metrics, then each optional threat /
+    * environmental / supplemental metric at most once, each restricted
+    * to its enumerated value set, in canonical spec order. Unknown
+    * metric codes, invalid values, and duplicates are rejected — same
+    * outcome as the reference's CVSS4 library parse
+    * (`providers/github/parser.py:648-665`). Stricter in one corner:
+    * optional metrics in NON-canonical order are rejected here (the
+    * reference's dict-based parser tolerates them; GHSA emits canonical
+    * order, so this only drops hand-mangled vectors). */
   private val cvss4Pattern =
     "^CVSS:4\\.0/AV:[NALP]/AC:[LH]/AT:[NP]/PR:[NLH]/UI:[NPA]" +
       "/VC:[HLN]/VI:[HLN]/VA:[HLN]/SC:[HLN]/SI:[HLN]/SA:[HLN]" +
-      "(/[A-Z]{1,4}:[A-Za-z0-9.]+)*$"
+      "(/E:[XAPU])?" +
+      "(/CR:[XHML])?(/IR:[XHML])?(/AR:[XHML])?" +
+      "(/MAV:[XNALP])?(/MAC:[XLH])?(/MAT:[XNP])?(/MPR:[XNLH])?" +
+      "(/MUI:[XNPA])?(/MVC:[XHLN])?(/MVI:[XHLN])?(/MVA:[XHLN])?" +
+      "(/MSC:[XNLH])?(/MSI:[XSNLH])?(/MSA:[XSNLH])?" +
+      "(/S:[XNP])?(/AU:[XNY])?(/R:[XAUI])?(/V:[XDC])?(/RE:[XLMH])?" +
+      "(/U:(X|Clear|Green|Amber|Red))?$"
 
   /** CVSS v4 pass-through with validation — the reference computes NO v4
     * scores, it validates the vector and emits `{version, vector}`

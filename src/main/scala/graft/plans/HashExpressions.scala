@@ -146,6 +146,23 @@ object HashKernels {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** [[cosineFloat]] for array<double> inputs — full double precision
+    * end-to-end (no narrowing), for callers whose embeddings are stored
+    * as doubles. */
+  def cosineDouble(a: ArrayData, b: ArrayData): Any = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i)
+      val y = b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   /** Random-hyperplane LSH signature: bit i = sign(v · h_i), where
     * h_i[d] = ±1 by the low bit of xxhash64(i, d) — bit-compatible with
     * the composed Column form (seed 42, int-hash chaining) so signatures
@@ -161,6 +178,27 @@ object HashKernels {
       while (d < dim) {
         val h = XXH64.hashInt(d, hi)
         val v = vec.getFloat(d).toDouble
+        dot += (if ((h & 1L) == 1L) v else -v)
+        d += 1
+      }
+      if (dot > 0) sig |= (1L << i)
+      i += 1
+    }
+    sig
+  }
+
+  /** [[hyperplaneSig]] for array<double> inputs (no narrowing). */
+  def hyperplaneSigDouble(vec: ArrayData, bits: Int): Long = {
+    val dim = vec.numElements()
+    var sig = 0L
+    var i = 0
+    while (i < bits) {
+      val hi = XXH64.hashInt(i, 42L)
+      var dot = 0.0
+      var d = 0
+      while (d < dim) {
+        val h = XXH64.hashInt(d, hi)
+        val v = vec.getDouble(d)
         dot += (if ((h & 1L) == 1L) v else -v)
         d += 1
       }
@@ -265,24 +303,49 @@ case class SortedJaccardExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Native cosine over two float-array columns (nullable on length
-  * mismatch, so no defineCodeGen — nullSafeCodeGen with a null check). */
+/** Native cosine over two float- OR double-array columns (nullable on
+  * length mismatch, so no defineCodeGen — nullSafeCodeGen with a null
+  * check). The kernel is picked by the ANALYZED element type: a double
+  * input keeps full double precision (reading a double slot as float
+  * silently corrupts similarities, so no implicit narrowing is allowed
+  * — any other array type fails analysis and must be cast explicitly). */
 case class CosineSimExpr(left: Expression, right: Expression)
-    extends BinaryExpression with ImplicitCastInputTypes {
-  // getFloat kernels: non-float numeric arrays MUST be cast up front —
-  // reading a double slot as float silently corrupts similarities
-  override def inputTypes = Seq(ArrayType(FloatType), ArrayType(FloatType))
+    extends BinaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+
+  private def isDouble: Boolean = left.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  private def kernel: String =
+    if (isDouble) "cosineDouble" else "cosineFloat"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) |
+           (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects two array<float> or two array<double> " +
+          s"arguments, got ${l.sql} / ${r.sql}; cast explicitly")
+    }
+
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "cosine_sim"
 
   override def nullSafeEval(a: Any, b: Any): Any =
-    HashKernels.cosineFloat(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (isDouble)
+      HashKernels.cosineDouble(a.asInstanceOf[ArrayData],
+        b.asInstanceOf[ArrayData])
+    else
+      HashKernels.cosineFloat(a.asInstanceOf[ArrayData],
+        b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       s"""
-      Object r = graft.plans.HashKernels.cosineFloat($a, $b);
+      Object r = graft.plans.HashKernels.$kernel($a, $b);
       if (r == null) { ${ev.isNull} = true; }
       else { ${ev.value} = ((Double) r).doubleValue(); }
       """
@@ -294,18 +357,40 @@ case class CosineSimExpr(left: Expression, right: Expression)
 }
 
 /** All-planes-in-one-pass random-hyperplane signature (see
-  * [[HashKernels.hyperplaneSig]]). */
+  * [[HashKernels.hyperplaneSig]]). Float and double arrays each get a
+  * full-precision kernel; other element types fail analysis (same
+  * no-silent-narrowing rule as [[CosineSimExpr]]). */
 case class HyperplaneSigExpr(child: Expression, bits: Int)
-    extends UnaryExpression with ImplicitCastInputTypes {
-  override def inputTypes = Seq(ArrayType(FloatType))
+    extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+
+  private def kernel: String = child.dataType match {
+    case ArrayType(DoubleType, _) => "hyperplaneSigDouble"
+    case _ => "hyperplaneSig"
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<float> or array<double>, got " +
+          s"${t.sql}; cast explicitly")
+    }
+
   override def dataType: DataType = LongType
   override def prettyName: String = "hyperplane_sig"
 
   override def nullSafeEval(v: Any): Any =
-    HashKernels.hyperplaneSig(v.asInstanceOf[ArrayData], bits)
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        HashKernels.hyperplaneSigDouble(v.asInstanceOf[ArrayData], bits)
+      case _ =>
+        HashKernels.hyperplaneSig(v.asInstanceOf[ArrayData], bits)
+    }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, v => s"graft.plans.HashKernels.hyperplaneSig($v, $bits)")
+    defineCodeGen(ctx, ev, v => s"graft.plans.HashKernels.$kernel($v, $bits)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

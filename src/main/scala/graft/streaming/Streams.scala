@@ -71,12 +71,17 @@ object Streams {
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
   /** Gap-based sessionization as a true stream: flatMapGroupsWithState
-    * with an EVENT-TIME timeout. A session closes (and is emitted, Append
-    * mode) when the watermark passes `last_event + gap` — the streaming
-    * equivalent of the batch gaps-and-islands query
-    * (q_stream_sessionize), with bounded per-user state instead of a
-    * global sort. In-batch events are gap-split locally; the timeout
-    * closes the trailing session. */
+    * with an EVENT-TIME timeout — the streaming equivalent of the batch
+    * gaps-and-islands query (q_stream_sessionize), with bounded per-user
+    * state instead of a global sort.
+    *
+    * A session is emitted (Append mode) ONLY once the watermark passes
+    * `session_end + gap`: until then a late-but-in-watermark event can
+    * still land within the gap of either edge (or bridge two intervals),
+    * so earlier emission could produce overlapping sessions. State is
+    * therefore a list of gap-disjoint closed-but-unconfirmed intervals
+    * per key — bounded by the watermark horizon (≤ delay/gap + 1
+    * intervals), mirroring how Spark's own session_window finalizes. */
   def gapSessions(spark: SparkSession, events: DataFrame,
       gapMinutes: Int = 30, delay: String = "10 minutes")
       : Dataset[ClosedSession] = {
@@ -85,48 +90,45 @@ object Streams {
     events.withWatermark("ts", delay)
       .select("event_id", "ts", "user_id", "event_type", "value").as[Event]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[(Long, Long, Long), ClosedSession](
+      .flatMapGroupsWithState[List[(Long, Long, Long)], ClosedSession](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (uid: Long, it: Iterator[Event], state: GroupState[(Long, Long, Long)]) =>
-          if (state.hasTimedOut) {
-            val (s, e, n) = state.get
-            state.remove()
-            Iterator(ClosedSession(uid, new java.sql.Timestamp(s),
-              new java.sql.Timestamp(e), n))
-          } else {
-            val out = scala.collection.mutable.ArrayBuffer[ClosedSession]()
-            var cur = state.getOption
-            // batch events sorted ascending; a late-but-in-watermark event
-            // may still precede the open session's start
-            it.map(_.ts.getTime).toArray.sorted.foreach { t =>
-              cur match {
-                case Some((s, e, n)) if t - e > gapMs =>
-                  // beyond the gap after the session: close it, start new
-                  out += ClosedSession(uid, new java.sql.Timestamp(s),
-                    new java.sql.Timestamp(e), n)
-                  cur = Some((t, t, 1L))
-                case Some((s, e, n)) if s - t > gapMs =>
-                  // late outlier more than a gap BEFORE the session
-                  // start: its own (already-closable) session
-                  out += ClosedSession(uid, new java.sql.Timestamp(t),
-                    new java.sql.Timestamp(t), 1L)
-                  cur = Some((s, e, n))
-                case Some((s, e, n)) =>
-                  // within a gap of the open interval: extend either edge
-                  cur = Some((math.min(s, t), math.max(e, t), n + 1))
-                case None =>
-                  cur = Some((t, t, 1L))
-              }
+        (uid: Long, it: Iterator[Event],
+            state: GroupState[List[(Long, Long, Long)]]) =>
+          // Release every interval whose gap horizon the watermark has
+          // passed (no in-watermark event can extend or precede it any
+          // more); re-arm the timeout for the earliest survivor.
+          def release(intervals: List[(Long, Long, Long)])
+              : Iterator[ClosedSession] = {
+            val wm = state.getCurrentWatermarkMs()
+            val (emit, keep) = intervals.partition(_._2 + gapMs < wm)
+            if (keep.isEmpty) state.remove()
+            else {
+              state.update(keep)
+              state.setTimeoutTimestamp(
+                math.max(keep.map(_._2 + gapMs).min, wm + 1))
             }
-            cur.foreach { v =>
-              state.update(v)
-              // timeout once the watermark passes session end + gap (the
-              // max() keeps it legal when replaying old data whose gap
-              // horizon is already behind the watermark)
-              state.setTimeoutTimestamp(math.max(v._2 + gapMs,
-                state.getCurrentWatermarkMs() + 1))
+            emit.sortBy(_._1).iterator.map { case (s, e, n) =>
+              ClosedSession(uid, new java.sql.Timestamp(s),
+                new java.sql.Timestamp(e), n)
             }
-            out.iterator
+          }
+          val prev = state.getOption.getOrElse(Nil)
+          if (state.hasTimedOut) release(prev)
+          else {
+            // fold the batch into the interval list: sort by start and
+            // merge neighbors within the gap (an event can bridge two
+            // previously-separate intervals into one)
+            val incoming = it.map { e =>
+              val ts = e.ts.getTime; (ts, ts, 1L)
+            }.toList
+            val merged = (prev ++ incoming).sortBy(_._1)
+              .foldLeft(List.empty[(Long, Long, Long)]) {
+                case ((s1, e1, n1) :: rest, (s2, e2, n2))
+                    if s2 - e1 <= gapMs =>
+                  (s1, math.max(e1, e2), n1 + n2) :: rest
+                case (acc, iv) => iv :: acc
+              }.reverse
+            release(merged)
           }
       }
   }

@@ -71,6 +71,20 @@ class CliSpec extends AnyFunSuite {
     assert(ConfigLayer.loadYaml(tmp2.toString)("root") == "/data/custom")
   }
 
+  test("config env keys bind to the longest provider prefix; floats coerce") {
+    val over = ConfigLayer.envOverrides(
+      Map("GRAFT_NVD_EXTRA_RETRY_DELAY" -> "2.5",
+        "GRAFT_NVD_REQUEST_TIMEOUT" -> "99"),
+      Seq("nvd", "nvd-extra"))
+    val providers = over("providers").asInstanceOf[Map[String, Any]]
+    val nvd = providers("nvd").asInstanceOf[Map[String, Any]]
+    // GRAFT_NVD_EXTRA_RETRY_DELAY must go ONLY to nvd-extra, not also
+    // land on nvd as a bogus "extra_retry_delay" field
+    assert(nvd == Map("request_timeout" -> 99), s"nvd got $nvd")
+    val extra = providers("nvd-extra").asInstanceOf[Map[String, Any]]
+    assert(extra("retry_delay") == 2.5) // double, not the string "2.5"
+  }
+
   test("quarantine: failing rows routed aside, job survives (§7.4.7)") {
     val df = Seq("2023-01-15", "garbage", "2023-02-20").toDF("raw")
     val parse = Quarantine.tryUdf { s =>

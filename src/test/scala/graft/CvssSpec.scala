@@ -43,4 +43,27 @@ class CvssSpec extends AnyFunSuite {
     assert(Cvss.score("CVSS:3.1/AV:N/AC:L/PR:N/UI:N/S:U/C:H/I:H/A:H").version == "3.1")
     assert(Cvss.score("CVSS:3.0/AV:N/AC:L/PR:N/UI:N/S:U/C:H/I:H/A:H").version == "3.0")
   }
+
+  test("cvss4 validation enforces the enumerated optional metrics") {
+    import org.apache.spark.sql.functions.col
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val base = "CVSS:4.0/AV:N/AC:L/AT:N/PR:N/UI:N" +
+      "/VC:H/VI:H/VA:H/SC:N/SI:N/SA:N"
+    val vectors = Seq(
+      base -> true,                       // mandatory-only
+      s"$base/" -> true,                  // trailing slash stripped
+      s"$base/E:P/CR:H/MAV:A/MSI:S/U:Amber" -> true, // canonical optionals
+      s"$base/ZZ:qq" -> false,            // unknown metric code
+      s"$base/E:Z" -> false,              // invalid value for E
+      s"$base/E:P/E:U" -> false,          // duplicate metric
+      s"$base/U:Purple" -> false,         // invalid supplemental value
+      base.replace("AV:N", "AV:Z") -> false) // invalid mandatory value
+    val got = vectors.map(_._1).toDF("v")
+      .select(Cvss.cvss4_validate(col("v")).as("s"))
+      .collect().map(r => !r.isNullAt(0))
+    vectors.zip(got).foreach { case ((v, expect), ok) =>
+      assert(ok == expect, s"vector $v: got ${if (ok) "valid" else "null"}")
+    }
+  }
 }

@@ -94,4 +94,36 @@ class KernelPropertiesSpec extends AnyFunSuite {
       assert(hamming >= 15, s"v=$v hamming=$hamming")
     }
   }
+
+  test("double-array inputs keep double precision; other types fail analysis") {
+    import org.apache.spark.sql.functions._
+    import graft.plans.HashExpressions
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    // values whose float narrowing visibly shifts the similarity
+    val a = Array(1.0 + 1e-9, 2.0, 3.0, 4.0)
+    val b = Array(1.0, 2.0 + 1e-9, 3.0, 4.0)
+    val df = Seq((a, b)).toDF("a", "b")
+    val got = df.select(
+      HashExpressions.cosine_sim(col("a"), col("b")).as("sim"),
+      HashExpressions.hyperplane_sig(col("a"), 16).as("sig")).head()
+    // exact double ground truth, computed in plain Scala
+    val dot = a.zip(b).map { case (x, y) => x * y }.sum
+    val expect = dot / (math.sqrt(a.map(x => x * x).sum) *
+      math.sqrt(b.map(x => x * x).sum))
+    assert(got.getDouble(0) == expect,
+      s"double path not exact: ${got.getDouble(0)} vs $expect")
+    // and the double sig matches the float sig for float-exact values
+    val fdf = Seq((a.map(_.toFloat), a)).toDF("f", "d")
+    val sigs = fdf.select(
+      HashExpressions.hyperplane_sig(col("f"), 16).as("sf"),
+      HashExpressions.hyperplane_sig(col("d"), 16).as("sd")).head()
+    assert(sigs.getLong(0) == sigs.getLong(1))
+    // int arrays must fail analysis, not silently cast
+    val idf = Seq((Array(1, 2, 3), Array(1, 2, 3))).toDF("x", "y")
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      idf.select(HashExpressions.cosine_sim(col("x"), col("y"))).collect()
+    }
+    assert(err.getMessage.contains("cast explicitly"))
+  }
 }

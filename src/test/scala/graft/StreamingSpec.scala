@@ -132,6 +132,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("gap sessions never emit overlapping sessions across batches") {
+    // Regression: sessions used to be emitted eagerly on in-batch
+    // splits/outliers; a later in-watermark event could then bridge an
+    // already-emitted session, yielding overlapping Append output.
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[Streams.Event]
+    def at(h: Int, min: Int) =
+      java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$min%02d:00")
+    def ev(id: Long, h: Int, min: Int) =
+      Streams.Event(id, at(h, min), 5L, "view", 1.0)
+    val q = Streams.gapSessions(spark, ms.toDF(), gapMinutes = 30,
+        delay = "1 hour")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("gap_bridge_out").start()
+    try {
+      ms.addData(ev(1, 12, 0))
+      q.processAllAvailable()
+      // late outlier 50 min BEFORE the open session — its own interval
+      ms.addData(ev(2, 11, 10))
+      q.processAllAvailable()
+      // bridges both: 11:10 .. 11:30 .. 12:00 is one session
+      ms.addData(ev(3, 11, 30))
+      q.processAllAvailable()
+      ms.addData(ev(4, 15, 0)) // advance the watermark past 12:30
+      q.processAllAvailable()
+      val rows = spark.table("gap_bridge_out")
+        .select("session_start", "session_end", "n_events").collect()
+        .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2)))
+        .toSet
+      assert(rows.contains((at(11, 10), at(12, 0), 3L)),
+        s"bridged session missing: $rows")
+      assert(!rows.exists(r => r._3 < 3L && r._1.getTime < at(13, 0).getTime),
+        s"fragment of the bridged session leaked: $rows")
+    } finally q.stop()
+  }
+
   test("multimodal: binary columns flow through partition-batch extract") {
     val media = Multimodal.syntheticMedia(spark, dir)
     val feats = Multimodal.extractFeatures(media)
