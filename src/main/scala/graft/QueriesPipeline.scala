@@ -449,13 +449,15 @@ object QueriesPipeline {
       },
       None),
 
-    // LSH-bucketed ANN (scale path; rows-only — recall tested in spec).
+    // LSH-bucketed ANN, multi-probe: 8-bit signature + Hamming-1 probes
+    // — each query reranks ~9/256 of the corpus (falls with more bits)
+    // instead of a fixed 1/16 (rows-only — recall tested in spec).
     "q_sim_lsh" -> Entry(
       (s, dir) => {
         val em = t(s, dir, "embeddings")
         val queries = em.filter(col("vec_id") < 5)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-        Similarity.lshTopK(em, queries, 10, bits = 4)
+        Similarity.lshTopK(em, queries, 10, bits = 8, probeHamming = 1)
           .select(col("qid"), col("rank").as("rnk"), col("vec_id"))
       },
       None),

@@ -177,24 +177,38 @@ object Similarity {
     rerankWithinCells(index, probes, k, idCol, vecCol, qidCol, qvecCol)
   }
 
-  /** LSH-bucketed ANN: candidates = corpus rows whose signature equals the
-    * query's signature (single-probe), reranked exactly within the bucket.
-    * Recall is tuned by `bits` (fewer bits → bigger buckets → higher
-    * recall, more rerank work). */
+  /** LSH-bucketed ANN with multi-probe: candidates = corpus rows whose
+    * signature equals the query's signature OR any signature within
+    * Hamming distance `probeHamming` of it (each bit flip is one more
+    * probe). Recall is tuned by probing MORE buckets of a fine
+    * signature — per-query rerank cost is (1 + bits·probeHamming)/2^bits
+    * of the corpus, falling as bits grow — instead of shrinking `bits`
+    * until each bucket is a fixed (and at scale, enormous) corpus
+    * fraction. Probes explode on the broadcast query side only; the
+    * corpus keeps one signature row per vector. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int = 8,
+      probeHamming: Int = 1,
       idCol: String = "vec_id", vecCol: String = "embedding",
       qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(probeHamming >= 0 && probeHamming <= 1,
+      "probeHamming > 1 unsupported (probe count would be binomial)")
     val sigCorpus = corpus.select(col(idCol), col(vecCol),
       hyperplaneSignature(col(vecCol), bits).as("sig"))
+    val base = hyperplaneSignature(col(qvecCol), bits)
+    val probes =
+      if (probeHamming == 0) array(base)
+      else array(base +: (0 until bits).map(b =>
+        base.bitwiseXOR(lit(1L << b))): _*)
     val sigQueries = queries.select(col(qidCol), col(qvecCol),
-      hyperplaneSignature(col(qvecCol), bits).as("sig"))
+      explode(probes).as("sig"))
     val cands = sigCorpus.join(broadcast(sigQueries), Seq("sig"))
       .filter(col(idCol) =!= col(qidCol))
       .withColumn("sim", cosine(col(vecCol), col(qvecCol)))
     val w = Window.partitionBy(col(qidCol))
       .orderBy(col("sim").desc, col(idCol).asc)
     cands.select(col(qidCol), col(idCol), col("sim"))
+      .dropDuplicates(qidCol, idCol) // probes can't collide, but be safe
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }

@@ -141,6 +141,32 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-probe LSH: recall beats single-probe at the same bits") {
+    val em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = em.filter($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val brute = Similarity.bruteForceTopK(em, queries, 10)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    def recallOf(ph: Int): Double = {
+      val got = Similarity.lshTopK(em, queries, 10, bits = 8,
+          probeHamming = ph)
+        .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+      (brute & got).size.toDouble / brute.size
+    }
+    val single = recallOf(0)
+    val multi = recallOf(1)
+    // 9 probes of 1/256 buckets: strictly more candidates, so recall is
+    // monotone (the floor is modest — this synthetic corpus is near-
+    // uniform, the hardest case for LSH; clustered corpora sit higher)
+    assert(multi >= single, s"multi=$multi < single=$single")
+    assert(multi >= 0.15, s"multi-probe recall=$multi")
+    // and the rerank stays a corpus FRACTION: ~9/256 of n·q pairs
+    val n = em.count(); val q = 5
+    val cands = Similarity.lshTopK(em, queries, Int.MaxValue, bits = 8,
+      probeHamming = 1).count()
+    assert(cands < 0.1 * n * q, s"reranked $cands of ${n * q} pairs")
+  }
+
   test("embedding near-dups: exact precision, banded recall on real table") {
     val em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val brute = em.select($"vec_id".as("id1"), $"embedding".as("v1"))
