@@ -95,6 +95,27 @@ object ResultStore {
     s"xxh64:$digest"
   }
 
+  /** [[commit]] behind the schema-validation gate
+    * (`src/vunnel/schema.py:23-36` semantics): envelopes failing their
+    * named schema's structural check are written to a `.quarantine`
+    * sidecar (never into the store); valid rows commit as usual. With
+    * `strict = true` any invalid envelope fails the commit instead
+    * (the reference's raise-on-invalid mode). Returns (manifest digest,
+    * quarantined count). */
+  def commitValidated(spark: SparkSession, df: DataFrame, destDir: String,
+      strict: Boolean = false): (String, Long) = {
+    val (good, bad) = SchemaGate.validate(df)
+    val badCount = bad.count()
+    if (strict && badCount > 0)
+      throw new IllegalArgumentException(
+        s"$badCount envelope(s) fail schema validation; first: " +
+          bad.select("identifier", "schema").head().mkString(", "))
+    if (badCount > 0)
+      bad.write.mode(SaveMode.Overwrite)
+        .parquet(Paths.get(destDir + ".quarantine").toString)
+    (commit(spark, good, destDir), badCount)
+  }
+
   /** K4: per-ecosystem fragment sink (ubuntu `parser.py:307-373`
     * DELETE_BEFORE_WRITE): dynamic partition overwrite replaces ONLY the
     * partitions present in `batch`; untouched (frozen/EOL, I6) partitions

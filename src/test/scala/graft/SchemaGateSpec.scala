@@ -1,0 +1,101 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sinks.{ResultStore, SchemaGate}
+
+/** Output schema-validation gate (VERDICT r2 item 5, mirroring
+  * `src/vunnel/schema.py:23-36` + the os/schema-1.1.0 required lists):
+  * malformed envelopes are quarantined, valid ones ship unchanged.
+  */
+class SchemaGateSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val ok =
+    """{"Name":"CVE-2024-1","NamespaceName":"wolfi:rolling",
+      |"Description":"d","Severity":"High","Link":"https://x",
+      |"FixedIn":[{"Name":"busybox","NamespaceName":"wolfi:rolling",
+      |"Version":"1.36.1-r0","VersionFormat":"apk"}],
+      |"CVSS":[{"version":"3.1","vector_string":"CVSS:3.1/AV:N",
+      |"status":"N/A","base_metrics":{"base_score":7.5,
+      |"base_severity":"High","exploitability_score":3.9,
+      |"impact_score":3.6}}]}""".stripMargin.replaceAll("\n", "")
+
+  private def env(id: String, item: String, schema: String = Envelope.OsSchema) =
+    (id, schema, item)
+
+  test("os schema: required-field and required-element violations quarantine") {
+    val rows = Seq(
+      env("good", ok),
+      // missing required Severity
+      env("no-sev", """{"Name":"C","NamespaceName":"n","Description":"d","Link":"l"}"""),
+      // FixedIn entry missing Version
+      env("bad-fix", """{"Name":"C","NamespaceName":"n","Description":"d",
+        |"Severity":"Low","Link":"l","FixedIn":[{"Name":"p",
+        |"NamespaceName":"n","VersionFormat":"apk"}]}""".stripMargin.replaceAll("\n", "")),
+      // CVSS entry missing base_metrics.impact_score
+      env("bad-cvss", """{"Name":"C","NamespaceName":"n","Description":"d",
+        |"Severity":"Low","Link":"l","CVSS":[{"version":"3.1",
+        |"vector_string":"v","status":"N/A","base_metrics":{
+        |"base_score":1.0,"base_severity":"Low",
+        |"exploitability_score":1.0}}]}""".stripMargin.replaceAll("\n", "")),
+      // not JSON at all
+      env("garbage", "not json")
+    ).toDF("identifier", "schema", "item")
+
+    val (good, bad) = SchemaGate.validate(rows)
+    assert(good.select("identifier").as[String].collect().toSet == Set("good"))
+    assert(bad.select("identifier").as[String].collect().toSet ==
+      Set("no-sev", "bad-fix", "bad-cvss", "garbage"))
+    // valid rows ship byte-identical
+    assert(good.select("item").as[String].head() == ok)
+  }
+
+  test("empty FixedIn/CVSS arrays and absent optionals are valid") {
+    val rows = Seq(
+      env("min", """{"Name":"C","NamespaceName":"n","Description":"d",
+        |"Severity":"Unknown","Link":"l"}""".stripMargin.replaceAll("\n", "")),
+      env("empty-arrays", """{"Name":"C","NamespaceName":"n","Description":"d",
+        |"Severity":"Low","Link":"l","FixedIn":[],"CVSS":[]}"""
+        .stripMargin.replaceAll("\n", ""))
+    ).toDF("identifier", "schema", "item")
+    val (good, bad) = SchemaGate.validate(rows)
+    assert(bad.isEmpty && good.count() == 2)
+  }
+
+  test("unregistered schema family: parseable JSON object passes, junk fails") {
+    val rows = Seq(
+      env("nvd-ok", """{"anything":{"nested":true}}""", Envelope.NvdSchema),
+      env("nvd-bad", "][", Envelope.NvdSchema)
+    ).toDF("identifier", "schema", "item")
+    val (good, bad) = SchemaGate.validate(rows)
+    assert(good.select("identifier").as[String].collect().toSeq == Seq("nvd-ok"))
+    assert(bad.select("identifier").as[String].collect().toSeq == Seq("nvd-bad"))
+  }
+
+  test("commitValidated: quarantine sidecar + clean store; strict throws") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-gate").toString
+    val dest = s"$dir/results"
+    val rows = Seq(env("good", ok), env("bad", "{}"))
+      .toDF("identifier", "schema", "item")
+
+    val (digest, quarantined) = ResultStore.commitValidated(spark, rows, dest)
+    assert(digest.startsWith("xxh64:") && quarantined == 1)
+    assert(ResultStore.read(spark, dest)
+      .select("identifier").as[String].collect().toSeq == Seq("good"))
+    assert(spark.read.parquet(s"$dest.quarantine")
+      .select("identifier").as[String].collect().toSeq == Seq("bad"))
+
+    val err = intercept[IllegalArgumentException] {
+      ResultStore.commitValidated(spark, rows, s"$dir/strict", strict = true)
+    }
+    assert(err.getMessage.contains("schema validation"))
+
+    // all-valid input: no quarantine dir, zero count
+    val cleanDest = s"$dir/clean"
+    val (_, zero) = ResultStore.commitValidated(spark,
+      Seq(env("good", ok)).toDF("identifier", "schema", "item"), cleanDest)
+    assert(zero == 0)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$cleanDest.quarantine")))
+  }
+}
