@@ -50,6 +50,7 @@ object Envelope {
   val OsSchema = "https://example.invalid/graft/vulnerability/os/schema-1.1.0.json"
   val NvdSchema = "https://example.invalid/graft/vulnerability/nvd/schema-2.0.0.json"
   val OsvSchema = "https://example.invalid/graft/vulnerability/osv/schema-1.6.1.json"
+  val GhsaSchema = "https://example.invalid/graft/vulnerability/github/schema-1.0.0.json"
 
   /** Canonical JSON: sorted struct fields, no nulls — the golden-test
     * equality representation (reference sorted-key orjson,

@@ -67,4 +67,46 @@ object GhsaProvider {
         col("v.firstPatchedVersion.identifier").as("fixed_in"))
       .filter(col("ecosystem").isNotNull) // P7: unmapped dropped
   }
+
+  /** Envelope assembly: one record per (advisory, ecosystem) — the
+    * reference's GHSA record shape (`providers/github/parser.py:104-184`,
+    * namespace `github:<ecosystem>`, null firstPatchedVersion → "None")
+    * flattened to a sorted-field payload for canonical JSON. FixedIn is
+    * array_sort'ed (struct natural order, leading field Ecosystem then
+    * Identifier/Name) — deterministic, never input row order. */
+  def envelopes(rows: DataFrame): DataFrame = {
+    import graft.Envelope
+    rows
+      .groupBy(col("ghsa_id"), col("ecosystem"), col("cve"),
+        col("severity"), col("summary"), col("published"),
+        col("cvss"), col("cvss_v4"))
+      .agg(array_sort(collect_list(struct(
+        col("ecosystem").as("Ecosystem"),
+        coalesce(col("fixed_in"), lit("None")).as("Identifier"),
+        col("pkg").as("Name"),
+        col("range").as("Range")))).as("fixed_in_list"))
+      .select(Envelope.assemble(
+        concat(lit("github:"), col("ecosystem"), lit("/"),
+          lower(col("ghsa_id"))),
+        Envelope.GhsaSchema,
+        struct(
+          col("cve").as("CVE"),
+          when(col("cvss").isNotNull, struct(
+            col("cvss.baseScore").as("base_score"),
+            col("cvss.baseSeverity").as("base_severity"),
+            col("cvss.exploitabilityScore").as("exploitability_score"),
+            col("cvss.impactScore").as("impact_score"),
+            col("cvss.version").as("version"))).as("CVSS"),
+          when(col("cvss_v4").isNotNull, struct(
+            col("cvss_v4.vector").as("vector"),
+            col("cvss_v4.version").as("version"))).as("CVSS4"),
+          col("fixed_in_list").as("FixedIn"),
+          col("ghsa_id").as("GhsaID"),
+          concat(lit("https://github.com/advisories/"), col("ghsa_id"))
+            .as("Link"),
+          concat(lit("github:"), col("ecosystem")).as("Namespace"),
+          col("published").as("Published"),
+          col("severity").as("Severity"),
+          col("summary").as("Summary"))): _*)
+  }
 }

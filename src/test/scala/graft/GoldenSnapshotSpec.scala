@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.providers.{DebianProvider, GhsaProvider, SecdbProvider}
+
+/** Golden-snapshot byte-equality over full provider pipelines
+  * (VERDICT r2 item 6; reference `tests/conftest.py:204-244` +
+  * `tests/unit/providers/alpine/test_alpine.py:217-240`): same fixture
+  * in → byte-identical canonical envelope out, failing on missing AND
+  * unasserted snapshot files. Snapshots live in
+  * `src/test/resources/snapshots/<provider>/`; re-record with
+  * GRAFT_SNAPSHOT_UPDATE=1.
+  */
+class GoldenSnapshotSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def fixture(name: String): String =
+    getClass.getResource(s"/fixtures/$name").getPath
+
+  test("secdb (wolfi) envelopes match committed snapshots byte-for-byte") {
+    Golden.assertSnapshots("secdb",
+      SecdbProvider.envelopes(spark, fixture("secdb.json"), "wolfi:rolling"))
+  }
+
+  test("debian envelopes match committed snapshots byte-for-byte") {
+    val rows = DebianProvider.packageRows(spark, fixture("debian_tracker.json"))
+    val dsas = Seq(
+      ("DSA-5343-1", "https://www.debian.org/security/2023/dsa-5343",
+        "bullseye", "openssl", "CVE-2023-0286", "2023-02-08")
+    ).toDF("dsa", "link", "rel", "pkg", "cve", "date")
+    Golden.assertSnapshots("debian",
+      DebianProvider.envelopes(DebianProvider.withAdvisories(rows, dsas)))
+  }
+
+  test("ghsa envelopes match committed snapshots byte-for-byte") {
+    Golden.assertSnapshots("ghsa",
+      GhsaProvider.envelopes(GhsaProvider.advisories(spark, fixture("ghsa.json"))))
+  }
+
+  test("a drifted envelope is caught as a byte mismatch") {
+    assume(!Golden.update, "negative checks don't apply while re-recording")
+    val good = SecdbProvider.envelopes(spark, fixture("secdb.json"), "wolfi:rolling")
+    import org.apache.spark.sql.functions._
+    val drifted = good.withColumn("item",
+      regexp_replace(col("item"), "\"Severity\":\"Unknown\"",
+        "\"Severity\":\"Critical\""))
+    val err = intercept[AssertionError] {
+      Golden.assertSnapshots("secdb", drifted)
+    }
+    assert(err.getMessage.contains("byte mismatches"))
+  }
+
+  test("an extra committed snapshot (unasserted) fails the run") {
+    assume(!Golden.update, "negative checks don't apply while re-recording")
+    val extra = Golden.root.resolve("secdb/zz-unasserted.json")
+    java.nio.file.Files.writeString(extra, "{}\n")
+    try {
+      val err = intercept[AssertionError] {
+        Golden.assertSnapshots("secdb",
+          SecdbProvider.envelopes(spark, fixture("secdb.json"), "wolfi:rolling"))
+      }
+      assert(err.getMessage.contains("not asserted"))
+    } finally java.nio.file.Files.delete(extra)
+  }
+}
