@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.providers.{DebianProvider, GhsaProvider, SecdbProvider}
+import graft.providers.{DebianProvider, GhsaProvider, RhelProvider, SecdbProvider}
 
 /** Golden-snapshot byte-equality over full provider pipelines
   * (VERDICT r2 item 6; reference `tests/conftest.py:204-244` +
@@ -36,6 +36,25 @@ class GoldenSnapshotSpec extends AnyFunSuite {
   test("ghsa envelopes match committed snapshots byte-for-byte") {
     Golden.assertSnapshots("ghsa",
       GhsaProvider.envelopes(GhsaProvider.advisories(spark, fixture("ghsa.json"))))
+  }
+
+  test("rhel envelopes match committed snapshots byte-for-byte") {
+    val hydra = RhelProvider.hydraScan(spark, fixture("rhel_hydra.json"))
+    val fpis = Seq(
+      ("RHSA-2024:0001", "CVE-2024-1111",
+        "AppStream-9.5.0.Z.MAIN:webkit2gtk3-0:2.46.1-2.el9_5.x86_64",
+        "cpe:/a:redhat:enterprise_linux:9::appstream", null, "webkit2gtk3",
+        "0:2.46.1-2.el9_5"),
+      ("RHSA-2024:0002", "CVE-2024-1111",
+        "AppStream-9.4.0.Z.EUS:webkit2gtk3-0:2.44.3-2.el9_4.5.x86_64",
+        "cpe:/a:redhat:enterprise_linux:9::appstream", null, "webkit2gtk3",
+        "0:2.44.3-2.el9_4.5"),
+      ("RHSA-2024:0003", "CVE-2024-1111",
+        "AppStream-8.6.0.Z.EUS:webkit2gtk3-0:2.40.0-1.el8_6.x86_64",
+        "cpe:/a:redhat:enterprise_linux:8::appstream", null, "webkit2gtk3",
+        "0:2.40.0-1.el8_6")
+    ).toDF("rhsa_id", "cve", "fpi", "plat_cpe", "module", "name", "version")
+    Golden.assertSnapshots("rhel", RhelProvider.envelopes(hydra, fpis))
   }
 
   test("a drifted envelope is caught as a byte mismatch") {
