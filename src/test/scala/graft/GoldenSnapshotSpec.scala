@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.providers.{DebianProvider, GhsaProvider, RhelProvider, SecdbProvider}
+import graft.providers.{DebianProvider, FedoraProvider, GhsaProvider, RhelProvider, SecdbProvider}
 
 /** Golden-snapshot byte-equality over full provider pipelines
   * (VERDICT r2 item 6; reference `tests/conftest.py:204-244` +
@@ -55,6 +55,11 @@ class GoldenSnapshotSpec extends AnyFunSuite {
         "0:2.40.0-1.el8_6")
     ).toDF("rhsa_id", "cve", "fpi", "plat_cpe", "module", "name", "version")
     Golden.assertSnapshots("rhel", RhelProvider.envelopes(hydra, fpis))
+  }
+
+  test("fedora envelopes match committed snapshots byte-for-byte") {
+    Golden.assertSnapshots("fedora",
+      FedoraProvider.envelopes(spark, fixture("fedora_bodhi.json")))
   }
 
   test("a drifted envelope is caught as a byte mismatch") {
