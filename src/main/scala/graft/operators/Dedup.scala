@@ -190,20 +190,27 @@ object Dedup {
     * tuned by adding bands, not by shrinking the key until buckets go
     * quadratic (the single-table failure mode). One row per (id, band,
     * band_hash); candidates come from the same capped equi-shuffle as
-    * [[minhashCandidates]]. */
+    * [[minhashCandidates]].
+    *
+    * Band b draws planes [b·bitsPerBand, (b+1)·bitsPerBand) via the
+    * kernel's plane-offset parameter, so the total plane count is NOT
+    * capped at 64: at scale, widen `bitsPerBand` until random pairs
+    * stop colliding (collision rate ≈ 2^-bits per band on
+    * near-orthogonal corpora) and recover recall by adding bands.
+    * Per-band offset signatures are bit-identical to slices of the old
+    * packed ≤64-bit signature, so narrow configs are unchanged. */
   def embeddingBands(df: DataFrame, idCol: String, vecCol: String,
       bands: Int = 6, bitsPerBand: Int = 6): DataFrame = {
-    require(bands * bitsPerBand <= 64, "signature exceeds 64 bits")
-    val mask = (1L << bitsPerBand) - 1
+    require(bitsPerBand <= 64, "band key exceeds 64 bits")
+    val sigCols = (0 until bands).map { b =>
+      Similarity.hyperplaneSignature(col(vecCol), bitsPerBand,
+        b * bitsPerBand).as(s"__sig$b")
+    }
     val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        shiftrightunsigned(col("__sig"), b * bitsPerBand)
-          .bitwiseAND(lit(mask)).as("band_hash"))
+      struct(lit(b).as("band"), col(s"__sig$b").as("band_hash"))
     }
     fanOut(df.select(col(idCol), col(vecCol)))
-      .select(col(idCol),
-        Similarity.hyperplaneSignature(col(vecCol), bands * bitsPerBand)
-          .as("__sig"))
+      .select(col(idCol) +: sigCols: _*)
       .select(col(idCol), explode(array(bandCols: _*)).as("bb"))
       .select(col(idCol), col("bb.band").as("band"),
         col("bb.band_hash").as("band_hash"))

@@ -49,8 +49,8 @@ object Similarity {
   /** Random-hyperplane signature: bit i = sign(v · h_i) where h_i is a
     * deterministic pseudo-random hyperplane derived from (i, dim) via a
     * splitmix-style integer mix — reproducible with no stored model. */
-  def hyperplaneSignature(vec: Column, bits: Int): Column =
-    graft.plans.HashExpressions.hyperplane_sig(vec, bits)
+  def hyperplaneSignature(vec: Column, bits: Int, offset: Int = 0): Column =
+    graft.plans.HashExpressions.hyperplane_sig(vec, bits, offset)
 
   /** Train the coarse quantizer and return its centroids driver-side
     * (nlist × dim floats — a few KB, the legitimate "broadcast" size).

@@ -167,12 +167,19 @@ object HashKernels {
     * h_i[d] = ±1 by the low bit of xxhash64(i, d) — bit-compatible with
     * the composed Column form (seed 42, int-hash chaining) so signatures
     * are stable across engine versions. All `bits` planes in one pass. */
-  def hyperplaneSig(vec: ArrayData, bits: Int): Long = {
+  def hyperplaneSig(vec: ArrayData, bits: Int): Long =
+    hyperplaneSig(vec, bits, 0)
+
+  /** Bit i of the result uses global plane index `offset + i`, so a
+    * packed w-bit signature's slice [o, o+b) is bit-identical to
+    * `hyperplaneSig(vec, b, o)` — bands beyond 64 total planes just
+    * raise the offset. */
+  def hyperplaneSig(vec: ArrayData, bits: Int, offset: Int): Long = {
     val dim = vec.numElements()
     var sig = 0L
     var i = 0
     while (i < bits) {
-      val hi = XXH64.hashInt(i, 42L)
+      val hi = XXH64.hashInt(offset + i, 42L)
       var dot = 0.0
       var d = 0
       while (d < dim) {
@@ -188,12 +195,15 @@ object HashKernels {
   }
 
   /** [[hyperplaneSig]] for array<double> inputs (no narrowing). */
-  def hyperplaneSigDouble(vec: ArrayData, bits: Int): Long = {
+  def hyperplaneSigDouble(vec: ArrayData, bits: Int): Long =
+    hyperplaneSigDouble(vec, bits, 0)
+
+  def hyperplaneSigDouble(vec: ArrayData, bits: Int, offset: Int): Long = {
     val dim = vec.numElements()
     var sig = 0L
     var i = 0
     while (i < bits) {
-      val hi = XXH64.hashInt(i, 42L)
+      val hi = XXH64.hashInt(offset + i, 42L)
       var dot = 0.0
       var d = 0
       while (d < dim) {
@@ -359,8 +369,11 @@ case class CosineSimExpr(left: Expression, right: Expression)
 /** All-planes-in-one-pass random-hyperplane signature (see
   * [[HashKernels.hyperplaneSig]]). Float and double arrays each get a
   * full-precision kernel; other element types fail analysis (same
-  * no-silent-narrowing rule as [[CosineSimExpr]]). */
-case class HyperplaneSigExpr(child: Expression, bits: Int)
+  * no-silent-narrowing rule as [[CosineSimExpr]]). Bit i uses global
+  * plane `offset + i`, so multi-band signatures can span more than 64
+  * planes while each ≤64-bit slice stays bit-identical to the packed
+  * form. */
+case class HyperplaneSigExpr(child: Expression, bits: Int, offset: Int = 0)
     extends UnaryExpression {
   import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 
@@ -384,13 +397,14 @@ case class HyperplaneSigExpr(child: Expression, bits: Int)
   override def nullSafeEval(v: Any): Any =
     child.dataType match {
       case ArrayType(DoubleType, _) =>
-        HashKernels.hyperplaneSigDouble(v.asInstanceOf[ArrayData], bits)
+        HashKernels.hyperplaneSigDouble(v.asInstanceOf[ArrayData], bits, offset)
       case _ =>
-        HashKernels.hyperplaneSig(v.asInstanceOf[ArrayData], bits)
+        HashKernels.hyperplaneSig(v.asInstanceOf[ArrayData], bits, offset)
     }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, v => s"graft.plans.HashKernels.$kernel($v, $bits)")
+    defineCodeGen(ctx, ev,
+      v => s"graft.plans.HashKernels.$kernel($v, $bits, $offset)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -425,6 +439,6 @@ object HashExpressions {
     column(SortedJaccardExpr(expression(a), expression(b)))
   def cosine_sim(a: Column, b: Column): Column =
     column(CosineSimExpr(expression(a), expression(b)))
-  def hyperplane_sig(vec: Column, bits: Int): Column =
-    column(HyperplaneSigExpr(expression(vec), bits))
+  def hyperplane_sig(vec: Column, bits: Int, offset: Int = 0): Column =
+    column(HyperplaneSigExpr(expression(vec), bits, offset))
 }

@@ -32,8 +32,32 @@ object ScaleStress {
             col("copy").cast("string"))).as("text"))
   }
 
+  /** Embedding analogue of [[corpus]]: every vector gains N near-
+    * duplicate variants (one dimension nudged by a copy-dependent
+    * epsilon — cosine vs the original stays ≥0.99 while distinct base
+    * vectors stay near-orthogonal). */
+  def embCorpus(spark: SparkSession, dir: String, copies: Int): DataFrame = {
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val n = vecs.count()
+    vecs.crossJoin(spark.range(copies).select(col("id").as("copy")))
+      .select(
+        (col("vec_id") + col("copy") * n).as("vec_id"),
+        when(col("copy") === 0, col("embedding"))
+          .otherwise(zip_with(col("embedding"),
+            sequence(lit(0), size(col("embedding")) - 1),
+            (x, i) => when(i === pmod(col("copy"), size(col("embedding"))
+                .cast("long")).cast("int"),
+              x + lit(0.02f) * (pmod(col("copy"), lit(5L)) + 1L)
+                .cast("float"))
+              .otherwise(x)))
+          .as("embedding"))
+  }
+
   def main(args: Array[String]): Unit = {
     val maxScale = args.headOption.map(_.toInt).getOrElse(10)
+    // which drills to run: all | text | emb
+    val which = args.drop(1).headOption.getOrElse("all")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -43,7 +67,7 @@ object ScaleStress {
 
     println(f"${"copies"}%8s ${"docs"}%9s ${"cands"}%9s ${"pairs"}%9s " +
       f"${"clusters"}%9s ${"t_cand"}%8s ${"t_verify"}%9s ${"t_cc"}%8s")
-    for (copies <- Seq(1, maxScale)) {
+    for (copies <- Seq(1, maxScale) if which != "emb") {
       val docs = corpus(spark, dir, copies).cache()
       val nDocs = docs.count()
 
@@ -82,6 +106,40 @@ object ScaleStress {
           f"t_verify=${(System.nanoTime() - t1) / 1e9}%.1f s")
       }
       docs.unpersist(); cands.unpersist(); verified.unpersist()
+    }
+
+    // Embedding near-dup drill: same banded-candidate + exact-verify
+    // shape over vectors (multi-band hyperplane signatures, capped
+    // buckets, cosine verification on candidate ids only). Uses the
+    // scale band config — 8 bands × 12 bits, so random near-orthogonal
+    // pairs collide at ~2^-12 per band instead of the narrow default's
+    // 2^-6 — planted dups (cosine ≥ 0.99) still collide on some band
+    // with p ≈ 1-(1-0.575)^8. Override via env to compare configs.
+    val emBands = sys.env.getOrElse("SPARK_GRAFT_EMB_BANDS", "8").toInt
+    val emBits = sys.env.getOrElse("SPARK_GRAFT_EMB_BITS", "12").toInt
+    println(f"\n${"copies"}%8s ${"vecs"}%9s ${"cands"}%9s ${"pairs"}%9s " +
+      f"${"t_cand"}%8s ${"t_verify"}%9s")
+    for (copies <- Seq(1, maxScale) if which != "text") {
+      val vecs = embCorpus(spark, dir, copies).cache()
+      val nVecs = vecs.count()
+
+      var t0 = System.nanoTime()
+      val cands = Dedup.minhashCandidates(
+        Dedup.embeddingBands(vecs, "vec_id", "embedding",
+          emBands, emBits), "vec_id").cache()
+      val nCands = cands.count()
+      val tCand = (System.nanoTime() - t0) / 1e9
+
+      t0 = System.nanoTime()
+      val nPairs = Dedup
+        .embeddingNearDups(vecs, "vec_id", "embedding", threshold = 0.9,
+          bands = emBands, bitsPerBand = emBits)
+        .count()
+      val tVerify = (System.nanoTime() - t0) / 1e9
+
+      println(f"$copies%8d $nVecs%9d $nCands%9d $nPairs%9d " +
+        f"$tCand%8.1f $tVerify%9.1f")
+      vecs.unpersist(); cands.unpersist()
     }
     spark.stop()
   }

@@ -20,6 +20,8 @@ class KernelPropertiesSpec extends AnyFunSuite {
   private def arr(xs: Seq[Long]) = new GenericArrayData(xs.toArray)
   private def farr(xs: Seq[Float]) =
     new GenericArrayData(xs.toArray.map(x => x: Any))
+  private def farrD(xs: Seq[Double]) =
+    new GenericArrayData(xs.toArray.map(x => x: Any))
 
   test("sortedJaccard equals classic set Jaccard on random long sets") {
     val gen = for {
@@ -92,6 +94,26 @@ class KernelPropertiesSpec extends AnyFunSuite {
       val hamming = java.lang.Long.bitCount((s1 ^ neg) & 0xFFFFL)
       assert(s1 == s2)
       assert(hamming >= 15, s"v=$v hamming=$hamming")
+    }
+  }
+
+  test("hyperplaneSig offset: per-band sigs are slices of the packed form") {
+    val rnd = new scala.util.Random(7)
+    (1 to 100).foreach { _ =>
+      val v = List.fill(8)((rnd.nextFloat() - 0.5f) * 20f + 1e-3f)
+      val packed = HashKernels.hyperplaneSig(farr(v), 48)
+      (0 until 4).foreach { b =>
+        val band = HashKernels.hyperplaneSig(farr(v), 12, b * 12)
+        assert(band == ((packed >>> (b * 12)) & 0xFFFL),
+          s"band $b of $v")
+      }
+      // beyond 64 total planes: distinct bands, still deterministic
+      val hi = HashKernels.hyperplaneSig(farr(v), 12, 64)
+      assert(hi == HashKernels.hyperplaneSig(farr(v), 12, 64))
+      // double kernel honors the same offset contract
+      val dv = farrD(v.map(_.toDouble))
+      assert(HashKernels.hyperplaneSigDouble(dv, 12, 24) ==
+        ((packed >>> 24) & 0xFFFL))
     }
   }
 
