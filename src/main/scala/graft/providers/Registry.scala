@@ -21,7 +21,7 @@ object Registry {
     Spec("alma", "osv", "git:osv-json", Set("os", "osv")),
     Spec("alpine", "secdb", "secdb-json", Set("os")),
     Spec("amazon", "amazon", "rss+html", Set("os")),
-    Spec("arch", "osv", "rest-json", Set("os")),
+    Spec("arch", "arch", "tracker-json", Set("os")),
     Spec("bitnami", "osv", "git:osv-json", Set("application", "osv")),
     Spec("chainguard", "secdb", "secdb-json", Set("os")),
     Spec("chainguard_libraries", "passthrough", "openvex-json", Set("application")),
@@ -35,7 +35,7 @@ object Registry {
     Spec("minimos", "secdb", "secdb-json", Set("os")),
     Spec("nvd", "nvd", "rest-json", Set("nvd")),
     Spec("oracle", "oval", "oval-xml", Set("os")),
-    Spec("photon", "osv", "git:json", Set("os")),
+    Spec("photon", "photon", "json+wiki-md", Set("os")),
     Spec("rhel", "rhel", "hydra-json+csaf", Set("os")),
     Spec("rocky", "osv", "osv-json", Set("os", "osv")),
     Spec("secureos", "secdb", "secdb-json", Set("os")),
