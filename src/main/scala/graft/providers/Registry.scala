@@ -18,7 +18,7 @@ object Registry {
       tags: Set[String])
 
   val providers: Seq[Spec] = Seq(
-    Spec("alma", "osv", "git:osv-json", Set("os", "osv")),
+    Spec("alma", "alma", "git:osv-json", Set("os", "osv")),
     Spec("alpine", "secdb", "secdb-json", Set("os")),
     Spec("amazon", "amazon", "rss+html", Set("os")),
     Spec("arch", "arch", "tracker-json", Set("os")),
