@@ -26,7 +26,7 @@ object Registry {
     Spec("chainguard", "secdb", "secdb-json", Set("os")),
     Spec("chainguard_libraries", "passthrough", "openvex-json", Set("application")),
     Spec("debian", "debian", "tracker-json+dsa", Set("os")),
-    Spec("echo", "secdb", "secdb-json", Set("os")),
+    Spec("echo", "echo", "pkg-cve-map-json", Set("os")),
     Spec("fedora", "fedora", "bodhi-json", Set("os")),
     Spec("github", "ghsa", "graphql-json", Set("application")),
     Spec("govulndb", "osv", "zip:osv-json", Set("application", "osv")),
