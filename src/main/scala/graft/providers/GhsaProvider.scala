@@ -22,7 +22,9 @@ object GhsaProvider {
     "SWIFT" -> "swift")
 
   val pageSchema: StructType = StructType.fromDDL(
-    "data STRUCT<securityAdvisories: STRUCT<nodes: ARRAY<STRUCT<" +
+    "data STRUCT<securityAdvisories: STRUCT<" +
+      "pageInfo: STRUCT<endCursor: STRING, hasNextPage: BOOLEAN>, " +
+      "nodes: ARRAY<STRUCT<" +
       "ghsaId: STRING, severity: STRING, summary: STRING, " +
       "publishedAt: STRING, updatedAt: STRING, " +
       "identifiers: ARRAY<STRUCT<type: STRING, value: STRING>>, " +
@@ -109,4 +111,20 @@ object GhsaProvider {
           col("severity").as("Severity"),
           col("summary").as("Summary"))): _*)
   }
+
+  /** S3's cursor step (`providers/github/parser.py:215-219`): the next
+    * GraphQL `after` cursor — endCursor while hasNextPage, None at the
+    * last page. The loop's decision logic; the driver executes each
+    * request through [[graft.sources.StagedFetch]]. */
+  def nextCursor(page: DataFrame): Option[String] = {
+    val r = page.select(
+      col("data.securityAdvisories.pageInfo.hasNextPage"),
+      col("data.securityAdvisories.pageInfo.endCursor")).head()
+    if (!r.isNullAt(0) && r.getBoolean(0)) Option(r.getString(1)) else None
+  }
+
+  /** [[nextCursor]] from a staged page document. */
+  def nextCursor(spark: SparkSession, path: String): Option[String] =
+    nextCursor(spark.read.option("multiLine", "true").schema(pageSchema)
+      .json(path))
 }

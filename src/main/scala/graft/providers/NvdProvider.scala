@@ -19,6 +19,28 @@ object NvdProvider {
       "versionEndExcluding: STRING>>>>>>, " +
       "references: ARRAY<STRUCT<url: STRING, source: STRING>>>>>")
 
+  val pageMetaSchema: StructType = StructType.fromDDL(
+    "totalResults BIGINT, resultsPerPage BIGINT, startIndex BIGINT")
+
+  /** S1's pagination plan (`providers/nvd/api.py:122-147`): given the
+    * first page's totalResults/resultsPerPage, every remaining
+    * startIndex the loop would request — including the reference's
+    * trailing empty page when totalResults divides evenly (pages =
+    * total // per_page, offsets per_page·1 … per_page·pages). The
+    * decision logic lives here; the driver executes the requests
+    * through [[graft.sources.StagedFetch]]. */
+  def remainingPageOffsets(totalResults: Long, resultsPerPage: Long): Seq[Long] =
+    if (totalResults <= 0 || resultsPerPage <= 0) Seq.empty
+    else (1L to totalResults / resultsPerPage).map(_ * resultsPerPage)
+
+  /** [[remainingPageOffsets]] from a staged first-page document. */
+  def remainingPageOffsets(spark: SparkSession, path: String): Seq[Long] = {
+    val r = spark.read.option("multiLine", "true").schema(pageMetaSchema)
+      .json(path).select("totalResults", "resultsPerPage").head()
+    def l(i: Int) = if (r.isNullAt(i)) 0L else r.getLong(i)
+    remainingPageOffsets(l(0), l(1))
+  }
+
   /** One row per CVE from an API page document. */
   def cves(spark: SparkSession, path: String): DataFrame =
     spark.read.option("multiLine", "true").schema(pageSchema).json(path)

@@ -10,6 +10,13 @@ class GhsaSpec extends AnyFunSuite {
   private def fixture = getClass.getResource("/fixtures/ghsa.json").getPath
   private lazy val rows = GhsaProvider.advisories(spark, fixture).collect()
 
+  test("S3 cursor step: endCursor while hasNextPage, None at last page") {
+    assert(GhsaProvider.nextCursor(spark, fixture)
+      .contains("Y3Vyc29yOjEwMA=="))
+    assert(GhsaProvider.nextCursor(spark,
+      getClass.getResource("/fixtures/ghsa_lastpage.json").getPath).isEmpty)
+  }
+
   test("ecosystem allow-list: mapped kept, unmapped (ERLANG) dropped") {
     val ecos = rows.map(_.getAs[String]("ecosystem")).toSet
     assert(ecos == Set("npm", "python"))

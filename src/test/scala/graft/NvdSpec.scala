@@ -18,6 +18,18 @@ class NvdSpec extends AnyFunSuite {
       Set("CVE-2023-1234", "CVE-2023-5678", "CVE-2023-9999"))
   }
 
+  test("S1 pagination plan mirrors the api loop, incl. trailing even page") {
+    // api.py:134-147: pages = total // per_page, offsets rpp·1…rpp·pages
+    assert(NvdProvider.remainingPageOffsets(4500, 2000) == Seq(2000L, 4000L))
+    // even division requests the reference's trailing empty page
+    assert(NvdProvider.remainingPageOffsets(4000, 2000) == Seq(2000L, 4000L))
+    assert(NvdProvider.remainingPageOffsets(1500, 2000).isEmpty)
+    assert(NvdProvider.remainingPageOffsets(0, 2000).isEmpty)
+    assert(NvdProvider.remainingPageOffsets(4500, 0).isEmpty)
+    // fixture page: totalResults=3 at rpp=3 → exactly the even trailing page
+    assert(NvdProvider.remainingPageOffsets(spark, fixture) == Seq(3L))
+  }
+
   test("override join: configurations replaced, references unioned by url") {
     // build an override for 1234: new configurations + one dup url + one new
     val ov = cves.filter(col("id") === "CVE-2023-5678")
