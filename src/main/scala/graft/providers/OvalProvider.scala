@@ -49,19 +49,32 @@ object OvalProvider {
 
   /** Envelopes per cve: "less than EVR" criteria become FixedIn entries
     * (the fix is the excluded bound); other operations yield unfixed
-    * rows. A7-style FixedIn concat with canonical ordering. */
-  def envelopes(rows: DataFrame, namespace: String): DataFrame = {
+    * rows. A7-style FixedIn concat with canonical ordering.
+    *
+    * `dropKsplice` is oracle's false-positive guard
+    * (`providers/oracle/parser.py:145-201`): FixedIn entries whose rpm
+    * RELEASE matches `.*ksplice.*` are dropped while the parent record
+    * stays — possibly with an empty FixedIn list, which is what lets
+    * downstream syncs retract earlier matches. */
+  def envelopes(rows: DataFrame, namespace: String,
+      dropKsplice: Boolean = false): DataFrame = {
+    val fixedInStruct = struct(
+      col("pkg").as("Name"),
+      lit(namespace).as("NamespaceName"),
+      lit("rpm").as("VersionFormat"),
+      when(col("op") === "less than", col("evr")).otherwise("None")
+        .as("Version"))
+    val kspliceHit = coalesce(
+      graft.functions.RpmVersion.rpm_release(col("evr")), lit(""))
+      .rlike("ksplice")
     rows
       .groupBy(col("cve"))
       .agg(
         max_by(col("severity"),
           graft.functions.Norm.severity_rank(col("severity"))).as("severity"),
-        array_sort(collect_list(struct(
-          col("pkg").as("Name"),
-          lit(namespace).as("NamespaceName"),
-          lit("rpm").as("VersionFormat"),
-          when(col("op") === "less than", col("evr")).otherwise("None")
-            .as("Version")))).as("fixed_in"))
+        array_sort(collect_list(
+          if (dropKsplice) when(!kspliceHit, fixedInStruct)
+          else fixedInStruct)).as("fixed_in"))
       .select(Envelope.assemble(
         concat(lit(namespace), lit("/"), lower(col("cve"))),
         Envelope.OsSchema,

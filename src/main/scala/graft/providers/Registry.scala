@@ -31,7 +31,7 @@ object Registry {
     Spec("github", "ghsa", "graphql-json", Set("application")),
     Spec("govulndb", "osv", "zip:osv-json", Set("application", "osv")),
     Spec("hummingbird", "csaf", "csaf-vex-json", Set("os")),
-    Spec("mariner", "oval", "oval-xml", Set("os")),
+    Spec("mariner", "mariner", "oval-xml", Set("os")),
     Spec("minimos", "secdb", "secdb-json", Set("os")),
     Spec("nvd", "nvd", "rest-json", Set("nvd")),
     Spec("oracle", "oval", "oval-xml", Set("os")),

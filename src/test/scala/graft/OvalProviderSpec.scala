@@ -16,7 +16,8 @@ class OvalProviderSpec extends AnyFunSuite {
       OvalProvider.resolvedRows(spark, fixture), "sles:15.5")
     val rows = env.collect()
     assert(rows.map(_.getAs[String]("identifier")).toSet ==
-      Set("sles:15.5/cve-2023-1000", "sles:15.5/cve-2023-2000"))
+      Set("sles:15.5/cve-2023-1000", "sles:15.5/cve-2023-2000",
+        "sles:15.5/cve-2023-3000"))
     val e1 = rows.find(_.getAs[String]("identifier") == "sles:15.5/cve-2023-1000")
       .get.getAs[String]("item")
     assert(e1.contains("\"Severity\":\"High\""))      // Important → High
@@ -25,6 +26,23 @@ class OvalProviderSpec extends AnyFunSuite {
     val e2 = rows.find(_.getAs[String]("identifier") == "sles:15.5/cve-2023-2000")
       .get.getAs[String]("item")
     assert(e2.contains("\"Severity\":\"Medium\""))    // Moderate → Medium
+  }
+
+  test("oracle ksplice guard drops the fix but keeps the record") {
+    val rows = OvalProvider.resolvedRows(spark, fixture)
+    val kept = OvalProvider.envelopes(rows, "ol:7")
+      .filter(org.apache.spark.sql.functions.col("identifier") ===
+        "ol:7/cve-2023-3000").head().getAs[String]("item")
+    assert(kept.contains("\"Version\":\"1:1.0.2k-2.ksplice1.el7\""))
+    val filtered = OvalProvider.envelopes(rows, "ol:7", dropKsplice = true)
+    val item = filtered.filter(org.apache.spark.sql.functions.col("identifier") ===
+      "ol:7/cve-2023-3000").head().getAs[String]("item")
+    // parent record survives with an empty FixedIn (parser.py:167-172)
+    assert(item.contains("\"FixedIn\":[]"))
+    // non-ksplice fixes untouched
+    val other = filtered.filter(org.apache.spark.sql.functions.col("identifier") ===
+      "ol:7/cve-2023-1000").head().getAs[String]("item")
+    assert(other.contains("\"Version\":\"0:1.2-3\""))
   }
 
   test("two-tier change detection partitions ids into fetch/skip/delete (S4)") {
