@@ -181,6 +181,28 @@ object QueriesPipeline {
         length(text) AS n_chars_actual
         FROM documents""")),
 
+    // Sequence packing: docs → consecutive 4096-token training bins via
+    // the two-phase distributed prefix sum (operators/Pack.scala — no
+    // global single-partition window). Bin assignment is pure window
+    // arithmetic, replayed exactly by the oracle.
+    "q_pack_sequences" -> Entry(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), Text.token_count(col("text")).as("n"))
+        graft.operators.Pack.sequenceStats(
+          graft.operators.Pack.sequencePack(docs, "doc_id", "n", 4096), "n")
+          .select(col("seq_id"), col("n_docs"), col("sum_tokens"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+          len(regexp_split_to_array(trim(text), '\s+')) AS n FROM documents),
+        c AS (SELECT doc_id, n,
+          coalesce(sum(n) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+          FROM t)
+        SELECT CAST(floor(cb / 4096) AS BIGINT) AS seq_id,
+          count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS sum_tokens
+        FROM c GROUP BY 1""")),
+
     "q_text_quality" -> Entry(
       (s, dir) => {
         val f = Text.quality_features(col("text"))

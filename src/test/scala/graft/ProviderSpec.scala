@@ -69,7 +69,7 @@ class ProviderSpec extends AnyFunSuite {
       .join(states, col("state_ref") === col("state_id"))
       .select("cve", "pkg", "evr", "op", "severity")
       .collect()
-    assert(joined.length == 2)
+    assert(joined.length == 3)
     val r = joined.find(_.getAs[String]("cve") == "CVE-2023-1000").get
     assert(r.getAs[String]("pkg") == "libfoo")
     assert(r.getAs[String]("evr") == "0:1.2-3")
