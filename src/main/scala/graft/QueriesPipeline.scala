@@ -181,6 +181,30 @@ object QueriesPipeline {
         length(text) AS n_chars_actual
         FROM documents""")),
 
+    // Benchmark decontamination: training docs sharing 3-gram shingles
+    // with the (broadcast) eval slice — exact overlap, no sketches.
+    "q_decontaminate" -> Entry(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+        graft.operators.Contamination.hits(
+          docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+          "doc_id", "text", bench, "text")
+      },
+      Some("""WITH words AS (
+          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+          FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id,
+            CASE WHEN len(ws) <= 3 THEN array_to_string(ws, ' ')
+            ELSE array_to_string(list_slice(ws, i, i+2), ' ') END AS s
+          FROM words, unnest(CASE WHEN len(ws) <= 3 THEN [1]
+            ELSE range(1, len(ws)-1) END) AS t(i)
+        ), bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0)
+        SELECT a.doc_id, count(*) AS n_hits
+        FROM sh a JOIN bench b ON a.s = b.s
+        WHERE a.doc_id % 97 <> 0 GROUP BY 1""")),
+
     // Sequence packing: docs → consecutive 4096-token training bins via
     // the two-phase distributed prefix sum (operators/Pack.scala — no
     // global single-partition window). Bin assignment is pure window
