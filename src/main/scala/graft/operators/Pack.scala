@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Sequence packing for training-data pipelines: assign documents, in a
   * deterministic key order, to consecutive fixed-token-budget bins
@@ -16,48 +17,72 @@ import org.apache.spark.sql.functions._
   * partition, one task, dead at 100 TB. This is the standard two-phase
   * distributed prefix sum instead:
   *
-  *   1. range-repartition by the key so partitions are ordered spans;
-  *   2. per-partition token totals — a tiny aggregate, collected
-  *      driver-side (|partitions| longs, the legitimate bounded
-  *      collect) and prefix-summed into per-partition offsets;
-  *   3. each partition computes its LOCAL running sum in parallel
-  *      (window partitioned by partition id) and adds its offset.
+  *   1. range-repartition by the key so partitions are ordered spans
+  *      (the ONLY row-moving exchange), sort within partitions;
+  *   2. per-partition token totals — map-side partial aggregation, so
+  *      only |partitions| rows shuffle — prefix-summed driver-side into
+  *      per-partition offsets;
+  *   3. each partition folds its own running sum in one ordered pass
+  *      (mapPartitions — a window partitioned by partition id would
+  *      force a second full exchange, Catalyst can't see that range
+  *      partitioning already co-locates it).
   *
-  * Every row moves once (the range exchange); the only serial work is
-  * the |partitions|-length scan on the driver.
+  * The ranged input is localCheckpoint-materialized so the totals pass
+  * and the fold see byte-identical partitions (range-bound sampling is
+  * not stable across recomputed jobs) — which also means the corpus is
+  * ranged once, not twice.
   */
 object Pack {
 
-  /** One row per input row: (idCol, tokensCol..., seq_id, cum_before).
-    * `budget` is the per-sequence token budget. */
+  /** One row per input row: input columns + (cum_before, seq_id).
+    * `budget` is the per-sequence token budget; `tokensCol` must be
+    * integral. */
   def sequencePack(df: DataFrame, idCol: String, tokensCol: String,
       budget: Long, partitions: Int = 0): DataFrame = {
+    require(budget > 0, "budget must be positive")
     val n = if (partitions > 0) partitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val ranged = df.repartitionByRange(n, col(idCol))
+    val prepped = df.withColumn(tokensCol, col(tokensCol).cast(LongType))
+    // materialize the range partitioning ONCE, with the partition id
+    // frozen INTO the data: the totals pass and the fold must agree on
+    // partition identity, and neither task-partition-id nor
+    // spark_partition_id is stable downstream — when a later plan
+    // unions this frame (exceptAll, union) the fused stage renumbers
+    // its partitions, shifting the second child's ids. A data column
+    // written at checkpoint time is immune.
+    val ranged = prepped.repartitionByRange(n, col(idCol))
+      .sortWithinPartitions(col(idCol))
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
 
-    // phase 2: per-partition totals → driver prefix sum → offset map.
-    // |partitions| rows — bounded by cluster config, not data size.
-    val totals = ranged.groupBy(col("__pid"))
-      .agg(sum(col(tokensCol)).as("__t"))
+    // phase 2: per-partition totals — partial agg means |partitions|
+    // rows through the shuffle; the driver scan is bounded by cluster
+    // config, not data size
+    val totals = ranged
+      .groupBy(col("__pid")).agg(sum(col(tokensCol)).as("__t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     var acc = 0L
-    val offsets = totals.map { case (pid, t) =>
+    val offsets: Map[Int, Long] = totals.map { case (pid, t) =>
       val o = pid -> acc; acc += t; o
-    }
-    val offsetCol = offsets.foldLeft(lit(0L)) { case (e, (pid, off)) =>
-      when(col("__pid") === pid, lit(off)).otherwise(e)
-    }
+    }.toMap
 
-    // phase 3: local running sums in parallel, one window per partition
-    val w = Window.partitionBy(col("__pid")).orderBy(col(idCol))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    ranged
-      .withColumn("cum_before",
-        coalesce(sum(col(tokensCol)).over(w), lit(0L)) + offsetCol)
-      .withColumn("seq_id", floor(col("cum_before") / budget))
-      .drop("__pid")
+    // phase 3: one ordered fold per partition, fully parallel; the
+    // partition's offset comes from its rows' frozen __pid
+    val outSchema = ranged.schema
+      .add("cum_before", LongType, nullable = false)
+      .add("seq_id", LongType, nullable = false)
+    val tokIdx = ranged.schema.fieldIndex(tokensCol)
+    val pidIdx = ranged.schema.fieldIndex("__pid")
+    ranged.mapPartitions { it =>
+      var cum = 0L
+      var first = true
+      it.map { r =>
+        if (first) { cum = offsets.getOrElse(r.getInt(pidIdx), 0L); first = false }
+        val before = cum
+        cum += r.getLong(tokIdx)
+        Row.fromSeq(r.toSeq :+ before :+ (before / budget))
+      }
+    }(RowEncoder.encoderFor(outSchema)).drop("__pid")
   }
 
   /** Per-sequence summary: (seq_id, n_docs, sum_tokens). */
