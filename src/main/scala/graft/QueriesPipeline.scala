@@ -181,6 +181,40 @@ object QueriesPipeline {
         length(text) AS n_chars_actual
         FROM documents""")),
 
+    // End-to-end training-data flow: quality gate → exact dedup → pack.
+    // Every stage is individually oracle-checked elsewhere; this pins
+    // the COMPOSITION (filters survive into the dedup keyspace, the
+    // pack runs over dedup survivors only).
+    "q_pipeline_e2e" -> Entry(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("text"),
+            Text.token_count(col("text")).as("n"))
+        val quality = docs.filter(col("n") >= 5)
+        val keep = Dedup.exact(quality, "text", "doc_id")
+          .select(col("keep_id").as("doc_id"))
+        val survivors = quality.join(keep, "doc_id").select("doc_id", "n")
+        graft.operators.Pack.sequenceStats(
+          graft.operators.Pack.sequencePack(survivors, "doc_id", "n", 4096),
+          "n").select(col("seq_id"), col("n_docs"), col("sum_tokens"))
+      },
+      Some("""WITH q AS (
+          SELECT doc_id, text,
+            len(regexp_split_to_array(trim(text), '\s+')) AS n
+          FROM documents
+          WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 5
+        ), k AS (
+          SELECT min(doc_id) AS doc_id FROM q
+          GROUP BY sha256(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+        ), s AS (SELECT q.doc_id, q.n FROM q JOIN k USING (doc_id)),
+        c AS (SELECT doc_id, n,
+          coalesce(sum(n) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+          FROM s)
+        SELECT CAST(floor(cb / 4096) AS BIGINT) AS seq_id,
+          count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS sum_tokens
+        FROM c GROUP BY 1""")),
+
     // Benchmark decontamination: training docs sharing 3-gram shingles
     // with the (broadcast) eval slice — exact overlap, no sketches.
     "q_decontaminate" -> Entry(

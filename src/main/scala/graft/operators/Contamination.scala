@@ -17,14 +17,12 @@ import org.apache.spark.sql.functions._
   */
 object Contamination {
 
-  /** Distinct word n-grams of a text column as an array. */
-  def wordShingles(text: Column, n: Int = 3): Column = {
-    val ws = split(lower(trim(text)), "\\s+")
-    array_distinct(
-      when(size(ws) <= n, array(array_join(ws, " ")))
-        .otherwise(transform(sequence(lit(0), size(ws) - n),
-          i => array_join(slice(ws, i + lit(1), lit(n)), " "))))
-  }
+  /** Distinct word n-grams of a text column as an array — the native
+    * single-pass codegen kernel ([[graft.plans.TextKernels.wordShingles]];
+    * a higher-order `transform` here runs interpreted per element and
+    * was the bench's slowest stage). */
+  def wordShingles(text: Column, n: Int = 3): Column =
+    array_distinct(graft.plans.TextExpressions.word_shingles(text, n))
 
   /** (idCol, n_hits) for every training doc sharing ≥1 distinct n-gram
     * with the benchmark set. `bench` broadcasts. */
