@@ -14,6 +14,10 @@ run / fork := true
 // Pass the forked JVM's stdout straight through (no "[info] " logger
 // prefix) so Bench's one-line JSON is machine-parseable from sbt output.
 run / outputStrategy := Some(StdoutOutput)
+// Drop the "[success] Total time" footer after `runMain graft.Bench` so
+// the bench's one-line JSON stays the LAST stdout line (the driver
+// parses it from a bounded tail of the output).
+ThisBuild / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -32,18 +32,30 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional subset filter for local profiling: comma-separated name
+    // prefixes (e.g. SPARK_GRAFT_QUERIES=q_dedup_cluster,q_sim).
+    val only = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
+      only.forall(_.exists(n.startsWith))
+    }
+    val results = selected.map { case (name, fn) =>
       val cold = once(name, fn)
       // min of two timed runs: steady-state latency without scheduler
       // noise (single-machine 32-thread runs jitter up to ~2x)
       val warm = math.min(once(name, fn), once(name, fn))
       (name, warm, cold)
     }
-    val qs = results.map { case (k, w, _) => s"\"" + k + "\":" + w }
+    // ms precision keeps the whole line inside the driver's 2000-char
+    // stdout tail window (full double precision overflowed it at 60
+    // queries, and a truncated line parses as nothing).
+    def fmt(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
+    val qs = results.map { case (k, w, _) => s"\"" + k + "\":" + fmt(w) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val coldTotal = results.map(_._3).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total":$coldTotal,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"cold_total":${fmt(coldTotal)},"sf":"$sfDir"}"""
+    println(line)
     spark.stop()
   }
 }
