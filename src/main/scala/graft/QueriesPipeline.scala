@@ -579,5 +579,169 @@ object QueriesPipeline {
       Some("""SELECT l_returnflag, count(*) AS n_rows,
         sum(cast(floor(l_quantity*100 + 0.5) as bigint))/100.0 AS sum_qty
         FROM lineitem GROUP BY l_returnflag""")),
+
+    // ---- corpus curation --------------------------------------------
+    // Gopher-style repetition gates: word-duplication fraction and the
+    // share of bigram slots taken by the most frequent bigram — entirely
+    // row-local (the bigram mode-count runs inside the row via
+    // `aggregate` over the sorted bigram array, no corpus-wide explode
+    // shuffle). The oracle recomputes the same fractions the expensive
+    // way (unnest + group) — same numbers, different plan shape.
+    "q_quality_repetition" -> Entry(
+      (s, dir) => {
+        val f = Text.repetition_features(col("text"))
+        t(s, dir, "documents").select(col("doc_id"),
+          f.getField("n_words").as("n_words"),
+          round(f.getField("dup_word_frac"), 4).as("dup_word_frac"),
+          round(f.getField("top_bigram_frac"), 4).as("top_bigram_frac"))
+      },
+      Some("""WITH words AS (
+          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+          FROM documents
+        ), bg AS (
+          SELECT doc_id, ws[i] || ' ' || ws[i+1] AS b
+          FROM words, unnest(range(1, len(ws))) AS t(i)
+        ), cnt AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+        top AS (SELECT doc_id, max(c) AS mc FROM cnt GROUP BY 1)
+        SELECT w.doc_id, cast(len(ws) as bigint) AS n_words,
+          round(1.0 - len(list_distinct(ws))::double / len(ws), 4)
+            AS dup_word_frac,
+          round(coalesce(t.mc::double / (len(ws) - 1), 0.0), 4)
+            AS top_bigram_frac
+        FROM words w LEFT JOIN top t ON w.doc_id = t.doc_id""")),
+
+    // Deterministic stratified sampling: content-hash (md5-prefix)
+    // Bernoulli keep with per-language rates — a pure map-side filter
+    // (the 100 TB sampler: one scan, zero shuffle, rerun-stable, and
+    // portable to any engine with md5 — unlike rand(), which is
+    // partition-layout-dependent).
+    "q_sample_stratified" -> Entry(
+      (s, dir) => {
+        import graft.operators.Corpus
+        val keep = when(col("lang") === "en",
+            Corpus.hashKeep(col("text"), 0.5))
+          .otherwise(Corpus.hashKeep(col("text"), 0.125))
+        t(s, dir, "documents").filter(keep)
+          .select(col("doc_id"), col("lang"),
+            Corpus.hashBucket(col("text")).as("bucket"))
+      },
+      Some("""SELECT doc_id, lang, substr(md5(text), 1, 4) AS bucket
+        FROM documents
+        WHERE substr(md5(text), 1, 4) <
+          CASE WHEN lang = 'en' THEN '8000' ELSE '2000' END""")),
+
+    // Per-source corpus balancing: keep the 10 highest-token documents
+    // per source (WindowGroupLimit pushes the top-10 below the exchange,
+    // so the shuffle carries at most 10 rows per source per map task).
+    "q_source_cap" -> Entry(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("source"), col("doc_id"),
+            Text.token_count(col("text")).cast("long").as("n_tokens"))
+        graft.operators.Corpus.capPerGroup(docs, "source",
+            Seq(col("n_tokens").desc, col("doc_id").asc), 10)
+          .select(col("source"), col("doc_id"), col("n_tokens"),
+            col("rnk").cast("long").as("rnk"))
+      },
+      Some("""SELECT source, doc_id, n_tokens, rnk FROM (
+          SELECT source, doc_id,
+            cast(len(regexp_split_to_array(trim(text), '\s+')) as bigint)
+              AS n_tokens,
+            cast(row_number() OVER (PARTITION BY source
+              ORDER BY len(regexp_split_to_array(trim(text), '\s+')) DESC,
+                doc_id) as bigint) AS rnk
+          FROM documents) WHERE rnk <= 10""")),
+
+    // BM25 retrieval: top-50 documents for a 3-term query. Corpus stats
+    // (N, Σdl, per-term df) are one partial-aggregated pass broadcast
+    // back as a 1-row cross join; term frequencies are row-local; the
+    // only wide node is the final TakeOrdered. The oracle replays the
+    // identical Okapi arithmetic in SQL (same association order).
+    "q_text_bm25" -> Entry(
+      (s, dir) => graft.operators.Corpus.bm25(t(s, dir, "documents"),
+          "doc_id", "text", Seq("table", "spark", "vector"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(50)
+        .select(col("doc_id"), col("dl").cast("long").as("dl"),
+          round(col("score"), 4).as("score")),
+      Some("""WITH d AS (
+          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+          FROM documents
+        ), f AS (
+          SELECT doc_id, cast(len(ws) as bigint) AS dl,
+            len(list_filter(ws, w -> w = 'table')) AS tf0,
+            len(list_filter(ws, w -> w = 'spark')) AS tf1,
+            len(list_filter(ws, w -> w = 'vector')) AS tf2
+          FROM d
+        ), s AS (
+          SELECT count(*) AS n_docs, sum(dl) AS sum_dl,
+            sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+            sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+            sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+          FROM f)
+        SELECT doc_id, dl, round(score, 4) AS score FROM (
+          SELECT doc_id, dl,
+            ln(1.0 + (n_docs::double - df0::double + 0.5)/(df0::double + 0.5))
+              * tf0::double * 2.2 / (tf0::double + 1.2 *
+                (0.25 + 0.75 * dl::double / (sum_dl::double / n_docs::double)))
+            + ln(1.0 + (n_docs::double - df1::double + 0.5)/(df1::double + 0.5))
+              * tf1::double * 2.2 / (tf1::double + 1.2 *
+                (0.25 + 0.75 * dl::double / (sum_dl::double / n_docs::double)))
+            + ln(1.0 + (n_docs::double - df2::double + 0.5)/(df2::double + 0.5))
+              * tf2::double * 2.2 / (tf2::double + 1.2 *
+                (0.25 + 0.75 * dl::double / (sum_dl::double / n_docs::double)))
+              AS score
+          FROM f, s WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0)
+        ORDER BY score DESC, doc_id LIMIT 50""")),
+
+    // Exact corpus distribution stats: per-language token-count
+    // quantiles (linear interpolation — Spark `percentile` ≡ DuckDB
+    // `quantile_cont`). One shuffle on lang; percentile is a typed
+    // aggregate with map-side partials.
+    "q_corpus_quantiles" -> Entry(
+      (s, dir) => t(s, dir, "documents")
+        .select(col("lang"), Text.token_count(col("text")).as("n_tokens"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("percentile(n_tokens, array(0.5D, 0.9D, 0.99D))").as("p"))
+        .select(col("lang"), col("n_docs"),
+          round(element_at(col("p"), 1), 4).as("p50"),
+          round(element_at(col("p"), 2), 4).as("p90"),
+          round(element_at(col("p"), 3), 4).as("p99")),
+      Some("""SELECT lang, count(*) AS n_docs,
+        round(quantile_cont(len(regexp_split_to_array(trim(text), '\s+')),
+          0.5), 4) AS p50,
+        round(quantile_cont(len(regexp_split_to_array(trim(text), '\s+')),
+          0.9), 4) AS p90,
+        round(quantile_cont(len(regexp_split_to_array(trim(text), '\s+')),
+          0.99), 4) AS p99
+        FROM documents GROUP BY lang""")),
+
+    // Corpus-level n-gram vocabulary stats: global top-25 word bigrams.
+    // Explode shuffles (bigram, partial-count) after map-side combine;
+    // the top-25 is a TakeOrdered (per-partition heap + driver merge),
+    // never a single-partition global sort.
+    "q_ngram_topk" -> Entry(
+      (s, dir) => {
+        // native single-pass shingle kernel: the transform(sequence …)
+        // composable form re-ran the full text split per element inside
+        // Generate (interpreted — measured 5.7 s vs 0.3 s at sf0.1)
+        val n = size(split(trim(col("text")), "\\s+"))
+        val bigrams = when(n >= 2, Text.word_shingles(col("text"), 2))
+          .otherwise(array().cast("array<string>"))
+        t(s, dir, "documents")
+          .select(explode(bigrams).as("bigram"))
+          .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("bigram").asc)
+          .limit(25)
+      },
+      Some("""WITH words AS (
+          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+          FROM documents
+        ), bg AS (
+          SELECT doc_id, ws[i] || ' ' || ws[i+1] AS b
+          FROM words, unnest(range(1, len(ws))) AS t(i))
+        SELECT b AS bigram, count(*) AS n FROM bg GROUP BY 1
+        ORDER BY n DESC, bigram LIMIT 25""")),
   )
 }

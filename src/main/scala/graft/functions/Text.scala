@@ -63,6 +63,45 @@ object Text {
     round(lenOk + punctOk + stopOk, 1)
   }
 
+  /** Repetition features (the Gopher-style repetitiousness gates): word
+    * duplication fraction and the fraction of word-bigram slots taken by
+    * the single most frequent bigram. Entirely row-local (one narrow map,
+    * no shuffle): the bigram mode-count runs over the row's own sorted
+    * bigram array via `aggregate`, not via an explode+groupBy — at 100 TB
+    * that is the difference between a scan and a corpus-wide shuffle of
+    * every bigram occurrence. */
+  def repetition_features(text: Column): Column = {
+    val words = split(trim(lower(text)), "\\s+")
+    val n = size(words)
+    val dupWordFrac = when(n > 0,
+      lit(1.0) - size(array_distinct(words)).cast("double") / n.cast("double"))
+      .otherwise(lit(0.0))
+    // Native single-pass kernel: the composable transform(sequence …)
+    // form re-evaluates the captured words array per element when it
+    // falls out of codegen (the quadratic trap documented in
+    // graft.plans.TextKernels). Guard: the kernel returns the whole text
+    // as one window for <2 words, which is not a bigram.
+    val bigrams = when(n >= 2, word_shingles(text, 2))
+      .otherwise(array().cast("array<string>"))
+    // longest run of an identical element in the sorted array = count of
+    // the most frequent bigram
+    val topCount = aggregate(array_sort(bigrams),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    val topBigramFrac = when(n >= 2,
+      topCount.cast("double") / (n - 1).cast("double")).otherwise(lit(0.0))
+    struct(
+      n.cast("long").as("n_words"),
+      dupWordFrac.as("dup_word_frac"),
+      topBigramFrac.as("top_bigram_frac"))
+  }
+
   /** Deterministic document fingerprint: sha-256 of the normalized text
     * (lowercase, whitespace collapsed) — the exact-dedup key. sha2 is
     * portable across engines (DuckDB sha256), unlike xxhash64 seeds. */

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data pipelines: deterministic
+  * sampling, per-group caps, and BM25 retrieval scoring.
+  *
+  * Scale design notes:
+  *  - [[hashKeep]] is a pure map-side filter — sampling 100 TB costs one
+  *    scan, no shuffle, and is reproducible across reruns and engines
+  *    (md5 of the content, not Spark's partition-dependent `rand()`).
+  *  - [[capPerGroup]] shuffles once on the group key; with per-group
+  *    output bounded at `n` Spark plans a WindowGroupLimit, so the
+  *    exchange carries at most what survives the running top-n per map
+  *    task, not the full group.
+  *  - [[bm25]] is two scans: one tiny aggregate for the corpus stats
+  *    (broadcast back as a 1-row cross join) and one map over documents;
+  *    term frequencies are row-local array ops, so the only wide plan
+  *    node in a top-k retrieval is the final TakeOrdered.
+  */
+object Corpus {
+
+  /** Deterministic Bernoulli-style sampling predicate: keep rows whose
+    * md5(key) prefix falls below `rate` of the 16-bit prefix space.
+    * Content-hash sampling dedups with reruns (same doc → same verdict)
+    * and is portable to any engine with md5. */
+  def hashKeep(key: Column, rate: Double): Column = {
+    require(rate >= 0 && rate <= 1, "rate must be in [0,1]")
+    val threshold = f"${math.floor(rate * 65536).toInt}%04x"
+    hashBucket(key) < lit(threshold)
+  }
+
+  /** The 4-hex-char md5 prefix used by [[hashKeep]] (exposed so callers
+    * can stratify: different thresholds per stratum over one hash). */
+  def hashBucket(key: Column): Column = substring(md5(key), 1, 4)
+
+  /** Keep at most `n` rows per group, best-first by `order`. One shuffle
+    * on the group key; the top-n is pushed below the exchange as a
+    * WindowGroupLimit (partial group-limit per map task). */
+  def capPerGroup(df: DataFrame, groupCol: String, order: Seq[Column],
+      n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol)).orderBy(order: _*)
+    df.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= n)
+  }
+
+  /** BM25 scores of every document against a small bag of query terms.
+    * Returns (idCol, dl, score) for documents matching ≥1 term; callers
+    * take the top-k. Formula (Robertson/Sparck Jones, the Okapi BM25
+    * published form):
+    *   Σ_t ln(1 + (N - df_t + 0.5)/(df_t + 0.5))
+    *       · tf_t(k1+1)/(tf_t + k1(1 - b + b·dl/avgdl))
+    * Term frequencies are row-local (`filter` over the token array); the
+    * corpus stats (N, Σdl, df per term) are ONE partial-aggregated pass
+    * producing a single row that cross-joins (broadcast) back — no
+    * per-term shuffle, no explode of the corpus. */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val words = split(trim(lower(col(textCol))), "\\s+")
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      size(filter(words, w => w === lit(t))).as(s"tf$i")
+    }
+    val freqs = docs.select(
+      (col(idCol) +: size(words).as("dl") +: tfCols): _*)
+    val dfCols = terms.indices.flatMap { i =>
+      Seq(sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    }
+    val aggCols = Seq(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl")) ++ dfCols
+    val stats = freqs.agg(aggCols.head, aggCols.tail: _*)
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val score = terms.indices.map { i =>
+      val tf = col(s"tf$i").cast("double")
+      val dfT = col(s"df$i").cast("double")
+      val idf = log(lit(1.0) +
+        (col("n_docs").cast("double") - dfT + lit(0.5)) / (dfT + lit(0.5)))
+      idf * tf * lit(k1 + 1) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl))
+    }.reduce(_ + _)
+    freqs.crossJoin(broadcast(stats))
+      .filter(terms.indices.map(i => col(s"tf$i") > 0).reduce(_ || _))
+      .select(col(idCol), col("dl"), score.as("score"))
+  }
+}

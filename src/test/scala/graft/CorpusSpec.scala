@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.Text
+import graft.operators.Corpus
+
+/** Value-level pins for the corpus-curation operators (the DuckDB oracle
+  * checks the full-query surface; these pin the per-operator arithmetic
+  * on hand-computable cases). */
+class CorpusSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("repetition features on hand-computed docs") {
+    val df = Seq(
+      (1L, "a a a a"),          // 4 words, 1 distinct; "a a" fills all 3 slots
+      (2L, "w x y z"),          // all distinct; every bigram unique
+      (3L, "go stop go stop go"), // "go stop"×2 + "stop go"×2 of 4 slots
+      (4L, "solo")              // single word: no bigrams
+    ).toDF("doc_id", "text")
+    val f = Text.repetition_features(col("text"))
+    val out = df.select(col("doc_id"),
+      f.getField("n_words").as("n"),
+      round(f.getField("dup_word_frac"), 4).as("dup"),
+      round(f.getField("top_bigram_frac"), 4).as("top"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((4L, 0.75, 1.0)))
+    assert(out(2L) == ((4L, 0.0, 0.3333)))
+    assert(out(3L) == ((5L, 0.6, 0.5)))
+    assert(out(4L) == ((1L, 0.0, 0.0)))
+  }
+
+  test("hashKeep is deterministic and tracks the requested rate") {
+    val df = (1 to 4000).map(i => s"document body number $i").toDF("text")
+    val kept = df.filter(Corpus.hashKeep(col("text"), 0.25)).count()
+    val keptAgain = df.filter(Corpus.hashKeep(col("text"), 0.25)).count()
+    assert(kept == keptAgain, "sampling not deterministic")
+    // md5 is uniform: expect 1000 ± 5 sigma (sigma = sqrt(n·p·(1-p)) ≈ 27)
+    assert(math.abs(kept - 1000) < 140, s"kept=$kept far from rate")
+    // monotone: a larger rate keeps a superset
+    val small = df.filter(Corpus.hashKeep(col("text"), 0.1))
+    val bigger = df.filter(Corpus.hashKeep(col("text"), 0.5))
+    assert(small.exceptAll(bigger).count() == 0, "rates not nested")
+  }
+
+  test("capPerGroup bounds group size and keeps best-first") {
+    val df = Seq(
+      ("s1", 1L, 10L), ("s1", 2L, 30L), ("s1", 3L, 20L), ("s1", 4L, 40L),
+      ("s2", 5L, 1L)
+    ).toDF("source", "doc_id", "n_tokens")
+    val out = Corpus.capPerGroup(df, "source",
+      Seq(col("n_tokens").desc, col("doc_id").asc), 2)
+    val s1 = out.filter(col("source") === "s1")
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 == Set(4L, 2L), s"expected top-2 by tokens, got $s1")
+    assert(out.groupBy("source").count()
+      .filter(col("count") > 2).count() == 0)
+  }
+
+  test("bm25 ranks heavier term usage higher at equal length") {
+    val df = Seq(
+      (1L, "table table table pad pad pad"),
+      (2L, "table pad pad pad pad pad"),
+      (3L, "pad pad pad pad pad pad")
+    ).toDF("doc_id", "text")
+    val out = Corpus.bm25(df, "doc_id", "text", Seq("table"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(!out.contains(3L), "doc without the term must be excluded")
+    assert(out(1L) > out(2L), s"tf=3 must beat tf=1: $out")
+  }
+
+  test("bm25 idf discounts common terms") {
+    // 'common' appears in every doc, 'rare' in one: for the doc holding
+    // both once, the rare term must contribute more than the common one
+    val df = Seq(
+      (1L, "common rare pad"), (2L, "common pad pad"), (3L, "common pad pad")
+    ).toDF("doc_id", "text")
+    val scores = Corpus.bm25(df, "doc_id", "text", Seq("common", "rare"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val commonOnly = Corpus.bm25(df, "doc_id", "text", Seq("common"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scores(1L) - commonOnly(1L) > commonOnly(1L),
+      "rare-term contribution should dominate the common term's")
+  }
+}

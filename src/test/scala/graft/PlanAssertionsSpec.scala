@@ -107,4 +107,31 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined,
       s"no partition pruning in plan:\n$p")
   }
+
+  test("q_sample_stratified is a map-only scan (zero Exchange)") {
+    val p = plan("q_sample_stratified")
+    assert(!p.contains("Exchange"), s"sampler must not shuffle:\n$p")
+  }
+
+  test("q_source_cap pushes the per-group top-n below the exchange") {
+    val p = plan("q_source_cap")
+    assert(p.contains("WindowGroupLimit"), s"no group-limit pushdown:\n$p")
+  }
+
+  test("q_ngram_topk takes the global top-k without a single-partition sort") {
+    val p = plan("q_ngram_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"no TakeOrdered:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"global sort crept in:\n$p")
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"no map-side combine before the bigram shuffle:\n$p")
+  }
+
+  test("q_text_bm25 broadcasts the 1-row stats and ends in TakeOrdered") {
+    val p = plan("q_text_bm25")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), s"stats row not broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"no TakeOrdered:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus-side shuffle join:\n$p")
+  }
 }
