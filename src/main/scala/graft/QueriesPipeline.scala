@@ -743,5 +743,104 @@ object QueriesPipeline {
           FROM words, unnest(range(1, len(ws))) AS t(i))
         SELECT b AS bigram, count(*) AS n FROM bg GROUP BY 1
         ORDER BY n DESC, bigram LIMIT 25""")),
+
+    // PII scrubbing: emails / IPv4s / phone-shaped runs → typed tokens,
+    // with per-class counts. The corpus has no organic PII, so the query
+    // plants deterministic PII derived from doc_id on both sides — the
+    // OPERATOR under test is the scrub, which must behave identically in
+    // both regex engines (patterns are RE2-safe by construction).
+    "q_pii_scrub" -> Entry(
+      (s, dir) => {
+        import graft.operators.Corpus
+        val planted = concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com from 10.0."),
+          pmod(col("doc_id"), lit(256)).cast("string"),
+          lit(".7 tel 555-01"), pmod(col("doc_id"), lit(100)).cast("string"))
+        val p = Corpus.scrubPii(planted)
+        t(s, dir, "documents").select(col("doc_id"),
+          p.getField("n_emails").as("n_emails"),
+          p.getField("n_ips").as("n_ips"),
+          p.getField("n_phones").as("n_phones"),
+          sha2(p.getField("scrubbed"), 256).as("scrubbed_sha"))
+      },
+      Some("""WITH planted AS (
+          SELECT doc_id, text || ' contact user' || cast(doc_id as varchar)
+            || '@example.com from 10.0.' || cast(doc_id % 256 as varchar)
+            || '.7 tel 555-01' || cast(doc_id % 100 as varchar) AS t
+          FROM documents
+        ), s1 AS (
+          SELECT doc_id, t,
+            len(regexp_extract_all(t,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+              AS n_emails,
+            regexp_replace(t,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+              '<EMAIL>', 'g') AS t1
+          FROM planted
+        ), s2 AS (
+          SELECT doc_id, n_emails,
+            len(regexp_extract_all(t1,
+              '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+            regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+              '<IP>', 'g') AS t2
+          FROM s1)
+        SELECT doc_id, cast(n_emails as bigint) AS n_emails,
+          cast(n_ips as bigint) AS n_ips,
+          cast(len(regexp_extract_all(t2, '\b\d{3}-\d{3,}\b')) as bigint)
+            AS n_phones,
+          sha256(regexp_replace(t2, '\b\d{3}-\d{3,}\b', '<PHONE>', 'g'))
+            AS scrubbed_sha
+        FROM s2""")),
+
+    // One-pass data profiling: per-column null/distinct/min/max over
+    // lineitem in a single aggregate (multiple distincts expand
+    // map-side — one scan, not |columns| scans). Money min/max go
+    // through integer cents (portable reprs).
+    "q_profile_stats" -> Entry(
+      (s, dir) => graft.operators.Corpus.profile(t(s, dir, "lineitem"), Seq(
+        "l_returnflag" -> col("l_returnflag"),
+        "l_quantity" -> cents(col("l_quantity")),
+        "l_orderkey" -> col("l_orderkey"))),
+      Some("""WITH li AS (SELECT * FROM lineitem)
+        SELECT 'l_returnflag' AS col_name, count(*) AS n_rows,
+          cast(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) as bigint)
+            AS n_nulls,
+          count(DISTINCT l_returnflag) AS n_distinct,
+          cast(min(l_returnflag) as varchar) AS min_repr,
+          cast(max(l_returnflag) as varchar) AS max_repr FROM li
+        UNION ALL
+        SELECT 'l_quantity', count(*),
+          cast(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) as bigint),
+          count(DISTINCT l_quantity),
+          cast(min(cast(floor(l_quantity*100 + 0.5) as bigint)) as varchar),
+          cast(max(cast(floor(l_quantity*100 + 0.5) as bigint)) as varchar)
+          FROM li
+        UNION ALL
+        SELECT 'l_orderkey', count(*),
+          cast(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) as bigint),
+          count(DISTINCT l_orderkey),
+          cast(min(l_orderkey) as varchar), cast(max(l_orderkey) as varchar)
+          FROM li""")),
+
+    // Time-range rolling window: per-user trailing-hour spend — the
+    // RANGE frame (every other window query here is ROWS-framed). One
+    // shuffle on user_id; the frame is computed in the sort order.
+    "q_window_rolling_range" -> Entry(
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(unix_timestamp(col("ts")))
+          .rangeBetween(-3600, Window.currentRow)
+        e.select(col("event_id"), col("user_id"),
+          sum(cents(col("value"))).over(w).as("rolling_cents"))
+      },
+      Some("""SELECT event_id, user_id,
+        cast(sum(cast(floor(value*100 + 0.5) as bigint)) OVER (
+          PARTITION BY user_id
+          ORDER BY cast(floor(epoch(cast(ts as timestamp))) as bigint)
+          RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) as bigint)
+          AS rolling_cents
+        FROM events""")),
   )
 }

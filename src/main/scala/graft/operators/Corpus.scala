@@ -82,4 +82,53 @@ object Corpus {
       .filter(terms.indices.map(i => col(s"tf$i") > 0).reduce(_ || _))
       .select(col(idCol), col("dl"), score.as("score"))
   }
+
+  /** PII scrubbing: replace emails, IPv4 addresses, and phone-shaped
+    * digit runs with typed placeholder tokens, and count each class.
+    * Pure row-local regexp work (codegen'd `RegExpReplace`) — scrubbing
+    * 100 TB is a scan. Patterns are deliberately RE2-compatible (no
+    * backrefs/lookahead) so the same scrub is portable to other engines.
+    * Returns struct(scrubbed, n_emails, n_ips, n_phones). */
+  def scrubPii(text: Column): Column = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val phone = "\\b\\d{3}-\\d{3,}\\b"
+    val nEmails = size(regexp_extract_all(text, lit(email), lit(0)))
+    val afterEmail = regexp_replace(text, email, "<EMAIL>")
+    val nIps = size(regexp_extract_all(afterEmail, lit(ip), lit(0)))
+    val afterIp = regexp_replace(afterEmail, ip, "<IP>")
+    val nPhones = size(regexp_extract_all(afterIp, lit(phone), lit(0)))
+    val scrubbed = regexp_replace(afterIp, phone, "<PHONE>")
+    struct(scrubbed.as("scrubbed"),
+      nEmails.cast("long").as("n_emails"),
+      nIps.cast("long").as("n_ips"),
+      nPhones.cast("long").as("n_phones"))
+  }
+
+  /** One-pass data profiling: per-column row count, null count, distinct
+    * count, and min/max (as portable string reprs supplied by the
+    * caller). All columns profile in a SINGLE aggregate — multiple
+    * distinct aggregates expand map-side (Spark's Expand), which is one
+    * scan of the data instead of |columns| scans. Output: one row per
+    * profiled column. `cols` maps column name → the repr expression used
+    * for min/max (identity for strings, integer encodings for money). */
+  def profile(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
+    val aggs = cols.zipWithIndex.flatMap { case ((name, repr), i) =>
+      Seq(
+        sum(when(col(name).isNull, 1L).otherwise(0L)).as(s"nulls$i"),
+        count_distinct(col(name)).as(s"dist$i"),
+        min(repr).as(s"min$i"),
+        max(repr).as(s"max$i"))
+    } :+ count(lit(1)).as("n_rows")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(name).as("col_name"), col("n_rows"),
+        col(s"nulls$i").as("n_nulls"), col(s"dist$i").as("n_distinct"),
+        // string casts so heterogeneous column types share one struct
+        // schema (long casts stringify identically in any engine)
+        col(s"min$i").cast("string").as("min_repr"),
+        col(s"max$i").cast("string").as("max_repr"))
+    }
+    one.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
+  }
 }

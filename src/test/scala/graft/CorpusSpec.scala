@@ -70,6 +70,32 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(1L) > out(2L), s"tf=3 must beat tf=1: $out")
   }
 
+  test("scrubPii replaces and counts each class; clean text untouched") {
+    val df = Seq(
+      (1L, "mail bob.smith+x@corp.example.org and 10.1.2.3 tel 555-0199"),
+      (2L, "no pii here at all")
+    ).toDF("id", "text")
+    val p = Corpus.scrubPii(col("text"))
+    val out = df.select(col("id"), p.getField("scrubbed").as("s"),
+      p.getField("n_emails").as("e"), p.getField("n_ips").as("i"),
+      p.getField("n_phones").as("ph"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) == (("mail <EMAIL> and <IP> tel <PHONE>", 1L, 1L, 1L)))
+    assert(out(2L) == (("no pii here at all", 0L, 0L, 0L)))
+  }
+
+  test("profile emits one stats row per column from a single pass") {
+    val df = Seq(
+      (Some("a"), 1L), (Some("b"), 2L), (None, 2L)
+    ).toDF("s", "k")
+    val out = Corpus.profile(df, Seq("s" -> col("s"), "k" -> col("k")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out("s") == ((3L, 1L, 2L, "a")))
+    assert(out("k") == ((3L, 0L, 2L, "1")))
+  }
+
   test("bm25 idf discounts common terms") {
     // 'common' appears in every doc, 'rare' in one: for the doc holding
     // both once, the rare term must contribute more than the common one
