@@ -842,5 +842,38 @@ object QueriesPipeline {
           RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) as bigint)
           AS rolling_cents
         FROM events""")),
+
+    // A5-shape wide pivot as a real `.pivot()` (explicit value list →
+    // single-pass conditional aggregation, no extra distinct-values
+    // job): per-source language mix of the corpus.
+    "q_agg_pivot" -> Entry(
+      (s, dir) => {
+        val langs = Seq("de", "en", "es", "fr", "zh")
+        val p = t(s, dir, "documents")
+          .groupBy(col("source"))
+          .pivot("lang", langs)
+          .agg(count(lit(1)))
+        langs.foldLeft(p)((df, l) =>
+          df.withColumn(l, coalesce(col(l), lit(0L))))
+      },
+      Some("""SELECT source,
+        cast(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) as bigint) AS de,
+        cast(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) as bigint) AS en,
+        cast(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) as bigint) AS es,
+        cast(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) as bigint) AS fr,
+        cast(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) as bigint) AS zh
+        FROM documents GROUP BY source""")),
+
+    // Sketch aggregation: HyperLogLog++ distinct-user estimates per
+    // event type (the constant-memory 100 TB cardinality answer — an
+    // exact distinct shuffles every key). Approximate by design →
+    // rows-only; the ≤2% relative-error bound vs the exact count is
+    // pinned in ScaleOpsSpec.
+    "q_agg_approx_distinct" -> Entry(
+      (s, dir) => t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+          count(lit(1)).as("n_events")),
+      None),
   )
 }

@@ -99,6 +99,23 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(fromIndex == inline)
   }
 
+  test("HLL++ approx distinct stays within the configured error bound") {
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.Q.events(spark, dir)
+    val both = e.groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx"),
+        count_distinct(col("user_id")).as("exact"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      val (a, x) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
+      // rsd 0.01 → generous 5σ acceptance; HLL++ is deterministic for a
+      // fixed input, so this pins behavior, not luck
+      assert(math.abs(a - x) / x <= 0.05,
+        s"${r.getString(0)}: approx $a vs exact $x")
+    }
+  }
+
   test("AvailableNow resync: first run drains, second run is a no-op") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-resync").toString
     val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
