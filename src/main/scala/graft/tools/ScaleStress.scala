@@ -67,7 +67,8 @@ object ScaleStress {
 
     println(f"${"copies"}%8s ${"docs"}%9s ${"cands"}%9s ${"pairs"}%9s " +
       f"${"clusters"}%9s ${"t_cand"}%8s ${"t_verify"}%9s ${"t_cc"}%8s")
-    for (copies <- Seq(1, maxScale) if which != "emb") {
+    for (copies <- Seq(1, maxScale)
+        if which == "all" || which == "text") {
       val docs = corpus(spark, dir, copies).cache()
       val nDocs = docs.count()
 
@@ -119,7 +120,8 @@ object ScaleStress {
     val emBits = sys.env.getOrElse("SPARK_GRAFT_EMB_BITS", "12").toInt
     println(f"\n${"copies"}%8s ${"vecs"}%9s ${"cands"}%9s ${"pairs"}%9s " +
       f"${"t_cand"}%8s ${"t_verify"}%9s")
-    for (copies <- Seq(1, maxScale) if which != "text") {
+    for (copies <- Seq(1, maxScale)
+        if which == "all" || which == "emb") {
       val vecs = embCorpus(spark, dir, copies).cache()
       val nVecs = vecs.count()
 
@@ -140,6 +142,48 @@ object ScaleStress {
       println(f"$copies%8d $nVecs%9d $nCands%9d $nPairs%9d " +
         f"$tCand%8.1f $tVerify%9.1f")
       vecs.unpersist(); cands.unpersist()
+    }
+
+    // Corpus-curation drill: the map-only ops (repetition gates,
+    // hash sampling, PII scrub) must scale linearly with corpus size —
+    // any superlinear growth means a shuffle or a quadratic lambda
+    // crept in. BM25 and ngram-topk add one bounded reduction each.
+    import graft.operators.Corpus
+    import graft.functions.Text
+    def timed(force: => Unit): Double = {
+      val t0 = System.nanoTime(); force; (System.nanoTime() - t0) / 1e9
+    }
+    println(f"\n${"copies"}%8s ${"docs"}%9s ${"t_rep"}%8s " +
+      f"${"t_sample"}%9s ${"t_scrub"}%8s ${"t_bm25"}%8s ${"t_ngram"}%8s")
+    for (copies <- Seq(1, maxScale)
+        if which == "all" || which == "curate") {
+      val docs = corpus(spark, dir, copies).cache()
+      val nDocs = docs.count()
+      val tRep = timed {
+        val f = Text.repetition_features(col("text"))
+        docs.select(f.getField("dup_word_frac").as("d"),
+          f.getField("top_bigram_frac").as("t"))
+          .agg(avg(col("d")), avg(col("t"))).head()
+      }
+      val tSample = timed {
+        docs.filter(Corpus.hashKeep(col("text"), 0.1)).count()
+      }
+      val tScrub = timed {
+        docs.select(Corpus.scrubPii(col("text")).getField("scrubbed").as("s"))
+          .agg(max(length(col("s")))).head()
+      }
+      val tBm25 = timed {
+        Corpus.bm25(docs, "doc_id", "text", Seq("table", "spark", "vector"))
+          .orderBy(col("score").desc, col("doc_id").asc).limit(50).count()
+      }
+      val tNgram = timed {
+        docs.select(explode(Text.word_shingles(col("text"), 2)).as("b"))
+          .groupBy(col("b")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("b").asc).limit(25).count()
+      }
+      println(f"$copies%8d $nDocs%9d $tRep%8.1f $tSample%9.1f " +
+        f"$tScrub%8.1f $tBm25%8.1f $tNgram%8.1f")
+      docs.unpersist()
     }
     spark.stop()
   }
