@@ -10,9 +10,13 @@ import org.apache.spark.sql.functions._
   */
 object Text {
 
-  /** Whitespace token count. */
+  /** Whitespace token count. Native single-scan kernel
+    * ([[graft.plans.TokenCountExpr]]) with the exact semantics of
+    * `size(split(trim(text), "\\s+"))` — the composable form
+    * materializes the full split array per row just to take its
+    * length. */
   def token_count(text: Column): Column =
-    size(split(trim(text), "\\s+"))
+    graft.plans.TextExpressions.token_count(text)
 
   /** BPE-ish subword token estimate: words + punctuation marks counted
     * separately (a cheap proxy for a real tokenizer's token count). */

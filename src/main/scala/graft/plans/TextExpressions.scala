@@ -43,6 +43,28 @@ object TextKernels {
   def splitWords(s: UTF8String): Array[String] =
     WS.split(s.toString.trim.toLowerCase)
 
+  /** Whitespace token count with the EXACT semantics of
+    * `size(split(trim(text), "\\s+"))` — including the empty-string
+    * edge (`"".split` yields `[""]`, so blank text counts 1) — but as
+    * one allocation-free char scan instead of materializing the split
+    * array just to take its length. */
+  def tokenCount(s: UTF8String): Int = {
+    val t = s.toString.trim  // String.trim (c <= 0x20), matching trim()
+    if (t.isEmpty) return 1
+    @inline def ws(c: Char): Boolean = c == ' ' || c == '\t' ||
+      c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+    var count = 0
+    var inToken = false
+    var i = 0
+    while (i < t.length) {
+      val w = ws(t.charAt(i))
+      if (!w && !inToken) count += 1
+      inToken = !w
+      i += 1
+    }
+    count
+  }
+
   def wordShingles(s: UTF8String, n: Int): ArrayData = {
     val words = splitWords(s)
     if (words.length <= n) {
@@ -63,6 +85,17 @@ object TextKernels {
     }
     new GenericArrayData(out)
   }
+}
+
+case class TokenCountExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "token_count_native"
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.tokenCount(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.plans.TextKernels.tokenCount($s)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 case class ShinglesExpr(child: Expression, n: Int, word: Boolean)
@@ -90,4 +123,6 @@ object TextExpressions {
     column(ShinglesExpr(expression(text), n, word = false))
   def word_shingles(text: Column, n: Int): Column =
     column(ShinglesExpr(expression(text), n, word = true))
+  def token_count(text: Column): Column =
+    column(TokenCountExpr(expression(text)))
 }

@@ -39,6 +39,16 @@ class KernelPropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("tokenCount equals size(split(trim, \\s+)) on arbitrary strings") {
+    val wsChars = Gen.oneOf(' ', '\t', '\n', '\u000B', '\f', '\r')
+    val gen = Gen.listOf(Gen.frequency(
+      3 -> Gen.alphaNumChar, 1 -> wsChars)).map(_.mkString)
+    check(forAll(gen) { s =>
+      val expected = s.trim.split("\\s+").length
+      graft.plans.TextKernels.tokenCount(UTF8String.fromString(s)) == expected
+    })
+  }
+
   test("wordShingleHashes output is sorted and distinct") {
     check(forAll(Gen.listOf(Gen.alphaLowerStr.suchThat(_.nonEmpty))) { words =>
       val out = HashKernels
