@@ -129,6 +129,25 @@ object ResultStore {
       .partitionBy(partitionCol).parquet(destDir)
   }
 
+  /** Compact a committed store's results to ~`targetBytes` output files
+    * (the small-file problem: a 1000-executor incremental pipeline that
+    * appends per-run fragments degrades every later scan with
+    * thousands of KB-sized files and per-file open/footer costs).
+    * Rewrites through the same staged atomic promote as [[commit]], so
+    * the manifest digest is recomputed and a crash never leaves a
+    * half-compacted store. Row-content-preserving by construction —
+    * the manifest's sorted-listing digest is identical before/after. */
+  def compact(spark: SparkSession, destDir: String,
+      targetBytes: Long = 128L * 1024 * 1024): String = {
+    val results = Paths.get(destDir).resolve("results")
+    val bytes = Files.walk(results).filter(Files.isRegularFile(_))
+      .mapToLong(Files.size(_)).sum()
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    // materialize before the promote replaces the files being read
+    val df = read(spark, destDir).coalesce(nFiles)
+    commit(spark, df, destDir)
+  }
+
   /** Read back a committed store. */
   def read(spark: SparkSession, destDir: String): DataFrame =
     spark.read.parquet(Paths.get(destDir).resolve("results").toString)

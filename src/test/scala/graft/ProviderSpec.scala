@@ -138,4 +138,27 @@ class ProviderSpec extends AnyFunSuite {
     val d3 = ResultStore.commit(spark, ResultStore.read(spark, dest), dest)
     assert(d2 == d3)
   }
+
+  test("result store: compaction preserves content digest, shrinks files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val dest = s"$dir/results"
+    // write a fragmented store: 16 partitions → 16 small files
+    val df = spark.range(200)
+      .select(concat(lit("id"), col("id")).as("identifier"),
+        lit("s").as("schema"), concat(lit("v"), col("id")).as("item"))
+      .repartition(16)
+    val d1 = ResultStore.commit(spark, df, dest)
+    def nParquet: Int = {
+      val p = java.nio.file.Paths.get(dest).resolve("results")
+      java.nio.file.Files.walk(p).filter(_.toString.endsWith(".parquet"))
+        .count().toInt
+    }
+    val before = nParquet
+    assert(before >= 16)
+    val d2 = ResultStore.compact(spark, dest)   // default target ≫ store size
+    assert(nParquet == 1, "compaction should collapse to one file here")
+    assert(d2 == d1, "compaction must not change the content digest")
+    val out = ResultStore.read(spark, dest).count()
+    assert(out == 200)
+  }
 }
