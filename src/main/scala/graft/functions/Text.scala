@@ -87,17 +87,10 @@ object Text {
     // as one window for <2 words, which is not a bigram.
     val bigrams = when(n >= 2, word_shingles(text, 2))
       .otherwise(array().cast("array<string>"))
-    // longest run of an identical element in the sorted array = count of
-    // the most frequent bigram
-    val topCount = aggregate(array_sort(bigrams),
-      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
-      (acc, x) => {
-        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
-          .otherwise(lit(1))
-        struct(x.as("prev"), run.as("run"),
-          greatest(acc.getField("best"), run).as("best"))
-      },
-      acc => acc.getField("best"))
+    // most-frequent-bigram multiplicity: native hash-count kernel — the
+    // composable array_sort + aggregate(run-length) form runs its
+    // lambda interpreted per element
+    val topCount = graft.plans.TextExpressions.top_count(bigrams)
     val topBigramFrac = when(n >= 2,
       topCount.cast("double") / (n - 1).cast("double")).otherwise(lit(0.0))
     struct(

@@ -65,6 +65,25 @@ object TextKernels {
     count
   }
 
+  /** Multiplicity of the most frequent element of a string array (0 for
+    * empty) — one hash-count pass per row. Replaces the composable
+    * array_sort + `aggregate`(run-length) form, whose lambda evaluates
+    * interpreted per element. */
+  def topCount(arr: ArrayData): Int = {
+    val n = arr.numElements()
+    if (n == 0) return 0
+    val counts = new java.util.HashMap[UTF8String, Integer](n * 2)
+    var best = 0
+    var i = 0
+    while (i < n) {
+      val k = arr.getUTF8String(i)
+      val c = counts.merge(k, 1, (a, b) => a + b)
+      if (c > best) best = c
+      i += 1
+    }
+    best
+  }
+
   def wordShingles(s: UTF8String, n: Int): ArrayData = {
     val words = splitWords(s)
     if (words.length <= n) {
@@ -98,6 +117,17 @@ case class TokenCountExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+case class TopCountExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "top_count"
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.topCount(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.plans.TextKernels.topCount($s)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class ShinglesExpr(child: Expression, n: Int, word: Boolean)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -125,4 +155,6 @@ object TextExpressions {
     column(ShinglesExpr(expression(text), n, word = true))
   def token_count(text: Column): Column =
     column(TokenCountExpr(expression(text)))
+  def top_count(arr: Column): Column =
+    column(TopCountExpr(expression(arr)))
 }

@@ -49,6 +49,18 @@ class KernelPropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("topCount equals max group multiplicity on random string lists") {
+    val gen = Gen.listOf(Gen.oneOf("a", "b", "c", "dd", "e f", ""))
+    check(forAll(gen) { xs =>
+      val expected =
+        if (xs.isEmpty) 0
+        else xs.groupBy(identity).values.map(_.size).max
+      val arr = new GenericArrayData(
+        xs.map(s => UTF8String.fromString(s): Any).toArray)
+      graft.plans.TextKernels.topCount(arr) == expected
+    })
+  }
+
   test("wordShingleHashes output is sorted and distinct") {
     check(forAll(Gen.listOf(Gen.alphaLowerStr.suchThat(_.nonEmpty))) { words =>
       val out = HashKernels

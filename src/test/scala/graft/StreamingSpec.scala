@@ -36,6 +36,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("curation gate runs unchanged as a stream: stream ≡ batch") {
+    // The corpus-curation chain (quality gate → deterministic hash
+    // sample → PII scrub) is stateless Column work, so the SAME
+    // operators compose into readStream with no code changes — the
+    // streaming-ingest story for corpus curation.
+    import graft.operators.Corpus
+    import graft.functions.Text
+    def curate(df: org.apache.spark.sql.DataFrame) = df
+      .filter(Text.token_count(col("text")) >= 5)
+      .filter(Corpus.hashKeep(col("text"), 0.5))
+      .select(col("doc_id"),
+        Corpus.scrubPii(col("text")).getField("scrubbed").as("scrubbed"))
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    // FileStreamSource wants a directory; stage the single-file table
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-curate")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      streamDir.resolve("part-0.parquet"))
+    val q = curate(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(streamDir.toString))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("curate_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("curate_out")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val batch = curate(spark.read.parquet(s"$dir/documents.parquet"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stateful mapGroupsWithState accumulates per-user sessions") {
     val q = Streams.userSessions(spark, Streams.readEvents(spark, dir))
       .writeStream.outputMode(OutputMode.Update())
