@@ -246,29 +246,31 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, maxIter: Int = 10,
       driverThreshold: Long = 100000L): DataFrame = {
     val spark = pairs.sparkSession
-    // undirected edges, both directions
-    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
-      .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
-      .distinct().cache()
     // Adaptive fast path: below the threshold a driver union-find is one
-    // collect instead of diameter-many join rounds. The iterative path
-    // below is the scale story; this is the (equally exact) small-graph
-    // engineering answer — near-dup edge sets are usually tiny relative
-    // to their corpus.
-    val nEdges = edges.count()
+    // bounded collect instead of diameter-many join rounds. The iterative
+    // path below is the scale story; this is the (equally exact)
+    // small-graph engineering answer — near-dup edge sets are usually
+    // tiny relative to their corpus. Union-find needs neither doubled
+    // directions nor deduped edges, so the probe is a limit(T+1) collect
+    // of the RAW pair list — one job, no extra shuffle; the union +
+    // distinct + cache below are paid only when the graph is actually
+    // big enough for the distributed fixpoint.
+    val rawPairs = pairs.select(col("id1"), col("id2")).cache()
     // The driver fast path unifies on Long keys, so it only applies to
     // integral id columns (cast back to the input type on return);
     // string/other ids keep the type-generic iterative path regardless
     // of edge count.
-    val idType = edges.schema("src").dataType
+    val idType = rawPairs.schema("id1").dataType
     val integralId = idType == org.apache.spark.sql.types.LongType ||
       idType == org.apache.spark.sql.types.IntegerType
-    if (nEdges > 0 && nEdges <= driverThreshold && integralId) {
-      // collect from the CACHED edges (one upstream execution total);
-      // the doubled directions are harmless to union-find
-      val es = edges
-        .select(col("src").cast("long"), col("dst").cast("long"))
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val probe: Array[org.apache.spark.sql.Row] =
+      if (integralId)
+        rawPairs.select(col("id1").cast("long"), col("id2").cast("long"))
+          .limit(driverThreshold.toInt + 1).collect()
+      else Array.empty
+    if (integralId && probe.nonEmpty && probe.length <= driverThreshold) {
+      val es = probe.map(r => (r.getLong(0), r.getLong(1)))
+      rawPairs.unpersist()
       val parent = scala.collection.mutable.Map[Long, Long]()
       def find(x: Long): Long = {
         var r = x
@@ -285,12 +287,17 @@ object Dedup {
       }
       val ids = es.flatMap { case (a, b) => Seq(a, b) }.distinct
       val out = ids.map(id => (id, find(id)))
-      edges.unpersist()
       import spark.implicits._
       return out.toSeq.toDF("id", "component")
         .select(col("id").cast(idType).as("id"),
           col("component").cast(idType).as("component"))
     }
+    // Distributed fixpoint: undirected edges, both directions, deduped —
+    // built from the cached raw pairs so the expensive upstream
+    // (verification pipeline) runs once.
+    val edges = rawPairs.select(col("id1").as("src"), col("id2").as("dst"))
+      .union(rawPairs.select(col("id2").as("src"), col("id1").as("dst")))
+      .distinct().cache()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
     var converged = false
@@ -314,6 +321,7 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    rawPairs.unpersist()
     labels
   }
 }
