@@ -239,6 +239,70 @@ object QueriesPipeline {
         FROM sh a JOIN bench b ON a.s = b.s
         WHERE a.doc_id % 97 <> 0 GROUP BY 1""")),
 
+    // Cross-corpus n-gram containment matrix: how much of source b's
+    // distinct-3-gram mass already appears in source a — the dataset-mix
+    // / source-leakage audit. One (group, shingle) distinct-shuffle, a
+    // self-join whose fan-out is bounded by |groups|, sizes broadcast.
+    "q_corpus_containment" -> Entry(
+      (s, dir) => graft.operators.Contamination
+        .crossContainment(t(s, dir, "documents"), "source", "text"),
+      Some("""WITH words AS (
+          SELECT doc_id, source, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+          FROM documents
+        ), sh AS (
+          SELECT DISTINCT source,
+            CASE WHEN len(ws) <= 3 THEN array_to_string(ws, ' ')
+            ELSE array_to_string(list_slice(ws, i, i+2), ' ') END AS s
+          FROM words, unnest(CASE WHEN len(ws) <= 3 THEN [1]
+            ELSE range(1, len(ws)-1) END) AS t(i)
+        ), sizes AS (SELECT source, count(*) AS n_sh FROM sh GROUP BY 1),
+        inter AS (
+          SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+          FROM sh a JOIN sh b ON a.s = b.s AND a.source <> b.source
+          GROUP BY 1, 2)
+        SELECT src_a, src_b, n_common,
+          round(n_common / sizes.n_sh, 3) AS containment
+        FROM inter JOIN sizes ON sizes.source = src_b""")),
+
+    // Corpus-unigram log-prob quality score (LM-quality proxy): per-doc
+    // mean ln P(word) under the corpus' own unigram distribution. The
+    // words⋈vocab join is Zipf-skewed, so the hot head of the vocab
+    // broadcasts (map-side) and only the long tail shuffles — exact at
+    // any split point (operators/Corpus.unigramLogProb).
+    "q_quality_unigram_lp" -> Entry(
+      (s, dir) => graft.operators.Corpus
+        .unigramLogProb(t(s, dir, "documents"), "doc_id", "text",
+          headVocab = 16),
+      Some("""WITH w AS (
+          SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+          FROM documents
+        ), v AS (SELECT w, count(*) AS c FROM w GROUP BY 1),
+        tot AS (SELECT sum(c) AS tot FROM v)
+        SELECT doc_id, round(avg(ln(c / tot)), 3) AS avg_lp
+        FROM w JOIN v USING (w), tot GROUP BY doc_id""")),
+
+    // Per-label embedding centroids (typed vector-sum Aggregator —
+    // map-side partials of one (sum[64], n) buffer per label) + cosine
+    // of every vector to its own centroid: the semantic-outlier /
+    // mislabel-scoring primitive. Centroids broadcast; zero vector
+    // shuffle (operators/Embeddings.scala).
+    "q_embed_centroid" -> Entry(
+      (s, dir) => graft.operators.Embeddings
+        .centroidSims(t(s, dir, "embeddings"), "label", "embedding")
+        .select(col("vec_id"), col("label"),
+          round(col("centroid_sim"), 3).as("centroid_sim")),
+      Some("""WITH d AS (
+          SELECT vec_id, label, cast(embedding AS double[]) AS e
+          FROM embeddings
+        ), flat AS (
+          SELECT label, generate_subscripts(e, 1) AS i, unnest(e) AS x
+          FROM d
+        ), dims AS (SELECT label, i, avg(x) AS c FROM flat GROUP BY 1, 2),
+        cent AS (SELECT label, list(c ORDER BY i) AS cl FROM dims GROUP BY 1)
+        SELECT vec_id, label,
+          round(list_cosine_similarity(e, cl), 3) AS centroid_sim
+        FROM d JOIN cent USING (label)""")),
+
     // Sequence packing: docs → consecutive 4096-token training bins via
     // the two-phase distributed prefix sum (operators/Pack.scala — no
     // global single-partition window). Bin assignment is pure window

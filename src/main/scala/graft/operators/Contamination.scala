@@ -37,4 +37,35 @@ object Contamination {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hits")) // shingles pre-deduped per doc
   }
+
+  /** Cross-corpus n-gram containment matrix: for every ordered pair of
+    * groups (a, b), |shingles(a) ∩ shingles(b)| / |shingles(b)| — the
+    * "how much of corpus b is already inside corpus a" overlap measure
+    * used to audit dataset mixes and source-level leakage.
+    *
+    * Scale shape: ONE distinct-shuffle of (group, shingle) — the corpus
+    * text itself never moves — then a self-equi-join on the shingle key
+    * whose per-key fan-out is bounded by the number of groups (each
+    * shingle matches ≤ |groups| rows per side), so no bucket can go
+    * quadratic the way document-pair joins do. Group sizes are a tiny
+    * aggregate, broadcast back. At 100 TB swap the string shingle for
+    * its 64-bit kernel hash (`word_shingle_hashes`) to shrink the
+    * shuffle ~5×; strings are used here for exact oracle parity. */
+  def crossContainment(docs: DataFrame, groupCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val sh = docs
+      .select(col(groupCol).as("g"),
+        explode(wordShingles(col(textCol), n)).as("s"))
+      .distinct()
+    val sizes = sh.groupBy(col("g")).agg(count(lit(1)).as("n_sh"))
+    sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.g") =!= col("b.g"))
+      .groupBy(col("a.g").as("src_a"), col("b.g").as("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(broadcast(sizes.select(col("g").as("src_b"),
+        col("n_sh").as("n_b"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_common"),
+        round(col("n_common").cast("double") /
+          col("n_b").cast("double"), 3).as("containment"))
+  }
 }

@@ -131,4 +131,39 @@ object Corpus {
     }
     one.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
   }
+
+  /** Corpus-unigram log-probability quality score: each document's mean
+    * ln P(word), P from the corpus' own unigram frequencies — the cheap
+    * LM-quality proxy (gibberish and boilerplate score far from the
+    * corpus mean). Two aggregations over the exploded words:
+    * vocab counts, then a per-doc mean after joining counts back.
+    *
+    * Skew design: word frequencies are Zipfian, so the words⋈vocab
+    * equi-join would hash every "the" into one reducer. `headVocab` > 0
+    * splits the join: the top-`headVocab` words by count — which cover
+    * almost all TOKEN mass — broadcast (map-side join, no shuffle for
+    * the heavy keys); only the long tail, whose per-key cardinality is
+    * tiny by construction, takes the shuffled join. Exact at any
+    * setting; 0 disables the split (fine below ~1B docs). */
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+      headVocab: Int = 0): DataFrame = {
+    val words = docs.select(col(idCol),
+      explode(split(trim(lower(col(textCol))), "\\s+")).as("w"))
+    val vocab = words.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val total = vocab.agg(sum(col("c")).as("tot"))
+    val scored =
+      if (headVocab <= 0) words.join(vocab, "w")
+      else {
+        val head = broadcast(
+          vocab.orderBy(col("c").desc, col("w")).limit(headVocab))
+        val headHit = words.join(head, "w")
+        val tailHit = words.join(head.select(col("w")), Seq("w"),
+          "left_anti").join(vocab, "w")
+        headHit.unionByName(tailHit)
+      }
+    scored.crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(round(avg(log(col("c").cast("double") /
+        col("tot").cast("double"))), 3).as("avg_lp"))
+  }
 }

@@ -109,4 +109,41 @@ class CorpusSpec extends AnyFunSuite {
     assert(scores(1L) - commonOnly(1L) > commonOnly(1L),
       "rare-term contribution should dominate the common term's")
   }
+
+  test("unigram log-prob on a hand-computed corpus") {
+    // corpus: a a a b  → P(a)=3/4, P(b)=1/4
+    val df = Seq((1L, "a a a"), (2L, "b")).toDF("doc_id", "text")
+    val out = Corpus.unigramLogProb(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) == BigDecimal(math.log(0.75))
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out(2L) == BigDecimal(math.log(0.25))
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("unigram log-prob: broadcast-head split is exact at any cut") {
+    val docs = (1L to 60L).map(i =>
+      (i, s"the of and tail$i the of rare${i % 7} the")).toDF("doc_id", "text")
+    val full = Corpus.unigramLogProb(docs, "doc_id", "text", headVocab = 0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for (h <- Seq(1, 3, 1000)) {
+      val split = Corpus.unigramLogProb(docs, "doc_id", "text", headVocab = h)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(split == full, s"headVocab=$h diverged from the exact join")
+    }
+  }
+
+  test("cross-corpus containment on a hand-built overlap") {
+    import graft.operators.Contamination
+    // a: shingles {x y z, y z w} ; b: {x y z, y z q} → overlap 1
+    // containment(a→b) = 1/|b| = 0.5 and symmetric here
+    val df = Seq(
+      ("a", "x y z w"), ("b", "x y z q")
+    ).toDF("source", "text")
+    val out = Contamination.crossContainment(df, "source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(("a", "b")) == ((1L, 0.5)))
+    assert(out(("b", "a")) == ((1L, 0.5)))
+  }
 }
