@@ -264,6 +264,46 @@ object QueriesPipeline {
           round(n_common / sizes.n_sh, 3) AS containment
         FROM inter JOIN sizes ON sizes.source = src_b""")),
 
+    // Token-window chunking: long documents → ≤64-word training chunks
+    // with a 16-word overlap carried between consecutive chunks. Pure
+    // row-local array arithmetic (posexplode of slices) — a scan, no
+    // shuffle (operators/Corpus.chunk).
+    "q_corpus_chunk" -> Entry(
+      (s, dir) => graft.operators.Corpus
+        .chunk(t(s, dir, "documents"), "doc_id", "text",
+          maxTokens = 64, overlap = 16),
+      Some("""WITH words AS (
+          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+          FROM documents
+        )
+        SELECT doc_id, s // 48 AS chunk_id,
+          array_to_string(list_slice(ws, s + 1, s + 64), ' ') AS chunk_text,
+          len(list_slice(ws, s + 1, s + 64)) AS n_tokens
+        FROM words, unnest(range(0, len(ws), 48)) AS t(s)""")),
+
+    // Mixture rebalancing: deterministically downsample each language to
+    // hit a target mix (en .5 / de .3 / es .15 / zh .05 of 300 docs;
+    // fr carries no weight and drops). Group counts are one broadcast
+    // aggregate; the keep decision is a map-side md5-prefix filter —
+    // rebalancing is a scan (operators/Corpus.rebalanceMixture).
+    "q_sample_mixture" -> Entry(
+      (s, dir) => graft.operators.Corpus
+        .rebalanceMixture(t(s, dir, "documents"), "lang", col("text"),
+          Map("en" -> 0.5, "de" -> 0.3, "es" -> 0.15, "zh" -> 0.05),
+          targetTotal = 300)
+        .select(col("doc_id"), col("lang")),
+      Some("""WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        rated AS (
+          SELECT d.doc_id, d.lang, d.text,
+            least(1.0, 300 * CASE d.lang WHEN 'en' THEN 0.5
+              WHEN 'de' THEN 0.3 WHEN 'es' THEN 0.15 WHEN 'zh' THEN 0.05
+              END / n.n) AS rate
+          FROM documents d JOIN n ON n.lang = d.lang
+          WHERE d.lang IN ('en', 'de', 'es', 'zh'))
+        SELECT doc_id, lang FROM rated
+        WHERE rate >= 1.0 OR substr(md5(text), 1, 4) <
+          printf('%04x', cast(floor(rate * 65536) AS int))""")),
+
     // Corpus-unigram log-prob quality score (LM-quality proxy): per-doc
     // mean ln P(word) under the corpus' own unigram distribution. The
     // words⋈vocab join is Zipf-skewed, so the hot head of the vocab

@@ -132,6 +132,56 @@ object Corpus {
     one.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
   }
 
+  /** Rebalance a multi-source corpus toward target mixture proportions:
+    * given target weights w_g and a target total T, keep each group-g row
+    * with probability min(1, T·w_g / n_g) — deterministically, via the
+    * same md5-prefix predicate as [[hashKeep]], so reruns and engines
+    * agree row-for-row. Groups absent from `weights` are dropped.
+    *
+    * Scale shape: group counts are one tiny aggregate broadcast back;
+    * the keep decision is then a pure map-side filter over the corpus —
+    * rebalancing 100 TB to a target mix is one scan, no shuffle of the
+    * data itself, and adding a source only changes that source's rate. */
+  def rebalanceMixture(df: DataFrame, groupCol: String, key: Column,
+      weights: Map[String, Double], targetTotal: Long): DataFrame = {
+    val w = typedLit(weights)
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val rate = least(lit(1.0),
+      lit(targetTotal.toDouble) * w(col(groupCol)) /
+        col("__n").cast("double"))
+    // 16-bit md5-prefix threshold, exactly [[hashKeep]]'s arithmetic —
+    // rate 1.0 keeps unconditionally (its 0x10000 threshold has 5 hex
+    // chars, which would compare LOWER than 4-char buckets as strings)
+    val thr = format_string("%04x", floor(rate * 65536).cast("int"))
+    df.join(broadcast(counts), groupCol)
+      .filter(w(col(groupCol)).isNotNull &&
+        (rate >= 1.0 || hashBucket(key) < thr))
+      .drop("__n")
+  }
+
+  /** Token-window chunking: split each document into word chunks of at
+    * most `maxTokens` with `overlap` words of context carried between
+    * consecutive chunks — the standard long-document → training-sample
+    * step. Pure row-local array arithmetic (split → sequence of starts →
+    * posexplode of slices): chunking is a scan, no shuffle; output order
+    * within a doc is the deterministic chunk index. */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+      maxTokens: Int, overlap: Int = 0): DataFrame = {
+    require(maxTokens > overlap,
+      "maxTokens must exceed overlap or chunking can't advance")
+    val step = maxTokens - overlap
+    val ws = split(trim(lower(col(textCol))), "\\s+")
+    df.select(col(idCol), ws.as("__ws"))
+      .select(col(idCol),
+        posexplode(transform(
+          sequence(lit(0), size(col("__ws")) - 1, lit(step)),
+          start => slice(col("__ws"), start + 1, maxTokens)))
+          .as(Seq("chunk_id", "__chunk")))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        concat_ws(" ", col("__chunk")).as("chunk_text"),
+        size(col("__chunk")).cast("long").as("n_tokens"))
+  }
+
   /** Corpus-unigram log-probability quality score: each document's mean
     * ln P(word), P from the corpus' own unigram frequencies — the cheap
     * LM-quality proxy (gibberish and boilerplate score far from the
