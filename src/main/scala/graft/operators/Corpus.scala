@@ -175,7 +175,7 @@ object Corpus {
       .select(col(idCol),
         posexplode(transform(
           sequence(lit(0), size(col("__ws")) - 1, lit(step)),
-          start => slice(col("__ws"), start + 1, maxTokens)))
+          start => slice(col("__ws"), start + 1, lit(maxTokens))))
           .as(Seq("chunk_id", "__chunk")))
       .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
         concat_ws(" ", col("__chunk")).as("chunk_text"),
