@@ -67,7 +67,8 @@ object Bench {
     var keep = results
     var line = render(keep, results.size - keep.size)
     while (line.length > budget && keep.size > 1) {
-      keep = keep.sortBy(-_._2).dropRight(math.max(1, (line.length - budget) / 24))
+      val drop = math.min(keep.size - 1, math.max(1, (line.length - budget) / 24))
+      keep = keep.sortBy(-_._2).dropRight(drop)
       line = render(keep, results.size - keep.size)
     }
     // stop() BEFORE the println: nothing (executor shutdown chatter, sbt

@@ -244,8 +244,12 @@ object QueriesPipeline {
     // / source-leakage audit. One (group, shingle) distinct-shuffle, a
     // self-join whose fan-out is bounded by |groups|, sizes broadcast.
     "q_corpus_containment" -> Entry(
+      // hashed = false ONLY here: DuckDB replays literal string shingles.
+      // The library default is the hashed (8-byte-key) path; CorpusSpec
+      // pins the two row-identical.
       (s, dir) => graft.operators.Contamination
-        .crossContainment(t(s, dir, "documents"), "source", "text"),
+        .crossContainment(t(s, dir, "documents"), "source", "text",
+          hashed = false),
       Some("""WITH words AS (
           SELECT doc_id, source, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
           FROM documents

@@ -48,15 +48,29 @@ object Contamination {
     * whose per-key fan-out is bounded by the number of groups (each
     * shingle matches ≤ |groups| rows per side), so no bucket can go
     * quadratic the way document-pair joins do. Group sizes are a tiny
-    * aggregate, broadcast back. At 100 TB swap the string shingle for
-    * its 64-bit kernel hash (`word_shingle_hashes`) to shrink the
-    * shuffle ~5×; strings are used here for exact oracle parity. */
+    * aggregate, broadcast back.
+    *
+    * `hashed` (the default) shingles as 64-bit kernel hashes
+    * (`word_shingle_hashes`) so the distinct-shuffle and self-join move
+    * 8-byte keys instead of n-word strings (~5× smaller at 100 TB);
+    * collisions only matter if two distinct shingles of the SAME group
+    * pair collide — negligible at 2^-64 per pair. `hashed = false`
+    * keeps the literal strings for the DuckDB oracle replay; a spec
+    * pins the two paths row-identical. */
   def crossContainment(docs: DataFrame, groupCol: String, textCol: String,
-      n: Int = 3): DataFrame = {
+      n: Int = 3, hashed: Boolean = true): DataFrame = {
+    val shingles: Column =
+      if (hashed) graft.plans.HashExpressions.word_shingle_hashes(col(textCol), n)
+      else wordShingles(col(textCol), n)
+    // persist: the distinct'd (g, s) set feeds three subtrees (both
+    // self-join sides and the size aggregate); CacheManager substitution
+    // makes the single-shuffle claim structural instead of relying on
+    // ReusedExchange surviving AQE replanning. MEMORY_AND_DISK and
+    // LRU-evictable, so a long session degrades to recompute, not OOM.
     val sh = docs
-      .select(col(groupCol).as("g"),
-        explode(wordShingles(col(textCol), n)).as("s"))
+      .select(col(groupCol).as("g"), explode(shingles).as("s"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col("g")).agg(count(lit(1)).as("n_sh"))
     sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.g") =!= col("b.g"))

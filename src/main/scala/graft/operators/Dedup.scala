@@ -202,18 +202,15 @@ object Dedup {
   def embeddingBands(df: DataFrame, idCol: String, vecCol: String,
       bands: Int = 6, bitsPerBand: Int = 6): DataFrame = {
     require(bitsPerBand <= 64, "band key exceeds 64 bits")
-    val sigCols = (0 until bands).map { b =>
-      Similarity.hyperplaneSignature(col(vecCol), bitsPerBand,
-        b * bitsPerBand).as(s"__sig$b")
-    }
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"), col(s"__sig$b").as("band_hash"))
-    }
+    // ONE kernel invocation computes every band's key (vector read once,
+    // dims-outer loop), then posexplode: pos IS the band index. Keys are
+    // bit-identical to the per-offset hyperplane_sig slices (spec-pinned).
     fanOut(df.select(col(idCol), col(vecCol)))
-      .select(col(idCol) +: sigCols: _*)
-      .select(col(idCol), explode(array(bandCols: _*)).as("bb"))
-      .select(col(idCol), col("bb.band").as("band"),
-        col("bb.band_hash").as("band_hash"))
+      .select(col(idCol),
+        posexplode(graft.plans.HashExpressions
+          .hyperplane_band_sigs(col(vecCol), bands, bitsPerBand))
+          .as(Seq("band", "band_hash")))
+      .select(col(idCol), col("band"), col("band_hash"))
   }
 
   /** Embedding near-duplicates: banded hyperplane candidates (bucket-
@@ -266,7 +263,8 @@ object Dedup {
     val probe: Array[org.apache.spark.sql.Row] =
       if (integralId)
         rawPairs.select(col("id1").cast("long"), col("id2").cast("long"))
-          .limit(driverThreshold.toInt + 1).collect()
+          .limit(math.min(driverThreshold, Int.MaxValue - 1L).toInt + 1)
+          .collect()
       else Array.empty
     if (integralId && probe.nonEmpty && probe.length <= driverThreshold) {
       val es = probe.map(r => (r.getLong(0), r.getLong(1)))

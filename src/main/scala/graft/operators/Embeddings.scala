@@ -51,6 +51,8 @@ object Embeddings {
         if (a.n == 0L) b
         else if (b.n == 0L) a
         else {
+          require(a.sum.length == b.sum.length,
+            s"embedding length drift: ${b.sum.length} vs ${a.sum.length}")
           var i = 0
           while (i < a.sum.length) { a.sum(i) += b.sum(i); i += 1 }
           VecAcc(a.sum, a.n + b.n)

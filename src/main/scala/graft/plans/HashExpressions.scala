@@ -194,6 +194,75 @@ object HashKernels {
     sig
   }
 
+  /** All bands' signatures in ONE pass over the vector: band b's bit i
+    * uses global plane b·bitsPerBand + i, so element b of the result is
+    * bit-identical to `hyperplaneSig(vec, bitsPerBand, b·bitsPerBand)`
+    * — but the vector is deserialized once and iterated dims-outer
+    * (each element folded into every plane's running dot) instead of
+    * once per band. The multi-band LSH path calls this instead of
+    * `bands` separate kernel invocations. */
+  def hyperplaneBandSigs(vec: ArrayData, bands: Int, bitsPerBand: Int)
+      : ArrayData = {
+    val dim = vec.numElements()
+    val total = bands * bitsPerBand
+    val seeds = new Array[Long](total)
+    var i = 0
+    while (i < total) { seeds(i) = XXH64.hashInt(i, 42L); i += 1 }
+    val dots = new Array[Double](total)
+    var d = 0
+    while (d < dim) {
+      val v = vec.getFloat(d).toDouble
+      var p = 0
+      while (p < total) {
+        val h = XXH64.hashInt(d, seeds(p))
+        dots(p) += (if ((h & 1L) == 1L) v else -v)
+        p += 1
+      }
+      d += 1
+    }
+    packBands(dots, bands, bitsPerBand)
+  }
+
+  /** [[hyperplaneBandSigs]] for array<double> inputs (no narrowing). */
+  def hyperplaneBandSigsDouble(vec: ArrayData, bands: Int, bitsPerBand: Int)
+      : ArrayData = {
+    val dim = vec.numElements()
+    val total = bands * bitsPerBand
+    val seeds = new Array[Long](total)
+    var i = 0
+    while (i < total) { seeds(i) = XXH64.hashInt(i, 42L); i += 1 }
+    val dots = new Array[Double](total)
+    var d = 0
+    while (d < dim) {
+      val v = vec.getDouble(d)
+      var p = 0
+      while (p < total) {
+        val h = XXH64.hashInt(d, seeds(p))
+        dots(p) += (if ((h & 1L) == 1L) v else -v)
+        p += 1
+      }
+      d += 1
+    }
+    packBands(dots, bands, bitsPerBand)
+  }
+
+  private def packBands(dots: Array[Double], bands: Int, bitsPerBand: Int)
+      : ArrayData = {
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var sig = 0L
+      var j = 0
+      while (j < bitsPerBand) {
+        if (dots(b * bitsPerBand + j) > 0) sig |= (1L << j)
+        j += 1
+      }
+      out(b) = sig
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** [[hyperplaneSig]] for array<double> inputs (no narrowing). */
   def hyperplaneSigDouble(vec: ArrayData, bits: Int): Long =
     hyperplaneSigDouble(vec, bits, 0)
@@ -410,6 +479,50 @@ case class HyperplaneSigExpr(child: Expression, bits: Int, offset: Int = 0)
     copy(child = newChild)
 }
 
+/** All multi-band hyperplane signatures in one kernel pass (see
+  * [[HashKernels.hyperplaneBandSigs]]): array<long> of `bands` keys,
+  * element b bit-identical to `hyperplane_sig(vec, bitsPerBand,
+  * b·bitsPerBand)`. Same strict element-type rule as
+  * [[HyperplaneSigExpr]]. */
+case class HyperplaneBandSigsExpr(child: Expression, bands: Int,
+    bitsPerBand: Int) extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+
+  private def kernel: String = child.dataType match {
+    case ArrayType(DoubleType, _) => "hyperplaneBandSigsDouble"
+    case _ => "hyperplaneBandSigs"
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<float> or array<double>, got " +
+          s"${t.sql}; cast explicitly")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hyperplane_band_sigs"
+
+  override def nullSafeEval(v: Any): Any =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        HashKernels.hyperplaneBandSigsDouble(
+          v.asInstanceOf[ArrayData], bands, bitsPerBand)
+      case _ =>
+        HashKernels.hyperplaneBandSigs(
+          v.asInstanceOf[ArrayData], bands, bitsPerBand)
+    }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      v => s"graft.plans.HashKernels.$kernel($v, $bands, $bitsPerBand)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class SimHash64Expr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
@@ -441,4 +554,6 @@ object HashExpressions {
     column(CosineSimExpr(expression(a), expression(b)))
   def hyperplane_sig(vec: Column, bits: Int, offset: Int = 0): Column =
     column(HyperplaneSigExpr(expression(vec), bits, offset))
+  def hyperplane_band_sigs(vec: Column, bands: Int, bitsPerBand: Int): Column =
+    column(HyperplaneBandSigsExpr(expression(vec), bands, bitsPerBand))
 }

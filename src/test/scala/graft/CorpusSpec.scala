@@ -146,4 +146,18 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(("a", "b")) == ((1L, 0.5)))
     assert(out(("b", "a")) == ((1L, 0.5)))
   }
+
+  test("containment: hashed (default) path ≡ string-shingle path") {
+    import graft.operators.Contamination
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def rows(hashed: Boolean) =
+      Contamination.crossContainment(docs, "source", "text", hashed = hashed)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getDouble(3)))).toMap
+    val h = rows(hashed = true)
+    val s = rows(hashed = false)
+    assert(h.nonEmpty, "containment produced no pairs at sf0.001")
+    assert(h == s, "64-bit hashed shingles diverged from string shingles")
+  }
 }

@@ -170,4 +170,31 @@ class KernelPropertiesSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("cast explicitly"))
   }
+
+  test("hyperplane_band_sigs ≡ per-offset hyperplane_sig slices") {
+    val spark = SparkTestSession.spark
+    import org.apache.spark.sql.functions._
+    import graft.plans.HashExpressions
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vecs = Seq.fill(20)(Array.fill(16)(rnd.nextFloat() * 2 - 1))
+    val (bands, bits) = (6, 6)
+    val df = vecs.zipWithIndex.map(_.swap).toDF("id", "v")
+    val rows = df.select(col("id"),
+        HashExpressions.hyperplane_band_sigs(col("v"), bands, bits).as("bs"),
+        array((0 until bands).map(b =>
+          HashExpressions.hyperplane_sig(col("v"), bits, b * bits)): _*)
+          .as("ref"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+        s"band keys diverged for id ${r.getInt(0)}")
+    }
+    // the double kernel agrees with the float kernel on float-exact input
+    val d = df.select(
+      HashExpressions.hyperplane_band_sigs(col("v"), bands, bits).as("f"),
+      HashExpressions.hyperplane_band_sigs(
+        col("v").cast("array<double>"), bands, bits).as("d")).collect()
+    d.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
 }
