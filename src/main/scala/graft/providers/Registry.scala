@@ -54,4 +54,43 @@ object Registry {
   def select(includes: Set[String], excludes: Set[String] = Set.empty): Seq[Spec] =
     providers.filter(s =>
       includes.subsetOf(s.tags) && s.tags.intersect(excludes).isEmpty)
+
+  /** Plugin duplicate-name resolution
+    * (`providers/__init__.py:77-143`): FAIL raises on a name collision
+    * with a DIFFERENT spec (the default, historical behavior), REPLACE
+    * lets the plugin win, IGNORE keeps the built-in. Re-registering an
+    * identical spec is never a conflict in any mode. */
+  sealed trait OverrideMode
+  object OverrideMode {
+    case object Fail extends OverrideMode
+    case object Replace extends OverrideMode
+    case object Ignore extends OverrideMode
+    /** unset/unknown → FAIL, like `PluginOverrideMode.from_env`. */
+    def parse(raw: String): OverrideMode = raw.trim.toLowerCase match {
+      case "replace" => Replace
+      case "ignore" => Ignore
+      case _ => Fail
+    }
+  }
+
+  /** The built-in catalog merged with `plugins` in registration order
+    * under `mode` — a replaced name keeps its original catalog
+    * position (dict-replacement semantics); new names append. Later
+    * plugins see earlier plugins' registrations, so plugin-vs-plugin
+    * collisions follow the same rule. */
+  def withPlugins(plugins: Seq[Spec],
+      mode: OverrideMode = OverrideMode.Fail): Seq[Spec] =
+    plugins.foldLeft(providers) { (catalog, p) =>
+      catalog.find(_.name == p.name) match {
+        case None => catalog :+ p
+        case Some(existing) if existing == p => catalog // same spec: no-op
+        case Some(_) => mode match {
+          case OverrideMode.Replace =>
+            catalog.map(s => if (s.name == p.name) p else s)
+          case OverrideMode.Ignore => catalog
+          case OverrideMode.Fail => throw new IllegalArgumentException(
+            s"provider '${p.name}' is already registered to a different spec")
+        }
+      }
+    }
 }

@@ -41,6 +41,52 @@ class CliSpec extends AnyFunSuite {
       .forall(s => !s.tags.contains("osv")))
   }
 
+  test("plugin override modes: duplicate name FAIL / REPLACE / IGNORE") {
+    import graft.providers.Registry
+    import graft.providers.Registry.{OverrideMode, Spec}
+    val awesome = Spec("awesome", "osv", "osv-json", Set("application"))
+    val nvdClone = Spec("nvd", "custom-nvd", "rest-json", Set("nvd"))
+
+    // a new name registers in every mode, appended after the built-ins
+    val added = Registry.withPlugins(Seq(awesome))
+    assert(added.size == Registry.providers.size + 1)
+    assert(added.last == awesome)
+
+    // FAIL (default): duplicate name with a different spec raises
+    val err = intercept[IllegalArgumentException] {
+      Registry.withPlugins(Seq(nvdClone))
+    }
+    assert(err.getMessage.contains("nvd"))
+    // ...but re-registering the identical spec is never a conflict
+    assert(Registry.withPlugins(Seq(Registry.byName("nvd"))) ==
+      Registry.providers)
+
+    // REPLACE: the plugin wins, keeping the original catalog position
+    val replaced = Registry.withPlugins(Seq(nvdClone), OverrideMode.Replace)
+    assert(replaced.size == Registry.providers.size)
+    assert(replaced.find(_.name == "nvd").get.family == "custom-nvd")
+    assert(replaced.indexWhere(_.name == "nvd") ==
+      Registry.providers.indexWhere(_.name == "nvd"))
+
+    // IGNORE: the built-in wins, plugin dropped
+    val ignored = Registry.withPlugins(Seq(nvdClone), OverrideMode.Ignore)
+    assert(ignored == Registry.providers)
+
+    // later plugins see earlier ones: plugin-vs-plugin collision
+    val awesome2 = awesome.copy(family = "secdb")
+    intercept[IllegalArgumentException] {
+      Registry.withPlugins(Seq(awesome, awesome2), OverrideMode.Fail)
+    }
+    assert(Registry.withPlugins(Seq(awesome, awesome2),
+      OverrideMode.Replace).last == awesome2)
+
+    // env-style mode parsing: unset/unknown → FAIL
+    assert(OverrideMode.parse("replace") == OverrideMode.Replace)
+    assert(OverrideMode.parse(" IGNORE ") == OverrideMode.Ignore)
+    assert(OverrideMode.parse("") == OverrideMode.Fail)
+    assert(OverrideMode.parse("bogus") == OverrideMode.Fail)
+  }
+
   test("config layer: defaults + YAML + env deep-merge, stable YAML out") {
     val yaml = java.nio.file.Files.createTempFile("cfg", ".yaml")
     java.nio.file.Files.writeString(yaml,
