@@ -1,0 +1,74 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Down-scaled analog of the reference's match-quality gate
+  * (`tests/quality/config.yaml:1-7`): the reference builds a grype DB
+  * from provider output, scans labeled container images, and fails on
+  * any NEW false negative (`max_new_false_negatives: 0`). Container
+  * scanning isn't portable into this engine, but the gate's core
+  * contract is — every labeled (package, installed-version) must match
+  * its expected vulnerability in the BUILT envelopes, so a provider
+  * regression that drops or mis-versions a fix surfaces as a concrete
+  * false negative instead of a silently smaller output.
+  *
+  * Match rule (the grype fixed-version semantics): a label matches
+  * when some envelope carries the expected vulnerability id with a
+  * FixedIn row for the package whose fix version is either the
+  * not-fixed sentinel ("", "0", or null — vulnerable at any version)
+  * or strictly greater than the installed version under EVR
+  * comparison. EVR ordering is exact for rpm/apk-style versions and a
+  * documented approximation for dpkg (no `~` pre-release semantics) —
+  * fine for the gate's curated labels.
+  *
+  * Scale shape: labels are a curated test list (thousands at most) →
+  * broadcast; envelopes stream through one projection + explode with
+  * no shuffle on the corpus side.
+  */
+object QualityGate {
+
+  /** The minimal slice of the envelope payload the gate needs. */
+  val matchSchema: StructType = StructType.fromDDL(
+    "Name STRING, NamespaceName STRING, " +
+      "FixedIn ARRAY<STRUCT<Name: STRING, NamespaceName: STRING, " +
+      "VersionFormat: STRING, Version: STRING>>")
+
+  /** (vuln, namespace, pkg, fix_version) rows from assembled envelopes
+    * — parses the canonical-JSON `item` column. */
+  def fixRows(envelopes: DataFrame): DataFrame =
+    envelopes
+      .select(from_json(col("item"), matchSchema).as("v"))
+      .select(col("v.Name").as("vuln"),
+        explode(col("v.FixedIn")).as("f"))
+      .select(col("vuln"), col("f.NamespaceName").as("namespace"),
+        col("f.Name").as("pkg"), col("f.Version").as("fix_version"))
+
+  /** Labels with NO matching envelope — the gate's false negatives.
+    * `labels` columns: (pkg, version, expected_vuln). Empty = gate
+    * passes. */
+  def falseNegatives(envelopes: DataFrame, labels: DataFrame): DataFrame = {
+    val fixes = fixRows(envelopes)
+    val vulnerable =
+      // not-fixed sentinels: "" / "0" (secdb NAK) / "None" (the
+      // reference's Python str(None) for open releases) / null
+      fixes("fix_version").isNull ||
+        fixes("fix_version").isin("", "0", "None") ||
+        graft.functions.RpmVersion
+          .rpm_ver_cmp(labels("version"), fixes("fix_version")) < 0
+    labels.join(fixes,
+      labels("pkg") === fixes("pkg") &&
+        labels("expected_vuln") === fixes("vuln") && vulnerable,
+      "left_anti")
+  }
+
+  /** Throws with the itemized misses when any label fails to match —
+    * the `max_new_false_negatives: 0` bar. */
+  def assertNoFalseNegatives(envelopes: DataFrame, labels: DataFrame): Unit = {
+    val fn = falseNegatives(envelopes, labels).collect()
+    if (fn.nonEmpty) throw new AssertionError(
+      "quality gate: new false negatives:\n" +
+        fn.map(r => s"  ${r.mkString(" / ")}").mkString("\n"))
+  }
+}
