@@ -51,6 +51,7 @@ object Envelope {
   val NvdSchema = "https://example.invalid/graft/vulnerability/nvd/schema-2.0.0.json"
   val OsvSchema = "https://example.invalid/graft/vulnerability/osv/schema-1.6.1.json"
   val GhsaSchema = "https://example.invalid/graft/vulnerability/github/schema-1.0.0.json"
+  val VexSchema = "https://example.invalid/graft/vulnerability/csaf-vex/schema-2.0.0.json"
 
   /** Canonical JSON: sorted struct fields, no nulls — the golden-test
     * equality representation (reference sorted-key orjson,

@@ -50,6 +50,19 @@ object NvdProvider {
         col("v.cve.configurations").as("configurations"),
         col("v.cve.references").as("references"))
 
+  /** Passthrough result envelopes: identifier `<year>/cve-…` (lowered,
+    * the reference's hierarchical storage id, `providers/nvd/manager
+    * .py:398-405`); payload is the page's whole `{"cve": record}`
+    * wrapper object exactly as written by `manager.py:249`. */
+  def envelopes(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("multiLine", "true").schema(pageSchema).json(path)
+      .select(explode(col("vulnerabilities")).as("v"))
+      .select(graft.Envelope.assemble(
+        lower(concat(split(col("v.cve.id"), "-").getItem(1), lit("/"),
+          col("v.cve.id"))),
+        graft.Envelope.NvdSchema,
+        struct(col("v.cve").as("cve"))): _*)
+
   /** J2: override join — override's configurations REPLACE the record's;
     * references are unioned BY URL (first occurrence wins, original
     * order preserved then override-only urls appended) —

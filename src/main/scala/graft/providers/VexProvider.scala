@@ -59,6 +59,19 @@ object VexProvider {
   /** J5: the wont-fix overlay — stamp rows whose (cve, product) appears
     * in the VEX not-affected/wont-fix slice (ubuntu
     * `parser.py:203-234`). */
+  /** Hummingbird passthrough envelopes (S13): one per (document, CVE)
+    * with the WHOLE CSAF-VEX document as payload — the reference
+    * writes `(namespace/cve_id, CSAFVEXSchema, csaf_doc)` verbatim
+    * (`providers/hummingbird/__init__.py:64-70`). */
+  def envelopes(spark: SparkSession, path: String,
+      namespace: String = "hummingbird"): DataFrame =
+    spark.read.option("multiLine", "true").json(path)
+      .select(struct(col("*")).as("doc"))
+      .select(col("doc"), explode(col("doc.vulnerabilities.cve")).as("cve"))
+      .select(graft.Envelope.assemble(
+        concat(lit(namespace), lit("/"), lower(col("cve"))),
+        graft.Envelope.VexSchema, col("doc")): _*)
+
   def stampWontFix(rows: DataFrame, vexStatus: DataFrame,
       cveCol: String = "cve", productCol: String = "product"): DataFrame = {
     val marks = broadcast(vexStatus

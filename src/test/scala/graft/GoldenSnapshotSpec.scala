@@ -62,6 +62,27 @@ class GoldenSnapshotSpec extends AnyFunSuite {
       FedoraProvider.envelopes(spark, fixture("fedora_bodhi.json")))
   }
 
+  test("amazon envelopes match committed snapshots byte-for-byte") {
+    val html = scala.io.Source.fromFile(fixture("alas.html")).mkString
+    val pages = Seq(
+      ("ALAS-2023-1726", "important",
+        Seq("CVE-2023-1000", "CVE-2023-2000"), html)
+    ).toDF("alas_id", "severity", "cves", "html")
+    Golden.assertSnapshots("amazon",
+      graft.providers.AmazonProvider.envelopes(pages, "amzn:2"))
+  }
+
+  test("nvd passthrough envelopes match committed snapshots byte-for-byte") {
+    Golden.assertSnapshots("nvd",
+      graft.providers.NvdProvider.envelopes(spark, fixture("nvd_page.json")))
+  }
+
+  test("hummingbird (csaf-vex) envelopes match committed snapshots " +
+      "byte-for-byte") {
+    Golden.assertSnapshots("hummingbird",
+      graft.providers.VexProvider.envelopes(spark, fixture("csaf_vex.json")))
+  }
+
   test("a drifted envelope is caught as a byte mismatch") {
     assume(!Golden.update, "negative checks don't apply while re-recording")
     val good = SecdbProvider.envelopes(spark, fixture("secdb.json"), "wolfi:rolling")
