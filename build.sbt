@@ -18,6 +18,7 @@ run / outputStrategy := Some(StdoutOutput)
 // the bench's one-line JSON stays the LAST stdout line (the driver
 // parses it from a bounded tail of the output).
 ThisBuild / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

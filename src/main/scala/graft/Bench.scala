@@ -63,7 +63,11 @@ object Bench {
       val om = if (omitted > 0) s""","omitted":$omitted""" else ""
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"cold_total":${fmt(coldTotal)}$om,"sf":"$sfDir"}"""
     }
-    val budget = 1950
+    // 2000-char driver tail window minus headroom for a trailing sbt
+    // footer line (~75 chars, suppressed by showSuccess := false but
+    // budgeted for anyway — BENCH_r03's JSON lost its head to exactly
+    // this combination)
+    val budget = 1900
     var keep = results
     var line = render(keep, results.size - keep.size)
     while (line.length > budget && keep.size > 1) {
