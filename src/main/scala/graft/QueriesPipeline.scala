@@ -650,6 +650,30 @@ object QueriesPipeline {
       },
       None),
 
+    // Corpus-wide kNN self-join (SemDeDup-style curation primitive):
+    // every vector's top-3 cosine neighbors. Exact all-pairs form —
+    // the correctness baseline the LSH variant is specced against.
+    "q_sim_knn" -> Entry(
+      (s, dir) => Similarity.knnJoinExact(t(s, dir, "embeddings"), 3)
+        .select(col("qid"), col("rank").as("rnk"), col("vec_id")),
+      Some("""SELECT qid, rnk, vec_id FROM (
+        SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+          row_number() OVER (PARTITION BY q.vec_id
+            ORDER BY list_cosine_similarity(
+              cast(c.embedding as double[]),
+              cast(q.embedding as double[])) DESC, c.vec_id) AS rnk
+        FROM embeddings c JOIN embeddings q ON c.vec_id <> q.vec_id)
+        WHERE rnk <= 3""")),
+
+    // The 100 TB kNN path: banded-LSH candidates (one kernel pass,
+    // bucket-capped — never all-pairs), exact cosine on candidates,
+    // per-id top-k under the exchange. Approximate → rows-only here;
+    // ScaleOpsSpec pins recall vs the exact join and band-monotonicity.
+    "q_sim_knn_lsh" -> Entry(
+      (s, dir) => Similarity.knnJoinLsh(t(s, dir, "embeddings"), 3)
+        .select(col("qid"), col("rank").as("rnk"), col("vec_id")),
+      None),
+
     // IVF ANN (coarse k-means cells + nprobe rerank): the partition-
     // pruning scale path. Approximate by design → rows-only here; recall
     // vs brute force is pinned in ScaleOpsSpec.

@@ -33,17 +33,72 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val joined = corpus.select(col(idCol), col(vecCol))
       .join(broadcast(queries.select(col(qidCol), col(qvecCol))),
         col(idCol) =!= col(qidCol)) // exclude self-match
       .withColumn("sim", cosine(col(vecCol), col(qvecCol)))
-    val w = Window.partitionBy(col(qidCol))
-      .orderBy(col("sim").desc, col(idCol).asc)
-    joined
-      .select(col(qidCol), col(idCol), col("sim"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topKPerGroup(joined, k, qidCol, idCol)
+  }
+
+  /** (group, id, sim) → best-first top-k per group via the bounded
+    * [[TopK]] aggregator: partial aggregation truncates to k per group
+    * on the MAP side, so the exchange carries ≤ k·partitions rows per
+    * group instead of every scored row (what a row_number window would
+    * shuffle). Ties break by ascending id — the oracles' order. */
+  private[operators] def topKPerGroup(scored: DataFrame, k: Int,
+      groupCol: String, idCol: String): DataFrame =
+    scored
+      .groupBy(col(groupCol))
+      .agg(TopK.top_k(k)(col("sim"), col(idCol).cast("long")).as("__top"))
+      .select(col(groupCol), posexplode(col("__top")).as(Seq("__p", "__e")))
+      .select(col(groupCol), col("__e.id").as(idCol),
+        col("__e.score").as("sim"), (col("__p") + 1).cast("int").as("rank"))
+
+  /** Corpus-wide k-nearest-neighbor self-join, exact: every vector's
+    * top-k most-similar OTHERS by cosine — the semantic-dedup /
+    * cluster-curation primitive (SemDeDup-style pipelines rank
+    * within-cluster neighbors exactly like this). All-pairs via the
+    * broadcast nested loop: the correctness baseline, O(n²) cosine —
+    * fine to ~10⁵ vectors, NEVER the 100 TB path ([[knnJoinLsh]] is). */
+  def knnJoinExact(corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    bruteForceTopK(corpus,
+      corpus.select(col(idCol).as("qid"), col(vecCol).as("qvec")), k)
+
+  /** [[knnJoinExact]]'s scale path: banded hyperplane LSH candidates
+    * (ONE `hyperplane_band_sigs` kernel pass per vector; bucket-capped
+    * equi-join — never all-pairs), exact cosine on the candidates only,
+    * per-id top-k under the exchange (WindowGroupLimit). The shuffle
+    * carries (id, band, band_hash) 20 B rows and then candidate id
+    * pairs; vectors attach to candidates alone. Approximate by
+    * construction: ids whose true neighbors share no band are missed —
+    * recover recall by adding bands (spec pins recall vs exact and
+    * monotonicity). Rows are (qid, vec_id, sim, rank), rank 1..≤k —
+    * an id with no bucketed candidate yields no rows (score such
+    * orphans with [[bruteForceTopK]] on the residual if the pipeline
+    * needs total coverage).
+    *
+    * Defaults measured on the synthetic 64-dim corpus: 24×6-bit bands
+    * reach ~0.72 top-3 recall (vs 0.15 at 8×8 — kNN neighbors are much
+    * farther than near-DUPLICATES, so kNN wants more, shorter bands
+    * than [[Dedup.embeddingNearDups]]'s 6×6). */
+  def knnJoinLsh(corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      bands: Int = 24, bitsPerBand: Int = 6,
+      maxBucket: Int = 1000): DataFrame = {
+    val cands = Dedup.minhashCandidates(
+      Dedup.embeddingBands(corpus, idCol, vecCol, bands, bitsPerBand),
+      idCol, maxBucket)
+    // candidates are canonical (id1 < id2); kNN needs both directions
+    val sym = cands.unionAll(
+      cands.select(col("id2").as("id1"), col("id1").as("id2")))
+    val vecs = corpus.select(col(idCol), col(vecCol))
+    val scored = sym
+      .join(vecs.select(col(idCol).as("id1"), col(vecCol).as("__v1")), "id1")
+      .join(vecs.select(col(idCol).as("id2"), col(vecCol).as("__v2")), "id2")
+      .select(col("id1").as("qid"), col("id2").as("vec_id"),
+        cosine(col("__v1"), col("__v2")).as("sim"))
+    topKPerGroup(scored, k, "qid", "vec_id")
   }
 
   /** Random-hyperplane signature: bit i = sign(v · h_i) where h_i is a
@@ -98,20 +153,17 @@ object Similarity {
 
   /** Shared rerank: candidates = cell-equi-join of the assigned corpus
     * against broadcast probes; exact cosine within probed cells only;
-    * the only shuffle is the q·k window. */
+    * the only shuffle carries map-side-truncated ≤k-per-query buffers
+    * (a pair meeting in several cells dedups inside the [[TopK]]
+    * aggregator — no separate dropDuplicates exchange). */
   private def rerankWithinCells(assigned: DataFrame, probes: DataFrame,
       k: Int, idCol: String, vecCol: String, qidCol: String,
       qvecCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(qidCol))
-      .orderBy(col("sim").desc, col(idCol).asc)
-    assigned.join(broadcast(probes), Seq("cell"))
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
       .filter(col(idCol) =!= col(qidCol))
       .withColumn("sim", cosine(col(vecCol), col(qvecCol)))
       .select(col(qidCol), col(idCol), col("sim"))
-      .dropDuplicates(qidCol, idCol) // a pair may meet in several cells
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topKPerGroup(scored, k, qidCol, idCol)
   }
 
   /** IVF (inverted-file) ANN: a coarse k-means quantizer partitions the
@@ -190,7 +242,6 @@ object Similarity {
       probeHamming: Int = 1,
       idCol: String = "vec_id", vecCol: String = "embedding",
       qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(probeHamming >= 0 && probeHamming <= 1,
       "probeHamming > 1 unsupported (probe count would be binomial)")
     val sigCorpus = corpus.select(col(idCol), col(vecCol),
@@ -205,11 +256,8 @@ object Similarity {
     val cands = sigCorpus.join(broadcast(sigQueries), Seq("sig"))
       .filter(col(idCol) =!= col(qidCol))
       .withColumn("sim", cosine(col(vecCol), col(qvecCol)))
-    val w = Window.partitionBy(col(qidCol))
-      .orderBy(col("sim").desc, col(idCol).asc)
-    cands.select(col(qidCol), col(idCol), col("sim"))
-      .dropDuplicates(qidCol, idCol) // probes can't collide, but be safe
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    // duplicate probe hits dedup inside the bounded aggregator
+    topKPerGroup(cands.select(col(qidCol), col(idCol), col("sim")),
+      k, qidCol, idCol)
   }
 }
