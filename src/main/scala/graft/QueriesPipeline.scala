@@ -347,6 +347,40 @@ object QueriesPipeline {
           round(list_cosine_similarity(e, cl), 3) AS centroid_sim
         FROM d JOIN cent USING (label)""")),
 
+    // int8 embedding quantization (4 B/dim → 1 B at 100 TB): integer
+    // per-vector summaries of the quantized codes — the floor(x/s+0.5)
+    // arithmetic replays exactly in DuckDB (round() would not: engines
+    // disagree on round-half of negatives). All-integer output ⇒
+    // strict hash compare.
+    "q_embed_quantize" -> Entry(
+      (s, dir) => {
+        val q = graft.operators.Embeddings
+          .quantize(t(s, dir, "embeddings"), "embedding")
+        q.select(col("vec_id"),
+          aggregate(col("qvec"), lit(0L),
+            (a, x) => a + x.cast("long")).as("sum_q"),
+          aggregate(col("qvec"), lit(0L),
+            (a, x) => a + abs(x.cast("long"))).as("sum_abs_q"),
+          size(filter(col("qvec"),
+            x => abs(x.cast("int")) === 127)).cast("long").as("n_sat"))
+      },
+      Some("""WITH base AS (
+          SELECT vec_id, cast(embedding AS double[]) AS e,
+            list_max(list_transform(cast(embedding AS double[]),
+              x -> abs(x))) AS m
+          FROM embeddings
+        ), q AS (
+          SELECT vec_id, list_transform(e,
+            x -> cast(floor(x / (CASE WHEN m = 0 THEN 1.0
+              ELSE m / 127.0 END) + 0.5) AS bigint)) AS qv
+          FROM base)
+        SELECT vec_id,
+          cast(list_sum(qv) AS bigint) AS sum_q,
+          cast(list_sum(list_transform(qv, x -> abs(x))) AS bigint)
+            AS sum_abs_q,
+          len(list_filter(qv, x -> abs(x) = 127)) AS n_sat
+        FROM q""")),
+
     // Sequence packing: docs → consecutive 4096-token training bins via
     // the two-phase distributed prefix sum (operators/Pack.scala — no
     // global single-partition window). Bin assignment is pure window

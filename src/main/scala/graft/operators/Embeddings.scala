@@ -74,6 +74,31 @@ object Embeddings {
     df.groupBy(col(groupCol))
       .agg(vector_mean(col(vecCol)).as("centroid"))
 
+  /** Symmetric int8 quantization of an embedding column — the standard
+    * 4-bytes-per-dim → 1 storage/IO reduction for 100 TB embedding
+    * tables (cosine after dequantization degrades < 1e-3 at 64-256
+    * dims; spec-pinned). Per-vector scale = max|v| / 127; elements are
+    * `floor(v / scale + 0.5)` — written as floor(+0.5), not round(),
+    * because Java and DuckDB disagree on round-half of NEGATIVE values
+    * (Math.round(-2.5) = -2, DuckDB -3) and the oracle replays this
+    * arithmetic exactly. Zero vectors quantize to zeros (scale 1 guard).
+    * Pure projection — quantization is a scan, no shuffle. */
+  def quantize(df: DataFrame, vecCol: String,
+      qCol: String = "qvec", scaleCol: String = "scale"): DataFrame = {
+    val maxAbs = array_max(transform(col(vecCol), x => abs(x)))
+      .cast("double")
+    val scale = when(maxAbs === 0.0 || maxAbs.isNull, lit(1.0))
+      .otherwise(maxAbs / 127.0)
+    df.withColumn(scaleCol, scale)
+      .withColumn(qCol,
+        transform(col(vecCol), x =>
+          floor(x.cast("double") / col(scaleCol) + 0.5).cast("tinyint")))
+  }
+
+  /** Inverse of [[quantize]]: q · scale as array<float>. */
+  def dequantize(qCol: Column, scaleCol: Column): Column =
+    transform(qCol, b => (b.cast("double") * scaleCol).cast("float"))
+
   /** Cosine similarity of every vector to its own group's centroid —
     * the outlier-scoring primitive of semantic-cluster cleaning (low
     * similarity = candidate mislabel/noise). Centroids broadcast; the

@@ -55,4 +55,28 @@ class EmbeddingsSpec extends AnyFunSuite {
     assert(sims(1L) > 0.999 && sims(2L) > 0.999)
     assert(sims(3L) > 0.999999) // singleton cluster: centroid = itself
   }
+
+  test("int8 quantize: codes bounded, roundtrip cosine ≥ 0.9999") {
+    import org.apache.spark.sql.functions._
+    val em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = Embeddings.quantize(em, "embedding")
+    val checked = q.select(
+      graft.operators.Similarity.cosine(
+        Embeddings.dequantize(col("qvec"), col("scale"))
+          .cast("array<double>"),
+        col("embedding").cast("array<double>")).as("rt"),
+      array_max(transform(col("qvec"), x => abs(x.cast("int")))).as("mx"))
+      .agg(min(col("rt")), max(col("mx")), count(lit(1))).head()
+    assert(checked.getDouble(0) >= 0.9999,
+      s"worst roundtrip cosine ${checked.getDouble(0)}")
+    assert(checked.getInt(1) <= 127) // int8 range, scale saturates at max
+    assert(checked.getLong(2) == 500L)
+  }
+
+  test("int8 quantize: zero vector survives via the scale guard") {
+    val df = Seq((1L, Seq(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val r = Embeddings.quantize(df, "embedding").head()
+    assert(r.getAs[Double]("scale") == 1.0)
+    assert(r.getSeq[Byte](r.fieldIndex("qvec")).toList == List(0, 0, 0))
+  }
 }
