@@ -347,6 +347,24 @@ object QueriesPipeline {
           round(list_cosine_similarity(e, cl), 3) AS centroid_sim
         FROM d JOIN cent USING (label)""")),
 
+    // Deterministic training-order shuffle: the md5(id:seed) total
+    // order replays exactly in DuckDB, so the PERMUTATION itself is
+    // hash-checked (not just the key). The operator is one range
+    // exchange at scale; the window here is only the oracle's way of
+    // naming positions.
+    "q_corpus_shuffle" -> Entry(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        graft.operators.Corpus
+          .shuffleDeterministic(t(s, dir, "documents"), "doc_id", 42L)
+          .select(col("doc_id"), row_number().over(Window.orderBy(
+            md5(concat_ws(":", col("doc_id").cast("string"), lit("42")))))
+            .cast("long").as("pos"))
+      },
+      Some("""SELECT doc_id, row_number() OVER (
+          ORDER BY md5(doc_id || ':42')) AS pos
+        FROM documents""")),
+
     // int8 embedding quantization (4 B/dim → 1 B at 100 TB): integer
     // per-vector summaries of the quantized codes — the floor(x/s+0.5)
     // arithmetic replays exactly in DuckDB (round() would not: engines
@@ -705,6 +723,15 @@ object QueriesPipeline {
     // ScaleOpsSpec pins recall vs the exact join and band-monotonicity.
     "q_sim_knn_lsh" -> Entry(
       (s, dir) => Similarity.knnJoinLsh(t(s, dir, "embeddings"), 3)
+        .select(col("qid"), col("rank").as("rnk"), col("vec_id")),
+      None),
+
+    // The linear-cost kNN path (cell-equi-join IVF, nlist ∝ corpus,
+    // cost/vector ≈ nprobe·cell) — the one that survives 100 TB;
+    // SCALE.md's knn drill measures all three variants head-to-head.
+    "q_sim_knn_ivf" -> Entry(
+      (s, dir) => Similarity.knnJoinIvf(t(s, dir, "embeddings"), 3,
+          nlist = 8, nprobe = 4)
         .select(col("qid"), col("rank").as("rnk"), col("vec_id")),
       None),
 

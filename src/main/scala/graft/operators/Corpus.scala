@@ -35,6 +35,19 @@ object Corpus {
     * can stratify: different thresholds per stratum over one hash). */
   def hashBucket(key: Column): Column = substring(md5(key), 1, 4)
 
+  /** Deterministic training-order shuffle: ORDER BY md5("id:seed") —
+    * rerun-stable, partition-layout-independent, and engine-portable
+    * (the same md5 trick as [[hashKeep]]); a different seed is an
+    * independent permutation. At any scale this is ONE range exchange
+    * (Spark samples split points and sorts within partitions in
+    * parallel) — downstream epoch writers consume partitions in
+    * order. For shard-local shuffling without the global exchange,
+    * bucket by [[hashBucket]] first and shuffle within shards. */
+  def shuffleDeterministic(df: DataFrame, idCol: String,
+      seed: Long = 0L): DataFrame =
+    df.orderBy(md5(concat_ws(":", col(idCol).cast("string"),
+      lit(seed.toString))))
+
   /** Keep at most `n` rows per group, best-first by `order`. One shuffle
     * on the group key; the top-n is pushed below the exchange as a
     * WindowGroupLimit (partial group-limit per map task). */

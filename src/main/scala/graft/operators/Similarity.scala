@@ -81,7 +81,12 @@ object Similarity {
     * Defaults measured on the synthetic 64-dim corpus: 24×6-bit bands
     * reach ~0.72 top-3 recall (vs 0.15 at 8×8 — kNN neighbors are much
     * farther than near-DUPLICATES, so kNN wants more, shorter bands
-    * than [[Dedup.embeddingNearDups]]'s 6×6). */
+    * than [[Dedup.embeddingNearDups]]'s 6×6).
+    *
+    * Regime: narrow band keys mean bucket sizes grow as n/2^bits, so
+    * candidate volume turns quadratic past ~10⁶ vectors (measured in
+    * SCALE.md's knn drill). For corpus-scale kNN use [[knnJoinIvf]],
+    * whose cost stays linear for nlist ∝ n. */
   def knnJoinLsh(corpus: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       bands: Int = 24, bitsPerBand: Int = 6,
@@ -99,6 +104,36 @@ object Similarity {
       .select(col("id1").as("qid"), col("id2").as("vec_id"),
         cosine(col("__v1"), col("__v2")).as("sim"))
     topKPerGroup(scored, k, "qid", "vec_id")
+  }
+
+  /** The 100 TB kNN self-join: IVF. The coarse quantizer splits the
+    * corpus into `nlist` cells of ~n/nlist vectors; each vector is
+    * ASSIGNED once (its nearest cell) and PROBES its `nprobe` nearest
+    * cells; candidates are the cell-equi-join of the two sides — a
+    * shuffle on the cell id (both sides are the corpus, so no
+    * broadcast), never all-pairs. Per-vector cost ≈ nprobe · n/nlist
+    * exact cosines: take nlist ∝ n (fixed target cell size) and the
+    * whole join is LINEAR in corpus size, unlike [[knnJoinLsh]] whose
+    * far-neighbor recall forces narrow band keys and therefore
+    * n²/2^bits candidate growth. Quantizer training samples
+    * `trainFraction` of the corpus (at 100 TB train on a sliver).
+    * Recall = P(true neighbor's home cell is among the query's nprobe
+    * probes) — tune nprobe. A pair meets at most once (one home cell
+    * per id). */
+  def knnJoinIvf(corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      nlist: Int = 64, nprobe: Int = 4,
+      trainFraction: Double = 1.0): DataFrame = {
+    val cents = trainCentroids(corpus, vecCol, nlist, trainFraction)
+    val assigned = corpus.select(col(idCol), col(vecCol),
+      nearestCell(col(vecCol), cents).as("cell"))
+    val probes = corpus.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+      explode(probeCells(col(vecCol), cents, nprobe)).as("cell"))
+    val scored = assigned.join(probes, Seq("cell"))
+      .filter(col(idCol) =!= col("qid"))
+      .select(col("qid"), col(idCol),
+        cosine(col(vecCol), col("qvec")).as("sim"))
+    topKPerGroup(scored, k, "qid", idCol)
   }
 
   /** Random-hyperplane signature: bit i = sign(v · h_i) where h_i is a

@@ -185,6 +185,44 @@ object ScaleStress {
         f"$tScrub%8.1f $tBm25%8.1f $tNgram%8.1f")
       docs.unpersist()
     }
+
+    // kNN self-join drill: exact is O(n²) cosine (the baseline that
+    // must NOT be the scale path); LSH's narrow far-neighbor bands make
+    // buckets grow as n/2^bits (quadratic candidates); IVF with
+    // nlist ∝ n keeps per-vector cost at nprobe·cell — the linear
+    // scale path. Planted near-dups make each vector's true top-k
+    // mostly its own clones (easy recall for both approximations).
+    import graft.operators.Similarity
+    println(f"\n${"copies"}%8s ${"vecs"}%9s ${"t_exact"}%8s ${"t_lsh"}%8s " +
+      f"${"t_ivf"}%8s ${"r_lsh"}%7s ${"r_ivf"}%7s")
+    for (copies <- Seq(1, maxScale)
+        if which == "all" || which == "knn") {
+      val vecs = embCorpus(spark, dir, copies).cache()
+      val nVecs = vecs.count()
+      var t0 = System.nanoTime()
+      val exact = Similarity.knnJoinExact(vecs, 3)
+        .select("qid", "vec_id").cache()
+      val nExact = exact.count()
+      val tExact = (System.nanoTime() - t0) / 1e9
+      t0 = System.nanoTime()
+      val lsh = Similarity.knnJoinLsh(vecs, 3)
+        .select("qid", "vec_id").cache()
+      lsh.count()
+      val tLsh = (System.nanoTime() - t0) / 1e9
+      t0 = System.nanoTime()
+      // fixed target cell ≈ 250 vectors: nlist grows with the corpus
+      val ivf = Similarity.knnJoinIvf(vecs, 3,
+          nlist = math.max(8, (nVecs / 250).toInt), nprobe = 4,
+          trainFraction = math.min(1.0, 50000.0 / nVecs))
+        .select("qid", "vec_id").cache()
+      ivf.count()
+      val tIvf = (System.nanoTime() - t0) / 1e9
+      val rLsh = exact.intersect(lsh).count().toDouble / nExact
+      val rIvf = exact.intersect(ivf).count().toDouble / nExact
+      println(f"$copies%8d $nVecs%9d $tExact%8.1f $tLsh%8.1f " +
+        f"$tIvf%8.1f $rLsh%7.3f $rIvf%7.3f")
+      vecs.unpersist(); exact.unpersist(); lsh.unpersist(); ivf.unpersist()
+    }
     spark.stop()
   }
 }

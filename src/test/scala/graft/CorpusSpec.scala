@@ -147,6 +147,22 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(("b", "a")) == ((1L, 0.5)))
   }
 
+  test("deterministic shuffle: rerun-stable, layout-independent, " +
+      "seed-sensitive") {
+    import graft.operators.Corpus
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id")
+    def order(df: org.apache.spark.sql.DataFrame, seed: Long) =
+      Corpus.shuffleDeterministic(df, "doc_id", seed)
+        .collect().map(_.getLong(0)).toSeq
+    val a = order(docs, 7L)
+    assert(a == order(docs, 7L), "not rerun-stable")
+    assert(a == order(docs.repartition(13), 7L), "layout-dependent")
+    assert(a != order(docs, 8L), "seed ignored")
+    assert(a.sorted != a, "suspiciously already sorted — no permutation?")
+    assert(a.toSet == docs.collect().map(_.getLong(0)).toSet)
+  }
+
   test("containment: hashed (default) path ≡ string-shingle path") {
     import graft.operators.Contamination
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

@@ -92,6 +92,11 @@ class ScaleOpsSpec extends AnyFunSuite {
     // measured 0.72 at 24×6 on this corpus; 0.55 leaves seed headroom
     assert(r24 >= 0.55, s"recall(24 bands)=$r24")
     assert(r24 > r4, s"recall not improved by bands: $r4 -> $r24")
+    // the linear-cost IVF path: recall = P(neighbor's home cell probed)
+    val ivf = Similarity.knnJoinIvf(em, 3, nlist = 8, nprobe = 4)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val rIvf = (exact & ivf).size.toDouble / exact.size
+    assert(rIvf >= 0.5, s"IVF kNN recall=$rIvf") // 4/8 cells probed
   }
 
   test("materialized IVF index probes with storage-level partition pruning") {
