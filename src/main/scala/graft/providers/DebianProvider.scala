@@ -77,7 +77,7 @@ object DebianProvider {
         col("dsa").as("ID"), col("link").as("Link")))).as("advisories"),
         min(col("date")).as("dsa_date")))
     rows.join(d, Seq("rel", "cve", "pkg"), "left")
-      .select(rows.columns.map(col) ++ Seq(
+      .select(rows.columns.toIndexedSeq.map(col) ++ Seq(
         when(col("version") === "0",
           struct(lit(false).as("NoAdvisory"),
             array().cast("array<struct<ID:string,Link:string>>")

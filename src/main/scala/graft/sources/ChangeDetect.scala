@@ -28,7 +28,7 @@ object ChangeDetect {
       "api and cached must share minimal-record columns")
     def hashed(df: DataFrame, side: String) = df.select(
       col(idCol).as(s"${side}_id"),
-      xxhash64(contentCols.map(col): _*).as(s"${side}_hash"))
+      xxhash64(contentCols.toIndexedSeq.map(col): _*).as(s"${side}_hash"))
     hashed(api, "api")
       .join(hashed(cached, "cache"),
         col("api_id") === col("cache_id"), "full_outer")
