@@ -44,15 +44,35 @@ object Similarity {
     * [[TopK]] aggregator: partial aggregation truncates to k per group
     * on the MAP side, so the exchange carries ≤ k·partitions rows per
     * group instead of every scored row (what a row_number window would
-    * shuffle). Ties break by ascending id — the oracles' order. */
+    * shuffle). Ties break by ascending id — the oracles' order.
+    * The aggregator's buffer keys ids as long, so non-integral id
+    * columns (a long→string cast would silently null them) take the
+    * generic window path instead — correct, just without map-side
+    * truncation. */
   private[operators] def topKPerGroup(scored: DataFrame, k: Int,
-      groupCol: String, idCol: String): DataFrame =
-    scored
-      .groupBy(col(groupCol))
-      .agg(TopK.top_k(k)(col("sim"), col(idCol).cast("long")).as("__top"))
-      .select(col(groupCol), posexplode(col("__top")).as(Seq("__p", "__e")))
-      .select(col(groupCol), col("__e.id").as(idCol),
-        col("__e.score").as("sim"), (col("__p") + 1).cast("int").as("rank"))
+      groupCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val integralId = scored.schema(idCol).dataType match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
+    if (integralId) {
+      val idType = scored.schema(idCol).dataType
+      scored
+        .groupBy(col(groupCol))
+        .agg(TopK.top_k(k)(col("sim"), col(idCol).cast("long")).as("__top"))
+        .select(col(groupCol), posexplode(col("__top")).as(Seq("__p", "__e")))
+        .select(col(groupCol), col("__e.id").cast(idType).as(idCol),
+          col("__e.score").as("sim"), (col("__p") + 1).cast("int").as("rank"))
+    } else {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col(groupCol))
+        .orderBy(col("sim").desc, col(idCol).asc)
+      scored.select(col(groupCol), col(idCol), col("sim"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+    }
+  }
 
   /** Corpus-wide k-nearest-neighbor self-join, exact: every vector's
     * top-k most-similar OTHERS by cosine — the semantic-dedup /

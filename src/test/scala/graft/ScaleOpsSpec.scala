@@ -99,6 +99,24 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(rIvf >= 0.5, s"IVF kNN recall=$rIvf") // 4/8 cells probed
   }
 
+  test("top-k rerank: string ids take the window path, same results") {
+    import graft.operators.Similarity
+    val em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val byLong = Similarity.knnJoinExact(em, 3)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    // the aggregator path keys ids as long; string ids must NOT be
+    // silently nulled by a cast — they fall back to the window form
+    val sEm = em.select(concat(lit("v"), col("vec_id")).as("vec_id"),
+      col("embedding"))
+    val byString = Similarity.knnJoinExact(sEm, 3)
+      .select("qid", "vec_id").as[(String, String)].collect()
+      .map { case (q, v) => (q.drop(1).toLong, v.drop(1).toLong) }.toSet
+    // tie order differs between "v10" (string) and 10 (long) sorts only
+    // when sims are exactly equal — require ≥99% agreement
+    val agree = (byLong & byString).size.toDouble / byLong.size
+    assert(agree >= 0.99, s"string-id kNN diverged: $agree")
+  }
+
   test("materialized IVF index probes with storage-level partition pruning") {
     import graft.operators.Similarity
     val em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
