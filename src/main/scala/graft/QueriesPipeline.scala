@@ -246,10 +246,12 @@ object QueriesPipeline {
     "q_corpus_containment" -> Entry(
       // hashed = false ONLY here: DuckDB replays literal string shingles.
       // The library default is the hashed (8-byte-key) path; CorpusSpec
-      // pins the two row-identical.
+      // pins the two row-identical. cache = false so a bench/verify
+      // session doesn't pin the string-shingle set for the remaining
+      // queries (callers of this entry run it once).
       (s, dir) => graft.operators.Contamination
         .crossContainment(t(s, dir, "documents"), "source", "text",
-          hashed = false),
+          hashed = false, cache = false),
       Some("""WITH words AS (
           SELECT doc_id, source, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
           FROM documents
@@ -388,14 +390,17 @@ object QueriesPipeline {
               x -> abs(x))) AS m
           FROM embeddings
         ), q AS (
+          -- m IS NULL (empty array) mirrors the Spark scale-1 guard;
+          -- list_sum of an empty list is NULL in DuckDB, 0 in Spark's
+          -- aggregate — coalesce to keep the hash compare strict
           SELECT vec_id, list_transform(e,
-            x -> cast(floor(x / (CASE WHEN m = 0 THEN 1.0
+            x -> cast(floor(x / (CASE WHEN m = 0 OR m IS NULL THEN 1.0
               ELSE m / 127.0 END) + 0.5) AS bigint)) AS qv
           FROM base)
         SELECT vec_id,
-          cast(list_sum(qv) AS bigint) AS sum_q,
-          cast(list_sum(list_transform(qv, x -> abs(x))) AS bigint)
-            AS sum_abs_q,
+          coalesce(cast(list_sum(qv) AS bigint), 0) AS sum_q,
+          coalesce(cast(list_sum(list_transform(qv, x -> abs(x)))
+            AS bigint), 0) AS sum_abs_q,
           len(list_filter(qv, x -> abs(x) = 127)) AS n_sat
         FROM q""")),
 

@@ -58,19 +58,25 @@ object Contamination {
     * keeps the literal strings for the DuckDB oracle replay; a spec
     * pins the two paths row-identical. */
   def crossContainment(docs: DataFrame, groupCol: String, textCol: String,
-      n: Int = 3, hashed: Boolean = true): DataFrame = {
+      n: Int = 3, hashed: Boolean = true, cache: Boolean = true): DataFrame = {
     val shingles: Column =
       if (hashed) graft.plans.HashExpressions.word_shingle_hashes(col(textCol), n)
       else wordShingles(col(textCol), n)
-    // persist: the distinct'd (g, s) set feeds three subtrees (both
-    // self-join sides and the size aggregate); CacheManager substitution
-    // makes the single-shuffle claim structural instead of relying on
-    // ReusedExchange surviving AQE replanning. MEMORY_AND_DISK and
-    // LRU-evictable, so a long session degrades to recompute, not OOM.
-    val sh = docs
+    // cache (default): the distinct'd (g, s) set feeds three subtrees
+    // (both self-join sides and the size aggregate); CacheManager
+    // substitution makes the single-shuffle claim structural instead of
+    // relying on ReusedExchange surviving AQE replanning. The entry is
+    // MEMORY_AND_DISK and LRU-evictable but lives until the session
+    // ends (the result is lazy, so this function cannot unpersist) —
+    // callers running MANY containments in one session can pass
+    // cache = false and accept up to two recomputes of the distinct.
+    val shBase = docs
       .select(col(groupCol).as("g"), explode(shingles).as("s"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh =
+      if (cache) shBase
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else shBase
     val sizes = sh.groupBy(col("g")).agg(count(lit(1)).as("n_sh"))
     sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.g") =!= col("b.g"))

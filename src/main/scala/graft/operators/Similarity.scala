@@ -49,9 +49,15 @@ object Similarity {
     * columns (a long→string cast would silently null them) take the
     * generic window path instead — correct, just without map-side
     * truncation. */
-  private[operators] def topKPerGroup(scored: DataFrame, k: Int,
+  private[operators] def topKPerGroup(scoredIn: DataFrame, k: Int,
       groupCol: String, idCol: String): DataFrame = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    // Undefined similarities are EXCLUDED, deterministically, on both
+    // paths: cosine is NaN for a zero vector (0/0) and null on length
+    // drift — NaN would rank nondeterministically in the bounded
+    // buffer (NaN compares false both ways, and NaN != NaN defeats
+    // the dedup) and null would crash the non-nullable buffer encoder.
+    val scored = scoredIn.filter(col("sim").isNotNull && !isnan(col("sim")))
     val integralId = scored.schema(idCol).dataType match {
       case LongType | IntegerType | ShortType | ByteType => true
       case _ => false

@@ -53,9 +53,13 @@ object NvdProvider {
   /** Passthrough result envelopes: identifier `<year>/cve-…` (lowered,
     * the reference's hierarchical storage id, `providers/nvd/manager
     * .py:398-405`); payload is the page's whole `{"cve": record}`
-    * wrapper object exactly as written by `manager.py:249`. */
+    * wrapper object exactly as written by `manager.py:249`. Read
+    * SCHEMA-LESS on purpose: [[pageSchema]] projects the six fields
+    * the relational operators need, but a passthrough must carry
+    * every field the record has (metrics, weaknesses, published, …) —
+    * inference keeps them all. */
   def envelopes(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("multiLine", "true").schema(pageSchema).json(path)
+    spark.read.option("multiLine", "true").json(path)
       .select(explode(col("vulnerabilities")).as("v"))
       .select(graft.Envelope.assemble(
         lower(concat(split(col("v.cve.id"), "-").getItem(1), lit("/"),

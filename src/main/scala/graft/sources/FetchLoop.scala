@@ -33,6 +33,13 @@ object FetchLoop {
       request: S => String)(
       advance: (Path, S, Int) => Option[S]): Seq[Path] = {
     Files.createDirectories(stageDir)
+    // a re-run that stages FEWER pages must not leave stale page files
+    // behind: the documented parse step is a glob over the directory,
+    // which would silently resurrect them
+    Files.list(stageDir).forEach { p =>
+      if (p.getFileName.toString.matches("page_\\d+\\.json"))
+        Files.delete(p)
+    }
     val out = scala.collection.mutable.ArrayBuffer.empty[Path]
     var state: Option[S] = Some(initial)
     while (state.isDefined) {
@@ -79,7 +86,10 @@ object FetchLoop {
       : Seq[Path] = {
     walk[Option[String]](None, stageDir, transport, cfg, sleeper) {
       case None => baseUrl
-      case Some(cursor) => s"$baseUrl?after=$cursor"
+      // GraphQL cursors are base64 — '+', '/', '=' must be
+      // percent-encoded or servers decode '+' as a space
+      case Some(cursor) => s"$baseUrl?after=" +
+        java.net.URLEncoder.encode(cursor, java.nio.charset.StandardCharsets.UTF_8)
     } { (path, _, _) =>
       graft.providers.GhsaProvider.nextCursor(spark, path.toString)
         .map(Some(_))

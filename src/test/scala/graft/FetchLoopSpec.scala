@@ -102,9 +102,13 @@ class FetchLoopSpec extends AnyFunSuite {
 
   test("S3: GHSA cursor walk — 3 pages, 429 mid-walk, envelopes out") {
     val base = "https://ghsa.example.invalid/graphql"
+    // base64 cursors carry '+' and '=' — the walk must percent-encode
+    // them ('+' in a query string otherwise decodes as a space)
+    val c1 = "Y3Vyc29yOnYyOpK+aa=="
+    val c1Enc = "Y3Vyc29yOnYyOpK%2Baa%3D%3D"
     val server = new FakeServer(Map(
-      base -> Seq(ok(ghsaPage(Some("c1"), hasNext = true, "GHSA-aaaa", "pkg-a"))),
-      s"$base?after=c1" -> Seq(
+      base -> Seq(ok(ghsaPage(Some(c1), hasNext = true, "GHSA-aaaa", "pkg-a"))),
+      s"$base?after=$c1Enc" -> Seq(
         Response(429, Map("Retry-After" -> "13")),
         ok(ghsaPage(Some("c2"), hasNext = true, "GHSA-bbbb", "pkg-b"))),
       s"$base?after=c2" -> Seq(
@@ -116,8 +120,8 @@ class FetchLoopSpec extends AnyFunSuite {
       Config(), sleeper = sleeps += _)
 
     assert(paths.size == 3)
-    assert(server.requests == Seq(base, s"$base?after=c1",
-      s"$base?after=c1", s"$base?after=c2"))
+    assert(server.requests == Seq(base, s"$base?after=$c1Enc",
+      s"$base?after=$c1Enc", s"$base?after=c2"))
     assert(sleeps.toList == List(13.0))
     // parse → envelope: the full S3 output shape from staged pages
     val adv = graft.providers.GhsaProvider.advisories(spark, s"$dir/*.json")
@@ -125,6 +129,26 @@ class FetchLoopSpec extends AnyFunSuite {
     assert(env.length == 3)
     val ids = adv.select("ghsa_id").collect().map(_.getString(0)).sorted
     assert(ids.toSeq == Seq("GHSA-aaaa", "GHSA-bbbb", "GHSA-cccc"))
+  }
+
+  test("a re-run staging fewer pages clears the stale tail") {
+    val base = "https://nvd.example.invalid/cves"
+    val dir = Files.createTempDirectory("graft-nvd-rerun")
+    val big = new FakeServer(Map(
+      s"$base?startIndex=0" -> Seq(ok(nvdPage(4, 2, 0, Seq("CVE-1", "CVE-2")))),
+      s"$base?startIndex=2" -> Seq(ok(nvdPage(4, 2, 2, Seq("CVE-3", "CVE-4")))),
+      s"$base?startIndex=4" -> Seq(ok(nvdPage(4, 2, 4, Seq.empty)))))
+    assert(FetchLoop.nvdWalk(spark, base, dir, big, Config(),
+      sleeper = _ => ()).size == 3)
+    // upstream shrank: the re-run stages 1 page; page_00001/2 must go
+    val small = new FakeServer(Map(
+      s"$base?startIndex=0" -> Seq(ok(nvdPage(2, 2, 0, Seq("CVE-9", "CVE-8")))),
+      s"$base?startIndex=2" -> Seq(ok(nvdPage(2, 2, 2, Seq.empty)))))
+    assert(FetchLoop.nvdWalk(spark, base, dir, small, Config(),
+      sleeper = _ => ()).size == 2)
+    val ids = graft.providers.NvdProvider.cves(spark, s"$dir/*.json")
+      .select("id").collect().map(_.getString(0)).sorted.toSeq
+    assert(ids == Seq("CVE-8", "CVE-9"), s"stale pages leaked: $ids")
   }
 
   test("walk surfaces exhausted retries instead of staging a bad page") {
