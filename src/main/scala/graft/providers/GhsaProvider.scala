@@ -127,4 +127,25 @@ object GhsaProvider {
   def nextCursor(spark: SparkSession, path: String): Option[String] =
     nextCursor(spark.read.option("multiLine", "true").schema(pageSchema)
       .json(path))
+
+  /** The full `run github` composition from nothing but a transport:
+    * cursor-walk every GraphQL page under the retry envelope
+    * ([[graft.sources.FetchLoop.ghsaWalk]]), parse the staged pages as
+    * one distributed read, assemble per-(advisory, ecosystem)
+    * envelopes, commit to the checksummed store. Returns
+    * (result count, store digest). */
+  def run(spark: SparkSession, baseUrl: String,
+      stageDir: java.nio.file.Path, storeRoot: String,
+      transport: graft.sources.StagedFetch.Transport,
+      cfg: graft.sources.StagedFetch.Config = graft.sources.StagedFetch.Config(),
+      sleeper: Double => Unit = s => Thread.sleep((s * 1000).toLong))
+      : (Long, String) = {
+    graft.sources.FetchLoop.ghsaWalk(spark, baseUrl, stageDir, transport,
+      cfg, sleeper)
+    val env = envelopes(advisories(spark, s"$stageDir/*.json"))
+    val digest = graft.sinks.ResultStore.commit(spark, env,
+      s"$storeRoot/github")
+    (graft.sinks.ResultStore.read(spark, s"$storeRoot/github").count(),
+      digest)
+  }
 }

@@ -67,6 +67,28 @@ object NvdProvider {
         graft.Envelope.NvdSchema,
         struct(col("v.cve").as("cve"))): _*)
 
+  /** The full `run nvd` composition from NOTHING but a transport: walk
+    * every API page through the retry envelope
+    * ([[graft.sources.FetchLoop.nvdWalk]]), parse the staged pages as
+    * one distributed read, assemble passthrough envelopes, and commit
+    * them to the checksummed result store — the reference's
+    * `vunnel run nvd` end-to-end (`providers/nvd/__init__.py` +
+    * `manager.py:220-254`), with HTTP injected so the engine itself
+    * stays I/O-free. Returns (result count, store digest). */
+  def run(spark: SparkSession, baseUrl: String,
+      stageDir: java.nio.file.Path, storeRoot: String,
+      transport: graft.sources.StagedFetch.Transport,
+      cfg: graft.sources.StagedFetch.Config = graft.sources.StagedFetch.Config(),
+      sleeper: Double => Unit = s => Thread.sleep((s * 1000).toLong))
+      : (Long, String) = {
+    graft.sources.FetchLoop.nvdWalk(spark, baseUrl, stageDir, transport,
+      cfg, sleeper)
+    val env = envelopes(spark, s"$stageDir/*.json")
+    val digest = graft.sinks.ResultStore.commit(spark, env,
+      s"$storeRoot/nvd")
+    (graft.sinks.ResultStore.read(spark, s"$storeRoot/nvd").count(), digest)
+  }
+
   /** J2: override join — override's configurations REPLACE the record's;
     * references are unioned BY URL (first occurrence wins, original
     * order preserved then override-only urls appended) —

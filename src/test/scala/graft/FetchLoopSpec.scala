@@ -151,6 +151,54 @@ class FetchLoopSpec extends AnyFunSuite {
     assert(ids == Seq("CVE-8", "CVE-9"), s"stale pages leaked: $ids")
   }
 
+  test("run nvd from nothing: fetch → parse → envelopes → store → status") {
+    val base = "https://nvd.example.invalid/cves"
+    val server = new FakeServer(Map(
+      s"$base?startIndex=0" ->
+        Seq(ok(nvdPage(3, 2, 0, Seq("CVE-2024-0001", "CVE-2024-0002")))),
+      s"$base?startIndex=2" ->
+        Seq(ok(nvdPage(3, 2, 2, Seq("CVE-2024-0003"))))))
+    val stage = Files.createTempDirectory("graft-nvd-run-stage")
+    val root = Files.createTempDirectory("graft-nvd-run-store").toString
+
+    val (n, digest) = graft.providers.NvdProvider.run(
+      spark, base, stage, root, server, sleeper = _ => ())
+    assert(n == 3)
+    assert(digest.nonEmpty)
+    // the committed store is the real thing: cataloged + re-readable
+    val status = graft.sinks.Catalog.status(spark, root).collect()
+    assert(status.exists(r => r.getString(0) == "nvd" && r.getLong(1) == 3))
+    val ids = graft.sinks.ResultStore.read(spark, s"$root/nvd")
+      .select("identifier").collect().map(_.getString(0)).sorted
+    assert(ids.toSeq == Seq("2024/cve-2024-0001", "2024/cve-2024-0002",
+      "2024/cve-2024-0003"))
+    // identical upstream ⇒ identical digest (deterministic results)
+    val server2 = new FakeServer(Map(
+      s"$base?startIndex=0" ->
+        Seq(ok(nvdPage(3, 2, 0, Seq("CVE-2024-0001", "CVE-2024-0002")))),
+      s"$base?startIndex=2" ->
+        Seq(ok(nvdPage(3, 2, 2, Seq("CVE-2024-0003"))))))
+    val (n2, digest2) = graft.providers.NvdProvider.run(
+      spark, base, stage, root, server2, sleeper = _ => ())
+    assert(n2 == 3 && digest2 == digest)
+  }
+
+  test("run github from nothing: cursor walk → envelopes → store") {
+    val base = "https://ghsa.example.invalid/graphql"
+    val server = new FakeServer(Map(
+      base -> Seq(ok(ghsaPage(Some("c1"), hasNext = true, "GHSA-aaaa", "pkg-a"))),
+      s"$base?after=c1" -> Seq(
+        ok(ghsaPage(None, hasNext = false, "GHSA-bbbb", "pkg-b")))))
+    val stage = Files.createTempDirectory("graft-ghsa-run-stage")
+    val root = Files.createTempDirectory("graft-ghsa-run-store").toString
+    val (n, digest) = graft.providers.GhsaProvider.run(
+      spark, base, stage, root, server, sleeper = _ => ())
+    assert(n == 2 && digest.nonEmpty)
+    val ids = graft.sinks.ResultStore.read(spark, s"$root/github")
+      .select("identifier").collect().map(_.getString(0)).sorted
+    assert(ids.forall(_.startsWith("github:npm/ghsa-")), ids.mkString(","))
+  }
+
   test("walk surfaces exhausted retries instead of staging a bad page") {
     val base = "https://down.example.invalid"
     val server = new FakeServer(Map(base -> Seq(Response(500))))
