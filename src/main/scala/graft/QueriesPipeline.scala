@@ -349,6 +349,31 @@ object QueriesPipeline {
           round(list_cosine_similarity(e, cl), 3) AS centroid_sim
         FROM d JOIN cent USING (label)""")),
 
+    // C4-style global frequent-line strip, demonstrated at word
+    // granularity on the single-line synthetic corpus: tokens occurring
+    // more than |docs| times corpus-wide are deleted everywhere, docs
+    // reconstructed in original token order. One 8-byte-hash count
+    // shuffle + a broadcast frequent set + a map-only rewrite.
+    "q_corpus_line_dedup" -> Entry(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val threshold = docs.count()
+        graft.operators.Corpus
+          .dedupLines(docs, "doc_id", "text", delim = " ",
+            maxOccurrences = threshold)
+          .select(col("doc_id"), col("text").as("cleaned"))
+      },
+      Some("""WITH flat AS (
+          SELECT doc_id, generate_subscripts(ws, 1) AS i, unnest(ws) AS w
+          FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        ), freq AS (
+          SELECT w FROM flat GROUP BY w
+          HAVING count(*) > (SELECT count(*) FROM documents))
+        SELECT doc_id, coalesce(
+          string_agg(w, ' ' ORDER BY i)
+            FILTER (w NOT IN (SELECT w FROM freq)), '') AS cleaned
+        FROM flat GROUP BY doc_id""")),
+
     // Deterministic training-order shuffle: the md5(id:seed) total
     // order replays exactly in DuckDB, so the PERMUTATION itself is
     // hash-checked (not just the key). The operator is one range

@@ -35,6 +35,47 @@ object Corpus {
     * can stratify: different thresholds per stratum over one hash). */
   def hashBucket(key: Column): Column = substring(md5(key), 1, 4)
 
+  /** C4-style global line deduplication: delete every line that occurs
+    * more than `maxOccurrences` times across the WHOLE corpus (the
+    * boilerplate/navigation-chrome strip of C4/RefinedWeb pipelines),
+    * reconstructing each document with its surviving lines in original
+    * order.
+    *
+    * Scale shape: the count aggregate shuffles 8-byte xxhash64 line
+    * keys (map-side combined), never text; the frequent set is tiny by
+    * construction (Zipf — few lines exceed any meaningful threshold),
+    * so its STRINGS are recovered by one broadcast semi-join of hashes
+    * and handed back as a 1-row broadcast; the rewrite is then a pure
+    * row-local filter over split(text) — documents themselves never
+    * shuffle. Collisions: a 64-bit hash collision could delete an
+    * innocent line only if it collides with a frequent one AND the
+    * string-recovery join confirms the frequent string — recovery
+    * compares real strings, so collisions cost nothing. */
+  def dedupLines(docs: DataFrame, idCol: String, textCol: String,
+      delim: String = "\n", maxOccurrences: Long = 1L): DataFrame = {
+    val lineArr = split(col(textCol),
+      java.util.regex.Pattern.quote(delim))
+    val lines = docs.select(explode(lineArr).as("__l"))
+    // pass 1: count by hash — the only shuffle, 8-byte keys
+    val freqHashes = lines
+      .groupBy(xxhash64(col("__l")).as("__h"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxOccurrences)
+      .select(col("__h"))
+    // pass 2: recover the frequent STRINGS (distinct, tiny) by hash
+    val freqStrings = lines.distinct()
+      .join(broadcast(freqHashes),
+        xxhash64(col("__l")) === col("__h"), "left_semi")
+    // map-only rewrite against the 1-row broadcast frequent set
+    val freqSet = freqStrings
+      .agg(collect_set(col("__l")).as("__freq"))
+    docs.crossJoin(broadcast(freqSet))
+      .withColumn(textCol,
+        concat_ws(delim, filter(lineArr,
+          l => !array_contains(col("__freq"), l))))
+      .drop("__freq")
+  }
+
   /** Deterministic training-order shuffle: ORDER BY md5("id:seed") —
     * rerun-stable, partition-layout-independent, and engine-portable
     * (the same md5 trick as [[hashKeep]]); a different seed is an

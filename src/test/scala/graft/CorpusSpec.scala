@@ -147,6 +147,34 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(("b", "a")) == ((1L, 0.5)))
   }
 
+  test("C4 line dedup: frequent lines deleted everywhere, order kept") {
+    import graft.operators.Corpus
+    val docs = Seq(
+      (1L, "unique intro\ncookie banner\nreal content one"),
+      (2L, "cookie banner\nreal content two\ncookie banner"),
+      (3L, "cookie banner\nanother body"),
+      (4L, "all boilerplate doc\ncookie banner")
+    ).toDF("doc_id", "text")
+    // "cookie banner" occurs 5 times (> 2) → stripped; all else stays
+    val out = Corpus.dedupLines(docs, "doc_id", "text",
+        delim = "\n", maxOccurrences = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "unique intro\nreal content one")
+    assert(out(2L) == "real content two")
+    assert(out(3L) == "another body")
+    assert(out(4L) == "all boilerplate doc")
+    // nothing frequent → corpus unchanged
+    val same = Corpus.dedupLines(docs, "doc_id", "text",
+        delim = "\n", maxOccurrences = 10)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(same == docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap)
+    // threshold 0 strips every duplicated line but keeps singletons
+    val strict = Corpus.dedupLines(docs, "doc_id", "text",
+        delim = "\n", maxOccurrences = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(strict(1L) == "unique intro\nreal content one")
+  }
+
   test("deterministic shuffle: rerun-stable, layout-independent, " +
       "seed-sensitive") {
     import graft.operators.Corpus
