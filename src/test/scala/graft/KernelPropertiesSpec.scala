@@ -171,6 +171,32 @@ class KernelPropertiesSpec extends AnyFunSuite {
     assert(err.getMessage.contains("cast explicitly"))
   }
 
+  test("TopK aggregator: any partitioning ≡ global sort-take-k") {
+    import graft.operators.TopK
+    import graft.operators.TopK.Scored
+    // partial aggregation reorders reduce/merge arbitrarily — the
+    // result must equal the global best-first top-k for ANY split
+    val gen = for {
+      n <- Gen.choose(0, 60)
+      k <- Gen.choose(1, 8)
+      scores <- Gen.listOfN(n, Gen.choose(0, 12)) // ties likely
+      ids <- Gen.listOfN(n, Gen.choose(0L, 20L))  // duplicate ids too
+      cut1 <- Gen.choose(0, n)
+      cut2 <- Gen.choose(0, n)
+    } yield (k, scores.map(_.toDouble).zip(ids).map(Scored.tupled),
+      math.min(cut1, cut2), math.max(cut1, cut2))
+    check(forAll(gen) { case (k, items, lo, hi) =>
+      val agg = TopK.aggregator(k)
+      def fold(xs: Seq[Scored]) = xs.foldLeft(agg.zero)(agg.reduce)
+      val merged = agg.merge(agg.merge(fold(items.take(lo)),
+        fold(items.slice(lo, hi))), fold(items.drop(hi)))
+      // ground truth: distinct items, best-first, take k
+      val truth = items.distinct
+        .sortBy(s => (-s.score, s.id)).take(k)
+      merged == truth
+    })
+  }
+
   test("hyperplane_band_sigs ≡ per-offset hyperplane_sig slices") {
     val spark = SparkTestSession.spark
     import org.apache.spark.sql.functions._
