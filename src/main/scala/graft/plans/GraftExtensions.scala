@@ -1,6 +1,9 @@
 package graft.plans
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
 
 /** SparkSessionExtensions entry point: registers every graft custom
   * expression for SQL use plus the [[JaccardLengthPruning]] optimizer
@@ -16,34 +19,58 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => JaccardLengthPruning)
-    e.injectFunction(
-      (org.apache.spark.sql.catalyst.FunctionIdentifier("rpm_ver_cmp"),
-        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-          classOf[RpmVerCmpExpr].getName, "rpm_ver_cmp"),
-        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-          RpmVerCmpExpr(exprs(0), exprs(1))))
-    e.injectFunction(
-      (org.apache.spark.sql.catalyst.FunctionIdentifier("rpm_sort_key"),
-        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-          classOf[RpmSortKeyExpr].getName, "rpm_sort_key"),
-        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-          RpmSortKeyExpr(exprs.head)))
-    e.injectFunction(
-      (org.apache.spark.sql.catalyst.FunctionIdentifier("simhash64"),
-        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-          classOf[SimHash64Expr].getName, "simhash64"),
-        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-          SimHash64Expr(exprs.head)))
+    GraftExtensions.builders.foreach { case (name, builder) =>
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.plans", name), builder))
+    }
   }
 }
 
 object GraftExtensions {
+
+  /** Shape parameters (shingle width, signature length, band count…)
+    * determine codegen, so they must be LITERAL ints in SQL —
+    * `minhash_text(text, 3, 128)`, not a column. */
+  private def intLit(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case _ => throw new IllegalArgumentException(
+      s"$fn expects literal int shape parameters")
+  }
+
+  /** Every kernel, by SQL name — one list serving both the
+    * extensions path and [[register]]. */
+  private[plans] val builders: Seq[(String, Seq[Expression] => Expression)] =
+    Seq(
+      "rpm_ver_cmp" -> (es => RpmVerCmpExpr(es(0), es(1))),
+      "rpm_sort_key" -> (es => RpmSortKeyExpr(es.head)),
+      "simhash64" -> (es => SimHash64Expr(es.head)),
+      "token_count" -> (es => TokenCountExpr(es.head)),
+      "word_shingles" -> (es =>
+        ShinglesExpr(es.head, intLit(es(1), "word_shingles"), word = true)),
+      "char_shingles" -> (es =>
+        ShinglesExpr(es.head, intLit(es(1), "char_shingles"), word = false)),
+      "word_shingle_hashes" -> (es =>
+        WordShingleHashesExpr(es.head, intLit(es(1), "word_shingle_hashes"))),
+      "minhash_sig" -> (es =>
+        MinHashSigExpr(es.head, intLit(es(1), "minhash_sig"))),
+      "minhash_text" -> (es => MinHashTextExpr(es.head,
+        intLit(es(1), "minhash_text"), intLit(es(2), "minhash_text"))),
+      "sorted_jaccard" -> (es => SortedJaccardExpr(es(0), es(1))),
+      "cosine_sim" -> (es => CosineSimExpr(es(0), es(1))),
+      "hyperplane_sig" -> (es => HyperplaneSigExpr(es.head,
+        intLit(es(1), "hyperplane_sig"),
+        if (es.length > 2) intLit(es(2), "hyperplane_sig") else 0)),
+      "hyperplane_band_sigs" -> (es => HyperplaneBandSigsExpr(es.head,
+        intLit(es(1), "hyperplane_band_sigs"),
+        intLit(es(2), "hyperplane_band_sigs"))))
+
   /** Register the same functions + optimizer rule on an already-built
     * session (extraOptimizations is the post-build hook for rules). */
   def register(spark: SparkSession): Unit = {
-    RpmExpressions.register(spark)
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash64", exprs => SimHash64Expr(exprs.head), "scala_udf")
+    builders.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "scala_udf")
+    }
     if (!spark.experimental.extraOptimizations.contains(JaccardLengthPruning))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ JaccardLengthPruning

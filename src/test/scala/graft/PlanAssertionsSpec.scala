@@ -134,4 +134,37 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"no TakeOrdered:\n$p")
     assert(!p.contains("SortMergeJoin"), s"corpus-side shuffle join:\n$p")
   }
+
+  test("every graft kernel is callable from plain SQL") {
+    val spark = SparkTestSession.spark
+    graft.plans.GraftExtensions.register(spark)
+    val r = spark.sql("""SELECT
+        rpm_ver_cmp('1:2.0-1', '1:10.0-1') AS c,
+        rpm_sort_key('0:1.2.3-4.el9') AS sk,
+        token_count('a b  c') AS tc,
+        word_shingles('a b c d', 3) AS ws,
+        word_shingle_hashes('a b c d', 3) AS wsh,
+        minhash_text('a b c d e f', 3, 16) AS mh,
+        simhash64(array('a', 'b', 'a')) AS sh,
+        sorted_jaccard(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS j,
+        cosine_sim(array(cast(1.0 as float), cast(0.0 as float)),
+                   array(cast(1.0 as float), cast(0.0 as float))) AS cos,
+        hyperplane_sig(array(cast(0.5 as float), cast(-0.25 as float)), 8) AS hs,
+        hyperplane_band_sigs(array(cast(0.5 as float),
+                   cast(-0.25 as float)), 4, 6) AS hbs
+      """).head()
+    assert(r.getAs[Int]("c") < 0)          // 2.0 < 10.0 numerically
+    assert(r.getAs[Number]("tc").longValue == 3L)
+    assert(r.getSeq[String](r.fieldIndex("ws")).size == 2)
+    assert(r.getSeq[Long](r.fieldIndex("mh")).size == 16)
+    assert(r.getAs[Double]("j") == 0.5)
+    assert(r.getAs[Double]("cos") == 1.0)
+    assert(r.getSeq[Long](r.fieldIndex("hbs")).size == 4)
+    // shape parameters must be literals, not columns
+    val err = intercept[Exception] {
+      spark.sql("SELECT word_shingles('a b c', 1 + cast(rand() as int))")
+        .collect()
+    }
+    assert(err.getMessage.contains("literal int"))
+  }
 }
