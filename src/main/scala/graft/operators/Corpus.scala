@@ -62,10 +62,14 @@ object Corpus {
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxOccurrences)
       .select(col("__h"))
-    // pass 2: recover the frequent STRINGS (distinct, tiny) by hash
-    val freqStrings = lines.distinct()
+    // pass 2: recover the frequent STRINGS by hash — broadcast-filter
+    // FIRST (map-side, no shuffle), distinct after: the distinct's
+    // exchange then carries ≈ |frequent| × partitions partial-distinct
+    // rows, not every distinct line of the corpus
+    val freqStrings = lines
       .join(broadcast(freqHashes),
         xxhash64(col("__l")) === col("__h"), "left_semi")
+      .distinct()
     // map-only rewrite against the 1-row broadcast frequent set
     val freqSet = freqStrings
       .agg(collect_set(col("__l")).as("__freq"))
