@@ -359,7 +359,7 @@ object QueriesPipeline {
         val docs = t(s, dir, "documents")
         val threshold = docs.count()
         graft.operators.Corpus
-          .dedupLines(docs, "doc_id", "text", delim = " ",
+          .dedupLines(docs, "text", delim = " ",
             maxOccurrences = threshold)
           .select(col("doc_id"), col("text").as("cleaned"))
       },

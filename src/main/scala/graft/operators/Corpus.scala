@@ -47,11 +47,12 @@ object Corpus {
     * so its STRINGS are recovered by one broadcast semi-join of hashes
     * and handed back as a 1-row broadcast; the rewrite is then a pure
     * row-local filter over split(text) — documents themselves never
-    * shuffle. Collisions: a 64-bit hash collision could delete an
-    * innocent line only if it collides with a frequent one AND the
-    * string-recovery join confirms the frequent string — recovery
-    * compares real strings, so collisions cost nothing. */
-  def dedupLines(docs: DataFrame, idCol: String, textCol: String,
+    * shuffle. Collisions: pass 1's hash counts are a SUPERSET filter —
+    * pass 2 re-counts the surviving occurrences by the actual string,
+    * so a 64-bit collision can only add a string to the (tiny)
+    * recovery set, never delete an innocent line nor pool two
+    * sub-threshold lines over the limit. */
+  def dedupLines(docs: DataFrame, textCol: String,
       delim: String = "\n", maxOccurrences: Long = 1L): DataFrame = {
     val lineArr = split(col(textCol),
       java.util.regex.Pattern.quote(delim))
@@ -62,14 +63,17 @@ object Corpus {
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxOccurrences)
       .select(col("__h"))
-    // pass 2: recover the frequent STRINGS by hash — broadcast-filter
-    // FIRST (map-side, no shuffle), distinct after: the distinct's
-    // exchange then carries ≈ |frequent| × partitions partial-distinct
-    // rows, not every distinct line of the corpus
+    // pass 2: recover the frequent STRINGS — broadcast-filter by hash
+    // FIRST (map-side, no shuffle; the exchange then carries
+    // ≈ |frequent| × partitions partial rows, not every line), then
+    // RE-COUNT by the actual string so hash collisions can't delete
+    // innocent lines or pool two sub-threshold lines over the limit
     val freqStrings = lines
       .join(broadcast(freqHashes),
         xxhash64(col("__l")) === col("__h"), "left_semi")
-      .distinct()
+      .groupBy(col("__l")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxOccurrences)
+      .select(col("__l"))
     // map-only rewrite against the 1-row broadcast frequent set
     val freqSet = freqStrings
       .agg(collect_set(col("__l")).as("__freq"))

@@ -19,9 +19,9 @@ import org.apache.spark.sql.types.IntegerType
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => JaccardLengthPruning)
-    GraftExtensions.builders.foreach { case (name, builder) =>
+    GraftExtensions.builders.foreach { case (name, className, builder) =>
       e.injectFunction((FunctionIdentifier(name),
-        new ExpressionInfo("graft.plans", name), builder))
+        new ExpressionInfo(className, name), builder))
     }
   }
 }
@@ -37,37 +37,51 @@ object GraftExtensions {
       s"$fn expects literal int shape parameters")
   }
 
-  /** Every kernel, by SQL name — one list serving both the
-    * extensions path and [[register]]. */
-  private[plans] val builders: Seq[(String, Seq[Expression] => Expression)] =
-    Seq(
-      "rpm_ver_cmp" -> (es => RpmVerCmpExpr(es(0), es(1))),
-      "rpm_sort_key" -> (es => RpmSortKeyExpr(es.head)),
-      "simhash64" -> (es => SimHash64Expr(es.head)),
-      "token_count" -> (es => TokenCountExpr(es.head)),
-      "word_shingles" -> (es =>
+  /** Every kernel: (SQL name, expression class for DESCRIBE FUNCTION,
+    * builder) — one list serving both the extensions path and
+    * [[register]]. */
+  private[plans] val builders
+      : Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("rpm_ver_cmp", classOf[RpmVerCmpExpr].getName,
+      (es: Seq[Expression]) => RpmVerCmpExpr(es(0), es(1))),
+    ("rpm_sort_key", classOf[RpmSortKeyExpr].getName,
+      (es: Seq[Expression]) => RpmSortKeyExpr(es.head)),
+    ("simhash64", classOf[SimHash64Expr].getName,
+      (es: Seq[Expression]) => SimHash64Expr(es.head)),
+    ("token_count", classOf[TokenCountExpr].getName,
+      (es: Seq[Expression]) => TokenCountExpr(es.head)),
+    ("word_shingles", classOf[ShinglesExpr].getName,
+      (es: Seq[Expression]) =>
         ShinglesExpr(es.head, intLit(es(1), "word_shingles"), word = true)),
-      "char_shingles" -> (es =>
+    ("char_shingles", classOf[ShinglesExpr].getName,
+      (es: Seq[Expression]) =>
         ShinglesExpr(es.head, intLit(es(1), "char_shingles"), word = false)),
-      "word_shingle_hashes" -> (es =>
+    ("word_shingle_hashes", classOf[WordShingleHashesExpr].getName,
+      (es: Seq[Expression]) =>
         WordShingleHashesExpr(es.head, intLit(es(1), "word_shingle_hashes"))),
-      "minhash_sig" -> (es =>
+    ("minhash_sig", classOf[MinHashSigExpr].getName,
+      (es: Seq[Expression]) =>
         MinHashSigExpr(es.head, intLit(es(1), "minhash_sig"))),
-      "minhash_text" -> (es => MinHashTextExpr(es.head,
+    ("minhash_text", classOf[MinHashTextExpr].getName,
+      (es: Seq[Expression]) => MinHashTextExpr(es.head,
         intLit(es(1), "minhash_text"), intLit(es(2), "minhash_text"))),
-      "sorted_jaccard" -> (es => SortedJaccardExpr(es(0), es(1))),
-      "cosine_sim" -> (es => CosineSimExpr(es(0), es(1))),
-      "hyperplane_sig" -> (es => HyperplaneSigExpr(es.head,
+    ("sorted_jaccard", classOf[SortedJaccardExpr].getName,
+      (es: Seq[Expression]) => SortedJaccardExpr(es(0), es(1))),
+    ("cosine_sim", classOf[CosineSimExpr].getName,
+      (es: Seq[Expression]) => CosineSimExpr(es(0), es(1))),
+    ("hyperplane_sig", classOf[HyperplaneSigExpr].getName,
+      (es: Seq[Expression]) => HyperplaneSigExpr(es.head,
         intLit(es(1), "hyperplane_sig"),
         if (es.length > 2) intLit(es(2), "hyperplane_sig") else 0)),
-      "hyperplane_band_sigs" -> (es => HyperplaneBandSigsExpr(es.head,
+    ("hyperplane_band_sigs", classOf[HyperplaneBandSigsExpr].getName,
+      (es: Seq[Expression]) => HyperplaneBandSigsExpr(es.head,
         intLit(es(1), "hyperplane_band_sigs"),
         intLit(es(2), "hyperplane_band_sigs"))))
 
   /** Register the same functions + optimizer rule on an already-built
     * session (extraOptimizations is the post-build hook for rules). */
   def register(spark: SparkSession): Unit = {
-    builders.foreach { case (name, builder) =>
+    builders.foreach { case (name, _, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         name, builder, "scala_udf")
     }

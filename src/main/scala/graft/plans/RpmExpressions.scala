@@ -1,7 +1,6 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
@@ -64,11 +63,7 @@ object RpmExpressions {
   def rpm_sort_key(v: Column): Column =
     column(RpmSortKeyExpr(expression(v)))
 
-  /** SQL registration: `SELECT rpm_ver_cmp(a, b), rpm_sort_key(v)`. */
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "rpm_ver_cmp", exprs => RpmVerCmpExpr(exprs(0), exprs(1)), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "rpm_sort_key", exprs => RpmSortKeyExpr(exprs.head), "scala_udf")
-  }
+  // SQL registration lives in GraftExtensions.builders — ONE list for
+  // every kernel, so the two paths (extensions + post-build register)
+  // cannot drift.
 }

@@ -142,10 +142,8 @@ object GhsaProvider {
       : (Long, String) = {
     graft.sources.FetchLoop.ghsaWalk(spark, baseUrl, stageDir, transport,
       cfg, sleeper)
-    val env = envelopes(advisories(spark, s"$stageDir/*.json"))
-    val digest = graft.sinks.ResultStore.commit(spark, env,
-      s"$storeRoot/github")
-    (graft.sinks.ResultStore.read(spark, s"$storeRoot/github").count(),
-      digest)
+    graft.sources.FetchLoop.commitRun(spark,
+      envelopes(advisories(spark, s"$stageDir/*.json")), storeRoot,
+      "github")
   }
 }

@@ -83,10 +83,8 @@ object NvdProvider {
       : (Long, String) = {
     graft.sources.FetchLoop.nvdWalk(spark, baseUrl, stageDir, transport,
       cfg, sleeper)
-    val env = envelopes(spark, s"$stageDir/*.json")
-    val digest = graft.sinks.ResultStore.commit(spark, env,
-      s"$storeRoot/nvd")
-    (graft.sinks.ResultStore.read(spark, s"$storeRoot/nvd").count(), digest)
+    graft.sources.FetchLoop.commitRun(spark,
+      envelopes(spark, s"$stageDir/*.json"), storeRoot, "nvd")
   }
 
   /** J2: override join — override's configurations REPLACE the record's;

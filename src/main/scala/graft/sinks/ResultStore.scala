@@ -158,6 +158,13 @@ object ResultStore {
     if (Files.exists(p)) Some(Files.readString(p)) else None
   }
 
+  /** Row count from the committed manifest — what [[commit]] already
+    * counted, so callers don't re-scan the store for it. */
+  def manifestRows(destDir: String): Option[Long] =
+    manifest(destDir).flatMap(_.linesIterator
+      .collectFirst { case l if l.startsWith("rows:") =>
+        l.stripPrefix("rows:").trim.toLong })
+
   private def deleteRecursive(p: Path): Unit = {
     if (Files.exists(p)) {
       Files.walk(p).sorted(java.util.Comparator.reverseOrder())

@@ -53,6 +53,18 @@ object FetchLoop {
     out.toSeq
   }
 
+  /** Shared tail of every provider `run` composition: commit the
+    * assembled envelopes to the checksummed store and return
+    * (row count, digest) — the count comes from the manifest commit
+    * just wrote, not a re-scan of the store. */
+  private[graft] def commitRun(spark: SparkSession,
+      envelopes: org.apache.spark.sql.DataFrame, storeRoot: String,
+      providerName: String): (Long, String) = {
+    val dest = s"$storeRoot/$providerName"
+    val digest = graft.sinks.ResultStore.commit(spark, envelopes, dest)
+    (graft.sinks.ResultStore.manifestRows(dest).getOrElse(0L), digest)
+  }
+
   /** S1 end-to-end: fetch page 0, read totalResults/resultsPerPage,
     * then every remaining startIndex the reference loop would request
     * (`api.py:122-147`, incl. its trailing page when the total divides

@@ -152,26 +152,29 @@ class CorpusSpec extends AnyFunSuite {
     val docs = Seq(
       (1L, "unique intro\ncookie banner\nreal content one"),
       (2L, "cookie banner\nreal content two\ncookie banner"),
-      (3L, "cookie banner\nanother body"),
-      (4L, "all boilerplate doc\ncookie banner")
+      (3L, "cookie banner\nanother body\ntwice line"),
+      (4L, "all boilerplate doc\ncookie banner\ntwice line")
     ).toDF("doc_id", "text")
-    // "cookie banner" occurs 5 times (> 2) → stripped; all else stays
-    val out = Corpus.dedupLines(docs, "doc_id", "text",
+    // "cookie banner" occurs 5 times (> 2) → stripped; "twice line"
+    // occurs exactly 2 times (not > 2) → kept at this threshold
+    val out = Corpus.dedupLines(docs, "text",
         delim = "\n", maxOccurrences = 2)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out(1L) == "unique intro\nreal content one")
     assert(out(2L) == "real content two")
-    assert(out(3L) == "another body")
-    assert(out(4L) == "all boilerplate doc")
+    assert(out(3L) == "another body\ntwice line")
+    assert(out(4L) == "all boilerplate doc\ntwice line")
     // nothing frequent → corpus unchanged
-    val same = Corpus.dedupLines(docs, "doc_id", "text",
+    val same = Corpus.dedupLines(docs, "text",
         delim = "\n", maxOccurrences = 10)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(same == docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap)
-    // threshold 0 strips every duplicated line but keeps singletons
-    val strict = Corpus.dedupLines(docs, "doc_id", "text",
+    // maxOccurrences = 1 crosses the boundary: "twice line" (count 2)
+    // is now ALSO stripped, distinguishing the two thresholds
+    val strict = Corpus.dedupLines(docs, "text",
         delim = "\n", maxOccurrences = 1)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(strict(3L) == "another body")
     assert(strict(1L) == "unique intro\nreal content one")
   }
 
