@@ -79,14 +79,19 @@ object Dedup {
     * degenerate buckets (>maxBucket docs, e.g. empty/boilerplate text). */
   def minhashCandidates(bandsDf: DataFrame, idCol: String,
       maxBucket: Int = 1000): DataFrame = {
+    // ONE exchange (the bucket groupBy); degenerate buckets are dropped
+    // before any pair is formed; the quadratic within-bucket fan-out is
+    // the native [[graft.plans.PairCombosExpr]] kernel — one plain-JVM
+    // loop per BUCKET. (The composable nested transform(ids×ids) form
+    // evaluated interpreted per emitted pair and dominated this stage;
+    // an equi-self-join shape was codegen'd but re-shuffled and
+    // re-sorted the band rows.)
     val counted = bandsDf.groupBy("band", "band_hash")
       .agg(collect_list(col(idCol)).as("ids"), count(lit(1)).as("n"))
       .filter(col("n").between(2, maxBucket))
-    val pairs = flatten(transform(col("ids"),
-      a => transform(col("ids"), b => struct(a.as("id1"), b.as("id2")))))
     counted
-      .select(explode(filter(pairs,
-        p => p.getField("id1") < p.getField("id2"))).as("pair"))
+      .select(explode(
+        graft.plans.HashExpressions.pair_combos(col("ids"))).as("pair"))
       .select(col("pair.id1"), col("pair.id2")).distinct()
   }
 

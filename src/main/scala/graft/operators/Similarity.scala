@@ -29,15 +29,32 @@ object Similarity {
 
   /** Brute-force top-k cosine neighbors for each query vector.
     * `queries` must be small (it is broadcast); the corpus is only mapped +
-    * locally reduced — the shuffle carries q·k candidate rows, not vectors. */
+    * locally reduced — the shuffle carries q·k candidate rows, not vectors.
+    *
+    * The broadcast nested loop parallelizes per CORPUS partition, so a
+    * small corpus arriving as one parquet split would run the whole
+    * O(n·q) loop in a single task; spread it to the session's
+    * parallelism first. At scale the scan already has ≥ cores splits
+    * and the round-robin exchange is skipped. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
-    val joined = corpus.select(col(idCol), col(vecCol))
+    val joined = spread(corpus.select(col(idCol), col(vecCol)))
       .join(broadcast(queries.select(col(qidCol), col(qvecCol))),
         col(idCol) =!= col(qidCol)) // exclude self-match
       .withColumn("sim", cosine(col(vecCol), col(qvecCol)))
     topKPerGroup(joined, k, qidCol, idCol)
+  }
+
+  /** Round-robin the frame to the session's parallelism when it arrives
+    * in fewer partitions. Broadcast joins add no Exchange, so every
+    * downstream map stage (join probe, cosine rerank, partial top-k)
+    * inherits the scan's split count — and a small parquet file scans
+    * as ONE split no matter how many cores exist. At scale the scan
+    * already has ≥ cores splits and this is a no-op. */
+  private def spread(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < want) df.repartition(want) else df
   }
 
   /** (group, id, sim) → best-first top-k per group via the bounded
@@ -66,7 +83,8 @@ object Similarity {
       val idType = scored.schema(idCol).dataType
       scored
         .groupBy(col(groupCol))
-        .agg(TopK.top_k(k)(col("sim"), col(idCol).cast("long")).as("__top"))
+        .agg(graft.plans.TopKAgg.top_k_agg(k)(
+          col("sim"), col(idCol).cast("long")).as("__top"))
         .select(col(groupCol), posexplode(col("__top")).as(Seq("__p", "__e")))
         .select(col(groupCol), col("__e.id").cast(idType).as(idCol),
           col("__e.score").as("sim"), (col("__p") + 1).cast("int").as("rank"))
@@ -151,8 +169,9 @@ object Similarity {
       nlist: Int = 64, nprobe: Int = 4,
       trainFraction: Double = 1.0): DataFrame = {
     val cents = trainCentroids(corpus, vecCol, nlist, trainFraction)
-    val assigned = corpus.select(col(idCol), col(vecCol),
-      nearestCell(col(vecCol), cents).as("cell"))
+    val assigned = spread(corpus.select(col(idCol), col(vecCol)))
+      .select(col(idCol), col(vecCol),
+        nearestCell(col(vecCol), cents).as("cell"))
     val probes = corpus.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
       explode(probeCells(col(vecCol), cents, nprobe)).as("cell"))
     val scored = assigned.join(probes, Seq("cell"))
@@ -170,23 +189,98 @@ object Similarity {
 
   /** Train the coarse quantizer and return its centroids driver-side
     * (nlist × dim floats — a few KB, the legitimate "broadcast" size).
-    * `trainFraction` < 1 fits k-means on a seeded sample: at 100 TB the
-    * quantizer is trained on a sliver of the corpus, never the whole. */
+    *
+    * Training is DRIVER-LOCAL Lloyd's over a bounded sample: the
+    * cluster's only job is one sample scan (`trainFraction` +
+    * `maxTrainRows` cap the collect); the ≤10 Lloyd iterations run on
+    * the driver with a parallel assignment step instead of ~2 scheduled
+    * Spark jobs per iteration — at 100 TB the quantizer trains on a
+    * sliver of the corpus either way, and a distributed fit of a ≤64Ki
+    * sample is pure scheduler overhead. k-means++ seeding with a fixed
+    * LCG + a sorted training set make the centroids independent of
+    * partition arrival order (bit-reproducible when the sample is the
+    * whole corpus, as in every test/bench config). */
   def trainCentroids(corpus: DataFrame, vecCol: String, nlist: Int,
-      trainFraction: Double = 1.0): Seq[(Int, Array[Float])] = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+      trainFraction: Double = 1.0,
+      maxTrainRows: Int = 1 << 16): Seq[(Int, Array[Float])] = {
     val sampled =
       if (trainFraction < 1.0)
         corpus.sample(withReplacement = false, trainFraction, 42L)
       else corpus
-    val train = sampled.select(array_to_vector(
-      col(vecCol).cast("array<double>")).as("features"))
-    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
-      .fit(train)
-    model.clusterCenters.zipWithIndex.map {
-      case (c, i) => (i, c.toArray.map(_.toFloat))
-    }.toSeq
+    val collected = sampled
+      .select(col(vecCol).cast("array<float>"))
+      .limit(maxTrainRows).collect()
+      .map(_.getSeq[Float](0).toArray).filter(_.nonEmpty)
+    require(collected.nonEmpty, s"trainCentroids: no non-empty '$vecCol'")
+    val data: Array[Array[Float]] = {
+      implicit val fo: Ordering[Float] = Ordering.Float.TotalOrdering
+      import scala.math.Ordering.Implicits._
+      collected.sortBy(_.toSeq)
+    }
+    val k = math.min(nlist, data.length)
+    def d2(a: Array[Float], b: Array[Float]): Double = {
+      val n = math.min(a.length, b.length); var s = 0.0; var i = 0
+      while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    // deterministic LCG in [0,1) — MMIX constants, seed 42
+    var rng = 42L
+    def nextRand(): Double = {
+      rng = rng * 6364136223846793005L + 1442695040888963407L
+      (rng >>> 11).toDouble / (1L << 53).toDouble
+    }
+    // k-means++ seeding: next center w.p. ∝ squared distance to nearest
+    val centers = scala.collection.mutable.ArrayBuffer(
+      data((nextRand() * data.length).toInt).clone())
+    val minD2 = data.map(v => d2(v, centers(0)))
+    while (centers.length < k) {
+      val total = minD2.sum
+      val target = nextRand() * total
+      var acc = 0.0; var pick = 0
+      var i = 0
+      while (i < data.length && acc <= target) { acc += minD2(i); pick = i; i += 1 }
+      centers += data(pick).clone()
+      var j = 0
+      while (j < data.length) {
+        val d = d2(data(j), centers.last)
+        if (d < minD2(j)) minD2(j) = d
+        j += 1
+      }
+    }
+    // Lloyd: parallel assignment (pure per point), sequential accumulate
+    import scala.collection.parallel.CollectionConverters._
+    val dim = data(0).length
+    var cents = centers.toArray
+    var moved = true
+    var iter = 0
+    while (moved && iter < 10) {
+      val cs = cents
+      val assign = data.par.map { v =>
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < cs.length) {
+          val d = d2(v, cs(c)); if (d < bd) { bd = d; best = c }; c += 1
+        }
+        best
+      }.toArray
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      var i = 0
+      while (i < data.length) {
+        val a = assign(i); val v = data(i); val s = sums(a)
+        var j = 0
+        val n = math.min(dim, v.length)
+        while (j < n) { s(j) += v(j); j += 1 }
+        counts(a) += 1; i += 1
+      }
+      val next = Array.tabulate(k) { c =>
+        if (counts(c) == 0L) cents(c) // empty cell keeps its centroid
+        else sums(c).map(x => (x / counts(c)).toFloat)
+      }
+      moved = (0 until k).exists(c => d2(next(c), cents(c)) > 1e-12)
+      cents = next
+      iter += 1
+    }
+    cents.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
   }
 
   /** Per-cell cosine sims as array<struct<sim, negCell>> — a pure
@@ -242,8 +336,9 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
     val cents = trainCentroids(corpus, vecCol, nlist)
-    val assigned = corpus.select(col(idCol), col(vecCol),
-      nearestCell(col(vecCol), cents).as("cell"))
+    val assigned = spread(corpus.select(col(idCol), col(vecCol)))
+      .select(col(idCol), col(vecCol),
+        nearestCell(col(vecCol), cents).as("cell"))
     val probes = queries.select(col(qidCol), col(qvecCol),
       explode(probeCells(col(qvecCol), cents, nprobe)).as("cell"))
     rerankWithinCells(assigned, probes, k, idCol, vecCol, qidCol, qvecCol)
@@ -305,8 +400,9 @@ object Similarity {
       qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
     require(probeHamming >= 0 && probeHamming <= 1,
       "probeHamming > 1 unsupported (probe count would be binomial)")
-    val sigCorpus = corpus.select(col(idCol), col(vecCol),
-      hyperplaneSignature(col(vecCol), bits).as("sig"))
+    val sigCorpus = spread(corpus.select(col(idCol), col(vecCol)))
+      .select(col(idCol), col(vecCol),
+        hyperplaneSignature(col(vecCol), bits).as("sig"))
     val base = hyperplaneSignature(col(qvecCol), bits)
     val probes =
       if (probeHamming == 0) array(base)

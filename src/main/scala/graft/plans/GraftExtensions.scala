@@ -76,7 +76,11 @@ object GraftExtensions {
     ("hyperplane_band_sigs", classOf[HyperplaneBandSigsExpr].getName,
       (es: Seq[Expression]) => HyperplaneBandSigsExpr(es.head,
         intLit(es(1), "hyperplane_band_sigs"),
-        intLit(es(2), "hyperplane_band_sigs"))))
+        intLit(es(2), "hyperplane_band_sigs"))),
+    ("top_k_agg", classOf[TopKAggExpr].getName,
+      (es: Seq[Expression]) =>
+        TopKAggExpr(es(0), es(1), intLit(es(2), "top_k_agg"))
+          .toAggregateExpression()))
 
   /** Register the same functions + optimizer rule on an already-built
     * session (extraOptimizations is the post-build hook for rules). */

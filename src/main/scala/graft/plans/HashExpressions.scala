@@ -537,6 +537,92 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** All unordered id pairs (id1 < id2) of a bucket's id list as
+  * array<struct<id1, id2>> — the LSH candidate fan-out. One eval per
+  * BUCKET row (thousands, not millions), so CodegenFallback costs
+  * nothing while the n·(n-1)/2 inner loop runs as plain JVM code — the
+  * composable nested transform(ids×ids) form evaluated its lambdas
+  * interpreted per EMITTED PAIR and dominated candidate generation.
+  * Long ids take a primitive-array path; any orderable element type
+  * falls back to an interpreted ordering. Upstream bucket caps bound
+  * the quadratic fan-out exactly as before ([[graft.operators.Dedup
+  * .minhashCandidates]] filters to ≤ maxBucket first).
+  */
+case class PairCombosExpr(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+
+  private lazy val elemType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(t, _) if org.apache.spark.sql.catalyst.util.TypeUtils
+        .getInterpretedOrdering(t) != null => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects an array of an orderable type, got ${t.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("id1", elemType, nullable = true),
+      StructField("id2", elemType, nullable = true))),
+    containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "pair_combos"
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val total = n.toLong * (n - 1) / 2
+    require(total <= Int.MaxValue, s"$prettyName: bucket of $n ids overflows")
+    elemType match {
+      case LongType =>
+        val ids = arr.toLongArray()
+        val out = new Array[Any](total.toInt)
+        var w = 0; var i = 0
+        while (i < n) {
+          var j = i + 1
+          while (j < n) {
+            val a = ids(i); val b = ids(j)
+            if (a != b) {
+              val r = new GenericInternalRow(2)
+              r.update(0, math.min(a, b)); r.update(1, math.max(a, b))
+              out(w) = r; w += 1
+            }
+            j += 1
+          }
+          i += 1
+        }
+        new GenericArrayData(if (w == out.length) out else out.take(w))
+      case t =>
+        val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+          .getInterpretedOrdering(t)
+        val vals = Array.tabulate[Any](n)(i => arr.get(i, t))
+        val out = new Array[Any](total.toInt)
+        var w = 0; var i = 0
+        while (i < n) {
+          var j = i + 1
+          while (j < n) {
+            val c = ord.compare(vals(i), vals(j))
+            if (c != 0) {
+              val r = new GenericInternalRow(2)
+              if (c < 0) { r.update(0, vals(i)); r.update(1, vals(j)) }
+              else { r.update(0, vals(j)); r.update(1, vals(i)) }
+              out(w) = r; w += 1
+            }
+            j += 1
+          }
+          i += 1
+        }
+        new GenericArrayData(if (w == out.length) out else out.take(w))
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object HashExpressions {
   import org.apache.spark.sql.graft.bridge.{column, expression}
 
@@ -556,4 +642,6 @@ object HashExpressions {
     column(HyperplaneSigExpr(expression(vec), bits, offset))
   def hyperplane_band_sigs(vec: Column, bands: Int, bitsPerBand: Int): Column =
     column(HyperplaneBandSigsExpr(expression(vec), bands, bitsPerBand))
+  def pair_combos(ids: Column): Column =
+    column(PairCombosExpr(expression(ids)))
 }

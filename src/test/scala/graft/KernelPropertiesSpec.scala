@@ -197,6 +197,67 @@ class KernelPropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("native TopKBuffer: any partitioning ≡ global sort-take-k") {
+    import graft.plans.TopKBuffer
+    // same contract as the typed-udaf test above, driven through the
+    // primitive-array buffer the native aggregate uses: arbitrary
+    // reduce/merge splits (and a serialize-shaped bulk copy) must equal
+    // the global distinct best-first top-k
+    val gen = for {
+      n <- Gen.choose(0, 60)
+      k <- Gen.choose(1, 8)
+      scores <- Gen.listOfN(n, Gen.choose(0, 12)) // ties likely
+      ids <- Gen.listOfN(n, Gen.choose(0L, 20L))  // duplicate ids too
+      cut1 <- Gen.choose(0, n)
+      cut2 <- Gen.choose(0, n)
+    } yield (k, scores.map(_.toDouble).zip(ids),
+      math.min(cut1, cut2), math.max(cut1, cut2))
+    check(forAll(gen) { case (k, items, lo, hi) =>
+      def fold(xs: Seq[(Double, Long)]): TopKBuffer = {
+        val b = new TopKBuffer(k)
+        xs.foreach { case (s, i) => b.insert(s, i) }
+        b
+      }
+      def merge(a: TopKBuffer, o: TopKBuffer): TopKBuffer = {
+        (0 until o.size).foreach(i => a.insert(o.scores(i), o.ids(i)))
+        a
+      }
+      val merged = merge(merge(fold(items.take(lo)),
+        fold(items.slice(lo, hi))), fold(items.drop(hi)))
+      val got = (0 until merged.size).map(i => (merged.scores(i), merged.ids(i)))
+      val truth = items.distinct
+        .sortBy { case (s, i) => (-s, i) }.take(k)
+      got == truth
+    })
+  }
+
+  test("native top_k_agg ≡ typed-udaf top_k on a grouped query") {
+    val spark = SparkTestSession.spark
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.tabulate(4000)(i =>
+      (i % 7, rnd.nextInt(40).toDouble / 4.0, rnd.nextInt(50).toLong))
+    val df = rows.toDF("g", "sim", "id").repartition(8)
+    def flat(c: org.apache.spark.sql.DataFrame) = c
+      .select(col("g"), explode(col("top")).as("e"))
+      .select(col("g"), col("e.score"), col("e.id"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getLong(2)))
+      .sortBy(identity).toSeq
+    val native = flat(df.groupBy("g")
+      .agg(graft.plans.TopKAgg.top_k_agg(5)(col("sim"), col("id")).as("top")))
+    val udaf = flat(df.groupBy("g")
+      .agg(graft.operators.TopK.top_k(5)(col("sim"), col("id")).as("top")))
+    assert(native == udaf)
+    assert(native.nonEmpty)
+    // and through SQL via the registered function
+    graft.plans.GraftExtensions.register(spark)
+    df.createOrReplaceTempView("topk_in")
+    val sql = flat(spark.sql(
+      "SELECT g, top_k_agg(sim, id, 5) AS top FROM topk_in GROUP BY g"))
+    assert(sql == native)
+  }
+
   test("hyperplane_band_sigs ≡ per-offset hyperplane_sig slices") {
     val spark = SparkTestSession.spark
     import org.apache.spark.sql.functions._
