@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Q._
 import graft.functions.{Norm, Text}
-import graft.operators.{Dedup, Similarity, Skew}
+import graft.operators.{Corpus, Dedup, Similarity, Skew}
 
 /** Scalar-function surface (SURVEY §2.9), streaming/incremental semantics
   * (§2.10), and the training-data-pipeline operators (dedup, similarity,
@@ -590,6 +590,83 @@ object QueriesPipeline {
             bands = 6, bitsPerBand = 6)
           .select(col("id1"), col("id2"), round(col("sim"), 3).as("sim"))
       },
+      None),
+
+    // Incremental exact dedup: a simulated arriving crawl slice (new
+    // docs ∪ re-crawled corpus docs under fresh ids) deduped against
+    // the corpus fingerprint INDEX — the shape where the corpus is
+    // never rescanned per batch. The re-crawls must all drop; the
+    // within-batch window keeps first occurrences.
+    "q_dedup_incremental" -> Entry(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val corpus = docs.filter(col("doc_id") % 5 < 4)
+        val batch = docs.filter(col("doc_id") % 5 === 4)
+          .select(col("doc_id"), col("text"))
+          .unionByName(corpus.filter(col("doc_id") % 7 === 0)
+            .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        Dedup.dedupAgainst(corpus, batch, "text", "doc_id")
+          .select(col("doc_id"))
+      },
+      Some("""WITH corpus AS (
+          SELECT * FROM documents WHERE doc_id % 5 < 4),
+        batch AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 5 = 4
+          UNION ALL
+          SELECT doc_id + 100000 AS doc_id, text FROM corpus
+          WHERE doc_id % 7 = 0),
+        bfp AS (
+          SELECT doc_id,
+            sha256(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+          FROM batch),
+        cfp AS (
+          SELECT DISTINCT
+            sha256(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+          FROM corpus),
+        first AS (
+          SELECT doc_id, fp FROM (
+            SELECT doc_id, fp,
+              row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+            FROM bfp) WHERE rn = 1)
+        SELECT doc_id FROM first
+        WHERE fp NOT IN (SELECT fp FROM cfp)""")),
+
+    // Duplicated-substring span detection (word 4-grams occurring ≥2
+    // times corpus-wide, merged to maximal per-document spans) vs the
+    // oracle's unnest+gaps-and-islands. Spark groups 8-byte gram
+    // hashes; the oracle groups gram strings — identical up to 64-bit
+    // collisions (~10⁻¹¹ here).
+    "q_dedup_spans" -> Entry(
+      (s, dir) => Corpus.duplicatedSpans(
+        t(s, dir, "documents"), "text", "doc_id", n = 4),
+      Some("""WITH words AS (
+          SELECT doc_id, string_split(
+            regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS ws
+          FROM documents),
+        grams AS (
+          SELECT doc_id, u.p AS p,
+            array_to_string(ws[u.p+1 : u.p+4], ' ') AS g
+          FROM words, UNNEST(range(0, greatest(len(ws)-3, 0))) AS u(p)),
+        dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+        marked AS (
+          SELECT doc_id, p FROM grams WHERE g IN (SELECT g FROM dup)),
+        isl AS (
+          SELECT doc_id, p,
+            p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS i
+          FROM marked)
+        SELECT doc_id, min(p) AS span_start, max(p) + 3 AS span_end,
+          count(*) AS n_windows
+        FROM isl GROUP BY doc_id, i""")),
+
+    // SemDeDup-style semantic near-dup pairs: k-means cells (driver
+    // Lloyd quantizer) + within-cell exact cosine ≥ threshold.
+    // Approximate by construction (pairs straddling cells are missed)
+    // → rows-only; DedupSpec pins precision (= exact, by the cosine
+    // verify) and recall vs the brute-force pair set.
+    "q_dedup_semantic" -> Entry(
+      (s, dir) => Dedup.semanticNearDups(
+          t(s, dir, "embeddings"), "vec_id", "embedding", 0.3, nlist = 8)
+        .select(col("id1"), col("id2"), round(col("sim"), 3).as("sim")),
       None),
 
     // ---- similarity search ------------------------------------------

@@ -35,6 +35,49 @@ object Corpus {
     * can stratify: different thresholds per stratum over one hash). */
   def hashBucket(key: Column): Column = substring(md5(key), 1, 4)
 
+  /** Duplicated word-n-gram SPAN detection ("Deduplicating Training
+    * Data Makes Language Models Better"-style substring dedup, at word
+    * granularity): every position whose n-gram occurs ≥ `minCount`
+    * times corpus-wide, merged into maximal spans per document.
+    * Returns (idCol, span_start, span_end, n_windows) with inclusive
+    * word indices into the normalized (lowercased,
+    * whitespace-collapsed) token stream; documents shorter than n
+    * words yield no spans.
+    *
+    * Scale shape: grams are hashed map-side to 8-byte keys (the native
+    * in-order [[graft.plans.ShinglesExpr]] kernel feeds xxhash64), so
+    * the global count groupBy shuffles (hash) and the position join
+    * shuffles (hash, doc, pos) — gram TEXT never crosses the wire; the
+    * span merge is the classic gaps-and-islands window, partitioned
+    * per document. A 64-bit collision can only mark an extra window as
+    * duplicated (never unmark one) — at 2⁻⁶⁴ per gram pair, accepted.
+    * Fan-out is |tokens| rows per document — the same order as the
+    * tokenize pass every curation pipeline already does. */
+  def duplicatedSpans(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 4, minCount: Long = 2L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = Dedup.fanOut(docs.select(col(idCol), col(textCol)))
+      .filter(graft.plans.TextExpressions.token_count(col(textCol)) >= n)
+      .select(col(idCol).as("__doc"),
+        posexplode(graft.plans.TextExpressions
+          .word_shingles(col(textCol), n)).as(Seq("p", "__g")))
+      .select(col("__doc"), col("p"), xxhash64(col("__g")).as("__gh"))
+    val dup = grams.groupBy("__gh")
+      .agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") >= minCount)
+      .select("__gh")
+    val marked = grams.join(dup, Seq("__gh")).select("__doc", "p")
+    marked
+      .withColumn("__isl", col("p") - row_number().over(
+        Window.partitionBy("__doc").orderBy("p")))
+      .groupBy(col("__doc"), col("__isl"))
+      .agg(min("p").cast("long").as("span_start"),
+        (max("p") + n - 1).cast("long").as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("__doc").as(idCol), col("span_start"), col("span_end"),
+        col("n_windows"))
+  }
+
   /** C4-style global line deduplication: delete every line that occurs
     * more than `maxOccurrences` times across the WHOLE corpus (the
     * boilerplate/navigation-chrome strip of C4/RefinedWeb pipelines),

@@ -155,6 +155,84 @@ object Dedup {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  /** Distinct exact-dedup fingerprint index of a corpus — the stored
+    * half of incremental dedup. One column of sha-256 fingerprints, one
+    * distinct-shuffle of (fp) — the text never leaves its scan. At
+    * 100 TB this is materialized ONCE (write the result as the dedup
+    * index table) and reused by every arriving batch; rebuilding it per
+    * batch would rescan the corpus. */
+  def fingerprintIndex(corpus: DataFrame, textCol: String): DataFrame =
+    fanOut(corpus.select(col(textCol)))
+      .select(Text.fingerprint(col(textCol)).as("fp"))
+      .distinct()
+
+  /** Incremental exact dedup: the rows of `batch` that are (a) the
+    * first (min-`idCol`) occurrence of their fingerprint WITHIN the
+    * batch and (b) absent from the corpus `index`
+    * ([[fingerprintIndex]] output or the persisted table of one). All
+    * batch columns survive. The within-batch winner is a window over
+    * the fingerprint (batch-sized, not corpus-sized); the corpus check
+    * is a left-anti equi-join on the fingerprint — both shuffle 32-byte
+    * digests, never text. This is the arriving-crawl-slice shape: the
+    * corpus is represented only by its index, so per-batch cost is
+    * |batch| + |index| regardless of corpus width. */
+  def dedupAgainstIndex(batch: DataFrame, index: DataFrame,
+      textCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fp = fanOut(batch).withColumn("__fp", Text.fingerprint(col(textCol)))
+    val first = fp
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("__fp").orderBy(col(idCol))))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+    first
+      .join(index.select(col("fp").as("__fp")), Seq("__fp"), "left_anti")
+      .drop("__fp")
+  }
+
+  /** [[dedupAgainstIndex]] with the index derived inline — convenience
+    * for one-shot jobs; streaming ingestion should materialize
+    * [[fingerprintIndex]] once instead. */
+  def dedupAgainst(corpus: DataFrame, batch: DataFrame,
+      textCol: String, idCol: String): DataFrame =
+    dedupAgainstIndex(batch, fingerprintIndex(corpus, textCol),
+      textCol, idCol)
+
+  /** SemDeDup-style semantic near-dup pairs: coarse k-means cells
+    * (the [[Similarity.trainCentroids]] quantizer — driver-local Lloyd
+    * on a bounded sample), candidates = within-cell pairs, verified by
+    * exact cosine ≥ `threshold`. Complements [[embeddingNearDups]]:
+    * hyperplane bands catch near-identical vectors cheaply; semantic
+    * cells group by meaning-neighborhood, the granularity SemDeDup
+    * prunes at.
+    *
+    * Scale: assignment is a pure expression over centroid literals
+    * (zero shuffle); the self-join shuffles (id, vec, cell) ONCE by
+    * cell — linear in corpus size; within-cell pair cost is
+    * (n/nlist)² per cell, so take nlist ∝ n (fixed target cell size)
+    * and cap degenerate cells with `maxCell`, exactly like the LSH
+    * bucket guard. */
+  def semanticNearDups(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nlist: Int = 16, maxCell: Int = 10000,
+      trainFraction: Double = 1.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = Similarity.trainCentroids(df, vecCol, nlist, trainFraction)
+    val assigned = fanOut(df.select(col(idCol), col(vecCol)))
+      .select(col(idCol), col(vecCol),
+        Similarity.nearestCell(col(vecCol), cents).as("cell"))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("cell")))
+      .filter(col("__n") <= maxCell)
+    val l = assigned.select(col("cell"), col(idCol).as("id1"),
+      col(vecCol).as("__v1"))
+    val r = assigned.select(col("cell"), col(idCol).as("id2"),
+      col(vecCol).as("__v2"))
+    l.join(r, Seq("cell"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("sim", cosine(col("__v1"), col("__v2")))
+      .filter(col("sim") >= threshold)
+      .select(col("id1"), col("id2"), col("sim"))
+  }
+
   /** Jaccard ESTIMATE from two equal-length minhash signatures: the
     * fraction of agreeing components (the MinHash guarantee). Cheap
     * pre-filter on candidate pairs before exact shingle verification —

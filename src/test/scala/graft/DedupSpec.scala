@@ -201,6 +201,71 @@ class DedupSpec extends AnyFunSuite {
     assert(uncapped.count() == 50L * 49 / 2)
   }
 
+  test("incremental dedup: re-crawls drop, batch-internal dups keep min id") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma"), (2L, "delta epsilon zeta"),
+      (3L, "eta theta iota")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "Alpha   Beta gamma"), // normalizes to corpus doc 1 → drop
+      (11L, "brand new content here"),
+      (12L, "brand  NEW content here"), // dup of 11 within batch → drop
+      (13L, "another fresh document")).toDF("doc_id", "text")
+    val out = Dedup.dedupAgainst(corpus, batch, "text", "doc_id")
+    assert(out.columns.toSeq == Seq("doc_id", "text")) // columns survive
+    assert(out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(11L, 13L))
+    // the index form matches the inline form
+    val idx = Dedup.fingerprintIndex(corpus, "text")
+    val viaIndex = Dedup.dedupAgainstIndex(batch, idx, "text", "doc_id")
+    assert(viaIndex.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(11L, 13L))
+    // empty index: the whole batch survives (minus internal dups)
+    val empty = idx.filter(lit(false))
+    assert(Dedup.dedupAgainstIndex(batch, empty, "text", "doc_id")
+      .count() == 3)
+  }
+
+  test("duplicated spans: planted repeats merge to maximal spans") {
+    import graft.operators.Corpus
+    val repeat = "one two three four five" // 5 words shared by docs 1,2
+    val df = Seq(
+      (1L, s"u1 u2 $repeat u3 u4"),
+      (2L, s"v1 $repeat v2 v3 v4 v5"),
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (4L, "short doc")).toDF("doc_id", "text")
+    val out = Corpus.duplicatedSpans(df, "text", "doc_id", n = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    // doc 1: repeat at word 2..6 → windows p=2,3 merge → span [2,6]
+    // doc 2: repeat at word 1..5 → windows p=1,2 merge → span [1,5]
+    // doc 3: unique; doc 4: shorter than n → no rows
+    assert(out.toSeq == Seq((1L, 2L, 6L, 2L), (2L, 1L, 5L, 2L)))
+    // higher minCount silences the pair
+    assert(Corpus.duplicatedSpans(df, "text", "doc_id", n = 4,
+      minCount = 3L).count() == 0)
+  }
+
+  test("semantic near-dups: exact precision, cell recall on real table") {
+    val em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val truth = em.as("a").join(em.as("b"),
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+        Similarity.cosine(col("a.embedding"), col("b.embedding")).as("sim"))
+      .filter(col("sim") >= 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Dedup.semanticNearDups(em, "vec_id", "embedding", 0.3,
+        nlist = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(truth), "emitted a pair below the exact threshold")
+    assert(truth.nonEmpty)
+    val recall = got.size.toDouble / truth.size
+    assert(recall >= 0.2, s"within-cell recall=$recall") // 1/8 cells co-located
+    // nlist=1 puts everything in one cell → exhaustive → full recall
+    assert(Dedup.semanticNearDups(em, "vec_id", "embedding", 0.3, nlist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == truth)
+  }
+
   test("connected components fast path preserves non-Long id types") {
     val intPairs = Seq((1, 2), (2, 3), (7, 8)).toDF("id1", "id2")
     val outInt = Dedup.connectedComponents(intPairs)
