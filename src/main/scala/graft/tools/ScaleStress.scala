@@ -186,6 +186,40 @@ object ScaleStress {
       docs.unpersist()
     }
 
+    // Round-6 dedup additions drill: duplicated-substring spans
+    // (dup-heavy: every copy shares its full token stream with its
+    // siblings), incremental batch-vs-index dedup (the batch is a 1×
+    // re-keyed slice — every row must drop against the N× index), and
+    // SemDeDup semantic pairs with nlist ∝ n (fixed ~250-vector cells).
+    println(f"\n${"copies"}%8s ${"docs"}%9s ${"spans"}%9s ${"t_spans"}%8s " +
+      f"${"survive"}%8s ${"t_incr"}%7s ${"sem_pairs"}%10s ${"t_sem"}%6s")
+    for (copies <- Seq(1, maxScale)
+        if which == "all" || which == "newops") {
+      val docs = corpus(spark, dir, copies).cache()
+      docs.count()
+      var nSpans = 0L
+      val tSpans = timed {
+        nSpans = Corpus.duplicatedSpans(docs, "text", "doc_id").count()
+      }
+      val batch = corpus(spark, dir, 1)
+        .select((col("doc_id") + 100000000L).as("doc_id"), col("text"))
+      var nSurv = 0L
+      val tIncr = timed {
+        nSurv = Dedup.dedupAgainst(docs, batch, "text", "doc_id").count()
+      }
+      val vecs = embCorpus(spark, dir, copies).cache()
+      val nVecs = vecs.count()
+      var nSem = 0L
+      val tSem = timed {
+        nSem = Dedup.semanticNearDups(vecs, "vec_id", "embedding",
+          threshold = 0.9, nlist = math.max(8, (nVecs / 250).toInt),
+          trainFraction = math.min(1.0, 50000.0 / nVecs)).count()
+      }
+      println(f"$copies%8d ${docs.count()}%9d $nSpans%9d $tSpans%8.1f " +
+        f"$nSurv%8d $tIncr%7.1f $nSem%10d $tSem%6.1f")
+      docs.unpersist(); vecs.unpersist()
+    }
+
     // kNN self-join drill: exact is O(n²) cosine (the baseline that
     // must NOT be the scale path); LSH's narrow far-neighbor bands make
     // buckets grow as n/2^bits (quadratic candidates); IVF with
