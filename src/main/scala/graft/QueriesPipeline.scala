@@ -551,6 +551,28 @@ object QueriesPipeline {
           SELECT e.a, r.r FROM edges e JOIN reach r ON r.id = e.b)
         SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id""")),
 
+    // End-to-end near-dup purge: verified pairs → clusters → corpus
+    // minus non-representative members. The oracle recomputes the whole
+    // chain in SQL: brute-force Jaccard pairs, recursive-CTE closure,
+    // NOT IN drop set.
+    "q_dedup_purge" -> Entry(
+      (s, dir) => Dedup.removeNearDups(
+          t(s, dir, "documents"), "text", "doc_id")
+        .select(col("doc_id")),
+      Some(s"""WITH RECURSIVE $minhashPairsCtes,
+        edges AS (
+          SELECT id1 AS a, id2 AS b FROM pairs
+          UNION SELECT id2, id1 FROM pairs),
+        reach(id, r) AS (
+          SELECT DISTINCT a, a FROM edges
+          UNION
+          SELECT e.a, r.r FROM edges e JOIN reach r ON r.id = e.b),
+        dropped AS (
+          SELECT id FROM (SELECT id, min(r) AS c FROM reach GROUP BY id)
+          WHERE c <> id)
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT id FROM dropped)""")),
+
     // SimHash 64-bit signatures + near-dup pairs by Hamming ≤ 6 within
     // LSH candidate set.
     "q_dedup_simhash" -> Entry(

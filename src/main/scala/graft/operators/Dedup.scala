@@ -198,6 +198,27 @@ object Dedup {
     dedupAgainstIndex(batch, fingerprintIndex(corpus, textCol),
       textCol, idCol)
 
+  /** End-to-end near-duplicate PURGE — the filtered corpus a curation
+    * job actually wants: LSH candidates → exact-Jaccard verification
+    * ([[verifiedPairs]]) → cluster resolution
+    * ([[connectedComponents]]) → drop every cluster member except the
+    * minimum-id representative. All input columns survive. The final
+    * step is a left-anti join of the corpus against the drop set
+    * (cluster members above their representative) — the drop set is
+    * bounded by actual duplication, so on a mostly-unique corpus the
+    * anti-join's build side is tiny. Stage costs are the ones SCALE.md
+    * measures for the shared pipeline. */
+  def removeNearDups(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double = 0.4, shingleWords: Int = 3,
+      broadcastSurvivors: Boolean = true): DataFrame = {
+    val pairs = verifiedPairs(df, textCol, idCol, threshold, shingleWords,
+      broadcastSurvivors).select(col("id1"), col("id2"))
+    val drop = connectedComponents(pairs)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** SemDeDup-style semantic near-dup pairs: coarse k-means cells
     * (the [[Similarity.trainCentroids]] quantizer — driver-local Lloyd
     * on a bounded sample), candidates = within-cell pairs, verified by

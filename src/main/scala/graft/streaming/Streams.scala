@@ -70,6 +70,27 @@ object Streams {
     events.withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  final case class Doc(doc_id: Long, ts: java.sql.Timestamp, text: String)
+
+  /** Streaming ingestion dedup — the streaming face of
+    * [[graft.operators.Dedup.dedupAgainstIndex]]: arriving documents
+    * (a) drop when their content fingerprint is already in the STATIC
+    * corpus index (a stream-static left-anti join against the persisted
+    * [[graft.operators.Dedup.fingerprintIndex]] table) and (b) dedup
+    * first-writer-wins WITHIN the stream by fingerprint under the
+    * watermark horizon. Nothing grows with stream length: the join side
+    * is |index|, the stream state is bounded by the watermark — the
+    * combination a crawl-ingestion pipeline runs continuously while a
+    * batch job refreshes the index behind it. */
+  def dedupDocsAgainstIndex(docs: DataFrame, index: DataFrame,
+      textCol: String = "text", delay: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("__fp", graft.functions.Text.fingerprint(col(textCol)))
+      .join(index.select(col("fp").as("__fp")), Seq("__fp"), "left_anti")
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   /** Gap-based sessionization as a true stream: flatMapGroupsWithState
     * with an EVENT-TIME timeout — the streaming equivalent of the batch
     * gaps-and-islands query (q_stream_sessionize), with bounded per-user

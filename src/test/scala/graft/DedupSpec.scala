@@ -201,6 +201,17 @@ class DedupSpec extends AnyFunSuite {
     assert(uncapped.count() == 50L * 49 / 2)
   }
 
+  test("removeNearDups keeps cluster representatives and uniques") {
+    val near1 = "the quick brown fox jumps over the lazy dog again and again today"
+    val near2 = "the quick brown fox jumps over the lazy dog again and again yesterday"
+    val far = "completely unrelated content about spark catalyst optimizer internals"
+    val df = Seq((1L, near1), (2L, near2), (3L, far)).toDF("doc_id", "text")
+    val out = Dedup.removeNearDups(df, "text", "doc_id")
+    assert(out.columns.toSeq == Seq("doc_id", "text")) // columns survive
+    assert(out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 3L)) // 2 drops into 1's cluster; 3 is unique
+  }
+
   test("incremental dedup: re-crawls drop, batch-internal dups keep min id") {
     val corpus = Seq(
       (1L, "alpha beta gamma"), (2L, "delta epsilon zeta"),

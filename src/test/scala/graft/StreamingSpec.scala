@@ -105,6 +105,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming ingestion dedup: index hits and in-stream dups drop") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val corpus = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon"))
+      .toDF("doc_id", "text")
+    val index = graft.operators.Dedup.fingerprintIndex(corpus, "text")
+    val ms = MemoryStream[Streams.Doc]
+    def doc(id: Long, min: Int, text: String) = Streams.Doc(id,
+      java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00"), text)
+    val q = Streams.dedupDocsAgainstIndex(ms.toDF(), index)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ingest_out").start()
+    try {
+      ms.addData(
+        doc(10, 0, "ALPHA   beta gamma"), // normalizes to corpus doc 1 → drop
+        doc(11, 1, "brand new content"),  // survives
+        doc(12, 2, "brand NEW   content"), // in-stream dup of 11 → drop
+        doc(13, 3, "another fresh doc"))  // survives
+      q.processAllAvailable()
+      val ids = spark.table("ingest_out").select("doc_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(11L, 13L))
+      // the fingerprint working column does not leak into the output
+      assert(spark.table("ingest_out").columns.toSeq ==
+        Seq("doc_id", "ts", "text"))
+    } finally q.stop()
+  }
+
   test("gap sessions close via event-time timeout and in-batch splits") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
