@@ -231,6 +231,46 @@ class KernelPropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("pair_combos ≡ filtered nested-transform cross, long and string ids") {
+    val spark = SparkTestSession.spark
+    import org.apache.spark.sql.functions._
+    import graft.plans.HashExpressions
+    import spark.implicits._
+    // the composable reference form the kernel replaced
+    def reference(ids: org.apache.spark.sql.Column) = filter(
+      flatten(transform(ids, a => transform(ids,
+        b => struct(a.as("id1"), b.as("id2"))))),
+      p => p.getField("id1") < p.getField("id2"))
+    val rnd = new scala.util.Random(3)
+    val longRows = Seq.fill(60)(
+      Seq.fill(rnd.nextInt(8))(rnd.nextInt(6).toLong)) // dup ids likely
+    val ldf = longRows.toDF("ids")
+    val l = ldf.select(
+      HashExpressions.pair_combos(col("ids")).as("k"),
+      reference(col("ids")).as("r")).collect()
+    l.foreach { row =>
+      def pairs(i: Int) = row.getSeq[org.apache.spark.sql.Row](i)
+        .map(p => (p.getLong(0), p.getLong(1)))
+      // same SET — both forms emit value-duplicates when ids repeat in
+      // the list (impossible in real buckets: one row per (id, band));
+      // the downstream .distinct() owns dedup either way
+      assert(pairs(0).toSet == pairs(1).toSet)
+      // canonical orientation: every emitted pair is (smaller, larger)
+      pairs(0).foreach { case (a, b) => assert(a < b) }
+    }
+    val strRows = Seq.fill(40)(
+      Seq.fill(rnd.nextInt(6))(s"s${rnd.nextInt(5)}"))
+    val sdf = strRows.toDF("ids")
+    val sOut = sdf.select(
+      HashExpressions.pair_combos(col("ids")).as("k"),
+      reference(col("ids")).as("r")).collect()
+    sOut.foreach { row =>
+      def pairs(i: Int) = row.getSeq[org.apache.spark.sql.Row](i)
+        .map(p => (p.getString(0), p.getString(1)))
+      assert(pairs(0).toSet == pairs(1).toSet)
+    }
+  }
+
   test("native top_k_agg ≡ typed-udaf top_k on a grouped query") {
     val spark = SparkTestSession.spark
     import org.apache.spark.sql.functions._
