@@ -135,6 +135,31 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"corpus-side shuffle join:\n$p")
   }
 
+  test("kNN rerank partial-aggregates the bounded top-k before the exchange") {
+    val p = plan("q_sim_knn_ivf")
+    assert(p.contains("partial_top_k_agg"),
+      "map-side top-k truncation missing — the exchange would carry " +
+        "every scored candidate")
+  }
+
+  test("q_dedup_spans gates short docs at the scan and combines map-side") {
+    val p = plan("q_dedup_spans")
+    assert(p.contains("token_count_native"), "short-doc gate lost")
+    assert(p.contains("partial_count"), "gram counts must combine map-side")
+    assert(p.contains("xxhash64"), "grams must be hashed before the shuffle")
+  }
+
+  test("q_dedup_incremental and q_dedup_purge end in anti-joins") {
+    assert(plan("q_dedup_incremental").contains("LeftAnti"))
+    assert(plan("q_dedup_purge").contains("LeftAnti"))
+  }
+
+  test("q_dedup_semantic joins on cells, never cross-joins vectors") {
+    val p = plan("q_dedup_semantic")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("every graft kernel is callable from plain SQL") {
     val spark = SparkTestSession.spark
     graft.plans.GraftExtensions.register(spark)
