@@ -551,6 +551,44 @@ object QueriesPipeline {
           SELECT e.a, r.r FROM edges e JOIN reach r ON r.id = e.b)
         SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id""")),
 
+    // Incremental NEAR-dup: the batch split checked against the corpus
+    // split's PERSISTED signature index (bands + shingle hashes; corpus
+    // text never re-read). Oracle = brute-force batch×corpus Jaccard —
+    // valid on the same total-recall-at-0.4 grounds as q_dedup_minhash,
+    // which cross-split pairs are a subset of.
+    "q_dedup_incr_near" -> Entry(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val corpus = docs.filter(col("doc_id") % 5 < 4)
+        val batch = docs.filter(col("doc_id") % 5 === 4)
+        val idxPath = s"${System.getProperty("java.io.tmpdir")}" +
+          s"/graft_ndidx_${Integer.toHexString(dir.hashCode)}"
+        if (!new java.io.File(s"$idxPath/docs/_SUCCESS").exists())
+          Dedup.writeNearDupIndex(corpus, idxPath, "text", "doc_id")
+        Dedup.nearDupsAgainstIndex(s, idxPath, batch, "text", "doc_id")
+      },
+      Some("""WITH words AS (
+          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+          FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id,
+            CASE WHEN len(ws) <= 3 THEN array_to_string(ws, ' ')
+            ELSE array_to_string(list_slice(ws, i, i+2), ' ') END AS s
+          FROM words, unnest(CASE WHEN len(ws) <= 3 THEN [1]
+            ELSE range(1, len(ws)-1) END) AS t(i)
+        ), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        inter AS (
+          SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id, count(*) AS i
+          FROM sh b JOIN sh c ON b.s = c.s
+            AND b.doc_id % 5 = 4 AND c.doc_id % 5 < 4
+          GROUP BY 1, 2)
+        SELECT batch_id, corpus_id,
+          round(i / (sb.n + sc.n - i), 3) AS jaccard
+        FROM inter
+        JOIN sizes sb ON sb.doc_id = batch_id
+        JOIN sizes sc ON sc.doc_id = corpus_id
+        WHERE jaccard >= 0.4""")),
+
     // End-to-end near-dup purge: verified pairs → clusters → corpus
     // minus non-representative members. The oracle recomputes the whole
     // chain in SQL: brute-force Jaccard pairs, recursive-CTE closure,

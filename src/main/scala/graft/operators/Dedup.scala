@@ -198,6 +198,68 @@ object Dedup {
     dedupAgainstIndex(batch, fingerprintIndex(corpus, textCol),
       textCol, idCol)
 
+  /** Persist the near-dup signature index of a corpus: `path/bands` =
+    * one (id, band, band_hash) row per LSH band key (degenerate buckets
+    * > `maxBucket` dropped at WRITE time — boilerplate buckets never
+    * reach a probe), `path/docs` = (id, shingles) with the
+    * sorted-distinct 64-bit shingle hashes exact verification needs.
+    * The minhash analog of [[fingerprintIndex]]: a few hundred bytes
+    * per doc, built once, so arriving batches are near-dup-checked
+    * without ever rescanning corpus TEXT. */
+  def writeNearDupIndex(corpus: DataFrame, path: String, textCol: String,
+      idCol: String, shingleLen: Int = 5, k: Int = 20, bands: Int = 5,
+      shingleWords: Int = 3, maxBucket: Int = 1000): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    minhashBands(corpus, textCol, idCol, shingleLen, k, bands)
+      .select(col(idCol).as("id"), col("band"), col("band_hash"))
+      .withColumn("__n",
+        count(lit(1)).over(Window.partitionBy("band", "band_hash")))
+      .filter(col("__n") <= maxBucket)
+      .drop("__n")
+      .write.mode("overwrite").parquet(s"$path/bands")
+    fanOut(corpus.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("id"),
+        graft.plans.HashExpressions
+          .word_shingle_hashes(col(textCol), shingleWords).as("shingles"))
+      .write.mode("overwrite").parquet(s"$path/docs")
+  }
+
+  /** Incremental NEAR-dup detection: (batch_id, corpus_id, jaccard)
+    * pairs of `batch` docs against an index written by
+    * [[writeNearDupIndex]] (same shingleLen/k/bands/shingleWords).
+    * Candidates are the band equi-join of the batch's keys against the
+    * stored keys — fan-out bounded by the write-time bucket cap;
+    * verification is the linear-merge Jaccard over STORED corpus
+    * shingle hashes, so per-batch cost is |batch| banding + the
+    * equi-join + |candidate| merges. Corpus text is never read — the
+    * continuous-crawl shape where the index refreshes behind the
+    * stream. */
+  def nearDupsAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, textCol: String, idCol: String,
+      threshold: Double = 0.4, shingleLen: Int = 5, k: Int = 20,
+      bands: Int = 5, shingleWords: Int = 3): DataFrame = {
+    val idxBands = spark.read.parquet(s"$path/bands")
+    val batchBands = minhashBands(batch, textCol, idCol, shingleLen, k,
+      bands).select(col(idCol).as("batch_id"), col("band"), col("band_hash"))
+    val cands = batchBands.join(idxBands, Seq("band", "band_hash"))
+      .select(col("batch_id"), col("id").as("corpus_id")).distinct()
+    val batchSh = fanOut(batch.select(col(idCol), col(textCol)))
+      .join(cands.select(col("batch_id").as(idCol)).distinct(),
+        Seq(idCol), "left_semi")
+      .select(col(idCol).as("batch_id"),
+        graft.plans.HashExpressions
+          .word_shingle_hashes(col(textCol), shingleWords).as("__bsh"))
+    val idxSh = spark.read.parquet(s"$path/docs")
+      .select(col("id").as("corpus_id"), col("shingles").as("__csh"))
+    cands
+      .join(batchSh, Seq("batch_id"))
+      .join(idxSh, Seq("corpus_id"))
+      .withColumn("jaccard", round(graft.plans.HashExpressions
+        .sorted_jaccard(col("__bsh"), col("__csh")), 3))
+      .filter(col("jaccard") >= threshold)
+      .select(col("batch_id"), col("corpus_id"), col("jaccard"))
+  }
+
   /** End-to-end near-duplicate PURGE — the filtered corpus a curation
     * job actually wants: LSH candidates → exact-Jaccard verification
     * ([[verifiedPairs]]) → cluster resolution

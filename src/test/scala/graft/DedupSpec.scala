@@ -201,6 +201,27 @@ class DedupSpec extends AnyFunSuite {
     assert(uncapped.count() == 50L * 49 / 2)
   }
 
+  test("near-dup index: batch probes find stored near-dups, text unread") {
+    val near1 = "the quick brown fox jumps over the lazy dog again and again today"
+    val near2 = "the quick brown fox jumps over the lazy dog again and again yesterday"
+    val far = "completely unrelated content about spark catalyst optimizer internals"
+    val corpus = Seq((1L, near1), (3L, far)).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("ndidx").toString
+    Dedup.writeNearDupIndex(corpus, path, "text", "doc_id")
+    val batch = Seq((10L, near2), (11L, "something else entirely fresh"))
+      .toDF("doc_id", "text")
+    val out = Dedup.nearDupsAgainstIndex(spark, path, batch,
+      "text", "doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((10L, 1L)))
+    assert(out.head.getDouble(2) >= 0.4)
+    // ≡ the from-text pipeline restricted to (batch, corpus) pairs
+    val re = batch.select(col("doc_id") + 100, col("text"))
+      .toDF("doc_id", "text") // disjoint ids
+    val full = Dedup.verifiedPairs(corpus.unionByName(re), "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full.contains((1L, 110L)))
+  }
+
   test("removeNearDups keeps cluster representatives and uniques") {
     val near1 = "the quick brown fox jumps over the lazy dog again and again today"
     val near2 = "the quick brown fox jumps over the lazy dog again and again yesterday"
