@@ -71,17 +71,20 @@ object Similarity {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     // Undefined similarities are EXCLUDED, deterministically, on both
     // paths: cosine is NaN for a zero vector (0/0) and null on length
-    // drift — NaN would rank nondeterministically in the bounded
-    // buffer (NaN compares false both ways, and NaN != NaN defeats
-    // the dedup) and null would crash the non-nullable buffer encoder.
-    val scored = scoredIn.filter(col("sim").isNotNull && !isnan(col("sim")))
-    val integralId = scored.schema(idCol).dataType match {
+    // drift. The native aggregate skips null/NaN inside update(), so
+    // the integral-id path needs NO pre-filter — a filter on `sim`
+    // here gets predicate-pushed into the upstream join CONDITION,
+    // where Catalyst evaluates the cosine kernel once per null-check
+    // per pair on top of the project's own evaluation. The window path
+    // keeps the explicit filter (NaN would rank nondeterministically
+    // in row_number's sort).
+    val integralId = scoredIn.schema(idCol).dataType match {
       case LongType | IntegerType | ShortType | ByteType => true
       case _ => false
     }
     if (integralId) {
-      val idType = scored.schema(idCol).dataType
-      scored
+      val idType = scoredIn.schema(idCol).dataType
+      scoredIn
         .groupBy(col(groupCol))
         .agg(graft.plans.TopKAgg.top_k_agg(k)(
           col("sim"), col(idCol).cast("long")).as("__top"))
@@ -92,7 +95,8 @@ object Similarity {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col(groupCol))
         .orderBy(col("sim").desc, col(idCol).asc)
-      scored.select(col(groupCol), col(idCol), col("sim"))
+      scoredIn.filter(col("sim").isNotNull && !isnan(col("sim")))
+        .select(col(groupCol), col(idCol), col("sim"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= k)
     }
