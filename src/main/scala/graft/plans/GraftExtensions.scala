@@ -80,7 +80,9 @@ object GraftExtensions {
     ("top_k_agg", classOf[TopKAggExpr].getName,
       (es: Seq[Expression]) =>
         TopKAggExpr(es(0), es(1), intLit(es(2), "top_k_agg"))
-          .toAggregateExpression()))
+          .toAggregateExpression()),
+    ("pair_combos", classOf[PairCombosExpr].getName,
+      (es: Seq[Expression]) => PairCombosExpr(es.head)))
 
   /** Register the same functions + optimizer rule on an already-built
     * session (extraOptimizations is the post-build hook for rules). */

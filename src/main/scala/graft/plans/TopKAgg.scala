@@ -63,12 +63,17 @@ final class TopKBuffer(val k: Int) {
   */
 case class TopKAggExpr(score: Expression, id: Expression, k: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[TopKBuffer] with BinaryLike[Expression] {
+  extends TypedImperativeAggregate[TopKBuffer] with BinaryLike[Expression]
+  with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
 
   require(k > 0, "top-k needs k > 0")
 
   override def left: Expression = score
   override def right: Expression = id
+  // analysis inserts casts for any numeric input (SQL decimal/float
+  // literals would otherwise ClassCastException in update's unboxing);
+  // return type left inferred: AbstractDataType is private[sql]
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, LongType)
 
   override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
 

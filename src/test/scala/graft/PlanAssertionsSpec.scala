@@ -176,7 +176,8 @@ class PlanAssertionsSpec extends AnyFunSuite {
                    array(cast(1.0 as float), cast(0.0 as float))) AS cos,
         hyperplane_sig(array(cast(0.5 as float), cast(-0.25 as float)), 8) AS hs,
         hyperplane_band_sigs(array(cast(0.5 as float),
-                   cast(-0.25 as float)), 4, 6) AS hbs
+                   cast(-0.25 as float)), 4, 6) AS hbs,
+        pair_combos(array(3L, 1L, 2L)) AS pc
       """).head()
     assert(r.getAs[Int]("c") < 0)          // 2.0 < 10.0 numerically
     assert(r.getAs[Number]("tc").longValue == 3L)
@@ -185,6 +186,15 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("j") == 0.5)
     assert(r.getAs[Double]("cos") == 1.0)
     assert(r.getSeq[Long](r.fieldIndex("hbs")).size == 4)
+    assert(r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("pc"))
+      .map(p => (p.getLong(0), p.getLong(1))) ==
+      Seq((1L, 3L), (2L, 3L), (1L, 2L)))
+    // the aggregate kernel: grouped SQL top-k
+    val agg = spark.sql("""SELECT top_k_agg(s, i, 2) AS t FROM (
+        SELECT * FROM VALUES (0.9, 1L), (0.8, 2L), (0.7, 3L) AS v(s, i))""")
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(agg.map(e => (e.getDouble(0), e.getLong(1))) ==
+      Seq((0.9, 1L), (0.8, 2L)))
     // shape parameters must be literals, not columns
     val err = intercept[Exception] {
       spark.sql("SELECT word_shingles('a b c', 1 + cast(rand() as int))")
