@@ -298,13 +298,15 @@ object Dedup {
   def semanticNearDups(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nlist: Int = 16, maxCell: Int = 10000,
       trainFraction: Double = 1.0): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cents = Similarity.trainCentroids(df, vecCol, nlist, trainFraction)
-    val assigned = fanOut(df.select(col(idCol), col(vecCol)))
+    val assigned0 = fanOut(df.select(col(idCol), col(vecCol)))
       .select(col(idCol), col(vecCol),
         Similarity.nearestCell(col(vecCol), cents).as("cell"))
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy("cell")))
-      .filter(col("__n") <= maxCell)
+    // cell cap via a ≤nlist-row aggregate broadcast back — a window
+    // count would drag every VECTOR through a per-cell sort instead
+    val ok = assigned0.groupBy("cell").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxCell).select("cell")
+    val assigned = assigned0.join(broadcast(ok), Seq("cell"))
     val l = assigned.select(col("cell"), col(idCol).as("id1"),
       col(vecCol).as("__v1"))
     val r = assigned.select(col("cell"), col(idCol).as("id2"),

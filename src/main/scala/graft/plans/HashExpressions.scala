@@ -557,8 +557,8 @@ case class PairCombosExpr(child: Expression) extends UnaryExpression
     child.dataType.asInstanceOf[ArrayType].elementType
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(t, _) if org.apache.spark.sql.catalyst.util.TypeUtils
-        .getInterpretedOrdering(t) != null => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(t, _) if org.apache.spark.sql.catalyst.expressions
+        .RowOrdering.isOrderable(t) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
       s"$prettyName expects an array of an orderable type, got ${t.sql}")
   }
