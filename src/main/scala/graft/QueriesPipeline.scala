@@ -561,9 +561,15 @@ object QueriesPipeline {
         val docs = t(s, dir, "documents")
         val corpus = docs.filter(col("doc_id") % 5 < 4)
         val batch = docs.filter(col("doc_id") % 5 === 4)
+        // cache key carries the default index params; staleness is
+        // guarded by mtime — a regenerated documents.parquet must
+        // rebuild the index or the oracle would compare against the
+        // OLD corpus' signatures
         val idxPath = s"${System.getProperty("java.io.tmpdir")}" +
-          s"/graft_ndidx_${Integer.toHexString(dir.hashCode)}"
-        if (!new java.io.File(s"$idxPath/docs/_SUCCESS").exists())
+          s"/graft_ndidx_${Integer.toHexString(dir.hashCode)}_s5k20b5w3"
+        val success = new java.io.File(s"$idxPath/docs/_SUCCESS")
+        val src = new java.io.File(s"$dir/documents.parquet")
+        if (!success.exists() || success.lastModified() < src.lastModified())
           Dedup.writeNearDupIndex(corpus, idxPath, "text", "doc_id")
         Dedup.nearDupsAgainstIndex(s, idxPath, batch, "text", "doc_id")
       },
@@ -913,7 +919,9 @@ object QueriesPipeline {
         // the query itself is the pruned-partition probe.
         val idxPath = s"${System.getProperty("java.io.tmpdir")}" +
           s"/graft_ivf_${Integer.toHexString(dir.hashCode)}_n8"
-        if (!new java.io.File(s"$idxPath/centroids/_SUCCESS").exists())
+        val success = new java.io.File(s"$idxPath/centroids/_SUCCESS")
+        val src = new java.io.File(s"$dir/embeddings.parquet")
+        if (!success.exists() || success.lastModified() < src.lastModified())
           Similarity.writeIvfIndex(em, idxPath, nlist = 8)
         val queries = em.filter(col("vec_id") < 5)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))

@@ -299,14 +299,19 @@ object Dedup {
       threshold: Double, nlist: Int = 16, maxCell: Int = 10000,
       trainFraction: Double = 1.0): DataFrame = {
     val cents = Similarity.trainCentroids(df, vecCol, nlist, trainFraction)
-    val assigned0 = fanOut(df.select(col(idCol), col(vecCol)))
-      .select(col(idCol), col(vecCol),
-        Similarity.nearestCell(col(vecCol), cents).as("cell"))
+    val assigned0 = df.select(col(idCol), col(vecCol),
+      Similarity.nearestCell(col(vecCol), cents).as("cell"))
     // cell cap via a ≤nlist-row aggregate broadcast back — a window
     // count would drag every VECTOR through a per-cell sort instead
+    // (the aggregate recomputes the scan-and-assign map, no shuffle)
     val ok = assigned0.groupBy("cell").agg(count(lit(1)).as("__n"))
       .filter(col("__n") <= maxCell).select("cell")
+    // ONE explicit exchange of (id, vec, cell) by cell; both self-join
+    // sides project above this same canonical subtree, so ReuseExchange
+    // computes the assignment once and the join adds no shuffle of its
+    // own — the vectors cross the wire exactly once.
     val assigned = assigned0.join(broadcast(ok), Seq("cell"))
+      .repartition(col("cell"))
     val l = assigned.select(col("cell"), col(idCol).as("id1"),
       col(vecCol).as("__v1"))
     val r = assigned.select(col("cell"), col(idCol).as("id2"),

@@ -211,7 +211,19 @@ object Similarity {
       if (trainFraction < 1.0)
         corpus.sample(withReplacement = false, trainFraction, 42L)
       else corpus
-    val collected = sampled
+    // Cap the collect WITHOUT a partition-order prefix: limit() alone
+    // would take the first splits — on a topic-clustered layout that
+    // trains every centroid in one region of the space. When the
+    // (sampled) corpus exceeds the cap, thin it with a seeded Bernoulli
+    // sample to ~2× the cap first (count() on parquet is
+    // metadata-cheap), so the limit cuts a RANDOM subset, not a prefix.
+    val n = sampled.count()
+    val thinned =
+      if (n > maxTrainRows)
+        sampled.sample(withReplacement = false,
+          math.min(1.0, 2.0 * maxTrainRows / n), 4242L)
+      else sampled
+    val collected = thinned
       .select(col(vecCol).cast("array<float>"))
       .limit(maxTrainRows).collect()
       .map(_.getSeq[Float](0).toArray).filter(_.nonEmpty)

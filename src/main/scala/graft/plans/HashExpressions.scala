@@ -572,7 +572,21 @@ case class PairCombosExpr(child: Expression) extends UnaryExpression
   override def prettyName: String = "pair_combos"
 
   override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+    val arr0 = v.asInstanceOf[ArrayData]
+    // Null elements are DROPPED, as the composable transform+filter
+    // form dropped them (a null id compares to nothing): the Long fast
+    // path would otherwise unbox them to a phantom id 0, the generic
+    // path would NPE in the interpreted ordering.
+    val arr: ArrayData = {
+      val n0 = arr0.numElements()
+      var hasNull = false
+      var i = 0
+      while (i < n0 && !hasNull) { hasNull = arr0.isNullAt(i); i += 1 }
+      if (!hasNull) arr0
+      else new GenericArrayData(
+        (0 until n0).filterNot(arr0.isNullAt)
+          .map(j => arr0.get(j, elemType)).toArray)
+    }
     val n = arr.numElements()
     val total = n.toLong * (n - 1) / 2
     require(total <= Int.MaxValue, s"$prettyName: bucket of $n ids overflows")

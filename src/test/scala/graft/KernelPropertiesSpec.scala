@@ -258,6 +258,17 @@ class KernelPropertiesSpec extends AnyFunSuite {
       // canonical orientation: every emitted pair is (smaller, larger)
       pairs(0).foreach { case (a, b) => assert(a < b) }
     }
+    // null ids are dropped, not unboxed to 0 / NPE'd (SQL callers can
+    // hand the kernel arrays with nulls)
+    val withNulls = spark.sql(
+      "SELECT pair_combos(array(2L, CAST(NULL AS BIGINT), 1L)) AS p")
+    graft.plans.GraftExtensions.register(spark)
+    val np = withNulls.head().getSeq[org.apache.spark.sql.Row](0)
+      .map(p => (p.getLong(0), p.getLong(1)))
+    assert(np == Seq((1L, 2L)))
+    assert(spark.sql("SELECT pair_combos(array('b', CAST(NULL AS STRING)))")
+      .head().getSeq[org.apache.spark.sql.Row](0).isEmpty)
+
     val strRows = Seq.fill(40)(
       Seq.fill(rnd.nextInt(6))(s"s${rnd.nextInt(5)}"))
     val sdf = strRows.toDF("ids")
