@@ -429,6 +429,74 @@ object QueriesPipeline {
           len(list_filter(qv, x -> abs(x) = 127)) AS n_sat
         FROM q""")),
 
+    // Distributed PCA, step 1: the d×d population covariance from ONE
+    // pass (typed aggregator buffers (n, sum[d], upper-tri products) —
+    // map-side partials, zero vector shuffle). Products of identical
+    // float→double casts differ across engines only in summation order;
+    // round(…,6) absorbs the ~1e-13 associativity drift (n=5k, unit-ish
+    // values, same contract as q_text_bm25).
+    "q_embed_pca_cov" -> Entry(
+      (s, dir) => {
+        val stats = t(s, dir, "embeddings")
+          .agg(graft.operators.Embeddings.cov_stats(col("embedding"))
+            .as("s"))
+        val d = size(col("sums"))
+        stats
+          .select(col("s.n").as("n"), col("s.sum").as("sums"),
+            posexplode(col("s.prod")).as(Seq("pos", "sp")))
+          .withColumn("i", floor(col("pos") / d).cast("long"))
+          .withColumn("j", pmod(col("pos"), d).cast("long"))
+          .filter(col("i") <= col("j"))
+          .select(col("i"), col("j"),
+            round(col("sp") / col("n") -
+              (element_at(col("sums"), (col("i") + 1).cast("int")) / col("n")) *
+              (element_at(col("sums"), (col("j") + 1).cast("int")) / col("n")),
+              6).as("cov"))
+      },
+      Some("""WITH v AS (
+          SELECT vec_id, embedding AS e FROM embeddings
+          WHERE embedding IS NOT NULL AND len(embedding) > 0
+        ), dims AS (
+          SELECT vec_id, i, cast(e[i+1] AS double) AS x
+          FROM v, unnest(range(0, len(e))) AS t(i)
+        ), stats AS (SELECT count(*) AS n FROM v),
+        means AS (SELECT i, sum(x) AS s FROM dims GROUP BY 1),
+        pairs AS (
+          SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS sp
+          FROM dims a JOIN dims b USING (vec_id) WHERE a.i <= b.i
+          GROUP BY 1, 2)
+        SELECT cast(p.i AS bigint) AS i, cast(p.j AS bigint) AS j,
+          round(p.sp / n - (ma.s / n) * (mb.s / n), 6) AS cov
+        FROM pairs p, stats
+        JOIN means ma ON ma.i = p.i
+        JOIN means mb ON mb.i = p.j""")),
+
+    // Distributed PCA, step 2: Jacobi eigenbasis of that covariance
+    // (driver-side, d×d-bounded) + corpus projection through the native
+    // codegen'd mat_project kernel. DuckDB has no eigensolver, so this
+    // is rows-only; EmbeddingsSpec pins orthonormality, variance
+    // ordering, and kernel ≡ manual projection.
+    "q_embed_pca" -> Entry(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val model = graft.operators.Embeddings.fitPca(emb, "embedding", 4)
+        graft.operators.Embeddings.pcaProject(emb, "embedding", model)
+          .select(col("vec_id"),
+            transform(col("pca"), x => round(x, 3)).as("pca"))
+      },
+      None),
+
+    // Cluster-balanced (diversity) sampling: k-means cells +
+    // deterministic per-cell cap — the anti-mode-collapse sampler for
+    // dense semantic regions. Centroids are data-derived (no DuckDB
+    // replay), so rows-only; EmbeddingsSpec pins cap/determinism.
+    "q_embed_balanced" -> Entry(
+      (s, dir) => graft.operators.Embeddings
+        .balancedSample(t(s, dir, "embeddings"), "embedding", "vec_id",
+          nlist = 8, perCell = 40)
+        .select(col("vec_id"), col("cell")),
+      None),
+
     // Sequence packing: docs → consecutive 4096-token training bins via
     // the two-phase distributed prefix sum (operators/Pack.scala — no
     // global single-partition window). Bin assignment is pure window
@@ -1111,6 +1179,54 @@ object QueriesPipeline {
           FROM words, unnest(range(1, len(ws))) AS t(i))
         SELECT b AS bigram, count(*) AS n FROM bg GROUP BY 1
         ORDER BY n DESC, bigram LIMIT 25""")),
+
+    // Frequency-ranked vocabulary: top-200 whitespace tokens with
+    // deterministic (count desc, word asc) rank ids. TakeOrdered cut +
+    // rank window bounded by V, not the corpus (operators/Corpus.scala
+    // buildVocab).
+    "q_vocab_topk" -> Entry(
+      (s, dir) => Corpus.buildVocab(t(s, dir, "documents"), "text", 200),
+      Some("""WITH flat AS (
+          SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+            AS w
+          FROM documents)
+        SELECT w AS word, cast(count(*) AS bigint) AS n,
+          cast(row_number() OVER (ORDER BY count(*) DESC, w ASC) AS bigint)
+            AS id
+        FROM flat GROUP BY w ORDER BY n DESC, word LIMIT 200""")),
+
+    // Token-id encoding of every document against that vocabulary
+    // (OOV → 0, order-preserving). Spark looks ids up via a BROADCAST
+    // hash join on the exploded token stream (O(1)/token in codegen);
+    // the oracle replays it with a DuckDB map. The reassembly shuffle
+    // carries (doc_id, pos, id) — ~16 bytes/token, never text.
+    "q_tokens_encode" -> Entry(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Corpus.encodeTokens(docs, "doc_id", "text",
+          Corpus.buildVocab(docs, "text", 500))
+          // arrays hash engine-dependently in the driver compare;
+          // serialize the id sequence (order preserved)
+          .select(col("doc_id"),
+            array_join(col("token_ids"), " ").as("token_ids"))
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+')
+            AS ws
+          FROM documents
+        ), flat AS (SELECT unnest(ws) AS w FROM toks
+        ), vocab AS (
+          SELECT w AS word,
+            cast(row_number() OVER (ORDER BY count(*) DESC, w ASC)
+              AS bigint) AS id
+          FROM flat GROUP BY w ORDER BY count(*) DESC, w LIMIT 500
+        ), vmap AS (
+          SELECT map(list(word ORDER BY id), list(id ORDER BY id)) AS m
+          FROM vocab)
+        SELECT doc_id,
+          array_to_string(list_transform(ws,
+            t -> coalesce(map_extract(m, t)[1], 0)), ' ') AS token_ids
+        FROM toks, vmap""")),
 
     // PII scrubbing: emails / IPv4s / phone-shaped runs → typed tokens,
     // with per-class counts. The corpus has no organic PII, so the query

@@ -321,4 +321,48 @@ object Corpus {
       .agg(round(avg(log(col("c").cast("double") /
         col("tot").cast("double"))), 3).as("avg_lp"))
   }
+
+  /** Frequency-ranked vocabulary over whitespace tokens of the
+    * lowercased corpus: (word, n, id) with id = 1-based rank by
+    * (count desc, word asc) — the deterministic tie-break makes the
+    * vocabulary identical across engines and reruns. The global count
+    * is one map-side-combined aggregate; the top-V cut is a
+    * TakeOrdered (per-partition heaps + driver merge, never a global
+    * sort of the full vocabulary); only the ≤V survivors pass through
+    * the single-partition rank window, which is bounded by the
+    * requested vocabulary size, not the corpus. */
+  def buildVocab(docs: DataFrame, textCol: String, vocabSize: Int)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs
+      .select(explode(split(trim(lower(col(textCol))), "\\s+")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word").asc)
+      .limit(vocabSize)
+      .withColumn("id", row_number()
+        .over(Window.orderBy(col("n").desc, col("word").asc)).cast("long"))
+  }
+
+  /** Encode each document as its vocabulary-id sequence
+    * (out-of-vocabulary → 0), preserving token order. The lookup is a
+    * BROADCAST hash join against the exploded (id, pos, token) stream —
+    * O(1) per token inside codegen, where a map-literal `element_at`
+    * would linear-scan the vocabulary per token. Re-assembly shuffles
+    * (id, pos, token_id) rows — ~16 bytes per token, never the text —
+    * then sorts within each document row-locally. */
+  def encodeTokens(docs: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame, outCol: String = "token_ids"): DataFrame = {
+    val toks = docs.select(col(idCol),
+      posexplode(split(trim(lower(col(textCol))), "\\s+"))
+        .as(Seq("pos", "tok")))
+    toks
+      .join(broadcast(vocab.select(col("word"), col("id"))),
+        toks("tok") === col("word"), "left")
+      .select(col(idCol), col("pos"),
+        coalesce(col("id"), lit(0L)).as("tid"))
+      .groupBy(col(idCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("tid")))),
+        s => s.getField("tid")).as(outCol))
+  }
 }

@@ -108,4 +108,218 @@ object Embeddings {
     df.join(broadcast(centroids(df, groupCol, vecCol)), groupCol)
       .withColumn("centroid_sim",
         Similarity.cosine(col(vecCol).cast("array<double>"), col("centroid")))
+
+  // ---- distributed PCA ------------------------------------------------
+
+  /** One-pass second-moment statistics of an embedding column:
+    * count, per-dimension sum, and the FULL d×d raw-product matrix
+    * (row-major `prod(i*d + j) = Σ v_i·v_j`). The aggregation buffer
+    * carries only the upper triangle (d·(d+1)/2 doubles) and mirrors
+    * it on finish, so the shuffle for the whole corpus is
+    * |partitions| × ~4·d² bytes — at d=1024 that is ~4 MB per map-side
+    * partial and ZERO vector rows. Covariance and PCA both derive from
+    * this single pass. */
+  final case class CovStats(n: Long, sum: Seq[Double], prod: Seq[Double])
+
+  /** (count, sum[d], upper-triangle products[d(d+1)/2]) buffer. */
+  final case class CovAcc(n: Long, sum: Array[Double], tri: Array[Double])
+
+  val covAggregator: Aggregator[Seq[Float], CovAcc, CovStats] =
+    new Aggregator[Seq[Float], CovAcc, CovStats] {
+      override def zero: CovAcc =
+        CovAcc(0L, Array.emptyDoubleArray, Array.emptyDoubleArray)
+      override def reduce(acc: CovAcc, v: Seq[Float]): CovAcc =
+        if (v == null || v.isEmpty) acc
+        else {
+          val d = v.length
+          val a =
+            if (acc.n == 0L) CovAcc(0L, new Array[Double](d),
+              new Array[Double](d * (d + 1) / 2))
+            else {
+              require(d == acc.sum.length,
+                s"embedding length drift: $d vs ${acc.sum.length}")
+              acc
+            }
+          val x = new Array[Double](d)
+          var i = 0
+          while (i < d) { x(i) = v(i).toDouble; i += 1 }
+          var t = 0
+          i = 0
+          while (i < d) {
+            a.sum(i) += x(i)
+            var j = i
+            while (j < d) { a.tri(t) += x(i) * x(j); j += 1; t += 1 }
+            i += 1
+          }
+          CovAcc(a.n + 1L, a.sum, a.tri)
+        }
+      override def merge(a: CovAcc, b: CovAcc): CovAcc =
+        if (a.n == 0L) b
+        else if (b.n == 0L) a
+        else {
+          require(a.sum.length == b.sum.length,
+            s"embedding length drift: ${b.sum.length} vs ${a.sum.length}")
+          var i = 0
+          while (i < a.sum.length) { a.sum(i) += b.sum(i); i += 1 }
+          i = 0
+          while (i < a.tri.length) { a.tri(i) += b.tri(i); i += 1 }
+          CovAcc(a.n + b.n, a.sum, a.tri)
+        }
+      override def finish(acc: CovAcc): CovStats = {
+        val d = acc.sum.length
+        val full = new Array[Double](d * d)
+        var t = 0
+        var i = 0
+        while (i < d) {
+          var j = i
+          while (j < d) {
+            full(i * d + j) = acc.tri(t)
+            full(j * d + i) = acc.tri(t)
+            j += 1; t += 1
+          }
+          i += 1
+        }
+        CovStats(acc.n, acc.sum.toSeq, full.toSeq)
+      }
+      override def bufferEncoder: Encoder[CovAcc] = Encoders.product[CovAcc]
+      override def outputEncoder: Encoder[CovStats] =
+        Encoders.product[CovStats]
+    }
+
+  /** The covariance-stats aggregator as an untyped column function. */
+  def cov_stats: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udaf(covAggregator)
+
+  /** Fitted PCA basis: per-dimension mean, top-k eigenvalues
+    * (descending), and k unit-norm principal components (rows,
+    * sign-canonicalized so each row's largest-|x| entry is positive —
+    * eigenvector sign is otherwise arbitrary and would make reruns
+    * non-deterministic). */
+  final case class PcaModel(mean: Array[Double],
+      eigenvalues: Array[Double], components: Array[Array[Double]])
+
+  /** Fit PCA over a float-embedding column in ONE distributed pass:
+    * the corpus reduces to [[CovStats]] (map-side partials, no vector
+    * shuffle), the d×d population covariance `prod/n − mean·meanᵀ` is
+    * assembled on the driver (d² doubles — bounded by dimension, not
+    * rows), and a cyclic Jacobi eigensolver extracts the basis.
+    * Jacobi on a symmetric d×d is exact to machine precision and
+    * deterministic; d ≤ a few thousand keeps it well under a second,
+    * which covers every embedding model in practice. */
+  def fitPca(df: DataFrame, vecCol: String, k: Int): PcaModel = {
+    val row = df.agg(cov_stats(col(vecCol)).as("s"))
+      .selectExpr("s.n", "s.sum", "s.prod").head()
+    val n = row.getLong(0)
+    require(n > 0, "fitPca: no non-empty vectors")
+    val sum = row.getSeq[Double](1).toArray
+    val prod = row.getSeq[Double](2).toArray
+    val d = sum.length
+    val mean = sum.map(_ / n)
+    val cov = Array.tabulate(d, d)((i, j) =>
+      prod(i * d + j) / n - mean(i) * mean(j))
+    val (evals, evecs) = jacobiEigen(cov)
+    val kk = math.min(k, d)
+    val comps = Array.tabulate(kk) { r =>
+      val v = evecs(r)
+      // sign canon: largest-|x| entry positive
+      var bi = 0
+      var i = 1
+      while (i < d) { if (math.abs(v(i)) > math.abs(v(bi))) bi = i; i += 1 }
+      if (v(bi) < 0) v.map(-_) else v
+    }
+    PcaModel(mean, evals.take(kk), comps)
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix (public
+    * textbook algorithm — Golub & Van Loan §8.5). Returns
+    * (eigenvalues, eigenvectors-as-rows), sorted by eigenvalue
+    * descending. O(d³) per sweep, converges in ~log(d) sweeps; runs on
+    * the driver over the d×d covariance only. */
+  private[graft] def jacobiEigen(m: Array[Array[Double]],
+      maxSweeps: Int = 64, tol: Double = 1e-14)
+      : (Array[Double], Array[Array[Double]]) = {
+    val d = m.length
+    val a = Array.tabulate(d, d)((i, j) => m(i)(j))
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < maxSweeps && off > tol) {
+      off = 0.0
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          off += a(p)(q) * a(p)(q)
+          if (math.abs(a(p)(q)) > tol * 1e-2) {
+            // Jacobi rotation zeroing a(p)(q)
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+            // stable tan of the rotation: t = sign(θ)/(|θ|+√(θ²+1))
+            val t =
+              if (theta >= 0) 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+              else 1.0 / (theta - math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var i = 0
+            while (i < d) {
+              val aip = a(i)(p); val aiq = a(i)(q)
+              a(i)(p) = c * aip - s * aiq
+              a(i)(q) = s * aip + c * aiq
+              i += 1
+            }
+            i = 0
+            while (i < d) {
+              val api = a(p)(i); val aqi = a(q)(i)
+              a(p)(i) = c * api - s * aqi
+              a(q)(i) = s * api + c * aqi
+              val vip = v(i)(p); val viq = v(i)(q)
+              v(i)(p) = c * vip - s * viq
+              v(i)(q) = s * vip + c * viq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    val order = (0 until d).sortBy(i => -a(i)(i))
+    (order.map(i => a(i)(i)).toArray,
+      order.map(i => Array.tabulate(d)(r => v(r)(i))).toArray)
+  }
+
+  /** Project an embedding column onto a fitted PCA basis:
+    * out[r] = Σ_d (v[d] − mean[d]) · comp[r][d], as `array<double>`.
+    * Row-local via the native codegen'd `mat_project` kernel (an
+    * interpreted higher-order-function form costs ~µs per element;
+    * the kernel is one JVM call per row) — projection is a pure scan,
+    * no shuffle, and composes with quantized storage via
+    * [[dequantize]]. */
+  def pcaProject(df: DataFrame, vecCol: String, model: PcaModel,
+      outCol: String = "pca"): DataFrame =
+    df.withColumn(outCol,
+      graft.plans.HashExpressions.mat_project(col(vecCol), model.mean,
+        model.components.flatten))
+
+  // ---- cluster-balanced sampling --------------------------------------
+
+  /** Cluster-balanced (diversity) sampling: k-means cells over the
+    * embedding space, then at most `perCell` rows kept per cell in
+    * deterministic md5(id) order. Down-weights dense semantic regions
+    * that dominate uniform samples of web-scale corpora.
+    *
+    * Scale shape: centroids train on a bounded sorted sample
+    * (driver-local Lloyd's, deterministic — [[Similarity.trainCentroids]]),
+    * assignment is a codegen'd scan against centroid literals, and the
+    * per-cell cap is a WindowGroupLimit top-n that truncates BELOW the
+    * exchange — the shuffle carries at most nlist·perCell rows per
+    * partition, never the corpus. */
+  def balancedSample(df: DataFrame, vecCol: String, idCol: String,
+      nlist: Int, perCell: Int): DataFrame = {
+    val cents = Similarity.trainCentroids(df, vecCol, nlist)
+    val assigned = df.withColumn("cell",
+      Similarity.nearestCell(col(vecCol), cents))
+    Corpus.capPerGroup(assigned, "cell",
+      Seq(md5(col(idCol).cast("string")), col(idCol)), perCell)
+  }
 }

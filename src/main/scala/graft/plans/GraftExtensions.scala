@@ -82,7 +82,33 @@ object GraftExtensions {
         TopKAggExpr(es(0), es(1), intLit(es(2), "top_k_agg"))
           .toAggregateExpression()),
     ("pair_combos", classOf[PairCombosExpr].getName,
-      (es: Seq[Expression]) => PairCombosExpr(es.head)))
+      (es: Seq[Expression]) => PairCombosExpr(es.head)),
+    ("mat_project", classOf[MatProjectExpr].getName,
+      (es: Seq[Expression]) => MatProjectExpr(es(0),
+        doubleArrayLit(es(1), "mat_project"),
+        doubleArrayLit(es(2), "mat_project"))))
+
+  /** The projection basis must be a FOLDABLE array<double> in SQL —
+    * `mat_project(vec, cast(array(…) as array<double>), …)` — because
+    * it becomes a codegen reference object, not a per-row input.
+    * (Bare SQL float literals parse as decimals; the cast is on the
+    * caller.) */
+  private def doubleArrayLit(e: Expression, fn: String): Array[Double] = {
+    val ok = e.foldable && (e.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType, _) => true
+      case _ => false
+    })
+    if (!ok) throw new IllegalArgumentException(
+      s"$fn expects foldable array<double> basis arguments " +
+        "(cast(array(...) as array<double>))")
+    e.eval() match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+        a.toDoubleArray()
+      case _ => throw new IllegalArgumentException(
+        s"$fn basis argument evaluated to null")
+    }
+  }
 
   /** Register the same functions + optimizer rule on an already-built
     * session (extraOptimizations is the post-build hook for rules). */

@@ -311,6 +311,48 @@ object HashKernels {
     while (j < 64) { if (votes(j) > 0) sig |= (1L << j); j += 1 }
     sig
   }
+
+  /** Mean-centered matrix projection (the PCA-transform hot loop):
+    * out[r] = Σ_i (v[i] − mean[i]) · mat[r·d + i], k = mat.length/d
+    * output rows. One primitive loop per row inside codegen; null (not
+    * an exception) on dimension drift so a bad row poisons itself, not
+    * the stage. */
+  def matProjectFloat(vec: ArrayData, mean: Array[Double],
+      mat: Array[Double]): ArrayData = {
+    val d = vec.numElements()
+    if (d == 0 || d != mean.length || mat.length % d != 0) return null
+    val k = mat.length / d
+    val out = new Array[Double](k)
+    var r = 0
+    while (r < k) {
+      val base = r * d
+      var s = 0.0
+      var i = 0
+      while (i < d) { s += (vec.getFloat(i) - mean(i)) * mat(base + i); i += 1 }
+      out(r) = s
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** [[matProjectFloat]] for array<double> inputs (no narrowing). */
+  def matProjectDouble(vec: ArrayData, mean: Array[Double],
+      mat: Array[Double]): ArrayData = {
+    val d = vec.numElements()
+    if (d == 0 || d != mean.length || mat.length % d != 0) return null
+    val k = mat.length / d
+    val out = new Array[Double](k)
+    var r = 0
+    while (r < k) {
+      val base = r * d
+      var s = 0.0
+      var i = 0
+      while (i < d) { s += (vec.getDouble(i) - mean(i)) * mat(base + i); i += 1 }
+      out(r) = s
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 case class MinHashSigExpr(child: Expression, k: Int) extends UnaryExpression {
@@ -442,6 +484,62 @@ case class CosineSimExpr(left: Expression, right: Expression)
   * plane `offset + i`, so multi-band signatures can span more than 64
   * planes while each ≤64-bit slice stays bit-identical to the packed
   * form. */
+/** Native mean-centered matrix projection over a float- or double-array
+  * column (see [[HashKernels.matProjectFloat]]): the PCA/random-
+  * projection transform as one codegen'd primitive loop per row. The
+  * basis (mean, row-major k×d matrix) rides the plan as reference
+  * objects — broadcast once per executor with the task binary, never
+  * per row. Element type is picked at analysis; no implicit narrowing
+  * (same rule as [[CosineSimExpr]]). */
+case class MatProjectExpr(child: Expression, mean: Array[Double],
+    mat: Array[Double]) extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+
+  private def isDouble: Boolean = child.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  private def kernel: String =
+    if (isDouble) "matProjectDouble" else "matProjectFloat"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      if (mean.nonEmpty && mat.length % mean.length == 0)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName basis shape: |mat| (${mat.length}) must be a " +
+          s"positive multiple of |mean| (${mean.length})")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float> or array<double>, got ${t.sql}; " +
+        "cast explicitly")
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "mat_project"
+
+  override def nullSafeEval(v: Any): Any =
+    if (isDouble)
+      HashKernels.matProjectDouble(v.asInstanceOf[ArrayData], mean, mat)
+    else
+      HashKernels.matProjectFloat(v.asInstanceOf[ArrayData], mean, mat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val meanRef = ctx.addReferenceObj("matProjMean", mean, "double[]")
+    val matRef = ctx.addReferenceObj("matProjMat", mat, "double[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+      Object r = graft.plans.HashKernels.$kernel($c, $meanRef, $matRef);
+      if (r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) r; }
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class HyperplaneSigExpr(child: Expression, bits: Int, offset: Int = 0)
     extends UnaryExpression {
   import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
@@ -658,4 +756,7 @@ object HashExpressions {
     column(HyperplaneBandSigsExpr(expression(vec), bands, bitsPerBand))
   def pair_combos(ids: Column): Column =
     column(PairCombosExpr(expression(ids)))
+  def mat_project(vec: Column, mean: Array[Double], mat: Array[Double])
+      : Column =
+    column(MatProjectExpr(expression(vec), mean, mat))
 }

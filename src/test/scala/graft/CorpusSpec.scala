@@ -207,4 +207,31 @@ class CorpusSpec extends AnyFunSuite {
     assert(h.nonEmpty, "containment produced no pairs at sf0.001")
     assert(h == s, "64-bit hashed shingles diverged from string shingles")
   }
+
+  test("buildVocab: deterministic rank by (count desc, word asc)") {
+    val docs = Seq(
+      (1L, "b b b a a c"), (2L, "a c d"), (3L, "B A")
+    ).toDF("doc_id", "text")
+    val v = Corpus.buildVocab(docs, "text", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // counts: a=4, b=4, c=2, d=1 → a beats b on the word tie-break
+    assert(v.toSeq == Seq(("a", 4L, 1L), ("b", 4L, 2L), ("c", 2L, 3L)))
+  }
+
+  test("encodeTokens: order preserved, OOV → 0, rerun-stable") {
+    val docs = Seq(
+      (1L, "b a zzz b"), (2L, "c a"), (3L, "")
+    ).toDF("doc_id", "text")
+    val vocab = Corpus.buildVocab(docs, "text", 3)
+    def enc() = Corpus.encodeTokens(docs, "doc_id", "text", vocab)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    val e = enc()
+    // counts: a=2, b=2, c=1, ""=1 → vocab a=1, b=2, plus one of ("", c)
+    assert(e(1L).take(2) == List(2L, 1L) && e(1L)(2) == 0L
+      && e(1L)(3) == 2L, s"doc1 encoded ${e(1L)}")
+    // vocab cut: the count-1 tie goes to "" (word asc), so doc2's c is OOV
+    assert(e(2L) == List(0L, 1L), s"doc2 encoded ${e(2L)}")
+    assert(e(3L).length == 1) // empty text → single empty-string token
+    assert(enc() == e, "not rerun-stable")
+  }
 }

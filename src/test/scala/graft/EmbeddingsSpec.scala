@@ -79,4 +79,139 @@ class EmbeddingsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("scale") == 1.0)
     assert(r.getSeq[Byte](r.fieldIndex("qvec")).toList == List(0, 0, 0))
   }
+
+  // ---- PCA -----------------------------------------------------------
+
+  test("jacobiEigen: known symmetric matrices to machine precision") {
+    // diag(3,1) rotated 45°: eigenvalues {3,1}, eigenvectors (1,1)/(1,-1)
+    val (ev, vecs) = Embeddings.jacobiEigen(
+      Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    assert(math.abs(ev(0) - 3.0) < 1e-12 && math.abs(ev(1) - 1.0) < 1e-12)
+    assert(math.abs(math.abs(vecs(0)(0)) - math.sqrt(0.5)) < 1e-12)
+    // already-diagonal input: identity basis, sorted values
+    val (ev2, vecs2) = Embeddings.jacobiEigen(
+      Array(Array(1.0, 0.0, 0.0), Array(0.0, 5.0, 0.0),
+        Array(0.0, 0.0, 2.0)))
+    assert(ev2.toSeq == Seq(5.0, 2.0, 1.0))
+    assert(math.abs(math.abs(vecs2(0)(1)) - 1.0) < 1e-12)
+  }
+
+  test("covariance aggregator equals brute force at any partitioning") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (1 to 97).map(_ => Seq.fill(5)(rnd.nextFloat()))
+    val brute = {
+      val n = vecs.size
+      val d = 5
+      val mean = Array.tabulate(d)(i => vecs.map(_(i).toDouble).sum / n)
+      Array.tabulate(d, d)((i, j) =>
+        vecs.map(v => v(i).toDouble * v(j).toDouble).sum / n
+          - mean(i) * mean(j))
+    }
+    for (parts <- Seq(1, 7)) {
+      val row = vecs.toDF("embedding").repartition(parts)
+        .agg(Embeddings.cov_stats(col("embedding")).as("s"))
+        .selectExpr("s.n", "s.sum", "s.prod").head()
+      val n = row.getLong(0)
+      val sum = row.getSeq[Double](1)
+      val prod = row.getSeq[Double](2)
+      assert(n == 97L)
+      for (i <- 0 until 5; j <- 0 until 5) {
+        val cov = prod(i * 5 + j) / n - (sum(i) / n) * (sum(j) / n)
+        assert(math.abs(cov - brute(i)(j)) < 1e-9,
+          s"cov($i,$j) at $parts partitions")
+      }
+    }
+  }
+
+  test("fitPca: planted principal direction recovered, basis orthonormal") {
+    // points spread along (1,1,0)/√2 with small noise in other dims
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 400).map { _ =>
+      val a = rnd.nextGaussian() * 10.0
+      val e1 = rnd.nextGaussian() * 0.1
+      val e2 = rnd.nextGaussian() * 0.1
+      Seq((a / math.sqrt(2) + e1).toFloat, (a / math.sqrt(2) - e1).toFloat,
+        e2.toFloat)
+    }.toDF("embedding")
+    val m = Embeddings.fitPca(df, "embedding", 3)
+    // eigenvalues descending; top component ≈ ±(1,1,0)/√2
+    assert(m.eigenvalues(0) > m.eigenvalues(1))
+    assert(m.eigenvalues(1) >= m.eigenvalues(2))
+    val c0 = m.components(0)
+    val dot = (c0(0) + c0(1)) / math.sqrt(2)
+    assert(math.abs(math.abs(dot) - 1.0) < 0.01,
+      s"top component ${c0.toSeq} not along (1,1,0)")
+    // rows orthonormal
+    for (r <- m.components) {
+      val norm = math.sqrt(r.map(x => x * x).sum)
+      assert(math.abs(norm - 1.0) < 1e-9)
+    }
+    val cross = m.components(0).zip(m.components(1)).map {
+      case (a, b) => a * b }.sum
+    assert(math.abs(cross) < 1e-9, "components not orthogonal")
+    // sign canon: largest-|x| entry positive
+    assert(m.components.forall(r => r(r.zipWithIndex.maxBy(
+      p => math.abs(p._1))._2) > 0))
+  }
+
+  test("mat_project kernel equals manual projection; null on drift") {
+    val model = Embeddings.PcaModel(
+      mean = Array(1.0, 2.0),
+      eigenvalues = Array(1.0),
+      components = Array(Array(0.6, 0.8), Array(-0.8, 0.6)))
+    val df = Seq((1L, Seq(3.0f, 4.0f)), (2L, Seq(1.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Embeddings.pcaProject(df, "embedding", model)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](2)).toMap
+    // (3-1, 4-2)·(0.6, 0.8) = 2.8 ; ·(-0.8, 0.6) = -0.4
+    assert(out(1L).zip(Seq(2.8, -0.4)).forall {
+      case (a, b) => math.abs(a - b) < 1e-9 })
+    assert(out(2L).zip(Seq(0.0, 0.0)).forall {
+      case (a, b) => math.abs(a - b) < 1e-9 })
+    // dimension drift → null row, not a stage failure
+    val drift = Seq((3L, Seq(1.0f, 2.0f, 3.0f)))
+      .toDF("vec_id", "embedding")
+    val r = Embeddings.pcaProject(drift, "embedding", model).head()
+    assert(r.isNullAt(2))
+  }
+
+  test("projected variance along component k equals eigenvalue k") {
+    val rnd = new scala.util.Random(23)
+    val df = (1 to 300).map(_ => Seq.fill(4)(rnd.nextGaussian().toFloat))
+      .toDF("embedding")
+    val m = Embeddings.fitPca(df, "embedding", 2)
+    val proj = Embeddings.pcaProject(df, "embedding", m)
+      .select(col("pca")).collect().map(_.getSeq[Double](0))
+    for (k <- 0 until 2) {
+      val xs = proj.map(_(k))
+      val mu = xs.sum / xs.size
+      val v = xs.map(x => (x - mu) * (x - mu)).sum / xs.size
+      assert(math.abs(v - m.eigenvalues(k)) < 1e-6,
+        s"component $k variance $v vs eigenvalue ${m.eigenvalues(k)}")
+    }
+  }
+
+  test("balancedSample: per-cell cap respected, deterministic, subset") {
+    val rnd = new scala.util.Random(5)
+    // two dense clusters + sparse noise
+    val rows = (1L to 300L).map { i =>
+      val base = if (i % 3 == 0) Array(5.0f, 5.0f)
+        else if (i % 3 == 1) Array(-5.0f, 5.0f)
+        else Array(rnd.nextFloat() * 20 - 10, rnd.nextFloat() * 20 - 10)
+      (i, Seq(base(0) + rnd.nextFloat() * 0.1f,
+        base(1) + rnd.nextFloat() * 0.1f))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val s1 = Embeddings.balancedSample(df, "embedding", "vec_id",
+      nlist = 4, perCell = 10)
+    val got = s1.select(col("vec_id"), col("cell")).collect()
+    val perCell = got.groupBy(_.getInt(1)).view.mapValues(_.length)
+    assert(perCell.values.forall(_ <= 10), s"cap violated: $perCell")
+    assert(got.map(_.getLong(0)).toSet.subsetOf(rows.map(_._1).toSet))
+    // deterministic across reruns
+    val s2 = Embeddings.balancedSample(df, "embedding", "vec_id",
+      nlist = 4, perCell = 10)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(s2 == got.map(_.getLong(0)).toSet)
+  }
 }

@@ -260,9 +260,9 @@ class KernelPropertiesSpec extends AnyFunSuite {
     }
     // null ids are dropped, not unboxed to 0 / NPE'd (SQL callers can
     // hand the kernel arrays with nulls)
+    graft.plans.GraftExtensions.register(spark)
     val withNulls = spark.sql(
       "SELECT pair_combos(array(2L, CAST(NULL AS BIGINT), 1L)) AS p")
-    graft.plans.GraftExtensions.register(spark)
     val np = withNulls.head().getSeq[org.apache.spark.sql.Row](0)
       .map(p => (p.getLong(0), p.getLong(1)))
     assert(np == Seq((1L, 2L)))
@@ -334,5 +334,33 @@ class KernelPropertiesSpec extends AnyFunSuite {
       HashExpressions.hyperplane_band_sigs(
         col("v").cast("array<double>"), bands, bits).as("d")).collect()
     d.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
+  test("mat_project: SQL ≡ column API, double ≡ float, basis validated") {
+    val spark = SparkTestSession.spark
+    import org.apache.spark.sql.functions._
+    import graft.plans.HashExpressions
+    import spark.implicits._
+    val mean = Array(0.5, -0.5)
+    val mat = Array(1.0, 2.0, 3.0, 4.0) // 2×2 row-major
+    val df = Seq((1L, Seq(2.0f, 1.0f))).toDF("id", "v")
+    val api = df.select(
+      HashExpressions.mat_project(col("v"), mean, mat)).head().getSeq[Double](0)
+    assert(api == Seq(1.5 * 1.0 + 1.5 * 2.0, 1.5 * 3.0 + 1.5 * 4.0))
+    val dbl = df.select(HashExpressions.mat_project(
+      col("v").cast("array<double>"), mean, mat)).head().getSeq[Double](0)
+    assert(dbl == api)
+    graft.plans.GraftExtensions.register(spark)
+    df.createOrReplaceTempView("matproj_in")
+    val sql = spark.sql(
+      """SELECT mat_project(v, cast(array(0.5, -0.5) as array<double>),
+        cast(array(1.0, 2.0, 3.0, 4.0) as array<double>)) AS p
+        FROM matproj_in""").head().getSeq[Double](0)
+    assert(sql == api)
+    // non-foldable basis rejected with a clear message
+    val err = intercept[Exception] {
+      spark.sql("SELECT mat_project(v, v, v) FROM matproj_in").collect()
+    }
+    assert(err.getMessage.contains("foldable array<double>"))
   }
 }

@@ -202,4 +202,30 @@ class PlanAssertionsSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("literal int"))
   }
+
+  test("q_tokens_encode looks ids up via broadcast join, never sort-merge") {
+    val p = plan("q_tokens_encode")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q_vocab_topk cuts the vocabulary with TakeOrdered, not a global sort") {
+    val p = plan("q_vocab_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q_embed_pca_cov partial-aggregates the moment buffers map-side") {
+    assert(plan("q_embed_pca_cov").contains("partial_"))
+  }
+
+  test("q_embed_pca projection is a zero-Exchange codegen scan") {
+    val p = plan("q_embed_pca")
+    assert(p.contains("mat_project"))
+    assert(!p.contains("Exchange"),
+      "PCA projection must be a pure map — no shuffle")
+  }
+
+  test("q_embed_balanced caps cells below the exchange (WindowGroupLimit)") {
+    assert(plan("q_embed_balanced").contains("WindowGroupLimit"))
+  }
 }
