@@ -327,6 +327,38 @@ object QueriesPipeline {
         SELECT doc_id, round(avg(ln(c / tot)), 3) AS avg_lp
         FROM w JOIN v USING (w), tot GROUP BY doc_id""")),
 
+    // Bigram-LM quality score: mean log P(w₂|w₁) under the corpus's own
+    // bigram model — word salad has plausible unigrams but improbable
+    // bigrams. Difference-of-sums form: the prefix and bigram streams
+    // score independently, each with its own Zipf-head broadcast split
+    // (headVocab = 16 exercises both the broadcast and shuffled legs;
+    // exact at any setting — CorpusSpec pins 0 ≡ 16).
+    "q_quality_bigram_lp" -> Entry(
+      (s, dir) => graft.operators.Corpus
+        .bigramLogProb(t(s, dir, "documents"), "doc_id", "text",
+          headVocab = 16),
+      Some("""WITH words AS (
+          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+')
+            AS ws
+          FROM documents
+        ), base AS (SELECT doc_id, ws FROM words WHERE len(ws) >= 2),
+        pref AS (
+          SELECT doc_id, ws[i] AS w
+          FROM base, unnest(range(1, len(ws))) AS t(i)
+        ), bg AS (
+          SELECT doc_id, ws[i] || ' ' || ws[i+1] AS b
+          FROM base, unnest(range(1, len(ws))) AS t(i)
+        ), c1 AS (SELECT w, count(*) AS c FROM pref GROUP BY 1),
+        c2 AS (SELECT b, count(*) AS c FROM bg GROUP BY 1),
+        s1 AS (
+          SELECT doc_id, sum(ln(c)) AS sl1, count(*) AS n
+          FROM pref JOIN c1 USING (w) GROUP BY 1
+        ), s2 AS (
+          SELECT doc_id, sum(ln(c)) AS sl2
+          FROM bg JOIN c2 USING (b) GROUP BY 1)
+        SELECT doc_id, round((sl2 - sl1) / n, 3) AS avg_lp2
+        FROM s1 JOIN s2 USING (doc_id)""")),
+
     // Per-label embedding centroids (typed vector-sum Aggregator —
     // map-side partials of one (sum[64], n) buffer per label) + cosine
     // of every vector to its own centroid: the semantic-outlier /
@@ -484,6 +516,19 @@ object QueriesPipeline {
           .select(col("vec_id"),
             transform(col("pca"), x => round(x, 3)).as("pca"))
       },
+      None),
+
+    // Johnson–Lindenstrauss random projection 64 → 16 dims through the
+    // same zero-Exchange mat_project kernel as PCA — the cheap
+    // dimensionality cut before ANN/near-dup at 100 TB. Matrix is
+    // seed-deterministic but Gaussian-generated (no DuckDB replay), so
+    // rows-only; EmbeddingsSpec pins determinism + norm preservation.
+    "q_embed_rproj" -> Entry(
+      (s, dir) => graft.operators.Embeddings
+        .randomProject(t(s, dir, "embeddings"), "embedding",
+          inDim = 64, outDim = 16)
+        .select(col("vec_id"),
+          transform(col("rp"), x => round(x, 3)).as("rp")),
       None),
 
     // Cluster-balanced (diversity) sampling: k-means cells +

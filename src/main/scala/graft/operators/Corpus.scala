@@ -322,6 +322,52 @@ object Corpus {
         col("tot").cast("double"))), 3).as("avg_lp"))
   }
 
+  /** Bigram language-model quality score: per document, the mean
+    * log-probability of its bigrams under the corpus's own bigram LM,
+    * avg log P(w₂|w₁) = (Σ log c₂(w₁w₂) − Σ log c₁(w₁)) / n_bigrams
+    * — the next step up from [[unigramLogProb]] for incoherent-text
+    * detection (word salad has plausible unigrams but improbable
+    * bigrams). Documents with fewer than two tokens carry no bigram
+    * and are excluded.
+    *
+    * The difference-of-sums form scores the prefix stream and the
+    * bigram stream INDEPENDENTLY, so each join gets its own
+    * Zipf-head split (same design as [[unigramLogProb]]): the top
+    * `headVocab` keys by count broadcast, the long tail — tiny
+    * per-key by construction — takes the shuffled join. Exact at any
+    * setting; 0 disables the split. */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+      headVocab: Int = 0): DataFrame = {
+    // head-split join of an exploded key stream against its own counts
+    def scored(stream: DataFrame, k: String): DataFrame = {
+      val counts = stream.groupBy(col(k)).agg(count(lit(1)).as("c"))
+      if (headVocab <= 0) stream.join(counts, k)
+      else {
+        val head = broadcast(
+          counts.orderBy(col("c").desc, col(k)).limit(headVocab))
+        stream.join(head, k).unionByName(
+          stream.join(head.select(col(k)), Seq(k), "left_anti")
+            .join(counts, k))
+      }
+    }
+    val base = docs
+      .select(col(idCol), col(textCol),
+        split(trim(lower(col(textCol))), "\\s+").as("ws"))
+      .filter(size(col("ws")) >= 2)
+    val pref = base.select(col(idCol),
+      explode(slice(col("ws"), lit(1), size(col("ws")) - 1)).as("w"))
+    val bg = base.select(col(idCol), explode(
+      graft.functions.Text.word_shingles(col(textCol), 2)).as("b"))
+    val s1 = scored(pref, "w").groupBy(col(idCol))
+      .agg(sum(log(col("c").cast("double"))).as("sl1"),
+        count(lit(1)).as("n_bg"))
+    val s2 = scored(bg, "b").groupBy(col(idCol))
+      .agg(sum(log(col("c").cast("double"))).as("sl2"))
+    s1.join(s2, idCol)
+      .select(col(idCol),
+        round((col("sl2") - col("sl1")) / col("n_bg"), 3).as("avg_lp2"))
+  }
+
   /** Frequency-ranked vocabulary over whitespace tokens of the
     * lowercased corpus: (word, n, id) with id = 1-based rank by
     * (count desc, word asc) — the deterministic tie-break makes the

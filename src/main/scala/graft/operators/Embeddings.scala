@@ -301,6 +301,24 @@ object Embeddings {
       graft.plans.HashExpressions.mat_project(col(vecCol), model.mean,
         model.components.flatten))
 
+  /** Johnson–Lindenstrauss random projection to `outDim` dimensions —
+    * the cheap pre-ANN/pre-dedup dimensionality cut when PCA's extra
+    * pass isn't warranted. The Gaussian matrix is generated
+    * deterministically from `seed` on the driver (outDim×d doubles,
+    * scaled 1/√outDim so expected norms are preserved) and applied via
+    * the same zero-Exchange codegen'd kernel as [[pcaProject]] — at
+    * 100 TB the projection is a pure scan, and the matrix rides the
+    * plan, not the data. */
+  def randomProject(df: DataFrame, vecCol: String, inDim: Int,
+      outDim: Int, seed: Long = 42L, outCol: String = "rp"): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val mat = Array.fill(outDim * inDim)(
+      rnd.nextGaussian() / math.sqrt(outDim.toDouble))
+    df.withColumn(outCol,
+      graft.plans.HashExpressions.mat_project(col(vecCol),
+        new Array[Double](inDim), mat))
+  }
+
   // ---- cluster-balanced sampling --------------------------------------
 
   /** Cluster-balanced (diversity) sampling: k-means cells over the

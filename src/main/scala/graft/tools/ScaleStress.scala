@@ -257,6 +257,43 @@ object ScaleStress {
         f"$tIvf%8.1f $rLsh%7.3f $rIvf%7.3f")
       vecs.unpersist(); exact.unpersist(); lsh.unpersist(); ivf.unpersist()
     }
+
+    // Embedding/encoding ops drill: PCA fit is ONE aggregate whose
+    // shuffle is |partitions| moment buffers (corpus-size-independent);
+    // projection and encoding are scans, so both must scale ~linearly
+    // in rows; balanced sampling adds one capped cell shuffle. The
+    // interesting failure mode at N× would be the vocab broadcast or
+    // the collect_list reassembly blowing up — neither depends on
+    // copies here (same text distribution), so t_enc ~ N× t_enc(1).
+    import graft.operators.Embeddings
+    println(f"\n${"copies"}%8s ${"vecs"}%9s ${"t_fit"}%7s ${"t_proj"}%7s " +
+      f"${"docs"}%9s ${"t_enc"}%7s ${"t_bal"}%7s")
+    for (copies <- Seq(1, maxScale)
+        if which == "all" || which == "embops") {
+      val vecs = embCorpus(spark, dir, copies).cache()
+      val nVecs = vecs.count()
+      var model: Embeddings.PcaModel = null
+      val tFit = timed {
+        model = Embeddings.fitPca(vecs, "embedding", 8)
+      }
+      val tProj = timed {
+        Embeddings.pcaProject(vecs, "embedding", model)
+          .select(col("pca")).count()
+      }
+      val docs = corpus(spark, dir, copies).cache()
+      val nDocs = docs.count()
+      val tEnc = timed {
+        Corpus.encodeTokens(docs, "doc_id", "text",
+          Corpus.buildVocab(docs, "text", 5000)).count()
+      }
+      val tBal = timed {
+        Embeddings.balancedSample(vecs, "embedding", "vec_id",
+          nlist = math.max(8, (nVecs / 250).toInt), perCell = 100).count()
+      }
+      println(f"$copies%8d $nVecs%9d $tFit%7.1f $tProj%7.1f " +
+        f"$nDocs%9d $tEnc%7.1f $tBal%7.1f")
+      vecs.unpersist(); docs.unpersist()
+    }
     spark.stop()
   }
 }

@@ -208,6 +208,30 @@ class CorpusSpec extends AnyFunSuite {
     assert(h == s, "64-bit hashed shingles diverged from string shingles")
   }
 
+  test("bigramLogProb: hand-computed scores; head split is exact") {
+    // corpus: "a b", "a b", "a c" → bigram counts: "a b"=2, "a c"=1;
+    // prefix counts: a=3. lp("a b") = ln(2)-ln(3); lp("a c") = ln(1)-ln(3)
+    val docs = Seq(
+      (1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "solo")
+    ).toDF("doc_id", "text")
+    val out = Corpus.bigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val lnAB = math.log(2.0 / 3.0)
+    val lnAC = math.log(1.0 / 3.0)
+    assert(math.abs(out(1L) - math.rint(lnAB * 1000) / 1000) < 1e-9)
+    assert(out(1L) == out(2L))
+    assert(math.abs(out(3L) - math.rint(lnAC * 1000) / 1000) < 1e-9)
+    assert(!out.contains(4L), "single-token doc must carry no bigram")
+    // Zipf-head split exactness on real text at several cuts
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def scores(h: Int) = Corpus.bigramLogProb(real, "doc_id", "text", h)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val base = scores(0)
+    assert(base.nonEmpty)
+    assert(scores(3) == base && scores(64) == base,
+      "head-broadcast split changed bigram scores")
+  }
+
   test("buildVocab: deterministic rank by (count desc, word asc)") {
     val docs = Seq(
       (1L, "b b b a a c"), (2L, "a c d"), (3L, "B A")

@@ -191,6 +191,30 @@ class EmbeddingsSpec extends AnyFunSuite {
     }
   }
 
+  test("randomProject: deterministic, norm-preserving in expectation") {
+    val rnd = new scala.util.Random(31)
+    val df = (1L to 200L).map(i =>
+      (i, Seq.fill(64)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    def proj() = Embeddings.randomProject(df, "embedding", 64, 32)
+      .select(col("vec_id"), col("rp")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val p = proj()
+    assert(p.values.forall(_.length == 32))
+    assert(proj() == p, "projection not deterministic")
+    // JL: E‖Rv‖² = ‖v‖²; the MEAN ratio over 200 vectors concentrates
+    val orig = df.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(x => x.toDouble * x).sum).toMap
+    val ratios = p.map { case (id, v) =>
+      v.map(x => x * x).sum / orig(id) }
+    val meanRatio = ratios.sum / ratios.size
+    assert(math.abs(meanRatio - 1.0) < 0.15,
+      s"mean norm ratio $meanRatio drifted from 1")
+    // different seed ⇒ different projection
+    val q = Embeddings.randomProject(df, "embedding", 64, 32, seed = 7L)
+      .orderBy(col("vec_id")).select(col("rp")).head().getSeq[Double](0)
+    assert(q != p(1L))
+  }
+
   test("balancedSample: per-cell cap respected, deterministic, subset") {
     val rnd = new scala.util.Random(5)
     // two dense clusters + sparse noise
