@@ -300,23 +300,31 @@ object Corpus {
     * the heavy keys); only the long tail, whose per-key cardinality is
     * tiny by construction, takes the shuffled join. Exact at any
     * setting; 0 disables the split (fine below ~1B docs). */
+  /** Join an exploded key stream against its own counts with the
+    * Zipf-head split: the top-`headVocab` keys by count broadcast
+    * (map-side join for the heavy keys), the long tail — tiny per-key
+    * by construction — takes the shuffled join. Exact at any setting;
+    * `headVocab` ≤ 0 is a plain shuffled join. Output = stream + `c`. */
+  private def headSplitCounts(stream: DataFrame, k: String,
+      headVocab: Int): DataFrame = {
+    val counts = stream.groupBy(col(k)).agg(count(lit(1)).as("c"))
+    if (headVocab <= 0) stream.join(counts, k)
+    else {
+      val head = broadcast(
+        counts.orderBy(col("c").desc, col(k)).limit(headVocab))
+      stream.join(head, k).unionByName(
+        stream.join(head.select(col(k)), Seq(k), "left_anti")
+          .join(counts, k))
+    }
+  }
+
   def unigramLogProb(docs: DataFrame, idCol: String, textCol: String,
       headVocab: Int = 0): DataFrame = {
     val words = docs.select(col(idCol),
       explode(split(trim(lower(col(textCol))), "\\s+")).as("w"))
-    val vocab = words.groupBy(col("w")).agg(count(lit(1)).as("c"))
-    val total = vocab.agg(sum(col("c")).as("tot"))
-    val scored =
-      if (headVocab <= 0) words.join(vocab, "w")
-      else {
-        val head = broadcast(
-          vocab.orderBy(col("c").desc, col("w")).limit(headVocab))
-        val headHit = words.join(head, "w")
-        val tailHit = words.join(head.select(col("w")), Seq("w"),
-          "left_anti").join(vocab, "w")
-        headHit.unionByName(tailHit)
-      }
-    scored.crossJoin(broadcast(total))
+    val total = words.agg(count(lit(1)).as("tot"))
+    headSplitCounts(words, "w", headVocab)
+      .crossJoin(broadcast(total))
       .groupBy(col(idCol))
       .agg(round(avg(log(col("c").cast("double") /
         col("tot").cast("double"))), 3).as("avg_lp"))
@@ -332,36 +340,27 @@ object Corpus {
     *
     * The difference-of-sums form scores the prefix stream and the
     * bigram stream INDEPENDENTLY, so each join gets its own
-    * Zipf-head split (same design as [[unigramLogProb]]): the top
-    * `headVocab` keys by count broadcast, the long tail — tiny
-    * per-key by construction — takes the shuffled join. Exact at any
-    * setting; 0 disables the split. */
+    * Zipf-head split ([[headSplitCounts]], shared with
+    * [[unigramLogProb]]). Both streams come from the SAME tokenizer —
+    * the native shingle kernel (`word_shingles(text, 1)` is the token
+    * array, `word_shingles(text, 2)` its bigrams), so prefix counts
+    * and bigram counts align on every input, including texts with
+    * control whitespace where a separate regex split would disagree
+    * with the kernel's normalization. */
   def bigramLogProb(docs: DataFrame, idCol: String, textCol: String,
       headVocab: Int = 0): DataFrame = {
-    // head-split join of an exploded key stream against its own counts
-    def scored(stream: DataFrame, k: String): DataFrame = {
-      val counts = stream.groupBy(col(k)).agg(count(lit(1)).as("c"))
-      if (headVocab <= 0) stream.join(counts, k)
-      else {
-        val head = broadcast(
-          counts.orderBy(col("c").desc, col(k)).limit(headVocab))
-        stream.join(head, k).unionByName(
-          stream.join(head.select(col(k)), Seq(k), "left_anti")
-            .join(counts, k))
-      }
-    }
     val base = docs
-      .select(col(idCol), col(textCol),
-        split(trim(lower(col(textCol))), "\\s+").as("ws"))
+      .select(col(idCol),
+        graft.functions.Text.word_shingles(col(textCol), 1).as("ws"),
+        graft.functions.Text.word_shingles(col(textCol), 2).as("bs"))
       .filter(size(col("ws")) >= 2)
     val pref = base.select(col(idCol),
       explode(slice(col("ws"), lit(1), size(col("ws")) - 1)).as("w"))
-    val bg = base.select(col(idCol), explode(
-      graft.functions.Text.word_shingles(col(textCol), 2)).as("b"))
-    val s1 = scored(pref, "w").groupBy(col(idCol))
+    val bg = base.select(col(idCol), explode(col("bs")).as("b"))
+    val s1 = headSplitCounts(pref, "w", headVocab).groupBy(col(idCol))
       .agg(sum(log(col("c").cast("double"))).as("sl1"),
         count(lit(1)).as("n_bg"))
-    val s2 = scored(bg, "b").groupBy(col(idCol))
+    val s2 = headSplitCounts(bg, "b", headVocab).groupBy(col(idCol))
       .agg(sum(log(col("c").cast("double"))).as("sl2"))
     s1.join(s2, idCol)
       .select(col(idCol),
@@ -398,9 +397,12 @@ object Corpus {
     * then sorts within each document row-locally. */
   def encodeTokens(docs: DataFrame, idCol: String, textCol: String,
       vocab: DataFrame, outCol: String = "token_ids"): DataFrame = {
+    // null text encodes like empty text ([0], the OOV id) — posexplode
+    // of a null array emits no rows, which would silently DROP the
+    // document from the encoded corpus
     val toks = docs.select(col(idCol),
-      posexplode(split(trim(lower(col(textCol))), "\\s+"))
-        .as(Seq("pos", "tok")))
+      posexplode(split(trim(lower(coalesce(col(textCol), lit("")))),
+        "\\s+")).as(Seq("pos", "tok")))
     toks
       .join(broadcast(vocab.select(col("word"), col("id"))),
         toks("tok") === col("word"), "left")

@@ -241,16 +241,25 @@ object Embeddings {
     val d = m.length
     val a = Array.tabulate(d, d)((i, j) => m(i)(j))
     val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    // tolerances RELATIVE to the matrix scale: an absolute cutoff
+    // either never converges (entries ~1e12 floor their off-diagonals
+    // at ‖A‖·ε ≫ tol) or never rotates (entries ~1e-18 all sit below
+    // it despite meaningful relative structure)
+    var scale = 0.0
+    for (i <- 0 until d; j <- 0 until d)
+      scale = math.max(scale, math.abs(a(i)(j)))
+    val offTol = tol * tol * scale * scale * d * d
+    val rotTol = tol * scale
     var sweep = 0
     var off = Double.MaxValue
-    while (sweep < maxSweeps && off > tol) {
+    while (sweep < maxSweeps && off > offTol) {
       off = 0.0
       var p = 0
       while (p < d - 1) {
         var q = p + 1
         while (q < d) {
           off += a(p)(q) * a(p)(q)
-          if (math.abs(a(p)(q)) > tol * 1e-2) {
+          if (math.abs(a(p)(q)) > rotTol) {
             // Jacobi rotation zeroing a(p)(q)
             val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
             // stable tan of the rotation: t = sign(θ)/(|θ|+√(θ²+1))
@@ -339,5 +348,6 @@ object Embeddings {
       Similarity.nearestCell(col(vecCol), cents))
     Corpus.capPerGroup(assigned, "cell",
       Seq(md5(col(idCol).cast("string")), col(idCol)), perCell)
+      .drop("rnk") // capPerGroup's working column, not part of the contract
   }
 }

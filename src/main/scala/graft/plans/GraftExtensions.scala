@@ -93,7 +93,7 @@ object GraftExtensions {
     * it becomes a codegen reference object, not a per-row input.
     * (Bare SQL float literals parse as decimals; the cast is on the
     * caller.) */
-  private def doubleArrayLit(e: Expression, fn: String): Array[Double] = {
+  private def doubleArrayLit(e: Expression, fn: String): Seq[Double] = {
     val ok = e.foldable && (e.dataType match {
       case org.apache.spark.sql.types.ArrayType(
         org.apache.spark.sql.types.DoubleType, _) => true
@@ -104,7 +104,7 @@ object GraftExtensions {
         "(cast(array(...) as array<double>))")
     e.eval() match {
       case a: org.apache.spark.sql.catalyst.util.ArrayData =>
-        a.toDoubleArray()
+        a.toDoubleArray().toIndexedSeq
       case _ => throw new IllegalArgumentException(
         s"$fn basis argument evaluated to null")
     }

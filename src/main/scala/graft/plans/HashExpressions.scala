@@ -477,13 +477,6 @@ case class CosineSimExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** All-planes-in-one-pass random-hyperplane signature (see
-  * [[HashKernels.hyperplaneSig]]). Float and double arrays each get a
-  * full-precision kernel; other element types fail analysis (same
-  * no-silent-narrowing rule as [[CosineSimExpr]]). Bit i uses global
-  * plane `offset + i`, so multi-band signatures can span more than 64
-  * planes while each ≤64-bit slice stays bit-identical to the packed
-  * form. */
 /** Native mean-centered matrix projection over a float- or double-array
   * column (see [[HashKernels.matProjectFloat]]): the PCA/random-
   * projection transform as one codegen'd primitive loop per row. The
@@ -491,8 +484,14 @@ case class CosineSimExpr(left: Expression, right: Expression)
   * objects — broadcast once per executor with the task binary, never
   * per row. Element type is picked at analysis; no implicit narrowing
   * (same rule as [[CosineSimExpr]]). */
-case class MatProjectExpr(child: Expression, mean: Array[Double],
-    mat: Array[Double]) extends UnaryExpression {
+case class MatProjectExpr(child: Expression, mean: Seq[Double],
+    mat: Seq[Double]) extends UnaryExpression {
+  // Seq (value equality) in the case-class signature so two identical
+  // projections are semanticEquals — array params would compare by
+  // reference and defeat subexpression elimination; primitive arrays
+  // for the kernel/codegen hot path.
+  private val meanArr: Array[Double] = mean.toArray
+  private val matArr: Array[Double] = mat.toArray
   import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 
   private def isDouble: Boolean = child.dataType match {
@@ -520,13 +519,13 @@ case class MatProjectExpr(child: Expression, mean: Array[Double],
 
   override def nullSafeEval(v: Any): Any =
     if (isDouble)
-      HashKernels.matProjectDouble(v.asInstanceOf[ArrayData], mean, mat)
+      HashKernels.matProjectDouble(v.asInstanceOf[ArrayData], meanArr, matArr)
     else
-      HashKernels.matProjectFloat(v.asInstanceOf[ArrayData], mean, mat)
+      HashKernels.matProjectFloat(v.asInstanceOf[ArrayData], meanArr, matArr)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val meanRef = ctx.addReferenceObj("matProjMean", mean, "double[]")
-    val matRef = ctx.addReferenceObj("matProjMat", mat, "double[]")
+    val meanRef = ctx.addReferenceObj("matProjMean", meanArr, "double[]")
+    val matRef = ctx.addReferenceObj("matProjMat", matArr, "double[]")
     nullSafeCodeGen(ctx, ev, c => {
       s"""
       Object r = graft.plans.HashKernels.$kernel($c, $meanRef, $matRef);
@@ -540,6 +539,13 @@ case class MatProjectExpr(child: Expression, mean: Array[Double],
     copy(child = newChild)
 }
 
+/** All-planes-in-one-pass random-hyperplane signature (see
+  * [[HashKernels.hyperplaneSig]]). Float and double arrays each get a
+  * full-precision kernel; other element types fail analysis (same
+  * no-silent-narrowing rule as [[CosineSimExpr]]). Bit i uses global
+  * plane `offset + i`, so multi-band signatures can span more than 64
+  * planes while each ≤64-bit slice stays bit-identical to the packed
+  * form. */
 case class HyperplaneSigExpr(child: Expression, bits: Int, offset: Int = 0)
     extends UnaryExpression {
   import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
@@ -758,5 +764,5 @@ object HashExpressions {
     column(PairCombosExpr(expression(ids)))
   def mat_project(vec: Column, mean: Array[Double], mat: Array[Double])
       : Column =
-    column(MatProjectExpr(expression(vec), mean, mat))
+    column(MatProjectExpr(expression(vec), mean.toIndexedSeq, mat.toIndexedSeq))
 }
