@@ -518,6 +518,31 @@ object QueriesPipeline {
       },
       None),
 
+    // Incremental PCA: raw moments are ADDITIVE, so each batch appends
+    // ONE (n, Σv, Σvvᵀ) row to a persisted stats store and the fit
+    // folds the rows — a growing corpus never rescans old batches
+    // (same incremental pattern as the dedup fingerprint index). Here:
+    // two half-corpus batches → fold → WHITENED projection (unit
+    // variance per component, spec-pinned). Eigen is driver-side, so
+    // rows-only; EmbeddingsSpec pins two-batch ≡ one-shot.
+    "q_embed_pca_inc" -> Entry(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val p = s"${System.getProperty("java.io.tmpdir")}" +
+          s"/graft_moments_${Integer.toHexString(dir.hashCode)}"
+        graft.operators.Embeddings.appendMomentStats(
+          emb.filter(col("vec_id") % 2 === 0), "embedding", p,
+          overwrite = true)
+        graft.operators.Embeddings.appendMomentStats(
+          emb.filter(col("vec_id") % 2 === 1), "embedding", p)
+        val m = graft.operators.Embeddings.fitPcaFromStats(s, p, 4)
+        graft.operators.Embeddings
+          .pcaProject(emb, "embedding", m, whiten = true)
+          .select(col("vec_id"),
+            transform(col("pca"), x => round(x, 3)).as("pca"))
+      },
+      None),
+
     // Johnson–Lindenstrauss random projection 64 → 16 dims through the
     // same zero-Exchange mat_project kernel as PCA — the cheap
     // dimensionality cut before ANN/near-dup at 100 TB. Matrix is

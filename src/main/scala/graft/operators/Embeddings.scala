@@ -209,10 +209,15 @@ object Embeddings {
   def fitPca(df: DataFrame, vecCol: String, k: Int): PcaModel = {
     val row = df.agg(cov_stats(col(vecCol)).as("s"))
       .selectExpr("s.n", "s.sum", "s.prod").head()
-    val n = row.getLong(0)
+    fitFromMoments(row.getLong(0), row.getSeq[Double](1).toArray,
+      row.getSeq[Double](2).toArray, k)
+  }
+
+  /** The driver-side tail of [[fitPca]]: covariance from raw moments,
+    * Jacobi eigenbasis, top-k with sign canonicalization. */
+  private def fitFromMoments(n: Long, sum: Array[Double],
+      prod: Array[Double], k: Int): PcaModel = {
     require(n > 0, "fitPca: no non-empty vectors")
-    val sum = row.getSeq[Double](1).toArray
-    val prod = row.getSeq[Double](2).toArray
     val d = sum.length
     val mean = sum.map(_ / n)
     val cov = Array.tabulate(d, d)((i, j) =>
@@ -228,6 +233,51 @@ object Embeddings {
       if (v(bi) < 0) v.map(-_) else v
     }
     PcaModel(mean, evals.take(kk), comps)
+  }
+
+  /** Append one batch's raw moment statistics (n, Σv, Σvvᵀ row-major)
+    * to a persisted stats store — moments are ADDITIVE, so a PCA over
+    * a growing corpus never rescans old batches: each ingest appends
+    * ONE tiny row (d + d² doubles), and [[fitPcaFromStats]] folds
+    * however many rows have accumulated. Same incremental pattern as
+    * the dedup fingerprint index. */
+  def appendMomentStats(df: DataFrame, vecCol: String, path: String,
+      overwrite: Boolean = false): Unit =
+    df.agg(cov_stats(col(vecCol)).as("s"))
+      .selectExpr("s.n AS n", "s.sum AS sum", "s.prod AS prod")
+      .write.mode(if (overwrite) "overwrite" else "append").parquet(path)
+
+  /** Fit PCA from the persisted moment store: reads one row per
+    * appended batch (driver collect bounded by batch COUNT, not corpus
+    * size), folds the additive moments, and reuses the [[fitPca]]
+    * eigen tail. Result is identical to a single-pass fit over the
+    * union of all batches up to float-summation order. */
+  def fitPcaFromStats(spark: org.apache.spark.sql.SparkSession,
+      path: String, k: Int): PcaModel = {
+    val rows = spark.read.parquet(path)
+      .selectExpr("n", "sum", "prod").collect()
+    require(rows.nonEmpty, s"fitPcaFromStats: no stats rows at $path")
+    var n = 0L
+    var sum: Array[Double] = null
+    var prod: Array[Double] = null
+    rows.foreach { r =>
+      val bn = r.getLong(0)
+      if (bn > 0L) {
+        val bs = r.getSeq[Double](1)
+        val bp = r.getSeq[Double](2)
+        if (sum == null) { sum = bs.toArray; prod = bp.toArray }
+        else {
+          require(bs.length == sum.length,
+            s"moment-stats dimension drift: ${bs.length} vs ${sum.length}")
+          var i = 0
+          while (i < sum.length) { sum(i) += bs(i); i += 1 }
+          i = 0
+          while (i < prod.length) { prod(i) += bp(i); i += 1 }
+        }
+        n += bn
+      }
+    }
+    fitFromMoments(n, sum, prod, k)
   }
 
   /** Cyclic Jacobi eigendecomposition of a symmetric matrix (public
@@ -305,10 +355,19 @@ object Embeddings {
     * no shuffle, and composes with quantized storage via
     * [[dequantize]]. */
   def pcaProject(df: DataFrame, vecCol: String, model: PcaModel,
-      outCol: String = "pca"): DataFrame =
+      outCol: String = "pca", whiten: Boolean = false): DataFrame = {
+    val mat =
+      if (!whiten) model.components.flatten
+      else model.components.zip(model.eigenvalues).flatMap {
+        // unit variance per component: rows scaled 1/√λ (λ floored at
+        // machine-noise scale so near-null directions don't explode)
+        case (row, ev) =>
+          val s = 1.0 / math.sqrt(math.max(ev, 1e-12))
+          row.map(_ * s)
+      }
     df.withColumn(outCol,
-      graft.plans.HashExpressions.mat_project(col(vecCol), model.mean,
-        model.components.flatten))
+      graft.plans.HashExpressions.mat_project(col(vecCol), model.mean, mat))
+  }
 
   /** Johnson–Lindenstrauss random projection to `outDim` dimensions —
     * the cheap pre-ANN/pre-dedup dimensionality cut when PCA's extra

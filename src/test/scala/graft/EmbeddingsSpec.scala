@@ -191,6 +191,44 @@ class EmbeddingsSpec extends AnyFunSuite {
     }
   }
 
+  test("whitened projection has unit variance per component") {
+    val rnd = new scala.util.Random(41)
+    // anisotropic cloud: dim 0 stretched 5×
+    val df = (1 to 300).map { _ =>
+      Seq((rnd.nextGaussian() * 5).toFloat, rnd.nextGaussian().toFloat,
+        rnd.nextGaussian().toFloat)
+    }.toDF("embedding")
+    val m = Embeddings.fitPca(df, "embedding", 2)
+    val proj = Embeddings.pcaProject(df, "embedding", m, whiten = true)
+      .select(col("pca")).collect().map(_.getSeq[Double](0))
+    for (k <- 0 until 2) {
+      val xs = proj.map(_(k))
+      val mu = xs.sum / xs.size
+      val v = xs.map(x => (x - mu) * (x - mu)).sum / xs.size
+      assert(math.abs(v - 1.0) < 1e-6,
+        s"whitened component $k variance $v != 1")
+    }
+  }
+
+  test("incremental moment stats: two appended batches ≡ one-shot fit") {
+    val rnd = new scala.util.Random(43)
+    val all = (1 to 240).map(_ => Seq.fill(6)(rnd.nextGaussian().toFloat))
+    val (a, b) = all.splitAt(100)
+    val path = java.nio.file.Files
+      .createTempDirectory("moments").toString + "/stats"
+    Embeddings.appendMomentStats(a.toDF("embedding"), "embedding", path)
+    Embeddings.appendMomentStats(b.toDF("embedding"), "embedding", path)
+    val inc = Embeddings.fitPcaFromStats(spark, path, 3)
+    val one = Embeddings.fitPca(all.toDF("embedding"), "embedding", 3)
+    inc.eigenvalues.zip(one.eigenvalues).foreach { case (x, y) =>
+      assert(math.abs(x - y) < 1e-9, s"eigenvalue drift: $x vs $y") }
+    inc.mean.zip(one.mean).foreach { case (x, y) =>
+      assert(math.abs(x - y) < 1e-12) }
+    inc.components.zip(one.components).foreach { case (ci, co) =>
+      ci.zip(co).foreach { case (x, y) =>
+        assert(math.abs(x - y) < 1e-7, "component drift") } }
+  }
+
   test("randomProject: deterministic, norm-preserving in expectation") {
     val rnd = new scala.util.Random(31)
     val df = (1L to 200L).map(i =>
