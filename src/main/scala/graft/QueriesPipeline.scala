@@ -1250,6 +1250,27 @@ object QueriesPipeline {
         SELECT b AS bigram, count(*) AS n FROM bg GROUP BY 1
         ORDER BY n DESC, bigram LIMIT 25""")),
 
+    // Bounded-memory heavy hitters: the same top-25 bigrams as
+    // q_ngram_topk, but through the native count-min-sketch aggregate —
+    // state is O(depth·width) per partial regardless of key
+    // cardinality, the 100 TB fallback when the distinct-shingle space
+    // outgrows an exact groupBy shuffle. Estimates are
+    // hash-collision-dependent (≥ truth, ≤ truth + ε·N), so rows-only;
+    // KernelPropertiesSpec pins the bounds, partition invariance, and
+    // exactness on a wide sketch.
+    "q_ngram_topk_cms" -> Entry(
+      (s, dir) => {
+        val n = size(split(trim(col("text")), "\\s+"))
+        val bigrams = when(n >= 2, Text.word_shingles(col("text"), 2))
+          .otherwise(array().cast("array<string>"))
+        t(s, dir, "documents")
+          .select(explode(bigrams).as("bigram"))
+          .agg(graft.plans.CmsAgg.cms_topk(25)(col("bigram")).as("top"))
+          .select(explode(col("top")).as("e"))
+          .select(col("e.key").as("bigram"), col("e.est").as("n"))
+      },
+      None),
+
     // Frequency-ranked vocabulary: top-200 whitespace tokens with
     // deterministic (count desc, word asc) rank ids. TakeOrdered cut +
     // rank window bounded by V, not the corpus (operators/Corpus.scala

@@ -86,7 +86,11 @@ object GraftExtensions {
     ("mat_project", classOf[MatProjectExpr].getName,
       (es: Seq[Expression]) => MatProjectExpr(es(0),
         doubleArrayLit(es(1), "mat_project"),
-        doubleArrayLit(es(2), "mat_project"))))
+        doubleArrayLit(es(2), "mat_project"))),
+    ("cms_topk", classOf[CmsTopKExpr].getName,
+      (es: Seq[Expression]) => CmsTopKExpr(es(0),
+        intLit(es(1), "cms_topk"), intLit(es(2), "cms_topk"),
+        intLit(es(3), "cms_topk")).toAggregateExpression()))
 
   /** The projection basis must be a FOLDABLE array<double> in SQL —
     * `mat_project(vec, cast(array(…) as array<double>), …)` — because

@@ -336,6 +336,42 @@ class KernelPropertiesSpec extends AnyFunSuite {
     d.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
   }
 
+  test("cms_topk: never undercounts, exact on a wide sketch, " +
+      "partition-invariant on skewed data") {
+    val spark = SparkTestSession.spark
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // Zipf-ish: key_i appears (200 - i) times for i in 0..39 — the
+    // head is unambiguous, so the top-10 is exactly key_0..key_9
+    val rows = (0 until 40).flatMap(i => Seq.fill(200 - i)(f"key_$i%02d"))
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = rows.size.toLong
+    for (parts <- Seq(1, 7, 32)) {
+      val df = scala.util.Random.shuffle(rows).toDF("k").repartition(parts)
+      val got = df.agg(graft.plans.CmsAgg.cms_topk(10, 4, 1 << 14)(col("k"))
+          .as("top"))
+        .select(explode(col("top")).as("e"))
+        .select(col("e.key"), col("e.est"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      // wide sketch (2^14 cells, 40 keys): estimates are exact w.h.p.,
+      // and CMS can never undercount regardless
+      got.foreach { case (k, est) =>
+        assert(est >= exact(k), s"undercount for $k")
+        assert(est <= exact(k) + n / (1 << 14) * 3, s"overcount for $k")
+      }
+      assert(got.map(_._1).toSeq ==
+        (0 until 10).map(i => f"key_$i%02d"), s"top-10 order at $parts")
+    }
+    // and through SQL via the registered function
+    graft.plans.GraftExtensions.register(spark)
+    rows.toDF("k").createOrReplaceTempView("cms_in")
+    val sql = spark.sql(
+      "SELECT cms_topk(k, 3, 4, 16384) AS top FROM cms_in")
+      .select(explode(col("top")).as("e")).select(col("e.key"))
+      .collect().map(_.getString(0)).toSeq
+    assert(sql == Seq("key_00", "key_01", "key_02"))
+  }
+
   test("mat_project: SQL ≡ column API, double ≡ float, basis validated") {
     val spark = SparkTestSession.spark
     import org.apache.spark.sql.functions._
