@@ -43,6 +43,20 @@ object QueriesPipeline {
           JOIN sizes sb ON sb.doc_id = id2
           WHERE jaccard >= 0.4)"""
 
+  /** Word bigrams of a text column via the native single-pass shingle
+    * kernel, guarded to empty for sub-2-token texts (the kernel returns
+    * the whole text as one shingle there). The composable
+    * transform(sequence …) form re-ran the full text split per element
+    * inside Generate — interpreted, measured 5.7 s vs 0.3 s at sf0.1.
+    * Shared by q_ngram_topk and q_ngram_topk_cms so both count the SAME
+    * bigram set. */
+  private def bigramsOf(text: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val n = size(split(trim(text), "\\s+"))
+    when(n >= 2, Text.word_shingles(text, 2))
+      .otherwise(array().cast("array<string>"))
+  }
+
   val entries: Seq[(String, Entry)] = Seq(
 
     // ---- F-class scalar functions -----------------------------------
@@ -528,8 +542,11 @@ object QueriesPipeline {
     "q_embed_pca_inc" -> Entry(
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
-        val p = s"${System.getProperty("java.io.tmpdir")}" +
-          s"/graft_moments_${Integer.toHexString(dir.hashCode)}"
+        // per-invocation temp store: a fixed shared path would race
+        // overwrite/append/read between concurrent runs (bench +
+        // profiling shell) and silently fit on a half-written store
+        val p = java.nio.file.Files
+          .createTempDirectory("graft_moments").toString + "/stats"
         graft.operators.Embeddings.appendMomentStats(
           emb.filter(col("vec_id") % 2 === 0), "embedding", p,
           overwrite = true)
@@ -1229,14 +1246,8 @@ object QueriesPipeline {
     // never a single-partition global sort.
     "q_ngram_topk" -> Entry(
       (s, dir) => {
-        // native single-pass shingle kernel: the transform(sequence …)
-        // composable form re-ran the full text split per element inside
-        // Generate (interpreted — measured 5.7 s vs 0.3 s at sf0.1)
-        val n = size(split(trim(col("text")), "\\s+"))
-        val bigrams = when(n >= 2, Text.word_shingles(col("text"), 2))
-          .otherwise(array().cast("array<string>"))
         t(s, dir, "documents")
-          .select(explode(bigrams).as("bigram"))
+          .select(explode(bigramsOf(col("text"))).as("bigram"))
           .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("bigram").asc)
           .limit(25)
@@ -1260,11 +1271,8 @@ object QueriesPipeline {
     // exactness on a wide sketch.
     "q_ngram_topk_cms" -> Entry(
       (s, dir) => {
-        val n = size(split(trim(col("text")), "\\s+"))
-        val bigrams = when(n >= 2, Text.word_shingles(col("text"), 2))
-          .otherwise(array().cast("array<string>"))
         t(s, dir, "documents")
-          .select(explode(bigrams).as("bigram"))
+          .select(explode(bigramsOf(col("text"))).as("bigram"))
           .agg(graft.plans.CmsAgg.cms_topk(25)(col("bigram")).as("top"))
           .select(explode(col("top")).as("e"))
           .select(col("e.key").as("bigram"), col("e.est").as("n"))

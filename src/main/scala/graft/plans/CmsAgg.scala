@@ -18,21 +18,32 @@ import org.apache.spark.unsafe.types.UTF8String
   * cell — an OVERestimate by at most the colliding mass, never an
   * underestimate (standard CMS bound: ≤ ε·N with ε = e/width at
   * depth ln(1/δ)). The candidate map tracks keys seen by THIS buffer
-  * with their current estimates, pruned to `cap` by estimate whenever
-  * it overflows — the classic sketch+heap heavy-hitters layout, so
-  * memory is O(depth·width + cap) regardless of cardinality.
+  * with their last-computed estimates, pruned to `cap` whenever it
+  * overflows — the classic sketch+heap heavy-hitters layout, so
+  * memory stays O(depth·width + cap) through updates AND merges.
+  *
+  * Hot-path layout: candidates are keyed by a 64-bit hash of the key
+  * bytes, so the per-row path is hashes + a primitive-keyed map probe —
+  * the java String materializes only the first time a key enters the
+  * candidate set (a 2⁻⁶⁴-per-pair key-hash collision conflates two
+  * candidates' tracking — far below the sketch's own ε·N noise).
   */
 final class CmsBuffer(val depth: Int, val width: Int, val k: Int) {
+  final class Cand(val key: String, var est: Long)
+
   val counts = new Array[Long](depth * width)
-  val cand = new java.util.HashMap[String, Long]()
+  val cand = new java.util.HashMap[java.lang.Long, Cand]()
   val cap: Int = math.max(4 * k, 64)
+  private val OFF = org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET
 
   @inline private def cell(row: Int, bytes: Array[Byte]): Int = {
-    val h = XXH64.hashUnsafeBytes(bytes,
-      org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length,
+    val h = XXH64.hashUnsafeBytes(bytes, OFF, bytes.length,
       row.toLong * 0x9E3779B97F4A7C15L + 42L)
     (((h % width) + width) % width).toInt
   }
+
+  @inline private def keyHash(bytes: Array[Byte]): Long =
+    XXH64.hashUnsafeBytes(bytes, OFF, bytes.length, -559038737L)
 
   /** Min-over-rows estimate WITHOUT incrementing. */
   def estimate(bytes: Array[Byte]): Long = {
@@ -46,57 +57,77 @@ final class CmsBuffer(val depth: Int, val width: Int, val k: Int) {
     est
   }
 
-  def add(key: String, inc: Long): Unit = {
-    val bytes = key.getBytes(StandardCharsets.UTF_8)
+  def add(u: UTF8String): Unit = {
+    val bytes = u.getBytes
     var est = Long.MaxValue
     var r = 0
     while (r < depth) {
       val i = r * width + cell(r, bytes)
-      counts(i) += inc
+      counts(i) += 1L
       if (counts(i) < est) est = counts(i)
       r += 1
     }
-    cand.put(key, est)
-    if (cand.size > cap) prune()
+    val kh = keyHash(bytes)
+    val c = cand.get(kh)
+    if (c != null) c.est = est
+    else {
+      cand.put(kh, new Cand(u.toString, est))
+      if (cand.size > cap) { refresh(); prune() }
+    }
   }
 
-  /** Re-estimate every candidate against the current sketch (used
-    * after a merge, where the union's estimates all change). */
-  def refresh(): Unit = {
-    val it = cand.entrySet().iterator()
+  /** Union another buffer's candidate KEYS (their estimates are stale
+    * against this sketch until [[refresh]]). */
+  def unionCandidates(o: CmsBuffer): Unit = {
+    val it = o.cand.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      e.setValue(estimate(e.getKey.getBytes(StandardCharsets.UTF_8)))
+      if (!cand.containsKey(e.getKey))
+        cand.put(e.getKey, new Cand(e.getValue.key, 0L))
     }
   }
 
-  private def prune(): Unit = {
-    // keep the best `cap/2` by (est desc, key asc) — amortized O(1)/add
-    val entries = new java.util.ArrayList(cand.entrySet())
-    entries.sort { (a: java.util.Map.Entry[String, Long],
-        b: java.util.Map.Entry[String, Long]) =>
-      val c = java.lang.Long.compare(b.getValue, a.getValue)
-      if (c != 0) c else a.getKey.compareTo(b.getKey)
+  /** Re-estimate every candidate against the current sketch. Called
+    * before any estimate-ordered decision (prune, top) — NOT per
+    * merge, where estimates are write-only (a per-merge refresh would
+    * be quadratic in partial count at the final reducer). */
+  def refresh(): Unit = {
+    val it = cand.values().iterator()
+    while (it.hasNext) {
+      val c = it.next()
+      c.est = estimate(c.key.getBytes(StandardCharsets.UTF_8))
     }
+  }
+
+  /** Candidates best-first: (est desc, key asc). */
+  private def sortedCands(): java.util.ArrayList[Cand] = {
+    val entries = new java.util.ArrayList(cand.values())
+    entries.sort { (a: Cand, b: Cand) =>
+      val c = java.lang.Long.compare(b.est, a.est)
+      if (c != 0) c else a.key.compareTo(b.key)
+    }
+    entries
+  }
+
+  /** Keep the best `cap/2` candidates. Callers must [[refresh]] first
+    * if estimates may be stale. */
+  def prune(): Unit = {
+    val entries = sortedCands()
     cand.clear()
     var i = 0
     while (i < cap / 2 && i < entries.size) {
-      cand.put(entries.get(i).getKey, entries.get(i).getValue)
+      val c = entries.get(i)
+      cand.put(keyHash(c.key.getBytes(StandardCharsets.UTF_8)), c)
       i += 1
     }
   }
 
-  /** (key, est) pairs, best-first (est desc, key asc), top k. */
+  /** (key, est) pairs, best-first, top k. Refreshes first. */
   def top(): Array[(String, Long)] = {
-    val entries = new java.util.ArrayList(cand.entrySet())
-    entries.sort { (a: java.util.Map.Entry[String, Long],
-        b: java.util.Map.Entry[String, Long]) =>
-      val c = java.lang.Long.compare(b.getValue, a.getValue)
-      if (c != 0) c else a.getKey.compareTo(b.getKey)
-    }
+    refresh()
+    val entries = sortedCands()
     val n = math.min(k, entries.size)
-    Array.tabulate(n)(i =>
-      (entries.get(i).getKey, entries.get(i).getValue))
+    Array.tabulate(n)(i => (entries.get(i).key, entries.get(i).est))
   }
 }
 
@@ -105,10 +136,10 @@ final class CmsBuffer(val depth: Int, val width: Int, val k: Int) {
   * k keys by estimated count as array<struct<key, est>>. This is the
   * 100 TB answer to "top n-grams" when the exact groupBy's key space
   * (billions of distinct shingles) no longer fits a shuffle: state is
-  * O(depth·width) per partial regardless of cardinality, merge is
-  * counter addition + candidate re-estimation, and estimates
-  * overcount by at most ε·N (ε ≈ e/width) with probability 1−δ
-  * (δ ≈ e^−depth) — never undercount. The exact
+  * O(depth·width + 4k) per partial AND per merge (candidates are
+  * pruned on overflow at both stages), merge is counter addition, and
+  * estimates overcount by at most ε·N (ε ≈ e/width) with probability
+  * 1−δ (δ ≈ e^−depth) — never undercount. The exact
   * [[graft.operators.Corpus.buildVocab]] / q_ngram_topk path stays the
   * default where the key space fits; this is the bounded-memory
   * fallback, spec-pinned to agree with exact counts when the sketch is
@@ -129,21 +160,21 @@ case class CmsTopKExpr(key: Expression, k: Int, depth: Int, width: Int,
 
   override def update(b: CmsBuffer, input: InternalRow): CmsBuffer = {
     val v = key.eval(input)
-    if (v != null) b.add(v.asInstanceOf[UTF8String].toString, 1L)
+    if (v != null) b.add(v.asInstanceOf[UTF8String])
     b
   }
 
   override def merge(b: CmsBuffer, o: CmsBuffer): CmsBuffer = {
     var i = 0
     while (i < b.counts.length) { b.counts(i) += o.counts(i); i += 1 }
-    val it = o.cand.keySet().iterator()
-    while (it.hasNext) b.cand.put(it.next(), 0L)
-    b.refresh()
+    b.unionCandidates(o)
+    // keep the memory bound through a long merge chain; estimates are
+    // only ordered (refreshed) when the union actually overflows
+    if (b.cand.size > b.cap) { b.refresh(); b.prune() }
     b
   }
 
   override def eval(b: CmsBuffer): Any = {
-    b.refresh()
     val top = b.top()
     val rows = new Array[Any](top.length)
     var i = 0
@@ -158,7 +189,9 @@ case class CmsTopKExpr(key: Expression, k: Int, depth: Int, width: Int,
   }
 
   override def serialize(b: CmsBuffer): Array[Byte] = {
-    val keys = new java.util.ArrayList(b.cand.keySet())
+    val keys = new java.util.ArrayList[String]()
+    val it = b.cand.values().iterator()
+    while (it.hasNext) keys.add(it.next().key)
     var keyBytes = 0
     val bufs = new Array[Array[Byte]](keys.size)
     var i = 0
@@ -191,10 +224,13 @@ case class CmsTopKExpr(key: Expression, k: Int, depth: Int, width: Int,
       val len = bb.getInt
       val kb = new Array[Byte](len)
       bb.get(kb)
-      b.cand.put(new String(kb, StandardCharsets.UTF_8), 0L)
+      val s = new String(kb, StandardCharsets.UTF_8)
+      // estimates stay 0 (write-only) until a refresh-guarded decision
+      b.cand.put(XXH64.hashUnsafeBytes(kb,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, kb.length,
+        -559038737L), new b.Cand(s, 0L))
       i += 1
     }
-    b.refresh()
     b
   }
 

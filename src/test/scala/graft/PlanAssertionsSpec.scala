@@ -228,4 +228,10 @@ class PlanAssertionsSpec extends AnyFunSuite {
   test("q_embed_balanced caps cells below the exchange (WindowGroupLimit)") {
     assert(plan("q_embed_balanced").contains("WindowGroupLimit"))
   }
+
+  test("q_ngram_topk_cms combines sketches map-side before the exchange") {
+    val p = plan("q_ngram_topk_cms")
+    assert(p.contains("partial_cms_topk"),
+      "CMS partials must fold per map task — the whole point of the sketch")
+  }
 }
