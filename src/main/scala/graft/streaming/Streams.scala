@@ -91,6 +91,29 @@ object Streams {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** Per-window trending terms as a true stream: watermarked tumbling
+    * windows over a document stream, tokens from the native shingle
+    * kernel, and the [[graft.plans.CmsAgg]] count-min heavy-hitter
+    * aggregate. Per-window STATE is O(depth·width + 4k) no matter how
+    * many distinct terms the window sees — an exact per-term groupBy
+    * would grow streaming state with the vocabulary, which is unbounded
+    * on an open text stream. Width defaults smaller than the batch
+    * aggregate (4096 cells ≈ 128 KB/window in the state store). */
+  def trendingTerms(docs: DataFrame, textCol: String = "text",
+      win: String = "1 hour", delay: String = "10 minutes",
+      k: Int = 10, depth: Int = 4, width: Int = 1 << 12): DataFrame =
+    docs
+      .withWatermark("ts", delay)
+      .select(col("ts"), explode(
+        graft.functions.Text.word_shingles(col(textCol), 1)).as("term"))
+      .groupBy(window(col("ts"), win))
+      .agg(graft.plans.CmsAgg.cms_topk(k, depth, width)(col("term"))
+        .as("top"))
+      .select(col("window.start").as("win_start"),
+        explode(col("top")).as("e"))
+      .select(col("win_start"), col("e.key").as("term"),
+        col("e.est").as("n"))
+
   /** Gap-based sessionization as a true stream: flatMapGroupsWithState
     * with an EVENT-TIME timeout — the streaming equivalent of the batch
     * gaps-and-islands query (q_stream_sessionize), with bounded per-user

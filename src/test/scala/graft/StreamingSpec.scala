@@ -105,6 +105,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming trending terms: per-window CMS top-k matches exact " +
+      "counts on a skewed stream") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[Streams.Doc]
+    def doc(id: Long, hour: Int, text: String) = Streams.Doc(id,
+      java.sql.Timestamp.valueOf(f"2026-01-01 $hour%02d:15:00"), text)
+    // hour 10: "spark" dominates; hour 11: "flink" dominates
+    val q = Streams.trendingTerms(ms.toDF(), k = 2)
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("trend_out").start()
+    try {
+      ms.addData(
+        doc(1, 10, "spark spark spark streams"),
+        doc(2, 10, "spark joins and spark aggs"),
+        doc(3, 11, "flink flink flink windows"),
+        doc(4, 11, "flink state and spark"))
+      q.processAllAvailable()
+      val got = spark.table("trend_out")
+        .collect()
+        .map(r => (r.getTimestamp(0).toString.substring(11, 13),
+          r.getString(1), r.getLong(2)))
+        .groupBy(_._1).view
+        .mapValues(_.sortBy(e => (-e._3, e._2)).map(e => (e._2, e._3)).toSeq)
+        .toMap
+      assert(got("10").head == ("spark", 5L), s"hour 10: ${got("10")}")
+      assert(got("11").head == ("flink", 4L), s"hour 11: ${got("11")}")
+      assert(got.values.forall(_.size <= 2), "k = 2 violated")
+    } finally q.stop()
+  }
+
   test("streaming ingestion dedup: index hits and in-stream dups drop") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
