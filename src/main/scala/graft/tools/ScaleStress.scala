@@ -267,7 +267,8 @@ object ScaleStress {
     // copies here (same text distribution), so t_enc ~ N× t_enc(1).
     import graft.operators.Embeddings
     println(f"\n${"copies"}%8s ${"vecs"}%9s ${"t_fit"}%7s ${"t_proj"}%7s " +
-      f"${"docs"}%9s ${"t_enc"}%7s ${"t_bal"}%7s")
+      f"${"docs"}%9s ${"t_enc"}%7s ${"t_bal"}%7s ${"t_ng_ex"}%7s " +
+      f"${"t_ng_cms"}%8s")
     for (copies <- Seq(1, maxScale)
         if which == "all" || which == "embops") {
       val vecs = embCorpus(spark, dir, copies).cache()
@@ -290,8 +291,20 @@ object ScaleStress {
         Embeddings.balancedSample(vecs, "embedding", "vec_id",
           nlist = math.max(8, (nVecs / 250).toInt), perCell = 100).count()
       }
+      // exact top-25 bigrams vs the CMS sketch over the same stream —
+      // at this cardinality exact wins on CPU; the sketch's case is
+      // bounded MEMORY when distinct keys outgrow the groupBy
+      val bg = docs.select(
+        explode(Text.word_shingles(col("text"), 2)).as("b"))
+      val tNgEx = timed {
+        bg.groupBy(col("b")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("b")).limit(25).count()
+      }
+      val tNgCms = timed {
+        bg.agg(graft.plans.CmsAgg.cms_topk(25)(col("b"))).count()
+      }
       println(f"$copies%8d $nVecs%9d $tFit%7.1f $tProj%7.1f " +
-        f"$nDocs%9d $tEnc%7.1f $tBal%7.1f")
+        f"$nDocs%9d $tEnc%7.1f $tBal%7.1f $tNgEx%7.1f $tNgCms%8.1f")
       vecs.unpersist(); docs.unpersist()
     }
     spark.stop()
