@@ -1279,6 +1279,21 @@ object QueriesPipeline {
       },
       None),
 
+    // Training-shard writer end-to-end: deterministic shuffle → token
+    // packing → shard-partitioned parquet, audited via the manifest it
+    // returns. Written to a per-invocation temp dir; manifest row set
+    // is deterministic for (corpus, seed, budgets) but involves a
+    // filesystem round-trip, so rows-only; ShardsSpec pins bounds,
+    // losslessness, and rerun-stability.
+    "q_shards_manifest" -> Entry(
+      (s, dir) => {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_shards").toString + "/shards"
+        graft.sinks.Shards.writeTrainingShards(
+          t(s, dir, "documents"), "doc_id", "text", out)
+      },
+      None),
+
     // Frequency-ranked vocabulary: top-200 whitespace tokens with
     // deterministic (count desc, word asc) rank ids. TakeOrdered cut +
     // rank window bounded by V, not the corpus (operators/Corpus.scala
