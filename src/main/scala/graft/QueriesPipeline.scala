@@ -430,8 +430,11 @@ object QueriesPipeline {
         import org.apache.spark.sql.expressions.Window
         graft.operators.Corpus
           .shuffleDeterministic(t(s, dir, "documents"), "doc_id", 42L)
+          // position named by the operator's own key (md5 prefix +
+          // id-suffix tie-break); the oracle's plain md5 ordering
+          // agrees wherever ids are distinct — md5 ties don't occur
           .select(col("doc_id"), row_number().over(Window.orderBy(
-            md5(concat_ws(":", col("doc_id").cast("string"), lit("42")))))
+            graft.operators.Corpus.shuffleKey(col("doc_id"), 42L)))
             .cast("long").as("pos"))
       },
       Some("""SELECT doc_id, row_number() OVER (
@@ -1289,8 +1292,11 @@ object QueriesPipeline {
       (s, dir) => {
         val out = java.nio.file.Files
           .createTempDirectory("graft_shards").toString + "/shards"
+        // slim projection: the shard files (a per-invocation temp tree)
+        // only need the columns the packer consumes
         graft.sinks.Shards.writeTrainingShards(
-          t(s, dir, "documents"), "doc_id", "text", out)
+          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          "doc_id", "text", out)
       },
       None),
 

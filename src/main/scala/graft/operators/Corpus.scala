@@ -135,10 +135,19 @@ object Corpus {
     * parallel) — downstream epoch writers consume partitions in
     * order. For shard-local shuffling without the global exchange,
     * bucket by [[hashBucket]] first and shuffle within shards. */
+  /** The permutation key behind [[shuffleDeterministic]] (and the
+    * shard writer): md5("id:seed") with the id string appended, so
+    * DISTINCT ids always get distinct keys (the md5 prefix shuffles,
+    * the id suffix makes ties impossible) and a null id sorts like the
+    * empty string instead of collapsing every null onto one key. */
+  def shuffleKey(id: Column, seed: Long): Column = {
+    val idStr = coalesce(id.cast("string"), lit(""))
+    concat(md5(concat_ws(":", idStr, lit(seed.toString))), lit(":"), idStr)
+  }
+
   def shuffleDeterministic(df: DataFrame, idCol: String,
       seed: Long = 0L): DataFrame =
-    df.orderBy(md5(concat_ws(":", col(idCol).cast("string"),
-      lit(seed.toString))))
+    df.orderBy(shuffleKey(col(idCol), seed))
 
   /** Keep at most `n` rows per group, best-first by `order`. One shuffle
     * on the group key; the top-n is pushed below the exchange as a

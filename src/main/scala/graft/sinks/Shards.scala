@@ -29,30 +29,46 @@ object Shards {
 
   /** Write `docs` as training shards under `outPath`; returns the
     * per-shard manifest (shard, n_docs, n_tokens), shard-ordered —
-    * deterministic for a given (corpus, seed, budgets). */
+    * deterministic for a given (corpus, seed, budgets), provided ids
+    * are unique (duplicate ids share a permutation key, and their
+    * relative order is then layout-dependent). Null text packs as 0
+    * tokens; null ids sort like the empty string. The write is a
+    * STATIC overwrite (the whole tree is replaced even if the session
+    * runs dynamic partition overwrite — a rerun producing fewer shards
+    * must not leave stale shard dirs for a loader to train on). */
   def writeTrainingShards(docs: DataFrame, idCol: String, textCol: String,
       outPath: String, tokensPerBin: Long = 4096,
       binsPerShard: Long = 256, seed: Long = 0L): DataFrame = {
     require(tokensPerBin > 0 && binsPerShard > 0, "positive budgets")
     val keyed = docs
-      .withColumn("__ord", md5(concat_ws(":",
-        col(idCol).cast("string"), lit(seed.toString))))
-      .withColumn("__tok",
-        graft.functions.Text.token_count(col(textCol)).cast("long"))
+      .withColumn("__ord", graft.operators.Corpus.shuffleKey(
+        col(idCol), seed))
+      .withColumn("__tok", coalesce(
+        graft.functions.Text.token_count(col(textCol)).cast("long"),
+        lit(0L)))
     val packed = graft.operators.Pack
       .sequencePack(keyed, "__ord", "__tok", tokensPerBin)
       .withColumn("shard", floor(col("seq_id") / binsPerShard).cast("long"))
       .drop("__ord", "cum_before")
-    packed.write.mode("overwrite").partitionBy("shard").parquet(outPath)
-    manifest(docs.sparkSession, outPath)
+    packed.write.mode("overwrite")
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("shard").parquet(outPath)
+    // explicit schema: an all-filtered-out corpus writes zero data
+    // files, where schema inference would throw instead of returning
+    // an empty manifest (and it keeps `shard` long — partition-column
+    // inference narrows shard=N dirs to int)
+    manifestAgg(docs.sparkSession.read.schema(packed.schema)
+      .parquet(outPath))
   }
 
   /** Per-shard manifest of a written shard tree: (shard, n_docs,
     * n_tokens, n_bins), shard-ordered. Reads only the written layout,
     * so it can audit any prior run. */
   def manifest(spark: SparkSession, outPath: String): DataFrame =
-    spark.read.parquet(outPath)
-      // partition-column type inference narrows shard=N dirs to int
+    manifestAgg(spark.read.parquet(outPath))
+
+  private def manifestAgg(written: DataFrame): DataFrame =
+    written
       .groupBy(col("shard").cast("long").as("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col("__tok")).as("n_tokens"),
         countDistinct(col("seq_id")).as("n_bins"))

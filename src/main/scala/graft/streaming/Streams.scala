@@ -106,6 +106,9 @@ object Streams {
       .withWatermark("ts", delay)
       .select(col("ts"), explode(
         graft.functions.Text.word_shingles(col(textCol), 1)).as("term"))
+      // the kernel returns [""] for blank text (same guard as the
+      // batch bigram queries) — blank crawl docs must not trend
+      .where(col("term") =!= "")
       .groupBy(window(col("ts"), win))
       .agg(graft.plans.CmsAgg.cms_topk(k, depth, width)(col("term"))
         .as("top"))

@@ -54,6 +54,15 @@ object ScaleStress {
           .as("embedding"))
   }
 
+  /** Exact global top-25 word bigrams — the baseline both the curate
+    * drill and the CMS comparison leg time, kept identical here. */
+  private def topBigramsExact(docs: DataFrame): Long = {
+    import graft.functions.Text
+    docs.select(explode(Text.word_shingles(col("text"), 2)).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("b").asc).limit(25).count()
+  }
+
   def main(args: Array[String]): Unit = {
     val maxScale = args.headOption.map(_.toInt).getOrElse(10)
     // which drills to run: all | text | emb
@@ -176,11 +185,7 @@ object ScaleStress {
         Corpus.bm25(docs, "doc_id", "text", Seq("table", "spark", "vector"))
           .orderBy(col("score").desc, col("doc_id").asc).limit(50).count()
       }
-      val tNgram = timed {
-        docs.select(explode(Text.word_shingles(col("text"), 2)).as("b"))
-          .groupBy(col("b")).agg(count(lit(1)).as("n"))
-          .orderBy(col("n").desc, col("b").asc).limit(25).count()
-      }
+      val tNgram = timed { topBigramsExact(docs) }
       println(f"$copies%8d $nDocs%9d $tRep%8.1f $tSample%9.1f " +
         f"$tScrub%8.1f $tBm25%8.1f $tNgram%8.1f")
       docs.unpersist()
@@ -294,14 +299,10 @@ object ScaleStress {
       // exact top-25 bigrams vs the CMS sketch over the same stream —
       // at this cardinality exact wins on CPU; the sketch's case is
       // bounded MEMORY when distinct keys outgrow the groupBy
-      val bg = docs.select(
-        explode(Text.word_shingles(col("text"), 2)).as("b"))
-      val tNgEx = timed {
-        bg.groupBy(col("b")).agg(count(lit(1)).as("n"))
-          .orderBy(col("n").desc, col("b")).limit(25).count()
-      }
+      val tNgEx = timed { topBigramsExact(docs) }
       val tNgCms = timed {
-        bg.agg(graft.plans.CmsAgg.cms_topk(25)(col("b"))).count()
+        docs.select(explode(Text.word_shingles(col("text"), 2)).as("b"))
+          .agg(graft.plans.CmsAgg.cms_topk(25)(col("b"))).count()
       }
       println(f"$copies%8d $nVecs%9d $tFit%7.1f $tProj%7.1f " +
         f"$nDocs%9d $tEnc%7.1f $tBal%7.1f $tNgEx%7.1f $tNgCms%8.1f")
