@@ -341,6 +341,34 @@ object QueriesPipeline {
         SELECT doc_id, round(avg(ln(c / tot)), 3) AS avg_lp
         FROM w JOIN v USING (w), tot GROUP BY doc_id""")),
 
+    // c-TF-IDF distinctive terms: top-10 keywords per source — frequent
+    // in the group, rare across groups. One (group, word) shuffle, a
+    // vocabulary-sized broadcast join back, WindowGroupLimit cut. The
+    // rank key is the score rounded to 6 dp (ties → word) so the cut
+    // replays deterministically in DuckDB despite ln's last-ulp
+    // differences across engines.
+    "q_text_distinctive" -> Entry(
+      (s, dir) => graft.operators.Corpus
+        .distinctiveTerms(t(s, dir, "documents"), "source", "text", 10),
+      Some("""WITH words AS (
+          SELECT source,
+            unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+          FROM documents
+        ), tf AS (
+          SELECT source, w, count(*) AS tf FROM words GROUP BY 1, 2
+        ), gdf AS (SELECT w, count(*) AS gdf FROM tf GROUP BY 1),
+        ng AS (SELECT count(DISTINCT source) AS n FROM documents),
+        scored AS (
+          SELECT source, w, tf, gdf,
+            round(tf * ln((1.0 + n) / (1.0 + gdf)), 6) AS score6
+          FROM tf JOIN gdf USING (w), ng
+        ), ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY source
+            ORDER BY score6 DESC, w ASC) AS rnk
+          FROM scored)
+        SELECT source, w AS term, tf, gdf, round(score6, 3) AS score
+        FROM ranked WHERE rnk <= 10""")),
+
     // Bigram-LM quality score: mean log P(w₂|w₁) under the corpus's own
     // bigram model — word salad has plausible unigrams but improbable
     // bigrams. Difference-of-sums form: the prefix and bigram streams

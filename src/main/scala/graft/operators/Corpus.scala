@@ -376,6 +376,39 @@ object Corpus {
         round((col("sl2") - col("sl1")) / col("n_bg"), 3).as("avg_lp2"))
   }
 
+  /** Top-k DISTINCTIVE terms per group (c-TF-IDF keyword extraction —
+    * the corpus-analysis primitive behind topic/source labeling):
+    * score(w, g) = tf(w, g) · ln((1 + |groups|) / (1 + gdf(w))) where
+    * gdf is the number of groups containing w. High score = frequent
+    * HERE, rare elsewhere.
+    *
+    * Scale shape: one (group, word) count shuffle, one word-level
+    * group-document-frequency aggregate joined back BROADCAST (the
+    * word-level table is vocabulary-sized), a 1-row group-count
+    * broadcast, and a WindowGroupLimit top-k. Ranking uses the score
+    * ROUNDED to 6 dp (ties → word asc): raw doubles differ across
+    * engines in the last ulp of ln, and the rounded key makes the
+    * cut deterministic and oracle-replayable. */
+  def distinctiveTerms(docs: DataFrame, groupCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val words = docs.select(col(groupCol),
+      explode(split(trim(lower(col(textCol))), "\\s+")).as("w"))
+    val tf = words.groupBy(col(groupCol), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val gdf = tf.groupBy(col("w")).agg(count(lit(1)).as("gdf"))
+    val nGroups = docs.agg(
+      countDistinct(col(groupCol)).as("n_groups"))
+    val scored = tf
+      .join(broadcast(gdf), "w")
+      .crossJoin(broadcast(nGroups))
+      .withColumn("score", round(col("tf") *
+        log((lit(1) + col("n_groups")) / (lit(1) + col("gdf"))), 6))
+    capPerGroup(scored, groupCol,
+      Seq(col("score").desc, col("w").asc), k)
+      .select(col(groupCol), col("w").as("term"), col("tf"),
+        col("gdf"), round(col("score"), 3).as("score"))
+  }
+
   /** Frequency-ranked vocabulary over whitespace tokens of the
     * lowercased corpus: (word, n, id) with id = 1-based rank by
     * (count desc, word asc) — the deterministic tie-break makes the

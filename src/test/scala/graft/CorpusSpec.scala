@@ -232,6 +232,25 @@ class CorpusSpec extends AnyFunSuite {
       "head-broadcast split changed bigram scores")
   }
 
+  test("distinctiveTerms: group-exclusive term outranks shared terms") {
+    val docs = Seq(
+      (1L, "a", "spark spark spark common common"),
+      (2L, "a", "spark common"),
+      (3L, "b", "flink flink common common"),
+      (4L, "b", "flink common")
+    ).toDF("doc_id", "source", "text")
+    val out = Corpus.distinctiveTerms(docs, "source", "text", 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // "spark" only in a (tf 4, gdf 1), "flink" only in b (tf 3, gdf 1);
+    // "common" is everywhere (gdf 2 → idf ln(3/3) = 0) so it ranks last
+    val bySource = out.groupBy(_._1)
+    assert(bySource("a").head == (("a", "spark", 4L, 1L)))
+    assert(bySource("b").head == (("b", "flink", 3L, 1L)))
+    assert(bySource("a")(1)._2 == "common" && bySource("b")(1)._2 == "common")
+    assert(bySource.values.forall(_.length == 2))
+  }
+
   test("buildVocab: deterministic rank by (count desc, word asc)") {
     val docs = Seq(
       (1L, "b b b a a c"), (2L, "a c d"), (3L, "B A")
