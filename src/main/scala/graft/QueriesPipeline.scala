@@ -591,6 +591,30 @@ object QueriesPipeline {
       },
       None),
 
+    // Incremental EMBEDDING near-dup: batch vectors probe a persisted
+    // index of hyperplane band keys + int8-quantized corpus vectors
+    // (1 B/dim at rest, dequantized-cosine verify — the continuous-
+    // ingest shape where full-precision corpus vectors are never
+    // re-read). Hash-seeded bands + per-invocation temp index, so
+    // rows-only; DedupSpec pins planted recall and novel-vector
+    // rejection.
+    "q_dedup_incr_emb" -> Entry(
+      (s, dir) => {
+        val em = t(s, dir, "embeddings")
+        val p = java.nio.file.Files
+          .createTempDirectory("graft_embidx").toString + "/idx"
+        graft.operators.Dedup.writeEmbeddingIndex(
+          em.filter(col("vec_id") % 5 < 4), p, "vec_id", "embedding")
+        // batch: re-keyed perturbed copies of held-out corpus vectors
+        val batch = em.filter(col("vec_id") % 5 === 0)
+          .select((col("vec_id") + 100000L).as("vec_id"),
+            transform(col("embedding"), x => x + lit(0.01f))
+              .as("embedding"))
+        graft.operators.Dedup.embeddingNearDupsAgainstIndex(
+          s, p, batch, "vec_id", "embedding", threshold = 0.9)
+      },
+      None),
+
     // Johnson–Lindenstrauss random projection 64 → 16 dims through the
     // same zero-Exchange mat_project kernel as PCA — the cheap
     // dimensionality cut before ANN/near-dup at 100 TB. Matrix is

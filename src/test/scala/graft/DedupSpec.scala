@@ -222,6 +222,36 @@ class DedupSpec extends AnyFunSuite {
     assert(full.contains((1L, 110L)))
   }
 
+  test("embedding index: batch probes find stored near-dups via " +
+      "quantized vectors") {
+    val rnd = new scala.util.Random(13)
+    // corpus: 60 near-orthogonal random vectors
+    val corpus = (1L to 60L).map(i =>
+      (i, Seq.fill(64)(rnd.nextGaussian().toFloat))).toDF(
+      "vec_id", "embedding")
+    val path = java.nio.file.Files
+      .createTempDirectory("embidx").toString + "/idx"
+    Dedup.writeEmbeddingIndex(corpus, path, "vec_id", "embedding")
+    // batch: perturbed copies of corpus vectors 1-5 (cosine ≥ 0.99)
+    // plus 5 novel random vectors
+    val perturbed = corpus.filter($"vec_id" <= 5)
+      .select(($"vec_id" + 1000L).as("vec_id"),
+        org.apache.spark.sql.functions.transform($"embedding",
+          x => (x + org.apache.spark.sql.functions.lit(0.01f)))
+          .as("embedding"))
+    val novel = (2001L to 2005L).map(i =>
+      (i, Seq.fill(64)(rnd.nextGaussian().toFloat))).toDF(
+      "vec_id", "embedding")
+    val batch = perturbed.unionByName(novel)
+    val hits = Dedup.embeddingNearDupsAgainstIndex(spark, path, batch,
+      "vec_id", "embedding", threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    // every perturbed copy matches its source; novel vectors match none
+    // (random 64-dim Gaussians are near-orthogonal, cosine ≪ 0.9)
+    val expected = (1L to 5L).map(i => (i + 1000L) -> i).toSet
+    assert(hits.toSet == expected, s"got ${hits.toSet}")
+  }
+
   test("removeNearDups keeps cluster representatives and uniques") {
     val near1 = "the quick brown fox jumps over the lazy dog again and again today"
     val near2 = "the quick brown fox jumps over the lazy dog again and again yesterday"
