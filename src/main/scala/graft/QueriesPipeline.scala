@@ -601,11 +601,19 @@ object QueriesPipeline {
     "q_dedup_incr_emb" -> Entry(
       (s, dir) => {
         val em = t(s, dir, "embeddings")
-        val p = java.nio.file.Files
-          .createTempDirectory("graft_embidx").toString + "/idx"
-        graft.operators.Dedup.writeEmbeddingIndex(
-          em.filter(col("vec_id") % 5 < 4), p, "vec_id", "embedding")
-        // batch: re-keyed perturbed copies of held-out corpus vectors
+        // cached index, mtime-guarded like q_dedup_incr_near: the query
+        // must time the per-batch PROBE, not index construction, and a
+        // regenerated embeddings.parquet must force a rebuild
+        val p = s"${System.getProperty("java.io.tmpdir")}" +
+          s"/graft_embidx_${Integer.toHexString(dir.hashCode)}_b8w12"
+        val success = new java.io.File(s"$p/vecs/_SUCCESS")
+        val src = new java.io.File(s"$dir/embeddings.parquet")
+        if (!success.exists() || success.lastModified() < src.lastModified())
+          graft.operators.Dedup.writeEmbeddingIndex(
+            em.filter(col("vec_id") % 5 < 4), p, "vec_id", "embedding")
+        // batch: re-keyed perturbed copies (cosine ≥ 0.99) of INDEXED
+        // corpus vectors — the re-crawl shape; the probe must match
+        // each back to its stored source
         val batch = em.filter(col("vec_id") % 5 === 0)
           .select((col("vec_id") + 100000L).as("vec_id"),
             transform(col("embedding"), x => x + lit(0.01f))

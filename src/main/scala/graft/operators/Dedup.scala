@@ -206,17 +206,27 @@ object Dedup {
     * The minhash analog of [[fingerprintIndex]]: a few hundred bytes
     * per doc, built once, so arriving batches are near-dup-checked
     * without ever rescanning corpus TEXT. */
-  def writeNearDupIndex(corpus: DataFrame, path: String, textCol: String,
-      idCol: String, shingleLen: Int = 5, k: Int = 20, bands: Int = 5,
-      shingleWords: Int = 3, maxBucket: Int = 1000): Unit = {
+  /** Bucket-cap a pre-selected (id, band, band_hash) key set and write
+    * it as an index's bands store — shared by the text and embedding
+    * index writers so cap semantics cannot diverge. */
+  private def writeCappedBands(bands: DataFrame, path: String,
+      maxBucket: Int): Unit = {
     import org.apache.spark.sql.expressions.Window
-    minhashBands(corpus, textCol, idCol, shingleLen, k, bands)
-      .select(col(idCol).as("id"), col("band"), col("band_hash"))
+    bands
       .withColumn("__n",
         count(lit(1)).over(Window.partitionBy("band", "band_hash")))
       .filter(col("__n") <= maxBucket)
       .drop("__n")
       .write.mode("overwrite").parquet(s"$path/bands")
+  }
+
+  def writeNearDupIndex(corpus: DataFrame, path: String, textCol: String,
+      idCol: String, shingleLen: Int = 5, k: Int = 20, bands: Int = 5,
+      shingleWords: Int = 3, maxBucket: Int = 1000): Unit = {
+    writeCappedBands(
+      minhashBands(corpus, textCol, idCol, shingleLen, k, bands)
+        .select(col(idCol).as("id"), col("band"), col("band_hash")),
+      path, maxBucket)
     fanOut(corpus.select(col(idCol), col(textCol)))
       .select(col(idCol).as("id"),
         graft.plans.HashExpressions
@@ -270,16 +280,15 @@ object Dedup {
   def writeEmbeddingIndex(corpus: DataFrame, path: String, idCol: String,
       vecCol: String, bands: Int = 8, bitsPerBand: Int = 12,
       maxBucket: Int = 1000): Unit = {
-    import org.apache.spark.sql.expressions.Window
-    embeddingBands(corpus, idCol, vecCol, bands, bitsPerBand)
-      .select(col(idCol).as("id"), col("band"), col("band_hash"))
-      .withColumn("__n",
-        count(lit(1)).over(Window.partitionBy("band", "band_hash")))
-      .filter(col("__n") <= maxBucket)
-      .drop("__n")
-      .write.mode("overwrite").parquet(s"$path/bands")
+    writeCappedBands(
+      embeddingBands(corpus, idCol, vecCol, bands, bitsPerBand)
+        .select(col(idCol).as("id"), col("band"), col("band_hash")),
+      path, maxBucket)
+    // fanOut, like the text index's docs store: the O(dim)-per-row
+    // quantize must not run at the (often single-split) scan parallelism
     graft.operators.Embeddings
-      .quantize(corpus.select(col(idCol).as("id"), col(vecCol)), vecCol)
+      .quantize(fanOut(corpus.select(col(idCol).as("id"), col(vecCol))),
+        vecCol)
       .select(col("id"), col("qvec"), col("scale"))
       .write.mode("overwrite").parquet(s"$path/vecs")
   }
@@ -302,8 +311,13 @@ object Dedup {
       .select(col(idCol).as("batch_id"), col("band"), col("band_hash"))
     val cands = batchBands.join(idxBands, Seq("band", "band_hash"))
       .select(col("batch_id"), col("id").as("corpus_id")).distinct()
+    // verification runs in float: the stored side is int8-quantized
+    // (whose error dominates any narrowing), and dequantize yields
+    // array<float> — an uncast double batch column would fail
+    // cosine_sim's no-mixed-types analysis rule
     val bvecs = batch
-      .select(col(idCol).as("batch_id"), col(vecCol).as("__bv"))
+      .select(col(idCol).as("batch_id"),
+        col(vecCol).cast("array<float>").as("__bv"))
       .join(cands.select(col("batch_id")).distinct(), Seq("batch_id"),
         "left_semi")
     val ivecs = spark.read.parquet(s"$path/vecs")
