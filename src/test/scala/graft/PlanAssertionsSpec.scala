@@ -229,6 +229,14 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(plan("q_embed_balanced").contains("WindowGroupLimit"))
   }
 
+  test("q_text_distinctive broadcasts the vocabulary table and caps " +
+      "below the exchange") {
+    val p = plan("q_text_distinctive")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("WindowGroupLimit"))
+  }
+
   test("q_ngram_topk_cms combines sketches map-side before the exchange") {
     val p = plan("q_ngram_topk_cms")
     assert(p.contains("partial_cms_topk"),
