@@ -341,6 +341,23 @@ object QueriesPipeline {
         SELECT doc_id, round(avg(ln(c / tot)), 3) AS avg_lp
         FROM w JOIN v USING (w), tot GROUP BY doc_id""")),
 
+    // Deterministic train/val/test split: content-keyed md5 ranges —
+    // map-only, rerun-stable, partition-layout-independent (randomSplit
+    // is none of these), and exact duplicates land on the same side so
+    // they cannot leak train→eval. 80/10/10 by text; per-(split, lang)
+    // counts, threshold arithmetic replayed exactly in the oracle.
+    "q_sample_split" -> Entry(
+      (s, dir) => t(s, dir, "documents")
+        .withColumn("split", graft.operators.Corpus.splitByHash(
+          col("text"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n")),
+      Some("""SELECT CASE
+          WHEN substr(md5(text), 1, 4) < 'cccc' THEN 'train'
+          WHEN substr(md5(text), 1, 4) < 'e666' THEN 'val'
+          ELSE 'test' END AS split, lang, count(*) AS n
+        FROM documents GROUP BY 1, 2""")),
+
     // c-TF-IDF distinctive terms: top-10 keywords per source — frequent
     // in the group, rare across groups. One (group, word) shuffle, a
     // vocabulary-sized broadcast join back, WindowGroupLimit cut. The

@@ -35,6 +35,29 @@ object Corpus {
     * can stratify: different thresholds per stratum over one hash). */
   def hashBucket(key: Column): Column = substring(md5(key), 1, 4)
 
+  /** Deterministic train/val/test (or any weighted) split: each row's
+    * label is picked by which cumulative-fraction range its
+    * [[hashBucket]] prefix falls in. Map-only (zero shuffle at any
+    * scale), rerun-stable, engine-portable, and independent of
+    * partition layout — unlike `randomSplit`, whose assignment changes
+    * with the partitioning; content-keyed splits also keep exact
+    * duplicates on the same side, so a dedup-imperfect corpus cannot
+    * leak train rows into eval. Fraction granularity is 1/65536. */
+  def splitByHash(key: Column, fractions: Seq[(String, Double)],
+      outCol: String = "split"): Column = {
+    require(fractions.nonEmpty && fractions.forall(_._2 >= 0) &&
+      math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      "fractions must be non-negative and sum to 1")
+    val cum = fractions.scanLeft(0.0)(_ + _._2).tail
+    val thresholds = cum.init.map(c =>
+      f"${math.floor(c * 65536).toInt}%04x")
+    val b = hashBucket(key)
+    thresholds.zip(fractions.init).foldRight(
+      lit(fractions.last._1): Column) { case ((t, (name, _)), rest) =>
+      when(b < lit(t), name).otherwise(rest)
+    }.as(outCol)
+  }
+
   /** Duplicated word-n-gram SPAN detection ("Deduplicating Training
     * Data Makes Language Models Better"-style substring dedup, at word
     * granularity): every position whose n-gram occurs ≥ `minCount`

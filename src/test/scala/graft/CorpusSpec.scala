@@ -251,6 +251,27 @@ class CorpusSpec extends AnyFunSuite {
     assert(bySource.values.forall(_.length == 2))
   }
 
+  test("splitByHash: partition of the corpus, rerun- and layout-stable") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val fracs = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    def splits(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"),
+        Corpus.splitByHash(col("text"), fracs)).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val a = splits(docs)
+    assert(a.values.toSet.subsetOf(Set("train", "val", "test")))
+    assert(a.size == docs.count(), "split must cover every row")
+    assert(a == splits(docs.repartition(13)), "layout-dependent split")
+    // fractions roughly honored (md5 uniformity; 500 docs → loose band)
+    val trainFrac = a.values.count(_ == "train").toDouble / a.size
+    assert(trainFrac > 0.7 && trainFrac < 0.9, s"train frac $trainFrac")
+    // degenerate and invalid fraction lists rejected
+    intercept[IllegalArgumentException] {
+      Corpus.splitByHash(col("text"), Seq("a" -> 0.5))
+    }
+  }
+
   test("buildVocab: deterministic rank by (count desc, word asc)") {
     val docs = Seq(
       (1L, "b b b a a c"), (2L, "a c d"), (3L, "B A")

@@ -375,6 +375,29 @@ class KernelPropertiesSpec extends AnyFunSuite {
     assert(sql == Seq("key_00", "key_01", "key_02"))
   }
 
+  test("cms_topk property: estimates never undercount on arbitrary " +
+      "multisets at arbitrary partitionings") {
+    val spark = SparkTestSession.spark
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val gen = for {
+      keys <- Gen.nonEmptyListOf(Gen.oneOf(
+        Gen.alphaLowerStr.map(_.take(3)), Gen.const("")))
+      parts <- Gen.oneOf(1, 3, 8)
+    } yield (keys, parts)
+    check(forAll(gen) { case (keys, parts) =>
+      val exact = keys.groupBy(identity).view.mapValues(_.size.toLong)
+      // narrow sketch (64 cells) to force collisions — the bound must
+      // hold anyway
+      val got = keys.toDF("k").repartition(parts)
+        .agg(graft.plans.CmsAgg.cms_topk(1000, 2, 64)(col("k")).as("t"))
+        .select(explode(col("t")).as("e"))
+        .select(col("e.key"), col("e.est"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      got.forall { case (k, est) => est >= exact(k) }
+    })
+  }
+
   test("mat_project: SQL ≡ column API, double ≡ float, basis validated") {
     val spark = SparkTestSession.spark
     import org.apache.spark.sql.functions._
