@@ -49,12 +49,20 @@ object Corpus {
       math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
       "fractions must be non-negative and sum to 1")
     val cum = fractions.scanLeft(0.0)(_ + _._2).tail
-    val thresholds = cum.init.map(c =>
-      f"${math.floor(c * 65536).toInt}%04x")
-    val b = hashBucket(key)
-    thresholds.zip(fractions.init).foldRight(
-      lit(fractions.last._1): Column) { case ((t, (name, _)), rest) =>
-      when(b < lit(t), name).otherwise(rest)
+    // null keys hash like the empty string (deterministic range
+    // membership) instead of silently falling through every
+    // comparison into the LAST split
+    val b = hashBucket(coalesce(key.cast("string"), lit("")))
+    cum.init.zip(fractions.init).foldRight(
+      lit(fractions.last._1): Column) { case ((c, (name, _)), rest) =>
+      // a cumulative fraction of 1.0 (trailing zero-weight splits)
+      // would format as 5-hex-char "10000", which compares LOWER than
+      // 4-char buckets as a string (same hazard rebalanceMixture
+      // documents) — short-circuit to an always-true condition
+      val cond =
+        if (c >= 1.0) lit(true)
+        else b < lit(f"${math.floor(c * 65536).toInt}%04x")
+      when(cond, name).otherwise(rest)
     }.as(outCol)
   }
 

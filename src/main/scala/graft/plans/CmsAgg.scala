@@ -99,6 +99,18 @@ final class CmsBuffer(val depth: Int, val width: Int, val k: Int) {
     }
   }
 
+  /** Fold another buffer into this one: counter addition + candidate
+    * union, pruned only on overflow (estimates stay write-only here —
+    * [[top]] refreshes before any ordered read). The whole of
+    * [[CmsTopKExpr.merge]], shared so pure-JVM property tests drive
+    * the identical path. */
+  def mergeIn(o: CmsBuffer): Unit = {
+    var i = 0
+    while (i < counts.length) { counts(i) += o.counts(i); i += 1 }
+    unionCandidates(o)
+    if (cand.size > cap) { refresh(); prune() }
+  }
+
   /** Candidates best-first: (est desc, key asc). */
   private def sortedCands(): java.util.ArrayList[Cand] = {
     val entries = new java.util.ArrayList(cand.values())
@@ -165,12 +177,7 @@ case class CmsTopKExpr(key: Expression, k: Int, depth: Int, width: Int,
   }
 
   override def merge(b: CmsBuffer, o: CmsBuffer): CmsBuffer = {
-    var i = 0
-    while (i < b.counts.length) { b.counts(i) += o.counts(i); i += 1 }
-    b.unionCandidates(o)
-    // keep the memory bound through a long merge chain; estimates are
-    // only ordered (refreshed) when the union actually overflows
-    if (b.cand.size > b.cap) { b.refresh(); b.prune() }
+    b.mergeIn(o)
     b
   }
 

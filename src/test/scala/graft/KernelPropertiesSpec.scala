@@ -377,9 +377,11 @@ class KernelPropertiesSpec extends AnyFunSuite {
 
   test("cms_topk property: estimates never undercount on arbitrary " +
       "multisets at arbitrary partitionings") {
-    val spark = SparkTestSession.spark
-    import org.apache.spark.sql.functions._
-    import spark.implicits._
+    // pure-JVM like the TopKBuffer properties: drive CmsBuffer.add /
+    // mergeIn / top directly over list slices — the identical code
+    // path CmsTopKExpr runs, without 200 Spark jobs per property
+    import graft.plans.CmsBuffer
+    import org.apache.spark.unsafe.types.UTF8String
     val gen = for {
       keys <- Gen.nonEmptyListOf(Gen.oneOf(
         Gen.alphaLowerStr.map(_.take(3)), Gen.const("")))
@@ -389,12 +391,13 @@ class KernelPropertiesSpec extends AnyFunSuite {
       val exact = keys.groupBy(identity).view.mapValues(_.size.toLong)
       // narrow sketch (64 cells) to force collisions — the bound must
       // hold anyway
-      val got = keys.toDF("k").repartition(parts)
-        .agg(graft.plans.CmsAgg.cms_topk(1000, 2, 64)(col("k")).as("t"))
-        .select(explode(col("t")).as("e"))
-        .select(col("e.key"), col("e.est"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      got.forall { case (k, est) => est >= exact(k) }
+      val slice = math.max(1, math.ceil(keys.size / parts.toDouble).toInt)
+      val merged = keys.grouped(slice).map { sl =>
+        val b = new CmsBuffer(2, 64, 1000)
+        sl.foreach(k => b.add(UTF8String.fromString(k)))
+        b
+      }.reduce { (a, o) => a.mergeIn(o); a }
+      merged.top().forall { case (k, est) => est >= exact(k) }
     })
   }
 

@@ -234,7 +234,17 @@ class PlanAssertionsSpec extends AnyFunSuite {
     val p = plan("q_text_distinctive")
     assert(p.contains("BroadcastHashJoin"))
     assert(!p.contains("SortMergeJoin"))
-    assert(p.contains("WindowGroupLimit"))
+    // the PARTIAL group-limit must run below the exchange — the Final
+    // one above it alone means the full (group, word) set shuffled
+    assert(p.split("\n").exists(l =>
+      l.contains("WindowGroupLimit") && l.contains("Partial")))
+  }
+
+  test("q_sample_split: the split itself is map-only — one exchange " +
+      "total, for the count aggregate") {
+    val p = plan("q_sample_split")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1)
+    assert(p.contains("partial_count"), "count must combine map-side")
   }
 
   test("q_ngram_topk_cms combines sketches map-side before the exchange") {
