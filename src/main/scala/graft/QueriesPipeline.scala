@@ -353,8 +353,8 @@ object QueriesPipeline {
         .groupBy(col("split"), col("lang"))
         .agg(count(lit(1)).as("n")),
       Some("""SELECT CASE
-          WHEN substr(md5(text), 1, 4) < 'cccc' THEN 'train'
-          WHEN substr(md5(text), 1, 4) < 'e666' THEN 'val'
+          WHEN substr(md5(coalesce(text, '')), 1, 4) < 'cccc' THEN 'train'
+          WHEN substr(md5(coalesce(text, '')), 1, 4) < 'e666' THEN 'val'
           ELSE 'test' END AS split, lang, count(*) AS n
         FROM documents GROUP BY 1, 2""")),
 
@@ -1408,7 +1408,9 @@ object QueriesPipeline {
             array_join(col("token_ids"), " ").as("token_ids"))
       },
       Some("""WITH toks AS (
-          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+')
+          -- coalesce mirrors encodeTokens' null-text guard
+          SELECT doc_id,
+            regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+')
             AS ws
           FROM documents
         ), flat AS (SELECT unnest(ws) AS w FROM toks

@@ -320,7 +320,12 @@ object Dedup {
         col(vecCol).cast("array<float>").as("__bv"))
       .join(cands.select(col("batch_id")).distinct(), Seq("batch_id"),
         "left_semi")
+    // semi-filter to candidate ids BEFORE dequantizing: the per-element
+    // dequantize transform over the FULL store would cost |corpus|·dim
+    // interpreted lambda evals per batch, not |candidates|·dim
     val ivecs = spark.read.parquet(s"$path/vecs")
+      .join(cands.select(col("corpus_id").as("id")).distinct(),
+        Seq("id"), "left_semi")
       .select(col("id").as("corpus_id"),
         graft.operators.Embeddings
           .dequantize(col("qvec"), col("scale")).as("__cv"))

@@ -204,8 +204,11 @@ object Embeddings {
     * assembled on the driver (d² doubles — bounded by dimension, not
     * rows), and a cyclic Jacobi eigensolver extracts the basis.
     * Jacobi on a symmetric d×d is exact to machine precision and
-    * deterministic; d ≤ a few thousand keeps it well under a second,
-    * which covers every embedding model in practice. */
+    * deterministic. Driver cost is O(d³) PER SWEEP (~10 sweeps):
+    * sub-second at d ≤ ~256, but expect tens of seconds of driver
+    * compute at d = 1024+ — for very high-dimensional embeddings,
+    * [[randomProject]] down first (JL preserves the spectrum you keep)
+    * or budget the one-off eigensolve like any model-fit step. */
   def fitPca(df: DataFrame, vecCol: String, k: Int): PcaModel = {
     val row = df.agg(cov_stats(col(vecCol)).as("s"))
       .selectExpr("s.n", "s.sum", "s.prod").head()

@@ -283,14 +283,18 @@ object ScaleStress {
         model = Embeddings.fitPca(vecs, "embedding", 8)
       }
       val tProj = timed {
+        // sum(size(pca)) REFERENCES the projection output — a bare
+        // count() column-prunes mat_project and times an empty scan
         Embeddings.pcaProject(vecs, "embedding", model)
-          .select(col("pca")).count()
+          .select(sum(size(col("pca")))).head()
       }
       val docs = corpus(spark, dir, copies).cache()
       val nDocs = docs.count()
       val tEnc = timed {
+        // force the reassembled arrays, not just the joins (see tProj)
         Corpus.encodeTokens(docs, "doc_id", "text",
-          Corpus.buildVocab(docs, "text", 5000)).count()
+          Corpus.buildVocab(docs, "text", 5000))
+          .select(sum(size(col("token_ids")))).head()
       }
       val tBal = timed {
         Embeddings.balancedSample(vecs, "embedding", "vec_id",
@@ -301,8 +305,11 @@ object ScaleStress {
       // bounded MEMORY when distinct keys outgrow the groupBy
       val tNgEx = timed { topBigramsExact(docs) }
       val tNgCms = timed {
+        // size(top) references the aggregate output — count() would
+        // prune cms_topk entirely and time only the explode
         docs.select(explode(Text.word_shingles(col("text"), 2)).as("b"))
-          .agg(graft.plans.CmsAgg.cms_topk(25)(col("b"))).count()
+          .agg(graft.plans.CmsAgg.cms_topk(25)(col("b")).as("top"))
+          .select(size(col("top"))).head()
       }
       println(f"$copies%8d $nVecs%9d $tFit%7.1f $tProj%7.1f " +
         f"$nDocs%9d $tEnc%7.1f $tBal%7.1f $tNgEx%7.1f $tNgCms%8.1f")
