@@ -253,6 +253,42 @@ object QueriesPipeline {
         FROM sh a JOIN bench b ON a.s = b.s
         WHERE a.doc_id % 97 <> 0 GROUP BY 1""")),
 
+    // Per-document contamination FRACTION: n_hits / n_distinct_shingles
+    // for EVERY training doc (clean docs = 0.0) — the drop-threshold
+    // gate curation applies on top of the raw hit list. Fraction of
+    // two exact integers rounded to 3 dp replays exactly.
+    "q_decontaminate_frac" -> Entry(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+        graft.operators.Contamination.contaminationFraction(
+          docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+          "doc_id", "text", bench, "text")
+      },
+      Some("""WITH words AS (
+          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+')
+            AS ws
+          FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id,
+            CASE WHEN len(ws) <= 3 THEN array_to_string(ws, ' ')
+            ELSE array_to_string(list_slice(ws, i, i+2), ' ') END AS s
+          FROM words, unnest(CASE WHEN len(ws) <= 3 THEN [1]
+            ELSE range(1, len(ws)-1) END) AS t(i)
+        ), bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+        totals AS (
+          SELECT doc_id, count(*) AS n_shingles FROM sh
+          WHERE doc_id % 97 <> 0 GROUP BY 1
+        ), h AS (
+          SELECT a.doc_id, count(*) AS n_hits
+          FROM sh a JOIN bench b ON a.s = b.s
+          WHERE a.doc_id % 97 <> 0 GROUP BY 1)
+        SELECT t.doc_id, t.n_shingles,
+          coalesce(h.n_hits, 0) AS n_hits,
+          round(coalesce(h.n_hits, 0) /
+            greatest(t.n_shingles, 1), 3) AS frac
+        FROM totals t LEFT JOIN h USING (doc_id)""")),
+
     // Cross-corpus n-gram containment matrix: how much of source b's
     // distinct-3-gram mass already appears in source a — the dataset-mix
     // / source-leakage audit. One (group, shingle) distinct-shuffle, a

@@ -38,6 +38,26 @@ object Contamination {
       .agg(count(lit(1)).as("n_hits")) // shingles pre-deduped per doc
   }
 
+  /** Per-document contamination FRACTION — the gate curation jobs
+    * apply on top of [[hits]]: n_hits / n_distinct_shingles per doc,
+    * for EVERY document (clean docs score 0.0, so the output is
+    * directly filterable at a drop threshold). Two extra row-local
+    * costs over [[hits]]: a per-doc distinct-shingle count (a scan)
+    * and one outer join of the corpus against the bounded hit set. */
+  def contaminationFraction(docs: DataFrame, idCol: String,
+      textCol: String, bench: DataFrame, benchTextCol: String,
+      n: Int = 3): DataFrame = {
+    val totals = docs.select(col(idCol),
+      size(wordShingles(col(textCol), n)).cast("long").as("n_shingles"))
+    totals
+      .join(hits(docs, idCol, textCol, bench, benchTextCol, n),
+        Seq(idCol), "left")
+      .select(col(idCol), col("n_shingles"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("frac", round(
+        col("n_hits") / greatest(col("n_shingles"), lit(1L)), 3))
+  }
+
   /** Cross-corpus n-gram containment matrix: for every ordered pair of
     * groups (a, b), |shingles(a) ∩ shingles(b)| / |shingles(b)| — the
     * "how much of corpus b is already inside corpus a" overlap measure

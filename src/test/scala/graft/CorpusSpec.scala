@@ -251,6 +251,23 @@ class CorpusSpec extends AnyFunSuite {
     assert(bySource.values.forall(_.length == 2))
   }
 
+  test("contaminationFraction: clean 0.0, exact copy 1.0, partial between") {
+    import graft.operators.Contamination
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),        // exact copy → frac 1.0
+      (2L, "totally unrelated words here"),  // clean → 0.0
+      (3L, "alpha beta gamma zzz www qqq")   // 1 of 4 shingles shared
+    ).toDF("doc_id", "text")
+    val out = Contamination
+      .contaminationFraction(docs, "doc_id", "text", bench, "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((2L, 2L, 1.0)))
+    assert(out(2L) == ((2L, 0L, 0.0)))
+    assert(out(3L) == ((4L, 1L, 0.25)))
+  }
+
   test("splitByHash: partition of the corpus, rerun- and layout-stable") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
