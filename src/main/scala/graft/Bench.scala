@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -21,12 +21,21 @@ object Bench {
       n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy("r_name").count().count()
     } catch { case _: Throwable => () }
+    // Terminal: NOT count() — a count() terminal lets Catalyst prune every
+    // unreferenced column, so scan/projection-shaped queries time an empty
+    // ReadSchema scan instead of their work (the same defect fixed in the
+    // ScaleStress drills). toRdd.count() iterates the executed plan's
+    // UnsafeRows, which materializes EVERY output column of the plan as
+    // written — type-agnostic (works for array/map outputs where a
+    // xxhash64(struct(..)) terminal would not) and adds no hashing cost
+    // of its own.
+    def force(df: DataFrame): Unit = { df.queryExecution.toRdd.count(); () }
     // Per query: one untimed warm run (codegen + JIT + file-index build are
     // per-plan fixed costs, irrelevant at the 100 TB design point), then
     // the timed run. cold_total records the warm-run wall for transparency.
-    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def once(name: String, fn: (SparkSession, String) => DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
+      try force(fn(spark, sfDir)) catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
@@ -50,31 +59,28 @@ object Bench {
     // stdout tail window (full double precision overflowed it at 60
     // queries, and a truncated line parses as nothing).
     def fmt(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
+    def toJson(rs: Seq[(String, Double, Double)]): String = rs.sortBy(_._1)
+      .map { case (k, w, _) => "\"" + k + "\":" + fmt(w) }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val coldTotal = results.map(_._3).sum
-    // Line-length guard: if the per-query map would push the line past the
-    // tail window, keep the most expensive queries (the ones a perf grader
-    // needs) and say how many cheap ones were dropped — a shorter map
-    // beats a head-truncated line that parses as nothing.
-    def render(rs: Seq[(String, Double, Double)], omitted: Int): String = {
-      val qs = rs.sortBy(_._1)
-        .map { case (k, w, _) => "\"" + k + "\":" + fmt(w) }
+    // The FULL per-query map (warm + cold) goes to a file — at 100+
+    // queries it cannot fit the driver's 2000-char stdout tail window;
+    // stdout carries the total plus the top-20 most expensive queries
+    // (the ones a perf grader needs), with a pointer to the file.
+    val fullPath = "BENCH_full.json"
+    try {
+      val cold = results.sortBy(_._1)
+        .map { case (k, _, c) => "\"" + k + "\":" + fmt(c) }
         .mkString("{", ",", "}")
-      val om = if (omitted > 0) s""","omitted":$omitted""" else ""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"cold_total":${fmt(coldTotal)}$om,"sf":"$sfDir"}"""
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath),
+        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(results)},"cold_queries":$cold,"cold_total":${fmt(coldTotal)},"sf":"$sfDir"}""")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] full-map write failed: ${e.getMessage}")
     }
-    // 2000-char driver tail window minus headroom for a trailing sbt
-    // footer line (~75 chars, suppressed by showSuccess := false but
-    // budgeted for anyway — BENCH_r03's JSON lost its head to exactly
-    // this combination)
-    val budget = 1900
-    var keep = results
-    var line = render(keep, results.size - keep.size)
-    while (line.length > budget && keep.size > 1) {
-      val drop = math.min(keep.size - 1, math.max(1, (line.length - budget) / 24))
-      keep = keep.sortBy(-_._2).dropRight(drop)
-      line = render(keep, results.size - keep.size)
-    }
+    val top = results.sortBy(-_._2).take(20)
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(top)},"cold_total":${fmt(coldTotal)},"n_queries":${results.size},"full":"$fullPath","sf":"$sfDir"}"""
     // stop() BEFORE the println: nothing (executor shutdown chatter, sbt
     // footers) may follow the JSON line on stdout.
     try spark.stop() catch { case _: Throwable => () }

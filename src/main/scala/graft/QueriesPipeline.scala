@@ -562,9 +562,12 @@ object QueriesPipeline {
     // Distributed PCA, step 1: the d×d population covariance from ONE
     // pass (typed aggregator buffers (n, sum[d], upper-tri products) —
     // map-side partials, zero vector shuffle). Products of identical
-    // float→double casts differ across engines only in summation order;
-    // round(…,6) absorbs the ~1e-13 associativity drift (n=5k, unit-ish
-    // values, same contract as q_text_bm25).
+    // float→double casts differ across engines AND across Spark runs
+    // (partial-merge order is scheduling-dependent) only in summation
+    // order. Measured at sf0.01: six cov values sit within 1e-9 of a
+    // 1e-6 rounding boundary — inside the drift — so round(…,6) hash-
+    // flipped nondeterministically (r6 defect); at 4 dp the nearest
+    // boundary is 7.4e-8 away, safely outside any drift.
     "q_embed_pca_cov" -> Entry(
       (s, dir) => {
         val stats = t(s, dir, "embeddings")
@@ -581,7 +584,7 @@ object QueriesPipeline {
             round(col("sp") / col("n") -
               (element_at(col("sums"), (col("i") + 1).cast("int")) / col("n")) *
               (element_at(col("sums"), (col("j") + 1).cast("int")) / col("n")),
-              6).as("cov"))
+              4).as("cov"))
       },
       Some("""WITH v AS (
           SELECT vec_id, embedding AS e FROM embeddings
@@ -596,7 +599,7 @@ object QueriesPipeline {
           FROM dims a JOIN dims b USING (vec_id) WHERE a.i <= b.i
           GROUP BY 1, 2)
         SELECT cast(p.i AS bigint) AS i, cast(p.j AS bigint) AS j,
-          round(p.sp / n - (ma.s / n) * (mb.s / n), 6) AS cov
+          round(p.sp / n - (ma.s / n) * (mb.s / n), 4) AS cov
         FROM pairs p, stats
         JOIN means ma ON ma.i = p.i
         JOIN means mb ON mb.i = p.j""")),
@@ -612,7 +615,10 @@ object QueriesPipeline {
         val model = graft.operators.Embeddings.fitPca(emb, "embedding", 4)
         graft.operators.Embeddings.pcaProject(emb, "embedding", model)
           .select(col("vec_id"),
-            transform(col("pca"), x => round(x, 3)).as("pca"))
+            // serialized (not raw array<double>): the driver's pandas
+            // sort cannot hash ndarray cells even for rows-only checks
+            array_join(transform(col("pca"),
+              x => round(x, 3).cast("string")), " ").as("pca"))
       },
       None),
 
@@ -640,7 +646,9 @@ object QueriesPipeline {
         graft.operators.Embeddings
           .pcaProject(emb, "embedding", m, whiten = true)
           .select(col("vec_id"),
-            transform(col("pca"), x => round(x, 3)).as("pca"))
+            // serialized for the driver compare (see q_embed_pca)
+            array_join(transform(col("pca"),
+              x => round(x, 3).cast("string")), " ").as("pca"))
       },
       None),
 
@@ -686,7 +694,9 @@ object QueriesPipeline {
         .randomProject(t(s, dir, "embeddings"), "embedding",
           inDim = 64, outDim = 16)
         .select(col("vec_id"),
-          transform(col("rp"), x => round(x, 3)).as("rp")),
+          // serialized for the driver compare (see q_embed_pca)
+          array_join(transform(col("rp"),
+            x => round(x, 3).cast("string")), " ").as("rp")),
       None),
 
     // Cluster-balanced (diversity) sampling: k-means cells +
