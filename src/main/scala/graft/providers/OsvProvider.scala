@@ -134,6 +134,147 @@ object OsvProvider {
     affected.unionByName(synthesized)
   }
 
+  // ---- OSV passthrough family (rocky / govulndb / bitnami) ------------
+
+  /** Typed passthrough schema for OSV records that are re-emitted as-is
+    * (rocky/govulndb/bitnami, `providers/rocky/parser.py:55-67`,
+    * `providers/govulndb/parser.py:100-119`): the record survives intact;
+    * the only mutation is the F19 fix-date patch on each range. */
+  val passthroughSchema: StructType = StructType.fromDDL(
+    "id STRING, schema_version STRING, summary STRING, details STRING, " +
+      "published STRING, modified STRING, withdrawn STRING, " +
+      "aliases ARRAY<STRING>, related ARRAY<STRING>, " +
+      "severity ARRAY<STRUCT<type: STRING, score: STRING>>, " +
+      "references ARRAY<STRUCT<type: STRING, url: STRING>>, " +
+      "affected ARRAY<STRUCT<" +
+      "package: STRUCT<ecosystem: STRING, name: STRING, purl: STRING>, " +
+      "ranges: ARRAY<STRUCT<type: STRING, " +
+      "events: ARRAY<STRUCT<introduced: STRING, fixed: STRING, " +
+      "last_affected: STRING>>, " +
+      "database_specific: STRUCT<anchore: STRUCT<" +
+      "fixes: ARRAY<STRUCT<version: STRING, date: STRING, kind: STRING>>>>>>, " +
+      "versions ARRAY<STRING>>>")
+
+  def readPassthrough(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("multiLine", "true").schema(passthroughSchema)
+      .json(path).filter(coalesce(col("id"), lit("")) =!= "")
+
+  /** Rocky's fixdate-lookup ecosystem normalization
+    * (`providers/rocky/parser.py:70-75`): "Rocky Linux:8" → "rocky:8",
+    * anything else lowercased. */
+  def rockyEcosystem(eco: Column): Column = {
+    val ver = regexp_extract(eco, "^(?i)rocky linux:([^:]+)$", 1)
+    when(ver =!= "", concat(lit("rocky:"), ver)).otherwise(lower(eco))
+  }
+
+  /** F19 for the passthrough family (`utils/osv.py:8-110`): every range
+    * event with a `fixed` version gets a first-observed date from the
+    * fix-date dimension `(vuln_id, ecosystem, pkg, version, date, kind)`
+    * — the advisory's own `published` date rides along as the
+    * kind='advisory' fallback — and the per-range results land as
+    * `database_specific.anchore.fixes`, event order preserved. Ranges
+    * with no dated fix keep their original database_specific.
+    *
+    * Spark-first: the reference walks and mutates each record's nested
+    * JSON in place; here the ranges explode to rows once, broadcast-join
+    * the dimension, fold back to ONE tiny `(apos·1e5+rpos) → fixes` map
+    * per record, and a transform-with-index rebuilds the nested column —
+    * all original fields ride through untouched, and the only shuffles
+    * are the map fold and the id-keyed re-attach join, both bounded by
+    * record count, never by corpus bytes. */
+  def patchFixDates(records: DataFrame, fixdates: DataFrame,
+      ecosystemNormalizer: Column => Column = lower(_)): DataFrame = {
+    val emptyRanges = array().cast(
+      "array<struct<type:string,events:array<struct<introduced:string," +
+        "fixed:string,last_affected:string>>,database_specific:" +
+        "struct<anchore:struct<fixes:array<struct<version:string," +
+        "date:string,kind:string>>>>>>")
+    val fd = broadcast(fixdates.select(
+      col("vuln_id").as("fd_vuln"), col("ecosystem").as("fd_eco"),
+      col("pkg").as("fd_pkg"), col("version").as("fd_version"),
+      col("date").as("fd_date"), col("kind").as("fd_kind")))
+    val events = records
+      .select(col("id"), col("published"),
+        posexplode(coalesce(col("affected"),
+          array().cast(passthroughSchema("affected").dataType)))
+          .as(Seq("apos", "aff")))
+      .filter(col("aff.package.name").isNotNull &&
+        col("aff.package.ecosystem").isNotNull)
+      .select(col("id"), col("published"), col("apos"),
+        col("aff.package.name").as("pkg"),
+        ecosystemNormalizer(col("aff.package.ecosystem")).as("eco"),
+        posexplode(coalesce(col("aff.ranges"), emptyRanges))
+          .as(Seq("rpos", "rng")))
+      .select(col("id"), col("published"), col("apos"), col("rpos"),
+        col("pkg"), col("eco"),
+        posexplode(coalesce(col("rng.events"),
+          array().cast("array<struct<introduced:string,fixed:string," +
+            "last_affected:string>>"))).as(Seq("epos", "ev")))
+      .filter(col("ev.fixed").isNotNull)
+    val dated = events
+      .join(fd, col("id") === col("fd_vuln") && col("eco") === col("fd_eco") &&
+        col("pkg") === col("fd_pkg") && col("ev.fixed") === col("fd_version"),
+        "left")
+      .select(col("id"), col("apos"), col("rpos"), col("epos"),
+        col("ev.fixed").as("version"),
+        coalesce(col("fd_date"), substring(col("published"), 1, 10))
+          .as("fix_date"),
+        coalesce(col("fd_kind"), lit("advisory")).as("fix_kind"))
+      .filter(col("fix_date").isNotNull)
+    val fixmap = dated
+      .groupBy(col("id"), col("apos"), col("rpos"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("epos"), col("version"),
+          col("fix_date"), col("fix_kind")))),
+        f => struct(f.getField("version").as("version"),
+          f.getField("fix_date").as("date"),
+          f.getField("fix_kind").as("kind"))).as("fixes"))
+      .groupBy(col("id"))
+      .agg(map_from_entries(collect_list(struct(
+        (col("apos").cast("long") * 100000L + col("rpos")).as("key"),
+        col("fixes").as("value")))).as("fixmap"))
+    records.join(fixmap, Seq("id"), "left")
+      .withColumn("affected",
+        transform(col("affected"), (a, ai) => struct(
+          a.getField("package").as("package"),
+          transform(a.getField("ranges"), (r, ri) => {
+            val fixes = try_element_at(col("fixmap"),
+              ai.cast("long") * 100000L + ri)
+            struct(
+              when(fixes.isNotNull,
+                struct(struct(fixes.as("fixes")).as("anchore")))
+                .otherwise(r.getField("database_specific"))
+                .as("database_specific"),
+              r.getField("events").as("events"),
+              r.getField("type").as("type"))
+          }).as("ranges"),
+          a.getField("versions").as("versions"))))
+      .drop("fixmap")
+  }
+
+  /** Passthrough result envelopes: identifier = lowercased record id
+    * (`providers/rocky/__init__.py:77-81`), OSV schema, the record
+    * itself (fix-date-patched) as the payload. */
+  def passthroughEnvelopes(records: DataFrame, fixdates: DataFrame,
+      ecosystemNormalizer: Column => Column = lower(_)): DataFrame =
+    patchFixDates(records, fixdates, ecosystemNormalizer)
+      .select(Envelope.assemble(
+        lower(col("id")),
+        Envelope.OsvSchema,
+        struct(
+          col("affected").as("affected"),
+          col("aliases").as("aliases"),
+          col("details").as("details"),
+          col("id").as("id"),
+          col("modified").as("modified"),
+          col("published").as("published"),
+          col("references").as("references"),
+          col("related").as("related"),
+          coalesce(col("schema_version"), lit("1.7.0")).as("schema_version"),
+          col("severity").as("severity"),
+          col("summary").as("summary"),
+          col("withdrawn").as("withdrawn"))): _*)
+
   /** Group per (namespace, cve) into OS-schema envelopes. */
   def envelopes(fixedIn: DataFrame): DataFrame = {
     fixedIn

@@ -83,6 +83,69 @@ class GoldenSnapshotSpec extends AnyFunSuite {
       graft.providers.VexProvider.envelopes(spark, fixture("csaf_vex.json")))
   }
 
+  test("ubuntu envelopes (Pro→base inference in the bytes) match " +
+      "committed snapshots byte-for-byte") {
+    import graft.providers.OsvProvider
+    val osv = OsvProvider.read(spark, fixture("osv.json"))
+    val fixdates = Seq(
+      ("CVE-2023-1111", "openssl", "3.0.2-0ubuntu1.9", "2023-03-15",
+        "first-observed")
+    ).toDF("cve", "pkg", "version", "date", "kind")
+    val env = OsvProvider.envelopes(OsvProvider.fixedInRows(
+      OsvProvider.proToBaseInference(OsvProvider.affectedRows(osv)),
+      fixdates))
+    Golden.assertSnapshots("ubuntu", env)
+    // J7 visible in the snapshot bytes: CVE-2023-1111 is fixed ONLY on
+    // the Pro 18.04 channel in the fixture, so a synthesized base
+    // wont-fix envelope must exist with Version None + NoAdvisory true
+    val inferred = java.nio.file.Files.readString(
+      Golden.root.resolve("ubuntu/ubuntu_18.04/cve-2023-1111.json"))
+    assert(inferred.contains("\"Version\": \"None\""))
+    assert(inferred.contains("\"NoAdvisory\": true"))
+    // ...alongside the real Pro-channel fix envelope
+    val pro = java.nio.file.Files.readString(
+      Golden.root.resolve("ubuntu/ubuntu_18.04+esm/cve-2023-1111.json"))
+    assert(pro.contains("\"Version\": \"1.1.1-1ubuntu2.1+esm1\""))
+  }
+
+  test("rocky passthrough envelopes match committed snapshots " +
+      "byte-for-byte") {
+    import graft.providers.OsvProvider
+    val recs = OsvProvider.readPassthrough(spark, fixture("rocky_osv.json"))
+    val fixdates = Seq(
+      ("RLSA-2023:4523", "rocky:8", "open-vm-tools", "12.1.5-2.el8_8.3",
+        "2023-08-10", "first-observed")
+    ).toDF("vuln_id", "ecosystem", "pkg", "version", "date", "kind")
+    Golden.assertSnapshots("rocky", OsvProvider.passthroughEnvelopes(
+      recs, fixdates, OsvProvider.rockyEcosystem))
+    // F19 in the bytes: the rocky:8 range carries the accurate store
+    // date, the rocky:9 range falls back to published/advisory
+    val patched = java.nio.file.Files.readString(
+      Golden.root.resolve("rocky/rlsa-2023_4523.json"))
+    assert(patched.contains("\"date\": \"2023-08-10\""))
+    assert(patched.contains("\"kind\": \"first-observed\""))
+    assert(patched.contains("\"date\": \"2023-08-08\""))
+    assert(patched.contains("\"kind\": \"advisory\""))
+  }
+
+  test("govulndb passthrough envelopes match committed snapshots " +
+      "byte-for-byte") {
+    import graft.providers.OsvProvider
+    val recs = OsvProvider.readPassthrough(spark,
+      fixture("govulndb_osv.json"))
+    val fixdates = Seq.empty[(String, String, String, String, String, String)]
+      .toDF("vuln_id", "ecosystem", "pkg", "version", "date", "kind")
+    Golden.assertSnapshots("govulndb",
+      OsvProvider.passthroughEnvelopes(recs, fixdates))
+    // multi-event range: BOTH fixed versions get the published-date
+    // fallback, event order preserved
+    val go = java.nio.file.Files.readString(
+      Golden.root.resolve("govulndb/go-2023-1558.json"))
+    assert(go.indexOf("\"version\": \"1.19.6\"") >= 0 &&
+      go.indexOf("\"version\": \"1.19.6\"") <
+        go.indexOf("\"version\": \"1.20.1\""))
+  }
+
   test("a drifted envelope is caught as a byte mismatch") {
     assume(!Golden.update, "negative checks don't apply while re-recording")
     val good = SecdbProvider.envelopes(spark, fixture("secdb.json"), "wolfi:rolling")
