@@ -48,6 +48,11 @@ object Envelope {
   /** Schema registry mirroring `src/vunnel/schema.py` (urls are ours —
     * the design point is: every envelope names its payload schema+version). */
   val OsSchema = "https://example.invalid/graft/vulnerability/os/schema-1.1.0.json"
+  /** Version-parameterized OS-schema URL — the reference publishes six
+    * os-schema versions (`schema/vulnerability/os/schema-1.0.0.json` …
+    * `schema-1.1.2.json`) and providers may pin any of them. */
+  def osSchema(version: String): String =
+    s"https://example.invalid/graft/vulnerability/os/schema-$version.json"
   val NvdSchema = "https://example.invalid/graft/vulnerability/nvd/schema-2.0.0.json"
   val OsvSchema = "https://example.invalid/graft/vulnerability/osv/schema-1.6.1.json"
   val GhsaSchema = "https://example.invalid/graft/vulnerability/github/schema-1.0.0.json"

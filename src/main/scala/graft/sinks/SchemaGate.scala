@@ -22,14 +22,39 @@ import graft.Envelope
   */
 object SchemaGate {
 
-  // Typed shape of the OS-vulnerability payload: only the fields the
-  // schema constrains. Extra payload fields are ignored by from_json
+  // Typed shape of the OS-vulnerability payload at its NEWEST version
+  // (1.1.2): parsing every envelope with the full shape is what lets a
+  // version-gated field be DETECTED under an older schema URL — a field
+  // from_json doesn't know about is silently dropped and could never be
+  // rejected. Extra payload fields beyond this shape are ignored
   // (additionalProperties are allowed, as in draft-04 by default).
   private val fixedInType = ArrayType(StructType(Seq(
     StructField("Name", StringType),
     StructField("NamespaceName", StringType),
     StructField("Version", StringType),
-    StructField("VersionFormat", StringType))))
+    StructField("VersionFormat", StringType),
+    // 1.0.1+: grype version-constraint override
+    StructField("VulnerableRange", StringType),
+    // 1.0.2 only: fix-availability date; replaced in 1.1.0
+    StructField("Issued", StringType),
+    // 1.1.0+: {Date, Kind} fix-availability object. The published
+    // schema document spells the property "Availability", but the
+    // reference's emitters write "Available"
+    // (`providers/rhel/parser.py:991`) and draft-04's open
+    // additionalProperties masks the mismatch — the gate validates the
+    // field that actually ships.
+    StructField("Available", StructType(Seq(
+      StructField("Date", StringType),
+      StructField("Kind", StringType)))),
+    // 1.1.1+: per-architecture fix split
+    StructField("Arch", StringType),
+    // 1.1.2+: per-stream fix table for multi-minor RHSAs
+    // (`providers/rhel/parser.py:961-980`)
+    StructField("Advisories", ArrayType(StructType(Seq(
+      StructField("Advisory", StringType),
+      StructField("Version", StringType),
+      StructField("Minor", IntegerType),
+      StructField("Channels", ArrayType(StringType)))))))))
 
   private val cvssType = ArrayType(StructType(Seq(
     StructField("version", StringType),
@@ -50,18 +75,54 @@ object SchemaGate {
     StructField("FixedIn", fixedInType),
     StructField("CVSS", cvssType)))
 
+  /** Per-version feature availability of the FixedIn entry, from the
+    * published version lineage (diffs of `schema/vulnerability/os/
+    * schema-1.0.0.json` … `schema-1.1.2.json`): VulnerableRange arrived
+    * in 1.0.1; Issued arrived in 1.0.2 and was REPLACED by the
+    * Available object in 1.1.0; Arch arrived in 1.1.1; Advisories in
+    * 1.1.2. */
+  final case class OsFeatures(
+      vulnerableRange: Boolean, issued: Boolean, available: Boolean,
+      arch: Boolean, advisories: Boolean)
+
+  val osVersions: Map[String, OsFeatures] = Map(
+    "1.0.0" -> OsFeatures(false, false, false, false, false),
+    "1.0.1" -> OsFeatures(true, false, false, false, false),
+    "1.0.2" -> OsFeatures(true, true, false, false, false),
+    "1.1.0" -> OsFeatures(true, false, true, false, false),
+    "1.1.1" -> OsFeatures(true, false, true, true, false),
+    "1.1.2" -> OsFeatures(true, false, true, true, true))
+
   /** OS-schema validity (required: Name, NamespaceName, Description,
     * Severity, Link; every FixedIn entry: Name, NamespaceName, Version,
     * VersionFormat; every CVSS entry: version, vector_string, status,
-    * base_metrics with all four scores). */
-  def osValid(item: Column): Column = {
+    * base_metrics with all four scores). Version-gated: a field newer
+    * than the envelope's declared schema version fails the row — a
+    * consumer parsing by URL would silently drop it, so emitting it
+    * under the old URL is a version-labeling bug, not compatible
+    * output. (Stricter than raw draft-04, whose open
+    * additionalProperties accepts any unknown field.) */
+  def osValid(item: Column, f: OsFeatures = osVersions("1.1.0")): Column = {
     val p = from_json(item, osType)
+    def gated(entry: Column, field: String, allowed: Boolean): Column =
+      if (allowed) lit(true) else entry.getField(field).isNull
+    val advisoriesOk = (fi: Column) =>
+      if (!f.advisories) fi.getField("Advisories").isNull
+      else fi.getField("Advisories").isNull ||
+        forall(fi.getField("Advisories"), a =>
+          a.getField("Advisory").isNotNull &&
+            a.getField("Version").isNotNull)
     val fixedInOk = p.getField("FixedIn").isNull ||
-      forall(p.getField("FixedIn"), f =>
-        f.getField("Name").isNotNull &&
-          f.getField("NamespaceName").isNotNull &&
-          f.getField("Version").isNotNull &&
-          f.getField("VersionFormat").isNotNull)
+      forall(p.getField("FixedIn"), fi =>
+        fi.getField("Name").isNotNull &&
+          fi.getField("NamespaceName").isNotNull &&
+          fi.getField("Version").isNotNull &&
+          fi.getField("VersionFormat").isNotNull &&
+          gated(fi, "VulnerableRange", f.vulnerableRange) &&
+          gated(fi, "Issued", f.issued) &&
+          gated(fi, "Available", f.available) &&
+          gated(fi, "Arch", f.arch) &&
+          advisoriesOk(fi))
     val cvssOk = p.getField("CVSS").isNull ||
       forall(p.getField("CVSS"), c =>
         c.getField("version").isNotNull &&
@@ -82,9 +143,14 @@ object SchemaGate {
       fixedInOk && cvssOk
   }
 
-  /** Registered structural validators by schema url. */
+  /** Registered structural validators by schema url: one per published
+    * os-schema version (Envelope.OsSchema is the 1.1.0 entry), plus the
+    * non-OS families. */
   val validators: Map[String, Column => Column] =
-    Map(Envelope.OsSchema -> (osValid _))
+    osVersions.map { case (v, feats) =>
+      graft.Envelope.osSchema(v) ->
+        ((item: Column) => osValid(item, feats))
+    }
 
   /** Per-row validity: a registered family gets its structural check;
     * an unregistered family only requires a parseable JSON object

@@ -46,7 +46,11 @@ object QualityGate {
         col("f.Name").as("pkg"), col("f.Version").as("fix_version"))
 
   /** Labels with NO matching envelope — the gate's false negatives.
-    * `labels` columns: (pkg, version, expected_vuln). Empty = gate
+    * `labels` columns: (pkg, version, expected_vuln) plus an optional
+    * `namespace` column — when present, the label only matches fixes in
+    * that namespace (the per-image analog of the reference's gate: each
+    * labeled image is one distro release, so a base-channel not-fixed
+    * row can't be satisfied by another channel's fix). Empty = gate
     * passes. */
   def falseNegatives(envelopes: DataFrame, labels: DataFrame): DataFrame = {
     val fixes = fixRows(envelopes)
@@ -57,10 +61,13 @@ object QualityGate {
         fixes("fix_version").isin("", "0", "None") ||
         graft.functions.RpmVersion
           .rpm_ver_cmp(labels("version"), fixes("fix_version")) < 0
-    labels.join(fixes,
-      labels("pkg") === fixes("pkg") &&
-        labels("expected_vuln") === fixes("vuln") && vulnerable,
-      "left_anti")
+    val keyed = labels("pkg") === fixes("pkg") &&
+      labels("expected_vuln") === fixes("vuln") && vulnerable
+    val cond =
+      if (labels.columns.contains("namespace"))
+        keyed && labels("namespace") === fixes("namespace")
+      else keyed
+    labels.join(fixes, cond, "left_anti")
   }
 
   /** Throws with the itemized misses when any label fails to match —

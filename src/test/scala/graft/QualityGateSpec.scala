@@ -63,6 +63,70 @@ class QualityGateSpec extends AnyFunSuite {
     QualityGate.assertNoFalseNegatives(debianEnv, labels)
   }
 
+  private lazy val rhelEnv = {
+    import graft.providers.RhelProvider
+    val hydra = RhelProvider.hydraScan(spark,
+      getClass.getResource("/fixtures/rhel_hydra.json").getPath)
+    val fpis = Seq(
+      ("RHSA-2024:0001", "CVE-2024-1111",
+        "AppStream-9.5.0.Z.MAIN:webkit2gtk3-0:2.46.1-2.el9_5.x86_64",
+        "cpe:/a:redhat:enterprise_linux:9::appstream", null, "webkit2gtk3",
+        "0:2.46.1-2.el9_5"),
+      ("RHSA-2024:0002", "CVE-2024-1111",
+        "AppStream-9.4.0.Z.EUS:webkit2gtk3-0:2.44.3-2.el9_4.5.x86_64",
+        "cpe:/a:redhat:enterprise_linux:9::appstream", null, "webkit2gtk3",
+        "0:2.44.3-2.el9_4.5"),
+      ("RHSA-2024:0003", "CVE-2024-1111",
+        "AppStream-8.6.0.Z.EUS:webkit2gtk3-0:2.40.0-1.el8_6.x86_64",
+        "cpe:/a:redhat:enterprise_linux:8::appstream", null, "webkit2gtk3",
+        "0:2.40.0-1.el8_6")
+    ).toDF("rhsa_id", "cve", "fpi", "plat_cpe", "module", "name", "version")
+    graft.providers.RhelProvider.envelopes(hydra, fpis)
+  }
+
+  test("rhel: labeled vulnerable installs all match under EVR " +
+      "comparison (0 false negatives)") {
+    val labels = Seq(
+      // release-segment compare: el9_5 release 1 < fix release 2
+      ("rhel:9", "webkit2gtk3", "0:2.46.1-1.el9_5", "CVE-2024-1111"),
+      // dist-tag compare: el9_4 < el9_5 at equal version
+      ("rhel:9", "webkit2gtk3", "0:2.46.1-2.el9_4", "CVE-2024-1111"),
+      // EUS channel fix gates its own namespace
+      ("rhel:8.6+eus", "webkit2gtk3", "0:2.39.0-1.el8_6", "CVE-2024-1111"),
+      // A4 not-fixed-trumps-fixed: the base rhel:8 row is Version None
+      // even though 8.6+eus ships a fix — an install ABOVE every
+      // published fix version must still match on the base channel
+      ("rhel:8", "webkit2gtk3", "0:2.99.0-1.el8", "CVE-2024-1111"),
+      // epoch-ful fix, same epoch, release below
+      ("rhel:8", "tomcat", "1:9.0.62-26.el8", "CVE-2024-2222"),
+      // epoch precedence: installed epoch 0 < fix epoch 1, so a HIGHER
+      // upstream version is still vulnerable
+      ("rhel:8", "tomcat", "0:9.99.99-1.el8", "CVE-2024-2222"),
+      // "0" sentinel on rhel:9 tomcat: any version matches
+      ("rhel:9", "tomcat", "5:1.0.0-1", "CVE-2024-2222")
+    ).toDF("namespace", "pkg", "version", "expected_vuln")
+    QualityGate.assertNoFalseNegatives(rhelEnv, labels)
+  }
+
+  test("rhel: EVR boundary and namespace misses are itemized") {
+    // installed == fix version exactly → not vulnerable → reported
+    val atFix = Seq(
+      ("rhel:9", "webkit2gtk3", "0:2.46.1-2.el9_5", "CVE-2024-1111"))
+      .toDF("namespace", "pkg", "version", "expected_vuln")
+    assert(QualityGate.falseNegatives(rhelEnv, atFix).count() == 1)
+    // epoch at fix: 1:9.0.62-27.el8 == fix → not vulnerable
+    val atEpochFix = Seq(
+      ("rhel:8", "tomcat", "1:9.0.62-27.el8", "CVE-2024-2222"))
+      .toDF("namespace", "pkg", "version", "expected_vuln")
+    assert(QualityGate.falseNegatives(rhelEnv, atEpochFix).count() == 1)
+    // namespace-scoped: the rhel:9 fix cannot satisfy a label pinned to
+    // a namespace with no matching row at that version
+    val wrongNs = Seq(
+      ("rhel:6", "tomcat", "1:9.0.62-26.el8", "CVE-2024-2222"))
+      .toDF("namespace", "pkg", "version", "expected_vuln")
+    assert(QualityGate.falseNegatives(rhelEnv, wrongNs).count() == 1)
+  }
+
   test("gate match rule is namespace-agnostic but version-exact") {
     // same package name across the two providers' envelopes must not
     // cross-satisfy a version that only one namespace fixes: combine

@@ -63,6 +63,50 @@ class SchemaGateSpec extends AnyFunSuite {
     assert(bad.isEmpty && good.count() == 2)
   }
 
+  test("schema version matrix: a field newer than the declared version " +
+      "quarantines; the right version ships it") {
+    def fixedIn(extra: String) =
+      s"""{"Name":"C","NamespaceName":"rhel:9","Description":"d",
+        |"Severity":"Low","Link":"l","FixedIn":[{"Name":"p",
+        |"NamespaceName":"rhel:9","Version":"0:1-1.el9",
+        |"VersionFormat":"rpm"$extra}]}""".stripMargin.replaceAll("\n", "")
+    val vrange = fixedIn(""","VulnerableRange":"< 0:1-1.el9"""")
+    val issued = fixedIn(""","Issued":"2024-01-01"""")
+    val avail = fixedIn(
+      ""","Available":{"Date":"2024-01-01","Kind":"first-observed"}""")
+    val arch = fixedIn(""","Arch":"aarch64"""")
+    val advisories = fixedIn(
+      ""","Advisories":[{"Advisory":"RHSA-2024:1","Version":"0:1-1.el9",
+        |"Minor":2,"Channels":["eus"]}]""".stripMargin.replaceAll("\n", ""))
+    val rows = Seq(
+      // 1.0.0 accepts none of the later fields
+      env("v100-range", vrange, Envelope.osSchema("1.0.0")),
+      env("v100-plain", fixedIn(""), Envelope.osSchema("1.0.0")),
+      // VulnerableRange arrived in 1.0.1
+      env("v101-range", vrange, Envelope.osSchema("1.0.1")),
+      // Issued is 1.0.2-only: valid there, gone in 1.1.0
+      env("v102-issued", issued, Envelope.osSchema("1.0.2")),
+      env("v110-issued", issued, Envelope.osSchema("1.1.0")),
+      // Available (1.1.0), Arch (1.1.1), Advisories (1.1.2)
+      env("v110-avail", avail, Envelope.osSchema("1.1.0")),
+      env("v102-avail", avail, Envelope.osSchema("1.0.2")),
+      env("v111-arch", arch, Envelope.osSchema("1.1.1")),
+      env("v110-arch", arch, Envelope.osSchema("1.1.0")),
+      env("v112-advisories", advisories, Envelope.osSchema("1.1.2")),
+      env("v110-advisories", advisories, Envelope.osSchema("1.1.0")),
+      // 1.1.2 Advisories entries still require Advisory+Version
+      env("v112-bad-advisory", fixedIn(
+        ""","Advisories":[{"Minor":2}]"""), Envelope.osSchema("1.1.2"))
+    ).toDF("identifier", "schema", "item")
+    val (good, bad) = SchemaGate.validate(rows)
+    assert(good.select("identifier").as[String].collect().toSet == Set(
+      "v100-plain", "v101-range", "v102-issued", "v110-avail",
+      "v111-arch", "v112-advisories"))
+    assert(bad.select("identifier").as[String].collect().toSet == Set(
+      "v100-range", "v110-issued", "v102-avail", "v110-arch",
+      "v110-advisories", "v112-bad-advisory"))
+  }
+
   test("unregistered schema family: parseable JSON object passes, junk fails") {
     val rows = Seq(
       env("nvd-ok", """{"anything":{"nested":true}}""", Envelope.NvdSchema),
