@@ -997,10 +997,16 @@ object QueriesPipeline {
         dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
         marked AS (
           SELECT doc_id, p FROM grams WHERE g IN (SELECT g FROM dup)),
-        isl AS (
+        heads AS (
           SELECT doc_id, p,
-            p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS i
-          FROM marked)
+            CASE WHEN coalesce(p - lag(p) OVER
+              (PARTITION BY doc_id ORDER BY p), 5) > 4 THEN 1 ELSE 0 END
+              AS h
+          FROM marked),
+        isl AS (
+          SELECT doc_id, p, sum(h) OVER
+            (PARTITION BY doc_id ORDER BY p) AS i
+          FROM heads)
         SELECT doc_id, min(p) AS span_start, max(p) + 3 AS span_end,
           count(*) AS n_windows
         FROM isl GROUP BY doc_id, i""")),

@@ -98,9 +98,19 @@ object Corpus {
       .filter(col("__cnt") >= minCount)
       .select("__gh")
     val marked = grams.join(dup, Seq("__gh")).select("__doc", "p")
+    // Maximal spans: two duplicated windows at start positions p1 < p2
+    // overlap or touch whenever p2 - p1 <= n, so islands merge on THAT
+    // gap, not only on consecutive starts — otherwise windows at 0 and
+    // 2 (n=4) emit overlapping spans [0,3] and [2,5] and a consumer
+    // summing span lengths double-counts the shared tokens. Classic
+    // gaps-and-islands with tolerance: flag each island head, running-
+    // sum the flags (both windows share one partition sort).
+    val byPos = Window.partitionBy("__doc").orderBy("p")
     marked
-      .withColumn("__isl", col("p") - row_number().over(
-        Window.partitionBy("__doc").orderBy("p")))
+      .withColumn("__head",
+        when(coalesce(col("p") - lag("p", 1).over(byPos), lit(n + 1)) > n,
+          1L).otherwise(0L))
+      .withColumn("__isl", sum("__head").over(byPos))
       .groupBy(col("__doc"), col("__isl"))
       .agg(min("p").cast("long").as("span_start"),
         (max("p") + n - 1).cast("long").as("span_end"),

@@ -268,6 +268,13 @@ object Embeddings {
       if (bn > 0L) {
         val bs = r.getSeq[Double](1)
         val bp = r.getSeq[Double](2)
+        // every row must be internally consistent (prod is the d×d
+        // row-major matrix of the SAME d as sum) — a hand-written or
+        // truncated store row would otherwise surface as an index
+        // error deep in the fold loop instead of a clear message
+        require(bp.length.toLong == bs.length.toLong * bs.length,
+          s"moment-stats row shape: prod has ${bp.length} entries, " +
+            s"expected ${bs.length}×${bs.length}")
         if (sum == null) { sum = bs.toArray; prod = bp.toArray }
         else {
           require(bs.length == sum.length,

@@ -212,20 +212,33 @@ object Similarity {
         corpus.sample(withReplacement = false, trainFraction, 42L)
       else corpus
     // Cap the collect WITHOUT a partition-order prefix: limit() alone
-    // would take the first splits — on a topic-clustered layout that
-    // trains every centroid in one region of the space. When the
-    // (sampled) corpus exceeds the cap, thin it with a seeded Bernoulli
-    // sample to ~2× the cap first (count() on parquet is
-    // metadata-cheap), so the limit cuts a RANDOM subset, not a prefix.
+    // consumes partitions in order — on a topic-clustered layout that
+    // trains every centroid in one region of the space, and a Bernoulli
+    // pre-thin doesn't change that (the limit still cuts a prefix OF
+    // THE SAMPLE). When the (sampled) corpus exceeds the cap, thin to
+    // ~2× the cap (count() on parquet is metadata-cheap) and order by a
+    // content hash before the limit: the cut is then a deterministic
+    // function of the VALUES — no partition prefix — and the
+    // orderBy+limit executes as TakeOrdered over the thinned rows
+    // (bounded per-partition heap, no full sort shuffle; thinning
+    // first keeps the merge at 2×cap rows, where TakeOrdered over the
+    // raw corpus would merge cap×partitions). Spark's Bernoulli sampler
+    // is partition-seeded, so bit-identical centroids across DIFFERENT
+    // partitionings hold whenever the thin keeps everything (n ≤ 2×cap
+    // — every test/bench config); above that the selection is still
+    // content-hash-pseudo-random, never a layout prefix.
     val n = sampled.count()
-    val thinned =
+    val (thinned, capped) =
       if (n > maxTrainRows)
-        sampled.sample(withReplacement = false,
-          math.min(1.0, 2.0 * maxTrainRows / n), 4242L)
-      else sampled
-    val collected = thinned
-      .select(col(vecCol).cast("array<float>"))
-      .limit(maxTrainRows).collect()
+        (sampled.sample(withReplacement = false,
+          math.min(1.0, 2.0 * maxTrainRows / n), 4242L), true)
+      else (sampled, false)
+    val projected = thinned.select(col(vecCol).cast("array<float>").as("__v"))
+    val collected =
+      (if (capped)
+        projected.orderBy(xxhash64(col("__v")), col("__v"))
+          .limit(maxTrainRows)
+      else projected).collect()
       .map(_.getSeq[Float](0).toArray).filter(_.nonEmpty)
     require(collected.nonEmpty, s"trainCentroids: no non-empty '$vecCol'")
     val data: Array[Array[Float]] = {

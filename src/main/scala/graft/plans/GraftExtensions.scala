@@ -78,9 +78,21 @@ object GraftExtensions {
         intLit(es(1), "hyperplane_band_sigs"),
         intLit(es(2), "hyperplane_band_sigs"))),
     ("top_k_agg", classOf[TopKAggExpr].getName,
-      (es: Seq[Expression]) =>
+      (es: Seq[Expression]) => {
+        // mirror topKPerGroup's Scala-side integral-id guard: without
+        // it, ImplicitCastInputTypes silently casts a fractional id
+        // double→long, truncating and conflating distinct ids
+        es(1).dataType match {
+          case org.apache.spark.sql.types.ByteType
+            | org.apache.spark.sql.types.ShortType
+            | IntegerType | org.apache.spark.sql.types.LongType => ()
+          case dt => throw new IllegalArgumentException(
+            "top_k_agg id argument must be an integral type, got " +
+              dt.simpleString)
+        }
         TopKAggExpr(es(0), es(1), intLit(es(2), "top_k_agg"))
-          .toAggregateExpression()),
+          .toAggregateExpression()
+      }),
     ("pair_combos", classOf[PairCombosExpr].getName,
       (es: Seq[Expression]) => PairCombosExpr(es.head)),
     ("mat_project", classOf[MatProjectExpr].getName,

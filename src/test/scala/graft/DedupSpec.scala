@@ -308,6 +308,35 @@ class DedupSpec extends AnyFunSuite {
       minCount = 3L).count() == 0)
   }
 
+  test("duplicated spans: overlapping and touching windows merge, " +
+      "disjoint ones don't") {
+    import graft.operators.Corpus
+    // doc 10: duplicated windows at p=0 ("a b c d") and p=2
+    // ("c d X e") with p=1 unique — the windows OVERLAP (gap 2 < n),
+    // so one maximal span [0,5], not [0,3] + [2,5]
+    // doc 20: duplicated windows at p=0 and p=4 — TOUCHING spans
+    // (gap = n) merge to [0,7]
+    // doc 30: duplicated windows at p=0 and p=5 — gap n+1, two spans
+    val df = Seq(
+      (10L, "a b c d X e f g h"),
+      (11L, "a b c d"),
+      (12L, "c d X e"),
+      (20L, "p q r s w x y z"),
+      (21L, "p q r s"),
+      (22L, "w x y z"),
+      (30L, "j k l m n1 g1 g2 g3 g4"),
+      (31L, "j k l m"),
+      (32L, "g1 g2 g3 g4")).toDF("doc_id", "text")
+    val spans = Corpus.duplicatedSpans(df, "text", "doc_id", n = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .filter(_._1 % 10 == 0).sortBy(t => (t._1, t._2)).toSeq
+    assert(spans == Seq(
+      (10L, 0L, 5L, 2L),
+      (20L, 0L, 7L, 2L),
+      (30L, 0L, 3L, 1L), (30L, 5L, 8L, 1L)))
+  }
+
   test("semantic near-dups: exact precision, cell recall on real table") {
     val em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val truth = em.as("a").join(em.as("b"),

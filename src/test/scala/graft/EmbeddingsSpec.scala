@@ -229,6 +229,40 @@ class EmbeddingsSpec extends AnyFunSuite {
         assert(math.abs(x - y) < 1e-7, "component drift") } }
   }
 
+  test("capped centroid training cuts by content hash, not partition " +
+      "prefix") {
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(53)
+    val vecs = (1 to 100).map(_ => Seq.fill(4)(rnd.nextGaussian().toFloat))
+    // n=100 > cap=64 triggers the capped path; thin rate clamps to 1.0
+    // (n ≤ 2×cap), so the hash-ordered cut is the ONLY selection — it
+    // must be identical across partition layouts (a prefix cut is not:
+    // repartition(1) vs repartition(13) enumerate different prefixes)
+    val a = Similarity.trainCentroids(
+      vecs.toDF("embedding").repartition(1), "embedding", 4,
+      maxTrainRows = 64)
+    val b = Similarity.trainCentroids(
+      vecs.toDF("embedding").repartition(13), "embedding", 4,
+      maxTrainRows = 64)
+    assert(a.map(_._2.toSeq) == b.map(_._2.toSeq))
+  }
+
+  test("a malformed moment-store row fails with a clear shape error") {
+    val rnd = new scala.util.Random(47)
+    val path = java.nio.file.Files
+      .createTempDirectory("moments_bad").toString + "/stats"
+    Embeddings.appendMomentStats(
+      (1 to 50).map(_ => Seq.fill(4)(rnd.nextGaussian().toFloat))
+        .toDF("embedding"), "embedding", path)
+    // truncated prod array (hand-written store row)
+    Seq((10L, Seq(1.0, 2.0, 3.0, 4.0), Seq(1.0, 2.0, 3.0)))
+      .toDF("n", "sum", "prod").write.mode("append").parquet(path)
+    val err = intercept[IllegalArgumentException] {
+      Embeddings.fitPcaFromStats(spark, path, 2)
+    }
+    assert(err.getMessage.contains("moment-stats row shape"))
+  }
+
   test("randomProject: deterministic, norm-preserving in expectation") {
     val rnd = new scala.util.Random(31)
     val df = (1L to 200L).map(i =>

@@ -201,6 +201,15 @@ class PlanAssertionsSpec extends AnyFunSuite {
         .collect()
     }
     assert(err.getMessage.contains("literal int"))
+    // the SQL surface guards the id type like the Scala API: a
+    // fractional id would otherwise be silently cast double→long,
+    // truncating and conflating distinct ids
+    val idErr = intercept[Exception] {
+      spark.sql("""SELECT top_k_agg(s, i, 2) FROM (
+          SELECT * FROM VALUES (0.9, 1.5D), (0.8, 2.5D) AS v(s, i))""")
+        .collect()
+    }
+    assert(idErr.getMessage.contains("integral"))
   }
 
   test("q_tokens_encode looks ids up via broadcast join, never sort-merge") {
