@@ -189,10 +189,17 @@ object OsvProvider {
         "fixed:string,last_affected:string>>,database_specific:" +
         "struct<anchore:struct<fixes:array<struct<version:string," +
         "date:string,kind:string>>>>>>")
-    val fd = broadcast(fixdates.select(
-      col("vuln_id").as("fd_vuln"), col("ecosystem").as("fd_eco"),
-      col("pkg").as("fd_pkg"), col("version").as("fd_version"),
-      col("date").as("fd_date"), col("kind").as("fd_kind")))
+    // ONE dimension row per lookup key (fixdater.best returns a single
+    // result): earliest date wins, kind riding along in the tie-break —
+    // a doubled store row would otherwise produce duplicate fixes
+    // entries for one event
+    val fd = broadcast(fixdates
+      .groupBy(col("vuln_id").as("fd_vuln"), col("ecosystem").as("fd_eco"),
+        col("pkg").as("fd_pkg"), col("version").as("fd_version"))
+      .agg(min(struct(col("date"), col("kind"))).as("best"))
+      .select(col("fd_vuln"), col("fd_eco"), col("fd_pkg"),
+        col("fd_version"), col("best.date").as("fd_date"),
+        col("best.kind").as("fd_kind")))
     val events = records
       .select(col("id"), col("published"),
         posexplode(coalesce(col("affected"),

@@ -336,7 +336,11 @@ object RhelProvider {
       .join(cveAttrs(hydra), Seq("cve"))
       .select(Envelope.assemble(
         concat(lit("rhel:"), col("platform"), lit("/"), lower(col("cve"))),
-        Envelope.OsSchema,
+        // rhel pins os-schema 1.1.2, NOT the 1.1.0 default — it emits
+        // the per-stream FixedIn.Advisories table, a 1.1.2-only field
+        // the version-gated SchemaGate would quarantine under 1.1.0
+        // (reference: `providers/rhel/__init__.py:48`)
+        Envelope.osSchema("1.1.2"),
         struct(
           col("cvss").as("CVSS"),
           col("description").as("Description"),

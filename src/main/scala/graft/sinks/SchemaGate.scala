@@ -144,8 +144,10 @@ object SchemaGate {
   }
 
   /** Registered structural validators by schema url: one per published
-    * os-schema version (Envelope.OsSchema is the 1.1.0 entry), plus the
-    * non-OS families. */
+    * os-schema version (Envelope.OsSchema is the 1.1.0 entry). Non-OS
+    * families (nvd/osv/github/csaf-vex) are NOT registered — they fall
+    * through to [[rowValid]]'s parseable-JSON-object fallback, the same
+    * scope the reference's known-schema validation has. */
   val validators: Map[String, Column => Column] =
     osVersions.map { case (v, feats) =>
       graft.Envelope.osSchema(v) ->

@@ -107,6 +107,32 @@ class SchemaGateSpec extends AnyFunSuite {
       "v110-advisories", "v112-bad-advisory"))
   }
 
+  test("rhel envelopes carrying 1.1.2 Advisories pass the gate under " +
+      "their pinned schema URL") {
+    import graft.providers.RhelProvider
+    val hydra = RhelProvider.hydraScan(spark,
+      getClass.getResource("/fixtures/rhel_hydra.json").getPath)
+    val fpis = Seq(
+      ("RHSA-2024:0001", "CVE-2024-1111",
+        "AppStream-9.5.0.Z.MAIN:webkit2gtk3-0:2.46.1-2.el9_5.x86_64",
+        "cpe:/a:redhat:enterprise_linux:9::appstream", null, "webkit2gtk3",
+        "0:2.46.1-2.el9_5"),
+      ("RHSA-2024:0002", "CVE-2024-1111",
+        "AppStream-9.4.0.Z.EUS:webkit2gtk3-0:2.44.3-2.el9_4.5.x86_64",
+        "cpe:/a:redhat:enterprise_linux:9::appstream", null, "webkit2gtk3",
+        "0:2.44.3-2.el9_4.5")
+    ).toDF("rhsa_id", "cve", "fpi", "plat_cpe", "module", "name", "version")
+    val envs = RhelProvider.envelopes(hydra, fpis)
+    val (good, bad) = SchemaGate.validate(envs)
+    assert(bad.isEmpty,
+      "rhel envelopes quarantined: " +
+        bad.select("identifier").as[String].collect().mkString(", "))
+    // the fixture's two rhel:9 fix streams must actually exercise the
+    // Advisories path — otherwise this test pins nothing
+    import org.apache.spark.sql.functions.col
+    assert(good.filter(col("item").contains("\"Advisories\"")).count() > 0)
+  }
+
   test("unregistered schema family: parseable JSON object passes, junk fails") {
     val rows = Seq(
       env("nvd-ok", """{"anything":{"nested":true}}""", Envelope.NvdSchema),
