@@ -7,6 +7,20 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // NOTE on scan parallelism: the driver's test parquet has ONE row
+      // group per table, so a scan runs as 1 real task no matter what
+      // spark.sql.files.maxPartitionBytes is set to (smaller splits
+      // only add empty byte-range tasks — and an inflated partition
+      // count defeats Q.spread's no-op check). Kernel-dominated queries
+      // respread explicitly via Q.spread instead.
+      //
+      // ObjectHashAggregate (every TypedImperativeAggregate: top_k_agg,
+      // rpm_stream_reduce, cms_topk) falls back to SORT-based
+      // aggregation after 128 distinct keys per partition by default —
+      // a full per-partition sort for any real group count. 4M keys
+      // keeps the hash path; buffers here are small bounded objects.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        (1 << 22).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -40,6 +40,21 @@ object Q {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Conditional round-robin respread for per-row-kernel stages (same
+    * contract as Similarity.spread): the driver's test parquet has ONE
+    * row group per table, so scan parallelism is 1 task no matter the
+    * split config — a scan→kernel query runs single-threaded. A
+    * repartition ahead of the kernel costs one small exchange at test
+    * SF and is a NO-OP at scale (a real corpus's scan already has ≥
+    * defaultParallelism splits), so plans at the design point are
+    * unchanged. Apply only where the per-row kernel dominates the
+    * query — not on plain aggregations, where the added exchange would
+    * shuffle raw rows that partial aggregation would have collapsed. */
+  def spread(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < want) df.repartition(want) else df
+  }
+
   /** Exact cents encoding of a double money value. */
   def cents(c: Column): Column = floor(c * 100 + lit(0.5)).cast("long")
 

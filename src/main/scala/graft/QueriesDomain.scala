@@ -16,10 +16,17 @@ import graft.plans.RpmExpressions
 object QueriesDomain {
 
   // "%d.%03d-%02d%s" over lineitem columns: EVR order == string order.
-  private def synthVer = format_string("%d.%03d-%02d%s",
-    col("l_linenumber"),
-    floor(col("l_quantity")).cast("int"),
-    floor(col("l_discount") * 100 + lit(0.5)).cast("int"),
+  // Built with concat/lpad, not format_string: java.util.Formatter costs
+  // ~1.2µs/row (measured 0.7s of a 1.5s query at sf0.1) where concat +
+  // lpad are plain codegen'd string ops. lpad TRUNCATES above the pad
+  // width — safe here (quantity < 1000, discount·100 < 100 by TPC-H
+  // domain), which is why the widths match the printf contract exactly.
+  private[graft] def synthVer = concat(
+    col("l_linenumber").cast("string"), lit("."),
+    lpad(floor(col("l_quantity")).cast("int").cast("string"), 3, "0"),
+    lit("-"),
+    lpad(floor(col("l_discount") * 100 + lit(0.5)).cast("int").cast("string"),
+      2, "0"),
     lower(col("l_returnflag")))
 
   private val synthVerSql = """printf('%d.%03d-%02d%s', l_linenumber,
@@ -32,14 +39,11 @@ object QueriesDomain {
     // last '-', nulls for absent parts — rpm.py:53-87 semantics).
     "q_fn_evr_split" -> Entry(
       (s, dir) => {
-        val li = t(s, dir, "lineitem")
+        // spread: EVR parse kernel over every row (see Q.spread)
+        val li = Q.spread(t(s, dir, "lineitem"))
         val full = concat(
           when(col("l_linenumber") % 3 === 0, lit("2:")).otherwise(lit("")),
-          format_string("%d.%03d-%02d%s",
-            col("l_linenumber"),
-            floor(col("l_quantity")).cast("int"),
-            floor(col("l_discount") * 100 + lit(0.5)).cast("int"),
-            lower(col("l_returnflag"))))
+          synthVer)
         li.select(col("l_orderkey"), col("l_linenumber"), full.as("full_ver"))
           .select(col("l_orderkey"), col("l_linenumber"), col("full_ver"),
             RpmVersion.rpm_epoch(col("full_ver")).as("epoch"),
@@ -89,14 +93,18 @@ object QueriesDomain {
               FROM lineitem WHERE l_linenumber = 1) f
           ON l.l_orderkey = f.l_orderkey""")),
 
-    // A2: the typed Aggregator — per-stream maxima + canonical pick,
-    // partial-aggregated map-side (the shuffle carries maps, not rows).
+    // A2: per-stream maxima + canonical pick, partial-aggregated
+    // map-side (the shuffle carries maps, not rows). Native
+    // TypedImperativeAggregate — the typed-udaf form re-encodes its Map
+    // buffer per input row (~2.7× slower at sf0.1; KernelPropertiesSpec
+    // pins native ≡ udaf).
     "q_rpm_stream_reduce" -> Entry(
       (s, dir) => {
-        val li = t(s, dir, "lineitem")
+        // spread: versionBase + EVR-compare kernel per row (Q.spread)
+        val li = Q.spread(t(s, dir, "lineitem"))
         li.select(col("l_partkey"), synthVer.as("ver"))
           .groupBy(col("l_partkey"))
-          .agg(RpmStreamReduce.rpm_stream_reduce(col("ver")).as("r"))
+          .agg(graft.plans.RpmStreamAgg.rpm_stream_reduce(col("ver")).as("r"))
           .select(col("l_partkey"),
             col("r.canonical").as("canonical"),
             col("r.n_streams").as("n_streams"),
@@ -121,7 +129,8 @@ object QueriesDomain {
     // formula in SQL (roundup, scope-conditional impact, severity word).
     "q_cvss_score" -> Entry(
       (s, dir) => {
-        val li = t(s, dir, "lineitem")
+        // spread: vector parse + scoring kernel per row (Q.spread)
+        val li = Q.spread(t(s, dir, "lineitem"))
         val av = element_at(array(lit("N"), lit("A"), lit("L"), lit("P")),
           (col("l_linenumber") % 4 + 1).cast("int"))
         val ac = when(col("l_quantity") < 25, "L").otherwise("H")

@@ -95,12 +95,8 @@ object QueriesRelational {
     "q_agg_rpm_max" -> Entry(
       (s, dir) => {
         val li = t(s, dir, "lineitem")
-        val ver = format_string("%d.%03d-%02d%s",
-          col("l_linenumber"),
-          floor(col("l_quantity")).cast("int"),
-          floor(col("l_discount") * 100 + lit(0.5)).cast("int"),
-          lower(col("l_returnflag")))
-        li.select(col("l_partkey"), ver.as("ver"))
+        // spread: rpm_sort_key kernel per row (Q.spread)
+        Q.spread(li).select(col("l_partkey"), QueriesDomain.synthVer.as("ver"))
           .groupBy(col("l_partkey"))
           .agg(max_by(col("ver"), RpmVersion.rpm_sort_key(col("ver")))
             .as("max_ver"),

@@ -13,6 +13,9 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // keep TypedImperativeAggregates on the hash path (see Bench)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        (1 << 22).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -101,11 +101,13 @@ object Cvss extends Serializable {
 
   // ---- Column API ------------------------------------------------------
 
-  private val scoreUdf = udf((v: String) => Option(score(v)))
-
   /** struct(version, baseScore, exploitabilityScore, impactScore,
-    * baseSeverity) or null for malformed vectors. */
-  def cvss3_score(vector: Column): Column = scoreUdf(vector)
+    * baseSeverity) or null for malformed vectors. Native expression —
+    * see [[graft.plans.Cvss3ScoreExpr]] for why not a udf. */
+  def cvss3_score(vector: Column): Column = {
+    import org.apache.spark.sql.graft.bridge.{column, expression}
+    column(graft.plans.Cvss3ScoreExpr(expression(vector)))
+  }
 
   /** CVSS v4.0 vector grammar (FIRST CVSS v4.0 spec §7, Table 23): the
     * 11 mandatory base metrics, then each optional threat /

@@ -95,6 +95,11 @@ object GraftExtensions {
       }),
     ("pair_combos", classOf[PairCombosExpr].getName,
       (es: Seq[Expression]) => PairCombosExpr(es.head)),
+    ("rpm_stream_reduce", classOf[RpmStreamAggExpr].getName,
+      (es: Seq[Expression]) =>
+        RpmStreamAggExpr(es.head).toAggregateExpression()),
+    ("cvss3_score", classOf[Cvss3ScoreExpr].getName,
+      (es: Seq[Expression]) => Cvss3ScoreExpr(es.head)),
     ("mat_project", classOf[MatProjectExpr].getName,
       (es: Seq[Expression]) => MatProjectExpr(es(0),
         doubleArrayLit(es(1), "mat_project"),

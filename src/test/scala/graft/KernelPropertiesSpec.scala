@@ -309,6 +309,42 @@ class KernelPropertiesSpec extends AnyFunSuite {
     assert(sql == native)
   }
 
+  test("native rpm_stream_reduce ≡ typed-udaf aggregator on a grouped " +
+      "query") {
+    val spark = SparkTestSession.spark
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    // epoch-ful EVR strings across a few base streams per group, with
+    // dist-tag releases so the EVR compare (not string order) decides
+    val rows = Seq.tabulate(3000) { i =>
+      val epoch = rnd.nextInt(2)
+      val base = s"$epoch:${rnd.nextInt(3)}.${rnd.nextInt(4)}"
+      (i % 11, s"$base.${rnd.nextInt(10)}-${rnd.nextInt(5)}.el9_${rnd.nextInt(6)}")
+    }
+    val df = rows.toDF("g", "ver").repartition(8)
+    def flat(c: org.apache.spark.sql.DataFrame) = c
+      .select(col("g"), col("r.canonical"), col("r.n_streams"),
+        array_join(transform(col("r.streams"),
+          x => concat_ws("|", x.getField("base"), x.getField("version"))),
+          ",").as("s"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2),
+        r.getString(3))).sortBy(_._1).toSeq
+    val native = flat(df.groupBy("g").agg(
+      graft.plans.RpmStreamAgg.rpm_stream_reduce(col("ver")).as("r")))
+    val udaf = flat(df.groupBy("g").agg(
+      graft.operators.RpmStreamReduce.rpm_stream_reduce(col("ver")).as("r")))
+    assert(native == udaf)
+    assert(native.nonEmpty && native.exists(_._3 > 1))
+    // and through SQL via the registered function
+    graft.plans.GraftExtensions.register(spark)
+    df.createOrReplaceTempView("rpm_stream_in")
+    val sql = flat(spark.sql(
+      """SELECT g, rpm_stream_reduce(ver) AS r
+         FROM rpm_stream_in GROUP BY g"""))
+    assert(sql == native)
+  }
+
   test("hyperplane_band_sigs ≡ per-offset hyperplane_sig slices") {
     val spark = SparkTestSession.spark
     import org.apache.spark.sql.functions._
