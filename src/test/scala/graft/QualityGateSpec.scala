@@ -127,6 +127,31 @@ class QualityGateSpec extends AnyFunSuite {
     assert(QualityGate.falseNegatives(rhelEnv, wrongNs).count() == 1)
   }
 
+  private lazy val slesEnv = graft.providers.SlesProvider.envelopes(
+    spark, getClass.getResource("/fixtures/sles_oval.xml").getPath,
+    majorVersion = "15")
+
+  test("sles (oval family): labeled installs match per release " +
+      "(0 false negatives)") {
+    val labels = Seq(
+      // rpm release compare below the fix, per-minor namespaces
+      ("sles:15.1", "sqlite3", "3.36.0-3.12.0", "CVE-2025-4242"),
+      ("sles:15.4", "sqlite3", "3.35.0-1.1", "CVE-2025-4242"),
+      // "0" sentinel row (sqlite3-doc): any installed version matches
+      ("sles:15.1", "sqlite3-doc", "99.0-0.1", "CVE-2025-4242"),
+      ("sles:15.4", "curl", "8.0.1-1.0", "CVE-2025-5353")
+    ).toDF("namespace", "pkg", "version", "expected_vuln")
+    QualityGate.assertNoFalseNegatives(slesEnv, labels)
+    // boundary: installed exactly at the fix → reported, not matched
+    val atFix = Seq(("sles:15.4", "curl", "8.0.1-1.1", "CVE-2025-5353"))
+      .toDF("namespace", "pkg", "version", "expected_vuln")
+    assert(QualityGate.falseNegatives(slesEnv, atFix).count() == 1)
+    // a release the OVAL never lists for this CVE
+    val wrongRel = Seq(("sles:15.1", "curl", "7.0.0-1.0", "CVE-2025-5353"))
+      .toDF("namespace", "pkg", "version", "expected_vuln")
+    assert(QualityGate.falseNegatives(slesEnv, wrongRel).count() == 1)
+  }
+
   test("gate match rule is namespace-agnostic but version-exact") {
     // same package name across the two providers' envelopes must not
     // cross-satisfy a version that only one namespace fixes: combine
