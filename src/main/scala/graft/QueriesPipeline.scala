@@ -299,6 +299,9 @@ object QueriesPipeline {
       // pins the two row-identical. cache = false so a bench/verify
       // session doesn't pin the string-shingle set for the remaining
       // queries (callers of this entry run it once).
+      // (no Q.spread here: the operator consumes docs in multiple
+      // passes, so an uncached respread re-shuffles per pass — measured
+      // net-negative)
       (s, dir) => graft.operators.Contamination
         .crossContainment(t(s, dir, "documents"), "source", "text",
           hashed = false, cache = false),
@@ -483,6 +486,8 @@ object QueriesPipeline {
     // shuffle + a broadcast frequent set + a map-only rewrite.
     "q_corpus_line_dedup" -> Entry(
       (s, dir) => {
+        // (no Q.spread: three passes over docs — respread re-shuffles
+        // each one without a cache; measured net-negative)
         val docs = t(s, dir, "documents")
         val threshold = docs.count()
         graft.operators.Corpus
@@ -529,8 +534,10 @@ object QueriesPipeline {
     // strict hash compare.
     "q_embed_quantize" -> Entry(
       (s, dir) => {
+        // spread: the probe columns below are interpreted HOF lambdas
+        // (~200 evals/row) and the scan is one row group (Q.spread)
         val q = graft.operators.Embeddings
-          .quantize(t(s, dir, "embeddings"), "embedding")
+          .quantize(Q.spread(t(s, dir, "embeddings")), "embedding")
         q.select(col("vec_id"),
           aggregate(col("qvec"), lit(0L),
             (a, x) => a + x.cast("long")).as("sum_q"),
