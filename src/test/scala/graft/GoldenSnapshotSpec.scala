@@ -146,6 +146,24 @@ class GoldenSnapshotSpec extends AnyFunSuite {
         go.indexOf("\"version\": \"1.20.1\""))
   }
 
+  test("bitnami passthrough envelopes match committed snapshots " +
+      "byte-for-byte") {
+    import graft.providers.OsvProvider
+    val recs = OsvProvider.readPassthrough(spark,
+      fixture("bitnami_osv.json"))
+    val fixdates = Seq(
+      ("BIT-redis-2023-45145", "bitnami", "redis", "7.2.2",
+        "2023-10-19", "first-observed")
+    ).toDF("vuln_id", "ecosystem", "pkg", "version", "date", "kind")
+    Golden.assertSnapshots("bitnami",
+      OsvProvider.passthroughEnvelopes(recs, fixdates))
+    // the `versions` passthrough field and the dated fix both survive
+    val redis = java.nio.file.Files.readString(
+      Golden.root.resolve("bitnami/bit-redis-2023-45145.json"))
+    assert(redis.contains("\"7.2.0\"") &&
+      redis.contains("\"date\": \"2023-10-19\""))
+  }
+
   test("a drifted envelope is caught as a byte mismatch") {
     assume(!Golden.update, "negative checks don't apply while re-recording")
     val good = SecdbProvider.envelopes(spark, fixture("secdb.json"), "wolfi:rolling")
