@@ -53,7 +53,7 @@ object Q {
   def spread(df: DataFrame): DataFrame = {
     val want = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < want) df.repartition(want) else df
-  }
+  } // Similarity.spread delegates here — ONE copy of the heuristic
 
   /** Exact cents encoding of a double money value. */
   def cents(c: Column): Column = floor(c * 100 + lit(0.5)).cast("long")

@@ -1535,10 +1535,11 @@ object QueriesPipeline {
             AS scrubbed_sha
         FROM s2""")),
 
-    // One-pass data profiling: per-column null/distinct/min/max over
-    // lineitem in a single aggregate (multiple distincts expand
-    // map-side — one scan, not |columns| scans). Money min/max go
-    // through integer cents (portable reprs).
+    // Data profiling: per-column null/distinct/min/max over lineitem,
+    // ONE single-distinct aggregate per column unioned (all-in-one-agg
+    // triggers the RewriteDistinctAggregates Expand — see
+    // Corpus.profile). Money min/max go through integer cents
+    // (portable reprs).
     "q_profile_stats" -> Entry(
       (s, dir) => graft.operators.Corpus.profile(t(s, dir, "lineitem"), Seq(
         "l_returnflag" -> col("l_returnflag"),

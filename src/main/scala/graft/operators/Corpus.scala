@@ -277,7 +277,15 @@ object Corpus {
     * aggs each plan as the standard two-phase partial distinct, and on
     * columnar storage the per-column scans read the same total bytes
     * as one multi-column scan — |columns| cheap scans beat one
-    * Expand-inflated scan at any scale. */
+    * Expand-inflated scan at any scale.
+    *
+    * Contract change vs one agg: each column profiles in its OWN job,
+    * so the rows are a consistent snapshot only when `df` is
+    * deterministic (a static table/file scan — every caller here).
+    * Profiling a nondeterministic frame (an unseeded sample, a source
+    * being appended to) or an expensive derived frame? Persist it
+    * first — otherwise n_rows may disagree across rows and the
+    * upstream recomputes |columns| times. */
   def profile(df: DataFrame, cols: Seq[(String, Column)]): DataFrame =
     cols.map { case (name, repr) =>
       df.agg(

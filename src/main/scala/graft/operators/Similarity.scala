@@ -52,10 +52,7 @@ object Similarity {
     * inherits the scan's split count — and a small parquet file scans
     * as ONE split no matter how many cores exist. At scale the scan
     * already has ≥ cores splits and this is a no-op. */
-  private def spread(df: DataFrame): DataFrame = {
-    val want = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < want) df.repartition(want) else df
-  }
+  private def spread(df: DataFrame): DataFrame = graft.Q.spread(df)
 
   /** (group, id, sim) → best-first top-k per group via the bounded
     * [[TopK]] aggregator: partial aggregation truncates to k per group

@@ -86,11 +86,25 @@ case class RpmStreamAggExpr(child: Expression,
     out
   }
 
+  // length-prefixed UTF-8, NOT writeUTF: writeUTF throws past 64 KB of
+  // modified UTF-8, and this function is SQL-registered for arbitrary
+  // string input
+  private def writeStr(out: DataOutputStream, s: String): Unit = {
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    out.writeInt(bytes.length)
+    out.write(bytes)
+  }
+  private def readStr(in: DataInputStream): String = {
+    val bytes = new Array[Byte](in.readInt())
+    in.readFully(bytes)
+    new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
   override def serialize(b: StreamMaxBuffer): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(b.m.size)
-    b.m.foreach { case (k, v) => out.writeUTF(k); out.writeUTF(v) }
+    b.m.foreach { case (k, v) => writeStr(out, k); writeStr(out, v) }
     out.flush()
     bos.toByteArray
   }
@@ -101,7 +115,7 @@ case class RpmStreamAggExpr(child: Expression,
     val n = in.readInt()
     var i = 0
     // entries are per-base maxima already — plain insert, no compare
-    while (i < n) { b.m.update(in.readUTF(), in.readUTF()); i += 1 }
+    while (i < n) { b.m.update(readStr(in), readStr(in)); i += 1 }
     b
   }
 

@@ -85,7 +85,7 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(2L) == (("no pii here at all", 0L, 0L, 0L)))
   }
 
-  test("profile emits one stats row per column from a single pass") {
+  test("profile emits one stats row per column") {
     val df = Seq(
       (Some("a"), 1L), (Some("b"), 2L), (None, 2L)
     ).toDF("s", "k")

@@ -345,6 +345,21 @@ class KernelPropertiesSpec extends AnyFunSuite {
     assert(sql == native)
   }
 
+  test("rpm_stream_reduce buffer survives >64KB strings across the " +
+      "shuffle (writeUTF would throw)") {
+    val spark = SparkTestSession.spark
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val big = "9.0-" + ("x" * 70000)
+    val df = Seq((1, big), (1, "1.0-1"), (2, "2.0-1"))
+      .toDF("g", "ver").repartition(3)
+    val out = df.groupBy("g")
+      .agg(graft.plans.RpmStreamAgg.rpm_stream_reduce(col("ver")).as("r"))
+      .select(col("g"), col("r.canonical")).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(out(1) == big && out(2) == "2.0-1")
+  }
+
   test("hyperplane_band_sigs ≡ per-offset hyperplane_sig slices") {
     val spark = SparkTestSession.spark
     import org.apache.spark.sql.functions._
