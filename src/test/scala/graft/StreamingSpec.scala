@@ -270,9 +270,16 @@ class StreamingSpec extends AnyFunSuite {
     val feats = Multimodal.extractFeatures(media)
     val rows = feats.collect()
     assert(rows.length == media.count())
-    val f = rows.head.getSeq[Float](rows.head.fieldIndex("feature"))
-    assert(f.length == 8)
-    assert(math.abs(f.sum - 1.0f) < 1e-3) // histogram normalized
+    assert(rows.forall(
+      _.getSeq[Float](rows.head.fieldIndex("feature")).length == 8))
+    // audio/video: normalized byte-histogram stub
+    val stub = rows.find(_.getString(1) != "image").get
+      .getSeq[Float](rows.head.fieldIndex("feature"))
+    assert(math.abs(stub.sum - 1.0f) < 1e-3)
+    // image: REAL raster decode — slot 0 is the actual pixel width
+    val img = rows.find(_.getString(1) == "image").get
+      .getSeq[Float](rows.head.fieldIndex("feature"))
+    assert(img.head >= 16f)
     // deterministic across runs
     val again = Multimodal.extractFeatures(media).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](r.fieldIndex("feature")).toList))
