@@ -317,10 +317,12 @@ object Corpus {
     val rate = least(lit(1.0),
       lit(targetTotal.toDouble) * w(col(groupCol)) /
         col("__n").cast("double"))
-    // 16-bit md5-prefix threshold, exactly [[hashKeep]]'s arithmetic —
-    // rate 1.0 keeps unconditionally (its 0x10000 threshold has 5 hex
-    // chars, which would compare LOWER than 4-char buckets as strings)
-    val thr = format_string("%04x", floor(rate * 65536).cast("int"))
+    // 16-bit md5-prefix threshold, exactly [[hashKeep]]'s arithmetic.
+    // lower(lpad(hex(…))) not format_string: the Formatter costs
+    // ~1.2µs per ROW (thr depends on the joined __n). Safe only under
+    // the rate >= 1.0 short-circuit below: rate < 1 keeps the value ≤
+    // 0xffff (4 hex chars — lpad would TRUNCATE a 5-char 0x10000)
+    val thr = lower(lpad(hex(floor(rate * 65536).cast("int")), 4, "0"))
     df.join(broadcast(counts), groupCol)
       .filter(w(col(groupCol)).isNotNull &&
         (rate >= 1.0 || hashBucket(key) < thr))
