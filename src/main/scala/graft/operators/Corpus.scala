@@ -1,7 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Corpus-curation operators for training-data pipelines: deterministic
   * sampling, per-group caps, and BM25 retrieval scoring.
@@ -137,15 +139,37 @@ object Corpus {
     * recovery set, never delete an innocent line nor pool two
     * sub-threshold lines over the limit. */
   def dedupLines(docs: DataFrame, textCol: String,
-      delim: String = "\n", maxOccurrences: Long = 1L): DataFrame = {
+      delim: String = "\n", maxOccurrences: Long = 1L): DataFrame =
+    dedupLinesImpl(docs, textCol, delim,
+      docs.sparkSession.range(1).select(
+        lit(maxOccurrences).as("__thr")))
+
+  /** [[dedupLines]] with the C4 convention that "frequent" means
+    * "appears more often than there are documents" — the threshold is
+    * computed IN the flow (a 1-row broadcast aggregate), not as a
+    * separate driver `count()` prepass blocking the query. */
+  def dedupLinesAuto(docs: DataFrame, textCol: String,
+      delim: String = "\n"): DataFrame =
+    dedupLinesImpl(docs, textCol, delim,
+      docs.agg(count(lit(1)).as("__thr")))
+
+  private def dedupLinesImpl(docs: DataFrame, textCol: String,
+      delim: String, threshold: DataFrame): DataFrame = {
     val lineArr = split(col(textCol),
       java.util.regex.Pattern.quote(delim))
+    // ONE split+explode pass, cached for the two counting passes
+    // (pass 1 hash-count and pass 2 string recovery previously each
+    // recomputed the full explode — the dominant cost, measured 7 s at
+    // sf0.1). MEMORY_AND_DISK: spills rather than evicts, and lineage
+    // stays intact so a lost block recomputes instead of failing.
     val lines = docs.select(explode(lineArr).as("__l"))
-    // pass 1: count by hash — the only shuffle, 8-byte keys
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val thr = broadcast(threshold)
+    // pass 1: count by hash — the only full-width shuffle, 8-byte keys
     val freqHashes = lines
       .groupBy(xxhash64(col("__l")).as("__h"))
       .agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > maxOccurrences)
+      .crossJoin(thr).filter(col("__n") > col("__thr"))
       .select(col("__h"))
     // pass 2: recover the frequent STRINGS — broadcast-filter by hash
     // FIRST (map-side, no shuffle; the exchange then carries
@@ -156,11 +180,17 @@ object Corpus {
       .join(broadcast(freqHashes),
         xxhash64(col("__l")) === col("__h"), "left_semi")
       .groupBy(col("__l")).agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > maxOccurrences)
+      .crossJoin(thr).filter(col("__n") > col("__thr"))
       .select(col("__l"))
-    // map-only rewrite against the 1-row broadcast frequent set
+    // map-only rewrite against the 1-row broadcast frequent set.
+    // localCheckpoint (eager) materializes the tiny set NOW — both
+    // counting passes run against the cached lines — so the cache can
+    // be dropped before this operator even returns instead of pinning
+    // exploded text for the rest of the session.
     val freqSet = freqStrings
       .agg(collect_set(col("__l")).as("__freq"))
+      .localCheckpoint()
+    lines.unpersist(blocking = false)
     docs.crossJoin(broadcast(freqSet))
       .withColumn(textCol,
         concat_ws(delim, filter(lineArr,
@@ -189,6 +219,48 @@ object Corpus {
   def shuffleDeterministic(df: DataFrame, idCol: String,
       seed: Long = 0L): DataFrame =
     df.orderBy(shuffleKey(col(idCol), seed))
+
+  /** [[shuffleDeterministic]] plus a 1-based global position column —
+    * WITHOUT the single-partition global window `row_number() OVER
+    * (ORDER BY key)` would plan (every row through one task, dead at
+    * scale). Same two-phase prefix sum as [[Pack.sequencePack]]:
+    * range-exchange sort on the shuffle key (partitions are ordered
+    * spans), per-partition row counts — |partitions| rows, bounded by
+    * cluster config — prefix-summed into offsets, then a partition-
+    * local ordered fold names positions fully in parallel. Positions
+    * equal the global window's wherever ids are distinct (the key is
+    * tie-free by construction, see [[shuffleKey]]). */
+  def shuffleWithPositions(df: DataFrame, idCol: String, seed: Long = 0L,
+      posCol: String = "pos"): DataFrame = {
+    // freeze partition identity into the data at checkpoint time:
+    // range split points are sampled per job, so the counts pass and
+    // the fold must see byte-identical partitions (Pack.scala rationale)
+    val ranged = df.withColumn("__k", shuffleKey(col(idCol), seed))
+      .repartitionByRange(col("__k"))
+      .sortWithinPartitions(col("__k"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val counts = ranged.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offsets: Map[Int, Long] = counts.map { case (pid, n) =>
+      val o = pid -> acc; acc += n; o
+    }.toMap
+    val outSchema = ranged.schema.add(posCol, LongType, nullable = false)
+    val pidIdx = ranged.schema.fieldIndex("__pid")
+    ranged.mapPartitions { it =>
+      var pos = 0L
+      var first = true
+      it.map { r =>
+        if (first) {
+          pos = offsets.getOrElse(r.getInt(pidIdx), 0L); first = false
+        }
+        pos += 1L
+        Row.fromSeq(r.toSeq :+ pos)
+      }
+    }(RowEncoder.encoderFor(outSchema)).drop("__pid", "__k")
+  }
 
   /** Keep at most `n` rows per group, best-first by `order`. One shuffle
     * on the group key; the top-n is pushed below the exchange as a

@@ -194,6 +194,42 @@ class CorpusSpec extends AnyFunSuite {
     assert(a.toSet == docs.collect().map(_.getLong(0)).toSet)
   }
 
+  test("shuffleWithPositions: distributed prefix-sum positions ≡ " +
+      "global window, dense 1-based, layout-independent") {
+    import graft.operators.Corpus
+    import org.apache.spark.sql.expressions.Window
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id")
+    val got = Corpus.shuffleWithPositions(docs, "doc_id", 42L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = docs
+      .select(col("doc_id"), row_number().over(Window.orderBy(
+        Corpus.shuffleKey(col("doc_id"), 42L))).cast("long").as("pos"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, "prefix-sum positions diverge from the window")
+    assert(got.values.toSeq.sorted == (1L to got.size).toSeq,
+      "positions not a dense 1-based sequence")
+    val relaid = Corpus.shuffleWithPositions(
+        docs.repartition(13), "doc_id", 42L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(relaid == got, "positions depend on input layout")
+  }
+
+  test("dedupLinesAuto: in-flow |docs| threshold ≡ explicit count") {
+    import graft.operators.Corpus
+    val docs = Seq(
+      (1L, "common\nalpha"), (2L, "common\nbeta"), (3L, "common\ngamma"),
+      (4L, "common\ncommon")  // 5 "common" > 4 docs → stripped
+    ).toDF("doc_id", "text")
+    val auto = Corpus.dedupLinesAuto(docs, "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val explicit = Corpus.dedupLines(docs, "text",
+        maxOccurrences = docs.count())
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(auto == explicit)
+    assert(auto(1L) == "alpha" && auto(4L) == "")
+  }
+
   test("containment: hashed (default) path ≡ string-shingle path") {
     import graft.operators.Contamination
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

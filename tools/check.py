@@ -15,15 +15,25 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
-        if pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].round(6)
         # normalize timestamp precisions
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[us]")
         if df[c].dtype == object:
             df[c] = df[c].apply(
                 lambda v: tuple(v) if isinstance(v, (list,)) else v)
-    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+
+def strict_frame(df: pd.DataFrame) -> pd.DataFrame:
+    """The driver's view of a frame: every cell stringified, rows sorted
+    by the stringified values. NO numeric tolerance — -0.0 vs 0.0, "3"
+    vs "3.0", 1e-12 drift all differ here exactly as they do in the
+    driver's hash (the r6/r7 q_embed_pca_cov failures were invisible to
+    an atol-based compare)."""
+    s = df.astype(str)
+    if len(s.columns):
+        s = s.sort_values(by=list(s.columns)).reset_index(drop=True)
+    return s
 
 
 def main(sf_dir: str, out_dir: str) -> int:
@@ -86,15 +96,36 @@ def main(sf_dir: str, out_dir: str) -> int:
         if float_cols:
             print(f"FLOAT_COLS         {name}: {float_cols} "
                   "(driver hashes strictly; prefer integer encodings)")
-        try:
-            pd.testing.assert_frame_equal(g, x, check_dtype=False,
-                                          check_exact=False, rtol=1e-9, atol=1e-9)
+        # Pass criterion = the driver's strict stringify-hash. The
+        # tolerant numeric diff below is DIAGNOSTIC ONLY (it classifies
+        # a strict failure as drift vs formatting/signed-zero); it can
+        # never turn a strict mismatch into a pass.
+        gs, xs = strict_frame(g), strict_frame(x)
+        if gs.equals(xs):
             print(f"PASS               {name} rows={len(g)}")
             n_pass += 1
-        except AssertionError as e:
-            msg = str(e).split("\n")[0:3]
-            print(f"VALUE_MISMATCH     {name}: {' | '.join(msg)}")
-            n_fail += 1
+            continue
+        ncell = int((gs.to_numpy() != xs.to_numpy()).sum())
+        numerically_equal = True
+        try:
+            gn = g.sort_values(by=list(g.columns)).reset_index(drop=True)
+            xn = x.sort_values(by=list(x.columns)).reset_index(drop=True)
+            pd.testing.assert_frame_equal(gn, xn, check_dtype=False,
+                                          check_exact=False,
+                                          rtol=1e-9, atol=1e-9)
+        except Exception:
+            numerically_equal = False
+        kind = ("STRICT_ONLY (formatting/signed-zero; values equal "
+                "within 1e-9)" if numerically_equal else "VALUE")
+        diff = (gs.to_numpy() != xs.to_numpy())
+        rows, cols = diff.nonzero()
+        examples = "; ".join(
+            f"[{r},{gs.columns[c]}] spark={gs.iat[r, c]!r} "
+            f"duck={xs.iat[r, c]!r}"
+            for r, c in list(zip(rows, cols))[:3])
+        print(f"HASH_MISMATCH      {name}: {ncell} cells, {kind}: "
+              f"{examples}")
+        n_fail += 1
     print(f"\n== {n_pass} pass, {n_fail} fail, {n_rows_only} rows-only ==")
     return 1 if n_fail else 0
 
