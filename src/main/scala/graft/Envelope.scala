@@ -55,6 +55,12 @@ object Envelope {
     s"https://example.invalid/graft/vulnerability/os/schema-$version.json"
   val NvdSchema = "https://example.invalid/graft/vulnerability/nvd/schema-2.0.0.json"
   val OsvSchema = "https://example.invalid/graft/vulnerability/osv/schema-1.6.1.json"
+  /** Per-record OSV schema URL — the passthrough families label each
+    * envelope with the record's own schema_version
+    * (`providers/rocky/__init__.py:60-64`). */
+  def osvSchemaCol(version: Column): Column =
+    concat(lit("https://example.invalid/graft/vulnerability/osv/schema-"),
+      version, lit(".json"))
   val GhsaSchema = "https://example.invalid/graft/vulnerability/github/schema-1.0.0.json"
   val VexSchema = "https://example.invalid/graft/vulnerability/csaf-vex/schema-2.0.0.json"
 

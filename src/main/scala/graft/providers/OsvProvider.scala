@@ -136,28 +136,32 @@ object OsvProvider {
 
   // ---- OSV passthrough family (rocky / govulndb / bitnami) ------------
 
-  /** Typed passthrough schema for OSV records that are re-emitted as-is
-    * (rocky/govulndb/bitnami, `providers/rocky/parser.py:55-67`,
-    * `providers/govulndb/parser.py:100-119`): the record survives intact;
-    * the only mutation is the F19 fix-date patch on each range. */
-  val passthroughSchema: StructType = StructType.fromDDL(
-    "id STRING, schema_version STRING, summary STRING, details STRING, " +
-      "published STRING, modified STRING, withdrawn STRING, " +
-      "aliases ARRAY<STRING>, related ARRAY<STRING>, " +
-      "severity ARRAY<STRUCT<type: STRING, score: STRING>>, " +
-      "references ARRAY<STRUCT<type: STRING, url: STRING>>, " +
+  /** Relational projection of an OSV record — used ONLY to compute the
+    * fix-date patch (which (affected, range, event) gets which date).
+    * The emit path carries the record's raw JSON string, so record-level
+    * database_specific, credits, affected-level ecosystem_specific /
+    * database_specific / severity, and any future OSV field all survive
+    * verbatim — exactly the reference's loaded-dict passthrough
+    * (`providers/rocky/parser.py:53-65`,
+    * `providers/govulndb/parser.py:100-119`). */
+  val passthroughProjection: StructType = StructType.fromDDL(
+    "id STRING, schema_version STRING, published STRING, " +
       "affected ARRAY<STRUCT<" +
-      "package: STRUCT<ecosystem: STRING, name: STRING, purl: STRING>, " +
-      "ranges: ARRAY<STRUCT<type: STRING, " +
-      "events: ARRAY<STRUCT<introduced: STRING, fixed: STRING, " +
-      "last_affected: STRING>>, " +
-      "database_specific: STRUCT<anchore: STRUCT<" +
-      "fixes: ARRAY<STRUCT<version: STRING, date: STRING, kind: STRING>>>>>>, " +
-      "versions ARRAY<STRING>>>")
+      "package: STRUCT<ecosystem: STRING, name: STRING>, " +
+      "ranges: ARRAY<STRUCT<events: ARRAY<STRUCT<fixed: STRING>>>>>>")
 
+  /** Read OSV records as (id, raw): one row per top-level JSON record.
+    * `json_records` splits a file into records whether it is a
+    * one-advisory-per-file tree (the reference's layout,
+    * `rocky/parser.py:52-55`), a bulk array download, or JSONL — the
+    * shape a 100 TB corpus would actually use. Records without an id
+    * are dropped; nothing else is projected away. */
   def readPassthrough(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("multiLine", "true").schema(passthroughSchema)
-      .json(path).filter(coalesce(col("id"), lit("")) =!= "")
+    spark.read.option("wholetext", "true").text(path)
+      .select(explode(graft.plans.JsonExpressions.json_records(col("value")))
+        .as("raw"))
+      .select(get_json_object(col("raw"), "$.id").as("id"), col("raw"))
+      .filter(coalesce(col("id"), lit("")) =!= "")
 
   /** Rocky's fixdate-lookup ecosystem normalization
     * (`providers/rocky/parser.py:70-75`): "Rocky Linux:8" → "rocky:8",
@@ -168,27 +172,28 @@ object OsvProvider {
   }
 
   /** F19 for the passthrough family (`utils/osv.py:8-110`): every range
-    * event with a `fixed` version gets a first-observed date from the
-    * fix-date dimension `(vuln_id, ecosystem, pkg, version, date, kind)`
-    * — the advisory's own `published` date rides along as the
-    * kind='advisory' fallback — and the per-range results land as
-    * `database_specific.anchore.fixes`, event order preserved. Ranges
-    * with no dated fix keep their original database_specific.
+    * event with a truthy `fixed` version (the reference skips falsy fix
+    * versions — `if not fix_version: continue`, osv.py:71-73) gets a
+    * first-observed date from the fix-date dimension `(vuln_id,
+    * ecosystem, pkg, version, date, kind)` — the advisory's own
+    * `published` date rides along as the kind='advisory' fallback — and
+    * the per-range results land as `database_specific.anchore.fixes`,
+    * event order preserved, other database_specific keys preserved
+    * (osv.py:105-110). Ranges with no dated fix are untouched.
     *
     * Spark-first: the reference walks and mutates each record's nested
-    * JSON in place; here the ranges explode to rows once, broadcast-join
-    * the dimension, fold back to ONE tiny `(apos·1e5+rpos) → fixes` map
-    * per record, and a transform-with-index rebuilds the nested column —
-    * all original fields ride through untouched, and the only shuffles
-    * are the map fold and the id-keyed re-attach join, both bounded by
-    * record count, never by corpus bytes. */
+    * JSON in place; here a typed projection of the ranges explodes to
+    * rows once, broadcast-joins the dimension, folds back to ONE tiny
+    * `(apos·1e5+rpos) → fixes` map per record, and the row-local
+    * [[graft.plans.OsvFixPatchExpr]] kernel re-attaches the verdict to
+    * the raw document. The only shuffles are the map fold and the
+    * id-keyed re-attach join, both bounded by record count, never by
+    * corpus bytes — and the record itself is never round-tripped
+    * through a typed schema, so nothing is dropped. */
   def patchFixDates(records: DataFrame, fixdates: DataFrame,
       ecosystemNormalizer: Column => Column = lower(_)): DataFrame = {
     val emptyRanges = array().cast(
-      "array<struct<type:string,events:array<struct<introduced:string," +
-        "fixed:string,last_affected:string>>,database_specific:" +
-        "struct<anchore:struct<fixes:array<struct<version:string," +
-        "date:string,kind:string>>>>>>")
+      "array<struct<events:array<struct<fixed:string>>>>")
     // ONE dimension row per lookup key (fixdater.best returns a single
     // result): earliest date wins, kind riding along in the tie-break —
     // a doubled store row would otherwise produce duplicate fixes
@@ -200,10 +205,11 @@ object OsvProvider {
       .select(col("fd_vuln"), col("fd_eco"), col("fd_pkg"),
         col("fd_version"), col("best.date").as("fd_date"),
         col("best.kind").as("fd_kind")))
+    val rec = from_json(col("raw"), passthroughProjection)
     val events = records
-      .select(col("id"), col("published"),
-        posexplode(coalesce(col("affected"),
-          array().cast(passthroughSchema("affected").dataType)))
+      .select(col("id"), rec.getField("published").as("published"),
+        posexplode(coalesce(rec.getField("affected"),
+          array().cast(passthroughProjection("affected").dataType)))
           .as(Seq("apos", "aff")))
       .filter(col("aff.package.name").isNotNull &&
         col("aff.package.ecosystem").isNotNull)
@@ -215,9 +221,9 @@ object OsvProvider {
       .select(col("id"), col("published"), col("apos"), col("rpos"),
         col("pkg"), col("eco"),
         posexplode(coalesce(col("rng.events"),
-          array().cast("array<struct<introduced:string,fixed:string," +
-            "last_affected:string>>"))).as(Seq("epos", "ev")))
-      .filter(col("ev.fixed").isNotNull)
+          array().cast("array<struct<fixed:string>>")))
+          .as(Seq("epos", "ev")))
+      .filter(col("ev.fixed").isNotNull && col("ev.fixed") =!= "")
     val dated = events
       .join(fd, col("id") === col("fd_vuln") && col("eco") === col("fd_eco") &&
         col("pkg") === col("fd_pkg") && col("ev.fixed") === col("fd_version"),
@@ -241,46 +247,29 @@ object OsvProvider {
         (col("apos").cast("long") * 100000L + col("rpos")).as("key"),
         col("fixes").as("value")))).as("fixmap"))
     records.join(fixmap, Seq("id"), "left")
-      .withColumn("affected",
-        transform(col("affected"), (a, ai) => struct(
-          a.getField("package").as("package"),
-          transform(a.getField("ranges"), (r, ri) => {
-            val fixes = try_element_at(col("fixmap"),
-              ai.cast("long") * 100000L + ri)
-            struct(
-              when(fixes.isNotNull,
-                struct(struct(fixes.as("fixes")).as("anchore")))
-                .otherwise(r.getField("database_specific"))
-                .as("database_specific"),
-              r.getField("events").as("events"),
-              r.getField("type").as("type"))
-          }).as("ranges"),
-          a.getField("versions").as("versions"))))
+      .withColumn("raw",
+        when(col("fixmap").isNotNull,
+          graft.plans.JsonExpressions.osv_fix_patch(col("raw"), col("fixmap")))
+          .otherwise(col("raw")))
       .drop("fixmap")
   }
 
-  /** Passthrough result envelopes: identifier = lowercased record id
-    * (`providers/rocky/__init__.py:77-81`), OSV schema, the record
-    * itself (fix-date-patched) as the payload. */
+  /** Passthrough result envelopes (`providers/rocky/__init__.py:60-81`):
+    * identifier = lowercased record id, schema = the OSV schema URL
+    * parameterized by the record's OWN schema_version (default "1.7.0",
+    * rocky `_normalize`; records whose major version is not the
+    * provider family's 1.x are skipped, `compatible_schema`), payload =
+    * the fix-date-patched record itself — byte-faithful, nothing
+    * dropped. */
   def passthroughEnvelopes(records: DataFrame, fixdates: DataFrame,
       ecosystemNormalizer: Column => Column = lower(_)): DataFrame =
     patchFixDates(records, fixdates, ecosystemNormalizer)
-      .select(Envelope.assemble(
-        lower(col("id")),
-        Envelope.OsvSchema,
-        struct(
-          col("affected").as("affected"),
-          col("aliases").as("aliases"),
-          col("details").as("details"),
-          col("id").as("id"),
-          col("modified").as("modified"),
-          col("published").as("published"),
-          col("references").as("references"),
-          col("related").as("related"),
-          coalesce(col("schema_version"), lit("1.7.0")).as("schema_version"),
-          col("severity").as("severity"),
-          col("summary").as("summary"),
-          col("withdrawn").as("withdrawn"))): _*)
+      .withColumn("sv", coalesce(
+        get_json_object(col("raw"), "$.schema_version"), lit("1.7.0")))
+      .filter(split(col("sv"), "\\.").getItem(0) === "1")
+      .select(lower(col("id")).as("identifier"),
+        Envelope.osvSchemaCol(col("sv")).as("schema"),
+        col("raw").as("item"))
 
   /** Group per (namespace, cve) into OS-schema envelopes. */
   def envelopes(fixedIn: DataFrame): DataFrame = {

@@ -144,6 +144,13 @@ class GoldenSnapshotSpec extends AnyFunSuite {
     assert(go.indexOf("\"version\": \"1.19.6\"") >= 0 &&
       go.indexOf("\"version\": \"1.19.6\"") <
         go.indexOf("\"version\": \"1.20.1\""))
+    // raw-record fidelity (r7 ADVICE): record-level database_specific,
+    // credits, and affected-level ecosystem_specific survive to the
+    // bytes — and the envelope schema carries the record's OWN version
+    assert(go.contains("\"url\": \"https://pkg.go.dev/vuln/GO-2023-1558\""))
+    assert(go.contains("\"credits\""))
+    assert(go.contains("\"imports\""))
+    assert(go.contains("schema-1.3.1.json"))
   }
 
   test("bitnami passthrough envelopes match committed snapshots " +

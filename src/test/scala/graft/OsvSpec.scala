@@ -74,4 +74,66 @@ class OsvSpec extends AnyFunSuite {
     assert(wf.contains("\"Severity\":\"Unknown\""))
     assert(wf.contains("\"Version\":\"None\""))
   }
+
+  // ---- passthrough family: raw-record fidelity ----------------------
+
+  test("json_records splits arrays, single objects, and JSONL") {
+    import graft.plans.JsonExpressions.json_records
+    val rows = Seq(
+      """[{"id":"A-1"},{"id":"A-2"}]""",          // bulk array
+      """{"id":"B-1","nested":{"k":[1,2]}}""",    // one object per file
+      "{\"id\":\"C-1\"}\n{\"id\":\"C-2\"}",       // JSONL
+      "not json at all"                            // malformed → null
+    ).toDF("value")
+      .select(col("value"), json_records(col("value")).as("recs"))
+      .collect()
+    assert(rows(0).getSeq[String](1) ==
+      Seq("""{"id":"A-1"}""", """{"id":"A-2"}"""))
+    assert(rows(1).getSeq[String](1).head.contains("\"nested\""))
+    assert(rows(2).getSeq[String](1).map(r =>
+      r.contains("C-1") || r.contains("C-2")) == Seq(true, true))
+    assert(rows(3).isNullAt(1))
+  }
+
+  test("patchFixDates preserves foreign database_specific keys and " +
+      "skips empty-string fixed events (osv.py falsy-skip)") {
+    val raw =
+      """{"id":"X-1","published":"2024-01-10T00:00:00Z","affected":[
+        |{"package":{"ecosystem":"Go","name":"p1"},
+        | "ranges":[{"type":"SEMVER",
+        |   "database_specific":{"keep":"me"},
+        |   "events":[{"introduced":"0"},{"fixed":"1.2.3"}]}]},
+        |{"package":{"ecosystem":"Go","name":"p2"},
+        | "ranges":[{"type":"SEMVER",
+        |   "events":[{"introduced":"0"},{"fixed":""}]}]}]}"""
+        .stripMargin.replace("\n", "")
+    val records = Seq(("X-1", raw)).toDF("id", "raw")
+    val fixdates = Seq(("X-1", "go", "p1", "1.2.3", "2024-01-05",
+      "first-observed")).toDF(
+      "vuln_id", "ecosystem", "pkg", "version", "date", "kind")
+    val out = OsvProvider.patchFixDates(records, fixdates)
+      .collect().head.getAs[String]("raw")
+    // dated fix attached, existing database_specific key preserved
+    assert(out.contains("\"keep\":\"me\""))
+    assert(out.contains(
+      "\"fixes\":[{\"version\":\"1.2.3\",\"date\":\"2024-01-05\"," +
+        "\"kind\":\"first-observed\"}]"))
+    // the empty-string fixed event got NO fixes entry (p2's range is
+    // untouched — no anchore block anywhere after its package)
+    val p2 = out.substring(out.indexOf("\"p2\""))
+    assert(!p2.contains("anchore"))
+  }
+
+  test("passthrough envelopes skip records with an incompatible " +
+      "schema major version") {
+    val records = Seq(
+      ("OK-1", """{"id":"OK-1","schema_version":"1.4.0","affected":[]}"""),
+      ("NO-1", """{"id":"NO-1","schema_version":"2.0.0","affected":[]}"""))
+      .toDF("id", "raw")
+    val fixdates = Seq.empty[(String, String, String, String, String, String)]
+      .toDF("vuln_id", "ecosystem", "pkg", "version", "date", "kind")
+    val env = OsvProvider.passthroughEnvelopes(records, fixdates).collect()
+    assert(env.map(_.getAs[String]("identifier")).toSeq == Seq("ok-1"))
+    assert(env.head.getAs[String]("schema").endsWith("schema-1.4.0.json"))
+  }
 }
