@@ -1165,8 +1165,9 @@ object QueriesPipeline {
         FROM s GROUP BY user_id, session_no""")),
 
     // Multimodal: binary media columns → partition-batch feature
-    // extraction (stub codec, real plumbing — see operators/Multimodal).
-    // Rows-only: the feature math is pinned in StreamingSpec.
+    // extraction (REAL image + audio codecs via the JDK; video stub —
+    // see operators/Multimodal).
+    // Rows-only: the feature math is pinned in MultimodalSpec.
     "q_multimodal_features" -> Entry(
       (s, dir) => {
         import graft.operators.Multimodal

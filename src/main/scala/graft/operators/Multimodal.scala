@@ -9,17 +9,20 @@ import org.apache.spark.sql.types._
   * columns with typed metadata, processed batch-wise per partition.
   *
   * The Spark-side machinery (schema, partition-parallel batch transform,
-  * output shape) is real everywhere. The IMAGE codec is also real: the
-  * JDK's built-in `javax.imageio` decodes PNG/JPEG/BMP/GIF with no
-  * external dependency, so [[decodeImage]] / [[resizeImages]] do actual
-  * raster decode, feature extraction, scaling and PNG re-encode. Audio
-  * and video stay behind the deterministic [[decodeStub]] — the JDK
-  * ships no audio/video codecs, and this container has no FFI ones;
-  * swap only that function when one exists. Either way the batch loop,
-  * schema contract, and partitioning are the production shape
-  * (equivalent of a Pandas `mapInPandas` UDF, done Scala-side with
-  * mapPartitions so each task amortizes codec init across its whole
-  * partition — at 100 TB that init cost dominates if paid per row).
+  * output shape) is real everywhere. The IMAGE codec is real: the JDK's
+  * built-in `javax.imageio` decodes PNG/JPEG/BMP/GIF with no external
+  * dependency, so [[decodeImage]] / [[resizeImages]] do actual raster
+  * decode, feature extraction, scaling and PNG re-encode. The AUDIO
+  * codec is real too: `javax.sound.sampled.AudioSystem` (also JDK
+  * built-in) decodes WAV/AIFF/AU PCM, so [[decodeAudio]] extracts
+  * duration / RMS / zero-crossing-rate features from actual samples.
+  * Only VIDEO stays behind the deterministic [[decodeStub]] — the JDK
+  * ships no video codec and this container has no FFI ones; swap only
+  * that function when one exists. Either way the batch loop, schema
+  * contract, and partitioning are the production shape (equivalent of a
+  * Pandas `mapInPandas` UDF, done Scala-side with mapPartitions so each
+  * task amortizes codec init across its whole partition — at 100 TB
+  * that init cost dominates if paid per row).
   */
 object Multimodal {
 
@@ -37,8 +40,9 @@ object Multimodal {
     StructField("feature", ArrayType(FloatType), nullable = false)))
 
   /** STUB decode/feature-extract for kinds the JDK can't decode
-    * (audio/video): deterministic 8-dim "embedding" from byte histogram
-    * moments. A real build replaces ONLY this function. */
+    * (video, plus any payload no installed codec accepts): deterministic
+    * 8-dim "embedding" from byte histogram moments. A real build
+    * replaces ONLY this function. */
   private[operators] def decodeStub(kind: String, content: Array[Byte]): Array[Float] = {
     val hist = new Array[Long](8)
     var i = 0
@@ -54,12 +58,23 @@ object Multimodal {
     * bytes no installed reader accepts (caller falls back to the
     * stub). */
   private[graft] def decodeImage(content: Array[Byte])
-      : Option[(Int, Int, Array[Float])] = {
+      : Option[(Int, Int, Array[Float])] =
+    readRaster(content).map(img => (img.getWidth, img.getHeight,
+      imageFeature(img)))
+
+  /** One raster decode, shared by feature extraction and resize (the
+    * resize path previously decoded the same bytes twice — once for
+    * dims, once for the scale — doubling its dominant per-row cost). */
+  private def readRaster(content: Array[Byte])
+      : Option[java.awt.image.BufferedImage] = {
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
       catch { case _: Exception => null }
     if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
-    else {
+    else Some(img)
+  }
+
+  private def imageFeature(img: java.awt.image.BufferedImage): Array[Float] = {
       val w = img.getWidth
       val h = img.getHeight
       val stepX = math.max(w / 64, 1)
@@ -86,12 +101,96 @@ object Multimodal {
       val meanR = (rSum / nf).toFloat
       val meanG = (gSum / nf).toFloat
       val meanB = (bSum / nf).toFloat
-      Some((w, h, Array(
+      Array(
         w.toFloat, h.toFloat, w.toFloat / h.toFloat,
         meanR / 255f, meanG / 255f, meanB / 255f,
         (0.299f * meanR + 0.587f * meanG + 0.114f * meanB) / 255f,
-        (edge / nf / 255.0).toFloat)))
+        (edge / nf / 255.0).toFloat)
+  }
+
+  /** REAL audio decode via `javax.sound.sampled` (JDK built-in WAV/
+    * AIFF/AU readers). Any supported encoding is converted to 16-bit
+    * signed little-endian PCM, channels are mono-mixed, and the 8-dim
+    * feature is [duration s, sample rate Hz, channels, RMS,
+    * zero-crossing rate per frame, mean |x|, peak |x|, DC offset] over
+    * samples normalized to [-1, 1]. None for bytes no installed reader
+    * accepts (caller falls back to the stub). */
+  private[graft] def decodeAudio(content: Array[Byte]): Option[Array[Float]] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    try {
+      val in = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(content))
+      try {
+        val fmt = in.getFormat
+        val channels = math.max(fmt.getChannels, 1)
+        val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+          fmt.getSampleRate, 16, channels, 2 * channels,
+          fmt.getSampleRate, false)
+        val pcm = AudioSystem.getAudioInputStream(target, in)
+        val bytes = pcm.readAllBytes()
+        val nFrames = bytes.length / (2 * channels)
+        if (nFrames == 0) None
+        else {
+          var sumSq = 0.0; var sumAbs = 0.0; var sum = 0.0; var peak = 0.0
+          // crossings compare against the last NONZERO sample — a
+          // sample that quantizes to exactly 0 must not swallow the
+          // sign change it sits on
+          var crossings = 0L; var prev = 0.0
+          var f = 0
+          while (f < nFrames) {
+            var c = 0; var acc = 0.0
+            while (c < channels) {
+              val off = 2 * (f * channels + c)
+              acc += (((bytes(off) & 0xFF) | (bytes(off + 1) << 8)).toShort
+                / 32768.0)
+              c += 1
+            }
+            val x = acc / channels
+            sumSq += x * x; sumAbs += math.abs(x); sum += x
+            if (math.abs(x) > peak) peak = math.abs(x)
+            if (x * prev < 0) crossings += 1
+            if (x != 0.0) prev = x
+            f += 1
+          }
+          Some(Array(
+            (nFrames / target.getSampleRate.toDouble).toFloat,
+            target.getSampleRate,
+            channels.toFloat,
+            math.sqrt(sumSq / nFrames).toFloat,
+            (crossings.toDouble / math.max(nFrames - 1, 1)).toFloat,
+            (sumAbs / nFrames).toFloat,
+            peak.toFloat,
+            (sum / nFrames).toFloat))
+        }
+      } finally in.close()
+    } catch { case _: Exception => None }
+  }
+
+  /** Deterministic mono 16-bit PCM WAV for a synthetic audio row: a
+    * sine whose frequency, amplitude and length derive from the id,
+    * encoded with the JDK writer (the payload is a REAL RIFF/WAVE
+    * file, so the decode path runs distributed). */
+  private[graft] def syntheticWav(id: Long): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val sampleRate = 8000f
+    val nSamples = 400 + (id % 37).toInt * 8
+    val freq = 200.0 + (id % 13) * 40.0
+    val amp = 0.25 + (id % 7) * 0.05
+    val bytes = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val s = (math.sin(2 * math.Pi * freq * i / sampleRate) * amp
+        * 32767.0).toInt
+      bytes(2 * i) = (s & 0xFF).toByte
+      bytes(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
     }
+    val fmt = new AudioFormat(sampleRate, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
   }
 
   /** Deterministic small PNG for a synthetic image row: dimensions and
@@ -116,17 +215,20 @@ object Multimodal {
   }
 
   /** Synthesize a media table from the documents table: image rows get
-    * REAL PNG payloads (so the decode path runs distributed); audio /
-    * video rows carry text bytes as opaque stand-in blobs. */
+    * REAL PNG payloads and audio rows REAL WAV payloads (so both decode
+    * paths run distributed); video rows carry text bytes as opaque
+    * stand-in blobs. */
   def syntheticMedia(spark: SparkSession, dir: String): DataFrame = {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val pngUdf = udf((id: Long) => syntheticPng(id))
+    val wavUdf = udf((id: Long) => syntheticWav(id))
     val kind = element_at(array(lit("image"), lit("audio"), lit("video")),
       (col("doc_id") % 3 + 1).cast("int"))
     docs.select(
       col("doc_id").as("media_id"),
       kind.as("kind"),
       when(kind === "image", pngUdf(col("doc_id")))
+        .when(kind === "audio", wavUdf(col("doc_id")))
         .otherwise(encode(col("text"), "UTF-8")).as("content"),
       length(col("text")).cast("int").as("meta_width"),
       (col("n_chars") % 1080).cast("int").as("meta_height"))
@@ -143,14 +245,16 @@ object Multimodal {
       it.map { r =>
         val content = r.getAs[Array[Byte]]("content")
         val kind = r.getAs[String]("kind")
-        // images: REAL decode when the bytes are a decodable raster;
-        // anything else (audio/video, undecodable payloads) takes the
+        // image/audio: REAL decode when the bytes are decodable;
+        // anything else (video, undecodable payloads) takes the
         // deterministic stub so the pipeline never drops rows
-        val feature =
-          if (kind == "image")
-            decodeImage(content).map(_._3)
-              .getOrElse(decodeStub(kind, content))
-          else decodeStub(kind, content)
+        val feature = kind match {
+          case "image" => decodeImage(content).map(_._3)
+            .getOrElse(decodeStub(kind, content))
+          case "audio" => decodeAudio(content)
+            .getOrElse(decodeStub(kind, content))
+          case _ => decodeStub(kind, content)
+        }
         Row(r.getAs[Long]("media_id"), kind, content.length, feature)
       }
     }(enc)
@@ -189,14 +293,16 @@ object Multimodal {
           val kind = r.getAs[String]("kind")
           val resized =
             if (kind != "image") None
-            else decodeImage(content).flatMap { case (w, h, _) =>
+            // ONE decode: the raster read for the dimension check is
+            // the raster the scale draws from
+            else readRaster(content).flatMap { src =>
+              val w = src.getWidth
+              val h = src.getHeight
               if (math.max(w, h) <= maxDim) None // never upscale
               else {
                 val scale = maxDim.toDouble / math.max(w, h)
                 val nw = math.max((w * scale).toInt, 1)
                 val nh = math.max((h * scale).toInt, 1)
-                val src = javax.imageio.ImageIO.read(
-                  new java.io.ByteArrayInputStream(content))
                 val dst = new java.awt.image.BufferedImage(
                   nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
                 val g = dst.createGraphics()

@@ -39,10 +39,18 @@ object SchemaGate {
     StructField("Issued", StringType),
     // 1.1.0+: {Date, Kind} fix-availability object. The published
     // schema document spells the property "Availability", but the
-    // reference's emitters write "Available"
-    // (`providers/rhel/parser.py:991`) and draft-04's open
+    // reference's emitters write "Available" and draft-04's open
     // additionalProperties masks the mismatch — the gate validates the
-    // field that actually ships.
+    // field that actually ships. Inner-key casing is inconsistent IN
+    // THE REFERENCE: wolfi/debian/minimos/secureos/oracle parsers and
+    // the ubuntu downconvert all write "Date"/"Kind"
+    // (`providers/wolfi/parser.py:250`, `providers/ubuntu/
+    // os_downconvert.py:147`), while `providers/rhel/parser.py:991`
+    // alone writes lowercase "date"/"kind". This repo's providers emit
+    // the majority uppercase convention everywhere; the gate tests
+    // Available only for PRESENCE, so rhel-shaped lowercase payloads
+    // still validate — but any future check of the inner fields must
+    // remember the reference's rhel records spell them lowercase.
     StructField("Available", StructType(Seq(
       StructField("Date", StringType),
       StructField("Kind", StringType)))),

@@ -4,9 +4,10 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Multimodal
 
-/** Real-image multimodal path: the JDK's javax.imageio decodes actual
-  * rasters, so decode/feature/resize are REAL for images (audio/video
-  * remain behind the declared deterministic stub). */
+/** Real-image and real-audio multimodal paths: the JDK's javax.imageio
+  * decodes actual rasters and javax.sound.sampled decodes actual
+  * WAV/PCM samples, so decode/feature/resize are REAL for images and
+  * audio (only video remains behind the declared deterministic stub). */
 class MultimodalSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
@@ -32,16 +33,51 @@ class MultimodalSpec extends AnyFunSuite {
 
   test("undecodable bytes fall back to the stub, never drop rows") {
     assert(Multimodal.decodeImage("not a png".getBytes).isEmpty)
+    assert(Multimodal.decodeAudio("not a wav".getBytes).isEmpty)
     val media = Seq(
       (1L, "image", png(10, 10, 0x00FF00), null: Integer, null: Integer),
       (2L, "image", "junk bytes".getBytes, null: Integer, null: Integer),
-      (3L, "audio", "waveform-ish".getBytes, null: Integer, null: Integer)
+      (3L, "audio", "waveform-ish".getBytes, null: Integer, null: Integer),
+      (4L, "audio", Multimodal.syntheticWav(4L), null: Integer, null: Integer)
     ).toDF("media_id", "kind", "content", "meta_width", "meta_height")
     val feats = Multimodal.extractFeatures(media).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](3)).toMap
-    assert(feats.size == 3)
+    assert(feats.size == 4)
     assert(feats(1L)(0) == 10f) // real decode: width in slot 0
     assert(feats(2L).length == 8 && feats(3L).length == 8) // stub shape
+    assert(feats(4L)(1) == 8000f) // real decode: sample rate in slot 1
+  }
+
+  test("decodeAudio extracts real duration, RMS and zero-crossing " +
+      "rate from a synthesized sine WAV") {
+    // 8 kHz mono sine: 440 Hz at amplitude 0.5 for exactly 8000 samples
+    val sampleRate = 8000f
+    val freq = 440.0
+    val amp = 0.5
+    val n = 8000
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val s = (math.sin(2 * math.Pi * freq * i / sampleRate) * amp
+        * 32767.0).toInt
+      pcm(2 * i) = (s & 0xFF).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+    }
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val fmt = new AudioFormat(sampleRate, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+      AudioFileFormat.Type.WAVE, bos)
+
+    val f = Multimodal.decodeAudio(bos.toByteArray).get
+    assert(f.length == 8)
+    assert(math.abs(f(0) - 1.0f) < 1e-6)           // duration: 1 s
+    assert(f(1) == 8000f && f(2) == 1f)            // rate, channels
+    assert(math.abs(f(3) - amp / math.sqrt(2)) < 1e-3) // RMS = A/√2
+    // a 440 Hz sine crosses zero 2·f times per second
+    assert(math.abs(f(4) - 2 * freq / sampleRate) < 1e-3)
+    assert(math.abs(f(6) - amp) < 1e-3)            // peak = A
+    assert(math.abs(f(7)) < 1e-3)                  // DC offset ≈ 0
   }
 
   test("resizeImages scales the long side, preserves aspect, " +
@@ -67,7 +103,8 @@ class MultimodalSpec extends AnyFunSuite {
     assert(new String(out(3L)._1) == "frames")
   }
 
-  test("synthetic media image rows are decodable PNGs end-to-end") {
+  test("synthetic media image rows are decodable PNGs and audio rows " +
+      "decodable WAVs end-to-end") {
     val dir = "/root/testdata/sf0.001"
     val media = Multimodal.syntheticMedia(spark, dir)
     val imgFeats = Multimodal.extractFeatures(media)
@@ -76,6 +113,12 @@ class MultimodalSpec extends AnyFunSuite {
     // every image row decoded for real: slot 0 is a plausible width
     // (16..32 by construction), not a histogram fraction ≤ 1
     assert(imgFeats.forall(r => r.getSeq[Float](3).head >= 16f))
+    // every audio row decoded for real: slot 1 is the WAV's sample
+    // rate, not a histogram fraction ≤ 1
+    val audFeats = Multimodal.extractFeatures(media)
+      .filter(col("kind") === "audio").collect()
+    assert(audFeats.nonEmpty)
+    assert(audFeats.forall(r => r.getSeq[Float](3)(1) == 8000f))
     // deterministic across runs
     val again = Multimodal.extractFeatures(media)
       .filter(col("kind") === "image").collect()

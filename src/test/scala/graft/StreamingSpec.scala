@@ -272,10 +272,14 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.length == media.count())
     assert(rows.forall(
       _.getSeq[Float](rows.head.fieldIndex("feature")).length == 8))
-    // audio/video: normalized byte-histogram stub
-    val stub = rows.find(_.getString(1) != "image").get
+    // video: normalized byte-histogram stub
+    val stub = rows.find(_.getString(1) == "video").get
       .getSeq[Float](rows.head.fieldIndex("feature"))
     assert(math.abs(stub.sum - 1.0f) < 1e-3)
+    // audio: REAL WAV decode — slot 1 is the synthetic sample rate
+    val aud = rows.find(_.getString(1) == "audio").get
+      .getSeq[Float](rows.head.fieldIndex("feature"))
+    assert(aud(1) == 8000f)
     // image: REAL raster decode — slot 0 is the actual pixel width
     val img = rows.find(_.getString(1) == "image").get
       .getSeq[Float](rows.head.fieldIndex("feature"))
