@@ -152,6 +152,60 @@ class QualityGateSpec extends AnyFunSuite {
     assert(QualityGate.falseNegatives(slesEnv, wrongRel).count() == 1)
   }
 
+  private lazy val ubuntuEnv = {
+    import graft.providers.OsvProvider
+    val osv = OsvProvider.read(spark,
+      getClass.getResource("/fixtures/osv.json").getPath)
+    val fixdates = Seq(
+      ("CVE-2023-1111", "openssl", "3.0.2-0ubuntu1.9", "2023-03-15",
+        "first-observed")
+    ).toDF("cve", "pkg", "version", "date", "kind")
+    OsvProvider.envelopes(OsvProvider.fixedInRows(
+      OsvProvider.proToBaseInference(OsvProvider.affectedRows(osv)),
+      fixdates))
+  }
+
+  test("ubuntu (osv family): labeled installs match across downconvert " +
+      "and Pro→base inference (0 false negatives)") {
+    val labels = Seq(
+      // F20 downconvert fixed row: installed below the fix → match
+      ("ubuntu:22.04", "openssl", "3.0.2-0ubuntu1.8", "CVE-2023-1111"),
+      // older upstream version entirely
+      ("ubuntu:22.04", "openssl", "3.0.1-9ubuntu9", "CVE-2023-1111"),
+      // the Pro channel's own fix gates the +esm namespace: release
+      // segment 1ubuntu2.1 < 1ubuntu2.1+esm1
+      ("ubuntu:18.04+esm", "openssl", "1.1.1-1ubuntu2.1", "CVE-2023-1111"),
+      // J7 Pro→base inference: the fix exists ONLY on Pro 18.04, so the
+      // synthesized base-channel wont-fix row (Version None) must match
+      // an install ABOVE every published fix version
+      ("ubuntu:18.04", "openssl", "9.9.9-9", "CVE-2023-1111"),
+      // VEX wont-fix status → Version None on the base channel
+      ("ubuntu:24.10", "zlib", "1.3.dfsg-3.1ubuntu2", "CVE-2023-2222"),
+      // no fix yet (no fixed events, no wont-fix marker) → Version None
+      ("ubuntu:22.04", "bash", "5.1-6ubuntu1", "CVE-2023-3333")
+    ).toDF("namespace", "pkg", "version", "expected_vuln")
+    QualityGate.assertNoFalseNegatives(ubuntuEnv, labels)
+  }
+
+  test("ubuntu: boundary, namespace, and withdrawn misses are itemized") {
+    // installed exactly at the fix → not vulnerable → reported
+    val atFix = Seq(
+      ("ubuntu:22.04", "openssl", "3.0.2-0ubuntu1.9", "CVE-2023-1111"))
+      .toDF("namespace", "pkg", "version", "expected_vuln")
+    assert(QualityGate.falseNegatives(ubuntuEnv, atFix).count() == 1)
+    // the 22.04 fix cannot satisfy a label pinned to a release the OSV
+    // record never mentions
+    val wrongNs = Seq(
+      ("ubuntu:24.04", "openssl", "1.0.0-1", "CVE-2023-1111"))
+      .toDF("namespace", "pkg", "version", "expected_vuln")
+    assert(QualityGate.falseNegatives(ubuntuEnv, wrongNs).count() == 1)
+    // withdrawn OSV records produce no envelope at all → reported
+    val withdrawn = Seq(
+      ("ubuntu:22.04", "curl", "7.0.0-1", "CVE-2023-4444"))
+      .toDF("namespace", "pkg", "version", "expected_vuln")
+    assert(QualityGate.falseNegatives(ubuntuEnv, withdrawn).count() == 1)
+  }
+
   test("gate match rule is namespace-agnostic but version-exact") {
     // same package name across the two providers' envelopes must not
     // cross-satisfy a version that only one namespace fixes: combine
