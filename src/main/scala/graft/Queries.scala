@@ -30,14 +30,29 @@ object Q {
     if (name == "events") events(s, dir)
     else s.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table is ns-precision parquet, which Spark's vectorized
-    * reader rejects; read the ns epoch as long (legacy conf) and convert
-    * to a µs TimestampType with exact integer arithmetic (the ns epoch
-    * exceeds 2^53, so float division would corrupt it). */
+  /** The events table's `ts` has shipped in two physical shapes across
+    * driver testdata generations: ns-precision INT64 (the vectorized
+    * reader rejects ns → read the epoch as long via the legacy conf,
+    * then exact integer µs arithmetic — the ns epoch exceeds 2^53, so
+    * float division would corrupt it) and plain µs timestamp (reads as
+    * TIMESTAMP_NTZ). Normalize both to µs TimestampType; the session
+    * timezone is UTC, so the NTZ cast is instant-preserving and both
+    * shapes yield identical values. */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeEventTs(s.read.parquet(s"$dir/events.parquet"))
+  }
+
+  /** ts-shape normalization shared by the batch and streaming readers. */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
 
   /** Conditional round-robin respread for per-row-kernel stages (same

@@ -18,17 +18,24 @@ object Streams {
   final case class SessionUpdate(user_id: Long, n_events: Long,
       total_value: Double)
 
-  /** Streaming read of the events table (ns parquet → µs timestamp, same
-    * normalization as the batch path). */
+  /** Streaming read of the events table, same ts normalization as the
+    * batch path ([[graft.Q.normalizeEventTs]]). FileStreamSource needs a
+    * declared schema, so probe the batch scan once for the physical
+    * shape of `ts` (ns-int64 legacy vs µs timestamp). */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
-      "event_type STRING, value DOUBLE, props STRING"
+    val tsType =
+      spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", tsType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
     // FileStreamSource needs a directory base path; the sf dirs keep each
     // table as a single file, so glob-filter events.parquet out of dir.
-    spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.Q.normalizeEventTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
   }
 
   /** Watermarked tumbling-window aggregation (the streaming shape of
