@@ -63,6 +63,11 @@ object Envelope {
       version, lit(".json"))
   val GhsaSchema = "https://example.invalid/graft/vulnerability/github/schema-1.0.0.json"
   val VexSchema = "https://example.invalid/graft/vulnerability/csaf-vex/schema-2.0.0.json"
+  val AnnotatedOpenVexSchema = "https://example.invalid/graft/vulnerability/annotated-openvex/schema-1.0.0.json"
+  // auxiliary decorator schemas (`schema.py:16-19,108-119`)
+  val KevSchema = "https://example.invalid/graft/vulnerability/known-exploited/schema-1.0.0.json"
+  val EpssSchema = "https://example.invalid/graft/vulnerability/epss/schema-1.0.0.json"
+  val EolSchema = "https://example.invalid/graft/eol/schema-1.0.0.json"
 
   /** Canonical JSON: sorted struct fields, no nulls — the golden-test
     * equality representation (reference sorted-key orjson,

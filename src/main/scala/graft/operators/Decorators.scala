@@ -26,4 +26,19 @@ object Decorators {
     rows.join(
       broadcast(epss.select(col(cveCol), col("epss"), col("percentile"))),
       Seq(cveCol), "left")
+
+  /** EOL decoration: rows whose namespace is a `<product>:<cycle>`
+    * distro string (ubuntu:22.04, alpine:3.19, …) gain the cycle's
+    * end-of-life status from the eol cycles table
+    * ([[graft.providers.AuxProviders.eolCycles]]); unmatched
+    * namespaces keep nulls. */
+  def withEol(rows: DataFrame, eolCycles: DataFrame,
+      nsCol: String = "namespace"): DataFrame =
+    rows.join(
+      broadcast(eolCycles.select(
+        lower(concat(col("product"), lit(":"), col("rel.name"))).as(nsCol),
+        col("rel.isEol").as("is_eol"),
+        col("rel.eolFrom").as("eol_from"),
+        col("rel.isMaintained").as("is_maintained"))),
+      Seq(nsCol), "left")
 }

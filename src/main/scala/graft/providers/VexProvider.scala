@@ -1,8 +1,9 @@
 package graft.providers
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
+import graft.Envelope
 
 /** VEX pass-through families:
   *
@@ -71,6 +72,69 @@ object VexProvider {
       .select(graft.Envelope.assemble(
         concat(lit(namespace), lit("/"), lower(col("cve"))),
         graft.Envelope.VexSchema, col("doc")): _*)
+
+  val annotatedOpenVexSchema: StructType = StructType.fromDDL(
+    "`@context` STRING, `@id` STRING, statements ARRAY<STRUCT<" +
+      "vulnerability: STRUCT<name: STRING>, " +
+      "timestamp: STRING, status: STRING, " +
+      "products: ARRAY<STRUCT<`@id`: STRING, " +
+      "identifiers: STRUCT<purl: STRING>>>>>")
+
+  /** chainguard_libraries annotated-openvex envelopes
+    * (`providers/chainguard_libraries/openvex_parser.py:140-235`,
+    * `__init__.py:70-82`): statements filtered to chainguard artifacts
+    * — pypi purls whose version carries `+cgr.`, maven purls carrying
+    * `.cgr.` — then wrapped as `{document, fixes}` where each kept
+    * product gains an `available {date, kind: advisory}` from the
+    * statement timestamp. One deviation, deliberate: the reference
+    * RAISES on a non-`fixed` status (`openvex_parser.py:180-186`);
+    * a distributed scan drops such statements instead — quarantine,
+    * not abort. All product filtering/annotation runs through
+    * higher-order array functions (filter/transform), no UDF.
+    * An external fix-date index can overlay the advisory dates
+    * downstream via [[graft.operators.FixDate]]. */
+  def libraryEnvelopes(spark: SparkSession, path: String,
+      ecosystem: String): DataFrame = {
+    // reference _get_purl: identifiers.purl, falling back to @id
+    def purlOf(p: Column) = coalesce(p.getField("identifiers")
+      .getField("purl"), p.getField("@id"))
+    def chainguardArtifact(p: Column) = {
+      val purl = purlOf(p)
+      val ptype = regexp_extract(purl, "^pkg:([^/]+)/", 1)
+      val version = regexp_extract(purl, "@([^?#]+)", 1)
+      (version =!= "") && (
+        (ptype === "pypi" && version.contains("+cgr.")) ||
+        (ptype === "maven" && version.contains(".cgr.")))
+    }
+    spark.read.option("multiLine", "true").schema(annotatedOpenVexSchema)
+      .json(path)
+      .select(explode(col("statements")).as("s"))
+      .filter(col("s.vulnerability.name").isNotNull &&
+        (col("s.status").isNull || lower(col("s.status")) === "fixed"))
+      .select(col("s"),
+        filter(col("s.products"), chainguardArtifact _).as("kept"),
+        graft.functions.Norm.fuzzy_to_date(col("s.timestamp")).as("fix_date"))
+      .select(Envelope.assemble(
+        concat(lit("chainguard-libraries:"), lit(ecosystem.toLowerCase),
+          lit("/"), col("s.vulnerability.name")),
+        Envelope.AnnotatedOpenVexSchema,
+        struct(
+          struct(
+            col("s.vulnerability").as("vulnerability"),
+            col("s.timestamp").as("timestamp"),
+            col("s.status").as("status"),
+            col("kept").as("products")).as("document"),
+          when(col("fix_date").isNotNull,
+            transform(col("kept"), p => struct(
+              purlOf(p).as("product"),
+              struct(
+                date_format(col("fix_date"), "yyyy-MM-dd").as("date"),
+                lit("advisory").as("kind")).as("available"))))
+            .otherwise(array().cast(
+              "array<struct<product:string," +
+                "available:struct<date:string,kind:string>>>"))
+            .as("fixes"))): _*)
+  }
 
   def stampWontFix(rows: DataFrame, vexStatus: DataFrame,
       cveCol: String = "cve", productCol: String = "product"): DataFrame = {

@@ -171,6 +171,105 @@ class GoldenSnapshotSpec extends AnyFunSuite {
       redis.contains("\"date\": \"2023-10-19\""))
   }
 
+  // The secdb VARIANTS are config-differentiated runs of the same
+  // family (reference chainguard/minimos/secureos reusing the wolfi
+  // parser with their own namespace+URL): each gets its OWN golden dir
+  // so a regression in the config wiring — not just the shared parser —
+  // shows up as a byte diff (VERDICT r7 item 6).
+  test("chainguard envelopes match committed snapshots byte-for-byte") {
+    Golden.assertSnapshots("chainguard",
+      SecdbProvider.envelopes(spark, fixture("secdb.json"), "chainguard:rolling"))
+    val one = java.nio.file.Files.readString(Golden.root.resolve(
+      "chainguard/chainguard_rolling/cve-2023-1111.json"))
+    assert(one.contains("\"NamespaceName\": \"chainguard:rolling\""))
+  }
+
+  test("minimos envelopes match committed snapshots byte-for-byte") {
+    Golden.assertSnapshots("minimos",
+      SecdbProvider.envelopes(spark, fixture("secdb.json"), "minimos:rolling"))
+  }
+
+  test("secureos envelopes match committed snapshots byte-for-byte") {
+    Golden.assertSnapshots("secureos",
+      SecdbProvider.envelopes(spark, fixture("secdb.json"), "secureos:1.0"))
+  }
+
+  test("alpine envelopes (rejection NAKs in the bytes) match committed " +
+      "snapshots byte-for-byte") {
+    import spark.implicits._
+    val rejections = Seq(("busybox", "CVE-2022-30065")).toDF("pkg_name", "vuln_id")
+    Golden.assertSnapshots("alpine",
+      SecdbProvider.envelopes(spark, fixture("secdb.json"), "alpine:3.18",
+        rejections = Some(rejections)))
+    // J9 visible in the bytes: the rejected secfix is replaced by a
+    // not-affected NAK row (Version "0"), not silently dropped
+    val nak = java.nio.file.Files.readString(Golden.root.resolve(
+      "alpine/alpine_3.18/cve-2022-30065.json"))
+    assert(nak.contains("\"Version\": \"0\""))
+  }
+
+  test("oracle envelopes (ksplice guard active) match committed " +
+      "snapshots byte-for-byte") {
+    import graft.providers.OvalProvider
+    val rows = OvalProvider.resolvedRows(spark, fixture("oval.xml"))
+    Golden.assertSnapshots("oracle",
+      OvalProvider.envelopes(rows, "ol:9", dropKsplice = true))
+  }
+
+  test("chainguard_libraries annotated-openvex envelopes match " +
+      "committed snapshots byte-for-byte") {
+    import graft.providers.VexProvider
+    Golden.assertSnapshots("chainguard_libraries",
+      VexProvider.libraryEnvelopes(spark,
+        fixture("chainguard_openvex.json"), "maven"))
+    // product filtering in the bytes: the non-cgr maven artifact and
+    // the npm artifact are gone; the advisory-timestamp fix date is in
+    val m = java.nio.file.Files.readString(Golden.root.resolve(
+      "chainguard_libraries/chainguard-libraries_maven/CVE-2024-31573.json"))
+    assert(m.contains("2.10.0.cgr.1") && !m.contains("@2.9.1"))
+    assert(m.contains("\"date\": \"2024-05-02\"") &&
+      m.contains("\"kind\": \"advisory\""))
+    // the non-fixed statement is quarantined, not emitted
+    assert(!java.nio.file.Files.exists(Golden.root.resolve(
+      "chainguard_libraries/chainguard-libraries_maven/CVE-2024-50000.json")))
+  }
+
+  test("kev passthrough envelopes match committed snapshots byte-for-byte") {
+    Golden.assertSnapshots("kev",
+      graft.providers.AuxProviders.kevEnvelopes(spark, fixture("kev.json")))
+    // record passthrough: the cwes array and ransomware flag survive
+    val one = java.nio.file.Files.readString(
+      Golden.root.resolve("kev/kev_cve-2023-1000.json"))
+    assert(one.contains("\"CWE-77\"") && one.contains("\"CWE-78\""))
+    assert(one.contains("\"knownRansomwareCampaignUse\": \"Known\""))
+    assert(one.contains("\"identifier\": \"kev:cve-2023-1000\""))
+  }
+
+  test("epss envelopes match committed snapshots byte-for-byte") {
+    Golden.assertSnapshots("epss",
+      graft.providers.AuxProviders.epssEnvelopes(spark, fixture("epss.csv")))
+    // the comment-header score_date lands as the day-part date field
+    val one = java.nio.file.Files.readString(
+      Golden.root.resolve("epss/cve-2022-30065.json"))
+    assert(one.contains("\"date\": \"2024-02-07\""))
+    assert(one.contains("\"epss\": 0.00388"))
+  }
+
+  test("eol envelopes match committed snapshots byte-for-byte") {
+    Golden.assertSnapshots("eol",
+      graft.providers.AuxProviders.eolEnvelopes(spark, fixture("eol.json")))
+    // passthrough fidelity: product + identifiers merged into the
+    // release record; keys a product never carries (isEoas for python)
+    // are ABSENT, not null — the reference's dict shape
+    val ub = java.nio.file.Files.readString(
+      Golden.root.resolve("eol/ubuntu_18.04.json"))
+    assert(ub.contains("\"isEoas\": true") &&
+      ub.contains("\"product\": \"ubuntu\""))
+    val py = java.nio.file.Files.readString(
+      Golden.root.resolve("eol/python_3.6.json"))
+    assert(!py.contains("isEoas") && py.contains("\"isEol\": true"))
+  }
+
   test("a drifted envelope is caught as a byte mismatch") {
     assume(!Golden.update, "negative checks don't apply while re-recording")
     val good = SecdbProvider.envelopes(spark, fixture("secdb.json"), "wolfi:rolling")

@@ -206,6 +206,115 @@ class QualityGateSpec extends AnyFunSuite {
     assert(QualityGate.falseNegatives(ubuntuEnv, withdrawn).count() == 1)
   }
 
+  // ---- breadth: the remaining OS-schema families the reference gates
+  // (`tests/quality/config.yaml` providers list — amazon, arch, fedora,
+  // mariner, photon, echo, oracle, and the wolfi/chainguard/minimos/
+  // secureos secdb variants). OSV-passthrough families (alma, rocky,
+  // govulndb, bitnami) emit OSV-shaped items the OS-schema gate can't
+  // parse; their fidelity check is the byte-golden snapshots. ----
+
+  private def fx(name: String): String =
+    getClass.getResource(s"/fixtures/$name").getPath
+
+  test("amazon: labeled vulnerable installs match (0 false negatives)") {
+    val html = scala.io.Source.fromFile(fx("alas.html")).mkString
+    val pages = Seq(
+      ("ALAS-2023-1726", "important",
+        Seq("CVE-2023-1000", "CVE-2023-2000"), html)
+    ).toDF("alas_id", "severity", "cves", "html")
+    val env = graft.providers.AmazonProvider.envelopes(pages, "amzn:2")
+    val labels = Seq(
+      ("kernel", "4.14.300-227.531.amzn2", "CVE-2023-1000"),
+      ("kernel-doc", "4.14.299-1.amzn2", "CVE-2023-2000")
+    ).toDF("pkg", "version", "expected_vuln")
+    QualityGate.assertNoFalseNegatives(env, labels)
+  }
+
+  test("arch: labeled installs match incl. the unfixed None sentinel") {
+    val env = graft.providers.ArchProvider.envelopes(spark,
+      fx("arch_all.json"), fx("arch_asa_dates.json"))
+    val labels = Seq(
+      ("openssl", "3.2.0-1", "AVG-1001"),
+      ("curl", "8.5.0-1", "AVG-1004"),
+      ("bar", "99.0-1", "AVG-1003") // unfixed: any version matches
+    ).toDF("pkg", "version", "expected_vuln")
+    QualityGate.assertNoFalseNegatives(env, labels)
+  }
+
+  test("fedora: labeled installs match (0 false negatives)") {
+    val env = graft.providers.FedoraProvider.envelopes(spark,
+      fx("fedora_bodhi.json"))
+    val labels = Seq(
+      ("curl", "0:8.5.0-1.fc40", "CVE-2025-5678"),
+      ("python3-docs", "0:3.12.8-1.fc40", "CVE-2025-1234")
+    ).toDF("pkg", "version", "expected_vuln")
+    QualityGate.assertNoFalseNegatives(env, labels)
+  }
+
+  test("mariner: labeled installs match incl. the range-only None row") {
+    val env = graft.providers.MarinerProvider.envelopes(spark,
+      fx("mariner_oval.xml"), "2.0")
+    val labels = Seq(
+      ("golang", "0:1.20.0-1.cm2", "CVE-2025-8101"),
+      ("bind", "0:9.16.0-1.cm2", "CVE-2025-8404") // <=-bound: None
+    ).toDF("pkg", "version", "expected_vuln")
+    QualityGate.assertNoFalseNegatives(env, labels)
+  }
+
+  test("photon: labeled installs match across both releases") {
+    val env = graft.providers.PhotonProvider.envelopes(spark,
+      fx("photon") + "/cve_data_photon*.json", fx("photon/wiki"))
+    val labels = Seq(
+      ("openssl", "3.0.0-1", "CVE-2025-0101", "photon:4.0"),
+      ("openssl", "3.0.1-1", "CVE-2025-0101", "photon:5.0"),
+      ("zlib", "1.2.9-1", "CVE-2025-0404", "photon:4.0")
+    ).toDF("pkg", "version", "expected_vuln", "namespace")
+    QualityGate.assertNoFalseNegatives(env, labels)
+  }
+
+  test("echo: labeled installs match incl. the verbatim-empty version") {
+    val env = graft.providers.EchoProvider.envelopes(spark,
+      fx("echo_data.json"))
+    val labels = Seq(
+      ("curl", "8.8.0-1", "CVE-2025-7001"),
+      ("openssl", "99.0-1", "CVE-2025-7002") // "": vulnerable at any
+    ).toDF("pkg", "version", "expected_vuln")
+    QualityGate.assertNoFalseNegatives(env, labels)
+  }
+
+  test("oracle (oval family): labeled installs match with ksplice guard " +
+      "active") {
+    import graft.providers.OvalProvider
+    val env = OvalProvider.envelopes(
+      OvalProvider.resolvedRows(spark, fx("oval.xml")), "ol:9",
+      dropKsplice = true)
+    val labels = Seq(
+      ("libfoo", "0:1.1-1", "CVE-2023-1000"),
+      ("libbar", "0:1.9-1", "CVE-2023-2000")
+    ).toDF("pkg", "version", "expected_vuln")
+    QualityGate.assertNoFalseNegatives(env, labels)
+  }
+
+  test("secdb variants: each namespace wiring satisfies its own labels") {
+    import graft.providers.SecdbProvider
+    val env = Seq("chainguard:rolling", "minimos:rolling", "secureos:1.0",
+      "wolfi:rolling")
+      .map(ns => SecdbProvider.envelopes(spark, fx("secdb.json"), ns))
+      .reduce(_ unionByName _)
+    val labels = Seq(
+      ("busybox", "1.35.0-r2", "CVE-2022-30065", "chainguard:rolling"),
+      ("busybox", "1.35.0-r2", "CVE-2022-30065", "minimos:rolling"),
+      ("zlib", "1.2.11-r0", "CVE-2022-37434", "secureos:1.0"),
+      ("openssl", "3.0.7-r0", "CVE-2023-0286", "wolfi:rolling")
+    ).toDF("pkg", "version", "expected_vuln", "namespace")
+    QualityGate.assertNoFalseNegatives(env, labels)
+    // and a namespace-pinned label is NOT satisfied by another variant
+    val wrongNs = Seq(
+      ("busybox", "1.35.0-r2", "CVE-2022-30065", "alpine:3.19"))
+      .toDF("pkg", "version", "expected_vuln", "namespace")
+    assert(QualityGate.falseNegatives(env, wrongNs).count() == 1)
+  }
+
   test("gate match rule is namespace-agnostic but version-exact") {
     // same package name across the two providers' envelopes must not
     // cross-satisfy a version that only one namespace fixes: combine

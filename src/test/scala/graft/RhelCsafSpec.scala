@@ -69,4 +69,21 @@ class RhelCsafSpec extends AnyFunSuite {
     assert(m == Map("CVE-2024-1" -> true, "CVE-2024-2" -> false,
       "CVE-2024-3" -> false))
   }
+
+  test("EOL decorator annotates distro namespaces via broadcast left join") {
+    val rows = Seq(
+      ("ubuntu:18.04", "CVE-2024-1"), ("ubuntu:22.04", "CVE-2024-2"),
+      ("alpine:3.19", "CVE-2024-3"), ("rhel:9", "CVE-2024-4")
+    ).toDF("namespace", "cve")
+    val cycles = graft.providers.AuxProviders.eolCycles(spark,
+      getClass.getResource("/fixtures/eol.json").getPath)
+    val out = Decorators.withEol(rows, cycles).collect()
+      .map(r => r.getAs[String]("namespace") ->
+        Option(r.getAs[java.lang.Boolean]("is_eol"))).toMap
+    assert(out == Map(
+      "ubuntu:18.04" -> Some(java.lang.Boolean.TRUE),
+      "ubuntu:22.04" -> Some(java.lang.Boolean.FALSE),
+      "alpine:3.19" -> Some(java.lang.Boolean.FALSE),
+      "rhel:9" -> None)) // unmatched namespace keeps nulls
+  }
 }
