@@ -183,13 +183,17 @@ object Corpus {
       .crossJoin(thr).filter(col("__n") > col("__thr"))
       .select(col("__l"))
     // map-only rewrite against the 1-row broadcast frequent set.
-    // localCheckpoint (eager) materializes the tiny set NOW — both
-    // counting passes run against the cached lines — so the cache can
-    // be dropped before this operator even returns instead of pinning
-    // exploded text for the rest of the session.
+    // persist + count materializes the tiny set NOW — both counting
+    // passes run against the cached lines — so the lines cache can be
+    // dropped before this operator even returns instead of pinning
+    // exploded text for the rest of the session. persist (not
+    // localCheckpoint): the lineage survives, so an executor losing
+    // the cached row after this returns recomputes from the docs scan
+    // instead of failing the downstream job.
     val freqSet = freqStrings
       .agg(collect_set(col("__l")).as("__freq"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    freqSet.count()
     lines.unpersist(blocking = false)
     docs.crossJoin(broadcast(freqSet))
       .withColumn(textCol,
@@ -234,7 +238,15 @@ object Corpus {
       posCol: String = "pos"): DataFrame = {
     // freeze partition identity into the data at checkpoint time:
     // range split points are sampled per job, so the counts pass and
-    // the fold must see byte-identical partitions (Pack.scala rationale)
+    // the fold must see byte-identical partitions (Pack.scala
+    // rationale). localCheckpoint is deliberate even though it trades
+    // away fault tolerance (a lost executor block after this point
+    // fails the query — lineage can't recompute because a re-sampled
+    // range exchange could split differently): plain persist would
+    // leave that same wrong-positions hazard on recompute, silently.
+    // Fail-loud beats silently-misnumbered; at cluster scale a
+    // reliable checkpoint dir (spark.cleaner-managed) is the escape
+    // hatch if the query outlives executor churn.
     val ranged = df.withColumn("__k", shuffleKey(col(idCol), seed))
       .repartitionByRange(col("__k"))
       .sortWithinPartitions(col("__k"))

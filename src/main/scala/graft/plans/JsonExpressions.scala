@@ -42,11 +42,11 @@ case class JsonRecordsExpr(child: Expression)
   override def nullable: Boolean = true
 
   override def nullSafeEval(v: Any): Any = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
     try {
       val parser = JsonKernel.mapper.createParser(
         v.asInstanceOf[UTF8String].toString)
       val it = JsonKernel.mapper.readValues(parser, classOf[JsonNode])
-      val out = scala.collection.mutable.ArrayBuffer.empty[Any]
       while (it.hasNext) {
         val n = it.next()
         if (n.isArray) {
@@ -55,7 +55,14 @@ case class JsonRecordsExpr(child: Expression)
         } else out += UTF8String.fromString(n.toString)
       }
       new GenericArrayData(out.toArray)
-    } catch { case _: java.io.IOException | _: RuntimeException => null }
+    } catch {
+      case _: java.io.IOException | _: RuntimeException =>
+        // salvage the records parsed before the malformed tail: a
+        // truncated final record in a concatenated blob must not void
+        // the valid records ahead of it. A blob that yields NOTHING
+        // stays null (fully-malformed input signal for the caller).
+        if (out.isEmpty) null else new GenericArrayData(out.toArray)
+    }
   }
 
   override protected def withNewChildInternal(c: Expression): JsonRecordsExpr =

@@ -153,15 +153,30 @@ object OsvProvider {
   /** Read OSV records as (id, raw): one row per top-level JSON record.
     * `json_records` splits a file into records whether it is a
     * one-advisory-per-file tree (the reference's layout,
-    * `rocky/parser.py:52-55`), a bulk array download, or JSONL — the
-    * shape a 100 TB corpus would actually use. Records without an id
-    * are dropped; nothing else is projected away. */
-  def readPassthrough(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("wholetext", "true").text(path)
-      .select(explode(graft.plans.JsonExpressions.json_records(col("value")))
-        .as("raw"))
+    * `rocky/parser.py:52-55`), a bulk array download, or JSONL.
+    * Records without an id are dropped; nothing else is projected away.
+    *
+    * `wholeFile = true` (the default) reads each file as one row —
+    * right for the reference's small-file tree and for bulk-array
+    * downloads, but a single multi-GB JSONL dump would become one
+    * unsplittable task (and a >2 GB file overflows UTF8String). For
+    * large JSONL corpora pass `wholeFile = false`: line-mode text()
+    * splits the scan at block boundaries and every line parallelizes
+    * — the 100 TB path. */
+  def readPassthrough(spark: SparkSession, path: String,
+      wholeFile: Boolean = true): DataFrame = {
+    val raws =
+      if (wholeFile)
+        spark.read.option("wholetext", "true").text(path)
+          .select(explode(
+            graft.plans.JsonExpressions.json_records(col("value"))).as("raw"))
+      else
+        spark.read.text(path).filter(trim(col("value")) =!= "")
+          .select(col("value").as("raw"))
+    raws
       .select(get_json_object(col("raw"), "$.id").as("id"), col("raw"))
       .filter(coalesce(col("id"), lit("")) =!= "")
+  }
 
   /** Rocky's fixdate-lookup ecosystem normalization
     * (`providers/rocky/parser.py:70-75`): "Rocky Linux:8" → "rocky:8",
@@ -262,14 +277,19 @@ object OsvProvider {
     * the fix-date-patched record itself — byte-faithful, nothing
     * dropped. */
   def passthroughEnvelopes(records: DataFrame, fixdates: DataFrame,
-      ecosystemNormalizer: Column => Column = lower(_)): DataFrame =
-    patchFixDates(records, fixdates, ecosystemNormalizer)
+      ecosystemNormalizer: Column => Column = lower(_)): DataFrame = {
+    // the compatibility gate depends only on the raw record, so it runs
+    // BEFORE the patch pipeline: records of a foreign schema generation
+    // are dropped at the scan, not after paying the explode/join/patch
+    val compatible = records
       .withColumn("sv", coalesce(
         get_json_object(col("raw"), "$.schema_version"), lit("1.7.0")))
       .filter(split(col("sv"), "\\.").getItem(0) === "1")
+    patchFixDates(compatible, fixdates, ecosystemNormalizer)
       .select(lower(col("id")).as("identifier"),
         Envelope.osvSchemaCol(col("sv")).as("schema"),
         col("raw").as("item"))
+  }
 
   /** Group per (namespace, cve) into OS-schema envelopes. */
   def envelopes(fixedIn: DataFrame): DataFrame = {

@@ -118,21 +118,22 @@ object VexProvider {
         concat(lit("chainguard-libraries:"), lit(ecosystem.toLowerCase),
           lit("/"), col("s.vulnerability.name")),
         Envelope.AnnotatedOpenVexSchema,
+        // struct fields in sorted order — the canonicalJson contract
         struct(
           struct(
-            col("s.vulnerability").as("vulnerability"),
-            col("s.timestamp").as("timestamp"),
+            col("kept").as("products"),
             col("s.status").as("status"),
-            col("kept").as("products")).as("document"),
+            col("s.timestamp").as("timestamp"),
+            col("s.vulnerability").as("vulnerability")).as("document"),
           when(col("fix_date").isNotNull,
             transform(col("kept"), p => struct(
-              purlOf(p).as("product"),
               struct(
                 date_format(col("fix_date"), "yyyy-MM-dd").as("date"),
-                lit("advisory").as("kind")).as("available"))))
+                lit("advisory").as("kind")).as("available"),
+              purlOf(p).as("product"))))
             .otherwise(array().cast(
-              "array<struct<product:string," +
-                "available:struct<date:string,kind:string>>>"))
+              "array<struct<available:struct<date:string,kind:string>," +
+                "product:string>>"))
             .as("fixes"))): _*)
   }
 

@@ -25,8 +25,12 @@ object Streams {
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // best-effort probe: when the file hasn't landed yet (the normal
+    // FileStreamSource files-arrive-later setup) fall back to the
+    // ns-int64 generation's shape instead of failing stream definition
     val tsType =
-      spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+      try spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+      catch { case scala.util.control.NonFatal(_) => LongType }
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", tsType),
       StructField("user_id", LongType), StructField("event_type", StringType),

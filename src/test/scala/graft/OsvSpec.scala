@@ -95,6 +95,31 @@ class OsvSpec extends AnyFunSuite {
     assert(rows(3).isNullAt(1))
   }
 
+  test("json_records salvages valid records ahead of a malformed tail") {
+    import graft.plans.JsonExpressions.json_records
+    val rows = Seq(
+      // two good records, then a truncated third: the good ones survive
+      "{\"id\":\"D-1\"}\n{\"id\":\"D-2\"}\n{\"id\":\"D-3\",\"x\":",
+      // garbage from byte one: still null
+      "{{{"
+    ).toDF("value")
+      .select(json_records(col("value")).as("recs"))
+      .collect()
+    assert(rows(0).getSeq[String](0) ==
+      Seq("""{"id":"D-1"}""", """{"id":"D-2"}"""))
+    assert(rows(1).isNullAt(0))
+  }
+
+  test("readPassthrough line mode parallelizes a JSONL dump") {
+    val dir = java.nio.file.Files.createTempDirectory("osvjsonl")
+    val f = dir.resolve("dump.jsonl")
+    java.nio.file.Files.writeString(f,
+      "{\"id\":\"L-1\"}\n\n{\"id\":\"L-2\"}\n{\"noid\":true}\n")
+    val out = OsvProvider.readPassthrough(spark, f.toString,
+      wholeFile = false).collect()
+    assert(out.map(_.getAs[String]("id")).toSet == Set("L-1", "L-2"))
+  }
+
   test("patchFixDates preserves foreign database_specific keys and " +
       "skips empty-string fixed events (osv.py falsy-skip)") {
     val raw =

@@ -315,4 +315,14 @@ class StreamingSpec extends AnyFunSuite {
       assert(r.getAs[Array[Byte]]("content").length <= 64)
     }
   }
+
+  test("readEvents defines a stream before any file has landed " +
+      "(files-arrive-later)") {
+    val empty = java.nio.file.Files.createTempDirectory("noevents")
+    // no events.parquet yet: the ts probe must fall back, not throw
+    val df = graft.streaming.Streams.readEvents(spark, empty.toString)
+    assert(df.isStreaming)
+    assert(df.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+  }
 }
