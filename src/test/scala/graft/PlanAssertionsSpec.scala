@@ -43,6 +43,26 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("decorator joins broadcast the aux dimension, fact side unshuffled") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey").cast("string").as("cve"))
+    val kev = Seq("1", "2").toDF("cve")
+    val eol = graft.providers.AuxProviders.eolCycles(spark,
+      getClass.getResource("/fixtures/eol.json").getPath)
+    val p = graft.operators.Decorators.withEol(
+      graft.operators.Decorators.withKev(rows, kev)
+        .withColumnRenamed("cve", "namespace"), eol)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 2)
+    assert(!p.contains("SortMergeJoin"))
+    // the ONE hash exchange is withKev's distinct on the dimension
+    // side, pre-broadcast; the fact scan feeds both joins directly
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      "fact side must not shuffle for decorator joins")
+  }
+
   test("q_rpm_stream_reduce partial-aggregates before the exchange") {
     val p = plan("q_rpm_stream_reduce")
     // ObjectHashAggregate partial_rpmstreamreduce runs map-side: the
