@@ -16,9 +16,13 @@ import org.apache.spark.sql.types._
   * codec is real too: `javax.sound.sampled.AudioSystem` (also JDK
   * built-in) decodes WAV/AIFF/AU PCM, so [[decodeAudio]] extracts
   * duration / RMS / zero-crossing-rate features from actual samples.
-  * Only VIDEO stays behind the deterministic [[decodeStub]] — the JDK
-  * ships no video codec and this container has no FFI ones; swap only
-  * that function when one exists. Either way the batch loop, schema
+  * VIDEO splits in two: the CONTAINER layer is real — [[probeVideo]]
+  * parses the MP4/ISO-BMFF box tree (duration, timescale, tracks,
+  * 16.16 track dimensions) with plain byte arithmetic, no codec
+  * needed — while FRAME decode stays behind the deterministic
+  * [[decodeStub]] (the JDK ships no video codec and this container has
+  * no FFI ones; swap only that function when one exists). Either way
+  * the batch loop, schema
   * contract, and partitioning are the production shape (equivalent of a
   * Pandas `mapInPandas` UDF, done Scala-side with mapPartitions so each
   * task amortizes codec init across its whole partition — at 100 TB
@@ -166,6 +170,139 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
+  /** REAL video container probe — no codec required: MP4/ISO-BMFF is a
+    * plain length-prefixed box tree, so duration, timescale, track
+    * count and track dimensions parse with byte arithmetic alone
+    * (`mvhd` carries timescale+duration, each `trak/tkhd` its 16.16
+    * fixed-point width/height). 8-dim feature: [duration s, timescale,
+    * n_tracks, width, height, aspect, mdat byte fraction, top-level box
+    * count]. None for non-BMFF bytes (caller falls back to the stub).
+    * FRAME decode stays stubbed — the JDK ships no video codec — but
+    * the container metadata is the real thing, same split as a
+    * production pipeline that shreds containers cluster-side and ships
+    * frames to codec-equipped workers. */
+  private[graft] def probeVideo(content: Array[Byte]): Option[Array[Float]] = {
+    def be32(o: Int): Long =
+      ((content(o) & 0xFFL) << 24) | ((content(o + 1) & 0xFFL) << 16) |
+        ((content(o + 2) & 0xFFL) << 8) | (content(o + 3) & 0xFFL)
+    def typ(o: Int): String = new String(content, o, 4, "ISO-8859-1")
+    // walk a box span, returning (type, payloadStart, payloadEnd)
+    def boxes(lo: Int, hi: Int): Iterator[(String, Int, Int)] =
+      new Iterator[(String, Int, Int)] {
+        private var off = lo
+        def hasNext: Boolean = off + 8 <= hi
+        def next(): (String, Int, Int) = {
+          val size = be32(off)
+          val t = typ(off + 4)
+          // size 0 = to end of span; size 1 (64-bit largesize) is
+          // legal but > 2 GB payloads can't sit in one row anyway
+          val end =
+            if (size == 0) hi
+            else if (size == 1 && off + 16 <= hi) {
+              val sHi = be32(off + 8); val sLo = be32(off + 12)
+              val s = (sHi << 32) | sLo
+              math.min(off + math.min(s, Int.MaxValue.toLong), hi.toLong).toInt
+            } else math.min(off + math.max(size, 8L), hi.toLong).toInt
+          val start = off + (if (size == 1) 16 else 8)
+          off = end
+          (t, math.min(start, end), end)
+        }
+      }
+    try {
+      if (content.length < 12 || typ(4) != "ftyp") return None
+      var durationS = 0f; var timescale = 0f
+      var nTracks = 0; var width = 0f; var height = 0f
+      var mdatBytes = 0L; var nTop = 0
+      boxes(0, content.length).foreach { case (t, s, e) =>
+        nTop += 1
+        if (t == "mdat") mdatBytes += (e - s).toLong
+        else if (t == "moov") boxes(s, e).foreach {
+          case ("mvhd", ms, _) =>
+            val v = content(ms) & 0xFF
+            if (v == 1) { // 64-bit creation/modification/duration
+              timescale = be32(ms + 20).toFloat
+              val d = (be32(ms + 24) << 32) | be32(ms + 28)
+              if (timescale > 0) durationS = d / timescale
+            } else {
+              timescale = be32(ms + 12).toFloat
+              if (timescale > 0) durationS = be32(ms + 16) / timescale
+            }
+          case ("trak", ts, te) =>
+            nTracks += 1
+            boxes(ts, te).foreach { case (tt, hs, _) =>
+              if (tt == "tkhd") {
+                val v = content(hs) & 0xFF
+                val dimOff = hs + (if (v == 1) 96 else 84) - 8
+                // width/height are 16.16 fixed point; keep the FIRST
+                // track with nonzero dims (video track; audio is 0×0)
+                val w = be32(dimOff) / 65536f
+                val h = be32(dimOff + 4) / 65536f
+                if (width == 0f && w > 0f) { width = w; height = h }
+              }
+            }
+          case _ => ()
+        }
+      }
+      if (timescale <= 0f) None
+      else Some(Array(
+        durationS, timescale, nTracks.toFloat, width, height,
+        if (height > 0f) width / height else 0f,
+        (mdatBytes.toDouble / math.max(content.length, 1)).toFloat,
+        nTop.toFloat))
+    } catch { case _: Exception => None }
+  }
+
+  /** Deterministic minimal MP4 for a synthetic video row: ftyp + moov
+    * (mvhd + one trak/tkhd with id-derived duration and dimensions) +
+    * an mdat of id-derived bytes — a REAL ISO-BMFF box tree, so the
+    * container probe runs distributed against real structure. */
+  private[graft] def syntheticMp4(id: Long): Array[Byte] = {
+    val timescale = 1000
+    val durationTicks = (1500 + (id % 29) * 250).toInt // 1.5 s .. 8.5 s
+    val w = 320 + (id % 5).toInt * 80
+    val h = 240 + (id % 3).toInt * 120
+    val bb = java.nio.ByteBuffer.allocate(4096) // big-endian by default
+    def box(t: String)(body: => Unit): Unit = {
+      val sizeAt = bb.position(); bb.putInt(0)
+      bb.put(t.getBytes("ISO-8859-1")); body
+      bb.putInt(sizeAt, bb.position() - sizeAt)
+    }
+    box("ftyp") { bb.put("isom".getBytes); bb.putInt(0); bb.put("isom".getBytes) }
+    box("moov") {
+      box("mvhd") {
+        bb.putInt(0)                  // version 0 + flags
+        bb.putInt(0); bb.putInt(0)    // creation, modification
+        bb.putInt(timescale); bb.putInt(durationTicks)
+        bb.putInt(0x00010000)         // rate 1.0
+        bb.putShort(0x0100.toShort)   // volume 1.0
+        bb.putShort(0); bb.putLong(0) // reserved
+        Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+          .foreach(bb.putInt)         // identity matrix
+        (0 until 6).foreach(_ => bb.putInt(0)) // pre_defined
+        bb.putInt(2)                  // next_track_ID
+      }
+      box("trak") {
+        box("tkhd") {
+          bb.putInt(7)                // version 0 + enabled flags
+          bb.putInt(0); bb.putInt(0)  // creation, modification
+          bb.putInt(1); bb.putInt(0)  // track id, reserved
+          bb.putInt(durationTicks)
+          bb.putLong(0)               // reserved
+          bb.putShort(0); bb.putShort(0); bb.putShort(0); bb.putShort(0)
+          Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+            .foreach(bb.putInt)       // identity matrix
+          bb.putInt(w << 16); bb.putInt(h << 16) // 16.16 fixed
+        }
+      }
+    }
+    box("mdat") {
+      val n = 64 + (id % 61).toInt * 4
+      var i = 0
+      while (i < n) { bb.put(((id * 131 + i * 17) & 0xFF).toByte); i += 1 }
+    }
+    java.util.Arrays.copyOf(bb.array(), bb.position())
+  }
+
   /** Deterministic mono 16-bit PCM WAV for a synthetic audio row: a
     * sine whose frequency, amplitude and length derive from the id,
     * encoded with the JDK writer (the payload is a REAL RIFF/WAVE
@@ -215,13 +352,14 @@ object Multimodal {
   }
 
   /** Synthesize a media table from the documents table: image rows get
-    * REAL PNG payloads and audio rows REAL WAV payloads (so both decode
-    * paths run distributed); video rows carry text bytes as opaque
-    * stand-in blobs. */
+    * REAL PNG payloads, audio rows REAL WAV payloads, and video rows
+    * REAL minimal-MP4 payloads (so all three decode/probe paths run
+    * distributed against real byte formats). */
   def syntheticMedia(spark: SparkSession, dir: String): DataFrame = {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val pngUdf = udf((id: Long) => syntheticPng(id))
     val wavUdf = udf((id: Long) => syntheticWav(id))
+    val mp4Udf = udf((id: Long) => syntheticMp4(id))
     val kind = element_at(array(lit("image"), lit("audio"), lit("video")),
       (col("doc_id") % 3 + 1).cast("int"))
     docs.select(
@@ -229,7 +367,7 @@ object Multimodal {
       kind.as("kind"),
       when(kind === "image", pngUdf(col("doc_id")))
         .when(kind === "audio", wavUdf(col("doc_id")))
-        .otherwise(encode(col("text"), "UTF-8")).as("content"),
+        .otherwise(mp4Udf(col("doc_id"))).as("content"),
       length(col("text")).cast("int").as("meta_width"),
       (col("n_chars") % 1080).cast("int").as("meta_height"))
   }
@@ -252,6 +390,8 @@ object Multimodal {
           case "image" => decodeImage(content).map(_._3)
             .getOrElse(decodeStub(kind, content))
           case "audio" => decodeAudio(content)
+            .getOrElse(decodeStub(kind, content))
+          case "video" => probeVideo(content)
             .getOrElse(decodeStub(kind, content))
           case _ => decodeStub(kind, content)
         }

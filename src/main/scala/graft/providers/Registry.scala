@@ -24,7 +24,7 @@ object Registry {
     Spec("arch", "arch", "tracker-json", Set("os")),
     Spec("bitnami", "osv", "git:osv-json", Set("application", "osv")),
     Spec("chainguard", "secdb", "secdb-json", Set("os")),
-    Spec("chainguard_libraries", "passthrough", "openvex-json", Set("application")),
+    Spec("chainguard_libraries", "openvex", "openvex-json", Set("application")),
     Spec("debian", "debian", "tracker-json+dsa", Set("os")),
     Spec("echo", "echo", "pkg-cve-map-json", Set("os")),
     Spec("fedora", "fedora", "bodhi-json", Set("os")),

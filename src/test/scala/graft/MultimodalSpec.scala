@@ -125,4 +125,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(imgFeats.map(_.toString).sorted.sameElements(
       again.map(_.toString).sorted))
   }
+
+  test("probeVideo parses real MP4 box structure: duration, tracks, " +
+      "dimensions") {
+    // id 2 → duration (1500 + 2*250)/1000 = 2.0 s, 480×480 (w: 320 +
+    // (2%5)*80, h: 240 + (2%3)*120)
+    val f = Multimodal.probeVideo(Multimodal.syntheticMp4(2L)).get
+    assert(f(0) == 2.0f)       // duration seconds
+    assert(f(1) == 1000f)      // timescale
+    assert(f(2) == 1f)         // track count
+    assert(f(3) == 480f && f(4) == 480f && f(5) == 1.0f)
+    assert(f(6) > 0f)          // mdat fraction
+    assert(f(7) == 3f)         // ftyp + moov + mdat
+    // non-BMFF bytes refuse cleanly (fall back to stub in the pipeline)
+    assert(Multimodal.probeVideo("plain text".getBytes).isEmpty)
+    // and the pipeline routes video rows through the probe: slot 1 is
+    // the mvhd timescale, not a histogram fraction <= 1
+    val media = Multimodal.syntheticMedia(spark, "/root/testdata/sf0.001")
+    val vid = Multimodal.extractFeatures(media)
+      .filter(col("kind") === "video").collect()
+    assert(vid.nonEmpty)
+    assert(vid.forall(r => r.getSeq[Float](3)(1) == 1000f))
+  }
 }

@@ -272,10 +272,10 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.length == media.count())
     assert(rows.forall(
       _.getSeq[Float](rows.head.fieldIndex("feature")).length == 8))
-    // video: normalized byte-histogram stub
-    val stub = rows.find(_.getString(1) == "video").get
+    // video: REAL MP4 container probe — slot 1 is the mvhd timescale
+    val vid = rows.find(_.getString(1) == "video").get
       .getSeq[Float](rows.head.fieldIndex("feature"))
-    assert(math.abs(stub.sum - 1.0f) < 1e-3)
+    assert(vid(1) == 1000f)
     // audio: REAL WAV decode — slot 1 is the synthetic sample rate
     val aud = rows.find(_.getString(1) == "audio").get
       .getSeq[Float](rows.head.fieldIndex("feature"))
