@@ -182,24 +182,23 @@ object Corpus {
       .groupBy(col("__l")).agg(count(lit(1)).as("__n"))
       .crossJoin(thr).filter(col("__n") > col("__thr"))
       .select(col("__l"))
-    // map-only rewrite against the 1-row broadcast frequent set.
-    // persist + count materializes the tiny set NOW — both counting
-    // passes run against the cached lines — so the lines cache can be
-    // dropped before this operator even returns instead of pinning
-    // exploded text for the rest of the session. persist (not
-    // localCheckpoint): the lineage survives, so an executor losing
-    // the cached row after this returns recomputes from the docs scan
-    // instead of failing the downstream job.
-    val freqSet = freqStrings
+    // map-only rewrite against the frequent set, materialized NOW by a
+    // driver collect of the ONE aggregated row — both counting passes
+    // run against the cached lines, so the lines cache drops before
+    // this operator even returns instead of pinning exploded text for
+    // the rest of the session. The set is bounded by construction
+    // (a frequent line appears in > threshold docs, so there are at
+    // most lines_total/threshold of them — the same bound that makes
+    // it broadcastable), and a single array literal neither pins a
+    // CacheManager entry for the session (the r8 persist draft leaked
+    // one per call) nor rides a non-recomputable localCheckpoint block.
+    val freqArr: Seq[String] = freqStrings
       .agg(collect_set(col("__l")).as("__freq"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    freqSet.count()
+      .head().getSeq[String](0)
     lines.unpersist(blocking = false)
-    docs.crossJoin(broadcast(freqSet))
-      .withColumn(textCol,
-        concat_ws(delim, filter(lineArr,
-          l => !array_contains(col("__freq"), l))))
-      .drop("__freq")
+    docs.withColumn(textCol,
+      concat_ws(delim, filter(lineArr,
+        l => !array_contains(typedlit(freqArr), l))))
   }
 
   /** Deterministic training-order shuffle: ORDER BY md5("id:seed") —

@@ -204,7 +204,10 @@ object Multimodal {
               math.min(off + math.min(s, Int.MaxValue.toLong), hi.toLong).toInt
             } else math.min(off + math.max(size, 8L), hi.toLong).toInt
           val start = off + (if (size == 1) 16 else 8)
-          off = end
+          // guaranteed progress: a box whose declared size points at or
+          // before its own header (largesize 0 / backward) is malformed
+          // — stop the walk rather than spin the task forever
+          off = if (end <= off) hi else end
           (t, math.min(start, end), end)
         }
       }

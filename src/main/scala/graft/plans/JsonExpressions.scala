@@ -29,8 +29,13 @@ private[plans] object JsonKernel {
   * line-delimited roots each yield one record — so one reader covers
   * the reference's one-advisory-per-file layout
   * (`providers/rocky/parser.py:52-55`), a bulk array download, and the
-  * JSONL layout a 100 TB corpus would actually use. Malformed input →
-  * null (caller routes/filters, never a job failure).
+  * JSONL layout a 100 TB corpus would actually use. Fully-malformed
+  * input → null (caller routes/filters, never a job failure); a
+  * malformed record MID-blob salvages the records parsed before it
+  * and drops the rest — Jackson cannot re-sync a stream after a bad
+  * token, so the choice is partial salvage or voiding the whole blob,
+  * and a one-record-per-file layout (the reference's) makes the two
+  * identical anyway.
   *
   * Row-local and bounded by the input blob; no shuffle implications.
   */

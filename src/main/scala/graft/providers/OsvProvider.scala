@@ -162,18 +162,17 @@ object OsvProvider {
     * unsplittable task (and a >2 GB file overflows UTF8String). For
     * large JSONL corpora pass `wholeFile = false`: line-mode text()
     * splits the scan at block boundaries and every line parallelizes
-    * — the 100 TB path. */
+    * — the 100 TB path. Both modes run records through the same
+    * `json_records` canonicalization, so the emitted bytes are
+    * identical whichever mode read the corpus. */
   def readPassthrough(spark: SparkSession, path: String,
       wholeFile: Boolean = true): DataFrame = {
-    val raws =
-      if (wholeFile)
-        spark.read.option("wholetext", "true").text(path)
-          .select(explode(
-            graft.plans.JsonExpressions.json_records(col("value"))).as("raw"))
-      else
-        spark.read.text(path).filter(trim(col("value")) =!= "")
-          .select(col("value").as("raw"))
-    raws
+    val scan =
+      if (wholeFile) spark.read.option("wholetext", "true").text(path)
+      else spark.read.text(path).filter(trim(col("value")) =!= "")
+    scan
+      .select(explode(
+        graft.plans.JsonExpressions.json_records(col("value"))).as("raw"))
       .select(get_json_object(col("raw"), "$.id").as("id"), col("raw"))
       .filter(coalesce(col("id"), lit("")) =!= "")
   }

@@ -27,10 +27,19 @@ object Streams {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // best-effort probe: when the file hasn't landed yet (the normal
     // FileStreamSource files-arrive-later setup) fall back to the
-    // ns-int64 generation's shape instead of failing stream definition
+    // ns-int64 generation's shape instead of failing stream definition.
+    // ONLY the missing-path case falls back — a corrupt or unreadable
+    // file still fails fast here, not mid-microbatch. If the deferred
+    // file turns out to be the µs-timestamp generation the first batch
+    // will reject the bigint schema; redefine the stream once data
+    // exists (the probe then resolves the right shape).
     val tsType =
       try spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
-      catch { case scala.util.control.NonFatal(_) => LongType }
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition != null &&
+              e.getCondition.contains("PATH_NOT_FOUND") => LongType
+      }
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", tsType),
       StructField("user_id", LongType), StructField("event_type", StringType),

@@ -139,6 +139,16 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f(7) == 3f)         // ftyp + moov + mdat
     // non-BMFF bytes refuse cleanly (fall back to stub in the pipeline)
     assert(Multimodal.probeVideo("plain text".getBytes).isEmpty)
+    // adversarial box sizes can't hang the walk: a largesize-0 box
+    // (size==1, 64-bit size 0 — declared end at its own header) and a
+    // plain size-0-before-the-header variant both terminate
+    val evil = java.nio.ByteBuffer.allocate(64)
+    evil.putInt(20); evil.put("ftyp".getBytes)
+    evil.put("isom".getBytes); evil.putInt(0); evil.put("isom".getBytes)
+    evil.putInt(1); evil.put("free".getBytes); evil.putLong(0L)
+    evil.putInt(8); evil.put("skip".getBytes)
+    val evilBytes = java.util.Arrays.copyOf(evil.array(), evil.position())
+    assert(Multimodal.probeVideo(evilBytes).isEmpty) // no mvhd, no spin
     // and the pipeline routes video rows through the probe: slot 1 is
     // the mvhd timescale, not a histogram fraction <= 1
     val media = Multimodal.syntheticMedia(spark, "/root/testdata/sf0.001")
