@@ -225,6 +225,27 @@ object ScaleStress {
       docs.unpersist(); vecs.unpersist()
     }
 
+    // Round-8 line-dedup drill: the rewritten one-cached-pass plan
+    // (dup-heavy: every copy shares its full token stream, so the
+    // frequent set is the whole shared vocabulary above threshold —
+    // the driver-collected literal's worst realistic shape). chars_out
+    // forces full string materialization of the rewrite.
+    println(f"\n${"copies"}%8s ${"docs"}%9s ${"freq_cut"}%9s " +
+      f"${"t_linededup"}%12s")
+    for (copies <- Seq(1, maxScale)
+        if which == "all" || which == "linededup") {
+      val docs = corpus(spark, dir, copies).cache()
+      val nDocs = docs.count()
+      var charsOut = 0L
+      val t = timed {
+        charsOut = Corpus.dedupLinesAuto(docs, "text", delim = " ")
+          .agg(sum(length(col("text")))).head().getLong(0)
+      }
+      val charsIn = docs.agg(sum(length(col("text")))).head().getLong(0)
+      println(f"$copies%8d $nDocs%9d ${charsIn - charsOut}%9d $t%12.1f")
+      docs.unpersist()
+    }
+
     // kNN self-join drill: exact is O(n²) cosine (the baseline that
     // must NOT be the scale path); LSH's narrow far-neighbor bands make
     // buckets grow as n/2^bits (quadratic candidates); IVF with
