@@ -191,7 +191,7 @@ class GoldenSnapshotSpec extends AnyFunSuite {
 
   test("secureos envelopes match committed snapshots byte-for-byte") {
     Golden.assertSnapshots("secureos",
-      SecdbProvider.envelopes(spark, fixture("secdb.json"), "secureos:1.0"))
+      SecdbProvider.envelopes(spark, fixture("secdb.json"), "secureos:rolling"))
   }
 
   test("alpine envelopes (rejection NAKs in the bytes) match committed " +

@@ -297,14 +297,14 @@ class QualityGateSpec extends AnyFunSuite {
 
   test("secdb variants: each namespace wiring satisfies its own labels") {
     import graft.providers.SecdbProvider
-    val env = Seq("chainguard:rolling", "minimos:rolling", "secureos:1.0",
+    val env = Seq("chainguard:rolling", "minimos:rolling", "secureos:rolling",
       "wolfi:rolling")
       .map(ns => SecdbProvider.envelopes(spark, fx("secdb.json"), ns))
       .reduce(_ unionByName _)
     val labels = Seq(
       ("busybox", "1.35.0-r2", "CVE-2022-30065", "chainguard:rolling"),
       ("busybox", "1.35.0-r2", "CVE-2022-30065", "minimos:rolling"),
-      ("zlib", "1.2.11-r0", "CVE-2022-37434", "secureos:1.0"),
+      ("zlib", "1.2.11-r0", "CVE-2022-37434", "secureos:rolling"),
       ("openssl", "3.0.7-r0", "CVE-2023-0286", "wolfi:rolling")
     ).toDF("pkg", "version", "expected_vuln", "namespace")
     QualityGate.assertNoFalseNegatives(env, labels)
