@@ -258,9 +258,14 @@ object Corpus {
     val offsets: Map[Int, Long] = counts.map { case (pid, n) =>
       val o = pid -> acc; acc += n; o
     }.toMap
-    val outSchema = ranged.schema.add(posCol, LongType, nullable = false)
-    val pidIdx = ranged.schema.fieldIndex("__pid")
-    ranged.mapPartitions { it =>
+    // the fold never reads the md5 key: project it away BEFORE the
+    // object round-trip (a narrow map over the checkpoint — partition
+    // identity and row order survive) so the ser/deser pays for data
+    // columns only, not a 32-byte sort key per row
+    val slim = ranged.drop("__k")
+    val outSchema = slim.schema.add(posCol, LongType, nullable = false)
+    val pidIdx = slim.schema.fieldIndex("__pid")
+    slim.mapPartitions { it =>
       var pos = 0L
       var first = true
       it.map { r =>
@@ -270,7 +275,7 @@ object Corpus {
         pos += 1L
         Row.fromSeq(r.toSeq :+ pos)
       }
-    }(RowEncoder.encoderFor(outSchema)).drop("__pid", "__k")
+    }(RowEncoder.encoderFor(outSchema)).drop("__pid")
   }
 
   /** Keep at most `n` rows per group, best-first by `order`. One shuffle

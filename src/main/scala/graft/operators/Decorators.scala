@@ -36,7 +36,8 @@ object Decorators {
       nsCol: String = "namespace"): DataFrame =
     rows.join(
       broadcast(eolCycles.select(
-        lower(concat(col("product"), lit(":"), col("rel.name"))).as(nsCol),
+        graft.providers.AuxProviders
+          .eolNamespace(col("product"), col("rel.name")).as(nsCol),
         col("rel.isEol").as("is_eol"),
         col("rel.eolFrom").as("eol_from"),
         col("rel.isMaintained").as("is_maintained"))),

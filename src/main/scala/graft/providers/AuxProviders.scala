@@ -46,6 +46,11 @@ object AuxProviders {
           col("epss"),
           col("percentile"))): _*)
 
+  /** The `{product}:{cycle}` namespace key shared by the envelope
+    * identifiers and the [[graft.operators.Decorators.withEol]] join. */
+  def eolNamespace(product: Column, cycle: Column): Column =
+    lower(concat(product, lit(":"), cycle))
+
   /** EOL cycles scan (`providers/eol/manager.py:32-55`): one row per
     * (product, release cycle), the release struct kept whole in `rel`
     * plus the product name and product-level identifiers. */
@@ -72,7 +77,7 @@ object AuxProviders {
         Seq("product" -> col("product"),
           "identifiers" -> col("identifiers"))).sortBy(_._1)
     cycles.select(Envelope.assemble(
-      lower(concat(col("product"), lit(":"), col("rel.name"))),
+      eolNamespace(col("product"), col("rel.name")),
       Envelope.EolSchema,
       struct(payload.map { case (n, c) => c.as(n) }: _*)): _*)
   }

@@ -105,7 +105,8 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"PASS               {name} rows={len(g)}")
             n_pass += 1
             continue
-        ncell = int((gs.to_numpy() != xs.to_numpy()).sum())
+        diff = gs.to_numpy() != xs.to_numpy()
+        ncell = int(diff.sum())
         numerically_equal = True
         try:
             gn = g.sort_values(by=list(g.columns)).reset_index(drop=True)
@@ -117,7 +118,6 @@ def main(sf_dir: str, out_dir: str) -> int:
             numerically_equal = False
         kind = ("STRICT_ONLY (formatting/signed-zero; values equal "
                 "within 1e-9)" if numerically_equal else "VALUE")
-        diff = (gs.to_numpy() != xs.to_numpy())
         rows, cols = diff.nonzero()
         examples = "; ".join(
             f"[{r},{gs.columns[c]}] spark={gs.iat[r, c]!r} "
