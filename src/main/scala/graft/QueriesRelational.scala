@@ -80,10 +80,21 @@ object QueriesRelational {
 
     // A12: distinct accumulation (collect_set ≡ count distinct surface).
     "q_agg_distinct" -> Entry(
-      (s, dir) => t(s, dir, "lineitem")
-        .groupBy(col("l_suppkey"))
-        .agg(countDistinct(col("l_partkey")).as("n_parts"),
-          countDistinct(col("l_orderkey")).as("n_orders")),
+      (s, dir) => {
+        // A12 as per-column SINGLE-distinct aggregates joined — two
+        // multi-distincts in one agg trigger the RewriteDistinct-
+        // Aggregates Expand (2× row replication before the first
+        // exchange, the q_profile_stats pathology from the r7 audit);
+        // each single-distinct plans partial_count(distinct …) with
+        // map-side dedup and no Expand, and the join keys are the
+        // group keys (broadcast-sized)
+        val li = t(s, dir, "lineitem")
+        def one(c: String, as: String) = li
+          .groupBy(col("l_suppkey"))
+          .agg(countDistinct(col(c)).as(as))
+        one("l_partkey", "n_parts")
+          .join(one("l_orderkey", "n_orders"), Seq("l_suppkey"))
+      },
       Some("""SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts,
         count(DISTINCT l_orderkey) AS n_orders
         FROM lineitem GROUP BY l_suppkey""")),
