@@ -479,4 +479,27 @@ class KernelPropertiesSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("foldable array<double>"))
   }
+
+  test("probeVideo is total on arbitrary bytes: never throws, always " +
+      "terminates, feature is 8-dim when produced") {
+    import graft.operators.Multimodal
+    val rawBytes = Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte))
+      .map(_.toArray)
+    // half the cases wear a valid ftyp header so the box walk actually
+    // engages on a random tail (pure-random bytes rarely pass the gate)
+    val gen = for {
+      tail <- rawBytes
+      dressed <- Gen.oneOf(true, false)
+    } yield
+      if (!dressed) tail
+      else {
+        val hdr = java.nio.ByteBuffer.allocate(20)
+        hdr.putInt(20); hdr.put("ftyp".getBytes("ISO-8859-1"))
+        hdr.put("isom".getBytes); hdr.putInt(0); hdr.put("isom".getBytes)
+        hdr.array() ++ tail
+      }
+    check(forAll(gen) { bytes =>
+      Multimodal.probeVideo(bytes).forall(_.length == 8)
+    })
+  }
 }
