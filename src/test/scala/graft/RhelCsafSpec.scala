@@ -86,4 +86,34 @@ class RhelCsafSpec extends AnyFunSuite {
       "alpine:3.19" -> Some(java.lang.Boolean.FALSE),
       "rhel:9" -> None)) // unmatched namespace keeps nulls
   }
+
+  test("aux scans tolerate degenerate upstream shapes") {
+    import graft.providers.AuxProviders
+    val tmp = java.nio.file.Files.createTempDirectory("auxedge")
+    // EPSS dump missing the score_date comment header: rows still
+    // parse, the date passthrough is null (upstream promises the
+    // header; its absence must not throw)
+    val csv = tmp.resolve("epss.csv")
+    java.nio.file.Files.writeString(csv,
+      "cve,epss,percentile\nCVE-2024-1,0.5,0.9\n")
+    val env = AuxProviders.epssEnvelopes(spark, csv.toString).collect()
+    assert(env.length == 1 &&
+      env.head.getAs[String]("identifier") == "cve-2024-1")
+    assert(!env.head.getAs[String]("item").contains("\"date\""))
+    // EOL product with an empty releases array contributes no cycles
+    // (and no rows for the decorator join) without failing the scan
+    val eol = tmp.resolve("eol.json")
+    java.nio.file.Files.writeString(eol,
+      """{"result": [
+        |{"name": "emptyware", "identifiers": [], "releases": []},
+        |{"name": "one", "identifiers": [],
+        | "releases": [{"name": "1.0", "isEol": false,
+        |   "eolFrom": "2030-01-01", "isMaintained": true}]}]}"""
+        .stripMargin)
+    val cycles = AuxProviders.eolCycles(spark, eol.toString).collect()
+    assert(cycles.length == 1 &&
+      cycles.head.getAs[String]("product") == "one")
+    val envs = AuxProviders.eolEnvelopes(spark, eol.toString).collect()
+    assert(envs.map(_.getAs[String]("identifier")).toSeq == Seq("one:1.0"))
+  }
 }
