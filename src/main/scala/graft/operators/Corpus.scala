@@ -559,19 +559,26 @@ object Corpus {
     * vocabulary identical across engines and reruns. The global count
     * is one map-side-combined aggregate; the top-V cut is a
     * TakeOrdered (per-partition heaps + driver merge, never a global
-    * sort of the full vocabulary); only the ≤V survivors pass through
-    * the single-partition rank window, which is bounded by the
-    * requested vocabulary size, not the corpus. */
+    * sort of the full vocabulary); ranks are assigned by folding the
+    * ≤V survivors into ONE array row — sorted row-locally, then
+    * posexploded back out — so the plan has no WindowExec at all
+    * (a `row_number()` over an unpartitioned window here, even though
+    * equally bounded by V, plans a single-partition WindowExec and
+    * floods the log with `No Partition Defined` warnings). The array
+    * is bounded by the requested vocabulary size, not the corpus. */
   def buildVocab(docs: DataFrame, textCol: String, vocabSize: Int)
       : DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     docs
       .select(explode(split(trim(lower(col(textCol))), "\\s+")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("word").asc)
       .limit(vocabSize)
-      .withColumn("id", row_number()
-        .over(Window.orderBy(col("n").desc, col("word").asc)).cast("long"))
+      // struct(-n, word) sorts lexicographically as (n desc, word asc)
+      .agg(array_sort(collect_list(struct((-col("n")).as("negn"),
+        col("word")))).as("vs"))
+      .select(posexplode(col("vs")).as(Seq("pos", "v")))
+      .select(col("v.word").as("word"), (-col("v.negn")).as("n"),
+        (col("pos") + 1).cast("long").as("id"))
   }
 
   /** Encode each document as its vocabulary-id sequence
