@@ -1174,9 +1174,17 @@ object QueriesPipeline {
         // media staged to parquet once, mtime-guarded (the
         // q_dedup_incr_emb pattern): the query times the decode/probe
         // OPERATOR over binary columns — the shape a real corpus has —
-        // not the per-row PNG/WAV/MP4 synthesis that fakes one up
+        // not the per-row PNG/WAV/MP4 synthesis that fakes one up.
+        // Keyed by md5 of the canonical dir (a 32-bit hashCode can
+        // collide two corpora into one staging dir, and the mtime
+        // guard would then serve the WRONG corpus's media with no
+        // error) + the synthesis-format generation (bumped next to
+        // the synthesis code, not hand-edited here).
+        val dirKey = java.security.MessageDigest.getInstance("MD5")
+          .digest(new java.io.File(dir).getCanonicalPath
+            .getBytes("UTF-8")).map("%02x".format(_)).mkString
         val p = s"${System.getProperty("java.io.tmpdir")}" +
-          s"/graft_media_${Integer.toHexString(dir.hashCode)}_v2"
+          s"/graft_media_${dirKey}_g${Multimodal.mediaGeneration}"
         val success = new java.io.File(s"$p/_SUCCESS")
         val src = new java.io.File(s"$dir/documents.parquet")
         if (!success.exists() || success.lastModified() < src.lastModified())

@@ -92,8 +92,13 @@ object QueriesRelational {
         def one(c: String, as: String) = li
           .groupBy(col("l_suppkey"))
           .agg(countDistinct(col(c)).as(as))
-        one("l_partkey", "n_parts")
-          .join(one("l_orderkey", "n_orders"), Seq("l_suppkey"))
+        val a = one("l_partkey", "n_parts")
+        val b = one("l_orderkey", "n_orders")
+        // null-safe equi-join: both sides carry the SAME group set, but
+        // a plain `=` would drop a NULL group key that SQL's GROUP BY
+        // (and the oracle) retains
+        a.join(b, a("l_suppkey") <=> b("l_suppkey"))
+          .select(a("l_suppkey"), col("n_parts"), col("n_orders"))
       },
       Some("""SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts,
         count(DISTINCT l_orderkey) AS n_orders

@@ -1,9 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
-import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
 
 /** Corpus-curation operators for training-data pipelines: deterministic
   * sampling, per-group caps, and BM25 retrieval scoring.
@@ -137,24 +135,37 @@ object Corpus {
     * pass 2 re-counts the surviving occurrences by the actual string,
     * so a 64-bit collision can only add a string to the (tiny)
     * recovery set, never delete an innocent line nor pool two
-    * sub-threshold lines over the limit. */
+    * sub-threshold lines over the limit.
+    *
+    * Execution contract: the frequent set materializes at CALL time
+    * (two Spark jobs + one bounded driver collect) — this is an
+    * operator that runs, not a lazy frame definition. The "tiny by
+    * construction" bound is lines_total/threshold, which is only a
+    * real bound when the threshold is large ([[dedupLinesAuto]]'s
+    * > |docs|); at `maxOccurrences = 1` the frequent set is every
+    * line occurring twice — corpus-shaped on a boilerplate-heavy
+    * crawl — so the collect is guarded by `maxFrequentLines`: the
+    * operator fails fast with sizing guidance instead of silently
+    * OOMing the driver mid-broadcast. */
   def dedupLines(docs: DataFrame, textCol: String,
-      delim: String = "\n", maxOccurrences: Long = 1L): DataFrame =
+      delim: String = "\n", maxOccurrences: Long = 1L,
+      maxFrequentLines: Int = 4 << 20): DataFrame =
     dedupLinesImpl(docs, textCol, delim,
       docs.sparkSession.range(1).select(
-        lit(maxOccurrences).as("__thr")))
+        lit(maxOccurrences).as("__thr")), maxFrequentLines)
 
   /** [[dedupLines]] with the C4 convention that "frequent" means
     * "appears more often than there are documents" — the threshold is
     * computed IN the flow (a 1-row broadcast aggregate), not as a
     * separate driver `count()` prepass blocking the query. */
   def dedupLinesAuto(docs: DataFrame, textCol: String,
-      delim: String = "\n"): DataFrame =
+      delim: String = "\n", maxFrequentLines: Int = 4 << 20): DataFrame =
     dedupLinesImpl(docs, textCol, delim,
-      docs.agg(count(lit(1)).as("__thr")))
+      docs.agg(count(lit(1)).as("__thr")), maxFrequentLines)
 
   private def dedupLinesImpl(docs: DataFrame, textCol: String,
-      delim: String, threshold: DataFrame): DataFrame = {
+      delim: String, threshold: DataFrame,
+      maxFrequentLines: Int): DataFrame = {
     val lineArr = split(col(textCol),
       java.util.regex.Pattern.quote(delim))
     // ONE split+explode pass, cached for the two counting passes
@@ -192,10 +203,19 @@ object Corpus {
     // it broadcastable), and a single array literal neither pins a
     // CacheManager entry for the session (the r8 persist draft leaked
     // one per call) nor rides a non-recomputable localCheckpoint block.
+    // limit(cap + 1): the guard learns "over cap" from ONE extra row
+    // instead of paying a full count() action first
     val freqArr: Seq[String] = freqStrings
+      .limit(maxFrequentLines + 1)
       .agg(collect_set(col("__l")).as("__freq"))
       .head().getSeq[String](0)
     lines.unpersist(blocking = false)
+    require(freqArr.size <= maxFrequentLines,
+      s"dedupLines: > $maxFrequentLines distinct frequent lines — the " +
+        "map-side rewrite broadcasts the frequent set, which is only " +
+        "bounded when the threshold is large relative to the corpus. " +
+        "Raise maxOccurrences (or use dedupLinesAuto, threshold > " +
+        "|docs|), or raise maxFrequentLines if the driver can hold it.")
     docs.withColumn(textCol,
       concat_ws(delim, filter(lineArr,
         l => !array_contains(typedlit(freqArr), l))))
@@ -226,57 +246,22 @@ object Corpus {
   /** [[shuffleDeterministic]] plus a 1-based global position column —
     * WITHOUT the single-partition global window `row_number() OVER
     * (ORDER BY key)` would plan (every row through one task, dead at
-    * scale). Same two-phase prefix sum as [[Pack.sequencePack]]:
-    * range-exchange sort on the shuffle key (partitions are ordered
-    * spans), per-partition row counts — |partitions| rows, bounded by
-    * cluster config — prefix-summed into offsets, then a partition-
-    * local ordered fold names positions fully in parallel. Positions
+    * scale). Delegates to [[Pack.cumBefore]] — the shared two-phase
+    * prefix sum (range-exchange sort, frozen-partition checkpoint,
+    * bounded counts collect, parallel ordered fold; every protocol
+    * subtlety is documented there, once) — with unit weights, so the
+    * running total IS the 0-based position. The 32-byte md5 sort key
+    * is projected away before the fold's object round-trip. Positions
     * equal the global window's wherever ids are distinct (the key is
     * tie-free by construction, see [[shuffleKey]]). */
   def shuffleWithPositions(df: DataFrame, idCol: String, seed: Long = 0L,
-      posCol: String = "pos"): DataFrame = {
-    // freeze partition identity into the data at checkpoint time:
-    // range split points are sampled per job, so the counts pass and
-    // the fold must see byte-identical partitions (Pack.scala
-    // rationale). localCheckpoint is deliberate even though it trades
-    // away fault tolerance (a lost executor block after this point
-    // fails the query — lineage can't recompute because a re-sampled
-    // range exchange could split differently): plain persist would
-    // leave that same wrong-positions hazard on recompute, silently.
-    // Fail-loud beats silently-misnumbered; at cluster scale a
-    // reliable checkpoint dir (spark.cleaner-managed) is the escape
-    // hatch if the query outlives executor churn.
-    val ranged = df.withColumn("__k", shuffleKey(col(idCol), seed))
-      .repartitionByRange(col("__k"))
-      .sortWithinPartitions(col("__k"))
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
-    val counts = ranged.groupBy(col("__pid"))
-      .agg(count(lit(1)).as("__n"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    var acc = 0L
-    val offsets: Map[Int, Long] = counts.map { case (pid, n) =>
-      val o = pid -> acc; acc += n; o
-    }.toMap
-    // the fold never reads the md5 key: project it away BEFORE the
-    // object round-trip (a narrow map over the checkpoint — partition
-    // identity and row order survive) so the ser/deser pays for data
-    // columns only, not a 32-byte sort key per row
-    val slim = ranged.drop("__k")
-    val outSchema = slim.schema.add(posCol, LongType, nullable = false)
-    val pidIdx = slim.schema.fieldIndex("__pid")
-    slim.mapPartitions { it =>
-      var pos = 0L
-      var first = true
-      it.map { r =>
-        if (first) {
-          pos = offsets.getOrElse(r.getInt(pidIdx), 0L); first = false
-        }
-        pos += 1L
-        Row.fromSeq(r.toSeq :+ pos)
-      }
-    }(RowEncoder.encoderFor(outSchema)).drop("__pid")
-  }
+      posCol: String = "pos"): DataFrame =
+    Pack.cumBefore(
+      df.withColumn("__k", shuffleKey(col(idCol), seed)),
+      col("__k"), partitions = 0, weightCol = None,
+      dropBeforeFold = Seq("__k"), outCol = "__cum")
+      .withColumn(posCol, col("__cum") + 1L)
+      .drop("__cum")
 
   /** Keep at most `n` rows per group, best-first by `order`. One shuffle
     * on the group key; the top-n is pushed below the exchange as a

@@ -354,6 +354,13 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Generation tag of the synthetic media FORMAT: staging caches
+    * (q_multimodal_features) bake this into their directory name, so
+    * bumping it here — REQUIRED whenever syntheticPng/Wav/Mp4 or
+    * [[syntheticMedia]]'s row shape changes — invalidates every staged
+    * copy at the same commit that changes the bytes. */
+  val mediaGeneration = 3
+
   /** Synthesize a media table from the documents table: image rows get
     * REAL PNG payloads, audio rows REAL WAV payloads, and video rows
     * REAL minimal-MP4 payloads (so all three decode/probe paths run

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -34,55 +34,84 @@ import org.apache.spark.sql.types.LongType
   */
 object Pack {
 
+  /** The shared two-phase distributed prefix sum behind
+    * [[sequencePack]] and [[Corpus.shuffleWithPositions]]: append to
+    * each row the running total of `weightCol` (or of 1 when None —
+    * i.e. the 0-based global row position) over the `key` order, as
+    * `outCol`.
+    *
+    * Protocol (every subtlety lives HERE, once):
+    *  - range-repartition by `key` so partitions are ordered spans
+    *    (the ONLY row-moving exchange), sort within partitions;
+    *  - freeze partition identity INTO the data and localCheckpoint:
+    *    range split points are sampled per job, so the totals pass and
+    *    the fold must see byte-identical partitions — and neither
+    *    task-partition-id nor spark_partition_id is stable downstream
+    *    (a later union/exceptAll fuses stages and renumbers). The
+    *    checkpoint deliberately trades fault tolerance for
+    *    fail-loudness: lineage recompute through a RE-sampled range
+    *    exchange would silently mis-sum; at cluster scale a reliable
+    *    checkpoint dir is the escape hatch if the query outlives
+    *    executor churn.
+    *  - per-partition totals: map-side partial aggregation, so only
+    *    |partitions| rows shuffle, and the driver collect is bounded
+    *    by cluster config, not data size;
+    *  - one ordered fold per partition, fully parallel (a window
+    *    partitioned by partition id would force a second full
+    *    exchange — Catalyst can't see the range partitioning already
+    *    co-locates it).
+    *
+    * `dropBeforeFold`: columns (e.g. a wide synthetic sort key) are
+    * projected away AFTER the checkpoint but BEFORE the object
+    * round-trip — a narrow map over checkpointed partitions preserves
+    * identity and order, and the ser/deser then pays for data columns
+    * only. */
+  private[operators] def cumBefore(df: DataFrame, key: Column,
+      partitions: Int, weightCol: Option[String],
+      dropBeforeFold: Seq[String] = Nil,
+      outCol: String = "cum_before"): DataFrame = {
+    val n = if (partitions > 0) partitions
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df.repartitionByRange(n, key)
+      .sortWithinPartitions(key)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val weightAgg = weightCol.map(c => sum(col(c)))
+      .getOrElse(count(lit(1))).as("__t")
+    val totals = ranged
+      .groupBy(col("__pid")).agg(weightAgg)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offsets: Map[Int, Long] = totals.map { case (pid, t) =>
+      val o = pid -> acc; acc += t; o
+    }.toMap
+    val slim = ranged.drop(dropBeforeFold: _*)
+    val outSchema = slim.schema.add(outCol, LongType, nullable = false)
+    val wIdx = weightCol.map(slim.schema.fieldIndex)
+    val pidIdx = slim.schema.fieldIndex("__pid")
+    slim.mapPartitions { it =>
+      var cum = 0L
+      var first = true
+      it.map { r =>
+        if (first) { cum = offsets.getOrElse(r.getInt(pidIdx), 0L); first = false }
+        val before = cum
+        cum += wIdx.map(r.getLong).getOrElse(1L)
+        Row.fromSeq(r.toSeq :+ before)
+      }
+    }(RowEncoder.encoderFor(outSchema)).drop("__pid")
+  }
+
   /** One row per input row: input columns + (cum_before, seq_id).
     * `budget` is the per-sequence token budget; `tokensCol` must be
     * integral. */
   def sequencePack(df: DataFrame, idCol: String, tokensCol: String,
       budget: Long, partitions: Int = 0): DataFrame = {
     require(budget > 0, "budget must be positive")
-    val n = if (partitions > 0) partitions
-      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val prepped = df.withColumn(tokensCol, col(tokensCol).cast(LongType))
-    // materialize the range partitioning ONCE, with the partition id
-    // frozen INTO the data: the totals pass and the fold must agree on
-    // partition identity, and neither task-partition-id nor
-    // spark_partition_id is stable downstream — when a later plan
-    // unions this frame (exceptAll, union) the fused stage renumbers
-    // its partitions, shifting the second child's ids. A data column
-    // written at checkpoint time is immune.
-    val ranged = prepped.repartitionByRange(n, col(idCol))
-      .sortWithinPartitions(col(idCol))
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
-
-    // phase 2: per-partition totals — partial agg means |partitions|
-    // rows through the shuffle; the driver scan is bounded by cluster
-    // config, not data size
-    val totals = ranged
-      .groupBy(col("__pid")).agg(sum(col(tokensCol)).as("__t"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    var acc = 0L
-    val offsets: Map[Int, Long] = totals.map { case (pid, t) =>
-      val o = pid -> acc; acc += t; o
-    }.toMap
-
-    // phase 3: one ordered fold per partition, fully parallel; the
-    // partition's offset comes from its rows' frozen __pid
-    val outSchema = ranged.schema
-      .add("cum_before", LongType, nullable = false)
-      .add("seq_id", LongType, nullable = false)
-    val tokIdx = ranged.schema.fieldIndex(tokensCol)
-    val pidIdx = ranged.schema.fieldIndex("__pid")
-    ranged.mapPartitions { it =>
-      var cum = 0L
-      var first = true
-      it.map { r =>
-        if (first) { cum = offsets.getOrElse(r.getInt(pidIdx), 0L); first = false }
-        val before = cum
-        cum += r.getLong(tokIdx)
-        Row.fromSeq(r.toSeq :+ before :+ (before / budget))
-      }
-    }(RowEncoder.encoderFor(outSchema)).drop("__pid")
+    cumBefore(prepped, col(idCol), partitions, Some(tokensCol))
+      // `div`: exact long integer division (a double round-trip via
+      // floor() would wobble past 2^53 cumulative tokens)
+      .withColumn("seq_id", expr(s"cum_before div ${budget}L"))
   }
 
   /** Per-sequence summary: (seq_id, n_docs, sum_tokens). */

@@ -112,7 +112,13 @@ object VexProvider {
       .filter(col("s.vulnerability.name").isNotNull &&
         (col("s.status").isNull || lower(col("s.status")) === "fixed"))
       .select(col("s"),
-        filter(col("s.products"), chainguardArtifact _).as("kept"),
+        // a statement WITHOUT a products array still emits — the
+        // reference assigns statement["products"] = [] and wraps it
+        // (openvex_parser.py:247-257), so null must become [] here or
+        // canonicalJson drops the products/fixes keys entirely
+        filter(coalesce(col("s.products"), array().cast(
+          "array<struct<`@id`:string,identifiers:struct<purl:string>>>")),
+          chainguardArtifact _).as("kept"),
         graft.functions.Norm.fuzzy_to_date(col("s.timestamp")).as("fix_date"))
       .select(Envelope.assemble(
         concat(lit("chainguard-libraries:"), lit(ecosystem.toLowerCase),
