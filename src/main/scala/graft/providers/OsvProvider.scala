@@ -274,7 +274,11 @@ object OsvProvider {
     * rocky `_normalize`; records whose major version is not the
     * provider family's 1.x are skipped, `compatible_schema`), payload =
     * the fix-date-patched record itself — byte-faithful, nothing
-    * dropped. */
+    * dropped. Note the "1.7.0" default feeds ONLY the schema URL:
+    * `_normalize` (rocky `parser.py:59`) reads
+    * `vuln_entry.get("schema_version", "1.7.0")` and yields the record
+    * UNCHANGED, so a record missing the key is stored without one —
+    * injecting it into the payload here would be the divergence. */
   def passthroughEnvelopes(records: DataFrame, fixdates: DataFrame,
       ecosystemNormalizer: Column => Column = lower(_)): DataFrame = {
     // the compatibility gate depends only on the raw record, so it runs
