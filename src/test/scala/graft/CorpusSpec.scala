@@ -230,6 +230,24 @@ class CorpusSpec extends AnyFunSuite {
     assert(auto(1L) == "alpha" && auto(4L) == "")
   }
 
+  test("dedupLines: maxFrequentLines guard fails fast with sizing " +
+      "guidance instead of collecting an oversized frequent set") {
+    import graft.operators.Corpus
+    val docs = Seq(
+      (1L, "a\nb\nc"), (2L, "a\nb\nc"), (3L, "a\nb\nc")
+    ).toDF("doc_id", "text") // 3 distinct frequent lines at threshold 1
+    val e = intercept[IllegalArgumentException] {
+      Corpus.dedupLines(docs, "text", maxOccurrences = 1,
+        maxFrequentLines = 2).collect()
+    }
+    assert(e.getMessage.contains("maxOccurrences"))
+    // at cap = 3 the same call succeeds and strips all three lines
+    val ok = Corpus.dedupLines(docs, "text", maxOccurrences = 1,
+        maxFrequentLines = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ok.values.forall(_ == ""))
+  }
+
   test("containment: hashed (default) path ≡ string-shingle path") {
     import graft.operators.Contamination
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

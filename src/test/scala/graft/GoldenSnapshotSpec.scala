@@ -232,6 +232,15 @@ class GoldenSnapshotSpec extends AnyFunSuite {
     // the non-fixed statement is quarantined, not emitted
     assert(!java.nio.file.Files.exists(Golden.root.resolve(
       "chainguard_libraries/chainguard-libraries_maven/CVE-2024-50000.json")))
+    // a statement with NO products array still emits, with
+    // products: []/fixes: [] — the reference assigns
+    // statement["products"] = new_products unconditionally
+    // (openvex_parser.py:247-257); null fields here would make
+    // canonicalJson drop both keys
+    val empty = java.nio.file.Files.readString(Golden.root.resolve(
+      "chainguard_libraries/chainguard-libraries_maven/CVE-2024-60000.json"))
+    assert(empty.contains("\"products\": []") &&
+      empty.contains("\"fixes\": []"))
   }
 
   test("kev passthrough envelopes match committed snapshots byte-for-byte") {
