@@ -1313,6 +1313,22 @@ object QueriesPipeline {
             AS top_bigram_frac
         FROM words w LEFT JOIN top t ON w.doc_id = t.doc_id""")),
 
+    // Compression-ratio quality gate (RefinedWeb/Gopher family): raw
+    // DEFLATE size ÷ UTF-8 size via the native deflated_size kernel —
+    // row-local, zero shuffle, whole corpus in one scan. Rows-only:
+    // DuckDB has no SQL deflate surface; the ratio's ordering and
+    // bounds are pinned in CorpusSpec, the SQL registration in
+    // KernelPropertiesSpec.
+    "q_quality_compress" -> Entry(
+      (s, dir) => {
+        val r = Text.compression_ratio(col("text"))
+        t(s, dir, "documents").select(col("doc_id"), r.as("c_ratio"),
+          // the two-sided gate: repeated boilerplate compresses away,
+          // high-entropy noise doesn't compress at all
+          (r.between(0.10, 0.95)).as("keep"))
+      },
+      None),
+
     // Deterministic stratified sampling: content-hash (md5-prefix)
     // Bernoulli keep with per-language rates — a pure map-side filter
     // (the 100 TB sampler: one scan, zero shuffle, rerun-stable, and

@@ -99,6 +99,20 @@ object Text {
       topBigramFrac.as("top_bigram_frac"))
   }
 
+  /** Compression-ratio quality signal (the RefinedWeb/Gopher-family
+    * heuristic): raw-DEFLATE(level 6) size ÷ UTF-8 size, via the native
+    * [[graft.plans.TextExpressions.deflated_size]] kernel. Natural text
+    * lands mid-range; near-1.0 is high-entropy noise (binary spill,
+    * encrypted/compressed payloads pasted as text), near-0 is repeated
+    * boilerplate. Null/empty text → null (a 0-byte doc has no ratio).
+    * Row-local, zero shuffle — scoring a corpus is one scan. */
+  def compression_ratio(text: Column): Column = {
+    val bytes = octet_length(text)
+    when(bytes > 0,
+      round(graft.plans.TextExpressions.deflated_size(text)
+        .cast("double") / bytes.cast("double"), 4))
+  }
+
   /** Deterministic document fingerprint: sha-256 of the normalized text
     * (lowercase, whitespace collapsed) — the exact-dedup key. sha2 is
     * portable across engines (DuckDB sha256), unlike xxhash64 seeds. */

@@ -50,6 +50,8 @@ object GraftExtensions {
       (es: Seq[Expression]) => SimHash64Expr(es.head)),
     ("token_count", classOf[TokenCountExpr].getName,
       (es: Seq[Expression]) => TokenCountExpr(es.head)),
+    ("deflated_size", classOf[DeflatedSizeExpr].getName,
+      (es: Seq[Expression]) => DeflatedSizeExpr(es.head)),
     ("word_shingles", classOf[ShinglesExpr].getName,
       (es: Seq[Expression]) =>
         ShinglesExpr(es.head, intLit(es(1), "word_shingles"), word = true)),

@@ -27,6 +27,30 @@ object TextKernels {
   def normalize(s: UTF8String): String =
     WS.matcher(s.toString.trim.toLowerCase).replaceAll(" ")
 
+  // One Deflater per executor thread, reset() between rows: allocation
+  // + native-buffer init per row would dominate the kernel. Task
+  // threads are pooled and bounded, so the retained native state is
+  // |threads| × ~256 KB, not per-row. Raw deflate (nowrap) so the
+  // 6-byte zlib envelope doesn't skew short documents.
+  private val deflaters =
+    ThreadLocal.withInitial[java.util.zip.Deflater](() =>
+      new java.util.zip.Deflater(6, true))
+
+  /** Size in bytes of the raw-DEFLATE (level 6) compression of the
+    * UTF-8 text — the numerator of the compression-ratio quality
+    * signal (Gopher-style: near-incompressible text is noise/binary
+    * spill, hyper-compressible text is repeated boilerplate). */
+  def deflatedSize(s: UTF8String): Int = {
+    val d = deflaters.get()
+    d.reset()
+    d.setInput(s.getBytes)
+    d.finish()
+    val buf = new Array[Byte](8192)
+    var total = 0
+    while (!d.finished()) total += d.deflate(buf)
+    total
+  }
+
   def charShingles(s: UTF8String, n: Int): ArrayData = {
     val t = normalize(s)
     if (t.length < n) return new GenericArrayData(Array[Any](UTF8String.fromString(t)))
@@ -117,6 +141,19 @@ case class TokenCountExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Row-local, zero-shuffle: compression-ratio scoring of a 100 TB
+  * corpus is ONE scan; the per-thread Deflater is the only state. */
+case class DeflatedSizeExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "deflated_size"
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.deflatedSize(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.plans.TextKernels.deflatedSize($s)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class TopCountExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = IntegerType
   override def prettyName: String = "top_count"
@@ -157,4 +194,6 @@ object TextExpressions {
     column(TokenCountExpr(expression(text)))
   def top_count(arr: Column): Column =
     column(TopCountExpr(expression(arr)))
+  def deflated_size(text: Column): Column =
+    column(DeflatedSizeExpr(expression(text)))
 }

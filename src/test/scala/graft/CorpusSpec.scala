@@ -31,6 +31,29 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(4L) == ((1L, 0.0, 0.0)))
   }
 
+  test("compression_ratio: boilerplate < prose < noise; empty/null → null") {
+    val noise = (0 until 100).map(i => java.util.UUID.nameUUIDFromBytes(
+      Array(i.toByte, 7)).toString).mkString(" ")
+    val df = Seq(
+      (1L, "subscribe to our newsletter today! " * 120), // boilerplate
+      (2L, "The committee reviewed the updated proposal on Thursday " +
+        "and raised two concerns about the revised funding schedule " +
+        "before adjourning until the following week. " * 8), // prose
+      (3L, noise),                                        // high entropy
+      (4L, ""), (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        Text.compression_ratio(col("text")).as("r"))
+      .collect().map(r =>
+        r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(out(4L).isEmpty && out(5L).isEmpty)
+    val (b, p, n) = (out(1L).get, out(2L).get, out(3L).get)
+    assert(b < p && p < n, s"ordering violated: $b, $p, $n")
+    assert(b < 0.10, s"repeated boilerplate should collapse, got $b")
+    assert(n > 0.5, s"high-entropy text should resist, got $n")
+  }
+
   test("hashKeep is deterministic and tracks the requested rate") {
     val df = (1 to 4000).map(i => s"document body number $i").toDF("text")
     val kept = df.filter(Corpus.hashKeep(col("text"), 0.25)).count()

@@ -49,6 +49,34 @@ class KernelPropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("deflatedSize: total, deterministic, and orders repetition " +
+      "below entropy; SQL registration works") {
+    import graft.plans.TextKernels
+    // total + deterministic on arbitrary strings (incl. empty/unicode)
+    check(forAll(Gen.asciiPrintableStr) { s =>
+      val u = UTF8String.fromString(s)
+      val a = TextKernels.deflatedSize(u)
+      a >= 0 && a == TextKernels.deflatedSize(u)
+    })
+    // a repeated phrase compresses far below a same-length
+    // hash-chain string (the signal the quality gate keys on)
+    val rep = UTF8String.fromString("the quick brown fox " * 200)
+    val noise = UTF8String.fromString(
+      (0 until 200).map(i => java.util.UUID.nameUUIDFromBytes(
+        Array(i.toByte)).toString.replace("-", "")).mkString.take(4000))
+    val repSz = TextKernels.deflatedSize(rep)
+    val noiseSz = TextKernels.deflatedSize(noise)
+    assert(rep.numBytes == 4000 && noise.numBytes == 4000)
+    assert(repSz * 10 < noiseSz,
+      s"repetition ($repSz) should compress far below entropy ($noiseSz)")
+    // SQL path ≡ kernel
+    val spark = SparkTestSession.spark
+    graft.plans.GraftExtensions.register(spark)
+    assert(spark.sql("SELECT deflated_size('aaaaaaaaaaaaaaaaaaaa')")
+      .head().getInt(0) ==
+      TextKernels.deflatedSize(UTF8String.fromString("a" * 20)))
+  }
+
   test("topCount equals max group multiplicity on random string lists") {
     val gen = Gen.listOf(Gen.oneOf("a", "b", "c", "dd", "e f", ""))
     check(forAll(gen) { xs =>
