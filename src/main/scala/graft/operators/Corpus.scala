@@ -144,28 +144,35 @@ object Corpus {
     * real bound when the threshold is large ([[dedupLinesAuto]]'s
     * > |docs|); at `maxOccurrences = 1` the frequent set is every
     * line occurring twice — corpus-shaped on a boilerplate-heavy
-    * crawl — so the collect is guarded by `maxFrequentLines`: the
-    * operator fails fast with sizing guidance instead of silently
-    * OOMing the driver mid-broadcast. */
+    * crawl — so the collect is guarded by `maxFrequentLines` AND
+    * `maxFrequentBytes` (a row-count cap alone would let 4M × 1 KB
+    * lines build a ~4 GB collect before any count could fire): both
+    * are checked by a tiny aggregate BEFORE any string leaves the
+    * cluster, so the operator fails fast with sizing guidance instead
+    * of silently OOMing the driver mid-collect. */
   def dedupLines(docs: DataFrame, textCol: String,
       delim: String = "\n", maxOccurrences: Long = 1L,
-      maxFrequentLines: Int = 4 << 20): DataFrame =
+      maxFrequentLines: Long = 4L << 20,
+      maxFrequentBytes: Long = 256L << 20): DataFrame =
     dedupLinesImpl(docs, textCol, delim,
       docs.sparkSession.range(1).select(
-        lit(maxOccurrences).as("__thr")), maxFrequentLines)
+        lit(maxOccurrences).as("__thr")),
+      maxFrequentLines, maxFrequentBytes)
 
   /** [[dedupLines]] with the C4 convention that "frequent" means
     * "appears more often than there are documents" — the threshold is
     * computed IN the flow (a 1-row broadcast aggregate), not as a
     * separate driver `count()` prepass blocking the query. */
   def dedupLinesAuto(docs: DataFrame, textCol: String,
-      delim: String = "\n", maxFrequentLines: Int = 4 << 20): DataFrame =
+      delim: String = "\n", maxFrequentLines: Long = 4L << 20,
+      maxFrequentBytes: Long = 256L << 20): DataFrame =
     dedupLinesImpl(docs, textCol, delim,
-      docs.agg(count(lit(1)).as("__thr")), maxFrequentLines)
+      docs.agg(count(lit(1)).as("__thr")),
+      maxFrequentLines, maxFrequentBytes)
 
   private def dedupLinesImpl(docs: DataFrame, textCol: String,
       delim: String, threshold: DataFrame,
-      maxFrequentLines: Int): DataFrame = {
+      maxFrequentLines: Long, maxFrequentBytes: Long): DataFrame = {
     val lineArr = split(col(textCol),
       java.util.regex.Pattern.quote(delim))
     // ONE split+explode pass, cached for the two counting passes
@@ -193,29 +200,39 @@ object Corpus {
       .groupBy(col("__l")).agg(count(lit(1)).as("__n"))
       .crossJoin(thr).filter(col("__n") > col("__thr"))
       .select(col("__l"))
+    // guard FIRST, with a tiny (count, bytes) aggregate — two longs to
+    // the driver — so an oversized frequent set is rejected before a
+    // single line string leaves the cluster (a bare limit(cap+1) row
+    // cap would still let 4M × 1 KB lines assemble a ~4 GB collect
+    // before the count check could fire)
+    val guard = freqStrings
+      .agg(count(lit(1)).as("__n"),
+        coalesce(sum(octet_length(col("__l"))), lit(0L)).as("__b"))
+      .head()
+    val (nFreq, bFreq) = (guard.getLong(0), guard.getLong(1))
+    if (nFreq > maxFrequentLines || bFreq > maxFrequentBytes) {
+      lines.unpersist(blocking = false)
+      throw new IllegalArgumentException(
+        s"dedupLines: frequent set is $nFreq lines / $bFreq bytes " +
+          s"(caps: $maxFrequentLines lines, $maxFrequentBytes bytes) — " +
+          "the map-side rewrite broadcasts the frequent set, which is " +
+          "only bounded when the threshold is large relative to the " +
+          "corpus. Raise maxOccurrences (or use dedupLinesAuto, " +
+          "threshold > |docs|), or raise the caps if the driver can " +
+          "hold it.")
+    }
     // map-only rewrite against the frequent set, materialized NOW by a
-    // driver collect of the ONE aggregated row — both counting passes
-    // run against the cached lines, so the lines cache drops before
-    // this operator even returns instead of pinning exploded text for
-    // the rest of the session. The set is bounded by construction
-    // (a frequent line appears in > threshold docs, so there are at
-    // most lines_total/threshold of them — the same bound that makes
-    // it broadcastable), and a single array literal neither pins a
-    // CacheManager entry for the session (the r8 persist draft leaked
-    // one per call) nor rides a non-recomputable localCheckpoint block.
-    // limit(cap + 1): the guard learns "over cap" from ONE extra row
-    // instead of paying a full count() action first
+    // driver collect of the ONE aggregated row — the guard, both
+    // counting passes, and the collect all run against the cached
+    // lines, so the lines cache drops before this operator even
+    // returns instead of pinning exploded text for the rest of the
+    // session. A single array literal neither pins a CacheManager
+    // entry for the session (the r8 persist draft leaked one per
+    // call) nor rides a non-recomputable localCheckpoint block.
     val freqArr: Seq[String] = freqStrings
-      .limit(maxFrequentLines + 1)
       .agg(collect_set(col("__l")).as("__freq"))
       .head().getSeq[String](0)
     lines.unpersist(blocking = false)
-    require(freqArr.size <= maxFrequentLines,
-      s"dedupLines: > $maxFrequentLines distinct frequent lines — the " +
-        "map-side rewrite broadcasts the frequent set, which is only " +
-        "bounded when the threshold is large relative to the corpus. " +
-        "Raise maxOccurrences (or use dedupLinesAuto, threshold > " +
-        "|docs|), or raise maxFrequentLines if the driver can hold it.")
     docs.withColumn(textCol,
       concat_ws(delim, filter(lineArr,
         l => !array_contains(typedlit(freqArr), l))))
@@ -255,13 +272,19 @@ object Corpus {
     * equal the global window's wherever ids are distinct (the key is
     * tie-free by construction, see [[shuffleKey]]). */
   def shuffleWithPositions(df: DataFrame, idCol: String, seed: Long = 0L,
-      posCol: String = "pos"): DataFrame =
+      posCol: String = "pos"): DataFrame = {
+    require(!df.columns.contains("__k") && !df.columns.contains("__cum"),
+      "shuffleWithPositions: input must not carry the internal " +
+        "__k/__cum column names")
     Pack.cumBefore(
       df.withColumn("__k", shuffleKey(col(idCol), seed)),
       col("__k"), partitions = 0, weightCol = None,
       dropBeforeFold = Seq("__k"), outCol = "__cum")
-      .withColumn(posCol, col("__cum") + 1L)
-      .drop("__cum")
+      // rename, not add+drop: add+drop would delete the result when a
+      // caller names the output column "__cum" itself
+      .withColumn("__cum", col("__cum") + 1L)
+      .withColumnRenamed("__cum", posCol)
+  }
 
   /** Keep at most `n` rows per group, best-first by `order`. One shuffle
     * on the group key; the top-n is pushed below the exchange as a

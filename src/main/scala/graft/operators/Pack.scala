@@ -70,6 +70,9 @@ object Pack {
       partitions: Int, weightCol: Option[String],
       dropBeforeFold: Seq[String] = Nil,
       outCol: String = "cum_before"): DataFrame = {
+    require(!df.columns.contains("__pid") && !df.columns.contains(outCol),
+      s"cumBefore: input must not carry __pid or the output column " +
+        s"'$outCol'")
     val n = if (partitions > 0) partitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val ranged = df.repartitionByRange(n, key)
@@ -87,7 +90,10 @@ object Pack {
     }.toMap
     val slim = ranged.drop(dropBeforeFold: _*)
     val outSchema = slim.schema.add(outCol, LongType, nullable = false)
-    val wIdx = weightCol.map(slim.schema.fieldIndex)
+    // hoist the Option out of the per-row loop: an Option.map +
+    // boxed-Long per row is real allocation pressure in the one
+    // ordered fold this operator exists to keep cheap
+    val wIdx = weightCol.map(slim.schema.fieldIndex).getOrElse(-1)
     val pidIdx = slim.schema.fieldIndex("__pid")
     slim.mapPartitions { it =>
       var cum = 0L
@@ -95,7 +101,7 @@ object Pack {
       it.map { r =>
         if (first) { cum = offsets.getOrElse(r.getInt(pidIdx), 0L); first = false }
         val before = cum
-        cum += wIdx.map(r.getLong).getOrElse(1L)
+        cum += (if (wIdx >= 0) r.getLong(wIdx) else 1L)
         Row.fromSeq(r.toSeq :+ before)
       }
     }(RowEncoder.encoderFor(outSchema)).drop("__pid")

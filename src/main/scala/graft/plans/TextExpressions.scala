@@ -27,27 +27,35 @@ object TextKernels {
   def normalize(s: UTF8String): String =
     WS.matcher(s.toString.trim.toLowerCase).replaceAll(" ")
 
-  // One Deflater per executor thread, reset() between rows: allocation
-  // + native-buffer init per row would dominate the kernel. Task
-  // threads are pooled and bounded, so the retained native state is
-  // |threads| × ~256 KB, not per-row. Raw deflate (nowrap) so the
-  // 6-byte zlib envelope doesn't skew short documents.
+  // One Deflater AND one scratch output buffer per executor thread:
+  // allocation + native-buffer init per row would dominate the kernel
+  // (an 8 KB scratch array per row alone is GB-scale garbage over a
+  // real corpus). Task threads are pooled and bounded, so the
+  // retained state is |threads| × ~264 KB, not per-row. Raw deflate
+  // (nowrap) so the 6-byte zlib envelope doesn't skew short docs.
+  private final class DeflateScratch {
+    val deflater = new java.util.zip.Deflater(6, true)
+    val buf = new Array[Byte](8192)
+  }
   private val deflaters =
-    ThreadLocal.withInitial[java.util.zip.Deflater](() =>
-      new java.util.zip.Deflater(6, true))
+    ThreadLocal.withInitial[DeflateScratch](() => new DeflateScratch)
 
   /** Size in bytes of the raw-DEFLATE (level 6) compression of the
     * UTF-8 text — the numerator of the compression-ratio quality
     * signal (Gopher-style: near-incompressible text is noise/binary
     * spill, hyper-compressible text is repeated boilerplate). */
   def deflatedSize(s: UTF8String): Int = {
-    val d = deflaters.get()
-    d.reset()
+    val sc = deflaters.get()
+    val d = sc.deflater
     d.setInput(s.getBytes)
     d.finish()
-    val buf = new Array[Byte](8192)
     var total = 0
-    while (!d.finished()) total += d.deflate(buf)
+    while (!d.finished()) total += d.deflate(sc.buf)
+    // reset AFTER the drain, not (only) before the next call: the
+    // Deflater holds a reference to the input array, and this thread
+    // may never run the kernel again — without the reset each pooled
+    // thread pins its last document's bytes for the executor lifetime
+    d.reset()
     total
   }
 
@@ -142,8 +150,13 @@ case class TokenCountExpr(child: Expression) extends UnaryExpression {
 }
 
 /** Row-local, zero-shuffle: compression-ratio scoring of a 100 TB
-  * corpus is ONE scan; the per-thread Deflater is the only state. */
-case class DeflatedSizeExpr(child: Expression) extends UnaryExpression {
+  * corpus is ONE scan; the per-thread Deflater is the only state.
+  * ImplicitCastInputTypes: a non-string argument in the SQL surface
+  * coerces (or fails) at ANALYSIS time, not as a mid-query
+  * ClassCastException in interpreted eval. */
+case class DeflatedSizeExpr(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = IntegerType
   override def prettyName: String = "deflated_size"
   override def nullSafeEval(v: Any): Any =

@@ -264,6 +264,13 @@ class CorpusSpec extends AnyFunSuite {
         maxFrequentLines = 2).collect()
     }
     assert(e.getMessage.contains("maxOccurrences"))
+    // the BYTE cap trips independently of the row cap (a row cap alone
+    // would let few-but-huge lines assemble an oversized collect)
+    val eb = intercept[IllegalArgumentException] {
+      Corpus.dedupLines(docs, "text", maxOccurrences = 1,
+        maxFrequentBytes = 2).collect()
+    }
+    assert(eb.getMessage.contains("bytes"))
     // at cap = 3 the same call succeeds and strips all three lines
     val ok = Corpus.dedupLines(docs, "text", maxOccurrences = 1,
         maxFrequentLines = 3)
