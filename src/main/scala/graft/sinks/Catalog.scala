@@ -22,7 +22,12 @@ object Catalog {
       .map(_.getFileName.toString).toSeq.sorted
     providers.map { name =>
       val dir = s"$root/$name"
-      val n = ResultStore.read(spark, dir).count()
+      // the manifest carries the row count commit already paid for —
+      // status over N providers is O(N) small file reads, never a
+      // parquet scan per store; a store whose manifest predates the
+      // rows: line (or was hand-built) falls back to one scan
+      val n = ResultStore.manifestRows(dir)
+        .getOrElse(ResultStore.read(spark, dir).count())
       val digest = ResultStore.manifest(dir)
         .flatMap(_.linesIterator.find(_.startsWith("xxh64:"))).getOrElse("")
       (name, n, digest)

@@ -96,12 +96,15 @@ object Distribution {
     * Returns the listing file path. */
   def writeFileListing(workspaceDir: Path, resultsDirName: String = "results"): Path = {
     val resultsDir = workspaceDir.resolve(resultsDirName)
+    // sort by PATH, then format — sorting the formatted lines would
+    // order the listing by digest hex (the digest is the line prefix),
+    // violating the paths-sorted contract the reference's checksums
+    // file follows
     val lines = Files.walk(resultsDir).iterator().asScala
       .filter(Files.isRegularFile(_))
-      .map { f =>
-        val rel = resultsDirName + "/" + resultsDir.relativize(f).toString
-        s"${xxh64(Files.readAllBytes(f))}  $rel"
-      }.toSeq.sorted
+      .map(f => resultsDirName + "/" + resultsDir.relativize(f).toString -> f)
+      .toSeq.sortBy(_._1)
+      .map { case (rel, f) => s"${xxh64(Files.readAllBytes(f))}  $rel" }
     val out = workspaceDir.resolve("checksums")
     Files.writeString(out, lines.mkString("", "\n", "\n"))
     out
@@ -184,23 +187,54 @@ object Distribution {
           s"enclosed checksum mismatch: $enclosedActual != ${entry.enclosedChecksum}")
       validateChecksums(unarchived)
 
-      // swap: stage old results aside, move verified ones in
-      // (`replace_results`, workspace.py:256-265)
+      // swap (`replace_results`, workspace.py:256-265) — staged so the
+      // workspace is never without a results dir for longer than two
+      // same-filesystem renames: the verified tree lands in the
+      // workspace as results.incoming FIRST (the only possibly-slow
+      // step — the temp dir can be a different filesystem, where a
+      // direct move of a non-empty dir either throws or degrades to a
+      // long copy inside the swap window), THEN old→aside and
+      // incoming→results are both atomic renames. The state file is
+      // written before the aside copy is deleted, so a crash at any
+      // point leaves either the old tree (in place or at results.old)
+      // or the new one recoverable on disk.
       Files.createDirectories(workspaceDir)
+      val incoming = workspaceDir.resolve("results.incoming")
+      deleteRecursive(incoming)
+      moveTree(unarchived.resolve("results"), incoming)
       val oldResults = workspaceDir.resolve("results")
       val aside = workspaceDir.resolve("results.old")
       deleteRecursive(aside)
       if (Files.exists(oldResults))
         Files.move(oldResults, aside, StandardCopyOption.ATOMIC_MOVE)
-      Files.move(unarchived.resolve("results"), oldResults)
-      Files.move(unarchived.resolve("checksums"), workspaceDir.resolve("checksums"),
+      Files.move(incoming, oldResults, StandardCopyOption.ATOMIC_MOVE)
+      Files.copy(unarchived.resolve("checksums"),
+        workspaceDir.resolve("checksums"),
         StandardCopyOption.REPLACE_EXISTING)
-      deleteRecursive(aside)
       Files.writeString(stateFile(workspaceDir),
         s"enclosed:${entry.enclosedChecksum}\nbuilt:${entry.built}\nstale:true\n")
+      deleteRecursive(aside)
       true
     } finally deleteRecursive(tmp)
   }
+
+  /** Move a directory tree; when the rename fails (cross-filesystem —
+    * a non-empty dir cannot be renamed across stores), fall back to
+    * copy-then-delete. */
+  private def moveTree(src: Path, dst: Path): Unit =
+    try Files.move(src, dst)
+    catch {
+      case _: java.io.IOException =>
+        Files.walk(src).iterator().asScala.foreach { f =>
+          val d = dst.resolve(src.relativize(f))
+          if (Files.isDirectory(f)) Files.createDirectories(d)
+          else {
+            Files.createDirectories(d.getParent)
+            Files.copy(f, d, StandardCopyOption.REPLACE_EXISTING)
+          }
+        }
+        deleteRecursive(src)
+    }
 
   private def deleteRecursive(p: Path): Unit =
     if (Files.exists(p))

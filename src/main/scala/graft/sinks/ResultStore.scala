@@ -72,14 +72,25 @@ object ResultStore {
     df.write.mode(SaveMode.Overwrite).parquet(staging.resolve("results").toString)
 
     // manifest: xxh64 of each row's canonical form, sorted by identifier
-    // (deterministic listing order, O2), then digest-of-listing
+    // (deterministic listing order, O2), then digest-of-listing. The
+    // sort lives INSIDE the aggregate (sort_array over the collected
+    // pairs): a plain orderBy before a global collect_list is not
+    // order-stable — the final aggregate merges per-partition partial
+    // lists in shuffle-fetch arrival order, so the same store could
+    // digest differently across runs once the listing spans partitions
+    // (invisible at test scale, where AQE coalesces to one partition).
+    // The single aggregation task holds (identifier, 8-byte hash)
+    // pairs — the listing itself, same scale as the reference's
+    // driver-built checksum listing (workspace.py:268-284), not the
+    // store's payload bytes.
     val written = spark.read.parquet(staging.resolve("results").toString)
     val listing = written
       .select(col("identifier"),
         xxhash64(col("identifier"), col("schema"), col("item")).as("h"))
-      .orderBy(col("identifier"))
-      .agg(xxhash64(array_join(collect_list(concat_ws(":",
-        col("identifier"), col("h"))), "\n")).as("digest"))
+      .agg(xxhash64(array_join(transform(
+        sort_array(collect_list(struct(col("identifier"), col("h")))),
+        s => concat_ws(":", s.getField("identifier"), s.getField("h"))),
+        "\n")).as("digest"))
       .head().getLong(0)
 
     val digest = java.lang.Long.toHexString(listing)
@@ -104,16 +115,23 @@ object ResultStore {
     * quarantined count). */
   def commitValidated(spark: SparkSession, df: DataFrame, destDir: String,
       strict: Boolean = false): (String, Long) = {
-    val (good, bad) = SchemaGate.validate(df)
-    val badCount = bad.count()
-    if (strict && badCount > 0)
-      throw new IllegalArgumentException(
-        s"$badCount envelope(s) fail schema validation; first: " +
-          bad.select("identifier", "schema").head().mkString(", "))
-    if (badCount > 0)
-      bad.write.mode(SaveMode.Overwrite)
-        .parquet(Paths.get(destDir + ".quarantine").toString)
-    (commit(spark, good, destDir), badCount)
+    val (good, bad, release) = SchemaGate.validateCached(df)
+    try {
+      val badCount = bad.count()
+      if (strict && badCount > 0)
+        throw new IllegalArgumentException(
+          s"$badCount envelope(s) fail schema validation; first: " +
+            bad.select("identifier", "schema").head().mkString(", "))
+      if (badCount > 0)
+        bad.write.mode(SaveMode.Overwrite)
+          .parquet(Paths.get(destDir + ".quarantine").toString)
+      else
+        // a clean run must clear the previous run's sidecar — stale
+        // quarantine parquet after the producer fixed its records
+        // reads as "still failing validation" to anything inspecting
+        deleteRecursive(Paths.get(destDir + ".quarantine"))
+      (commit(spark, good, destDir), badCount)
+    } finally release()
   }
 
   /** K4: per-ecosystem fragment sink (ubuntu `parser.py:307-373`
@@ -123,9 +141,13 @@ object ResultStore {
     * one ecosystem and rewriting the store. */
   def writeFragments(batch: DataFrame, destDir: String,
       partitionCol: String): Unit = {
-    batch.sparkSession.conf
-      .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // per-write option, NOT a session conf set: mutating the session
+    // default would silently turn every later partitioned Overwrite
+    // in the same session into a dynamic overwrite (the leak
+    // Shards.writeTrainingShards defends against with an explicit
+    // "static")
     batch.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCol).parquet(destDir)
   }
 

@@ -175,11 +175,26 @@ object SchemaGate {
 
   /** Split envelopes into (valid, quarantined) — the §7.4.7 pattern:
     * malformed records are routed aside, never shipped and never a job
-    * failure. */
+    * failure. Uncached: each returned frame re-evaluates the row-local
+    * predicate on its own scan. Callers consuming BOTH frames in one
+    * flow should use [[validateCached]] — an unconditional cache here
+    * leaked one pinned entry per call for the session lifetime, with
+    * no handle for anyone to release it. */
   def validate(df: DataFrame): (DataFrame, DataFrame) = {
     val marked = df.withColumn("__ok", rowValid(col("schema"), col("item")))
-      .cache()
     (marked.filter(col("__ok")).drop("__ok"),
       marked.filter(!col("__ok")).drop("__ok"))
+  }
+
+  /** [[validate]] with the marked frame cached so the count + two
+    * writes of a commit evaluate the predicate once. The caller MUST
+    * invoke the returned release thunk after consuming both frames. */
+  def validateCached(df: DataFrame)
+      : (DataFrame, DataFrame, () => Unit) = {
+    val marked = df.withColumn("__ok", rowValid(col("schema"), col("item")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (marked.filter(col("__ok")).drop("__ok"),
+      marked.filter(!col("__ok")).drop("__ok"),
+      () => { marked.unpersist(blocking = false); () })
   }
 }

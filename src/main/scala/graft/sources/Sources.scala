@@ -44,16 +44,17 @@ object Sources {
   }
 
   /** S5/S12: streaming-tar scan (ubuntu OSV `parser.py:190-201,286-302`;
-    * govulndb zip is the same shape): read archives as binary files and
-    * stream members matching `memberGlob` out per partition WITHOUT
-    * extraction — commons-compress (bundled with Spark) walks the tar
-    * inside mapPartitions, so a 100-archive corpus fans out across
-    * executors and no archive is ever fully materialized. Returns
-    * (archive_path, member_name, content_string). */
+    * govulndb zip is the same shape): walk each archive through a
+    * commons-compress stream over `binaryFiles`' PortableDataStream —
+    * the archive BYTES are never materialized (no 2 GB binaryFile row
+    * cap, no whole-archive byte[] per task; a multi-GB tar reads
+    * through an 8 KB buffer), only the MATCHING members' contents are
+    * held, per archive, while its row batch is built. A 100-archive
+    * corpus fans out one archive per partition across executors.
+    * Returns (archive_path, member_name, content_string). */
   def tarMembers(spark: SparkSession, path: String,
       memberGlob: String = "*"): DataFrame = {
     import org.apache.spark.sql.Row
-    import org.apache.spark.sql.catalyst.encoders.RowEncoder
     import org.apache.spark.sql.types._
     val regex = ("^" + java.util.regex.Pattern.quote(memberGlob)
       .replace("*", "\\E.*\\Q").replace("?", "\\E.\\Q") + "$").r
@@ -61,25 +62,26 @@ object Sources {
       StructField("archive", StringType),
       StructField("member", StringType),
       StructField("content", StringType)))
-    val bin = spark.read.format("binaryFile").load(path)
-      .select(col("path"), col("content"))
-    bin.mapPartitions { it =>
-      it.flatMap { r =>
-        val archive = r.getString(0)
-        val bytes = r.getAs[Array[Byte]](1)
+    val rows = spark.sparkContext.binaryFiles(path)
+      .flatMap { case (archive, pds) =>
         val tin = new org.apache.commons.compress.archivers.tar.TarArchiveInputStream(
-          new java.io.ByteArrayInputStream(bytes))
-        Iterator.continually(tin.getNextEntry).takeWhile(_ != null)
-          .filter(e => !e.isDirectory && regex.matches(e.getName))
-          .map { e =>
-            val out = new java.io.ByteArrayOutputStream()
-            val buf = new Array[Byte](8192)
-            var n = tin.read(buf)
-            while (n > 0) { out.write(buf, 0, n); n = tin.read(buf) }
-            Row(archive, e.getName, out.toString("UTF-8"))
-          }.toList
+          new java.io.BufferedInputStream(pds.open(), 1 << 16))
+        // eager per-archive member list + close in finally: a lazy
+        // iterator would leak the underlying filesystem handle
+        // whenever a downstream limit stops consuming mid-archive
+        try {
+          Iterator.continually(tin.getNextEntry).takeWhile(_ != null)
+            .filter(e => !e.isDirectory && regex.matches(e.getName))
+            .map { e =>
+              val out = new java.io.ByteArrayOutputStream()
+              val buf = new Array[Byte](8192)
+              var n = tin.read(buf)
+              while (n > 0) { out.write(buf, 0, n); n = tin.read(buf) }
+              Row(archive, e.getName, out.toString("UTF-8"))
+            }.toList
+        } finally tin.close()
       }
-    }(RowEncoder.encoderFor(schema))
+    spark.createDataFrame(rows, schema)
   }
 
   /** S6: OVAL XML — the 4 element classes the reference's streaming
@@ -100,14 +102,28 @@ object Sources {
 
   /** S9: EPSS CSV with '#' comment header carrying score_date
     * (`providers/epss/manager.py:46-134`): comment rows skipped by the
-    * reader; the score_date is read once driver-side from the head. */
+    * reader; the score_date is read once driver-side from the head —
+    * through the Hadoop FileSystem API, so the probe accepts the same
+    * URIs/globs the CSV reader beside it does (a local-only
+    * Source.fromFile would fail the whole scan for an s3a:// or glob
+    * path before the read was ever attempted). */
   def epss(spark: SparkSession, path: String): DataFrame = {
     val scoreDate = {
-      val src = scala.io.Source.fromFile(path)
+      val hp = new org.apache.hadoop.fs.Path(path)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // a glob scans many files but one comment header dates them all:
+      // probe the first match (files carry at most one score_date)
+      val first = fs.globStatus(hp) match {
+        case null => hp
+        case arr if arr.nonEmpty => arr.head.getPath
+        case _ => hp
+      }
+      val in = fs.open(first)
+      val src = scala.io.Source.fromInputStream(in)
       try src.getLines().take(5).find(_.startsWith("#"))
         .flatMap(l => "score_date:(\\S+)".r.findFirstMatchIn(l).map(_.group(1)))
         .orNull
-      finally src.close()
+      finally { src.close(); in.close() }
     }
     spark.read.option("comment", "#").option("header", "true")
       .option("inferSchema", "true").csv(path)

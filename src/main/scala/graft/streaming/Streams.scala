@@ -213,9 +213,12 @@ object Streams {
           var n = prev.n_events
           var tot = prev.total_value
           it.foreach { e => n += 1; tot += e.value }
-          val next = SessionUpdate(uid, n, math.rint(tot * 100) / 100)
-          state.update(next)
-          next
+          // round ONLY the emitted row, never the persisted
+          // accumulator: storing the rounded total re-rounds every
+          // micro-batch, so sub-cent increments (0.004/batch) would
+          // be discarded forever instead of accumulating
+          state.update(SessionUpdate(uid, n, tot))
+          SessionUpdate(uid, n, math.rint(tot * 100) / 100)
       }
   }
 }

@@ -5,6 +5,7 @@ import java.nio.file.{Files, Path}
 import java.util.zip.GZIPOutputStream
 import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOutputStream}
 import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
 import graft.sinks.Distribution
 import graft.sinks.Distribution.ListingEntry
 import graft.sources.StagedFetch.Response
@@ -51,6 +52,22 @@ class DistributionSpec extends AnyFunSuite {
       "sha256:" + d.map("%02x".format(_)).mkString
     }
     ListingEntry(built, "https://example.invalid/archive.tar.gz", dist, enclosed, 1)
+  }
+
+  test("checksums listing is ordered by path, not by digest hex") {
+    val src = Files.createTempDirectory("graft-dist-order")
+    Files.createDirectories(src.resolve("results/zz"))
+    // contents chosen freely: whatever their digests, the listing
+    // must come out in path order
+    Files.writeString(src.resolve("results/a.json"), """{"id":"alpha"}""")
+    Files.writeString(src.resolve("results/m.json"), """{"id":"middle"}""")
+    Files.writeString(src.resolve("results/zz/b.json"), """{"id":"last"}""")
+    val listing = Distribution.writeFileListing(src)
+    val paths = Files.readAllLines(listing).asScala
+      .filter(_.nonEmpty).map(_.split("\\s+", 2)(1)).toSeq
+    assert(paths == paths.sorted, s"listing not path-ordered: $paths")
+    assert(paths == Seq("results/a.json", "results/m.json",
+      "results/zz/b.json"))
   }
 
   test("listing parse + latest-entry pick per distribution version") {

@@ -139,6 +139,22 @@ class ProviderSpec extends AnyFunSuite {
     assert(d2 == d3)
   }
 
+  test("manifest digest is partition-layout-invariant (the sort lives " +
+      "inside the aggregate, not in a pre-orderBy)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-det").toString
+    val rows = spark.range(2000)
+      .select(concat(lit("id"), col("id")).as("identifier"),
+        lit("s").as("schema"), concat(lit("v"), col("id")).as("item"))
+    // the same content through very different physical layouts: the
+    // listing spans many shuffle partitions, so any dependence on
+    // partial-list arrival order would flip the digest between runs
+    val digests = Seq(1, 7, 32).map { n =>
+      ResultStore.commit(spark, rows.repartition(n), s"$dir/r$n")
+    }
+    assert(digests.distinct.size == 1,
+      s"digest depends on partition layout: $digests")
+  }
+
   test("result store: compaction preserves content digest, shrinks files") {
     val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
     val dest = s"$dir/results"

@@ -167,5 +167,15 @@ class SchemaGateSpec extends AnyFunSuite {
       Seq(env("good", ok)).toDF("identifier", "schema", "item"), cleanDest)
     assert(zero == 0)
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$cleanDest.quarantine")))
+
+    // a clean re-run CLEARS the previous run's quarantine sidecar —
+    // stale quarantine parquet would read as "still failing"
+    val (_, zeroAgain) = ResultStore.commitValidated(spark,
+      Seq(env("good", ok), env("bad", ok))
+        .toDF("identifier", "schema", "item"), dest)
+    assert(zeroAgain == 0)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dest.quarantine")),
+      "stale quarantine sidecar must be deleted on a clean run")
   }
 }

@@ -86,6 +86,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("userSessions: sub-cent increments accumulate across " +
+      "micro-batches (state holds the raw total, rounding is " +
+      "emit-only)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[Streams.Event]
+    val q = Streams.userSessions(spark, ms.toDF())
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("subcent_out").start()
+    try {
+      // 10 micro-batches of one 0.004-value event: a state that stored
+      // the ROUNDED total would re-round 0.004 to 0.0 every batch and
+      // emit 0.0 forever; the raw accumulator reaches 0.04
+      (1 to 10).foreach { i =>
+        ms.addData(Streams.Event(i.toLong,
+          java.sql.Timestamp.valueOf(f"2026-01-01 10:${i}%02d:00"),
+          99L, "buy", 0.004))
+        q.processAllAvailable()
+      }
+      val last = spark.table("subcent_out")
+        .filter(col("user_id") === 99L)
+        .orderBy(col("n_events").desc).head()
+      assert(last.getLong(1) == 10L)
+      assert(math.abs(last.getDouble(2) - 0.04) < 1e-9,
+        s"expected 0.04 accumulated, got ${last.getDouble(2)}")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops in-watermark duplicate keys") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
