@@ -24,13 +24,68 @@ object OvalProvider {
       .when(lower(raw) === "low", "Low")
       .otherwise("Unknown")
 
+  private val critDDL = "ARRAY<STRUCT<_test_ref: STRING>>"
+
+  /** Explicit definition schema — criterion is ALWAYS an array and the
+    * criteria tree is walked three levels deep (the depth real
+    * oracle/SLES feeds use; [[SlesProvider.defSchema]] models the same
+    * shape). Schema inference over a feed where some definition has
+    * two criterion children (package test + ksplice variant) or a
+    * nested criteria block would flip the inferred type per corpus and
+    * break the join; an explicit schema reads every shape the same
+    * way, and a 1-element XML sequence still parses as a 1-element
+    * array. References are likewise an array: real metadata carries
+    * CVE + advisory references together. */
+  val defSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "metadata STRUCT<severity: STRING, " +
+        "reference: ARRAY<STRUCT<_ref_id: STRING, _source: STRING>>>, " +
+      "criteria STRUCT<" +
+        s"criterion $critDDL, " +
+        "criteria ARRAY<STRUCT<" +
+        s"criterion $critDDL, " +
+        s"criteria ARRAY<STRUCT<criterion $critDDL>>>>>")
+
   /** J8: definition → test → (object, state) chained equi-joins.
     * One row per (cve, pkg) with the fix EVR and comparison operator. */
   def resolvedRows(spark: SparkSession, path: String): DataFrame = {
-    val defs = Sources.ovalDefinitions(spark, path)
-      .select(col("metadata.reference._ref_id").as("cve"),
+    // prefer the CVE-sourced reference, fall back to the first (defs
+    // 1-3 in the committed fixture carry a single unsourced ref)
+    val refs = col("metadata.reference")
+    val cveRefs = filter(refs, r =>
+      upper(coalesce(r.getField("_source"), lit(""))) === "CVE")
+    // try_element_at: ANSI mode makes plain element_at THROW on an
+    // empty array (a def with no CVE-sourced reference)
+    val cve = coalesce(
+      try_element_at(cveRefs, lit(1)).getField("_ref_id"),
+      try_element_at(refs, lit(1)).getField("_ref_id"))
+    // every criterion at any depth contributes a test_ref row. Each
+    // level coalesces per-BLOCK (transform + coalesce inside the
+    // flatten): a bare flatten over blocks where one nested-only block
+    // has a null criterion array would null the whole level and drop
+    // its non-null siblings.
+    val emptyRefs = array().cast("array<string>")
+    val l1 = coalesce(col("criteria.criterion._test_ref"), emptyRefs)
+    val l2blocks = coalesce(col("criteria.criteria"), array().cast(
+      "array<struct<criterion: array<struct<_test_ref: string>>, " +
+        "criteria: array<struct<criterion: " +
+        "array<struct<_test_ref: string>>>>>>"))
+    val l2 = flatten(transform(l2blocks, b =>
+      coalesce(b.getField("criterion"),
+        array().cast("array<struct<_test_ref: string>>"))))
+      .getField("_test_ref")
+    val l3blocks = flatten(transform(l2blocks, b =>
+      coalesce(b.getField("criteria"), array().cast(
+        "array<struct<criterion: array<struct<_test_ref: string>>>>"))))
+    val l3 = flatten(transform(l3blocks, b =>
+      coalesce(b.getField("criterion"),
+        array().cast("array<struct<_test_ref: string>>"))))
+      .getField("_test_ref")
+    val defs = Sources.ovalDefinitions(spark, path, Some(defSchema))
+      .select(cve.as("cve"),
         ovalSeverity(col("metadata.severity")).as("severity"),
-        col("criteria.criterion._test_ref").as("test_ref"))
+        explode(concat(l1, l2, l3)).as("test_ref"))
+      .filter(col("test_ref").isNotNull)
     val tests = Sources.ovalTests(spark, path)
       .select(col("_id").as("test_id"),
         col("object._object_ref").as("object_ref"),

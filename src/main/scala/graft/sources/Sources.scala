@@ -88,8 +88,12 @@ object Sources {
     * parser collects (`utils/oval_v2.py:443-494`), each as a DataFrame
     * scan with its own rowTag (column pruning happens at the XML reader
     * instead of iterparse+clear). Join them with J8's chained equi-joins. */
-  def ovalDefinitions(spark: SparkSession, path: String): DataFrame =
-    spark.read.format("xml").option("rowTag", "definition").load(path)
+  def ovalDefinitions(spark: SparkSession, path: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
+    val r = spark.read.format("xml").option("rowTag", "definition")
+    schema.fold(r)(s => r.schema(s)).load(path)
+  }
 
   def ovalTests(spark: SparkSession, path: String): DataFrame =
     spark.read.format("xml").option("rowTag", "rpminfo_test").load(path)

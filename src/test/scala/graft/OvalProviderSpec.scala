@@ -17,7 +17,19 @@ class OvalProviderSpec extends AnyFunSuite {
     val rows = env.collect()
     assert(rows.map(_.getAs[String]("identifier")).toSet ==
       Set("sles:15.5/cve-2023-1000", "sles:15.5/cve-2023-2000",
-        "sles:15.5/cve-2023-3000"))
+        "sles:15.5/cve-2023-3000", "sles:15.5/cve-2023-4000"))
+    // def:4 drills the real-feed criteria shapes: TWO criterion
+    // children (one nested a criteria level down), and CVE picked from
+    // a multi-reference metadata by source — both packages must
+    // resolve into the one envelope
+    val e4 = rows.find(_.getAs[String]("identifier") == "sles:15.5/cve-2023-4000")
+      .get.getAs[String]("item")
+    assert(e4.contains("\"Name\":\"libmulti\"") &&
+      e4.contains("\"Version\":\"0:3.1-1\""))
+    assert(e4.contains("\"Name\":\"libnest\"") &&
+      e4.contains("\"Version\":\"0:4.0-2\""))
+    assert(!e4.contains("ELSA-2023-4000"),
+      "CVE-sourced reference must win over the advisory reference")
     val e1 = rows.find(_.getAs[String]("identifier") == "sles:15.5/cve-2023-1000")
       .get.getAs[String]("item")
     assert(e1.contains("\"Severity\":\"High\""))      // Important → High

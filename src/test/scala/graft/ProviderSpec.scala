@@ -48,32 +48,18 @@ class ProviderSpec extends AnyFunSuite {
   }
 
   test("OVAL 4-way reference join (J8) resolves package + evr per CVE") {
-    val p = fixture("oval.xml")
-    val defs = Sources.ovalDefinitions(spark, p)
-      .select(col("_id").as("def_id"),
-        col("metadata.severity").as("severity"),
-        col("metadata.reference._ref_id").as("cve"),
-        col("criteria.criterion._test_ref").as("test_ref"))
-    val tests = Sources.ovalTests(spark, p)
-      .select(col("_id").as("test_id"),
-        col("object._object_ref").as("object_ref"),
-        col("state._state_ref").as("state_ref"))
-    val objs = Sources.ovalObjects(spark, p)
-      .select(col("_id").as("obj_id"), col("name").as("pkg"))
-    val states = Sources.ovalStates(spark, p)
-      .select(col("_id").as("state_id"), col("evr._VALUE").as("evr"),
-        col("evr._operation").as("op"))
-    val joined = defs
-      .join(tests, col("test_ref") === col("test_id"))
-      .join(objs, col("object_ref") === col("obj_id"))
-      .join(states, col("state_ref") === col("state_id"))
-      .select("cve", "pkg", "evr", "op", "severity")
-      .collect()
-    assert(joined.length == 3)
+    // the production path (explicit schema): inference over this same
+    // fixture types `reference` scalar-or-array depending on which
+    // definitions exist — the exact instability resolvedRows avoids
+    val joined = graft.providers.OvalProvider
+      .resolvedRows(spark, fixture("oval.xml")).collect()
+    assert(joined.length == 5) // def:4 contributes BOTH its criterions
     val r = joined.find(_.getAs[String]("cve") == "CVE-2023-1000").get
     assert(r.getAs[String]("pkg") == "libfoo")
     assert(r.getAs[String]("evr") == "0:1.2-3")
     assert(r.getAs[String]("op") == "less than")
+    assert(joined.filter(_.getAs[String]("cve") == "CVE-2023-4000")
+      .map(_.getAs[String]("pkg")).toSet == Set("libmulti", "libnest"))
   }
 
   test("streaming-tar scan yields matching members without extraction (S5)") {
