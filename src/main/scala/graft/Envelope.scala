@@ -69,14 +69,28 @@ object Envelope {
   val EpssSchema = "https://example.invalid/graft/vulnerability/epss/schema-1.0.0.json"
   val EolSchema = "https://example.invalid/graft/eol/schema-1.0.0.json"
 
-  /** Canonical JSON: sorted struct fields, no nulls — the golden-test
-    * equality representation (reference sorted-key orjson,
-    * `tests/conftest.py:221-224`). Struct fields must be assembled in
-    * sorted order by the caller; this wraps to_json with null dropping. */
+  /** Canonical JSON: no nulls, field order = struct assembly order —
+    * this wraps to_json with null dropping. Key order in the STORE
+    * bytes is deliberately the caller's assembly order, matching the
+    * reference, whose result store writes dataclass-order orjson
+    * WITHOUT sort (`result.py:198`); the sorted-key rendering exists
+    * only in its test harness (`tests/conftest.py:221-224`), and
+    * [[graft.Golden]] mirrors that by re-sorting keys at compare
+    * time. Providers are therefore free to assemble fields in a
+    * semantically meaningful order — several sort FixedIn rows via
+    * array_sort, whose ordering is keyed by the leading struct
+    * fields (O3), which a forced alphabetical assembly would break.
+    * Callers wanting byte-identical output across providers should
+    * assemble sorted (most OS-schema providers do). */
   def canonicalJson(c: Column): Column = to_json(c, Map("ignoreNullFields" -> "true"))
 
   /** Assemble envelope columns from (identifier, schema, payload struct). */
   def assemble(identifier: Column, schemaUrl: String, payload: Column): Seq[Column] =
-    Seq(identifier.as("identifier"), lit(schemaUrl).as("schema"),
+    assemble(identifier, lit(schemaUrl), payload)
+
+  /** Column-typed schema overload for per-record schema URLs
+    * ([[osvSchemaCol]]). */
+  def assemble(identifier: Column, schemaUrl: Column, payload: Column): Seq[Column] =
+    Seq(identifier.as("identifier"), schemaUrl.as("schema"),
       canonicalJson(payload).as("item"))
 }

@@ -108,7 +108,13 @@ object AlmaProvider {
 
     records.select(Envelope.assemble(
       concat(lit("almalinux"), col("version"), lit("/"), col("id")),
-      Envelope.OsvSchema,
+      // like the passthrough families, the envelope is labeled with
+      // the record's OWN schema_version (alma `__init__.py:66`
+      // compatible_schema(vuln_schema_version); default "1.7.0",
+      // parser.py:110) — a fixed 1.6.1 label next to a 1.7.0 payload
+      // was internally inconsistent
+      Envelope.osvSchemaCol(
+        coalesce(col("schema_version"), lit("1.7.0"))),
       struct(
         patched.as("affected"),
         struct(struct(lit("advisory").as("record_type")).as("anchore"))
@@ -118,7 +124,12 @@ object AlmaProvider {
         col("published").as("published"),
         col("references").as("references"),
         col("related").as("related"),
-        coalesce(col("schema_version"), lit("1.7.0")).as("schema_version"),
+        // payload schema_version passes through UNTOUCHED — the
+        // "1.7.0" default above parameterizes only the envelope label;
+        // _normalize never injects the key into the record (a null
+        // here is dropped by canonicalJson, matching a record that
+        // never carried it)
+        col("schema_version").as("schema_version"),
         col("severity").as("severity"),
         col("summary").as("summary"))): _*)
   }

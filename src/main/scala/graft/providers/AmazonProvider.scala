@@ -66,8 +66,12 @@ object AmazonProvider {
       .withColumn("cve", explode(col("cves")))
       .groupBy(col("cve"))
       .agg(
-        first(col("alas_id")).as("alas_id"),
-        first(col("severity")).as("severity"),
+        // a CVE fixed by TWO advisories appears in both pages:
+        // first() is partition-arrival nondeterministic, flipping
+        // Description/Severity between runs — pick the lexically
+        // smallest advisory and its severity, deterministically
+        min_by(col("alas_id"), col("alas_id")).as("alas_id"),
+        min_by(col("severity"), col("alas_id")).as("severity"),
         array_sort(collect_set(struct(
           col("nv._1").as("Name"),
           lit(namespace).as("NamespaceName"),

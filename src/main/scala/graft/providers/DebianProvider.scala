@@ -45,12 +45,15 @@ object DebianProvider {
   def packageRows(spark: SparkSession, trackerPath: String,
       distroMap: Map[String, String] = defaultDistroMap): DataFrame = {
     val dm = map(distroMap.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
-    spark.read.option("multiLine", "true")
-      // the whole document is one map: wrap as {"data": ...} at read by
-      // projecting the raw map through from_json of the full text
-      .text(trackerPath)
-      .agg(concat_ws("", collect_list(col("value"))).as("txt"))
-      .select(from_json(col("txt"), trackerSchema.fields.head.dataType).as("data"))
+    // wholetext: one row per FILE, the document intact. A line-mode
+    // read + collect_list concat looked equivalent but is not — a
+    // tracker file large enough to split (the real one is >100 MB)
+    // merges its partial line lists in shuffle-arrival order, the
+    // reassembled JSON goes out of order, from_json returns null, and
+    // the provider silently emits nothing.
+    spark.read.option("wholetext", "true").text(trackerPath)
+      .select(from_json(col("value"),
+        trackerSchema.fields.head.dataType).as("data"))
       .select(explode(col("data")).as(Seq("pkg", "cves")))
       .select(col("pkg"), explode(col("cves")).as(Seq("cve", "rec")))
       .filter(col("cve").rlike("^CVE"))                     // P2

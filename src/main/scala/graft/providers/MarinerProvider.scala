@@ -30,7 +30,8 @@ import graft.Envelope
 object MarinerProvider {
 
   val defSchema: StructType = StructType.fromDDL(
-    "metadata STRUCT<title: STRING, description: STRING, " +
+    "_id STRING, " +
+      "metadata STRUCT<title: STRING, description: STRING, " +
       "severity: STRING, patchable: STRING, advisory_date: STRING, " +
       "advisory_id: STRING, reference: STRUCT<_ref_id: STRING, " +
       "_ref_url: STRING, _source: STRING>>, " +
@@ -82,13 +83,15 @@ object MarinerProvider {
         coalesce(col("metadata.patchable"), lit("")) =!= "Not Applicable" &&
         col("metadata.reference._ref_id").isNotNull)
       .select(
+        col("_id").as("def_id"),
         col("metadata.reference._ref_id").as("cve"),
         col("metadata.severity").as("severity"),
         coalesce(col("metadata.description"), lit("")).as("description"),
         coalesce(col("metadata.reference._ref_url"), lit("")).as("link"),
         substring(col("metadata.advisory_date"), 1, 10).as("advisory_date"),
         posexplode(col("criteria.criterion")).as(Seq("pos", "crit")))
-      .select(col("cve"), col("severity"), col("description"), col("link"),
+      .select(col("def_id"), col("cve"), col("severity"),
+        col("description"), col("link"),
         col("advisory_date"), col("pos"),
         col("crit._test_ref").as("test_id"))
 
@@ -104,8 +107,13 @@ object MarinerProvider {
     val perDef = resolved
       .withColumn("bound", bound)
       .filter(col("bound").isNotNull)
-      .groupBy(col("cve"), col("severity"), col("description"),
-        col("link"), col("advisory_date"))
+      // per-DEFINITION group (the reference yields one Vulnerability
+      // per definition, parser.py:227): def_id keys the group — two
+      // same-CVE definitions with identical metadata must NOT merge
+      // their packages/bounds into one record (the metadata columns
+      // ride along; def_id determines them)
+      .groupBy(col("def_id"), col("cve"), col("severity"),
+        col("description"), col("link"), col("advisory_date"))
       .agg(
         // the reference takes objects[0].name (`parser.py:133`)
         min_by(col("pkg"), col("pos")).as("pkg"),

@@ -101,13 +101,19 @@ object NvdProvider {
         col("id"), col("last_modified"),
         coalesce(col("ov_configurations"), col("configurations"))
           .as("configurations"),
-        when(col("ov_references").isNotNull,
-          // union by url: originals, then override refs whose url is new
-          concat(col("references"),
-            filter(col("ov_references"),
-              r => !array_contains(
-                transform(col("references"), o => o.getField("url")),
-                r.getField("url")))))
+        // union by url: originals, then override refs whose url is
+        // new. A base record with NO references key (null array) takes
+        // the override's refs whole — concat(null, …) would null the
+        // output and LOSE them (manager.py:304-339 appends to a fresh
+        // list)
+        when(col("ov_references").isNotNull && col("references").isNull,
+          col("ov_references"))
+          .when(col("ov_references").isNotNull,
+            concat(col("references"),
+              filter(col("ov_references"),
+                r => !array_contains(
+                  transform(col("references"), o => o.getField("url")),
+                  r.getField("url")))))
           .otherwise(col("references")).as("references"))
   }
 

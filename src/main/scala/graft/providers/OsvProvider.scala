@@ -86,8 +86,10 @@ object OsvProvider {
   }
 
   /** F19+F20: FixedIn rows with fix-date enrichment. `fixdates` is the
-    * broadcast dimension (vuln_id, pkg, fix_version, date, kind);
-    * missing dates fall back to the advisory published date, marked
+    * broadcast dimension with columns (cve, pkg, version, date, kind) —
+    * joined USING those names; note [[patchFixDates]] takes the same
+    * dimension under (vuln_id, pkg, fix_version, …) naming instead.
+    * Missing dates fall back to the advisory published date, marked
     * kind='advisory' (osv.py:78-90's inaccurate-candidate rule). */
   def fixedInRows(affected: DataFrame, fixdates: DataFrame): DataFrame = {
     val released = affected.filter(size(col("fixed_versions")) > 0)
@@ -299,7 +301,13 @@ object OsvProvider {
     fixedIn
       .groupBy(col("namespace"), col("cve"))
       .agg(
-        first(col("severity")).as("severity"),
+        // two OSV records can name the same upstream CVE with
+        // different priorities: first() flips between runs — the
+        // highest severity wins, deterministically (the same A3 merge
+        // DebianProvider uses)
+        max_by(col("severity"),
+          graft.functions.Norm.severity_rank(col("severity")))
+          .as("severity"),
         array_sort(collect_list(struct(
           col("pkg").as("Name"),
           col("namespace").as("NamespaceName"),

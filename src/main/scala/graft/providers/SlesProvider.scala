@@ -213,13 +213,21 @@ object SlesProvider {
       // (`parser.py:398-410` defensive skip)
       .filter(!col("nak") || col("pkg_version") === "0")
 
+    // two definitions CAN share a title (the same CVE in more than one
+    // patch definition): first() would pick per-run-nondeterministic
+    // metadata. One winner definition is selected by (severity rank,
+    // description) — every metadata column with the SAME key, so the
+    // fields stay mutually consistent.
+    val selKey = struct(
+      graft.functions.Norm.severity_rank(col("severity")),
+      col("description"))
     val perRelease = rows
       .groupBy("name", "release_version", "release_name")
       .agg(
-        first(col("severity")).as("severity"),
-        first(col("description")).as("description"),
-        first(col("link")).as("link"),
-        first(col("cvss")).as("cvss"),
+        max_by(col("severity"), selKey).as("severity"),
+        max_by(col("description"), selKey).as("description"),
+        max_by(col("link"), selKey).as("link"),
+        max_by(col("cvss"), selKey).as("cvss"),
         collect_list(when(!col("nak"),
           struct(col("pkg").as("pkg"), col("pkg_version").as("ver"))))
           .as("aff"),

@@ -48,10 +48,26 @@ class AlmaSpec extends AnyFunSuite {
     assert(it.split("\"name\":\"pacemaker-libs\"").length == 2)
   }
 
-  test("modularity from summary lands on affected entries; schema defaults") {
+  test("modularity from summary lands on affected entries; a record " +
+      "without schema_version stays without one (the 1.7.0 default " +
+      "labels only the envelope, parser.py:110 + __init__.py:66)") {
     val it = item("almalinux9/ALSA-2024:1111")
     assert(it.contains("\"rpm_modularity\":\"nodejs:16\""))
-    assert(it.contains("\"schema_version\":\"1.7.0\""))
+    assert(!it.contains("schema_version"))
+    import spark.implicits._
+    val url = env.filter(org.apache.spark.sql.functions.col("identifier")
+        === "almalinux9/ALSA-2024:1111")
+      .select("schema").as[String].head()
+    assert(url.endsWith("/osv/schema-1.7.0.json"))
+  }
+
+  test("a record carrying its own schema_version labels the envelope " +
+      "with it") {
+    import spark.implicits._
+    val url = env.filter(org.apache.spark.sql.functions.col("identifier")
+        === "almalinux9/ALSA-2021:4386")
+      .select("schema").as[String].head()
+    assert(url.endsWith("/osv/schema-1.6.2.json"))
   }
 
   test("every record is stamped as an advisory") {
