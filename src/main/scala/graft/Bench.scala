@@ -47,10 +47,16 @@ object Bench {
     // Per query: one untimed warm run (codegen + JIT + file-index build are
     // per-plan fixed costs, irrelevant at the 100 TB design point), then
     // the timed run. cold_total records the warm-run wall for transparency.
+    // failed queries are RECORDED, not silently folded in: a crash 0.1s
+    // into force() would otherwise read as that query getting faster
+    // (elapsed-to-failure replaces its real cost) with the only
+    // evidence a stderr line outside the JSON contract
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     def once(name: String, fn: (SparkSession, String) => DataFrame): Double = {
       val t0 = System.nanoTime()
       try force(fn(spark, sfDir)) catch {
         case e: Throwable =>
+          failed += name
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
       (System.nanoTime() - t0) / 1e9
@@ -93,8 +99,10 @@ object Bench {
       System.err.println(s"[bench] full-map write failed: ${e.getMessage}")
     }
     val top = results.sortBy(-_._2).take(20)
+    val failedJson = failed.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(top)},"cold_total":${fmt(coldTotal)},"n_queries":${results.size},"full":"$fullPath","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(top)},"cold_total":${fmt(coldTotal)},"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"full":"$fullPath","sf":"$sfDir"}"""
     // stop() BEFORE the println: nothing (executor shutdown chatter, sbt
     // footers) may follow the JSON line on stdout.
     try spark.stop() catch { case _: Throwable => () }

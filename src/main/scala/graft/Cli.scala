@@ -54,11 +54,17 @@ object Cli {
         graft.providers.Registry.providers.foreach(s =>
           println(f"${s.name}%-22s ${s.family}%-12s ${s.source}%-18s ${s.tags.toSeq.sorted.mkString(",")}"))
       case "clear" :: root :: provider :: Nil =>
-        val p = java.nio.file.Paths.get(root, provider)
+        val rootP = java.nio.file.Paths.get(root).toAbsolutePath.normalize()
+        val p = rootP.resolve(provider).normalize()
+        // path-traversal guard: `clear <root> ../other` must not
+        // resolve outside the store root and delete an unrelated tree
+        require(p.startsWith(rootP) && p != rootP,
+          s"provider '$provider' escapes the store root")
         if (java.nio.file.Files.exists(p)) {
-          java.nio.file.Files.walk(p)
-            .sorted(java.util.Comparator.reverseOrder())
+          val walk = java.nio.file.Files.walk(p)
+          try walk.sorted(java.util.Comparator.reverseOrder())
             .forEach(f => java.nio.file.Files.delete(f))
+          finally walk.close()
           println(s"[graft] cleared $provider")
         } else println(s"[graft] nothing to clear for $provider")
       case "config" :: rest if rest.length <= 1 =>
@@ -70,5 +76,9 @@ object Cli {
         System.err.println("commands: run secdb <path> <ns> <root> | " +
           "status <root> | list <root> | clear <root> <provider> | " +
           "config [file.yaml]")
+        // a typo'd subcommand must be detectable by CI scripting —
+        // usage-on-stderr with exit 0 reads as success
+        throw new IllegalArgumentException(
+          s"unknown command: ${other.mkString(" ")}")
     }
 }

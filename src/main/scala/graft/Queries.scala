@@ -30,6 +30,38 @@ object Q {
     if (name == "events") events(s, dir)
     else s.read.parquet(s"$dir/$name.parquet")
 
+  /** tmp-staging dir for a cached per-corpus artifact (persisted
+    * dedup/ANN indexes, synthesized media): keyed by md5 of the
+    * CANONICAL corpus dir plus a caller tag naming the artifact's
+    * parameters/generation. A 32-bit `dir.hashCode` key (the r8 draft)
+    * can collide two corpora into one staging dir, where the callers'
+    * mtime guards would then serve the WRONG corpus's artifact with no
+    * error. */
+  /** Per-invocation temp dir, deleted on JVM exit (recursively, via a
+    * shutdown hook — File.deleteOnExit is non-recursive). For query
+    * artifacts that MUST be invocation-private (concurrent bench +
+    * shell runs would race a shared store) but are read lazily, so
+    * they can't be deleted before the caller materializes: without
+    * the hook each bench/verify session leaks corpus-sized trees into
+    * java.io.tmpdir forever. */
+  def tempDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        java.nio.file.Files.walk(p)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      } catch { case _: java.io.IOException => () }))
+    p.toString
+  }
+
+  def stagingDir(dir: String, tag: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(new java.io.File(dir).getCanonicalPath.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_$key"
+  }
+
   /** The events table's `ts` has shipped in two physical shapes across
     * driver testdata generations: ns-precision INT64 (the vectorized
     * reader rejects ns → read the epoch as long via the legacy conf,

@@ -52,7 +52,9 @@ object QueriesPipeline {
     * bigram set. */
   private def bigramsOf(text: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column = {
-    val n = size(split(trim(text), "\\s+"))
+    // token_count kernel, not size(split(...)): the composable form
+    // materializes a throwaway array per row just to take its length
+    val n = Text.token_count(text)
     when(n >= 2, Text.word_shingles(text, 2))
       .otherwise(array().cast("array<string>"))
   }
@@ -323,18 +325,21 @@ object QueriesPipeline {
           round(n_common / sizes.n_sh, 3) AS containment
         FROM inter JOIN sizes ON sizes.source = src_b""")),
 
-    // The PRODUCTION containment path, exactly as the library defaults
-    // ship it: hashed = true (8-byte kernel-hash shingle keys through
-    // every shuffle — the 100 TB design) and cache = true (the
-    // distinct'd set feeds three subtrees once). Rows-only: DuckDB has
-    // no xxhash64 to replay, but CorpusSpec pins this
+    // The PRODUCTION containment path: hashed = true (8-byte
+    // kernel-hash shingle keys through every shuffle — the 100 TB
+    // design). cache = false HERE, against the library default: the
+    // bench invokes the entry three times in one session, so a
+    // persisted distinct would hand runs 2-3 an InMemoryRelation in
+    // place of the only expensive shuffle (the reported warm number
+    // would measure cache reads, not the shipped plan) and pin the
+    // entry for the session's remaining queries. Rows-only: DuckDB
+    // has no xxhash64 to replay, but CorpusSpec pins this
     // row-identical to the string path, and the string path is
-    // oracle-hashed above. Benched separately so the number the judge
-    // reads is the number the library ships (r7 graded the 4.76 s
-    // oracle-replay plan, which no default caller ever runs).
+    // oracle-hashed above.
     "q_corpus_containment_hashed" -> Entry(
       (s, dir) => graft.operators.Contamination
-        .crossContainment(t(s, dir, "documents"), "source", "text"),
+        .crossContainment(t(s, dir, "documents"), "source", "text",
+          cache = false),
       None),
 
     // Token-window chunking: long documents → ≤64-word training chunks
@@ -660,17 +665,21 @@ object QueriesPipeline {
     "q_embed_pca_inc" -> Entry(
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
-        // per-invocation temp store: a fixed shared path would race
-        // overwrite/append/read between concurrent runs (bench +
-        // profiling shell) and silently fit on a half-written store
-        val p = java.nio.file.Files
-          .createTempDirectory("graft_moments").toString + "/stats"
+        // per-invocation temp store (a fixed shared path would race
+        // overwrite/append/read between concurrent runs and silently
+        // fit on a half-written store); the store is only needed until
+        // the fit below, so it is deleted eagerly — and Q.tempDir's
+        // exit hook covers the failure path
+        val p = Q.tempDir("graft_moments") + "/stats"
         graft.operators.Embeddings.appendMomentStats(
           emb.filter(col("vec_id") % 2 === 0), "embedding", p,
           overwrite = true)
         graft.operators.Embeddings.appendMomentStats(
           emb.filter(col("vec_id") % 2 === 1), "embedding", p)
         val m = graft.operators.Embeddings.fitPcaFromStats(s, p, 4)
+        // the model is in memory; the moment store is dead weight now
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(p).getParentFile)
         graft.operators.Embeddings
           .pcaProject(emb, "embedding", m, whiten = true)
           .select(col("vec_id"),
@@ -693,8 +702,7 @@ object QueriesPipeline {
         // cached index, mtime-guarded like q_dedup_incr_near: the query
         // must time the per-batch PROBE, not index construction, and a
         // regenerated embeddings.parquet must force a rebuild
-        val p = s"${System.getProperty("java.io.tmpdir")}" +
-          s"/graft_embidx_${Integer.toHexString(dir.hashCode)}_b8w12"
+        val p = Q.stagingDir(dir, "embidx_b8w12")
         val success = new java.io.File(s"$p/vecs/_SUCCESS")
         val src = new java.io.File(s"$dir/embeddings.parquet")
         if (!success.exists() || success.lastModified() < src.lastModified())
@@ -874,8 +882,7 @@ object QueriesPipeline {
         // guarded by mtime — a regenerated documents.parquet must
         // rebuild the index or the oracle would compare against the
         // OLD corpus' signatures
-        val idxPath = s"${System.getProperty("java.io.tmpdir")}" +
-          s"/graft_ndidx_${Integer.toHexString(dir.hashCode)}_s5k20b5w3"
+        val idxPath = Q.stagingDir(dir, "ndidx_s5k20b5w3")
         val success = new java.io.File(s"$idxPath/docs/_SUCCESS")
         val src = new java.io.File(s"$dir/documents.parquet")
         if (!success.exists() || success.lastModified() < src.lastModified())
@@ -1103,8 +1110,16 @@ object QueriesPipeline {
     "q_asof_last_signup" -> Entry(
       (s, dir) => {
         val e = t(s, dir, "events")
+        // signups sort BEFORE other events at the same timestamp: ASOF
+        // e.ts >= s.ts includes a same-ts signup regardless of
+        // event_id, so a (ts, event_id)-only order would exclude a
+        // same-ts signup with a larger id from the frame (latent on
+        // current testdata — no same-user duplicate ts — armed by any
+        // regen at coarser time granularity)
         val w = Window.partitionBy(col("user_id"))
-          .orderBy(col("ts"), col("event_id"))
+          .orderBy(col("ts"),
+            when(col("event_type") === "signup", 0).otherwise(1),
+            col("event_id"))
           .rowsBetween(Window.unboundedPreceding, 0)
         e.withColumn("signup_ts",
           last(when(col("event_type") === "signup", col("ts")),
@@ -1175,16 +1190,9 @@ object QueriesPipeline {
         // q_dedup_incr_emb pattern): the query times the decode/probe
         // OPERATOR over binary columns — the shape a real corpus has —
         // not the per-row PNG/WAV/MP4 synthesis that fakes one up.
-        // Keyed by md5 of the canonical dir (a 32-bit hashCode can
-        // collide two corpora into one staging dir, and the mtime
-        // guard would then serve the WRONG corpus's media with no
-        // error) + the synthesis-format generation (bumped next to
-        // the synthesis code, not hand-edited here).
-        val dirKey = java.security.MessageDigest.getInstance("MD5")
-          .digest(new java.io.File(dir).getCanonicalPath
-            .getBytes("UTF-8")).map("%02x".format(_)).mkString
-        val p = s"${System.getProperty("java.io.tmpdir")}" +
-          s"/graft_media_${dirKey}_g${Multimodal.mediaGeneration}"
+        // md5-keyed via Q.stagingDir (collision rationale there); the
+        // synthesis-format generation lives next to the synthesis code
+        val p = Q.stagingDir(dir, s"media_g${Multimodal.mediaGeneration}")
         val success = new java.io.File(s"$p/_SUCCESS")
         val src = new java.io.File(s"$dir/documents.parquet")
         if (!success.exists() || success.lastModified() < src.lastModified())
@@ -1252,8 +1260,7 @@ object QueriesPipeline {
         // Index-build is a one-time cost amortized over every probe —
         // exactly how IVF is used at scale. Build once per dataset dir;
         // the query itself is the pruned-partition probe.
-        val idxPath = s"${System.getProperty("java.io.tmpdir")}" +
-          s"/graft_ivf_${Integer.toHexString(dir.hashCode)}_n8"
+        val idxPath = Q.stagingDir(dir, "ivf_n8")
         val success = new java.io.File(s"$idxPath/centroids/_SUCCESS")
         val src = new java.io.File(s"$dir/embeddings.parquet")
         if (!success.exists() || success.lastModified() < src.lastModified())
@@ -1377,12 +1384,17 @@ object QueriesPipeline {
     // only wide node is the final TakeOrdered. The oracle replays the
     // identical Okapi arithmetic in SQL (same association order).
     "q_text_bm25" -> Entry(
+      // the top-50 cut ranks on the ROUNDED score (+ doc_id tiebreak)
+      // on BOTH sides — the oracle's ORDER BY score resolves to its
+      // rounded output alias, and a raw-double cut would let last-ulp
+      // ln() drift or a past-4dp tie at the boundary pick different
+      // row sets (the distinctiveTerms rounding rule, applied here)
       (s, dir) => graft.operators.Corpus.bm25(t(s, dir, "documents"),
           "doc_id", "text", Seq("table", "spark", "vector"))
-        .orderBy(col("score").desc, col("doc_id").asc)
-        .limit(50)
         .select(col("doc_id"), col("dl").cast("long").as("dl"),
-          round(col("score"), 4).as("score")),
+          round(col("score"), 4).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(50),
       Some("""WITH d AS (
           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
           FROM documents
@@ -1483,8 +1495,10 @@ object QueriesPipeline {
     // losslessness, and rerun-stability.
     "q_shards_manifest" -> Entry(
       (s, dir) => {
-        val out = java.nio.file.Files
-          .createTempDirectory("graft_shards").toString + "/shards"
+        // invocation-private (concurrency rationale at Q.tempDir) and
+        // read LAZILY by the returned manifest, so it lives until JVM
+        // exit, where the hook reclaims it
+        val out = Q.tempDir("graft_shards") + "/shards"
         // slim projection: the shard files (a per-invocation temp tree)
         // only need the columns the packer consumes
         graft.sinks.Shards.writeTrainingShards(
@@ -1524,12 +1538,20 @@ object QueriesPipeline {
             array_join(col("token_ids"), " ").as("token_ids"))
       },
       Some("""WITH toks AS (
-          -- coalesce mirrors encodeTokens' null-text guard
+          -- coalesce mirrors encodeTokens' null-text guard (ENCODING
+          -- side only: a null doc encodes as [0], it is not dropped)
           SELECT doc_id,
             regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+')
             AS ws
           FROM documents
-        ), flat AS (SELECT unnest(ws) AS w FROM toks
+        -- the VOCABULARY side must NOT coalesce: buildVocab's explode
+        -- of a null split contributes nothing, so a null-text doc
+        -- feeding the oracle's vocab an '' token would shift
+        -- membership near the cut
+        ), flat AS (
+          SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+            AS w
+          FROM documents WHERE text IS NOT NULL
         ), vocab AS (
           SELECT w AS word,
             cast(row_number() OVER (ORDER BY count(*) DESC, w ASC)

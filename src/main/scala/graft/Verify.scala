@@ -29,6 +29,16 @@ object Verify {
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          // delete any PREVIOUS run's output for this query: local
+          // iteration reuses outDir, and a stale parquet from before
+          // the regression would make the compare pass on old data
+          try {
+            val d = java.nio.file.Paths.get(s"$outDir/$name")
+            if (java.nio.file.Files.exists(d))
+              java.nio.file.Files.walk(d)
+                .sorted(java.util.Comparator.reverseOrder())
+                .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+          } catch { case _: Throwable => () }
         }
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
