@@ -34,15 +34,29 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
-  test("jaccard on word shingles") {
-    val df = Seq((
-      "a b c d e",
-      "a b c d e"
-    )).toDF("t1", "t2")
-    val sim = df.select(Dedup.jaccard(
+  test("jaccard on word shingles: identity, hand-computed partial " +
+      "overlap, and disjoint") {
+    // identity — any intersection/union confusion still gives 1.0
+    // here, so the PARTIAL case below is the discriminating one
+    val same = Seq(("a b c d e", "a b c d e")).toDF("t1", "t2")
+    assert(same.select(Dedup.jaccard(
       Text.word_shingles(col("t1"), 3),
       Text.word_shingles(col("t2"), 3)).as("j")).head().getDouble(0)
-    assert(sim == 1.0)
+      == 1.0)
+    // "a b c d e" → {abc, bcd, cde}; "b c d e f" → {bcd, cde, def}
+    // inter = {bcd, cde} (2), union = 4 → true Jaccard 0.5; a
+    // containment-style inter/|A| bug would give 2/3 here
+    val part = Seq(("a b c d e", "b c d e f")).toDF("t1", "t2")
+    assert(part.select(Dedup.jaccard(
+      Text.word_shingles(col("t1"), 3),
+      Text.word_shingles(col("t2"), 3)).as("j")).head().getDouble(0)
+      == 0.5)
+    // disjoint → 0.0
+    val none = Seq(("a b c d e", "x y z w v")).toDF("t1", "t2")
+    assert(none.select(Dedup.jaccard(
+      Text.word_shingles(col("t1"), 3),
+      Text.word_shingles(col("t2"), 3)).as("j")).head().getDouble(0)
+      == 0.0)
   }
 
   test("simhash hamming distance: near texts closer than far texts") {

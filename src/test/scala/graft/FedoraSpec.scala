@@ -37,7 +37,7 @@ class FedoraSpec extends AnyFunSuite {
 
   test("CVEs from security bugs only; non-security bug titles ignored") {
     // CVE-2025-9999 appears only in a security=false bug → no record
-    assert(!env.filter(col("identifier").contains("9999")).isEmpty == false)
+    assert(env.filter(col("identifier").contains("9999")).isEmpty)
     val it = item("fedora:40/cve-2025-1234")
     assert(it.contains("\"Name\":\"CVE-2025-1234\""))
   }

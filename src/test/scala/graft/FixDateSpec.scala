@@ -61,9 +61,14 @@ class FixDateSpec extends AnyFunSuite {
       "alpine:3.18", rejections = Some(rejections))
     val item = env.filter(col("identifier") === "alpine:3.18/cve-2022-30065")
       .head().getAs[String]("item")
-    // busybox entry becomes a NAK ("0"); openssl keeps its real fix
-    assert(item.contains("\"Name\":\"busybox\",\"NamespaceName\":\"alpine:3.18\",\"Version\":\"0\"")
-      || (item.contains("\"busybox\"") && item.contains("\"Version\":\"0\"")))
-    assert(item.contains("\"openssl\"") && item.contains("3.0.8-r0"))
+    // busybox entry becomes a NAK ("0") — the regex BINDS Version "0"
+    // to the busybox struct (no `}` between), so a mis-targeted NAK
+    // on some other entry cannot pass; openssl keeps its real fix
+    assert("\"Name\":\"busybox\"[^}]*\"Version\":\"0\"".r
+      .findFirstIn(item).isDefined,
+      "busybox entry must carry the NAK Version \"0\"")
+    assert("\"Name\":\"openssl\"[^}]*\"Version\":\"3\\.0\\.8-r0\"".r
+      .findFirstIn(item).isDefined,
+      "openssl entry must keep its real fix version")
   }
 }

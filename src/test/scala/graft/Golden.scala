@@ -54,6 +54,12 @@ object Golden {
   def assertSnapshots(provider: String, envelopes: DataFrame): Unit = {
     val dir = root.resolve(provider)
     val rows = envelopes.select("identifier", "schema", "item").collect()
+    // zero envelopes must FAIL, not pass vacuously: an empty result in
+    // update mode would wipe the provider's snapshot dir and record
+    // nothing, after which every run compares ∅ to ∅ and goes green
+    // with zero golden coverage
+    require(rows.nonEmpty,
+      s"$provider produced ZERO envelopes — regression or wrong fixture")
     val produced = rows.map { r =>
       val doc = "{" +
         "\"identifier\":" + mapper.writeValueAsString(r.getString(0)) + "," +

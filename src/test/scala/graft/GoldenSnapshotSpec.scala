@@ -40,21 +40,8 @@ class GoldenSnapshotSpec extends AnyFunSuite {
 
   test("rhel envelopes match committed snapshots byte-for-byte") {
     val hydra = RhelProvider.hydraScan(spark, fixture("rhel_hydra.json"))
-    val fpis = Seq(
-      ("RHSA-2024:0001", "CVE-2024-1111",
-        "AppStream-9.5.0.Z.MAIN:webkit2gtk3-0:2.46.1-2.el9_5.x86_64",
-        "cpe:/a:redhat:enterprise_linux:9::appstream", null, "webkit2gtk3",
-        "0:2.46.1-2.el9_5"),
-      ("RHSA-2024:0002", "CVE-2024-1111",
-        "AppStream-9.4.0.Z.EUS:webkit2gtk3-0:2.44.3-2.el9_4.5.x86_64",
-        "cpe:/a:redhat:enterprise_linux:9::appstream", null, "webkit2gtk3",
-        "0:2.44.3-2.el9_4.5"),
-      ("RHSA-2024:0003", "CVE-2024-1111",
-        "AppStream-8.6.0.Z.EUS:webkit2gtk3-0:2.40.0-1.el8_6.x86_64",
-        "cpe:/a:redhat:enterprise_linux:8::appstream", null, "webkit2gtk3",
-        "0:2.40.0-1.el8_6")
-    ).toDF("rhsa_id", "cve", "fpi", "plat_cpe", "module", "name", "version")
-    Golden.assertSnapshots("rhel", RhelProvider.envelopes(hydra, fpis))
+    Golden.assertSnapshots("rhel",
+      RhelProvider.envelopes(hydra, RhelFixtures.webkitFpis(spark)))
   }
 
   test("fedora envelopes match committed snapshots byte-for-byte") {
@@ -118,14 +105,27 @@ class GoldenSnapshotSpec extends AnyFunSuite {
     ).toDF("vuln_id", "ecosystem", "pkg", "version", "date", "kind")
     Golden.assertSnapshots("rocky", OsvProvider.passthroughEnvelopes(
       recs, fixdates, OsvProvider.rockyEcosystem))
-    // F19 in the bytes: the rocky:8 range carries the accurate store
-    // date, the rocky:9 range falls back to published/advisory
+    // F19 in the bytes, with each date BOUND to its range (four
+    // substring-presence checks would survive a swap regression
+    // straight into a blind re-record): walk the snapshot's affected[]
+    // and map ecosystem → (date, kind) of its range's anchore fixes
     val patched = java.nio.file.Files.readString(
       Golden.root.resolve("rocky/rlsa-2023_4523.json"))
-    assert(patched.contains("\"date\": \"2023-08-10\""))
-    assert(patched.contains("\"kind\": \"first-observed\""))
-    assert(patched.contains("\"date\": \"2023-08-08\""))
-    assert(patched.contains("\"kind\": \"advisory\""))
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(patched)
+    val byEco = root.get("item").get("affected").elements()
+    val bound = scala.collection.mutable.Map.empty[String, (String, String)]
+    while (byEco.hasNext) {
+      val a = byEco.next()
+      val eco = a.get("package").get("ecosystem").asText()
+      val fix = a.get("ranges").get(0).get("database_specific")
+        .get("anchore").get("fixes").get(0)
+      bound(eco) = (fix.get("date").asText(), fix.get("kind").asText())
+    }
+    assert(bound("Rocky Linux:8") == (("2023-08-10", "first-observed")),
+      s"rocky:8 must carry the accurate store date, got $bound")
+    assert(bound("Rocky Linux:9") == (("2023-08-08", "advisory")),
+      s"rocky:9 must fall back to the advisory date, got $bound")
   }
 
   test("govulndb passthrough envelopes match committed snapshots " +

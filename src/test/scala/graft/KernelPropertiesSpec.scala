@@ -52,8 +52,14 @@ class KernelPropertiesSpec extends AnyFunSuite {
   test("deflatedSize: total, deterministic, and orders repetition " +
       "below entropy; SQL registration works") {
     import graft.plans.TextKernels
-    // total + deterministic on arbitrary strings (incl. empty/unicode)
-    check(forAll(Gen.asciiPrintableStr) { s =>
+    // total + deterministic on arbitrary strings — the generator MIXES
+    // multi-byte UTF-8 runs (CJK, combining marks, astral emoji) into
+    // ASCII so the numBytes≠numChars path is actually exercised
+    val gen = Gen.listOf(Gen.frequency(
+      3 -> Gen.asciiPrintableStr,
+      1 -> Gen.oneOf("中文テキスト", "héllo wörld", "😀🎉🚀",
+        "éé", "مرحبا", "Ω≈ç√∫"))).map(_.mkString)
+    check(forAll(gen) { s =>
       val u = UTF8String.fromString(s)
       val a = TextKernels.deflatedSize(u)
       a >= 0 && a == TextKernels.deflatedSize(u)

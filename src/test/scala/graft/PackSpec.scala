@@ -40,6 +40,20 @@ class PackSpec extends AnyFunSuite {
     // seq ids are consecutive from 0
     assert(stats.map(_.getAs[Long]("seq_id")).toSeq ==
       (0L until stats.length).toSeq)
+    // the token-mass bound the title promises: bin k holds the docs
+    // whose cum_before lands in [k·budget, (k+1)·budget), so its mass
+    // can exceed the budget only by its LAST doc's overflow — i.e.
+    // sum_tokens < budget + max doc size — and every bin but possibly
+    // the last must reach the budget boundary (non-degenerate fill)
+    val maxDoc = docs.agg(max("n")).head().getLong(0)
+    stats.foreach { r =>
+      assert(r.getAs[Long]("sum_tokens") < 4096L + maxDoc,
+        s"bin ${r.getAs[Long]("seq_id")} overfilled")
+    }
+    stats.dropRight(1).foreach { r =>
+      assert(r.getAs[Long]("sum_tokens") + maxDoc > 4096L,
+        s"bin ${r.getAs[Long]("seq_id")} underfilled")
+    }
     // every bin but the last holds ≥ budget-boundary mass: the first doc
     // of bin k starts before k*budget + its own tokens cross it
     val spans = packed.groupBy("seq_id")

@@ -67,21 +67,7 @@ class QualityGateSpec extends AnyFunSuite {
     import graft.providers.RhelProvider
     val hydra = RhelProvider.hydraScan(spark,
       getClass.getResource("/fixtures/rhel_hydra.json").getPath)
-    val fpis = Seq(
-      ("RHSA-2024:0001", "CVE-2024-1111",
-        "AppStream-9.5.0.Z.MAIN:webkit2gtk3-0:2.46.1-2.el9_5.x86_64",
-        "cpe:/a:redhat:enterprise_linux:9::appstream", null, "webkit2gtk3",
-        "0:2.46.1-2.el9_5"),
-      ("RHSA-2024:0002", "CVE-2024-1111",
-        "AppStream-9.4.0.Z.EUS:webkit2gtk3-0:2.44.3-2.el9_4.5.x86_64",
-        "cpe:/a:redhat:enterprise_linux:9::appstream", null, "webkit2gtk3",
-        "0:2.44.3-2.el9_4.5"),
-      ("RHSA-2024:0003", "CVE-2024-1111",
-        "AppStream-8.6.0.Z.EUS:webkit2gtk3-0:2.40.0-1.el8_6.x86_64",
-        "cpe:/a:redhat:enterprise_linux:8::appstream", null, "webkit2gtk3",
-        "0:2.40.0-1.el8_6")
-    ).toDF("rhsa_id", "cve", "fpi", "plat_cpe", "module", "name", "version")
-    graft.providers.RhelProvider.envelopes(hydra, fpis)
+    RhelProvider.envelopes(hydra, RhelFixtures.webkitFpis(spark))
   }
 
   test("rhel: labeled vulnerable installs all match under EVR " +

@@ -18,22 +18,7 @@ class RhelSpec extends AnyFunSuite {
 
   private lazy val hydra = RhelProvider.hydraScan(spark, fixture)
 
-  /** CSAF FPI dimension: GA + EUS streams for the webkit multi-RHSA
-    * case; RHSA-2024:0010/0011 intentionally absent (Hydra fallback). */
-  private lazy val fpis = Seq(
-    ("RHSA-2024:0001", "CVE-2024-1111",
-      "AppStream-9.5.0.Z.MAIN:webkit2gtk3-0:2.46.1-2.el9_5.x86_64",
-      "cpe:/a:redhat:enterprise_linux:9::appstream", null, "webkit2gtk3",
-      "0:2.46.1-2.el9_5"),
-    ("RHSA-2024:0002", "CVE-2024-1111",
-      "AppStream-9.4.0.Z.EUS:webkit2gtk3-0:2.44.3-2.el9_4.5.x86_64",
-      "cpe:/a:redhat:enterprise_linux:9::appstream", null, "webkit2gtk3",
-      "0:2.44.3-2.el9_4.5"),
-    ("RHSA-2024:0003", "CVE-2024-1111",
-      "AppStream-8.6.0.Z.EUS:webkit2gtk3-0:2.40.0-1.el8_6.x86_64",
-      "cpe:/a:redhat:enterprise_linux:8::appstream", null, "webkit2gtk3",
-      "0:2.40.0-1.el8_6")
-  ).toDF("rhsa_id", "cve", "fpi", "plat_cpe", "module", "name", "version")
+  private lazy val fpis = RhelFixtures.webkitFpis(spark)
 
   private lazy val env = RhelProvider.envelopes(hydra, fpis).cache()
 
