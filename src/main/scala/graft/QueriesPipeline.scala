@@ -1565,6 +1565,28 @@ object QueriesPipeline {
             t -> coalesce(map_extract(m, t)[1], 0)), ' ') AS token_ids
         FROM toks, vmap""")),
 
+    // BPE subword tokenizer (Sennrich-style): merges train on the
+    // word-frequency DICTIONARY — one corpus-sized explode+groupBy
+    // shuffle cut to maxWords by TakeOrdered, then a driver merge loop
+    // bounded by the dictionary (the sequential-by-nature part; a
+    // 100 TB corpus costs the same loop as 100 MB). Encoding is
+    // map-only: broadcast merge ranks + per-partition word memo.
+    // Iterative argmax merging has no SQL expression → rows-only;
+    // BpeSpec pins the merge sequence, greedy generalization
+    // ("lowest" → low + est</w>), and decode round-trip by hand.
+    "q_tokens_bpe" -> Entry(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val model = graft.operators.Bpe.train(docs, "text",
+          numMerges = 200, maxWords = 1 << 15, minCount = 2L)
+        graft.operators.Bpe.encode(docs, "doc_id", "text", model)
+          // serialized: array cells hash engine-dependently in the
+          // driver's pandas compare even for rows-only entries
+          .select(col("doc_id"),
+            array_join(col("pieces"), " ").as("pieces"))
+      },
+      None),
+
     // PII scrubbing: emails / IPv4s / phone-shaped runs → typed tokens,
     // with per-class counts. The corpus has no organic PII, so the query
     // plants deterministic PII derived from doc_id on both sides — the

@@ -336,6 +336,34 @@ object ScaleStress {
         f"$nDocs%9d $tEnc%7.1f $tBal%7.1f $tNgEx%7.1f $tNgCms%8.1f")
       vecs.unpersist(); docs.unpersist()
     }
+
+    // Round-8 BPE drill: training = ONE corpus word-count shuffle +
+    // a DICTIONARY-bounded driver merge loop. Replicating the corpus
+    // leaves the dictionary essentially unchanged (same words, Nx
+    // counts — the perturbed copy-marker tokens add one rare word per
+    // copy), so the merge loop's wall must NOT grow with copies; only
+    // the distributed count pass may. Encode is map-only → ~linear.
+    import graft.operators.Bpe
+    println(f"\n${"copies"}%8s ${"docs"}%9s ${"merges"}%7s " +
+      f"${"t_train"}%8s ${"t_encode"}%9s ${"pieces"}%12s")
+    for (copies <- Seq(1, maxScale)
+        if which == "all" || which == "bpe") {
+      val docs = corpus(spark, dir, copies).cache()
+      val nDocs = docs.count()
+      var model: Bpe.BpeModel = null
+      val tTrain = timed {
+        model = Bpe.train(docs, "text", numMerges = 500, minCount = 2L)
+      }
+      var nPieces = 0L
+      val tEnc = timed {
+        // sum(size(pieces)) references the encode output (see tProj)
+        nPieces = Bpe.encode(docs, "doc_id", "text", model)
+          .agg(sum(size(col("pieces")))).head().getLong(0)
+      }
+      println(f"$copies%8d $nDocs%9d ${model.merges.size}%7d " +
+        f"$tTrain%8.1f $tEnc%9.1f $nPieces%12d")
+      docs.unpersist()
+    }
     spark.stop()
   }
 }
