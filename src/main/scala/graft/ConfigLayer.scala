@@ -77,11 +77,13 @@ object ConfigLayer {
     // of one another (nvd / nvd-extra), GRAFT_NVD_EXTRA_X goes only to
     // nvd-extra instead of also hitting nvd as field "extra_x".
     val prefixed = providers
-      .map(p => p -> s"GRAFT_${p.toUpperCase.replace('-', '_')}_")
+      .map(p => p -> s"GRAFT_${p.toUpperCase(java.util.Locale.ROOT)
+        .replace('-', '_')}_")
       .sortBy(-_._2.length)
     val assigned = env.toSeq.flatMap { case (k, v) =>
       prefixed.collectFirst { case (p, pre) if k.startsWith(pre) =>
-        (p, k.stripPrefix(pre).toLowerCase.split("__").toList, coerce(v))
+        (p, k.stripPrefix(pre).toLowerCase(java.util.Locale.ROOT)
+          .split("__").toList, coerce(v))
       }
     }
     val byProvider = assigned.groupBy(_._1).map { case (p, fs) =>

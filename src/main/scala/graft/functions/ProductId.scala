@@ -36,8 +36,10 @@ object ProductId extends Serializable {
     else productId.split(":", 2)(0)
 
   private def channelFromTokens(tokens: Seq[String]): Option[String] = {
-    val upper = tokens.filterNot(_.forall(_.isDigit)).map(_.toUpperCase)
-    upper.find(extendedMarkers.contains).map(_.toLowerCase)
+    val upper = tokens.filterNot(_.forall(_.isDigit))
+      .map(_.toUpperCase(java.util.Locale.ROOT))
+    upper.find(extendedMarkers.contains)
+      .map(_.toLowerCase(java.util.Locale.ROOT))
       .orElse(
         if (upper.nonEmpty && upper.forall(generalMarkers.contains)) Some("ga")
         else None)

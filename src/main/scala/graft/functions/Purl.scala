@@ -33,7 +33,8 @@ object Purl extends Serializable {
         rest = rest.substring(0, qIdx)
         qs.split("&").iterator.flatMap { kv =>
           kv.split("=", 2) match {
-            case Array(k, v) if k.nonEmpty => Some(k.toLowerCase -> urlDecode(v))
+            case Array(k, v) if k.nonEmpty =>
+              Some(k.toLowerCase(java.util.Locale.ROOT) -> urlDecode(v))
             case _ => None
           }
         }.toMap
@@ -43,7 +44,7 @@ object Purl extends Serializable {
     if (atIdx >= 0) rest = rest.substring(0, atIdx)
     val segs = rest.split("/").filter(_.nonEmpty)
     if (segs.length < 2) return null // need at least type/name
-    val t = segs.head.toLowerCase
+    val t = segs.head.toLowerCase(java.util.Locale.ROOT)
     val name = urlDecode(segs.last)
     val namespace =
       if (segs.length > 2) segs.slice(1, segs.length - 1).map(urlDecode).mkString("/")

@@ -1,8 +1,11 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StringType, StructField, StructType}
 
+import java.util.Locale
 import scala.collection.mutable
 
 /** Byte-pair-encoding tokenizer training + encoding (Sennrich et al.
@@ -10,8 +13,9 @@ import scala.collection.mutable
   *
   * Scale shape: the ONLY corpus-sized work is stage 1's word-frequency
   * count — one explode+groupBy shuffle (the exact plan
-  * [[Corpus.buildVocab]] already ships) cut to the top `maxWords` words
-  * by TakeOrdered. Everything after operates on that bounded dictionary:
+  * [[Corpus.buildVocab]] already ships; both call the shared
+  * [[Corpus.wordCounts]] prefix) cut to the top `maxWords` words by
+  * TakeOrdered. Everything after operates on that bounded dictionary:
   * this is how production BPE trainers work — the merge loop runs over
   * word COUNTS, not the raw text, so a 100 TB corpus and a 100 MB corpus
   * cost the same once the dictionary is built. The merge loop itself is
@@ -26,9 +30,13 @@ import scala.collection.mutable
   */
 object Bpe {
 
-  /** Word-final marker symbol (a separate trailing symbol, so merges
-    * can distinguish "st" mid-word from "st" at word end). */
-  val EndOfWord = "</w>"
+  /** Word-final marker: a private-use-area codepoint no real text
+    * spells, so [[decode]]'s boundary detection cannot be spoofed by
+    * corpus content (a "</w>"-style marker can be assembled by merges
+    * over HTML-ish text). The rare input that DOES contain U+E000 has
+    * it stripped during normalization on both the train and encode
+    * sides — losslessness is modulo that strip, by construction. */
+  val EndOfWord = "\uE000"
 
   /** A learned BPE model: the ordered merge list. Rank = merge index —
     * lower rank merges apply first during encoding (classic greedy
@@ -66,19 +74,43 @@ object Bpe {
     require(maxWords > 0, "maxWords must be positive")
 
     // Stage 1 (distributed, the only corpus-sized pass): top-maxWords
-    // word counts. orderBy+limit = TakeOrdered — no global sort, driver
-    // receives exactly maxWords rows.
-    val wordCounts: Array[(String, Long)] = docs
-      .select(explode(split(trim(lower(col(textCol))), "\\s+")).as("word"))
+    // word counts via the shared buildVocab prefix. orderBy+limit =
+    // TakeOrdered — no global sort, driver receives exactly maxWords
+    // rows.
+    val raw: Array[(String, Long)] = Corpus.wordCounts(docs, textCol)
       .filter(length(col("word")) > 0)
-      .groupBy(col("word")).agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)
       .orderBy(col("n").desc, col("word").asc)
       .limit(maxWords)
       .collect()
       .map(r => (r.getString(0), r.getLong(1)))
 
+    // Sentinel-proof the dictionary (driver-side, bounded): strip any
+    // literal EndOfWord codepoints from the words, re-merging counts of
+    // words the strip collapses (deterministic: fold in (n desc, word
+    // asc) arrival order, re-sort after).
+    val wordCounts: Array[(String, Long)] = raw
+      .map { case (w, n) => (w.replace(EndOfWord, ""), n) }
+      .filter(_._1.nonEmpty)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toArray
+      .sortBy { case (w, n) => (-n, w) }
+
     BpeModel(trainOnCounts(wordCounts, numMerges))
+  }
+
+  /** A word's base symbol sequence: its Unicode CODEPOINTS (an astral
+    * character — emoji, rare CJK — is one symbol, never an unpaired
+    * surrogate half) plus the trailing [[EndOfWord]] marker. */
+  private[graft] def baseSymbols(word: String): Array[String] = {
+    val out = new mutable.ArrayBuffer[String](word.length + 1)
+    var i = 0
+    while (i < word.length) {
+      val n = Character.charCount(word.codePointAt(i))
+      out += word.substring(i, i + n)
+      i += n
+    }
+    out += EndOfWord
+    out.toArray
   }
 
   /** The sequential merge loop over a bounded word-count dictionary.
@@ -89,11 +121,8 @@ object Bpe {
     * O(dictionary). */
   private[operators] def trainOnCounts(wordCounts: Array[(String, Long)],
       numMerges: Int): IndexedSeq[(String, String)] = {
-    // Mutable word representations: symbol arrays, initially per-char
-    // with the end-of-word marker as a separate trailing symbol.
-    val symbols: Array[Array[String]] = wordCounts.map { case (w, _) =>
-      w.map(_.toString).toArray :+ EndOfWord
-    }
+    val symbols: Array[Array[String]] =
+      wordCounts.map { case (w, _) => baseSymbols(w) }
     val freqs: Array[Long] = wordCounts.map(_._2)
 
     val pairCounts = mutable.HashMap.empty[(String, String), Long]
@@ -154,11 +183,26 @@ object Bpe {
     merges.result()
   }
 
+  /** One compiled whitespace pattern for the hot encode path —
+    * String.split(regex) recompiles per call (the per-row cost
+    * `plans/TextExpressions` documents for its own kernels). */
+  private val WS = java.util.regex.Pattern.compile("\\s+")
+
+  /** Pre-tokenize one text the way training's `wordCounts` does
+    * (trim, ROOT-locale lowercase, \s+ split — Locale.ROOT because
+    * Spark's `lower()` is locale-independent and a Turkish-locale JVM
+    * would otherwise dot-swap 'I'), plus the sentinel strip. */
+  private[graft] def splitWords(text: String): Array[String] =
+    if (text == null) Array.empty[String]
+    else WS.split(text.trim.toLowerCase(Locale.ROOT))
+      .map(_.replace(EndOfWord, ""))
+      .filter(_.nonEmpty)
+
   /** Greedy BPE encode of one pre-tokenized word: repeatedly merge the
     * lowest-rank adjacent pair present until none remains ranked. */
   private[graft] def encodeWord(word: String,
       ranks: Map[(String, String), Int]): Array[String] = {
-    var syms: Array[String] = word.map(_.toString).toArray :+ EndOfWord
+    var syms: Array[String] = baseSymbols(word)
     var done = false
     while (!done && syms.length > 1) {
       var bestIdx = -1
@@ -190,35 +234,37 @@ object Bpe {
   }
 
   /** Encode `docs(textCol)` into BPE pieces: `(idCol, pieces
-    * array<string>)`. Map-only — merge ranks broadcast, per-partition
+    * array<string>)`, the id column passing through with its ORIGINAL
+    * type and nullability (string/UUID/null ids all survive — nothing
+    * is cast). Map-only — merge ranks broadcast, per-partition
     * word→pieces memo (Zipf makes the loop run ~once per distinct word
     * per partition). Null/empty text → empty pieces (row kept). */
   def encode(docs: DataFrame, idCol: String, textCol: String,
       model: BpeModel): DataFrame = {
     val spark = docs.sparkSession
-    import spark.implicits._
+    val outSchema = StructType(Seq(docs.schema(idCol),
+      StructField("pieces", ArrayType(StringType, containsNull = false),
+        nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
     val bc = spark.sparkContext.broadcast(model.ranks)
-    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
-      .as[(Long, String)]
+    docs.select(col(idCol), col(textCol).cast("string"))
       .mapPartitions { it =>
         val ranks = bc.value
         val memo = mutable.HashMap.empty[String, Array[String]]
-        it.map { case (id, text) =>
-          val words =
-            if (text == null) Array.empty[String]
-            else text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        it.map { r =>
+          val words = splitWords(if (r.isNullAt(1)) null else r.getString(1))
           val pieces = words.flatMap(w =>
             memo.getOrElseUpdate(w, encodeWord(w, ranks)))
-          (id, pieces)
+          Row(r.get(0), pieces.toSeq)
         }
-      }
-      .toDF(idCol, "pieces")
+      }(enc)
   }
 
   /** Inverse of [[encode]] for round-trip checks: pieces → the
-    * normalized (trimmed, lowercased, single-spaced) pre-tokenized
-    * text. Lossless because every word's piece sequence ends in a
-    * symbol carrying [[EndOfWord]]. */
+    * normalized (trimmed, lowercased, single-spaced, sentinel-
+    * stripped) pre-tokenized text. Lossless because every word's piece
+    * sequence ends in a symbol carrying [[EndOfWord]], and normalized
+    * input cannot contain the sentinel itself. */
   def decode(pieces: Seq[String]): String = {
     val sb = new StringBuilder
     pieces.foreach { p =>

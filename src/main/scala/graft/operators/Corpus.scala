@@ -574,11 +574,20 @@ object Corpus {
     * equally bounded by V, plans a single-partition WindowExec and
     * floods the log with `No Partition Defined` warnings). The array
     * is bounded by the requested vocabulary size, not the corpus. */
-  def buildVocab(docs: DataFrame, textCol: String, vocabSize: Int)
-      : DataFrame = {
+  /** Global `(word, n)` frequencies of `textCol` under the corpus-wide
+    * normalization contract (trim, lower, \s+ split) — the shared
+    * prefix of [[buildVocab]] and [[Bpe.train]]; one explode+groupBy
+    * shuffle with map-side partial counts. (No empty-token filter here:
+    * buildVocab's oracle counts the '' token of blank docs too —
+    * callers that want it gone filter on top.) */
+  def wordCounts(docs: DataFrame, textCol: String): DataFrame =
     docs
       .select(explode(split(trim(lower(col(textCol))), "\\s+")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
+
+  def buildVocab(docs: DataFrame, textCol: String, vocabSize: Int)
+      : DataFrame = {
+    wordCounts(docs, textCol)
       .orderBy(col("n").desc, col("word").asc)
       .limit(vocabSize)
       // struct(-n, word) sorts lexicographically as (n desc, word asc)

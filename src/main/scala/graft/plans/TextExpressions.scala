@@ -25,7 +25,8 @@ object TextKernels {
 
   /** Lowercase + collapse whitespace runs to single spaces. */
   def normalize(s: UTF8String): String =
-    WS.matcher(s.toString.trim.toLowerCase).replaceAll(" ")
+    WS.matcher(s.toString.trim.toLowerCase(java.util.Locale.ROOT))
+      .replaceAll(" ")
 
   // One Deflater AND one scratch output buffer per executor thread:
   // allocation + native-buffer init per row would dominate the kernel
@@ -73,7 +74,7 @@ object TextKernels {
 
   /** Normalized word split (trim, lowercase, whitespace runs). */
   def splitWords(s: UTF8String): Array[String] =
-    WS.split(s.toString.trim.toLowerCase)
+    WS.split(s.toString.trim.toLowerCase(java.util.Locale.ROOT))
 
   /** Whitespace token count with the EXACT semantics of
     * `size(split(trim(text), "\\s+"))` — including the empty-string

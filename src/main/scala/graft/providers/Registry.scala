@@ -66,7 +66,8 @@ object Registry {
     case object Replace extends OverrideMode
     case object Ignore extends OverrideMode
     /** unset/unknown → FAIL, like `PluginOverrideMode.from_env`. */
-    def parse(raw: String): OverrideMode = raw.trim.toLowerCase match {
+    def parse(raw: String): OverrideMode =
+      raw.trim.toLowerCase(java.util.Locale.ROOT) match {
       case "replace" => Replace
       case "ignore" => Ignore
       case _ => Fail

@@ -121,7 +121,8 @@ object VexProvider {
           chainguardArtifact _).as("kept"),
         graft.functions.Norm.fuzzy_to_date(col("s.timestamp")).as("fix_date"))
       .select(Envelope.assemble(
-        concat(lit("chainguard-libraries:"), lit(ecosystem.toLowerCase),
+        concat(lit("chainguard-libraries:"),
+          lit(ecosystem.toLowerCase(java.util.Locale.ROOT)),
           lit("/"), col("s.vulnerability.name")),
         Envelope.AnnotatedOpenVexSchema,
         // struct fields in sorted order — the canonicalJson contract

@@ -2,6 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Bpe
+import graft.operators.Bpe.{EndOfWord => W}
 
 /** Value-level pins for the BPE trainer/encoder: the merge sequence on
   * Sennrich's classic dictionary is hand-derivable, so the whole
@@ -22,11 +23,11 @@ class BpeSpec extends AnyFunSuite {
   }
 
   /** Hand-computed first 8 merges (count argmax, ties lexicographic):
-    * es(9) → est(9) → est</w>(9) → lo(7) → low(7) → ew(6) →
-    * ewest</w>(6) → newest</w>(6). */
+    * es(9) → est(9) → est⟨/w⟩(9) → lo(7) → low(7) → ew(6) →
+    * ew+est⟨/w⟩(6) → n+ewest⟨/w⟩(6). */
   private val expectedMerges = IndexedSeq(
-    ("e", "s"), ("es", "t"), ("est", "</w>"), ("l", "o"), ("lo", "w"),
-    ("e", "w"), ("ew", "est</w>"), ("n", "ewest</w>"))
+    ("e", "s"), ("es", "t"), ("est", W), ("l", "o"), ("lo", "w"),
+    ("e", "w"), ("ew", "est" + W), ("n", "ewest" + W))
 
   test("train recovers the hand-computed merge sequence") {
     val model = Bpe.train(corpus, "text", numMerges = 8)
@@ -46,13 +47,13 @@ class BpeSpec extends AnyFunSuite {
     val model = Bpe.BpeModel(expectedMerges)
     // "lowest" never appears in training, but low + est</w> do.
     assert(Bpe.encodeWord("lowest", model.ranks).toSeq ==
-      Seq("low", "est</w>"))
+      Seq("low", "est" + W))
     // fully merged training word
     assert(Bpe.encodeWord("newest", model.ranks).toSeq ==
-      Seq("newest</w>"))
+      Seq("newest" + W))
     // wholly unseen characters fall back to single-char pieces
     assert(Bpe.encodeWord("xyz", model.ranks).toSeq ==
-      Seq("x", "y", "z", "</w>"))
+      Seq("x", "y", "z", W))
   }
 
   test("encode is a map-only pass; decode round-trips normalized text") {
@@ -64,7 +65,7 @@ class BpeSpec extends AnyFunSuite {
     ).toDF("doc_id", "text")
     val out = Bpe.encode(docs, "doc_id", "text", model)
       .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
-    assert(out(1L) == Seq("newest</w>", "low", "est</w>"))
+    assert(out(1L) == Seq("newest" + W, "low", "est" + W))
     assert(out(2L).isEmpty) // null text → empty pieces, row kept
     assert(out(3L).isEmpty)
     assert(Bpe.decode(out(1L)) == "newest lowest")
@@ -72,6 +73,42 @@ class BpeSpec extends AnyFunSuite {
     val plan = Bpe.encode(docs, "doc_id", "text", model)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("id column passes through with its original type, nulls intact") {
+    val model = Bpe.BpeModel(expectedMerges)
+    val docs = Seq(
+      ("doc-a", "newest"),
+      (null.asInstanceOf[String], "lowest")
+    ).toDF("key", "text")
+    val out = Bpe.encode(docs, "key", "text", model).collect()
+      .map(r => Option(r.getString(0)) -> r.getSeq[String](1)).toMap
+    assert(out(Some("doc-a")) == Seq("newest" + W))
+    assert(out(None) == Seq("low", "est" + W))
+  }
+
+  test("astral characters stay whole symbols — never surrogate halves") {
+    // U+1F600 (😀) is two UTF-16 chars; a code-unit split would emit
+    // two invalid lone-surrogate pieces
+    assert(Bpe.baseSymbols("😀a").toSeq == Seq("😀", "a", W))
+    val docs = Seq((1L, "😀a 😀a")).toDF("doc_id", "text")
+    val model = Bpe.train(docs, "text", 4)
+    val pieces = Bpe.encodeWord("😀a", model.ranks).toSeq
+    assert(pieces == Seq("😀a" + W)) // fully merged, surrogates intact
+    assert(Bpe.decode(pieces) == "😀a")
+  }
+
+  test("a literal end-of-word sentinel in input text cannot spoof decode") {
+    // text smuggling U+E000 normalizes to the same words as without it
+    val spoofed = Seq((1L, s"new${W}est low$W")).toDF("doc_id", "text")
+    val clean = Seq((1L, "newest low")).toDF("doc_id", "text")
+    val model = Bpe.BpeModel(expectedMerges)
+    val a = Bpe.encode(spoofed, "doc_id", "text", model)
+      .collect().head.getSeq[String](1)
+    val b = Bpe.encode(clean, "doc_id", "text", model)
+      .collect().head.getSeq[String](1)
+    assert(a == b)
+    assert(Bpe.decode(a) == "newest low")
   }
 
   test("merge loop stops when no pair repeats; maxWords caps the dictionary") {
@@ -89,6 +126,6 @@ class BpeSpec extends AnyFunSuite {
 
   test("mergedTokens lists merge products in rank order") {
     val model = Bpe.BpeModel(expectedMerges)
-    assert(model.mergedTokens.take(3) == Seq("es", "est", "est</w>"))
+    assert(model.mergedTokens.take(3) == Seq("es", "est", "est" + W))
   }
 }
