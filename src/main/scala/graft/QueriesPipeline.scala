@@ -1507,6 +1507,30 @@ object QueriesPipeline {
       },
       None),
 
+    // WebDataset-style tar shards: the multimodal training-export
+    // layout (one tar per shard, samples as <key>.<ext> member runs).
+    // Payload bytes cross ONE exchange — the shard boundaries come
+    // from a slim (ord, bytes) prefix-sum pack + a broadcast
+    // binary-search assignment (sinks/Shards.writeTarShards scaladoc).
+    // Rows-only: the manifest rows (with per-shard sha256) ARE the
+    // result; ShardsSpec byte-compares reruns and round-trips members
+    // through the library's own binary tar scan.
+    "q_shards_webdataset" -> Entry(
+      (s, dir) => {
+        val out = Q.tempDir("graft_webds") + "/shards"
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"),
+            col("text").cast("binary").as("payload"),
+            to_json(struct(col("doc_id"), col("lang"),
+              col("source"))).as("meta"))
+        // 128 KiB budget: several shards even at the small verify SF
+        // (each sample costs ~2 KiB of tar framing + content)
+        graft.sinks.Shards.writeTarShards(docs, "doc_id",
+          Seq("payload" -> "txt", "meta" -> "json"), out,
+          bytesPerShard = 128L << 10)
+      },
+      None),
+
     // Frequency-ranked vocabulary: top-200 whitespace tokens with
     // deterministic (count desc, word asc) rank ids. TakeOrdered cut +
     // rank window bounded by V, not the corpus (operators/Corpus.scala

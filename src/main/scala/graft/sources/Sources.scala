@@ -56,13 +56,40 @@ object Sources {
       memberGlob: String = "*"): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
-    val regex = ("^" + java.util.regex.Pattern.quote(memberGlob)
-      .replace("*", "\\E.*\\Q").replace("?", "\\E.\\Q") + "$").r
     val schema = StructType(Seq(
       StructField("archive", StringType),
       StructField("member", StringType),
       StructField("content", StringType)))
-    val rows = spark.sparkContext.binaryFiles(path)
+    val rows = tarMemberBytes(spark, path, memberGlob).map {
+      case (archive, member, bytes) =>
+        Row(archive, member, new String(bytes, "UTF-8"))
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** [[tarMembers]] with the members' RAW bytes (binary payloads —
+    * the read side of WebDataset-style multimodal shards, where a
+    * UTF-8 round-trip would corrupt image/audio content). */
+  def tarMembersBinary(spark: SparkSession, path: String,
+      memberGlob: String = "*"): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("archive", StringType),
+      StructField("member", StringType),
+      StructField("content", BinaryType)))
+    val rows = tarMemberBytes(spark, path, memberGlob).map {
+      case (archive, member, bytes) => Row(archive, member, bytes)
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
+  private def tarMemberBytes(spark: SparkSession, path: String,
+      memberGlob: String)
+      : org.apache.spark.rdd.RDD[(String, String, Array[Byte])] = {
+    val regex = ("^" + java.util.regex.Pattern.quote(memberGlob)
+      .replace("*", "\\E.*\\Q").replace("?", "\\E.\\Q") + "$").r
+    spark.sparkContext.binaryFiles(path)
       .flatMap { case (archive, pds) =>
         val tin = new org.apache.commons.compress.archivers.tar.TarArchiveInputStream(
           new java.io.BufferedInputStream(pds.open(), 1 << 16))
@@ -77,11 +104,10 @@ object Sources {
               val buf = new Array[Byte](8192)
               var n = tin.read(buf)
               while (n > 0) { out.write(buf, 0, n); n = tin.read(buf) }
-              Row(archive, e.getName, out.toString("UTF-8"))
+              (archive, e.getName, out.toByteArray)
             }.toList
         } finally tin.close()
       }
-    spark.createDataFrame(rows, schema)
   }
 
   /** S6: OVAL XML — the 4 element classes the reference's streaming

@@ -52,4 +52,74 @@ class ShardsSpec extends AnyFunSuite {
     assert(a1 == assign(o2), "rerun changed the shard layout")
     assert(a1 != assign(o3), "seed did not permute the pack order")
   }
+
+  /** (key, binary payload incl. bytes invalid as UTF-8, json string)
+    * — the multimodal sample shape. */
+  private def mediaSamples = {
+    import spark.implicits._
+    (0 until 40).map { i =>
+      val payload = Array.tabulate[Byte](50 + i * 7)(j =>
+        ((i * 31 + j * 131 + 0x80) & 0xff).toByte) // high bytes on purpose
+      (f"sample-$i%04d", payload, s"""{"id":$i}""")
+    }.toDF("key", "img", "meta")
+  }
+
+  test("tar shards round-trip bytes exactly and respect the byte budget") {
+    val out = java.nio.file.Files.createTempDirectory("webds").toString
+    val m = Shards.writeTarShards(mediaSamples, "key",
+      Seq("img" -> "bin", "meta" -> "json"), out,
+      bytesPerShard = 8192L).collect()
+    assert(m.length > 1, "budget should force multiple shards")
+    assert(m.map(_.getLong(2)).sum == 40L, "samples lost")
+    // every shard except possibly the last stays within budget + one
+    // sample's tar cost (a sample is never split) + tar trailer/record
+    // padding (two 512 B zero blocks, 10240 B record rounding)
+    val maxSample = 2 * 512 + ((50 + 39 * 7 + 511) / 512) * 512 + 512
+    m.foreach { r =>
+      assert(r.getLong(3) <= 8192L + maxSample + 10240,
+        s"shard ${r.getLong(0)} overshoots its byte budget") }
+    // read back through the library's own binary tar scan
+    val members = graft.sources.Sources
+      .tarMembersBinary(spark, s"$out/shard-*.tar")
+      .collect()
+      .map(r => r.getString(1) -> r.getAs[Array[Byte]](2).toSeq).toMap
+    val expected = mediaSamples.collect().flatMap { r =>
+      Seq(s"${r.getString(0)}.bin" -> r.getAs[Array[Byte]](1).toSeq,
+        s"${r.getString(0)}.json" ->
+          r.getString(2).getBytes("UTF-8").toSeq)
+    }.toMap
+    assert(members == expected, "member contents differ after round-trip")
+    // manifest sha256 matches the bytes actually on disk
+    m.foreach { r =>
+      val bytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(r.getString(1)))
+      val sha = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(bytes).map("%02x".format(_)).mkString
+      assert(sha == r.getString(4), s"shard ${r.getLong(0)} sha drift")
+    }
+  }
+
+  test("tar shard reruns are byte-identical; null payloads skip members") {
+    val o1 = java.nio.file.Files.createTempDirectory("webds").toString
+    val o2 = java.nio.file.Files.createTempDirectory("webds").toString
+    val pay = Seq("img" -> "bin", "meta" -> "json")
+    val s1 = Shards.writeTarShards(mediaSamples, "key", pay, o1, 8192L)
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    val s2 = Shards.writeTarShards(mediaSamples, "key", pay, o2, 8192L)
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(s1 == s2, "rerun produced different shard bytes")
+
+    import spark.implicits._
+    val withNull = Seq(
+      ("a", Array[Byte](1, 2, 3), """{"k":"a"}"""),
+      ("b", null.asInstanceOf[Array[Byte]], """{"k":"b"}"""))
+      .toDF("key", "img", "meta")
+    val o3 = java.nio.file.Files.createTempDirectory("webds").toString
+    Shards.writeTarShards(withNull, "key", pay, o3).collect()
+    val names = graft.sources.Sources
+      .tarMembersBinary(spark, s"$o3/shard-*.tar")
+      .select("member").collect().map(_.getString(0)).toSet
+    assert(names == Set("a.bin", "a.json", "b.json"),
+      "null payload should skip exactly its member")
+  }
 }
