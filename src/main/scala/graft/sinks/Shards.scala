@@ -98,17 +98,24 @@ object Shards {
     *      `repartition(shard)` gives every shard a single writer task;
     *      `sortWithinPartitions(shard, ord)` makes member order
     *      deterministic.
-    * Entry mtimes are pinned to epoch and writes go through a temp
-    * file + atomic rename, so RERUNS ARE BYTE-IDENTICAL per shard
-    * (sha256 in the manifest proves it) and a failed task never leaves
-    * a half-written shard visible. Budget note: shard byte budgets are
-    * exact when keys are unique (duplicate keys share an ord and
-    * collapse into the earlier shard).
+    * Entry mtimes are pinned to epoch, names are UTF-8, and writes go
+    * through a temp file + atomic rename, so RERUNS ARE BYTE-IDENTICAL
+    * per shard (sha256 in the manifest proves it; the pack order
+    * tie-breaks duplicate keys by full payload content, so only rows
+    * identical in every byte can swap — which leaves the tar bytes
+    * unchanged) and a failed task never leaves a half-written shard
+    * visible. Shard byte budgets are exact (modulo the tar's trailing
+    * record padding) for ≤100-byte ASCII member names; longer or
+    * non-ASCII names get an estimated PAX-header surcharge.
     *
-    * Evaluating the returned manifest IS the write (one row per shard:
-    * shard, path, n_samples, n_bytes, sha256). Null payload cells skip
-    * that member; null keys write as "". Local/NFS path semantics —
-    * on an object store, swap the output-stream provider.
+    * The write is EAGER (like [[writeTrainingShards]]): the call
+    * clears stale `shard-*.tar`/`.tmp-shard-*` files from a previous
+    * run of the same outPath — a rerun producing fewer shards must not
+    * leave old shards for a loader's glob — runs the job, and returns
+    * the manifest (one row per shard: shard, path, n_samples, n_bytes,
+    * sha256). Null payload cells skip that member; null keys write as
+    * "". Local/NFS path semantics — on an object store, swap the
+    * output-stream provider.
     */
   def writeTarShards(samples: DataFrame, keyCol: String,
       payload: Seq[(String, String)], outPath: String,
@@ -117,24 +124,55 @@ object Shards {
     require(bytesPerShard > 0, "positive shard budget")
     val spark = samples.sparkSession
 
-    // tar cost of one sample: 512 B header + content rounded up to the
-    // 512 B block, per non-null entry
-    val entryCost = payload.map { case (c, _) =>
+    // tar cost of one sample, per non-null entry: 512 B header +
+    // content rounded up to the 512 B block + (for names over 100
+    // bytes or containing non-ASCII, which commons-compress promotes
+    // to PAX) an extended header of 512 B + the "<len> path=<name>\n"
+    // record rounded up to a block
+    val keyStr = s"coalesce(cast(`$keyCol` AS string), '')"
+    val entryCost = payload.map { case (c, ext) =>
+      val nameBytes =
+        s"(octet_length($keyStr) + ${ext.getBytes("UTF-8").length + 1}L)"
+      val paxNeeded =
+        s"($nameBytes > 100L OR octet_length($keyStr) <> char_length($keyStr))"
+      val paxCost =
+        s"CASE WHEN $paxNeeded THEN 512L + (($nameBytes + 543L) div 512L) * 512L ELSE 0L END"
       expr(s"CASE WHEN `$c` IS NULL THEN 0L ELSE 512L + " +
-        s"((length(cast(`$c` AS binary)) + 511L) div 512L) * 512L END")
+        s"((length(cast(`$c` AS binary)) + 511L) div 512L) * 512L + " +
+        s"$paxCost END")
     }.reduce(_ + _)
 
-    val ord = graft.operators.Corpus.shuffleKey(col(keyCol), seed)
+    // Pack-order key: the deterministic shuffle position, tie-broken
+    // by the full payload content — duplicate keys with different
+    // payloads still order deterministically, and rows identical in
+    // every byte are interchangeable without changing the tar bytes.
+    val contentFp = md5(concat_ws(":", payload.map { case (c, _) =>
+      // per-column digest first: a null payload ('0' — not a possible
+      // 32-hex digest) can never collide with any real content
+      coalesce(md5(col(c).cast("binary")), lit("0"))
+    }: _*))
+    val ord = concat(
+      graft.operators.Corpus.shuffleKey(col(keyCol), seed),
+      lit(":"), contentFp)
 
     // slim pack: shard boundaries WITHOUT moving payload bytes
-    val bounds: Array[(String, Long)] = graft.operators.Pack
+    val rawBounds: Array[(String, Long)] = graft.operators.Pack
       .sequencePack(
         samples.select(ord.as("__ord"), entryCost.as("__bytes")),
         "__ord", "__bytes", bytesPerShard)
       .groupBy(col("seq_id").as("shard"))
       .agg(max(col("__ord")).as("hi"))
-      .orderBy(col("hi"))
       .collect().map(r => (r.getString(1), r.getLong(0)))
+    // Fully identical rows straddling a boundary can give two shards
+    // the same hi: keep the lower shard id (its first-match wins in
+    // the search below; the other shard simply receives no rows) and
+    // sort driver-side so the executor's Java-string binary search
+    // sees the exact ordering it compares with. (Java UTF-16 vs Spark
+    // UTF-8 ordering can only diverge for strings equal through the
+    // md5-hex prefix — i.e. never for distinct ords.)
+    val bounds: Array[(String, Long)] = rawBounds
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toArray
+      .sortBy(_._1)
     val boundsB = spark.sparkContext.broadcast(bounds)
     val shardOf = udf { o: String =>
       val b = boundsB.value
@@ -161,11 +199,24 @@ object Shards {
       StructField("n_bytes", LongType, nullable = false),
       StructField("sha256", StringType, nullable = false)))
     val enc = RowEncoder.encoderFor(manifestSchema)
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outPath))
 
-    val manifest =
-      if (bounds.isEmpty) spark.createDataFrame(
-        new java.util.ArrayList[Row](), manifestSchema)
+    // Pre-clean: stale shards from a previous run of this outPath (a
+    // rerun producing fewer shards must not leave old tars for a
+    // loader's glob) and stranded temps from a previous failed task.
+    val outDir = java.nio.file.Paths.get(outPath)
+    java.nio.file.Files.createDirectories(outDir)
+    val stale = java.nio.file.Files.newDirectoryStream(outDir)
+    try {
+      stale.forEach { p =>
+        val n = p.getFileName.toString
+        if ((n.startsWith("shard-") && n.endsWith(".tar")) ||
+            n.startsWith(".tmp-shard-"))
+          java.nio.file.Files.delete(p)
+      }
+    } finally stale.close()
+
+    val rows: Array[Row] =
+      if (bounds.isEmpty) Array.empty
       else projected
         .repartition(math.min(bounds.length,
           spark.sessionState.conf.numShufflePartitions), col("shard"))
@@ -189,39 +240,58 @@ object Shards {
               digest.digest().map("%02x".format(_)).mkString)
             tout = null; tmp = null; digest = null; nSamples = 0L
           }
-          it.foreach { r =>
-            val s = r.getLong(0)
-            if (s != shard) {
-              closeShard()
-              shard = s
-              tmp = Files.createTempFile(
-                Paths.get(outPath), ".tmp-shard-", ".tar")
-              digest = java.security.MessageDigest.getInstance("SHA-256")
-              tout = new TarArchiveOutputStream(
-                new java.security.DigestOutputStream(
-                  new java.io.BufferedOutputStream(
-                    Files.newOutputStream(tmp), 1 << 16), digest))
-              tout.setLongFileMode(TarArchiveOutputStream.LONGFILE_POSIX)
-            }
-            val key = r.getString(2)
-            var i = 0
-            while (i < exts.length) {
-              if (!r.isNullAt(3 + i)) {
-                val bytes = r.getAs[Array[Byte]](3 + i)
-                val e = new TarArchiveEntry(s"$key.${exts(i)}")
-                e.setSize(bytes.length.toLong)
-                e.setModTime(0L) // pinned mtime → byte-identical reruns
-                tout.putArchiveEntry(e)
-                tout.write(bytes)
-                tout.closeArchiveEntry()
+          try {
+            it.foreach { r =>
+              val s = r.getLong(0)
+              if (s != shard) {
+                closeShard()
+                shard = s
+                tmp = Files.createTempFile(
+                  Paths.get(outPath), ".tmp-shard-", ".tar")
+                digest = java.security.MessageDigest.getInstance("SHA-256")
+                tout = new TarArchiveOutputStream(
+                  new java.security.DigestOutputStream(
+                    new java.io.BufferedOutputStream(
+                      Files.newOutputStream(tmp), 1 << 16), digest),
+                  "UTF-8") // portable member names, any executor locale
+                tout.setLongFileMode(TarArchiveOutputStream.LONGFILE_POSIX)
+                tout.setAddPaxHeadersForNonAsciiNames(true)
               }
-              i += 1
+              val key = r.getString(2)
+              var i = 0
+              while (i < exts.length) {
+                if (!r.isNullAt(3 + i)) {
+                  val bytes = r.getAs[Array[Byte]](3 + i)
+                  val e = new TarArchiveEntry(s"$key.${exts(i)}")
+                  e.setSize(bytes.length.toLong)
+                  e.setModTime(0L) // pinned mtime → byte-identical reruns
+                  tout.putArchiveEntry(e)
+                  tout.write(bytes)
+                  tout.closeArchiveEntry()
+                }
+                i += 1
+              }
+              nSamples += 1
             }
-            nSamples += 1
+            closeShard()
+          } catch {
+            case t: Throwable =>
+              // failed task: release the fd, remove the half-written
+              // temp — retries re-clean via createTempFile uniqueness
+              // + the driver's pre-clean on the next full run
+              if (tout != null) {
+                try tout.close() catch { case _: Throwable => () }
+                try Files.deleteIfExists(tmp)
+                catch { case _: Throwable => () }
+              }
+              throw t
           }
-          closeShard()
           done.iterator
         }(enc)
-    manifest.orderBy(col("shard"))
+        .collect() // EAGER: the write happens here, once
+
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows.sortBy(_.getLong(0)): _*),
+      manifestSchema)
   }
 }

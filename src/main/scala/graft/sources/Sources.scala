@@ -92,7 +92,8 @@ object Sources {
     spark.sparkContext.binaryFiles(path)
       .flatMap { case (archive, pds) =>
         val tin = new org.apache.commons.compress.archivers.tar.TarArchiveInputStream(
-          new java.io.BufferedInputStream(pds.open(), 1 << 16))
+          new java.io.BufferedInputStream(pds.open(), 1 << 16),
+          "UTF-8") // member-name decode independent of executor locale
         // eager per-archive member list + close in finally: a lazy
         // iterator would leak the underlying filesystem handle
         // whenever a downstream limit stops consuming mid-archive

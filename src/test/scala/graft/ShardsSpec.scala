@@ -122,4 +122,44 @@ class ShardsSpec extends AnyFunSuite {
     assert(names == Set("a.bin", "a.json", "b.json"),
       "null payload should skip exactly its member")
   }
+
+  test("tar shard rerun into the same dir clears stale shards") {
+    val out = java.nio.file.Files.createTempDirectory("webds").toString
+    val pay = Seq("img" -> "bin", "meta" -> "json")
+    val many = Shards.writeTarShards(mediaSamples, "key", pay, out, 8192L)
+      .count()
+    assert(many > 1)
+    // bigger budget → fewer shards; the old ones must be GONE
+    val few = Shards.writeTarShards(mediaSamples, "key", pay, out, 1L << 20)
+      .collect()
+    val onDisk = new java.io.File(out).listFiles()
+      .map(_.getName).filter(_.endsWith(".tar")).sorted.toSeq
+    assert(onDisk == few.map(r => new java.io.File(r.getString(1)).getName)
+      .sorted.toSeq, "stale shards from the previous run survived")
+    assert(onDisk.size < many)
+  }
+
+  test("duplicate keys and non-ASCII keys stay deterministic and readable") {
+    import spark.implicits._
+    // two rows per key with DIFFERENT payloads (the content tie-break),
+    // keys containing non-ASCII (UTF-8 name path)
+    val dup = (0 until 12).map { i =>
+      (s"clé-日本-${i / 2}", Array.tabulate[Byte](64)(j =>
+        ((i * 37 + j) & 0xff).toByte), s"""{"i":$i}""")
+    }.toDF("key", "img", "meta")
+    val pay = Seq("img" -> "bin", "meta" -> "json")
+    def shas(p: String) =
+      Shards.writeTarShards(dup, "key", pay, p, 4096L)
+        .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    val o1 = java.nio.file.Files.createTempDirectory("webds").toString
+    val o2 = java.nio.file.Files.createTempDirectory("webds").toString
+    assert(shas(o1) == shas(o2),
+      "duplicate-key corpus produced rerun-unstable shard bytes")
+    // every sample readable back under its UTF-8 name, both copies kept
+    val members = graft.sources.Sources
+      .tarMembersBinary(spark, s"$o1/shard-*.tar")
+      .select("member").collect().map(_.getString(0))
+    assert(members.count(_ == "clé-日本-0.bin") == 2,
+      "duplicate-key samples lost or name mangled")
+  }
 }
