@@ -1660,6 +1660,90 @@ object QueriesPipeline {
             AS scrubbed_sha
         FROM s2""")),
 
+    // URL canonicalization — the dedup-key step of web-corpus
+    // curation. Like q_pii_scrub, the corpus has no organic URLs, so
+    // both sides plant deterministic doc_id-derived ones (mixed case,
+    // default/explicit ports, trailing slashes, tracking params,
+    // fragments) and the OPERATOR under test is the normalizer
+    // (functions/Url.scala — pure codegen'd Column ops, RE2-safe so
+    // the identical arithmetic replays in DuckDB). Map-only scan.
+    "q_url_normalize" -> Entry(
+      (s, dir) => {
+        import graft.functions.Url
+        val id = col("doc_id")
+        val url = concat(
+          when(pmod(id, lit(3)) === 0, lit("HTTPS://"))
+            .otherwise(lit("http://")),
+          lit("WWW"), pmod(id, lit(7)).cast("string"),
+          lit(".Example"), pmod(id, lit(41)).cast("string"), lit(".COM"),
+          when(pmod(id, lit(5)) === 0, lit(":443")).otherwise(lit("")),
+          lit("/Path/"), id.cast("string"),
+          when(pmod(id, lit(2)) === 0, lit("/")).otherwise(lit("")),
+          lit("?utm_source=x&b="), pmod(id, lit(9)).cast("string"),
+          lit("&a=1"),
+          when(pmod(id, lit(4)) === 0, lit("#frag")).otherwise(lit("")))
+        t(s, dir, "documents").select(col("doc_id"),
+          Url.normalize(url).as("url_norm"),
+          Url.host(url).as("host"),
+          Url.registeredDomain(url).as("domain"))
+      },
+      Some("""WITH planted AS (
+          SELECT doc_id,
+            (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://' ELSE 'http://' END
+             || 'WWW' || cast(doc_id % 7 AS varchar) || '.Example'
+             || cast(doc_id % 41 AS varchar) || '.COM'
+             || CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END
+             || '/Path/' || cast(doc_id AS varchar)
+             || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+             || '?utm_source=x&b=' || cast(doc_id % 9 AS varchar)
+             || '&a=1'
+             || CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END) AS url
+          FROM documents
+        ), parts AS (
+          SELECT doc_id, url,
+            lower(regexp_extract(url,
+              '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+            regexp_extract(url,
+              '^[A-Za-z][A-Za-z0-9+.-]*://(.*)$', 1) AS rest
+          FROM planted
+        ), auth AS (
+          SELECT doc_id, sch, rest,
+            lower(regexp_replace(regexp_replace(
+              regexp_extract(rest, '^([^/?#]*)', 1),
+              '^[^@]*@', ''), ':[0-9]*$', '')) AS host,
+            regexp_extract(regexp_extract(rest, '^([^/?#]*)', 1),
+              ':([0-9]+)$', 1) AS port,
+            regexp_replace(regexp_replace(rest, '^[^/?#]*', ''),
+              '#.*$', '') AS pathq
+          FROM parts
+        ), comp AS (
+          SELECT doc_id, sch, host,
+            CASE WHEN port <> '' AND NOT ((sch = 'http' AND port = '80')
+                OR (sch = 'https' AND port = '443'))
+              THEN host || ':' || port ELSE host END AS hostport,
+            regexp_extract(pathq, '^([^?]*)', 1) AS path0,
+            CASE WHEN pathq LIKE '%?%'
+              THEN regexp_replace(pathq, '^[^?]*\?', '')
+              ELSE '' END AS rawq
+          FROM auth
+        ), fin AS (
+          SELECT doc_id, sch, host, hostport,
+            CASE WHEN path0 = '' OR path0 = '/' THEN '/'
+              ELSE regexp_replace(path0, '/$', '') END AS path,
+            array_to_string(list_sort(list_filter(
+              string_split(rawq, '&'), p -> p <> '' AND NOT
+              regexp_matches(p, '^(utm_[^=]*|gclid|fbclid|ref)(=|$)'))),
+              '&') AS q
+          FROM comp)
+        SELECT doc_id,
+          sch || '://' || hostport || path ||
+            CASE WHEN q = '' THEN '' ELSE '?' || q END AS url_norm,
+          host,
+          CASE WHEN len(string_split(host, '.')) <= 2 THEN host
+            ELSE string_split(host, '.')[-2] || '.' ||
+              string_split(host, '.')[-1] END AS domain
+        FROM fin""")),
+
     // Data profiling: per-column null/distinct/min/max over lineitem,
     // ONE single-distinct aggregate per column unioned (all-in-one-agg
     // triggers the RewriteDistinctAggregates Expand — see
