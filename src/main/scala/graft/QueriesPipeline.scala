@@ -1710,7 +1710,7 @@ object QueriesPipeline {
           SELECT doc_id, sch, rest,
             lower(regexp_replace(regexp_replace(
               regexp_extract(rest, '^([^/?#]*)', 1),
-              '^[^@]*@', ''), ':[0-9]*$', '')) AS host,
+              '^[^@]*@', ''), ':.*$', '')) AS host,
             regexp_extract(regexp_extract(rest, '^([^/?#]*)', 1),
               ':([0-9]+)$', 1) AS port,
             regexp_replace(regexp_replace(rest, '^[^/?#]*', ''),
@@ -1728,8 +1728,8 @@ object QueriesPipeline {
           FROM auth
         ), fin AS (
           SELECT doc_id, sch, host, hostport,
-            CASE WHEN path0 = '' OR path0 = '/' THEN '/'
-              ELSE regexp_replace(path0, '/$', '') END AS path,
+            CASE WHEN regexp_replace(path0, '/+$', '') = '' THEN '/'
+              ELSE regexp_replace(path0, '/+$', '') END AS path,
             array_to_string(list_sort(list_filter(
               string_split(rawq, '&'), p -> p <> '' AND NOT
               regexp_matches(p, '^(utm_[^=]*|gclid|fbclid|ref)(=|$)'))),

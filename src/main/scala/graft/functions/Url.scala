@@ -16,37 +16,46 @@ import org.apache.spark.sql.functions._
   *   - tracking params dropped (`utm_*`, `gclid`, `fbclid`, `ref`)
   *   - remaining query params sorted (order-insensitive compare),
   *     empty query dropped
-  *   - trailing slash stripped from non-root paths; bare authority
+  *   - all trailing path slashes stripped (non-root); bare authority
   *     gets path `/`
-  * Inputs without a `scheme://` prefix pass through trimmed — the
-  * caller decides whether schemeless rows are URLs at all.
+  * Protocol-relative inputs (`//host/path`, common in crawled HTML)
+  * canonicalize the same way and keep their `//` prefix (ports can't
+  * be default-stripped without a scheme, so they survive). Inputs
+  * with neither a `scheme://` nor a `//` prefix pass through
+  * trimmed — the caller decides whether schemeless rows are URLs at
+  * all. Every public function trims its input; [[normalize]] is
+  * idempotent.
   */
 object Url {
 
   private val schemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
 
-  /** Everything after `scheme://`, null when no scheme. */
-  private def afterScheme(u: Column): Column = {
-    val m = regexp_extract(u, schemeRe + "(.*)$", 2)
-    when(u.rlike(schemeRe), m)
+  /** Everything after the `scheme://` or protocol-relative `//`
+    * prefix; null when neither is present. */
+  private def afterPrefix(u: Column): Column = {
+    val t = trim(u)
+    when(t.rlike(schemeRe), regexp_extract(t, schemeRe + "(.*)$", 2))
+      .when(t.startsWith("//"), regexp_replace(t, "^//", ""))
   }
 
-  /** Lowercased scheme, null when absent. */
+  /** Lowercased scheme, null when absent (incl. protocol-relative). */
   def scheme(u: Column): Column = {
-    val s = lower(regexp_extract(u, schemeRe, 1))
-    when(u.rlike(schemeRe), s)
+    val t = trim(u)
+    when(t.rlike(schemeRe), lower(regexp_extract(t, schemeRe, 1)))
   }
 
   /** authority = host[:port] — the part before the first `/`, `?`
-    * or `#` after the scheme. */
+    * or `#` after the prefix. */
   private def authority(u: Column): Column =
-    regexp_extract(afterScheme(u), "^([^/?#]*)", 1)
+    regexp_extract(afterPrefix(u), "^([^/?#]*)", 1)
 
-  /** Lowercased host without port (and without userinfo). */
+  /** Lowercased host: authority without userinfo and without
+    * everything from the first colon on (ports; degenerate repeated
+    * `:p:p` suffixes collapse in one pass, keeping [[normalize]]
+    * idempotent). */
   def host(u: Column): Column = {
     val a = authority(u)
-    // strip userinfo@ then :port
-    lower(regexp_replace(regexp_replace(a, "^[^@]*@", ""), ":\\d*$", ""))
+    lower(regexp_replace(regexp_replace(a, "^[^@]*@", ""), ":.*$", ""))
   }
 
   /** The registrable-ish domain: last two dot-labels of the host. (A
@@ -63,30 +72,32 @@ object Url {
         element_at(labels, -2), element_at(labels, -1)))
   }
 
-  /** Canonical form per the object contract; schemeless input passes
-    * through trimmed; null → null. */
+  /** Canonical form per the object contract; schemeless
+    * non-protocol-relative input passes through trimmed; null →
+    * null. */
   def normalize(u: Column): Column = {
     val t = trim(u)
     val sch = scheme(t)
-    val rest = afterScheme(t)
+    val rest = afterPrefix(t)
     val auth = authority(t)
     val h = host(t)
-    // port survives unless it is the scheme default
+    // port survives unless it is the scheme default (no scheme → no
+    // known default → a coalesced "" scheme keeps it)
     val port = regexp_extract(auth, ":(\\d+)$", 1)
+    val schOr = coalesce(sch, lit(""))
     val keepPort = (port =!= "") &&
-      !((sch === "http" && port === "80") ||
-        (sch === "https" && port === "443"))
+      !((schOr === "http" && port === "80") ||
+        (schOr === "https" && port === "443"))
     val hostPort = when(keepPort, concat(h, lit(":"), port)).otherwise(h)
 
     // path = after authority, before ? or #; fragment dies here
     val pathQ = regexp_replace(
       regexp_extract(rest, "^[^/?#]*(.*)$", 1), "#.*$", "")
     val path0 = regexp_extract(pathQ, "^([^?]*)", 1)
-    // no lookbehind (RE2-safe for the oracle replay): keep the root
-    // slash, strip any other trailing one
-    val path = when(path0 === "", lit("/"))
-      .when(path0 === "/", lit("/"))
-      .otherwise(regexp_replace(path0, "/$", ""))
+    // ALL trailing slashes die (one-slash-per-pass would break
+    // idempotence on 'a//'); an emptied path is the root
+    val stripped = regexp_replace(path0, "/+$", "")
+    val path = when(stripped === "", lit("/")).otherwise(stripped)
 
     // query: drop tracking params, sort the rest
     val rawQ = when(pathQ.rlike("\\?"),
@@ -94,10 +105,13 @@ object Url {
     val kept = filter(split(rawQ, "&"), p =>
       p =!= "" && !p.rlike("^(utm_[^=]*|gclid|fbclid|ref)(=|$)"))
     val q = array_join(array_sort(kept), "&")
+    val qPart = when(q === "", lit("")).otherwise(concat(lit("?"), q))
 
     when(u.isNull, lit(null).cast("string"))
-      .when(sch.isNull, t) // schemeless: pass through trimmed
-      .otherwise(concat(sch, lit("://"), hostPort, path,
-        when(q === "", lit("")).otherwise(concat(lit("?"), q))))
+      .when(sch.isNotNull,
+        concat(sch, lit("://"), hostPort, path, qPart))
+      .when(t.startsWith("//"), // protocol-relative: same rules
+        concat(lit("//"), hostPort, path, qPart))
+      .otherwise(t) // schemeless: pass through trimmed
   }
 }

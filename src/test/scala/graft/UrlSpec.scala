@@ -65,12 +65,39 @@ class UrlSpec extends AnyFunSuite {
       ("example.com", "example.com")))
   }
 
-  test("normalization is idempotent") {
+  test("protocol-relative URLs canonicalize and keep their prefix") {
+    assert(norm(
+      "//WWW.Example.com/a/?b=2&a=1&utm_source=x",
+      "//CDN.Example.com:8080"
+    ) == Seq(
+      "//www.example.com/a?a=1&b=2",
+      // no scheme → no known default port → it survives
+      "//cdn.example.com:8080/"))
+  }
+
+  test("normalization is idempotent (incl. repeated slashes and ports)") {
     val urls = Seq(
       "HTTP://Example.COM:80/A/b/?utm_source=x&b=2&a=1#frag",
       "https://Example.com",
-      "http://u@h.io:9999/p/?z=1&y=2")
+      "http://u@h.io:9999/p/?z=1&y=2",
+      "http://h.io/a//",            // multi-slash: all die in one pass
+      "https://h.io//",             // slashes-only path → root
+      "//P.Q.org/x//?b=1&a=2")
     val once = norm(urls: _*)
     assert(norm(once: _*) == once)
+    assert(once(3) == "http://h.io/a")
+    assert(once(4) == "https://h.io/")
+    assert(once(5) == "//p.q.org/x?a=2&b=1")
+  }
+
+  test("public functions trim their input consistently") {
+    val out = Seq("  https://Example.com/x  ")
+      .toDF("u").select(Url.normalize(col("u")).as("n"),
+        Url.host(col("u")).as("h"),
+        Url.registeredDomain(col("u")).as("d"))
+      .collect().head
+    assert(out.getString(0) == "https://example.com/x")
+    assert(out.getString(1) == "example.com")
+    assert(out.getString(2) == "example.com")
   }
 }
