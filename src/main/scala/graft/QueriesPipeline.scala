@@ -1682,10 +1682,16 @@ object QueriesPipeline {
           lit("?utm_source=x&b="), pmod(id, lit(9)).cast("string"),
           lit("&a=1"),
           when(pmod(id, lit(4)) === 0, lit("#frag")).otherwise(lit("")))
-        t(s, dir, "documents").select(col("doc_id"),
-          Url.normalize(url).as("url_norm"),
-          Url.host(url).as("host"),
-          Url.registeredDomain(url).as("domain"))
+        // staged Project: passing the raw `url` Column into the three
+        // extractors would inline the plant ~30x into one giant
+        // expression tree (codegen-method blowup); behind an alias,
+        // CollapseProject keeps the non-cheap multi-referenced plant
+        // in its own Project
+        t(s, dir, "documents").select(col("doc_id"), url.as("url"))
+          .select(col("doc_id"),
+            Url.normalize(col("url")).as("url_norm"),
+            Url.host(col("url")).as("host"),
+            Url.registeredDomain(col("url")).as("domain"))
       },
       Some("""WITH planted AS (
           SELECT doc_id,
