@@ -255,6 +255,33 @@ object QueriesPipeline {
         FROM sh a JOIN bench b ON a.s = b.s
         WHERE a.doc_id % 97 <> 0 GROUP BY 1""")),
 
+    // The same decontamination through the bloom-guarded path: the
+    // large-eval-set plan (distributed sketch build → map-side probe →
+    // shuffled exact verify join) must produce IDENTICAL rows — the
+    // filter sizes the shuffle, never the answer — so it faces the
+    // same oracle SQL as q_decontaminate.
+    "q_decontaminate_bloom" -> Entry(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+        graft.operators.Contamination.hitsBloom(
+          docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+          "doc_id", "text", bench, "text")
+      },
+      Some("""WITH words AS (
+          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+          FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id,
+            CASE WHEN len(ws) <= 3 THEN array_to_string(ws, ' ')
+            ELSE array_to_string(list_slice(ws, i, i+2), ' ') END AS s
+          FROM words, unnest(CASE WHEN len(ws) <= 3 THEN [1]
+            ELSE range(1, len(ws)-1) END) AS t(i)
+        ), bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0)
+        SELECT a.doc_id, count(*) AS n_hits
+        FROM sh a JOIN bench b ON a.s = b.s
+        WHERE a.doc_id % 97 <> 0 GROUP BY 1""")),
+
     // Per-document contamination FRACTION: n_hits / n_distinct_shingles
     // for EVERY training doc (clean docs = 0.0) — the drop-threshold
     // gate curation applies on top of the raw hit list. Fraction of

@@ -38,6 +38,57 @@ object Contamination {
       .agg(count(lit(1)).as("n_hits")) // shingles pre-deduped per doc
   }
 
+  /** The large-eval-set variant of [[hits]] — identical results, bounded
+    * memory. [[hits]] broadcasts the benchmark's distinct shingles as a
+    * join hash table; a full eval-suite union can reach 10⁸ distinct
+    * n-grams (tens of GB relationalized), past any broadcast threshold,
+    * at which point the exact join must shuffle BOTH sides — and the
+    * corpus side of that shuffle is every shingle of every document.
+    *
+    * Here a Bloom filter over the benchmark shingles guards that
+    * shuffle: built DISTRIBUTED (`BloomFilterAggregate` — map-side
+    * partial sketches, one O(numBits) merge), ~1.2 bytes/item at 1%
+    * fpp — two orders smaller than the join table — and shipped to
+    * every scan task, it discards clean shingles map-side, so only
+    * true hits plus the fpp sliver ever leave the scan. The shuffled
+    * exact semi-join that follows removes the false positives, which
+    * keeps the result row-identical to [[hits]] at ANY fpp — the
+    * filter only sizes the shuffle, never the answer.
+    *
+    * `expectedItems ≤ 0` (default) sizes the filter from an exact
+    * count of the benchmark's distinct shingles — one extra action
+    * over the SMALL side. Filter bits clamp to Spark's per-sketch cap
+    * (`spark.sql.optimizer.runtime.bloomFilter.maxNumBits`, 8 MB
+    * default — raise it past ~10M eval shingles). */
+  def hitsBloom(docs: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, n: Int = 3,
+      fpp: Double = 0.01, expectedItems: Long = -1L): DataFrame = {
+    val benchShingles = bench
+      .select(explode(wordShingles(col(benchTextCol), n)).as("s"))
+      .distinct()
+    val items =
+      if (expectedItems > 0) expectedItems else benchShingles.count()
+    val spark = docs.sparkSession
+    val maxBits = spark.conf
+      .getOption("spark.sql.optimizer.runtime.bloomFilter.maxNumBits")
+      .map(_.toLong).getOrElse(67108864L)
+    val bits = graft.plans.BloomProbe.optimalNumBits(items, fpp, maxBits)
+    val filter = benchShingles
+      .agg(graft.plans.BloomProbe
+        .bloomAgg(xxhash64(col("s")), items, bits).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    docs
+      .select(col(idCol), explode(wordShingles(col(textCol), n)).as("s"))
+      .filter(graft.plans.BloomProbe
+        .mightContain(filter, xxhash64(col("s"))))
+      // exact verify: SHUFFLED semi-join (no broadcast hint — this path
+      // exists precisely for bench sets past the broadcast threshold;
+      // AQE may still broadcast a small one, which is just as exact)
+      .join(benchShingles, Seq("s"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits")) // shingles pre-deduped per doc
+  }
+
   /** Per-document contamination FRACTION — the gate curation jobs
     * apply on top of [[hits]]: n_hits / n_distinct_shingles per doc,
     * for EVERY document (clean docs score 0.0, so the output is

@@ -1,0 +1,47 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.graft.bridge.{column, expression}
+import org.apache.spark.sql.types.BinaryType
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Thin wrappers over Spark's built-in Bloom-filter expressions (the
+  * machinery behind runtime row-level join filtering): a distributed
+  * sketch build (`BloomFilterAggregate` — a TypedImperativeAggregate,
+  * so partials fold map-side and only O(numBits) state crosses the
+  * shuffle) and a codegen'd probe (`BloomFilterMightContain`). Both
+  * ends key on `xxhash64` longs; the caller applies the same hash on
+  * build and probe sides.
+  *
+  * Spark caps a single sketch at
+  * `spark.sql.optimizer.runtime.bloomFilter.maxNumBits` (64M bits =
+  * 8 MB default); [[optimalNumBits]] clamps to that cap, which at the
+  * default turns saturated once the build side passes ~10M items —
+  * past that, raise the conf alongside the driver/executor memory it
+  * implies.
+  */
+object BloomProbe {
+
+  /** Bits for `items` insertions at `fpp`, clamped to Spark's
+    * configured per-sketch cap (the aggregate type-checks against it). */
+  def optimalNumBits(items: Long, fpp: Double, maxBits: Long): Long =
+    math.max(64L,
+      math.min(BloomFilter.optimalNumOfBits(math.max(items, 1L), fpp),
+        maxBits))
+
+  /** Aggregate a LongType column (pre-hashed with `xxhash64`) into one
+    * serialized Bloom filter (BinaryType, single row). */
+  def bloomAgg(hashed: Column, items: Long, bits: Long): Column =
+    column(new BloomFilterAggregate(expression(hashed),
+      Literal(math.max(items, 1L)), Literal(bits)).toAggregateExpression())
+
+  /** Probe: true iff `hashed` (same `xxhash64` as the build side) MAY
+    * be in the serialized filter — no false negatives, `fpp` false
+    * positives. The filter bytes ride the plan as a literal, so they
+    * ship to executors once per stage via the task-binary broadcast. */
+  def mightContain(filter: Array[Byte], hashed: Column): Column =
+    column(BloomFilterMightContain(Literal(filter, BinaryType),
+      expression(hashed)))
+}

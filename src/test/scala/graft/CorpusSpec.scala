@@ -352,6 +352,30 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(3L) == ((4L, 1L, 0.25)))
   }
 
+  test("hitsBloom ≡ hits on a real slice, and exact under a saturated filter") {
+    import graft.operators.Contamination
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+    val train = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = rows(Contamination.hits(train, "doc_id", "text",
+      bench, "text"))
+    assert(exact.nonEmpty, "fixture must plant real contamination")
+    val bloom = rows(Contamination.hitsBloom(train, "doc_id", "text",
+      bench, "text"))
+    assert(bloom == exact, "bloom-guarded path must be row-identical")
+    // expectedItems = 1 under-sizes the filter to its 64-bit floor →
+    // near-every probe is a false positive; the verify join must still
+    // deliver the exact answer (the filter sizes the shuffle, never
+    // the result)
+    val saturated = rows(Contamination.hitsBloom(train, "doc_id", "text",
+      bench, "text", expectedItems = 1L))
+    assert(saturated == exact,
+      "a saturated (all-false-positive) filter must not change results")
+  }
+
   test("splitByHash: partition of the corpus, rerun- and layout-stable") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")

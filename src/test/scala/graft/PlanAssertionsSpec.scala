@@ -63,6 +63,29 @@ class PlanAssertionsSpec extends AnyFunSuite {
       "fact side must not shuffle for decorator joins")
   }
 
+  test("q_decontaminate_bloom probes the sketch map-side before any exchange") {
+    val exec = SparkEntry.queries("q_decontaminate_bloom")(spark, dir)
+      .queryExecution.executedPlan match {
+      // AQE wraps the plan in a leaf node; collect needs the inner tree
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.inputPlan
+      case p => p
+    }
+    assert(exec.toString.contains("LeftSemi"),
+      "exact verify semi-join missing")
+    // the might_contain Filter over the CORPUS shingles must have no
+    // Exchange beneath it — clean shingles die in the scan stage, so
+    // nothing but true hits + the fpp sliver is ever shuffled
+    val probes = exec.collect {
+      case f: org.apache.spark.sql.execution.FilterExec
+          if f.condition.toString.contains("might_contain") => f
+    }
+    assert(probes.nonEmpty, "bloom probe missing from the plan")
+    assert(probes.forall(_.collect {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e
+    }.isEmpty), "bloom probe must run before any exchange")
+  }
+
   test("q_rpm_stream_reduce partial-aggregates before the exchange") {
     val p = plan("q_rpm_stream_reduce")
     // ObjectHashAggregate partial_rpmstreamreduce runs map-side: the
