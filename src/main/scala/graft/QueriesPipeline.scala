@@ -1040,6 +1040,46 @@ object QueriesPipeline {
         SELECT doc_id FROM first
         WHERE fp NOT IN (SELECT fp FROM cfp)""")),
 
+    // The same incremental dedup through the bloom-sidecar path: batch
+    // rows whose fingerprint misses the index's Bloom sketch are
+    // DEFINITELY new and bypass the anti-join map-only; accepted rows
+    // go through the exact anti-join. Row-identical — same oracle.
+    "q_dedup_incremental_bloom" -> Entry(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val corpus = docs.filter(col("doc_id") % 5 < 4)
+        val batch = docs.filter(col("doc_id") % 5 === 4)
+          .select(col("doc_id"), col("text"))
+          .unionByName(corpus.filter(col("doc_id") % 7 === 0)
+            .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        val index = Dedup.fingerprintIndex(corpus, "text")
+        Dedup.dedupAgainstIndexBloom(batch, index, "text", "doc_id",
+            Dedup.indexBloom(index))
+          .select(col("doc_id"))
+      },
+      Some("""WITH corpus AS (
+          SELECT * FROM documents WHERE doc_id % 5 < 4),
+        batch AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 5 = 4
+          UNION ALL
+          SELECT doc_id + 100000 AS doc_id, text FROM corpus
+          WHERE doc_id % 7 = 0),
+        bfp AS (
+          SELECT doc_id,
+            sha256(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+          FROM batch),
+        cfp AS (
+          SELECT DISTINCT
+            sha256(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+          FROM corpus),
+        first AS (
+          SELECT doc_id, fp FROM (
+            SELECT doc_id, fp,
+              row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+            FROM bfp) WHERE rn = 1)
+        SELECT doc_id FROM first
+        WHERE fp NOT IN (SELECT fp FROM cfp)""")),
+
     // Duplicated-substring span detection (word 4-grams occurring ≥2
     // times corpus-wide, merged to maximal per-document spans) vs the
     // oracle's unnest+gaps-and-islands. Spark groups 8-byte gram

@@ -177,17 +177,61 @@ object Dedup {
     * corpus is represented only by its index, so per-batch cost is
     * |batch| + |index| regardless of corpus width. */
   def dedupAgainstIndex(batch: DataFrame, index: DataFrame,
-      textCol: String, idCol: String): DataFrame = {
+      textCol: String, idCol: String): DataFrame =
+    firstInBatch(batch, textCol, idCol)
+      .join(index.select(col("fp").as("__fp")), Seq("__fp"), "left_anti")
+      .drop("__fp")
+
+  /** The within-batch half of [[dedupAgainstIndex]]: first (min-`idCol`)
+    * occurrence per fingerprint, the `__fp` column still attached. */
+  private def firstInBatch(batch: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val fp = fanOut(batch).withColumn("__fp", Text.fingerprint(col(textCol)))
-    val first = fp
+    fanOut(batch).withColumn("__fp", Text.fingerprint(col(textCol)))
       .withColumn("__rn", row_number().over(
         Window.partitionBy("__fp").orderBy(col(idCol))))
       .filter(col("__rn") === 1)
       .drop("__rn")
-    first
+  }
+
+  /** Distributed Bloom sketch over a [[fingerprintIndex]]'s `fp` column
+    * — the sidecar a 100 TB ingestion pipeline persists NEXT TO the
+    * index (and refreshes on append) so arriving batches can skip the
+    * index join for rows the corpus has never seen. One aggregate scan
+    * of the index; O(numBits) state crosses the shuffle. */
+  def indexBloom(index: DataFrame, fpp: Double = 0.01,
+      expectedItems: Long = -1L): Array[Byte] = {
+    val items = if (expectedItems > 0) expectedItems else index.count()
+    val maxBits = index.sparkSession.conf
+      .getOption("spark.sql.optimizer.runtime.bloomFilter.maxNumBits")
+      .map(_.toLong).getOrElse(67108864L)
+    val bits = graft.plans.BloomProbe.optimalNumBits(items, fpp, maxBits)
+    index.agg(graft.plans.BloomProbe
+        .bloomAgg(xxhash64(col("fp")), items, bits).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+  }
+
+  /** [[dedupAgainstIndex]] with a pre-built [[indexBloom]] sidecar —
+    * row-identical results, a fraction of the join. A Bloom miss has no
+    * false negatives, so a batch row whose fingerprint misses is
+    * DEFINITELY new and bypasses the anti-join map-only; only rows the
+    * filter accepts (real dups + the fpp sliver of the batch) shuffle
+    * against the index. At 100 TB the index side dominates the plain
+    * anti-join's cost; here the sketch answers for it, so the join's
+    * probe side shrinks to the near-dup sliver. (The batch-side window
+    * subtree feeds both branches of the split and may recompute — a
+    * |batch|-sized cost, by construction tiny next to the index.) */
+  def dedupAgainstIndexBloom(batch: DataFrame, index: DataFrame,
+      textCol: String, idCol: String, bloom: Array[Byte]): DataFrame = {
+    val probed = firstInBatch(batch, textCol, idCol)
+      .withColumn("__maybe", graft.plans.BloomProbe
+        .mightContain(bloom, xxhash64(col("__fp"))))
+    val definitelyNew = probed.filter(!col("__maybe"))
+      .drop("__maybe", "__fp")
+    val maybeDup = probed.filter(col("__maybe")).drop("__maybe")
       .join(index.select(col("fp").as("__fp")), Seq("__fp"), "left_anti")
       .drop("__fp")
+    definitelyNew.unionByName(maybeDup)
   }
 
   /** [[dedupAgainstIndex]] with the index derived inline — convenience

@@ -301,6 +301,31 @@ class DedupSpec extends AnyFunSuite {
       .count() == 3)
   }
 
+  test("bloom-sidecar incremental dedup ≡ plain, exact even saturated") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = docs.filter(col("doc_id") % 5 < 4)
+    val batch = docs.filter(col("doc_id") % 5 === 5 - 1)
+      .select(col("doc_id"), col("text"))
+      .unionByName(corpus.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+    val idx = Dedup.fingerprintIndex(corpus, "text")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val plain = ids(Dedup.dedupAgainstIndex(batch, idx, "text", "doc_id"))
+    assert(plain.nonEmpty && plain.forall(_ < 100000),
+      "every re-crawl must drop; fixture plants survivors")
+    val bloom = Dedup.indexBloom(idx)
+    assert(ids(Dedup.dedupAgainstIndexBloom(batch, idx, "text", "doc_id",
+      bloom)) == plain, "bloom path must be row-identical")
+    // a 64-bit floor filter is ~all false positives: every row routes
+    // through the exact anti-join and the answer must not change
+    val saturated = Dedup.indexBloom(idx, expectedItems = 1L)
+    assert(ids(Dedup.dedupAgainstIndexBloom(batch, idx, "text", "doc_id",
+      saturated)) == plain,
+      "a saturated filter must not change results")
+  }
+
   test("duplicated spans: planted repeats merge to maximal spans") {
     import graft.operators.Corpus
     val repeat = "one two three four five" // 5 words shared by docs 1,2
