@@ -55,28 +55,33 @@ object Contamination {
     * keeps the result row-identical to [[hits]] at ANY fpp — the
     * filter only sizes the shuffle, never the answer.
     *
-    * `expectedItems ≤ 0` (default) sizes the filter from an exact
-    * count of the benchmark's distinct shingles — one extra action
-    * over the SMALL side. Filter bits clamp to Spark's per-sketch cap
-    * (`spark.sql.optimizer.runtime.bloomFilter.maxNumBits`, 8 MB
-    * default — raise it past ~10M eval shingles). */
+    * The distinct'd bench shingle set feeds three consumers (the sizing
+    * count, the sketch build, the verify join), so `cache` (default)
+    * persists it — same contract and caveat as [[crossContainment]]'s
+    * cache flag. `expectedItems ≤ 0` (default) sizes the filter from an
+    * exact count of the benchmark's distinct shingles. Sketch sizing
+    * clamps to Spark's per-sketch caps
+    * (`spark.sql.optimizer.runtime.bloomFilter.maxNumBits` /
+    * `maxNumItems` — raise BOTH past ~4M eval shingles; past the caps
+    * fpp degrades gracefully, results never change). */
   def hitsBloom(docs: DataFrame, idCol: String, textCol: String,
       bench: DataFrame, benchTextCol: String, n: Int = 3,
-      fpp: Double = 0.01, expectedItems: Long = -1L): DataFrame = {
-    val benchShingles = bench
+      fpp: Double = 0.01, expectedItems: Long = -1L,
+      cache: Boolean = true): DataFrame = {
+    val benchBase = bench
       .select(explode(wordShingles(col(benchTextCol), n)).as("s"))
       .distinct()
-    val items =
-      if (expectedItems > 0) expectedItems else benchShingles.count()
-    val spark = docs.sparkSession
-    val maxBits = spark.conf
-      .getOption("spark.sql.optimizer.runtime.bloomFilter.maxNumBits")
-      .map(_.toLong).getOrElse(67108864L)
-    val bits = graft.plans.BloomProbe.optimalNumBits(items, fpp, maxBits)
-    val filter = benchShingles
-      .agg(graft.plans.BloomProbe
-        .bloomAgg(xxhash64(col("s")), items, bits).as("bf"))
-      .head.getAs[Array[Byte]]("bf")
+    val benchShingles =
+      if (cache) benchBase
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else benchBase
+    val filter = graft.plans.BloomProbe
+      .buildFilter(benchShingles, col("s"), fpp, expectedItems)
+    if (filter == null)
+      // empty benchmark → nothing can hit; (a null probe literal would
+      // instead silently drop every row)
+      return docs.select(col(idCol)).filter(lit(false))
+        .withColumn("n_hits", lit(0L))
     docs
       .select(col(idCol), explode(wordShingles(col(textCol), n)).as("s"))
       .filter(graft.plans.BloomProbe

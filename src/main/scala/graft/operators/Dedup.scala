@@ -197,19 +197,17 @@ object Dedup {
   /** Distributed Bloom sketch over a [[fingerprintIndex]]'s `fp` column
     * — the sidecar a 100 TB ingestion pipeline persists NEXT TO the
     * index (and refreshes on append) so arriving batches can skip the
-    * index join for rows the corpus has never seen. One aggregate scan
-    * of the index; O(numBits) state crosses the shuffle. */
+    * index join for rows the corpus has never seen. Two scans of the
+    * index's fp column by default (sizing count + aggregate) — pass
+    * `expectedItems` from the index manifest to make it one. Returns
+    * null on an empty index ([[dedupAgainstIndexBloom]] handles it).
+    * Past ~4M fingerprints raise Spark's
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems`/`maxNumBits`
+    * together; past the caps fpp degrades gracefully, never results. */
   def indexBloom(index: DataFrame, fpp: Double = 0.01,
-      expectedItems: Long = -1L): Array[Byte] = {
-    val items = if (expectedItems > 0) expectedItems else index.count()
-    val maxBits = index.sparkSession.conf
-      .getOption("spark.sql.optimizer.runtime.bloomFilter.maxNumBits")
-      .map(_.toLong).getOrElse(67108864L)
-    val bits = graft.plans.BloomProbe.optimalNumBits(items, fpp, maxBits)
-    index.agg(graft.plans.BloomProbe
-        .bloomAgg(xxhash64(col("fp")), items, bits).as("bf"))
-      .head.getAs[Array[Byte]]("bf")
-  }
+      expectedItems: Long = -1L): Array[Byte] =
+    graft.plans.BloomProbe
+      .buildFilter(index.select(col("fp")), col("fp"), fpp, expectedItems)
 
   /** [[dedupAgainstIndex]] with a pre-built [[indexBloom]] sidecar —
     * row-identical results, a fraction of the join. A Bloom miss has no
@@ -223,6 +221,10 @@ object Dedup {
     * |batch|-sized cost, by construction tiny next to the index.) */
   def dedupAgainstIndexBloom(batch: DataFrame, index: DataFrame,
       textCol: String, idCol: String, bloom: Array[Byte]): DataFrame = {
+    if (bloom == null)
+      // null sidecar = EMPTY index (indexBloom's empty-input result):
+      // nothing to dedup against, the whole first-in-batch set survives
+      return firstInBatch(batch, textCol, idCol).drop("__fp")
     val probed = firstInBatch(batch, textCol, idCol)
       .withColumn("__maybe", graft.plans.BloomProbe
         .mightContain(bloom, xxhash64(col("__fp"))))

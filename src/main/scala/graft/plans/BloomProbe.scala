@@ -1,6 +1,7 @@
 package graft.plans
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.xxhash64
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.graft.bridge.{column, expression}
@@ -30,6 +31,39 @@ object BloomProbe {
     math.max(64L,
       math.min(BloomFilter.optimalNumOfBits(math.max(items, 1L), fpp),
         maxBits))
+
+  /** Build one serialized Bloom filter over `key` of `keyed` — the
+    * shared sizing + aggregate for every bloom-guarded operator.
+    *
+    * `expectedItems ≤ 0` counts the frame first (a second scan of the
+    * build side — pass the count when a manifest already knows it).
+    * Spark SILENTLY clamps the aggregate's estimatedNumItems to
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` (4M
+    * default), so bits are sized for the CLAMPED count to keep the
+    * hash-function count optimal: past the cap the filter degrades
+    * gracefully (higher fpp → more verify work, never wrong answers)
+    * instead of saturating on a bits/items mismatch. Past ~4M build
+    * items, raise maxNumItems AND maxNumBits together.
+    *
+    * Returns null iff `keyed` is empty (the aggregate's empty-input
+    * result) — callers must branch, a null literal probe evaluates to
+    * null and silently drops every row from BOTH sides of a split. */
+  def buildFilter(keyed: DataFrame, key: Column, fpp: Double,
+      expectedItems: Long): Array[Byte] = {
+    val conf = keyed.sparkSession.conf
+    def longConf(k: String, d: Long) =
+      conf.getOption(k).map(_.toLong).getOrElse(d)
+    val maxBits = longConf(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", 67108864L)
+    val maxItems = longConf(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", 4000000L)
+    val counted = if (expectedItems > 0) expectedItems else keyed.count()
+    val items = math.min(math.max(counted, 1L), maxItems)
+    keyed
+      .agg(bloomAgg(xxhash64(key), items,
+        optimalNumBits(items, fpp, maxBits)).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+  }
 
   /** Aggregate a LongType column (pre-hashed with `xxhash64`) into one
     * serialized Bloom filter (BinaryType, single row). */

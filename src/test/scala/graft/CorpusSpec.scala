@@ -374,6 +374,13 @@ class CorpusSpec extends AnyFunSuite {
       bench, "text", expectedItems = 1L))
     assert(saturated == exact,
       "a saturated (all-false-positive) filter must not change results")
+    // EMPTY benchmark → empty hit frame with the right schema (a naive
+    // null probe literal would also return empty here — the guard is
+    // for schema + no crash)
+    val none = Contamination.hitsBloom(train, "doc_id", "text",
+      bench.filter(lit(false)), "text")
+    assert(none.columns.toSeq == Seq("doc_id", "n_hits"))
+    assert(none.count() == 0)
   }
 
   test("splitByHash: partition of the corpus, rerun- and layout-stable") {

@@ -324,6 +324,15 @@ class DedupSpec extends AnyFunSuite {
     assert(ids(Dedup.dedupAgainstIndexBloom(batch, idx, "text", "doc_id",
       saturated)) == plain,
       "a saturated filter must not change results")
+    // bootstrap: EMPTY index → null sidecar → the whole deduped batch
+    // survives, exactly like the plain path (a naive null probe would
+    // silently drop every row instead)
+    val empty = idx.filter(lit(false))
+    val emptyPlain = ids(Dedup.dedupAgainstIndex(batch, empty, "text",
+      "doc_id"))
+    assert(Dedup.indexBloom(empty) == null)
+    assert(ids(Dedup.dedupAgainstIndexBloom(batch, empty, "text",
+      "doc_id", Dedup.indexBloom(empty))) == emptyPlain)
   }
 
   test("duplicated spans: planted repeats merge to maximal spans") {
