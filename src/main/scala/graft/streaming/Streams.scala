@@ -101,15 +101,36 @@ object Streams {
     * watermark horizon. Nothing grows with stream length: the join side
     * is |index|, the stream state is bounded by the watermark — the
     * combination a crawl-ingestion pipeline runs continuously while a
-    * batch job refreshes the index behind it. */
+    * batch job refreshes the index behind it.
+    *
+    * `bloom` (optional): an [[graft.operators.Dedup.indexBloom]]
+    * sidecar over the same index. The stream-static anti-join probes
+    * the index EVERY microbatch; with the sidecar, rows whose
+    * fingerprint misses the filter are definitely new and bypass the
+    * join map-only — only the re-crawl sliver (+ fpp) touches the
+    * index per batch. Results are identical at any fpp (a Bloom miss
+    * has no false negatives); refresh the sidecar whenever the batch
+    * job refreshes the index. */
   def dedupDocsAgainstIndex(docs: DataFrame, index: DataFrame,
-      textCol: String = "text", delay: String = "10 minutes"): DataFrame =
-    docs
+      textCol: String = "text", delay: String = "10 minutes",
+      bloom: Array[Byte] = null): DataFrame = {
+    val fp = docs
       .withColumn("__fp", graft.functions.Text.fingerprint(col(textCol)))
-      .join(index.select(col("fp").as("__fp")), Seq("__fp"), "left_anti")
+    val indexed = index.select(col("fp").as("__fp"))
+    val checked =
+      if (bloom == null) fp.join(indexed, Seq("__fp"), "left_anti")
+      else {
+        val probed = fp.withColumn("__maybe", graft.plans.BloomProbe
+          .mightContain(bloom, xxhash64(col("__fp"))))
+        probed.filter(!col("__maybe")).drop("__maybe")
+          .unionByName(probed.filter(col("__maybe")).drop("__maybe")
+            .join(indexed, Seq("__fp"), "left_anti"))
+      }
+    checked
       .withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
+  }
 
   /** Per-window trending terms as a true stream: watermarked tumbling
     * windows over a document stream, tokens from the native shingle

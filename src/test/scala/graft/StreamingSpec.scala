@@ -195,6 +195,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming ingestion dedup with bloom sidecar ≡ plain path") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val corpus = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon"))
+      .toDF("doc_id", "text")
+    val index = graft.operators.Dedup.fingerprintIndex(corpus, "text")
+    // saturated 64-bit sidecar: ~every probe is a false positive, so
+    // every row routes through the anti-join — the answer must match
+    // the well-sized sidecar AND the plain path
+    for ((bloom, tbl) <- Seq(
+        (graft.operators.Dedup.indexBloom(index), "ingest_bloom"),
+        (graft.operators.Dedup.indexBloom(index, expectedItems = 1L),
+          "ingest_bloom_sat"))) {
+      val ms = MemoryStream[Streams.Doc]
+      def doc(id: Long, min: Int, text: String) = Streams.Doc(id,
+        java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00"), text)
+      val q = Streams.dedupDocsAgainstIndex(ms.toDF(), index, bloom = bloom)
+        .writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(tbl).start()
+      try {
+        ms.addData(
+          doc(10, 0, "ALPHA   beta gamma"), // index hit → drop
+          doc(11, 1, "brand new content"),  // bloom miss → map-only keep
+          doc(12, 2, "brand NEW   content"), // in-stream dup of 11 → drop
+          doc(13, 3, "another fresh doc"))  // survives
+        q.processAllAvailable()
+        val ids = spark.table(tbl).select("doc_id")
+          .collect().map(_.getLong(0)).sorted
+        assert(ids.toSeq == Seq(11L, 13L), s"$tbl: ${ids.toSeq}")
+        assert(spark.table(tbl).columns.toSeq ==
+          Seq("doc_id", "ts", "text"))
+      } finally q.stop()
+    }
+  }
+
   test("gap sessions close via event-time timeout and in-batch splits") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
