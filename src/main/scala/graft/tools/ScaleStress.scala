@@ -364,6 +364,54 @@ object ScaleStress {
         f"$tTrain%8.1f $tEnc%9.1f $nPieces%12d")
       docs.unpersist()
     }
+
+    // Round-8 bloom-sidecar drill: batch-vs-index dedup where the INDEX
+    // is the N× corpus and the batch a mostly-novel crawl slice — the
+    // arriving-batch shape the sidecar targets. `join_rows` is how many
+    // batch rows actually reach the anti-join (plain = all of them;
+    // bloom = the re-crawl sliver + fpp) — the shuffle the sketch
+    // eliminates. Survivor counts must be identical.
+    println(f"\n${"copies"}%8s ${"index"}%9s ${"batch"}%8s " +
+      f"${"join_rows"}%9s ${"t_plain"}%8s ${"t_sketch"}%9s ${"t_bloom"}%8s")
+    for (copies <- Seq(1, maxScale)
+        if which == "all" || which == "bloom") {
+      val corpusDf = corpus(spark, dir, copies).cache()
+      corpusDf.count()
+      val idx = Dedup.fingerprintIndex(corpusDf, "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nIdx = idx.count()
+      val fresh = corpus(spark, dir, 1)
+        .select((col("doc_id") + 200000000L).as("doc_id"),
+          concat(lit("novel "), col("text")).as("text"))
+      val recrawl = corpusDf.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select((col("doc_id") + 300000000L).as("doc_id"), col("text"))
+      val batch = fresh.unionByName(recrawl).cache()
+      val nBatch = batch.count()
+      var nPlain = 0L
+      val tPlain = timed {
+        nPlain = Dedup.dedupAgainstIndex(batch, idx, "text", "doc_id")
+          .count()
+      }
+      var sidecar: Array[Byte] = null
+      val tSketch = timed {
+        sidecar = Dedup.indexBloom(idx, expectedItems = nIdx)
+      }
+      var nBloom = 0L
+      val tBloom = timed {
+        nBloom = Dedup.dedupAgainstIndexBloom(batch, idx, "text",
+          "doc_id", sidecar).count()
+      }
+      assert(nPlain == nBloom,
+        s"bloom path diverged: plain=$nPlain bloom=$nBloom")
+      val joinRows = batch
+        .select(Text.fingerprint(col("text")).as("fp"))
+        .filter(graft.plans.BloomProbe
+          .mightContain(sidecar, xxhash64(col("fp"))))
+        .count()
+      println(f"$copies%8d $nIdx%9d $nBatch%8d $joinRows%9d " +
+        f"$tPlain%8.1f $tSketch%9.1f $tBloom%8.1f")
+      corpusDf.unpersist(); idx.unpersist(); batch.unpersist()
+    }
     spark.stop()
   }
 }
