@@ -409,6 +409,27 @@ object QueriesPipeline {
         WHERE rate >= 1.0 OR substr(md5(text), 1, 4) <
           printf('%04x', cast(floor(rate * 65536) AS int))""")),
 
+    // Per-group TOKEN-budget cap: the mixture primitive for targets
+    // specified in tokens ("N tokens per language"), not row rates —
+    // md5(id:seed)-ordered prefix per group until the cumulative token
+    // count crosses the budget. Deterministic, layout-independent;
+    // the oracle replays the identical hash order and running sum.
+    "q_sample_token_budget" -> Entry(
+      (s, dir) => graft.operators.Corpus
+        .takeTokenBudget(t(s, dir, "documents"), "lang", "text",
+          "doc_id", budget = 4000L)
+        .select(col("lang"), col("doc_id")),
+      Some("""WITH t AS (
+          SELECT lang, doc_id,
+            len(regexp_split_to_array(trim(text), '\s+')) AS n,
+            md5(doc_id::VARCHAR || ':0') AS ord
+          FROM documents),
+        c AS (
+          SELECT lang, doc_id,
+            sum(n) OVER (PARTITION BY lang ORDER BY ord, doc_id) AS cum
+          FROM t)
+        SELECT lang, doc_id FROM c WHERE cum <= 4000""")),
+
     // Corpus-unigram log-prob quality score (LM-quality proxy): per-doc
     // mean ln P(word) under the corpus' own unigram distribution. The
     // words⋈vocab join is Zipf-skewed, so the hot head of the vocab

@@ -296,6 +296,36 @@ object Corpus {
     df.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= n)
   }
 
+  /** Deterministic per-group TOKEN-budget cap — the mixture primitive
+    * for targets specified in tokens, not rows (epoch/temperature
+    * recipes say "20B tokens of domain X", and [[rebalanceMixture]]'s
+    * row rates miss that by the group's mean-length skew): per group,
+    * keep the md5(id:seed)-ordered prefix of documents whose cumulative
+    * token count stays ≤ `budget`. Hash order makes the kept set
+    * rerun- and layout-stable, and a different `seed` an independent
+    * draw; the prefix rule is strict (a doc that would cross the
+    * budget, and everything after it, drops).
+    *
+    * One shuffle on the group key; the running sum is a per-group
+    * window, so each group sorts within one task — sized for
+    * many-group corpora (domains, sources, languages). A single
+    * enormous group degenerates to one task; at that shape use the
+    * two-phase distributed prefix sum ([[graft.operators.Pack]]) on
+    * the group's slice instead. */
+  def takeTokenBudget(df: DataFrame, groupCol: String, textCol: String,
+      idCol: String, budget: Long, seed: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = md5(concat(col(idCol).cast("string"), lit(s":$seed")))
+    // id tie-break: md5 collisions are ~impossible, but a total order
+    // must not rest on "~"
+    val w = Window.partitionBy(col(groupCol)).orderBy(ord, col(idCol))
+    df.withColumn("__cum",
+        sum(graft.functions.Text.token_count(col(textCol)).cast("long"))
+          .over(w))
+      .filter(col("__cum") <= budget)
+      .drop("__cum")
+  }
+
   /** BM25 scores of every document against a small bag of query terms.
     * Returns (idCol, dl, score) for documents matching ≥1 term; callers
     * take the top-k. Formula (Robertson/Sparck Jones, the Okapi BM25

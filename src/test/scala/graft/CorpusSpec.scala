@@ -383,6 +383,38 @@ class CorpusSpec extends AnyFunSuite {
     assert(none.count() == 0)
   }
 
+  test("takeTokenBudget: strict hash-ordered prefix per group, seeded") {
+    // per-group md5(id:0) order is knowable: compute it here the same
+    // way the operator does and check the kept set is exactly the
+    // strict prefix under the budget
+    def md5hex(s: String) = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val docs = (1L to 8L).map(i =>
+      (i, "g", Seq.fill(i.toInt)("w").mkString(" "))) // i tokens each
+      .toDF("doc_id", "grp", "text")
+    val order = (1L to 8L).sortBy(i => (md5hex(s"$i:0"), i))
+    val budget = 12L
+    val expect = order
+      .scanLeft((0L, 0L)) { case ((_, cum), id) => (id, cum + id) }
+      .tail.takeWhile(_._2 <= budget).map(_._1).toSet
+    val got = Corpus.takeTokenBudget(docs, "grp", "text", "doc_id", budget)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expect, s"order=$order got=$got expect=$expect")
+    assert(expect.nonEmpty && expect.size < 8,
+      "fixture must exercise a partial prefix")
+    // working column dropped; rerun-stable; another seed = another draw
+    assert(Corpus.takeTokenBudget(docs, "grp", "text", "doc_id", budget)
+      .columns.toSeq == Seq("doc_id", "grp", "text"))
+    val seeded = Corpus.takeTokenBudget(docs, "grp", "text", "doc_id",
+      budget, seed = 7).select("doc_id").collect().map(_.getLong(0)).toSet
+    val order7 = (1L to 8L).sortBy(i => (md5hex(s"$i:7"), i))
+    val expect7 = order7
+      .scanLeft((0L, 0L)) { case ((_, cum), id) => (id, cum + id) }
+      .tail.takeWhile(_._2 <= budget).map(_._1).toSet
+    assert(seeded == expect7)
+  }
+
   test("splitByHash: partition of the corpus, rerun- and layout-stable") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")

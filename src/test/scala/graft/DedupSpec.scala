@@ -335,6 +335,24 @@ class DedupSpec extends AnyFunSuite {
       "doc_id", Dedup.indexBloom(empty))) == emptyPlain)
   }
 
+  test("bloom build/probe: zero false negatives, fpp within sizing") {
+    import graft.plans.BloomProbe
+    val members = spark.range(2000)
+      .select(concat(lit("member-"), col("id")).as("s"))
+    val filter = BloomProbe.buildFilter(members, col("s"),
+      fpp = 0.01, expectedItems = -1L)
+    // no false negatives — every inserted key must probe true
+    assert(members
+      .filter(!BloomProbe.mightContain(filter, xxhash64(col("s"))))
+      .count() == 0, "a Bloom filter may never reject a member")
+    // false-positive rate on a disjoint key space stays near sizing
+    val fp = spark.range(20000)
+      .select(concat(lit("stranger-"), col("id")).as("s"))
+      .filter(BloomProbe.mightContain(filter, xxhash64(col("s"))))
+      .count()
+    assert(fp < 20000 * 0.05, s"fpp ${fp / 20000.0} far above the 1% sizing")
+  }
+
   test("duplicated spans: planted repeats merge to maximal spans") {
     import graft.operators.Corpus
     val repeat = "one two three four five" // 5 words shared by docs 1,2
