@@ -574,6 +574,37 @@ object QueriesPipeline {
             FILTER (w NOT IN (SELECT w FROM freq)), '') AS cleaned
         FROM flat GROUP BY doc_id""")),
 
+    // Per-SOURCE boilerplate removal: words appearing (distinct per
+    // doc) in > 30% of a source's documents strip from that source
+    // only — the domain-scoped nav/footer/banner cut a corpus-global
+    // threshold can't see. Oracle replays doc-distinct counts,
+    // per-group thresholds, and the position-ordered rebuild.
+    "q_corpus_line_dedup_group" -> Entry(
+      (s, dir) => graft.operators.Corpus
+        .dedupLinesPerGroup(t(s, dir, "documents"), "source", "text",
+          delim = " ", maxDocShare = 0.3)
+        .select(col("doc_id"), col("text").as("cleaned")),
+      Some("""WITH ds AS (
+          SELECT doc_id, source, string_split(text, ' ') AS ws
+          FROM documents),
+        flat AS (
+          SELECT doc_id, source, generate_subscripts(ws, 1) AS i,
+            unnest(ws) AS w
+          FROM ds),
+        nd AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+        docfreq AS (
+          SELECT source, w, count(DISTINCT doc_id) AS c
+          FROM flat GROUP BY 1, 2),
+        freq AS (
+          SELECT df.source, df.w FROM docfreq df JOIN nd USING (source)
+          WHERE df.c > 0.3 * nd.n)
+        SELECT f.doc_id, coalesce(
+          string_agg(f.w, ' ' ORDER BY f.i) FILTER (fr.w IS NULL),
+          '') AS cleaned
+        FROM flat f LEFT JOIN freq fr
+          ON fr.source = f.source AND fr.w = f.w
+        GROUP BY f.doc_id""")),
+
     // Deterministic training-order shuffle: the md5(id:seed) total
     // order replays exactly in DuckDB, so the PERMUTATION itself is
     // hash-checked (not just the key). The operator is one range

@@ -170,6 +170,79 @@ object Corpus {
       docs.agg(count(lit(1)).as("__thr")),
       maxFrequentLines, maxFrequentBytes)
 
+  /** Per-GROUP boilerplate line removal — the domain-scoped variant of
+    * [[dedupLines]] (web curation strips nav bars / footers / cookie
+    * banners, which are frequent WITHIN their site and invisible to a
+    * corpus-global threshold): drop lines appearing in more than
+    * `maxDocShare` of the group's documents. Lines count once per
+    * document (`array_distinct` before the explode — a line repeated
+    * inside one page is repetition, not boilerplate).
+    *
+    * Same scale shape and guard discipline as [[dedupLines]]: ONE
+    * cached explode pass; the counting shuffle carries (group, 8-byte
+    * hash) keys; string recovery re-counts by the actual string so a
+    * hash collision cannot delete innocent lines; the per-group
+    * frequent sets collect to ONE driver map literal only after a
+    * (count, bytes) guard aggregate accepts them, and the rewrite is
+    * map-only (`element_at` on the group key → `array_contains`). */
+  def dedupLinesPerGroup(docs: DataFrame, groupCol: String,
+      textCol: String, delim: String = "\n", maxDocShare: Double = 0.5,
+      maxFrequentLines: Long = 4L << 20,
+      maxFrequentBytes: Long = 256L << 20): DataFrame = {
+    require(maxDocShare > 0 && maxDocShare <= 1,
+      "maxDocShare must be in (0, 1]")
+    val lineArr = split(col(textCol),
+      java.util.regex.Pattern.quote(delim))
+    val lines = docs
+      .select(col(groupCol).cast("string").as("__g"),
+        explode(array_distinct(lineArr)).as("__l"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-group doc totals: |groups| rows, broadcast into both passes
+    val nDocs = docs
+      .groupBy(col(groupCol).cast("string").as("__g"))
+      .agg(count(lit(1)).as("__nd"))
+    val freqHashes = lines
+      .groupBy(col("__g"), xxhash64(col("__l")).as("__h"))
+      .agg(count(lit(1)).as("__n"))
+      .join(broadcast(nDocs), Seq("__g"))
+      .filter(col("__n") > col("__nd") * maxDocShare)
+      .select(col("__g").as("__fg"), col("__h"))
+    val freqStrings = lines
+      .join(broadcast(freqHashes),
+        col("__g") === col("__fg") &&
+          xxhash64(col("__l")) === col("__h"), "left_semi")
+      .groupBy(col("__g"), col("__l"))
+      .agg(count(lit(1)).as("__n"))
+      .join(broadcast(nDocs), Seq("__g"))
+      .filter(col("__n") > col("__nd") * maxDocShare)
+      .select(col("__g"), col("__l"))
+    val guard = freqStrings
+      .agg(count(lit(1)).as("__n"),
+        coalesce(sum(octet_length(col("__l"))), lit(0L)).as("__b"))
+      .head()
+    val (nFreq, bFreq) = (guard.getLong(0), guard.getLong(1))
+    if (nFreq > maxFrequentLines || bFreq > maxFrequentBytes) {
+      lines.unpersist(blocking = false)
+      throw new IllegalArgumentException(
+        s"dedupLinesPerGroup: frequent set is $nFreq lines / $bFreq " +
+          s"bytes (caps: $maxFrequentLines lines, $maxFrequentBytes " +
+          "bytes) — raise maxDocShare or the caps.")
+    }
+    // one driver map literal (group → frequent lines), guarded above;
+    // collecting it (vs joining the frame) keeps the returned plan
+    // independent of the cache being unpersisted here
+    val freqMap: Map[String, Seq[String]] = freqStrings
+      .groupBy(col("__g")).agg(collect_set(col("__l")).as("__f"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    lines.unpersist(blocking = false)
+    if (freqMap.isEmpty) docs
+    else docs.withColumn(textCol,
+      concat_ws(delim, filter(lineArr, l => !coalesce(
+        array_contains(
+          element_at(typedlit(freqMap), col(groupCol).cast("string")), l),
+        lit(false)))))
+  }
+
   private def dedupLinesImpl(docs: DataFrame, textCol: String,
       delim: String, threshold: DataFrame,
       maxFrequentLines: Long, maxFrequentBytes: Long): DataFrame = {

@@ -383,6 +383,37 @@ class CorpusSpec extends AnyFunSuite {
     assert(none.count() == 0)
   }
 
+  test("dedupLinesPerGroup: boilerplate strips in its own group only") {
+    val docs = Seq(
+      // site A: "cookie banner" in 3/4 docs (share .75 > .5)
+      (1L, "a", "intro\ncookie banner\nreal content one"),
+      (2L, "a", "cookie banner\nreal content two"),
+      (3L, "a", "other words\ncookie banner"),
+      (4L, "a", "clean page"),
+      // site B: same line in 1/3 docs (share .33 < .5) → survives;
+      // within-doc repetition must NOT count toward the share
+      (5L, "b", "cookie banner\nsomething"),
+      (6L, "b", "repeat\nrepeat\nrepeat"),
+      (7L, "b", "unrelated")
+    ).toDF("doc_id", "site", "text")
+    val out = Corpus.dedupLinesPerGroup(docs, "site", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out(1L) == "intro\nreal content one")
+    assert(out(2L) == "real content two")
+    assert(out(3L) == "other words")
+    assert(out(4L) == "clean page")
+    assert(out(5L) == "cookie banner\nsomething",
+      "site B is under the share — its copy must survive")
+    assert(out(6L) == "repeat\nrepeat\nrepeat",
+      "within-doc repetition is not boilerplate")
+    assert(out(7L) == "unrelated")
+    // guard trips before any oversized frequent set collects
+    intercept[IllegalArgumentException] {
+      Corpus.dedupLinesPerGroup(docs, "site", "text",
+        maxDocShare = 0.1, maxFrequentLines = 1L)
+    }
+  }
+
   test("takeTokenBudget: strict hash-ordered prefix per group, seeded") {
     // per-group md5(id:0) order is knowable: compute it here the same
     // way the operator does and check the kept set is exactly the
