@@ -1012,6 +1012,40 @@ object QueriesPipeline {
         SELECT doc_id FROM documents
         WHERE doc_id NOT IN (SELECT id FROM dropped)""")),
 
+    // Near-dup purge with the keep-LONGEST policy: within each
+    // cluster, the doc with the most tokens survives (tie: lowest id)
+    // — the curation policy, vs q_dedup_purge's arbitrary min-id
+    // representative. Oracle: same recursive components, then a
+    // (p DESC, id ASC) window picks the keeper.
+    "q_dedup_purge_best" -> Entry(
+      (s, dir) => Dedup.removeNearDupsKeepBest(
+          t(s, dir, "documents"), "text", "doc_id",
+          graft.functions.Text.token_count(col("text")))
+        .select(col("doc_id")),
+      Some(s"""WITH RECURSIVE $minhashPairsCtes,
+        edges AS (
+          SELECT id1 AS a, id2 AS b FROM pairs
+          UNION SELECT id2, id1 FROM pairs),
+        reach(id, r) AS (
+          SELECT DISTINCT a, a FROM edges
+          UNION
+          SELECT e.a, r.r FROM edges e JOIN reach r ON r.id = e.b),
+        comp AS (SELECT id, min(r) AS c FROM reach GROUP BY id),
+        prio AS (
+          SELECT co.id, co.c,
+            len(regexp_split_to_array(trim(d.text), '\\s+')) AS p
+          FROM comp co JOIN documents d ON d.doc_id = co.id),
+        keep AS (
+          SELECT c, id AS keep_id FROM (
+            SELECT c, id, row_number() OVER (
+              PARTITION BY c ORDER BY p DESC, id ASC) AS rn
+            FROM prio) WHERE rn = 1),
+        dropped AS (
+          SELECT pr.id FROM prio pr JOIN keep k USING (c)
+          WHERE pr.id <> k.keep_id)
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT id FROM dropped)""")),
+
     // SimHash 64-bit signatures + near-dup pairs by Hamming ≤ 6 within
     // LSH candidate set.
     "q_dedup_simhash" -> Entry(

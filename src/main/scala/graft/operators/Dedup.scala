@@ -405,6 +405,37 @@ object Dedup {
     df.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** [[removeNearDups]] with an explicit keep policy: within each
+    * near-dup cluster, keep the row MAXIMIZING `priority` (tie-break:
+    * lowest id) instead of the arbitrary min-id representative —
+    * curation keeps the longest / highest-quality duplicate, not
+    * whichever crawled first. `priority` must be numeric (cast to
+    * double); every column survives on the kept rows.
+    *
+    * Scale: identical to [[removeNearDups]] up to the components, plus
+    * one join attaching (id, priority) — component membership is
+    * bounded by documents that HAVE a near-dup, tiny next to the
+    * corpus, so the planner broadcasts it against the corpus-side
+    * (id, priority) projection. */
+  def removeNearDupsKeepBest(df: DataFrame, textCol: String,
+      idCol: String, priority: Column, threshold: Double = 0.4,
+      shingleWords: Int = 3,
+      broadcastSurvivors: Boolean = true): DataFrame = {
+    val pairs = verifiedPairs(df, textCol, idCol, threshold, shingleWords,
+      broadcastSurvivors).select(col("id1"), col("id2"))
+    val members = connectedComponents(pairs)
+      .join(df.select(col(idCol).as("id"),
+        priority.cast("double").as("__p")), Seq("id"))
+    val keep = members.groupBy(col("component"))
+      // min over (-priority, id): highest priority, then lowest id
+      .agg(min_by(col("id"),
+        struct((-col("__p")).as("np"), col("id"))).as("__keep"))
+    val drop = members.join(keep, Seq("component"))
+      .filter(col("id") =!= col("__keep"))
+      .select(col("id").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** SemDeDup-style semantic near-dup pairs: coarse k-means cells
     * (the [[Similarity.trainCentroids]] quantizer — driver-local Lloyd
     * on a bounded sample), candidates = within-cell pairs, verified by

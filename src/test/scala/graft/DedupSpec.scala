@@ -335,6 +335,25 @@ class DedupSpec extends AnyFunSuite {
       "doc_id", Dedup.indexBloom(empty))) == emptyPlain)
   }
 
+  test("removeNearDupsKeepBest keeps the highest-priority cluster member") {
+    // one near-dup cluster (same long text ± a token), one unique doc;
+    // doc 3 is the LONGEST so it must win despite the highest id
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, s"$base one"),
+      (2L, s"$base two"),
+      (3L, s"$base two three four"),
+      (9L, "completely different text about other matters entirely")
+    ).toDF("doc_id", "text")
+    def kept(priority: org.apache.spark.sql.Column) =
+      Dedup.removeNearDupsKeepBest(docs, "text", "doc_id", priority)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept(graft.functions.Text.token_count(col("text")))
+      == Set(3L, 9L), "longest cluster member + unique survive")
+    // constant priority → tie-break is the lowest id (= min-id policy)
+    assert(kept(lit(1)) == Set(1L, 9L))
+  }
+
   test("bloom build/probe: zero false negatives, fpp within sizing") {
     import graft.plans.BloomProbe
     val members = spark.range(2000)
