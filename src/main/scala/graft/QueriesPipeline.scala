@@ -591,7 +591,8 @@ object QueriesPipeline {
           SELECT doc_id, source, generate_subscripts(ws, 1) AS i,
             unnest(ws) AS w
           FROM ds),
-        nd AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+        nd AS (SELECT source, count(*) AS n FROM documents
+          GROUP BY 1 HAVING count(*) >= 3),
         docfreq AS (
           SELECT source, w, count(DISTINCT doc_id) AS c
           FROM flat GROUP BY 1, 2),

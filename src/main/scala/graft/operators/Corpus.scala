@@ -187,20 +187,26 @@ object Corpus {
     * map-only (`element_at` on the group key → `array_contains`). */
   def dedupLinesPerGroup(docs: DataFrame, groupCol: String,
       textCol: String, delim: String = "\n", maxDocShare: Double = 0.5,
-      maxFrequentLines: Long = 4L << 20,
+      minDocs: Long = 3L, maxFrequentLines: Long = 4L << 20,
       maxFrequentBytes: Long = 256L << 20): DataFrame = {
     require(maxDocShare > 0 && maxDocShare <= 1,
       "maxDocShare must be in (0, 1]")
+    require(minDocs >= 2, "minDocs must be ≥ 2 — in a singleton group " +
+      "every line is 100% of the docs and the whole document erases")
     val lineArr = split(col(textCol),
       java.util.regex.Pattern.quote(delim))
     val lines = docs
       .select(col(groupCol).cast("string").as("__g"),
         explode(array_distinct(lineArr)).as("__l"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // per-group doc totals: |groups| rows, broadcast into both passes
+    // per-group doc totals (|groups| rows, broadcast into both
+    // passes), FLOORED at minDocs: long-tail groups too small for a
+    // share to mean anything (1-doc domains: every line is 100%) are
+    // exempt — their lines simply never enter the frequent set
     val nDocs = docs
       .groupBy(col(groupCol).cast("string").as("__g"))
       .agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
     val freqHashes = lines
       .groupBy(col("__g"), xxhash64(col("__l")).as("__h"))
       .agg(count(lit(1)).as("__n"))
@@ -216,18 +222,9 @@ object Corpus {
       .join(broadcast(nDocs), Seq("__g"))
       .filter(col("__n") > col("__nd") * maxDocShare)
       .select(col("__g"), col("__l"))
-    val guard = freqStrings
-      .agg(count(lit(1)).as("__n"),
-        coalesce(sum(octet_length(col("__l"))), lit(0L)).as("__b"))
-      .head()
-    val (nFreq, bFreq) = (guard.getLong(0), guard.getLong(1))
-    if (nFreq > maxFrequentLines || bFreq > maxFrequentBytes) {
-      lines.unpersist(blocking = false)
-      throw new IllegalArgumentException(
-        s"dedupLinesPerGroup: frequent set is $nFreq lines / $bFreq " +
-          s"bytes (caps: $maxFrequentLines lines, $maxFrequentBytes " +
-          "bytes) — raise maxDocShare or the caps.")
-    }
+    guardFrequentSet(freqStrings, "__l", maxFrequentLines,
+      maxFrequentBytes, lines, "dedupLinesPerGroup",
+      "raise maxDocShare / minDocs or the caps")
     // one driver map literal (group → frequent lines), guarded above;
     // collecting it (vs joining the frame) keeps the returned plan
     // independent of the cache being unpersisted here
@@ -235,12 +232,38 @@ object Corpus {
       .groupBy(col("__g")).agg(collect_set(col("__l")).as("__f"))
       .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
     lines.unpersist(blocking = false)
-    if (freqMap.isEmpty) docs
-    else docs.withColumn(textCol,
-      concat_ws(delim, filter(lineArr, l => !coalesce(
-        array_contains(
-          element_at(typedlit(freqMap), col(groupCol).cast("string")), l),
-        lit(false)))))
+    // the group's array binds ONCE per row (map literals have no hash
+    // index — an element_at inside the filter lambda would linear-scan
+    // |groups| keys per LINE); the rewrite is unconditional so null
+    // text normalizes to "" exactly like dedupLines, independent of
+    // whether any group happened to have boilerplate
+    val freqForRow =
+      if (freqMap.isEmpty) lit(null).cast("array<string>")
+      else element_at(typedlit(freqMap), col(groupCol).cast("string"))
+    docs.withColumn("__freq", freqForRow)
+      .withColumn(textCol, concat_ws(delim, filter(lineArr,
+        l => !coalesce(array_contains(col("__freq"), l), lit(false)))))
+      .drop("__freq")
+  }
+
+  /** The collect guard shared by the line-dedup family: reject an
+    * oversized frequent set with a two-long aggregate BEFORE any line
+    * string leaves the cluster (a bare limit(cap) row check would let
+    * millions of KB-sized lines assemble driver-side first). */
+  private def guardFrequentSet(freq: DataFrame, lineCol: String,
+      maxLines: Long, maxBytes: Long,
+      cached: DataFrame, opName: String, remedy: String): Unit = {
+    val g = freq
+      .agg(count(lit(1)).as("__n"),
+        coalesce(sum(octet_length(col(lineCol))), lit(0L)).as("__b"))
+      .head()
+    val (n, b) = (g.getLong(0), g.getLong(1))
+    if (n > maxLines || b > maxBytes) {
+      cached.unpersist(blocking = false)
+      throw new IllegalArgumentException(
+        s"$opName: frequent set is $n lines / $b bytes " +
+          s"(caps: $maxLines lines, $maxBytes bytes) — $remedy.")
+    }
   }
 
   private def dedupLinesImpl(docs: DataFrame, textCol: String,
@@ -273,27 +296,15 @@ object Corpus {
       .groupBy(col("__l")).agg(count(lit(1)).as("__n"))
       .crossJoin(thr).filter(col("__n") > col("__thr"))
       .select(col("__l"))
-    // guard FIRST, with a tiny (count, bytes) aggregate — two longs to
-    // the driver — so an oversized frequent set is rejected before a
-    // single line string leaves the cluster (a bare limit(cap+1) row
-    // cap would still let 4M × 1 KB lines assemble a ~4 GB collect
-    // before the count check could fire)
-    val guard = freqStrings
-      .agg(count(lit(1)).as("__n"),
-        coalesce(sum(octet_length(col("__l"))), lit(0L)).as("__b"))
-      .head()
-    val (nFreq, bFreq) = (guard.getLong(0), guard.getLong(1))
-    if (nFreq > maxFrequentLines || bFreq > maxFrequentBytes) {
-      lines.unpersist(blocking = false)
-      throw new IllegalArgumentException(
-        s"dedupLines: frequent set is $nFreq lines / $bFreq bytes " +
-          s"(caps: $maxFrequentLines lines, $maxFrequentBytes bytes) — " +
-          "the map-side rewrite broadcasts the frequent set, which is " +
-          "only bounded when the threshold is large relative to the " +
-          "corpus. Raise maxOccurrences (or use dedupLinesAuto, " +
-          "threshold > |docs|), or raise the caps if the driver can " +
-          "hold it.")
-    }
+    // guard FIRST (shared [[guardFrequentSet]]): an oversized frequent
+    // set is rejected before a single line string leaves the cluster
+    guardFrequentSet(freqStrings, "__l", maxFrequentLines,
+      maxFrequentBytes, lines, "dedupLines",
+      "the map-side rewrite broadcasts the frequent set, which is " +
+        "only bounded when the threshold is large relative to the " +
+        "corpus; raise maxOccurrences (or use dedupLinesAuto, " +
+        "threshold > |docs|), or raise the caps if the driver can " +
+        "hold it")
     // map-only rewrite against the frequent set, materialized NOW by a
     // driver collect of the ONE aggregated row — the guard, both
     // counting passes, and the collect all run against the cached
@@ -386,12 +397,14 @@ object Corpus {
     * two-phase distributed prefix sum ([[graft.operators.Pack]]) on
     * the group's slice instead. */
   def takeTokenBudget(df: DataFrame, groupCol: String, textCol: String,
-      idCol: String, budget: Long, seed: Int = 0): DataFrame = {
+      idCol: String, budget: Long, seed: Long = 0L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ord = md5(concat(col(idCol).cast("string"), lit(s":$seed")))
-    // id tie-break: md5 collisions are ~impossible, but a total order
-    // must not rest on "~"
-    val w = Window.partitionBy(col(groupCol)).orderBy(ord, col(idCol))
+    // the shared shuffle key: null-id-safe (coalesced to "") and
+    // collision-proof (raw id suffix), so the window order — and with
+    // it the kept set — is total on ANY id column, not just non-null
+    // distinct ones
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(shuffleKey(col(idCol), seed))
     df.withColumn("__cum",
         sum(graft.functions.Text.token_count(col(textCol)).cast("long"))
           .over(w))

@@ -427,9 +427,13 @@ object Dedup {
       .join(df.select(col(idCol).as("id"),
         priority.cast("double").as("__p")), Seq("id"))
     val keep = members.groupBy(col("component"))
-      // min over (-priority, id): highest priority, then lowest id
+      // min over (-priority, id): highest priority, then lowest id.
+      // Null priority must sort LAST (struct ordering puts null fields
+      // first in a min, which would crown the unscored member) — same
+      // rule as the oracle's ORDER BY p DESC NULLS LAST
       .agg(min_by(col("id"),
-        struct((-col("__p")).as("np"), col("id"))).as("__keep"))
+        struct(coalesce(-col("__p"), lit(Double.MaxValue)).as("np"),
+          col("id"))).as("__keep"))
     val drop = members.join(keep, Seq("component"))
       .filter(col("id") =!= col("__keep"))
       .select(col("id").as(idCol))

@@ -394,7 +394,10 @@ class CorpusSpec extends AnyFunSuite {
       // within-doc repetition must NOT count toward the share
       (5L, "b", "cookie banner\nsomething"),
       (6L, "b", "repeat\nrepeat\nrepeat"),
-      (7L, "b", "unrelated")
+      (7L, "b", "unrelated"),
+      // site C: a SINGLETON group — every line is 100% of its docs,
+      // so without the minDocs floor the whole document would erase
+      (8L, "c", "lone page\nwith every line unique to it")
     ).toDF("doc_id", "site", "text")
     val out = Corpus.dedupLinesPerGroup(docs, "site", "text")
       .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
@@ -407,6 +410,8 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(6L) == "repeat\nrepeat\nrepeat",
       "within-doc repetition is not boilerplate")
     assert(out(7L) == "unrelated")
+    assert(out(8L) == "lone page\nwith every line unique to it",
+      "singleton groups are exempt — minDocs floor")
     // guard trips before any oversized frequent set collects
     intercept[IllegalArgumentException] {
       Corpus.dedupLinesPerGroup(docs, "site", "text",

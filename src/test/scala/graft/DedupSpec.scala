@@ -352,6 +352,11 @@ class DedupSpec extends AnyFunSuite {
       == Set(3L, 9L), "longest cluster member + unique survive")
     // constant priority → tie-break is the lowest id (= min-id policy)
     assert(kept(lit(1)) == Set(1L, 9L))
+    // a NULL-priority member must sort LAST, never win the cluster
+    // (struct ordering would otherwise put the null field first)
+    assert(kept(when(col("doc_id") === 2L, lit(null))
+      .otherwise(graft.functions.Text.token_count(col("text"))))
+      == Set(3L, 9L))
   }
 
   test("bloom build/probe: zero false negatives, fpp within sizing") {
