@@ -195,6 +195,14 @@ class PlanAssertionsSpec extends AnyFunSuite {
   test("q_dedup_incremental and q_dedup_purge end in anti-joins") {
     assert(plan("q_dedup_incremental").contains("LeftAnti"))
     assert(plan("q_dedup_purge").contains("LeftAnti"))
+    assert(plan("q_dedup_purge_best").contains("LeftAnti"))
+  }
+
+  test("q_sample_token_budget windows per group, never one partition") {
+    val p = plan("q_sample_token_budget")
+    assert(p.contains("Window"), "running token sum must be a window")
+    assert(!p.contains("SinglePartition"),
+      "no stage of the budget cap may be single-partition")
   }
 
   test("q_dedup_semantic joins on cells, never cross-joins vectors") {
