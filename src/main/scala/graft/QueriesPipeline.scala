@@ -1368,6 +1368,43 @@ object QueriesPipeline {
       },
       None),
 
+    // Image near-dup detection over the staged media table: every
+    // image gains a brightness-shifted PNG twin (a REAL different
+    // payload), and the perceptual-dHash pipeline (hash → 8×8-bit
+    // banding → Hamming verify; images never shuffle) must pair each
+    // with its twin. Rows-only — no image surface in DuckDB; the
+    // invariance/selectivity laws live in MultimodalSpec.
+    "q_multimodal_image_dedup" -> Entry(
+      (s, dir) => {
+        import graft.operators.Multimodal
+        // same staged parquet as q_multimodal_features (synthesis is
+        // not what this query times); twins staged alongside
+        val p = Q.stagingDir(dir, s"media_g${Multimodal.mediaGeneration}")
+        val success = new java.io.File(s"$p/_SUCCESS")
+        val src = new java.io.File(s"$dir/documents.parquet")
+        if (!success.exists() || success.lastModified() < src.lastModified())
+          Multimodal.syntheticMedia(s, dir)
+            .write.mode("overwrite").parquet(p)
+        val tp = Q.stagingDir(dir,
+          s"media_twins_g${Multimodal.mediaGeneration}")
+        val tsuccess = new java.io.File(s"$tp/_SUCCESS")
+        if (!tsuccess.exists() ||
+            tsuccess.lastModified() < src.lastModified()) {
+          val shift =
+            udf((b: Array[Byte]) => Multimodal.brightnessShift(b, 8))
+          s.read.parquet(p).filter(col("kind") === "image")
+            .select((col("media_id") + 1000000L).as("media_id"),
+              shift(col("content")).as("content"))
+            .write.mode("overwrite").parquet(tp)
+        }
+        val images = s.read.parquet(p).filter(col("kind") === "image")
+          .select(col("media_id"), col("content"))
+        Multimodal.imageNearDups(
+            images.unionByName(s.read.parquet(tp)), maxHamming = 7)
+          .select(col("id1"), col("id2"), col("hamming"))
+      },
+      None),
+
     // LSH-bucketed ANN, multi-probe: 8-bit signature + Hamming-1 probes
     // — each query reranks ~9/256 of the corpus (falls with more bits)
     // instead of a fixed 1/16 (rows-only — recall tested in spec).

@@ -410,6 +410,134 @@ object Multimodal {
     }(enc)
   }
 
+  /** 64-bit perceptual dHash of an image: luma means over a 9×8 cell
+    * grid (area downsample, ≤64 stepped samples per cell so cost is
+    * bounded per image regardless of resolution), bit i = cell(x+1) >
+    * cell(x). Gradient-based, so it is INVARIANT to global brightness
+    * shifts and robust to re-encoding/resizing — the standard
+    * image-dedup key. None for undecodable bytes. */
+  private[graft] def imageHash64(content: Array[Byte]): Option[Long] =
+    readRaster(content).map { img =>
+      val w = img.getWidth; val h = img.getHeight
+      val gw = 9; val gh = 8
+      val luma = Array.ofDim[Double](gh, gw)
+      var cy = 0
+      while (cy < gh) {
+        var cx = 0
+        while (cx < gw) {
+          val x0 = cx * w / gw; val x1 = math.min(math.max((cx + 1) * w / gw, x0 + 1), w)
+          val y0 = cy * h / gh; val y1 = math.min(math.max((cy + 1) * h / gh, y0 + 1), h)
+          val sx = math.max((x1 - x0) / 8, 1)
+          val sy = math.max((y1 - y0) / 8, 1)
+          var s = 0.0; var n = 0
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val p = img.getRGB(x, y)
+              s += 0.299 * ((p >> 16) & 0xFF) + 0.587 * ((p >> 8) & 0xFF) +
+                0.114 * (p & 0xFF)
+              n += 1; x += sx
+            }
+            y += sy
+          }
+          luma(cy)(cx) = if (n == 0) 0.0 else s / n
+          cx += 1
+        }
+        cy += 1
+      }
+      var bits = 0L
+      var i = 0
+      cy = 0
+      while (cy < gh) {
+        var cx = 0
+        while (cx < gw - 1) {
+          if (luma(cy)(cx + 1) > luma(cy)(cx)) bits |= (1L << i)
+          i += 1; cx += 1
+        }
+        cy += 1
+      }
+      bits
+    }
+
+  /** (idCol, phash) for every DECODABLE image row — undecodable
+    * payloads drop (hashing the stub would cluster unrelated files).
+    * Partition-amortized decode loop, same as [[extractFeatures]]. */
+  def imageHashes(media: DataFrame, idCol: String = "media_id",
+      contentCol: String = "content"): DataFrame = {
+    val in = media.select(col(idCol), col(contentCol))
+    val enc = RowEncoder.encoderFor(StructType(Seq(
+      in.schema.fields.head,
+      StructField("phash", org.apache.spark.sql.types.LongType,
+        nullable = false))))
+    in.mapPartitions { it =>
+      it.flatMap { r =>
+        imageHash64(r.getAs[Array[Byte]](1)).map(h => Row(r.get(0), h))
+      }
+    }(enc)
+  }
+
+  /** Image near-dup pairs (id1, id2, hamming ≤ `maxHamming`) via the
+    * perceptual hash: ONE decode pass (the hash frame is persisted —
+    * it feeds the banding and both verify sides; `cache = false`
+    * accepts re-decodes instead), then the 64-bit key splits into 8×8
+    * bit band keys — pigeonhole guarantees two hashes within Hamming 7
+    * share a clean band, so candidate recall is exact for
+    * `maxHamming ≤ 7`, from a plain capped equi-shuffle
+    * ([[Dedup.minhashCandidates]], bucket cap included). Verification
+    * is one `bit_count(xor)` per candidate pair. Images never move:
+    * the banding and join carry (id, 8-byte hash) rows only. */
+  def imageNearDups(media: DataFrame, idCol: String = "media_id",
+      contentCol: String = "content", maxHamming: Int = 6,
+      maxBucket: Int = 1000, cache: Boolean = true): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      "8×8-bit banding guarantees candidate recall only to Hamming 7")
+    val hashedBase = imageHashes(media, idCol, contentCol)
+    val hashed =
+      if (cache) hashedBase
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else hashedBase
+    val bandKeys = (0 until 8).map(b =>
+      shiftright(col("phash"), b * 8).bitwiseAND(lit(0xFFL)))
+    val bands = hashed.select(col(idCol),
+      posexplode(array(bandKeys: _*)).as(Seq("band", "band_hash")))
+    graft.operators.Dedup.minhashCandidates(bands, idCol, maxBucket)
+      .join(hashed.select(col(idCol).as("id1"), col("phash").as("__h1")),
+        "id1")
+      .join(hashed.select(col(idCol).as("id2"), col("phash").as("__h2")),
+        "id2")
+      .select(col("id1"), col("id2"),
+        bit_count(col("__h1").bitwiseXOR(col("__h2"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Brightness-shifted PNG re-encode (clamped +delta per RGB channel)
+    * — the deterministic near-dup twin generator for drills/demos:
+    * a REAL different payload whose dHash stays near-identical
+    * (gradients are brightness-invariant up to clamp saturation).
+    * Undecodable payloads pass through unchanged. */
+  private[graft] def brightnessShift(content: Array[Byte],
+      delta: Int): Array[Byte] =
+    readRaster(content).map { src =>
+      val dst = new java.awt.image.BufferedImage(src.getWidth,
+        src.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < src.getHeight) {
+        var x = 0
+        while (x < src.getWidth) {
+          val p = src.getRGB(x, y)
+          def c(v: Int) = math.min(math.max(v + delta, 0), 255)
+          dst.setRGB(x, y, (c((p >> 16) & 0xFF) << 16) |
+            (c((p >> 8) & 0xFF) << 8) | c(p & 0xFF))
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(dst, "png", bos)
+      bos.toByteArray
+    }.getOrElse(content)
+
   /** Frame sampling (video → one row per fixed-size frame slice): the
     * explode happens BEFORE any decode, so per-frame work distributes
     * across the cluster instead of hiding inside one fat row. Pure

@@ -31,6 +31,64 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f(7) == 0f)
   }
 
+  /** Smooth NON-monotone luma scene in normalized coordinates (so a
+    * resized copy samples the same underlying function): sinusoid with
+    * per-scene frequency/phase. Monotone gradients are useless fixtures
+    * here — dHash is a gradient-SIGN hash, and every monotone-in-x
+    * image hashes identically (all ones) by design. Amplitude 100
+    * leaves headroom so a +24 brightness shift never clamps. */
+  private def scenePng(w: Int, h: Int, fx: Double, fy: Double,
+      phase: Double): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (128 + 100 * math.sin(2 * math.Pi *
+        (fx * x / w + fy * y / h) + phase)).toInt
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+
+  test("imageHash64: brightness/resize-invariant, distinct for " +
+      "different scenes, None on junk") {
+    val base = scenePng(64, 48, 2.3, 0.7, 0.0)
+    val h0 = Multimodal.imageHash64(base).get
+    // identical raster re-encoded → identical hash
+    assert(Multimodal.imageHash64(
+      Multimodal.brightnessShift(base, 0)).get == h0)
+    // brightness shift: dHash compares neighboring cells, so a global
+    // +24 shift (no clamping at this amplitude) barely moves it
+    val shifted = Multimodal.imageHash64(
+      Multimodal.brightnessShift(base, 24)).get
+    assert(ham(h0, shifted) <= 4, s"brightness moved ${ham(h0, shifted)} bits")
+    // same scene at half resolution → close hash (grid-boundary
+    // rounding costs a few bits — catch resized twins at maxHamming 7,
+    // where banding recall is still guaranteed)
+    val small = Multimodal.imageHash64(scenePng(32, 24, 2.3, 0.7, 0.0)).get
+    assert(ham(h0, small) <= 8, s"resize moved ${ham(h0, small)} bits")
+    // a different scene (other frequency + phase) → far hash
+    val other = Multimodal.imageHash64(scenePng(64, 48, 3.7, 1.9, 1.3)).get
+    assert(ham(h0, other) > 12, s"different scenes only ${ham(h0, other)} apart")
+    assert(Multimodal.imageHash64("not an image".getBytes).isEmpty)
+  }
+
+  test("imageNearDups pairs perceptual twins, skips undecodables") {
+    val rows = Seq(
+      (1L, scenePng(64, 48, 2.3, 0.7, 0.0)),
+      (2L, Multimodal.brightnessShift(scenePng(64, 48, 2.3, 0.7, 0.0), 24)),
+      (3L, scenePng(64, 48, 3.7, 1.9, 1.3)), // different scene
+      (4L, "junk".getBytes)                   // undecodable → dropped
+    ).toDF("media_id", "content")
+    val pairs = Multimodal.imageNearDups(rows, cache = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)),
+      s"expected exactly the planted twin pair, got $pairs")
+  }
+
   test("undecodable bytes fall back to the stub, never drop rows") {
     assert(Multimodal.decodeImage("not a png".getBytes).isEmpty)
     assert(Multimodal.decodeAudio("not a wav".getBytes).isEmpty)
