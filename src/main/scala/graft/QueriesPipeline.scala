@@ -59,6 +59,44 @@ object QueriesPipeline {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** DuckDB CTE chain replaying [[graft.operators.Dsir]]'s hashed-bigram
+    * models and integer micro-nat weights for en-target vs rest-raw over
+    * documents, k = 512 — ends in `w(doc_id, w_mnat)`. Shared by
+    * q_sample_dsir_weights and q_sample_dsir. */
+  private val dsirWeightCtes: String = """words AS (
+          SELECT doc_id, lang,
+            regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+          FROM documents),
+        sh AS (
+          SELECT doc_id, lang,
+            CASE WHEN len(ws) <= 2 THEN array_to_string(ws, ' ')
+            ELSE array_to_string(list_slice(ws, i, i + 1), ' ') END AS s
+          FROM words, unnest(CASE WHEN len(ws) <= 2 THEN [1]
+            ELSE range(1, len(ws)) END) AS t(i)),
+        b AS (
+          SELECT doc_id, lang,
+            ('0x' || substr(md5(s), 1, 4))::INT % 512 AS bucket
+          FROM sh),
+        tc AS (SELECT bucket, count(*) AS t_cnt FROM b
+          WHERE lang = 'en' GROUP BY 1),
+        rc AS (SELECT bucket, count(*) AS r_cnt FROM b
+          WHERE lang <> 'en' GROUP BY 1),
+        tt AS (SELECT sum(t_cnt) AS t_total FROM tc),
+        rt AS (SELECT sum(r_cnt) AS r_total FROM rc),
+        ratios AS (
+          SELECT bucket,
+            CAST(round(1e6 * (
+              ln((coalesce(t_cnt, 0) + 1) / (t_total + 512.0)) -
+              ln((coalesce(r_cnt, 0) + 1) / (r_total + 512.0)))) AS BIGINT)
+              AS mnat
+          FROM tc FULL OUTER JOIN rc USING (bucket), tt, rt),
+        w AS (
+          -- DuckDB sums BIGINT into HUGEINT, which pandas widens to
+          -- float64 — cast back so the strict compare sees int64
+          SELECT b.doc_id, CAST(sum(r.mnat) AS BIGINT) AS w_mnat
+          FROM b JOIN ratios r USING (bucket)
+          WHERE b.lang <> 'en' GROUP BY 1)"""
+
   val entries: Seq[(String, Entry)] = Seq(
 
     // ---- F-class scalar functions -----------------------------------
@@ -429,6 +467,49 @@ object QueriesPipeline {
             sum(n) OVER (PARTITION BY lang ORDER BY ord, doc_id) AS cum
           FROM t)
         SELECT lang, doc_id FROM c WHERE cum <= 4000""")),
+
+    // DSIR importance weights (Xie et al. 2023): per-doc hashed-bigram
+    // log p_target/q_raw mass against en-vs-rest bucket models. The
+    // contract is INTEGER micro-nats — per-bucket ratios round to
+    // BIGINT first, so the per-doc sums below are order-exact and the
+    // strict hash cannot drift (operators/Dsir scaladoc). The corpus
+    // never shuffles: both model fits collapse to ≤k bucket rows
+    // map-side and the ratio table broadcasts.
+    "q_sample_dsir_weights" -> Entry(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val target = docs.filter(col("lang") === "en")
+        val raw = docs.filter(col("lang") =!= "en")
+        val ratios = graft.operators.Dsir
+          .logRatios(target, raw, "text", n = 2, k = 512)
+        graft.operators.Dsir
+          .importanceWeights(raw, "doc_id", "text", ratios, n = 2, k = 512)
+      },
+      Some("WITH " + dsirWeightCtes + """
+        SELECT doc_id, w_mnat FROM w""")),
+
+    // DSIR Gumbel top-k selection: the training subset drawn without
+    // replacement ∝ exp(weight) — seeded md5 uniforms (rerun/engine
+    // stable where rand() is neither), rank key rounded to 6 dp with a
+    // doc-id tiebreak so the CUT replays cross-engine (the
+    // distinctiveTerms precedent), TakeOrdered not a global sort.
+    "q_sample_dsir" -> Entry(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.operators.Dsir.select(
+          docs.filter(col("lang") =!= "en"), "doc_id", "text",
+          docs.filter(col("lang") === "en"),
+          topN = 100, n = 2, k = 512, seed = 7L)
+      },
+      Some("WITH " + dsirWeightCtes + """,
+        sel AS (
+          SELECT doc_id, w_mnat,
+            round(w_mnat / 1e6
+              - ln(-ln((('0x' || substr(md5(doc_id::VARCHAR || ':7'), 1, 4))::INT
+                        + 0.5) / 65536.0)), 6) AS sel_key
+          FROM w)
+        SELECT doc_id, w_mnat FROM sel
+        ORDER BY sel_key DESC, doc_id LIMIT 100""")),
 
     // Corpus-unigram log-prob quality score (LM-quality proxy): per-doc
     // mean ln P(word) under the corpus' own unigram distribution. The

@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data Selection via Importance Resampling (DSIR, Xie et al. 2023,
+  * arXiv:2302.03169): pick raw-corpus documents whose hashed-n-gram
+  * distribution looks like a small high-quality TARGET corpus — the
+  * standard pretraining-mixture curation step between dedup and
+  * sampling. Beyond-the-reference training-data surface (the reference
+  * engine has no data-selection stage).
+  *
+  * Method: hash every word n-gram into one of `k` buckets, fit smoothed
+  * bag-of-buckets unigram models p (target) and q (raw), weight each raw
+  * doc by log p(doc) − log q(doc) = Σ_b count_b · ln(p_b/q_b), then draw
+  * the training subset WITHOUT replacement ∝ exp(weight/temperature) via
+  * the Gumbel top-k trick.
+  *
+  * Scale design:
+  *  - Both model fits collapse to ≤ k rows via map-side partial
+  *    aggregation — the 100 TB corpus never shuffles, only (bucket,
+  *    partial-count) pairs do. Totals are 1-row cross joins.
+  *  - The k-row log-ratio table BROADCASTS; scoring is explode →
+  *    map-side broadcast join → per-doc sum whose shuffle carries one
+  *    slim (id, partial-sum) row per doc per map task.
+  *  - Selection is a TakeOrdered (driver memory bounded by `topN`),
+  *    not a global sort.
+  *  - Everything is engine-portable arithmetic (md5 prefixes, integer
+  *    micro-nat weights), so the selection replays exactly in DuckDB
+  *    and reruns are byte-stable — no `rand()`, no partition-layout
+  *    dependence.
+  *
+  * Exactness contract: per-bucket log ratios are rounded to BIGINT
+  * micro-nats FIRST, so per-doc weights are integer sums — exact and
+  * summation-order-independent (a float Σ would drift ~1e-13 between
+  * engines/partitionings and can flip a strict hash compare; integer
+  * sums cannot). The only residual cross-engine hazard is an ln() ulp
+  * landing a ratio exactly on a 0.5 micro-nat rounding boundary —
+  * probability ~1e-9 per bucket, k-bounded, not corpus-bounded.
+  */
+object Dsir {
+
+  /** Hashed n-gram bucket id in [0, k): 16-bit md5 prefix mod k.
+    * Engine-portable (DuckDB: `('0x' || substr(md5(s),1,4))::INT % k`). */
+  def bucket(s: Column, k: Int): Column = {
+    require(k > 0 && k <= 65536, "k must be in [1, 65536]")
+    conv(substring(md5(s), 1, 4), 16, 10).cast("int") % k
+  }
+
+  /** Raw (not per-doc-distinct: DSIR models token frequency) hashed
+    * n-gram occurrence counts of a corpus — at most k rows out, via
+    * map-side combine. Null texts contribute nothing. */
+  def bucketCounts(docs: DataFrame, textCol: String, n: Int,
+      k: Int): DataFrame =
+    docs
+      .select(explode(graft.plans.TextExpressions
+        .word_shingles(col(textCol), n)).as("s"))
+      .select(bucket(col("s"), k).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+
+  /** Per-bucket importance log-ratio table (≤ k rows):
+    * `mnat = round(1e6 · (ln p_b − ln q_b))` as BIGINT, where
+    * p_b = (target_b + 1)/(T + k) and q_b = (raw_b + 1)/(R + k)
+    * (add-one smoothing over the k-bucket space). Buckets absent from
+    * both corpora are never probed, so the table materializes only the
+    * union of observed buckets. */
+  def logRatios(target: DataFrame, raw: DataFrame, textCol: String,
+      n: Int = 2, k: Int = 4096): DataFrame = {
+    // Tag-union the two count tables instead of full-outer-joining them,
+    // and PERSIST the merged ≤k-row table so the totals derive from it
+    // rather than re-running the corpus lineage: the naive two-agg +
+    // full-outer + two-totals shape shingled the target corpus twice
+    // and the raw corpus three times — each corpus must be scanned
+    // exactly once here. The cached state is ≤ k rows, not corpus-sized.
+    val tc = bucketCounts(target, textCol, n, k)
+      .select(col("bucket"), col("cnt").as("t_cnt"), lit(0L).as("r_cnt"))
+    val rc = bucketCounts(raw, textCol, n, k)
+      .select(col("bucket"), lit(0L).as("t_cnt"), col("cnt").as("r_cnt"))
+    val merged = tc.unionByName(rc).groupBy("bucket")
+      .agg(sum("t_cnt").as("t_cnt"), sum("r_cnt").as("r_cnt"))
+      .persist()
+    val totals = merged.agg(sum("t_cnt").as("t_total"),
+      sum("r_cnt").as("r_total"))
+    merged
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        round((log((col("t_cnt") + 1).cast("double") /
+                   (col("t_total") + k).cast("double")) -
+               log((col("r_cnt") + 1).cast("double") /
+                   (col("r_total") + k).cast("double"))) * 1e6)
+          .cast("long").as("mnat"))
+  }
+
+  /** (idCol, w_mnat) integer importance weight per raw doc: the sum of
+    * its shingles' bucket log-ratios in micro-nats. Docs whose text is
+    * null drop (they have no n-gram mass to weigh). `ratios` must come
+    * from [[logRatios]] with the same (n, k) — it broadcasts. */
+  def importanceWeights(raw: DataFrame, idCol: String, textCol: String,
+      ratios: DataFrame, n: Int = 2, k: Int = 4096): DataFrame =
+    raw
+      .select(col(idCol), explode(graft.plans.TextExpressions
+        .word_shingles(col(textCol), n)).as("s"))
+      .select(col(idCol), bucket(col("s"), k).as("bucket"))
+      .join(broadcast(ratios), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(sum("mnat").as("w_mnat"))
+
+  /** Gumbel top-`topN` selection without replacement ∝
+    * exp(weight / temperature): rank key = w_nats/temperature + g where
+    * g = −ln(−ln(u)) and u is a seeded md5 uniform in (0,1) — rerun-
+    * and engine-stable where `rand()` is neither. The key is rounded to
+    * 6 dp with an id tiebreak so the top-N CUT replays cross-engine
+    * despite ln ulp drift (the distinctiveTerms precedent). Returns the
+    * selected (idCol, w_mnat) rows; order carries no information. */
+  def select(raw: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, topN: Int, n: Int = 2, k: Int = 4096,
+      seed: Long = 0L, temperature: Double = 1.0): DataFrame = {
+    require(topN > 0, "topN must be positive")
+    require(temperature > 0, "temperature must be positive")
+    val ratios = logRatios(target, raw, textCol, n, k)
+    val w = importanceWeights(raw, idCol, textCol, ratios, n, k)
+    val u16 = conv(substring(
+      md5(concat_ws(":", col(idCol).cast("string"), lit(seed.toString))),
+      1, 4), 16, 10).cast("double")
+    val u = (u16 + 0.5) / 65536.0
+    val gumbel = -log(-log(u))
+    val key = round(col("w_mnat").cast("double") / 1e6 / temperature + gumbel, 6)
+    w.withColumn("sel_key", key)
+      .orderBy(col("sel_key").desc, col(idCol))
+      .limit(topN)
+      .select(col(idCol), col("w_mnat"))
+  }
+}

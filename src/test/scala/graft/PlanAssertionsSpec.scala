@@ -205,6 +205,19 @@ class PlanAssertionsSpec extends AnyFunSuite {
       "no stage of the budget cap may be single-partition")
   }
 
+  test("q_sample_dsir scores via broadcast ratios and cuts with TakeOrdered") {
+    val p = plan("q_sample_dsir")
+    // the k-row log-ratio table must broadcast onto the doc-shingle side
+    assert(p.contains("BroadcastHashJoin"),
+      "ratio lookup must be a broadcast join")
+    // selection is driver-bounded by topN, not a global sort
+    assert(p.contains("TakeOrderedAndProject"))
+    // the merged bucket-count table is persisted so the totals derive
+    // from ≤k cached rows instead of re-shingling each corpus
+    assert(p.contains("InMemoryTableScan"),
+      "bucket counts must be cached, not recomputed per total")
+  }
+
   test("q_dedup_semantic joins on cells, never cross-joins vectors") {
     val p = plan("q_dedup_semantic")
     assert(!p.contains("CartesianProduct"))
