@@ -1617,6 +1617,38 @@ object QueriesPipeline {
       },
       None),
 
+    // Trained quality classifier (the fastText-style gate of the
+    // GPT-3/CCNet curation lineage): hashed bag-of-words logistic
+    // regression fit on a content-hash train split (label: is the doc
+    // English?), then scored on the held-out split. Rows-only —
+    // iterative gradient descent has no SQL form; ClassifierSpec pins
+    // separation/layout laws. Training cost is bounded by the labeled
+    // split (one persisted triple set + per-iteration slim shuffles);
+    // scoring is the corpus-scan-sized path.
+    "q_quality_classifier" -> Entry(
+      (s, dir) => {
+        import graft.operators.{Corpus, TextClassifier}
+        // vocabulary-defined quality label (the docs table's langs share
+        // one word pool, so lang itself is unlearnable from text): the
+        // model must LEARN which hash buckets carry the marker terms
+        // marker presence is ~76% positive here, so majority-guessing
+        // caps at 0.76 — the fit must find the marker's bucket among
+        // 256 to beat it (it reaches ~1.0; DsirSpec-style planted
+        // multi-vocabulary learning is pinned in ClassifierSpec)
+        val ws = split(col("text"), "\\s+")
+        val docs = t(s, dir, "documents").withColumn("y",
+          array_contains(ws, "vector").cast("int"))
+        val train = docs.filter(Corpus.hashKeep(col("doc_id").cast("string"), 0.5))
+        val held = docs.filter(!Corpus.hashKeep(col("doc_id").cast("string"), 0.5))
+        val w = TextClassifier.train(train, "doc_id", "text", "y",
+          k = 256, iters = 4, lr = 1.0, tf = false)
+        TextClassifier.score(held, "doc_id", "text", w, k = 256, tf = false)
+          .join(held.select(col("doc_id"), col("y")), Seq("doc_id"))
+          .select(col("doc_id"), (col("score") >= 0.5).cast("int").as("y_pred"),
+            col("y").as("y_true"))
+      },
+      None),
+
     // Deterministic stratified sampling: content-hash (md5-prefix)
     // Bernoulli keep with per-language rates — a pure map-side filter
     // (the 100 TB sampler: one scan, zero shuffle, rerun-stable, and

@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Hashed bag-of-words logistic-regression text classifier — the
+  * fastText-style quality filter of the GPT-3/CCNet curation lineage:
+  * train on a small labeled set (curated-vs-crawl), then gate the whole
+  * corpus on the predicted quality probability. Beyond-the-reference
+  * training-data surface, sibling of [[Dsir]] (DSIR reweights by
+  * distribution match; this learns a discriminative boundary).
+  *
+  * Features: unigram counts hashed into `k` buckets ([[Dsir.bucket]] —
+  * the same md5 arithmetic), L1-normalized per doc (term frequency) or
+  * binarized to presence, plus an implicit bias. Model: dense
+  * `Array[Double]` of length k+1 — driver-resident and broadcast,
+  * bounded by k, never by data.
+  *
+  * Scale design:
+  *  - The labeled set's features materialize ONCE as slim (id, bucket,
+  *    x) triples and persist; each of the `iters` full-batch gradient
+  *    steps is one broadcast join (k-row weight table onto the triples)
+  *    + two labeled-set-sized slim shuffles + a ≤k-row driver collect.
+  *    Nothing in the loop scales with the unlabeled corpus.
+  *  - [[score]] is one scan of the target corpus: explode → broadcast
+  *    weight lookup → per-doc sum (map-side partial), sigmoid. The
+  *    100 TB side never joins anything bigger than k rows.
+  *  - Training is deterministic up to float partial-sum order (weights
+  *    init at 0, no sampling); predicted LABELS on separable data are
+  *    layout-stable, exact weight bits are not — callers persisting a
+  *    model should persist the trained array, not retrain per run.
+  */
+object TextClassifier {
+
+  /** (id, bucket, x) hashed-unigram feature triples: term frequency
+    * (count/len — fastText-style averaging) when `tf`, bucket PRESENCE
+    * (x = 1) otherwise. Presence features give marker-word tasks crisp
+    * unit-scale margins; tf keeps long docs from dominating. Duplicate
+    * words collapse before leaving the map side (groupBy id+bucket), so
+    * triples ≤ distinct-words per doc. */
+  def features(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, tf: Boolean = true): DataFrame =
+    docs
+      .select(col(idCol).as("__id"),
+        graft.plans.TextExpressions.token_count(col(textCol))
+          .cast("double").as("__n"),
+        explode(graft.plans.TextExpressions.word_shingles(col(textCol), 1))
+          .as("__w"))
+      .select(col("__id"), col("__n"), Dsir.bucket(col("__w"), k).as("__b"))
+      .groupBy("__id", "__b")
+      .agg((if (tf) count(lit(1)) / first("__n") else lit(1.0)).as("__x"))
+
+  /** Train logistic weights on (idCol, textCol, labelCol∈{0,1}) rows by
+    * full-batch gradient descent. Returns length k+1 (bias last). */
+  def train(labeled: DataFrame, idCol: String, textCol: String,
+      labelCol: String, k: Int = 1024, iters: Int = 30,
+      lr: Double = 1.0, l2: Double = 0.0,
+      tf: Boolean = true): Array[Double] = {
+    require(k > 0 && k <= 65536, "k must be in [1, 65536]")
+    require(iters > 0 && lr > 0 && l2 >= 0, "bad hyperparameters")
+    val spark = labeled.sparkSession
+    import spark.implicits._
+    val labels = labeled
+      .select(col(idCol).as("__id"), col(labelCol).cast("double").as("__y"))
+      .persist()
+    // bias folded in as sentinel bucket k with x = 1.0 for every doc:
+    // margins and gradients then cover it in the SAME aggregate — one
+    // job per iteration, and no-token docs still train the bias
+    val feats = features(labeled, idCol, textCol, k, tf)
+      .unionByName(labels.select(col("__id"), lit(k).as("__b"),
+        lit(1.0).as("__x")))
+      .persist()
+    val n = labels.count().toDouble
+    require(n > 0, "empty labeled set")
+    val w = new Array[Double](k + 1)
+    try {
+      for (_ <- 0 until iters) {
+        val wDf = broadcast(
+          w.zipWithIndex.filter(_._1 != 0.0)
+            .map { case (v, b) => (b, v) }.toSeq.toDF("__b", "__wv"))
+        val margins = feats.join(wDf, Seq("__b"), "left")
+          .groupBy("__id")
+          .agg(sum(col("__x") * coalesce(col("__wv"), lit(0.0))).as("__m"))
+        // per-doc residual r = σ(m) − y and curvature s = σ(m)(1 − σ(m))
+        val resid = labels.join(margins, Seq("__id"))
+          .select(col("__id"),
+            (lit(1.0) / (lit(1.0) + exp(-col("__m")))).as("__p"),
+            col("__y"))
+          .select(col("__id"), (col("__p") - col("__y")).as("__r"),
+            (col("__p") * (lit(1.0) - col("__p"))).as("__s"))
+        // Per-bucket Newton statistics in ONE aggregate (≤k+1 rows
+        // collected): gradient g = Σxr, bias coupling c = Σxs (the
+        // sentinel has x = 1), curvature d = Σx²s. Text features
+        // co-occur almost completely — every doc shares the common
+        // vocabulary — so plain grad steps zig-zag along the shared
+        // direction and plain Jacobi-Newton overshoots it (both
+        // measured at chance accuracy on a 40-word-pool corpus). The
+        // dominant shared direction IS the bias, so solve the
+        // ARROWHEAD system (diagonal + bias row/column) exactly in
+        // O(k) via the Schur complement on the bias coordinate.
+        val stats = feats.join(resid, Seq("__id"))
+          .groupBy("__b").agg(
+            sum(col("__x") * col("__r")).as("__g"),
+            sum(col("__x") * col("__s")).as("__c"),
+            sum(col("__x") * col("__x") * col("__s")).as("__d"))
+          .collect()
+          .map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2),
+            r.getDouble(3)))).toMap
+        val ridge = 1e-3 * n
+        def dOf(b: Int) =
+          stats.get(b).map(_._3).getOrElse(0.0) + ridge
+        val (gBias, _, dBias) = stats.getOrElse(k, (0.0, 0.0, 0.0))
+        var schurNum = gBias
+        var schurDen = dBias + ridge
+        for ((b, (g, c, _)) <- stats if b != k) {
+          schurNum -= c * g / dOf(b)
+          schurDen -= c * c / dOf(b)
+        }
+        val dBiasStep = if (schurDen > 1e-12) schurNum / schurDen else 0.0
+        // trust region: near separation the logistic curvature s → 0
+        // and raw Newton steps explode (measured: a −219 bias step on
+        // iteration 2) — clamp each coordinate to ±1 per iteration,
+        // the standard IRLS stabilization
+        def clamp(s: Double) = math.max(-1.0, math.min(1.0, s))
+        var b = 0
+        while (b <= k) {
+          val step =
+            if (b == k) dBiasStep
+            else {
+              val (g, c, _) = stats.getOrElse(b, (0.0, 0.0, 0.0))
+              (g - c * dBiasStep) / dOf(b)
+            }
+          // standard practice: the bias is not regularized
+          val reg = if (b < k) l2 * w(b) else 0.0
+          w(b) -= lr * clamp(step) + lr * reg
+          b += 1
+        }
+      }
+    } finally { feats.unpersist(); labels.unpersist() }
+    w
+  }
+
+  /** Predicted quality probability per doc: one corpus scan, broadcast
+    * k-row weight lookup, per-doc sum. Returns (idCol, score). Docs with
+    * null text drop (no tokens to score). */
+  def score(docs: DataFrame, idCol: String, textCol: String,
+      weights: Array[Double], k: Int = 1024,
+      tf: Boolean = true): DataFrame = {
+    require(weights.length == k + 1,
+      s"weights must be k+1=${k + 1} long, got ${weights.length}")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bias = weights.last
+    val wDf = broadcast(
+      weights.init.zipWithIndex.filter(_._1 != 0.0)
+        .map { case (v, b) => (b, v) }.toSeq.toDF("__b", "__wv"))
+    features(docs, idCol, textCol, k, tf)
+      .join(wDf, Seq("__b"), "left")
+      .groupBy(col("__id").as(idCol))
+      .agg((lit(1.0) / (lit(1.0) +
+        exp(-(sum(col("__x") * coalesce(col("__wv"), lit(0.0))) + bias))))
+        .as("score"))
+  }
+
+  /** Keep-gate: rows of `docs` whose predicted quality ≥ threshold.
+    * All original columns survive (score joins back on the id). */
+  def gate(docs: DataFrame, idCol: String, textCol: String,
+      weights: Array[Double], k: Int = 1024,
+      threshold: Double = 0.5, tf: Boolean = true): DataFrame =
+    docs.join(
+      score(docs, idCol, textCol, weights, k, tf)
+        .filter(col("score") >= threshold)
+        .select(col(idCol)),
+      Seq(idCol), "left_semi")
+}

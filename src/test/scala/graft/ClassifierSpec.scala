@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.TextClassifier
+
+/** Laws for the hashed-feature logistic quality classifier (rows-only on
+  * the query surface — gradient descent has no DuckDB replay). */
+class ClassifierSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // linearly separable planted corpus: prose vocabulary vs spam vocabulary
+  private def planted = {
+    val good = Seq(
+      "the committee reviewed the annual report in detail",
+      "researchers published the updated survey results today",
+      "the library catalog lists every archived manuscript",
+      "engineers documented the revised bridge specifications",
+      "students discussed the assigned chapters after class")
+    val bad = Seq(
+      "win free casino bonus click here now",
+      "cheap pills discount offer click subscribe now",
+      "winner winner free prize claim casino bonus",
+      "click now free offer cheap bonus pills",
+      "casino prize winner claim discount subscribe")
+    (good.zipWithIndex.map { case (t, i) => (i.toLong, t, 1) } ++
+      bad.zipWithIndex.map { case (t, i) => (100L + i, t, 0) })
+      .toDF("doc_id", "text", "y")
+  }
+
+  test("separates planted prose from spam at 100% on the training set") {
+    val df = planted
+    val w = TextClassifier.train(df, "doc_id", "text", "y",
+      k = 128, iters = 40, lr = 2.0)
+    assert(w.length == 129)
+    val scores = TextClassifier.score(df, "doc_id", "text", w, k = 128)
+      .join(df.select("doc_id", "y"), Seq("doc_id"))
+      .collect().map(r => (r.getAs[Double]("score"), r.getAs[Int]("y")))
+    assert(scores.nonEmpty)
+    assert(scores.forall { case (s, y) => (s >= 0.5) == (y == 1) },
+      s"misclassified: ${scores.filter { case (s, y) => (s >= 0.5) != (y == 1) }.mkString(",")}")
+  }
+
+  test("predicted labels are partition-layout independent") {
+    val df = planted
+    val w = TextClassifier.train(df, "doc_id", "text", "y",
+      k = 128, iters = 20, lr = 2.0)
+    def preds(d: org.apache.spark.sql.DataFrame) =
+      TextClassifier.score(d, "doc_id", "text", w, k = 128)
+        .collect().map(r => r.getLong(0) -> (r.getDouble(1) >= 0.5)).toMap
+    assert(preds(df) == preds(df.repartition(7)))
+  }
+
+  test("generalizes to unseen docs from the same vocabularies") {
+    val w = TextClassifier.train(planted, "doc_id", "text", "y",
+      k = 128, iters = 40, lr = 2.0)
+    val unseen = Seq(
+      (200L, "the archived survey results documented the revised catalog"),
+      (201L, "free casino pills click now winner bonus")).toDF("doc_id", "text")
+    val s = TextClassifier.score(unseen, "doc_id", "text", w, k = 128)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(s(200L) > 0.5, s"prose-like doc scored ${s(200L)}")
+    assert(s(201L) < 0.5, s"spam-like doc scored ${s(201L)}")
+  }
+
+  test("gate keeps high-quality rows with all columns intact") {
+    val df = planted
+    val w = TextClassifier.train(df, "doc_id", "text", "y",
+      k = 128, iters = 40, lr = 2.0)
+    val kept = TextClassifier.gate(df, "doc_id", "text", w, k = 128)
+    assert(kept.columns.toSeq == df.columns.toSeq)
+    val ids = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == df.filter(col("y") === 1).collect()
+      .map(_.getLong(0)).toSet)
+  }
+
+  test("all-one-label training drives the bias toward that label") {
+    val onlySpam = planted.filter(col("y") === 0)
+    val w = TextClassifier.train(onlySpam, "doc_id", "text", "y",
+      k = 64, iters = 20, lr = 2.0)
+    // an out-of-vocabulary doc hits only the bias — must predict 0
+    val s = TextClassifier.score(
+      Seq((1L, "zzz qqq xxx")).toDF("doc_id", "text"),
+      "doc_id", "text", w, k = 64)
+      .head().getDouble(1)
+    assert(s < 0.5, s"bias should pull unseen docs to the only label, got $s")
+  }
+
+  test("bad hyperparameters and weight shapes are rejected") {
+    val df = planted
+    intercept[IllegalArgumentException] {
+      TextClassifier.train(df, "doc_id", "text", "y", k = 0)
+    }
+    intercept[IllegalArgumentException] {
+      TextClassifier.score(df, "doc_id", "text", new Array[Double](5), k = 128)
+    }
+  }
+}
