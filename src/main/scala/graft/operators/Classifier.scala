@@ -72,6 +72,14 @@ object TextClassifier {
       .persist()
     val n = labels.count().toDouble
     require(n > 0, "empty labeled set")
+    // enforce the documented {0,1} label domain up front: a null label
+    // would null the residual while leaving curvature non-null — an
+    // NPE in the stats collect at best, a silently damped fit at worst
+    val badLabels = labels
+      .filter(col("__y").isNull || (col("__y") =!= 0.0 && col("__y") =!= 1.0))
+      .count()
+    require(badLabels == 0,
+      s"$badLabels rows have labels outside {0,1} (or null)")
     val w = new Array[Double](k + 1)
     try {
       for (_ <- 0 until iters) {
@@ -163,7 +171,9 @@ object TextClassifier {
   }
 
   /** Keep-gate: rows of `docs` whose predicted quality ≥ threshold.
-    * All original columns survive (score joins back on the id). */
+    * All original columns survive (score joins back on the id). Rows
+    * with null text have no score and are DROPPED at any threshold —
+    * filter them out (or default them) upstream if they must survive. */
   def gate(docs: DataFrame, idCol: String, textCol: String,
       weights: Array[Double], k: Int = 1024,
       threshold: Double = 0.5, tf: Boolean = true): DataFrame =

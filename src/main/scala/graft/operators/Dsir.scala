@@ -19,7 +19,8 @@ import org.apache.spark.sql.functions._
   * Scale design:
   *  - Both model fits collapse to ≤ k rows via map-side partial
   *    aggregation — the 100 TB corpus never shuffles, only (bucket,
-  *    partial-count) pairs do. Totals are 1-row cross joins.
+  *    partial-count) pairs do. The merged count table folds on the
+  *    driver (k-bounded), so totals and ratios cost nothing more.
   *  - The k-row log-ratio table BROADCASTS; scoring is explode →
   *    map-side broadcast join → per-doc sum whose shuffle carries one
   *    slim (id, partial-sum) row per doc per map task.
@@ -66,29 +67,37 @@ object Dsir {
     * union of observed buckets. */
   def logRatios(target: DataFrame, raw: DataFrame, textCol: String,
       n: Int = 2, k: Int = 4096): DataFrame = {
-    // Tag-union the two count tables instead of full-outer-joining them,
-    // and PERSIST the merged ≤k-row table so the totals derive from it
-    // rather than re-running the corpus lineage: the naive two-agg +
-    // full-outer + two-totals shape shingled the target corpus twice
-    // and the raw corpus three times — each corpus must be scanned
-    // exactly once here. The cached state is ≤ k rows, not corpus-sized.
+    // Tag-union the two count tables instead of full-outer-joining them
+    // (the naive two-agg + full-outer + two-totals shape shingled the
+    // target corpus twice and the raw corpus three times), then COLLECT
+    // the merged ≤k-row table and finish driver-side: each corpus is
+    // scanned exactly once, totals are exact integer sums, and nothing
+    // stays pinned in the cache manager (an earlier persist()-based
+    // draft leaked one cached table per call — the dedupLines lesson).
+    // The collect is bounded by the constant k, never by data; the
+    // driver ln is the same java.lang.Math.log Spark's codegen calls,
+    // so the micro-nat contract is unchanged. NOTE: this makes the
+    // call EAGER (it runs the two count jobs immediately).
+    val spark = target.sparkSession
+    import spark.implicits._
     val tc = bucketCounts(target, textCol, n, k)
       .select(col("bucket"), col("cnt").as("t_cnt"), lit(0L).as("r_cnt"))
     val rc = bucketCounts(raw, textCol, n, k)
       .select(col("bucket"), lit(0L).as("t_cnt"), col("cnt").as("r_cnt"))
     val merged = tc.unionByName(rc).groupBy("bucket")
       .agg(sum("t_cnt").as("t_cnt"), sum("r_cnt").as("r_cnt"))
-      .persist()
-    val totals = merged.agg(sum("t_cnt").as("t_total"),
-      sum("r_cnt").as("r_total"))
-    merged
-      .crossJoin(broadcast(totals))
-      .select(col("bucket"),
-        round((log((col("t_cnt") + 1).cast("double") /
-                   (col("t_total") + k).cast("double")) -
-               log((col("r_cnt") + 1).cast("double") /
-                   (col("r_total") + k).cast("double"))) * 1e6)
-          .cast("long").as("mnat"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val tTotal = merged.map(_._2).sum
+    val rTotal = merged.map(_._3).sum
+    merged.toSeq.map { case (bucket, tCnt, rCnt) =>
+      val x = 1e6 *
+        (math.log((tCnt + 1).toDouble / (tTotal + k).toDouble) -
+         math.log((rCnt + 1).toDouble / (rTotal + k).toDouble))
+      // ties round AWAY from zero (Spark round()/DuckDB round semantics;
+      // scala math.round would round -2.5 toward +∞)
+      val mnat = (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toLong
+      (bucket, mnat)
+    }.toDF("bucket", "mnat")
   }
 
   /** (idCol, w_mnat) integer importance weight per raw doc: the sum of
@@ -119,8 +128,12 @@ object Dsir {
     require(temperature > 0, "temperature must be positive")
     val ratios = logRatios(target, raw, textCol, n, k)
     val w = importanceWeights(raw, idCol, textCol, ratios, n, k)
+    // null ids hash like the empty string (the Corpus.shuffleKey
+    // precedent) — concat_ws alone would silently SKIP a null id and
+    // hash bare ":seed", diverging from the documented DuckDB replay
     val u16 = conv(substring(
-      md5(concat_ws(":", col(idCol).cast("string"), lit(seed.toString))),
+      md5(concat_ws(":", coalesce(col(idCol).cast("string"), lit("")),
+        lit(seed.toString))),
       1, 4), 16, 10).cast("double")
     val u = (u16 + 0.5) / 65536.0
     val gumbel = -log(-log(u))

@@ -212,10 +212,13 @@ class PlanAssertionsSpec extends AnyFunSuite {
       "ratio lookup must be a broadcast join")
     // selection is driver-bounded by topN, not a global sort
     assert(p.contains("TakeOrderedAndProject"))
-    // the merged bucket-count table is persisted so the totals derive
-    // from ≤k cached rows instead of re-shingling each corpus
-    assert(p.contains("InMemoryTableScan"),
-      "bucket counts must be cached, not recomputed per total")
+    // the ratio table is a driver-folded local relation (logRatios runs
+    // its two count jobs eagerly), so the SELECTION plan re-reads the
+    // raw corpus exactly once — for the weight explode
+    assert(p.contains("LocalTableScan"),
+      "ratio table must be a driver-folded local relation")
+    assert("FileScan".r.findAllIn(p).length == 1,
+      "selection must scan the corpus exactly once")
   }
 
   test("q_dedup_semantic joins on cells, never cross-joins vectors") {
