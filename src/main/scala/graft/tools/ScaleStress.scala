@@ -412,6 +412,81 @@ object ScaleStress {
         f"$tPlain%8.1f $tSketch%9.1f $tBloom%8.1f")
       corpusDf.unpersist(); idx.unpersist(); batch.unpersist()
     }
+
+    // Round-8 DSIR drill (continuation session): the model-fit side of
+    // importance resampling must stay k-BOUNDED while the corpus grows —
+    // ratio rows ≤ k at any scale (the two count jobs collapse map-side)
+    // — and weighting/selection must stay ~linear (slim (id, bucket)
+    // shuffle + TakeOrdered). The replicated corpus keeps the en/rest
+    // split, so the fitted models barely move with copies.
+    import graft.operators.Dsir
+    println(f"\n${"copies"}%8s ${"raw"}%9s ${"ratioRows"}%9s " +
+      f"${"t_ratios"}%8s ${"t_weights"}%9s ${"t_select"}%8s")
+    for (copies <- Seq(1, maxScale)
+        if which == "all" || which == "dsir") {
+      // corpus() drops lang; replicate inline keeping it
+      val base = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"), col("lang"))
+      val nBase = base.count()
+      val docs = base.crossJoin(
+          spark.range(copies).select(col("id").as("copy")))
+        .select((col("doc_id") + col("copy") * nBase).as("doc_id"),
+          when(col("copy") === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" variant marker token "),
+              col("copy").cast("string"))).as("text"),
+          col("lang")).cache()
+      val target = docs.filter(col("lang") === "en")
+      val raw = docs.filter(col("lang") =!= "en")
+      val nRaw = raw.count()
+      var ratios: org.apache.spark.sql.DataFrame = null
+      val tRatios = timed {
+        ratios = Dsir.logRatios(target, raw, "text", n = 2, k = 512)
+      }
+      val nRatio = ratios.count()
+      var nW = 0L
+      val tWeights = timed {
+        nW = Dsir.importanceWeights(raw, "doc_id", "text", ratios,
+          n = 2, k = 512).count()
+      }
+      val tSelect = timed {
+        Dsir.select(raw, "doc_id", "text", target,
+          topN = 100, n = 2, k = 512, seed = 7L).count()
+      }
+      assert(nW == nRaw, s"every raw doc must get a weight: $nW vs $nRaw")
+      println(f"$copies%8d $nRaw%9d $nRatio%9d " +
+        f"$tRatios%8.1f $tWeights%9.1f $tSelect%8.1f")
+      docs.unpersist()
+    }
+
+    // Round-8 classifier drill (continuation session): the deployment
+    // shape is a FIXED labeled set (training cost must not move) and an
+    // N×-growing scored corpus (one scan + broadcast weight lookup →
+    // ~linear). Label = marker-bucket presence, as in the query.
+    import graft.operators.TextClassifier
+    println(f"\n${"copies"}%8s ${"scored"}%9s ${"t_train"}%8s " +
+      f"${"t_score"}%8s ${"kept"}%9s")
+    for (copies <- Seq(1, maxScale)
+        if which == "all" || which == "clf") {
+      val wsCol = split(col("text"), "\\s+")
+      val labeled = corpus(spark, dir, 1)
+        .withColumn("y", array_contains(wsCol, "vector").cast("int"))
+        .cache()
+      labeled.count()
+      val scored = corpus(spark, dir, copies).cache()
+      val nScored = scored.count()
+      var w: Array[Double] = null
+      val tTrain = timed {
+        w = TextClassifier.train(labeled, "doc_id", "text", "y",
+          k = 256, iters = 4, lr = 1.0, tf = false)
+      }
+      var nKept = 0L
+      val tScore = timed {
+        nKept = TextClassifier.score(scored, "doc_id", "text", w,
+          k = 256, tf = false).filter(col("score") >= 0.5).count()
+      }
+      println(f"$copies%8d $nScored%9d $tTrain%8.1f $tScore%8.1f $nKept%9d")
+      labeled.unpersist(); scored.unpersist()
+    }
     spark.stop()
   }
 }
