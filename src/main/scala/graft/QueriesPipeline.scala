@@ -907,6 +907,18 @@ object QueriesPipeline {
         .select(col("vec_id"), col("cell")),
       None),
 
+    // BERTopic-style cluster topic labels: k-means cells over the
+    // embedding space, each labeled with its c-TF-IDF-distinctive
+    // terms via the documents join (vec_id ≡ doc_id in the fixture).
+    // Rows-only — driver-Lloyd centroids are float-iterative with no
+    // SQL replay; EmbeddingsSpec pins planted-cluster topic recovery.
+    "q_embed_topics" -> Entry(
+      (s, dir) => graft.operators.Embeddings
+        .clusterTopics(t(s, dir, "embeddings"), "vec_id", "embedding",
+          t(s, dir, "documents"), "doc_id", "text",
+          nlist = 8, topTerms = 3),
+      None),
+
     // Sequence packing: docs → consecutive 4096-token training bins via
     // the two-phase distributed prefix sum (operators/Pack.scala — no
     // global single-partition window). Bin assignment is pure window

@@ -419,4 +419,37 @@ object Embeddings {
       Seq(md5(col(idCol).cast("string")), col(idCol)), perCell)
       .drop("rnk") // capPerGroup's working column, not part of the contract
   }
+
+  // ---- cluster topic labeling -----------------------------------------
+
+  /** BERTopic-style cluster topic labeling: k-means cells over the
+    * embedding space, each cell labeled with its c-TF-IDF-distinctive
+    * terms — the "what IS this semantic region" view a curation pass
+    * needs before deciding to keep, cap, or drop a cluster. Returns
+    * (cell, n_docs, term, tf, gdf, score), `topTerms` rows per cell,
+    * ordered within each cell by score.
+    *
+    * Scale shape: composition of two already-bounded plans — centroids
+    * train on a bounded driver sample and assignment is a codegen'd
+    * scan against centroid literals ([[Similarity.trainCentroids]]);
+    * the term scoring is [[Corpus.distinctiveTerms]]'s one (cell, word)
+    * count shuffle + vocabulary-sized broadcast + WindowGroupLimit cut.
+    * The embedding⋈text join shuffles only (id, cell) against the doc
+    * scan; vectors never move after assignment. */
+  def clusterTopics(embedded: DataFrame, idCol: String, vecCol: String,
+      docs: DataFrame, docIdCol: String, textCol: String,
+      nlist: Int, topTerms: Int = 5): DataFrame = {
+    require(nlist > 0 && topTerms > 0, "nlist and topTerms must be positive")
+    val cents = Similarity.trainCentroids(embedded, vecCol, nlist)
+    val assigned = embedded.select(col(idCol).as("__cid"),
+      Similarity.nearestCell(col(vecCol), cents).as("cell"))
+    val labeled = assigned.join(
+      docs.select(col(docIdCol).as("__cid"), col(textCol)), Seq("__cid"))
+    val sizes = labeled.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_docs"))
+    Corpus.distinctiveTerms(labeled, "cell", textCol, topTerms)
+      .join(broadcast(sizes), Seq("cell")) // ≤nlist rows
+      .select(col("cell"), col("n_docs"), col("term"), col("tf"),
+        col("gdf"), col("score"))
+  }
 }

@@ -310,4 +310,33 @@ class EmbeddingsSpec extends AnyFunSuite {
       .select(col("vec_id")).collect().map(_.getLong(0)).toSet
     assert(s2 == got.map(_.getLong(0)).toSet)
   }
+
+  test("clusterTopics recovers planted cluster vocabularies") {
+    // two well-separated embedding clusters, each with an exclusive
+    // topic vocabulary plus shared filler — the topic labels must be
+    // the exclusive words, never the filler, and must not cross over
+    val emb = (0 until 12).map { i =>
+      val v = if (i < 6) Seq(1.0f, 0.02f * i) else Seq(0.02f * i, 1.0f)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val docs = (0 until 12).map { i =>
+      val topic = if (i < 6) "astronomy telescope nebula"
+                  else "cooking saucepan garlic"
+      (i.toLong, s"the and of $topic the and")
+    }.toDF("doc_id", "text")
+    val out = Embeddings.clusterTopics(emb, "vec_id", "embedding",
+      docs, "doc_id", "text", nlist = 2, topTerms = 3)
+      .collect()
+      .groupBy(_.getAs[Int]("cell"))
+      .map { case (c, rows) =>
+        c -> (rows.head.getAs[Long]("n_docs"), rows.map(_.getAs[String]("term")).toSet)
+      }
+    assert(out.size == 2)
+    assert(out.values.map(_._1).toSeq.sorted == Seq(6L, 6L))
+    val Seq(a, b) = out.values.map(_._2).toSeq
+    val astro = Set("astronomy", "telescope", "nebula")
+    val cook = Set("cooking", "saucepan", "garlic")
+    assert((a == astro && b == cook) || (a == cook && b == astro),
+      s"topics must be the exclusive vocabularies: $out")
+  }
 }
