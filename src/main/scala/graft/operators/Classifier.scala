@@ -18,13 +18,15 @@ import org.apache.spark.sql.functions._
   *
   * Scale design:
   *  - The labeled set's features materialize ONCE as slim (id, bucket,
-  *    x) triples and persist; each of the `iters` full-batch gradient
-  *    steps is one broadcast join (k-row weight table onto the triples)
-  *    + two labeled-set-sized slim shuffles + a ≤k-row driver collect.
-  *    Nothing in the loop scales with the unlabeled corpus.
-  *  - [[score]] is one scan of the target corpus: explode → broadcast
-  *    weight lookup → per-doc sum (map-side partial), sigmoid. The
-  *    100 TB side never joins anything bigger than k rows.
+  *    x) triples and persist; each of the `iters` full-batch steps is a
+  *    kernel-scored margin map over the cached labeled set, one slim
+  *    join-aggregate for the Newton statistics, and a ≤k+1-row driver
+  *    collect. Nothing in the loop scales with the unlabeled corpus.
+  *  - [[score]] is ONE MAP over the target corpus — the codegen'd
+  *    [[graft.plans.ClassifierKernels.hashedLogit]] kernel with the
+  *    weight vector riding the plan as a reference object. No explode,
+  *    no shuffle, legal inside a Structured Streaming plan
+  *    ([[graft.streaming.Streams.qualityGate]]).
   *  - Training is deterministic up to float partial-sum order (weights
   *    init at 0, no sampling); predicted LABELS on separable data are
   *    layout-stable, exact weight bits are not — callers persisting a
@@ -60,12 +62,16 @@ object TextClassifier {
     require(iters > 0 && lr > 0 && l2 >= 0, "bad hyperparameters")
     val spark = labeled.sparkSession
     import spark.implicits._
+    // text rides the cached labeled set so per-iteration margins are a
+    // pure map over it (the hashed_logit kernel) instead of a broadcast
+    // join over the triples — labeled sets are bounded, so is the cache
     val labels = labeled
-      .select(col(idCol).as("__id"), col(labelCol).cast("double").as("__y"))
+      .select(col(idCol).as("__id"), col(textCol).as("__t"),
+        col(labelCol).cast("double").as("__y"))
       .persist()
     // bias folded in as sentinel bucket k with x = 1.0 for every doc:
-    // margins and gradients then cover it in the SAME aggregate — one
-    // job per iteration, and no-token docs still train the bias
+    // gradients then cover it in the SAME aggregate, and no-token docs
+    // still train the bias
     val feats = features(labeled, idCol, textCol, k, tf)
       .unionByName(labels.select(col("__id"), lit(k).as("__b"),
         lit(1.0).as("__x")))
@@ -83,16 +89,17 @@ object TextClassifier {
     val w = new Array[Double](k + 1)
     try {
       for (_ <- 0 until iters) {
-        val wDf = broadcast(
-          w.zipWithIndex.filter(_._1 != 0.0)
-            .map { case (v, b) => (b, v) }.toSeq.toDF("__b", "__wv"))
-        val margins = feats.join(wDf, Seq("__b"), "left")
-          .groupBy("__id")
-          .agg(sum(col("__x") * coalesce(col("__wv"), lit(0.0))).as("__m"))
-        // per-doc residual r = σ(m) − y and curvature s = σ(m)(1 − σ(m))
-        val resid = labels.join(margins, Seq("__id"))
+        // per-doc residual r = σ(m) − y and curvature s = σ(m)(1 − σ(m));
+        // the margin is the native hashed_logit kernel over the cached
+        // text — a pure map, no join, no shuffle. A null text has no
+        // kernel margin but DOES carry the sentinel bias feature, so it
+        // scores at the bare bias, same as its triples would give.
+        val margin = coalesce(
+          graft.plans.ClassifierExprs.hashed_logit(col("__t"), w.toSeq, tf),
+          lit(w(k)))
+        val resid = labels
           .select(col("__id"),
-            (lit(1.0) / (lit(1.0) + exp(-col("__m")))).as("__p"),
+            (lit(1.0) / (lit(1.0) + exp(-margin))).as("__p"),
             col("__y"))
           .select(col("__id"), (col("__p") - col("__y")).as("__r"),
             (col("__p") * (lit(1.0) - col("__p"))).as("__s"))
@@ -148,26 +155,19 @@ object TextClassifier {
     w
   }
 
-  /** Predicted quality probability per doc: one corpus scan, broadcast
-    * k-row weight lookup, per-doc sum. Returns (idCol, score). Docs with
-    * null text drop (no tokens to score). */
+  /** Predicted quality probability per doc as a PURE MAP — one corpus
+    * scan through the codegen'd hashed_logit kernel, zero shuffle (an
+    * earlier draft explode+joined+grouped, which is a streaming-illegal
+    * aggregation and a per-doc shuffle the kernel makes unnecessary).
+    * Returns every (idCol, score) row; null text → null score. */
   def score(docs: DataFrame, idCol: String, textCol: String,
       weights: Array[Double], k: Int = 1024,
       tf: Boolean = true): DataFrame = {
     require(weights.length == k + 1,
       s"weights must be k+1=${k + 1} long, got ${weights.length}")
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val bias = weights.last
-    val wDf = broadcast(
-      weights.init.zipWithIndex.filter(_._1 != 0.0)
-        .map { case (v, b) => (b, v) }.toSeq.toDF("__b", "__wv"))
-    features(docs, idCol, textCol, k, tf)
-      .join(wDf, Seq("__b"), "left")
-      .groupBy(col("__id").as(idCol))
-      .agg((lit(1.0) / (lit(1.0) +
-        exp(-(sum(col("__x") * coalesce(col("__wv"), lit(0.0))) + bias))))
-        .as("score"))
+    docs.select(col(idCol),
+      (lit(1.0) / (lit(1.0) + exp(-graft.plans.ClassifierExprs
+        .hashed_logit(col(textCol), weights.toSeq, tf)))).as("score"))
   }
 
   /** Keep-gate: rows of `docs` whose predicted quality ≥ threshold.

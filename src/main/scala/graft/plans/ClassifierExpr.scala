@@ -1,0 +1,101 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Row-local hashed bag-of-words logistic margin — the scoring kernel of
+  * [[graft.operators.TextClassifier]] as one codegen'd pass: tokenize,
+  * md5-bucket, weight-lookup, accumulate. Makes corpus scoring a pure
+  * map (no explode, no per-doc groupBy shuffle) and is therefore legal
+  * inside a Structured Streaming plan, where the explode+groupBy score
+  * would be a streaming aggregation with state. The weight vector rides
+  * the plan as a reference object (the mat_project pattern) — shipped
+  * once per executor with the task binary, never per row. */
+object ClassifierKernels {
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** 16-bit md5-prefix bucket of a word, mod k — EXACTLY
+    * [[graft.operators.Dsir.bucket]]'s arithmetic (the first 4 hex chars
+    * of md5 are the first 2 digest bytes), so kernel-scored margins are
+    * interchangeable with the training triples' buckets. */
+  def bucket(word: String, k: Int): Int = {
+    val md = md5Local.get(); md.reset()
+    val d = md.digest(word.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    (((d(0) & 0xff) << 8) | (d(1) & 0xff)) % k
+  }
+
+  /** margin = Σ_b x_b·w(b) + w(k) with k = w.length − 1: term-frequency
+    * features when `tf` (each occurrence adds w(b), total divided by the
+    * token count — the splitWords length, matching token_count), bucket
+    * PRESENCE otherwise (sort + dedup of the row's buckets, stateless).
+    * Single pass, no allocation beyond the per-row bucket array. */
+  def hashedLogit(s: UTF8String, w: Array[Double], tf: Boolean): Double = {
+    val k = w.length - 1
+    val words = TextKernels.splitWords(s)
+    var acc = 0.0
+    if (tf) {
+      var i = 0
+      while (i < words.length) { acc += w(bucket(words(i), k)); i += 1 }
+      acc /= words.length
+    } else {
+      val bs = new Array[Int](words.length)
+      var i = 0
+      while (i < words.length) { bs(i) = bucket(words(i), k); i += 1 }
+      java.util.Arrays.sort(bs)
+      i = 0
+      while (i < bs.length) {
+        if (i == 0 || bs(i) != bs(i - 1)) acc += w(bs(i))
+        i += 1
+      }
+    }
+    acc + w(k)
+  }
+}
+
+/** See [[ClassifierKernels.hashedLogit]]. `weights` is a Seq in the
+  * case-class signature for value equality (semanticEquals /
+  * subexpression elimination — the MatProjectExpr rule); the primitive
+  * array backs the kernel hot path. */
+case class HashedLogitExpr(child: Expression, weights: Seq[Double],
+    tf: Boolean) extends UnaryExpression {
+  private val wArr: Array[Double] = weights.toArray
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType =>
+      if (weights.length >= 2) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs k+1 ≥ 2 weights (bias last), got ${weights.length}")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string column, got ${t.sql}")
+  }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "hashed_logit"
+
+  override def nullSafeEval(v: Any): Any =
+    ClassifierKernels.hashedLogit(v.asInstanceOf[UTF8String], wArr, tf)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("hashedLogitW", wArr, "double[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.ClassifierKernels.hashedLogit($c, $wRef, $tf)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ClassifierExprs {
+  import org.apache.spark.sql.graft.bridge.{column, expression}
+
+  def hashed_logit(text: Column, weights: Seq[Double], tf: Boolean): Column =
+    column(HashedLogitExpr(expression(text), weights, tf))
+}

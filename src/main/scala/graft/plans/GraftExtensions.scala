@@ -109,7 +109,14 @@ object GraftExtensions {
     ("cms_topk", classOf[CmsTopKExpr].getName,
       (es: Seq[Expression]) => CmsTopKExpr(es(0),
         intLit(es(1), "cms_topk"), intLit(es(2), "cms_topk"),
-        intLit(es(3), "cms_topk")).toAggregateExpression()))
+        intLit(es(3), "cms_topk")).toAggregateExpression()),
+    // hashed_logit(text, cast(array(…) as array<double>), tf_int):
+    // the weight vector is a foldable array (reference object, the
+    // mat_project rule); tf as 0/1 int
+    ("hashed_logit", classOf[HashedLogitExpr].getName,
+      (es: Seq[Expression]) => HashedLogitExpr(es(0),
+        doubleArrayLit(es(1), "hashed_logit"),
+        intLit(es(2), "hashed_logit") != 0)))
 
   /** The projection basis must be a FOLDABLE array<double> in SQL —
     * `mat_project(vec, cast(array(…) as array<double>), …)` — because

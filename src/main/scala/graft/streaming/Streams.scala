@@ -132,6 +132,22 @@ object Streams {
       .drop("__fp")
   }
 
+  /** Quality-gate a DOCUMENT STREAM with a trained
+    * [[graft.operators.TextClassifier]] model: keep rows whose predicted
+    * quality probability ≥ `threshold`. The score is the codegen'd
+    * hashed_logit kernel — a pure map with the weight vector riding the
+    * plan as a reference object — so the gate adds NO streaming state
+    * and composes with any watermark/dedup downstream (the explode+
+    * groupBy scoring shape would be a stateful streaming aggregation).
+    * Works identically on batch frames. Null-text rows drop (their
+    * score is null). */
+  def qualityGate(docs: DataFrame, textCol: String,
+      weights: Array[Double], threshold: Double = 0.5,
+      tf: Boolean = true): DataFrame =
+    docs.filter(
+      (lit(1.0) / (lit(1.0) + exp(-graft.plans.ClassifierExprs
+        .hashed_logit(col(textCol), weights.toSeq, tf)))) >= threshold)
+
   /** Per-window trending terms as a true stream: watermarked tumbling
     * windows over a document stream, tokens from the native shingle
     * kernel, and the [[graft.plans.CmsAgg]] count-min heavy-hitter

@@ -87,6 +87,38 @@ class ClassifierSpec extends AnyFunSuite {
     assert(s < 0.5, s"bias should pull unseen docs to the only label, got $s")
   }
 
+  test("kernel bucket matches Dsir.bucket's md5 arithmetic exactly") {
+    val words = Seq("the", "vector", "ngram", "", "ünïcode-wörd", "a b",
+      "été", "0", "zzz")
+    for (k <- Seq(1, 7, 256, 65536)) {
+      val viaCol = words.toDF("w")
+        .select(col("w"), graft.operators.Dsir.bucket(col("w"), k).as("b"))
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      for (w <- words)
+        assert(graft.plans.ClassifierKernels.bucket(w, k) == viaCol(w),
+          s"bucket mismatch for '$w' at k=$k")
+    }
+  }
+
+  test("kernel margin equals the triples margin (both feature modes)") {
+    val df = planted
+    for (tf <- Seq(true, false)) {
+      val w = TextClassifier.train(df, "doc_id", "text", "y",
+        k = 128, iters = 10, lr = 1.0, tf = tf)
+      // triples replay: sum of x·w over the doc's buckets + bias
+      val triples = TextClassifier.features(df, "doc_id", "text", 128, tf)
+        .collect().groupBy(_.getLong(0)).map { case (id, rows) =>
+          id -> (rows.map(r => r.getDouble(2) * w(r.getInt(1))).sum + w(128))
+        }
+      val kernel = df.select(col("doc_id"),
+        graft.plans.ClassifierExprs.hashed_logit(col("text"), w.toSeq, tf)
+          .as("m")).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      for ((id, m) <- kernel)
+        assert(math.abs(m - triples(id)) < 1e-9,
+          s"margin mismatch doc $id tf=$tf: kernel=$m triples=${triples(id)}")
+    }
+  }
+
   test("bad hyperparameters and weight shapes are rejected") {
     val df = planted
     intercept[IllegalArgumentException] {

@@ -256,6 +256,13 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("pc"))
       .map(p => (p.getLong(0), p.getLong(1))) ==
       Seq((1L, 3L), (2L, 3L), (1L, 2L)))
+    // hashed_logit: weights as a foldable array<double>, tf as 0/1
+    val hl = spark.sql("""SELECT hashed_logit('a a b',
+        cast(array(0.0, 0.25, 0.125, 2.0) as array<double>), 1) AS m""")
+      .head().getAs[Double]("m")
+    // tf margin = (w[b('a')]+w[b('a')]+w[b('b')])/3 + bias; with only
+    // bias distinguishable a priori, just pin totality + bias presence
+    assert(hl >= 2.0 - 0.25 && hl <= 2.0 + 0.25)
     // the aggregate kernel: grouped SQL top-k
     val agg = spark.sql("""SELECT top_k_agg(s, i, 2) AS t FROM (
         SELECT * FROM VALUES (0.9, 1L), (0.8, 2L), (0.7, 3L) AS v(s, i))""")

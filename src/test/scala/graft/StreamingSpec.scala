@@ -195,6 +195,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming quality gate: trained model filters the stream, " +
+      "stream ≡ batch, zero state") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val labeled = Seq(
+      (1L, "clean prose article text", 1), (2L, "prose article words", 1),
+      (3L, "spam casino click now", 0), (4L, "casino click spam offer", 0)
+    ).toDF("doc_id", "text", "y")
+    val w = graft.operators.TextClassifier.train(labeled, "doc_id",
+      "text", "y", k = 64, iters = 20, lr = 1.0, tf = false)
+    val ms = MemoryStream[Streams.Doc]
+    def doc(id: Long, min: Int, text: String) = Streams.Doc(id,
+      java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00"), text)
+    val q = Streams.qualityGate(ms.toDF(), "text", w, tf = false)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("gate_out").start()
+    try {
+      val batch = Seq(
+        doc(10, 0, "prose article text words"),   // prose-like → keep
+        doc(11, 1, "casino spam now click"),      // spam-like → drop
+        doc(12, 2, "clean prose text"))           // keep
+      ms.addData(batch: _*)
+      q.processAllAvailable()
+      // the gate is stateless — no stateful operator in the plan
+      assert(q.lastProgress.stateOperators.isEmpty)
+      val ids = spark.table("gate_out").select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(10L, 12L))
+      // identical verdicts on the same rows as a batch frame
+      val batchIds = Streams.qualityGate(
+        batch.toDF(), "text", w, tf = false)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(batchIds == ids)
+    } finally q.stop()
+  }
+
   test("streaming ingestion dedup with bloom sidecar ≡ plain path") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
