@@ -21,9 +21,9 @@ import org.apache.spark.sql.functions._
   *    aggregation — the 100 TB corpus never shuffles, only (bucket,
   *    partial-count) pairs do. The merged count table folds on the
   *    driver (k-bounded), so totals and ratios cost nothing more.
-  *  - The k-row log-ratio table BROADCASTS; scoring is explode →
-  *    map-side broadcast join → per-doc sum whose shuffle carries one
-  *    slim (id, partial-sum) row per doc per map task.
+  *  - Scoring is ONE codegen'd MAP over the raw corpus: the ratio
+  *    table densifies to a long[k] reference object and the per-doc
+  *    weight is the native `hashed_ngram_sum` kernel — zero shuffle.
   *  - Selection is a TakeOrdered (driver memory bounded by `topN`),
   *    not a global sort.
   *  - Everything is engine-portable arithmetic (md5 prefixes, integer
@@ -101,18 +101,28 @@ object Dsir {
   }
 
   /** (idCol, w_mnat) integer importance weight per raw doc: the sum of
-    * its shingles' bucket log-ratios in micro-nats. Docs whose text is
-    * null drop (they have no n-gram mass to weigh). `ratios` must come
-    * from [[logRatios]] with the same (n, k) — it broadcasts. */
+    * its shingles' bucket log-ratios in micro-nats, as ONE codegen'd
+    * map over the corpus — the ≤k-row ratio table densifies to a long[k]
+    * riding the plan as a reference object (`hashed_ngram_sum`), so
+    * scoring 100 TB is a scan with ZERO shuffle (the earlier explode →
+    * broadcast join → groupBy moved a row per token). Integer
+    * accumulation keeps the strict-hash contract bit-exact. Docs whose
+    * text is null drop (they have no n-gram mass to weigh). `ratios`
+    * must come from [[logRatios]] with the same (n, k); buckets absent
+    * from it contribute 0. NOTE: eager — the ratio table collects here. */
   def importanceWeights(raw: DataFrame, idCol: String, textCol: String,
-      ratios: DataFrame, n: Int = 2, k: Int = 4096): DataFrame =
+      ratios: DataFrame, n: Int = 2, k: Int = 4096): DataFrame = {
+    val dense = new Array[Long](k)
+    ratios.collect().foreach { r =>
+      val b = r.getInt(0)
+      require(b >= 0 && b < k, s"ratio bucket $b outside [0, $k)")
+      dense(b) = r.getLong(1)
+    }
     raw
-      .select(col(idCol), explode(graft.plans.TextExpressions
-        .word_shingles(col(textCol), n)).as("s"))
-      .select(col(idCol), bucket(col("s"), k).as("bucket"))
-      .join(broadcast(ratios), Seq("bucket"))
-      .groupBy(col(idCol))
-      .agg(sum("mnat").as("w_mnat"))
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), graft.plans.ClassifierExprs
+        .hashed_ngram_sum(col(textCol), dense.toSeq, n).as("w_mnat"))
+  }
 
   /** Gumbel top-`topN` selection without replacement ∝
     * exp(weight / temperature): rank key = w_nats/temperature + g where

@@ -57,6 +57,21 @@ object ClassifierKernels {
     }
     acc + w(k)
   }
+
+  /** Σ values(bucket(g)) over every word n-gram occurrence — see
+    * [[HashedNgramSumExpr]]. Uses the SAME shingle walk as
+    * [[TextKernels.wordShingles]] (incl. the ≤n whole-text edge). */
+  def hashedNgramSum(s: UTF8String, values: Array[Long], n: Int): Long = {
+    val k = values.length
+    val shingles = TextKernels.wordShingles(s, n)
+    var acc = 0L
+    var i = 0
+    while (i < shingles.numElements()) {
+      acc += values(bucket(shingles.getUTF8String(i).toString, k))
+      i += 1
+    }
+    acc
+  }
 }
 
 /** See [[ClassifierKernels.hashedLogit]]. `weights` is a Seq in the
@@ -93,9 +108,51 @@ case class HashedLogitExpr(child: Expression, weights: Seq[Double],
     copy(child = newChild)
 }
 
+/** Row-local Σ values(bucket(g)) over every word n-gram occurrence of
+  * the text — the scoring kernel of [[graft.operators.Dsir]]: with
+  * `values` = the dense micro-nat log-ratio vector, the result IS the
+  * doc's integer importance weight, computed in one codegen'd pass with
+  * zero shuffle (the explode → join → groupBy shape this replaces moved
+  * one row per token). Integer accumulation keeps the sum order-exact —
+  * the cross-engine strict-hash contract survives unchanged. k is
+  * `values.length`; buckets use [[ClassifierKernels.bucket]] (≡
+  * [[graft.operators.Dsir.bucket]]). */
+case class HashedNgramSumExpr(child: Expression, values: Seq[Long],
+    n: Int) extends UnaryExpression {
+  private val vArr: Array[Long] = values.toArray
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType =>
+      if (values.nonEmpty && n > 0) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs a non-empty value vector and n > 0")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string column, got ${t.sql}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hashed_ngram_sum"
+
+  override def nullSafeEval(v: Any): Any =
+    ClassifierKernels.hashedNgramSum(v.asInstanceOf[UTF8String], vArr, n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val vRef = ctx.addReferenceObj("hashedNgramV", vArr, "long[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.ClassifierKernels.hashedNgramSum($c, $vRef, $n)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object ClassifierExprs {
   import org.apache.spark.sql.graft.bridge.{column, expression}
 
   def hashed_logit(text: Column, weights: Seq[Double], tf: Boolean): Column =
     column(HashedLogitExpr(expression(text), weights, tf))
+
+  def hashed_ngram_sum(text: Column, values: Seq[Long], n: Int): Column =
+    column(HashedNgramSumExpr(expression(text), values, n))
 }

@@ -116,7 +116,29 @@ object GraftExtensions {
     ("hashed_logit", classOf[HashedLogitExpr].getName,
       (es: Seq[Expression]) => HashedLogitExpr(es(0),
         doubleArrayLit(es(1), "hashed_logit"),
-        intLit(es(2), "hashed_logit") != 0)))
+        intLit(es(2), "hashed_logit") != 0)),
+    // hashed_ngram_sum(text, array(…bigint…), n): dense value vector as
+    // a foldable array<bigint> reference object
+    ("hashed_ngram_sum", classOf[HashedNgramSumExpr].getName,
+      (es: Seq[Expression]) => HashedNgramSumExpr(es(0),
+        longArrayLit(es(1), "hashed_ngram_sum"),
+        intLit(es(2), "hashed_ngram_sum"))))
+
+  private def longArrayLit(e: Expression, fn: String): Seq[Long] = {
+    val ok = e.foldable && (e.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    })
+    if (!ok) throw new IllegalArgumentException(
+      s"$fn expects a foldable array<bigint> value vector")
+    e.eval() match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+        a.toLongArray().toIndexedSeq
+      case _ => throw new IllegalArgumentException(
+        s"$fn value vector evaluated to null")
+    }
+  }
 
   /** The projection basis must be a FOLDABLE array<double> in SQL —
     * `mat_project(vec, cast(array(…) as array<double>), …)` — because

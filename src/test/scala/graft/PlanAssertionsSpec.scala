@@ -205,18 +205,16 @@ class PlanAssertionsSpec extends AnyFunSuite {
       "no stage of the budget cap may be single-partition")
   }
 
-  test("q_sample_dsir scores via broadcast ratios and cuts with TakeOrdered") {
+  test("q_sample_dsir is one kernel scan cut by TakeOrdered — no shuffle") {
     val p = plan("q_sample_dsir")
-    // the k-row log-ratio table must broadcast onto the doc-shingle side
-    assert(p.contains("BroadcastHashJoin"),
-      "ratio lookup must be a broadcast join")
+    // per-doc weights are the native hashed_ngram_sum kernel — a pure
+    // map; the ratio table rides the plan as a reference object
+    assert(p.contains("hashed_ngram_sum"),
+      "weights must come from the native kernel")
     // selection is driver-bounded by topN, not a global sort
     assert(p.contains("TakeOrderedAndProject"))
-    // the ratio table is a driver-folded local relation (logRatios runs
-    // its two count jobs eagerly), so the SELECTION plan re-reads the
-    // raw corpus exactly once — for the weight explode
-    assert(p.contains("LocalTableScan"),
-      "ratio table must be a driver-folded local relation")
+    assert(!p.contains("Exchange"),
+      "the selection plan must not shuffle at all")
     assert("FileScan".r.findAllIn(p).length == 1,
       "selection must scan the corpus exactly once")
   }
@@ -263,6 +261,11 @@ class PlanAssertionsSpec extends AnyFunSuite {
     // tf margin = (w[b('a')]+w[b('a')]+w[b('b')])/3 + bias; with only
     // bias distinguishable a priori, just pin totality + bias presence
     assert(hl >= 2.0 - 0.25 && hl <= 2.0 + 0.25)
+    // hashed_ngram_sum: integer ngram-bucket sum, n=1 over 3 tokens —
+    // each token adds some values(b) of the all-sevens vector → 21
+    val hns = spark.sql("""SELECT hashed_ngram_sum('a b c',
+        array(7L, 7L, 7L, 7L), 1) AS v""").head().getAs[Long]("v")
+    assert(hns == 21L)
     // the aggregate kernel: grouped SQL top-k
     val agg = spark.sql("""SELECT top_k_agg(s, i, 2) AS t FROM (
         SELECT * FROM VALUES (0.9, 1L), (0.8, 2L), (0.7, 3L) AS v(s, i))""")
