@@ -124,6 +124,52 @@ object Dsir {
         .hashed_ngram_sum(col(textCol), dense.toSeq, n).as("w_mnat"))
   }
 
+  /** Append one ingested batch's hashed-n-gram bucket counts to a
+    * persisted count store (≤k rows per batch, tagged by side) — counts
+    * are ADDITIVE, so the DSIR models of a growing corpus never rescan
+    * old batches: each ingest appends one tiny row set and
+    * [[logRatiosFromStats]] folds however many have accumulated. Same
+    * incremental pattern as the dedup fingerprint index and the PCA
+    * moment store. `side` must be "target" or "raw". */
+  def appendBucketCounts(batch: DataFrame, textCol: String, side: String,
+      path: String, n: Int = 2, k: Int = 4096,
+      overwrite: Boolean = false): Unit = {
+    require(side == "target" || side == "raw",
+      s"side must be 'target' or 'raw', got '$side'")
+    bucketCounts(batch, textCol, n, k)
+      .select(lit(side).as("side"), col("bucket"), col("cnt"))
+      .write.mode(if (overwrite) "overwrite" else "append").parquet(path)
+  }
+
+  /** [[logRatios]] from the persisted count store: reads ≤k rows per
+    * appended batch (bounded by batch count × k, not corpus size),
+    * folds the additive counts per side, and emits the same
+    * (bucket, mnat) table a one-shot fit over the unioned corpora
+    * would — integer counts fold exactly, so the result is IDENTICAL,
+    * not merely close. Both sides must be present. */
+  def logRatiosFromStats(spark: org.apache.spark.sql.SparkSession,
+      path: String, n: Int = 2, k: Int = 4096): DataFrame = {
+    import spark.implicits._
+    val folded = spark.read.parquet(path)
+      .groupBy("side", "bucket").agg(sum("cnt").as("cnt"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    require(folded.exists(_._1 == "target") && folded.exists(_._1 == "raw"),
+      s"count store at $path needs both 'target' and 'raw' rows")
+    val t = folded.filter(_._1 == "target").map(x => x._2 -> x._3).toMap
+    val r = folded.filter(_._1 == "raw").map(x => x._2 -> x._3).toMap
+    val tTotal = t.values.sum
+    val rTotal = r.values.sum
+    (t.keySet ++ r.keySet).toSeq.sorted.map { bucket =>
+      val x = 1e6 *
+        (math.log((t.getOrElse(bucket, 0L) + 1).toDouble /
+          (tTotal + k).toDouble) -
+         math.log((r.getOrElse(bucket, 0L) + 1).toDouble /
+          (rTotal + k).toDouble))
+      val mnat = (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toLong
+      (bucket, mnat)
+    }.toDF("bucket", "mnat")
+  }
+
   /** Gumbel top-`topN` selection without replacement ∝
     * exp(weight / temperature): rank key = w_nats/temperature + g where
     * g = −ln(−ln(u)) and u is a seeded md5 uniform in (0,1) — rerun-

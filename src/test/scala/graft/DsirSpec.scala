@@ -70,6 +70,35 @@ class DsirSpec extends AnyFunSuite {
     assert(a != ids(8L), "a different seed is a different draw")
   }
 
+  test("incremental count store: two appended batches ≡ one-shot fit") {
+    val docs = Q.t(spark, "/root/testdata/sf0.001", "documents")
+    val target = docs.filter(col("lang") === "en")
+    val raw = docs.filter(col("lang") =!= "en")
+    val path = Q.tempDir("dsir-stats") + "/counts"
+    import graft.operators.Dsir
+    // target arrives whole; raw arrives as two disjoint ingest batches
+    Dsir.appendBucketCounts(target, "text", "target", path,
+      n = 2, k = 128, overwrite = true)
+    Dsir.appendBucketCounts(raw.filter(col("doc_id") % 2 === 0), "text",
+      "raw", path, n = 2, k = 128)
+    Dsir.appendBucketCounts(raw.filter(col("doc_id") % 2 =!= 0), "text",
+      "raw", path, n = 2, k = 128)
+    val inc = Dsir.logRatiosFromStats(spark, path, n = 2, k = 128)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val oneShot = Dsir.logRatios(target, raw, "text", n = 2, k = 128)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(inc == oneShot,
+      "integer counts fold exactly — the tables must be identical")
+    // a store missing one side is rejected with a clear message
+    val path2 = Q.tempDir("dsir-stats2") + "/counts"
+    Dsir.appendBucketCounts(target, "text", "target", path2,
+      n = 2, k = 128, overwrite = true)
+    val e = intercept[IllegalArgumentException] {
+      Dsir.logRatiosFromStats(spark, path2, n = 2, k = 128)
+    }
+    assert(e.getMessage.contains("both"))
+  }
+
   test("select at vanishing temperature is the deterministic weight top-N") {
     val docs = Q.t(spark, "/root/testdata/sf0.001", "documents")
     val target = docs.filter(col("lang") === "en")
