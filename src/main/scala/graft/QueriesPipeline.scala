@@ -61,12 +61,13 @@ object QueriesPipeline {
 
   /** DuckDB CTE chain replaying [[graft.operators.Dsir]]'s hashed-bigram
     * models and integer micro-nat weights for en-target vs rest-raw over
-    * documents, k = 512 — ends in `w(doc_id, w_mnat)`. Shared by
-    * q_sample_dsir_weights and q_sample_dsir. */
-  private val dsirWeightCtes: String = """words AS (
+    * `src` (any CTE/table with doc_id, lang, text), k = 512 — ends in
+    * `w(doc_id, w_mnat)`. Shared by q_sample_dsir_weights, q_sample_dsir
+    * and the composed q_pipeline_curation. */
+  private def dsirWeightCtesFrom(src: String): String = """words AS (
           SELECT doc_id, lang,
             regexp_split_to_array(trim(lower(text)), '\s+') AS ws
-          FROM documents),
+          FROM SRC_RELATION),
         sh AS (
           SELECT doc_id, lang,
             CASE WHEN len(ws) <= 2 THEN array_to_string(ws, ' ')
@@ -95,7 +96,9 @@ object QueriesPipeline {
           -- float64 — cast back so the strict compare sees int64
           SELECT b.doc_id, CAST(sum(r.mnat) AS BIGINT) AS w_mnat
           FROM b JOIN ratios r USING (bucket)
-          WHERE b.lang <> 'en' GROUP BY 1)"""
+          WHERE b.lang <> 'en' GROUP BY 1)""".replace("SRC_RELATION", src)
+
+  private val dsirWeightCtes: String = dsirWeightCtesFrom("documents")
 
   val entries: Seq[(String, Entry)] = Seq(
 
@@ -234,6 +237,41 @@ object QueriesPipeline {
         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
         length(text) AS n_chars_actual
         FROM documents""")),
+
+    // Curation pipeline with DATA SELECTION: length gate → exact dedup
+    // (min-id per normalized fingerprint) → DSIR Gumbel top-50 over the
+    // survivors. The whole chain is md5/integer arithmetic, so the
+    // SELECTED SUBSET of a three-stage pipeline is strict-hash checked
+    // end-to-end in DuckDB — the composition guarantee q_pipeline_e2e
+    // gives for packing, extended to importance resampling.
+    "q_pipeline_curation" -> Entry(
+      (s, dir) => {
+        import graft.operators.{Dedup, Dsir}
+        val docs = t(s, dir, "documents")
+        val filt = docs.filter(Text.token_count(col("text")) >= 20)
+        val keepIds = Dedup.exact(filt, "text", "doc_id")
+          .select(col("keep_id").as("doc_id"))
+        val kept = filt.join(keepIds, Seq("doc_id"), "left_semi")
+        Dsir.select(kept.filter(col("lang") =!= "en"), "doc_id", "text",
+          kept.filter(col("lang") === "en"),
+          topN = 50, n = 2, k = 512, seed = 11L)
+      },
+      Some("""WITH filt AS (
+          SELECT doc_id, lang, text FROM documents
+          WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 20),
+        keep AS (
+          SELECT min(doc_id) AS doc_id FROM filt
+          GROUP BY sha256(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))),
+        kept AS (SELECT f.* FROM filt f JOIN keep USING (doc_id)),
+        """ + dsirWeightCtesFrom("kept") + """,
+        sel AS (
+          SELECT doc_id, w_mnat,
+            round(w_mnat / 1e6
+              - ln(-ln((('0x' || substr(md5(doc_id::VARCHAR || ':11'), 1, 4))::INT
+                        + 0.5) / 65536.0)), 6) AS sel_key
+          FROM w)
+        SELECT doc_id, w_mnat FROM sel
+        ORDER BY sel_key DESC, doc_id LIMIT 50""")),
 
     // End-to-end training-data flow: quality gate → exact dedup → pack.
     // Every stage is individually oracle-checked elsewhere; this pins
