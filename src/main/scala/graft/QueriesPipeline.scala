@@ -256,6 +256,11 @@ object QueriesPipeline {
           kept.filter(col("lang") === "en"),
           topN = 50, n = 2, k = 512, seed = 11L)
       },
+      // gate replay note: DuckDB trim() strips spaces only while the
+      // token_count kernel trims all chars ≤ 0x20 — the repo-wide \s+
+      // oracle convention (q_pipeline_e2e, q_text_tokens); divergent
+      // only for text with leading/trailing exotic whitespace, which
+      // the fixtures never contain
       Some("""WITH filt AS (
           SELECT doc_id, lang, text FROM documents
           WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 20),

@@ -163,6 +163,7 @@ object TextClassifier {
   def score(docs: DataFrame, idCol: String, textCol: String,
       weights: Array[Double], k: Int = 1024,
       tf: Boolean = true): DataFrame = {
+    require(k > 0 && k <= 65536, "k must be in [1, 65536]")
     require(weights.length == k + 1,
       s"weights must be k+1=${k + 1} long, got ${weights.length}")
     docs.select(col(idCol),

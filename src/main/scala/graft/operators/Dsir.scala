@@ -59,6 +59,19 @@ object Dsir {
       .select(bucket(col("s"), k).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("cnt"))
 
+  /** The micro-nat contract in ONE place (shared by [[logRatios]] and
+    * [[logRatiosFromStats]] so the ≡-one-shot and DuckDB-replay
+    * guarantees cannot drift apart): smoothed log ratio scaled 1e6,
+    * ties rounded AWAY from zero (Spark round()/DuckDB semantics;
+    * scala math.round would round -2.5 toward +∞). */
+  private def mnatOf(tCnt: Long, rCnt: Long, tTotal: Long, rTotal: Long,
+      k: Int): Long = {
+    val x = 1e6 *
+      (math.log((tCnt + 1).toDouble / (tTotal + k).toDouble) -
+       math.log((rCnt + 1).toDouble / (rTotal + k).toDouble))
+    (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toLong
+  }
+
   /** Per-bucket importance log-ratio table (≤ k rows):
     * `mnat = round(1e6 · (ln p_b − ln q_b))` as BIGINT, where
     * p_b = (target_b + 1)/(T + k) and q_b = (raw_b + 1)/(R + k)
@@ -90,13 +103,7 @@ object Dsir {
     val tTotal = merged.map(_._2).sum
     val rTotal = merged.map(_._3).sum
     merged.toSeq.map { case (bucket, tCnt, rCnt) =>
-      val x = 1e6 *
-        (math.log((tCnt + 1).toDouble / (tTotal + k).toDouble) -
-         math.log((rCnt + 1).toDouble / (rTotal + k).toDouble))
-      // ties round AWAY from zero (Spark round()/DuckDB round semantics;
-      // scala math.round would round -2.5 toward +∞)
-      val mnat = (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toLong
-      (bucket, mnat)
+      (bucket, mnatOf(tCnt, rCnt, tTotal, rTotal, k))
     }.toDF("bucket", "mnat")
   }
 
@@ -130,14 +137,20 @@ object Dsir {
     * old batches: each ingest appends one tiny row set and
     * [[logRatiosFromStats]] folds however many have accumulated. Same
     * incremental pattern as the dedup fingerprint index and the PCA
-    * moment store. `side` must be "target" or "raw". */
+    * moment store. `side` must be "target" or "raw". The (n, k) shape
+    * is persisted with every row so a mismatched read fails loudly
+    * instead of silently changing the smoothing denominators. WARNING:
+    * `overwrite = true` resets the WHOLE store — both sides, all
+    * batches — not just the side being written; use it only to start a
+    * store, never to refresh one side. */
   def appendBucketCounts(batch: DataFrame, textCol: String, side: String,
       path: String, n: Int = 2, k: Int = 4096,
       overwrite: Boolean = false): Unit = {
     require(side == "target" || side == "raw",
       s"side must be 'target' or 'raw', got '$side'")
     bucketCounts(batch, textCol, n, k)
-      .select(lit(side).as("side"), col("bucket"), col("cnt"))
+      .select(lit(side).as("side"), col("bucket"), col("cnt"),
+        lit(n).as("n"), lit(k).as("k"))
       .write.mode(if (overwrite) "overwrite" else "append").parquet(path)
   }
 
@@ -150,7 +163,16 @@ object Dsir {
   def logRatiosFromStats(spark: org.apache.spark.sql.SparkSession,
       path: String, n: Int = 2, k: Int = 4096): DataFrame = {
     import spark.implicits._
-    val folded = spark.read.parquet(path)
+    val store = spark.read.parquet(path)
+    // every stored batch must have been appended with the SAME (n, k)
+    // this read assumes — a k mismatch would silently change the
+    // smoothing denominators and break the ≡-one-shot contract
+    val shapes = store.select("n", "k").distinct()
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    require(shapes.toSeq == Seq((n, k)),
+      s"count store at $path was appended with shapes " +
+        s"${shapes.mkString(",")} but read with (n=$n, k=$k)")
+    val folded = store
       .groupBy("side", "bucket").agg(sum("cnt").as("cnt"))
       .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
     require(folded.exists(_._1 == "target") && folded.exists(_._1 == "raw"),
@@ -160,13 +182,8 @@ object Dsir {
     val tTotal = t.values.sum
     val rTotal = r.values.sum
     (t.keySet ++ r.keySet).toSeq.sorted.map { bucket =>
-      val x = 1e6 *
-        (math.log((t.getOrElse(bucket, 0L) + 1).toDouble /
-          (tTotal + k).toDouble) -
-         math.log((r.getOrElse(bucket, 0L) + 1).toDouble /
-          (rTotal + k).toDouble))
-      val mnat = (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toLong
-      (bucket, mnat)
+      (bucket, mnatOf(t.getOrElse(bucket, 0L), r.getOrElse(bucket, 0L),
+        tTotal, rTotal, k))
     }.toDF("bucket", "mnat")
   }
 

@@ -59,15 +59,26 @@ object ClassifierKernels {
   }
 
   /** Σ values(bucket(g)) over every word n-gram occurrence — see
-    * [[HashedNgramSumExpr]]. Uses the SAME shingle walk as
-    * [[TextKernels.wordShingles]] (incl. the ≤n whole-text edge). */
+    * [[HashedNgramSumExpr]]. Same shingle semantics as
+    * [[TextKernels.wordShingles]] (incl. the ≤n whole-text edge), but
+    * walking the split words directly: each shingle string is built
+    * ONCE and hashed from its bytes — no intermediate ArrayData and no
+    * UTF8String encode/decode round trip per n-gram on the scan path. */
   def hashedNgramSum(s: UTF8String, values: Array[Long], n: Int): Long = {
     val k = values.length
-    val shingles = TextKernels.wordShingles(s, n)
+    val words = TextKernels.splitWords(s)
+    if (words.length <= n)
+      return values(bucket(words.mkString(" "), k))
     var acc = 0L
     var i = 0
-    while (i < shingles.numElements()) {
-      acc += values(bucket(shingles.getUTF8String(i).toString, k))
+    while (i + n <= words.length) {
+      val sb = new java.lang.StringBuilder(16 * n)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j)); j += 1
+      }
+      acc += values(bucket(sb.toString, k))
       i += 1
     }
     acc
@@ -85,9 +96,13 @@ case class HashedLogitExpr(child: Expression, weights: Seq[Double],
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case _: StringType =>
-      if (weights.length >= 2) TypeCheckResult.TypeCheckSuccess
+      // buckets are a 16-bit md5 prefix mod k: weights past index 65535
+      // would be silently unreachable
+      if (weights.length >= 2 && weights.length <= 65537)
+        TypeCheckResult.TypeCheckSuccess
       else TypeCheckResult.TypeCheckFailure(
-        s"$prettyName needs k+1 ≥ 2 weights (bias last), got ${weights.length}")
+        s"$prettyName needs 2 ≤ k+1 ≤ 65537 weights (bias last), " +
+          s"got ${weights.length}")
     case t => TypeCheckResult.TypeCheckFailure(
       s"$prettyName expects a string column, got ${t.sql}")
   }
@@ -124,9 +139,11 @@ case class HashedNgramSumExpr(child: Expression, values: Seq[Long],
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case _: StringType =>
-      if (values.nonEmpty && n > 0) TypeCheckResult.TypeCheckSuccess
+      // 16-bit bucket space: values past index 65535 are unreachable
+      if (values.nonEmpty && values.length <= 65536 && n > 0)
+        TypeCheckResult.TypeCheckSuccess
       else TypeCheckResult.TypeCheckFailure(
-        s"$prettyName needs a non-empty value vector and n > 0")
+        s"$prettyName needs 1 ≤ |values| ≤ 65536 and n > 0")
     case t => TypeCheckResult.TypeCheckFailure(
       s"$prettyName expects a string column, got ${t.sql}")
   }
