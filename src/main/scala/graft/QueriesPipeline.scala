@@ -490,6 +490,27 @@ object QueriesPipeline {
         WHERE rate >= 1.0 OR substr(md5(text), 1, 4) <
           printf('%04x', cast(floor(rate * 65536) AS int))""")),
 
+    // Temperature (α = 0.5) mixture rebalancing: keep rates derive from
+    // group counts ∝ n^α — the multilingual up-weight-the-tail sampling
+    // rule. The α-weights are computed from one tiny count aggregate;
+    // the oracle replays pow/least/md5-threshold arithmetic exactly
+    // (same float-rate convention as q_sample_mixture).
+    "q_sample_mixture_temp" -> Entry(
+      (s, dir) => graft.operators.Corpus
+        .rebalanceTemperature(t(s, dir, "documents"), "lang", col("text"),
+          alpha = 0.5, targetTotal = 300)
+        .select(col("doc_id"), col("lang")),
+      Some("""WITH n AS (SELECT lang, count(*) AS n FROM documents
+          WHERE lang IS NOT NULL GROUP BY 1),
+        z AS (SELECT sum(pow(n, 0.5)) AS z FROM n),
+        rated AS (
+          SELECT d.doc_id, d.lang, d.text,
+            least(1.0, 300 * (pow(n.n, 0.5) / z.z) / n.n) AS rate
+          FROM documents d JOIN n ON n.lang = d.lang, z)
+        SELECT doc_id, lang FROM rated
+        WHERE rate >= 1.0 OR substr(md5(text), 1, 4) <
+          printf('%04x', cast(floor(rate * 65536) AS int))""")),
+
     // Per-group TOKEN-budget cap: the mixture primitive for targets
     // specified in tokens ("N tokens per language"), not row rates —
     // md5(id:seed)-ordered prefix per group until the cumulative token

@@ -541,6 +541,30 @@ object Corpus {
       .drop("__n")
   }
 
+  /** Temperature (α-) mixture rebalancing — the multilingual/multi-source
+    * sampling rule of the XLM/mT5 lineage: sample group g with mass
+    * ∝ n_g^α, so α = 1 keeps natural proportions, α = 0 equalizes all
+    * groups, and the usual α ∈ (0.2, 0.8) up-weights tail groups
+    * without drowning the head. Computes the α-weights from the group
+    * counts (one tiny aggregate, collected — bounded by the number of
+    * groups: languages/sources, never rows) and delegates the keep
+    * decision to [[rebalanceMixture]]'s map-side md5 filter — the whole
+    * rebalance is one scan. Rows whose group is null are dropped. */
+  def rebalanceTemperature(df: DataFrame, groupCol: String, key: Column,
+      alpha: Double, targetTotal: Long): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, "alpha must be in [0, 1]")
+    val counts = df.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("__g"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    require(counts.nonEmpty, "no non-null groups to rebalance")
+    val z = counts.map { case (_, n) => math.pow(n.toDouble, alpha) }.sum
+    val weights = counts.map { case (g, n) =>
+      g -> math.pow(n.toDouble, alpha) / z
+    }.toMap
+    rebalanceMixture(df, groupCol, key, weights, targetTotal)
+  }
+
   /** Token-window chunking: split each document into word chunks of at
     * most `maxTokens` with `overlap` words of context carried between
     * consecutive chunks — the standard long-document → training-sample

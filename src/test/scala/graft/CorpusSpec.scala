@@ -498,4 +498,34 @@ class CorpusSpec extends AnyFunSuite {
     assert(e(3L).length == 1) // empty text → single empty-string token
     assert(enc() == e, "not rerun-stable")
   }
+
+  test("rebalanceTemperature: α endpoints recover explicit mixtures") {
+    val df = (1 to 400).map(i => (i.toLong, s"big doc $i", "big")) ++
+      (1 to 100).map(i => (500L + i, s"small doc $i", "small"))
+    val docs = df.toDF("doc_id", "text", "lang")
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      d.select("doc_id").collect().map(_.getLong(0)).toSet
+    // α = 1: weights ∝ n_g — identical to the natural-proportion mixture
+    val natural = ids(Corpus.rebalanceMixture(docs, "lang", col("text"),
+      Map("big" -> 0.8, "small" -> 0.2), 200))
+    assert(ids(Corpus.rebalanceTemperature(docs, "lang", col("text"),
+      alpha = 1.0, targetTotal = 200)) == natural)
+    // α = 0: every group weighs the same — identical to the uniform mix
+    val uniform = ids(Corpus.rebalanceMixture(docs, "lang", col("text"),
+      Map("big" -> 0.5, "small" -> 0.5), 200))
+    val equalized = ids(Corpus.rebalanceTemperature(docs, "lang", col("text"),
+      alpha = 0.0, targetTotal = 200))
+    assert(equalized == uniform)
+    // α = 0 keeps ALL of the small group (rate 100/100 ≥ 1) and
+    // downsamples the big one — the up-weight-the-tail point
+    val eqLangs = Corpus.rebalanceTemperature(docs, "lang", col("text"),
+        alpha = 0.0, targetTotal = 200)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(eqLangs("small") == 100L)
+    assert(eqLangs("big") < 400L)
+    intercept[IllegalArgumentException] {
+      Corpus.rebalanceTemperature(docs, "lang", col("text"), 1.5, 100)
+    }
+  }
 }
