@@ -34,30 +34,39 @@ import org.apache.spark.sql.functions._
   */
 object TextClassifier {
 
-  /** (id, bucket, x) hashed-unigram feature triples: term frequency
-    * (count/len — fastText-style averaging) when `tf`, bucket PRESENCE
-    * (x = 1) otherwise. Presence features give marker-word tasks crisp
-    * unit-scale margins; tf keeps long docs from dominating. Duplicate
-    * words collapse before leaving the map side (groupBy id+bucket), so
-    * triples ≤ distinct-words per doc. */
+  /** (id, bucket, x) hashed feature triples: term frequency (count /
+    * feature-count — fastText-style averaging) when `tf`, bucket
+    * PRESENCE (x = 1) otherwise. `ngrams = 2` adds word-bigram buckets
+    * to the unigram set (fastText's wordNgrams — style/collocation
+    * signal a bag of words can't see); sub-2-token docs contribute no
+    * bigram. Presence features give marker-word tasks crisp unit-scale
+    * margins; tf keeps long docs from dominating. Duplicate features
+    * collapse before leaving the map side (groupBy id+bucket). */
   def features(docs: DataFrame, idCol: String, textCol: String,
-      k: Int, tf: Boolean = true): DataFrame =
+      k: Int, tf: Boolean = true, ngrams: Int = 1): DataFrame = {
+    require(ngrams >= 1 && ngrams <= 2, "ngrams must be 1 or 2")
+    val uni = graft.plans.TextExpressions.word_shingles(col(textCol), 1)
+    val featArr =
+      if (ngrams >= 2) concat(uni,
+        when(graft.plans.TextExpressions.token_count(col(textCol)) >= 2,
+          graft.plans.TextExpressions.word_shingles(col(textCol), 2))
+          .otherwise(array().cast("array<string>")))
+      else uni
     docs
       .select(col(idCol).as("__id"),
-        graft.plans.TextExpressions.token_count(col(textCol))
-          .cast("double").as("__n"),
-        explode(graft.plans.TextExpressions.word_shingles(col(textCol), 1))
-          .as("__w"))
+        size(featArr).cast("double").as("__n"),
+        explode(featArr).as("__w"))
       .select(col("__id"), col("__n"), Dsir.bucket(col("__w"), k).as("__b"))
       .groupBy("__id", "__b")
       .agg((if (tf) count(lit(1)) / first("__n") else lit(1.0)).as("__x"))
+  }
 
   /** Train logistic weights on (idCol, textCol, labelCol∈{0,1}) rows by
     * full-batch gradient descent. Returns length k+1 (bias last). */
   def train(labeled: DataFrame, idCol: String, textCol: String,
       labelCol: String, k: Int = 1024, iters: Int = 30,
       lr: Double = 1.0, l2: Double = 0.0,
-      tf: Boolean = true): Array[Double] = {
+      tf: Boolean = true, ngrams: Int = 1): Array[Double] = {
     require(k > 0 && k <= 65536, "k must be in [1, 65536]")
     require(iters > 0 && lr > 0 && l2 >= 0, "bad hyperparameters")
     val spark = labeled.sparkSession
@@ -72,7 +81,7 @@ object TextClassifier {
     // bias folded in as sentinel bucket k with x = 1.0 for every doc:
     // gradients then cover it in the SAME aggregate, and no-token docs
     // still train the bias
-    val feats = features(labeled, idCol, textCol, k, tf)
+    val feats = features(labeled, idCol, textCol, k, tf, ngrams)
       .unionByName(labels.select(col("__id"), lit(k).as("__b"),
         lit(1.0).as("__x")))
       .persist()
@@ -95,7 +104,8 @@ object TextClassifier {
         // kernel margin but DOES carry the sentinel bias feature, so it
         // scores at the bare bias, same as its triples would give.
         val margin = coalesce(
-          graft.plans.ClassifierExprs.hashed_logit(col("__t"), w.toSeq, tf),
+          graft.plans.ClassifierExprs.hashed_logit(col("__t"), w.toSeq, tf,
+            ngrams),
           lit(w(k)))
         val resid = labels
           .select(col("__id"),
@@ -162,13 +172,14 @@ object TextClassifier {
     * Returns every (idCol, score) row; null text → null score. */
   def score(docs: DataFrame, idCol: String, textCol: String,
       weights: Array[Double], k: Int = 1024,
-      tf: Boolean = true): DataFrame = {
+      tf: Boolean = true, ngrams: Int = 1): DataFrame = {
     require(k > 0 && k <= 65536, "k must be in [1, 65536]")
     require(weights.length == k + 1,
       s"weights must be k+1=${k + 1} long, got ${weights.length}")
     docs.select(col(idCol),
       (lit(1.0) / (lit(1.0) + exp(-graft.plans.ClassifierExprs
-        .hashed_logit(col(textCol), weights.toSeq, tf)))).as("score"))
+        .hashed_logit(col(textCol), weights.toSeq, tf, ngrams))))
+        .as("score"))
   }
 
   /** Keep-gate: rows of `docs` whose predicted quality ≥ threshold.
@@ -177,9 +188,10 @@ object TextClassifier {
     * filter them out (or default them) upstream if they must survive. */
   def gate(docs: DataFrame, idCol: String, textCol: String,
       weights: Array[Double], k: Int = 1024,
-      threshold: Double = 0.5, tf: Boolean = true): DataFrame =
+      threshold: Double = 0.5, tf: Boolean = true,
+      ngrams: Int = 1): DataFrame =
     docs.join(
-      score(docs, idCol, textCol, weights, k, tf)
+      score(docs, idCol, textCol, weights, k, tf, ngrams)
         .filter(col("score") >= threshold)
         .select(col(idCol)),
       Seq(idCol), "left_semi")

@@ -33,21 +33,30 @@ object ClassifierKernels {
 
   /** margin = Σ_b x_b·w(b) + w(k) with k = w.length − 1: term-frequency
     * features when `tf` (each occurrence adds w(b), total divided by the
-    * token count — the splitWords length, matching token_count), bucket
-    * PRESENCE otherwise (sort + dedup of the row's buckets, stateless).
+    * FEATURE count), bucket PRESENCE otherwise (sort + dedup of the
+    * row's buckets, stateless). `ngrams = 2` adds word-bigram buckets to
+    * the unigram set (fastText's wordNgrams — style/collocation signal a
+    * bag of words can't see); a sub-2-token doc contributes no bigram.
     * Single pass, no allocation beyond the per-row bucket array. */
-  def hashedLogit(s: UTF8String, w: Array[Double], tf: Boolean): Double = {
+  def hashedLogit(s: UTF8String, w: Array[Double], tf: Boolean,
+      ngrams: Int = 1): Double = {
     val k = w.length - 1
     val words = TextKernels.splitWords(s)
+    val nBi = if (ngrams >= 2 && words.length >= 2) words.length - 1 else 0
+    val bs = new Array[Int](words.length + nBi)
+    var i = 0
+    while (i < words.length) { bs(i) = bucket(words(i), k); i += 1 }
+    var j = 0
+    while (j < nBi) {
+      bs(words.length + j) = bucket(words(j) + " " + words(j + 1), k)
+      j += 1
+    }
     var acc = 0.0
     if (tf) {
-      var i = 0
-      while (i < words.length) { acc += w(bucket(words(i), k)); i += 1 }
-      acc /= words.length
+      i = 0
+      while (i < bs.length) { acc += w(bs(i)); i += 1 }
+      acc /= bs.length
     } else {
-      val bs = new Array[Int](words.length)
-      var i = 0
-      while (i < words.length) { bs(i) = bucket(words(i), k); i += 1 }
       java.util.Arrays.sort(bs)
       i = 0
       while (i < bs.length) {
@@ -90,7 +99,7 @@ object ClassifierKernels {
   * subexpression elimination — the MatProjectExpr rule); the primitive
   * array backs the kernel hot path. */
 case class HashedLogitExpr(child: Expression, weights: Seq[Double],
-    tf: Boolean) extends UnaryExpression {
+    tf: Boolean, ngrams: Int = 1) extends UnaryExpression {
   private val wArr: Array[Double] = weights.toArray
   import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 
@@ -98,11 +107,12 @@ case class HashedLogitExpr(child: Expression, weights: Seq[Double],
     case _: StringType =>
       // buckets are a 16-bit md5 prefix mod k: weights past index 65535
       // would be silently unreachable
-      if (weights.length >= 2 && weights.length <= 65537)
+      if (weights.length >= 2 && weights.length <= 65537 &&
+          ngrams >= 1 && ngrams <= 2)
         TypeCheckResult.TypeCheckSuccess
       else TypeCheckResult.TypeCheckFailure(
-        s"$prettyName needs 2 ≤ k+1 ≤ 65537 weights (bias last), " +
-          s"got ${weights.length}")
+        s"$prettyName needs 2 ≤ k+1 ≤ 65537 weights (bias last) and " +
+          s"ngrams in {1, 2}, got ${weights.length} / $ngrams")
     case t => TypeCheckResult.TypeCheckFailure(
       s"$prettyName expects a string column, got ${t.sql}")
   }
@@ -111,12 +121,12 @@ case class HashedLogitExpr(child: Expression, weights: Seq[Double],
   override def prettyName: String = "hashed_logit"
 
   override def nullSafeEval(v: Any): Any =
-    ClassifierKernels.hashedLogit(v.asInstanceOf[UTF8String], wArr, tf)
+    ClassifierKernels.hashedLogit(v.asInstanceOf[UTF8String], wArr, tf, ngrams)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val wRef = ctx.addReferenceObj("hashedLogitW", wArr, "double[]")
     defineCodeGen(ctx, ev,
-      c => s"graft.plans.ClassifierKernels.hashedLogit($c, $wRef, $tf)")
+      c => s"graft.plans.ClassifierKernels.hashedLogit($c, $wRef, $tf, $ngrams)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -167,8 +177,9 @@ case class HashedNgramSumExpr(child: Expression, values: Seq[Long],
 object ClassifierExprs {
   import org.apache.spark.sql.graft.bridge.{column, expression}
 
-  def hashed_logit(text: Column, weights: Seq[Double], tf: Boolean): Column =
-    column(HashedLogitExpr(expression(text), weights, tf))
+  def hashed_logit(text: Column, weights: Seq[Double], tf: Boolean,
+      ngrams: Int = 1): Column =
+    column(HashedLogitExpr(expression(text), weights, tf, ngrams))
 
   def hashed_ngram_sum(text: Column, values: Seq[Long], n: Int): Column =
     column(HashedNgramSumExpr(expression(text), values, n))

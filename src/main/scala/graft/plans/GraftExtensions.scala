@@ -116,7 +116,8 @@ object GraftExtensions {
     ("hashed_logit", classOf[HashedLogitExpr].getName,
       (es: Seq[Expression]) => HashedLogitExpr(es(0),
         doubleArrayLit(es(1), "hashed_logit"),
-        intLit(es(2), "hashed_logit") != 0)),
+        intLit(es(2), "hashed_logit") != 0,
+        if (es.length > 3) intLit(es(3), "hashed_logit") else 1)),
     // hashed_ngram_sum(text, array(…bigint…), n): dense value vector as
     // a foldable array<bigint> reference object
     ("hashed_ngram_sum", classOf[HashedNgramSumExpr].getName,

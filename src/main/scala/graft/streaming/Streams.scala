@@ -143,10 +143,11 @@ object Streams {
     * score is null). */
   def qualityGate(docs: DataFrame, textCol: String,
       weights: Array[Double], threshold: Double = 0.5,
-      tf: Boolean = true): DataFrame =
+      tf: Boolean = true, ngrams: Int = 1): DataFrame =
     docs.filter(
       (lit(1.0) / (lit(1.0) + exp(-graft.plans.ClassifierExprs
-        .hashed_logit(col(textCol), weights.toSeq, tf)))) >= threshold)
+        .hashed_logit(col(textCol), weights.toSeq, tf, ngrams))))
+        >= threshold)
 
   /** Per-window trending terms as a true stream: watermarked tumbling
     * windows over a document stream, tokens from the native shingle

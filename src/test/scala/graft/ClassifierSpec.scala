@@ -100,23 +100,49 @@ class ClassifierSpec extends AnyFunSuite {
     }
   }
 
-  test("kernel margin equals the triples margin (both feature modes)") {
+  test("kernel margin equals the triples margin (feature modes × ngrams)") {
     val df = planted
-    for (tf <- Seq(true, false)) {
+    for (tf <- Seq(true, false); ng <- Seq(1, 2)) {
       val w = TextClassifier.train(df, "doc_id", "text", "y",
-        k = 128, iters = 10, lr = 1.0, tf = tf)
+        k = 128, iters = 10, lr = 1.0, tf = tf, ngrams = ng)
       // triples replay: sum of x·w over the doc's buckets + bias
-      val triples = TextClassifier.features(df, "doc_id", "text", 128, tf)
+      val triples = TextClassifier
+        .features(df, "doc_id", "text", 128, tf, ng)
         .collect().groupBy(_.getLong(0)).map { case (id, rows) =>
           id -> (rows.map(r => r.getDouble(2) * w(r.getInt(1))).sum + w(128))
         }
       val kernel = df.select(col("doc_id"),
-        graft.plans.ClassifierExprs.hashed_logit(col("text"), w.toSeq, tf)
+        graft.plans.ClassifierExprs.hashed_logit(col("text"), w.toSeq, tf, ng)
           .as("m")).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
       for ((id, m) <- kernel)
         assert(math.abs(m - triples(id)) < 1e-9,
-          s"margin mismatch doc $id tf=$tf: kernel=$m triples=${triples(id)}")
+          s"margin mismatch doc $id tf=$tf ngrams=$ng: " +
+            s"kernel=$m triples=${triples(id)}")
     }
+  }
+
+  test("wordNgrams=2 separates word-order classes a bag of words cannot") {
+    // every doc has the SAME unigram multiset — only bigram order
+    // distinguishes the classes, fastText's wordNgrams motivation
+    val df = (Seq.tabulate(8)(i => (i.toLong, "dog bites man here", 1)) ++
+      Seq.tabulate(8)(i => (100L + i, "man bites dog here", 0)))
+      .toDF("doc_id", "text", "y")
+    val w2 = TextClassifier.train(df, "doc_id", "text", "y",
+      k = 128, iters = 30, lr = 2.0, tf = false, ngrams = 2)
+    val acc2 = TextClassifier.score(df, "doc_id", "text", w2,
+        k = 128, tf = false, ngrams = 2)
+      .join(df.select("doc_id", "y"), Seq("doc_id"))
+      .collect().count(r =>
+        (r.getAs[Double]("score") >= 0.5) == (r.getAs[Int]("y") == 1))
+    assert(acc2 == 16, s"bigram model must fully separate, got $acc2/16")
+    // the unigram model provably cannot: identical features per class
+    val w1 = TextClassifier.train(df, "doc_id", "text", "y",
+      k = 128, iters = 30, lr = 2.0, tf = false, ngrams = 1)
+    val scores1 = TextClassifier.score(df, "doc_id", "text", w1,
+        k = 128, tf = false, ngrams = 1)
+      .collect().map(_.getDouble(1)).distinct
+    assert(scores1.length == 1,
+      s"unigram scores must be identical for all docs: $scores1")
   }
 
   test("bad hyperparameters and weight shapes are rejected") {
