@@ -46,15 +46,26 @@ object TextClassifier {
       k: Int, tf: Boolean = true, ngrams: Int = 1): DataFrame = {
     require(ngrams >= 1 && ngrams <= 2, "ngrams must be 1 or 2")
     val uni = graft.plans.TextExpressions.word_shingles(col(textCol), 1)
+    val tc = graft.plans.TextExpressions.token_count(col(textCol))
     val featArr =
       if (ngrams >= 2) concat(uni,
-        when(graft.plans.TextExpressions.token_count(col(textCol)) >= 2,
+        when(tc >= 2,
           graft.plans.TextExpressions.word_shingles(col(textCol), 2))
           .otherwise(array().cast("array<string>")))
       else uni
+    // feature count derived ARITHMETICALLY from the allocation-free
+    // token_count kernel (tc unigrams + tc−1 bigrams when tc ≥ 2 —
+    // word_shingles' ≤n whole-text edge makes a 2-token doc's bigram
+    // list exactly 1 long, so the formula holds at every tc) instead
+    // of size(featArr), which would evaluate the shingle array a
+    // second time alongside the explode
+    val featCount =
+      if (ngrams >= 2)
+        (tc + when(tc >= 2, tc - 1).otherwise(lit(0))).cast("double")
+      else tc.cast("double")
     docs
       .select(col(idCol).as("__id"),
-        size(featArr).cast("double").as("__n"),
+        featCount.as("__n"),
         explode(featArr).as("__w"))
       .select(col("__id"), col("__n"), Dsir.bucket(col("__w"), k).as("__b"))
       .groupBy("__id", "__b")

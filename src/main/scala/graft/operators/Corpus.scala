@@ -523,11 +523,21 @@ object Corpus {
     * rebalancing 100 TB to a target mix is one scan, no shuffle of the
     * data itself, and adding a source only changes that source's rate. */
   def rebalanceMixture(df: DataFrame, groupCol: String, key: Column,
-      weights: Map[String, Double], targetTotal: Long): DataFrame = {
+      weights: Map[String, Double], targetTotal: Long): DataFrame =
+    rebalanceMixtureWithCounts(df, groupCol, key, weights, targetTotal,
+      df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n")))
+
+  /** [[rebalanceMixture]] with the (group, __n) counts precomputed —
+    * lets [[rebalanceTemperature]] reuse the aggregate it already
+    * collected instead of recomputing the input lineage. The weights
+    * map is keyed by the group's STRING form (the lookup casts), so
+    * non-string group columns work too. */
+  private def rebalanceMixtureWithCounts(df: DataFrame, groupCol: String,
+      key: Column, weights: Map[String, Double], targetTotal: Long,
+      counts: DataFrame): DataFrame = {
     val w = typedLit(weights)
-    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
     val rate = least(lit(1.0),
-      lit(targetTotal.toDouble) * w(col(groupCol)) /
+      lit(targetTotal.toDouble) * w(col(groupCol).cast("string")) /
         col("__n").cast("double"))
     // 16-bit md5-prefix threshold, exactly [[hashKeep]]'s arithmetic.
     // lower(lpad(hex(…))) not format_string: the Formatter costs
@@ -536,7 +546,7 @@ object Corpus {
     // 0xffff (4 hex chars — lpad would TRUNCATE a 5-char 0x10000)
     val thr = lower(lpad(hex(floor(rate * 65536).cast("int")), 4, "0"))
     df.join(broadcast(counts), groupCol)
-      .filter(w(col(groupCol)).isNotNull &&
+      .filter(w(col(groupCol).cast("string")).isNotNull &&
         (rate >= 1.0 || hashBucket(key) < thr))
       .drop("__n")
   }
@@ -553,16 +563,29 @@ object Corpus {
   def rebalanceTemperature(df: DataFrame, groupCol: String, key: Column,
       alpha: Double, targetTotal: Long): DataFrame = {
     require(alpha >= 0.0 && alpha <= 1.0, "alpha must be in [0, 1]")
-    val counts = df.filter(col(groupCol).isNotNull)
-      .groupBy(col(groupCol).cast("string").as("__g"))
+    val spark = df.sparkSession
+    val countsDf = df.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol))
       .agg(count(lit(1)).as("__n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1))
-    require(counts.nonEmpty, "no non-null groups to rebalance")
+    val rows = countsDf.collect()
+    require(rows.nonEmpty, "no non-null groups to rebalance")
+    // group-key-sorted before the z fold: a float Σ in collect()
+    // partition order would make the α-weights layout-sensitive in the
+    // last ulp — against the module's rerun-stable sampling contract
+    val counts = rows
+      .map(r => (String.valueOf(r.get(0)), r.getLong(1)))
+      .sortBy(_._1)
     val z = counts.map { case (_, n) => math.pow(n.toDouble, alpha) }.sum
     val weights = counts.map { case (g, n) =>
       g -> math.pow(n.toDouble, alpha) / z
     }.toMap
-    rebalanceMixture(df, groupCol, key, weights, targetTotal)
+    // hand the counts back as a LOCAL relation (original group TYPE
+    // preserved) so the input lineage is not recomputed a second time
+    // inside the mixture filter
+    val localCounts = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), countsDf.schema)
+    rebalanceMixtureWithCounts(df, groupCol, key, weights, targetTotal,
+      localCounts)
   }
 
   /** Token-window chunking: split each document into word chunks of at

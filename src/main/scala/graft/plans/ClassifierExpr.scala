@@ -43,20 +43,26 @@ object ClassifierKernels {
     val k = w.length - 1
     val words = TextKernels.splitWords(s)
     val nBi = if (ngrams >= 2 && words.length >= 2) words.length - 1 else 0
-    val bs = new Array[Int](words.length + nBi)
-    var i = 0
-    while (i < words.length) { bs(i) = bucket(words(i), k); i += 1 }
-    var j = 0
-    while (j < nBi) {
-      bs(words.length + j) = bucket(words(j) + " " + words(j + 1), k)
-      j += 1
-    }
     var acc = 0.0
     if (tf) {
-      i = 0
-      while (i < bs.length) { acc += w(bs(i)); i += 1 }
-      acc /= bs.length
+      // tf accumulates directly — no bucket array on the scoring hot
+      // path (the presence branch below needs one to dedup)
+      var i = 0
+      while (i < words.length) { acc += w(bucket(words(i), k)); i += 1 }
+      var j = 0
+      while (j < nBi) {
+        acc += w(bucket(words(j) + " " + words(j + 1), k)); j += 1
+      }
+      acc /= (words.length + nBi)
     } else {
+      val bs = new Array[Int](words.length + nBi)
+      var i = 0
+      while (i < words.length) { bs(i) = bucket(words(i), k); i += 1 }
+      var j = 0
+      while (j < nBi) {
+        bs(words.length + j) = bucket(words(j) + " " + words(j + 1), k)
+        j += 1
+      }
       java.util.Arrays.sort(bs)
       i = 0
       while (i < bs.length) {
