@@ -88,13 +88,30 @@ object Bench {
     // queries it cannot fit the driver's 2000-char stdout tail window;
     // stdout carries the total plus the top-20 most expensive queries
     // (the ones a perf grader needs), with a pointer to the file.
-    val fullPath = "BENCH_full.json"
+    // Versioned per-round artifact: BENCH_full.json alone was rewritten
+    // by EVERY run, so a later profiling run clobbered the round's
+    // canonical record (it happened to r8's). The round is inferred as
+    // 1 + the highest committed BENCH_r/CORRECTNESS_r index, so a
+    // post-verdict profiling run lands in the NEXT round's slot and the
+    // driver's file survives.
+    val roundIdx = {
+      val rx = "(?:BENCH|CORRECTNESS)_r(\\d+)\\.json".r
+      val seen = Option(new java.io.File(".").list()).toSeq.flatten
+        .collect { case rx(n) => n.toInt }
+      (seen :+ 0).max + 1
+    }
+    val fullPath = f"BENCH_full_r$roundIdx%02d.json"
     try {
       val cold = results.sortBy(_._1)
         .map { case (k, _, c) => "\"" + k + "\":" + fmt(c) }
         .mkString("{", ",", "}")
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath),
-        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(results)},"cold_queries":$cold,"cold_total":${fmt(coldTotal)},"sf":"$sfDir"}""")
+      val payload =
+        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(results)},"cold_queries":$cold,"cold_total":${fmt(coldTotal)},"sf":"$sfDir"}"""
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(fullPath), payload)
+      // legacy alias kept for tooling that reads the unversioned name
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_full.json"), payload)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] full-map write failed: ${e.getMessage}")
     }

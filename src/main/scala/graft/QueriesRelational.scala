@@ -92,13 +92,18 @@ object QueriesRelational {
         def one(c: String, as: String) = li
           .groupBy(col("l_suppkey"))
           .agg(countDistinct(col(c)).as(as))
-        val a = one("l_partkey", "n_parts")
-        val b = one("l_orderkey", "n_orders")
+        // explicit plan aliases: both branches derive from the same
+        // `li`, so dataframe-column refs (a("l_suppkey")) resolve to ONE
+        // attribute and Spark logs `trivially true equals predicate` on
+        // every run while DeduplicateRelations quietly rescues the join —
+        // version-fragile; string-qualified refs bind unambiguously
+        val a = one("l_partkey", "n_parts").alias("a")
+        val b = one("l_orderkey", "n_orders").alias("b")
         // null-safe equi-join: both sides carry the SAME group set, but
         // a plain `=` would drop a NULL group key that SQL's GROUP BY
         // (and the oracle) retains
-        a.join(b, a("l_suppkey") <=> b("l_suppkey"))
-          .select(a("l_suppkey"), col("n_parts"), col("n_orders"))
+        a.join(b, col("a.l_suppkey") <=> col("b.l_suppkey"))
+          .select(col("a.l_suppkey"), col("n_parts"), col("n_orders"))
       },
       Some("""SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts,
         count(DISTINCT l_orderkey) AS n_orders

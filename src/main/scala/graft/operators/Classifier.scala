@@ -194,16 +194,24 @@ object TextClassifier {
   }
 
   /** Keep-gate: rows of `docs` whose predicted quality ≥ threshold.
-    * All original columns survive (score joins back on the id). Rows
-    * with null text have no score and are DROPPED at any threshold —
-    * filter them out (or default them) upstream if they must survive. */
+    * All original columns survive. Scores with the same codegen'd
+    * hashed_logit kernel as `score` but applies it as a direct filter —
+    * one FileScan, no Exchange, no self-join (the earlier left-semi form
+    * scanned docs twice and, under duplicate idCol values, kept every
+    * row sharing a passing id). Streaming-legal: `Streams.qualityGate`
+    * uses the same shape. Rows with null text evaluate to a null
+    * predicate and are DROPPED at any threshold — filter them out (or
+    * default them) upstream if they must survive. */
   def gate(docs: DataFrame, idCol: String, textCol: String,
       weights: Array[Double], k: Int = 1024,
       threshold: Double = 0.5, tf: Boolean = true,
-      ngrams: Int = 1): DataFrame =
-    docs.join(
-      score(docs, idCol, textCol, weights, k, tf, ngrams)
-        .filter(col("score") >= threshold)
-        .select(col(idCol)),
-      Seq(idCol), "left_semi")
+      ngrams: Int = 1): DataFrame = {
+    require(k > 0 && k <= 65536, "k must be in [1, 65536]")
+    require(weights.length == k + 1,
+      s"weights must be k+1=${k + 1} long, got ${weights.length}")
+    docs.filter(
+      (lit(1.0) / (lit(1.0) + exp(-graft.plans.ClassifierExprs
+        .hashed_logit(col(textCol), weights.toSeq, tf, ngrams))))
+        >= threshold)
+  }
 }

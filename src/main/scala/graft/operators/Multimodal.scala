@@ -490,13 +490,24 @@ object Multimodal {
   def imageNearDups(media: DataFrame, idCol: String = "media_id",
       contentCol: String = "content", maxHamming: Int = 6,
       maxBucket: Int = 1000, cache: Boolean = true): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 7,
-      "8×8-bit banding guarantees candidate recall only to Hamming 7")
     val hashedBase = imageHashes(media, idCol, contentCol)
     val hashed =
       if (cache) hashedBase
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else hashedBase
+    imageNearDupsFromHashes(hashed, idCol, maxHamming, maxBucket)
+  }
+
+  /** The pairing half of [[imageNearDups]] over a PRECOMPUTED
+    * (idCol, phash) table — the 100 TB shape: decode once, persist the
+    * 16-byte-per-image hash index (exactly like the incremental-dedup
+    * signature indexes), and re-pair against it without ever touching
+    * pixels again. No caching here: the input is already a cheap scan. */
+  def imageNearDupsFromHashes(hashed: DataFrame,
+      idCol: String = "media_id", maxHamming: Int = 6,
+      maxBucket: Int = 1000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      "8×8-bit banding guarantees candidate recall only to Hamming 7")
     val bandKeys = (0 until 8).map(b =>
       shiftright(col("phash"), b * 8).bitwiseAND(lit(0xFFL)))
     val bands = hashed.select(col(idCol),

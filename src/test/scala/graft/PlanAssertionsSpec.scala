@@ -338,4 +338,16 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(p.contains("partial_cms_topk"),
       "CMS partials must fold per map task — the whole point of the sketch")
   }
+
+  test("TextClassifier.gate is a single FileScan + kernel filter — " +
+      "no Exchange, no self-join") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = graft.operators.TextClassifier.gate(
+      docs, "doc_id", "text", Array.fill(129)(0.01), k = 128)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"gate must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"gate must not self-join:\n$p")
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"gate must read docs exactly once:\n$p")
+  }
 }
