@@ -107,8 +107,11 @@ object Bench {
         .mkString("{", ",", "}")
       val payload =
         s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(results)},"cold_queries":$cold,"cold_total":${fmt(coldTotal)},"sf":"$sfDir"}"""
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(fullPath), payload)
+      // a SPARK_GRAFT_QUERIES-filtered run is a profiling run — it must
+      // not replace the round's full map with a subset
+      if (only.isEmpty)
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(fullPath), payload)
       // legacy alias kept for tooling that reads the unversioned name
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("BENCH_full.json"), payload)

@@ -437,22 +437,43 @@ object QueriesPipeline {
           round(n_common / sizes.n_sh, 3) AS containment
         FROM inter JOIN sizes ON sizes.source = src_b""")),
 
-    // The PRODUCTION containment path: hashed = true (8-byte
-    // kernel-hash shingle keys through every shuffle — the 100 TB
-    // design). cache = false HERE, against the library default: the
-    // bench invokes the entry three times in one session, so a
-    // persisted distinct would hand runs 2-3 an InMemoryRelation in
-    // place of the only expensive shuffle (the reported warm number
-    // would measure cache reads, not the shipped plan) and pin the
-    // entry for the session's remaining queries. Rows-only: DuckDB
-    // has no xxhash64 to replay, but CorpusSpec pins this
-    // row-identical to the string path, and the string path is
-    // oracle-hashed above.
+    // The PRODUCTION containment path: hashed = true (8-byte shingle
+    // keys through every shuffle — the 100 TB design). cache = false
+    // HERE, against the library default: the bench invokes the entry
+    // three times in one session, so a persisted distinct would hand
+    // runs 2-3 an InMemoryRelation in place of the only expensive
+    // shuffle (the reported warm number would measure cache reads, not
+    // the shipped plan) and pin the entry for the session's remaining
+    // queries. r9: md5Keys = true converts this from rows-only to the
+    // STRICT oracle — the 60-bit md5-prefix keys replay exactly in
+    // DuckDB, so the hashed join/distinct/count pipeline is compared
+    // end-to-end on the same keys (a collision would be the same
+    // collision on both engines). The xxh64 basis stays the library
+    // default for hash-cost-sensitive callers; CorpusSpec pins the two
+    // bases row-identical.
     "q_corpus_containment_hashed" -> Entry(
       (s, dir) => graft.operators.Contamination
         .crossContainment(t(s, dir, "documents"), "source", "text",
-          cache = false),
-      None),
+          cache = false, md5Keys = true),
+      Some("""WITH words AS (
+          SELECT doc_id, source, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+          FROM documents
+        ), sh AS (
+          SELECT DISTINCT source,
+            ('0x' || substr(md5(CASE WHEN len(ws) <= 3
+              THEN array_to_string(ws, ' ')
+              ELSE array_to_string(list_slice(ws, i, i+2), ' ') END),
+              1, 15))::BIGINT AS s
+          FROM words, unnest(CASE WHEN len(ws) <= 3 THEN [1]
+            ELSE range(1, len(ws)-1) END) AS t(i)
+        ), sizes AS (SELECT source, count(*) AS n_sh FROM sh GROUP BY 1),
+        inter AS (
+          SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+          FROM sh a JOIN sh b ON a.s = b.s AND a.source <> b.source
+          GROUP BY 1, 2)
+        SELECT src_a, src_b, n_common,
+          round(n_common / sizes.n_sh, 3) AS containment
+        FROM inter JOIN sizes ON sizes.source = src_b""")),
 
     // Token-window chunking: long documents → ≤64-word training chunks
     // with a 16-word overlap carried between consecutive chunks. Pure
@@ -1210,30 +1231,43 @@ object QueriesPipeline {
 
     // SimHash 64-bit signatures + near-dup pairs by Hamming ≤ 6 within
     // LSH candidate set.
+    // SimHash near-dups on the md5-prefix basis (r9: converted from
+    // rows-only to STRICT oracle): the 60-bit signature, its 4×15-bit
+    // banding, the ≤1000 bucket cap and the Hamming verify all replay
+    // in DuckDB — the oracle recomputes every per-bit vote sum from
+    // md5(token) prefixes, so the compare covers the hash arithmetic
+    // itself, not just the output shape. One exchange: signatures ride
+    // the band rows into the bucket groupBy (no sig-table join-back).
     "q_dedup_simhash" -> Entry(
-      (s, dir) => {
-        val docs = t(s, dir, "documents")
-        val bands = Dedup.minhashBands(docs, "text", "doc_id")
-        val cands = Dedup.minhashCandidates(bands, "doc_id")
-        // SimHash only the docs that appear in a candidate pair, then
-        // broadcast the (id, 8-byte sig) survivors to both pair sides —
-        // verification cost tracks |candidates|, never |corpus|.
-        val candIds = cands
-          .select(explode(array(col("id1"), col("id2"))).as("doc_id"))
-          .distinct()
-        val sigs = docs.join(candIds, Seq("doc_id"), "left_semi")
-          .select(col("doc_id"),
-            Dedup.simhash(split(lower(trim(col("text"))), "\\s+")).as("sig"))
-        cands
-          .join(broadcast(sigs.select(col("doc_id").as("id1"),
-            col("sig").as("sig1"))), "id1")
-          .join(broadcast(sigs.select(col("doc_id").as("id2"),
-            col("sig").as("sig2"))), "id2")
-          .select(col("id1"), col("id2"),
-            Dedup.hamming64(col("sig1"), col("sig2")).as("hamming"))
-          .filter(col("hamming") <= 6)
-      },
-      None),
+      (s, dir) => Dedup.simhashNearDups(
+        t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 3, bands = 4, maxBucket = 1000),
+      Some {
+        // bit j of the signature = 1 iff the per-bit ±1 vote sum over
+        // md5Prefix60(token) is strictly positive — 60 generated terms
+        val sigTerms = (0 until 60).map(j =>
+          s"(CASE WHEN sum(((h >> $j) & 1) * 2 - 1) > 0 THEN ${1L << j} ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH words AS (
+          SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+          FROM documents
+        ), h AS (
+          SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM words
+        ), sig AS (
+          SELECT doc_id, $sigTerms AS sig FROM h GROUP BY doc_id
+        ), bands AS (
+          SELECT doc_id, sig, j AS band, (sig >> (15 * j)) & 32767 AS bh
+          FROM sig, unnest(range(0, 4)) AS t(j)
+        ), sz AS (
+          SELECT band, bh, count(*) AS n FROM bands GROUP BY 1, 2
+        )
+        SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+          bit_count(xor(a.sig, b.sig))::INT AS hamming
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+        JOIN sz ON sz.band = a.band AND sz.bh = a.bh
+        WHERE sz.n <= 1000 AND bit_count(xor(a.sig, b.sig)) <= 3"""
+      }),
 
     // Embedding near-duplicates: multi-band hyperplane LSH candidates
     // (bucket-capped, mirroring MinHash banding — recall comes from

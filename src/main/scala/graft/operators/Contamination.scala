@@ -134,9 +134,19 @@ object Contamination {
     * keeps the literal strings for the DuckDB oracle replay; a spec
     * pins the two paths row-identical. */
   def crossContainment(docs: DataFrame, groupCol: String, textCol: String,
-      n: Int = 3, hashed: Boolean = true, cache: Boolean = true): DataFrame = {
+      n: Int = 3, hashed: Boolean = true, cache: Boolean = true,
+      md5Keys: Boolean = false): DataFrame = {
+    // md5Keys: hash the same shingle strings with the 60-bit md5-prefix
+    // basis (HashKernels.md5Prefix60) instead of xxh64 — identical
+    // 8-byte-key shuffle shape, ~2-3× the per-shingle hash cost, but the
+    // keys replay EXACTLY in DuckDB ('0x'||substr(md5(s),1,15))::BIGINT,
+    // so even a collision is the SAME collision on both engines and the
+    // query faces the strict oracle at any scale.
     val shingles: Column =
-      if (hashed) graft.plans.HashExpressions.word_shingle_hashes(col(textCol), n)
+      if (hashed && md5Keys)
+        graft.plans.HashExpressions.word_shingle_hashes_md5(col(textCol), n)
+      else if (hashed)
+        graft.plans.HashExpressions.word_shingle_hashes(col(textCol), n)
       else wordShingles(col(textCol), n)
     // cache (default): the distinct'd (g, s) set feeds three subtrees
     // (both self-join sides and the size aggregate); CacheManager

@@ -509,6 +509,54 @@ object Dedup {
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
+  /** SimHash near-dup pipeline on the DuckDB-replayable md5 basis:
+    * 60-bit [[graft.plans.HashKernels.simhash60Md5]] signature per doc,
+    * banded into `bands` equal bit-slices, candidate pairs from equal
+    * (band, slice) buckets (the pigeonhole guarantees FULL recall for
+    * Hamming ≤ bands−1: that few flipped bits cannot touch every band),
+    * verified by exact 60-bit Hamming ≤ `maxHamming`.
+    *
+    * Plan shape: ONE exchange total. The (id, sig) pair rides the band
+    * rows into the bucket groupBy, so candidate pairs emerge from
+    * [[graft.plans.PairCombosExpr]] with both signatures attached — no
+    * join back to a signature table, no persist, no recompute of the
+    * signature scan (the earlier minhash-candidate simhash query
+    * computed signatures once per join side or persisted them).
+    * Degenerate buckets (> maxBucket docs) are dropped before any pair
+    * forms, same skew guard as [[minhashCandidates]]. */
+  def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, bands: Int = 4,
+      maxBucket: Int = 1000): DataFrame = {
+    require(bands > 0 && 60 % bands == 0, "bands must divide 60")
+    val bitsPerBand = 60 / bands
+    require(maxHamming >= 0 && maxHamming < bands,
+      s"banding guarantees candidate recall only to Hamming ${bands - 1}")
+    val sigs = docs
+      .select(col(idCol),
+        graft.plans.HashExpressions
+          .simhash60_md5(split(lower(trim(col(textCol))), "\\s+"))
+          .as("sig"))
+      // null text → null sig; banding nulls would pool every null-text
+      // doc into one bucket per band (the oracle's unnest drops them)
+      .filter(col("sig").isNotNull)
+    val bandKeys = (0 until bands).map(b =>
+      shiftright(col("sig"), b * bitsPerBand)
+        .bitwiseAND(lit((1L << bitsPerBand) - 1)))
+    sigs
+      .select(struct(col(idCol).as("id"), col("sig").as("sig")).as("ds"),
+        posexplode(array(bandKeys: _*)).as(Seq("band", "bh")))
+      .groupBy(col("band"), col("bh"))
+      .agg(collect_list(col("ds")).as("ids"), count(lit(1)).as("n"))
+      .filter(col("n").between(2, maxBucket))
+      .select(explode(
+        graft.plans.HashExpressions.pair_combos(col("ids"))).as("p"))
+      .select(col("p.id1.id").as("id1"), col("p.id2.id").as("id2"),
+        hamming64(col("p.id1.sig"), col("p.id2.sig")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      // a pair surfacing from several shared bands is one pair
+      .distinct()
+  }
+
   /** Embedding near-dup: cosine similarity ≥ threshold via LSH-free
     * all-pairs within random-hyperplane buckets — see Similarity.scala for
     * the shared primitives. */

@@ -115,6 +115,43 @@ object HashKernels {
     new GenericArrayData(java.util.Arrays.copyOf(hs, w))
   }
 
+  /** [[wordShingleHashes]] on the md5-prefix basis: sorted distinct
+    * 60-bit [[md5Prefix60]] keys over byte-for-byte the same n-gram
+    * strings the string path emits — hashed containment with a DuckDB
+    * replay (`('0x' || substr(md5(shingle),1,15))::BIGINT`) in place of
+    * xxh64. ~2-3× the hash cost per shingle; keys stay 8 bytes. */
+  def wordShingleHashesMd5(s: UTF8String, n: Int): ArrayData = {
+    val words = TextKernels.splitWords(s)
+    val m = if (words.length <= n) 1 else words.length - n + 1
+    val hs = new Array[Long](m)
+    if (words.length <= n) {
+      hs(0) = md5Prefix60(words.mkString(" ")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } else {
+      val sb = new java.lang.StringBuilder(64)
+      var i = 0
+      while (i < m) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(words(i + j)); j += 1
+        }
+        hs(i) = md5Prefix60(sb.toString
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        i += 1
+      }
+    }
+    java.util.Arrays.sort(hs)
+    var w = 0
+    var r = 0
+    while (r < m) {
+      if (r == 0 || hs(r) != hs(r - 1)) { hs(w) = hs(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hs, w))
+  }
+
   /** Jaccard of two SORTED DISTINCT long arrays: one linear merge. */
   def sortedJaccard(a: ArrayData, b: ArrayData): Double = {
     val na = a.numElements(); val nb = b.numElements()
@@ -309,6 +346,57 @@ object HashKernels {
     var sig = 0L
     var j = 0
     while (j < 64) { if (votes(j) > 0) sig |= (1L << j); j += 1 }
+    sig
+  }
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** 60-bit md5-prefix hash — the engine-portable key basis: numerically
+    * equal to DuckDB's `('0x' || substr(md5(s), 1, 15))::BIGINT`
+    * (15 hex digits = the digest's first 8 bytes big-endian >>> 4;
+    * 60 bits keeps the value signed-positive in both engines). Same
+    * convention as [[graft.operators.Dsir.bucket]]'s 16-bit prefix,
+    * widened to key width so hashed shuffles replay in the oracle. */
+  def md5Prefix60(b: Array[Byte]): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(b)
+    var be = 0L
+    var i = 0
+    while (i < 8) { be = (be << 8) | (d(i) & 0xFFL); i += 1 }
+    be >>> 4
+  }
+
+  def md5Prefix60(s: UTF8String): Long = md5Prefix60(s.getBytes)
+
+  /** 60-bit SimHash on the md5-prefix basis: bit j set iff Σ_tokens ±1
+    * (by bit j of md5Prefix60(token)) is strictly positive. The md5
+    * basis makes the WHOLE signature DuckDB-replayable (60 per-bit vote
+    * sums over identical hashes), so simhash near-dup queries can face
+    * the strict oracle instead of a rows-only check. Null tokens are
+    * skipped, as in [[simhash]]. */
+  def simhash60Md5(arr: ArrayData): Long = {
+    val votes = new Array[Int](60)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      if (s != null) {
+        val h = md5Prefix60(s)
+        var j = 0
+        while (j < 60) {
+          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 60) { if (votes(j) > 0) sig |= (1L << j); j += 1 }
     sig
   }
 
@@ -627,6 +715,37 @@ case class HyperplaneBandSigsExpr(child: Expression, bands: Int,
     copy(child = newChild)
 }
 
+case class Simhash60Md5Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash60_md5"
+
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.simhash60Md5(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, arr => s"graft.plans.HashKernels.simhash60Md5($arr)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class WordShingleHashesMd5Expr(child: Expression, n: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "word_shingle_hashes_md5"
+
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.wordShingleHashesMd5(v.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      t => s"graft.plans.HashKernels.wordShingleHashesMd5($t, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class SimHash64Expr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
@@ -750,8 +869,12 @@ object HashExpressions {
     column(MinHashTextExpr(expression(text), n, k))
   def simhash64(tokens: Column): Column =
     column(SimHash64Expr(expression(tokens)))
+  def simhash60_md5(tokens: Column): Column =
+    column(Simhash60Md5Expr(expression(tokens)))
   def word_shingle_hashes(text: Column, n: Int): Column =
     column(WordShingleHashesExpr(expression(text), n))
+  def word_shingle_hashes_md5(text: Column, n: Int): Column =
+    column(WordShingleHashesMd5Expr(expression(text), n))
   def sorted_jaccard(a: Column, b: Column): Column =
     column(SortedJaccardExpr(expression(a), expression(b)))
   def cosine_sim(a: Column, b: Column): Column =

@@ -290,6 +290,28 @@ class CorpusSpec extends AnyFunSuite {
     val s = rows(hashed = false)
     assert(h.nonEmpty, "containment produced no pairs at sf0.001")
     assert(h == s, "64-bit hashed shingles diverged from string shingles")
+    // and the md5-prefix (oracle-replayable) basis agrees too
+    val m = Contamination.crossContainment(docs, "source", "text",
+        md5Keys = true)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(m == s, "md5-prefix shingle keys diverged from string shingles")
+  }
+
+  test("md5Prefix60 kernel matches the DuckDB-replay arithmetic " +
+      "conv(substr(md5(s),1,15),16,10) exactly") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val words = Seq("the", "vector ngram", "", "ünïcode-wörd", "été",
+      "0", "a b c", "zzz")
+    val viaSql = words.toDF("w")
+      .select(conv(substring(md5(col("w")), 1, 15), 16, 10)
+        .cast("long").as("h"))
+      .collect().map(_.getLong(0))
+    val viaKernel = words.map(w =>
+      graft.plans.HashKernels.md5Prefix60(UTF8String.fromString(w)))
+    assert(viaSql.toSeq == viaKernel,
+      "kernel md5 prefix diverged from the SQL md5 arithmetic")
   }
 
   test("bigramLogProb: hand-computed scores; head split is exact") {

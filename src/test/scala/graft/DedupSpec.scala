@@ -71,6 +71,39 @@ class DedupSpec extends AnyFunSuite {
     assert(r.getAs[Int]("near") < r.getAs[Int]("far"))
   }
 
+  test("simhashNearDups: exact dups pair at Hamming 0; few-bit " +
+      "near-dups survive the pigeonhole banding; far docs don't pair") {
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val docs = Seq(
+      (1L, base),
+      (2L, base), // exact dup → identical sig, hamming 0
+      (3L, base + " extra"), // near twin — pairs iff sig within 3 bits
+      (4L, "completely unrelated content about catalyst optimizer internals and shuffles"),
+      (5L, null.asInstanceOf[String])) // null text must not pair with anything
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDups(docs, "doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) == 0,
+      s"exact dup pair missing or nonzero hamming: $pairs")
+    assert(!pairs.keySet.exists(p => p._1 == 5L || p._2 == 5L),
+      "null-text doc must drop out before banding")
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L),
+      s"unrelated doc paired: $pairs")
+    // pigeonhole recall law: EVERY pair within maxHamming appears —
+    // check against the brute-force truth over all sigs
+    val sigs = docs.filter($"text".isNotNull).select($"doc_id",
+      graft.plans.HashExpressions
+        .simhash60_md5(split(lower(trim($"text")), "\\s+")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (a <- sigs.keys; b <- sigs.keys if a < b) {
+      val h = java.lang.Long.bitCount(sigs(a) ^ sigs(b))
+      if (h <= 3)
+        assert(pairs.contains((a, b)),
+          s"pair ($a,$b) at hamming $h missed by banding")
+    }
+  }
+
   test("brute-force top-k returns k neighbors per query, self excluded") {
     val vecs = (0 until 20).map(i =>
       (i.toLong, Array.tabulate(8)(d => math.sin(i * 31 + d).toFloat)))
