@@ -65,7 +65,10 @@ object GhsaProvider {
         col("published"), col("cvss"), col("cvss_v4"),
         element_at(ecoMap, col("v.package.ecosystem")).as("ecosystem"),
         col("v.package.name").as("pkg"),
-        col("v.vulnerableVersionRange").as("range"),
+        // the reference strips commas from the range before it lands in
+        // the record (`providers/github/parser.py:730` — ">= 1.2.0,
+        // < 1.4.3" → ">= 1.2.0 < 1.4.3"); keep byte parity
+        regexp_replace(col("v.vulnerableVersionRange"), ",", "").as("range"),
         col("v.firstPatchedVersion.identifier").as("fixed_in"))
       .filter(col("ecosystem").isNotNull) // P7: unmapped dropped
   }

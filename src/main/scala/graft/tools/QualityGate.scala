@@ -72,10 +72,58 @@ object QualityGate {
 
   /** Throws with the itemized misses when any label fails to match —
     * the `max_new_false_negatives: 0` bar. */
-  def assertNoFalseNegatives(envelopes: DataFrame, labels: DataFrame): Unit = {
-    val fn = falseNegatives(envelopes, labels).collect()
-    if (fn.nonEmpty) throw new AssertionError(
+  def assertNoFalseNegatives(envelopes: DataFrame, labels: DataFrame): Unit =
+    assertEmpty(falseNegatives(envelopes, labels))
+
+  // ---- GHSA (registry-ecosystem) gate ---------------------------------
+
+  /** The GHSA envelope slice the range gate needs (the
+    * github-security-advisory schema's FixedIn carries a RANGE
+    * expression, not an EVR fix version). */
+  val ghsaMatchSchema: StructType = StructType.fromDDL(
+    "CVE STRING, GhsaID STRING, Namespace STRING, " +
+      "FixedIn ARRAY<STRUCT<Ecosystem: STRING, Identifier: STRING, " +
+      "Name: STRING, Range: STRING>>")
+
+  /** (vuln ids, namespace, pkg, range) rows from GHSA envelopes. */
+  def ghsaRangeRows(envelopes: DataFrame): DataFrame =
+    envelopes
+      .select(from_json(col("item"), ghsaMatchSchema).as("v"))
+      .select(col("v.GhsaID").as("ghsa"), col("v.CVE").as("cve"),
+        col("v.Namespace").as("namespace"),
+        explode(col("v.FixedIn")).as("f"))
+      .select(col("ghsa"), col("cve"), col("namespace"),
+        col("f.Name").as("pkg"), col("f.Range").as("range"))
+
+  /** GHSA labels with NO matching envelope. `labels` columns:
+    * (pkg, version, expected_vuln) — expected_vuln accepts either the
+    * GHSA id or its CVE alias — plus optional `namespace`
+    * (`github:<ecosystem>`). A label matches when some advisory's
+    * FixedIn row for the package has a vulnerable range the installed
+    * version satisfies under [[graft.functions.Constraints
+    * .versionInRange]] (grype's registry-ecosystem match analog). */
+  def falseNegativesGhsa(envelopes: DataFrame, labels: DataFrame): DataFrame = {
+    val fixes = ghsaRangeRows(envelopes)
+    val keyed = labels("pkg") === fixes("pkg") &&
+      (labels("expected_vuln") === fixes("ghsa") ||
+        labels("expected_vuln") === fixes("cve")) &&
+      graft.functions.Constraints
+        .version_in_range(labels("version"), fixes("range"))
+    val cond =
+      if (labels.columns.contains("namespace"))
+        keyed && labels("namespace") === fixes("namespace")
+      else keyed
+    labels.join(fixes, cond, "left_anti")
+  }
+
+  def assertNoFalseNegativesGhsa(envelopes: DataFrame,
+      labels: DataFrame): Unit =
+    assertEmpty(falseNegativesGhsa(envelopes, labels))
+
+  private def assertEmpty(fn: DataFrame): Unit = {
+    val rows = fn.collect()
+    if (rows.nonEmpty) throw new AssertionError(
       "quality gate: new false negatives:\n" +
-        fn.map(r => s"  ${r.mkString(" / ")}").mkString("\n"))
+        rows.map(r => s"  ${r.mkString(" / ")}").mkString("\n"))
   }
 }

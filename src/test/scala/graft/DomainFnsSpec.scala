@@ -98,4 +98,42 @@ class DomainFnsSpec extends AnyFunSuite {
       == "https://access.redhat.com/errata/RHSA-2023:1234")
     assert(Constraints.advisoryLink(null) == null)
   }
+
+  test("semverCmp: semver.org §11 precedence") {
+    import Constraints.semverCmp
+    assert(semverCmp("1.0.0", "2.0.0") < 0)
+    assert(semverCmp("2.0.0", "2.1.0") < 0)
+    assert(semverCmp("2.1.0", "2.1.1") < 0)
+    assert(semverCmp("1.9.0", "1.10.0") < 0, "numeric, not lexical")
+    assert(semverCmp("1.0", "1.0.0") == 0, "missing segment = 0")
+    assert(semverCmp("v1.2.3", "1.2.3") == 0, "leading v stripped")
+    assert(semverCmp("1.2.3+build5", "1.2.3") == 0, "build metadata ignored")
+    // pre-release below the release, and the §11 identifier ladder
+    assert(semverCmp("1.0.0-alpha", "1.0.0") < 0)
+    assert(semverCmp("1.0.0-alpha", "1.0.0-alpha.1") < 0)
+    assert(semverCmp("1.0.0-alpha.1", "1.0.0-alpha.beta") < 0)
+    assert(semverCmp("1.0.0-beta.2", "1.0.0-beta.11") < 0)
+    assert(semverCmp("1.0.0-rc.1", "1.0.0") < 0)
+  }
+
+  test("versionInRange: GHSA range grammar, fail-closed on junk") {
+    import Constraints.versionInRange
+    assert(versionInRange("4.17.20", ">= 1.0.0 < 4.17.21"))
+    assert(versionInRange("1.0.0", ">= 1.0.0 < 4.17.21"), "lower inclusive")
+    assert(!versionInRange("4.17.21", ">= 1.0.0 < 4.17.21"), "upper exclusive")
+    assert(versionInRange("2.30.0", "< 2.31.0"))
+    assert(versionInRange("1.0.0", "= 1.0.0") &&
+      !versionInRange("1.0.1", "= 1.0.0"))
+    // comma-form (pre-strip GitHub shape) accepted too
+    assert(versionInRange("1.2.0", ">= 1.2.0, < 1.4.3"))
+    // the || OR form Constraints.vulnerableRange synthesizes
+    val r = "< 1.5.0 || >= 2.0.0 < 2.3.0"
+    assert(versionInRange("1.4.9", r) && versionInRange("2.2.0", r))
+    assert(!versionInRange("1.7.0", r) && !versionInRange("2.3.0", r))
+    // fail closed
+    assert(!versionInRange("1.0.0", null))
+    assert(!versionInRange("1.0.0", ""))
+    assert(!versionInRange("1.0.0", "~> 1.0"), "unknown op never matches")
+    assert(!versionInRange(null, "< 2.0"))
+  }
 }

@@ -301,6 +301,53 @@ class QualityGateSpec extends AnyFunSuite {
     assert(QualityGate.falseNegatives(env, wrongNs).count() == 1)
   }
 
+  private lazy val ghsaEnv = graft.providers.GhsaProvider.envelopes(
+    graft.providers.GhsaProvider.advisories(spark, fx("ghsa.json")))
+
+  test("github (ghsa): labeled installs match vulnerableVersionRange " +
+      "under semver (0 false negatives)") {
+    val labels = Seq(
+      // two-sided range ">= 1.0.0 < 4.17.21" (comma stripped per the
+      // reference parser): inside, lower boundary inclusive, and the
+      // CVE alias resolves as well as the GHSA id
+      ("lodash", "4.17.20", "CVE-2023-7777"),
+      ("lodash", "1.0.0", "GHSA-aaaa-bbbb-cccc"),
+      // semver precedence: the 4.17.21 pre-release is BELOW the fix
+      ("lodash", "4.17.21-alpha.1", "GHSA-aaaa-bbbb-cccc"),
+      // one-sided "< 2.31.0", no patched version published
+      ("requests", "2.30.0", "GHSA-dddd-eeee-ffff")
+    ).toDF("pkg", "version", "expected_vuln")
+    graft.tools.QualityGate.assertNoFalseNegativesGhsa(ghsaEnv, labels)
+    // namespace-pinned variants
+    val ns = Seq(
+      ("lodash", "4.17.20", "CVE-2023-7777", "github:npm"),
+      ("requests", "2.30.0", "GHSA-dddd-eeee-ffff", "github:python")
+    ).toDF("pkg", "version", "expected_vuln", "namespace")
+    graft.tools.QualityGate.assertNoFalseNegativesGhsa(ghsaEnv, ns)
+  }
+
+  test("github (ghsa): range boundaries, unmapped ecosystems, and " +
+      "wrong namespaces are itemized") {
+    import graft.tools.QualityGate
+    // installed exactly at the excluded upper bound → not vulnerable
+    val atFix = Seq(("lodash", "4.17.21", "CVE-2023-7777"))
+      .toDF("pkg", "version", "expected_vuln")
+    assert(QualityGate.falseNegativesGhsa(ghsaEnv, atFix).count() == 1)
+    // below the inclusive lower bound → not vulnerable
+    val below = Seq(("lodash", "0.9.9", "GHSA-aaaa-bbbb-cccc"))
+      .toDF("pkg", "version", "expected_vuln")
+    assert(QualityGate.falseNegativesGhsa(ghsaEnv, below).count() == 1)
+    // P7: the ERLANG row was dropped at parse, so no label can match it
+    val unmapped = Seq(("some-lib", "1.0.0", "GHSA-dddd-eeee-ffff"))
+      .toDF("pkg", "version", "expected_vuln")
+    assert(QualityGate.falseNegativesGhsa(ghsaEnv, unmapped).count() == 1)
+    // namespace pin excludes the other ecosystem's rows
+    val wrongNs = Seq(
+      ("lodash", "4.17.20", "CVE-2023-7777", "github:python"))
+      .toDF("pkg", "version", "expected_vuln", "namespace")
+    assert(QualityGate.falseNegativesGhsa(ghsaEnv, wrongNs).count() == 1)
+  }
+
   test("gate match rule is namespace-agnostic but version-exact") {
     // same package name across the two providers' envelopes must not
     // cross-satisfy a version that only one namespace fixes: combine
