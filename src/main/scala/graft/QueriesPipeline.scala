@@ -272,7 +272,7 @@ object QueriesPipeline {
         sel AS (
           SELECT doc_id, w_mnat,
             round(w_mnat / 1e6
-              - ln(-ln((('0x' || substr(md5(doc_id::VARCHAR || ':11'), 1, 4))::INT
+              - ln(-ln((('0x' || substr(md5(coalesce(doc_id::VARCHAR, '') || ':11'), 1, 4))::INT
                         + 0.5) / 65536.0)), 6) AS sel_key
           FROM w)
         SELECT doc_id, w_mnat FROM sel
@@ -529,8 +529,11 @@ object QueriesPipeline {
           WHERE lang IS NOT NULL GROUP BY 1),
         z AS (SELECT sum(pow(n, 0.5)) AS z FROM n),
         rated AS (
+          -- α-weight rounded to 12 dp before the rate arithmetic,
+          -- mirroring the operator: z sums in each engine's own order,
+          -- so the weight is snapped to a shared decimal grid
           SELECT d.doc_id, d.lang, d.text,
-            least(1.0, 300 * (pow(n.n, 0.5) / z.z) / n.n) AS rate
+            least(1.0, 300 * round(pow(n.n, 0.5) / z.z, 12) / n.n) AS rate
           FROM documents d JOIN n ON n.lang = d.lang, z)
         SELECT doc_id, lang FROM rated
         WHERE rate >= 1.0 OR substr(md5(text), 1, 4) <
@@ -549,7 +552,7 @@ object QueriesPipeline {
       Some("""WITH t AS (
           SELECT lang, doc_id,
             len(regexp_split_to_array(trim(text), '\s+')) AS n,
-            md5(doc_id::VARCHAR || ':0') AS ord
+            md5(coalesce(doc_id::VARCHAR, '') || ':0') AS ord
           FROM documents),
         c AS (
           SELECT lang, doc_id,
@@ -594,7 +597,7 @@ object QueriesPipeline {
         sel AS (
           SELECT doc_id, w_mnat,
             round(w_mnat / 1e6
-              - ln(-ln((('0x' || substr(md5(doc_id::VARCHAR || ':7'), 1, 4))::INT
+              - ln(-ln((('0x' || substr(md5(coalesce(doc_id::VARCHAR, '') || ':7'), 1, 4))::INT
                         + 0.5) / 65536.0)), 6) AS sel_key
           FROM w)
         SELECT doc_id, w_mnat FROM sel
@@ -794,7 +797,7 @@ object QueriesPipeline {
           .select(col("doc_id"), col("pos"))
       },
       Some("""SELECT doc_id, row_number() OVER (
-          ORDER BY md5(doc_id || ':42')) AS pos
+          ORDER BY md5(coalesce(doc_id::VARCHAR, '') || ':42')) AS pos
         FROM documents""")),
 
     // int8 embedding quantization (4 B/dim → 1 B at 100 TB): integer

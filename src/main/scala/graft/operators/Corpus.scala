@@ -184,11 +184,24 @@ object Corpus {
     * hash collision cannot delete innocent lines; the per-group
     * frequent sets collect to ONE driver map literal only after a
     * (count, bytes) guard aggregate accepts them, and the rewrite is
-    * map-only (`element_at` on the group key → `array_contains`). */
+    * map-only (`element_at` on the group key → `array_contains`).
+    *
+    * Degradation ladder (the many-domain 100 TB case): a frequent set
+    * within (maxLiteralLines, maxLiteralBytes) binds as the driver map
+    * literal above — zero joins in the returned plan; a larger one
+    * switches to a BROADCAST LEFT-OUTER JOIN against the per-group
+    * frequent frame (no driver collect at all — the set never leaves
+    * the cluster), so a corpus with millions of boilerplate-heavy
+    * domains degrades to one dimension-side broadcast instead of
+    * refusing; only past (maxFrequentLines, maxFrequentBytes) — now
+    * the bound on the BROADCAST, not on a collect — does it fail fast
+    * with sizing guidance. */
   def dedupLinesPerGroup(docs: DataFrame, groupCol: String,
       textCol: String, delim: String = "\n", maxDocShare: Double = 0.5,
       minDocs: Long = 3L, maxFrequentLines: Long = 4L << 20,
-      maxFrequentBytes: Long = 256L << 20): DataFrame = {
+      maxFrequentBytes: Long = 256L << 20,
+      maxLiteralLines: Long = 1L << 16,
+      maxLiteralBytes: Long = 8L << 20): DataFrame = {
     require(maxDocShare > 0 && maxDocShare <= 1,
       "maxDocShare must be in (0, 1]")
     require(minDocs >= 2, "minDocs must be ≥ 2 — in a singleton group " +
@@ -222,28 +235,46 @@ object Corpus {
       .join(broadcast(nDocs), Seq("__g"))
       .filter(col("__n") > col("__nd") * maxDocShare)
       .select(col("__g"), col("__l"))
-    guardFrequentSet(freqStrings, "__l", maxFrequentLines,
-      maxFrequentBytes, lines, "dedupLinesPerGroup",
+    val (nFreq, bFreq) = guardFrequentSet(freqStrings, "__l",
+      maxFrequentLines, maxFrequentBytes, lines, "dedupLinesPerGroup",
       "raise maxDocShare / minDocs or the caps")
-    // one driver map literal (group → frequent lines), guarded above;
-    // collecting it (vs joining the frame) keeps the returned plan
-    // independent of the cache being unpersisted here
-    val freqMap: Map[String, Seq[String]] = freqStrings
-      .groupBy(col("__g")).agg(collect_set(col("__l")).as("__f"))
-      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
-    lines.unpersist(blocking = false)
-    // the group's array binds ONCE per row (map literals have no hash
-    // index — an element_at inside the filter lambda would linear-scan
-    // |groups| keys per LINE); the rewrite is unconditional so null
-    // text normalizes to "" exactly like dedupLines, independent of
-    // whether any group happened to have boilerplate
-    val freqForRow =
-      if (freqMap.isEmpty) lit(null).cast("array<string>")
-      else element_at(typedlit(freqMap), col(groupCol).cast("string"))
-    docs.withColumn("__freq", freqForRow)
+    // the rewrite is shared by both paths: unconditional, so null text
+    // normalizes to "" exactly like dedupLines, independent of whether
+    // any group happened to have boilerplate
+    def rewrite(withFreq: DataFrame): DataFrame = withFreq
       .withColumn(textCol, concat_ws(delim, filter(lineArr,
         l => !coalesce(array_contains(col("__freq"), l), lit(false)))))
       .drop("__freq")
+    if (nFreq <= maxLiteralLines && bFreq <= maxLiteralBytes) {
+      // literal path: one driver map (group → frequent lines), guarded
+      // above; collecting it (vs joining the frame) keeps the returned
+      // plan independent of the cache being unpersisted here. The
+      // group's array binds ONCE per row (map literals have no hash
+      // index — an element_at inside the filter lambda would
+      // linear-scan |groups| keys per LINE).
+      val freqMap: Map[String, Seq[String]] = freqStrings
+        .groupBy(col("__g")).agg(collect_set(col("__l")).as("__f"))
+        .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+      lines.unpersist(blocking = false)
+      val freqForRow =
+        if (freqMap.isEmpty) lit(null).cast("array<string>")
+        else element_at(typedlit(freqMap), col(groupCol).cast("string"))
+      rewrite(docs.withColumn("__freq", freqForRow))
+    } else {
+      // join path: the frequent frame stays on the cluster and reaches
+      // every doc row through one broadcast left-outer join on the
+      // group key. `lines` is unpersisted here, so the returned plan
+      // recomputes the explode once when it executes — the price of
+      // not pinning a cache entry in a lazily-consumed result (same
+      // stance as the bench entries' cache = false).
+      val freqSets = freqStrings
+        .groupBy(col("__g")).agg(collect_set(col("__l")).as("__freq"))
+      lines.unpersist(blocking = false)
+      rewrite(docs
+        .join(broadcast(freqSets),
+          col(groupCol).cast("string") === col("__g"), "left_outer")
+        .drop("__g"))
+    }
   }
 
   /** The collect guard shared by the line-dedup family: reject an
@@ -252,7 +283,7 @@ object Corpus {
     * millions of KB-sized lines assemble driver-side first). */
   private def guardFrequentSet(freq: DataFrame, lineCol: String,
       maxLines: Long, maxBytes: Long,
-      cached: DataFrame, opName: String, remedy: String): Unit = {
+      cached: DataFrame, opName: String, remedy: String): (Long, Long) = {
     val g = freq
       .agg(count(lit(1)).as("__n"),
         coalesce(sum(octet_length(col(lineCol))), lit(0L)).as("__b"))
@@ -264,6 +295,7 @@ object Corpus {
         s"$opName: frequent set is $n lines / $b bytes " +
           s"(caps: $maxLines lines, $maxBytes bytes) — $remedy.")
     }
+    (n, b)
   }
 
   private def dedupLinesImpl(docs: DataFrame, textCol: String,
@@ -576,8 +608,19 @@ object Corpus {
       .map(r => (String.valueOf(r.get(0)), r.getLong(1)))
       .sortBy(_._1)
     val z = counts.map { case (_, n) => math.pow(n.toDouble, alpha) }.sum
+    // α-weights rounded to 12 dp (the sel_key 6-dp convention, at
+    // weight precision): z here is a DRIVER fold in sorted-group order,
+    // while an oracle replay sums in its engine's own aggregation
+    // order — a last-ulp association difference in z could flip
+    // floor(rate·65536) for a rate landing exactly on a 1/65536
+    // boundary. Rounding both sides onto the same decimal grid before
+    // the rate arithmetic removes the boundary sensitivity.
+    // BigDecimal.valueOf = Double.toString semantics, matching Spark's
+    // own Round expression.
     val weights = counts.map { case (g, n) =>
-      g -> math.pow(n.toDouble, alpha) / z
+      g -> java.math.BigDecimal
+        .valueOf(math.pow(n.toDouble, alpha) / z)
+        .setScale(12, java.math.RoundingMode.HALF_UP).doubleValue()
     }.toMap
     // hand the counts back as a LOCAL relation (original group TYPE
     // preserved) so the input lineage is not recomputed a second time

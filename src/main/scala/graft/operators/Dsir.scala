@@ -75,9 +75,13 @@ object Dsir {
   /** Per-bucket importance log-ratio table (≤ k rows):
     * `mnat = round(1e6 · (ln p_b − ln q_b))` as BIGINT, where
     * p_b = (target_b + 1)/(T + k) and q_b = (raw_b + 1)/(R + k)
-    * (add-one smoothing over the k-bucket space). Buckets absent from
-    * both corpora are never probed, so the table materializes only the
-    * union of observed buckets. */
+    * (add-one smoothing over the k-bucket space). DENSE: all k buckets
+    * are emitted, including those observed in neither corpus — their
+    * smoothed ratio is ln((R+k)/(T+k)), NOT zero, and a LATER batch
+    * scored against this fit (the incremental workflow) can probe a
+    * bucket the fit never saw; a sparse table would silently score such
+    * buckets as neutral. Same-fit scoring never probes them, so
+    * densifying changes no existing oracle. */
   def logRatios(target: DataFrame, raw: DataFrame, textCol: String,
       n: Int = 2, k: Int = 4096): DataFrame = {
     // Tag-union the two count tables instead of full-outer-joining them
@@ -102,7 +106,9 @@ object Dsir {
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
     val tTotal = merged.map(_._2).sum
     val rTotal = merged.map(_._3).sum
-    merged.toSeq.map { case (bucket, tCnt, rCnt) =>
+    val obs = merged.map(t => t._1 -> ((t._2, t._3))).toMap
+    (0 until k).map { bucket =>
+      val (tCnt, rCnt) = obs.getOrElse(bucket, (0L, 0L))
       (bucket, mnatOf(tCnt, rCnt, tTotal, rTotal, k))
     }.toDF("bucket", "mnat")
   }
@@ -115,8 +121,12 @@ object Dsir {
     * broadcast join → groupBy moved a row per token). Integer
     * accumulation keeps the strict-hash contract bit-exact. Docs whose
     * text is null drop (they have no n-gram mass to weigh). `ratios`
-    * must come from [[logRatios]] with the same (n, k); buckets absent
-    * from it contribute 0. NOTE: eager — the ratio table collects here. */
+    * must come from [[logRatios]]/[[logRatiosFromStats]] with the same
+    * (n, k) — those tables are DENSE over all k buckets, so a new batch
+    * probing a bucket the fit never observed still gets the smoothed
+    * ln((R+k)/(T+k)) ratio, not a neutral 0 (a hand-built sparse table
+    * would re-introduce that bias: absent rows default to 0 here).
+    * NOTE: eager — the ratio table collects here. */
   def importanceWeights(raw: DataFrame, idCol: String, textCol: String,
       ratios: DataFrame, n: Int = 2, k: Int = 4096): DataFrame = {
     val dense = new Array[Long](k)
@@ -181,7 +191,10 @@ object Dsir {
     val r = folded.filter(_._1 == "raw").map(x => x._2 -> x._3).toMap
     val tTotal = t.values.sum
     val rTotal = r.values.sum
-    (t.keySet ++ r.keySet).toSeq.sorted.map { bucket =>
+    // dense over all k buckets, like [[logRatios]]: a future batch can
+    // probe a bucket no stored batch has seen, and its smoothed ratio
+    // is ln((R+k)/(T+k)), not the 0 a sparse table would imply
+    (0 until k).map { bucket =>
       (bucket, mnatOf(t.getOrElse(bucket, 0L), r.getOrElse(bucket, 0L),
         tTotal, rTotal, k))
     }.toDF("bucket", "mnat")

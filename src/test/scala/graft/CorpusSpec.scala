@@ -439,6 +439,20 @@ class CorpusSpec extends AnyFunSuite {
       Corpus.dedupLinesPerGroup(docs, "site", "text",
         maxDocShare = 0.1, maxFrequentLines = 1L)
     }
+    // broadcast-join fallback: force the literal threshold to zero so
+    // the frequent frame joins instead of typedlit-ing — results must
+    // be IDENTICAL to the literal path, and the plan must carry the
+    // broadcast join the literal path doesn't have
+    val viaJoin = Corpus.dedupLinesPerGroup(docs, "site", "text",
+      maxLiteralLines = 0L)
+    val outJ = viaJoin.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(outJ == out, "join fallback diverged from the literal path")
+    val plan = viaJoin.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"fallback must broadcast the frequent frame:\n$plan")
+    assert(!Corpus.dedupLinesPerGroup(docs, "site", "text")
+      .queryExecution.executedPlan.toString.contains("Join"),
+      "literal path must stay join-free")
   }
 
   test("takeTokenBudget: strict hash-ordered prefix per group, seeded") {

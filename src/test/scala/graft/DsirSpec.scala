@@ -26,6 +26,30 @@ class DsirSpec extends AnyFunSuite {
     assert(out == Map(0 -> mnat(2, 2, 1, 1, 1)))
   }
 
+  test("dense ratio table: a new batch probing a bucket the fit never " +
+      "saw scores the smoothed ratio, not a neutral 0") {
+    val target = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val raw = Seq((2L, "x y")).toDF("doc_id", "text")
+    val k = 64
+    val ratios = Dsir.logRatios(target, raw, "text", n = 2, k = k)
+    assert(ratios.count() == k, "table must be dense over all k buckets")
+    // premise: the new doc's single shingle "q z" hashes to a bucket
+    // neither corpus observed (md5 is fixed, so this is deterministic —
+    // if it ever collides after a k change, pick different tokens)
+    val bucketOf = Seq("a b", "b c", "x y", "q z").toDF("s")
+      .select(Dsir.bucket(col("s"), k)).collect().map(_.getInt(0))
+    assert(!bucketOf.take(3).contains(bucketOf(3)),
+      s"test premise broken: 'q z' bucket ${bucketOf(3)} was observed")
+    // fit totals: target 2 bigrams, raw 1 whole-text shingle
+    val unseenMnat = mnat(0, 2, 0, 1, k)
+    assert(unseenMnat != 0L, "smoothed unseen ratio is not neutral here")
+    val w = Dsir.importanceWeights(
+      Seq((9L, "q z")).toDF("doc_id", "text"), "doc_id", "text",
+      ratios, n = 2, k = k).head().getLong(1)
+    assert(w == unseenMnat,
+      s"unseen-bucket doc scored $w, expected smoothed $unseenMnat")
+  }
+
   test("importanceWeights: target-looking docs outscore raw-looking docs") {
     val target = Seq.tabulate(20)(i =>
       (i.toLong, "curated encyclopedia article text")).toDF("doc_id", "text")
