@@ -44,11 +44,17 @@ object QueriesDomain {
         val full = concat(
           when(col("l_linenumber") % 3 === 0, lit("2:")).otherwise(lit("")),
           synthVer)
+        // ONE parse per row: the struct-returning native kernel
+        // (plans/EvrSplitExpr) replaces three per-field UDFs that each
+        // re-split the string (r8 plan-audit micro-win)
         li.select(col("l_orderkey"), col("l_linenumber"), full.as("full_ver"))
           .select(col("l_orderkey"), col("l_linenumber"), col("full_ver"),
-            RpmVersion.rpm_epoch(col("full_ver")).as("epoch"),
-            RpmVersion.rpm_version(col("full_ver")).as("version"),
-            RpmVersion.rpm_release(col("full_ver")).as("release"))
+            graft.plans.RpmExpressions.evr_split(col("full_ver"))
+              .as("__evr"))
+          .select(col("l_orderkey"), col("l_linenumber"), col("full_ver"),
+            col("__evr.epoch").as("epoch"),
+            col("__evr.version").as("version"),
+            col("__evr.release").as("release"))
       },
       Some("""WITH v AS (
           SELECT l_orderkey, l_linenumber,

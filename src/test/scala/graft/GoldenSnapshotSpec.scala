@@ -174,24 +174,29 @@ class GoldenSnapshotSpec extends AnyFunSuite {
   // The secdb VARIANTS are config-differentiated runs of the same
   // family (reference chainguard/minimos/secureos reusing the wolfi
   // parser with their own namespace+URL): each gets its OWN golden dir
-  // so a regression in the config wiring — not just the shared parser —
-  // shows up as a byte diff (VERDICT r7 item 6).
+  // AND its own fixture with a distinguishing package/version shape
+  // (r9: previously all three replayed the shared secdb.json, so a
+  // family-specific regression could hide behind identical input
+  // bytes — VERDICT r8 item 7).
   test("chainguard envelopes match committed snapshots byte-for-byte") {
     Golden.assertSnapshots("chainguard",
-      SecdbProvider.envelopes(spark, fixture("secdb.json"), "chainguard:rolling"))
+      SecdbProvider.envelopes(spark, fixture("secdb_chainguard.json"),
+        "chainguard:rolling"))
     val one = java.nio.file.Files.readString(Golden.root.resolve(
-      "chainguard/chainguard_rolling/cve-2023-1111.json"))
+      "chainguard/chainguard_rolling/cve-2023-4911.json"))
     assert(one.contains("\"NamespaceName\": \"chainguard:rolling\""))
   }
 
   test("minimos envelopes match committed snapshots byte-for-byte") {
     Golden.assertSnapshots("minimos",
-      SecdbProvider.envelopes(spark, fixture("secdb.json"), "minimos:rolling"))
+      SecdbProvider.envelopes(spark, fixture("secdb_minimos.json"),
+        "minimos:rolling"))
   }
 
   test("secureos envelopes match committed snapshots byte-for-byte") {
     Golden.assertSnapshots("secureos",
-      SecdbProvider.envelopes(spark, fixture("secdb.json"), "secureos:rolling"))
+      SecdbProvider.envelopes(spark, fixture("secdb_secureos.json"),
+        "secureos:rolling"))
   }
 
   test("alpine envelopes (rejection NAKs in the bytes) match committed " +

@@ -339,6 +339,13 @@ class PlanAssertionsSpec extends AnyFunSuite {
       "CMS partials must fold per map task — the whole point of the sketch")
   }
 
+  test("q_fn_evr_split parses each row ONCE (single evr_split in plan)") {
+    val p = plan("q_fn_evr_split")
+    val n = "evr_split".r.findAllIn(p).length
+    assert(n == 1,
+      s"expected one struct-returning parse, found $n:\n$p")
+  }
+
   test("TextClassifier.gate is a single FileScan + kernel filter — " +
       "no Exchange, no self-join") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")

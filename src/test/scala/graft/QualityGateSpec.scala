@@ -283,22 +283,35 @@ class QualityGateSpec extends AnyFunSuite {
 
   test("secdb variants: each namespace wiring satisfies its own labels") {
     import graft.providers.SecdbProvider
-    val env = Seq("chainguard:rolling", "minimos:rolling", "secureos:rolling",
-      "wolfi:rolling")
-      .map(ns => SecdbProvider.envelopes(spark, fx("secdb.json"), ns))
+    // r9: each variant parses its OWN fixture (distinct packages and
+    // versions per family), so a label can only be satisfied by the
+    // variant that actually shipped the fix
+    val env = Seq(
+      ("chainguard:rolling", "secdb_chainguard.json"),
+      ("minimos:rolling", "secdb_minimos.json"),
+      ("secureos:rolling", "secdb_secureos.json"),
+      ("wolfi:rolling", "secdb.json"))
+      .map { case (ns, f) => SecdbProvider.envelopes(spark, fx(f), ns) }
       .reduce(_ unionByName _)
     val labels = Seq(
-      ("busybox", "1.35.0-r2", "CVE-2022-30065", "chainguard:rolling"),
-      ("busybox", "1.35.0-r2", "CVE-2022-30065", "minimos:rolling"),
-      ("zlib", "1.2.11-r0", "CVE-2022-37434", "secureos:rolling"),
+      ("glibc", "2.38-r9", "CVE-2023-4911", "chainguard:rolling"),
+      // "0" sentinel: vulnerable at any version
+      ("openssl", "99.0.0-r0", "CVE-2023-50781", "chainguard:rolling"),
+      ("coreutils", "9.4-r0", "CVE-2024-0684", "minimos:rolling"),
+      ("mini-init", "0.9.0-r5", "CVE-2025-1111", "minimos:rolling"),
+      ("curl", "8.5.0-r1", "CVE-2023-46219", "secureos:rolling"),
+      ("libxml2", "2.12.3-r0", "CVE-2024-25062", "secureos:rolling"),
       ("openssl", "3.0.7-r0", "CVE-2023-0286", "wolfi:rolling")
     ).toDF("pkg", "version", "expected_vuln", "namespace")
     QualityGate.assertNoFalseNegatives(env, labels)
-    // and a namespace-pinned label is NOT satisfied by another variant
+    // a namespace-pinned label is NOT satisfied by another variant —
+    // and a package that only exists in one variant's fixture cannot
+    // satisfy a label pinned to a sibling variant
     val wrongNs = Seq(
-      ("busybox", "1.35.0-r2", "CVE-2022-30065", "alpine:3.19"))
+      ("openssl", "3.0.7-r0", "CVE-2023-0286", "alpine:3.19"),
+      ("glibc", "2.38-r9", "CVE-2023-4911", "minimos:rolling"))
       .toDF("pkg", "version", "expected_vuln", "namespace")
-    assert(QualityGate.falseNegatives(env, wrongNs).count() == 1)
+    assert(QualityGate.falseNegatives(env, wrongNs).count() == 2)
   }
 
   private lazy val ghsaEnv = graft.providers.GhsaProvider.envelopes(
