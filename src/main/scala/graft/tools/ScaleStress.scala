@@ -246,6 +246,48 @@ object ScaleStress {
       docs.unpersist()
     }
 
+    // Round-9 per-group line-dedup fallback drill: a many-domain corpus
+    // pushes the per-group frequent map past the driver-literal
+    // threshold, and the operator must flip to the broadcast-join path
+    // with IDENTICAL output. Synthetic domains (doc_id mod G) each get
+    // a planted boiler token in 100% of their docs; `chk` is an exact
+    // per-row content checksum, so lit≡join is verified on the full
+    // rewritten corpus, not a sampled slice.
+    println(f"\n${"copies"}%8s ${"docs"}%9s ${"groups"}%7s " +
+      f"${"t_literal"}%10s ${"t_join"}%7s ${"lit==join"}%10s")
+    for (copies <- Seq(1, maxScale)
+        if which == "all" || which == "groupdedup") {
+      val g = 2000
+      val docs = corpus(spark, dir, copies)
+        .select(col("doc_id"),
+          pmod(col("doc_id"), lit(g)).as("site"),
+          concat(col("text"), lit(" boiler"),
+            pmod(col("doc_id"), lit(g))).as("text"))
+        .cache()
+      val nDocs = docs.count()
+      def chk(df: DataFrame): (Long, Long) = {
+        // bit_xor, not sum: a sum of 64-bit hashes overflows under
+        // ANSI; xor is order-independent and exact
+        val r = df.agg(
+          bit_xor(xxhash64(concat_ws(" ",
+            col("doc_id").cast("string"), col("text")))).as("h"),
+          sum(length(col("text"))).as("c")).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      var litChk: (Long, Long) = null; var joinChk: (Long, Long) = null
+      val tLit = timed {
+        litChk = chk(Corpus.dedupLinesPerGroup(docs, "site", "text",
+          delim = " "))
+      }
+      val tJoin = timed {
+        joinChk = chk(Corpus.dedupLinesPerGroup(docs, "site", "text",
+          delim = " ", maxLiteralLines = 0L))
+      }
+      println(f"$copies%8d $nDocs%9d $g%7d $tLit%10.1f $tJoin%7.1f " +
+        f"${litChk == joinChk}%10s")
+      docs.unpersist()
+    }
+
     // kNN self-join drill: exact is O(n²) cosine (the baseline that
     // must NOT be the scale path); LSH's narrow far-neighbor bands make
     // buckets grow as n/2^bits (quadratic candidates); IVF with
