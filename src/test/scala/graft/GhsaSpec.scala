@@ -55,7 +55,9 @@ class GhsaSpec extends AnyFunSuite {
 
   test("range + fixed version surfaced per package") {
     val lodash = rows.find(_.getAs[String]("pkg") == "lodash").get
-    assert(lodash.getAs[String]("range") == ">= 1.0.0, < 4.17.21")
+    // comma stripped at parse, matching the reference record shape
+    // (`providers/github/parser.py:730`)
+    assert(lodash.getAs[String]("range") == ">= 1.0.0 < 4.17.21")
     assert(lodash.getAs[String]("fixed_in") == "4.17.21")
     val req = rows.find(_.getAs[String]("pkg") == "requests").get
     assert(req.getAs[String]("fixed_in") == null)
