@@ -100,21 +100,27 @@ object Bench {
         .collect { case rx(n) => n.toInt }
       (seen :+ 0).max + 1
     }
-    val fullPath = f"BENCH_full_r$roundIdx%02d.json"
+    // A SPARK_GRAFT_QUERIES-filtered run is a profiling run: its subset
+    // map goes to BENCH_subset.json so NEITHER full-map name — the
+    // versioned round artifact nor the legacy BENCH_full.json alias —
+    // is ever overwritten with partial totals presented as the full
+    // record. The stdout "full" pointer names whichever file this run
+    // actually wrote.
+    val fullPath =
+      if (only.isEmpty) f"BENCH_full_r$roundIdx%02d.json"
+      else "BENCH_subset.json"
     try {
       val cold = results.sortBy(_._1)
         .map { case (k, _, c) => "\"" + k + "\":" + fmt(c) }
         .mkString("{", ",", "}")
       val payload =
         s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(results)},"cold_queries":$cold,"cold_total":${fmt(coldTotal)},"sf":"$sfDir"}"""
-      // a SPARK_GRAFT_QUERIES-filtered run is a profiling run — it must
-      // not replace the round's full map with a subset
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(fullPath), payload)
+      // legacy alias kept for tooling that reads the unversioned name
       if (only.isEmpty)
         java.nio.file.Files.writeString(
-          java.nio.file.Paths.get(fullPath), payload)
-      // legacy alias kept for tooling that reads the unversioned name
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("BENCH_full.json"), payload)
+          java.nio.file.Paths.get("BENCH_full.json"), payload)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] full-map write failed: ${e.getMessage}")
     }

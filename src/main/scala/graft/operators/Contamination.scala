@@ -142,6 +142,9 @@ object Contamination {
     // keys replay EXACTLY in DuckDB ('0x'||substr(md5(s),1,15))::BIGINT,
     // so even a collision is the SAME collision on both engines and the
     // query faces the strict oracle at any scale.
+    require(hashed || !md5Keys,
+      "md5Keys selects the hashed-key BASIS — it has no meaning with " +
+        "hashed = false (string shingles); drop one of the two flags")
     val shingles: Column =
       if (hashed && md5Keys)
         graft.plans.HashExpressions.word_shingle_hashes_md5(col(textCol), n)

@@ -211,6 +211,14 @@ object Corpus {
       "maxDocShare must be in (0, 1]")
     require(minDocs >= 2, "minDocs must be ≥ 2 — in a singleton group " +
       "every line is 100% of the docs and the whole document erases")
+    // internal names must be free on BOTH paths: the literal path's
+    // withColumn would silently overwrite a caller's __freq, and the
+    // join path's docs⋈freqSets would make __g/__freq ambiguous — a
+    // crash that appears only once the frequent set crosses the literal
+    // threshold (data-size-dependent). Same guard as shuffleWithPositions.
+    require(!docs.columns.contains("__g") && !docs.columns.contains("__freq"),
+      "dedupLinesPerGroup reserves the internal column names __g and " +
+        "__freq — rename them in the input")
     val lineArr = split(col(textCol),
       java.util.regex.Pattern.quote(delim))
     val lines = docs

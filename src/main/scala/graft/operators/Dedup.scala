@@ -552,7 +552,11 @@ object Dedup {
         graft.plans.HashExpressions.pair_combos(col("ids"))).as("p"))
       .select(col("p.id1.id").as("id1"), col("p.id2.id").as("id2"),
         hamming64(col("p.id1.sig"), col("p.id2.sig")).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
+      // duplicate doc ids with DIFFERING text are distinct (id, sig)
+      // structs to pair_combos, which would emit an (x, x) self-pair —
+      // meaningless as a near-dup and absent from the oracle's
+      // a.doc_id < b.doc_id join
+      .filter(col("id1") =!= col("id2") && col("hamming") <= maxHamming)
       // a pair surfacing from several shared bands is one pair
       .distinct()
   }

@@ -79,53 +79,34 @@ object HashKernels {
     * exact-Jaccard verification a linear merge instead of per-pair string
     * hash-set builds. Set equality to the string-shingle form holds up to
     * 64-bit hash collisions (~|set|²/2⁶⁴ per document — negligible). */
-  def wordShingleHashes(s: UTF8String, n: Int): ArrayData = {
-    val words = TextKernels.splitWords(s)
-    val m = if (words.length <= n) 1 else words.length - n + 1
-    val hs = new Array[Long](m)
-    if (words.length <= n) {
-      val all = words.mkString(" ")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      hs(0) = XXH64.hashUnsafeBytes(all,
-        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, all.length, 42L)
-    } else {
-      val sb = new java.lang.StringBuilder(64)
-      var i = 0
-      while (i < m) {
-        sb.setLength(0)
-        var j = 0
-        while (j < n) {
-          if (j > 0) sb.append(' ')
-          sb.append(words(i + j)); j += 1
-        }
-        val b = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        hs(i) = XXH64.hashUnsafeBytes(b,
-          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
-        i += 1
-      }
-    }
-    java.util.Arrays.sort(hs)
-    // in-place dedupe of the sorted array
-    var w = 0
-    var r = 0
-    while (r < m) {
-      if (r == 0 || hs(r) != hs(r - 1)) { hs(w) = hs(r); w += 1 }
-      r += 1
-    }
-    new GenericArrayData(java.util.Arrays.copyOf(hs, w))
-  }
+  def wordShingleHashes(s: UTF8String, n: Int): ArrayData =
+    shingleHashesImpl(s, n, md5 = false)
 
   /** [[wordShingleHashes]] on the md5-prefix basis: sorted distinct
     * 60-bit [[md5Prefix60]] keys over byte-for-byte the same n-gram
     * strings the string path emits — hashed containment with a DuckDB
     * replay (`('0x' || substr(md5(shingle),1,15))::BIGINT`) in place of
     * xxh64. ~2-3× the hash cost per shingle; keys stay 8 bytes. */
-  def wordShingleHashesMd5(s: UTF8String, n: Int): ArrayData = {
+  def wordShingleHashesMd5(s: UTF8String, n: Int): ArrayData =
+    shingleHashesImpl(s, n, md5 = true)
+
+  /** Shared shingle assembly for BOTH hash bases — one place for the
+    * n-gram construction rules (words.length <= n → one whole-text
+    * shingle; space-joined blocks otherwise; sorted distinct output),
+    * so the xxh64 and md5 bases cannot silently diverge on the strings
+    * they hash (CorpusSpec pins the two row-identical). The predictable
+    * per-shingle branch costs nothing next to the hash itself. */
+  private def shingleHashesImpl(s: UTF8String, n: Int,
+      md5: Boolean): ArrayData = {
+    def hash(b: Array[Byte]): Long =
+      if (md5) md5Prefix60(b)
+      else XXH64.hashUnsafeBytes(b,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
     val words = TextKernels.splitWords(s)
     val m = if (words.length <= n) 1 else words.length - n + 1
     val hs = new Array[Long](m)
     if (words.length <= n) {
-      hs(0) = md5Prefix60(words.mkString(" ")
+      hs(0) = hash(words.mkString(" ")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } else {
       val sb = new java.lang.StringBuilder(64)
@@ -137,12 +118,13 @@ object HashKernels {
           if (j > 0) sb.append(' ')
           sb.append(words(i + j)); j += 1
         }
-        hs(i) = md5Prefix60(sb.toString
+        hs(i) = hash(sb.toString
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         i += 1
       }
     }
     java.util.Arrays.sort(hs)
+    // in-place dedupe of the sorted array
     var w = 0
     var r = 0
     while (r < m) {

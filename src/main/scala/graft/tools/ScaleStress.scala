@@ -275,13 +275,28 @@ object ScaleStress {
         (r.getLong(0), r.getLong(1))
       }
       var litChk: (Long, Long) = null; var joinChk: (Long, Long) = null
+      // force each path explicitly (the drill's frequent set is larger
+      // than the production literal default, so the default parameters
+      // would silently take the join path on BOTH legs) and verify the
+      // plan shape actually taken before trusting the timing labels
       val tLit = timed {
-        litChk = chk(Corpus.dedupLinesPerGroup(docs, "site", "text",
-          delim = " "))
+        val lit = Corpus.dedupLinesPerGroup(docs, "site", "text",
+          delim = " ", maxLiteralLines = Long.MaxValue,
+          maxLiteralBytes = Long.MaxValue)
+        // the docs LINEAGE has a crossJoin (corpus replication), so
+        // test for the fallback's specific node, not any Join
+        assert(!lit.queryExecution.executedPlan.toString
+          .contains("BroadcastHashJoin"),
+          "t_literal leg did not take the literal path")
+        litChk = chk(lit)
       }
       val tJoin = timed {
-        joinChk = chk(Corpus.dedupLinesPerGroup(docs, "site", "text",
-          delim = " ", maxLiteralLines = 0L))
+        val j = Corpus.dedupLinesPerGroup(docs, "site", "text",
+          delim = " ", maxLiteralLines = 0L)
+        assert(j.queryExecution.executedPlan.toString
+          .contains("BroadcastHashJoin"),
+          "t_join leg did not take the broadcast-join path")
+        joinChk = chk(j)
       }
       println(f"$copies%8d $nDocs%9d $g%7d $tLit%10.1f $tJoin%7.1f " +
         f"${litChk == joinChk}%10s")
