@@ -516,12 +516,14 @@ object Dedup {
     * Hamming ≤ bands−1: that few flipped bits cannot touch every band),
     * verified by exact 60-bit Hamming ≤ `maxHamming`.
     *
-    * Plan shape: ONE exchange total. The (id, sig) pair rides the band
-    * rows into the bucket groupBy, so candidate pairs emerge from
-    * [[graft.plans.PairCombosExpr]] with both signatures attached — no
-    * join back to a signature table, no persist, no recompute of the
-    * signature scan (the earlier minhash-candidate simhash query
-    * computed signatures once per join side or persisted them).
+    * Plan shape: ONE corpus-scale exchange (the bucket groupBy; the
+    * closing pair-distinct shuffles only surviving pairs). The
+    * (id, sig) pair rides the band rows into the bucket groupBy, so
+    * candidate pairs emerge from [[graft.plans.PairCombosExpr]] with
+    * both signatures attached — no join back to a signature table, no
+    * persist, no recompute of the signature scan (the earlier
+    * minhash-candidate simhash query computed signatures once per join
+    * side or persisted them).
     * Degenerate buckets (> maxBucket docs) are dropped before any pair
     * forms, same skew guard as [[minhashCandidates]]. */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
@@ -531,14 +533,18 @@ object Dedup {
     val bitsPerBand = 60 / bands
     require(maxHamming >= 0 && maxHamming < bands,
       s"banding guarantees candidate recall only to Hamming ${bands - 1}")
+    // null text → null sig; banding nulls would pool every null-text
+    // doc into one bucket per band (the oracle's unnest drops them).
+    // Filter the RAW text, not the sig: sig is null iff text is, and a
+    // sig.isNotNull predicate pushes below the projection where the
+    // codegen'd filter+project pair would evaluate the md5 kernel twice
+    // per row (seen in the PLANS.md audit).
     val sigs = docs
+      .filter(col(textCol).isNotNull)
       .select(col(idCol),
         graft.plans.HashExpressions
           .simhash60_md5(split(lower(trim(col(textCol))), "\\s+"))
           .as("sig"))
-      // null text → null sig; banding nulls would pool every null-text
-      // doc into one bucket per band (the oracle's unnest drops them)
-      .filter(col("sig").isNotNull)
     val bandKeys = (0 until bands).map(b =>
       shiftright(col("sig"), b * bitsPerBand)
         .bitwiseAND(lit((1L << bitsPerBand) - 1)))

@@ -339,6 +339,18 @@ class PlanAssertionsSpec extends AnyFunSuite {
       "CMS partials must fold per map task — the whole point of the sketch")
   }
 
+  test("q_dedup_simhash: one corpus scan, one corpus-scale exchange; " +
+      "no signature-table join-back") {
+    val p = plan("q_dedup_simhash")
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"signatures must ride the band rows — docs scanned once:\n$p")
+    // bucket groupBy + the closing pair-distinct; anything more means a
+    // join back to a signature table crept in
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 2,
+      s"expected exactly bucket + distinct exchanges:\n$p")
+    assert(!p.contains("Join"), s"no signature join-back:\n$p")
+  }
+
   test("q_fn_evr_split parses each row ONCE (single evr_split in plan)") {
     val p = plan("q_fn_evr_split")
     val n = "evr_split".r.findAllIn(p).length
