@@ -61,7 +61,7 @@ object Envelope {
   def osvSchemaCol(version: Column): Column =
     concat(lit("https://example.invalid/graft/vulnerability/osv/schema-"),
       version, lit(".json"))
-  val GhsaSchema = "https://example.invalid/graft/vulnerability/github/schema-1.0.0.json"
+  val GhsaSchema = "https://example.invalid/graft/vulnerability/github/schema-1.0.3.json"
   val VexSchema = "https://example.invalid/graft/vulnerability/csaf-vex/schema-2.0.0.json"
   val AnnotatedOpenVexSchema = "https://example.invalid/graft/vulnerability/annotated-openvex/schema-1.0.0.json"
   // auxiliary decorator schemas (`schema.py:16-19,108-119`)

@@ -78,26 +78,29 @@ object QualityGate {
   // ---- GHSA (registry-ecosystem) gate ---------------------------------
 
   /** The GHSA envelope slice the range gate needs (the
-    * github-security-advisory schema's FixedIn carries a RANGE
-    * expression, not an EVR fix version). */
+    * github-security-advisory schema's Advisory payload: FixedIn
+    * carries a RANGE expression, not an EVR fix version, under
+    * lower-case record keys). */
   val ghsaMatchSchema: StructType = StructType.fromDDL(
-    "CVE STRING, GhsaID STRING, Namespace STRING, " +
-      "FixedIn ARRAY<STRUCT<Ecosystem: STRING, Identifier: STRING, " +
-      "Name: STRING, Range: STRING>>")
+    "Advisory STRUCT<CVE: ARRAY<STRING>, ghsaId: STRING, " +
+      "namespace: STRING, " +
+      "FixedIn: ARRAY<STRUCT<ecosystem: STRING, identifier: STRING, " +
+      "name: STRING, namespace: STRING, range: STRING>>>")
 
   /** (vuln ids, namespace, pkg, range) rows from GHSA envelopes. */
   def ghsaRangeRows(envelopes: DataFrame): DataFrame =
     envelopes
       .select(from_json(col("item"), ghsaMatchSchema).as("v"))
-      .select(col("v.GhsaID").as("ghsa"), col("v.CVE").as("cve"),
-        col("v.Namespace").as("namespace"),
-        explode(col("v.FixedIn")).as("f"))
-      .select(col("ghsa"), col("cve"), col("namespace"),
-        col("f.Name").as("pkg"), col("f.Range").as("range"))
+      .select(col("v.Advisory.ghsaId").as("ghsa"),
+        col("v.Advisory.CVE").as("cves"),
+        col("v.Advisory.namespace").as("namespace"),
+        explode(col("v.Advisory.FixedIn")).as("f"))
+      .select(col("ghsa"), col("cves"), col("namespace"),
+        col("f.name").as("pkg"), col("f.range").as("range"))
 
   /** GHSA labels with NO matching envelope. `labels` columns:
     * (pkg, version, expected_vuln) — expected_vuln accepts either the
-    * GHSA id or its CVE alias — plus optional `namespace`
+    * GHSA id or any of its CVE aliases — plus optional `namespace`
     * (`github:<ecosystem>`). A label matches when some advisory's
     * FixedIn row for the package has a vulnerable range the installed
     * version satisfies under [[graft.functions.Constraints
@@ -106,7 +109,7 @@ object QualityGate {
     val fixes = ghsaRangeRows(envelopes)
     val keyed = labels("pkg") === fixes("pkg") &&
       (labels("expected_vuln") === fixes("ghsa") ||
-        labels("expected_vuln") === fixes("cve")) &&
+        array_contains(fixes("cves"), labels("expected_vuln"))) &&
       graft.functions.Constraints
         .version_in_range(labels("version"), fixes("range"))
     val cond =

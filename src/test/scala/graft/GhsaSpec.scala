@@ -17,27 +17,34 @@ class GhsaSpec extends AnyFunSuite {
       getClass.getResource("/fixtures/ghsa_lastpage.json").getPath).isEmpty)
   }
 
-  test("ecosystem allow-list: mapped kept, unmapped (ERLANG) dropped") {
+  test("ecosystem allow-list: reference map applied (MAVEN→java), " +
+      "unmapped future enum values dropped") {
     val ecos = rows.map(_.getAs[String]("ecosystem")).toSet
-    assert(ecos == Set("npm", "python"))
-    assert(!rows.exists(_.getAs[String]("pkg") == "some-lib"))
+    assert(ecos == Set("npm", "java", "python"))
+    assert(!rows.exists(_.getAs[String]("pkg") == "some-lib"),
+      "FUTURE_ECO is not in the parser.py:42-55 map — its row drops")
   }
 
-  test("severity MODERATE → Medium; CVE id extracted when present") {
+  test("severity MODERATE → Medium; CVE alias list by value prefix") {
     val lodash = rows.find(_.getAs[String]("pkg") == "lodash").get
     assert(lodash.getAs[String]("severity") == "Medium")
-    assert(lodash.getAs[String]("cve") == "CVE-2023-7777")
-    // advisory with no CVE identifier → null cve, still emitted
+    assert(lodash.getSeq[String](lodash.fieldIndex("cves"))
+      == Seq("CVE-2023-7777"))
+    // advisory whose only identifier is the GHSA id → EMPTY list (the
+    // reference emits "CVE": []), still emitted
     val req = rows.find(_.getAs[String]("pkg") == "requests").get
-    assert(req.getAs[String]("cve") == null)
+    assert(req.getSeq[String](req.fieldIndex("cves")).isEmpty)
     assert(req.getAs[String]("severity") == "Critical")
   }
 
-  test("CVSS scored from vector (trailing slash tolerated); empty → null") {
+  test("CVSS v3 scored from cvssSeverities vector (trailing slash " +
+      "stripped); empty vector → null") {
     val lodash = rows.find(_.getAs[String]("pkg") == "lodash").get
     val cvss = lodash.getAs[org.apache.spark.sql.Row]("cvss")
     assert(cvss.getAs[Double]("baseScore") == 6.5)
     assert(cvss.getAs[String]("baseSeverity") == "Medium")
+    assert(lodash.getAs[String]("v3_vector")
+      == "CVSS:3.1/AV:N/AC:L/PR:N/UI:N/S:U/C:L/I:L/A:N")
     val req = rows.find(_.getAs[String]("pkg") == "requests").get
     assert(req.getAs[org.apache.spark.sql.Row]("cvss") == null)
   }
@@ -61,5 +68,76 @@ class GhsaSpec extends AnyFunSuite {
     assert(lodash.getAs[String]("fixed_in") == "4.17.21")
     val req = rows.find(_.getAs[String]("pkg") == "requests").get
     assert(req.getAs[String]("fixed_in") == null)
+  }
+
+  test("classification default GENERAL; MALWARE and withdrawn carried") {
+    val lodash = rows.find(_.getAs[String]("pkg") == "lodash").get
+    assert(lodash.getAs[String]("classification") == "GENERAL")
+    assert(lodash.getAs[String]("withdrawn") == null)
+    val req = rows.find(_.getAs[String]("pkg") == "requests").get
+    assert(req.getAs[String]("classification") == "MALWARE")
+    assert(req.getAs[String]("withdrawn") == "2023-04-01T00:00:00Z")
+  }
+
+  test("envelope: Advisory wrapper with reference record keys; one " +
+      "envelope per (advisory, ecosystem); MAVEN lands in github:java") {
+    import spark.implicits._
+    val env = GhsaProvider.envelopes(GhsaProvider.advisories(spark, fixture))
+      .collect().map(r => r.getAs[String]("identifier")
+        -> r.getAs[String]("item")).toMap
+    assert(env.keySet == Set(
+      "github:npm/ghsa-aaaa-bbbb-cccc",
+      "github:java/ghsa-aaaa-bbbb-cccc",
+      "github:python/ghsa-dddd-eeee-ffff"))
+    val npm = env("github:npm/ghsa-aaaa-bbbb-cccc")
+    assert(npm.contains("\"Advisory\"") && npm.contains("\"Vulnerability\":{}"))
+    // lower-case FixedIn record keys, per-ecosystem filter applied
+    assert(npm.contains("\"name\":\"lodash\"")
+      && !npm.contains("lodash-shim"))
+    assert(npm.contains("\"namespace\":\"github:npm\""))
+    assert(npm.contains("\"identifier\":\"4.17.21\""))
+    // CVE list + Metadata duplicate, legacy CVSS object, v3+v4 summary
+    assert(npm.contains("\"CVE\":[\"CVE-2023-7777\"]")
+      && npm.contains("\"Metadata\":{\"CVE\":[\"CVE-2023-7777\"]}"))
+    assert(npm.contains("\"base_score\":6.5")
+      && npm.contains("\"status\":\"N/A\""))
+    assert(npm.contains("\"cvss_severities\"")
+      && npm.contains("\"version\":\"3.1\"")
+      && npm.contains("\"version\":\"4.0\""))
+    val java = env("github:java/ghsa-aaaa-bbbb-cccc")
+    assert(java.contains("lodash-shim")
+      && java.contains("\"namespace\":\"github:java\""))
+    // no-CVE advisory: empty lists, no legacy CVSS, withdrawn carried
+    val py = env("github:python/ghsa-dddd-eeee-ffff")
+    assert(py.contains("\"CVE\":[]"))
+    assert(!py.contains("\"CVSS\":{"))
+    assert(py.contains("\"identifier\":\"None\""))
+    assert(py.contains("\"withdrawn\":\"2023-04-01T00:00:00Z\""))
+    assert(py.contains("\"Classification\":\"MALWARE\""))
+  }
+
+  test("fix-date dimension attaches available {date, kind} to the " +
+      "matched FixedIn row only; unfixed rows never match") {
+    import spark.implicits._
+    val fixdates = Seq(
+      ("GHSA-aaaa-bbbb-cccc", "lodash", "npm", "4.17.21",
+        "2023-02-03", "first-observed"),
+      // requests has no published fix (identifier None) → finder
+      // semantics say no date even if a row exists
+      ("GHSA-dddd-eeee-ffff", "requests", "python", "None",
+        "2023-03-05", "advisory")
+    ).toDF("vuln", "pkg", "ecosystem", "version", "date", "kind")
+    val env = GhsaProvider.envelopes(
+      GhsaProvider.advisories(spark, fixture), Some(fixdates))
+      .collect().map(r => r.getAs[String]("identifier")
+        -> r.getAs[String]("item")).toMap
+    val npm = env("github:npm/ghsa-aaaa-bbbb-cccc")
+    assert(npm.contains(
+      "\"available\":{\"date\":\"2023-02-03\",\"kind\":\"first-observed\"}"),
+      s"available record missing: $npm")
+    assert(!env("github:java/ghsa-aaaa-bbbb-cccc").contains("available"),
+      "the java ecosystem's row has its own (absent) date")
+    assert(!env("github:python/ghsa-dddd-eeee-ffff").contains("available"),
+      "a None fix version must not gain a date (finder.py:149-151)")
   }
 }

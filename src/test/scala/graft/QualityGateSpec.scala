@@ -350,7 +350,8 @@ class QualityGateSpec extends AnyFunSuite {
     val below = Seq(("lodash", "0.9.9", "GHSA-aaaa-bbbb-cccc"))
       .toDF("pkg", "version", "expected_vuln")
     assert(QualityGate.falseNegativesGhsa(ghsaEnv, below).count() == 1)
-    // P7: the ERLANG row was dropped at parse, so no label can match it
+    // P7: the FUTURE_ECO row was dropped at parse (not in the
+    // reference ecosystem map), so no label can match it
     val unmapped = Seq(("some-lib", "1.0.0", "GHSA-dddd-eeee-ffff"))
       .toDF("pkg", "version", "expected_vuln")
     assert(QualityGate.falseNegativesGhsa(ghsaEnv, unmapped).count() == 1)
