@@ -45,6 +45,33 @@ final case class Vulnerability(
     FixedIn: Seq[FixedIn] = Seq.empty)
 
 object Envelope {
+
+  /** The OS-schema payload wrapper: every OS-family record ships as
+    * `{"Vulnerability": {...}}` (`Vulnerability.to_payload`,
+    * `utils/vulnerability.py:145-146`; visible in every reference
+    * provider snapshot). Providers assemble the inner record and wrap
+    * it here so the envelope shape cannot drift per family. */
+  def osPayload(vuln: Column): Column = struct(vuln.as("Vulnerability"))
+
+  /** Always-present OS-element defaults (`utils/vulnerability.py:19-30`
+    * and the Vulnerability dataclass asdict): the reference writes
+    * `"CVSS": []` and `"Metadata": {}` even when a family never fills
+    * them. Typed casts: a bare array()/map() is NullType-elemed and
+    * some writers reject it. */
+  def emptyCvss: Column = array().cast("array<string>")
+  def emptyMetadata: Column = map().cast("map<string,string>")
+
+  /** The reference FixedIn dataclass's non-null defaults
+    * (`utils/vulnerability.py:91-103`): Module defaults to "" and
+    * VendorAdvisory to {NoAdvisory: false, AdvisorySummary: []} in
+    * __post_init__, so dataclass-based providers (arch, sles, photon,
+    * mariner, fedora) always carry them in the bytes. */
+  def defaultModule: Column = lit("")
+  def defaultVendorAdvisory: Column = struct(
+    array().cast("array<struct<ID:string,Link:string>>")
+      .as("AdvisorySummary"),
+    lit(false).as("NoAdvisory"))
+
   /** Schema registry mirroring `src/vunnel/schema.py` (urls are ours —
     * the design point is: every envelope names its payload schema+version). */
   val OsSchema = "https://example.invalid/graft/vulnerability/os/schema-1.1.0.json"

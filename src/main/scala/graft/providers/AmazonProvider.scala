@@ -47,46 +47,72 @@ object AmazonProvider {
       acc => array_distinct(acc.getField("pkgs")))
   }
 
-  /** pages: (alas_id, severity, cves: array, html). One envelope per
-    * (namespace, cve) with FixedIn from the page's package list. */
+  /** The advisory's issue_overview section text — the reference's
+    * Description source (`parser.py:204-210`: concatenated overview
+    * paragraphs). Tags stripped, paragraph text joined. */
+  def issueOverview(html: Column): Column = {
+    val block = regexp_extract(html,
+      "(?s)id=\"issue_overview\"[^>]*>(.*?)</(?:div|section)>", 1)
+    trim(regexp_replace(regexp_replace(block, "<[^>]+>", ""),
+      "\\s+", " "))
+  }
+
+  /** pages: (alas_id, severity, cves: array, html) plus OPTIONAL `url`
+    * and `date` columns (the RSS item's link and pubDate, `parser.py:
+    * 95-107`). One envelope per ADVISORY — the reference record is
+    * ALAS-keyed (`map_to_vulnerability`, `parser.py:332-380`; snapshot
+    * ids like amzn:2/alas-2018-939) with Metadata.CVE carrying the CVE
+    * aliases as [{Name}] entries and each FixedIn row gaining
+    * Available {Date: pubDate, Kind: "advisory"} — the fixdater's
+    * always-accurate default candidate (`parser.py:355-367`). */
   def envelopes(pages: DataFrame, namespace: String): DataFrame = {
-    val splitUdf = udf((f: String) => {
-      // rpm filename → (name, version-release); mirrors F2
-      // split_rpm_filename without arch handling for bare `n-v-r` lines
-      val base = f.stripSuffix(".rpm")
-      val parts = base.split("-")
-      if (parts.length < 3) (f, null: String)
-      else (parts.dropRight(2).mkString("-"),
-        parts.takeRight(2).mkString("-"))
-    })
-    pages
-      .withColumn("pkg_file", explode(newPackages(col("html"))))
-      .withColumn("nv", splitUdf(col("pkg_file")))
-      .filter(col("nv._2").isNotNull)
-      .withColumn("cve", explode(col("cves")))
-      .groupBy(col("cve"))
-      .agg(
-        // a CVE fixed by TWO advisories appears in both pages:
-        // first() is partition-arrival nondeterministic, flipping
-        // Description/Severity between runs — pick the lexically
-        // smallest advisory and its severity, deterministically
-        min_by(col("alas_id"), col("alas_id")).as("alas_id"),
-        min_by(col("severity"), col("alas_id")).as("severity"),
-        array_sort(collect_set(struct(
-          col("nv._1").as("Name"),
-          lit(namespace).as("NamespaceName"),
-          lit("rpm").as("VersionFormat"),
-          col("nv._2").as("Version")))).as("fixed_in"))
-      .select(Envelope.assemble(
-        concat(lit(namespace), lit("/"), lower(col("cve"))),
-        Envelope.OsSchema,
+    val p1 =
+      if (pages.columns.contains("url")) pages
+      else pages.withColumn("url", lit(null).cast("string"))
+    val p2 =
+      if (p1.columns.contains("date")) p1
+      else p1.withColumn("date", lit(null).cast("string"))
+    // rpm filename → FixedIn rows with pure built-ins (no UDF): strip
+    // .rpm, name = all-but-last-two dash segments, version = last two
+    val available = when(col("date").isNotNull, struct(
+      date_format(graft.functions.Norm.fuzzy_to_date(col("date")),
+        "yyyy-MM-dd").as("Date"),
+      lit("advisory").as("Kind")))
+    val fixedIn = array_sort(array_distinct(
+      filter(
+        transform(newPackages(col("html")), f => {
+          val parts = split(regexp_replace(f, "\\.rpm$", ""), "-")
+          val n = size(parts)
+          struct(
+            available.as("Available"),
+            array_join(slice(parts, lit(1), n - 2), "-").as("Name"),
+            lit(namespace).as("NamespaceName"),
+            concat_ws("-", element_at(parts, -2), element_at(parts, -1))
+              .as("Version"),
+            lit("rpm").as("VersionFormat"),
+            n.as("__n"))
+        }),
+        e => e.getField("__n") >= 3)))
+    p2.select(Envelope.assemble(
+      concat(lit(namespace), lit("/"), lower(col("alas_id"))),
+      Envelope.OsSchema,
+      Envelope.osPayload(struct(
+        col("alas_id").as("Name"),
+        lit(namespace).as("NamespaceName"),
+        issueOverview(col("html")).as("Description"),
+        graft.functions.Norm.normalize_severity(col("severity"))
+          .as("Severity"),
+        col("url").as("Link"),
+        Envelope.emptyCvss.as("CVSS"),
+        transform(fixedIn, e => struct(
+          e.getField("Available").as("Available"),
+          e.getField("Name").as("Name"),
+          e.getField("NamespaceName").as("NamespaceName"),
+          e.getField("Version").as("Version"),
+          e.getField("VersionFormat").as("VersionFormat")))
+          .as("FixedIn"),
         struct(
-          col("cve").as("Name"),
-          lit(namespace).as("NamespaceName"),
-          concat(lit("see "), col("alas_id")).as("Description"),
-          graft.functions.Norm.normalize_severity(col("severity"))
-            .as("Severity"),
-          graft.functions.Norm.ref_link_for_id(col("cve")).as("Link"),
-          col("fixed_in").as("FixedIn"))): _*)
+          transform(array_sort(col("cves")), c => struct(c.as("Name")))
+            .as("CVE")).as("Metadata")))): _*)
   }
 }

@@ -70,8 +70,13 @@ object ArchProvider {
         p => coalesce(p, lit("")) =!= ""),
       p => struct(
         available.as("Available"),
+        // dataclass defaults the reference always writes
+        // (`utils/vulnerability.py:91-103`): Module "" and the
+        // no-advisory VendorAdvisory stub
+        Envelope.defaultModule.as("Module"),
         p.as("Name"),
         lit(ecosystem).as("NamespaceName"),
+        Envelope.defaultVendorAdvisory.as("VendorAdvisory"),
         when(fixedVersion =!= "", fixedVersion).otherwise(lit("None"))
           .as("Version"),
         lit("pacman").as("VersionFormat")))
@@ -89,7 +94,8 @@ object ArchProvider {
       .select(Envelope.assemble(
         concat(lit(s"$ecosystem/"), lower(col("name"))),
         Envelope.OsSchema,
-        struct(
+        Envelope.osPayload(struct(
+          Envelope.emptyCvss.as("CVSS"),
           when(trim(coalesce(col("type"), lit(""))) =!= "",
             trim(col("type")))
             .otherwise(concat(lit("Arch vulnerability "), col("name")))
@@ -100,7 +106,7 @@ object ArchProvider {
           col("name").as("Name"),
           lit(ecosystem).as("NamespaceName"),
           coalesce(sevMap(trim(coalesce(col("severity"), lit("")))),
-            lit("Unknown")).as("Severity"))): _*)
+            lit("Unknown")).as("Severity")))): _*)
   }
 
   /** Full pipeline from staged `all.json` + ASA date table paths. */

@@ -135,13 +135,15 @@ object DebianProvider {
       .select(Envelope.assemble(
         concat(lit("debian:"), col("relno"), lit("/"), lower(col("cve"))),
         Envelope.OsSchema,
-        struct(
+        Envelope.osPayload(struct(
           col("cve").as("Name"),
           concat(lit("debian:"), col("relno")).as("NamespaceName"),
           coalesce(col("description"), lit("")).as("Description"),
           col("severity").as("Severity"),
           concat(lit("https://security-tracker.debian.org/tracker/"),
             col("cve")).as("Link"),
-          col("fixed_in").as("FixedIn"))): _*)
+          Envelope.emptyCvss.as("CVSS"),
+          col("fixed_in").as("FixedIn"),
+          Envelope.emptyMetadata.as("Metadata")))): _*)
   }
 }

@@ -62,15 +62,17 @@ object EchoProvider {
       .select(Envelope.assemble(
         concat(lit(s"$namespace/"), lower(col("cve"))),
         Envelope.OsSchema,
-        struct(
+        Envelope.osPayload(struct(
+          Envelope.emptyCvss.as("CVSS"),
           lit("").as("Description"),
           col("fixed_in").as("FixedIn"),
           when(col("cve").startsWith("CVE-"),
             concat(lit("https://www.cve.org/CVERecord?id="), col("cve")))
             .otherwise(lit("")).as("Link"),
+          Envelope.emptyMetadata.as("Metadata"),
           col("cve").as("Name"),
           lit(namespace).as("NamespaceName"),
-          col("severity").as("Severity"))): _*)
+          col("severity").as("Severity")))): _*)
 
   /** Full pipeline from the staged advisory file. */
   def envelopes(spark: SparkSession, path: String): DataFrame =

@@ -87,6 +87,12 @@ object FedoraProvider {
         coalesce(u.getField("url"),
           concat(lit(s"$bodhiUrl/updates/"), u.getField("alias"))).as("link"),
         coalesce(u.getField("date_stable"), lit("")).as("date_stable"),
+        // Metadata sources (`parser.py:276-277`): Issued from
+        // date_submitted, Updated from date_modified falling back to
+        // date_stable
+        coalesce(u.getField("date_submitted"), lit("")).as("date_issued"),
+        coalesce(nullif(u.getField("date_modified"), lit("")),
+          u.getField("date_stable"), lit("")).as("date_modified"),
         when(size(bugCves) > 0, bugCves).otherwise(fallbackCves).as("cves"),
         packages.as("packages"))
       .filter(size(col("packages")) > 0)
@@ -119,6 +125,9 @@ object FedoraProvider {
       .agg(
         min_by(col("severity"), col("advisory_id")).as("severity"),
         min_by(col("link"), col("advisory_id")).as("link"),
+        min_by(col("date_issued"), col("advisory_id")).as("date_issued"),
+        min_by(col("date_modified"), col("advisory_id"))
+          .as("date_modified"),
         // FixedIn extended across updates in alias order (`parser.py:404-409`
         // merge, keyed deterministically instead of glob order)
         flatten(transform(
@@ -128,13 +137,27 @@ object FedoraProvider {
       .select(Envelope.assemble(
         concat(col("namespace"), lit("/"), lower(col("vuln"))),
         Envelope.OsSchema,
-        struct(
+        Envelope.osPayload(struct(
+          Envelope.emptyCvss.as("CVSS"),
           lit("").as("Description"),
           col("fixed_in").as("FixedIn"),
           col("link").as("Link"),
+          // reference Metadata (`parser.py:345-369`): Issued/Updated
+          // from the update record, CVE as [{Name, Link}] for CVE-keyed
+          // records and [] for advisory-id records
+          struct(
+            when(col("vuln").startsWith("CVE-"), array(struct(
+              concat(lit("https://nvd.nist.gov/vuln/detail/"),
+                col("vuln")).as("Link"),
+              col("vuln").as("Name"))))
+              .otherwise(array().cast(
+                "array<struct<Link:string,Name:string>>")).as("CVE"),
+            coalesce(col("date_issued"), lit("")).as("Issued"),
+            coalesce(col("date_modified"), lit("")).as("Updated"))
+            .as("Metadata"),
           col("vuln").as("Name"),
           col("namespace").as("NamespaceName"),
-          col("severity").as("Severity"))): _*)
+          col("severity").as("Severity")))): _*)
   }
 
   /** Full pipeline from a staged Bodhi page payload. */

@@ -136,18 +136,22 @@ object MarinerProvider {
     perDef.select(Envelope.assemble(
       concat(lit(s"$ns/"), lower(col("cve"))),
       Envelope.OsSchema,
-      struct(
+      Envelope.osPayload(struct(
+        Envelope.emptyCvss.as("CVSS"),
         col("description").as("Description"),
         array(struct(
           available.as("Available"),
+          Envelope.defaultModule.as("Module"),
           col("pkg").as("Name"),
           lit(ns).as("NamespaceName"),
+          Envelope.defaultVendorAdvisory.as("VendorAdvisory"),
           fixedVersion.as("Version"),
           lit("rpm").as("VersionFormat"),
           col("range").as("VulnerableRange"))).as("FixedIn"),
         col("link").as("Link"),
+        Envelope.emptyMetadata.as("Metadata"),
         col("cve").as("Name"),
         lit(ns).as("NamespaceName"),
-        col("severity").as("Severity"))): _*)
+        col("severity").as("Severity")))): _*)
   }
 }

@@ -322,12 +322,16 @@ object OsvProvider {
       .select(Envelope.assemble(
         concat(col("namespace"), lit("/"), lower(col("cve"))),
         Envelope.OsSchema,
-        struct(
+        // NO CVSS key: the reference's OSV->OS downconvert writes a
+        // 7-key record (`ubuntu/os_downconvert.py:246-253`), unlike the
+        // dataclass-based families
+        Envelope.osPayload(struct(
           col("cve").as("Name"),
           col("namespace").as("NamespaceName"),
           lit("").as("Description"),
           col("severity").as("Severity"),
           concat(lit("https://ubuntu.com/security/"), col("cve")).as("Link"),
-          col("fixed_in").as("FixedIn"))): _*)
+          col("fixed_in").as("FixedIn"),
+          Envelope.emptyMetadata.as("Metadata")))): _*)
   }
 }

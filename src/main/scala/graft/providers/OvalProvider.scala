@@ -133,12 +133,14 @@ object OvalProvider {
       .select(Envelope.assemble(
         concat(lit(namespace), lit("/"), lower(col("cve"))),
         Envelope.OsSchema,
-        struct(
+        Envelope.osPayload(struct(
           col("cve").as("Name"),
           lit(namespace).as("NamespaceName"),
           lit("").as("Description"),
           col("severity").as("Severity"),
           graft.functions.Norm.ref_link_for_id(col("cve")).as("Link"),
-          col("fixed_in").as("FixedIn"))): _*)
+          Envelope.emptyCvss.as("CVSS"),
+          col("fixed_in").as("FixedIn"),
+          Envelope.emptyMetadata.as("Metadata")))): _*)
   }
 }

@@ -125,9 +125,11 @@ object PhotonProvider {
       // never resolve (`parser.py:323-337` patch rule — the
       // first-observed fallback composes via FixDate.enrich)
       when(p.getField("ver") =!= "None", available).as("Available"),
+      Envelope.defaultModule.as("Module"),
       p.getField("pkg").as("Name"),
       ns.as("NamespaceName"),
-      vendorAdvisory.as("VendorAdvisory"),
+      coalesce(vendorAdvisory, Envelope.defaultVendorAdvisory)
+        .as("VendorAdvisory"),
       p.getField("ver").as("Version"),
       lit("rpm").as("VersionFormat")))
 
@@ -136,16 +138,19 @@ object PhotonProvider {
       .select(Envelope.assemble(
         concat(ns, lit("/"), lower(col("cve_id"))),
         Envelope.OsSchema,
-        struct(
+        Envelope.osPayload(struct(
+          Envelope.emptyCvss.as("CVSS"),
           lit("").as("Description"),
           fixedIn.as("FixedIn"),
           concat(lit("https://www.cve.org/CVERecord?id="), col("cve_id"))
             .as("Link"),
-          when(adv.isNotNull,
-            struct(adv.getField("date").as("Issued"))).as("Metadata"),
+          // a single optional field: null Issued drops, leaving the
+          // reference's bare {} for advisory-less records
+          struct(when(adv.isNotNull, adv.getField("date")).as("Issued"))
+            .as("Metadata"),
           col("cve_id").as("Name"),
           ns.as("NamespaceName"),
-          severity.as("Severity"))): _*)
+          severity.as("Severity")))): _*)
   }
 
   /** Full pipeline from staged CVE-file glob + wiki worktree dir. */

@@ -341,14 +341,15 @@ object RhelProvider {
         // the version-gated SchemaGate would quarantine under 1.1.0
         // (reference: `providers/rhel/__init__.py:48`)
         Envelope.osSchema("1.1.2"),
-        struct(
+        Envelope.osPayload(struct(
           col("cvss").as("CVSS"),
           col("description").as("Description"),
           transform(col("sorted_fi"), x => x.getField("fi")).as("FixedIn"),
           concat(lit("https://access.redhat.com/security/cve/"), col("cve"))
             .as("Link"),
+          Envelope.emptyMetadata.as("Metadata"),
           col("cve").as("Name"),
           concat(lit("rhel:"), col("platform")).as("NamespaceName"),
-          col("severity").as("Severity"))): _*)
+          col("severity").as("Severity")))): _*)
   }
 }

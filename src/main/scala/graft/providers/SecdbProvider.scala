@@ -54,12 +54,14 @@ object SecdbProvider {
       .select(Envelope.assemble(
         concat(lit(namespace), lit("/"), lower(col("vuln_id"))),
         Envelope.OsSchema,
-        struct(
+        Envelope.osPayload(struct(
           col("vuln_id").as("Name"),
           lit(namespace).as("NamespaceName"),
           lit("").as("Description"),
           lit("Unknown").as("Severity"),
           Norm.ref_link_for_id(col("vuln_id")).as("Link"),
-          col("fixed_in").as("FixedIn"))): _*)
+          Envelope.emptyCvss.as("CVSS"),
+          col("fixed_in").as("FixedIn"),
+          Envelope.emptyMetadata.as("Metadata")))): _*)
   }
 }

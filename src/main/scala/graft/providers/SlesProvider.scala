@@ -256,18 +256,21 @@ object SlesProvider {
     resolved.select(Envelope.assemble(
       concat(feedNs, lit("/"), lower(col("name"))),
       Envelope.OsSchema,
-      struct(
+      Envelope.osPayload(struct(
         col("pick.cvss").as("CVSS"),
         col("pick.description").as("Description"),
         transform(col("pick.fixed_in"), f => struct(
+          Envelope.defaultModule.as("Module"),
           f.getField("pkg").as("Name"),
           feedNs.as("NamespaceName"),
+          Envelope.defaultVendorAdvisory.as("VendorAdvisory"),
           f.getField("ver").as("Version"),
           lit("rpm").as("VersionFormat"))).as("FixedIn"),
         col("pick.link").as("Link"),
+        Envelope.emptyMetadata.as("Metadata"),
         col("name").as("Name"),
         feedNs.as("NamespaceName"),
-        col("pick.severity").as("Severity"))): _*)
+        col("pick.severity").as("Severity")))): _*)
   }
 
   /** Full pipeline from a staged per-major OVAL document. */

@@ -15,10 +15,9 @@ import graft.Envelope
   * family's typed shape (PERMISSIVE — a type-mismatched or missing
   * field parses to null) plus required-field/required-element
   * conditions, so validation is codegen'd row-local work with no extra
-  * pass over the data. One deviation from the reference layout is
-  * inherited from Envelope.scala: the payload IS the Vulnerability
-  * object (no outer {"Vulnerability": ...} wrapper, Metadata not
-  * carried), so the required list applies to the flattened object.
+  * pass over the data. The payload carries the reference's
+  * `{"Vulnerability": {...}}` wrapper (`utils/vulnerability.py:145-146`);
+  * the required list applies to the wrapped object.
   */
 object SchemaGate {
 
@@ -75,13 +74,14 @@ object SchemaGate {
       StructField("impact_score", DoubleType)))))))
 
   private val osType = StructType(Seq(
-    StructField("Name", StringType),
-    StructField("NamespaceName", StringType),
-    StructField("Description", StringType),
-    StructField("Severity", StringType),
-    StructField("Link", StringType),
-    StructField("FixedIn", fixedInType),
-    StructField("CVSS", cvssType)))
+    StructField("Vulnerability", StructType(Seq(
+      StructField("Name", StringType),
+      StructField("NamespaceName", StringType),
+      StructField("Description", StringType),
+      StructField("Severity", StringType),
+      StructField("Link", StringType),
+      StructField("FixedIn", fixedInType),
+      StructField("CVSS", cvssType))))))
 
   /** Per-version feature availability of the FixedIn entry, from the
     * published version lineage (diffs of `schema/vulnerability/os/
@@ -111,7 +111,9 @@ object SchemaGate {
     * output. (Stricter than raw draft-04, whose open
     * additionalProperties accepts any unknown field.) */
   def osValid(item: Column, f: OsFeatures = osVersions("1.1.0")): Column = {
-    val p = from_json(item, osType)
+    // the wrapper itself is required: a flat (unwrapped) record parses
+    // to a null Vulnerability field and fails the p.isNotNull check
+    val p = from_json(item, osType).getField("Vulnerability")
     def gated(entry: Column, field: String, allowed: Boolean): Column =
       if (allowed) lit(true) else entry.getField(field).isNull
     val advisoriesOk = (fi: Column) =>

@@ -29,20 +29,31 @@ import org.apache.spark.sql.types.StructType
   */
 object QualityGate {
 
-  /** The minimal slice of the envelope payload the gate needs. */
+  /** The minimal slice of the `{"Vulnerability": {...}}` payload the
+    * gate needs. Metadata.CVE covers both alias encodings the
+    * reference emits: [{Name, Link}] objects (amazon/fedora/oracle/
+    * arch) — a bare-string list would parse as null and simply carry
+    * no aliases. */
   val matchSchema: StructType = StructType.fromDDL(
-    "Name STRING, NamespaceName STRING, " +
-      "FixedIn ARRAY<STRUCT<Name: STRING, NamespaceName: STRING, " +
-      "VersionFormat: STRING, Version: STRING>>")
+    "Vulnerability STRUCT<Name: STRING, NamespaceName: STRING, " +
+      "Metadata: STRUCT<CVE: ARRAY<STRUCT<Name: STRING, Link: STRING>>>, " +
+      "FixedIn: ARRAY<STRUCT<Name: STRING, NamespaceName: STRING, " +
+      "VersionFormat: STRING, Version: STRING>>>")
 
-  /** (vuln, namespace, pkg, fix_version) rows from assembled envelopes
-    * — parses the canonical-JSON `item` column. */
+  /** (vuln, aliases, namespace, pkg, fix_version) rows from assembled
+    * envelopes — parses the canonical-JSON `item` column. `aliases`
+    * carries Metadata.CVE names so an advisory-keyed record (amazon's
+    * ALAS-..., fedora's FEDORA-...) still satisfies CVE labels. */
   def fixRows(envelopes: DataFrame): DataFrame =
     envelopes
-      .select(from_json(col("item"), matchSchema).as("v"))
+      .select(from_json(col("item"), matchSchema).getField("Vulnerability")
+        .as("v"))
       .select(col("v.Name").as("vuln"),
+        coalesce(transform(col("v.Metadata.CVE"), c => c.getField("Name")),
+          array().cast("array<string>")).as("aliases"),
         explode(col("v.FixedIn")).as("f"))
-      .select(col("vuln"), col("f.NamespaceName").as("namespace"),
+      .select(col("vuln"), col("aliases"),
+        col("f.NamespaceName").as("namespace"),
         col("f.Name").as("pkg"), col("f.Version").as("fix_version"))
 
   /** Labels with NO matching envelope — the gate's false negatives.
@@ -62,7 +73,9 @@ object QualityGate {
         graft.functions.RpmVersion
           .rpm_ver_cmp(labels("version"), fixes("fix_version")) < 0
     val keyed = labels("pkg") === fixes("pkg") &&
-      labels("expected_vuln") === fixes("vuln") && vulnerable
+      (labels("expected_vuln") === fixes("vuln") ||
+        array_contains(fixes("aliases"), labels("expected_vuln"))) &&
+      vulnerable
     val cond =
       if (labels.columns.contains("namespace"))
         keyed && labels("namespace") === fixes("namespace")

@@ -23,19 +23,36 @@ class AmazonSpec extends AnyFunSuite {
       "kernel-4.14.305-227.531.src.rpm"))
   }
 
-  test("ALAS envelopes: one per CVE with rpm-split FixedIn") {
+  test("ALAS envelopes: advisory-keyed record with Metadata.CVE " +
+      "aliases, rpm-split FixedIn, pubDate Available") {
     val html = scala.io.Source.fromFile(
       getClass.getResource("/fixtures/alas.html").getPath).mkString
     val pages = Seq(
-      ("ALAS-2023-1726", "important", Seq("CVE-2023-1000", "CVE-2023-2000"), html)
-    ).toDF("alas_id", "severity", "cves", "html")
+      ("ALAS-2023-1726", "important",
+        Seq("CVE-2023-2000", "CVE-2023-1000"), html,
+        "https://alas.aws.amazon.com/AL2/ALAS-2023-1726.html",
+        "2023-02-17 22:51:00")
+    ).toDF("alas_id", "severity", "cves", "html", "url", "date")
     val env = AmazonProvider.envelopes(pages, "amzn:2").collect()
+    // ONE record per advisory (`parser.py:332-380`), not per CVE
     assert(env.map(_.getAs[String]("identifier")).toSet ==
-      Set("amzn:2/cve-2023-1000", "amzn:2/cve-2023-2000"))
+      Set("amzn:2/alas-2023-1726"))
     val item = env.head.getAs[String]("item")
+    assert(item.contains("\"Vulnerability\":{"))
+    assert(item.contains("\"Name\":\"ALAS-2023-1726\""))
     assert(item.contains("\"Severity\":\"High\"")) // important → High
     assert(item.contains("\"Name\":\"kernel\""))
     assert(item.contains("\"Version\":\"4.14.305-227.531.amzn2\""))
+    // CVE aliases sorted under Metadata, the RSS pubDate as the
+    // advisory-kind Available date, the RSS link as Link
+    assert(item.contains("\"Metadata\":{\"CVE\":[{\"Name\":\"CVE-2023-1000\"}," +
+      "{\"Name\":\"CVE-2023-2000\"}]}"))
+    assert(item.contains(
+      "\"Available\":{\"Date\":\"2023-02-17\",\"Kind\":\"advisory\"}"))
+    assert(item.contains(
+      "\"Link\":\"https://alas.aws.amazon.com/AL2/ALAS-2023-1726.html\""))
+    // Description from the page's issue_overview section
+    assert(item.contains("\"Description\":\""))
   }
 
   test("connected components resolve duplicate clusters to min-id keeper") {

@@ -56,10 +56,15 @@ class PhotonSpec extends AnyFunSuite {
       "\"Link\":\"https://www.cve.org/CVERecord?id=CVE-2025-0101\""))
   }
 
-  test("no advisory: no VendorAdvisory/Available/Issued; score thresholds") {
+  test("no advisory: defaulted VendorAdvisory, no Available/Issued; " +
+      "score thresholds") {
     val it = item("photon:4.0/cve-2025-0202")
-    assert(!it.contains("VendorAdvisory") && !it.contains("Available") &&
-      !it.contains("Issued"))
+    // the FixedIn dataclass defaults VendorAdvisory to the no-advisory
+    // stub even when no advisory exists (`utils/vulnerability.py:100-103`)
+    assert(it.contains(
+      "\"VendorAdvisory\":{\"AdvisorySummary\":[],\"NoAdvisory\":false}"))
+    assert(!it.contains("Available") && !it.contains("\"Issued\""))
+    assert(it.contains("\"Metadata\":{}"))
     assert(it.contains("\"Severity\":\"Medium\""))
     val neg = item("photon:4.0/cve-2025-0404")
     assert(neg.contains("\"Severity\":\"Negligible\""))

@@ -12,14 +12,14 @@ class SchemaGateSpec extends AnyFunSuite {
   import spark.implicits._
 
   private val ok =
-    """{"Name":"CVE-2024-1","NamespaceName":"wolfi:rolling",
+    """{"Vulnerability":{"Name":"CVE-2024-1","NamespaceName":"wolfi:rolling",
       |"Description":"d","Severity":"High","Link":"https://x",
       |"FixedIn":[{"Name":"busybox","NamespaceName":"wolfi:rolling",
       |"Version":"1.36.1-r0","VersionFormat":"apk"}],
       |"CVSS":[{"version":"3.1","vector_string":"CVSS:3.1/AV:N",
       |"status":"N/A","base_metrics":{"base_score":7.5,
       |"base_severity":"High","exploitability_score":3.9,
-      |"impact_score":3.6}}]}""".stripMargin.replaceAll("\n", "")
+      |"impact_score":3.6}}]}}""".stripMargin.replaceAll("\n", "")
 
   private def env(id: String, item: String, schema: String = Envelope.OsSchema) =
     (id, schema, item)
@@ -28,17 +28,19 @@ class SchemaGateSpec extends AnyFunSuite {
     val rows = Seq(
       env("good", ok),
       // missing required Severity
-      env("no-sev", """{"Name":"C","NamespaceName":"n","Description":"d","Link":"l"}"""),
+      env("no-sev", """{"Vulnerability":{"Name":"C","NamespaceName":"n","Description":"d","Link":"l"}}"""),
+      // flat record without the Vulnerability wrapper: quarantined
+      env("no-wrapper", """{"Name":"C","NamespaceName":"n","Description":"d","Severity":"Low","Link":"l"}"""),
       // FixedIn entry missing Version
-      env("bad-fix", """{"Name":"C","NamespaceName":"n","Description":"d",
+      env("bad-fix", """{"Vulnerability":{"Name":"C","NamespaceName":"n","Description":"d",
         |"Severity":"Low","Link":"l","FixedIn":[{"Name":"p",
-        |"NamespaceName":"n","VersionFormat":"apk"}]}""".stripMargin.replaceAll("\n", "")),
+        |"NamespaceName":"n","VersionFormat":"apk"}]}}""".stripMargin.replaceAll("\n", "")),
       // CVSS entry missing base_metrics.impact_score
-      env("bad-cvss", """{"Name":"C","NamespaceName":"n","Description":"d",
+      env("bad-cvss", """{"Vulnerability":{"Name":"C","NamespaceName":"n","Description":"d",
         |"Severity":"Low","Link":"l","CVSS":[{"version":"3.1",
         |"vector_string":"v","status":"N/A","base_metrics":{
         |"base_score":1.0,"base_severity":"Low",
-        |"exploitability_score":1.0}}]}""".stripMargin.replaceAll("\n", "")),
+        |"exploitability_score":1.0}}]}}""".stripMargin.replaceAll("\n", "")),
       // not JSON at all
       env("garbage", "not json")
     ).toDF("identifier", "schema", "item")
@@ -46,17 +48,17 @@ class SchemaGateSpec extends AnyFunSuite {
     val (good, bad) = SchemaGate.validate(rows)
     assert(good.select("identifier").as[String].collect().toSet == Set("good"))
     assert(bad.select("identifier").as[String].collect().toSet ==
-      Set("no-sev", "bad-fix", "bad-cvss", "garbage"))
+      Set("no-sev", "no-wrapper", "bad-fix", "bad-cvss", "garbage"))
     // valid rows ship byte-identical
     assert(good.select("item").as[String].head() == ok)
   }
 
   test("empty FixedIn/CVSS arrays and absent optionals are valid") {
     val rows = Seq(
-      env("min", """{"Name":"C","NamespaceName":"n","Description":"d",
-        |"Severity":"Unknown","Link":"l"}""".stripMargin.replaceAll("\n", "")),
-      env("empty-arrays", """{"Name":"C","NamespaceName":"n","Description":"d",
-        |"Severity":"Low","Link":"l","FixedIn":[],"CVSS":[]}"""
+      env("min", """{"Vulnerability":{"Name":"C","NamespaceName":"n","Description":"d",
+        |"Severity":"Unknown","Link":"l"}}""".stripMargin.replaceAll("\n", "")),
+      env("empty-arrays", """{"Vulnerability":{"Name":"C","NamespaceName":"n","Description":"d",
+        |"Severity":"Low","Link":"l","FixedIn":[],"CVSS":[]}}"""
         .stripMargin.replaceAll("\n", ""))
     ).toDF("identifier", "schema", "item")
     val (good, bad) = SchemaGate.validate(rows)
@@ -66,10 +68,10 @@ class SchemaGateSpec extends AnyFunSuite {
   test("schema version matrix: a field newer than the declared version " +
       "quarantines; the right version ships it") {
     def fixedIn(extra: String) =
-      s"""{"Name":"C","NamespaceName":"rhel:9","Description":"d",
+      s"""{"Vulnerability":{"Name":"C","NamespaceName":"rhel:9","Description":"d",
         |"Severity":"Low","Link":"l","FixedIn":[{"Name":"p",
         |"NamespaceName":"rhel:9","Version":"0:1-1.el9",
-        |"VersionFormat":"rpm"$extra}]}""".stripMargin.replaceAll("\n", "")
+        |"VersionFormat":"rpm"$extra}]}}""".stripMargin.replaceAll("\n", "")
     val vrange = fixedIn(""","VulnerableRange":"< 0:1-1.el9"""")
     val issued = fixedIn(""","Issued":"2024-01-01"""")
     val avail = fixedIn(
