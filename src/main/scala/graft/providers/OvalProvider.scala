@@ -143,4 +143,160 @@ object OvalProvider {
           col("fixed_in").as("FixedIn"),
           Envelope.emptyMetadata.as("Metadata")))): _*)
   }
+
+  // ---- oracle ELSA records ---------------------------------------------
+
+  /** Definition schema for the ELSA path: advisory metadata (title,
+    * description, severity, issued date, CVE list, elsa reference) plus
+    * the criteria tree WITH comments and operators to depth 4 — the
+    * reference's oracle parser extracts packages from criterion COMMENT
+    * text ("X is earlier than Y"), never from the test chain
+    * (`providers/oracle/parser.py:24-31` patterns), and groups them per
+    * platform branch. */
+  private val critC = "ARRAY<STRUCT<_test_ref: STRING, _comment: STRING>>"
+  val elsaDefSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "_version STRING, " +
+      "metadata STRUCT<title: STRING, description: STRING, " +
+        "affected: STRUCT<platform: ARRAY<STRING>>, " +
+        "reference: ARRAY<STRUCT<_ref_id: STRING, _source: STRING, " +
+          "_ref_url: STRING>>, " +
+        "advisory: STRUCT<severity: STRING, " +
+          "issued: STRUCT<_date: STRING>, " +
+          "cve: ARRAY<STRUCT<_VALUE: STRING, _href: STRING>>>>, " +
+      "criteria STRUCT<_operator: STRING, " +
+        s"criterion $critC, " +
+        "criteria ARRAY<STRUCT<_operator: STRING, " +
+        s"criterion $critC, " +
+        "criteria ARRAY<STRUCT<_operator: STRING, " +
+        s"criterion $critC, " +
+        s"criteria ARRAY<STRUCT<criterion $critC>>>>>>>")
+
+  private val isInstalledRx =
+    java.util.regex.Pattern.compile("Oracle Linux (\\d+).*is installed")
+  private val earlierThanRx =
+    java.util.regex.Pattern.compile("(.*) is earlier than (.*)")
+
+  /** The reference's criteria walk (`oracle/oval_parser.py:209-277`) on
+    * the to_json'd criteria tree: the outermost criteria is either one
+    * platform group (operator AND) or an OR of per-platform groups;
+    * within a group, the namespace comes from the "Oracle Linux N is
+    * installed" criterion and packages from "X is earlier than Y"
+    * comments — version "None" never appears here (an ELSA def always
+    * states the fix bound). Jackson recursion handles any depth the
+    * schema captured. Returns (ns, pkg, evr) triples. */
+  private[providers] def walkCriteria(json: String)
+      : Seq[(String, String, String)] = {
+    if (json == null || json.isEmpty) return Seq.empty
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(json)
+    def comments(n: com.fasterxml.jackson.databind.JsonNode)
+        : Seq[String] = {
+      val own = Option(n.get("criterion")).toSeq
+        .flatMap(a => (0 until a.size).map(a.get))
+        .flatMap(c => Option(c.get("_comment")).map(_.asText()))
+      val nested = Option(n.get("criteria")).toSeq
+        .flatMap(a => (0 until a.size).map(a.get))
+        .flatMap(comments)
+      own ++ nested
+    }
+    val groups =
+      if (root.path("_operator").asText("").equalsIgnoreCase("or"))
+        Option(root.get("criteria")).toSeq
+          .flatMap(a => (0 until a.size).map(a.get))
+      else Seq(root)
+    groups.flatMap { g =>
+      val cs = comments(g)
+      val ns = cs.iterator
+        .map(isInstalledRx.matcher)
+        .collectFirst { case m if m.matches => s"ol:${m.group(1)}" }
+      ns.toSeq.flatMap(n => cs.flatMap { c =>
+        val m = earlierThanRx.matcher(c)
+        if (m.matches) Some((n, m.group(1).trim, m.group(2).trim)) else None
+      })
+    }
+  }
+
+  private val walkUdf = udf((j: String) => walkCriteria(j))
+
+  /** One row per (definition, platform-namespace, package): the ELSA
+    * advisory metadata joined to its per-branch package fixes. */
+  def elsaRows(spark: SparkSession, path: String): DataFrame = {
+    val elsaRef = try_element_at(filter(col("metadata.reference"),
+      r => r.getField("_source") === "elsa"), lit(1))
+    Sources.ovalDefinitions(spark, path, Some(elsaDefSchema))
+      .select(
+        col("_version").as("def_version"),
+        // name = title up to ": " (`oval_parser.py:140-141`)
+        trim(regexp_extract(col("metadata.title"), "^([^:]*):", 1))
+          .as("name"),
+        trim(coalesce(col("metadata.description"), lit("")))
+          .as("description"),
+        ovalSeverity(col("metadata.advisory.severity")).as("severity"),
+        col("metadata.advisory.issued._date").as("issued"),
+        elsaRef.getField("_ref_id").as("ref_id"),
+        elsaRef.getField("_ref_url").as("link"),
+        coalesce(transform(col("metadata.advisory.cve"), c => struct(
+          c.getField("_VALUE").as("Name"),
+          c.getField("_href").as("Link"))),
+          array().cast("array<struct<Name:string,Link:string>>"))
+          .as("cves"),
+        explode(walkUdf(to_json(col("criteria")))).as("aff"))
+      .filter(col("name") =!= "")
+      .select(col("def_version"), col("name"), col("description"),
+        col("severity"), col("issued"), col("ref_id"), col("link"),
+        col("cves"), col("aff._1").as("ns"), col("aff._2").as("pkg"),
+        col("aff._3").as("evr"))
+  }
+
+  /** Oracle's record assembly (`oracle/oval_parser.py:160-206`,
+    * snapshot shape `tests/unit/providers/oracle/test-fixtures/
+    * snapshots/`): one ELSA-keyed envelope per (definition, platform),
+    * Metadata {Issued, RefId, CVE[{Name, Link}]}, FixedIn rows carrying
+    * Available {Date: issued, Kind: advisory} for real fix bounds, and
+    * lexicographic def-version dedupe per (name, namespace). ksplice
+    * fixes are dropped (the guard [[envelopes]] documents) while the
+    * record stays. */
+  def elsaEnvelopes(rows: DataFrame,
+      dropKsplice: Boolean = true): DataFrame = {
+    val kspliceHit = coalesce(
+      graft.functions.RpmVersion.rpm_release(col("evr")), lit(""))
+      .rlike("ksplice")
+    val fixedInStruct = struct(
+      when(col("evr") =!= "None" && col("issued").isNotNull, struct(
+        col("issued").as("Date"), lit("advisory").as("Kind")))
+        .as("Available"),
+      col("pkg").as("Name"),
+      col("ns").as("NamespaceName"),
+      col("evr").as("Version"),
+      lit("rpm").as("VersionFormat"))
+    rows
+      .groupBy(col("name"), col("ns"), col("def_version"),
+        col("description"), col("severity"), col("issued"),
+        col("ref_id"), col("link"), col("cves"))
+      .agg(array_sort(collect_list(
+        if (dropKsplice) when(!kspliceHit, fixedInStruct)
+        else fixedInStruct)).as("fixed_in"))
+      // duplicate (name, ns) across definitions: the lexicographically
+      // HIGHEST def version wins (`oval_parser.py:187-206`)
+      .groupBy(col("name"), col("ns"))
+      .agg(max_by(struct(col("description"), col("severity"),
+        col("issued"), col("ref_id"), col("link"), col("cves"),
+        col("fixed_in")), col("def_version")).as("r"))
+      .select(Envelope.assemble(
+        concat(col("ns"), lit("/"), lower(col("name"))),
+        Envelope.OsSchema,
+        Envelope.osPayload(struct(
+          Envelope.emptyCvss.as("CVSS"),
+          col("r.description").as("Description"),
+          col("r.fixed_in").as("FixedIn"),
+          col("r.link").as("Link"),
+          struct(
+            when(size(col("r.cves")) > 0, col("r.cves")).as("CVE"),
+            col("r.issued").as("Issued"),
+            col("r.ref_id").as("RefId")).as("Metadata"),
+          col("name").as("Name"),
+          col("ns").as("NamespaceName"),
+          col("r.severity").as("Severity")))): _*)
+  }
 }

@@ -213,6 +213,14 @@ class GoldenSnapshotSpec extends AnyFunSuite {
     assert(nak.contains("\"Version\": \"0\""))
   }
 
+  test("oracle ELSA envelopes (advisory-keyed, ksplice guard) match " +
+      "committed snapshots byte-for-byte") {
+    import graft.providers.OvalProvider
+    Golden.assertSnapshots("oracle_elsa",
+      OvalProvider.elsaEnvelopes(
+        OvalProvider.elsaRows(spark, fixture("elsa_oval.xml"))))
+  }
+
   test("oracle envelopes (ksplice guard active) match committed " +
       "snapshots byte-for-byte") {
     import graft.providers.OvalProvider

@@ -57,6 +57,64 @@ class OvalProviderSpec extends AnyFunSuite {
     assert(other.contains("\"Version\":\"0:1.2-3\""))
   }
 
+  private def elsaFixture =
+    getClass.getResource("/fixtures/elsa_oval.xml").getPath
+
+  test("ELSA rows: platform branches, comment-extracted packages, " +
+      "advisory metadata") {
+    val rows = OvalProvider.elsaRows(spark, elsaFixture).collect()
+    // def 1: one platform, two packages (the signed-with criteria are
+    // not package bounds)
+    val d1 = rows.filter(_.getAs[String]("name") == "ELSA-2023-1000")
+    assert(d1.map(r => (r.getAs[String]("ns"), r.getAs[String]("pkg"),
+      r.getAs[String]("evr"))).toSet == Set(
+      ("ol:9", "libfoo", "0:1.2-3.el9"),
+      ("ol:9", "libfoo-devel", "0:1.2-3.el9")))
+    assert(d1.head.getAs[String]("issued") == "2023-04-12")
+    assert(d1.head.getAs[String]("ref_id") == "ELSA-2023-1000")
+    // def 2: an OR of per-platform groups — each package bound stays in
+    // ITS platform's branch (the reference's _process_criteria walk)
+    val d2 = rows.filter(r => r.getAs[String]("name") == "ELSA-2023-2000"
+      && r.getAs[String]("def_version") == "502")
+    assert(d2.map(r => (r.getAs[String]("ns"), r.getAs[String]("evr")))
+      .toSet == Set(
+      ("ol:8", "2:4.18.0-80.el8"),
+      ("ol:9", "2:5.1.0-10.el9"),
+      ("ol:9", "2:5.1.0-10.ksplice1.el9")))
+  }
+
+  test("ELSA envelopes: advisory-keyed record, Metadata CVE/Issued/" +
+      "RefId, ksplice dropped, def-version dedupe") {
+    val env = OvalProvider
+      .elsaEnvelopes(OvalProvider.elsaRows(spark, elsaFixture))
+      .collect().map(r => r.getAs[String]("identifier")
+        -> r.getAs[String]("item")).toMap
+    assert(env.keySet == Set("ol:9/elsa-2023-1000",
+      "ol:8/elsa-2023-2000", "ol:9/elsa-2023-2000"))
+    val e1 = env("ol:9/elsa-2023-1000")
+    assert(e1.contains("\"Vulnerability\":{"))
+    assert(e1.contains("\"Name\":\"ELSA-2023-1000\""))
+    assert(e1.contains("\"Severity\":\"High\""))
+    assert(e1.contains("\"RefId\":\"ELSA-2023-1000\"")
+      && e1.contains("\"Issued\":\"2023-04-12\""))
+    assert(e1.contains("\"CVE\":[{\"Name\":\"CVE-2023-1000\""))
+    assert(e1.contains(
+      "\"Available\":{\"Date\":\"2023-04-12\",\"Kind\":\"advisory\"}"))
+    assert(e1.contains(
+      "\"Link\":\"https://linux.example.invalid/errata/ELSA-2023-1000.html\""))
+    // the ol:9 record for ELSA-2023-2000 must come from the RESPIN
+    // definition (version 503 > 502 lexicographically) and must not
+    // carry the ksplice bound the older definition had
+    val e2 = env("ol:9/elsa-2023-2000")
+    assert(e2.contains("\"Version\":\"2:5.1.0-11.el9\""),
+      s"respin fix bound expected: $e2")
+    assert(!e2.contains("ksplice"))
+    // the ol:8 record keeps the 502 definition (the respin only names
+    // Oracle Linux 9)
+    assert(env("ol:8/elsa-2023-2000")
+      .contains("\"Version\":\"2:4.18.0-80.el8\""))
+  }
+
   test("two-tier change detection partitions ids into fetch/skip/delete (S4)") {
     val api = Seq(
       ("CVE-1", "2023-01-01", "High"),   // unchanged

@@ -281,6 +281,29 @@ class QualityGateSpec extends AnyFunSuite {
     QualityGate.assertNoFalseNegatives(env, labels)
   }
 
+  test("oracle ELSA records: CVE labels match advisory-keyed records " +
+      "via Metadata aliases; ksplice fix never satisfies") {
+    import graft.providers.OvalProvider
+    val env = OvalProvider.elsaEnvelopes(
+      OvalProvider.elsaRows(spark, fx("elsa_oval.xml")))
+    val labels = Seq(
+      // record Name is ELSA-2023-1000 — the CVE matches through
+      // Metadata.CVE aliases
+      ("libfoo", "0:1.2-2.el9", "CVE-2023-1000", "ol:9"),
+      ("libfoo-devel", "0:1.1-1.el9", "ELSA-2023-1000", "ol:9"),
+      ("libbar", "2:4.18.0-79.el8", "CVE-2023-2000", "ol:8"),
+      // ol:9 fix comes from the respin definition bound
+      ("libbar", "2:5.1.0-10.el9", "CVE-2023-2000", "ol:9")
+    ).toDF("pkg", "version", "expected_vuln", "namespace")
+    QualityGate.assertNoFalseNegatives(env, labels)
+    // the dropped ksplice bound must not satisfy anything: an install
+    // at the respin fix is not vulnerable, even though it is below the
+    // (dropped) ksplice EVR's epoch-release ordering
+    val atFix = Seq(("libbar", "2:5.1.0-11.el9", "CVE-2023-2000", "ol:9"))
+      .toDF("pkg", "version", "expected_vuln", "namespace")
+    assert(QualityGate.falseNegatives(env, atFix).count() == 1)
+  }
+
   test("secdb variants: each namespace wiring satisfies its own labels") {
     import graft.providers.SecdbProvider
     // r9: each variant parses its OWN fixture (distinct packages and
