@@ -20,8 +20,8 @@ import graft.Envelope
   *  - the reference appends FixedIn in dict order; canonical package
   *    order here (O3's deterministic-listing rule)
   *  - fix dates: the reference consults only the first-observed DB (no
-  *    advisory candidates exist for echo) — that enrichment composes
-  *    via [[graft.operators.FixDate.enrich]] over the FixedIn rows
+  *    advisory candidates exist for echo) — pass that table as the
+  *    optional `fixdates` dimension to attach Available records
   */
 object EchoProvider {
 
@@ -43,9 +43,32 @@ object EchoProvider {
       .select(col("pkg"), explode(col("cves")).as(Seq("cve", "info")))
       .filter(!col("cve").startsWith("TEMP-"))
 
-  /** Envelopes: one per CVE, FixedIn per package. */
-  def envelopes(entries: DataFrame): DataFrame =
-    entries
+  /** Envelopes: one per CVE, FixedIn per package. `fixdates` is the
+    * optional first-observed fix-date dimension (vuln, pkg, version,
+    * date, kind), the reference's fixdater (`parser.py:32-38,114-125`);
+    * matched rows gain Available {Date, Kind}; empty/absent fix
+    * versions never match. */
+  def envelopes(entries: DataFrame,
+      fixdates: Option[DataFrame] = None): DataFrame = {
+    val withVer = entries.withColumn("__fixver",
+      coalesce(col("info").getField("fixed_version"), lit("")))
+    val dated = fixdates match {
+      case Some(fd) =>
+        withVer.join(
+          broadcast(fd.select(col("vuln").as("__v"), col("pkg").as("__p"),
+            col("version").as("__ver"),
+            col("date").as("available_date"),
+            col("kind").as("available_kind"))),
+          col("cve") === col("__v") && col("pkg") === col("__p") &&
+            col("__fixver") === col("__ver") &&
+            !col("__fixver").isin("", "0", "None"),
+          "left_outer")
+          .drop("__v", "__p", "__ver")
+      case None =>
+        withVer.withColumn("available_date", lit(null).cast("string"))
+          .withColumn("available_kind", lit(null).cast("string"))
+    }
+    dated
       .groupBy("cve")
       .agg(
         // severity from the first package to name the CVE — made
@@ -56,9 +79,12 @@ object EchoProvider {
         array_sort(collect_list(struct(
           col("pkg").as("Name"),
           lit(namespace).as("NamespaceName"),
-          coalesce(col("info").getField("fixed_version"), lit(""))
-            .as("Version"),
-          lit("dpkg").as("VersionFormat")))).as("fixed_in"))
+          col("__fixver").as("Version"),
+          lit("dpkg").as("VersionFormat"),
+          when(col("available_date").isNotNull, struct(
+            col("available_date").as("Date"),
+            col("available_kind").as("Kind"))).as("Available"))))
+          .as("fixed_in"))
       .select(Envelope.assemble(
         concat(lit(s"$namespace/"), lower(col("cve"))),
         Envelope.OsSchema,
@@ -73,6 +99,7 @@ object EchoProvider {
           col("cve").as("Name"),
           lit(namespace).as("NamespaceName"),
           col("severity").as("Severity")))): _*)
+  }
 
   /** Full pipeline from the staged advisory file. */
   def envelopes(spark: SparkSession, path: String): DataFrame =

@@ -26,9 +26,17 @@ object SecdbProvider {
   /** @param rejections optional (pkg_name, vuln_id) pairs to suppress —
     *   the alpine rejections anti-join (J9, `providers/alpine/parser.py:
     *   243-273`): a rejected secfix is removed and replaced by a NAK row
-    *   (`Version: "0"`) marking the package not-affected. */
+    *   (`Version: "0"`) marking the package not-affected.
+    * @param fixdates optional fix-date dimension (vuln, pkg, version,
+    *   date, kind) — the reference's fixdater, which both wolfi and
+    *   alpine wire (`providers/wolfi/parser.py:35-42`,
+    *   `providers/alpine/parser.py`): matched rows gain the
+    *   `Available {Date, Kind}` record; NAK/unfixed sentinel rows
+    *   ("0"/"None") never match, per `fixdate/finder.py:149-151`.
+    *   Broadcast — curated metadata, never corpus-scale. */
   def envelopes(spark: SparkSession, secdbPath: String, namespace: String,
-      rejections: Option[DataFrame] = None): DataFrame = {
+      rejections: Option[DataFrame] = None,
+      fixdates: Option[DataFrame] = None): DataFrame = {
     val scanned = Sources.secdb(spark, secdbPath)
       .filter(col("vuln_id").rlike("^CVE-")) // P2: non-CVE ids skipped
     val rows = rejections match {
@@ -40,16 +48,39 @@ object SecdbProvider {
           .withColumn("fix_version", lit("0")).distinct()
         kept.unionByName(naks)
     }
-    rows
+    val dated = fixdates match {
+      case Some(fd) =>
+        rows.join(
+          broadcast(fd.select(col("vuln").as("__v"), col("pkg").as("__p"),
+            col("version").as("__ver"),
+            col("date").as("available_date"),
+            col("kind").as("available_kind"))),
+          col("vuln_id") === col("__v") && col("pkg_name") === col("__p") &&
+            col("fix_version") === col("__ver") &&
+            !col("fix_version").isin("0", "None"),
+          "left_outer")
+          .drop("__v", "__p", "__ver")
+      case None =>
+        rows.withColumn("available_date", lit(null).cast("string"))
+          .withColumn("available_kind", lit(null).cast("string"))
+    }
+    dated
       .groupBy(col("vuln_id"))
       .agg(
         // O3 canonical FixedIn ordering by (Name, Version) — explicit
         // sort keys, never input row order
+        // Available LAST in the struct: the sort keys stay
+        // (Name, ..., Version), and the reference's wolfi parser also
+        // appends the available key after the base record
         array_sort(collect_list(struct(
           col("pkg_name").as("Name"),
           lit(namespace).as("NamespaceName"),
           lit("apk").as("VersionFormat"),
-          col("fix_version").as("Version")))).as("fixed_in"),
+          col("fix_version").as("Version"),
+          when(col("available_date").isNotNull, struct(
+            col("available_date").as("Date"),
+            col("available_kind").as("Kind"))).as("Available"))))
+          .as("fixed_in"),
         count(lit(1)).as("n_fixes"))
       .select(Envelope.assemble(
         concat(lit(namespace), lit("/"), lower(col("vuln_id"))),

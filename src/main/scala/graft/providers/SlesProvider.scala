@@ -189,9 +189,14 @@ object SlesProvider {
           .as("ns_ref"))
   }
 
-  /** Envelopes for one major version. */
+  /** Envelopes for one major version. `fixdates` is the optional
+    * fix-date dimension (vuln, pkg, version, date, kind) — the
+    * reference sles parser wires a fixdater
+    * (`providers/sles/parser.py:75-81,350-373`); matched FixedIn rows
+    * gain Available {Date, Kind}; NAK sentinel rows never match. */
   def envelopes(impacts: DataFrame, catalog: DataFrame,
-      majorVersion: String): DataFrame = {
+      majorVersion: String,
+      fixdates: Option[DataFrame] = None): DataFrame = {
     val ns = catalog.select(col("test_id").as("ns_ref"),
       col("name").as("release_name"), col("value").as("release_version"))
     val placed = impacts.join(broadcast(ns), Seq("ns_ref"))
@@ -252,20 +257,53 @@ object SlesProvider {
           struct(col("rank"), col("release_name"))).as("pick"))
       .filter(col("n") === 1 || col("pick.rank") >= 2)
 
+    // both paths produce fi2: (pkg, ver, ad, ak) — the fixdated
+    // variant explodes, broadcast-joins the dimension, and regroups
+    // (exactly one pick per (name, release_version) after resolution)
+    val withFi = fixdates match {
+      case None => resolved.withColumn("fi2",
+        transform(col("pick.fixed_in"), f => struct(
+          f.getField("pkg").as("pkg"), f.getField("ver").as("ver"),
+          lit(null).cast("string").as("ad"),
+          lit(null).cast("string").as("ak"))))
+      case Some(fd) =>
+        resolved
+          .select(col("name"), col("release_version"), col("pick"),
+            explode_outer(col("pick.fixed_in")).as("f"))
+          .join(
+            broadcast(fd.select(col("vuln").as("__v"),
+              col("pkg").as("__p"), col("version").as("__ver"),
+              col("date").as("ad"), col("kind").as("ak"))),
+            col("name") === col("__v") &&
+              col("f.pkg") === col("__p") &&
+              col("f.ver") === col("__ver") &&
+              !col("f.ver").isin("0", "None"),
+            "left_outer")
+          .groupBy(col("name"), col("release_version"))
+          .agg(first(col("pick")).as("pick"),
+            // collect_list skips the null struct an empty fixed_in's
+            // explode_outer row produces
+            array_sort(collect_list(when(col("f").isNotNull, struct(
+              col("f.pkg").as("pkg"), col("f.ver").as("ver"),
+              col("ad").as("ad"), col("ak").as("ak"))))).as("fi2"))
+    }
     val feedNs = concat(lit("sles:"), col("release_version"))
-    resolved.select(Envelope.assemble(
+    withFi.select(Envelope.assemble(
       concat(feedNs, lit("/"), lower(col("name"))),
       Envelope.OsSchema,
       Envelope.osPayload(struct(
         col("pick.cvss").as("CVSS"),
         col("pick.description").as("Description"),
-        transform(col("pick.fixed_in"), f => struct(
+        transform(col("fi2"), f => struct(
           Envelope.defaultModule.as("Module"),
           f.getField("pkg").as("Name"),
           feedNs.as("NamespaceName"),
           Envelope.defaultVendorAdvisory.as("VendorAdvisory"),
           f.getField("ver").as("Version"),
-          lit("rpm").as("VersionFormat"))).as("FixedIn"),
+          lit("rpm").as("VersionFormat"),
+          when(f.getField("ad").isNotNull, struct(
+            f.getField("ad").as("Date"), f.getField("ak").as("Kind")))
+            .as("Available"))).as("FixedIn"),
         col("pick.link").as("Link"),
         Envelope.emptyMetadata.as("Metadata"),
         col("name").as("Name"),
@@ -276,6 +314,10 @@ object SlesProvider {
   /** Full pipeline from a staged per-major OVAL document. */
   def envelopes(spark: SparkSession, path: String,
       majorVersion: String): DataFrame =
+    envelopes(spark, path, majorVersion, None)
+
+  def envelopes(spark: SparkSession, path: String, majorVersion: String,
+      fixdates: Option[DataFrame]): DataFrame =
     envelopes(impacts(definitions(spark, path)),
-      testCatalog(spark, path), majorVersion)
+      testCatalog(spark, path), majorVersion, fixdates)
 }

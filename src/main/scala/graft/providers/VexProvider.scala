@@ -75,8 +75,9 @@ object VexProvider {
 
   val annotatedOpenVexSchema: StructType = StructType.fromDDL(
     "`@context` STRING, `@id` STRING, statements ARRAY<STRUCT<" +
-      "vulnerability: STRUCT<name: STRING>, " +
-      "timestamp: STRING, status: STRING, " +
+      "vulnerability: STRUCT<`@id`: STRING, aliases: ARRAY<STRING>, " +
+      "name: STRING>, " +
+      "timestamp: STRING, last_updated: STRING, status: STRING, " +
       "products: ARRAY<STRUCT<`@id`: STRING, " +
       "identifiers: STRUCT<purl: STRING>>>>>")
 
@@ -128,6 +129,11 @@ object VexProvider {
         // struct fields in sorted order — the canonicalJson contract
         struct(
           struct(
+            // the reference wraps the WHOLE statement as `document`
+            // (`openvex_parser.py:256` mutates in place) — the upstream
+            // feed's last_updated and the vulnerability's @id/aliases
+            // ride through; absent keys drop via canonical JSON
+            col("s.last_updated").as("last_updated"),
             col("kept").as("products"),
             col("s.status").as("status"),
             col("s.timestamp").as("timestamp"),

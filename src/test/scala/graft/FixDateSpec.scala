@@ -71,4 +71,60 @@ class FixDateSpec extends AnyFunSuite {
       .findFirstIn(item).isDefined,
       "openssl entry must keep its real fix version")
   }
+
+  test("secdb fixdates dimension: matched fix gains Available; the " +
+      "\"0\" NAK sentinel never matches") {
+    val fixdates = Seq(
+      ("CVE-2022-30065", "busybox", "1.35.0-r3", "2022-06-10", "advisory"),
+      // a row targeting the "0" sentinel must be ignored
+      ("CVE-2021-9999", "openssl", "0", "2021-01-01", "advisory")
+    ).toDF("vuln", "pkg", "version", "date", "kind")
+    val env = SecdbProvider.envelopes(spark, fixture("secdb.json"),
+      "alpine:3.18", fixdates = Some(fixdates))
+    val hit = env.filter(col("identifier") === "alpine:3.18/cve-2022-30065")
+      .head().getAs[String]("item")
+    assert(hit.contains(
+      "\"Available\":{\"Date\":\"2022-06-10\",\"Kind\":\"advisory\"}"),
+      s"matched fix must carry Available: $hit")
+    val nak = env.filter(col("identifier") === "alpine:3.18/cve-2021-9999")
+      .head().getAs[String]("item")
+    assert(!nak.contains("Available"),
+      "a \"0\" NAK row must never gain a fix date")
+  }
+
+  test("echo and sles fixdates dimensions attach Available to matched " +
+      "fixes only") {
+    val echoFd = Seq(("CVE-2025-7001", "curl", "8.9.0-2", "2025-02-01",
+      "first-observed")).toDF("vuln", "pkg", "version", "date", "kind")
+    val echoEnv = graft.providers.EchoProvider.envelopes(
+      graft.providers.EchoProvider.entries(spark, fixture("echo_data.json")),
+      Some(echoFd))
+    val e = echoEnv.filter(col("identifier") === "echo:rolling/cve-2025-7001")
+      .head().getAs[String]("item")
+    assert(e.contains(
+      "\"Available\":{\"Date\":\"2025-02-01\",\"Kind\":\"first-observed\"}"))
+    // an envelope the dimension doesn't name carries no Available
+    val other = echoEnv
+      .filter(col("identifier") === "echo:rolling/cve-2025-7002")
+      .head().getAs[String]("item")
+    assert(!other.contains("Available"))
+
+    val slesFd = Seq(("CVE-2025-5353", "curl", "8.0.1-1.1", "2025-03-03",
+      "advisory")).toDF("vuln", "pkg", "version", "date", "kind")
+    val slesEnv = graft.providers.SlesProvider.envelopes(spark,
+      fixture("sles_oval.xml"), majorVersion = "15",
+      fixdates = Some(slesFd))
+    val sl = slesEnv.filter(col("identifier") === "sles:15.4/cve-2025-5353")
+      .head().getAs[String]("item")
+    assert(sl.contains(
+      "\"Available\":{\"Date\":\"2025-03-03\",\"Kind\":\"advisory\"}"),
+      s"sles matched fix must carry Available: $sl")
+    // the fixdated plan must be row-identical to the undated one
+    // everywhere else (same FixedIn set, just enriched)
+    val undated = graft.providers.SlesProvider.envelopes(spark,
+      fixture("sles_oval.xml"), majorVersion = "15")
+      .select("identifier").collect().map(_.getString(0)).toSet
+    assert(slesEnv.select("identifier").collect().map(_.getString(0)).toSet
+      == undated)
+  }
 }
