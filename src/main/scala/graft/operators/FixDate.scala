@@ -50,6 +50,36 @@ object FixDate {
       .otherwise(resolved)
   }
 
+  /** Attach first-observed Available columns from a curated fix-date
+    * dimension `(vuln, pkg[, ecosystem], version, date, kind)`:
+    * broadcast (the dimension is curated metadata, never corpus-scale)
+    * left-outer join on the caller's key columns, adding
+    * `available_date` / `available_kind` (null when unmatched). The
+    * sentinel rule — fix versions "", "0", "None" and null never
+    * resolve a date (`fixdate/finder.py:149-151`) — lives HERE so the
+    * provider call sites (secdb, echo, ghsa, sles) cannot drift. */
+  def available(rows: DataFrame, fixdates: Option[DataFrame],
+      vuln: Column, pkg: Column, version: Column,
+      ecosystem: Option[Column] = None): DataFrame = fixdates match {
+    case None =>
+      rows.withColumn("available_date", lit(null).cast("string"))
+        .withColumn("available_kind", lit(null).cast("string"))
+    case Some(fd) =>
+      val dim = fd.select(Seq(
+        col("vuln").as("__fd_v"), col("pkg").as("__fd_p"),
+        col("version").as("__fd_ver"),
+        col("date").as("available_date"),
+        col("kind").as("available_kind")) ++
+        ecosystem.map(_ => col("ecosystem").as("__fd_e")): _*)
+      val base = vuln === col("__fd_v") && pkg === col("__fd_p") &&
+        version === col("__fd_ver") &&
+        !coalesce(version, lit("")).isin("", "0", "None")
+      val cond = ecosystem
+        .map(e => base && e === col("__fd_e")).getOrElse(base)
+      rows.join(broadcast(dim), cond, "left_outer")
+        .drop("__fd_v", "__fd_p", "__fd_ver", "__fd_e")
+  }
+
   /** Full enrichment join: left-broadcast-join `rows` (keyed by vuln_id,
     * pkg, fix_version) against the fixdate dimension and resolve.
     * Dimension columns: (vuln_id, pkg, fix_version, date, kind, rank,

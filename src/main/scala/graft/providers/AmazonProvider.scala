@@ -69,9 +69,35 @@ object AmazonProvider {
     val p1 =
       if (pages.columns.contains("url")) pages
       else pages.withColumn("url", lit(null).cast("string"))
-    val p2 =
+    val p2a =
       if (p1.columns.contains("date")) p1
       else p1.withColumn("date", lit(null).cast("string"))
+    // one envelope per ALAS id even if the staged pages table carries a
+    // re-fetched advisory twice (overlapping RSS windows): the
+    // reference's vuln dict keys by advisory so the later summary wins
+    // (`parser.py:332-380`); deterministic pick — newest pubDate, then
+    // url, then page-content hash
+    val p2 = p2a
+      .groupBy(col("alas_id"))
+      .agg(max_by(
+        struct(col("severity"), col("cves"), col("html"), col("url"),
+          col("date")),
+        struct(
+          coalesce(graft.functions.Norm.fuzzy_to_date(col("date")),
+            to_date(lit("0001-01-01"))),
+          coalesce(col("url"), lit("")),
+          xxhash64(col("html")))).as("__r"))
+      .select(col("alas_id"), col("__r.*"))
+    // Link: the RSS item's link verbatim (`parser.py:349`); the RSS
+    // always carries one, so when a caller stages pages without the
+    // optional url column, synthesize the public ALAS page URL the feed
+    // would have provided (os-schema requires a non-null Link)
+    val release = namespace.substring(namespace.indexOf(':') + 1)
+    val linkPrefix =
+      if (release == "1") "https://alas.aws.amazon.com/"
+      else s"https://alas.aws.amazon.com/AL$release/"
+    val link = coalesce(col("url"),
+      concat(lit(linkPrefix), upper(col("alas_id")), lit(".html")))
     // rpm filename → FixedIn rows with pure built-ins (no UDF): strip
     // .rpm, name = all-but-last-two dash segments, version = last two
     val available = when(col("date").isNotNull, struct(
@@ -102,7 +128,7 @@ object AmazonProvider {
         issueOverview(col("html")).as("Description"),
         graft.functions.Norm.normalize_severity(col("severity"))
           .as("Severity"),
-        col("url").as("Link"),
+        link.as("Link"),
         Envelope.emptyCvss.as("CVSS"),
         transform(fixedIn, e => struct(
           e.getField("Available").as("Available"),

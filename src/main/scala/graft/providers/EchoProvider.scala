@@ -52,22 +52,8 @@ object EchoProvider {
       fixdates: Option[DataFrame] = None): DataFrame = {
     val withVer = entries.withColumn("__fixver",
       coalesce(col("info").getField("fixed_version"), lit("")))
-    val dated = fixdates match {
-      case Some(fd) =>
-        withVer.join(
-          broadcast(fd.select(col("vuln").as("__v"), col("pkg").as("__p"),
-            col("version").as("__ver"),
-            col("date").as("available_date"),
-            col("kind").as("available_kind"))),
-          col("cve") === col("__v") && col("pkg") === col("__p") &&
-            col("__fixver") === col("__ver") &&
-            !col("__fixver").isin("", "0", "None"),
-          "left_outer")
-          .drop("__v", "__p", "__ver")
-      case None =>
-        withVer.withColumn("available_date", lit(null).cast("string"))
-          .withColumn("available_kind", lit(null).cast("string"))
-    }
+    val dated = graft.operators.FixDate.available(withVer, fixdates,
+      col("cve"), col("pkg"), col("__fixver"))
     dated
       .groupBy("cve")
       .agg(

@@ -95,11 +95,15 @@ object GhsaProvider {
         Cvss.cvss4_validate(
           nullif(col("a.cvssSeverities.cvssV4.vectorString"), lit("")))
           .as("cvss_v4"),
+        // the reference SETS cvss_severities (possibly []) whenever the
+        // payload carried a cvssSeverities object and omits the key only
+        // when it was absent (`parser.py:690-696`)
+        col("a.cvssSeverities").isNotNull.as("has_cvss_sev"),
         explode(col("a.vulnerabilities.nodes")).as("v"))
       .select(col("ghsa_id"), col("classification"), col("cves"),
         col("severity"), col("summary"), col("published"), col("updated"),
         col("withdrawn"), col("references"), col("v3_vector"),
-        col("cvss"), col("cvss_v4"),
+        col("cvss"), col("cvss_v4"), col("has_cvss_sev"),
         element_at(ecoMap, col("v.package.ecosystem")).as("ecosystem"),
         col("v.package.name").as("pkg"),
         // the reference strips commas from the range before it lands in
@@ -123,28 +127,15 @@ object GhsaProvider {
   def envelopes(rows: DataFrame,
       fixdates: Option[DataFrame] = None): DataFrame = {
     import graft.Envelope
-    val withDates = fixdates match {
-      case Some(fd) =>
-        rows.join(
-          broadcast(fd.select(col("vuln").as("__v"), col("pkg").as("__p"),
-            col("ecosystem").as("__e"), col("version").as("__ver"),
-            col("date").as("available_date"),
-            col("kind").as("available_kind"))),
-          col("ghsa_id") === col("__v") && col("pkg") === col("__p") &&
-            col("ecosystem") === col("__e") &&
-            col("fixed_in") === col("__ver") &&
-            !col("fixed_in").isin("None", "0"),
-          "left_outer")
-          .drop("__v", "__p", "__e", "__ver")
-      case None =>
-        rows.withColumn("available_date", lit(null).cast("string"))
-          .withColumn("available_kind", lit(null).cast("string"))
-    }
+    val withDates = graft.operators.FixDate.available(rows, fixdates,
+      col("ghsa_id"), col("pkg"), col("fixed_in"),
+      ecosystem = Some(col("ecosystem")))
     withDates
       .groupBy(col("ghsa_id"), col("ecosystem"), col("classification"),
         col("cves"), col("severity"), col("summary"), col("published"),
         col("updated"), col("withdrawn"), col("references"),
-        col("v3_vector"), col("cvss"), col("cvss_v4"))
+        col("v3_vector"), col("cvss"), col("cvss_v4"),
+        col("has_cvss_sev"))
       .agg(array_sort(collect_list(struct(
         when(col("available_date").isNotNull, struct(
           col("available_date").as("date"),
@@ -178,11 +169,15 @@ object GhsaProvider {
             struct(col("cves").as("CVE")).as("Metadata"),
             col("severity").as("Severity"),
             col("summary").as("Summary"),
-            // v3-then-v4 {vector, version} summaries; the key is
-            // omitted entirely when neither vector validated
-            when(col("v3_vector").isNotNull || col("cvss_v4").isNotNull,
+            // v3-then-v4 {vector, version} summaries
+            // (`parser.py:667-688`): a vector that fails to parse is
+            // dropped from the list (the v3 entry requires a scored
+            // vector, not just a present one), and the key itself is
+            // present — possibly as [] — whenever the payload carried a
+            // cvssSeverities object
+            when(col("has_cvss_sev"),
               filter(array(
-                when(col("v3_vector").isNotNull, struct(
+                when(col("cvss").isNotNull, struct(
                   col("v3_vector").as("vector"),
                   col("cvss.version").as("version"))),
                 when(col("cvss_v4").isNotNull, struct(

@@ -48,22 +48,8 @@ object SecdbProvider {
           .withColumn("fix_version", lit("0")).distinct()
         kept.unionByName(naks)
     }
-    val dated = fixdates match {
-      case Some(fd) =>
-        rows.join(
-          broadcast(fd.select(col("vuln").as("__v"), col("pkg").as("__p"),
-            col("version").as("__ver"),
-            col("date").as("available_date"),
-            col("kind").as("available_kind"))),
-          col("vuln_id") === col("__v") && col("pkg_name") === col("__p") &&
-            col("fix_version") === col("__ver") &&
-            !col("fix_version").isin("0", "None"),
-          "left_outer")
-          .drop("__v", "__p", "__ver")
-      case None =>
-        rows.withColumn("available_date", lit(null).cast("string"))
-          .withColumn("available_kind", lit(null).cast("string"))
-    }
+    val dated = graft.operators.FixDate.available(rows, fixdates,
+      col("vuln_id"), col("pkg_name"), col("fix_version"))
     dated
       .groupBy(col("vuln_id"))
       .agg(

@@ -267,25 +267,18 @@ object SlesProvider {
           lit(null).cast("string").as("ad"),
           lit(null).cast("string").as("ak"))))
       case Some(fd) =>
-        resolved
-          .select(col("name"), col("release_version"), col("pick"),
-            explode_outer(col("pick.fixed_in")).as("f"))
-          .join(
-            broadcast(fd.select(col("vuln").as("__v"),
-              col("pkg").as("__p"), col("version").as("__ver"),
-              col("date").as("ad"), col("kind").as("ak"))),
-            col("name") === col("__v") &&
-              col("f.pkg") === col("__p") &&
-              col("f.ver") === col("__ver") &&
-              !col("f.ver").isin("0", "None"),
-            "left_outer")
+        graft.operators.FixDate.available(
+          resolved.select(col("name"), col("release_version"),
+            col("pick"), explode_outer(col("pick.fixed_in")).as("f")),
+          fixdates, col("name"), col("f.pkg"), col("f.ver"))
           .groupBy(col("name"), col("release_version"))
           .agg(first(col("pick")).as("pick"),
             // collect_list skips the null struct an empty fixed_in's
             // explode_outer row produces
             array_sort(collect_list(when(col("f").isNotNull, struct(
               col("f.pkg").as("pkg"), col("f.ver").as("ver"),
-              col("ad").as("ad"), col("ak").as("ak"))))).as("fi2"))
+              col("available_date").as("ad"),
+              col("available_kind").as("ak"))))).as("fi2"))
     }
     val feedNs = concat(lit("sles:"), col("release_version"))
     withFi.select(Envelope.assemble(
