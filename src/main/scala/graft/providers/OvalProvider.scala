@@ -154,6 +154,15 @@ object OvalProvider {
     * (`providers/oracle/parser.py:24-31` patterns), and groups them per
     * platform branch. */
   private val critC = "ARRAY<STRUCT<_test_ref: STRING, _comment: STRING>>"
+  /** Criteria-tree DDL to `depth` nested levels. Real ELSA OVAL nests
+    * package bounds up to platform AND > arch OR > arch AND > pkg OR >
+    * pkg AND (5 levels), and module-stream advisories add one more; the
+    * schema declares 8 so a deeper-than-fixture feed cannot silently
+    * drop criteria that `from_json` never captured. */
+  private def critDdl(depth: Int): String =
+    if (depth <= 1) s"STRUCT<_operator: STRING, criterion $critC>"
+    else s"STRUCT<_operator: STRING, criterion $critC, " +
+      s"criteria ARRAY<${critDdl(depth - 1)}>>"
   val elsaDefSchema: org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType.fromDDL(
       "_version STRING, " +
@@ -164,18 +173,16 @@ object OvalProvider {
         "advisory: STRUCT<severity: STRING, " +
           "issued: STRUCT<_date: STRING>, " +
           "cve: ARRAY<STRUCT<_VALUE: STRING, _href: STRING>>>>, " +
-      "criteria STRUCT<_operator: STRING, " +
-        s"criterion $critC, " +
-        "criteria ARRAY<STRUCT<_operator: STRING, " +
-        s"criterion $critC, " +
-        "criteria ARRAY<STRUCT<_operator: STRING, " +
-        s"criterion $critC, " +
-        s"criteria ARRAY<STRUCT<criterion $critC>>>>>>>")
+      s"criteria ${critDdl(8)}")
 
   private val isInstalledRx =
     java.util.regex.Pattern.compile("Oracle Linux (\\d+).*is installed")
   private val earlierThanRx =
     java.util.regex.Pattern.compile("(.*) is earlier than (.*)")
+  private val moduleRx =
+    java.util.regex.Pattern.compile("Module (.*) is enabled")
+  private val archRx =
+    java.util.regex.Pattern.compile("Oracle Linux arch is (\\S+)")
 
   /** The reference's criteria walk (`oracle/oval_parser.py:209-277`) on
     * the to_json'd criteria tree: the outermost criteria is either one
@@ -183,22 +190,50 @@ object OvalProvider {
     * within a group, the namespace comes from the "Oracle Linux N is
     * installed" criterion and packages from "X is earlier than Y"
     * comments — version "None" never appears here (an ELSA def always
-    * states the fix bound). Jackson recursion handles any depth the
-    * schema captured. Returns (ns, pkg, evr) triples. */
+    * states the fix bound). A package bound INHERITS the module
+    * ("Module X is enabled") and architecture ("Oracle Linux arch is
+    * A") of the nearest enclosing branch that set them
+    * (`_collect_affected`), so per-arch respins stay attributed to
+    * their arch. Duplicate tuples repeated across branches collapse
+    * (the reference accumulates into a set). Jackson recursion handles
+    * any depth the schema captured. Returns (ns, pkg, evr, module,
+    * arch) tuples, module/arch null when no branch set them. */
   private[providers] def walkCriteria(json: String)
-      : Seq[(String, String, String)] = {
+      : Seq[(String, String, String, Option[String], Option[String])] = {
     if (json == null || json.isEmpty) return Seq.empty
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.readTree(json)
-    def comments(n: com.fasterxml.jackson.databind.JsonNode)
-        : Seq[String] = {
-      val own = Option(n.get("criterion")).toSeq
+    type Aff = (String, String, Option[String], Option[String])
+    def collect(n: com.fasterxml.jackson.databind.JsonNode,
+        arch: Option[String], module: Option[String])
+        : (Option[String], Seq[Aff]) = {
+      var ns: Option[String] = None
+      var localArch = arch
+      var localModule = module
+      val versions = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      // scan this level's criterions FIRST (the reference's loop), so
+      // sibling package bounds pick up a module/arch criterion wherever
+      // it sits in the element
+      Option(n.get("criterion")).toSeq
         .flatMap(a => (0 until a.size).map(a.get))
         .flatMap(c => Option(c.get("_comment")).map(_.asText()))
-      val nested = Option(n.get("criteria")).toSeq
+        .foreach { c =>
+          val mv = earlierThanRx.matcher(c)
+          val mi = isInstalledRx.matcher(c)
+          val mm = moduleRx.matcher(c)
+          val ma = archRx.matcher(c)
+          if (mv.matches) versions += ((mv.group(1).trim, mv.group(2).trim))
+          else if (mi.matches) ns = Some(s"ol:${mi.group(1)}")
+          else if (mm.matches) localModule = Some(mm.group(1))
+          else if (ma.matches) localArch = Some(ma.group(1))
+        }
+      val own: Seq[Aff] =
+        versions.toSeq.map { case (p, v) => (p, v, localModule, localArch) }
+      val fromChildren = Option(n.get("criteria")).toSeq
         .flatMap(a => (0 until a.size).map(a.get))
-        .flatMap(comments)
-      own ++ nested
+        .map(collect(_, localArch, localModule))
+      val childNs = fromChildren.flatMap(_._1).lastOption
+      (childNs.orElse(ns), own ++ fromChildren.flatMap(_._2))
     }
     val groups =
       if (root.path("_operator").asText("").equalsIgnoreCase("or"))
@@ -206,14 +241,9 @@ object OvalProvider {
           .flatMap(a => (0 until a.size).map(a.get))
       else Seq(root)
     groups.flatMap { g =>
-      val cs = comments(g)
-      val ns = cs.iterator
-        .map(isInstalledRx.matcher)
-        .collectFirst { case m if m.matches => s"ol:${m.group(1)}" }
-      ns.toSeq.flatMap(n => cs.flatMap { c =>
-        val m = earlierThanRx.matcher(c)
-        if (m.matches) Some((n, m.group(1).trim, m.group(2).trim)) else None
-      })
+      val (ns, affected) = collect(g, None, None)
+      ns.toSeq.flatMap(n =>
+        affected.distinct.map { case (p, v, m, a) => (n, p, v, m, a) })
     }
   }
 
@@ -246,46 +276,98 @@ object OvalProvider {
       .select(col("def_version"), col("name"), col("description"),
         col("severity"), col("issued"), col("ref_id"), col("link"),
         col("cves"), col("aff._1").as("ns"), col("aff._2").as("pkg"),
-        col("aff._3").as("evr"))
+        col("aff._3").as("evr"), col("aff._4").as("module"),
+        col("aff._5").as("arch"))
   }
+
+  private[providers] case class ElsaAvail(Date: String, Kind: String)
+  private[providers] case class ElsaFix(Arch: Option[String],
+    Available: Option[ElsaAvail], Module: Option[String], Name: String,
+    NamespaceName: String, Version: String, VersionFormat: String)
+
+  /** `.*ksplice.*` against the rpm RELEASE segment
+    * (`parser.py:146-162` splits the full EVR first, so a version
+    * string containing "ksplice" elsewhere never false-positives). */
+  private def isKspliceEvr(v: String): Boolean = {
+    val (_, _, release) = graft.functions.RpmVersion.splitFullVersion(
+      if (v == null) "" else v)
+    release != null && release.contains("ksplice")
+  }
+
+  /** FixedIn assembly (`oracle/oval_parser.py:281-327` _build_fixed_in
+    * + `parser.py:163-199` KspliceFilterer): per (package, module) the
+    * architecture is emitted only when different fix versions cover
+    * different architecture sets — the common one-version-all-arches
+    * advisory stays arch-less (historical shape), while a per-arch
+    * respin gets one row per (version, arch) so a fix for one arch
+    * never over-matches another. Available {Date: issued, Kind:
+    * advisory} on real fix bounds; ksplice releases dropped after the
+    * filterer's (Name, Version) re-sort. Runs per advisory over the
+    * collected bounded package list — a deterministic in-row transform,
+    * never a corpus shuffle. */
+  private[providers] def buildFixedIn(
+      tuples: Seq[(String, String, Option[String], Option[String])],
+      ns: String, issued: Option[String],
+      dropKsplice: Boolean): Seq[ElsaFix] = {
+    val entries = tuples.distinct.groupBy(t => (t._1, t._3)).toSeq
+      .flatMap { case ((pkg, module), ts) =>
+        val versionArches = ts.map(t => (t._2, t._4)).distinct
+        val archesByVersion = versionArches.groupBy(_._1)
+          .view.mapValues(_.map(_._2).toSet).toMap
+        val discriminates = archesByVersion.values.toSet.size > 1
+        val picked =
+          if (discriminates)
+            versionArches.sortBy(va => (va._1, va._2.getOrElse("")))
+          else archesByVersion.keys.toSeq.sorted
+            .map(v => (v, None: Option[String]))
+        picked.map { case (version, arch) =>
+          val avail =
+            if (version != "None" && issued.exists(_.nonEmpty))
+              Some(ElsaAvail(issued.get, "advisory"))
+            else None
+          ElsaFix(arch, avail, module, pkg, ns, version, "rpm")
+        }
+      }
+    val kept =
+      if (dropKsplice) entries.filterNot(e => isKspliceEvr(e.Version))
+      else entries
+    kept.sortBy(e => (e.Name, e.Version, e.Arch.getOrElse("")))
+  }
+
+  private val buildFixedInUdf = udf(
+    (ts: Seq[(String, String, Option[String], Option[String])],
+     ns: String, issued: String, dropKsplice: Boolean) =>
+      buildFixedIn(ts, ns, Option(issued), dropKsplice))
 
   /** Oracle's record assembly (`oracle/oval_parser.py:160-206`,
     * snapshot shape `tests/unit/providers/oracle/test-fixtures/
     * snapshots/`): one ELSA-keyed envelope per (definition, platform),
-    * Metadata {Issued, RefId, CVE[{Name, Link}]}, FixedIn rows carrying
-    * Available {Date: issued, Kind: advisory} for real fix bounds, and
-    * lexicographic def-version dedupe per (name, namespace). ksplice
-    * fixes are dropped (the guard [[envelopes]] documents) while the
-    * record stays. */
+    * Metadata {Issued, RefId, CVE[{Name, Link}]}, FixedIn built by
+    * [[buildFixedIn]] (module/arch aware, Available on real fix
+    * bounds, ksplice guard), and lexicographic def-version dedupe per
+    * (name, namespace). Pinned to os-schema 1.1.1 — like the
+    * reference, oracle alone advertises it for the Arch field
+    * (`oracle/__init__.py:30-32`). */
   def elsaEnvelopes(rows: DataFrame,
       dropKsplice: Boolean = true): DataFrame = {
-    val kspliceHit = coalesce(
-      graft.functions.RpmVersion.rpm_release(col("evr")), lit(""))
-      .rlike("ksplice")
-    val fixedInStruct = struct(
-      when(col("evr") =!= "None" && col("issued").isNotNull, struct(
-        col("issued").as("Date"), lit("advisory").as("Kind")))
-        .as("Available"),
-      col("pkg").as("Name"),
-      col("ns").as("NamespaceName"),
-      col("evr").as("Version"),
-      lit("rpm").as("VersionFormat"))
     rows
       .groupBy(col("name"), col("ns"), col("def_version"),
         col("description"), col("severity"), col("issued"),
         col("ref_id"), col("link"), col("cves"))
-      .agg(array_sort(collect_list(
-        if (dropKsplice) when(!kspliceHit, fixedInStruct)
-        else fixedInStruct)).as("fixed_in"))
+      .agg(collect_list(struct(col("pkg"), col("evr"), col("module"),
+        col("arch"))).as("affected"))
+      .withColumn("fixed_in", buildFixedInUdf(col("affected"),
+        col("ns"), col("issued"), lit(dropKsplice)))
       // duplicate (name, ns) across definitions: the lexicographically
-      // HIGHEST def version wins (`oval_parser.py:187-206`)
+      // HIGHEST def version wins — the reference's own comparison is
+      // string-lexicographic (`oval_parser.py:187-206`)
       .groupBy(col("name"), col("ns"))
       .agg(max_by(struct(col("description"), col("severity"),
         col("issued"), col("ref_id"), col("link"), col("cves"),
         col("fixed_in")), col("def_version")).as("r"))
       .select(Envelope.assemble(
         concat(col("ns"), lit("/"), lower(col("name"))),
-        Envelope.OsSchema,
+        Envelope.osSchema("1.1.1"),
         Envelope.osPayload(struct(
           Envelope.emptyCvss.as("CVSS"),
           col("r.description").as("Description"),

@@ -83,6 +83,47 @@ class OvalProviderSpec extends AnyFunSuite {
       ("ol:9", "2:5.1.0-10.ksplice1.el9")))
   }
 
+  test("ELSA walk: module and arch inherit from the enclosing branch " +
+      "at real-feed nesting depth") {
+    val rows = OvalProvider.elsaRows(spark, elsaFixture).collect()
+      .filter(_.getAs[String]("name") == "ELSA-2023-3000")
+    val tuples = rows.map(r => (r.getAs[String]("pkg"),
+      r.getAs[String]("evr"), r.getAs[String]("module"),
+      r.getAs[String]("arch"))).toSet
+    // kernel bounds are 5 criteria levels deep (platform AND > arch OR
+    // > arch AND > pkg OR > pkg AND) and the podman module bounds 7 —
+    // both beyond the old depth-4 schema, which silently dropped them
+    assert(tuples == Set(
+      ("kernel", "0:5.4.17-2136.320.7.el8", null, "x86_64"),
+      ("kernel", "0:5.4.17-2136.320.7.1.el8", null, "aarch64"),
+      ("podman", "2:4.4.1-1.module+el8", "container-tools:ol8", "x86_64"),
+      ("podman", "2:4.4.1-1.module+el8", "container-tools:ol8", "aarch64")))
+  }
+
+  test("ELSA FixedIn: arch emitted only when versions differ per arch; " +
+      "module carried; one row per version otherwise") {
+    val env = OvalProvider
+      .elsaEnvelopes(OvalProvider.elsaRows(spark, elsaFixture))
+      .filter(col("identifier") === "ol:8/elsa-2023-3000")
+      .head().getAs[String]("item")
+    // kernel was respun later on aarch64 → arch DISCRIMINATES → one
+    // FixedIn per (version, arch) with Arch set
+    assert(env.contains("\"Arch\":\"x86_64\"") &&
+      env.contains("\"Version\":\"0:5.4.17-2136.320.7.el8\""))
+    assert(env.contains("\"Arch\":\"aarch64\"") &&
+      env.contains("\"Version\":\"0:5.4.17-2136.320.7.1.el8\""))
+    // podman: same version on every arch → arch-less single row with
+    // the module stream attached (`oval_parser.py:281-327`)
+    assert(env.contains("\"Module\":\"container-tools:ol8\""))
+    assert(env.indexOf("\"Name\":\"podman\"") ==
+      env.lastIndexOf("\"Name\":\"podman\""), s"podman duplicated: $env")
+    // oracle alone pins os-schema 1.1.1 for the Arch field
+    val schema = OvalProvider
+      .elsaEnvelopes(OvalProvider.elsaRows(spark, elsaFixture))
+      .head().getAs[String]("schema")
+    assert(schema.contains("os/schema-1.1.1.json"))
+  }
+
   test("ELSA envelopes: advisory-keyed record, Metadata CVE/Issued/" +
       "RefId, ksplice dropped, def-version dedupe") {
     val env = OvalProvider
@@ -90,7 +131,8 @@ class OvalProviderSpec extends AnyFunSuite {
       .collect().map(r => r.getAs[String]("identifier")
         -> r.getAs[String]("item")).toMap
     assert(env.keySet == Set("ol:9/elsa-2023-1000",
-      "ol:8/elsa-2023-2000", "ol:9/elsa-2023-2000"))
+      "ol:8/elsa-2023-2000", "ol:9/elsa-2023-2000",
+      "ol:8/elsa-2023-3000"))
     val e1 = env("ol:9/elsa-2023-1000")
     assert(e1.contains("\"Vulnerability\":{"))
     assert(e1.contains("\"Name\":\"ELSA-2023-1000\""))
