@@ -128,8 +128,9 @@ object AmazonProvider {
         issueOverview(col("html")).as("Description"),
         graft.functions.Norm.normalize_severity(col("severity"))
           .as("Severity"),
+        // no CVSS key: ALAS pages carry no vector and the reference's
+        // amazon record omits the field entirely (snapshot shape)
         link.as("Link"),
-        Envelope.emptyCvss.as("CVSS"),
         transform(fixedIn, e => struct(
           e.getField("Available").as("Available"),
           e.getField("Name").as("Name"),

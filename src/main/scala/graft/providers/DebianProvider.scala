@@ -115,6 +115,98 @@ object DebianProvider {
 
   /** Envelopes per (debian:relno, cve): severity = A3 max-merge across
     * packages; FixedIn in canonical (Name, Version) order. */
+  /** The reference's pinned per-CVE severity override
+    * (`parser.py:620-630`): data-quality escapes forced to Unknown
+    * until per-package severity is representable upstream. Applied to
+    * BOTH freshly-normalized and legacy records at yield. */
+  val severityOverride: Seq[String] = Seq("CVE-2020-35525",
+    "CVE-2020-35527", "CVE-2023-4863", "CVE-2023-44487")
+
+  private def overriddenSeverity(name: org.apache.spark.sql.Column,
+      severity: org.apache.spark.sql.Column) =
+    when(name.isin(severityOverride.map(x => x: Any): _*), lit("Unknown"))
+      .otherwise(severity)
+
+  /** Legacy normalized-cve-data record shape (the checked-in
+    * vulnerabilities-debian:N-*.json arrays, os-schema 1.0.x era,
+    * `parser.py:495-597`). */
+  val legacyRecordSchema: StructType = StructType.fromDDL(
+    "Vulnerability STRUCT<" +
+      "Description: STRING, " +
+      "FixedIn: ARRAY<STRUCT<" +
+        "Available: STRUCT<Date: STRING, Kind: STRING>, " +
+        "Name: STRING, NamespaceName: STRING, " +
+        "VendorAdvisory: STRUCT<AdvisorySummary: ARRAY<STRUCT<" +
+          "ID: STRING, Link: STRING>>, NoAdvisory: BOOLEAN>, " +
+        "Version: STRING, VersionFormat: STRING>>, " +
+      "Link: STRING, " +
+      "Metadata: STRUCT<NVD: STRUCT<CVSSv2: STRUCT<" +
+        "Score: DOUBLE, Vectors: STRING>>>, " +
+      "Name: STRING, NamespaceName: STRING, Severity: STRING>")
+
+  /** T4's real half (`parser.py:495-618`): legacy normalized-cve-data
+    * records — the Wheezy-era releases the tracker no longer serves —
+    * pass through with (a) the CVSSv2 `Vectors: null` key stripped
+    * (`parser.py:579-583`; canonical null-drop does it), (b) the
+    * fixdater's Available {Date, Kind} patched onto FixedIn entries
+    * that lack one (`_patch_fix_date`, both legacy sources get it),
+    * and (c) the severity override. `path` globs the per-release JSON
+    * arrays; each element is one wrapped record. */
+  def legacyEnvelopes(spark: SparkSession, path: String,
+      fixdates: Option[DataFrame] = None): DataFrame = {
+    val recs = spark.read.option("multiLine", "true")
+      .schema(legacyRecordSchema).json(path)
+      .select(col("Vulnerability").as("v"))
+      .filter(col("v.Name").isNotNull && col("v.NamespaceName").isNotNull)
+    // _patch_fix_date: only entries WITHOUT an Available date and with a
+    // real fix version resolve; posexplode + regroup keeps record order
+    val patched = fixdates match {
+      case None => recs.withColumn("fixed_in", col("v.FixedIn"))
+      case Some(fd) =>
+        val exploded = recs.select(col("v"),
+          posexplode_outer(col("v.FixedIn")).as(Seq("pos", "f")))
+        graft.operators.FixDate.available(exploded, Some(fd),
+          col("v.Name"), col("f.Name"),
+          when(col("f.Available.Date").isNull, col("f.Version")),
+          ecosystem = Some(lower(col("f.NamespaceName"))))
+          .groupBy(col("v"))
+          .agg(transform(array_sort(collect_list(when(col("f").isNotNull,
+            struct(col("pos"), struct(
+              coalesce(col("f.Available"),
+                when(col("available_date").isNotNull, struct(
+                  col("available_date").as("Date"),
+                  col("available_kind").as("Kind")))).as("Available"),
+              col("f.Name").as("Name"),
+              col("f.NamespaceName").as("NamespaceName"),
+              col("f.VendorAdvisory").as("VendorAdvisory"),
+              col("f.Version").as("Version"),
+              col("f.VersionFormat").as("VersionFormat")).as("f"))))),
+            x => x.getField("f")).as("fixed_in"))
+    }
+    patched.select(Envelope.assemble(
+      concat(col("v.NamespaceName"), lit("/"), lower(col("v.Name"))),
+      Envelope.OsSchema,
+      Envelope.osPayload(struct(
+        col("v.Description").as("Description"),
+        col("fixed_in").as("FixedIn"),
+        col("v.Link").as("Link"),
+        // null NVD drops under canonical ignoreNullFields, leaving the
+        // reference's bare "Metadata": {}
+        struct(col("v.Metadata.NVD").as("NVD")).as("Metadata"),
+        col("v.Name").as("Name"),
+        col("v.NamespaceName").as("NamespaceName"),
+        overriddenSeverity(col("v.Name"), col("v.Severity"))
+          .as("Severity")))): _*)
+  }
+
+  /** Legacy-over-current merge (`parser.py:614-618`
+    * `vuln_records[relno].update(legacy)`): the legacy record WINS for
+    * a shared identifier. */
+  def withLegacy(current: DataFrame, legacy: DataFrame): DataFrame =
+    current.join(legacy.select(col("identifier").as("__li")),
+      col("identifier") === col("__li"), "left_anti")
+      .unionByName(legacy)
+
   def envelopes(joined: DataFrame): DataFrame = {
     joined
       .groupBy(col("relno"), col("cve"))
@@ -139,7 +231,7 @@ object DebianProvider {
           col("cve").as("Name"),
           concat(lit("debian:"), col("relno")).as("NamespaceName"),
           coalesce(col("description"), lit("")).as("Description"),
-          col("severity").as("Severity"),
+          overriddenSeverity(col("cve"), col("severity")).as("Severity"),
           concat(lit("https://security-tracker.debian.org/tracker/"),
             col("cve")).as("Link"),
           Envelope.emptyCvss.as("CVSS"),

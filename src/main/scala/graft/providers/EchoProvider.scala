@@ -90,4 +90,8 @@ object EchoProvider {
   /** Full pipeline from the staged advisory file. */
   def envelopes(spark: SparkSession, path: String): DataFrame =
     envelopes(entries(spark, path))
+
+  def envelopes(spark: SparkSession, path: String,
+      fixdates: Option[DataFrame]): DataFrame =
+    envelopes(entries(spark, path), fixdates)
 }

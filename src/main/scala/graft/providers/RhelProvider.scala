@@ -270,7 +270,8 @@ object RhelProvider {
     * envelopes. `fpis`: (rhsa_id, cve, fpi, plat_cpe, module, name,
     * version) as for [[RhelCsafJoin.fixInfo]]. */
   def envelopes(hydra: DataFrame, fpis: DataFrame,
-      skipNamespaces: Set[String] = Set.empty): DataFrame = {
+      skipNamespaces: Set[String] = Set.empty,
+      fixdates: Option[DataFrame] = None): DataFrame = {
     val notSkipped = (df: DataFrame) =>
       if (skipNamespaces.isEmpty) df
       else df.filter(!concat(lit("rhel:"), col("platform"))
@@ -310,11 +311,19 @@ object RhelProvider {
         array().cast(advisoriesDdl).as("advisories"))
       .distinct()
 
-    val emitted = artifacts.unionByName(inferred)
-      .filter(!col("platform").contains("+els")) // `parser.py:907-908`
+    val emitted = graft.operators.FixDate.available(
+      artifacts.unionByName(inferred)
+        .filter(!col("platform").contains("+els")), // `parser.py:907-908`
+      fixdates, col("cve"), col("pkg"), col("version"),
+      ecosystem = Some(concat(lit("rhel:"), col("platform"))))
 
     val fi = struct(
       when(size(col("advisories")) > 0, col("advisories")).as("Advisories"),
+      // the fixdater's first-observed verdict (`parser.py:990-994`) —
+      // rhel alone writes the lowercase {date, kind} key pair
+      when(col("available_date").isNotNull, struct(
+        col("available_date").as("date"),
+        col("available_kind").as("kind"))).as("Available"),
       col("module").as("Module"),
       col("pkg").as("Name"),
       concat(lit("rhel:"), col("platform")).as("NamespaceName"),

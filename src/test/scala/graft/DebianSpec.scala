@@ -67,6 +67,36 @@ class DebianSpec extends AnyFunSuite {
     assert(nak.contains("\"Version\":\"0\""))
   }
 
+  test("legacy records: Vectors-null strip, fixdate patch, severity " +
+      "override, legacy-wins merge") {
+    val legacyPath =
+      getClass.getResource("/fixtures/debian_legacy.json").getPath
+    val fixdates = Seq(
+      ("CVE-2011-7777", "libdemo", "debian:7", "1.2-3+deb7u1",
+        "2012-02-01", "first-observed")
+    ).toDF("vuln", "pkg", "ecosystem", "version", "date", "kind")
+    val legacy = DebianProvider.legacyEnvelopes(spark, legacyPath,
+      Some(fixdates))
+    val byId = legacy.collect()
+      .map(r => r.getAs[String]("identifier") -> r.getAs[String]("item"))
+      .toMap
+    // CVSSv2 Vectors: null key deleted (`parser.py:579-583`), Score kept
+    assert(byId("debian:7/cve-2004-9999").contains("\"Score\":6.4"))
+    assert(!byId("debian:7/cve-2004-9999").contains("Vectors"))
+    // fixdater patch lands on the undated FixedIn entry
+    assert(byId("debian:7/cve-2011-7777").contains(
+      "\"Available\":{\"Date\":\"2012-02-01\",\"Kind\":\"first-observed\"}"))
+    // pinned severity override escapes to Unknown
+    assert(byId("debian:7/cve-2023-4863").contains("\"Severity\":\"Unknown\""))
+    // legacy WINS over the fresh normalization for a shared identifier
+    val current = DebianProvider.envelopes(joined)
+    val merged = DebianProvider.withLegacy(current, legacy)
+    val kept = merged.filter(col("identifier") === "debian:11/cve-2021-9999")
+      .head().getAs[String]("item")
+    assert(kept.contains("legacy copy wins"))
+    assert(merged.count() == current.count() + legacy.count() - 1)
+  }
+
   test("advisory metrics rollup (A10)") {
     val m = DebianProvider.advisoryMetrics(joined).collect()
       .map(r => ((r.getString(0), r.getString(1), r.getString(2),

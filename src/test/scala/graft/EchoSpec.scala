@@ -10,8 +10,18 @@ import graft.providers.{EchoProvider, Registry}
 class EchoSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
-  private lazy val env = EchoProvider.envelopes(spark,
-    getClass.getResource("/fixtures/echo_data.json").getPath).cache()
+  private lazy val env = {
+    val s = spark
+    import s.implicits._
+    // first-observed dimension → Available in the golden bytes
+    val fixdates = Seq(
+      ("CVE-2025-7001", "openssl", "3.0.15-1", "2025-05-02",
+        "first-observed")
+    ).toDF("vuln", "pkg", "version", "date", "kind")
+    EchoProvider.envelopes(spark,
+      getClass.getResource("/fixtures/echo_data.json").getPath,
+      Some(fixdates)).cache()
+  }
 
   private def item(id: String): String =
     env.filter(col("identifier") === id).head().getAs[String]("item")

@@ -19,8 +19,14 @@ class GoldenSnapshotSpec extends AnyFunSuite {
     getClass.getResource(s"/fixtures/$name").getPath
 
   test("secdb (wolfi) envelopes match committed snapshots byte-for-byte") {
+    // first-observed dimension → Available in the committed bytes
+    val fixdates = Seq(
+      ("CVE-2022-30065", "busybox", "1.35.0-r3",
+        "2022-06-10", "first-observed")
+    ).toDF("vuln", "pkg", "version", "date", "kind")
     Golden.assertSnapshots("secdb",
-      SecdbProvider.envelopes(spark, fixture("secdb.json"), "wolfi:rolling"))
+      SecdbProvider.envelopes(spark, fixture("secdb.json"), "wolfi:rolling",
+        fixdates = Some(fixdates)))
   }
 
   test("debian envelopes match committed snapshots byte-for-byte") {
@@ -29,19 +35,44 @@ class GoldenSnapshotSpec extends AnyFunSuite {
       ("DSA-5343-1", "https://www.debian.org/security/2023/dsa-5343",
         "bullseye", "openssl", "CVE-2023-0286", "2023-02-08")
     ).toDF("dsa", "link", "rel", "pkg", "cve", "date")
+    // legacy normalized-cve-data leg: Vectors-null strip, fixdater
+    // Available patch, severity override, legacy-wins merge — all in
+    // the committed bytes
+    val legacyFixdates = Seq(
+      ("CVE-2011-7777", "libdemo", "debian:7", "1.2-3+deb7u1",
+        "2012-02-01", "first-observed")
+    ).toDF("vuln", "pkg", "ecosystem", "version", "date", "kind")
     Golden.assertSnapshots("debian",
-      DebianProvider.envelopes(DebianProvider.withAdvisories(rows, dsas)))
+      DebianProvider.withLegacy(
+        DebianProvider.envelopes(DebianProvider.withAdvisories(rows, dsas)),
+        DebianProvider.legacyEnvelopes(spark, fixture("debian_legacy.json"),
+          Some(legacyFixdates))))
   }
 
   test("ghsa envelopes match committed snapshots byte-for-byte") {
+    // fix-date dimension → lower-case available {date, kind} record in
+    // the committed bytes (`github/parser.py:740-751`)
+    val fixdates = Seq(
+      ("GHSA-aaaa-bbbb-cccc", "lodash", "npm", "4.17.21",
+        "2021-02-20", "first-observed")
+    ).toDF("vuln", "pkg", "ecosystem", "version", "date", "kind")
     Golden.assertSnapshots("ghsa",
-      GhsaProvider.envelopes(GhsaProvider.advisories(spark, fixture("ghsa.json"))))
+      GhsaProvider.envelopes(
+        GhsaProvider.advisories(spark, fixture("ghsa.json")),
+        Some(fixdates)))
   }
 
   test("rhel envelopes match committed snapshots byte-for-byte") {
     val hydra = RhelProvider.hydraScan(spark, fixture("rhel_hydra.json"))
+    // first-observed dimension exercises the fixdater Available leg —
+    // rhel alone writes the lowercase {date, kind} pair
+    val fixdates = Seq(
+      ("CVE-2024-1111", "webkit2gtk3", "rhel:9", "0:2.46.1-2.el9_5",
+        "2024-01-05", "first-observed")
+    ).toDF("vuln", "pkg", "ecosystem", "version", "date", "kind")
     Golden.assertSnapshots("rhel",
-      RhelProvider.envelopes(hydra, RhelFixtures.webkitFpis(spark)))
+      RhelProvider.envelopes(hydra, RhelFixtures.webkitFpis(spark),
+        fixdates = Some(fixdates)))
   }
 
   test("fedora envelopes match committed snapshots byte-for-byte") {
@@ -51,10 +82,14 @@ class GoldenSnapshotSpec extends AnyFunSuite {
 
   test("amazon envelopes match committed snapshots byte-for-byte") {
     val html = scala.io.Source.fromFile(fixture("alas.html")).mkString
+    // pubDate present → every FixedIn carries the advisory-kind
+    // Available, the reference's always-accurate default candidate
     val pages = Seq(
       ("ALAS-2023-1726", "important",
-        Seq("CVE-2023-1000", "CVE-2023-2000"), html)
-    ).toDF("alas_id", "severity", "cves", "html")
+        Seq("CVE-2023-1000", "CVE-2023-2000"), html,
+        "https://alas.aws.amazon.com/AL2/ALAS-2023-1726.html",
+        "2023-02-17 22:51:00")
+    ).toDF("alas_id", "severity", "cves", "html", "url", "date")
     Golden.assertSnapshots("amazon",
       graft.providers.AmazonProvider.envelopes(pages, "amzn:2"))
   }

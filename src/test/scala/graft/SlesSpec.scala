@@ -15,8 +15,16 @@ class SlesSpec extends AnyFunSuite {
   private def fixture =
     getClass.getResource("/fixtures/sles_oval.xml").getPath
 
-  private lazy val env =
-    SlesProvider.envelopes(spark, fixture, majorVersion = "15").cache()
+  private lazy val env = {
+    val s = spark
+    import s.implicits._
+    // first-observed dimension → Available in the golden bytes
+    val fixdates = Seq(
+      ("CVE-2025-5353", "curl", "8.0.1-1.1", "2025-06-14",
+        "first-observed")
+    ).toDF("vuln", "pkg", "version", "date", "kind")
+    SlesProvider.envelopes(spark, fixture, "15", Some(fixdates)).cache()
+  }
 
   private def item(id: String): String =
     env.filter(col("identifier") === id).head().getAs[String]("item")
