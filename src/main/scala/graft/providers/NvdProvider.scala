@@ -59,13 +59,82 @@ object NvdProvider {
     * every field the record has (metrics, weaknesses, published, …) —
     * inference keeps them all. */
   def envelopes(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("multiLine", "true").json(path)
+    envelopes(spark, path, None)
+
+  /** Passthrough envelopes with the optional fix-date enrichment
+    * (`manager.py:341-394` `_apply_fix_dates`): every VULNERABLE
+    * cpeMatch carrying a `versionEndExcluding` looks up
+    * `(cve, criteria, fix version)` in the first-observed dimension
+    * `(vuln, cpe, version, date, kind)` and, when dated, gains the
+    * structured `fix: {version, date, kind}` object in place.
+    *
+    * Spark-first: the reference mutates each record's dict walk-style;
+    * here the (cpos, npos, mpos) explode feeds one broadcast join, the
+    * verdicts fold back to a tiny per-record position map, and the
+    * record struct is rebuilt with nested `transform`/`withField` —
+    * all sibling fields of the inferred schema survive, and the only
+    * shuffle is the per-record map fold. */
+  def envelopes(spark: SparkSession, path: String,
+      fixdates: Option[DataFrame]): DataFrame = {
+    val raw = spark.read.option("multiLine", "true").json(path)
       .select(explode(col("vulnerabilities")).as("v"))
-      .select(graft.Envelope.assemble(
-        lower(concat(split(col("v.cve.id"), "-").getItem(1), lit("/"),
-          col("v.cve.id"))),
-        graft.Envelope.NvdSchema,
-        struct(col("v.cve").as("cve"))): _*)
+      .select(col("v.cve").as("cve"))
+    val hasConfigs = raw.select("cve.*").columns.contains("configurations")
+    val patched = fixdates match {
+      case None => raw
+      case Some(_) if !hasConfigs => raw
+      case Some(fd) =>
+        val dim = broadcast(fd
+          .groupBy(col("vuln").as("fd_v"), col("cpe").as("fd_c"),
+            col("version").as("fd_ver"))
+          .agg(min(struct(col("date"), col("kind"))).as("b"))
+          .select(col("fd_v"), col("fd_c"), col("fd_ver"),
+            col("b.date").as("fd_date"), col("b.kind").as("fd_kind")))
+        def key(c: org.apache.spark.sql.Column,
+            n: org.apache.spark.sql.Column,
+            m: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          c.cast("long") * 10000000000L + n.cast("long") * 100000000L + m
+        val matches = raw
+          .select(col("cve.id").as("id"),
+            posexplode(col("cve.configurations")).as(Seq("cpos", "c")))
+          .select(col("id"), col("cpos"),
+            posexplode(col("c.nodes")).as(Seq("npos", "n")))
+          .select(col("id"), col("cpos"), col("npos"),
+            posexplode(col("n.cpeMatch")).as(Seq("mpos", "m")))
+          .filter(col("m.vulnerable") &&
+            col("m.versionEndExcluding").isNotNull &&
+            startswith(col("m.criteria"), lit("cpe:")))
+          .select(col("id"), col("cpos"), col("npos"), col("mpos"),
+            col("m.criteria").as("cpe"),
+            col("m.versionEndExcluding").as("fixver"))
+        val fixmap = matches
+          .join(dim, col("id") === col("fd_v") && col("cpe") === col("fd_c")
+            && col("fixver") === col("fd_ver"), "inner")
+          .groupBy("id")
+          .agg(map_from_entries(collect_list(struct(
+            key(col("cpos"), col("npos"), col("mpos").cast("long"))
+              .as("key"),
+            struct(col("fd_ver").as("version"), col("fd_date").as("date"),
+              col("fd_kind").as("kind")).as("value")))).as("fixmap"))
+        // the withField chain applies unconditionally so both map-hit
+        // and miss rows share one struct type; a missing entry yields a
+        // null fix, dropped by canonical serialization
+        raw.join(fixmap, col("cve.id") === fixmap("id"), "left").drop("id")
+          .withColumn("cve", col("cve").withField("configurations",
+            transform(col("cve.configurations"), (c, ci) =>
+              c.withField("nodes", transform(c.getField("nodes"),
+                (n, ni) => n.withField("cpeMatch",
+                  transform(n.getField("cpeMatch"), (m, mi) =>
+                    m.withField("fix", element_at(col("fixmap"),
+                      key(ci, ni, mi.cast("long")))))))))))
+          .drop("fixmap")
+    }
+    patched.select(graft.Envelope.assemble(
+      lower(concat(split(col("cve.id"), "-").getItem(1), lit("/"),
+        col("cve.id"))),
+      graft.Envelope.NvdSchema,
+      struct(col("cve").as("cve"))): _*)
+  }
 
   /** The full `run nvd` composition from NOTHING but a transport: walk
     * every API page through the retry envelope

@@ -95,8 +95,15 @@ class GoldenSnapshotSpec extends AnyFunSuite {
   }
 
   test("nvd passthrough envelopes match committed snapshots byte-for-byte") {
+    // the vulnerable cpeMatch with versionEndExcluding 1.4.3 gains the
+    // in-place fix {version, date, kind} object (`manager.py:341-394`)
+    val fixdates = Seq(
+      ("CVE-2023-1234", "cpe:2.3:a:vendor:product:*:*:*:*:*:*:*:*",
+        "1.4.3", "2023-04-30", "first-observed")
+    ).toDF("vuln", "cpe", "version", "date", "kind")
     Golden.assertSnapshots("nvd",
-      graft.providers.NvdProvider.envelopes(spark, fixture("nvd_page.json")))
+      graft.providers.NvdProvider.envelopes(spark, fixture("nvd_page.json"),
+        Some(fixdates)))
   }
 
   test("hummingbird (csaf-vex) envelopes match committed snapshots " +
@@ -223,24 +230,40 @@ class GoldenSnapshotSpec extends AnyFunSuite {
   }
 
   test("minimos envelopes match committed snapshots byte-for-byte") {
+    import spark.implicits._
+    val fixdates = Seq(
+      ("CVE-2024-0684", "coreutils", "9.4-r1", "2024-01-12",
+        "first-observed")
+    ).toDF("vuln", "pkg", "version", "date", "kind")
     Golden.assertSnapshots("minimos",
       SecdbProvider.envelopes(spark, fixture("secdb_minimos.json"),
-        "minimos:rolling"))
+        "minimos:rolling", fixdates = Some(fixdates)))
   }
 
   test("secureos envelopes match committed snapshots byte-for-byte") {
+    // apkVulnerableRange: the rqlite-client respins pin the per-stream
+    // ">=<base>-r0, <fix>" ranges (and the 9.3.10 > 9.3.2 numeric sort)
+    val fixdates = Seq(
+      ("CVE-2023-46218", "curl", "8.5.0-r2", "2023-12-07",
+        "first-observed")
+    ).toDF("vuln", "pkg", "version", "date", "kind")
     Golden.assertSnapshots("secureos",
       SecdbProvider.envelopes(spark, fixture("secdb_secureos.json"),
-        "secureos:rolling"))
+        "secureos:rolling", fixdates = Some(fixdates),
+        apkVulnerableRange = true))
   }
 
   test("alpine envelopes (rejection NAKs in the bytes) match committed " +
       "snapshots byte-for-byte") {
     import spark.implicits._
     val rejections = Seq(("busybox", "CVE-2022-30065")).toDF("pkg_name", "vuln_id")
+    val fixdates = Seq(
+      ("CVE-2023-0286", "openssl", "3.0.8-r0", "2023-02-09",
+        "first-observed")
+    ).toDF("vuln", "pkg", "version", "date", "kind")
     Golden.assertSnapshots("alpine",
       SecdbProvider.envelopes(spark, fixture("secdb.json"), "alpine:3.18",
-        rejections = Some(rejections)))
+        rejections = Some(rejections), fixdates = Some(fixdates)))
     // J9 visible in the bytes: the rejected secfix is replaced by a
     // not-affected NAK row (Version "0"), not silently dropped
     val nak = java.nio.file.Files.readString(Golden.root.resolve(

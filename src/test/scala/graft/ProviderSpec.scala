@@ -163,4 +163,15 @@ class ProviderSpec extends AnyFunSuite {
     val out = ResultStore.read(spark, dest).count()
     assert(out == 200)
   }
+
+  test("apk version ordering: numeric parts numeric, strings lexical, " +
+      "missing parts zero, revision ties (`secureos/parser.py:180-218`)") {
+    import graft.providers.SecdbProvider.compareApk
+    assert(compareApk("9.3.2-r2", "9.3.10-r0") < 0)   // 2 < 10 numeric
+    assert(compareApk("9.3.2-r1", "9.3.2-r2") < 0)    // revision tie-break
+    assert(compareApk("1.2", "1.2.0-r0") == 0)        // missing part = 0
+    assert(compareApk("1.2b", "1.2a") > 0)            // strings lexical
+    assert(compareApk("8.5.0-r2", "8.5.0-r2") == 0)
+    assert(compareApk("1.2-rc1", "1.2-r3") < 0)       // bad rev parses 0
+  }
 }

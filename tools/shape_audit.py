@@ -53,6 +53,22 @@ KNOWN: set[tuple[str, str, str]] = {
     ("rhel", "item.Vulnerability.FixedIn[].Advisories[].Minor", "ours"),
     ("rhel", "item.Vulnerability.FixedIn[].Advisories[].Version", "ours"),
     ("rhel", "item.Vulnerability.FixedIn[].VulnerableRange", "ours"),
+    # the reference's shared FixedIn dataclass serializes the
+    # VulnerableRange: null default (utils/vulnerability.py:97) for
+    # families that never set it; canonical null-drop omits the key
+    ("arch", "item.Vulnerability.FixedIn[].VulnerableRange", "ref"),
+    ("photon", "item.Vulnerability.FixedIn[].VulnerableRange", "ref"),
+    ("sles", "item.Vulnerability.FixedIn[].VulnerableRange", "ref"),
+    # our ELSA fixture exercises the arch-discriminating respin the
+    # reference snapshots do not (oval_parser.py:281-327 emits Arch)
+    ("oracle_elsa", "item.Vulnerability.FixedIn[].Arch", "ours"),
+    # passthrough families keep whatever the input carries; our fixtures
+    # are richer than the reference's here, not divergent
+    ("govulndb", "item.affected[].database_specific", "ours"),
+    ("govulndb", "item.affected[].database_specific.source", "ours"),
+    ("govulndb", "item.affected[].package.purl", "ours"),
+    ("govulndb", "item.credits[].contact", "ours"),
+    ("chainguard_libraries", "item.document.products[].@id", "ours"),
 }
 
 
