@@ -91,9 +91,18 @@ object Sources {
       .replace("*", "\\E.*\\Q").replace("?", "\\E.\\Q") + "$").r
     spark.sparkContext.binaryFiles(path)
       .flatMap { case (archive, pds) =>
+        // gzip auto-detect by magic bytes: the OSV feeds ship both bare
+        // .tar trees and .tar.gz archives (chainguard's osv url)
+        val bis = new java.io.BufferedInputStream(pds.open(), 1 << 16)
+        bis.mark(2)
+        val b0 = bis.read(); val b1 = bis.read()
+        bis.reset()
+        val in: java.io.InputStream =
+          if (b0 == 0x1f && b1 == 0x8b)
+            new org.apache.commons.compress.compressors.gzip.GzipCompressorInputStream(bis)
+          else bis
         val tin = new org.apache.commons.compress.archivers.tar.TarArchiveInputStream(
-          new java.io.BufferedInputStream(pds.open(), 1 << 16),
-          "UTF-8") // member-name decode independent of executor locale
+          in, "UTF-8") // member-name decode independent of executor locale
         // eager per-archive member list + close in finally: a lazy
         // iterator would leak the underlying filesystem handle
         // whenever a downstream limit stops consuming mid-archive

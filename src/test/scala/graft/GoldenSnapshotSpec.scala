@@ -94,6 +94,66 @@ class GoldenSnapshotSpec extends AnyFunSuite {
       graft.providers.AmazonProvider.envelopes(pages, "amzn:2"))
   }
 
+  test("chainguard OSV-leg envelopes match committed snapshots " +
+      "byte-for-byte") {
+    import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOutputStream}
+    import java.util.zip.GZIPOutputStream
+    // the feed is a tar.gz of per-advisory OSV files; a member whose
+    // basename is not a well-formed CGA id must be skipped
+    val rec1 =
+      """{"id":"CGA-23cf-gh45-jm67","schema_version":"1.7.0",
+        |"modified":"2026-02-21T00:00:00Z","published":"2026-02-20T00:00:00Z",
+        |"summary":"syncthing relay RCE","severity":[{"type":"CVSS_V3",
+        |"score":"CVSS:3.1/AV:N/AC:L/PR:N/UI:N/S:U/C:H/I:H/A:H"}],
+        |"affected":[{"package":{"ecosystem":"Chainguard","name":"syncthing",
+        |"purl":"pkg:apk/chainguard/syncthing?arch=x86_64"},
+        |"ranges":[{"type":"ECOSYSTEM","events":[{"introduced":"0"},
+        |{"fixed":"2.0.14-r1"}]}],
+        |"ecosystem_specific":{"components":[{"advisory_id":"CGA-23cf-gh45-0001",
+        |"component_location":"/usr/bin/syncthing","component_name":"syncthing",
+        |"component_purl":"pkg:golang/github.com/syncthing/syncthing@v2.0.13",
+        |"component_type":"go-module","component_version":"2.0.13",
+        |"note":"Upgraded to 2.0.14","status":"fixed",
+        |"justification":"component_present"}]}}],
+        |"upstream":["CVE-2026-99999"],
+        |"references":[{"type":"ADVISORY",
+        |"url":"https://advisories.example.invalid/CGA-23cf-gh45-jm67"}],
+        |"database_specific":{"severity":"High",
+        |"cpes":["cpe:2.3:a:syncthing:syncthing:*:*:*:*:*:*:*:*"]}}"""
+        .stripMargin.replace("\n", "")
+    val rec2 =
+      """{"id":"CGA-pqrv-wx23-4567","schema_version":"1.7.0",
+        |"modified":"2026-03-01T00:00:00Z","published":"2026-02-28T00:00:00Z",
+        |"summary":"zlib header overread","withdrawn":"2026-03-05T00:00:00Z",
+        |"affected":[{"package":{"ecosystem":"Chainguard","name":"zlib",
+        |"purl":"pkg:apk/chainguard/zlib?arch=x86_64"},
+        |"ranges":[{"type":"ECOSYSTEM","events":[{"introduced":"0"}]}]}]}"""
+        .stripMargin.replace("\n", "")
+    val dir = java.nio.file.Files.createTempDirectory("cg_osv")
+    val tarPath = dir.resolve("chainguard.tar.gz")
+    val tar = new TarArchiveOutputStream(new GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(tarPath)))
+    def add(name: String, content: String): Unit = {
+      val b = content.getBytes("UTF-8")
+      val e = new TarArchiveEntry(name)
+      e.setSize(b.length.toLong)
+      tar.putArchiveEntry(e); tar.write(b); tar.closeArchiveEntry()
+    }
+    add("CGA-23cf-gh45-jm67.json", rec1)
+    add("CGA-pqrv-wx23-4567.json", rec2)
+    add("notes.json", """{"id":"CGA-2222-3333-4444"}""") // bad member name
+    tar.close()
+    val fixdates = Seq(
+      ("CGA-23cf-gh45-jm67", "Chainguard", "syncthing", "2.0.14-r1",
+        "2026-02-20", "advisory")
+    ).toDF("vuln_id", "ecosystem", "pkg", "version", "date", "kind")
+    val env = graft.providers.ChainguardProvider.osvEnvelopes(spark,
+      tarPath.toString, Some(fixdates))
+    // invalid member skipped, ids keep their case
+    assert(env.count() == 2)
+    Golden.assertSnapshots("chainguard_osv", env)
+  }
+
   test("nvd passthrough envelopes match committed snapshots byte-for-byte") {
     // the vulnerable cpeMatch with versionEndExcluding 1.4.3 gains the
     // in-place fix {version, date, kind} object (`manager.py:341-394`)
@@ -221,9 +281,14 @@ class GoldenSnapshotSpec extends AnyFunSuite {
   // family-specific regression could hide behind identical input
   // bytes — VERDICT r8 item 7).
   test("chainguard envelopes match committed snapshots byte-for-byte") {
+    import spark.implicits._
+    val fixdates = Seq(
+      ("CVE-2023-4911", "glibc", "2.38-r10", "2023-10-03",
+        "first-observed")
+    ).toDF("vuln", "pkg", "version", "date", "kind")
     Golden.assertSnapshots("chainguard",
       SecdbProvider.envelopes(spark, fixture("secdb_chainguard.json"),
-        "chainguard:rolling"))
+        "chainguard:rolling", fixdates = Some(fixdates)))
     val one = java.nio.file.Files.readString(Golden.root.resolve(
       "chainguard/chainguard_rolling/cve-2023-4911.json"))
     assert(one.contains("\"NamespaceName\": \"chainguard:rolling\""))

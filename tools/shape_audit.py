@@ -24,13 +24,17 @@ from pathlib import Path
 REPO = Path("/root/repo/src/test/resources/snapshots")
 REF = Path("/root/reference/tests/unit/providers")
 
-# our family dir -> reference family dir
+# our family dir -> reference snapshot dir (relative to REF); a value of
+# None skips the family; default is <fam>/test-fixtures/snapshots
 FAMILY_MAP = {
-    "ghsa": "github",
-    "oracle_elsa": "oracle",
+    "ghsa": "github/test-fixtures/snapshots",
+    "oracle_elsa": "oracle/test-fixtures/snapshots",
     # our secdb/ dir holds the generic secdb family; the reference's
     # equivalents are the per-distro dirs (wolfi used as representative)
-    "secdb": "wolfi",
+    "secdb": "wolfi/test-fixtures/snapshots",
+    # the reference chainguard provider snapshots both legs side by side
+    "chainguard": "chainguard/test-fixtures/snapshots/secdb",
+    "chainguard_osv": "chainguard/test-fixtures/snapshots/osv",
     # our oracle/ dir is the ksplice-guard OVAL leg exercised against
     # the generic oval fixture; reference oracle is ELSA (mapped above)
     "oracle": None,
@@ -69,6 +73,15 @@ KNOWN: set[tuple[str, str, str]] = {
     ("govulndb", "item.affected[].package.purl", "ours"),
     ("govulndb", "item.credits[].contact", "ours"),
     ("chainguard_libraries", "item.document.products[].@id", "ours"),
+    ("chainguard_osv", "item.database_specific", "ours"),
+    ("chainguard_osv", "item.database_specific.cpes", "ours"),
+    ("chainguard_osv", "item.database_specific.severity", "ours"),
+    ("chainguard_osv", "item.withdrawn", "ours"),
+    ("bitnami", "item.affected[].versions", "ours"),
+    ("bitnami", "item.severity", "ours"),
+    ("bitnami", "item.severity[].score", "ours"),
+    ("bitnami", "item.severity[].type", "ours"),
+    ("bitnami", "item.summary", "ours"),
 }
 
 
@@ -99,10 +112,10 @@ def main():
     failures = 0
     for ours_dir in sorted(REPO.iterdir()):
         fam = ours_dir.name
-        ref_fam = FAMILY_MAP.get(fam, fam)
+        ref_fam = FAMILY_MAP.get(fam, f"{fam}/test-fixtures/snapshots")
         if ref_fam is None:
             continue
-        ref_dir = REF / ref_fam / "test-fixtures" / "snapshots"
+        ref_dir = REF / ref_fam
         if not ref_dir.is_dir():
             print(f"== {fam}: no reference snapshots ({ref_fam}) — skipped")
             continue
