@@ -206,8 +206,19 @@ object OsvProvider {
     * id-keyed re-attach join, both bounded by record count, never by
     * corpus bytes — and the record itself is never round-tripped
     * through a typed schema, so nothing is dropped. */
+  /** @param lookupId the vuln id used for the fix-date lookup — the
+    *   reference's `vuln_id_override` (`utils/osv.py:13-22`, needed
+    *   when the record id is provider-internal like `UBUNTU-CVE-*` but
+    *   the dimension keys by the upstream CVE). Defaults to the record
+    *   id.
+    * @param usnDates optional authoritative fix-ship dimension
+    *   `(ecosystem, pkg, version, date)` — the reference's USN overlay
+    *   (`ubuntu/usn_fixdate_overlay.py`): an accurate=true candidate
+    *   that WINS over the first-observed store, kind "advisory". */
   def patchFixDates(records: DataFrame, fixdates: DataFrame,
-      ecosystemNormalizer: Column => Column = lower(_)): DataFrame = {
+      ecosystemNormalizer: Column => Column = lower(_),
+      lookupId: Column = col("id"),
+      usnDates: Option[DataFrame] = None): DataFrame = {
     val emptyRanges = array().cast(
       "array<struct<events:array<struct<fixed:string>>>>")
     // ONE dimension row per lookup key (fixdater.best returns a single
@@ -221,34 +232,53 @@ object OsvProvider {
       .select(col("fd_vuln"), col("fd_eco"), col("fd_pkg"),
         col("fd_version"), col("best.date").as("fd_date"),
         col("best.kind").as("fd_kind")))
+    val usn = usnDates.map(u => broadcast(u
+      .groupBy(col("ecosystem").as("usn_eco"), col("pkg").as("usn_pkg"),
+        col("version").as("usn_ver"))
+      .agg(min(col("date")).as("usn_date"))))
     val rec = from_json(col("raw"), passthroughProjection)
     val events = records
-      .select(col("id"), rec.getField("published").as("published"),
+      .select(col("id"), lookupId.as("__lid"),
+        rec.getField("published").as("published"),
         posexplode(coalesce(rec.getField("affected"),
           array().cast(passthroughProjection("affected").dataType)))
           .as(Seq("apos", "aff")))
       .filter(col("aff.package.name").isNotNull &&
         col("aff.package.ecosystem").isNotNull)
-      .select(col("id"), col("published"), col("apos"),
+      .select(col("id"), col("__lid"), col("published"), col("apos"),
         col("aff.package.name").as("pkg"),
         ecosystemNormalizer(col("aff.package.ecosystem")).as("eco"),
         posexplode(coalesce(col("aff.ranges"), emptyRanges))
           .as(Seq("rpos", "rng")))
-      .select(col("id"), col("published"), col("apos"), col("rpos"),
-        col("pkg"), col("eco"),
+      .select(col("id"), col("__lid"), col("published"), col("apos"),
+        col("rpos"), col("pkg"), col("eco"),
         posexplode(coalesce(col("rng.events"),
           array().cast("array<struct<fixed:string>>")))
           .as(Seq("epos", "ev")))
       .filter(col("ev.fixed").isNotNull && col("ev.fixed") =!= "")
-    val dated = events
-      .join(fd, col("id") === col("fd_vuln") && col("eco") === col("fd_eco") &&
+    val storeDated = events
+      .join(fd, col("__lid") === col("fd_vuln") &&
+        col("eco") === col("fd_eco") &&
         col("pkg") === col("fd_pkg") && col("ev.fixed") === col("fd_version"),
         "left")
+    val usnDated = usn match {
+      case None => storeDated
+        .withColumn("usn_date", lit(null).cast("string"))
+      case Some(u) => storeDated
+        .join(u, col("eco") === col("usn_eco") &&
+          col("pkg") === col("usn_pkg") && col("ev.fixed") === col("usn_ver"),
+          "left")
+    }
+    val dated = usnDated
       .select(col("id"), col("apos"), col("rpos"), col("epos"),
         col("ev.fixed").as("version"),
-        coalesce(col("fd_date"), substring(col("published"), 1, 10))
-          .as("fix_date"),
-        coalesce(col("fd_kind"), lit("advisory")).as("fix_kind"))
+        // candidate order: USN fix-ship (accurate) > first-observed
+        // store > the record's own published date (weakest fallback)
+        coalesce(col("usn_date"), col("fd_date"),
+          substring(col("published"), 1, 10)).as("fix_date"),
+        when(col("usn_date").isNotNull, lit("advisory"))
+          .otherwise(coalesce(col("fd_kind"), lit("advisory")))
+          .as("fix_kind"))
       .filter(col("fix_date").isNotNull)
     val fixmap = dated
       .groupBy(col("id"), col("apos"), col("rpos"))

@@ -40,6 +40,15 @@ FAMILY_MAP = {
     "oracle": None,
 }
 
+# the reference ubuntu snapshot dir mixes the legacy OS-shape dirs
+# (ubuntu:X.YY, from normalized-cve-data) with the OSV fragment dirs
+# (slugs like ubuntu-22.04-lts): split them between our two legs
+SUBDIR_FILTER = {
+    "ubuntu": lambda d: d.startswith("ubuntu:"),
+    "ubuntu_osv": lambda d: not d.startswith("ubuntu:"),
+}
+FAMILY_MAP["ubuntu_osv"] = "ubuntu/test-fixtures/snapshots"
+
 # (family, path, side) triples that are deliberate, documented
 # divergences: side "ref" = reference-only path we intentionally do not
 # emit; side "ours" = ours-only path the reference lacks.
@@ -98,9 +107,12 @@ def paths(node, prefix=""):
     return out
 
 
-def family_paths(root: Path) -> set:
+def family_paths(root: Path, subdir_ok=None) -> set:
     acc = set()
     for f in root.rglob("*.json"):
+        if subdir_ok is not None and not subdir_ok(
+                f.relative_to(root).parts[0]):
+            continue
         try:
             acc |= paths(json.loads(f.read_text()))
         except Exception as e:  # noqa: BLE001
@@ -120,7 +132,7 @@ def main():
             print(f"== {fam}: no reference snapshots ({ref_fam}) — skipped")
             continue
         ours = family_paths(ours_dir)
-        ref = family_paths(ref_dir)
+        ref = family_paths(ref_dir, SUBDIR_FILTER.get(fam))
         ref_only = {p for p in ref - ours
                     if (fam, p, "ref") not in KNOWN}
         ours_only = {p for p in ours - ref
