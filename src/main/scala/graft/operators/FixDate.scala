@@ -65,12 +65,19 @@ object FixDate {
       rows.withColumn("available_date", lit(null).cast("string"))
         .withColumn("available_kind", lit(null).cast("string"))
     case Some(fd) =>
-      val dim = fd.select(Seq(
-        col("vuln").as("__fd_v"), col("pkg").as("__fd_p"),
-        col("version").as("__fd_ver"),
-        col("date").as("available_date"),
-        col("kind").as("available_kind")) ++
-        ecosystem.map(_ => col("ecosystem").as("__fd_e")): _*)
+      // ONE dimension row per key (the reference's best() returns a
+      // single result): earliest date wins, kind rides the tie-break —
+      // a doubled store row would otherwise duplicate FixedIn entries
+      // after the caller's collect_list
+      val keyCols = Seq(col("vuln").as("__fd_v"), col("pkg").as("__fd_p"),
+        col("version").as("__fd_ver")) ++
+        ecosystem.map(_ => col("ecosystem").as("__fd_e"))
+      val dim = fd
+        .groupBy(keyCols: _*)
+        .agg(min(struct(col("date"), col("kind"))).as("__best"))
+        .withColumn("available_date", col("__best.date"))
+        .withColumn("available_kind", col("__best.kind"))
+        .drop("__best")
       val base = vuln === col("__fd_v") && pkg === col("__fd_p") &&
         version === col("__fd_ver") &&
         !coalesce(version, lit("")).isin("", "0", "None")

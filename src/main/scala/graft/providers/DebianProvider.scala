@@ -182,6 +182,10 @@ object DebianProvider {
               col("f.Version").as("Version"),
               col("f.VersionFormat").as("VersionFormat")).as("f"))))),
             x => x.getField("f")).as("fixed_in"))
+          // byte-faithful passthrough: a record with NO FixedIn key must
+          // keep omitting it — the regroup would otherwise manufacture []
+          .withColumn("fixed_in",
+            when(col("v.FixedIn").isNotNull, col("fixed_in")))
     }
     patched.select(Envelope.assemble(
       concat(col("v.NamespaceName"), lit("/"), lower(col("v.Name"))),

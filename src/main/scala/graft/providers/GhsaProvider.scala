@@ -97,7 +97,11 @@ object GhsaProvider {
           .as("cvss_v4"),
         // the reference SETS cvss_severities (possibly []) whenever the
         // payload carried a cvssSeverities object and omits the key only
-        // when it was absent (`parser.py:690-696`)
+        // when it was absent (`parser.py:690-696`). Known edge: a
+        // literal {} is falsy in the reference (key omitted) but
+        // indistinguishable from {cvssV3: null, cvssV4: null} (truthy,
+        // key set) after the typed parse — the GraphQL API always
+        // returns the sub-keys, so only the latter occurs in practice.
         col("a.cvssSeverities").isNotNull.as("has_cvss_sev"),
         explode(col("a.vulnerabilities.nodes")).as("v"))
       .select(col("ghsa_id"), col("classification"), col("cves"),

@@ -110,12 +110,18 @@ object NvdProvider {
         val fixmap = matches
           .join(dim, col("id") === col("fd_v") && col("cpe") === col("fd_c")
             && col("fixver") === col("fd_ver"), "inner")
+          // re-staged pages can carry one CVE twice (overlapping
+          // lastModified windows): collapse per position key first, or
+          // map_from_entries throws on the duplicate
+          .groupBy(col("id"),
+            key(col("cpos"), col("npos"), col("mpos").cast("long"))
+              .as("key"))
+          .agg(min(struct(col("fd_ver").as("version"),
+            col("fd_date").as("date"),
+            col("fd_kind").as("kind"))).as("value"))
           .groupBy("id")
           .agg(map_from_entries(collect_list(struct(
-            key(col("cpos"), col("npos"), col("mpos").cast("long"))
-              .as("key"),
-            struct(col("fd_ver").as("version"), col("fd_date").as("date"),
-              col("fd_kind").as("kind")).as("value")))).as("fixmap"))
+            col("key"), col("value")))).as("fixmap"))
         // the withField chain applies unconditionally so both map-hit
         // and miss rows share one struct type; a missing entry yields a
         // null fix, dropped by canonical serialization

@@ -255,7 +255,11 @@ object OsvProvider {
         posexplode(coalesce(col("rng.events"),
           array().cast("array<struct<fixed:string>>")))
           .as(Seq("epos", "ev")))
-      .filter(col("ev.fixed").isNotNull && col("ev.fixed") =!= "")
+      // the sentinel rule (`fixdate/finder.py:149-151`): "", "0" and
+      // "None" fix versions never resolve ANY date — not even the
+      // published-date fallback
+      .filter(col("ev.fixed").isNotNull &&
+        !col("ev.fixed").isin("", "0", "None"))
     val storeDated = events
       .join(fd, col("__lid") === col("fd_vuln") &&
         col("eco") === col("fd_eco") &&
@@ -269,14 +273,19 @@ object OsvProvider {
           col("pkg") === col("usn_pkg") && col("ev.fixed") === col("usn_ver"),
           "left")
     }
+    // candidate order mirrors finder.py:170-202: the USN fix-ship date
+    // (accurate) wins UNLESS it post-dates the store's first-observed
+    // date — an accurate first-observed discards later candidates —
+    // then the store, then the record's own published date (weakest)
+    val usnWins = col("usn_date").isNotNull &&
+      (col("fd_date").isNull || col("usn_date") <= col("fd_date"))
     val dated = usnDated
       .select(col("id"), col("apos"), col("rpos"), col("epos"),
         col("ev.fixed").as("version"),
-        // candidate order: USN fix-ship (accurate) > first-observed
-        // store > the record's own published date (weakest fallback)
-        coalesce(col("usn_date"), col("fd_date"),
-          substring(col("published"), 1, 10)).as("fix_date"),
-        when(col("usn_date").isNotNull, lit("advisory"))
+        when(usnWins, col("usn_date"))
+          .otherwise(coalesce(col("fd_date"),
+            substring(col("published"), 1, 10))).as("fix_date"),
+        when(usnWins, lit("advisory"))
           .otherwise(coalesce(col("fd_kind"), lit("advisory")))
           .as("fix_kind"))
       .filter(col("fix_date").isNotNull)

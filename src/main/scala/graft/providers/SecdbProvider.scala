@@ -26,12 +26,15 @@ object SecdbProvider {
   /** Split an apk version into (dot parts, -rN revision); a non-numeric
     * -r suffix parses as revision 0 (`secureos/parser.py:162-177`). */
   private def apkParts(v: String): (Seq[String], Int) = {
+    // remaining dashes become part separators before the dot split
+    // (`parser.py:181` version_str.replace("-", ".").split("."))
+    def split(base: String) = base.replace("-", ".").split("\\.").toSeq
     val i = if (v == null) -1 else v.lastIndexOf("-r")
-    if (i < 0) (Option(v).getOrElse("").split("\\.").toSeq, 0)
+    if (i < 0) (split(Option(v).getOrElse("")), 0)
     else {
       val r = v.substring(i + 2)
       val rev = if (r.nonEmpty && r.forall(_.isDigit)) r.toInt else 0
-      (v.substring(0, i).split("\\.").toSeq, rev)
+      (split(v.substring(0, i)), rev)
     }
   }
 

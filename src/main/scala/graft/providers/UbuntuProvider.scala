@@ -195,15 +195,19 @@ object UbuntuProvider {
     val rangesOut = array(buildStruct(rangeT, Map(
       "type" -> lit("ECOSYSTEM"),
       "events" -> array(buildStruct(eventT, Map("introduced" -> lit("0")))))))
+    // the reference ALWAYS emits ecosystem_specific on a synthesized
+    // entry — {} when the template had no binaries (`parser.py:141-158`,
+    // reference snapshot ubuntu-14.04-lts carries the bare {})
     val ecoSpec =
       if (!affUp.fieldNames.contains("ecosystem_specific")) Map.empty[String, Column]
       else {
         val esT = affUp("ecosystem_specific").dataType.asInstanceOf[StructType]
-        if (!esT.fieldNames.contains("binaries")) Map.empty[String, Column]
-        else Map("ecosystem_specific" -> when(
-          aff.getField("ecosystem_specific").getField("binaries").isNotNull,
-          buildStruct(esT, Map("binaries" ->
-            aff.getField("ecosystem_specific").getField("binaries")))))
+        val binaries =
+          if (esT.fieldNames.contains("binaries"))
+            Map("binaries" -> aff.getField("ecosystem_specific")
+              .getField("binaries"))
+          else Map.empty[String, Column]
+        Map("ecosystem_specific" -> buildStruct(esT, binaries))
       }
     val dbUp = affUp("database_specific").dataType.asInstanceOf[StructType]
     val anchoreUp = dbUp("anchore").dataType.asInstanceOf[StructType]

@@ -173,5 +173,8 @@ class ProviderSpec extends AnyFunSuite {
     assert(compareApk("1.2b", "1.2a") > 0)            // strings lexical
     assert(compareApk("8.5.0-r2", "8.5.0-r2") == 0)
     assert(compareApk("1.2-rc1", "1.2-r3") < 0)       // bad rev parses 0
+    // dashes inside the version are part separators, not suffixes
+    // (`parser.py:181` replace("-", ".") before the split)
+    assert(compareApk("1.9-r1", "1.10-alpha-r2") < 0)
   }
 }
