@@ -23,7 +23,10 @@ object Registry {
     Spec("amazon", "amazon", "rss+html", Set("os")),
     Spec("arch", "arch", "tracker-json", Set("os")),
     Spec("bitnami", "osv", "git:osv-json", Set("application", "osv")),
-    Spec("chainguard", "secdb", "secdb-json", Set("os")),
+    // chainguard flips between the secdb and OSV parsers by config
+    // (`providers/chainguard/__init__.py:50-70` use_osv); the OSV leg
+    // is `providers/ChainguardProvider`, same registered name
+    Spec("chainguard", "secdb", "secdb-json|tar:osv-json", Set("os")),
     Spec("chainguard_libraries", "openvex", "openvex-json", Set("application")),
     Spec("debian", "debian", "tracker-json+dsa", Set("os")),
     Spec("echo", "echo", "pkg-cve-map-json", Set("os")),
@@ -40,6 +43,8 @@ object Registry {
     Spec("rocky", "osv", "osv-json", Set("os", "osv")),
     Spec("secureos", "secdb", "secdb-json", Set("os")),
     Spec("sles", "oval", "oval-xml", Set("os")),
+    // the OSV-native default emission is `providers/UbuntuProvider`;
+    // the OS-schema downconvert compatibility leg stays in OsvProvider
     Spec("ubuntu", "osv", "tar:osv-json+vex", Set("os", "osv")),
     Spec("wolfi", "secdb", "secdb-json", Set("os")),
     // auxiliary decorators
