@@ -369,4 +369,27 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert("Scan parquet".r.findAllIn(p).length == 1,
       s"gate must read docs exactly once:\n$p")
   }
+
+  test("ubuntu OSV flow: the VEX and fix-date dimensions broadcast — " +
+      "no sort-merge join against a dimension") {
+    import spark.implicits._
+    val recs = graft.providers.UbuntuProvider.records(spark,
+      getClass.getResource("/fixtures/ubuntu_osv").getPath)
+    val vex = spark.read.option("multiLine", "true")
+      .json(getClass.getResource("/fixtures/ubuntu_vex.json").getPath)
+    val fd = Seq(("CVE-2023-1111", "Ubuntu:22.04:LTS", "openssl",
+      "3.0.2-0ubuntu1.9", "2023-05-09", "first-observed"))
+      .toDF("vuln_id", "ecosystem", "pkg", "version", "date", "kind")
+    val usn = graft.providers.UbuntuProvider.usnFixDates(
+      spark.read.option("multiLine", "true")
+        .json(getClass.getResource("/fixtures/ubuntu_usn.json").getPath))
+    val p = graft.providers.UbuntuProvider
+      .envelopes(recs, Some(vex), Some(fd), Some(usn))
+      .queryExecution.executedPlan.toString
+    // dimensions (VEX wont-fix triples, first-observed store, USN
+    // dates) must ride broadcast joins; the only shuffles are keyed by
+    // record id (slicing regroup, inference window, fix-map fold)
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3,
+      s"expected the three dimension joins to broadcast:\n$p")
+  }
 }
