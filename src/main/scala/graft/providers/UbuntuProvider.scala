@@ -384,4 +384,16 @@ object UbuntuProvider {
     spark.read.option("multiLine", "true").json(path)
       .select(struct(col("*")).as("rec"))
       .filter(col("rec.id").isNotNull)
+
+  /** K4's ubuntu lifecycle (`parser.py:307-373` + the README's freeze
+    * strategy): fragments partition by ecosystem slug, and a run
+    * replaces ONLY the ecosystems present in today's feed — releases
+    * that have gone EOL and dropped out of the tarball keep their last
+    * known fragment indefinitely. Dynamic partition overwrite is
+    * exactly that contract. */
+  def writeFragments(envelopes: DataFrame, destDir: String): Unit =
+    graft.sinks.ResultStore.writeFragments(
+      envelopes.withColumn("eco_slug",
+        substring_index(col("identifier"), "/", 1)),
+      destDir, "eco_slug")
 }

@@ -544,6 +544,53 @@ object ScaleStress {
       println(f"$copies%8d $nScored%9d $tTrain%8.1f $tScore%8.1f $nKept%9d")
       labeled.unpersist(); scored.unpersist()
     }
+
+    // Round-9 ubuntu OSV-flow drill: record count is the scaling axis
+    // (dimensions broadcast regardless). Synthetic Canonical-shaped
+    // records — every 5th is Pro-only (synthetic-envelope path), the
+    // rest exercise base + Pro-append inference; one store row and one
+    // USN row keep both fix-date joins live. Expect ~linear wall: the
+    // only shuffles are keyed by record id.
+    println(f"\n${"records"}%9s ${"envelopes"}%10s ${"t_flow"}%8s")
+    for (n <- Seq(2000L, 2000L * maxScale)
+        if which == "all" || which == "ubuntu") {
+      import spark.implicits._
+      def ev(intro: String, fixed: String) = struct(
+        (if (intro == null) lit(null).cast("string") else lit(intro))
+          .as("introduced"),
+        (if (fixed == null) lit(null).cast("string") else lit(fixed))
+          .as("fixed"))
+      def aff(eco: String, pkg: String, distro: String, fix: String) =
+        struct(
+          struct(lit(eco).as("ecosystem"), lit(pkg).as("name"),
+            lit(s"pkg:deb/ubuntu/$pkg@$fix?arch=source&distro=$distro")
+              .as("purl")).as("package"),
+          array(struct(lit("ECOSYSTEM").as("type"),
+            array(ev("0", null), ev(null, fix)).as("events")))
+            .as("ranges"))
+      val recs = spark.range(n).select(struct(
+        concat(lit("UBUNTU-CVE-2024-"), col("id")).as("id"),
+        lit("1.7.0").as("schema_version"),
+        lit("2024-01-01T00:00:00Z").as("published"),
+        array(concat(lit("CVE-2024-"), col("id"))).as("upstream"),
+        filter(array(
+          when(col("id") % 5 =!= 0,
+            aff("Ubuntu:22.04:LTS", "pkga", "jammy", "1.2-3")),
+          aff("Ubuntu:Pro:22.04:LTS", "pkgb", "esm-infra/jammy",
+            "9.9+esm1")),
+          x => x.isNotNull).as("affected")).as("rec"))
+      val fd = Seq(("CVE-2024-1", "Ubuntu:22.04:LTS", "pkga", "1.2-3",
+        "2024-02-01", "first-observed"))
+        .toDF("vuln_id", "ecosystem", "pkg", "version", "date", "kind")
+      val usnDim = Seq(("Ubuntu:Pro:22.04:LTS", "pkgb", "9.9+esm1",
+        "2024-03-01")).toDF("ecosystem", "pkg", "version", "date")
+      var cnt = 0L
+      val tFlow = timed {
+        cnt = graft.providers.UbuntuProvider
+          .envelopes(recs, None, Some(fd), Some(usnDim)).count()
+      }
+      println(f"$n%9d $cnt%10d $tFlow%8.1f")
+    }
     spark.stop()
   }
 }

@@ -109,4 +109,23 @@ class UbuntuOsvSpec extends AnyFunSuite {
   test("golden snapshots byte-match") {
     Golden.assertSnapshots("ubuntu_osv", env)
   }
+
+  test("fragment freeze (K4): a run without an ecosystem leaves its " +
+      "last fragment untouched") {
+    val dir = java.nio.file.Files.createTempDirectory("ubuntu_frag")
+      .toString
+    UbuntuProvider.writeFragments(env, dir)
+    val full = spark.read.parquet(dir).count()
+    // second run: a feed where 16.04 has gone EOL (only the 2023-1111
+    // record remains) — its fragments must survive the rewrite
+    val survivors = UbuntuProvider.envelopes(
+      recs.filter(col("rec.id") === "UBUNTU-CVE-2023-1111"), Some(vex))
+    UbuntuProvider.writeFragments(survivors, dir)
+    val after = spark.read.parquet(dir)
+    assert(after.count() == full)
+    val ecos = after.select("eco_slug").distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(ecos.contains("ubuntu-16.04-lts") &&
+      ecos.contains("ubuntu-pro-16.04-lts"), s"frozen EOL lost: $ecos")
+  }
 }
