@@ -27,12 +27,15 @@ object ChainguardProvider {
   val release = "rolling"
 
   /** One (id, raw) row per valid tar member; `raw` is the
-    * canonicalized record so emission is byte-stable. */
+    * canonicalized record so emission is byte-stable. The CGA gate
+    * matches the FULL member name minus `.json` (`parser.py:297-303`
+    * `_cga_id_re.match(n.removesuffix(".json"))`) — a nested
+    * `sub/CGA-….json` member is skipped, exactly as the reference
+    * skips-with-warning. */
   def records(spark: SparkSession, tarPath: String): DataFrame =
     Sources.tarMembers(spark, tarPath, "*.json")
       .filter(regexp_extract(
-        regexp_replace(element_at(split(col("member"), "/"), -1),
-          "\\.json$", ""), cgaId, 0) =!= "")
+        regexp_replace(col("member"), "\\.json$", ""), cgaId, 0) =!= "")
       .select(explode(
         graft.plans.JsonExpressions.json_records(col("content"))).as("raw"))
       .select(get_json_object(col("raw"), "$.id").as("id"), col("raw"))

@@ -90,10 +90,13 @@ object NvdProvider {
           .agg(min(struct(col("date"), col("kind"))).as("b"))
           .select(col("fd_v"), col("fd_c"), col("fd_ver"),
             col("b.date").as("fd_date"), col("b.kind").as("fd_kind")))
+        // 1e6 stride per level: a config with up to a million nodes or
+        // a node with a million cpeMatches keys uniquely (a pathological
+        // record beyond that would collide, but NVD configs carry tens)
         def key(c: org.apache.spark.sql.Column,
             n: org.apache.spark.sql.Column,
             m: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-          c.cast("long") * 10000000000L + n.cast("long") * 100000000L + m
+          c.cast("long") * 1000000000000L + n.cast("long") * 1000000L + m
         val matches = raw
           .select(col("cve.id").as("id"),
             posexplode(col("cve.configurations")).as(Seq("cpos", "c")))

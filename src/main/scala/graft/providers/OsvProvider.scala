@@ -214,7 +214,10 @@ object OsvProvider {
     * @param usnDates optional authoritative fix-ship dimension
     *   `(ecosystem, pkg, version, date)` — the reference's USN overlay
     *   (`ubuntu/usn_fixdate_overlay.py`): an accurate=true candidate
-    *   that WINS over the first-observed store, kind "advisory". */
+    *   preferred by `finder.best()`, kind "advisory". The fixdates
+    *   dimension itself may carry an optional boolean `accurate`
+    *   column (finder.Result.accurate); rows without it are treated as
+    *   accurate first-observed dates. */
   def patchFixDates(records: DataFrame, fixdates: DataFrame,
       ecosystemNormalizer: Column => Column = lower(_),
       lookupId: Column = col("id"),
@@ -224,14 +227,24 @@ object OsvProvider {
     // ONE dimension row per lookup key (fixdater.best returns a single
     // result): earliest date wins, kind riding along in the tie-break —
     // a doubled store row would otherwise produce duplicate fixes
-    // entries for one event
+    // entries for one event. The optional boolean `accurate` column
+    // mirrors finder.Result.accurate (`grype_db_first_observed.py:386`
+    // flags epoch-1 rows inaccurate; `vunnel_first_observed.py:175` is
+    // always accurate); a dimension without the column is all-accurate.
+    val fdAcc: Column =
+      if (fixdates.columns.contains("accurate"))
+        coalesce(col("accurate"), lit(true))
+      else lit(true)
     val fd = broadcast(fixdates
       .groupBy(col("vuln_id").as("fd_vuln"), col("ecosystem").as("fd_eco"),
         col("pkg").as("fd_pkg"), col("version").as("fd_version"))
-      .agg(min(struct(col("date"), col("kind"))).as("best"))
+      .agg(min(when(fdAcc, struct(col("date"), col("kind")))).as("best"),
+        min(when(!fdAcc, struct(col("date"), col("kind")))).as("bestIn"))
       .select(col("fd_vuln"), col("fd_eco"), col("fd_pkg"),
         col("fd_version"), col("best.date").as("fd_date"),
-        col("best.kind").as("fd_kind")))
+        col("best.kind").as("fd_kind"),
+        col("bestIn.date").as("fdi_date"),
+        col("bestIn.kind").as("fdi_kind")))
     val usn = usnDates.map(u => broadcast(u
       .groupBy(col("ecosystem").as("usn_eco"), col("pkg").as("usn_pkg"),
         col("version").as("usn_ver"))
@@ -273,21 +286,36 @@ object OsvProvider {
           col("pkg") === col("usn_pkg") && col("ev.fixed") === col("usn_ver"),
           "left")
     }
-    // candidate order mirrors finder.py:170-202: the USN fix-ship date
-    // (accurate) wins UNLESS it post-dates the store's first-observed
-    // date — an accurate first-observed discards later candidates —
-    // then the store, then the record's own published date (weakest)
-    val usnWins = col("usn_date").isNotNull &&
-      (col("fd_date").isNull || col("usn_date") <= col("fd_date"))
+    // finder.best() (`tool/fixdate/finder.py:138-204`): the candidate
+    // list is [accurate extra candidates (USN, `usn_fixdate_overlay.py:
+    // 146-161`), inaccurate candidates (the record's published date,
+    // `utils/osv.py:76-85`)]. An ACCURATE first-observed store date caps
+    // them — candidates dated after it are discarded, the earliest
+    // surviving candidate wins, and the store date itself is the
+    // fallback (`finder.py:180-194`). With no accurate store date the
+    // candidates win outright, an INACCURATE store date is the last
+    // resort (`finder.py:196-201`).
+    val pub = nullif(substring(col("published"), 1, 10), lit(""))
+    val usnD = col("usn_date")
+    val adv = lit("advisory")
+    val fixPick =
+      when(col("fd_date").isNotNull,
+        when(usnD.isNotNull && usnD <= col("fd_date"),
+          struct(usnD.as("d"), adv.as("k")))
+          .when(pub.isNotNull && pub <= col("fd_date"),
+            struct(pub.as("d"), adv.as("k")))
+          .otherwise(struct(col("fd_date").as("d"),
+            col("fd_kind").as("k"))))
+        .otherwise(
+          when(usnD.isNotNull, struct(usnD.as("d"), adv.as("k")))
+            .when(pub.isNotNull, struct(pub.as("d"), adv.as("k")))
+            .when(col("fdi_date").isNotNull,
+              struct(col("fdi_date").as("d"), col("fdi_kind").as("k"))))
     val dated = usnDated
       .select(col("id"), col("apos"), col("rpos"), col("epos"),
         col("ev.fixed").as("version"),
-        when(usnWins, col("usn_date"))
-          .otherwise(coalesce(col("fd_date"),
-            substring(col("published"), 1, 10))).as("fix_date"),
-        when(usnWins, lit("advisory"))
-          .otherwise(coalesce(col("fd_kind"), lit("advisory")))
-          .as("fix_kind"))
+        fixPick.getField("d").as("fix_date"),
+        fixPick.getField("k").as("fix_kind"))
       .filter(col("fix_date").isNotNull)
     val fixmap = dated
       .groupBy(col("id"), col("apos"), col("rpos"))

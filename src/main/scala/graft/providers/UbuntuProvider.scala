@@ -259,12 +259,18 @@ object UbuntuProvider {
           "left_outer")
           .drop("wf_cve", "wf_distro", "wf_pkg")
     }
-    stamped
+    // regroup ONLY the slim slice rows (id, eco, pos, entry) — the
+    // record must not ride the exchange once per affected entry — then
+    // join the folded slices back to the distinct records by id, so the
+    // full record crosses the wire exactly once however many ecosystems
+    // it spans (ids are unique: the feed is one file per CVE)
+    val slices = stamped
       .withColumn("aff2", rebuildAff(col("aff"), affT, affUp,
         col("wf_hit"), lit(null).cast(inferenceType)))
-      .groupBy(col("rec"), col("eco"))
+      .groupBy(col("rec.id").as("rid"), col("eco"))
       .agg(transform(array_sort(collect_list(struct(col("pos"),
         col("aff2").as("a")))), x => x.getField("a")).as("affs"))
+    records.join(slices, col("rec.id") === col("rid"))
       .select(col("eco"),
         col("rec").withField("affected", col("affs")).as("rec"))
   }
@@ -356,15 +362,7 @@ object UbuntuProvider {
       case None if usnDates.isEmpty => raw
       case _ =>
         OsvProvider.patchFixDates(raw,
-          fixdates.getOrElse(raw.sparkSession.emptyDataFrame
-            .sparkSession.createDataFrame(
-              new java.util.ArrayList[org.apache.spark.sql.Row](),
-              StructType(Seq(StructField("vuln_id", StringType),
-                StructField("ecosystem", StringType),
-                StructField("pkg", StringType),
-                StructField("version", StringType),
-                StructField("date", StringType),
-                StructField("kind", StringType))))),
+          fixdates.getOrElse(emptyFixdates(raw.sparkSession)),
           ecosystemNormalizer = e => e,
           lookupId = coalesce(
             get_json_object(col("raw"), "$.upstream[0]"),
@@ -376,6 +374,19 @@ object UbuntuProvider {
       Envelope.osvSchemaCol(col("sv")).as("schema"),
       col("raw").as("item"))
   }
+
+  /** The empty first-observed dimension, used when only the USN overlay
+    * is supplied — schema matches [[OsvProvider.patchFixDates]]'s
+    * `fixdates` contract. */
+  def emptyFixdates(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("vuln_id", StringType),
+        StructField("ecosystem", StringType),
+        StructField("pkg", StringType),
+        StructField("version", StringType),
+        StructField("date", StringType),
+        StructField("kind", StringType))))
 
   /** Read Canonical OSV CVE records (a directory/glob of JSON files or
     * the staged tar's extracted members) with full schema inference —

@@ -201,9 +201,12 @@ class GoldenSnapshotSpec extends AnyFunSuite {
       "byte-for-byte") {
     import graft.providers.OsvProvider
     val recs = OsvProvider.readPassthrough(spark, fixture("rocky_osv.json"))
+    // store date BEFORE the record's 2023-08-08 published date: the
+    // published candidate fails best()'s <= cap, so the accurate
+    // first-observed date itself wins for rocky:8
     val fixdates = Seq(
       ("RLSA-2023:4523", "rocky:8", "open-vm-tools", "12.1.5-2.el8_8.3",
-        "2023-08-10", "first-observed")
+        "2023-08-07", "first-observed")
     ).toDF("vuln_id", "ecosystem", "pkg", "version", "date", "kind")
     Golden.assertSnapshots("rocky", OsvProvider.passthroughEnvelopes(
       recs, fixdates, OsvProvider.rockyEcosystem))
@@ -224,7 +227,7 @@ class GoldenSnapshotSpec extends AnyFunSuite {
         .get("anchore").get("fixes").get(0)
       bound(eco) = (fix.get("date").asText(), fix.get("kind").asText())
     }
-    assert(bound("Rocky Linux:8") == (("2023-08-10", "first-observed")),
+    assert(bound("Rocky Linux:8") == (("2023-08-07", "first-observed")),
       s"rocky:8 must carry the accurate store date, got $bound")
     assert(bound("Rocky Linux:9") == (("2023-08-08", "advisory")),
       s"rocky:9 must fall back to the advisory date, got $bound")
@@ -260,9 +263,11 @@ class GoldenSnapshotSpec extends AnyFunSuite {
     import graft.providers.OsvProvider
     val recs = OsvProvider.readPassthrough(spark,
       fixture("bitnami_osv.json"))
+    // store date BEFORE the record's 2023-10-18 published date so the
+    // accurate first-observed date survives best()'s candidate cap
     val fixdates = Seq(
       ("BIT-redis-2023-45145", "bitnami", "redis", "7.2.2",
-        "2023-10-19", "first-observed")
+        "2023-10-17", "first-observed")
     ).toDF("vuln_id", "ecosystem", "pkg", "version", "date", "kind")
     Golden.assertSnapshots("bitnami",
       OsvProvider.passthroughEnvelopes(recs, fixdates))
@@ -270,7 +275,7 @@ class GoldenSnapshotSpec extends AnyFunSuite {
     val redis = java.nio.file.Files.readString(
       Golden.root.resolve("bitnami/bit-redis-2023-45145.json"))
     assert(redis.contains("\"7.2.0\"") &&
-      redis.contains("\"date\": \"2023-10-19\""))
+      redis.contains("\"date\": \"2023-10-17\""))
   }
 
   // The secdb VARIANTS are config-differentiated runs of the same

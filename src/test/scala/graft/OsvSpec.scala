@@ -149,6 +149,48 @@ class OsvSpec extends AnyFunSuite {
     assert(!p2.contains("anchore"))
   }
 
+  test("patchFixDates reproduces finder.best(): an accurate store date " +
+      "caps candidates, published wins under the cap, an inaccurate " +
+      "store date is the last resort") {
+    def affected(pkg: String) =
+      s"""{"package":{"ecosystem":"Go","name":"$pkg"},
+         |"ranges":[{"type":"SEMVER",
+         |"events":[{"introduced":"0"},{"fixed":"1.0.0"}]}]}"""
+        .stripMargin.replace("\n", "")
+    val records = Seq(
+      ("Y-1", s"""{"id":"Y-1","published":"2024-01-10T00:00:00Z",""" +
+        s""""affected":[${affected("pA")},${affected("pB")},""" +
+        s"""${affected("pC")}]}"""),
+      ("Y-2", s"""{"id":"Y-2","affected":[${affected("pD")}]}"""))
+      .toDF("id", "raw")
+    val fixdates = Seq(
+      // accurate store BEFORE published: cap discards published → store
+      ("Y-1", "go", "pA", "1.0.0", "2024-01-05", "first-observed", true),
+      // accurate store AFTER published: published passes the cap → wins
+      ("Y-1", "go", "pB", "1.0.0", "2024-01-20", "first-observed", true),
+      // INACCURATE store: candidates win outright even though earlier
+      ("Y-1", "go", "pC", "1.0.0", "2024-01-01", "first-observed", false),
+      // inaccurate store, record has no published date: last resort
+      ("Y-2", "go", "pD", "1.0.0", "2024-01-01", "first-observed", false))
+      .toDF("vuln_id", "ecosystem", "pkg", "version", "date", "kind",
+        "accurate")
+    val out = OsvProvider.patchFixDates(records, fixdates).collect()
+      .map(r => r.getAs[String]("id") -> r.getAs[String]("raw")).toMap
+    def fix(raw: String, pkg: String): String = {
+      val seg = raw.substring(raw.indexOf(s""""$pkg""""))
+      seg.substring(seg.indexOf("\"fixes\""),
+        seg.indexOf("]", seg.indexOf("\"fixes\"")) + 1)
+    }
+    assert(fix(out("Y-1"), "pA").contains(
+      "\"date\":\"2024-01-05\",\"kind\":\"first-observed\""))
+    assert(fix(out("Y-1"), "pB").contains(
+      "\"date\":\"2024-01-10\",\"kind\":\"advisory\""))
+    assert(fix(out("Y-1"), "pC").contains(
+      "\"date\":\"2024-01-10\",\"kind\":\"advisory\""))
+    assert(fix(out("Y-2"), "pD").contains(
+      "\"date\":\"2024-01-01\",\"kind\":\"first-observed\""))
+  }
+
   test("passthrough envelopes skip records with an incompatible " +
       "schema major version") {
     val records = Seq(

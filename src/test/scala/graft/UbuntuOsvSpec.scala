@@ -26,7 +26,7 @@ class UbuntuOsvSpec extends AnyFunSuite {
       ("CVE-2023-1111", "Ubuntu:22.04:LTS", "openssl",
         "3.0.2-0ubuntu1.9", "2023-05-09", "first-observed"),
       ("CVE-2023-5555", "Ubuntu:Pro:16.04:LTS", "libarchive",
-        "3.1.2-11ubuntu0.16.04.8+esm2", "2023-06-15", "first-observed")
+        "3.1.2-11ubuntu0.16.04.8+esm2", "2023-05-20", "first-observed")
     ).toDF("vuln_id", "ecosystem", "pkg", "version", "date", "kind")),
     usnDates = Some(usn)).cache()
 
@@ -99,10 +99,12 @@ class UbuntuOsvSpec extends AnyFunSuite {
     // the Pro slice's esm fix tuple also matches its USN row
     val pro = item("ubuntu-pro-22.04-lts/ubuntu-cve-2023-1111")
     assert(pro.contains("\"date\":\"2023-03-20\""))
-    // store-only tuple (no USN coverage) falls back to first-observed —
-    // proves the lookup keys by upstream CVE, not the UBUNTU-CVE id
+    // store-only tuple (no USN coverage, store date BEFORE the record's
+    // published date so the published candidate fails best()'s <= cap)
+    // falls back to first-observed — proves the lookup keys by upstream
+    // CVE, not the UBUNTU-CVE id
     val xenial = item("ubuntu-pro-16.04-lts/ubuntu-cve-2023-5555")
-    assert(xenial.contains("\"date\":\"2023-06-15\"") &&
+    assert(xenial.contains("\"date\":\"2023-05-20\"") &&
       xenial.contains("\"kind\":\"first-observed\""))
   }
 
