@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench's contended-outlier rule (`Bench.contendedOutliers`):
+  * driver artifacts in r8 (3 queries) and r9 (4 queries) carried 3-11×
+  * phantom readings that all reproduced at neighborhood-normal times in
+  * isolation — sustained machine contention that min-of-two timed runs
+  * cannot defeat. The rule flags a query whose warm time exceeds 2.5×
+  * the median of its 10-query alphabetical neighborhood for an
+  * end-of-pass re-measure. */
+class BenchSelfCorrectSpec extends AnyFunSuite {
+
+  private def uniform(n: Int, t: Double): Seq[(String, Double)] =
+    (0 until n).map(i => (f"q_$i%03d", t))
+
+  test("a 3x spike over a uniform neighborhood is flagged") {
+    val timings = uniform(30, 0.5).updated(14, ("q_014", 1.6))
+    assert(Bench.contendedOutliers(timings) == Set("q_014"))
+  }
+
+  test("r9's actual driver artifact shape: four contended phantoms " +
+      "flagged, the genuinely expensive queries are not") {
+    // modeled on BENCH_full_r10.json: ~0.5s neighborhood, 1.5-2.9s
+    // phantoms (isolated reproductions 0.42-0.65s), plus a real 2.3s
+    // classifier query sitting in a neighborhood of other 1.4-2.4s
+    // heavy queries
+    val base = uniform(40, 0.5)
+    val withPhantoms = base
+      .updated(5, ("q_005", 2.86)) // q_rpm_cmp_native's 4.5x reading
+      .updated(17, ("q_017", 1.95))
+      .updated(29, ("q_029", 1.61))
+    // a heavy-but-real block: neighbors are also expensive, so the
+    // neighborhood median rises and nothing in the block is flagged
+    val heavyBlock = withPhantoms ++ Seq(
+      ("q_h00", 2.30), ("q_h01", 1.50), ("q_h02", 1.40), ("q_h03", 2.40),
+      ("q_h04", 1.45), ("q_h05", 1.80), ("q_h06", 1.60), ("q_h07", 2.10),
+      ("q_h08", 1.55), ("q_h09", 1.90))
+    val flagged = Bench.contendedOutliers(heavyBlock)
+    assert(Set("q_005", "q_017", "q_029").subsetOf(flagged))
+    // interior heavy queries (neighborhood is itself heavy) are not
+    // flagged — only the block-boundary query may pick up a harmless
+    // extra re-measure from its half-cheap neighborhood
+    assert((flagged & Set("q_h03", "q_h05", "q_h07", "q_h09")).isEmpty)
+  }
+
+  test("edge windows clamp instead of shrinking: first and last " +
+      "queries still compare against a full 10-wide neighborhood") {
+    val first = uniform(20, 0.4).updated(0, ("q_000", 1.5))
+    assert(Bench.contendedOutliers(first) == Set("q_000"))
+    val last = uniform(20, 0.4).updated(19, ("q_019", 1.5))
+    assert(Bench.contendedOutliers(last) == Set("q_019"))
+  }
+
+  test("sub-noise timings never flag each other (50ms median floor)") {
+    // 10ms neighborhood with one 40ms query: 4x the median but under
+    // the floor x factor
+    val tiny = uniform(15, 0.01).updated(7, ("q_007", 0.04))
+    assert(Bench.contendedOutliers(tiny).isEmpty)
+  }
+
+  test("tiny suites are left alone") {
+    assert(Bench.contendedOutliers(Seq(("a", 0.1), ("b", 9.9))).isEmpty)
+  }
+}
