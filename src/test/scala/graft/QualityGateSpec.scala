@@ -195,9 +195,9 @@ class QualityGateSpec extends AnyFunSuite {
   // ---- breadth: the remaining OS-schema families the reference gates
   // (`tests/quality/config.yaml` providers list — amazon, arch, fedora,
   // mariner, photon, echo, oracle, and the wolfi/chainguard/minimos/
-  // secureos secdb variants). OSV-passthrough families (alma, rocky,
-  // govulndb, bitnami) emit OSV-shaped items the OS-schema gate can't
-  // parse; their fidelity check is the byte-golden snapshots. ----
+  // secureos secdb variants). OSV-passthrough (alma), NVD, and the VEX
+  // legs (hummingbird, chainguard-libraries) gate through their own
+  // shape-specific rules further down (r10). ----
 
   private def fx(name: String): String =
     getClass.getResource(s"/fixtures/$name").getPath
@@ -383,6 +383,125 @@ class QualityGateSpec extends AnyFunSuite {
       ("lodash", "4.17.20", "CVE-2023-7777", "github:python"))
       .toDF("pkg", "version", "expected_vuln", "namespace")
     assert(QualityGate.falseNegativesGhsa(ghsaEnv, wrongNs).count() == 1)
+  }
+
+  // ---- r10: the final four reference-gated families (config.yaml
+  // providers nvd/alma/hummingbird/chainguard-libraries), each through
+  // the gate matching its emitted shape. ----
+
+  test("nvd: cpe labels match version ranges, and the fix enrichment " +
+      "is load-bearing (0 false negatives)") {
+    import graft.providers.NvdProvider
+    val fixdates = Seq(
+      ("CVE-2023-1234", "cpe:2.3:a:vendor:product:*:*:*:*:*:*:*:*",
+        "1.4.3", "2023-05-15", "first-observed")
+    ).toDF("vuln", "cpe", "version", "date", "kind")
+    val env = NvdProvider.envelopes(spark, fx("nvd_page.json"),
+      Some(fixdates))
+    val labels = Seq(
+      // inside [1.0.0, 1.4.3), and the label demands the enriched fix
+      // date — it can only pass if F19's in-place cpeMatch rebuild
+      // attached {version, date, kind} to the RIGHT match
+      ("cpe:2.3:a:vendor:product", "1.2.0", "CVE-2023-1234",
+        Some("2023-05-15")),
+      // start bound is inclusive
+      ("cpe:2.3:a:vendor:product", "1.0.0", "CVE-2023-1234",
+        Some("2023-05-15")),
+      // bound-less criteria with version *: any installed version
+      ("cpe:2.3:a:other:lib", "99.0", "CVE-2023-5678", None)
+    ).toDF("cpe", "version", "expected_vuln", "expected_fix_date")
+    QualityGate.assertNoFalseNegativesNvd(env, labels)
+    // boundary / vulnerable-flag / enrichment misses are itemized
+    val misses = Seq(
+      ("cpe:2.3:a:vendor:product", "1.4.3", "CVE-2023-1234", None),
+      ("cpe:2.3:a:vendor:product", "0.9.9", "CVE-2023-1234", None),
+      // the os row is vulnerable:false — its range must not satisfy
+      ("cpe:2.3:o:vendor:os", "9.0", "CVE-2023-1234", None),
+      // right range, wrong expected fix date: enrichment is checked,
+      // not just presence
+      ("cpe:2.3:a:vendor:product", "1.2.0", "CVE-2023-1234",
+        Some("1999-01-01")),
+      // a record with no configurations at all
+      ("cpe:2.3:a:any:thing", "1.0", "CVE-2023-9999", None)
+    ).toDF("cpe", "version", "expected_vuln", "expected_fix_date")
+    assert(QualityGate.falseNegativesNvd(env, misses).count() == 5)
+    // WITHOUT the fixdates dimension the dated label is a false
+    // negative — the gate exercises the enrichment end-to-end, not the
+    // raw parse
+    val unenriched = NvdProvider.envelopes(spark, fx("nvd_page.json"))
+    val dated = Seq(("cpe:2.3:a:vendor:product", "1.2.0",
+      "CVE-2023-1234", Some("2023-05-15")))
+      .toDF("cpe", "version", "expected_vuln", "expected_fix_date")
+    assert(QualityGate.falseNegativesNvd(unenriched, dated).count() == 1)
+  }
+
+  test("alma (osv passthrough): labels match through related-CVE " +
+      "aliases, library-gap clones, and modular epochs") {
+    val env = graft.providers.AlmaProvider.envelopes(spark,
+      fx("alma") + "/advisories/almalinux*/*.json")
+    val labels = Seq(
+      // related[] CVE alias, installed release below the fix
+      ("pacemaker", "2.0.4-5.el8", "CVE-2020-25654", "AlmaLinux:8"),
+      // advisory id direct
+      ("pacemaker-libs", "2.0.3-1.el8", "ALSA-2020:5487", "AlmaLinux:8"),
+      // the library-gap libgcc CLONE (absent from the raw record) must
+      // gate exactly like its base package
+      ("libgcc", "11.2.1-9.el9", "ALSA-2021:4386", "AlmaLinux:9"),
+      // modular fix with epoch 1: an epoch-0 install at a HIGHER
+      // upstream version is still vulnerable
+      ("nodejs", "0:99.0.0-1.module_el9", "CVE-2024-0001", "AlmaLinux:9")
+    ).toDF("pkg", "version", "expected_vuln", "namespace")
+    QualityGate.assertNoFalseNegativesOsv(env, labels)
+    val misses = Seq(
+      // installed exactly at the fix
+      ("gcc", "11.2.1-9.4.el9.alma", "ALSA-2021:4386", "AlmaLinux:9"),
+      // namespace pinned to the release the advisory never shipped for
+      ("pacemaker", "2.0.4-5.el8", "CVE-2020-25654", "AlmaLinux:9")
+    ).toDF("pkg", "version", "expected_vuln", "namespace")
+    assert(QualityGate.falseNegativesOsv(env, misses).count() == 2)
+  }
+
+  test("hummingbird (csaf-vex): affected labels match; fixed and " +
+      "not-affected statuses never satisfy") {
+    val env = graft.providers.VexProvider.envelopes(spark,
+      fx("csaf_vex.json"))
+    val labels = Seq(
+      ("pkg-c-0.9.0", "CVE-2024-1111"), // known_affected
+      ("pkg-a-1.2.3", "CVE-2024-2222") // under_investigation
+    ).toDF("product", "expected_vuln")
+    QualityGate.assertNoFalseNegativesVex(env, labels)
+    val misses = Seq(
+      ("pkg-a-1.2.3", "CVE-2024-1111"), // fixed → suppressed
+      ("pkg-d-3.1.4", "CVE-2024-1111"), // known_not_affected
+      ("pkg-z-1.0.0", "CVE-2024-1111") // never listed
+    ).toDF("product", "expected_vuln")
+    assert(QualityGate.falseNegativesVex(env, misses).count() == 3)
+  }
+
+  test("chainguard-libraries: purl-versioned fix labels match, with " +
+      "the available-date annotation load-bearing") {
+    val env = graft.providers.VexProvider.libraryEnvelopes(spark,
+      fx("chainguard_openvex.json"), "java")
+    val labels = Seq(
+      // maven .cgr. artifact: upstream 2.10.0 sorts below 2.10.0.cgr.1
+      ("xmlunit-core", "2.10.0", "CVE-2024-31573", Some("2024-05-02")),
+      // the GHSA alias resolves too
+      ("xmlunit-core", "2.9.0", "GHSA-chfm-68vv-pvw5", None),
+      // pypi +cgr. artifact
+      ("example-lib", "1.4.2", "CVE-2024-40000", Some("2024-06-11"))
+    ).toDF("pkg", "version", "expected_vuln", "expected_fix_date")
+    QualityGate.assertNoFalseNegativesLibraries(env, labels)
+    val misses = Seq(
+      // installed exactly at the chainguard fix artifact
+      ("xmlunit-core", "2.10.0.cgr.1", "CVE-2024-31573", None),
+      // the under_investigation statement was quarantined at parse
+      ("other-lib", "1.0.0", "CVE-2024-50000", None),
+      // the product-less statement has no fixes[] to satisfy anything
+      ("anything", "1.0", "CVE-2024-60000", None),
+      // right fix, wrong expected date
+      ("example-lib", "1.4.2", "CVE-2024-40000", Some("1999-01-01"))
+    ).toDF("pkg", "version", "expected_vuln", "expected_fix_date")
+    assert(QualityGate.falseNegativesLibraries(env, misses).count() == 4)
   }
 
   test("gate match rule is namespace-agnostic but version-exact") {
