@@ -591,6 +591,59 @@ object ScaleStress {
       }
       println(f"$n%9d $cnt%10d $tFlow%8.1f")
     }
+
+    // Round-10 wide-record drill: the slicing regroup must ship the
+    // record across the exchange ONCE, not once per affected entry
+    // (VERDICT r9 item 2). Records carry a fat 4 KB details field and
+    // W ecosystems; under the old rec-keyed regroup shuffle bytes
+    // scaled ~W×4 KB per record, under the slim (id, eco, pos, entry)
+    // regroup the fat payload crosses once however many ecosystems the
+    // record spans — 25× the slices must NOT read as ~25× the bytes.
+    if (which == "all" || which == "ubuntu") {
+      import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+      val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+      val listener = new SparkListener {
+        override def onStageCompleted(
+            sc: SparkListenerStageCompleted): Unit =
+          shuffleBytes.addAndGet(
+            sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      }
+      println(f"\n${"ecos/rec"}%9s ${"envelopes"}%10s ${"shuffleMB"}%10s " +
+        f"${"t_flow"}%8s")
+      for (w <- Seq(2, 50)) {
+        def ev(intro: String, fixed: String) = struct(
+          (if (intro == null) lit(null).cast("string") else lit(intro))
+            .as("introduced"),
+          (if (fixed == null) lit(null).cast("string") else lit(fixed))
+            .as("fixed"))
+        def affC(eco: org.apache.spark.sql.Column) = struct(
+          struct(eco.as("ecosystem"), lit("pkga").as("name"),
+            lit("pkg:deb/ubuntu/pkga@1.2-3?arch=source&distro=jammy")
+              .as("purl")).as("package"),
+          array(struct(lit("ECOSYSTEM").as("type"),
+            array(ev("0", null), ev(null, "1.2-3")).as("events")))
+            .as("ranges"))
+        val recs = spark.range(2000).select(struct(
+          concat(lit("UBUNTU-CVE-2024-"), col("id")).as("id"),
+          lit("1.7.0").as("schema_version"),
+          lit("x" * 4096).as("details"),
+          lit("2024-01-01T00:00:00Z").as("published"),
+          array(concat(lit("CVE-2024-"), col("id"))).as("upstream"),
+          transform(sequence(lit(1), lit(w)), i =>
+            affC(concat(lit("Ubuntu:"), i.cast("string"), lit(".04:LTS"))))
+            .as("affected")).as("rec"))
+        spark.sparkContext.addSparkListener(listener)
+        shuffleBytes.set(0L)
+        var cnt = 0L
+        val tFlow = timed {
+          cnt = graft.providers.UbuntuProvider.envelopes(recs, None).count()
+        }
+        Thread.sleep(500) // let the listener bus drain
+        spark.sparkContext.removeSparkListener(listener)
+        val mb = shuffleBytes.get / 1e6
+        println(f"$w%9d $cnt%10d $mb%10.1f $tFlow%8.1f")
+      }
+    }
     spark.stop()
   }
 }
