@@ -1619,16 +1619,55 @@ object QueriesPipeline {
 
     // LSH-bucketed ANN, multi-probe: 8-bit signature + Hamming-1 probes
     // — each query reranks ~9/256 of the corpus (falls with more bits)
-    // instead of a fixed 1/16 (rows-only — recall tested in spec).
+    // instead of a fixed 1/16. r10: signatures on the md5-prefix sign
+    // basis, so the WHOLE query (buckets, probes, rerank) replays in
+    // the oracle — recall stays approximate by construction, the
+    // computation is exact.
     "q_sim_lsh" -> Entry(
       (s, dir) => {
         val em = t(s, dir, "embeddings")
         val queries = em.filter(col("vec_id") < 5)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-        Similarity.lshTopK(em, queries, 10, bits = 8, probeHamming = 1)
+        Similarity.lshTopK(em, queries, 10, bits = 8, probeHamming = 1,
+          md5Basis = true)
           .select(col("qid"), col("rank").as("rnk"), col("vec_id"))
       },
-      None),
+      Some("""WITH planes AS (SELECT unnest(range(8)) AS p),
+        dims AS (SELECT unnest(range(
+          (SELECT len(embedding) FROM embeddings LIMIT 1))) AS d),
+        signs AS (
+          SELECT p, list(CASE WHEN
+              ('0x'||substr(md5(p||':'||d),1,15))::BIGINT & 1 = 1
+            THEN 1.0 ELSE -1.0 END ORDER BY d) AS sv
+          FROM planes CROSS JOIN dims GROUP BY p),
+        sigs AS (
+          SELECT e.vec_id,
+            sum(CASE WHEN list_reduce(
+                list_transform(CAST(e.embedding AS DOUBLE[]),
+                  (x, i) -> x * s.sv[i]),
+                (a, b) -> a + b) > 0
+              THEN (1::BIGINT << p.p) ELSE 0 END)::BIGINT AS sig
+          FROM embeddings e CROSS JOIN planes p
+          JOIN signs s ON s.p = p.p GROUP BY e.vec_id),
+        probes AS (
+          SELECT vec_id AS qid, sig FROM sigs WHERE vec_id < 5
+          UNION ALL
+          SELECT s.vec_id, xor(s.sig, (1::BIGINT << p.p))
+          FROM sigs s CROSS JOIN planes p WHERE s.vec_id < 5),
+        pairs AS (
+          SELECT DISTINCT pr.qid, s.vec_id
+          FROM probes pr JOIN sigs s ON s.sig = pr.sig
+          WHERE s.vec_id <> pr.qid)
+        SELECT qid, rnk, vec_id FROM (
+          SELECT p.qid, p.vec_id,
+            row_number() OVER (PARTITION BY p.qid
+              ORDER BY list_cosine_similarity(
+                CAST(c.embedding AS DOUBLE[]),
+                CAST(q.embedding AS DOUBLE[])) DESC, p.vec_id) AS rnk
+          FROM pairs p
+          JOIN embeddings c ON c.vec_id = p.vec_id
+          JOIN embeddings q ON q.vec_id = p.qid)
+        WHERE rnk <= 10""")),
 
     // Corpus-wide kNN self-join (SemDeDup-style curation primitive):
     // every vector's top-3 cosine neighbors. Exact all-pairs form —
@@ -1645,14 +1684,56 @@ object QueriesPipeline {
         FROM embeddings c JOIN embeddings q ON c.vec_id <> q.vec_id)
         WHERE rnk <= 3""")),
 
-    // The 100 TB kNN path: banded-LSH candidates (one kernel pass,
-    // bucket-capped — never all-pairs), exact cosine on candidates,
-    // per-id top-k under the exchange. Approximate → rows-only here;
-    // ScaleOpsSpec pins recall vs the exact join and band-monotonicity.
+    // The banded-LSH kNN path: candidates from one kernel pass
+    // (bucket-capped — never all-pairs), exact cosine on candidates,
+    // per-id top-k under the exchange. r10: md5-prefix sign basis makes
+    // bands, buckets, cap and rerank all oracle-replayable — recall vs
+    // exact kNN stays pinned in ScaleOpsSpec, the computation itself is
+    // now strict.
     "q_sim_knn_lsh" -> Entry(
-      (s, dir) => Similarity.knnJoinLsh(t(s, dir, "embeddings"), 3)
+      (s, dir) => Similarity.knnJoinLsh(t(s, dir, "embeddings"), 3,
+          md5Basis = true)
         .select(col("qid"), col("rank").as("rnk"), col("vec_id")),
-      None),
+      Some("""WITH planes AS (SELECT unnest(range(144)) AS p),
+        dims AS (SELECT unnest(range(
+          (SELECT len(embedding) FROM embeddings LIMIT 1))) AS d),
+        signs AS (
+          SELECT p, list(CASE WHEN
+              ('0x'||substr(md5(p||':'||d),1,15))::BIGINT & 1 = 1
+            THEN 1.0 ELSE -1.0 END ORDER BY d) AS sv
+          FROM planes CROSS JOIN dims GROUP BY p),
+        keys AS (
+          SELECT e.vec_id, p.p // 6 AS band,
+            sum(CASE WHEN list_reduce(
+                list_transform(CAST(e.embedding AS DOUBLE[]),
+                  (x, i) -> x * s.sv[i]),
+                (a, b) -> a + b) > 0
+              THEN (1::BIGINT << (p.p % 6)) ELSE 0 END)::BIGINT
+              AS band_hash
+          FROM embeddings e CROSS JOIN planes p
+          JOIN signs s ON s.p = p.p GROUP BY e.vec_id, p.p // 6),
+        eligible AS (SELECT band, band_hash FROM keys
+          GROUP BY band, band_hash HAVING count(*) BETWEEN 2 AND 1000),
+        pairs AS (
+          SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+          FROM keys a
+          JOIN eligible el ON el.band = a.band
+            AND el.band_hash = a.band_hash
+          JOIN keys b ON a.band = b.band AND a.band_hash = b.band_hash
+            AND a.vec_id < b.vec_id),
+        sym AS (
+          SELECT id1 AS qid, id2 AS vec_id FROM pairs
+          UNION ALL SELECT id2, id1 FROM pairs)
+        SELECT qid, rnk, vec_id FROM (
+          SELECT s.qid, s.vec_id,
+            row_number() OVER (PARTITION BY s.qid
+              ORDER BY list_cosine_similarity(
+                CAST(c.embedding AS DOUBLE[]),
+                CAST(q.embedding AS DOUBLE[])) DESC, s.vec_id) AS rnk
+          FROM sym s
+          JOIN embeddings c ON c.vec_id = s.vec_id
+          JOIN embeddings q ON q.vec_id = s.qid)
+        WHERE rnk <= 3""")),
 
     // The linear-cost kNN path (cell-equi-join IVF, nlist ∝ corpus,
     // cost/vector ≈ nprobe·cell) — the one that survives 100 TB;

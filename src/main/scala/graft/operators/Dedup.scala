@@ -590,16 +590,22 @@ object Dedup {
     * Per-band offset signatures are bit-identical to slices of the old
     * packed ≤64-bit signature, so narrow configs are unchanged. */
   def embeddingBands(df: DataFrame, idCol: String, vecCol: String,
-      bands: Int = 6, bitsPerBand: Int = 6): DataFrame = {
+      bands: Int = 6, bitsPerBand: Int = 6,
+      md5Basis: Boolean = false): DataFrame = {
     require(bitsPerBand <= 64, "band key exceeds 64 bits")
     // ONE kernel invocation computes every band's key (vector read once,
     // dims-outer loop), then posexplode: pos IS the band index. Keys are
     // bit-identical to the per-offset hyperplane_sig slices (spec-pinned).
+    // md5Basis swaps the sign source for the oracle-replayable
+    // md5-prefix matrix — same plan, same memoized-lookup cost.
+    val keys =
+      if (md5Basis) graft.plans.HashExpressions
+        .hyperplane_band_sigs_md5(col(vecCol), bands, bitsPerBand)
+      else graft.plans.HashExpressions
+        .hyperplane_band_sigs(col(vecCol), bands, bitsPerBand)
     fanOut(df.select(col(idCol), col(vecCol)))
       .select(col(idCol),
-        posexplode(graft.plans.HashExpressions
-          .hyperplane_band_sigs(col(vecCol), bands, bitsPerBand))
-          .as(Seq("band", "band_hash")))
+        posexplode(keys).as(Seq("band", "band_hash")))
       .select(col(idCol), col("band"), col("band_hash"))
   }
 

@@ -132,12 +132,18 @@ object Similarity {
     * candidate volume turns quadratic past ~10⁶ vectors (measured in
     * SCALE.md's knn drill). For corpus-scale kNN use [[knnJoinIvf]],
     * whose cost stays linear for nlist ∝ n. */
+  /** @param md5Basis draw hyperplane signs from the md5-prefix basis
+    *   ([[graft.plans.HashKernels.hyperplaneBandSigsMd5]]) instead of
+    *   xxhash — identical plan and cost (the sign matrix is memoized),
+    *   but every band key replays in DuckDB, so the WHOLE query can
+    *   face the strict oracle. */
   def knnJoinLsh(corpus: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       bands: Int = 24, bitsPerBand: Int = 6,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000, md5Basis: Boolean = false): DataFrame = {
     val cands = Dedup.minhashCandidates(
-      Dedup.embeddingBands(corpus, idCol, vecCol, bands, bitsPerBand),
+      Dedup.embeddingBands(corpus, idCol, vecCol, bands, bitsPerBand,
+        md5Basis),
       idCol, maxBucket)
     // candidates are canonical (id1 < id2); kNN needs both directions
     val sym = cands.unionAll(
@@ -423,13 +429,16 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int = 8,
       probeHamming: Int = 1,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+      qidCol: String = "qid", qvecCol: String = "qvec",
+      md5Basis: Boolean = false): DataFrame = {
     require(probeHamming >= 0 && probeHamming <= 1,
       "probeHamming > 1 unsupported (probe count would be binomial)")
+    def sig(v: Column): Column =
+      if (md5Basis) graft.plans.HashExpressions.hyperplane_sig_md5(v, bits)
+      else hyperplaneSignature(v, bits)
     val sigCorpus = spread(corpus.select(col(idCol), col(vecCol)))
-      .select(col(idCol), col(vecCol),
-        hyperplaneSignature(col(vecCol), bits).as("sig"))
-    val base = hyperplaneSignature(col(qvecCol), bits)
+      .select(col(idCol), col(vecCol), sig(col(vecCol)).as("sig"))
+    val base = sig(col(qvecCol))
     val probes =
       if (probeHamming == 0) array(base)
       else array(base +: (0 until bits).map(b =>

@@ -282,6 +282,118 @@ object HashKernels {
     new GenericArrayData(out)
   }
 
+  // md5-basis hyperplane sign matrix, memoized per (totalPlanes, dim):
+  // sign(p, d) = +1 iff md5Prefix60("p:d") has its low bit set — the
+  // DuckDB-replayable basis, `('0x'||substr(md5(p||':'||d),1,15))
+  // ::BIGINT & 1`. The matrix depends only on the config, so the md5
+  // work amortizes to a table lookup per row after the first vector.
+  private val signCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Boolean]]()
+  private def md5Signs(total: Int, dim: Int): Array[Boolean] =
+    signCache.computeIfAbsent((total, dim), { _: (Int, Int) =>
+      val signs = new Array[Boolean](total * dim)
+      var p = 0
+      while (p < total) {
+        var d = 0
+        while (d < dim) {
+          signs(p * dim + d) =
+            (md5Prefix60(UTF8String.fromString(s"$p:$d")) & 1L) == 1L
+          d += 1
+        }
+        p += 1
+      }
+      signs
+    })
+
+  /** [[hyperplaneSig]] on the md5-prefix basis — same packing, same
+    * plane-offset slicing, signs drawn from [[md5Signs]] so the whole
+    * signature replays in the oracle. Accumulation is dim-ascending
+    * double addition, matching SQL's `list_reduce` left fold
+    * bit-for-bit. */
+  def hyperplaneSigMd5(vec: ArrayData, bits: Int, offset: Int): Long = {
+    val dim = vec.numElements()
+    val signs = md5Signs(offset + bits, dim)
+    var sig = 0L
+    var i = 0
+    while (i < bits) {
+      val base = (offset + i) * dim
+      var dot = 0.0
+      var d = 0
+      while (d < dim) {
+        val v = vec.getFloat(d).toDouble
+        dot += (if (signs(base + d)) v else -v)
+        d += 1
+      }
+      if (dot > 0) sig |= (1L << i)
+      i += 1
+    }
+    sig
+  }
+
+  /** [[hyperplaneSigMd5]] for array<double> inputs. */
+  def hyperplaneSigMd5Double(vec: ArrayData, bits: Int, offset: Int): Long = {
+    val dim = vec.numElements()
+    val signs = md5Signs(offset + bits, dim)
+    var sig = 0L
+    var i = 0
+    while (i < bits) {
+      val base = (offset + i) * dim
+      var dot = 0.0
+      var d = 0
+      while (d < dim) {
+        val v = vec.getDouble(d)
+        dot += (if (signs(base + d)) v else -v)
+        d += 1
+      }
+      if (dot > 0) sig |= (1L << i)
+      i += 1
+    }
+    sig
+  }
+
+  /** [[hyperplaneBandSigs]] on the md5-prefix basis: element b
+    * bit-identical to `hyperplaneSigMd5(vec, bitsPerBand,
+    * b·bitsPerBand)`. Per-plane dots accumulate dim-ascending, so the
+    * oracle's left fold reproduces each dot exactly. */
+  def hyperplaneBandSigsMd5(vec: ArrayData, bands: Int, bitsPerBand: Int)
+      : ArrayData = {
+    val dim = vec.numElements()
+    val total = bands * bitsPerBand
+    val signs = md5Signs(total, dim)
+    val dots = new Array[Double](total)
+    var d = 0
+    while (d < dim) {
+      val v = vec.getFloat(d).toDouble
+      var p = 0
+      while (p < total) {
+        dots(p) += (if (signs(p * dim + d)) v else -v)
+        p += 1
+      }
+      d += 1
+    }
+    packBands(dots, bands, bitsPerBand)
+  }
+
+  /** [[hyperplaneBandSigsMd5]] for array<double> inputs. */
+  def hyperplaneBandSigsMd5Double(vec: ArrayData, bands: Int,
+      bitsPerBand: Int): ArrayData = {
+    val dim = vec.numElements()
+    val total = bands * bitsPerBand
+    val signs = md5Signs(total, dim)
+    val dots = new Array[Double](total)
+    var d = 0
+    while (d < dim) {
+      val v = vec.getDouble(d)
+      var p = 0
+      while (p < total) {
+        dots(p) += (if (signs(p * dim + d)) v else -v)
+        p += 1
+      }
+      d += 1
+    }
+    packBands(dots, bands, bitsPerBand)
+  }
+
   /** [[hyperplaneSig]] for array<double> inputs (no narrowing). */
   def hyperplaneSigDouble(vec: ArrayData, bits: Int): Long =
     hyperplaneSigDouble(vec, bits, 0)
@@ -697,6 +809,87 @@ case class HyperplaneBandSigsExpr(child: Expression, bands: Int,
     copy(child = newChild)
 }
 
+/** [[HyperplaneSigExpr]] on the md5-prefix sign basis
+  * ([[HashKernels.hyperplaneSigMd5]]) — oracle-replayable signatures. */
+case class HyperplaneSigMd5Expr(child: Expression, bits: Int,
+    offset: Int = 0) extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+
+  private def kernel: String = child.dataType match {
+    case ArrayType(DoubleType, _) => "hyperplaneSigMd5Double"
+    case _ => "hyperplaneSigMd5"
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<float> or array<double>, got " +
+          s"${t.sql}; cast explicitly")
+    }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hyperplane_sig_md5"
+
+  override def nullSafeEval(v: Any): Any =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        HashKernels.hyperplaneSigMd5Double(
+          v.asInstanceOf[ArrayData], bits, offset)
+      case _ =>
+        HashKernels.hyperplaneSigMd5(v.asInstanceOf[ArrayData], bits, offset)
+    }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      v => s"graft.plans.HashKernels.$kernel($v, $bits, $offset)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** [[HyperplaneBandSigsExpr]] on the md5-prefix sign basis
+  * ([[HashKernels.hyperplaneBandSigsMd5]]). */
+case class HyperplaneBandSigsMd5Expr(child: Expression, bands: Int,
+    bitsPerBand: Int) extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+
+  private def kernel: String = child.dataType match {
+    case ArrayType(DoubleType, _) => "hyperplaneBandSigsMd5Double"
+    case _ => "hyperplaneBandSigsMd5"
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<float> or array<double>, got " +
+          s"${t.sql}; cast explicitly")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hyperplane_band_sigs_md5"
+
+  override def nullSafeEval(v: Any): Any =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        HashKernels.hyperplaneBandSigsMd5Double(
+          v.asInstanceOf[ArrayData], bands, bitsPerBand)
+      case _ =>
+        HashKernels.hyperplaneBandSigsMd5(
+          v.asInstanceOf[ArrayData], bands, bitsPerBand)
+    }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      v => s"graft.plans.HashKernels.$kernel($v, $bands, $bitsPerBand)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class Simhash60Md5Expr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash60_md5"
@@ -865,6 +1058,11 @@ object HashExpressions {
     column(HyperplaneSigExpr(expression(vec), bits, offset))
   def hyperplane_band_sigs(vec: Column, bands: Int, bitsPerBand: Int): Column =
     column(HyperplaneBandSigsExpr(expression(vec), bands, bitsPerBand))
+  def hyperplane_sig_md5(vec: Column, bits: Int, offset: Int = 0): Column =
+    column(HyperplaneSigMd5Expr(expression(vec), bits, offset))
+  def hyperplane_band_sigs_md5(vec: Column, bands: Int,
+      bitsPerBand: Int): Column =
+    column(HyperplaneBandSigsMd5Expr(expression(vec), bands, bitsPerBand))
   def pair_combos(ids: Column): Column =
     column(PairCombosExpr(expression(ids)))
   def mat_project(vec: Column, mean: Array[Double], mat: Array[Double])

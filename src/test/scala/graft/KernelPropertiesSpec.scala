@@ -173,6 +173,33 @@ class KernelPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("md5-basis hyperplane sigs: band elements are offset slices, " +
+      "signs come from the DuckDB-replayable md5 low bit, and the " +
+      "float/double kernels agree") {
+    val rnd = new scala.util.Random(11)
+    (1 to 100).foreach { _ =>
+      val v = List.fill(8)((rnd.nextFloat() - 0.5f) * 20f + 1e-3f)
+      val banded = HashKernels
+        .hyperplaneBandSigsMd5(farr(v), 4, 6).toLongArray()
+      (0 until 4).foreach { b =>
+        assert(banded(b) == HashKernels.hyperplaneSigMd5(farr(v), 6, b * 6),
+          s"band $b of $v")
+      }
+      assert(HashKernels.hyperplaneSigMd5Double(
+        farrD(v.map(_.toDouble)), 6, 6) == banded(1))
+    }
+    // the sign source IS md5Prefix60("p:d") & 1 — recompute plane 3's
+    // signature by hand for one vector (the oracle's replay recipe)
+    val v = List(1.5f, -2.25f, 3.0f, 0.5f, -1.0f, 2.0f, -0.75f, 4.0f)
+    val byHand = (0 until 8).foldLeft(0.0) { (acc, d) =>
+      val bit = HashKernels.md5Prefix60(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"3:$d")) & 1L
+      acc + (if (bit == 1L) v(d).toDouble else -v(d).toDouble)
+    }
+    val sig = HashKernels.hyperplaneSigMd5(farr(v), 4, 0)
+    assert((((sig >>> 3) & 1L) == 1L) == (byHand > 0))
+  }
+
   test("double-array inputs keep double precision; other types fail analysis") {
     import org.apache.spark.sql.functions._
     import graft.plans.HashExpressions
