@@ -146,9 +146,23 @@ object Bench {
     // is ever overwritten with partial totals presented as the full
     // record. The stdout "full" pointer names whichever file this run
     // actually wrote.
-    val fullPath =
-      if (only.isEmpty) f"BENCH_full_r$roundIdx%02d.json"
-      else "BENCH_subset.json"
+    // The versioned slot is computed, not owned: the driver's
+    // post-verdict run for round N-1 lands in slot N, so a builder full
+    // run DURING round N computes the same name and would clobber the
+    // driver's canonical record (it happened to r10's — restored from
+    // git). An existing slot file is therefore never overwritten:
+    // builder runs divert to BENCH_full_local.json, and an explicit
+    // SPARK_GRAFT_BENCH_OUT names the file directly (end-of-round
+    // builder artifacts, e.g. BENCH_full_r10_builder.json).
+    val fullPath = sys.env.get("SPARK_GRAFT_BENCH_OUT").getOrElse {
+      if (only.nonEmpty) "BENCH_subset.json"
+      else {
+        val versioned = f"BENCH_full_r$roundIdx%02d.json"
+        if (java.nio.file.Files.exists(java.nio.file.Paths.get(versioned)))
+          "BENCH_full_local.json"
+        else versioned
+      }
+    }
     try {
       val cold = results.sortBy(_._1)
         .map { case (k, _, c) => "\"" + k + "\":" + fmt(c) }

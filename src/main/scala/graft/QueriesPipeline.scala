@@ -1277,14 +1277,52 @@ object QueriesPipeline {
     // more bands, not from a single small key whose buckets go
     // quadratic) verified by exact cosine ≥ threshold (0.3 ≈ p99 of
     // this synthetic corpus — real corpora with true dups use 0.95+).
+    // r10: md5-prefix sign basis — the 6×6 banding, bucket cap, and
+    // the exact-cosine verify all replay in DuckDB, so the embedding
+    // near-dup pipeline faces the strict oracle (the candidate recall
+    // stays approximate by construction, as with any LSH).
     "q_dedup_embedding" -> Entry(
       (s, dir) => {
         val em = t(s, dir, "embeddings")
         Dedup.embeddingNearDups(em, "vec_id", "embedding", 0.3,
-            bands = 6, bitsPerBand = 6)
+            bands = 6, bitsPerBand = 6, md5Basis = true)
           .select(col("id1"), col("id2"), round(col("sim"), 3).as("sim"))
       },
-      None),
+      Some("""WITH planes AS (SELECT unnest(range(36)) AS p),
+        dims AS (SELECT unnest(range(
+          (SELECT len(embedding) FROM embeddings LIMIT 1))) AS d),
+        signs AS (
+          SELECT p, list(CASE WHEN
+              ('0x'||substr(md5(p||':'||d),1,15))::BIGINT & 1 = 1
+            THEN 1.0 ELSE -1.0 END ORDER BY d) AS sv
+          FROM planes CROSS JOIN dims GROUP BY p),
+        keys AS (
+          SELECT e.vec_id, p.p // 6 AS band,
+            sum(CASE WHEN list_reduce(
+                list_transform(CAST(e.embedding AS DOUBLE[]),
+                  (x, i) -> x * s.sv[i]),
+                (a, b) -> a + b) > 0
+              THEN (1::BIGINT << (p.p % 6)) ELSE 0 END)::BIGINT
+              AS band_hash
+          FROM embeddings e CROSS JOIN planes p
+          JOIN signs s ON s.p = p.p GROUP BY e.vec_id, p.p // 6),
+        eligible AS (SELECT band, band_hash FROM keys
+          GROUP BY band, band_hash HAVING count(*) BETWEEN 2 AND 1000),
+        pairs AS (
+          SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+          FROM keys a
+          JOIN eligible el ON el.band = a.band
+            AND el.band_hash = a.band_hash
+          JOIN keys b ON a.band = b.band AND a.band_hash = b.band_hash
+            AND a.vec_id < b.vec_id)
+        SELECT id1, id2, round(sim, 3) AS sim FROM (
+          SELECT p.id1, p.id2,
+            list_cosine_similarity(CAST(c1.embedding AS DOUBLE[]),
+              CAST(c2.embedding AS DOUBLE[])) AS sim
+          FROM pairs p
+          JOIN embeddings c1 ON c1.vec_id = p.id1
+          JOIN embeddings c2 ON c2.vec_id = p.id2)
+        WHERE sim >= 0.3""")),
 
     // Incremental exact dedup: a simulated arriving crawl slice (new
     // docs ∪ re-crawled corpus docs under fresh ids) deduped against

@@ -615,10 +615,10 @@ object Dedup {
     * vectors; vectors are attached to candidate ids only. */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bands: Int = 6, bitsPerBand: Int = 6,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000, md5Basis: Boolean = false): DataFrame = {
     val cands = minhashCandidates(
-      embeddingBands(df, idCol, vecCol, bands, bitsPerBand), idCol,
-      maxBucket)
+      embeddingBands(df, idCol, vecCol, bands, bitsPerBand, md5Basis),
+      idCol, maxBucket)
     val vecs = df.select(col(idCol), col(vecCol))
     cands
       .join(vecs.select(col(idCol).as("id1"), col(vecCol).as("__v1")), "id1")

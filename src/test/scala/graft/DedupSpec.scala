@@ -231,6 +231,17 @@ class DedupSpec extends AnyFunSuite {
     val recall =
       if (brute.isEmpty) 1.0 else (brute & got).size.toDouble / brute.size
     assert(recall >= 0.1, s"recall=$recall over ${brute.size} true pairs")
+    // md5-prefix sign basis (the oracle-replayable q_dedup_embedding
+    // path): a different-but-equally-random basis, so the same exact
+    // precision and the same recall-floor family must hold.
+    val gotMd5 = Dedup.embeddingNearDups(em, "vec_id", "embedding", 0.3,
+        md5Basis = true)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(gotMd5.subsetOf(brute), s"unverified pairs: ${gotMd5 -- brute}")
+    val recallMd5 =
+      if (brute.isEmpty) 1.0 else (brute & gotMd5).size.toDouble / brute.size
+    assert(recallMd5 >= 0.1,
+      s"md5-basis recall=$recallMd5 over ${brute.size} true pairs")
   }
 
   test("degenerate embedding buckets are capped, not exploded") {
