@@ -975,18 +975,34 @@ object QueriesPipeline {
 
     // Johnson–Lindenstrauss random projection 64 → 16 dims through the
     // same zero-Exchange mat_project kernel as PCA — the cheap
-    // dimensionality cut before ANN/near-dup at 100 TB. Matrix is
-    // seed-deterministic but Gaussian-generated (no DuckDB replay), so
-    // rows-only; EmbeddingsSpec pins determinism + norm preservation.
+    // dimensionality cut before ANN/near-dup at 100 TB. r10: the matrix
+    // is the Achlioptas ±1/√16 sign projection on the md5-prefix basis,
+    // so the whole map replays in DuckDB (±0.25 is a power-of-two scale
+    // and the kernel's d-ascending fold matches list_reduce exactly) —
+    // strict oracle, integer-encoded (milli-units). EmbeddingsSpec pins
+    // determinism + norm preservation on both bases.
     "q_embed_rproj" -> Entry(
       (s, dir) => graft.operators.Embeddings
         .randomProject(t(s, dir, "embeddings"), "embedding",
-          inDim = 64, outDim = 16)
+          inDim = 64, outDim = 16, signBasis = true)
         .select(col("vec_id"),
-          // serialized for the driver compare (see q_embed_pca)
-          array_join(transform(col("rp"),
-            x => round(x, 3).cast("string")), " ").as("rp")),
-      None),
+          posexplode(col("rp")).as(Seq("dim", "v")))
+        .select(col("vec_id"), col("dim").cast("long").as("dim"),
+          round(col("v") * 1000, 0).cast("long").as("milli")),
+      Some("""WITH dims AS (SELECT unnest(range(
+          (SELECT len(embedding) FROM embeddings LIMIT 1))) AS d),
+        planes AS (SELECT unnest(range(16)) AS j),
+        signs AS (
+          SELECT j, list(CASE WHEN
+              ('0x'||substr(md5(j||':'||d),1,15))::BIGINT & 1 = 1
+            THEN 0.25 ELSE -0.25 END ORDER BY d) AS sv
+          FROM planes CROSS JOIN dims GROUP BY j)
+        SELECT e.vec_id, s.j AS dim,
+          CAST(round(list_reduce(
+            list_transform(CAST(e.embedding AS DOUBLE[]),
+              (x, i) -> x * s.sv[i]),
+            (a, b) -> a + b) * 1000) AS BIGINT) AS milli
+        FROM embeddings e CROSS JOIN signs s""")),
 
     // Cluster-balanced (diversity) sampling: k-means cells +
     // deterministic per-cell cap — the anti-mode-collapse sampler for

@@ -388,10 +388,28 @@ object Embeddings {
     * 100 TB the projection is a pure scan, and the matrix rides the
     * plan, not the data. */
   def randomProject(df: DataFrame, vecCol: String, inDim: Int,
-      outDim: Int, seed: Long = 42L, outCol: String = "rp"): DataFrame = {
-    val rnd = new scala.util.Random(seed)
-    val mat = Array.fill(outDim * inDim)(
-      rnd.nextGaussian() / math.sqrt(outDim.toDouble))
+      outDim: Int, seed: Long = 42L, outCol: String = "rp",
+      signBasis: Boolean = false): DataFrame = {
+    val mat =
+      if (signBasis) {
+        // Achlioptas sign projection: entries ±1/√outDim with signs
+        // drawn from the md5-prefix basis (sign(j,d) = low bit of
+        // md5Prefix60("j:d") — the same DuckDB-replayable matrix the
+        // LSH banding uses). An equally valid JL construction
+        // (Achlioptas '03), and the one that lets q_embed_rproj face
+        // the strict oracle; `seed` is ignored on this basis.
+        val s = 1.0 / math.sqrt(outDim.toDouble)
+        Array.tabulate(outDim * inDim) { i =>
+          val (j, d) = (i / inDim, i % inDim)
+          if ((graft.plans.HashKernels.md5Prefix60(
+              org.apache.spark.unsafe.types.UTF8String
+                .fromString(s"$j:$d")) & 1L) == 1L) s else -s
+        }
+      } else {
+        val rnd = new scala.util.Random(seed)
+        Array.fill(outDim * inDim)(
+          rnd.nextGaussian() / math.sqrt(outDim.toDouble))
+      }
     df.withColumn(outCol,
       graft.plans.HashExpressions.mat_project(col(vecCol),
         new Array[Double](inDim), mat))

@@ -290,11 +290,12 @@ object OsvProvider {
     // list is [accurate extra candidates (USN, `usn_fixdate_overlay.py:
     // 146-161`), inaccurate candidates (the record's published date,
     // `utils/osv.py:76-85`)]. An ACCURATE first-observed store date caps
-    // them — candidates dated after it are discarded, the earliest
-    // surviving candidate wins, and the store date itself is the
+    // them — candidates dated after it are discarded, the highest-
+    // PRIORITY surviving candidate wins (list order: USN before
+    // published, NOT earliest date), and the store date itself is the
     // fallback (`finder.py:180-194`). With no accurate store date the
-    // candidates win outright, an INACCURATE store date is the last
-    // resort (`finder.py:196-201`).
+    // candidates win outright in the same priority order, an INACCURATE
+    // store date is the last resort (`finder.py:196-201`).
     val pub = nullif(substring(col("published"), 1, 10), lit(""))
     val usnD = col("usn_date")
     val adv = lit("advisory")

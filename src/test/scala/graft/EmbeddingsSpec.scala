@@ -285,6 +285,18 @@ class EmbeddingsSpec extends AnyFunSuite {
     val q = Embeddings.randomProject(df, "embedding", 64, 32, seed = 7L)
       .orderBy(col("vec_id")).select(col("rp")).head().getSeq[Double](0)
     assert(q != p(1L))
+    // md5 sign basis (Achlioptas ±1/√k — the q_embed_rproj oracle
+    // path): same JL norm-preservation family, and entry magnitudes
+    // are exactly 1/√32 · ‖v‖-free signs, so determinism is structural
+    val ps = Embeddings.randomProject(df, "embedding", 64, 32,
+        signBasis = true)
+      .select(col("vec_id"), col("rp")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val ratiosS = ps.map { case (id, v) => v.map(x => x * x).sum / orig(id) }
+    val meanRatioS = ratiosS.sum / ratiosS.size
+    assert(math.abs(meanRatioS - 1.0) < 0.15,
+      s"sign-basis mean norm ratio $meanRatioS drifted from 1")
+    assert(ps(1L) != p(1L), "sign basis unexpectedly equals Gaussian")
   }
 
   test("balancedSample: per-cell cap respected, deterministic, subset") {
