@@ -22,6 +22,15 @@ object Bench {
     }.toSet
   }
 
+  /** A flagged query is REPORTED contended only when its end-of-pass
+    * re-measure actually beat the first reading by a margin (phantoms
+    * reproduce at 1/3-1/11, so 20% is safely below any of them); a
+    * flagged-but-confirmed reading is merely an expensive query in a
+    * cheap alphabetical neighborhood (23 of 118 in the first r10 local
+    * run) and listing it would read as chronic contention. */
+  def confirmedContended(first: Double, remeasured: Double): Boolean =
+    remeasured < first / 1.25
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -111,7 +120,7 @@ object Bench {
       else {
         val fn = SparkEntry.queries(name)
         val re = math.min(once(name, fn), once(name, fn))
-        contended(name) = warm
+        if (confirmedContended(warm, re)) contended(name) = warm
         (name, math.min(warm, re), cold)
       }
     }

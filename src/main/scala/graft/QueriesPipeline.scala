@@ -1394,10 +1394,15 @@ object QueriesPipeline {
         // the real pipeline reads a PERSISTED index (built once by the
         // batch job) for both the sketch and the anti-join; persist
         // models that here — without it the inline build runs the full
-        // sha-256 + distinct pass twice. 32-byte rows, CacheManager
-        // dedups the entry across bench iterations.
-        val index = Dedup.fingerprintIndex(corpus, "text")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // sha-256 + distinct pass twice. 32-byte rows. Re-invocations
+        // (bench warm runs) rebuild an identical plan that CacheManager
+        // already holds — persist() on it would WARN "already cached",
+        // so only the first invocation pins the entry.
+        val index0 = Dedup.fingerprintIndex(corpus, "text")
+        val index =
+          if (index0.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+            index0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          else index0
         // expectedItems: corpus row count is an upper bound on distinct
         // fingerprints and costs one doc_id-column scan where the
         // default (index.count()) would materialize the index early

@@ -59,6 +59,20 @@ class BenchSelfCorrectSpec extends AnyFunSuite {
     assert(Bench.contendedOutliers(tiny).isEmpty)
   }
 
+  test("only a re-measure that beats the first reading is reported " +
+      "contended; a confirmed expensive query is not") {
+    // r9's actual phantom ratios (driver vs isolated)
+    assert(Bench.confirmedContended(2.86, 0.63))
+    assert(Bench.confirmedContended(1.61, 0.42))
+    // a flagged-but-confirmed heavy query: re-measure within noise of
+    // the first reading must NOT be reported
+    assert(!Bench.confirmedContended(2.15, 2.10))
+    assert(!Bench.confirmedContended(0.69, 0.66))
+    // boundary: exactly 25% faster is the first reported margin
+    assert(Bench.confirmedContended(1.25, 0.99))
+    assert(!Bench.confirmedContended(1.25, 1.01))
+  }
+
   test("tiny suites are left alone") {
     assert(Bench.contendedOutliers(Seq(("a", 0.1), ("b", 9.9))).isEmpty)
   }
