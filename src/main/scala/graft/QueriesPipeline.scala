@@ -946,21 +946,25 @@ object QueriesPipeline {
     // index of hyperplane band keys + int8-quantized corpus vectors
     // (1 B/dim at rest, dequantized-cosine verify — the continuous-
     // ingest shape where full-precision corpus vectors are never
-    // re-read). Hash-seeded bands + per-invocation temp index, so
-    // rows-only; DedupSpec pins planted recall and novel-vector
-    // rejection.
+    // re-read). r10: md5-prefix sign basis (STRICT oracle — was
+    // rows-only on hash-seeded bands): the 8×12 banding, the write-time
+    // bucket cap, the floor(+0.5) int8 quantize/dequantize round-trip
+    // AND the dequantized-cosine verify all replay in DuckDB, so the
+    // oracle covers the persisted index's arithmetic end to end.
+    // DedupSpec still pins planted recall and novel-vector rejection.
     "q_dedup_incr_emb" -> Entry(
       (s, dir) => {
         val em = t(s, dir, "embeddings")
         // cached index, mtime-guarded like q_dedup_incr_near: the query
         // must time the per-batch PROBE, not index construction, and a
         // regenerated embeddings.parquet must force a rebuild
-        val p = Q.stagingDir(dir, "embidx_b8w12")
+        val p = Q.stagingDir(dir, "embidx_md5_b8w12")
         val success = new java.io.File(s"$p/vecs/_SUCCESS")
         val src = new java.io.File(s"$dir/embeddings.parquet")
         if (!success.exists() || success.lastModified() < src.lastModified())
           graft.operators.Dedup.writeEmbeddingIndex(
-            em.filter(col("vec_id") % 5 < 4), p, "vec_id", "embedding")
+            em.filter(col("vec_id") % 5 < 4), p, "vec_id", "embedding",
+            md5Basis = true)
         // batch: re-keyed perturbed copies (cosine ≥ 0.99) of INDEXED
         // corpus vectors — the re-crawl shape; the probe must match
         // each back to its stored source
@@ -969,9 +973,79 @@ object QueriesPipeline {
             transform(col("embedding"), x => x + lit(0.01f))
               .as("embedding"))
         graft.operators.Dedup.embeddingNearDupsAgainstIndex(
-          s, p, batch, "vec_id", "embedding", threshold = 0.9)
+          s, p, batch, "vec_id", "embedding", threshold = 0.9,
+          md5Basis = true)
       },
-      None),
+      // The replay: corpus keys (96 planes, 12-bit bands), write-time
+      // bucket cap ≤1000, batch keys over the float-perturbed vectors,
+      // band equi-join candidates, then dequantized-cosine ≥ 0.9. The
+      // quantize is floor(v/scale + 0.5) at double, scale = max|v|/127
+      // (float max, cast double) — identical arithmetic both engines;
+      // dequantize re-narrows q·scale to FLOAT before the double
+      // cosine, matching the kernel's array<float> store exactly.
+      Some("""WITH corpus AS (
+          SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 < 4),
+        batch AS (
+          SELECT vec_id + 100000 AS vec_id,
+            list_transform(embedding, x -> x + 0.01::FLOAT) AS embedding
+          FROM embeddings WHERE vec_id % 5 = 0),
+        planes AS (SELECT unnest(range(96)) AS p),
+        dims AS (SELECT unnest(range(
+          (SELECT len(embedding) FROM embeddings LIMIT 1))) AS d),
+        signs AS (
+          SELECT p, list(CASE WHEN
+              ('0x'||substr(md5(p||':'||d),1,15))::BIGINT & 1 = 1
+            THEN 1.0 ELSE -1.0 END ORDER BY d) AS sv
+          FROM planes CROSS JOIN dims GROUP BY p),
+        ckeys AS (
+          SELECT c.vec_id, p.p // 12 AS band,
+            sum(CASE WHEN list_reduce(
+                list_transform(CAST(c.embedding AS DOUBLE[]),
+                  (x, i) -> x * s.sv[i]),
+                (a, b) -> a + b) > 0
+              THEN (1::BIGINT << (p.p % 12)) ELSE 0 END)::BIGINT
+              AS band_hash
+          FROM corpus c CROSS JOIN planes p
+          JOIN signs s ON s.p = p.p GROUP BY c.vec_id, p.p // 12),
+        capped AS (SELECT band, band_hash FROM ckeys
+          GROUP BY band, band_hash HAVING count(*) <= 1000),
+        ikeys AS (SELECT k.* FROM ckeys k
+          JOIN capped USING (band, band_hash)),
+        bkeys AS (
+          SELECT b.vec_id, p.p // 12 AS band,
+            sum(CASE WHEN list_reduce(
+                list_transform(CAST(b.embedding AS DOUBLE[]),
+                  (x, i) -> x * s.sv[i]),
+                (a, b) -> a + b) > 0
+              THEN (1::BIGINT << (p.p % 12)) ELSE 0 END)::BIGINT
+              AS band_hash
+          FROM batch b CROSS JOIN planes p
+          JOIN signs s ON s.p = p.p GROUP BY b.vec_id, p.p // 12),
+        cands AS (
+          SELECT DISTINCT b.vec_id AS batch_id, i.vec_id AS corpus_id
+          FROM bkeys b JOIN ikeys i
+            ON b.band = i.band AND b.band_hash = i.band_hash),
+        quant AS (
+          SELECT vec_id,
+            list_transform(embedding, x -> CAST(floor(
+                CAST(x AS DOUBLE) / scale + 0.5) * scale AS FLOAT))
+              AS dvec
+          FROM (SELECT vec_id, embedding,
+              CASE WHEN maxabs = 0 OR maxabs IS NULL THEN 1.0
+                ELSE maxabs / 127.0 END AS scale
+            FROM (SELECT vec_id, embedding,
+                CAST(list_max(list_transform(embedding,
+                  x -> abs(x))) AS DOUBLE) AS maxabs
+              FROM corpus)))
+        SELECT batch_id, corpus_id, cosine FROM (
+          SELECT c.batch_id, c.corpus_id,
+            round(list_cosine_similarity(
+              CAST(b.embedding AS DOUBLE[]),
+              CAST(q.dvec AS DOUBLE[])), 3) AS cosine
+          FROM cands c
+          JOIN batch b ON b.vec_id = c.batch_id
+          JOIN quant q ON q.vec_id = c.corpus_id)
+        WHERE cosine >= 0.9""")),
 
     // Johnson–Lindenstrauss random projection 64 → 16 dims through the
     // same zero-Exchange mat_project kernel as PCA — the cheap

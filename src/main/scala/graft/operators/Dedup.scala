@@ -325,9 +325,9 @@ object Dedup {
     * (EmbeddingsSpec), absorbed by any sane near-dup threshold. */
   def writeEmbeddingIndex(corpus: DataFrame, path: String, idCol: String,
       vecCol: String, bands: Int = 8, bitsPerBand: Int = 12,
-      maxBucket: Int = 1000): Unit = {
+      maxBucket: Int = 1000, md5Basis: Boolean = false): Unit = {
     writeCappedBands(
-      embeddingBands(corpus, idCol, vecCol, bands, bitsPerBand)
+      embeddingBands(corpus, idCol, vecCol, bands, bitsPerBand, md5Basis)
         .select(col(idCol).as("id"), col("band"), col("band_hash")),
       path, maxBucket)
     // fanOut, like the text index's docs store: the O(dim)-per-row
@@ -349,11 +349,11 @@ object Dedup {
   def embeddingNearDupsAgainstIndex(
       spark: org.apache.spark.sql.SparkSession, path: String,
       batch: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.9, bands: Int = 8, bitsPerBand: Int = 12)
-      : DataFrame = {
+      threshold: Double = 0.9, bands: Int = 8, bitsPerBand: Int = 12,
+      md5Basis: Boolean = false): DataFrame = {
     val idxBands = spark.read.parquet(s"$path/bands")
     val batchBands = embeddingBands(batch, idCol, vecCol, bands,
-      bitsPerBand)
+      bitsPerBand, md5Basis)
       .select(col(idCol).as("batch_id"), col("band"), col("band_hash"))
     val cands = batchBands.join(idxBands, Seq("band", "band_hash"))
       .select(col("batch_id"), col("id").as("corpus_id")).distinct()
