@@ -308,6 +308,16 @@ class DedupSpec extends AnyFunSuite {
     // (random 64-dim Gaussians are near-orthogonal, cosine ≪ 0.9)
     val expected = (1L to 5L).map(i => (i + 1000L) -> i).toSet
     assert(hits.toSet == expected, s"got ${hits.toSet}")
+    // the md5 sign basis (the oracle-replayable q_dedup_incr_emb path)
+    // must reach the same verified pairs: different band keys, same
+    // planted recall and novel rejection
+    val pathMd5 = path + "_md5"
+    Dedup.writeEmbeddingIndex(corpus, pathMd5, "vec_id", "embedding",
+      md5Basis = true)
+    val hitsMd5 = Dedup.embeddingNearDupsAgainstIndex(spark, pathMd5,
+      batch, "vec_id", "embedding", threshold = 0.9, md5Basis = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(hitsMd5.toSet == expected, s"got ${hitsMd5.toSet}")
   }
 
   test("removeNearDups keeps cluster representatives and uniques") {
