@@ -112,8 +112,11 @@ object Bench {
     // 10-query alphabetical neighborhood median and report the
     // re-measured value; the first reading lands in the `contended`
     // side-map for transparency.
-    val outliers = contendedOutliers(firstPass.map(r => (r._1, r._2))) --
-      failed
+    // failed queries are excluded from the INPUT, not just the flag
+    // set: an elapsed-to-failure reading (near-zero for an early crash)
+    // would corrupt its neighbors' median and flag healthy queries
+    val outliers = contendedOutliers(
+      firstPass.collect { case (n, w, _) if !failed(n) => (n, w) })
     val contended = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = firstPass.map { case (name, warm, cold) =>
       if (!outliers.contains(name)) (name, warm, cold)
@@ -183,8 +186,11 @@ object Bench {
         s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(results)},"cold_queries":$cold,"cold_total":${fmt(coldTotal)},"contended":$contendedJson,"sf":"$sfDir"}"""
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(fullPath), payload)
-      // legacy alias kept for tooling that reads the unversioned name
-      if (only.isEmpty)
+      // legacy alias kept for tooling that reads the unversioned name —
+      // but only when this run OWNS the round slot: a builder run
+      // diverted to BENCH_full_local.json must not present its numbers
+      // as the round's record under the alias either
+      if (only.isEmpty && !fullPath.endsWith("_local.json"))
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get("BENCH_full.json"), payload)
     } catch { case e: Throwable =>

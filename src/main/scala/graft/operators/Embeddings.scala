@@ -399,12 +399,8 @@ object Embeddings {
         // (Achlioptas '03), and the one that lets q_embed_rproj face
         // the strict oracle; `seed` is ignored on this basis.
         val s = 1.0 / math.sqrt(outDim.toDouble)
-        Array.tabulate(outDim * inDim) { i =>
-          val (j, d) = (i / inDim, i % inDim)
-          if ((graft.plans.HashKernels.md5Prefix60(
-              org.apache.spark.unsafe.types.UTF8String
-                .fromString(s"$j:$d")) & 1L) == 1L) s else -s
-        }
+        val signs = graft.plans.HashKernels.md5SignMatrix(outDim, inDim)
+        Array.tabulate(outDim * inDim)(i => if (signs(i)) s else -s)
       } else {
         val rnd = new scala.util.Random(seed)
         Array.fill(outDim * inDim)(

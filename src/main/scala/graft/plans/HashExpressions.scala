@@ -305,6 +305,14 @@ object HashKernels {
       signs
     })
 
+  /** The md5 sign matrix for driver-side matrix builders (the JL sign
+    * projection shares the banding's basis through this, so the sign
+    * convention has exactly one derivation). Row-major
+    * `(plane p, dim d) -> p*dim + d`; true = +1. Returns the memoized
+    * array — callers must treat it as read-only. */
+  def md5SignMatrix(totalPlanes: Int, dim: Int): Array[Boolean] =
+    md5Signs(totalPlanes, dim)
+
   /** [[hyperplaneSig]] on the md5-prefix basis — same packing, same
     * plane-offset slicing, signs drawn from [[md5Signs]] so the whole
     * signature replays in the oracle. Accumulation is dim-ascending

@@ -113,9 +113,16 @@ object QualityGate {
   def osvFixRows(envelopes: DataFrame): DataFrame = {
     val v = from_json(col("item"), osvMatchSchema)
     def arr(c: Column): Column = coalesce(c, array().cast("array<string>"))
+    // each range's fixed-event list is coalesced to empty BEFORE the
+    // flatten: one null `events` (a GIT range next to a real ECOSYSTEM
+    // range) would otherwise null the whole flatten and replace the
+    // entry's real fixed versions with the vulnerable-at-any-version
+    // sentinel — silently satisfying labels the gate should flag
     val fixVersions = flatten(transform(col("a.ranges"), r =>
-      filter(transform(r.getField("events"), e => e.getField("fixed")),
-        f => f.isNotNull)))
+      coalesce(
+        filter(transform(r.getField("events"), e => e.getField("fixed")),
+          f => f.isNotNull),
+        array().cast("array<string>"))))
     envelopes
       .select(v.getField("id").as("vuln"),
         concat(arr(v.getField("related")), arr(v.getField("aliases")),
@@ -271,7 +278,11 @@ object QualityGate {
         explode(col("d.fixes")).as("f"))
       .select(col("vuln"), col("aliases"),
         regexp_extract(col("f.product"), "/([^/@]+)@", 1).as("pkg"),
-        regexp_extract(col("f.product"), "@([^?#]+)$", 1)
+        // unanchored: a purl with qualifiers or a subpath
+        // (`...@2.10.0?type=jar`) must still yield "2.10.0" — the
+        // anchored form returned "" there, turning every label for
+        // that fix into a phantom false negative
+        regexp_extract(col("f.product"), "@([^?#]+)", 1)
           .as("fix_version"),
         col("f.available.date").as("fix_date"))
 

@@ -504,6 +504,48 @@ class QualityGateSpec extends AnyFunSuite {
     assert(QualityGate.falseNegativesLibraries(env, misses).count() == 4)
   }
 
+  test("osv gate: a null-events range next to a real fixed range must " +
+      "not become the vulnerable-at-any-version sentinel") {
+    // regression: flatten over [null, [1.2]] is null, and the old
+    // size()>0 fallback replaced the real fix with a null row that
+    // silently satisfied every label for the package
+    val item = """{"id":"CVE-2030-1","affected":[{"package":
+      {"ecosystem":"AlmaLinux:9","name":"widget"},"ranges":[
+      {"type":"GIT","repo":"https://example.invalid/r.git"},
+      {"type":"ECOSYSTEM","events":[{"introduced":"0"},
+      {"fixed":"1.2"}]}]}]}""".stripMargin.replaceAll("\n\\s*", "")
+    val env = Seq(item).toDF("item")
+    val rows = QualityGate.osvFixRows(env).collect()
+    assert(rows.map(_.getAs[String]("fix_version")).toSeq == Seq("1.2"))
+    // installed at the fix: the gate must REPORT it, not pass it
+    val atFix = Seq(("widget", "1.2", "CVE-2030-1", "AlmaLinux:9"))
+      .toDF("pkg", "version", "expected_vuln", "namespace")
+    assert(QualityGate.falseNegativesOsv(env, atFix).count() == 1)
+    // below the fix still matches
+    val below = Seq(("widget", "1.1", "CVE-2030-1", "AlmaLinux:9"))
+      .toDF("pkg", "version", "expected_vuln", "namespace")
+    QualityGate.assertNoFalseNegativesOsv(env, below)
+  }
+
+  test("library gate: a fix purl with qualifiers still yields its " +
+      "version") {
+    // regression: the anchored @([^?#]+)$ extracted "" from a purl
+    // with ?qualifiers, turning every label for the fix into a
+    // phantom false negative
+    val item = """{"document":{"vulnerability":{"name":"CVE-2030-2",
+      "aliases":[]}},"fixes":[{"available":{"date":"2030-01-01",
+      "kind":"advisory"},"product":
+      "pkg:maven/org.x/x-core@2.10.0.cgr.1?type=jar"}]}"""
+      .replaceAll("\n\\s*", "")
+    val env = Seq(item).toDF("item")
+    val row = QualityGate.libraryFixRows(env).collect().head
+    assert(row.getAs[String]("pkg") == "x-core")
+    assert(row.getAs[String]("fix_version") == "2.10.0.cgr.1")
+    val labels = Seq(("x-core", "2.10.0", "CVE-2030-2"))
+      .toDF("pkg", "version", "expected_vuln")
+    QualityGate.assertNoFalseNegativesLibraries(env, labels)
+  }
+
   test("gate match rule is namespace-agnostic but version-exact") {
     // same package name across the two providers' envelopes must not
     // cross-satisfy a version that only one namespace fixes: combine
