@@ -638,7 +638,19 @@ object ScaleStress {
         val tFlow = timed {
           cnt = graft.providers.UbuntuProvider.envelopes(recs, None).count()
         }
-        Thread.sleep(500) // let the listener bus drain
+        // let the listener bus drain: poll until the counter is stable
+        // for two consecutive reads (a fixed sleep dropped late
+        // stage-completed events on a loaded machine), bounded at 10 s
+        var stable = 0
+        var last = -1L
+        var polls = 0
+        while (stable < 2 && polls < 50) {
+          Thread.sleep(200)
+          val now = shuffleBytes.get
+          stable = if (now == last) stable + 1 else 0
+          last = now
+          polls += 1
+        }
         spark.sparkContext.removeSparkListener(listener)
         val mb = shuffleBytes.get / 1e6
         println(f"$w%9d $cnt%10d $mb%10.1f $tFlow%8.1f")
