@@ -127,6 +127,10 @@ object ScaleStress {
     // with p ≈ 1-(1-0.575)^8. Override via env to compare configs.
     val emBands = sys.env.getOrElse("SPARK_GRAFT_EMB_BANDS", "8").toInt
     val emBits = sys.env.getOrElse("SPARK_GRAFT_EMB_BITS", "12").toInt
+    // SPARK_GRAFT_EMB_MD5=1 runs the drill on the md5 sign basis (the
+    // oracle-replayable one q_dedup_embedding/q_dedup_incr_emb use) —
+    // the sign matrix is memoized, so the two bases must cost the same
+    val emMd5 = sys.env.get("SPARK_GRAFT_EMB_MD5").contains("1")
     println(f"\n${"copies"}%8s ${"vecs"}%9s ${"cands"}%9s ${"pairs"}%9s " +
       f"${"t_cand"}%8s ${"t_verify"}%9s")
     for (copies <- Seq(1, maxScale)
@@ -137,14 +141,14 @@ object ScaleStress {
       var t0 = System.nanoTime()
       val cands = Dedup.minhashCandidates(
         Dedup.embeddingBands(vecs, "vec_id", "embedding",
-          emBands, emBits), "vec_id").cache()
+          emBands, emBits, emMd5), "vec_id").cache()
       val nCands = cands.count()
       val tCand = (System.nanoTime() - t0) / 1e9
 
       t0 = System.nanoTime()
       val nPairs = Dedup
         .embeddingNearDups(vecs, "vec_id", "embedding", threshold = 0.9,
-          bands = emBands, bitsPerBand = emBits)
+          bands = emBands, bitsPerBand = emBits, md5Basis = emMd5)
         .count()
       val tVerify = (System.nanoTime() - t0) / 1e9
 
