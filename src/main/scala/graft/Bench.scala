@@ -188,9 +188,10 @@ object Bench {
         java.nio.file.Paths.get(fullPath), payload)
       // legacy alias kept for tooling that reads the unversioned name —
       // but only when this run OWNS the round slot: a builder run
-      // diverted to BENCH_full_local.json must not present its numbers
-      // as the round's record under the alias either
-      if (only.isEmpty && !fullPath.endsWith("_local.json"))
+      // diverted to BENCH_full_local.json (or writing an explicit
+      // SPARK_GRAFT_BENCH_OUT file) must not present its numbers as
+      // the round's record under the alias either
+      if (only.isEmpty && fullPath.matches("BENCH_full_r\\d+\\.json"))
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get("BENCH_full.json"), payload)
     } catch { case e: Throwable =>
