@@ -474,6 +474,48 @@ object ScaleStress {
       corpusDf.unpersist(); idx.unpersist(); batch.unpersist()
     }
 
+    // Round-10 embedding-index probe drill: the persisted-index shape
+    // q_dedup_incr_emb oracle-checks — index = N× corpus banded +
+    // int8-quantized at WRITE time (t_write, paid once), probes = a
+    // fixed-size perturbed re-crawl batch against the growing store
+    // (t_probe — must stay flat-ish: |batch| banding + band equi-join +
+    // |candidate| dequantized cosines, never an index rescan). Both
+    // sign bases drilled; hit counts must match the planted batch.
+    println(f"\n${"copies"}%8s ${"basis"}%7s ${"index"}%8s " +
+      f"${"batch"}%7s ${"hits"}%7s ${"t_write"}%8s ${"t_probe"}%8s")
+    for (copies <- Seq(1, maxScale);
+        md5 <- Seq(false, true)
+        if which == "all" || which == "embidx") {
+      val vecs = embCorpus(spark, dir, copies).cache()
+      vecs.count()
+      val path = java.nio.file.Files
+        .createTempDirectory("embidx_drill").toString + "/idx"
+      val tWrite = timed {
+        Dedup.writeEmbeddingIndex(vecs, path, "vec_id", "embedding",
+          md5Basis = md5)
+      }
+      // batch: perturbed copies of 2,000 stored vectors (cosine ≥ .99)
+      // — every probe must match its source at any index scale
+      val batch = embCorpus(spark, dir, 1)
+        .select((col("vec_id") + 900000000L).as("vec_id"),
+          transform(col("embedding"), x => x + lit(0.01f))
+            .as("embedding")).cache()
+      val nBatch = batch.count()
+      var hits = 0L
+      val tProbe = timed {
+        hits = Dedup.embeddingNearDupsAgainstIndex(spark, path, batch,
+            "vec_id", "embedding", threshold = 0.9, md5Basis = md5)
+          .select(col("batch_id")).distinct().count()
+      }
+      assert(hits == nBatch,
+        s"probe missed planted re-crawls: $hits of $nBatch")
+      println(f"$copies%8d ${if (md5) "md5" else "seed"}%7s " +
+        f"${vecs.count()}%8d $nBatch%7d $hits%7d $tWrite%8.1f $tProbe%8.1f")
+      vecs.unpersist(); batch.unpersist()
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(path).getParentFile)
+    }
+
     // Round-8 DSIR drill (continuation session): the model-fit side of
     // importance resampling must stay k-BOUNDED while the corpus grows —
     // ratio rows ≤ k at any scale (the two count jobs collapse map-side)
