@@ -114,10 +114,13 @@ object Contamination {
         col("n_hits") / greatest(col("n_shingles"), lit(1L)), 3))
   }
 
-  /** Cross-corpus n-gram containment matrix: for every ordered pair of
-    * groups (a, b), |shingles(a) ∩ shingles(b)| / |shingles(b)| — the
-    * "how much of corpus b is already inside corpus a" overlap measure
-    * used to audit dataset mixes and source-level leakage.
+  /** Cross-corpus n-gram containment matrix: one row per ordered pair
+    * of groups (a, b) WITH nonzero shingle overlap —
+    * |shingles(a) ∩ shingles(b)| / |shingles(b)|, the "how much of
+    * corpus b is already inside corpus a" overlap measure used to
+    * audit dataset mixes and source-level leakage. Zero-overlap pairs
+    * are ABSENT, not 0.0 (the matrix is sparse by construction);
+    * consumers pivoting to a dense matrix fill missing pairs with 0.
     *
     * Scale shape: ONE distinct-shuffle of (group, shingle) — the corpus
     * text itself never moves — then a self-equi-join on the shingle key

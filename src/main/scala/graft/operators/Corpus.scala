@@ -27,8 +27,15 @@ object Corpus {
     * and is portable to any engine with md5. */
   def hashKeep(key: Column, rate: Double): Column = {
     require(rate >= 0 && rate <= 1, "rate must be in [0,1]")
-    val threshold = f"${math.floor(rate * 65536).toInt}%04x"
-    hashBucket(key) < lit(threshold)
+    // rate 1.0 would format as 5-hex-char "10000", which compares
+    // LOWER than most 4-char buckets as a string (the hazard
+    // [[splitByHash]] and rebalanceMixture document) — keeping only
+    // the ~1/16 of buckets starting with '0'. Short-circuit.
+    if (rate >= 1.0) lit(true)
+    else {
+      val threshold = f"${math.floor(rate * 65536).toInt}%04x"
+      hashBucket(key) < lit(threshold)
+    }
   }
 
   /** The 4-hex-char md5 prefix used by [[hashKeep]] (exposed so callers
@@ -87,6 +94,14 @@ object Corpus {
   def duplicatedSpans(docs: DataFrame, textCol: String, idCol: String,
       n: Int = 4, minCount: Long = 2L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // `grams` feeds both the count aggregate and the position join —
+    // deliberately UNcached: the lineage is a map-only explode (scan +
+    // kernel, no shuffle), so recomputing it costs one extra map pass,
+    // while persisting |tokens| rows of exploded corpus inside a
+    // lazily-returned result would pin a session cache entry this
+    // function can never unpersist (the r8 leak class). dedupLinesImpl
+    // caches its explode because its consumers are EAGER (two counting
+    // passes + a collect) and the cache drops before return.
     val grams = Dedup.fanOut(docs.select(col(idCol), col(textCol)))
       .filter(graft.plans.TextExpressions.token_count(col(textCol)) >= n)
       .select(col(idCol).as("__doc"),
@@ -153,11 +168,14 @@ object Corpus {
   def dedupLines(docs: DataFrame, textCol: String,
       delim: String = "\n", maxOccurrences: Long = 1L,
       maxFrequentLines: Long = 4L << 20,
-      maxFrequentBytes: Long = 256L << 20): DataFrame =
+      maxFrequentBytes: Long = 256L << 20,
+      maxLiteralLines: Long = 4096L,
+      maxLiteralBytes: Long = 1L << 20): DataFrame =
     dedupLinesImpl(docs, textCol, delim,
       docs.sparkSession.range(1).select(
         lit(maxOccurrences).as("__thr")),
-      maxFrequentLines, maxFrequentBytes)
+      maxFrequentLines, maxFrequentBytes,
+      maxLiteralLines, maxLiteralBytes)
 
   /** [[dedupLines]] with the C4 convention that "frequent" means
     * "appears more often than there are documents" — the threshold is
@@ -165,10 +183,13 @@ object Corpus {
     * separate driver `count()` prepass blocking the query. */
   def dedupLinesAuto(docs: DataFrame, textCol: String,
       delim: String = "\n", maxFrequentLines: Long = 4L << 20,
-      maxFrequentBytes: Long = 256L << 20): DataFrame =
+      maxFrequentBytes: Long = 256L << 20,
+      maxLiteralLines: Long = 4096L,
+      maxLiteralBytes: Long = 1L << 20): DataFrame =
     dedupLinesImpl(docs, textCol, delim,
       docs.agg(count(lit(1)).as("__thr")),
-      maxFrequentLines, maxFrequentBytes)
+      maxFrequentLines, maxFrequentBytes,
+      maxLiteralLines, maxLiteralBytes)
 
   /** Per-GROUP boilerplate line removal — the domain-scoped variant of
     * [[dedupLines]] (web curation strips nav bars / footers / cookie
@@ -313,7 +334,14 @@ object Corpus {
 
   private def dedupLinesImpl(docs: DataFrame, textCol: String,
       delim: String, threshold: DataFrame,
-      maxFrequentLines: Long, maxFrequentBytes: Long): DataFrame = {
+      maxFrequentLines: Long, maxFrequentBytes: Long,
+      maxLiteralLines: Long = 4096L,
+      maxLiteralBytes: Long = 1L << 20): DataFrame = {
+    // the join fallback binds the set as a __freq column — same
+    // data-size-dependent-crash guard as dedupLinesPerGroup
+    require(!docs.columns.contains("__freq"),
+      "dedupLines reserves the internal column name __freq — rename " +
+        "it in the input")
     val lineArr = split(col(textCol),
       java.util.regex.Pattern.quote(delim))
     // ONE split+explode pass, cached for the two counting passes
@@ -343,28 +371,48 @@ object Corpus {
       .select(col("__l"))
     // guard FIRST (shared [[guardFrequentSet]]): an oversized frequent
     // set is rejected before a single line string leaves the cluster
-    guardFrequentSet(freqStrings, "__l", maxFrequentLines,
-      maxFrequentBytes, lines, "dedupLines",
-      "the map-side rewrite broadcasts the frequent set, which is " +
+    val (nFreq, bFreq) = guardFrequentSet(freqStrings, "__l",
+      maxFrequentLines, maxFrequentBytes, lines, "dedupLines",
+      "the rewrite carries the frequent set as a broadcast, which is " +
         "only bounded when the threshold is large relative to the " +
         "corpus; raise maxOccurrences (or use dedupLinesAuto, " +
-        "threshold > |docs|), or raise the caps if the driver can " +
+        "threshold > |docs|), or raise the caps if the cluster can " +
         "hold it")
-    // map-only rewrite against the frequent set, materialized NOW by a
-    // driver collect of the ONE aggregated row — the guard, both
-    // counting passes, and the collect all run against the cached
-    // lines, so the lines cache drops before this operator even
-    // returns instead of pinning exploded text for the rest of the
-    // session. A single array literal neither pins a CacheManager
-    // entry for the session (the r8 persist draft leaked one per
-    // call) nor rides a non-recomputable localCheckpoint block.
-    val freqArr: Seq[String] = freqStrings
-      .agg(collect_set(col("__l")).as("__freq"))
-      .head().getSeq[String](0)
-    lines.unpersist(blocking = false)
-    docs.withColumn(textCol,
-      concat_ws(delim, filter(lineArr,
-        l => !array_contains(typedlit(freqArr), l))))
+    if (nFreq <= maxLiteralLines && bFreq <= maxLiteralBytes) {
+      // literal path (tiny sets — where skipping the join wins, same
+      // threshold rationale as dedupLinesPerGroup): the frequent set is
+      // materialized NOW by a driver collect of the ONE aggregated
+      // row — the guard, both counting passes, and the collect all run
+      // against the cached lines, so the lines cache drops before this
+      // operator even returns instead of pinning exploded text for the
+      // rest of the session. A single array literal neither pins a
+      // CacheManager entry for the session (the r8 persist draft
+      // leaked one per call) nor rides a non-recomputable
+      // localCheckpoint block.
+      val freqArr: Seq[String] = freqStrings
+        .agg(collect_set(col("__l")).as("__freq"))
+        .head().getSeq[String](0)
+      lines.unpersist(blocking = false)
+      docs.withColumn(textCol,
+        concat_ws(delim, filter(lineArr,
+          l => !array_contains(typedlit(freqArr), l))))
+    } else {
+      // join path (the per-group fallback's corpus-global analog): the
+      // frequent set never leaves the cluster — ONE aggregated row
+      // reaches every doc through a broadcast cross join. The
+      // per-group drill measured this form ~2.7x faster than a
+      // thousands-of-lines map literal (the literal rides every task
+      // binary); without it a 4M-line frequent set was a ~256 MB
+      // typedlit in the plan.
+      val freqSet = freqStrings.agg(collect_set(col("__l")).as("__freq"))
+      lines.unpersist(blocking = false)
+      docs.crossJoin(broadcast(freqSet))
+        .withColumn(textCol,
+          concat_ws(delim, filter(lineArr,
+            l => !coalesce(array_contains(col("__freq"), l),
+              lit(false)))))
+        .drop("__freq")
+    }
   }
 
   /** Deterministic training-order shuffle: ORDER BY md5("id:seed") —
@@ -417,10 +465,16 @@ object Corpus {
 
   /** Keep at most `n` rows per group, best-first by `order`. One shuffle
     * on the group key; the top-n is pushed below the exchange as a
-    * WindowGroupLimit (partial group-limit per map task). */
+    * WindowGroupLimit (partial group-limit per map task). The 1-based
+    * per-group rank is RETURNED as column `rnk` — part of the contract
+    * (per-source caps report it); callers that only want the cap drop
+    * it. The input must not already carry a `rnk` column (it would be
+    * silently replaced otherwise). */
   def capPerGroup(df: DataFrame, groupCol: String, order: Seq[Column],
       n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(!df.columns.contains("rnk"),
+      "capPerGroup: input must not carry a rnk column (returned rank)")
     val w = Window.partitionBy(col(groupCol)).orderBy(order: _*)
     df.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= n)
   }
@@ -444,6 +498,10 @@ object Corpus {
   def takeTokenBudget(df: DataFrame, groupCol: String, textCol: String,
       idCol: String, budget: Long, seed: Long = 0L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // same fail-fast convention as shuffleWithPositions: silently
+    // replacing and then dropping a caller's __cum would delete data
+    require(!df.columns.contains("__cum"),
+      "takeTokenBudget: input must not carry the internal __cum name")
     // the shared shuffle key: null-id-safe (coalesced to "") and
     // collision-proof (raw id suffix), so the window order — and with
     // it the kept set — is total on ANY id column, not just non-null
@@ -649,7 +707,10 @@ object Corpus {
     * consecutive chunks — the standard long-document → training-sample
     * step. Pure row-local array arithmetic (split → sequence of starts →
     * posexplode of slices): chunking is a scan, no shuffle; output order
-    * within a doc is the deterministic chunk index. */
+    * within a doc is the deterministic chunk index. A null `textCol`
+    * yields NO chunks (the null token array posexplodes to zero rows) —
+    * the document drops from the chunked corpus; coalesce upstream if
+    * null docs must survive as empty chunks. */
   def chunk(df: DataFrame, idCol: String, textCol: String,
       maxTokens: Int, overlap: Int = 0): DataFrame = {
     require(maxTokens > overlap,

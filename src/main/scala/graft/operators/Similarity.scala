@@ -31,6 +31,14 @@ object Similarity {
     * `queries` must be small (it is broadcast); the corpus is only mapped +
     * locally reduced — the shuffle carries q·k candidate rows, not vectors.
     *
+    * Contract (shared by every query path here — brute, IVF, LSH):
+    * `qidCol` shares the corpus id domain, and a corpus row whose id
+    * EQUALS the query's id is excluded as a self-match — the
+    * query-my-own-corpus shape (dedup, leave-one-out eval). External
+    * query sets must use ids disjoint from the corpus (or a null-free
+    * synthetic qid), or a coincidentally-shared id silently drops that
+    * corpus vector from that query's candidates.
+    *
     * The broadcast nested loop parallelizes per CORPUS partition, so a
     * small corpus arriving as one parquet split would run the whole
     * O(n·q) loop in a single task; spread it to the session's
@@ -408,8 +416,15 @@ object Similarity {
       spark.read.parquet(s"$path/centroids").collect().toSeq
         .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
         .sortBy(_._1)
+    // the probe frame is materialized ONCE (query-set-sized — it rides
+    // a broadcast anyway): the cell-pruning collect below and the
+    // rerank join must see the SAME probe rows, and a nondeterministic
+    // queries frame re-evaluated for the rerank could otherwise probe
+    // a cell the collect already pruned out of the index — silently
+    // losing its candidates
     val probes = queries.select(col(qidCol), col(qvecCol),
       explode(probeCells(col(qvecCol), cents, nprobe)).as("cell"))
+      .localCheckpoint(eager = true)
     val probedCells = probes.select("cell").distinct()
       .collect().map(_.getInt(0)) // |q|·nprobe ints — driver-bounded
     val index = spark.read.parquet(s"$path/index")

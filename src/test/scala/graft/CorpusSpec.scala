@@ -65,6 +65,11 @@ class CorpusSpec extends AnyFunSuite {
     val small = df.filter(Corpus.hashKeep(col("text"), 0.1))
     val bigger = df.filter(Corpus.hashKeep(col("text"), 0.5))
     assert(small.exceptAll(bigger).count() == 0, "rates not nested")
+    // regression: rate = 1.0 keeps EVERYTHING — the threshold would
+    // format as 5-char "10000", which string-compares below most
+    // 4-char buckets (only ~1/16 of rows survived)
+    assert(df.filter(Corpus.hashKeep(col("text"), 1.0)).count() == 4000)
+    assert(df.filter(Corpus.hashKeep(col("text"), 0.0)).count() == 0)
   }
 
   test("capPerGroup bounds group size and keeps best-first") {
@@ -199,6 +204,14 @@ class CorpusSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(strict(3L) == "another body")
     assert(strict(1L) == "unique intro\nreal content one")
+    // the broadcast-join fallback (literal caps forced to 0) must be
+    // row-identical to the literal path — same pin as the per-group
+    // variant's lit≡join
+    val viaJoin = Corpus.dedupLines(docs, "text",
+        delim = "\n", maxOccurrences = 2,
+        maxLiteralLines = 0L, maxLiteralBytes = 0L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaJoin == out, "join fallback diverged from literal path")
   }
 
   test("deterministic shuffle: rerun-stable, layout-independent, " +
