@@ -55,12 +55,27 @@ object Dedup {
   def minhashSignature(shingles: Column, k: Int): Column =
     graft.plans.HashExpressions.minhash_sig(shingles, k)
 
+  /** The default MinHash signature config — shared by [[minhashBands]]
+    * and [[verifiedPairs]]' estimate prefilter so the estimate always
+    * runs in the SAME (shingleLen, k) space as the bands that produced
+    * the candidates. */
+  private val DefaultShingleLen = 5
+  private val DefaultK = 20
+
   /** LSH banding: split a k-length signature into `bands` bands of
     * k/bands rows each; one output row per (docId, bandIdx, bandHash).
     * Near-dup candidates are rows sharing (bandIdx, bandHash): a groupBy
     * on a small key, NOT a cross join. */
   def minhashBands(df: DataFrame, textCol: String, idCol: String,
-      shingleLen: Int = 5, k: Int = 20, bands: Int = 5): DataFrame = {
+      shingleLen: Int = DefaultShingleLen, k: Int = DefaultK,
+      bands: Int = 5): DataFrame = {
+    // bands must tile the signature exactly: bands > k gives 0-row
+    // bands whose key is identical for EVERY doc (all buckets blow the
+    // cap → zero candidates, silently); a non-dividing bands quietly
+    // ignores the signature tail. Same stance as simhashNearDups'
+    // require(60 % bands == 0).
+    require(bands >= 1 && k % bands == 0,
+      s"bands ($bands) must divide the signature length k ($k)")
     val rowsPerBand = k / bands
     fanOut(df.select(col(idCol), col(textCol)))
       .select(col(idCol),
@@ -124,7 +139,8 @@ object Dedup {
       case Some(minEst) =>
         val sigs = fanOut(df.select(col(idCol), col(textCol)))
           .select(col(idCol).as("__pid"),
-            graft.plans.HashExpressions.minhash_text(col(textCol), 5, 20)
+            graft.plans.HashExpressions
+              .minhash_text(col(textCol), DefaultShingleLen, DefaultK)
               .as("__psig"))
         cands0
           .join(sigs.select(col("__pid").as("id1"), col("__psig").as("__sig1")),
@@ -266,9 +282,39 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$path/bands")
   }
 
+  /** The probe-relevant config manifest persisted next to an index's
+    * stores (`path/params`), so a probe with a mismatched banding
+    * config FAILS LOUDLY instead of silently returning empty or wrong
+    * results (batch keys from a different (shingleLen, k, bands) — or
+    * a different sign basis — simply never collide with stored keys;
+    * the Dsir count-store (n, k) validation is the in-repo precedent).
+    * A store without a manifest (pre-r10) is accepted unchecked. */
+  private def writeIndexParams(path: String, params: Map[String, Long],
+      spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    params.toSeq.sortBy(_._1).toDF("param", "value")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  private def checkIndexParams(spark: org.apache.spark.sql.SparkSession,
+      path: String, params: Map[String, Long], op: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/params")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return // pre-manifest store: accept unchecked
+    val stored = spark.read.parquet(s"$path/params")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(stored == params,
+      s"$op: index at $path was written with ${stored.toSeq.sorted
+        .mkString(", ")} but probed with ${params.toSeq.sorted
+        .mkString(", ")} — probe config must match the written index")
+  }
+
   def writeNearDupIndex(corpus: DataFrame, path: String, textCol: String,
       idCol: String, shingleLen: Int = 5, k: Int = 20, bands: Int = 5,
       shingleWords: Int = 3, maxBucket: Int = 1000): Unit = {
+    writeIndexParams(path, Map("shingleLen" -> shingleLen.toLong,
+      "k" -> k.toLong, "bands" -> bands.toLong,
+      "shingleWords" -> shingleWords.toLong), corpus.sparkSession)
     writeCappedBands(
       minhashBands(corpus, textCol, idCol, shingleLen, k, bands)
         .select(col(idCol).as("id"), col("band"), col("band_hash")),
@@ -294,6 +340,9 @@ object Dedup {
       path: String, batch: DataFrame, textCol: String, idCol: String,
       threshold: Double = 0.4, shingleLen: Int = 5, k: Int = 20,
       bands: Int = 5, shingleWords: Int = 3): DataFrame = {
+    checkIndexParams(spark, path, Map("shingleLen" -> shingleLen.toLong,
+      "k" -> k.toLong, "bands" -> bands.toLong,
+      "shingleWords" -> shingleWords.toLong), "nearDupsAgainstIndex")
     val idxBands = spark.read.parquet(s"$path/bands")
     val batchBands = minhashBands(batch, textCol, idCol, shingleLen, k,
       bands).select(col(idCol).as("batch_id"), col("band"), col("band_hash"))
@@ -326,6 +375,9 @@ object Dedup {
   def writeEmbeddingIndex(corpus: DataFrame, path: String, idCol: String,
       vecCol: String, bands: Int = 8, bitsPerBand: Int = 12,
       maxBucket: Int = 1000, md5Basis: Boolean = false): Unit = {
+    writeIndexParams(path, Map("bands" -> bands.toLong,
+      "bitsPerBand" -> bitsPerBand.toLong,
+      "md5Basis" -> (if (md5Basis) 1L else 0L)), corpus.sparkSession)
     writeCappedBands(
       embeddingBands(corpus, idCol, vecCol, bands, bitsPerBand, md5Basis)
         .select(col(idCol).as("id"), col("band"), col("band_hash")),
@@ -351,6 +403,10 @@ object Dedup {
       batch: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.9, bands: Int = 8, bitsPerBand: Int = 12,
       md5Basis: Boolean = false): DataFrame = {
+    checkIndexParams(spark, path, Map("bands" -> bands.toLong,
+      "bitsPerBand" -> bitsPerBand.toLong,
+      "md5Basis" -> (if (md5Basis) 1L else 0L)),
+      "embeddingNearDupsAgainstIndex")
     val idxBands = spark.read.parquet(s"$path/bands")
     val batchBands = embeddingBands(batch, idCol, vecCol, bands,
       bitsPerBand, md5Basis)
@@ -592,7 +648,13 @@ object Dedup {
   def embeddingBands(df: DataFrame, idCol: String, vecCol: String,
       bands: Int = 6, bitsPerBand: Int = 6,
       md5Basis: Boolean = false): DataFrame = {
-    require(bitsPerBand <= 64, "band key exceeds 64 bits")
+    // degenerate configs are silent recall killers, not errors Spark
+    // would surface: bitsPerBand = 0 keys EVERY vector into one bucket
+    // per band (the cap then drops them all — zero candidates on a
+    // dup-filled corpus); bands = 0 emits no key rows at all
+    require(bands >= 1 && bitsPerBand >= 1 && bitsPerBand <= 64,
+      s"need 1 <= bitsPerBand <= 64 and bands >= 1 " +
+        s"(got bands=$bands, bitsPerBand=$bitsPerBand)")
     // ONE kernel invocation computes every band's key (vector read once,
     // dims-outer loop), then posexplode: pos IS the band index. Keys are
     // bit-identical to the per-offset hyperplane_sig slices (spec-pinned).
@@ -630,12 +692,16 @@ object Dedup {
 
   /** Resolve near-dup candidate pairs into duplicate clusters: iterative
     * min-label propagation (each id adopts the smallest id reachable so
-    * far) until fixpoint or maxIter. Returns (id, component) where
-    * component = the cluster's minimum id — the "keep" representative.
+    * far) until fixpoint. Returns (id, component) where component = the
+    * cluster's minimum id — the "keep" representative.
     *
     * At scale each iteration is one join + one groupBy on the edge list
     * (no driver-side union-find); near-dup clusters are shallow (most
-    * have diameter ≤ 2-3), so convergence is fast and bounded. */
+    * have diameter ≤ 2-3), so convergence is fast and bounded. A graph
+    * still unconverged after `maxIter` rounds THROWS rather than
+    * returning split clusters (a chain of diameter > maxIter would
+    * silently keep one extra "representative" duplicate per split) —
+    * raise maxIter for pathological long-chain graphs. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 10,
       driverThreshold: Long = 100000L): DataFrame = {
     val spark = pairs.sparkSession
@@ -711,11 +777,18 @@ object Dedup {
           (col("nbr_min") < col("component")).as("__changed"))
         .localCheckpoint(eager = true) // cut lineage per round
       converged = updated.filter(col("__changed")).count() == 0
+      // the PREVIOUS round's checkpoint snapshot becomes unreferenced
+      // here; Spark's ContextCleaner unpersists it on GC, so live
+      // block-manager copies stay bounded without manual plumbing
       labels = updated.drop("__changed")
       i += 1
     }
     edges.unpersist()
     rawPairs.unpersist()
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents: not converged after $i rounds — the graph " +
+        "has a label chain longer than maxIter; raise maxIter " +
+        "(diameter bounds the rounds needed)")
     labels
   }
 }

@@ -27,13 +27,16 @@ object Embeddings {
   final case class VecAcc(sum: Array[Double], n: Long)
 
   /** Typed mean-vector Aggregator over float-array embeddings.
-    * Null/empty-safe: null inputs are skipped; groups with no non-null
-    * vector yield an empty array. */
+    * Null/empty-safe: null AND empty inputs are skipped (an empty
+    * array seeding the buffer would make the next real vector read as
+    * "length drift" and kill the job — covAggregator skips the same
+    * way); groups with no non-null non-empty vector yield an empty
+    * array. */
   val meanAggregator: Aggregator[Seq[Float], VecAcc, Seq[Double]] =
     new Aggregator[Seq[Float], VecAcc, Seq[Double]] {
       override def zero: VecAcc = VecAcc(Array.emptyDoubleArray, 0L)
       private def add(acc: VecAcc, v: Seq[Float]): VecAcc =
-        if (v == null) acc
+        if (v == null || v.isEmpty) acc
         else if (acc.n == 0L) {
           val s = new Array[Double](v.length)
           var i = 0
@@ -85,6 +88,11 @@ object Embeddings {
     * Pure projection — quantization is a scan, no shuffle. */
   def quantize(df: DataFrame, vecCol: String,
       qCol: String = "qvec", scaleCol: String = "scale"): DataFrame = {
+    // withColumn would silently REPLACE a caller's existing qvec/scale
+    // ("scale" is a common name) — fail fast like Pack.cumBefore
+    require(!df.columns.contains(qCol) && !df.columns.contains(scaleCol),
+      s"quantize: input already carries a '$qCol' or '$scaleCol' " +
+        "column — pass different qCol/scaleCol names")
     val maxAbs = array_max(transform(col(vecCol), x => abs(x)))
       .cast("double")
     val scale = when(maxAbs === 0.0 || maxAbs.isNull, lit(1.0))

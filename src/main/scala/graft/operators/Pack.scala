@@ -101,6 +101,12 @@ object Pack {
       it.map { r =>
         if (first) { cum = offsets.getOrElse(r.getInt(pidIdx), 0L); first = false }
         val before = cum
+        // a null weight would NPE deep in the fold (and the driver
+        // totals above would have skipped it via sum()) — name the
+        // contract instead of crashing obscurely mid-task
+        if (wIdx >= 0 && r.isNullAt(wIdx)) throw new IllegalArgumentException(
+          s"cumBefore: null weight in '${weightCol.get}' — the weight " +
+            "column must be non-null (coalesce upstream)")
         cum += (if (wIdx >= 0) r.getLong(wIdx) else 1L)
         Row.fromSeq(r.toSeq :+ before)
       }

@@ -516,4 +516,55 @@ class DedupSpec extends AnyFunSuite {
     assert(outStr.collect().map(r => r.getString(0) -> r.getString(1)).toMap
       == Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
   }
+
+  test("connected components: unconverged distributed fixpoint throws " +
+      "instead of returning split clusters") {
+    // a 13-node chain (diameter 12) on STRING ids (forces the
+    // iterative path): 3 rounds cannot finish; enough rounds resolve
+    // ONE component rooted at the lexicographic minimum
+    val chain = (1 until 13).map(i => (f"d$i%02d", f"d${i + 1}%02d"))
+      .toDF("id1", "id2")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 3).collect()
+    }
+    assert(e.getMessage.contains("not converged"))
+    val ok = Dedup.connectedComponents(chain, maxIter = 20)
+      .collect().map(r => r.getString(1)).distinct
+    assert(ok.toSeq == Seq("d01"))
+  }
+
+  test("degenerate banding configs and index-config mismatches fail " +
+      "loudly, not silently empty") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.minhashBands(df, "text", "doc_id", k = 20, bands = 30)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.minhashBands(df, "text", "doc_id", k = 20, bands = 6)
+    }
+    val em = Seq((1L, Seq(1f, 2f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Dedup.embeddingBands(em, "vec_id", "embedding", bands = 6,
+        bitsPerBand = 0)
+    }
+    // a probe whose banding config mismatches the written index's
+    // params manifest is rejected (keys would never collide — the
+    // probe would silently report a dup-filled batch as clean)
+    val corpus = (1L to 20L)
+      .map(i => (i, Seq.fill(16)((i % 7).toFloat + 0.1f)))
+      .toDF("vec_id", "embedding")
+    val path = java.nio.file.Files
+      .createTempDirectory("embidx_params").toString + "/idx"
+    Dedup.writeEmbeddingIndex(corpus, path, "vec_id", "embedding",
+      bands = 8, bitsPerBand = 12)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.embeddingNearDupsAgainstIndex(spark, path, corpus,
+        "vec_id", "embedding", bands = 4, bitsPerBand = 6).collect()
+    }
+    assert(e.getMessage.contains("probe config must match"))
+    intercept[IllegalArgumentException] {
+      Dedup.embeddingNearDupsAgainstIndex(spark, path, corpus,
+        "vec_id", "embedding", md5Basis = true).collect()
+    }
+  }
 }

@@ -42,6 +42,15 @@ class EmbeddingsSpec extends AnyFunSuite {
     val out = Embeddings.centroids(df, "label", "embedding")
       .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
     assert(out(0) == Seq(4.0, 0.0))
+    // EMPTY vectors are skipped too (a failed embed next to real
+    // vectors): seeding the buffer at length 0 would read as "length
+    // drift" on the next real vector and kill the job
+    val mixed = Seq(
+      (0, Seq.empty[Float]), (0, Seq(2.0f, 6.0f)), (0, Seq(4.0f, 0.0f))
+    ).toDF("label", "embedding")
+    val m = Embeddings.centroids(mixed, "label", "embedding")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(m(0) == Seq(3.0, 3.0))
   }
 
   test("centroid similarity: member of a tight cluster scores near 1") {
