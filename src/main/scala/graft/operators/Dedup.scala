@@ -21,23 +21,23 @@ import graft.functions.Text
   */
 object Dedup {
 
-  /** Round-robin fan-out before a CPU-bound per-row kernel (sha-256,
+  /** Conditional fan-out before a CPU-bound per-row kernel (sha-256,
     * minhash, shingling). Kernel parallelism is otherwise capped by input
     * split count — a single-row-group parquet file scans as ONE partition
-    * no matter how many cores the cluster has — and round-robin also
-    * rebalances skewed document lengths. The shuffle moves only the
-    * already-pruned (id, text) projection, which the kernel cost dwarfs;
-    * where the scan is already well-split (the 100 TB case) the exchange
-    * is cheap relative to the kernel stage it feeds. */
-  def fanOut(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+    * no matter how many cores the cluster has — so an under-split input
+    * gets one round-robin respread ahead of the kernel. Delegates to
+    * [[graft.Q.spread]]: when the scan already has ≥ defaultParallelism
+    * splits (the 100 TB case — maxPartitionBytes bounds every split, so
+    * partitions are byte-even and kernel cost ∝ bytes is balanced
+    * without help) this is a NO-OP, and the pruned (id, text) projection
+    * never crosses an exchange before the kernel stage. */
+  def fanOut(df: DataFrame): DataFrame = graft.Q.spread(df)
 
   /** Exact dedup: keep the lowest `idCol` per normalized-text fingerprint.
-    * Two exchanges: the fanOut moves the pruned (id, text) projection so
-    * hashing parallelism isn't capped by input splits (worth it when the
-    * scan is poorly split or document lengths skew; at a well-split
-    * 100 TB layout, drop it); the groupBy then shuffles only
-    * (fingerprint, id) pairs — the text never crosses twice. */
+    * The fanOut respreads the pruned (id, text) projection ONLY when the
+    * scan is under-split (test parquet; a well-split 100 TB layout skips
+    * it); the groupBy then shuffles only (fingerprint, id) pairs — at
+    * scale the text never crosses an exchange at all. */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     fanOut(df.select(col(idCol), col(textCol)))
       .select(col(idCol), Text.fingerprint(col(textCol)).as("fp"))

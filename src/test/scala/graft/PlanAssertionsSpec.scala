@@ -392,4 +392,31 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 3,
       s"expected the three dimension joins to broadcast:\n$p")
   }
+
+  test("Dedup.fanOut respreads an under-split input but is a NO-OP once " +
+      "the scan is already well-split (the 100 TB layout)") {
+    import org.apache.spark.sql.functions._
+    val want = spark.sparkContext.defaultParallelism
+    def synth(parts: Int) =
+      spark.range(0, 1000, 1, parts)
+        .select(col("id").as("doc_id"),
+          concat(lit("doc text "), col("id")).as("text"))
+    // under-split (1 partition — the single-row-group test parquet case):
+    // the kernel stage must not run single-threaded
+    val under = graft.operators.Dedup
+      .exact(synth(1), "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(under.contains("RoundRobinPartitioning"),
+      s"under-split input should respread before the hash kernel:\n$under")
+    // well-split (>= defaultParallelism partitions): the text projection
+    // must NOT cross a pre-kernel exchange — only (fingerprint, id)
+    // pairs shuffle, in the groupBy
+    val wide = graft.operators.Dedup
+      .exact(synth(want), "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!wide.contains("RoundRobinPartitioning"),
+      s"well-split input must not respread before the kernel:\n$wide")
+    assert("Exchange hashpartitioning".r.findAllIn(wide).length == 1,
+      s"exactly the fingerprint groupBy exchange expected:\n$wide")
+  }
 }
