@@ -2408,6 +2408,155 @@ object QueriesPipeline {
               string_split(host, '.')[-1] END AS domain
         FROM fin""")),
 
+    // HTML → text extraction — the step before every other curation
+    // operator on a web corpus. The corpus has no organic HTML, so
+    // both sides plant a deterministic doc_id-derived page (script +
+    // style blocks, block/inline tags, the six entities, <br>) around
+    // each document's words and the OPERATOR under test is the
+    // extractor (Text.html_to_text — chained RE2-safe regexp/replace
+    // Column ops, map-only scan). Entity-encoded markup must survive
+    // as text (&lt;tag&gt; → literal '<tag>', decoded AFTER the tag
+    // strip), &amp; decodes last.
+    "q_text_html_strip" -> Entry(
+      (s, dir) => {
+        val id = col("doc_id")
+        val w = split(trim(col("text")), " ")
+        val html = concat(
+          lit("<!DOCTYPE html><html><head><style type=\"text/css\">" +
+            "body { color: #fff; }</style>"),
+          lit("<script>if (2 < "), pmod(id, lit(7)).cast("string"),
+          lit(") { document.write(\"x\"); }</script>"),
+          lit("<title>Doc "), id.cast("string"),
+          lit("</title></head><body>"),
+          lit("<h1 class=\"t\">Doc &quot;"), id.cast("string"),
+          lit("&quot;</h1><p>"),
+          array_join(slice(w, 1, 6), " "),
+          lit(" &amp; "), array_join(slice(w, 7, 4), " "),
+          lit("&nbsp;&lt;tag&gt;</p><ul><li>"),
+          array_join(slice(w, 11, 3), " "),
+          lit("</li><li>"), array_join(slice(w, 14, 3), " "),
+          lit("</li></ul><div id=\"d1\">"),
+          array_join(slice(w, 17, 5), " "),
+          lit("<br/>tail &#39;q&#39;</div></body></html>"))
+        // staged Project (q_url_normalize convention): the plant stays
+        // behind an alias so the extractor chain references ONE column
+        t(s, dir, "documents").select(id, html.as("html"))
+          .select(col("doc_id"),
+            Text.html_to_text(col("html")).as("txt"))
+          .select(col("doc_id"), col("txt"),
+            length(col("txt")).cast("long").as("n_chars"))
+      },
+      Some("""WITH planted AS (
+          SELECT doc_id,
+            '<!DOCTYPE html><html><head><style type="text/css">body { color: #fff; }</style>'
+            || '<script>if (2 < ' || cast(doc_id % 7 AS varchar)
+            || ') { document.write("x"); }</script>'
+            || '<title>Doc ' || cast(doc_id AS varchar)
+            || '</title></head><body>'
+            || '<h1 class="t">Doc &quot;' || cast(doc_id AS varchar)
+            || '&quot;</h1><p>'
+            || coalesce(array_to_string((string_split(trim(text), ' '))[1:6], ' '), '')
+            || ' &amp; '
+            || coalesce(array_to_string((string_split(trim(text), ' '))[7:10], ' '), '')
+            || '&nbsp;&lt;tag&gt;</p><ul><li>'
+            || coalesce(array_to_string((string_split(trim(text), ' '))[11:13], ' '), '')
+            || '</li><li>'
+            || coalesce(array_to_string((string_split(trim(text), ' '))[14:16], ' '), '')
+            || '</li></ul><div id="d1">'
+            || coalesce(array_to_string((string_split(trim(text), ' '))[17:21], ' '), '')
+            || '<br/>tail &#39;q&#39;</div></body></html>' AS html
+          FROM documents
+        ), s1 AS (
+          SELECT doc_id, regexp_replace(html,
+            '(?is)<(?:script|style)[^>]*>.*?</(?:script|style)\s*>',
+            ' ', 'g') AS x
+          FROM planted
+        ), s2 AS (
+          SELECT doc_id, regexp_replace(x,
+            '(?i)<(?:br\s*/?|/p|/div|/h[1-6]|/li|/tr|/ul|/ol|/table)\s*>',
+            chr(10), 'g') AS x
+          FROM s1
+        ), s3 AS (
+          SELECT doc_id, regexp_replace(x, '<[^>]+>', ' ', 'g') AS x
+          FROM s2
+        ), s4 AS (
+          SELECT doc_id, replace(replace(replace(replace(replace(replace(x,
+            '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+            '&nbsp;', ' '), '&amp;', '&') AS x
+          FROM s3
+        ), s5 AS (
+          SELECT doc_id,
+            regexp_replace(regexp_replace(regexp_replace(x,
+              '[ \t\r]+', ' ', 'g'),
+              ' *\n *', chr(10), 'g'),
+              '\n{3,}', chr(10) || chr(10), 'g') AS x
+          FROM s4
+        ), fin AS (
+          SELECT doc_id,
+            regexp_replace(x, '^\s+|\s+$', '', 'g') AS txt
+          FROM s5)
+        SELECT doc_id, txt, cast(length(txt) as bigint) AS n_chars
+        FROM fin""")),
+
+    // C4-style line-level quality filter (Corpus.c4FilterLines): keep
+    // prose-shaped lines (≥3 words, terminal punctuation, no
+    // javascript/lorem-ipsum/cookie chrome, no '{'), drop docs left
+    // with <2 surviving lines. The corpus is single-line, so both
+    // sides plant the same six doc_id-derived lines — one passes every
+    // rule, four each violate exactly one rule, and the last flips on
+    // doc_id%4 so the DOC gate fires for 3/4 of the corpus. The whole
+    // operator is one higher-order filter in a scan: no explode, no
+    // shuffle.
+    "q_corpus_c4_lines" -> Entry(
+      (s, dir) => {
+        val id = col("doc_id")
+        val w = split(trim(col("text")), " ")
+        val body = concat_ws("\n",
+          concat(array_join(slice(w, 1, 8), " "), lit(".")),
+          concat(array_join(slice(w, 9, 2), " "), lit("!")),
+          array_join(slice(w, 11, 6), " "),
+          lit("Please enable javascript to continue."),
+          lit("Config uses { braces } everywhere."),
+          concat(array_join(slice(w, 3, 4), " "),
+            when(pmod(id, lit(4)) === 0, lit(" here?"))
+              .otherwise(lit(" here"))))
+        Corpus.c4FilterLines(
+          t(s, dir, "documents").select(id, body.as("body")),
+          "body", "doc_id", minWordsPerLine = 3, minKeptLines = 2)
+      },
+      Some("""WITH planted AS (
+          SELECT doc_id,
+            concat_ws(chr(10),
+              coalesce(array_to_string((string_split(trim(text), ' '))[1:8], ' '), '')
+                || '.',
+              coalesce(array_to_string((string_split(trim(text), ' '))[9:10], ' '), '')
+                || '!',
+              coalesce(array_to_string((string_split(trim(text), ' '))[11:16], ' '), ''),
+              'Please enable javascript to continue.',
+              'Config uses { braces } everywhere.',
+              coalesce(array_to_string((string_split(trim(text), ' '))[3:6], ' '), '')
+                || CASE WHEN doc_id % 4 = 0 THEN ' here?' ELSE ' here' END)
+              AS body
+          FROM documents
+        ), f AS (
+          SELECT doc_id,
+            string_split(body, chr(10)) AS ls,
+            list_filter(string_split(body, chr(10)), l ->
+              (CASE WHEN trim(l) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(l), '\s+')) END) >= 3
+              AND regexp_matches(trim(l), '[.!?"]$')
+              AND NOT contains(lower(trim(l)), 'javascript')
+              AND NOT contains(lower(trim(l)), 'lorem ipsum')
+              AND NOT contains(lower(trim(l)), 'cookie policy')
+              AND NOT contains(trim(l), '{')) AS ks
+          FROM planted)
+        SELECT doc_id,
+          array_to_string(ks, chr(10)) AS clean_text,
+          cast(len(ks) as bigint) AS n_kept,
+          cast(len(ls) - len(ks) as bigint) AS n_dropped
+        FROM f
+        WHERE len(ks) >= 2""")),
+
     // Data profiling: per-column null/distinct/min/max over lineitem,
     // ONE single-distinct aggregate per column unioned (all-in-one-agg
     // triggers the RewriteDistinctAggregates Expand — see

@@ -113,6 +113,39 @@ object Text {
         .cast("double") / bytes.cast("double"), 4))
   }
 
+  /** HTML → text extraction — the first step of every web-corpus
+    * pipeline (C4/CommonCrawl lineage). Pure chained regexp/replace
+    * Column ops (codegen'd, RE2-safe so the identical arithmetic
+    * replays in DuckDB), one narrow map, zero shuffle:
+    *
+    *   1. drop `<script>`/`<style>` blocks wholesale (lazy spans);
+    *   2. block-level closers + `<br>` become newlines;
+    *   3. every remaining tag strips to a space (inline tags must not
+    *      glue adjacent words together);
+    *   4. the six ubiquitous entities decode — `&amp;` LAST, so
+    *      `&amp;lt;` correctly yields `&lt;` and not `<`;
+    *   5. whitespace canonicalizes: horizontal runs → one space,
+    *      spaces shaved around newlines, ≥3 blank-line runs → one
+    *      blank line, outer whitespace trimmed (regex trim — plain
+    *      `trim` leaves newlines).
+    */
+  def html_to_text(html: Column): Column = {
+    val noBlocks = regexp_replace(html,
+      "(?is)<(?:script|style)[^>]*>.*?</(?:script|style)\\s*>", " ")
+    val withBreaks = regexp_replace(noBlocks,
+      "(?i)<(?:br\\s*/?|/p|/div|/h[1-6]|/li|/tr|/ul|/ol|/table)\\s*>", "\n")
+    val noTags = regexp_replace(withBreaks, "<[^>]+>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
+    val ws = regexp_replace(
+      regexp_replace(
+        regexp_replace(decoded, "[ \\t\\r]+", " "),
+        " *\\n *", "\n"),
+      "\\n{3,}", "\n\n")
+    regexp_replace(ws, "^\\s+|\\s+$", "")
+  }
+
   /** Deterministic document fingerprint: sha-256 of the normalized text
     * (lowercase, whitespace collapsed) — the exact-dedup key. sha2 is
     * portable across engines (DuckDB sha256), unlike xxhash64 seeds. */

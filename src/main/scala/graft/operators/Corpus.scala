@@ -191,6 +191,51 @@ object Corpus {
       maxFrequentLines, maxFrequentBytes,
       maxLiteralLines, maxLiteralBytes)
 
+  /** C4-style line-level quality filtering (the other half of C4's line
+    * treatment, complementing [[dedupLines]]' frequency cut): keep only
+    * lines that look like prose — at least `minWordsPerLine` words,
+    * terminal punctuation (`. ! ? "`), no deny-listed boilerplate token
+    * (`javascript`-warning chrome, lorem ipsum, cookie banners), no
+    * `{` (leaked code/markup) — then drop documents left with fewer
+    * than `minKeptLines` surviving lines.
+    *
+    * Scale shape: entirely row-local — the line split, the per-line
+    * predicate, and the document rebuild all run inside one
+    * higher-order `filter` over the split array (codegen, no explode,
+    * no shuffle). Filtering a 100 TB corpus is ONE scan; the only
+    * reason the doc gate is a `filter` and not a join is that the kept
+    * count is already a row-local value. Every predicate is RE2-safe
+    * so the identical arithmetic replays in DuckDB (`q_corpus_c4_lines`).
+    *
+    * Returns (idCol, clean_text, n_kept, n_dropped); kept lines keep
+    * their original (untrimmed) bytes and order. */
+  def c4FilterLines(docs: DataFrame, textCol: String, idCol: String,
+      minWordsPerLine: Int = 3, minKeptLines: Int = 1,
+      denyTokens: Seq[String] =
+        Seq("javascript", "lorem ipsum", "cookie policy")): DataFrame = {
+    require(minWordsPerLine >= 1, s"minWordsPerLine >= 1: $minWordsPerLine")
+    require(minKeptLines >= 0, s"minKeptLines >= 0: $minKeptLines")
+    val lines = split(col(textCol), "\n", -1)
+    val kept = filter(lines, l => {
+      val t = trim(l)
+      val wc = when(t === "", lit(0))
+        .otherwise(size(split(t, "\\s+", -1)))
+      val denied = denyTokens
+        .map(d => lower(t).contains(d))
+        .reduceOption(_ || _).getOrElse(lit(false))
+      wc >= minWordsPerLine && t.rlike("[.!?\"]$") &&
+        !denied && !t.contains("{")
+    })
+    docs
+      .select(col(idCol), lines.as("__lines"), kept.as("__kept"))
+      .select(col(idCol),
+        array_join(col("__kept"), "\n").as("clean_text"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        (size(col("__lines")) - size(col("__kept"))).cast("long")
+          .as("n_dropped"))
+      .filter(col("n_kept") >= minKeptLines)
+  }
+
   /** Per-GROUP boilerplate line removal — the domain-scoped variant of
     * [[dedupLines]] (web curation strips nav bars / footers / cookie
     * banners, which are frequent WITHIN their site and invisible to a

@@ -577,4 +577,61 @@ class CorpusSpec extends AnyFunSuite {
       Corpus.rebalanceTemperature(docs, "lang", col("text"), 1.5, 100)
     }
   }
+
+  test("html_to_text: blocks drop, breaks become newlines, entities " +
+      "decode after the tag strip, whitespace canonicalizes") {
+    val html =
+      """<!DOCTYPE html><html><head><style>p { color: red }</style>""" +
+        """<script type="text/js">if (1 < 2) { x("</b>"); }</script>""" +
+        """<title>T</title></head><body><h1>Head</h1>""" +
+        """<p>alpha <b>beta</b>&nbsp;gamma &amp;lt; &quot;q&#39;s&quot;</p>""" +
+        """<div>one<br/>two<br >three</div>""" +
+        """<ul><li>item A.</li><li>item B.</li></ul></body></html>"""
+    val out = Seq(html).toDF("h")
+      .select(Text.html_to_text(col("h")).as("t")).head.getString(0)
+    // script content (with its embedded quote/brace/tag text) and style
+    // are gone wholesale; <title> strips as a tag, its text survives
+    assert(!out.contains("color") && !out.contains("x(") &&
+      !out.contains("{"))
+    assert(out.startsWith("T Head\n")) // </title> strips to a space; </h1> breaks
+    // inline <b> strips to a space: words never glue
+    assert(out.contains("alpha beta gamma"))
+    // &amp; decodes LAST: "&amp;lt;" is the TEXT "&lt;", not "<"
+    assert(out.contains("&lt; \"q's\""))
+    // <br> variants and </li>/</div>/</h1> all break lines
+    assert(out.contains("one\ntwo\nthree"))
+    assert(out.contains("item A.\nitem B."))
+    // no leading/trailing whitespace, no 3+ newline runs
+    assert(out == out.trim && !out.contains("\n\n\n"))
+    // plain text passes through untouched modulo whitespace rules
+    val plain = Seq("already plain text.").toDF("h")
+      .select(Text.html_to_text(col("h"))).head.getString(0)
+    assert(plain == "already plain text.")
+  }
+
+  test("c4FilterLines: each rule drops its line, doc gate drops docs, " +
+      "kept lines keep original bytes and order") {
+    val docs = Seq(
+      (1L, "A good first sentence here.\nno\nall lowercase but long enough\n" +
+        "Please enable JavaScript to view.\nbad { brace } line here.\n" +
+        "And a good closer!"),
+      (2L, "Only one good line survives here.\ntoo short."),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val out = Corpus.c4FilterLines(docs, "text", "doc_id",
+        minWordsPerLine = 3, minKeptLines = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1: six lines; "no" (words), "all lowercase…" (punct),
+    // "…JavaScript…" (deny, case-insensitive), "{" each drop exactly one
+    assert(out(1L) ==
+      (("A good first sentence here.\nAnd a good closer!", 2L, 4L)))
+    // doc 2 keeps 1 line < minKeptLines → dropped; doc 3 empty → dropped
+    assert(!out.contains(2L) && !out.contains(3L))
+    // minKeptLines = 0 keeps even fully-stripped docs
+    val lax = Corpus.c4FilterLines(docs, "text", "doc_id",
+      minWordsPerLine = 3, minKeptLines = 0)
+    assert(lax.count() == 3L)
+    assert(lax.filter(col("doc_id") === 3L).head.getString(1) == "")
+  }
 }
