@@ -2557,6 +2557,118 @@ object QueriesPipeline {
         FROM f
         WHERE len(ks) >= 2""")),
 
+    // Gopher-rule quality gate (Text.gopher_features/gopher_keep): the
+    // named word-shape + line-shape rule bundle. The corpus is
+    // single-line and symbol-free, so both sides plant the same
+    // doc_id-derived bodies — doc_id%3=0 docs get a duplicated line
+    // and a bullet line (drop via dup/bullet rules), the rest get an
+    // ellipsis-terminated second line (keep iff word count and
+    // symbol-ratio rules pass — short docs fail both). Row-local:
+    // one scan, every feature a higher-order array op.
+    "q_quality_gopher" -> Entry(
+      (s, dir) => {
+        val id = col("doc_id")
+        val w = split(trim(col("text")), " ")
+        val lineA = array_join(slice(w, 1, 6), " ")
+        val body = when(pmod(id, lit(3)) === 0,
+          concat_ws("\n", lineA, lineA,
+            concat(lit("- "), array_join(slice(w, 2, 3), " "))))
+          .otherwise(concat_ws("\n", lineA,
+            concat(array_join(slice(w, 7, 6), " "), lit("..."))))
+        val f = Text.gopher_features(col("body"))
+        t(s, dir, "documents").select(id, body.as("body"))
+          .select(id, f.as("f"))
+          .select(id,
+            col("f.n_words").as("n_words"),
+            col("f.mean_word_len").as("mean_word_len"),
+            col("f.alpha_word_frac").as("alpha_word_frac"),
+            col("f.symbol_word_ratio").as("symbol_word_ratio"),
+            col("f.bullet_line_frac").as("bullet_line_frac"),
+            col("f.ellipsis_line_frac").as("ellipsis_line_frac"),
+            col("f.dup_line_frac").as("dup_line_frac"),
+            col("f.dup_line_char_frac").as("dup_line_char_frac"),
+            Text.gopher_keep(col("f"), minWords = 8,
+              maxSymbolRatio = 0.1, minAlphaFrac = 0.9,
+              maxBulletFrac = 0.2, maxEllipsisFrac = 0.6,
+              maxDupLineFrac = 0.2, maxDupLineCharFrac = 0.15)
+              .cast("int").as("keep"))
+      },
+      Some("""WITH parts AS (
+          SELECT doc_id,
+            coalesce(array_to_string(
+              (string_split(trim(text), ' '))[1:6], ' '), '') AS la,
+            coalesce(array_to_string(
+              (string_split(trim(text), ' '))[7:12], ' '), '') AS lb,
+            coalesce(array_to_string(
+              (string_split(trim(text), ' '))[2:4], ' '), '') AS lc
+          FROM documents
+        ), planted AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 3 = 0
+              THEN concat_ws(chr(10), la, la, '- ' || lc)
+              ELSE concat_ws(chr(10), la, lb || '...') END AS body
+          FROM parts
+        ), base AS (
+          SELECT doc_id, trim(body) AS t,
+            CASE WHEN trim(body) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(body), '\s+') END AS ws,
+            string_split(body, chr(10)) AS ls
+          FROM planted
+        ), m AS (
+          SELECT doc_id,
+            cast(len(ws) as bigint) AS n_words,
+            cast(coalesce(list_aggregate(
+              list_transform(ws, w -> length(w)), 'sum'), 0) as bigint)
+              AS wchars,
+            cast(len(list_filter(ws,
+              w -> regexp_matches(w, '[A-Za-z]'))) as bigint) AS nalpha,
+            cast(length(t) - length(replace(t, '#', '')) as bigint)
+              AS nhash,
+            cast((length(t) - length(replace(t, '...', ''))) // 3
+              as bigint) AS nell3,
+            cast(length(t) - length(replace(t, '…', '')) as bigint)
+              AS nellu,
+            cast(len(ls) as bigint) AS n_lines,
+            cast(len(list_filter(ls,
+              l -> regexp_matches(trim(l), '^[-*•]'))) as bigint) AS nbull,
+            cast(len(list_filter(ls,
+              l -> regexp_matches(trim(l), '(\.\.\.|…)$'))) as bigint)
+              AS nellline,
+            cast(len(list_distinct(ls)) as bigint) AS ndl,
+            cast(coalesce(list_aggregate(
+              list_transform(ls, l -> length(l)), 'sum'), 0) as bigint)
+              AS lchars,
+            cast(coalesce(list_aggregate(
+              list_transform(list_distinct(ls), l -> length(l)), 'sum'),
+              0) as bigint) AS dchars
+          FROM base
+        ), feat AS (
+          SELECT doc_id, n_words,
+            round(CASE WHEN n_words > 0 THEN wchars / n_words
+              ELSE 0 END, 4) AS mean_word_len,
+            round(CASE WHEN n_words > 0 THEN nalpha / n_words
+              ELSE 0 END, 4) AS alpha_word_frac,
+            round(CASE WHEN n_words > 0
+              THEN (nhash + nell3 + nellu) / n_words
+              ELSE 0 END, 4) AS symbol_word_ratio,
+            round(nbull / n_lines, 4) AS bullet_line_frac,
+            round(nellline / n_lines, 4) AS ellipsis_line_frac,
+            round(1.0 - ndl / n_lines, 4) AS dup_line_frac,
+            round(CASE WHEN lchars > 0
+              THEN (lchars - dchars) / lchars
+              ELSE 0 END, 4) AS dup_line_char_frac
+          FROM m)
+        SELECT doc_id, n_words, mean_word_len, alpha_word_frac,
+          symbol_word_ratio, bullet_line_frac, ellipsis_line_frac,
+          dup_line_frac, dup_line_char_frac,
+          cast(CASE WHEN n_words BETWEEN 8 AND 100000
+            AND mean_word_len BETWEEN 3.0 AND 10.0
+            AND symbol_word_ratio <= 0.1 AND alpha_word_frac >= 0.9
+            AND bullet_line_frac <= 0.2 AND ellipsis_line_frac <= 0.6
+            AND dup_line_frac <= 0.2 AND dup_line_char_frac <= 0.15
+            THEN 1 ELSE 0 END as int) AS keep
+        FROM feat""")),
+
     // Data profiling: per-column null/distinct/min/max over lineitem,
     // ONE single-distinct aggregate per column unioned (all-in-one-agg
     // triggers the RewriteDistinctAggregates Expand — see

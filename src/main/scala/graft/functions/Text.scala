@@ -113,6 +113,85 @@ object Text {
         .cast("double") / bytes.cast("double"), 4))
   }
 
+  /** Gopher-rule document features (Rae et al. 2021 §A1.1, the quality
+    * bundle every modern curation stack reuses — complements
+    * [[quality_features]]' generic ratios and [[repetition_features]]'
+    * n-gram repetition with the word-shape and line-shape rules):
+    * word count, mean word length, alphabetic-word fraction,
+    * symbol-to-word ratio (`#`, `...`, `…`), bullet-line and
+    * ellipsis-line fractions, duplicate-line fraction and
+    * duplicate-line CHARACTER fraction. Entirely row-local (split +
+    * higher-order filter/aggregate — no explode, no shuffle): scoring
+    * a 100 TB corpus is one scan. All ratios round to 4 dp so the
+    * identical arithmetic replays in DuckDB (`q_quality_gopher`). */
+  def gopher_features(text: Column): Column = {
+    val t = trim(text)
+    val words = when(t === "", array().cast("array<string>"))
+      .otherwise(split(t, "\\s+"))
+    val nWords = size(words).cast("long")
+    val wordChars =
+      coalesce(aggregate(words, lit(0L), (a, w) => a + length(w)), lit(0L))
+    val meanWordLen = when(nWords > 0,
+      round(wordChars.cast("double") / nWords, 4)).otherwise(lit(0.0))
+    val alphaFrac = when(nWords > 0,
+      round(size(filter(words, w => w.rlike("[A-Za-z]"))).cast("double")
+        / nWords, 4)).otherwise(lit(0.0))
+    val hashes = (length(t) - length(replace(t, lit("#"), lit("")))).cast("long")
+    val ell3 = ((length(t) - length(replace(t, lit("..."), lit("")))) / 3)
+      .cast("long") // leftmost non-overlapping removal → always a multiple of 3
+    val ellU = (length(t) - length(replace(t, lit("…"), lit("")))).cast("long")
+    val symbolRatio = when(nWords > 0,
+      round((hashes + ell3 + ellU).cast("double") / nWords, 4))
+      .otherwise(lit(0.0))
+    val lines = split(text, "\n", -1) // split("") = [""] → nLines >= 1 always
+    val nLines = size(lines).cast("long")
+    val bulletFrac = round(
+      size(filter(lines, l => trim(l).rlike("^[-*•]"))).cast("double")
+        / nLines, 4)
+    val ellipsisFrac = round(
+      size(filter(lines, l => trim(l).rlike("(\\.\\.\\.|…)$"))).cast("double")
+        / nLines, 4)
+    val dupLineFrac = round(
+      lit(1.0) - size(array_distinct(lines)).cast("double") / nLines, 4)
+    val lineChars =
+      coalesce(aggregate(lines, lit(0L), (a, l) => a + length(l)), lit(0L))
+    val distinctChars = coalesce(
+      aggregate(array_distinct(lines), lit(0L), (a, l) => a + length(l)),
+      lit(0L))
+    val dupLineCharFrac = when(lineChars > 0,
+      round((lineChars - distinctChars).cast("double") / lineChars, 4))
+      .otherwise(lit(0.0))
+    struct(
+      nWords.as("n_words"),
+      meanWordLen.as("mean_word_len"),
+      alphaFrac.as("alpha_word_frac"),
+      symbolRatio.as("symbol_word_ratio"),
+      bulletFrac.as("bullet_line_frac"),
+      ellipsisFrac.as("ellipsis_line_frac"),
+      dupLineFrac.as("dup_line_frac"),
+      dupLineCharFrac.as("dup_line_char_frac"))
+  }
+
+  /** The Gopher keep-decision over [[gopher_features]] — every rule a
+    * closed threshold on one feature, AND-composed; thresholds default
+    * to the published Gopher values. Pass the SAME struct Column (not a
+    * re-computation) so the features compute once per row. */
+  def gopher_keep(f: Column,
+      minWords: Long = 50, maxWords: Long = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, minAlphaFrac: Double = 0.8,
+      maxBulletFrac: Double = 0.9, maxEllipsisFrac: Double = 0.3,
+      maxDupLineFrac: Double = 0.3, maxDupLineCharFrac: Double = 0.2)
+      : Column =
+    f.getField("n_words").between(minWords, maxWords) &&
+      f.getField("mean_word_len").between(minMeanWordLen, maxMeanWordLen) &&
+      f.getField("symbol_word_ratio") <= maxSymbolRatio &&
+      f.getField("alpha_word_frac") >= minAlphaFrac &&
+      f.getField("bullet_line_frac") <= maxBulletFrac &&
+      f.getField("ellipsis_line_frac") <= maxEllipsisFrac &&
+      f.getField("dup_line_frac") <= maxDupLineFrac &&
+      f.getField("dup_line_char_frac") <= maxDupLineCharFrac
+
   /** HTML → text extraction — the first step of every web-corpus
     * pipeline (C4/CommonCrawl lineage). Pure chained regexp/replace
     * Column ops (codegen'd, RE2-safe so the identical arithmetic

@@ -578,6 +578,43 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("gopher_features/gopher_keep: hand-computed word- and line-shape " +
+      "features; each rule vetoes independently") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),              // clean single line
+      (2L, "one two\none two\n- bullet item"),     // dup line + bullet
+      (3L, "look here...\nmore text…"),            // both ellipsis forms
+      (4L, "# # tag"),                             // symbols, non-alpha words
+      (5L, "")                                     // empty
+    ).toDF("doc_id", "text")
+    val f = Text.gopher_features(col("text"))
+    val out = docs.select(col("doc_id"), f.as("f")).select(col("doc_id"),
+        col("f.n_words"), col("f.mean_word_len"), col("f.alpha_word_frac"),
+        col("f.symbol_word_ratio"), col("f.bullet_line_frac"),
+        col("f.ellipsis_line_frac"), col("f.dup_line_frac"),
+        col("f.dup_line_char_frac"))
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    // doc 1: 4 words, (5+4+5+5)/4 = 4.75 mean, all alpha, no symbols
+    assert(out(1L) == Seq(4L, 4.75, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0))
+    // doc 2: 3 lines, one dup pair → dup_line_frac 1-2/3; char frac:
+    // lines 7+7+13=27 chars, distinct 7+13=20 → 7/27
+    assert(out(2L)(4) == 0.3333 && out(2L)(6) == 0.3333)
+    assert(out(2L)(7) == 0.2593)
+    // doc 3: '...' counts once via 3-char removal, '…' once; both lines
+    // ellipsis-terminated
+    assert(out(3L)(3) == 0.5 && out(3L)(5) == 1.0)
+    // doc 4: two '#' symbols over 3 words; 2 of 3 words non-alpha
+    assert(out(4L)(3) == 0.6667 && out(4L)(2) == 0.3333)
+    // doc 5: all-zero features, 1 implicit empty line
+    assert(out(5L) == Seq(0L, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0))
+    // keep: doc 1 passes every rule except the 50-word default floor;
+    // with the floor at 1 it survives, the others each trip a rule
+    val kept = docs.select(col("doc_id"), f.as("f"))
+      .filter(Text.gopher_keep(col("f"), minWords = 1, minMeanWordLen = 1.0))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L))
+  }
+
   test("html_to_text: blocks drop, breaks become newlines, entities " +
       "decode after the tag strip, whitespace canonicalizes") {
     val html =
