@@ -393,6 +393,17 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"expected the three dimension joins to broadcast:\n$p")
   }
 
+  test("the row-local curation trio (html strip, C4 lines, gopher) are " +
+      "map-only scans: zero Exchange, filters/features inside the scan " +
+      "stage") {
+    for (q <- Seq("q_text_html_strip", "q_corpus_c4_lines",
+        "q_quality_gopher")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q must not shuffle:\n$p")
+      assert(!p.contains("Generate"), s"$q must not explode:\n$p")
+    }
+  }
+
   test("Dedup.fanOut respreads an under-split input but is a NO-OP once " +
       "the scan is already well-split (the 100 TB layout)") {
     import org.apache.spark.sql.functions._
