@@ -403,6 +403,76 @@ object QueriesPipeline {
             greatest(t.n_shingles, 1), 3) AS frac
         FROM totals t LEFT JOIN h USING (doc_id)""")),
 
+    // Span-level decontamination (Contamination.scrubSpans): remove the
+    // contaminated 3-gram windows ±2 buffer words instead of the whole
+    // doc — merged buffered spans, normalized-stream rebuild. Oracle
+    // replays the full chain: shingle positions, islands at tolerance
+    // n+2b, span clamp, indexed-position anti-join rebuild.
+    "q_decontaminate_scrub" -> Entry(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+        graft.operators.Contamination.scrubSpans(
+          docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+          "doc_id", "text", bench, "text")
+      },
+      Some("""WITH words AS (
+          SELECT doc_id, string_split(
+            regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS ws
+          FROM documents),
+        bsh AS (
+          SELECT DISTINCT
+            CASE WHEN len(ws) <= 3 THEN array_to_string(ws, ' ')
+              ELSE array_to_string(ws[i+1 : i+3], ' ') END AS g
+          FROM words, UNNEST(CASE WHEN len(ws) <= 3 THEN [0]
+            ELSE range(0, greatest(len(ws)-2, 0)) END) AS t(i)
+          WHERE doc_id % 97 = 0),
+        grams AS (
+          SELECT doc_id, u.p AS p,
+            CASE WHEN len(ws) <= 3 THEN array_to_string(ws, ' ')
+              ELSE array_to_string(ws[u.p+1 : u.p+3], ' ') END AS g
+          FROM words, UNNEST(CASE WHEN len(ws) <= 3 THEN [0]
+            ELSE range(0, greatest(len(ws)-2, 0)) END) AS u(p)
+          WHERE doc_id % 97 <> 0),
+        hit AS (
+          SELECT doc_id, p FROM grams WHERE g IN (SELECT g FROM bsh)),
+        heads AS (
+          SELECT doc_id, p,
+            CASE WHEN coalesce(p - lag(p) OVER
+              (PARTITION BY doc_id ORDER BY p), 8) > 7 THEN 1 ELSE 0 END
+              AS h
+          FROM hit),
+        isl AS (
+          SELECT doc_id, p,
+            sum(h) OVER (PARTITION BY doc_id ORDER BY p) AS i
+          FROM heads),
+        spans AS (
+          SELECT doc_id, greatest(min(p) - 2, 0) AS s, max(p) + 4 AS e
+          FROM isl GROUP BY doc_id, i),
+        pos AS (
+          SELECT w.doc_id, u.j AS j, w.ws[u.j+1] AS word
+          FROM words w, UNNEST(range(0, len(w.ws))) AS u(j)
+          WHERE w.doc_id % 97 <> 0),
+        keptpos AS (
+          SELECT p.doc_id, p.j, p.word FROM pos p
+          WHERE NOT EXISTS (SELECT 1 FROM spans s
+            WHERE s.doc_id = p.doc_id AND p.j BETWEEN s.s AND s.e)),
+        agg AS (
+          SELECT doc_id, string_agg(word, ' ' ORDER BY j) AS clean_text,
+            count(*) AS n_kept
+          FROM keptpos GROUP BY doc_id),
+        nsp AS (
+          SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY doc_id)
+        SELECT w.doc_id,
+          coalesce(a.clean_text, '') AS clean_text,
+          cast(len(w.ws) - coalesce(a.n_kept, 0) as bigint)
+            AS n_words_removed,
+          cast(coalesce(nsp.n_spans, 0) as bigint) AS n_spans
+        FROM words w
+        LEFT JOIN agg a USING (doc_id)
+        LEFT JOIN nsp USING (doc_id)
+        WHERE w.doc_id % 97 <> 0""")),
+
     // Cross-corpus n-gram containment matrix: how much of source b's
     // distinct-3-gram mass already appears in source a — the dataset-mix
     // / source-leakage audit. One (group, shingle) distinct-shuffle, a

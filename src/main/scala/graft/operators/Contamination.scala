@@ -114,6 +114,76 @@ object Contamination {
         col("n_hits") / greatest(col("n_shingles"), lit(1L)), 3))
   }
 
+  /** SPAN-level decontamination — instead of dropping a contaminated
+    * document ([[hits]] + a gate), surgically remove each contaminated
+    * n-gram window plus `buffer` words either side (the GPT-3/Llama
+    * "exact substring removal" treatment: the doc survives, the leaked
+    * benchmark text does not). Overlapping/touching buffered windows
+    * merge into maximal spans (gaps-and-islands with tolerance
+    * n + 2·buffer, the [[Corpus.duplicatedSpans]] shape).
+    *
+    * Positions index the NORMALIZED token stream (lowercased,
+    * whitespace-collapsed — the same stream the shingle kernel hashes),
+    * so `clean_text` is rebuilt from that stream; documents of ≤ n
+    * words contribute their whole text as one window (the shared
+    * shingle rule) and scrub to empty when it matches.
+    *
+    * Scale shape: the corpus side is a map-side posexplode + broadcast
+    * join against the eval set's distinct shingles — only HIT positions
+    * (bounded by actual contamination, not corpus size) cross the
+    * per-document islands shuffle; the merged span lists ride back on a
+    * broadcast join and the rebuild is a row-local indexed filter.
+    * Returns (idCol, clean_text, n_words_removed, n_spans); clean docs
+    * pass through with their normalized text and zeros. */
+  def scrubSpans(docs: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, n: Int = 3,
+      buffer: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 1, s"n >= 1: $n")
+    require(buffer >= 0, s"buffer >= 0: $buffer")
+    val benchShingles = bench
+      .select(explode(wordShingles(col(benchTextCol), n)).as("__g"))
+      .distinct()
+    val hitPos = docs
+      .select(col(idCol).as("__doc"),
+        posexplode(graft.plans.TextExpressions.word_shingles(col(textCol), n))
+          .as(Seq("p", "__g")))
+      .join(broadcast(benchShingles), Seq("__g"))
+      .select(col("__doc"), col("p"))
+    // two hit windows at starts p1 < p2 produce overlapping or touching
+    // BUFFERED extents whenever p2 - p1 <= n + 2*buffer
+    val gap = n + 2 * buffer
+    val byPos = Window.partitionBy("__doc").orderBy("p")
+    val spans = hitPos
+      .withColumn("__head",
+        when(coalesce(col("p") - lag("p", 1).over(byPos), lit(gap + 1)) > gap,
+          1L).otherwise(0L))
+      .withColumn("__isl", sum("__head").over(byPos))
+      .groupBy(col("__doc"), col("__isl"))
+      .agg(greatest(min("p") - buffer, lit(0)).cast("long").as("s"),
+        (max("p") + n - 1 + buffer).cast("long").as("e"))
+      .groupBy("__doc")
+      .agg(sort_array(collect_list(struct(col("s"), col("e"))))
+        .as("__spans"))
+    val words = split(
+      regexp_replace(trim(lower(col(textCol))), "\\s+", " "), " ", -1)
+    val kept = filter(words, (_, i) =>
+      !exists(col("__spans"), sp =>
+        i.cast("long") >= sp.getField("s") &&
+          i.cast("long") <= sp.getField("e")))
+    docs
+      .join(broadcast(spans), docs(idCol) === spans("__doc"), "left")
+      .select(col(idCol),
+        words.as("__w"),
+        when(col("__spans").isNull, words).otherwise(kept).as("__kept"),
+        coalesce(size(col("__spans")), lit(0)).cast("long").as("n_spans"))
+      .select(col(idCol),
+        array_join(col("__kept"), " ").as("clean_text"),
+        (size(col("__w")) - size(col("__kept"))).cast("long")
+          .as("n_words_removed"),
+        col("n_spans"))
+  }
+
   /** Cross-corpus n-gram containment matrix: one row per ordered pair
     * of groups (a, b) WITH nonzero shingle overlap —
     * |shingles(a) ∩ shingles(b)| / |shingles(b)|, the "how much of

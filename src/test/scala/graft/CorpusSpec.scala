@@ -578,6 +578,30 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("scrubSpans: buffered windows cut, nearby hits merge to one span, " +
+      "full containment empties the doc, clean docs pass through") {
+    val docs = Seq(
+      (1L, "w0 w1 w2 SECRET EVAL GRAM w6 w7 w8 w9 w10 w11"),
+      (2L, "clean words only nothing shared here at all"),
+      (3L, "SECRET EVAL GRAM"), // ≤ n words: whole-text window rule
+      (4L, "a b SECRET EVAL GRAM c d SECRET EVAL GRAM e f g h")
+    ).toDF("doc_id", "text")
+    val bench = Seq("SECRET EVAL GRAM plus trailing context").toDF("btext")
+    val out = graft.operators.Contamination
+      .scrubSpans(docs, "doc_id", "text", bench, "btext", n = 3, buffer = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1: hit at p=3 → span [1,7] → words 1..7 cut
+    assert(out(1L) == (("w0 w8 w9 w10 w11", 7L, 1L)))
+    // doc 2: clean → normalized text unchanged, zero spans
+    assert(out(2L) == (("clean words only nothing shared here at all", 0L, 0L)))
+    // doc 3: the whole doc IS the gram → scrubbed to empty
+    assert(out(3L) == (("", 3L, 1L)))
+    // doc 4: hits at p=2 and p=7, 5 apart ≤ n+2b=7 → ONE merged span
+    // [0,11]; only the tail survives
+    assert(out(4L) == (("g h", 12L, 1L)))
+  }
+
   test("gopher_features/gopher_keep: hand-computed word- and line-shape " +
       "features; each rule vetoes independently") {
     val docs = Seq(

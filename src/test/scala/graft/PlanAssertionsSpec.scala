@@ -404,6 +404,14 @@ class PlanAssertionsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_decontaminate_scrub: bench shingles and span lists ride " +
+      "broadcast joins — the corpus text never sort-merge joins") {
+    val p = plan("q_decontaminate_scrub")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"bench-shingle join and span-rebuild join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no corpus-side SMJ:\n$p")
+  }
+
   test("Dedup.fanOut respreads an under-split input but is a NO-OP once " +
       "the scan is already well-split (the 100 TB layout)") {
     import org.apache.spark.sql.functions._
