@@ -195,6 +195,51 @@ object ScaleStress {
       docs.unpersist()
     }
 
+    // Round-10 curation-quartet drill: html strip / C4 line filter /
+    // gopher gate are row-local scans and must scale linearly with
+    // corpus bytes; span decontamination's only shuffle carries hit
+    // positions — here adversarially ~ALL corpus windows (every doc
+    // shares shingles with the bench slice's perturbed twins), the
+    // worst case for the islands stage.
+    println(f"\n${"copies"}%8s ${"docs"}%9s ${"t_html"}%8s ${"t_c4"}%8s " +
+      f"${"t_gopher"}%9s ${"scrubbed"}%9s ${"t_span"}%8s")
+    for (copies <- Seq(1, maxScale)
+        if which == "all" || which == "curate") {
+      import graft.operators.{Contamination, Corpus}
+      import graft.functions.Text
+      def timed(force: => Unit): Double = {
+        val t0 = System.nanoTime(); force; (System.nanoTime() - t0) / 1e9
+      }
+      val docs = corpus(spark, dir, copies).cache()
+      val nDocs = docs.count()
+      val tHtml = timed {
+        docs.select(Text.html_to_text(concat(lit("<p>"), col("text"),
+            lit("</p><script>var x = 1;</script><div>tail</div>"))).as("t"))
+          .agg(sum(length(col("t")))).head()
+      }
+      val tC4 = timed {
+        Corpus.c4FilterLines(docs.select(col("doc_id"),
+            regexp_replace(col("text"), " (the|a) ", ".\n").as("text")),
+          "text", "doc_id", minKeptLines = 0)
+          .agg(sum(col("n_kept"))).head()
+      }
+      val tGopher = timed {
+        val f = Text.gopher_features(col("text"))
+        docs.filter(Text.gopher_keep(f, minWords = 5)).count()
+      }
+      var nScrubbed = 0L
+      val tSpan = timed {
+        val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+        nScrubbed = Contamination.scrubSpans(
+            docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+            "doc_id", "text", bench, "text")
+          .filter(col("n_spans") > 0).count()
+      }
+      println(f"$copies%8d $nDocs%9d $tHtml%8.1f $tC4%8.1f " +
+        f"$tGopher%9.1f $nScrubbed%9d $tSpan%8.1f")
+      docs.unpersist()
+    }
+
     // Round-6 dedup additions drill: duplicated-substring spans
     // (dup-heavy: every copy shares its full token stream with its
     // siblings), incremental batch-vs-index dedup (the batch is a 1×
