@@ -2627,6 +2627,151 @@ object QueriesPipeline {
         FROM f
         WHERE len(ks) >= 2""")),
 
+    // The web-curation pipeline COMPOSED: planted HTML → html_to_text
+    // → C4 line filter (on the real line structure the block tags
+    // produced) → Gopher gate → sha-256 fingerprint — one flow, one
+    // oracle. Still map-only end-to-end: every stage is row-local.
+    "q_pipeline_web" -> Entry(
+      (s, dir) => {
+        val id = col("doc_id")
+        val w = split(trim(col("text")), " ")
+        val html = concat(
+          lit("<html><head><style>body { x: 1 }</style>" +
+            "<script>var j = 2;</script></head><body><h1>Doc "),
+          id.cast("string"), lit("</h1><p>"),
+          array_join(slice(w, 1, 8), " "),
+          lit(".</p><p>short one</p><p>"),
+          array_join(slice(w, 9, 6), " "),
+          lit(" tail.</p><div>Please enable javascript to continue." +
+            "</div></body></html>"))
+        val extracted = t(s, dir, "documents").select(id, html.as("html"))
+          .select(id, Text.html_to_text(col("html")).as("body"))
+        val lined = Corpus.c4FilterLines(extracted, "body", "doc_id",
+          minWordsPerLine = 3, minKeptLines = 1)
+        val f = Text.gopher_features(col("clean_text"))
+        lined.select(id, col("clean_text"), col("n_kept"), f.as("f"))
+          .select(id, col("n_kept"),
+            col("f.n_words").as("n_words"),
+            Text.gopher_keep(col("f"), minWords = 15).cast("int")
+              .as("keep"),
+            sha2(col("clean_text"), 256).as("fp"))
+      },
+      Some("""WITH planted AS (
+          SELECT doc_id,
+            '<html><head><style>body { x: 1 }</style><script>var j = 2;</script></head><body><h1>Doc '
+            || cast(doc_id AS varchar) || '</h1><p>'
+            || coalesce(array_to_string(
+              (string_split(trim(text), ' '))[1:8], ' '), '')
+            || '.</p><p>short one</p><p>'
+            || coalesce(array_to_string(
+              (string_split(trim(text), ' '))[9:14], ' '), '')
+            || ' tail.</p><div>Please enable javascript to continue.</div></body></html>'
+              AS html
+          FROM documents
+        ), s1 AS (
+          SELECT doc_id, regexp_replace(html,
+            '(?is)<(?:script|style)[^>]*>.*?</(?:script|style)\s*>',
+            ' ', 'g') AS x
+          FROM planted
+        ), s2 AS (
+          SELECT doc_id, regexp_replace(x,
+            '(?i)<(?:br\s*/?|/p|/div|/h[1-6]|/li|/tr|/ul|/ol|/table)\s*>',
+            chr(10), 'g') AS x
+          FROM s1
+        ), s3 AS (
+          SELECT doc_id, regexp_replace(x, '<[^>]+>', ' ', 'g') AS x
+          FROM s2
+        ), s4 AS (
+          SELECT doc_id, replace(replace(replace(replace(replace(replace(x,
+            '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+            '&nbsp;', ' '), '&amp;', '&') AS x
+          FROM s3
+        ), s5 AS (
+          SELECT doc_id,
+            regexp_replace(regexp_replace(regexp_replace(x,
+              '[ \t\r]+', ' ', 'g'),
+              ' *\n *', chr(10), 'g'),
+              '\n{3,}', chr(10) || chr(10), 'g') AS x
+          FROM s4
+        ), fin AS (
+          SELECT doc_id,
+            regexp_replace(x, '^\s+|\s+$', '', 'g') AS body
+          FROM s5
+        ), c4 AS (
+          SELECT doc_id,
+            list_filter(string_split(body, chr(10)), l ->
+              (CASE WHEN trim(l) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(l), '\s+')) END) >= 3
+              AND regexp_matches(trim(l), '[.!?"]$')
+              AND NOT contains(lower(trim(l)), 'javascript')
+              AND NOT contains(lower(trim(l)), 'lorem ipsum')
+              AND NOT contains(lower(trim(l)), 'cookie policy')
+              AND NOT contains(trim(l), '{')) AS ks
+          FROM fin
+        ), kept AS (
+          SELECT doc_id, array_to_string(ks, chr(10)) AS ct,
+            cast(len(ks) as bigint) AS n_kept
+          FROM c4 WHERE len(ks) >= 1
+        ), base AS (
+          SELECT doc_id, ct, n_kept, trim(ct) AS t,
+            CASE WHEN trim(ct) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(ct), '\s+') END AS ws,
+            string_split(ct, chr(10)) AS ls
+          FROM kept
+        ), m AS (
+          SELECT doc_id, ct, n_kept,
+            cast(len(ws) as bigint) AS n_words,
+            cast(coalesce(list_aggregate(
+              list_transform(ws, w -> length(w)), 'sum'), 0) as bigint)
+              AS wchars,
+            cast(len(list_filter(ws,
+              w -> regexp_matches(w, '[A-Za-z]'))) as bigint) AS nalpha,
+            cast(length(t) - length(replace(t, '#', '')) as bigint)
+              AS nhash,
+            cast((length(t) - length(replace(t, '...', ''))) // 3
+              as bigint) AS nell3,
+            cast(length(t) - length(replace(t, '…', '')) as bigint)
+              AS nellu,
+            cast(len(ls) as bigint) AS n_lines,
+            cast(len(list_filter(ls,
+              l -> regexp_matches(trim(l), '^[-*•]'))) as bigint) AS nbull,
+            cast(len(list_filter(ls,
+              l -> regexp_matches(trim(l), '(\.\.\.|…)$'))) as bigint)
+              AS nellline,
+            cast(len(list_distinct(ls)) as bigint) AS ndl,
+            cast(coalesce(list_aggregate(
+              list_transform(ls, l -> length(l)), 'sum'), 0) as bigint)
+              AS lchars,
+            cast(coalesce(list_aggregate(
+              list_transform(list_distinct(ls), l -> length(l)), 'sum'),
+              0) as bigint) AS dchars
+          FROM base
+        ), feat AS (
+          SELECT doc_id, ct, n_kept, n_words,
+            round(CASE WHEN n_words > 0 THEN wchars / n_words
+              ELSE 0 END, 4) AS mwl,
+            round(CASE WHEN n_words > 0 THEN nalpha / n_words
+              ELSE 0 END, 4) AS af,
+            round(CASE WHEN n_words > 0
+              THEN (nhash + nell3 + nellu) / n_words
+              ELSE 0 END, 4) AS sr,
+            round(nbull / n_lines, 4) AS bf,
+            round(nellline / n_lines, 4) AS ef,
+            round(1.0 - ndl / n_lines, 4) AS dlf,
+            round(CASE WHEN lchars > 0
+              THEN (lchars - dchars) / lchars
+              ELSE 0 END, 4) AS dcf
+          FROM m)
+        SELECT doc_id, n_kept, n_words,
+          cast(CASE WHEN n_words BETWEEN 15 AND 100000
+            AND mwl BETWEEN 3.0 AND 10.0
+            AND sr <= 0.1 AND af >= 0.8
+            AND bf <= 0.9 AND ef <= 0.3
+            AND dlf <= 0.3 AND dcf <= 0.2
+            THEN 1 ELSE 0 END as int) AS keep,
+          sha256(ct) AS fp
+        FROM feat""")),
+
     // Gopher-rule quality gate (Text.gopher_features/gopher_keep): the
     // named word-shape + line-shape rule bundle. The corpus is
     // single-line and symbol-free, so both sides plant the same
