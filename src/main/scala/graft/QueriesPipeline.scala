@@ -690,6 +690,38 @@ object QueriesPipeline {
         SELECT doc_id, round(avg(ln(c / tot)), 3) AS avg_lp
         FROM w JOIN v USING (w), tot GROUP BY doc_id""")),
 
+    // CCNet-style perplexity buckets: per language, rank documents by
+    // the corpus-unigram LM score (q_quality_unigram_lp's rounded
+    // avg_lp; best = highest log-prob = lowest perplexity) and cut
+    // exact terciles — head/middle/tail is THE published CCNet
+    // curation signal. Ranks come from ONE range exchange over the
+    // total (lang, -score, id) key via the shared two-phase prefix sum
+    // (no per-language single-task window), group offsets from a
+    // bounded dimension-sized aggregate; the tercile is integer
+    // arithmetic on (rank, n) so the cut replays exactly in DuckDB.
+    "q_quality_ppl_buckets" -> Entry(
+      (s, dir) => graft.operators.Corpus.perplexityBuckets(
+        t(s, dir, "documents"), "doc_id", "text", "lang",
+        headVocab = 16),
+      Some("""WITH w AS (
+          SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+          FROM documents
+        ), v AS (SELECT w, count(*) AS c FROM w GROUP BY 1),
+        tot AS (SELECT sum(c) AS tot FROM v),
+        lp AS (
+          SELECT doc_id, round(avg(ln(c / tot)), 3) AS avg_lp
+          FROM w JOIN v USING (w), tot GROUP BY doc_id),
+        r AS (
+          SELECT d.doc_id, d.lang, lp.avg_lp,
+            row_number() OVER (PARTITION BY d.lang
+              ORDER BY lp.avg_lp DESC, d.doc_id) AS r,
+            count(*) OVER (PARTITION BY d.lang) AS n
+          FROM documents d JOIN lp USING (doc_id))
+        SELECT doc_id, lang, avg_lp,
+          ((r - 1) * 3) // n AS bucket,
+          (['head','middle','tail'])[(((r - 1) * 3) // n) + 1] AS plabel
+        FROM r""")),
+
     // Deterministic train/val/test split: content-keyed md5 ranges —
     // map-only, rerun-stable, partition-layout-independent (randomSplit
     // is none of these), and exact duplicates land on the same side so
@@ -816,6 +848,45 @@ object QueriesPipeline {
           string_agg(w, ' ' ORDER BY i)
             FILTER (w NOT IN (SELECT w FROM freq)), '') AS cleaned
         FROM flat GROUP BY doc_id""")),
+
+    // RefinedWeb/MassiveText keep-FIRST exact dedup at paragraph
+    // granularity: a repeated paragraph survives only at its globally
+    // first (doc_id, pos) occurrence and strips everywhere else; docs
+    // rebuild in paragraph order, fully-deduplicated docs vanish.
+    // Distinct from q_corpus_line_dedup's threshold strip (frequent
+    // units delete EVERYWHERE): keep-first retains one canonical copy
+    // — the paragraph-dedup rule of web curation. The single-line
+    // corpus has no organic paragraphs, so both sides tile each doc
+    // into 5-word pseudo-paragraphs first (word granularity would be
+    // degenerate here — the synthetic vocab is ~31 words, so nearly
+    // every doc vanishes). One unit-keyed shuffle + one doc-keyed
+    // rebuild; the winner set never collects or broadcasts (it is
+    // corpus-sized).
+    "q_corpus_paragraph_dedup" -> Entry(
+      (s, dir) => {
+        val ws = split(col("text"), " ")
+        val nch = ceil(size(ws) / lit(5.0)).cast("int")
+        val chunked = array_join(transform(sequence(lit(0), nch - 1),
+          j => array_join(slice(ws, j * 5 + 1, lit(5)), " ")), "\n")
+        graft.operators.Corpus
+          .dedupKeepFirst(
+            t(s, dir, "documents").withColumn("text", chunked),
+            "text", "doc_id", delim = "\n")
+          .select(col("doc_id"), col("text").as("cleaned"))
+      },
+      Some("""WITH ds AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ), ch AS (
+          SELECT doc_id, j AS pos,
+            array_to_string(ws[(j*5+1):(j*5+5)], ' ') AS u
+          FROM ds, unnest(range(0,
+            cast(ceil(len(ws)/5.0) AS BIGINT))) AS t(j)
+        ), r AS (
+          SELECT doc_id, pos, u,
+            row_number() OVER (PARTITION BY u ORDER BY doc_id, pos) AS rn
+          FROM ch)
+        SELECT doc_id, string_agg(u, chr(10) ORDER BY pos) AS cleaned
+        FROM r WHERE rn = 1 GROUP BY doc_id""")),
 
     // Per-SOURCE boilerplate removal: words appearing (distinct per
     // doc) in > 30% of a source's documents strip from that source
@@ -2477,6 +2548,57 @@ object QueriesPipeline {
             ELSE string_split(host, '.')[-2] || '.' ||
               string_split(host, '.')[-1] END AS domain
         FROM fin""")),
+
+    // URL-keyed document dedup — the step AFTER q_url_normalize in a
+    // web pipeline: crawl variants of one page (scheme/host case,
+    // default port, trailing slash, tracking params, fragment — all
+    // doc_id-derived noise here) collapse onto one canonical URL
+    // (key = doc_id % 97), and keep-best retains the longest text,
+    // ties to the oldest id. ONE partial-aggregated max_by shuffle
+    // (Dedup.keepBestByKey) — no window, no self-join. The oracle
+    // computes the expected CANONICAL form arithmetically (ground
+    // truth, not a SQL re-implementation of the normalizer), so it
+    // checks the normalizer AND the keep-best rule.
+    "q_dedup_url" -> Entry(
+      (s, dir) => {
+        import graft.functions.Url
+        val id = col("doc_id")
+        val k = pmod(id, lit(97))
+        val url = concat(
+          when(pmod(id, lit(2)) === 0, lit("HTTPS://WWW.Example"))
+            .otherwise(lit("https://www.example")),
+          k.cast("string"),
+          when(pmod(id, lit(3)) === 0, lit(".COM")).otherwise(lit(".com")),
+          when(pmod(id, lit(5)) === 0, lit(":443")).otherwise(lit("")),
+          lit("/page/"), k.cast("string"),
+          when(pmod(id, lit(2)) === 0, lit("/")).otherwise(lit("")),
+          when(pmod(id, lit(4)) === 0,
+            concat(lit("?utm_source=x&b="), pmod(k, lit(9)).cast("string"),
+              lit("&a=1")))
+            .otherwise(concat(lit("?a=1&fbclid=z&b="),
+              pmod(k, lit(9)).cast("string"))),
+          when(pmod(id, lit(3)) === 0, lit("#frag")).otherwise(lit("")))
+        // staged Project (q_url_normalize convention): the plant stays
+        // behind an alias so the normalizer references ONE column
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars"), url.as("url"))
+          .select(col("doc_id"), col("n_chars"),
+            Url.normalize(col("url")).as("url_norm"))
+        Dedup.keepBestByKey(docs, "url_norm",
+          struct(col("n_chars"), -col("doc_id")))
+      },
+      Some("""WITH norm AS (
+          SELECT doc_id, n_chars,
+            'https://www.example' || cast(doc_id % 97 AS varchar)
+              || '.com/page/' || cast(doc_id % 97 AS varchar)
+              || '?a=1&b=' || cast((doc_id % 97) % 9 AS varchar) AS url_norm
+          FROM documents)
+        SELECT url_norm, doc_id, n_chars, n_dups FROM (
+          SELECT url_norm, doc_id, n_chars,
+            count(*) OVER (PARTITION BY url_norm) AS n_dups,
+            row_number() OVER (PARTITION BY url_norm
+              ORDER BY n_chars DESC, doc_id) AS rn
+          FROM norm) t WHERE rn = 1""")),
 
     // HTML → text extraction — the step before every other curation
     // operator on a web corpus. The corpus has no organic HTML, so

@@ -460,6 +460,44 @@ object Corpus {
     }
   }
 
+  /** Keep-FIRST-occurrence exact unit dedup — the RefinedWeb /
+    * MassiveText paragraph rule: a repeated unit (paragraph, line —
+    * any `delim`-separated span) survives ONLY at its globally first
+    * occurrence, ordered by (doc id, position), and strips everywhere
+    * else; documents rebuild in original unit order, and documents
+    * whose every unit was seen before vanish. Complements
+    * [[dedupLines]], which is a threshold strip (frequent units leave
+    * ALL documents, boilerplate-style) — keep-first retains exactly
+    * one canonical copy of every unit.
+    *
+    * Scale shape: posexplode → ONE hash shuffle keyed by the unit
+    * string itself (collision-free by construction — no 8-byte
+    * pre-hash whose collisions would need a string re-verify pass; the
+    * partitioner hashes the string, the within-partition sort compares
+    * it), an unbounded `min(struct(id, pos))` window names each unit's
+    * winner, every occurrence filters in place against its group min,
+    * and one doc-keyed shuffle rebuilds the kept units in order. The
+    * winner set is never collected or broadcast — it is corpus-sized,
+    * exactly the shape where [[dedupLines]]' broadcast rewrite is
+    * unavailable — so nothing here grows with corpus size except the
+    * two keyed exchanges. */
+  def dedupKeepFirst(docs: DataFrame, textCol: String, idCol: String,
+      delim: String = "\n"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val units = docs.select(col(idCol),
+      posexplode(split(col(textCol),
+        java.util.regex.Pattern.quote(delim))).as(Seq("pos", "u")))
+    val w = Window.partitionBy(col("u"))
+    val kept = units
+      .withColumn("__first", min(struct(col(idCol), col("pos"))).over(w))
+      .filter(col(idCol) === col("__first")(idCol) &&
+        col("pos") === col("__first")("pos"))
+    kept.groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("u")))),
+          x => x("u")), delim).as(textCol))
+  }
+
   /** Deterministic training-order shuffle: ORDER BY md5("id:seed") —
     * rerun-stable, partition-layout-independent, and engine-portable
     * (the same md5 trick as [[hashKeep]]); a different seed is an
@@ -851,6 +889,86 @@ object Corpus {
     s1.join(s2, idCol)
       .select(col(idCol),
         round((col("sl2") - col("sl1")) / col("n_bg"), 3).as("avg_lp2"))
+  }
+
+  /** CCNet-style perplexity buckets: per `groupCol` (language), rank
+    * documents by LM quality — [[unigramLogProb]]'s rounded avg_lp,
+    * best (highest log-prob = lowest perplexity) first, ties by id —
+    * and cut EXACT equal-depth buckets: head / middle / tail is THE
+    * published CCNet curation signal (downstreams train on head+middle
+    * or reweight by bucket).
+    *
+    * Exact global ranks per group WITHOUT a per-group window (a
+    * `Window.partitionBy(lang)` puts each language in ONE task — dead
+    * on a mono-lingual 100 TB corpus): one range exchange over the
+    * total key (group, -score, id) via the shared two-phase prefix sum
+    * ([[Pack.cumBefore]] — the [[shuffleWithPositions]] machinery),
+    * then per-group rank = global position − group offset, where the
+    * offsets come from a group-count aggregate that is BOUNDED by
+    * `maxGroups` (languages, sources — never corpus-scale; the collect
+    * fails fast past the cap rather than pulling an unbounded set).
+    * The bucket is integer arithmetic on (rank, group size), so the
+    * cut replays exactly in an oracle.
+    *
+    * Driver-side group ordering compares UTF-8 BYTES (unsigned), not
+    * Java Strings — Spark's binary string ordering; a UTF-16
+    * comparison would disagree on supplementary-plane group names and
+    * mis-offset every group after the disagreement. */
+  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, buckets: Int = 3,
+      labels: Seq[String] = Seq("head", "middle", "tail"),
+      headVocab: Int = 0, maxGroups: Int = 10000): DataFrame = {
+    require(buckets >= 1 && labels.size == buckets,
+      s"perplexityBuckets: need one label per bucket " +
+        s"(got ${labels.size} labels for $buckets buckets)")
+    require(!docs.columns.contains("__cum"),
+      "perplexityBuckets: input must not carry the internal __cum name")
+    val lp = unigramLogProb(docs, idCol, textCol, headVocab)
+    // doc-keyed shuffle join: both sides key on the id, no skew
+    val scored = docs.select(col(idCol), col(groupCol)).join(lp, idCol)
+    // group sizes: a tiny aggregate (≤ maxGroups rows after partial
+    // agg) — the ONLY driver collect, fail-fast bounded
+    val statRows = scored.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"))
+      .limit(maxGroups + 1).collect()
+    require(statRows.length <= maxGroups,
+      s"perplexityBuckets: more than $maxGroups groups in '$groupCol' — " +
+        "bucket keys must be dimension-sized (languages, sources); " +
+        "raise maxGroups only if the driver can hold the offsets")
+    // offsets in SPARK's string order: unsigned UTF-8 byte comparison
+    val byUtf8: Ordering[String] = (a: String, b: String) => {
+      val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+      var i = 0
+      var c = 0
+      while (c == 0 && i < x.length && i < y.length) {
+        c = (x(i) & 0xff) - (y(i) & 0xff)
+        i += 1
+      }
+      if (c != 0) c else x.length - y.length
+    }
+    val sorted = statRows.map(r => r.getString(0) -> r.getLong(1))
+      .sortBy(_._1)(byUtf8)
+    var acc = 0L
+    val offs = sorted.map { case (g, n) =>
+      val o = (g, acc, n); acc += n; o
+    }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val offsets = broadcast(
+      offs.toSeq.toDF(groupCol, "__off", "__n"))
+    // total order (group asc, score desc, id asc) → one range
+    // exchange; the fold adds the 0-based global position
+    Pack.cumBefore(scored, struct(col(groupCol),
+        negate(col("avg_lp")), col(idCol)),
+        partitions = 0, weightCol = None, outCol = "__cum")
+      .join(offsets, groupCol)
+      .withColumn("bucket",
+        expr(s"CAST(((__cum - __off) * $buckets) DIV __n AS BIGINT)"))
+      .withColumn("plabel",
+        element_at(array(labels.map(lit): _*),
+          (col("bucket") + 1).cast("int")))
+      .select(col(idCol), col(groupCol), col("avg_lp"), col("bucket"),
+        col("plabel"))
   }
 
   /** Top-k DISTINCTIVE terms per group (c-TF-IDF keyword extraction —

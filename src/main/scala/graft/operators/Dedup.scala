@@ -496,6 +496,34 @@ object Dedup {
     df.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Keep exactly ONE row per `keyCol` group — the row with the
+    * LARGEST `order` value (make the ordering total, e.g. tie-break on
+    * a unique id, or the winner is tie-arbitrary). The canonical
+    * web-curation use is URL-keyed document dedup: crawl variants of a
+    * page collapse onto one canonical URL after
+    * [[graft.functions.Url.normalize]], and the longest (then oldest)
+    * capture wins. A `n_dups` group-size column is appended — the
+    * recrawl-rate signal curation reports come from.
+    *
+    * Scale: ONE hash shuffle on the key with full partial aggregation —
+    * `max_by` is a declarative aggregate, so every map task pre-reduces
+    * to at most one candidate row per key before the exchange, and the
+    * winner rides the shuffle as a struct. No window (a per-key
+    * row_number sorts whole groups), no self-join: the exchange carries
+    * ≤ |distinct keys| rows per map task regardless of duplication
+    * depth. */
+  def keepBestByKey(df: DataFrame, keyCol: String,
+      order: Column): DataFrame = {
+    val carry = df.columns.toSeq.filterNot(_ == keyCol)
+    require(carry.nonEmpty, "keepBestByKey: need at least one non-key " +
+      "column to carry through the aggregation")
+    df.groupBy(col(keyCol))
+      .agg(max_by(struct(carry.map(col): _*), order).as("__best"),
+        count(lit(1)).as("n_dups"))
+      .select(col(keyCol) +: carry.map(c => col(s"__best.`$c`").as(c)) :+
+        col("n_dups"): _*)
+  }
+
   /** SemDeDup-style semantic near-dup pairs: coarse k-means cells
     * (the [[Similarity.trainCentroids]] quantizer — driver-local Lloyd
     * on a bounded sample), candidates = within-cell pairs, verified by

@@ -695,4 +695,46 @@ class CorpusSpec extends AnyFunSuite {
     assert(lax.count() == 3L)
     assert(lax.filter(col("doc_id") === 3L).head.getString(1) == "")
   }
+
+  test("dedupKeepFirst keeps only the globally first unit occurrence") {
+    val df = Seq(
+      (1L, "alpha\nbeta"),
+      (2L, "beta\ngamma"),            // beta first seen in doc 1 → strips
+      (3L, "alpha\nbeta"),            // all units seen → doc vanishes
+      (4L, "delta"),
+      (5L, "epsilon\nzeta\nepsilon")  // in-doc repeat: pos 2 strips too
+    ).toDF("doc_id", "text")
+    val out = Corpus.dedupKeepFirst(df, "text", "doc_id", "\n")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(
+      1L -> "alpha\nbeta",
+      2L -> "gamma",
+      4L -> "delta",
+      5L -> "epsilon\nzeta"))
+  }
+
+  test("perplexityBuckets cuts exact per-group terciles, ranked by lp") {
+    // en: c(a)=5, c(q)=4 over T=18 → doc 1 (all common) > 2 (mixed) >
+    // 3 (all rare); fr mirrors with b/z. Each lang n=3 → one doc per
+    // bucket. de: two IDENTICAL docs → rounded-lp tie breaks by id.
+    val df = Seq(
+      (1L, "en", "a a a"), (2L, "en", "a a q"), (3L, "en", "q q q"),
+      (4L, "fr", "b b b"), (5L, "fr", "b b z"), (6L, "fr", "z z z"),
+      (7L, "de", "x x"), (8L, "de", "x x")
+    ).toDF("doc_id", "lang", "text")
+    val out = Corpus.perplexityBuckets(df, "doc_id", "text", "lang")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getString(4))))
+      .toMap
+    assert(out(1L) == ((0L, "head")) && out(2L) == ((1L, "middle")) &&
+      out(3L) == ((2L, "tail")))
+    assert(out(4L) == ((0L, "head")) && out(5L) == ((1L, "middle")) &&
+      out(6L) == ((2L, "tail")))
+    // n=2, buckets=3: ranks 1,2 → buckets 0,1 (floor(3(r-1)/n))
+    assert(out(7L) == ((0L, "head")) && out(8L) == ((1L, "middle")))
+    // dimension-bound guard fails fast rather than collecting unbounded
+    intercept[IllegalArgumentException] {
+      Corpus.perplexityBuckets(df, "doc_id", "text", "lang",
+        maxGroups = 2)
+    }
+  }
 }

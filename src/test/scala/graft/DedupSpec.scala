@@ -567,4 +567,25 @@ class DedupSpec extends AnyFunSuite {
         "vec_id", "embedding", md5Basis = true).collect()
     }
   }
+
+  test("keepBestByKey keeps the max-order row per key and counts dups") {
+    val df = Seq(
+      ("u1", 10L, 5L), ("u1", 12L, 9L), ("u1", 11L, 9L),
+      ("u2", 20L, 1L)
+    ).toDF("url", "doc_id", "score")
+    // order: highest score, ties → lowest id (negated id in the struct)
+    val out = Dedup
+      .keepBestByKey(df, "url", struct(col("score"), -col("doc_id")))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("u1") == ((11L, 9L, 3L)))
+    assert(out("u2") == ((20L, 1L, 1L)))
+    // column contract: key first, carried columns in input order, n_dups
+    assert(Dedup.keepBestByKey(df, "url", col("score")).columns.toSeq ==
+      Seq("url", "doc_id", "score", "n_dups"))
+    intercept[IllegalArgumentException] {
+      Dedup.keepBestByKey(df.select("url"), "url", col("url"))
+    }
+  }
 }

@@ -438,4 +438,41 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(wide).length == 1,
       s"exactly the fingerprint groupBy exchange expected:\n$wide")
   }
+
+  test("q_dedup_url: keep-best is ONE partial-aggregated exchange — " +
+      "no window, no self-join; duplication depth never rides the wire") {
+    val p = plan("q_dedup_url")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"exactly the url-key aggregate exchange expected:\n$p")
+    assert(!p.contains("Window"), s"keep-best must not sort groups:\n$p")
+    assert(!p.contains("Join"), s"keep-best must not self-join:\n$p")
+    // partial_max_by BELOW the exchange: map tasks pre-reduce to one
+    // candidate per key before the shuffle (SortAggregate, not
+    // HashAggregate — max_by's struct-valued buffer is not hash-agg
+    // representable; the invariant that matters is the partial pass)
+    assert(p.contains("partial_max_by"),
+      s"partial aggregation missing:\n$p")
+  }
+
+  test("q_corpus_paragraph_dedup: exactly the two keyed exchanges " +
+      "(unit winner, doc rebuild); the winner set never broadcasts") {
+    val p = plan("q_corpus_paragraph_dedup")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 2,
+      s"unit-keyed window + doc-keyed rebuild expected, no more:\n$p")
+    assert(p.contains("Window"), s"winner min-window missing:\n$p")
+    assert(!p.contains("BroadcastExchange"),
+      s"the corpus-sized winner set must never broadcast:\n$p")
+    assert(!p.contains("Join"), s"no join needed — the window names " +
+      s"winners in place:\n$p")
+  }
+
+  test("q_quality_ppl_buckets: group offsets broadcast; no per-group " +
+      "window anywhere (ranks come from the two-phase prefix sum)") {
+    val p = plan("q_quality_ppl_buckets")
+    assert(p.contains("BroadcastHashJoin"),
+      s"dimension-sized offsets table must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no corpus-side SMJ:\n$p")
+    assert(!p.contains("Window"),
+      s"a per-language window would single-task each language:\n$p")
+  }
 }
