@@ -274,6 +274,52 @@ object ScaleStress {
       docs.unpersist(); vecs.unpersist()
     }
 
+    // Round-10 drill: keep-first paragraph dedup, URL keep-best dedup,
+    // and CCNet perplexity buckets at 1x vs maxScale. The keep-first
+    // corpus tiles 5-word pseudo-paragraphs (the query's shape);
+    // copies are near-dups, so most paragraphs repeat across copies —
+    // the dup-heavy worst case for the unit-keyed exchange. URL keys
+    // hold ~5 docs per canonical URL at ANY scale (key count grows
+    // with the corpus — the realistic recrawl shape).
+    println(f"\n${"copies"}%8s ${"docs"}%9s ${"kf_docs"}%9s ${"t_kf"}%7s " +
+      f"${"url_keys"}%9s ${"t_url"}%7s ${"buckets"}%9s ${"t_ppl"}%7s")
+    for (copies <- Seq(1, maxScale)
+        if which == "all" || which == "r10ops") {
+      val base = corpus(spark, dir, copies)
+      val ws = split(col("text"), " ")
+      val nch = ceil(size(ws) / lit(5.0)).cast("int")
+      val docs = base.select(col("doc_id"),
+        array_join(transform(sequence(lit(0), nch - 1),
+          j => array_join(slice(ws, j * 5 + 1, lit(5)), " ")), "\n")
+          .as("text"),
+        concat(lit("l"), pmod(col("doc_id"), lit(4)).cast("string"))
+          .as("lang")).cache()
+      val nDocs = docs.count()
+      var nKf = 0L
+      val tKf = timed {
+        nKf = Corpus.dedupKeepFirst(docs, "text", "doc_id", "\n").count()
+      }
+      val urled = docs.select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        concat(lit("https://example.invalid/p/"),
+          pmod(col("doc_id"), lit(math.max(1L, nDocs / 5)))
+            .cast("string")).as("url_norm"))
+      var nUrl = 0L
+      val tUrl = timed {
+        nUrl = Dedup.keepBestByKey(urled, "url_norm",
+          struct(col("n_chars"), -col("doc_id"))).count()
+      }
+      var nPpl = 0L
+      val tPpl = timed {
+        nPpl = Corpus.perplexityBuckets(docs, "doc_id", "text", "lang",
+            headVocab = 16)
+          .select(col("plabel")).distinct().count()
+      }
+      println(f"$copies%8d $nDocs%9d $nKf%9d $tKf%7.1f " +
+        f"$nUrl%9d $tUrl%7.1f $nPpl%9d $tPpl%7.1f")
+      docs.unpersist()
+    }
+
     // Round-8 line-dedup drill: the rewritten one-cached-pass plan
     // (dup-heavy: every copy shares its full token stream, so the
     // frequent set is the whole shared vocabulary above threshold —
