@@ -59,6 +59,38 @@ object QueriesPipeline {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** doc_id-derived noisy crawl-variant URL (shared by q_dedup_url and
+    * q_pipeline_web_dedup): canonical key = doc_id % 97; scheme/host
+    * case, the default :443 port, trailing slash, tracking params and
+    * fragment all vary by doc_id and all normalize away, so the group
+    * key only emerges AFTER [[graft.functions.Url.normalize]]. */
+  private def plantedCrawlUrl: org.apache.spark.sql.Column = {
+    val id = col("doc_id")
+    val k = pmod(id, lit(97))
+    concat(
+      when(pmod(id, lit(2)) === 0, lit("HTTPS://WWW.Example"))
+        .otherwise(lit("https://www.example")),
+      k.cast("string"),
+      when(pmod(id, lit(3)) === 0, lit(".COM")).otherwise(lit(".com")),
+      when(pmod(id, lit(5)) === 0, lit(":443")).otherwise(lit("")),
+      lit("/page/"), k.cast("string"),
+      when(pmod(id, lit(2)) === 0, lit("/")).otherwise(lit("")),
+      when(pmod(id, lit(4)) === 0,
+        concat(lit("?utm_source=x&b="), pmod(k, lit(9)).cast("string"),
+          lit("&a=1")))
+        .otherwise(concat(lit("?a=1&fbclid=z&b="),
+          pmod(k, lit(9)).cast("string"))),
+      when(pmod(id, lit(3)) === 0, lit("#frag")).otherwise(lit("")))
+  }
+
+  /** The EXPECTED canonical form of [[plantedCrawlUrl]], computed
+    * arithmetically in DuckDB — ground truth for the normalizer, not a
+    * SQL re-implementation of it. */
+  private val canonicalUrlSql: String =
+    "'https://www.example' || cast(doc_id % 97 AS varchar)" +
+      " || '.com/page/' || cast(doc_id % 97 AS varchar)" +
+      " || '?a=1&b=' || cast((doc_id % 97) % 9 AS varchar)"
+
   /** DuckDB CTE chain replaying [[graft.operators.Dsir]]'s hashed-bigram
     * models and integer micro-nat weights for en-target vs rest-raw over
     * `src` (any CTE/table with doc_id, lang, text), k = 512 — ends in
@@ -2562,36 +2594,18 @@ object QueriesPipeline {
     "q_dedup_url" -> Entry(
       (s, dir) => {
         import graft.functions.Url
-        val id = col("doc_id")
-        val k = pmod(id, lit(97))
-        val url = concat(
-          when(pmod(id, lit(2)) === 0, lit("HTTPS://WWW.Example"))
-            .otherwise(lit("https://www.example")),
-          k.cast("string"),
-          when(pmod(id, lit(3)) === 0, lit(".COM")).otherwise(lit(".com")),
-          when(pmod(id, lit(5)) === 0, lit(":443")).otherwise(lit("")),
-          lit("/page/"), k.cast("string"),
-          when(pmod(id, lit(2)) === 0, lit("/")).otherwise(lit("")),
-          when(pmod(id, lit(4)) === 0,
-            concat(lit("?utm_source=x&b="), pmod(k, lit(9)).cast("string"),
-              lit("&a=1")))
-            .otherwise(concat(lit("?a=1&fbclid=z&b="),
-              pmod(k, lit(9)).cast("string"))),
-          when(pmod(id, lit(3)) === 0, lit("#frag")).otherwise(lit("")))
         // staged Project (q_url_normalize convention): the plant stays
         // behind an alias so the normalizer references ONE column
         val docs = t(s, dir, "documents")
-          .select(col("doc_id"), col("n_chars"), url.as("url"))
+          .select(col("doc_id"), col("n_chars"),
+            plantedCrawlUrl.as("url"))
           .select(col("doc_id"), col("n_chars"),
             Url.normalize(col("url")).as("url_norm"))
         Dedup.keepBestByKey(docs, "url_norm",
           struct(col("n_chars"), -col("doc_id")))
       },
-      Some("""WITH norm AS (
-          SELECT doc_id, n_chars,
-            'https://www.example' || cast(doc_id % 97 AS varchar)
-              || '.com/page/' || cast(doc_id % 97 AS varchar)
-              || '?a=1&b=' || cast((doc_id % 97) % 9 AS varchar) AS url_norm
+      Some(s"""WITH norm AS (
+          SELECT doc_id, n_chars, $canonicalUrlSql AS url_norm
           FROM documents)
         SELECT url_norm, doc_id, n_chars, n_dups FROM (
           SELECT url_norm, doc_id, n_chars,
@@ -2599,6 +2613,57 @@ object QueriesPipeline {
             row_number() OVER (PARTITION BY url_norm
               ORDER BY n_chars DESC, doc_id) AS rn
           FROM norm) t WHERE rn = 1""")),
+
+    // Composed web-dedup pipeline — the two dedup stages a crawl
+    // actually chains, verified END-TO-END by one oracle: normalize
+    // crawl-variant URLs → keep the best capture per canonical URL
+    // (longest text, oldest id) → tile survivors into 5-word
+    // pseudo-paragraphs → keep-first paragraph dedup across the
+    // deduped crawl. Stage interactions are the point: the paragraph
+    // stage must see exactly the URL-dedup survivor set, in survivor
+    // id order.
+    "q_pipeline_web_dedup" -> Entry(
+      (s, dir) => {
+        import graft.functions.Url
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars"), col("text"),
+            plantedCrawlUrl.as("url"))
+          .select(col("doc_id"), col("n_chars"), col("text"),
+            Url.normalize(col("url")).as("url_norm"))
+        val kept = Dedup.keepBestByKey(docs, "url_norm",
+          struct(col("n_chars"), -col("doc_id")))
+        val ws = split(col("text"), " ")
+        val nch = ceil(size(ws) / lit(5.0)).cast("int")
+        val tiled = kept.select(col("doc_id"),
+          array_join(transform(sequence(lit(0), nch - 1),
+            j => array_join(slice(ws, j * 5 + 1, lit(5)), " ")), "\n")
+            .as("text"))
+        graft.operators.Corpus
+          .dedupKeepFirst(tiled, "text", "doc_id", "\n")
+          .select(col("doc_id"), col("text").as("cleaned"))
+      },
+      Some(s"""WITH norm AS (
+          SELECT doc_id, n_chars, text, $canonicalUrlSql AS url_norm
+          FROM documents
+        ), best AS (
+          SELECT doc_id, text FROM (
+            SELECT doc_id, text,
+              row_number() OVER (PARTITION BY url_norm
+                ORDER BY n_chars DESC, doc_id) AS rn
+            FROM norm) b WHERE rn = 1
+        ), ds AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM best
+        ), ch AS (
+          SELECT doc_id, j AS pos,
+            array_to_string(ws[(j*5+1):(j*5+5)], ' ') AS u
+          FROM ds, unnest(range(0,
+            cast(ceil(len(ws)/5.0) AS BIGINT))) AS t(j)
+        ), r AS (
+          SELECT doc_id, pos, u,
+            row_number() OVER (PARTITION BY u ORDER BY doc_id, pos) AS rn
+          FROM ch)
+        SELECT doc_id, string_agg(u, chr(10) ORDER BY pos) AS cleaned
+        FROM r WHERE rn = 1 GROUP BY doc_id""")),
 
     // HTML → text extraction — the step before every other curation
     // operator on a web corpus. The corpus has no organic HTML, so
