@@ -83,6 +83,25 @@ object QueriesPipeline {
       when(pmod(id, lit(3)) === 0, lit("#frag")).otherwise(lit("")))
   }
 
+  /** 5-word pseudo-paragraph tiling of the single-line corpus — shared
+    * by the paragraph-dedup family (see q_corpus_paragraph_dedup for
+    * why the synthetic corpus needs tiling at all). */
+  private def tile5(text: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val ws = split(text, " ")
+    val nch = ceil(size(ws) / lit(5.0)).cast("int")
+    array_join(transform(sequence(lit(0), nch - 1),
+      j => array_join(slice(ws, j * 5 + 1, lit(5)), " ")), "\n")
+  }
+
+  /** DuckDB replay of [[tile5]]: `ch(doc_id, pos, u)` from a CTE named
+    * `ds(doc_id, ws)`. */
+  private val tile5Sql: String = """ch AS (
+          SELECT doc_id, j AS pos,
+            array_to_string(ws[(j*5+1):(j*5+5)], ' ') AS u
+          FROM ds, unnest(range(0,
+            cast(ceil(len(ws)/5.0) AS BIGINT))) AS t(j))"""
+
   /** The EXPECTED canonical form of [[plantedCrawlUrl]], computed
     * arithmetically in DuckDB — ground truth for the normalizer, not a
     * SQL re-implementation of it. */
@@ -895,28 +914,56 @@ object QueriesPipeline {
     // rebuild; the winner set never collects or broadcasts (it is
     // corpus-sized).
     "q_corpus_paragraph_dedup" -> Entry(
-      (s, dir) => {
-        val ws = split(col("text"), " ")
-        val nch = ceil(size(ws) / lit(5.0)).cast("int")
-        val chunked = array_join(transform(sequence(lit(0), nch - 1),
-          j => array_join(slice(ws, j * 5 + 1, lit(5)), " ")), "\n")
-        graft.operators.Corpus
-          .dedupKeepFirst(
-            t(s, dir, "documents").withColumn("text", chunked),
-            "text", "doc_id", delim = "\n")
-          .select(col("doc_id"), col("text").as("cleaned"))
-      },
-      Some("""WITH ds AS (
+      (s, dir) => graft.operators.Corpus
+        .dedupKeepFirst(
+          t(s, dir, "documents")
+            .select(col("doc_id"), tile5(col("text")).as("text")),
+          "text", "doc_id", delim = "\n")
+        .select(col("doc_id"), col("text").as("cleaned")),
+      Some(s"""WITH ds AS (
           SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-        ), ch AS (
-          SELECT doc_id, j AS pos,
-            array_to_string(ws[(j*5+1):(j*5+5)], ' ') AS u
-          FROM ds, unnest(range(0,
-            cast(ceil(len(ws)/5.0) AS BIGINT))) AS t(j)
-        ), r AS (
+        ), $tile5Sql, r AS (
           SELECT doc_id, pos, u,
             row_number() OVER (PARTITION BY u ORDER BY doc_id, pos) AS rn
           FROM ch)
+        SELECT doc_id, string_agg(u, chr(10) ORDER BY pos) AS cleaned
+        FROM r WHERE rn = 1 GROUP BY doc_id""")),
+
+    // Incremental paragraph dedup — the recurring-crawl shape of
+    // q_corpus_paragraph_dedup: the historical corpus (doc_id%5<4) is
+    // present ONLY as the md5 fingerprints of its distinct paragraphs
+    // (Corpus.unitIndex — the persisted store a 100 TB pipeline keeps
+    // between crawls); the new batch (doc_id%5=4) strips index hits
+    // via a fingerprint-keyed anti-join, keeps first occurrences
+    // within itself, and rebuilds. Corpus text is never re-read; each
+    // increment pays |batch units| + |index|.
+    "q_corpus_paragraph_dedup_incr" -> Entry(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), tile5(col("text")).as("text"))
+        val idx = graft.operators.Corpus.unitIndex(
+          docs.filter(col("doc_id") % 5 < 4), "text", "doc_id")
+        graft.operators.Corpus
+          .dedupKeepFirstAgainstIndex(
+            docs.filter(col("doc_id") % 5 === 4), idx, "text", "doc_id")
+          .select(col("doc_id"), col("text").as("cleaned"))
+      },
+      // the oracle anti-joins on the unit STRING; the operator joins on
+      // md5(unit) — identical results (md5 is injective up to
+      // vanishing 128-bit collisions), and the string form is what
+      // DuckDB can replay
+      Some(s"""WITH ds AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ), $tile5Sql, cu AS (
+          SELECT DISTINCT u FROM ch WHERE doc_id % 5 < 4
+        ), novel AS (
+          SELECT b.doc_id, b.pos, b.u
+          FROM ch b LEFT JOIN cu ON cu.u = b.u
+          WHERE b.doc_id % 5 = 4 AND cu.u IS NULL
+        ), r AS (
+          SELECT doc_id, pos, u,
+            row_number() OVER (PARTITION BY u ORDER BY doc_id, pos) AS rn
+          FROM novel)
         SELECT doc_id, string_agg(u, chr(10) ORDER BY pos) AS cleaned
         FROM r WHERE rn = 1 GROUP BY doc_id""")),
 
@@ -2632,12 +2679,8 @@ object QueriesPipeline {
             Url.normalize(col("url")).as("url_norm"))
         val kept = Dedup.keepBestByKey(docs, "url_norm",
           struct(col("n_chars"), -col("doc_id")))
-        val ws = split(col("text"), " ")
-        val nch = ceil(size(ws) / lit(5.0)).cast("int")
         val tiled = kept.select(col("doc_id"),
-          array_join(transform(sequence(lit(0), nch - 1),
-            j => array_join(slice(ws, j * 5 + 1, lit(5)), " ")), "\n")
-            .as("text"))
+          tile5(col("text")).as("text"))
         graft.operators.Corpus
           .dedupKeepFirst(tiled, "text", "doc_id", "\n")
           .select(col("doc_id"), col("text").as("cleaned"))
@@ -2653,12 +2696,7 @@ object QueriesPipeline {
             FROM norm) b WHERE rn = 1
         ), ds AS (
           SELECT doc_id, string_split(text, ' ') AS ws FROM best
-        ), ch AS (
-          SELECT doc_id, j AS pos,
-            array_to_string(ws[(j*5+1):(j*5+5)], ' ') AS u
-          FROM ds, unnest(range(0,
-            cast(ceil(len(ws)/5.0) AS BIGINT))) AS t(j)
-        ), r AS (
+        ), $tile5Sql, r AS (
           SELECT doc_id, pos, u,
             row_number() OVER (PARTITION BY u ORDER BY doc_id, pos) AS rn
           FROM ch)

@@ -482,11 +482,24 @@ object Corpus {
     * unavailable — so nothing here grows with corpus size except the
     * two keyed exchanges. */
   def dedupKeepFirst(docs: DataFrame, textCol: String, idCol: String,
-      delim: String = "\n"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val units = docs.select(col(idCol),
+      delim: String = "\n"): DataFrame =
+    keepFirstRebuild(unitsOf(docs, textCol, idCol, delim), idCol,
+      textCol, delim)
+
+  /** (id, pos, unit) tiling of a corpus — the shared front of the
+    * keep-first family. */
+  private def unitsOf(docs: DataFrame, textCol: String, idCol: String,
+      delim: String): DataFrame =
+    docs.select(col(idCol),
       posexplode(split(col(textCol),
         java.util.regex.Pattern.quote(delim))).as(Seq("pos", "u")))
+
+  /** Keep-first winner filter + ordered document rebuild over an
+    * (id, pos, u) unit stream — the shared back of the keep-first
+    * family (see [[dedupKeepFirst]] for the scale shape). */
+  private def keepFirstRebuild(units: DataFrame, idCol: String,
+      textCol: String, delim: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("u"))
     val kept = units
       .withColumn("__first", min(struct(col(idCol), col("pos"))).over(w))
@@ -496,6 +509,37 @@ object Corpus {
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("pos"), col("u")))),
           x => x("u")), delim).as(textCol))
+  }
+
+  /** Persisted-index form of [[dedupKeepFirst]] — the incremental
+    * crawl shape: the historical corpus is represented ONLY by the
+    * md5 fingerprints of its distinct units (`unitIndex`), so each new
+    * batch pays |batch units| + |index| and the corpus text is never
+    * re-read — the same contract as
+    * [[graft.operators.Dedup.dedupAgainstIndex]] one level down, at
+    * paragraph granularity. 128-bit md5 keys make false strips
+    * vanishingly improbable at any real unit count (a 64-bit key
+    * would collide on a 10^12-unit corpus), while shuffling 16-byte
+    * keys instead of paragraph strings.
+    *
+    * A batch unit survives iff its fingerprint is NOT in the index
+    * (left-anti, fp-keyed shuffle) AND it is the first occurrence
+    * within the batch itself (the shared keep-first window); surviving
+    * docs rebuild in unit order. Append `unitIndex(batch)` to the
+    * store afterwards to advance the index. */
+  def unitIndex(corpus: DataFrame, textCol: String, idCol: String,
+      delim: String = "\n"): DataFrame =
+    unitsOf(corpus, textCol, idCol, delim)
+      .select(md5(col("u")).as("ufp")).distinct()
+
+  def dedupKeepFirstAgainstIndex(batch: DataFrame, index: DataFrame,
+      textCol: String, idCol: String, delim: String = "\n"): DataFrame = {
+    require(index.columns.sameElements(Array("ufp")),
+      "dedupKeepFirstAgainstIndex: index must be a unitIndex result " +
+        s"(single ufp column; got ${index.columns.mkString(", ")})")
+    val novel = unitsOf(batch, textCol, idCol, delim)
+      .join(index, md5(col("u")) === col("ufp"), "left_anti")
+    keepFirstRebuild(novel, idCol, textCol, delim)
   }
 
   /** Deterministic training-order shuffle: ORDER BY md5("id:seed") —

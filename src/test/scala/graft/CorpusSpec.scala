@@ -713,6 +713,27 @@ class CorpusSpec extends AnyFunSuite {
       5L -> "epsilon\nzeta"))
   }
 
+  test("dedupKeepFirstAgainstIndex: index hits strip, batch keeps " +
+      "first occurrences, corpus text never joins") {
+    val corpus = Seq((1L, "alpha\nbeta")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "beta\ngamma\ngamma"), // beta in index; 2nd gamma in-batch dup
+      (11L, "gamma\ndelta"),       // gamma first seen at (10, 1)
+      (12L, "alpha\nbeta")         // all indexed → doc vanishes
+    ).toDF("doc_id", "text")
+    val idx = Corpus.unitIndex(corpus, "text", "doc_id")
+    assert(idx.columns.toSeq == Seq("ufp"))
+    val out = Corpus
+      .dedupKeepFirstAgainstIndex(batch, idx, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(10L -> "gamma", 11L -> "delta"))
+    // malformed index fails loudly, not silently wrong
+    intercept[IllegalArgumentException] {
+      Corpus.dedupKeepFirstAgainstIndex(batch,
+        corpus.select(col("text")), "text", "doc_id")
+    }
+  }
+
   test("perplexityBuckets cuts exact per-group terciles, ranked by lp") {
     // en: c(a)=5, c(q)=4 over T=18 → doc 1 (all common) > 2 (mixed) >
     // 3 (all rare); fr mirrors with b/z. Each lang n=3 → one doc per

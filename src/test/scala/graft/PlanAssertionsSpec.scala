@@ -466,6 +466,16 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"winners in place:\n$p")
   }
 
+  test("q_corpus_paragraph_dedup_incr: batch units anti-join the " +
+      "fingerprint index — paragraph strings never build a hash side") {
+    val p = plan("q_corpus_paragraph_dedup_incr")
+    assert(p.contains("LeftAnti"), s"index anti-join missing:\n$p")
+    assert(p.contains("Window"), s"in-batch keep-first window missing:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    // the anti-join keys on md5(u) = ufp — 16-byte keys, not text
+    assert(p.contains("md5(cast(u"), s"fingerprint join key missing:\n$p")
+  }
+
   test("q_quality_ppl_buckets: group offsets broadcast; no per-group " +
       "window anywhere (ranks come from the two-phase prefix sum)") {
     val p = plan("q_quality_ppl_buckets")
