@@ -85,10 +85,16 @@ object QueriesPipeline {
 
   /** 5-word pseudo-paragraph tiling of the single-line corpus — shared
     * by the paragraph-dedup family (see q_corpus_paragraph_dedup for
-    * why the synthetic corpus needs tiling at all). */
-  private def tile5(text: org.apache.spark.sql.Column)
+    * why the synthetic corpus needs tiling at all; `private[graft]` so
+    * the ScaleStress drill tiles the SAME shape it benchmarks).
+    * Embedded newlines squash to spaces FIRST: the tiles join on "\n"
+    * and dedupKeepFirst re-splits on it, so a newline surviving inside
+    * a token would shift unit boundaries relative to [[tile5Sql]]
+    * (which consumes the chunks directly, never round-tripping the
+    * delimiter). */
+  private[graft] def tile5(text: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column = {
-    val ws = split(text, " ")
+    val ws = split(translate(text, "\n", " "), " ")
     val nch = ceil(size(ws) / lit(5.0)).cast("int")
     array_join(transform(sequence(lit(0), nch - 1),
       j => array_join(slice(ws, j * 5 + 1, lit(5)), " ")), "\n")
@@ -921,7 +927,8 @@ object QueriesPipeline {
           "text", "doc_id", delim = "\n")
         .select(col("doc_id"), col("text").as("cleaned")),
       Some(s"""WITH ds AS (
-          SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+          SELECT doc_id, string_split(replace(text, chr(10), ' '), ' ') AS ws
+          FROM documents
         ), $tile5Sql, r AS (
           SELECT doc_id, pos, u,
             row_number() OVER (PARTITION BY u ORDER BY doc_id, pos) AS rn
@@ -953,7 +960,8 @@ object QueriesPipeline {
       // vanishing 128-bit collisions), and the string form is what
       // DuckDB can replay
       Some(s"""WITH ds AS (
-          SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+          SELECT doc_id, string_split(replace(text, chr(10), ' '), ' ') AS ws
+          FROM documents
         ), $tile5Sql, cu AS (
           SELECT DISTINCT u FROM ch WHERE doc_id % 5 < 4
         ), novel AS (
@@ -2695,7 +2703,8 @@ object QueriesPipeline {
                 ORDER BY n_chars DESC, doc_id) AS rn
             FROM norm) b WHERE rn = 1
         ), ds AS (
-          SELECT doc_id, string_split(text, ' ') AS ws FROM best
+          SELECT doc_id, string_split(replace(text, chr(10), ' '), ' ') AS ws
+          FROM best
         ), $tile5Sql, r AS (
           SELECT doc_id, pos, u,
             row_number() OVER (PARTITION BY u ORDER BY doc_id, pos) AS rn

@@ -967,6 +967,10 @@ object Corpus {
         s"(got ${labels.size} labels for $buckets buckets)")
     require(!docs.columns.contains("__cum"),
       "perplexityBuckets: input must not carry the internal __cum name")
+    require(docs.schema(groupCol).dataType ==
+      org.apache.spark.sql.types.StringType,
+      s"perplexityBuckets: group column '$groupCol' must be a string " +
+        "(the driver-side offset ordering is defined on UTF-8 bytes)")
     val lp = unigramLogProb(docs, idCol, textCol, headVocab)
     // doc-keyed shuffle join: both sides key on the id, no skew
     val scored = docs.select(col(idCol), col(groupCol)).join(lp, idCol)
@@ -1000,6 +1004,13 @@ object Corpus {
       }
       if (c != 0) c else x.length - y.length
     }
+    // a null group would NPE in the byte comparator below (and the
+    // final inner offsets join would silently drop its docs) — name
+    // the contract instead, same convention as cumBefore's null-weight
+    // guard
+    require(statRows.forall(!_.isNullAt(0)),
+      s"perplexityBuckets: null value in group column '$groupCol' — " +
+        "bucket keys must be non-null (coalesce or filter upstream)")
     val sorted = statRows.map(r => r.getString(0) -> r.getLong(1))
       .sortBy(_._1)(byUtf8)
     var acc = 0L

@@ -517,11 +517,30 @@ object Dedup {
     val carry = df.columns.toSeq.filterNot(_ == keyCol)
     require(carry.nonEmpty, "keepBestByKey: need at least one non-key " +
       "column to carry through the aggregation")
-    df.groupBy(col(keyCol))
+    // same fail-fast convention as cumBefore/shuffleWithPositions: a
+    // caller's n_dups (e.g. this operator's own output) would silently
+    // duplicate the output column name
+    require(!df.columns.contains("n_dups") &&
+      !df.columns.contains("__best"),
+      "keepBestByKey: input must not carry the reserved n_dups/__best " +
+        "column names")
+    // NULL keys pass through untouched (n_dups = 1): a groupBy would
+    // pool every un-keyed row into ONE group and silently keep a
+    // single survivor — mass deletion of documents that share no
+    // actual key. Cost: the two branches each scan the source; on a
+    // known null-free corpus pre-filter and the optimizer prunes the
+    // pass-through branch's scan via the IsNull filter's selectivity
+    // (or filter yourself and take the one-branch plan).
+    val best = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol))
       .agg(max_by(struct(carry.map(col): _*), order).as("__best"),
         count(lit(1)).as("n_dups"))
       .select(col(keyCol) +: carry.map(c => col(s"__best.`$c`").as(c)) :+
         col("n_dups"): _*)
+    best.unionByName(
+      df.filter(col(keyCol).isNull)
+        .select(col(keyCol) +: carry.map(col) :+
+          lit(1L).as("n_dups"): _*))
   }
 
   /** SemDeDup-style semantic near-dup pairs: coarse k-means cells

@@ -286,12 +286,9 @@ object ScaleStress {
     for (copies <- Seq(1, maxScale)
         if which == "all" || which == "r10ops") {
       val base = corpus(spark, dir, copies)
-      val ws = split(col("text"), " ")
-      val nch = ceil(size(ws) / lit(5.0)).cast("int")
+      // the SAME tiling the q_corpus_paragraph_dedup family benchmarks
       val docs = base.select(col("doc_id"),
-        array_join(transform(sequence(lit(0), nch - 1),
-          j => array_join(slice(ws, j * 5 + 1, lit(5)), " ")), "\n")
-          .as("text"),
+        graft.QueriesPipeline.tile5(col("text")).as("text"),
         concat(lit("l"), pmod(col("doc_id"), lit(4)).cast("string"))
           .as("lang")).cache()
       val nDocs = docs.count()

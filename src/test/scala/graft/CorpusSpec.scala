@@ -757,5 +757,18 @@ class CorpusSpec extends AnyFunSuite {
       Corpus.perplexityBuckets(df, "doc_id", "text", "lang",
         maxGroups = 2)
     }
+    // null group → named contract failure, not a driver NPE (the
+    // offsets join would otherwise silently drop the docs)
+    val withNull = df.withColumn("lang",
+      when(col("doc_id") === 1L, null).otherwise(col("lang")))
+    val e = intercept[IllegalArgumentException] {
+      Corpus.perplexityBuckets(withNull, "doc_id", "text", "lang")
+    }
+    assert(e.getMessage.contains("non-null"))
+    // non-string group columns are rejected up front
+    intercept[IllegalArgumentException] {
+      Corpus.perplexityBuckets(df.withColumn("lang", lit(7)),
+        "doc_id", "text", "lang")
+    }
   }
 }

@@ -587,5 +587,23 @@ class DedupSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Dedup.keepBestByKey(df.select("url"), "url", col("url"))
     }
+    // NULL keys pass through untouched — a groupBy would pool every
+    // un-keyed row into one group and keep a single survivor
+    val withNulls = Seq(
+      (Option("u1"), 1L), (None: Option[String], 2L),
+      (None: Option[String], 3L)
+    ).toDF("url", "doc_id")
+    val kept = Dedup
+      .keepBestByKey(withNulls, "url", -col("doc_id")).collect()
+    assert(kept.length == 3)
+    assert(kept.filter(_.isNullAt(0)).map(_.getLong(1)).toSet ==
+      Set(2L, 3L))
+    assert(kept.filter(_.isNullAt(0)).forall(_.getLong(2) == 1L))
+    // reserved output names guarded (re-running on own output would
+    // otherwise emit two n_dups columns)
+    intercept[IllegalArgumentException] {
+      Dedup.keepBestByKey(
+        Dedup.keepBestByKey(df, "url", col("score")), "url", col("score"))
+    }
   }
 }
