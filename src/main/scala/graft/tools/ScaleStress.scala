@@ -312,9 +312,28 @@ object ScaleStress {
             headVocab = 16)
           .select(col("plabel")).distinct().count()
       }
+      // incremental form: the index grows with the corpus (copies×),
+      // the probing batch stays FIXED at 1× — per-increment cost must
+      // track |batch| + |index|, not corpus²
+      var nIdx = 0L; var nIncr = 0L
+      val idx = Corpus.unitIndex(docs, "text", "doc_id").cache()
+      val tIdx = timed { nIdx = idx.count() }
+      // re-crawl shape: most units hit the index, each doc's tail tile
+      // is novel (fresh token) — both anti-join outcomes exercised
+      val batch = corpus(spark, dir, 1).select(
+        (col("doc_id") + 900000000L).as("doc_id"),
+        graft.QueriesPipeline.tile5(concat(col("text"),
+          lit(" fresh crawl token "),
+          pmod(col("doc_id"), lit(7)).cast("string"))).as("text"))
+      val tIncr = timed {
+        nIncr = Corpus
+          .dedupKeepFirstAgainstIndex(batch, idx, "text", "doc_id")
+          .count()
+      }
       println(f"$copies%8d $nDocs%9d $nKf%9d $tKf%7.1f " +
-        f"$nUrl%9d $tUrl%7.1f $nPpl%9d $tPpl%7.1f")
-      docs.unpersist()
+        f"$nUrl%9d $tUrl%7.1f $nPpl%9d $tPpl%7.1f " +
+        f"idx=$nIdx%d t_idx=$tIdx%.1f incr=$nIncr%d t_incr=$tIncr%.1f")
+      docs.unpersist(); idx.unpersist()
     }
 
     // Round-8 line-dedup drill: the rewritten one-cached-pass plan
