@@ -2656,8 +2656,12 @@ object QueriesPipeline {
             plantedCrawlUrl.as("url"))
           .select(col("doc_id"), col("n_chars"),
             Url.normalize(col("url")).as("url_norm"))
+        // nullsPassThrough = false: the planted URL is non-null by
+        // construction, and the pass-through branch would re-evaluate
+        // the whole normalizer chain a second time
         Dedup.keepBestByKey(docs, "url_norm",
-          struct(col("n_chars"), -col("doc_id")))
+          struct(col("n_chars"), -col("doc_id")),
+          nullsPassThrough = false)
       },
       Some(s"""WITH norm AS (
           SELECT doc_id, n_chars, $canonicalUrlSql AS url_norm
@@ -2686,7 +2690,8 @@ object QueriesPipeline {
           .select(col("doc_id"), col("n_chars"), col("text"),
             Url.normalize(col("url")).as("url_norm"))
         val kept = Dedup.keepBestByKey(docs, "url_norm",
-          struct(col("n_chars"), -col("doc_id")))
+          struct(col("n_chars"), -col("doc_id")),
+          nullsPassThrough = false) // planted key, non-null
         val tiled = kept.select(col("doc_id"),
           tile5(col("text")).as("text"))
         graft.operators.Corpus

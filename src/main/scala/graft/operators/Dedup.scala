@@ -511,9 +511,13 @@ object Dedup {
     * winner rides the shuffle as a struct. No window (a per-key
     * row_number sorts whole groups), no self-join: the exchange carries
     * ≤ |distinct keys| rows per map task regardless of duplication
-    * depth. */
-  def keepBestByKey(df: DataFrame, keyCol: String,
-      order: Column): DataFrame = {
+    * depth. NULL keys pass through untouched by default; set
+    * `nullsPassThrough = false` ONLY when the key is non-null by
+    * construction — it removes the second union branch (which
+    * re-evaluates a derived key's expression tree) but pools any null
+    * keys that do appear into one group. */
+  def keepBestByKey(df: DataFrame, keyCol: String, order: Column,
+      nullsPassThrough: Boolean = true): DataFrame = {
     val carry = df.columns.toSeq.filterNot(_ == keyCol)
     require(carry.nonEmpty, "keepBestByKey: need at least one non-key " +
       "column to carry through the aggregation")
@@ -527,17 +531,19 @@ object Dedup {
     // NULL keys pass through untouched (n_dups = 1): a groupBy would
     // pool every un-keyed row into ONE group and silently keep a
     // single survivor — mass deletion of documents that share no
-    // actual key. Cost: the two branches each scan the source; on a
-    // known null-free corpus pre-filter and the optimizer prunes the
-    // pass-through branch's scan via the IsNull filter's selectivity
-    // (or filter yourself and take the one-branch plan).
-    val best = df.filter(col(keyCol).isNotNull)
+    // actual key. Cost: the two union branches each evaluate the
+    // source (including a derived key's full expression tree) — when
+    // the key is non-null BY CONSTRUCTION, opt out via
+    // `nullsPassThrough = false` for the single-branch plan.
+    val best = (if (nullsPassThrough) df.filter(col(keyCol).isNotNull)
+        else df)
       .groupBy(col(keyCol))
       .agg(max_by(struct(carry.map(col): _*), order).as("__best"),
         count(lit(1)).as("n_dups"))
       .select(col(keyCol) +: carry.map(c => col(s"__best.`$c`").as(c)) :+
         col("n_dups"): _*)
-    best.unionByName(
+    if (!nullsPassThrough) best
+    else best.unionByName(
       df.filter(col(keyCol).isNull)
         .select(col(keyCol) +: carry.map(col) :+
           lit(1L).as("n_dups"): _*))

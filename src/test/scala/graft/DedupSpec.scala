@@ -605,5 +605,11 @@ class DedupSpec extends AnyFunSuite {
       Dedup.keepBestByKey(
         Dedup.keepBestByKey(df, "url", col("score")), "url", col("score"))
     }
+    // nullsPassThrough = false (single-branch plan for by-construction
+    // non-null keys) agrees with the default on null-free input
+    val one = Dedup.keepBestByKey(df, "url",
+        struct(col("score"), -col("doc_id")), nullsPassThrough = false)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    assert(one.toSet == Set(("u1", 11L, 3L), ("u2", 20L, 1L)))
   }
 }

@@ -446,6 +446,11 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"exactly the url-key aggregate exchange expected:\n$p")
     assert(!p.contains("Window"), s"keep-best must not sort groups:\n$p")
     assert(!p.contains("Join"), s"keep-best must not self-join:\n$p")
+    // nullsPassThrough=false on the planted key: the normalizer chain
+    // must be evaluated by exactly ONE branch (no Union, one scan)
+    assert(!p.contains("Union"), s"single-branch plan expected:\n$p")
+    assert("FileScan parquet".r.findAllIn(p).length == 1,
+      s"one corpus scan expected:\n$p")
     // partial_max_by BELOW the exchange: map tasks pre-reduce to one
     // candidate per key before the shuffle (SortAggregate, not
     // HashAggregate — max_by's struct-valued buffer is not hash-agg
