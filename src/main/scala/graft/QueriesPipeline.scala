@@ -108,6 +108,47 @@ object QueriesPipeline {
           FROM ds, unnest(range(0,
             cast(ceil(len(ws)/5.0) AS BIGINT))) AS t(j))"""
 
+  /** DuckDB replay of [[graft.functions.Text.repetition_ngram_features]]:
+    * per gram size, explode word n-grams (whole-text single gram when
+    * len ≤ n — the kernel's edge), count, and recompute the char-mass
+    * fractions with the kernel's total tie rule. Built
+    * programmatically — 9 features, one CTE chain each. */
+  private val repetitionNgramOracle: String = {
+    val topKs = Seq(2, 3, 4)
+    val dupKs = (5 to 10).toSeq
+    def gram(k: Int) = s"""g$k AS (
+          SELECT doc_id, CASE WHEN len(ws) <= $k THEN array_to_string(ws, ' ')
+            ELSE array_to_string(list_slice(ws, i, i + ${k - 1}), ' ') END AS g
+          FROM words, unnest(CASE WHEN len(ws) <= $k THEN [1]
+            ELSE range(1, len(ws) - ${k - 2}) END) AS t$k(i)
+          WHERE len(ws) >= $k
+        ), c$k AS (SELECT doc_id, g, count(*) AS c FROM g$k GROUP BY 1, 2)"""
+    def top(k: Int) = s"""t$k AS (
+          SELECT doc_id, round(mass / tot, 4) AS frac FROM (
+            SELECT doc_id, (c * length(g))::double AS mass,
+              sum(c * length(g)) OVER (PARTITION BY doc_id) AS tot,
+              row_number() OVER (PARTITION BY doc_id
+                ORDER BY c DESC, length(g) DESC, g) AS rn
+            FROM c$k) x$k WHERE rn = 1)"""
+    def dup(k: Int) = s"""d$k AS (
+          SELECT doc_id, round(coalesce(
+            sum(CASE WHEN c >= 2 THEN c * length(g) END)::double
+              / sum(c * length(g)), 0.0), 4) AS frac
+          FROM c$k GROUP BY doc_id)"""
+    val ctes = (topKs ++ dupKs).map(gram) ++ topKs.map(top) ++ dupKs.map(dup)
+    val sel = topKs.map(k =>
+      s"coalesce(t$k.frac, 0.0) AS top_${k}gram_char_frac") ++
+      dupKs.map(k => s"coalesce(d$k.frac, 0.0) AS dup_${k}gram_char_frac")
+    val joins = topKs.map(k => s"LEFT JOIN t$k ON t$k.doc_id = doc.doc_id") ++
+      dupKs.map(k => s"LEFT JOIN d$k ON d$k.doc_id = doc.doc_id")
+    raw"""WITH words AS (
+          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+          FROM documents
+        ), ${ctes.mkString(", ")}
+        SELECT doc.doc_id, ${sel.mkString(", ")}
+        FROM documents doc ${joins.mkString(" ")}"""
+  }
+
   /** The EXPECTED canonical form of [[plantedCrawlUrl]], computed
     * arithmetically in DuckDB — ground truth for the normalizer, not a
     * SQL re-implementation of it. */
@@ -2173,6 +2214,23 @@ object QueriesPipeline {
           round(coalesce(t.mc::double / (len(ws) - 1), 0.0), 4)
             AS top_bigram_frac
         FROM words w LEFT JOIN top t ON w.doc_id = t.doc_id""")),
+
+    // The COMPLETE published Gopher n-gram repetition bundle: top
+    // n-gram char fraction (n=2,3,4) + duplicate n-gram char fraction
+    // (n=5..10) — 9 native single-pass hash kernels over the row's own
+    // shingle arrays, zero shuffle. The oracle recomputes every
+    // feature from exploded n-grams (counts, char masses, the total
+    // tie rule c DESC / length DESC / gram ASC) in DuckDB.
+    "q_quality_repetition_ngrams" -> Entry(
+      (s, dir) => {
+        val f = Text.repetition_ngram_features(col("text"))
+        val cols = Seq("top_2gram_char_frac", "top_3gram_char_frac",
+          "top_4gram_char_frac") ++
+          (5 to 10).map(k => s"dup_${k}gram_char_frac")
+        t(s, dir, "documents").select(
+          col("doc_id") +: cols.map(c => f.getField(c).as(c)): _*)
+      },
+      Some(repetitionNgramOracle)),
 
     // Compression-ratio quality gate (RefinedWeb/Gopher family): raw
     // DEFLATE size ÷ UTF-8 size via the native deflated_size kernel —

@@ -99,6 +99,34 @@ object Text {
       topBigramFrac.as("top_bigram_frac"))
   }
 
+  /** The COMPLETE published Gopher n-gram repetition bundle (Rae et
+    * al. 2021 §A1.1, table A1): top n-gram character fraction for
+    * n ∈ {2,3,4} (thresholded 0.20/0.18/0.16 in the paper) and
+    * duplicate n-gram character fraction for n ∈ {5..10}
+    * (0.15…0.10) — the signals [[repetition_features]]' single
+    * top-bigram slot fraction approximates. Char masses are measured
+    * over gram characters (Σ count·chars; the paper normalizes by
+    * text chars — gram mass is self-consistent across gram sizes and
+    * replays exactly in an oracle). All 9 features are native
+    * single-pass hash kernels over the row's own shingle arrays —
+    * row-local, zero shuffle, one scan for a 100 TB corpus; 4-dp
+    * rounding for cross-engine replay. Documents with fewer than n
+    * words score 0 for the n-gram features. */
+  def repetition_ngram_features(text: Column): Column = {
+    val nTok = token_count(text)
+    def grams(k: Int) = when(nTok >= k, word_shingles(text, k))
+      .otherwise(array().cast("array<string>"))
+    def topFrac(k: Int) = round(
+      graft.plans.TextExpressions.top_gram_char_frac(grams(k)), 4)
+    def dupFrac(k: Int) = round(
+      graft.plans.TextExpressions.dup_gram_char_frac(grams(k)), 4)
+    struct(
+      (topFrac(2).as("top_2gram_char_frac") +:
+        topFrac(3).as("top_3gram_char_frac") +:
+        topFrac(4).as("top_4gram_char_frac") +:
+        (5 to 10).map(k => dupFrac(k).as(s"dup_${k}gram_char_frac"))): _*)
+  }
+
   /** Compression-ratio quality signal (the RefinedWeb/Gopher-family
     * heuristic): raw-DEFLATE(level 6) size ÷ UTF-8 size, via the native
     * [[graft.plans.TextExpressions.deflated_size]] kernel. Natural text

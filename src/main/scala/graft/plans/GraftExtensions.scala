@@ -52,6 +52,10 @@ object GraftExtensions {
       (es: Seq[Expression]) => TokenCountExpr(es.head)),
     ("deflated_size", classOf[DeflatedSizeExpr].getName,
       (es: Seq[Expression]) => DeflatedSizeExpr(es.head)),
+    ("top_gram_char_frac", classOf[TopGramCharFracExpr].getName,
+      (es: Seq[Expression]) => TopGramCharFracExpr(es.head)),
+    ("dup_gram_char_frac", classOf[DupGramCharFracExpr].getName,
+      (es: Seq[Expression]) => DupGramCharFracExpr(es.head)),
     ("word_shingles", classOf[ShinglesExpr].getName,
       (es: Seq[Expression]) =>
         ShinglesExpr(es.head, intLit(es(1), "word_shingles"), word = true)),

@@ -117,6 +117,72 @@ object TextKernels {
     best
   }
 
+  /** Fraction of gram char mass held by the MOST frequent element:
+    * count·chars(top) / Σ count·chars — the "top n-gram character
+    * fraction" of the Gopher repetition rules (Rae et al. 2021
+    * §A1.1), with gram char mass as the denominator (the paper
+    * normalizes by text chars; gram mass is self-consistent across
+    * gram sizes and replays exactly). Ties break by higher count,
+    * then longer gram, then binary-ascending gram — a TOTAL rule the
+    * oracle replays as ORDER BY c DESC, length(g) DESC, g. One hash
+    * pass, row-local. */
+  def topGramCharFrac(arr: ArrayData): Double = {
+    val n = arr.numElements()
+    if (n == 0) return 0.0
+    val counts = new java.util.HashMap[UTF8String, Integer](n * 2)
+    var total = 0L
+    var i = 0
+    while (i < n) {
+      val k = arr.getUTF8String(i)
+      counts.merge(k, 1, (a, b) => a + b)
+      total += k.numChars()
+      i += 1
+    }
+    if (total == 0L) return 0.0
+    var bestC = 0
+    var bestLen = -1
+    var bestKey: UTF8String = null
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val c = e.getValue.intValue
+      val k = e.getKey
+      val l = k.numChars()
+      if (c > bestC || (c == bestC && (l > bestLen ||
+          (l == bestLen && k.compareTo(bestKey) < 0)))) {
+        bestC = c; bestLen = l; bestKey = k
+      }
+    }
+    bestC.toLong * bestLen / total.toDouble
+  }
+
+  /** Duplicated-gram char mass over total gram char mass:
+    * Σ_{count≥2} count·chars / Σ count·chars — the "duplicate n-gram
+    * character fraction" family of the Gopher rules, same denominator
+    * note as [[topGramCharFrac]]. */
+  def dupGramCharFrac(arr: ArrayData): Double = {
+    val n = arr.numElements()
+    if (n == 0) return 0.0
+    val counts = new java.util.HashMap[UTF8String, Integer](n * 2)
+    var total = 0L
+    var i = 0
+    while (i < n) {
+      val k = arr.getUTF8String(i)
+      counts.merge(k, 1, (a, b) => a + b)
+      total += k.numChars()
+      i += 1
+    }
+    if (total == 0L) return 0.0
+    var dup = 0L
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val c = e.getValue.intValue
+      if (c >= 2) dup += c.toLong * e.getKey.numChars()
+    }
+    dup.toDouble / total.toDouble
+  }
+
   def wordShingles(s: UTF8String, n: Int): ArrayData = {
     val words = splitWords(s)
     if (words.length <= n) {
@@ -179,6 +245,28 @@ case class TopCountExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+case class TopGramCharFracExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "top_gram_char_frac"
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.topGramCharFrac(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.plans.TextKernels.topGramCharFrac($s)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class DupGramCharFracExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dup_gram_char_frac"
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.dupGramCharFrac(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.plans.TextKernels.dupGramCharFrac($s)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class ShinglesExpr(child: Expression, n: Int, word: Boolean)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -208,6 +296,10 @@ object TextExpressions {
     column(TokenCountExpr(expression(text)))
   def top_count(arr: Column): Column =
     column(TopCountExpr(expression(arr)))
+  def top_gram_char_frac(arr: Column): Column =
+    column(TopGramCharFracExpr(expression(arr)))
+  def dup_gram_char_frac(arr: Column): Column =
+    column(DupGramCharFracExpr(expression(arr)))
   def deflated_size(text: Column): Column =
     column(DeflatedSizeExpr(expression(text)))
 }

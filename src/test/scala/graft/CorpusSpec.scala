@@ -696,6 +696,32 @@ class CorpusSpec extends AnyFunSuite {
     assert(lax.filter(col("doc_id") === 3L).head.getString(1) == "")
   }
 
+  test("repetition_ngram_features: hand-computed Gopher n-gram fractions") {
+    val df = Seq(
+      (1L, "a b a b a"),
+      (2L, "x y x y x y x y"),
+      (3L, "solo")
+    ).toDF("doc_id", "text")
+    val f = Text.repetition_ngram_features(col("text"))
+    val out = df.select(col("doc_id"),
+        f.getField("top_2gram_char_frac").as("t2"),
+        f.getField("top_3gram_char_frac").as("t3"),
+        f.getField("top_4gram_char_frac").as("t4"),
+        f.getField("dup_5gram_char_frac").as("d5"),
+        f.getField("dup_6gram_char_frac").as("d6"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    // doc 1 "a b a b a": 2-grams {a b:2, b a:2} tie → "a b" (gram asc),
+    // mass 6/12; 3-grams {a b a:2, b a b:1} → 10/15; 4-grams tie at
+    // c=1 → 7/14; 5 words = ONE whole-text 5-gram → no dup; <6 words
+    assert(out(1L) == ((0.5, 0.6667, 0.5, 0.0, 0.0)))
+    // doc 2: every 5-gram appears twice → dup mass = total; 6-grams
+    // {x y x y x y:2, y x y x y x:1} → 22/33
+    assert(out(2L)._4 == 1.0 && out(2L)._5 == 0.6667)
+    assert(out(3L) == ((0.0, 0.0, 0.0, 0.0, 0.0)))
+  }
+
   test("dedupKeepFirst keeps only the globally first unit occurrence") {
     val df = Seq(
       (1L, "alpha\nbeta"),
