@@ -139,13 +139,19 @@ object QueriesPipeline {
     val sel = topKs.map(k =>
       s"coalesce(t$k.frac, 0.0) AS top_${k}gram_char_frac") ++
       dupKs.map(k => s"coalesce(d$k.frac, 0.0) AS dup_${k}gram_char_frac")
+    // table A1 thresholds, AND-composed — the keep gate
+    val gate = (topKs.zip(Seq(0.20, 0.18, 0.16)).map { case (k, t) =>
+      s"coalesce(t$k.frac, 0.0) <= $t" } ++
+      dupKs.zip(Seq(0.15, 0.14, 0.13, 0.12, 0.11, 0.10)).map { case (k, t) =>
+        s"coalesce(d$k.frac, 0.0) <= $t" }).mkString("(", " AND ", ")")
     val joins = topKs.map(k => s"LEFT JOIN t$k ON t$k.doc_id = doc.doc_id") ++
       dupKs.map(k => s"LEFT JOIN d$k ON d$k.doc_id = doc.doc_id")
     raw"""WITH words AS (
           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
           FROM documents
         ), ${ctes.mkString(", ")}
-        SELECT doc.doc_id, ${sel.mkString(", ")}
+        SELECT doc.doc_id, ${sel.mkString(", ")},
+          $gate AS keep
         FROM documents doc ${joins.mkString(" ")}"""
   }
 
@@ -2228,7 +2234,8 @@ object QueriesPipeline {
           "top_4gram_char_frac") ++
           (5 to 10).map(k => s"dup_${k}gram_char_frac")
         t(s, dir, "documents").select(
-          col("doc_id") +: cols.map(c => f.getField(c).as(c)): _*)
+          (col("doc_id") +: cols.map(c => f.getField(c).as(c))) :+
+            Text.repetition_ngram_keep(f).as("keep"): _*)
       },
       Some(repetitionNgramOracle)),
 

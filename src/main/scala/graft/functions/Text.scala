@@ -127,6 +127,19 @@ object Text {
         (5 to 10).map(k => dupFrac(k).as(s"dup_${k}gram_char_frac"))): _*)
   }
 
+  /** The Gopher keep-decision over [[repetition_ngram_features]] —
+    * the paper's table A1 thresholds: top n-gram char fraction ≤
+    * 0.20/0.18/0.16 for n=2/3/4, duplicate n-gram char fraction ≤
+    * 0.15/0.14/0.13/0.12/0.11/0.10 for n=5..10; AND-composed. Pass
+    * the SAME struct Column so the features compute once per row. */
+  def repetition_ngram_keep(f: Column): Column = {
+    val tops = Seq(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
+      .map { case (n, t) => f.getField(s"top_${n}gram_char_frac") <= t }
+    val dups = (5 to 10).zip(Seq(0.15, 0.14, 0.13, 0.12, 0.11, 0.10))
+      .map { case (n, t) => f.getField(s"dup_${n}gram_char_frac") <= t }
+    (tops ++ dups).reduce(_ && _)
+  }
+
   /** Compression-ratio quality signal (the RefinedWeb/Gopher-family
     * heuristic): raw-DEFLATE(level 6) size ÷ UTF-8 size, via the native
     * [[graft.plans.TextExpressions.deflated_size]] kernel. Natural text

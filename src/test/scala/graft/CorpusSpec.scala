@@ -720,6 +720,11 @@ class CorpusSpec extends AnyFunSuite {
     // {x y x y x y:2, y x y x y x:1} → 22/33
     assert(out(2L)._4 == 1.0 && out(2L)._5 == 0.6667)
     assert(out(3L) == ((0.0, 0.0, 0.0, 0.0, 0.0)))
+    // table-A1 gate: repetitive docs fail, the clean one passes
+    val keep = df.select(col("doc_id"),
+        Text.repetition_ngram_keep(f).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(keep == Map(1L -> false, 2L -> false, 3L -> true))
   }
 
   test("dedupKeepFirst keeps only the globally first unit occurrence") {
