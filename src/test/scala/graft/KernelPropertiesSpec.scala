@@ -95,6 +95,45 @@ class KernelPropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("top/dup gram char fracs: bounded, total, match a reference " +
+      "recomputation on random string lists") {
+    val gen = Gen.listOf(Gen.oneOf("a", "b", "c", "dd", "e f", "", "üx"))
+    def utf8(xs: Seq[String]) = new GenericArrayData(
+      xs.map(s => UTF8String.fromString(s): Any).toArray)
+    check(forAll(gen) { xs =>
+      val a = utf8(xs)
+      val top = graft.plans.TextKernels.topGramCharFrac(a)
+      val dup = graft.plans.TextKernels.dupGramCharFrac(a)
+      val total = xs.map(_.length).sum.toLong
+      val expTop =
+        if (xs.isEmpty || total == 0L) 0.0
+        else {
+          // kernel tie rule: count desc, char length desc, binary asc
+          val byKey = xs.groupBy(identity).map { case (k, v) =>
+            (k, v.size, k.length)
+          }
+          val best = byKey.minBy { case (k, c, l) =>
+            (-c, -l, k) // String natural order == binary for these cases
+          }
+          best._2.toLong * best._3 / total.toDouble
+        }
+      val expDup =
+        if (xs.isEmpty || total == 0L) 0.0
+        else xs.groupBy(identity).collect {
+          case (k, v) if v.size >= 2 => v.size.toLong * k.length
+        }.sum / total.toDouble
+      top == expTop && dup == expDup &&
+        top >= 0.0 && top <= 1.0 && dup >= 0.0 && dup <= 1.0
+    })
+    // SQL path ≡ kernel
+    val spark = SparkTestSession.spark
+    graft.plans.GraftExtensions.register(spark)
+    val row = spark.sql(
+      "SELECT top_gram_char_frac(array('ab', 'ab', 'c')), " +
+        "dup_gram_char_frac(array('ab', 'ab', 'c'))").head()
+    assert(row.getDouble(0) == 4.0 / 5.0 && row.getDouble(1) == 4.0 / 5.0)
+  }
+
   test("wordShingleHashes output is sorted and distinct") {
     check(forAll(Gen.listOf(Gen.alphaLowerStr.suchThat(_.nonEmpty))) { words =>
       val out = HashKernels
