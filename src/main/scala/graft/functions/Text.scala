@@ -107,31 +107,39 @@ object Text {
     * top-bigram slot fraction approximates. Char masses are measured
     * over gram characters (Σ count·chars; the paper normalizes by
     * text chars — gram mass is self-consistent across gram sizes and
-    * replays exactly in an oracle). All 9 features are native
-    * single-pass hash kernels over the row's own shingle arrays —
-    * row-local, zero shuffle, one scan for a 100 TB corpus; 4-dp
-    * rounding for cross-engine replay. Documents with fewer than n
-    * words score 0 for the n-gram features. */
+    * replays exactly in an oracle). All 9 features come from ONE
+    * fused native kernel pass (one tokenization, one reused hash map
+    * — the per-k composed form re-tokenized the text nine times and
+    * materialized nine shingle arrays); 4-dp rounding in the Column
+    * layer for cross-engine replay. Documents with fewer than n words
+    * score 0 for the n-gram features.
+    *
+    * Tokenization contract (shared with every word-granularity kernel
+    * and oracle in this repo): input is expected whitespace-normalized
+    * text — the kernel's Java trim/\s+ split and the oracle's DuckDB
+    * trim/RE2 \s+ agree on space/tab/newline/CR/FF-separated text but
+    * diverge on exotic edges (a leading U+000B, say); the corpus
+    * contract is normalized extraction output (html_to_text
+    * canonicalizes whitespace upstream). */
   def repetition_ngram_features(text: Column): Column = {
-    val nTok = token_count(text)
-    def grams(k: Int) = when(nTok >= k, word_shingles(text, k))
-      .otherwise(array().cast("array<string>"))
-    def topFrac(k: Int) = round(
-      graft.plans.TextExpressions.top_gram_char_frac(grams(k)), 4)
-    def dupFrac(k: Int) = round(
-      graft.plans.TextExpressions.dup_gram_char_frac(grams(k)), 4)
-    struct(
-      (topFrac(2).as("top_2gram_char_frac") +:
-        topFrac(3).as("top_3gram_char_frac") +:
-        topFrac(4).as("top_4gram_char_frac") +:
-        (5 to 10).map(k => dupFrac(k).as(s"dup_${k}gram_char_frac"))): _*)
+    val f = graft.plans.TextExpressions.repetition_ngram_raw(text)
+    val names = Seq(2, 3, 4).map(k => s"top_${k}gram_char_frac") ++
+      (5 to 10).map(k => s"dup_${k}gram_char_frac")
+    struct(names.map(c => round(f.getField(c), 4).as(c)): _*)
   }
 
   /** The Gopher keep-decision over [[repetition_ngram_features]] —
     * the paper's table A1 thresholds: top n-gram char fraction ≤
     * 0.20/0.18/0.16 for n=2/3/4, duplicate n-gram char fraction ≤
     * 0.15/0.14/0.13/0.12/0.11/0.10 for n=5..10; AND-composed. Pass
-    * the SAME struct Column so the features compute once per row. */
+    * the SAME struct Column so the features compute once per row.
+    *
+    * Compose with the paper's 50-word minimum-length rule
+    * ([[gopher_keep]]'s minWords): standalone, the table-A1 cuts are
+    * non-monotone on very short documents — a 2..~9-word doc fails on
+    * its inherently-high top fraction while a sub-n-word doc scores 0
+    * and passes; under the composed Gopher gate both fail the length
+    * rule first, which is the published semantics. */
   def repetition_ngram_keep(f: Column): Column = {
     val tops = Seq(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
       .map { case (n, t) => f.getField(s"top_${n}gram_char_frac") <= t }

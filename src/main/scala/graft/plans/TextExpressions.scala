@@ -117,6 +117,24 @@ object TextKernels {
     best
   }
 
+  /** Shared hash-count preamble of the gram char-frac kernels:
+    * per-gram multiplicities plus the total gram char mass
+    * (Σ count·chars = Σ chars over occurrences). */
+  private def gramCounts(arr: ArrayData)
+      : (java.util.HashMap[UTF8String, Integer], Long) = {
+    val n = arr.numElements()
+    val counts = new java.util.HashMap[UTF8String, Integer](n * 2)
+    var total = 0L
+    var i = 0
+    while (i < n) {
+      val k = arr.getUTF8String(i)
+      counts.merge(k, 1, (a, b) => a + b)
+      total += k.numChars()
+      i += 1
+    }
+    (counts, total)
+  }
+
   /** Fraction of gram char mass held by the MOST frequent element:
     * count·chars(top) / Σ count·chars — the "top n-gram character
     * fraction" of the Gopher repetition rules (Rae et al. 2021
@@ -127,17 +145,8 @@ object TextKernels {
     * oracle replays as ORDER BY c DESC, length(g) DESC, g. One hash
     * pass, row-local. */
   def topGramCharFrac(arr: ArrayData): Double = {
-    val n = arr.numElements()
-    if (n == 0) return 0.0
-    val counts = new java.util.HashMap[UTF8String, Integer](n * 2)
-    var total = 0L
-    var i = 0
-    while (i < n) {
-      val k = arr.getUTF8String(i)
-      counts.merge(k, 1, (a, b) => a + b)
-      total += k.numChars()
-      i += 1
-    }
+    if (arr.numElements() == 0) return 0.0
+    val (counts, total) = gramCounts(arr)
     if (total == 0L) return 0.0
     var bestC = 0
     var bestLen = -1
@@ -161,17 +170,8 @@ object TextKernels {
     * character fraction" family of the Gopher rules, same denominator
     * note as [[topGramCharFrac]]. */
   def dupGramCharFrac(arr: ArrayData): Double = {
-    val n = arr.numElements()
-    if (n == 0) return 0.0
-    val counts = new java.util.HashMap[UTF8String, Integer](n * 2)
-    var total = 0L
-    var i = 0
-    while (i < n) {
-      val k = arr.getUTF8String(i)
-      counts.merge(k, 1, (a, b) => a + b)
-      total += k.numChars()
-      i += 1
-    }
+    if (arr.numElements() == 0) return 0.0
+    val (counts, total) = gramCounts(arr)
     if (total == 0L) return 0.0
     var dup = 0L
     val it = counts.entrySet().iterator()
@@ -181,6 +181,99 @@ object TextKernels {
       if (c >= 2) dup += c.toLong * e.getKey.numChars()
     }
     dup.toDouble / total.toDouble
+  }
+
+  /** Code-point comparison — identical order to UTF-8 binary
+    * comparison ([[UTF8String.compareTo]]) and DuckDB's default
+    * collation; a plain String.compareTo (UTF-16 code units) sorts
+    * supplementary-plane grams BELOW U+E000..U+FFFF and would break
+    * the tie rule's oracle replay on emoji-bearing text. */
+  private def cpCompare(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return ca - cb
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    (a.length - i) - (b.length - j)
+  }
+
+  /** ALL NINE Gopher n-gram repetition fractions in one pass — the
+    * text tokenizes ONCE (the composed per-k form re-ran
+    * splitWords' copy/lowercase/regex-split nine times and
+    * materialized nine Spark shingle arrays); per gram size the
+    * joined gram strings feed one reused hash map, and top (k=2..4)
+    * and dup (k=5..10) fractions come off the same counts. RAW
+    * (un-rounded) doubles — the Column layer rounds, so the fused
+    * path is bit-identical to the composed kernels it replaces.
+    * Fewer than k words → 0.0 for that k (matches the composed
+    * form's empty-array guard). */
+  def repetitionNgramFeatures(s: UTF8String)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val words = splitWords(s)
+    val out = new Array[Any](9)
+    val counts = new java.util.HashMap[String, Integer](64)
+    var idx = 0
+    var k = 2
+    while (k <= 10) {
+      var frac = 0.0
+      if (words.length >= k) {
+        counts.clear()
+        var total = 0L
+        var i = 0
+        while (i + k <= words.length) {
+          val sb = new java.lang.StringBuilder(16 * k)
+          var j = 0
+          while (j < k) {
+            if (j > 0) sb.append(' ')
+            sb.append(words(i + j))
+            j += 1
+          }
+          val g = sb.toString
+          counts.merge(g, 1, (a, b) => a + b)
+          total += g.codePointCount(0, g.length)
+          i += 1
+        }
+        if (total > 0L) {
+          if (k <= 4) {
+            var bestC = 0
+            var bestLen = -1
+            var bestKey: String = null
+            val it = counts.entrySet().iterator()
+            while (it.hasNext) {
+              val e = it.next()
+              val c = e.getValue.intValue
+              val g = e.getKey
+              val l = g.codePointCount(0, g.length)
+              if (c > bestC || (c == bestC && (l > bestLen ||
+                  (l == bestLen && cpCompare(g, bestKey) < 0)))) {
+                bestC = c; bestLen = l; bestKey = g
+              }
+            }
+            frac = bestC.toLong * bestLen / total.toDouble
+          } else {
+            var dup = 0L
+            val it = counts.entrySet().iterator()
+            while (it.hasNext) {
+              val e = it.next()
+              val c = e.getValue.intValue
+              if (c >= 2) {
+                val g = e.getKey
+                dup += c.toLong * g.codePointCount(0, g.length)
+              }
+            }
+            frac = dup.toDouble / total.toDouble
+          }
+        }
+      }
+      out(idx) = frac
+      idx += 1
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
   }
 
   def wordShingles(s: UTF8String, n: Int): ArrayData = {
@@ -267,6 +360,30 @@ case class DupGramCharFracExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** One-tokenization fused form of the nine Gopher n-gram repetition
+  * fractions (see [[TextKernels.repetitionNgramFeatures]]). Field CSE
+  * dedupes the nine GetStructField projections of a single kernel
+  * call — the EvrSplitExpr precedent. */
+case class RepetitionNgramExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = RepetitionNgramExpr.schema
+  override def prettyName: String = "repetition_ngram_raw"
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.repetitionNgramFeatures(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      s => s"graft.plans.TextKernels.repetitionNgramFeatures($s)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RepetitionNgramExpr {
+  val fieldNames: Seq[String] =
+    Seq(2, 3, 4).map(k => s"top_${k}gram_char_frac") ++
+      (5 to 10).map(k => s"dup_${k}gram_char_frac")
+  val schema: StructType = StructType(
+    fieldNames.map(StructField(_, DoubleType, nullable = false)))
+}
+
 case class ShinglesExpr(child: Expression, n: Int, word: Boolean)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -300,6 +417,8 @@ object TextExpressions {
     column(TopGramCharFracExpr(expression(arr)))
   def dup_gram_char_frac(arr: Column): Column =
     column(DupGramCharFracExpr(expression(arr)))
+  def repetition_ngram_raw(text: Column): Column =
+    column(RepetitionNgramExpr(expression(text)))
   def deflated_size(text: Column): Column =
     column(DeflatedSizeExpr(expression(text)))
 }

@@ -134,6 +134,27 @@ class KernelPropertiesSpec extends AnyFunSuite {
     assert(row.getDouble(0) == 4.0 / 5.0 && row.getDouble(1) == 4.0 / 5.0)
   }
 
+  test("fused repetitionNgramFeatures ≡ the composed per-k kernels " +
+      "(one tokenization vs nine) on random texts, incl. supplementary") {
+    import graft.plans.TextKernels
+    val word = Gen.oneOf("a", "bb", "ccc", "é", "x😀y", "go", "stop")
+    val gen = Gen.listOf(word).map(_.mkString(" "))
+    check(forAll(gen) { text =>
+      val u = UTF8String.fromString(text)
+      val fused = TextKernels.repetitionNgramFeatures(u)
+      val words = TextKernels.splitWords(u)
+      (2 to 10).forall { k =>
+        val grams =
+          if (words.length < k) new GenericArrayData(Array.empty[Any])
+          else TextKernels.wordShingles(u, k)
+        val expected =
+          if (k <= 4) TextKernels.topGramCharFrac(grams)
+          else TextKernels.dupGramCharFrac(grams)
+        fused.getDouble(k - 2) == expected
+      }
+    })
+  }
+
   test("wordShingleHashes output is sorted and distinct") {
     check(forAll(Gen.listOf(Gen.alphaLowerStr.suchThat(_.nonEmpty))) { words =>
       val out = HashKernels
