@@ -2476,9 +2476,16 @@ object QueriesPipeline {
               col("source"))).as("meta"))
         // 128 KiB budget: several shards even at the small verify SF
         // (each sample costs ~2 KiB of tar framing + content)
-        graft.sinks.Shards.writeTarShards(docs, "doc_id",
+        val manifest = graft.sinks.Shards.writeTarShards(docs, "doc_id",
           Seq("payload" -> "txt", "meta" -> "json"), out,
           bytesPerShard = 128L << 10)
+        // store-relative paths: the absolute form carried the
+        // per-invocation temp prefix, the one rerun-UNSTABLE cell in
+        // the whole board (contents, sizes and sha256 were identical
+        // across runs — only the prefix differed)
+        manifest.withColumn("path",
+          regexp_replace(col("path"), java.util.regex.Pattern.quote(out),
+            "shards"))
       },
       None),
 
