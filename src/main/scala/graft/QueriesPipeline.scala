@@ -2438,6 +2438,56 @@ object QueriesPipeline {
       },
       None),
 
+    // The CMS sketch ARITHMETIC under a strict oracle: build the raw
+    // counter matrix on the md5 basis (cell_r(k) =
+    // ('0x'||substr(md5(k||':'||r),1,15))::BIGINT % width — the
+    // byte-replayable 60-bit prefix convention), probe it with the
+    // EXACT top-25 bigram keys, and hash-compare the min-over-rows
+    // estimates against DuckDB recomputing every cell. q_ngram_topk_cms
+    // stays the heavy-hitter demo (its CANDIDATE SET is partition-
+    // layout-dependent by design — the sketch+heap tradeoff — hence
+    // rows-only there); here the keys come from the exact path, so
+    // every remaining number is deterministic sketch arithmetic. The
+    // 25-key probe rides a 1-row broadcast of the 32 KiB sketch.
+    "q_ngram_cms_estimates" -> Entry(
+      (s, dir) => {
+        val depth = 4
+        val w = 1024
+        val grams = t(s, dir, "documents")
+          .select(explode(bigramsOf(col("text"))).as("bigram"))
+        val top = grams.groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("bigram").asc).limit(25)
+        val sketch = grams.agg(graft.plans.CmsAgg
+          .cms_sketch(depth, w, md5Basis = true)(col("bigram")).as("sk"))
+        def bucket(r: Int) = pmod(
+          conv(substring(md5(concat(col("bigram"), lit(s":$r"))), 1, 15),
+            16, 10).cast("long"), lit(w.toLong))
+        val est = (0 until depth).map(r =>
+          element_at(col("sk"),
+            (lit(r * w).cast("long") + bucket(r)).cast("int") + 1))
+          .reduce(least(_, _))
+        top.crossJoin(broadcast(sketch))
+          .select(col("bigram"), col("n"), est.as("est"))
+      },
+      Some("""WITH words AS (
+          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+          FROM documents
+        ), bg AS (
+          SELECT doc_id, ws[i] || ' ' || ws[i+1] AS b
+          FROM words, unnest(range(1, len(ws))) AS t(i)
+        ), cnt AS (SELECT b, count(*) AS n FROM bg GROUP BY 1),
+        top AS (SELECT b, n FROM cnt ORDER BY n DESC, b LIMIT 25),
+        cells AS (
+          SELECT r, ('0x' || substr(md5(b || ':' || cast(r AS varchar)),
+              1, 15))::BIGINT % 1024 AS cell, count(*) AS c
+          FROM bg CROSS JOIN range(0, 4) t(r) GROUP BY 1, 2)
+        SELECT top.b AS bigram, top.n, min(c.c) AS est
+        FROM top CROSS JOIN range(0, 4) t(r)
+        JOIN cells c ON c.r = t.r AND c.cell =
+          ('0x' || substr(md5(top.b || ':' || cast(t.r AS varchar)),
+            1, 15))::BIGINT % 1024
+        GROUP BY 1, 2""")),
+
     // Training-shard writer end-to-end: deterministic shuffle → token
     // packing → shard-partitioned parquet, audited via the manifest it
     // returns. Written to a per-invocation temp dir; manifest row set

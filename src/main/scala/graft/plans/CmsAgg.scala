@@ -258,6 +258,93 @@ case class CmsTopKExpr(key: Expression, k: Int, depth: Int, width: Int,
   override def prettyName: String = "cms_topk"
 }
 
+/** Raw count-min SKETCH (no candidate heap): the depth×width counter
+  * matrix, row-major, as array<long>. With `md5Basis` the cell hash is
+  * the 60-bit md5 prefix of "key:row" — byte-replayable in any engine
+  * as `('0x' || substr(md5(k || ':' || r), 1, 15))::BIGINT % width` —
+  * so the sketch ARITHMETIC itself (hash → cell → counter → min-over-
+  * rows estimate) is oracle-checkable; the XXH64 basis (identical cell
+  * rule to [[CmsBuffer]]) stays the fast production default. State is
+  * O(depth·width) per partial and per merge; merge is counter
+  * addition. Probes compose from built-ins over the returned array:
+  * est(key) = min over r of sk[r·width + bucket_r(key)].
+  */
+case class CmsSketchExpr(key: Expression, depth: Int, width: Int,
+    md5Basis: Boolean,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression]
+  with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+
+  require(depth > 0 && width > 0, "cms_sketch needs positive shape")
+
+  override def child: Expression = key
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  @transient private lazy val suffixes: Array[Array[Byte]] =
+    Array.tabulate(depth)(r => s":$r".getBytes(StandardCharsets.UTF_8))
+
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](depth * width)
+
+  private def cell(bytes: Array[Byte], r: Int): Int =
+    if (md5Basis) {
+      val sfx = suffixes(r)
+      val all = java.util.Arrays.copyOf(bytes, bytes.length + sfx.length)
+      System.arraycopy(sfx, 0, all, bytes.length, sfx.length)
+      // md5Prefix60 is a 60-bit non-negative value: plain % is safe
+      (HashKernels.md5Prefix60(all) % width).toInt
+    } else {
+      val h = XXH64.hashUnsafeBytes(bytes,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length,
+        r.toLong * 0x9E3779B97F4A7C15L + 42L)
+      (((h % width) + width) % width).toInt
+    }
+
+  override def update(b: Array[Long], input: InternalRow): Array[Long] = {
+    val v = key.eval(input)
+    if (v != null) {
+      val bytes = v.asInstanceOf[UTF8String].getBytes
+      var r = 0
+      while (r < depth) { b(r * width + cell(bytes, r)) += 1L; r += 1 }
+    }
+    b
+  }
+
+  override def merge(b: Array[Long], o: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < b.length) { b(i) += o(i); i += 1 }
+    b
+  }
+
+  override def eval(b: Array[Long]): Any = new GenericArrayData(b.clone())
+
+  override def serialize(b: Array[Long]): Array[Byte] = {
+    val buf = ByteBuffer.allocate(8 * b.length)
+    var i = 0
+    while (i < b.length) { buf.putLong(b(i)); i += 1 }
+    buf.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val buf = ByteBuffer.wrap(bytes)
+    val out = new Array[Long](depth * width)
+    var i = 0
+    while (i < out.length) { out(i) = buf.getLong(); i += 1 }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): CmsSketchExpr =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CmsSketchExpr =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): CmsSketchExpr =
+    copy(key = c)
+
+  override def prettyName: String = "cms_sketch"
+}
+
 object CmsAgg {
   import org.apache.spark.sql.graft.bridge.{column, expression}
 
@@ -266,5 +353,11 @@ object CmsAgg {
   def cms_topk(k: Int, depth: Int = 4, width: Int = 1 << 16)(key: Column)
       : Column =
     column(CmsTopKExpr(expression(key), k, depth, width)
+      .toAggregateExpression())
+
+  /** The raw counter matrix — see [[CmsSketchExpr]]. */
+  def cms_sketch(depth: Int, width: Int, md5Basis: Boolean = false)(
+      key: Column): Column =
+    column(CmsSketchExpr(expression(key), depth, width, md5Basis)
       .toAggregateExpression())
 }

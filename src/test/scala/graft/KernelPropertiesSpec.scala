@@ -547,6 +547,36 @@ class KernelPropertiesSpec extends AnyFunSuite {
     assert(sql == Seq("key_00", "key_01", "key_02"))
   }
 
+  test("cms_sketch: partition-invariant counters; md5 cells match the " +
+      "hex-prefix arithmetic; min-over-rows probe never undercounts") {
+    val spark = SparkTestSession.spark
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rows = (0 until 30).flatMap(i => Seq.fill(i + 1)(s"w$i"))
+    val shuffled = new scala.util.Random(9).shuffle(rows)
+    val (depth, w) = (4, 64) // narrow: collisions guaranteed
+    val sketches = Seq(1, 8, 32).map { parts =>
+      shuffled.toDF("k").repartition(parts)
+        .agg(graft.plans.CmsAgg.cms_sketch(depth, w, md5Basis = true)(
+          col("k")).as("sk"))
+        .head().getSeq[Long](0)
+    }
+    // counter addition is commutative: any partitioning, same matrix
+    assert(sketches.distinct.size == 1, "sketch not partition-invariant")
+    val sk = sketches.head
+    assert(sk.length == depth * w && sk.sum == rows.size.toLong * depth)
+    // md5 cells: replay the hex-prefix arithmetic and probe
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong)
+    def bucket(k: String, r: Int): Int =
+      (graft.plans.HashKernels.md5Prefix60(
+        org.apache.spark.unsafe.types.UTF8String
+          .fromString(s"$k:$r")) % w).toInt
+    exact.foreach { case (k, n) =>
+      val est = (0 until depth).map(r => sk(r * w + bucket(k, r))).min
+      assert(est >= n, s"undercount for $k")
+    }
+  }
+
   test("cms_topk property: estimates never undercount on arbitrary " +
       "multisets at arbitrary partitionings") {
     // pure-JVM like the TopKBuffer properties: drive CmsBuffer.add /

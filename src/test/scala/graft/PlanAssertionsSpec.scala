@@ -440,6 +440,17 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"exactly the fingerprint groupBy exchange expected:\n$wide")
   }
 
+  test("q_ngram_cms_estimates: sketch partials combine map-side; the " +
+      "32 KiB matrix broadcasts to the 25-key probe") {
+    val p = plan("q_ngram_cms_estimates")
+    assert(p.contains("partial_cms_sketch"),
+      s"map-side sketch combine missing:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      s"the 1-row sketch must broadcast to the probe:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no shuffled join:\n$p")
+  }
+
   test("q_dedup_url: keep-best is ONE partial-aggregated exchange — " +
       "no window, no self-join; duplication depth never rides the wire") {
     val p = plan("q_dedup_url")
