@@ -3328,5 +3328,67 @@ object QueriesPipeline {
         .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
           count(lit(1)).as("n_events")),
       None),
+
+    // HyperLogLog with every step under the strict oracle — the
+    // distinct-count sketch q_agg_approx_distinct demonstrates with the
+    // engine built-in (rows-only: its internal hashing is not
+    // replayable), rebuilt on the md5-prefix basis: registers are pure
+    // integer arithmetic on the 60-bit prefix (low 8 bits pick the
+    // register, leading-zero rank of the remaining 52), merge is
+    // elementwise max (partition-invariant), and the published
+    // estimate (αm·m²/Σ2^−M, small-range linear counting) replays via
+    // an EXACT integer Σ2^(R−M) before one double division. The exact
+    // per-group distinct count rides along as the accuracy witness.
+    "q_agg_distinct_hll" -> Entry(
+      (s, dir) => {
+        import graft.plans.HllAgg
+        val words = t(s, dir, "documents").select(col("source"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("k"))
+        words.groupBy(col("source"))
+          .agg(countDistinct(col("k")).as("n_exact"),
+            HllAgg.hll_registers(8)(col("k")).as("regs"))
+          .select(col("source"), col("n_exact"),
+            HllAgg.hll_estimate(col("regs"), 8).as("hll_distinct"))
+      },
+      Some {
+        val alphaMM = (0.7213 / (1.0 + 1.079 / 256)) * 256 * 256
+        raw"""WITH w AS (
+          SELECT source,
+            unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS k
+          FROM documents
+        ), h AS (
+          SELECT DISTINCT source,
+            ('0x' || substr(md5(k), 1, 15))::BIGINT AS v
+          FROM w
+        ), r AS (
+          SELECT source, v % 256 AS idx,
+            max(CASE WHEN v // 256 = 0 THEN 53
+                ELSE 53 - length(bin(v // 256)) END) AS mr
+          FROM h GROUP BY 1, 2
+        ), grid AS (
+          SELECT g.source, i.idx
+          FROM (SELECT DISTINCT source FROM documents) g
+          CROSS JOIN range(0, 256) i(idx)
+        ), regs AS (
+          SELECT grid.source, coalesce(r.mr, 0) AS m
+          FROM grid LEFT JOIN r
+            ON r.source = grid.source AND r.idx = grid.idx
+        ), agg AS (
+          SELECT source,
+            sum(CAST(pow(2, 53 - m) AS HUGEINT)) AS s,
+            sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS v0
+          FROM regs GROUP BY 1
+        ), ex AS (
+          SELECT source, count(DISTINCT k) AS n_exact FROM w GROUP BY 1
+        )
+        SELECT agg.source, ex.n_exact,
+          round(CASE WHEN
+              ($alphaMM / (CAST(s AS DOUBLE) / 9007199254740992.0))
+                <= 640.0 AND v0 > 0
+            THEN 256.0 * ln(256.0 / CAST(v0 AS DOUBLE))
+            ELSE $alphaMM / (CAST(s AS DOUBLE) / 9007199254740992.0) END,
+            3) AS hll_distinct
+        FROM agg JOIN ex ON ex.source = agg.source"""
+      }),
   )
 }

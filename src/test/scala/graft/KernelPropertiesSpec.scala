@@ -577,6 +577,42 @@ class KernelPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("hll_registers: partition-invariant max-merge; registers match " +
+      "the md5-prefix arithmetic; estimate within the published bound") {
+    val spark = SparkTestSession.spark
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val keys = (0 until 3000).map(i => s"user_${i % 1700}")
+    val shuffled = new scala.util.Random(3).shuffle(keys)
+    val p = 8
+    val m = 1 << p
+    val regsByParts = Seq(1, 8, 32).map { parts =>
+      shuffled.toDF("k").repartition(parts)
+        .agg(graft.plans.HllAgg.hll_registers(p)(col("k")).as("r"))
+        .head().getSeq[Int](0)
+    }
+    assert(regsByParts.distinct.size == 1, "registers not partition-invariant")
+    val regs = regsByParts.head
+    // reference recompute straight from the md5-prefix definition
+    val exp = new Array[Int](m)
+    keys.distinct.foreach { k =>
+      val v = graft.plans.HashKernels.md5Prefix60(
+        org.apache.spark.unsafe.types.UTF8String.fromString(k))
+      val idx = (v % m).toInt
+      val w = v >>> p
+      val rank = if (w == 0L) 53
+        else 53 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+      if (rank > exp(idx)) exp(idx) = rank
+    }
+    assert(regs == exp.toSeq, "registers diverge from the definition")
+    // estimate: within ~3σ of truth (σ = 1.04/√m ≈ 6.5%)
+    val est = shuffled.toDF("k")
+      .agg(graft.plans.HllAgg.hll_registers(p)(col("k")).as("r"))
+      .select(graft.plans.HllAgg.hll_estimate(col("r"), p).as("e"))
+      .head().getDouble(0)
+    assert(math.abs(est - 1700.0) / 1700.0 < 0.2, s"estimate $est vs 1700")
+  }
+
   test("cms_topk property: estimates never undercount on arbitrary " +
       "multisets at arbitrary partitionings") {
     // pure-JVM like the TopKBuffer properties: drive CmsBuffer.add /
