@@ -122,7 +122,11 @@ object Text {
     * contract is normalized extraction output (html_to_text
     * canonicalizes whitespace upstream). */
   def repetition_ngram_features(text: Column): Column = {
-    val f = graft.plans.TextExpressions.repetition_ngram_raw(text)
+    // coalesce: NULL text scores 0.0 everywhere (and keeps), exactly
+    // like empty text — the null-safe kernel alone would return a
+    // NULL struct and flip the gate to a silent drop
+    val f = graft.plans.TextExpressions
+      .repetition_ngram_raw(coalesce(text, lit("")))
     val names = Seq(2, 3, 4).map(k => s"top_${k}gram_char_frac") ++
       (5 to 10).map(k => s"dup_${k}gram_char_frac")
     struct(names.map(c => round(f.getField(c), 4).as(c)): _*)

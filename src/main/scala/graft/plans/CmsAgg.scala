@@ -36,11 +36,8 @@ final class CmsBuffer(val depth: Int, val width: Int, val k: Int) {
   val cap: Int = math.max(4 * k, 64)
   private val OFF = org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET
 
-  @inline private def cell(row: Int, bytes: Array[Byte]): Int = {
-    val h = XXH64.hashUnsafeBytes(bytes, OFF, bytes.length,
-      row.toLong * 0x9E3779B97F4A7C15L + 42L)
-    (((h % width) + width) % width).toInt
-  }
+  @inline private def cell(row: Int, bytes: Array[Byte]): Int =
+    CmsBuffer.xxh64Cell(bytes, row, width)
 
   @inline private def keyHash(bytes: Array[Byte]): Long =
     XXH64.hashUnsafeBytes(bytes, OFF, bytes.length, -559038737L)
@@ -140,6 +137,18 @@ final class CmsBuffer(val depth: Int, val width: Int, val k: Int) {
     val entries = sortedCands()
     val n = math.min(k, entries.size)
     Array.tabulate(n)(i => (entries.get(i).key, entries.get(i).est))
+  }
+}
+
+object CmsBuffer {
+  /** THE XXH64 cell rule — one definition shared by [[CmsBuffer]] and
+    * [[CmsSketchExpr]], so sketches built by either are
+    * cell-compatible by construction. */
+  @inline def xxh64Cell(bytes: Array[Byte], row: Int, width: Int): Int = {
+    val h = XXH64.hashUnsafeBytes(bytes,
+      org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length,
+      row.toLong * 0x9E3779B97F4A7C15L + 42L)
+    (((h % width) + width) % width).toInt
   }
 }
 
@@ -295,12 +304,7 @@ case class CmsSketchExpr(key: Expression, depth: Int, width: Int,
       System.arraycopy(sfx, 0, all, bytes.length, sfx.length)
       // md5Prefix60 is a 60-bit non-negative value: plain % is safe
       (HashKernels.md5Prefix60(all) % width).toInt
-    } else {
-      val h = XXH64.hashUnsafeBytes(bytes,
-        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length,
-        r.toLong * 0x9E3779B97F4A7C15L + 42L)
-      (((h % width) + width) % width).toInt
-    }
+    } else CmsBuffer.xxh64Cell(bytes, r, width)
 
   override def update(b: Array[Long], input: InternalRow): Array[Long] = {
     val v = key.eval(input)

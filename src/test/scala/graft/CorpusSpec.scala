@@ -725,6 +725,14 @@ class CorpusSpec extends AnyFunSuite {
         Text.repetition_ngram_keep(f).as("k"))
       .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(keep == Map(1L -> false, 2L -> false, 3L -> true))
+    // NULL text ≡ empty text: all-zero features, keep=true — the
+    // null-safe kernel alone returned a NULL struct and silently
+    // flipped the gate to a drop
+    val nt = Seq((9L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val fr = Text.repetition_ngram_features(col("text"))
+    val row = nt.select(fr.getField("top_2gram_char_frac").as("t2"),
+        Text.repetition_ngram_keep(fr).as("k")).head()
+    assert(row.getDouble(0) == 0.0 && row.getBoolean(1))
   }
 
   test("dedupKeepFirst keeps only the globally first unit occurrence") {

@@ -15,14 +15,25 @@ import sys
 import pandas as pd
 
 
+def _cell(v):
+    # dicts (parquet structs) must keep VALUES, not just keys; nested
+    # lists flatten to tuples so the string form is deterministic
+    if isinstance(v, dict):
+        return tuple(sorted((k, _cell(x)) for k, x in v.items()))
+    if hasattr(v, "__len__") and not isinstance(v, (str, bytes)):
+        return tuple(_cell(x) for x in v)
+    return v
+
+
 def canon(df: pd.DataFrame) -> pd.Series:
     df = df.reindex(sorted(df.columns), axis=1)
+    if df.empty:
+        # .apply over zero rows returns a DataFrame; sort_values would
+        # then need a 'by' — an empty result is simply an empty series
+        return pd.Series([], dtype=str)
     for c in df.columns:
         if df[c].dtype == object:
-            df[c] = df[c].apply(
-                lambda v: tuple(v)
-                if hasattr(v, "__len__") and not isinstance(v, (str, bytes))
-                else v)
+            df[c] = df[c].apply(_cell)
     return (df.astype(str)
             .apply(lambda r: "|".join(r), axis=1)
             .sort_values()
@@ -33,7 +44,9 @@ def main() -> int:
     a_dir, b_dir = sys.argv[1], sys.argv[2]
     unstable = []
     n = 0
-    for q in sorted(os.listdir(a_dir)):
+    # union of both listings: a query written by only ONE run (the
+    # other crashed before writing it) is itself an instability
+    for q in sorted(set(os.listdir(a_dir)) | set(os.listdir(b_dir))):
         if not q.startswith("q_"):
             continue
         n += 1
