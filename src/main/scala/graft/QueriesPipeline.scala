@@ -912,7 +912,11 @@ object QueriesPipeline {
       (s, dir) => graft.operators.Embeddings
         .centroidSims(t(s, dir, "embeddings"), "label", "embedding")
         .select(col("vec_id"), col("label"),
-          round(col("centroid_sim"), 3).as("centroid_sim")),
+          // + 0.0: the q_embed_pca_cov signed-zero rule — a tiny
+          // negative cosine rounds to -0.0 in DuckDB but +0.0 here
+          // (first observed at sf0.1: 4 such cells; the sf0.01 gate
+          // corpus has none, so this was a latent flap)
+          (round(col("centroid_sim"), 3) + lit(0.0)).as("centroid_sim")),
       Some("""WITH d AS (
           SELECT vec_id, label, cast(embedding AS double[]) AS e
           FROM embeddings
@@ -922,7 +926,7 @@ object QueriesPipeline {
         ), dims AS (SELECT label, i, avg(x) AS c FROM flat GROUP BY 1, 2),
         cent AS (SELECT label, list(c ORDER BY i) AS cl FROM dims GROUP BY 1)
         SELECT vec_id, label,
-          round(list_cosine_similarity(e, cl), 3) AS centroid_sim
+          round(list_cosine_similarity(e, cl), 3) + 0.0 AS centroid_sim
         FROM d JOIN cent USING (label)""")),
 
     // C4-style global frequent-line strip, demonstrated at word
