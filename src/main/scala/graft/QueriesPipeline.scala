@@ -3346,8 +3346,13 @@ object QueriesPipeline {
     "q_agg_distinct_hll" -> Entry(
       (s, dir) => {
         import graft.plans.HllAgg
-        val words = t(s, dir, "documents").select(col("source"),
-          explode(split(trim(lower(col("text"))), "\\s+")).as("k"))
+        // group key coalesced on BOTH sides: Spark's groupBy keeps a
+        // NULL-source group, but the oracle's equi-joins are
+        // NULL-hostile and would silently drop its row — the latent
+        // board-flap class
+        val words = t(s, dir, "documents")
+          .select(coalesce(col("source"), lit("")).as("source"),
+            explode(split(trim(lower(col("text"))), "\\s+")).as("k"))
         words.groupBy(col("source"))
           .agg(countDistinct(col("k")).as("n_exact"),
             HllAgg.hll_registers(8)(col("k")).as("regs"))
@@ -3355,9 +3360,12 @@ object QueriesPipeline {
             HllAgg.hll_estimate(col("regs"), 8).as("hll_distinct"))
       },
       Some {
-        val alphaMM = (0.7213 / (1.0 + 1.079 / 256)) * 256 * 256
+        // ONE alpha definition (HllAgg.alphaMM) interpolated — the
+        // Scala double's shortest-roundtrip repr parses back to the
+        // identical IEEE value in DuckDB
+        val alphaMM = graft.plans.HllAgg.alphaMM(8)
         raw"""WITH w AS (
-          SELECT source,
+          SELECT coalesce(source, '') AS source,
             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS k
           FROM documents
         ), h AS (
@@ -3371,7 +3379,8 @@ object QueriesPipeline {
           FROM h GROUP BY 1, 2
         ), grid AS (
           SELECT g.source, i.idx
-          FROM (SELECT DISTINCT source FROM documents) g
+          FROM (SELECT DISTINCT coalesce(source, '') AS source
+                FROM documents) g
           CROSS JOIN range(0, 256) i(idx)
         ), regs AS (
           SELECT grid.source, coalesce(r.mr, 0) AS m

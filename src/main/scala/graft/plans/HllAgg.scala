@@ -105,6 +105,15 @@ object HllAgg {
   def hll_registers(p: Int)(key: Column): Column =
     column(HllRegistersExpr(expression(key), p).toAggregateExpression())
 
+  /** The published α_m bias constant times m² — ONE definition shared
+    * by [[hll_estimate]] and any oracle that interpolates the literal
+    * (the CmsBuffer.xxh64Cell convention: both sides aligned by
+    * construction, not by parallel typing). */
+  def alphaMM(p: Int): Double = {
+    val m = 1 << p
+    (0.7213 / (1.0 + 1.079 / m)) * m * m
+  }
+
   /** The published HLL estimate over a [[hll_registers]] array, as
     * pure built-in Column arithmetic (so an oracle can replay it):
     * E = α_m·m² / Σ2^−M, computed via the EXACT integer sum
@@ -114,12 +123,12 @@ object HllAgg {
   def hll_estimate(regs: Column, p: Int): Column = {
     val m = 1 << p
     val rMax = (60 - p) + 1
-    val alphaMM: Double = (0.7213 / (1.0 + 1.079 / m)) * m * m
+    val aMM = alphaMM(p)
     val dec = DecimalType(38, 0)
     val s = aggregate(regs, lit(0).cast(dec),
       (acc, r) => acc + pow(lit(2.0), lit(rMax) - r).cast(dec))
     val v0 = size(filter(regs, r => r === 0))
-    val eRaw = lit(alphaMM) /
+    val eRaw = lit(aMM) /
       (s.cast("double") / lit(math.pow(2.0, rMax)))
     round(
       when(eRaw <= lit(2.5 * m) && v0 > 0,
