@@ -155,6 +155,45 @@ object QueriesPipeline {
         FROM documents doc ${joins.mkString(" ")}"""
   }
 
+  /** DuckDB CTE chain replaying the md5-basis HyperLogLog (p = 8:
+    * registers, exact distinct witness, and the published estimate —
+    * see [[graft.plans.HllAgg]]) over a CTE `src(g, k)`; ends in
+    * `hll(g, n_exact, hll_est)`. Shared by q_agg_distinct_hll and
+    * q_stream_hourly_hll so the replay arithmetic has ONE definition,
+    * with the α constant interpolated from the Scala side. */
+  private val hllReplayCtes: String = {
+    val aMM = graft.plans.HllAgg.alphaMM(8)
+    raw"""h AS (
+          SELECT DISTINCT g, ('0x' || substr(md5(k), 1, 15))::BIGINT AS v
+          FROM src
+        ), r AS (
+          SELECT g, v % 256 AS idx,
+            max(CASE WHEN v // 256 = 0 THEN 53
+                ELSE 53 - length(bin(v // 256)) END) AS mr
+          FROM h GROUP BY 1, 2
+        ), grid AS (
+          SELECT gg.g, i.idx FROM (SELECT DISTINCT g FROM src) gg
+          CROSS JOIN range(0, 256) i(idx)
+        ), regs AS (
+          SELECT grid.g, coalesce(r.mr, 0) AS m
+          FROM grid LEFT JOIN r ON r.g = grid.g AND r.idx = grid.idx
+        ), agg AS (
+          SELECT g, sum(CAST(pow(2, 53 - m) AS HUGEINT)) AS s,
+            sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS v0
+          FROM regs GROUP BY 1
+        ), ex AS (
+          SELECT g, count(DISTINCT k) AS n_exact FROM src GROUP BY 1
+        ), hll AS (
+          SELECT agg.g, ex.n_exact,
+            round(CASE WHEN
+                ($aMM / (CAST(s AS DOUBLE) / 9007199254740992.0)) <= 640.0
+                  AND v0 > 0
+              THEN 256.0 * ln(256.0 / CAST(v0 AS DOUBLE))
+              ELSE $aMM / (CAST(s AS DOUBLE) / 9007199254740992.0) END,
+              3) AS hll_est
+          FROM agg JOIN ex ON ex.g = agg.g)"""
+  }
+
   /** The EXPECTED canonical form of [[plantedCrawlUrl]], computed
     * arithmetically in DuckDB — ground truth for the normalizer, not a
     * SQL re-implementation of it. */
@@ -3359,49 +3398,37 @@ object QueriesPipeline {
           .select(col("source"), col("n_exact"),
             HllAgg.hll_estimate(col("regs"), 8).as("hll_distinct"))
       },
-      Some {
-        // ONE alpha definition (HllAgg.alphaMM) interpolated — the
-        // Scala double's shortest-roundtrip repr parses back to the
-        // identical IEEE value in DuckDB
-        val alphaMM = graft.plans.HllAgg.alphaMM(8)
-        raw"""WITH w AS (
-          SELECT coalesce(source, '') AS source,
+      Some(raw"""WITH src AS (
+          SELECT coalesce(source, '') AS g,
             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS k
           FROM documents
-        ), h AS (
-          SELECT DISTINCT source,
-            ('0x' || substr(md5(k), 1, 15))::BIGINT AS v
-          FROM w
-        ), r AS (
-          SELECT source, v % 256 AS idx,
-            max(CASE WHEN v // 256 = 0 THEN 53
-                ELSE 53 - length(bin(v // 256)) END) AS mr
-          FROM h GROUP BY 1, 2
-        ), grid AS (
-          SELECT g.source, i.idx
-          FROM (SELECT DISTINCT coalesce(source, '') AS source
-                FROM documents) g
-          CROSS JOIN range(0, 256) i(idx)
-        ), regs AS (
-          SELECT grid.source, coalesce(r.mr, 0) AS m
-          FROM grid LEFT JOIN r
-            ON r.source = grid.source AND r.idx = grid.idx
-        ), agg AS (
-          SELECT source,
-            sum(CAST(pow(2, 53 - m) AS HUGEINT)) AS s,
-            sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS v0
-          FROM regs GROUP BY 1
-        ), ex AS (
-          SELECT source, count(DISTINCT k) AS n_exact FROM w GROUP BY 1
-        )
-        SELECT agg.source, ex.n_exact,
-          round(CASE WHEN
-              ($alphaMM / (CAST(s AS DOUBLE) / 9007199254740992.0))
-                <= 640.0 AND v0 > 0
-            THEN 256.0 * ln(256.0 / CAST(v0 AS DOUBLE))
-            ELSE $alphaMM / (CAST(s AS DOUBLE) / 9007199254740992.0) END,
-            3) AS hll_distinct
-        FROM agg JOIN ex ON ex.source = agg.source"""
-      }),
+        ), $hllReplayCtes
+        SELECT g AS source, n_exact, hll_est AS hll_distinct FROM hll""")),
+
+    // The same HLL under event-time bucketing — the windowed-sketch
+    // shape a streaming pipeline runs at 100 TB (exact per-window
+    // distincts shuffle every user id; 256 registers are bounded state
+    // per window and merge associatively). Registers + estimate on the
+    // md5 basis replay through the SAME shared CTE chain; the exact
+    // count rides along as the accuracy witness.
+    "q_stream_hourly_hll" -> Entry(
+      (s, dir) => {
+        import graft.plans.HllAgg
+        t(s, dir, "events")
+          .groupBy(window(col("ts"), "1 hour"))
+          .agg(countDistinct(col("user_id")).as("n_exact"),
+            HllAgg.hll_registers(8)(col("user_id").cast("string"))
+              .as("regs"))
+          .select(unix_timestamp(col("window.start")).as("hour_start"),
+            col("n_exact"),
+            HllAgg.hll_estimate(col("regs"), 8).as("hll_users"))
+      },
+      Some(raw"""WITH src AS (
+          SELECT cast(floor(epoch(time_bucket(INTERVAL 1 HOUR,
+              cast(ts as timestamp)))) as bigint) AS g,
+            user_id::VARCHAR AS k
+          FROM events
+        ), $hllReplayCtes
+        SELECT g AS hour_start, n_exact, hll_est AS hll_users FROM hll""")),
   )
 }

@@ -451,13 +451,15 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"no shuffled join:\n$p")
   }
 
-  test("q_agg_distinct_hll: register partials max-merge map-side " +
-      "before the group exchange") {
-    val p = plan("q_agg_distinct_hll")
-    assert(p.contains("partial_hll_registers"),
-      s"map-side register combine missing:\n$p")
-    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
-      s"no join expected:\n$p")
+  test("q_agg_distinct_hll + q_stream_hourly_hll: register partials " +
+      "max-merge map-side before the group exchange") {
+    for (q <- Seq("q_agg_distinct_hll", "q_stream_hourly_hll")) {
+      val p = plan(q)
+      assert(p.contains("partial_hll_registers"),
+        s"$q: map-side register combine missing:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+        s"$q: no join expected:\n$p")
+    }
   }
 
   test("q_dedup_url: keep-best is ONE partial-aggregated exchange — " +
