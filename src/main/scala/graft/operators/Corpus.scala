@@ -470,17 +470,25 @@ object Corpus {
     * ALL documents, boilerplate-style) — keep-first retains exactly
     * one canonical copy of every unit.
     *
-    * Scale shape: posexplode → ONE hash shuffle keyed by the unit
-    * string itself (collision-free by construction — no 8-byte
-    * pre-hash whose collisions would need a string re-verify pass; the
-    * partitioner hashes the string, the within-partition sort compares
-    * it), an unbounded `min(struct(id, pos))` window names each unit's
-    * winner, every occurrence filters in place against its group min,
-    * and one doc-keyed shuffle rebuilds the kept units in order. The
-    * winner set is never collected or broadcast — it is corpus-sized,
-    * exactly the shape where [[dedupLines]]' broadcast rewrite is
-    * unavailable — so nothing here grows with corpus size except the
-    * two keyed exchanges. */
+    * Scale shape: posexplode → `groupBy(u).agg(min(struct(id, pos)))`
+    * — ONE hash shuffle keyed by the unit string itself
+    * (collision-free by construction — no 8-byte pre-hash whose
+    * collisions would need a string re-verify pass), with PARTIAL
+    * aggregation below the exchange: every map task pre-reduces its
+    * occurrences of a unit to one candidate row before anything
+    * ships, so a boilerplate unit duplicated 10^8 times (blank line,
+    * "Home", a cookie banner) costs each map task one row, not a
+    * single-task corpus-scale window sort (the r10 skew flag — a
+    * `PARTITION BY u` window pins every occurrence of a mega-unit on
+    * ONE task, and AQE cannot split a window partition). The winner
+    * rows ARE the kept unit set — (u, first.id, first.pos) is exactly
+    * the surviving occurrence, so no join back to the occurrence
+    * stream and no second evaluation of the tiling. One doc-keyed
+    * shuffle then rebuilds the kept units in order. The winner set is
+    * never collected or broadcast — it is corpus-sized, exactly the
+    * shape where [[dedupLines]]' broadcast rewrite is unavailable —
+    * so nothing here grows with corpus size except the two keyed
+    * exchanges, and nothing grows with DUPLICATION depth at all. */
   def dedupKeepFirst(docs: DataFrame, textCol: String, idCol: String,
       delim: String = "\n"): DataFrame =
     keepFirstRebuild(unitsOf(docs, textCol, idCol, delim), idCol,
@@ -494,17 +502,16 @@ object Corpus {
       posexplode(split(col(textCol),
         java.util.regex.Pattern.quote(delim))).as(Seq("pos", "u")))
 
-  /** Keep-first winner filter + ordered document rebuild over an
+  /** Keep-first winner selection + ordered document rebuild over an
     * (id, pos, u) unit stream — the shared back of the keep-first
-    * family (see [[dedupKeepFirst]] for the scale shape). */
+    * family (see [[dedupKeepFirst]] for the scale shape: partial-agg
+    * winner groupBy, winners ARE the kept set, no window, no join). */
   private def keepFirstRebuild(units: DataFrame, idCol: String,
       textCol: String, delim: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("u"))
-    val kept = units
-      .withColumn("__first", min(struct(col(idCol), col("pos"))).over(w))
-      .filter(col(idCol) === col("__first")(idCol) &&
-        col("pos") === col("__first")("pos"))
+    val kept = units.groupBy(col("u"))
+      .agg(min(struct(col(idCol), col("pos"))).as("__first"))
+      .select(col("__first")(idCol).as(idCol),
+        col("__first")("pos").as("pos"), col("u"))
     kept.groupBy(col(idCol))
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("pos"), col("u")))),

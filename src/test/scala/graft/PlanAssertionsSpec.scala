@@ -486,19 +486,29 @@ class PlanAssertionsSpec extends AnyFunSuite {
       "(unit winner, doc rebuild); the winner set never broadcasts") {
     val p = plan("q_corpus_paragraph_dedup")
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 2,
-      s"unit-keyed window + doc-keyed rebuild expected, no more:\n$p")
-    assert(p.contains("Window"), s"winner min-window missing:\n$p")
+      s"unit-keyed winner agg + doc-keyed rebuild expected, no more:\n$p")
+    // partial min(struct) BELOW the exchange: map tasks crush a
+    // mega-duplicated unit to one candidate row each BEFORE anything
+    // ships — a PARTITION BY u window would pin every occurrence of a
+    // boilerplate unit on ONE un-splittable task (the r10 skew flag)
+    assert(p.contains("partial_min"),
+      s"winner agg must partial-aggregate map-side:\n$p")
+    assert(!p.contains("Window"),
+      s"no window — winners come from the partial-agg groupBy:\n$p")
     assert(!p.contains("BroadcastExchange"),
       s"the corpus-sized winner set must never broadcast:\n$p")
-    assert(!p.contains("Join"), s"no join needed — the window names " +
-      s"winners in place:\n$p")
+    assert(!p.contains("Join"), s"no join needed — the winner rows ARE " +
+      s"the kept set:\n$p")
   }
 
   test("q_corpus_paragraph_dedup_incr: batch units anti-join the " +
       "fingerprint index — paragraph strings never build a hash side") {
     val p = plan("q_corpus_paragraph_dedup_incr")
     assert(p.contains("LeftAnti"), s"index anti-join missing:\n$p")
-    assert(p.contains("Window"), s"in-batch keep-first window missing:\n$p")
+    assert(p.contains("partial_min"),
+      s"in-batch keep-first winner agg must partial-aggregate:\n$p")
+    assert(!p.contains("Window"),
+      s"no window — winners come from the partial-agg groupBy:\n$p")
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
     // the anti-join keys on md5(u) = ufp — 16-byte keys, not text
     assert(p.contains("md5(cast(u"), s"fingerprint join key missing:\n$p")
