@@ -94,7 +94,12 @@ object QueriesPipeline {
     * delimiter). */
   private[graft] def tile5(text: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column = {
-    val ws = split(translate(text, "\n", " "), " ")
+    // limit -1 pinned explicitly: trailing empty tokens must survive
+    // so "a b " and "a b" tile into DIFFERENT unit arrays on BOTH
+    // engines (DuckDB string_split keeps trailing empties; Spark's
+    // 2-arg split also passes limit=-1, verified empirically on 4.1 —
+    // pinning the third arg guards the parity against a default change)
+    val ws = split(translate(text, "\n", " "), " ", -1)
     val nch = ceil(size(ws) / lit(5.0)).cast("int")
     array_join(transform(sequence(lit(0), nch - 1),
       j => array_join(slice(ws, j * 5 + 1, lit(5)), " ")), "\n")
@@ -116,25 +121,36 @@ object QueriesPipeline {
   private val repetitionNgramOracle: String = {
     val topKs = Seq(2, 3, 4)
     val dupKs = (5 to 10).toSeq
+    // text-char normalization (the kernel's units contract, see
+    // TextKernels.repetitionNgramFeatures): wchars = Σ word codepoints;
+    // word chars of a space-joined k-gram = length(g) − (k−1)
     def gram(k: Int) = s"""g$k AS (
-          SELECT doc_id, CASE WHEN len(ws) <= $k THEN array_to_string(ws, ' ')
-            ELSE array_to_string(list_slice(ws, i, i + ${k - 1}), ' ') END AS g
-          FROM words, unnest(CASE WHEN len(ws) <= $k THEN [1]
-            ELSE range(1, len(ws) - ${k - 2}) END) AS t$k(i)
+          SELECT doc_id, i,
+            array_to_string(list_slice(ws, i, i + ${k - 1}), ' ') AS g
+          FROM words, unnest(range(1, len(ws) - ${k - 2})) AS t$k(i)
           WHERE len(ws) >= $k
         ), c$k AS (SELECT doc_id, g, count(*) AS c FROM g$k GROUP BY 1, 2)"""
     def top(k: Int) = s"""t$k AS (
-          SELECT doc_id, round(mass / tot, 4) AS frac FROM (
-            SELECT doc_id, (c * length(g))::double AS mass,
-              sum(c * length(g)) OVER (PARTITION BY doc_id) AS tot,
-              row_number() OVER (PARTITION BY doc_id
-                ORDER BY c DESC, length(g) DESC, g) AS rn
-            FROM c$k) x$k WHERE rn = 1)"""
+          SELECT doc_id, round(mass / wchars, 4) AS frac FROM (
+            SELECT c.doc_id,
+              (c.c * (length(c.g) - ${k - 1}))::double AS mass, w.wchars,
+              row_number() OVER (PARTITION BY c.doc_id
+                ORDER BY c.c DESC, length(c.g) DESC, c.g) AS rn
+            FROM c$k c JOIN words w ON w.doc_id = c.doc_id) x$k
+          WHERE rn = 1 AND wchars > 0)"""
+    // duplicate rule = positional coverage: a word position inside ANY
+    // occurrence of a gram seen ≥2× counts its chars ONCE
     def dup(k: Int) = s"""d$k AS (
-          SELECT doc_id, round(coalesce(
-            sum(CASE WHEN c >= 2 THEN c * length(g) END)::double
-              / sum(c * length(g)), 0.0), 4) AS frac
-          FROM c$k GROUP BY doc_id)"""
+          SELECT pos.doc_id,
+            round(sum(length(w.ws[pos.p]))::double / w.wchars, 4) AS frac
+          FROM (
+            SELECT DISTINCT g.doc_id, u.p
+            FROM g$k g JOIN c$k c ON c.doc_id = g.doc_id AND c.g = g.g,
+              unnest(range(g.i, g.i + $k)) AS u(p)
+            WHERE c.c >= 2) pos
+          JOIN words w ON w.doc_id = pos.doc_id
+          WHERE w.wchars > 0
+          GROUP BY pos.doc_id, w.wchars)"""
     val ctes = (topKs ++ dupKs).map(gram) ++ topKs.map(top) ++ dupKs.map(dup)
     val sel = topKs.map(k =>
       s"coalesce(t$k.frac, 0.0) AS top_${k}gram_char_frac") ++
@@ -146,9 +162,13 @@ object QueriesPipeline {
         s"coalesce(d$k.frac, 0.0) <= $t" }).mkString("(", " AND ", ")")
     val joins = topKs.map(k => s"LEFT JOIN t$k ON t$k.doc_id = doc.doc_id") ++
       dupKs.map(k => s"LEFT JOIN d$k ON d$k.doc_id = doc.doc_id")
-    raw"""WITH words AS (
+    raw"""WITH ws0 AS (
           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
           FROM documents
+        ), words AS (
+          SELECT doc_id, ws,
+            coalesce(list_sum(list_transform(ws, w -> length(w))), 0) AS wchars
+          FROM ws0
         ), ${ctes.mkString(", ")}
         SELECT doc.doc_id, ${sel.mkString(", ")},
           $gate AS keep

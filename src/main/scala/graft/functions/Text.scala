@@ -104,15 +104,17 @@ object Text {
     * n ∈ {2,3,4} (thresholded 0.20/0.18/0.16 in the paper) and
     * duplicate n-gram character fraction for n ∈ {5..10}
     * (0.15…0.10) — the signals [[repetition_features]]' single
-    * top-bigram slot fraction approximates. Char masses are measured
-    * over gram characters (Σ count·chars; the paper normalizes by
-    * text chars — gram mass is self-consistent across gram sizes and
-    * replays exactly in an oracle). All 9 features come from ONE
-    * fused native kernel pass (one tokenization, one reused hash map
-    * — the per-k composed form re-tokenized the text nine times and
-    * materialized nine shingle arrays); 4-dp rounding in the Column
-    * layer for cross-engine replay. Documents with fewer than n words
-    * score 0 for the n-gram features.
+    * top-bigram slot fraction approximates. Fractions normalize by
+    * TEXT characters as in the paper (word char mass — separators
+    * excluded from both sides of the ratio): top n-gram = every
+    * occurrence's chars over text chars; duplicate n-gram =
+    * positional COVERAGE (chars of words inside ≥1 occurrence of a
+    * repeated gram, each word counted once) over text chars — see
+    * [[graft.plans.TextKernels.repetitionNgramFeatures]] for the
+    * exact units contract. All 9 features come from ONE fused native
+    * kernel pass (one tokenization, one reused hash map); 4-dp
+    * rounding in the Column layer for cross-engine replay. Documents
+    * with fewer than n words score 0 for the n-gram features.
     *
     * Tokenization contract (shared with every word-granularity kernel
     * and oracle in this repo): input is expected whitespace-normalized
@@ -135,7 +137,10 @@ object Text {
   /** The Gopher keep-decision over [[repetition_ngram_features]] —
     * the paper's table A1 thresholds: top n-gram char fraction ≤
     * 0.20/0.18/0.16 for n=2/3/4, duplicate n-gram char fraction ≤
-    * 0.15/0.14/0.13/0.12/0.11/0.10 for n=5..10; AND-composed. Pass
+    * 0.15/0.14/0.13/0.12/0.11/0.10 for n=5..10; AND-composed. The
+    * feature fractions normalize by text chars (see
+    * [[repetition_ngram_features]]), so these are the published cuts
+    * applied in the published units. Pass
     * the SAME struct Column so the features compute once per row.
     *
     * Compose with the paper's 50-word minimum-length rule

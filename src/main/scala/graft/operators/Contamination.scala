@@ -132,12 +132,18 @@ object Contamination {
     * join against the eval set's distinct shingles — only HIT positions
     * (bounded by actual contamination, not corpus size) cross the
     * per-document islands shuffle; the merged span lists ride back on a
-    * broadcast join and the rebuild is a row-local indexed filter.
+    * SIZE-GUARDED broadcast join (the span list is per-HIT-doc — under
+    * pathological contamination, every doc hit, it is corpus-sized and
+    * a forced broadcast would exhaust the driver: the spans side is
+    * persisted, counted, and broadcast only when the hit-doc count is
+    * ≤ `broadcastMaxHitDocs`, falling back to a plain shuffled join —
+    * the [[connectedComponents]] probe-then-branch shape) and the
+    * rebuild is a row-local indexed filter.
     * Returns (idCol, clean_text, n_words_removed, n_spans); clean docs
     * pass through with their normalized text and zeros. */
   def scrubSpans(docs: DataFrame, idCol: String, textCol: String,
       bench: DataFrame, benchTextCol: String, n: Int = 3,
-      buffer: Int = 2): DataFrame = {
+      buffer: Int = 2, broadcastMaxHitDocs: Long = 4000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(n >= 1, s"n >= 1: $n")
     require(buffer >= 0, s"buffer >= 0: $buffer")
@@ -165,6 +171,15 @@ object Contamination {
       .groupBy("__doc")
       .agg(sort_array(collect_list(struct(col("s"), col("e"))))
         .as("__spans"))
+      // persist + count: the guard probe materializes the span lists
+      // ONCE (the rebuild join below reads the cache, not a second
+      // full-corpus shingle pass); stays cached for the lazy consumer —
+      // span lists are bounded by actual contamination and spill to
+      // disk, never the driver
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val spansSide =
+      if (spans.count() <= broadcastMaxHitDocs) broadcast(spans)
+      else spans
     val words = split(
       regexp_replace(trim(lower(col(textCol))), "\\s+", " "), " ", -1)
     val kept = filter(words, (_, i) =>
@@ -172,7 +187,7 @@ object Contamination {
         i.cast("long") >= sp.getField("s") &&
           i.cast("long") <= sp.getField("e")))
     docs
-      .join(broadcast(spans), docs(idCol) === spans("__doc"), "left")
+      .join(spansSide, docs(idCol) === spansSide("__doc"), "left")
       .select(col(idCol),
         words.as("__w"),
         when(col("__spans").isNull, words).otherwise(kept).as("__kept"),

@@ -798,13 +798,22 @@ object Corpus {
     * decision to [[rebalanceMixture]]'s map-side md5 filter — the whole
     * rebalance is one scan. Rows whose group is null are dropped. */
   def rebalanceTemperature(df: DataFrame, groupCol: String, key: Column,
-      alpha: Double, targetTotal: Long): DataFrame = {
+      alpha: Double, targetTotal: Long, maxGroups: Int = 10000): DataFrame = {
     require(alpha >= 0.0 && alpha <= 1.0, "alpha must be in [0, 1]")
     val spark = df.sparkSession
     val countsDf = df.filter(col(groupCol).isNotNull)
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("__n"))
-    val rows = countsDf.collect()
+    // fail-fast BEFORE the collect ([[perplexityBuckets]]' maxGroups
+    // contract): a caller keying on a high-cardinality column (url,
+    // doc id) would otherwise silently pull a corpus-sized count table
+    // onto the driver instead of failing with a named contract
+    val rows = countsDf.limit(maxGroups + 1).collect()
+    require(rows.length <= maxGroups,
+      s"rebalanceTemperature: more than $maxGroups groups in " +
+        s"'$groupCol' — mixture groups are languages/sources, never " +
+        "corpus-scale; raise maxGroups only if the driver can hold " +
+        "the count table")
     require(rows.nonEmpty, "no non-null groups to rebalance")
     // group-key-sorted before the z fold: a float Σ in collect()
     // partition order would make the α-weights layout-sensitive in the

@@ -288,7 +288,12 @@ object Dedup {
     * results (batch keys from a different (shingleLen, k, bands) — or
     * a different sign basis — simply never collide with stored keys;
     * the Dsir count-store (n, k) validation is the in-repo precedent).
-    * A store without a manifest (pre-r10) is accepted unchecked. */
+    * A store without a manifest (pre-r10) is accepted unchecked.
+    * Writers call this LAST, after the bands/docs/vecs stores land: a
+    * mid-write failure then leaves either stale-manifest-next-to-new
+    * data (a config change surfaces as [[checkIndexParams]]' mismatch)
+    * or data-without-manifest — never a fresh manifest blessing stores
+    * whose contents don't match it. */
   private def writeIndexParams(path: String, params: Map[String, Long],
       spark: org.apache.spark.sql.SparkSession): Unit = {
     import spark.implicits._
@@ -312,9 +317,6 @@ object Dedup {
   def writeNearDupIndex(corpus: DataFrame, path: String, textCol: String,
       idCol: String, shingleLen: Int = 5, k: Int = 20, bands: Int = 5,
       shingleWords: Int = 3, maxBucket: Int = 1000): Unit = {
-    writeIndexParams(path, Map("shingleLen" -> shingleLen.toLong,
-      "k" -> k.toLong, "bands" -> bands.toLong,
-      "shingleWords" -> shingleWords.toLong), corpus.sparkSession)
     writeCappedBands(
       minhashBands(corpus, textCol, idCol, shingleLen, k, bands)
         .select(col(idCol).as("id"), col("band"), col("band_hash")),
@@ -324,6 +326,10 @@ object Dedup {
         graft.plans.HashExpressions
           .word_shingle_hashes(col(textCol), shingleWords).as("shingles"))
       .write.mode("overwrite").parquet(s"$path/docs")
+    // manifest last (see writeIndexParams' torn-write contract)
+    writeIndexParams(path, Map("shingleLen" -> shingleLen.toLong,
+      "k" -> k.toLong, "bands" -> bands.toLong,
+      "shingleWords" -> shingleWords.toLong), corpus.sparkSession)
   }
 
   /** Incremental NEAR-dup detection: (batch_id, corpus_id, jaccard)
@@ -375,9 +381,6 @@ object Dedup {
   def writeEmbeddingIndex(corpus: DataFrame, path: String, idCol: String,
       vecCol: String, bands: Int = 8, bitsPerBand: Int = 12,
       maxBucket: Int = 1000, md5Basis: Boolean = false): Unit = {
-    writeIndexParams(path, Map("bands" -> bands.toLong,
-      "bitsPerBand" -> bitsPerBand.toLong,
-      "md5Basis" -> (if (md5Basis) 1L else 0L)), corpus.sparkSession)
     writeCappedBands(
       embeddingBands(corpus, idCol, vecCol, bands, bitsPerBand, md5Basis)
         .select(col(idCol).as("id"), col("band"), col("band_hash")),
@@ -389,6 +392,10 @@ object Dedup {
         vecCol)
       .select(col("id"), col("qvec"), col("scale"))
       .write.mode("overwrite").parquet(s"$path/vecs")
+    // manifest last (see writeIndexParams' torn-write contract)
+    writeIndexParams(path, Map("bands" -> bands.toLong,
+      "bitsPerBand" -> bitsPerBand.toLong,
+      "md5Basis" -> (if (md5Basis) 1L else 0L)), corpus.sparkSession)
   }
 
   /** Incremental embedding near-dup detection: (batch_id, corpus_id,

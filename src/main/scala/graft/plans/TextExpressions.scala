@@ -136,11 +136,12 @@ object TextKernels {
   }
 
   /** Fraction of gram char mass held by the MOST frequent element:
-    * count·chars(top) / Σ count·chars — the "top n-gram character
-    * fraction" of the Gopher repetition rules (Rae et al. 2021
-    * §A1.1), with gram char mass as the denominator (the paper
-    * normalizes by text chars; gram mass is self-consistent across
-    * gram sizes and replays exactly). Ties break by higher count,
+    * count·chars(top) / Σ count·chars — a generic array-level
+    * mode-mass ratio with gram char mass as the denominator (NOT the
+    * Gopher table-A1 quantity, which normalizes by text chars — that
+    * faithful form lives in [[repetitionNgramFeatures]]; this
+    * primitive is self-contained over any string array and always in
+    * [0,1]). Ties break by higher count,
     * then longer gram, then binary-ascending gram — a TOTAL rule the
     * oracle replays as ORDER BY c DESC, length(g) DESC, g. One hash
     * pass, row-local. */
@@ -166,9 +167,10 @@ object TextKernels {
   }
 
   /** Duplicated-gram char mass over total gram char mass:
-    * Σ_{count≥2} count·chars / Σ count·chars — the "duplicate n-gram
-    * character fraction" family of the Gopher rules, same denominator
-    * note as [[topGramCharFrac]]. */
+    * Σ_{count≥2} count·chars / Σ count·chars — the generic array-level
+    * duplicate-mass ratio, same non-Gopher denominator note as
+    * [[topGramCharFrac]] (the table-A1-faithful coverage form lives
+    * in [[repetitionNgramFeatures]]). */
   def dupGramCharFrac(arr: ArrayData): Double = {
     if (arr.numElements() == 0) return 0.0
     val (counts, total) = gramCounts(arr)
@@ -202,29 +204,55 @@ object TextKernels {
   }
 
   /** ALL NINE Gopher n-gram repetition fractions in one pass — the
-    * text tokenizes ONCE (the composed per-k form re-ran
-    * splitWords' copy/lowercase/regex-split nine times and
-    * materialized nine Spark shingle arrays); per gram size the
-    * joined gram strings feed one reused hash map, and top (k=2..4)
-    * and dup (k=5..10) fractions come off the same counts. RAW
-    * (un-rounded) doubles — the Column layer rounds, so the fused
-    * path is bit-identical to the composed kernels it replaces.
-    * Fewer than k words → 0.0 for that k (matches the composed
-    * form's empty-array guard). */
+    * text tokenizes ONCE; per gram size the joined gram strings feed
+    * one reused hash map, and top (k=2..4) and dup (k=5..10)
+    * fractions come off the same counts. RAW (un-rounded) doubles —
+    * the Column layer rounds. Fewer than k words → 0.0 for that k.
+    *
+    * Normalization is TEXT characters, as in Rae et al. table A1 —
+    * concretely the total WORD char mass W = Σ codepoints over words
+    * (the whitespace-canonical form of "text chars": separators
+    * excluded on both sides of every ratio, so the ratios are
+    * whitespace-convention-independent):
+    *  - top k-gram frac = count(top)·wordChars(top) / W — every
+    *    occurrence counted, the published rule's numerator (can
+    *    exceed 1 on degenerate overlap, e.g. "ab ab ab ab"; the gate
+    *    reads that as extreme repetition, which it is);
+    *  - dup k-gram frac = (Σ chars of words COVERED by ≥1 occurrence
+    *    of a gram appearing ≥2×) / W — positional coverage, each
+    *    covered word counted ONCE (the position-marking formulation;
+    *    a mass numerator Σ count·chars would count overlapping
+    *    occurrences ~k times and overshoot the paper's units as far
+    *    up as gram-mass normalization undershot them). Always ≤ 1.
+    * The table-A1 thresholds therefore apply in the paper's own
+    * units (see [[graft.functions.Text.repetition_ngram_keep]]).
+    * The generic array-level kernels [[topGramCharFrac]] /
+    * [[dupGramCharFrac]] keep their self-contained gram-mass
+    * semantics — this fused kernel is the Gopher-faithful surface. */
   def repetitionNgramFeatures(s: UTF8String)
       : org.apache.spark.sql.catalyst.InternalRow = {
     val words = splitWords(s)
     val out = new Array[Any](9)
+    val wLens = new Array[Int](words.length)
+    var wTotal = 0L
+    var wi = 0
+    while (wi < words.length) {
+      val l = words(wi).codePointCount(0, words(wi).length)
+      wLens(wi) = l
+      wTotal += l
+      wi += 1
+    }
     val counts = new java.util.HashMap[String, Integer](64)
     var idx = 0
     var k = 2
     while (k <= 10) {
       var frac = 0.0
-      if (words.length >= k) {
+      if (words.length >= k && wTotal > 0L) {
         counts.clear()
-        var total = 0L
+        val nG = words.length - k + 1
+        val grams = new Array[String](nG)
         var i = 0
-        while (i + k <= words.length) {
+        while (i < nG) {
           val sb = new java.lang.StringBuilder(16 * k)
           var j = 0
           while (j < k) {
@@ -233,40 +261,45 @@ object TextKernels {
             j += 1
           }
           val g = sb.toString
+          grams(i) = g
           counts.merge(g, 1, (a, b) => a + b)
-          total += g.codePointCount(0, g.length)
           i += 1
         }
-        if (total > 0L) {
-          if (k <= 4) {
-            var bestC = 0
-            var bestLen = -1
-            var bestKey: String = null
-            val it = counts.entrySet().iterator()
-            while (it.hasNext) {
-              val e = it.next()
-              val c = e.getValue.intValue
-              val g = e.getKey
-              val l = g.codePointCount(0, g.length)
-              if (c > bestC || (c == bestC && (l > bestLen ||
-                  (l == bestLen && cpCompare(g, bestKey) < 0)))) {
-                bestC = c; bestLen = l; bestKey = g
-              }
+        if (k <= 4) {
+          var bestC = 0
+          var bestLen = -1
+          var bestKey: String = null
+          val it = counts.entrySet().iterator()
+          while (it.hasNext) {
+            val e = it.next()
+            val c = e.getValue.intValue
+            val g = e.getKey
+            val l = g.codePointCount(0, g.length)
+            if (c > bestC || (c == bestC && (l > bestLen ||
+                (l == bestLen && cpCompare(g, bestKey) < 0)))) {
+              bestC = c; bestLen = l; bestKey = g
             }
-            frac = bestC.toLong * bestLen / total.toDouble
-          } else {
-            var dup = 0L
-            val it = counts.entrySet().iterator()
-            while (it.hasNext) {
-              val e = it.next()
-              val c = e.getValue.intValue
-              if (c >= 2) {
-                val g = e.getKey
-                dup += c.toLong * g.codePointCount(0, g.length)
-              }
-            }
-            frac = dup.toDouble / total.toDouble
           }
+          // word chars of the joined gram = codepoints − (k−1) spaces
+          frac = bestC.toLong * (bestLen - (k - 1)) / wTotal.toDouble
+        } else {
+          val covered = new Array[Boolean](words.length)
+          var o = 0
+          while (o < nG) {
+            if (counts.get(grams(o)).intValue >= 2) {
+              var p = o
+              val e = o + k
+              while (p < e) { covered(p) = true; p += 1 }
+            }
+            o += 1
+          }
+          var cov = 0L
+          var p = 0
+          while (p < words.length) {
+            if (covered(p)) cov += wLens(p)
+            p += 1
+          }
+          frac = cov.toDouble / wTotal.toDouble
         }
       }
       out(idx) = frac

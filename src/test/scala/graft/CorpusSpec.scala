@@ -576,6 +576,13 @@ class CorpusSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Corpus.rebalanceTemperature(docs, "lang", col("text"), 1.5, 100)
     }
+    // maxGroups fail-fast: keying on a corpus-cardinality column must
+    // throw the named contract, not pull the count table on the driver
+    val e = intercept[IllegalArgumentException] {
+      Corpus.rebalanceTemperature(docs, "doc_id", col("text"),
+        alpha = 0.5, targetTotal = 200, maxGroups = 10)
+    }
+    assert(e.getMessage.contains("more than 10 groups"))
   }
 
   test("scrubSpans: buffered windows cut, nearby hits merge to one span, " +
@@ -600,6 +607,14 @@ class CorpusSpec extends AnyFunSuite {
     // doc 4: hits at p=2 and p=7, 5 apart ≤ n+2b=7 → ONE merged span
     // [0,11]; only the tail survives
     assert(out(4L) == (("g h", 12L, 1L)))
+    // broadcast size guard: over the hit-doc cap the span side falls
+    // back to a plain shuffled join — same rows, no driver-sized
+    // broadcast of a corpus-scale span list
+    val shuffled = graft.operators.Contamination
+      .scrubSpans(docs, "doc_id", "text", bench, "btext", n = 3,
+        buffer = 2, broadcastMaxHitDocs = 0L)
+    assert(shuffled.collect().map(r => r.getLong(0) ->
+      ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap == out)
   }
 
   test("gopher_features/gopher_keep: hand-computed word- and line-shape " +
@@ -712,13 +727,15 @@ class CorpusSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> ((r.getDouble(1),
         r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
       .toMap
-    // doc 1 "a b a b a": 2-grams {a b:2, b a:2} tie → "a b" (gram asc),
-    // mass 6/12; 3-grams {a b a:2, b a b:1} → 10/15; 4-grams tie at
-    // c=1 → 7/14; 5 words = ONE whole-text 5-gram → no dup; <6 words
-    assert(out(1L) == ((0.5, 0.6667, 0.5, 0.0, 0.0)))
-    // doc 2: every 5-gram appears twice → dup mass = total; 6-grams
-    // {x y x y x y:2, y x y x y x:1} → 22/33
-    assert(out(2L)._4 == 1.0 && out(2L)._5 == 0.6667)
+    // text-char units (W = word chars): doc 1 "a b a b a", W=5.
+    // 2-grams {a b:2, b a:2} tie → "a b" (codepoint asc), 2·2/5;
+    // 3-grams {a b a:2, b a b:1} → 2·3/5 (>1: overlapping
+    // occurrences, the published numerator); 4-grams tie at c=1 →
+    // 1·4/5; one 5-gram → no dup; <6 words → 0
+    assert(out(1L) == ((0.8, 1.2, 0.8, 0.0, 0.0)))
+    // doc 2: every 5-gram appears twice → coverage = all 8 words;
+    // 6-grams "x y x y x y" repeats at 0 and 2 → coverage 0..7 = 1.0
+    assert(out(2L)._4 == 1.0 && out(2L)._5 == 1.0)
     assert(out(3L) == ((0.0, 0.0, 0.0, 0.0, 0.0)))
     // table-A1 gate: repetitive docs fail, the clean one passes
     val keep = df.select(col("doc_id"),

@@ -134,25 +134,60 @@ class KernelPropertiesSpec extends AnyFunSuite {
     assert(row.getDouble(0) == 4.0 / 5.0 && row.getDouble(1) == 4.0 / 5.0)
   }
 
-  test("fused repetitionNgramFeatures ≡ the composed per-k kernels " +
-      "(one tokenization vs nine) on random texts, incl. supplementary") {
+  test("fused repetitionNgramFeatures: text-char-normalized top mass " +
+      "and dup positional coverage match a reference recomputation, " +
+      "incl. supplementary-plane words") {
     import graft.plans.TextKernels
     val word = Gen.oneOf("a", "bb", "ccc", "é", "x😀y", "go", "stop")
     val gen = Gen.listOf(word).map(_.mkString(" "))
+    def cp(s: String) = s.codePointCount(0, s.length)
+    def cpLess(a: String, b: String) = java.util.Arrays.compare(
+      a.codePoints.toArray, b.codePoints.toArray) < 0
     check(forAll(gen) { text =>
       val u = UTF8String.fromString(text)
       val fused = TextKernels.repetitionNgramFeatures(u)
       val words = TextKernels.splitWords(u)
+      val wTotal = words.map(cp(_).toLong).sum
       (2 to 10).forall { k =>
-        val grams =
-          if (words.length < k) new GenericArrayData(Array.empty[Any])
-          else TextKernels.wordShingles(u, k)
-        val expected =
-          if (k <= 4) TextKernels.topGramCharFrac(grams)
-          else TextKernels.dupGramCharFrac(grams)
-        fused.getDouble(k - 2) == expected
+        val exp: Double =
+          if (words.length < k || wTotal == 0L) 0.0
+          else {
+            val grams = (0 to words.length - k)
+              .map(i => words.slice(i, i + k).mkString(" "))
+            val counts = grams.groupBy(identity).view.mapValues(_.size).toMap
+            if (k <= 4) {
+              // tie rule: count desc, gram chars desc, codepoint asc
+              val best = counts.keys.reduce { (a, b) =>
+                val (ca, cb) = (counts(a), counts(b))
+                if (ca != cb) { if (ca > cb) a else b }
+                else if (cp(a) != cp(b)) { if (cp(a) > cp(b)) a else b }
+                else if (cpLess(a, b)) a else b
+              }
+              counts(best).toLong * (cp(best) - (k - 1)) / wTotal.toDouble
+            } else {
+              val covered = grams.indices
+                .filter(i => counts(grams(i)) >= 2)
+                .flatMap(i => i until i + k).toSet
+              covered.toSeq.map(p => cp(words(p)).toLong).sum /
+                wTotal.toDouble
+            }
+          }
+        fused.getDouble(k - 2) == exp
       }
     })
+    // dup coverage counts each covered word ONCE: in
+    // "a b c d e x y z a b c d e" only the 5-gram "a b c d e"
+    // repeats; its two occurrences cover word positions 0..4 and
+    // 8..12 → 10 of 13 single-char words → 10/13 (the mass rule
+    // would have scored 2·5-gram chars over gram mass instead)
+    val hand = TextKernels.repetitionNgramFeatures(UTF8String.fromString(
+      "a b c d e x y z a b c d e"))
+    assert(hand.getDouble(5 - 2) == 10.0 / 13.0)
+    // top-2-gram on pure repetition exceeds the 0.20 cut in paper
+    // units: "ab ab ab" → top gram "ab ab" ×2 overlapping → 2·4/6
+    val rep = TextKernels.repetitionNgramFeatures(
+      UTF8String.fromString("ab ab ab"))
+    assert(rep.getDouble(0) == 2.0 * 4.0 / 6.0)
   }
 
   test("wordShingleHashes output is sorted and distinct") {
@@ -611,6 +646,13 @@ class KernelPropertiesSpec extends AnyFunSuite {
       .select(graft.plans.HllAgg.hll_estimate(col("r"), p).as("e"))
       .head().getDouble(0)
     assert(math.abs(est - 1700.0) / 1700.0 < 0.2, s"estimate $est vs 1700")
+    // α_m: the published exact constants at the three smallest register
+    // counts, asymptotic form above (the advisor-flagged small-m bias)
+    assert(graft.plans.HllAgg.alphaMM(4) == 0.673 * 16 * 16)
+    assert(graft.plans.HllAgg.alphaMM(5) == 0.697 * 32 * 32)
+    assert(graft.plans.HllAgg.alphaMM(6) == 0.709 * 64 * 64)
+    assert(graft.plans.HllAgg.alphaMM(8) ==
+      0.7213 / (1.0 + 1.079 / 256) * 256 * 256)
   }
 
   test("cms_topk property: estimates never undercount on arbitrary " +
