@@ -105,6 +105,14 @@ object QueriesPipeline {
       j => array_join(slice(ws, j * 5 + 1, lit(5)), " ")), "\n")
   }
 
+  /** The 12-word boilerplate footer q_corpus_substring_dedup plants on
+    * doc_id % 4 = 0 — identical literal on the Spark and oracle sides
+    * (the plantedCrawlUrl convention: the oracle re-plants it
+    * arithmetically, never reading the Spark output). Already
+    * lowercase/single-spaced so normalization is a no-op on it. */
+  private val substrFooter: String =
+    "subscribe to the daily data digest for updates and exclusive query offers"
+
   /** DuckDB replay of [[tile5]]: `ch(doc_id, pos, u)` from a CTE named
     * `ds(doc_id, ws)`. */
   private val tile5Sql: String = """ch AS (
@@ -1084,6 +1092,81 @@ object QueriesPipeline {
           FROM novel)
         SELECT doc_id, string_agg(u, chr(10) ORDER BY pos) AS cleaned
         FROM r WHERE rn = 1 GROUP BY doc_id""")),
+
+    // Intra-corpus exact-substring self-dedup (Lee et al. 2021's
+    // ExactSubstr at fixed k=8): any ≥8-word run repeated anywhere in
+    // the corpus survives only at its globally first (doc_id, pos)
+    // site. Input plants a shared 12-word footer on doc_id % 4 = 0
+    // (5 overlapping anchors each — exercises the island merge on top
+    // of the corpus's natural ~1.3k repeated 8-grams at sf0.001); the
+    // oracle replays anchors → rn>1 non-first occurrences → islands →
+    // covered-position rebuild arithmetically.
+    "q_corpus_substring_dedup" -> Entry(
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"),
+          when(col("doc_id") % 4 === 0,
+            concat_ws(" ", col("text"), lit(substrFooter)))
+            .otherwise(col("text")).as("text"))
+        graft.operators.Corpus.dedupSubstrings(docs, "text", "doc_id",
+          k = 8)
+      },
+      Some(raw"""WITH src AS (
+          SELECT doc_id, CASE WHEN doc_id % 4 = 0
+            THEN text || ' $substrFooter' ELSE text END AS text
+          FROM documents
+        ), ws0 AS (
+          SELECT doc_id,
+            regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+          FROM src
+        ), anchors AS (
+          SELECT doc_id, i - 1 AS p,
+            array_to_string(list_slice(ws, i, i + 7), ' ') AS g
+          FROM ws0, unnest(range(1, len(ws) - 6)) AS t(i)
+          WHERE len(ws) >= 8
+        ), hits AS (
+          SELECT doc_id, p FROM (
+            SELECT doc_id, p,
+              row_number() OVER (PARTITION BY g ORDER BY doc_id, p) AS rn
+            FROM anchors) x WHERE rn > 1
+        ), isl AS (
+          SELECT doc_id, p, CASE WHEN
+              coalesce(p - lag(p) OVER (PARTITION BY doc_id ORDER BY p),
+                9) > 8 THEN 1 ELSE 0 END AS head
+          FROM hits
+        ), isl2 AS (
+          SELECT doc_id, p,
+            sum(head) OVER (PARTITION BY doc_id ORDER BY p) AS gid
+          FROM isl
+        ), spans AS (
+          SELECT doc_id, gid, min(p) AS s, max(p) + 7 AS e
+          FROM isl2 GROUP BY 1, 2
+        ), nsp AS (
+          SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY 1
+        ), words AS (
+          SELECT doc_id, j AS q, ws[j + 1] AS w
+          FROM ws0, unnest(range(0, len(ws))) AS t(j)
+        ), cov AS (
+          SELECT DISTINCT w.doc_id, w.q
+          FROM words w JOIN spans sp ON sp.doc_id = w.doc_id
+            AND w.q BETWEEN sp.s AND sp.e
+        ), kept AS (
+          SELECT w.doc_id, w.q, w.w
+          FROM words w LEFT JOIN cov
+            ON cov.doc_id = w.doc_id AND cov.q = w.q
+          WHERE cov.doc_id IS NULL
+        ), rebuilt AS (
+          SELECT doc_id, string_agg(w, ' ' ORDER BY q) AS clean_text,
+            count(*) AS n_kept
+          FROM kept GROUP BY 1
+        ), tot AS (SELECT doc_id, len(ws) AS n_all FROM ws0)
+        SELECT s.doc_id, coalesce(r.clean_text, '') AS clean_text,
+          CAST(t2.n_all - coalesce(r.n_kept, 0) AS BIGINT)
+            AS n_words_removed,
+          CAST(coalesce(nsp.n_spans, 0) AS BIGINT) AS n_spans
+        FROM src s
+        JOIN tot t2 ON t2.doc_id = s.doc_id
+        LEFT JOIN rebuilt r ON r.doc_id = s.doc_id
+        LEFT JOIN nsp ON nsp.doc_id = s.doc_id""")),
 
     // Per-SOURCE boilerplate removal: words appearing (distinct per
     // doc) in > 30% of a source's documents strip from that source

@@ -156,6 +156,23 @@ object Contamination {
           .as(Seq("p", "__g")))
       .join(broadcast(benchShingles), Seq("__g"))
       .select(col("__doc"), col("p"))
+    scrubFromHits(docs, idCol, textCol, hitPos, n, buffer,
+      broadcastMaxHitDocs)
+  }
+
+  /** The islands + span-merge + rebuild back half of [[scrubSpans]],
+    * over an arbitrary `(__doc, p)` hit-window-start stream — shared
+    * with [[Corpus.dedupSubstrings]] (whose hits are non-first
+    * occurrences of duplicated corpus anchors rather than eval-set
+    * matches) so the buffered-extent merge rule and the normalized
+    * rebuild cannot diverge between the two operators. Positions
+    * index the normalized token stream; the islands window partitions
+    * per document (bounded by single-document length — a document is
+    * never corpus-sized). */
+  private[operators] def scrubFromHits(docs: DataFrame, idCol: String,
+      textCol: String, hitPos: DataFrame, n: Int, buffer: Int,
+      broadcastMaxHitDocs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // two hit windows at starts p1 < p2 produce overlapping or touching
     // BUFFERED extents whenever p2 - p1 <= n + 2*buffer
     val gap = n + 2 * buffer

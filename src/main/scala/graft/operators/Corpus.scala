@@ -549,6 +549,64 @@ object Corpus {
     keepFirstRebuild(novel, idCol, textCol, delim)
   }
 
+  /** Intra-corpus EXACT-SUBSTRING self-dedup — the suffix-array
+    * "deduplicating training data" operator (Lee et al. 2021) at a
+    * fixed window length: any run of ≥ k consecutive (normalized)
+    * words that occurs more than once ANYWHERE in the corpus —
+    * across documents or within one — survives only at its globally
+    * first occurrence (ordered by (doc id, position)) and is cut from
+    * every other site; overlapping/adjacent cut windows merge into
+    * maximal spans and documents rebuild without them. Complements
+    * [[dedupKeepFirst]], which needs duplication to align on
+    * `delim`-unit boundaries — this catches repeated passages at
+    * ARBITRARY offsets (the boilerplate-inside-a-paragraph case
+    * paragraph dedup misses).
+    *
+    * Mechanics: every k-word window is an anchor; a repeated ≥k-word
+    * substring makes ALL its anchors repeat, so cutting the covered
+    * positions of non-first anchor occurrences removes exactly the
+    * repeated run. Anchors hash to md5-128 fingerprints before they
+    * shuffle (16-byte keys instead of k-word strings — the
+    * [[unitIndex]] rationale; a false cut needs a 2^-128 collision).
+    *
+    * Scale shape: one fp-keyed exchange with PARTIAL `min(struct)` +
+    * count below it (the [[dedupKeepFirst]] winner shape — a
+    * boilerplate anchor duplicated 10^8× ships one row per map
+    * task); winners prune to count ≥ 2 BEFORE the rejoin, so unique
+    * anchors — the overwhelming majority of a real corpus — never
+    * build a join side; the occurrence⋈winner equi-join is
+    * AQE-skew-splittable; the hit stream is bounded by actual
+    * duplication and feeds [[Contamination.scrubFromHits]]' per-doc
+    * islands merge + size-guarded rebuild join.
+    *
+    * Returns (idCol, clean_text, n_words_removed, n_spans) over the
+    * normalized (trim/lower/single-space) token stream — the
+    * [[Contamination.scrubSpans]] output contract. */
+  def dedupSubstrings(docs: DataFrame, textCol: String, idCol: String,
+      k: Int = 8, broadcastMaxHitDocs: Long = 4000000L): DataFrame = {
+    require(k >= 2, s"dedupSubstrings: k >= 2 (got $k) — window-1 " +
+      "self-dedup would cut every repeated WORD; use a stopword or " +
+      "frequency filter for that")
+    val anchors = docs
+      .filter(graft.plans.TextExpressions.token_count(col(textCol)) >= k)
+      .select(col(idCol).as("__doc"),
+        posexplode(
+          graft.plans.TextExpressions.word_shingles(col(textCol), k))
+          .as(Seq("p", "__g")))
+      .select(col("__doc"), col("p"), md5(col("__g")).as("__gfp"))
+    val winners = anchors.groupBy(col("__gfp"))
+      .agg(min(struct(col("__doc"), col("p"))).as("__first"),
+        count(lit(1)).as("__c"))
+      .filter(col("__c") >= 2)
+      .select(col("__gfp"), col("__first"))
+    val hits = anchors.join(winners, Seq("__gfp"))
+      .filter(!(col("__doc") === col("__first")("__doc") &&
+        col("p") === col("__first")("p")))
+      .select(col("__doc"), col("p"))
+    Contamination.scrubFromHits(docs, idCol, textCol, hits, k,
+      buffer = 0, broadcastMaxHitDocs = broadcastMaxHitDocs)
+  }
+
   /** Deterministic training-order shuffle: ORDER BY md5("id:seed") —
     * rerun-stable, partition-layout-independent, and engine-portable
     * (the same md5 trick as [[hashKeep]]); a different seed is an

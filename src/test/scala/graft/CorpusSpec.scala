@@ -752,6 +752,43 @@ class CorpusSpec extends AnyFunSuite {
     assert(row.getDouble(0) == 0.0 && row.getBoolean(1))
   }
 
+  test("dedupSubstrings: repeated >=k-word runs survive only at the " +
+      "globally first site; arbitrary offsets, island merge, " +
+      "within-doc repeats, short docs exempt") {
+    val k = 3
+    val docs = Seq(
+      // doc 1: the canonical copy of "p q r s" (its 3-grams "p q r",
+      // "q r s" are first here)
+      (1L, "a b p q r s c d"),
+      // doc 2: same run at a DIFFERENT offset mid-text → cut from
+      // doc 2 only (paragraph dedup would never align these)
+      (2L, "x y z p q r s w"),
+      // doc 3: within-doc repetition — "m n o" twice, second cut
+      (3L, "m n o t u m n o"),
+      // doc 4: shorter than k → exempt even though "p q" repeats
+      (4L, "p q"),
+      // doc 5: clean
+      (5L, "e f g h i j")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Corpus
+      .dedupSubstrings(docs, "text", "doc_id", k = k)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("a b p q r s c d", 0L, 0L)))
+    // doc 2: non-first anchors at p=3 ("p q r") and p=4 ("q r s")
+    // merge into one island → span [3, 6] → "p q r s" cut
+    assert(out(2L) == (("x y z w", 4L, 1L)))
+    // doc 3: anchor "m n o" repeats at p=0 and p=5; p=5 is non-first
+    // → span [5, 7]
+    assert(out(3L) == (("m n o t u", 3L, 1L)))
+    assert(out(4L) == (("p q", 0L, 0L)))
+    assert(out(5L) == (("e f g h i j", 0L, 0L)))
+    // k >= 2 contract
+    intercept[IllegalArgumentException] {
+      graft.operators.Corpus.dedupSubstrings(docs, "text", "doc_id", k = 1)
+    }
+  }
+
   test("dedupKeepFirst keeps only the globally first unit occurrence") {
     val df = Seq(
       (1L, "alpha\nbeta"),

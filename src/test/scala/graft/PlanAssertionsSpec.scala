@@ -514,6 +514,21 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(p.contains("md5(cast(u"), s"fingerprint join key missing:\n$p")
   }
 
+  test("q_corpus_substring_dedup: anchor winners partial-aggregate " +
+      "before the fingerprint exchange; gram strings hash to md5 " +
+      "before any shuffle; no cartesian anywhere") {
+    val p = plan("q_corpus_substring_dedup")
+    // the winner min(struct) + count crush a mega-duplicated anchor
+    // to one row per map task BEFORE the exchange (the keep-first
+    // shape); without it a boilerplate anchor pins one task
+    assert(p.contains("partial_min") && p.contains("partial_count"),
+      s"winner agg must partial-aggregate map-side:\n$p")
+    // anchors shuffle as md5 fingerprints, never k-word gram strings
+    assert(p.contains("md5("), s"fingerprint projection missing:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"no cartesian:\n$p")
+  }
+
   test("q_quality_ppl_buckets: group offsets broadcast; no per-group " +
       "window anywhere (ranks come from the two-phase prefix sum)") {
     val p = plan("q_quality_ppl_buckets")
