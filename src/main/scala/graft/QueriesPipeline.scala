@@ -1168,6 +1168,96 @@ object QueriesPipeline {
         LEFT JOIN rebuilt r ON r.doc_id = s.doc_id
         LEFT JOIN nsp ON nsp.doc_id = s.doc_id""")),
 
+    // Incremental substring dedup — the recurring-crawl shape: history
+    // (doc_id % 5 < 4) persists ONLY as distinct md5 anchor
+    // fingerprints; each batch doc (doc_id % 5 = 4) loses every
+    // ≥8-word run history contains PLUS in-batch non-first repeats.
+    // The oracle anti/semi-joins on the gram STRING (≡ md5 keys up to
+    // vanishing 128-bit collisions, the unitIndex convention).
+    "q_corpus_substring_dedup_incr" -> Entry(
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"),
+          when(col("doc_id") % 4 === 0,
+            concat_ws(" ", col("text"), lit(substrFooter)))
+            .otherwise(col("text")).as("text"))
+        val idx = graft.operators.Corpus.substringAnchorIndex(
+          docs.filter(col("doc_id") % 5 < 4), "text", "doc_id", k = 8)
+        graft.operators.Corpus.dedupSubstringsAgainstIndex(
+          docs.filter(col("doc_id") % 5 === 4), idx, "text", "doc_id",
+          k = 8)
+      },
+      Some(raw"""WITH src AS (
+          SELECT doc_id, CASE WHEN doc_id % 4 = 0
+            THEN text || ' $substrFooter' ELSE text END AS text
+          FROM documents
+        ), ws0 AS (
+          SELECT doc_id,
+            regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+          FROM src
+        ), anchors AS (
+          SELECT doc_id, i - 1 AS p,
+            array_to_string(list_slice(ws, i, i + 7), ' ') AS g
+          FROM ws0, unnest(range(1, len(ws) - 6)) AS t(i)
+          WHERE len(ws) >= 8
+        ), idx AS (
+          SELECT DISTINCT g FROM anchors WHERE doc_id % 5 < 4
+        ), b AS (
+          SELECT doc_id, p, g FROM anchors WHERE doc_id % 5 = 4
+        ), hist AS (
+          SELECT b.doc_id, b.p FROM b JOIN idx ON idx.g = b.g
+        ), novel AS (
+          SELECT b.doc_id, b.p, b.g FROM b LEFT JOIN idx ON idx.g = b.g
+          WHERE idx.g IS NULL
+        ), nf AS (
+          SELECT doc_id, p FROM (
+            SELECT doc_id, p,
+              row_number() OVER (PARTITION BY g ORDER BY doc_id, p) AS rn
+            FROM novel) x WHERE rn > 1
+        ), hits AS (
+          SELECT doc_id, p FROM hist
+          UNION ALL SELECT doc_id, p FROM nf
+        ), isl AS (
+          SELECT doc_id, p, CASE WHEN
+              coalesce(p - lag(p) OVER (PARTITION BY doc_id ORDER BY p),
+                9) > 8 THEN 1 ELSE 0 END AS head
+          FROM hits
+        ), isl2 AS (
+          SELECT doc_id, p,
+            sum(head) OVER (PARTITION BY doc_id ORDER BY p) AS gid
+          FROM isl
+        ), spans AS (
+          SELECT doc_id, gid, min(p) AS s, max(p) + 7 AS e
+          FROM isl2 GROUP BY 1, 2
+        ), nsp AS (
+          SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY 1
+        ), words AS (
+          SELECT doc_id, j AS q, ws[j + 1] AS w
+          FROM ws0, unnest(range(0, len(ws))) AS t(j)
+          WHERE doc_id % 5 = 4
+        ), cov AS (
+          SELECT DISTINCT w.doc_id, w.q
+          FROM words w JOIN spans sp ON sp.doc_id = w.doc_id
+            AND w.q BETWEEN sp.s AND sp.e
+        ), kept AS (
+          SELECT w.doc_id, w.q, w.w
+          FROM words w LEFT JOIN cov
+            ON cov.doc_id = w.doc_id AND cov.q = w.q
+          WHERE cov.doc_id IS NULL
+        ), rebuilt AS (
+          SELECT doc_id, string_agg(w, ' ' ORDER BY q) AS clean_text,
+            count(*) AS n_kept
+          FROM kept GROUP BY 1
+        ), tot AS (SELECT doc_id, len(ws) AS n_all FROM ws0)
+        SELECT s.doc_id, coalesce(r.clean_text, '') AS clean_text,
+          CAST(t2.n_all - coalesce(r.n_kept, 0) AS BIGINT)
+            AS n_words_removed,
+          CAST(coalesce(nsp.n_spans, 0) AS BIGINT) AS n_spans
+        FROM src s
+        JOIN tot t2 ON t2.doc_id = s.doc_id
+        LEFT JOIN rebuilt r ON r.doc_id = s.doc_id
+        LEFT JOIN nsp ON nsp.doc_id = s.doc_id
+        WHERE s.doc_id % 5 = 4""")),
+
     // Per-SOURCE boilerplate removal: words appearing (distinct per
     // doc) in > 30% of a source's documents strip from that source
     // only — the domain-scoped nav/footer/banner cut a corpus-global

@@ -584,26 +584,85 @@ object Corpus {
     * [[Contamination.scrubSpans]] output contract. */
   def dedupSubstrings(docs: DataFrame, textCol: String, idCol: String,
       k: Int = 8, broadcastMaxHitDocs: Long = 4000000L): DataFrame = {
-    require(k >= 2, s"dedupSubstrings: k >= 2 (got $k) — window-1 " +
+    val anchors = anchorsOf(docs, textCol, idCol, k)
+    val hits = nonFirstOccurrences(anchors)
+    Contamination.scrubFromHits(docs, idCol, textCol, hits, k,
+      buffer = 0, broadcastMaxHitDocs = broadcastMaxHitDocs)
+  }
+
+  /** (__doc, p, __gfp) md5-fingerprinted k-word anchor stream — the
+    * shared front of the substring-dedup family (docs shorter than k
+    * words produce no anchors; the gram text never leaves the map
+    * side). */
+  private def anchorsOf(docs: DataFrame, textCol: String, idCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, s"substring dedup: k >= 2 (got $k) — window-1 " +
       "self-dedup would cut every repeated WORD; use a stopword or " +
       "frequency filter for that")
-    val anchors = docs
+    docs
       .filter(graft.plans.TextExpressions.token_count(col(textCol)) >= k)
       .select(col(idCol).as("__doc"),
         posexplode(
           graft.plans.TextExpressions.word_shingles(col(textCol), k))
           .as(Seq("p", "__g")))
       .select(col("__doc"), col("p"), md5(col("__g")).as("__gfp"))
+  }
+
+  /** Occurrences that are NOT their gram's globally first (doc, pos)
+    * site — the substring-dedup hit rule (partial-agg winner groupBy,
+    * count ≥ 2 prune, skew-splittable rejoin; see [[dedupSubstrings]]
+    * for the scale shape). */
+  private def nonFirstOccurrences(anchors: DataFrame): DataFrame = {
     val winners = anchors.groupBy(col("__gfp"))
       .agg(min(struct(col("__doc"), col("p"))).as("__first"),
         count(lit(1)).as("__c"))
       .filter(col("__c") >= 2)
       .select(col("__gfp"), col("__first"))
-    val hits = anchors.join(winners, Seq("__gfp"))
+    anchors.join(winners, Seq("__gfp"))
       .filter(!(col("__doc") === col("__first")("__doc") &&
         col("p") === col("__first")("p")))
       .select(col("__doc"), col("p"))
-    Contamination.scrubFromHits(docs, idCol, textCol, hits, k,
+  }
+
+  /** Persisted anchor-fingerprint index of a corpus — the substring
+    * analog of [[unitIndex]]: the historical corpus is represented
+    * ONLY by the distinct md5-128 fingerprints of its k-word anchor
+    * windows, so incremental crawls substring-dedup against history
+    * without ever re-reading corpus text. */
+  def substringAnchorIndex(corpus: DataFrame, textCol: String,
+      idCol: String, k: Int = 8): DataFrame =
+    anchorsOf(corpus, textCol, idCol, k)
+      .select(col("__gfp").as("afp")).distinct()
+
+  /** Incremental [[dedupSubstrings]]: cut from each batch document
+    * every ≥k-word run that history already contains (anchor
+    * fingerprint present in `index`) PLUS every non-first repeat
+    * within the batch itself — exactly the spans a one-shot
+    * [[dedupSubstrings]] over history ∪ batch would cut from the
+    * batch side, at |batch anchors| + |index| cost per increment.
+    * Append `substringAnchorIndex(batch, …, k)` (same k) to the store
+    * afterwards to advance history.
+    *
+    * Scale shape: one semi/anti join pair against the index on
+    * 16-byte keys (historical grams hit wholesale — no winner
+    * arithmetic needed for them), the [[dedupSubstrings]] winner
+    * groupBy only over the batch-novel remainder, then the shared
+    * islands merge + size-guarded rebuild. */
+  def dedupSubstringsAgainstIndex(batch: DataFrame, index: DataFrame,
+      textCol: String, idCol: String, k: Int = 8,
+      broadcastMaxHitDocs: Long = 4000000L): DataFrame = {
+    require(index.columns.sameElements(Array("afp")),
+      "dedupSubstringsAgainstIndex: index must be a " +
+        "substringAnchorIndex result (single afp column; got " +
+        s"${index.columns.mkString(", ")})")
+    val anchors = anchorsOf(batch, textCol, idCol, k)
+    val historical = anchors
+      .join(index, anchors("__gfp") === index("afp"), "left_semi")
+      .select(col("__doc"), col("p"))
+    val novel = anchors
+      .join(index, anchors("__gfp") === index("afp"), "left_anti")
+    val hits = historical.unionByName(nonFirstOccurrences(novel))
+    Contamination.scrubFromHits(batch, idCol, textCol, hits, k,
       buffer = 0, broadcastMaxHitDocs = broadcastMaxHitDocs)
   }
 

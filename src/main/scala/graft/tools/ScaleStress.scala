@@ -336,6 +336,73 @@ object ScaleStress {
       docs.unpersist(); idx.unpersist()
     }
 
+    // Round-11 drill: Zipf-skewed keep-first + the composed web-dedup
+    // pipeline at web shape (10^6 → 10^7 docs, 2×10^7 → 2×10^8 unit
+    // occurrences). Unit ids draw log-uniform over [1, 10^6] — Zipf
+    // s≈1, so unit 1 alone takes ~5% of ALL occurrences (the blank
+    // line / cookie banner: ~10^7 copies at the 10× leg). The r10
+    // PARTITION BY u window would pin that unit's whole group on ONE
+    // un-splittable task; the partial-agg winner groupBy must keep
+    // wall ~linear in corpus size and the winner-exchange shuffle
+    // bytes ~|map-task-distinct units|, not |occurrences|.
+    println(f"\n${"docs"}%9s ${"kf_kept"}%9s ${"t_kf"}%7s " +
+      f"${"kf_shufMB"}%10s ${"web_kept"}%9s ${"t_web"}%7s " +
+      f"${"web_shufMB"}%11s")
+    if (which == "all" || which == "r11ops") {
+      import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+      val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+      spark.sparkContext.addSparkListener(new SparkListener {
+        override def onStageCompleted(
+            sc: SparkListenerStageCompleted): Unit =
+          shuffleBytes.addAndGet(
+            sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      })
+      for (n <- Seq(1000000L, 1000000L * maxScale)) {
+        // deterministic Zipf unit ids: md5 uniform → inverse CDF of
+        // the log-uniform density (P(id=r) ≈ 1/(r·ln 10^6))
+        val docs = spark.range(n).select(col("id").as("doc_id"))
+          .select(col("doc_id"), array_join(
+            transform(sequence(lit(0), lit(19)), j =>
+              concat(lit("unit"),
+                floor(exp(
+                  (conv(substring(md5(concat(col("doc_id").cast("string"),
+                    lit(":"), j.cast("string"))), 1, 15), 16, 10)
+                    .cast("double") / lit(math.pow(2.0, 60))) *
+                  log(lit(1000000.0)))).cast("long").cast("string"),
+                lit(" alpha beta gamma delta"))), "\n").as("text"))
+          .cache()
+        docs.count() // materialize: legs time dedup, not generation
+        def timedMB(force: => Long): (Long, Double, Double) = {
+          shuffleBytes.set(0L)
+          val t0 = System.nanoTime()
+          val out = force
+          val secs = (System.nanoTime() - t0) / 1e9
+          (out, secs, shuffleBytes.get / 1e6)
+        }
+        val (nKf, tKf, mbKf) = timedMB {
+          Corpus.dedupKeepFirst(docs, "text", "doc_id", "\n").count()
+        }
+        // composed web shape: 5 crawl variants per page collapse by
+        // canonical url (longest-then-oldest wins), survivors feed the
+        // SAME keep-first — the q_pipeline_web_dedup plan at scale
+        val (nWeb, tWeb, mbWeb) = timedMB {
+          val urled = docs.select(col("doc_id"), col("text"),
+            length(col("text")).cast("long").as("n_chars"),
+            concat(lit("https://example.invalid/p/"),
+              (col("doc_id") / 5).cast("long").cast("string"))
+              .as("url_norm"))
+          val kept = Dedup.keepBestByKey(urled, "url_norm",
+            struct(col("n_chars"), -col("doc_id")),
+            nullsPassThrough = false)
+          Corpus.dedupKeepFirst(kept.select(col("doc_id"), col("text")),
+            "text", "doc_id", "\n").count()
+        }
+        println(f"$n%9d $nKf%9d $tKf%7.1f $mbKf%10.1f " +
+          f"$nWeb%9d $tWeb%7.1f $mbWeb%11.1f")
+        docs.unpersist()
+      }
+    }
+
     // Round-8 line-dedup drill: the rewritten one-cached-pass plan
     // (dup-heavy: every copy shares its full token stream, so the
     // frequent set is the whole shared vocabulary above threshold —

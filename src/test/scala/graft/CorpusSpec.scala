@@ -789,6 +789,34 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("dedupSubstringsAgainstIndex: historical runs strip wholesale, " +
+      "in-batch repeats keep first, novel text passes") {
+    val k = 3
+    val history = Seq((1L, "a b p q r s c d")).toDF("doc_id", "text")
+    val idx = graft.operators.Corpus
+      .substringAnchorIndex(history, "text", "doc_id", k)
+    val batch = Seq(
+      // historical run "p q r s" at a new offset → cut via the index
+      (10L, "x y p q r s w"),
+      // in-batch within-doc repeat — second "m n o" cut via keep-first
+      (11L, "m n o t u m n o"),
+      (12L, "fresh words only here")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Corpus
+      .dedupSubstringsAgainstIndex(batch, idx, "text", "doc_id", k)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(10L) == (("x y w", 4L, 1L)))
+    assert(out(11L) == (("m n o t u", 3L, 1L)))
+    assert(out(12L) == (("fresh words only here", 0L, 0L)))
+    // malformed index fails the named contract
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Corpus.dedupSubstringsAgainstIndex(
+        batch, history, "text", "doc_id", k)
+    }
+    assert(e.getMessage.contains("substringAnchorIndex"))
+  }
+
   test("dedupKeepFirst keeps only the globally first unit occurrence") {
     val df = Seq(
       (1L, "alpha\nbeta"),

@@ -529,6 +529,18 @@ class PlanAssertionsSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), s"no cartesian:\n$p")
   }
 
+  test("q_corpus_substring_dedup_incr: batch anchors semi/anti-join " +
+      "the fingerprint index; only the batch-novel remainder pays " +
+      "winner arithmetic") {
+    val p = plan("q_corpus_substring_dedup_incr")
+    assert(p.contains("LeftSemi"), s"historical-hit semi join missing:\n$p")
+    assert(p.contains("LeftAnti"), s"novel-anchor anti join missing:\n$p")
+    assert(p.contains("partial_min"),
+      s"in-batch winner agg must partial-aggregate:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"no cartesian:\n$p")
+  }
+
   test("q_quality_ppl_buckets: group offsets broadcast; no per-group " +
       "window anywhere (ranks come from the two-phase prefix sum)") {
     val p = plan("q_quality_ppl_buckets")
