@@ -651,19 +651,104 @@ object Corpus {
   def dedupSubstringsAgainstIndex(batch: DataFrame, index: DataFrame,
       textCol: String, idCol: String, k: Int = 8,
       broadcastMaxHitDocs: Long = 4000000L): DataFrame = {
-    require(index.columns.sameElements(Array("afp")),
-      "dedupSubstringsAgainstIndex: index must be a " +
-        "substringAnchorIndex result (single afp column; got " +
-        s"${index.columns.mkString(", ")})")
+    requireAnchorIndex(index)
     val anchors = anchorsOf(batch, textCol, idCol, k)
-    val historical = anchors
-      .join(index, anchors("__gfp") === index("afp"), "left_semi")
-      .select(col("__doc"), col("p"))
-    val novel = anchors
-      .join(index, anchors("__gfp") === index("afp"), "left_anti")
-    val hits = historical.unionByName(nonFirstOccurrences(novel))
+    val hits = indexSplitHits(anchors, index, extraNovel = None)
     Contamination.scrubFromHits(batch, idCol, textCol, hits, k,
       buffer = 0, broadcastMaxHitDocs = broadcastMaxHitDocs)
+  }
+
+  /** Bloom sidecar over a [[substringAnchorIndex]]'s `afp` column —
+    * the [[Dedup.indexBloom]] analog for anchors. Anchors outnumber
+    * documents by the doc word count, so at 100 TB the batch-anchor ⋈
+    * index exchange is the probe's dominant cost; with the sidecar a
+    * Bloom MISS proves the anchor novel map-side and only the
+    * historical sliver (+ fpp) shuffles against the index. Null on an
+    * empty index (the aggregate's empty-input result) —
+    * [[dedupSubstringsAgainstIndexBloom]] handles it. */
+  def substringIndexBloom(index: DataFrame, fpp: Double = 0.01,
+      expectedItems: Long = -1L): Array[Byte] = {
+    requireAnchorIndex(index)
+    graft.plans.BloomProbe.buildFilter(index, col("afp"), fpp,
+      expectedItems)
+  }
+
+  /** [[dedupSubstringsAgainstIndex]] with a pre-built
+    * [[substringIndexBloom]] sidecar — row-identical results at any
+    * fpp (a Bloom miss has no false negatives): misses join the
+    * batch-novel pool directly; only accepted anchors (historical +
+    * fpp sliver) consult the index. Null sidecar = EMPTY index, so
+    * the whole batch is novel and this degenerates to the one-shot
+    * [[dedupSubstrings]].
+    *
+    * The index never exchanges on the fast path: when the accepted
+    * sliver holds ≤ `maxSliverAnchors` rows (the incremental premise
+    * — a fresh crawl re-sees little), its distinct fingerprints
+    * BROADCAST into a map-only semi-scan of the index, and the
+    * surviving truly-historical fingerprints broadcast back to split
+    * the sliver — the index is scanned once per increment, shuffled
+    * never, which is the shape that survives a 100 TB history. A
+    * dup-heavy batch overflows the cap and falls back to the plain
+    * shuffled semi/anti pair (still |index|+|sliver|, still correct).
+    * (The anchor subtree feeds both branches of the bloom split; the
+    * sliver is persisted, the miss side may recompute — a
+    * |batch|-sized map-only cost, by construction tiny next to the
+    * index.) */
+  def dedupSubstringsAgainstIndexBloom(batch: DataFrame,
+      index: DataFrame, textCol: String, idCol: String,
+      bloom: Array[Byte], k: Int = 8,
+      broadcastMaxHitDocs: Long = 4000000L,
+      maxSliverAnchors: Long = 1000000L): DataFrame = {
+    if (bloom == null)
+      return dedupSubstrings(batch, textCol, idCol, k,
+        broadcastMaxHitDocs)
+    requireAnchorIndex(index)
+    val probed = anchorsOf(batch, textCol, idCol, k)
+      .withColumn("__maybe", graft.plans.BloomProbe
+        .mightContain(bloom, xxhash64(col("__gfp"))))
+    val miss = probed.filter(!col("__maybe")).drop("__maybe")
+    val accepted = probed.filter(col("__maybe")).drop("__maybe")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // row count bounds distinct count — one map-only pass, no shuffle
+    val hits =
+      if (accepted.count() <= maxSliverAnchors) {
+        val acceptedFps = accepted.select(col("__gfp")).distinct()
+        val histFps = index
+          .join(broadcast(acceptedFps),
+            index("afp") === acceptedFps("__gfp"), "left_semi")
+        val historical = accepted
+          .join(broadcast(histFps),
+            accepted("__gfp") === histFps("afp"), "left_semi")
+          .select(col("__doc"), col("p"))
+        val novel = accepted
+          .join(broadcast(histFps),
+            accepted("__gfp") === histFps("afp"), "left_anti")
+          .unionByName(miss)
+        historical.unionByName(nonFirstOccurrences(novel))
+      } else indexSplitHits(accepted, index, extraNovel = Some(miss))
+    Contamination.scrubFromHits(batch, idCol, textCol, hits, k,
+      buffer = 0, broadcastMaxHitDocs = broadcastMaxHitDocs)
+  }
+
+  private def requireAnchorIndex(index: DataFrame): Unit =
+    require(index.columns.sameElements(Array("afp")),
+      "substring dedup: index must be a substringAnchorIndex result " +
+        s"(single afp column; got ${index.columns.mkString(", ")})")
+
+  /** The shared index-probe tail: `probe` anchors split into
+    * historical hits (semi-join — wholesale cuts, no winner
+    * arithmetic) and the batch-novel remainder (anti-join survivors ∪
+    * `extraNovel`), which alone pays [[nonFirstOccurrences]]' winner
+    * groupBy. */
+  private def indexSplitHits(probe: DataFrame, index: DataFrame,
+      extraNovel: Option[DataFrame]): DataFrame = {
+    val historical = probe
+      .join(index, probe("__gfp") === index("afp"), "left_semi")
+      .select(col("__doc"), col("p"))
+    val antiSurvivors = probe
+      .join(index, probe("__gfp") === index("afp"), "left_anti")
+    val novel = extraNovel.fold(antiSurvivors)(antiSurvivors.unionByName)
+    historical.unionByName(nonFirstOccurrences(novel))
   }
 
   /** Deterministic training-order shuffle: ORDER BY md5("id:seed") —

@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.Dedup
 
@@ -345,18 +345,31 @@ object ScaleStress {
     // un-splittable task; the partial-agg winner groupBy must keep
     // wall ~linear in corpus size and the winner-exchange shuffle
     // bytes ~|map-task-distinct units|, not |occurrences|.
+    // Shared shuffle-byte accounting for the round-11 drills: a stage
+    // listener summed between timedMB resets (listener events land
+    // async, so each timed leg sleeps the bus empty before reading).
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(
+          sc: SparkListenerStageCompleted): Unit =
+        shuffleBytes.addAndGet(
+          sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    })
+    def timedMB(force: => Long): (Long, Double, Double) = {
+      Thread.sleep(300) // drain async stage events from the prior leg
+      shuffleBytes.set(0L)
+      val t0 = System.nanoTime()
+      val out = force
+      val secs = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300)
+      (out, secs, shuffleBytes.get / 1e6)
+    }
+
     println(f"\n${"docs"}%9s ${"kf_kept"}%9s ${"t_kf"}%7s " +
       f"${"kf_shufMB"}%10s ${"web_kept"}%9s ${"t_web"}%7s " +
       f"${"web_shufMB"}%11s")
     if (which == "all" || which == "r11ops") {
-      import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
-      val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
-      spark.sparkContext.addSparkListener(new SparkListener {
-        override def onStageCompleted(
-            sc: SparkListenerStageCompleted): Unit =
-          shuffleBytes.addAndGet(
-            sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
-      })
       for (n <- Seq(1000000L, 1000000L * maxScale)) {
         // deterministic Zipf unit ids: md5 uniform → inverse CDF of
         // the log-uniform density (P(id=r) ≈ 1/(r·ln 10^6))
@@ -372,13 +385,6 @@ object ScaleStress {
                 lit(" alpha beta gamma delta"))), "\n").as("text"))
           .cache()
         docs.count() // materialize: legs time dedup, not generation
-        def timedMB(force: => Long): (Long, Double, Double) = {
-          shuffleBytes.set(0L)
-          val t0 = System.nanoTime()
-          val out = force
-          val secs = (System.nanoTime() - t0) / 1e9
-          (out, secs, shuffleBytes.get / 1e6)
-        }
         val (nKf, tKf, mbKf) = timedMB {
           Corpus.dedupKeepFirst(docs, "text", "doc_id", "\n").count()
         }
@@ -400,6 +406,60 @@ object ScaleStress {
         println(f"$n%9d $nKf%9d $tKf%7.1f $mbKf%10.1f " +
           f"$nWeb%9d $tWeb%7.1f $mbWeb%11.1f")
         docs.unpersist()
+      }
+    }
+
+    // Round-11 substring-index drill: incremental substring dedup of a
+    // mostly-novel batch (|batch| = |history|/10, 5% of batch docs
+    // repeat a full historical doc) against a persisted anchor index.
+    // Plain probe = shuffled semi/anti pair — the INDEX crosses the
+    // exchange every increment, so probe shuffle grows with history.
+    // Bloom sidecar = misses proven novel map-side; the accepted
+    // sliver broadcasts into a map-only semi-scan of the index, which
+    // never exchanges — probe shuffle should stay ~|batch novel
+    // anchors| (the winner groupBy) at ANY history size. Caps raised
+    // per the BloomProbe Scaladoc: the 10× index holds ~13M anchors.
+    println(f"\n${"hist"}%9s ${"anchors"}%9s ${"spans"}%7s " +
+      f"${"t_plain"}%8s ${"plain_MB"}%9s ${"t_bloom"}%8s " +
+      f"${"bloom_MB"}%9s")
+    if (which == "all" || which == "ssidx") {
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", 33554432L)
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", 268435456L)
+      def docText(id: Column): Column = array_join(
+        transform(sequence(lit(0), lit(19)),
+          j => concat(lit("w"), (id * 20 + j).cast("string"))), " ")
+      for (n <- Seq(100000L, 100000L * maxScale)) {
+        val hist = spark.range(n).select(col("id").as("doc_id"),
+          docText(col("id")).as("text"))
+        val idx = Corpus.substringAnchorIndex(hist, "text", "doc_id", 8)
+          .cache()
+        val nAnchors = idx.count()
+        val batch = spark.range(n / 10)
+          .select((col("id") + 1000000000L).as("doc_id"),
+            docText(when(col("id") % 20 === 0, col("id") % n)
+              .otherwise(col("id") + 1000000000L)).as("text"))
+          .cache()
+        batch.count()
+        def spans(df: org.apache.spark.sql.DataFrame): Long =
+          df.agg(coalesce(sum(col("n_spans")), lit(0L)).as("s"))
+            .head.getLong(0)
+        val (sPlain, tPlain, mbPlain) = timedMB {
+          spans(Corpus.dedupSubstringsAgainstIndex(
+            batch, idx, "text", "doc_id", k = 8))
+        }
+        val bloom = Corpus.substringIndexBloom(idx,
+          expectedItems = nAnchors)
+        val (sBloom, tBloom, mbBloom) = timedMB {
+          spans(Corpus.dedupSubstringsAgainstIndexBloom(
+            batch, idx, "text", "doc_id", bloom, k = 8))
+        }
+        require(sPlain == sBloom,
+          s"sidecar changed results: $sPlain vs $sBloom")
+        println(f"$n%9d $nAnchors%9d $sPlain%7d " +
+          f"$tPlain%8.1f $mbPlain%9.1f $tBloom%8.1f $mbBloom%9.1f")
+        idx.unpersist(); batch.unpersist()
       }
     }
 

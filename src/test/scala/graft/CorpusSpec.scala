@@ -817,6 +817,49 @@ class CorpusSpec extends AnyFunSuite {
     assert(e.getMessage.contains("substringAnchorIndex"))
   }
 
+  test("dedupSubstringsAgainstIndexBloom: sidecar path row-identical " +
+      "to the plain probe; null sidecar degenerates to in-batch dedup") {
+    val k = 3
+    val history = Seq((1L, "a b p q r s c d")).toDF("doc_id", "text")
+    val idx = graft.operators.Corpus
+      .substringAnchorIndex(history, "text", "doc_id", k)
+    val batch = Seq(
+      (10L, "x y p q r s w"),
+      (11L, "m n o t u m n o"),
+      (12L, "fresh words only here")
+    ).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), r.getLong(3))).sortBy(_._1).toSeq
+    val plain = rows(graft.operators.Corpus
+      .dedupSubstringsAgainstIndex(batch, idx, "text", "doc_id", k))
+    for (fpp <- Seq(0.5, 0.01)) { // high fpp forces real index probes
+      val bloom = graft.operators.Corpus.substringIndexBloom(idx, fpp)
+      assert(bloom != null)
+      val sidecar = rows(graft.operators.Corpus
+        .dedupSubstringsAgainstIndexBloom(
+          batch, idx, "text", "doc_id", bloom, k))
+      assert(sidecar == plain, s"fpp=$fpp")
+      // oversized sliver → the shuffled semi/anti fallback, same rows
+      val fallback = rows(graft.operators.Corpus
+        .dedupSubstringsAgainstIndexBloom(
+          batch, idx, "text", "doc_id", bloom, k,
+          maxSliverAnchors = 0L))
+      assert(fallback == plain, s"fallback fpp=$fpp")
+    }
+    // empty index → null sidecar → one-shot in-batch dedupSubstrings
+    val emptyIdx = idx.filter(lit(false))
+    assert(graft.operators.Corpus.substringIndexBloom(emptyIdx) == null)
+    val degenerate = rows(graft.operators.Corpus
+      .dedupSubstringsAgainstIndexBloom(
+        batch, emptyIdx, "text", "doc_id", null, k))
+    val oneShot = rows(graft.operators.Corpus
+      .dedupSubstrings(batch, "text", "doc_id", k))
+    assert(degenerate == oneShot)
+    // historical "p q r s" survives: history isn't in the batch
+    assert(degenerate.find(_._1 == 10L).get._2 == "x y p q r s w")
+  }
+
   test("dedupKeepFirst keeps only the globally first unit occurrence") {
     val df = Seq(
       (1L, "alpha\nbeta"),
