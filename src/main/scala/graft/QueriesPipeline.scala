@@ -1182,9 +1182,11 @@ object QueriesPipeline {
             .otherwise(col("text")).as("text"))
         val idx = graft.operators.Corpus.substringAnchorIndex(
           docs.filter(col("doc_id") % 5 < 4), "text", "doc_id", k = 8)
-        graft.operators.Corpus.dedupSubstringsAgainstIndex(
+        // bloom+sliver probe path (row-identical to the plain probe,
+        // which q_corpus_paragraph_dedup_incr keeps oracle-covered)
+        graft.operators.Corpus.dedupSubstringsAgainstIndexBloom(
           docs.filter(col("doc_id") % 5 === 4), idx, "text", "doc_id",
-          k = 8)
+          graft.operators.Corpus.substringIndexBloom(idx), k = 8)
       },
       Some(raw"""WITH src AS (
           SELECT doc_id, CASE WHEN doc_id % 4 = 0

@@ -541,12 +541,58 @@ object Corpus {
 
   def dedupKeepFirstAgainstIndex(batch: DataFrame, index: DataFrame,
       textCol: String, idCol: String, delim: String = "\n"): DataFrame = {
-    require(index.columns.sameElements(Array("ufp")),
-      "dedupKeepFirstAgainstIndex: index must be a unitIndex result " +
-        s"(single ufp column; got ${index.columns.mkString(", ")})")
+    requireUnitIndex(index)
     val novel = unitsOf(batch, textCol, idCol, delim)
       .join(index, md5(col("u")) === col("ufp"), "left_anti")
     keepFirstRebuild(novel, idCol, textCol, delim)
+  }
+
+  private def requireUnitIndex(index: DataFrame): Unit =
+    require(index.columns.sameElements(Array("ufp")),
+      "keep-first dedup: index must be a unitIndex result " +
+        s"(single ufp column; got ${index.columns.mkString(", ")})")
+
+  /** Bloom sidecar over a [[unitIndex]]'s `ufp` column — the
+    * [[graft.operators.Dedup.indexBloom]] analog at paragraph
+    * granularity. Null on an empty index;
+    * [[dedupKeepFirstAgainstIndexBloom]] handles it. */
+  def unitIndexBloom(index: DataFrame, fpp: Double = 0.01,
+      expectedItems: Long = -1L): Array[Byte] = {
+    requireUnitIndex(index)
+    graft.plans.BloomProbe.buildFilter(index, col("ufp"), fpp,
+      expectedItems)
+  }
+
+  /** [[dedupKeepFirstAgainstIndex]] with a pre-built [[unitIndexBloom]]
+    * sidecar — row-identical results at any fpp: a Bloom MISS proves
+    * the unit absent from the index map-side, and only the accepted
+    * sliver (historical units + fpp) consults the index, via
+    * [[graft.operators.Dedup.broadcastSliverSplit]] when it fits
+    * `maxSliverUnits` (index scanned once, exchanged never) or the
+    * plain shuffled anti-join past the cap. Null sidecar = EMPTY
+    * index → plain in-batch [[dedupKeepFirst]]. */
+  def dedupKeepFirstAgainstIndexBloom(batch: DataFrame,
+      index: DataFrame, textCol: String, idCol: String,
+      bloom: Array[Byte], delim: String = "\n",
+      maxSliverUnits: Long = 1000000L): DataFrame = {
+    if (bloom == null)
+      return dedupKeepFirst(batch, textCol, idCol, delim)
+    requireUnitIndex(index)
+    val probed = unitsOf(batch, textCol, idCol, delim)
+      .withColumn("__ufp", md5(col("u")))
+      .withColumn("__maybe", graft.plans.BloomProbe
+        .mightContain(bloom, xxhash64(col("__ufp"))))
+    val miss = probed.filter(!col("__maybe")).drop("__maybe")
+    val accepted = probed.filter(col("__maybe")).drop("__maybe")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // row count bounds distinct count — one map-only pass, no shuffle
+    val novel =
+      if (accepted.count() <= maxSliverUnits)
+        Dedup.broadcastSliverSplit(accepted, "__ufp", index, "ufp")._2
+      else accepted
+        .join(index, accepted("__ufp") === index("ufp"), "left_anti")
+    keepFirstRebuild(novel.unionByName(miss).drop("__ufp"), idCol,
+      textCol, delim)
   }
 
   /** Intra-corpus EXACT-SUBSTRING self-dedup — the suffix-array
@@ -712,19 +758,11 @@ object Corpus {
     // row count bounds distinct count — one map-only pass, no shuffle
     val hits =
       if (accepted.count() <= maxSliverAnchors) {
-        val acceptedFps = accepted.select(col("__gfp")).distinct()
-        val histFps = index
-          .join(broadcast(acceptedFps),
-            index("afp") === acceptedFps("__gfp"), "left_semi")
-        val historical = accepted
-          .join(broadcast(histFps),
-            accepted("__gfp") === histFps("afp"), "left_semi")
-          .select(col("__doc"), col("p"))
-        val novel = accepted
-          .join(broadcast(histFps),
-            accepted("__gfp") === histFps("afp"), "left_anti")
-          .unionByName(miss)
-        historical.unionByName(nonFirstOccurrences(novel))
+        val (histAcc, novelAcc) = Dedup.broadcastSliverSplit(
+          accepted, "__gfp", index, "afp")
+        histAcc.select(col("__doc"), col("p"))
+          .unionByName(
+            nonFirstOccurrences(novelAcc.unionByName(miss)))
       } else indexSplitHits(accepted, index, extraNovel = Some(miss))
     Contamination.scrubFromHits(batch, idCol, textCol, hits, k,
       buffer = 0, broadcastMaxHitDocs = broadcastMaxHitDocs)

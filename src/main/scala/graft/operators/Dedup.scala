@@ -236,7 +236,8 @@ object Dedup {
     * subtree feeds both branches of the split and may recompute — a
     * |batch|-sized cost, by construction tiny next to the index.) */
   def dedupAgainstIndexBloom(batch: DataFrame, index: DataFrame,
-      textCol: String, idCol: String, bloom: Array[Byte]): DataFrame = {
+      textCol: String, idCol: String, bloom: Array[Byte],
+      maxSliverRows: Long = 1000000L): DataFrame = {
     if (bloom == null)
       // null sidecar = EMPTY index (indexBloom's empty-input result):
       // nothing to dedup against, the whole first-in-batch set survives
@@ -246,10 +247,40 @@ object Dedup {
         .mightContain(bloom, xxhash64(col("__fp"))))
     val definitelyNew = probed.filter(!col("__maybe"))
       .drop("__maybe", "__fp")
-    val maybeDup = probed.filter(col("__maybe")).drop("__maybe")
-      .join(index.select(col("fp").as("__fp")), Seq("__fp"), "left_anti")
-      .drop("__fp")
-    definitelyNew.unionByName(maybeDup)
+    val accepted = probed.filter(col("__maybe")).drop("__maybe")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // row count bounds distinct count — one map-only pass, no shuffle
+    val maybeDup =
+      if (accepted.count() <= maxSliverRows)
+        broadcastSliverSplit(accepted, "__fp",
+          index.select(col("fp")), "fp")._2
+      else accepted
+        .join(index.select(col("fp").as("__fp")), Seq("__fp"),
+          "left_anti")
+    definitelyNew.unionByName(maybeDup.drop("__fp"))
+  }
+
+  /** Split `accepted` rows into (historical, novel) against a
+    * persisted `index` WITHOUT shuffling the index: the accepted
+    * side's distinct keys broadcast into a map-only left-semi scan of
+    * the index, and the surviving truly-historical keys broadcast back
+    * to semi/anti-split `accepted`. Correct at any size; only
+    * economical when `accepted` is a sliver (both broadcasts are
+    * accepted-bounded), so callers count-cap and fall back to the
+    * shuffled pair past their cap. This is the index-probe shape that
+    * survives a 100 TB history: the index is scanned once per
+    * increment, exchanged never. Shared by the doc-fingerprint, unit,
+    * and substring-anchor incremental probes. */
+  private[operators] def broadcastSliverSplit(accepted: DataFrame,
+      keyCol: String, index: DataFrame,
+      indexKeyCol: String): (DataFrame, DataFrame) = {
+    val fps = accepted.select(col(keyCol)).distinct()
+    val hist = index.join(broadcast(fps),
+      index(indexKeyCol) === fps(keyCol), "left_semi")
+    (accepted.join(broadcast(hist),
+        accepted(keyCol) === hist(indexKeyCol), "left_semi"),
+      accepted.join(broadcast(hist),
+        accepted(keyCol) === hist(indexKeyCol), "left_anti"))
   }
 
   /** [[dedupAgainstIndex]] with the index derived inline — convenience

@@ -71,11 +71,45 @@ object BloomProbe {
     column(new BloomFilterAggregate(expression(hashed),
       Literal(math.max(items, 1L)), Literal(bits)).toAggregateExpression())
 
+  /** Filters at or under this size probe through the codegen'd
+    * `BloomFilterMightContain` with the bytes as a plan literal. Past
+    * it the literal becomes a liability, not a convenience: every
+    * optimizer/AQE pass that copies, canonicalizes, or hashes the plan
+    * tree walks the full array, every task deserializes its own copy,
+    * and a driver holding a multi-stage plan holds several — measured
+    * on the ssidx drill, a 13M-item (15.6 MB) literal probe ran the
+    * whole incremental-dedup job 5× slower than the un-sketched plain
+    * join it was meant to beat. */
+  private val literalMaxBytes: Int = 4 << 20
+
+  /** Broadcast envelope for a large filter: the serialized bytes ship
+    * once per executor via torrent broadcast and deserialize at most
+    * once per executor JVM (transient lazy). */
+  private case class BloomHolder(bytes: Array[Byte]) {
+    @transient lazy val bf: BloomFilter =
+      BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
+  }
+
   /** Probe: true iff `hashed` (same `xxhash64` as the build side) MAY
     * be in the serialized filter — no false negatives, `fpp` false
-    * positives. The filter bytes ride the plan as a literal, so they
-    * ship to executors once per stage via the task-binary broadcast. */
+    * positives. Small filters ride the plan as a literal (codegen'd
+    * probe, shipped once per stage via the task-binary broadcast);
+    * past [[literalMaxBytes]] the bytes move to a torrent broadcast
+    * probed by a deserialize-once-per-executor function — off the
+    * codegen path, but the probe stage is batch-sized while the plan
+    * stays literal-free (an AQE re-plan of a 100 TB job must not copy
+    * a filter-sized literal per stage). `hashed` must be non-null
+    * (both probes return null on null input, which would drop the row
+    * from BOTH branches of a miss/accept split). */
   def mightContain(filter: Array[Byte], hashed: Column): Column =
-    column(BloomFilterMightContain(Literal(filter, BinaryType),
-      expression(hashed)))
+    if (filter.length <= literalMaxBytes)
+      column(BloomFilterMightContain(Literal(filter, BinaryType),
+        expression(hashed)))
+    else {
+      val bc = org.apache.spark.sql.SparkSession.active.sparkContext
+        .broadcast(BloomHolder(filter))
+      org.apache.spark.sql.functions
+        .udf((h: Long) => bc.value.bf.mightContainLong(h))
+        .apply(hashed)
+    }
 }

@@ -898,6 +898,37 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("dedupKeepFirstAgainstIndexBloom: sidecar row-identical to " +
+      "the plain probe at any fpp; null sidecar = in-batch keep-first") {
+    val corpus = Seq((1L, "alpha\nbeta")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "beta\ngamma\ngamma"),
+      (11L, "gamma\ndelta"),
+      (12L, "alpha\nbeta")
+    ).toDF("doc_id", "text")
+    val idx = Corpus.unitIndex(corpus, "text", "doc_id")
+    def out(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val plain = out(Corpus
+      .dedupKeepFirstAgainstIndex(batch, idx, "text", "doc_id"))
+    for (fpp <- Seq(0.5, 0.01)) { // high fpp forces real index probes
+      val bloom = Corpus.unitIndexBloom(idx, fpp)
+      assert(bloom != null)
+      assert(out(Corpus.dedupKeepFirstAgainstIndexBloom(
+        batch, idx, "text", "doc_id", bloom)) == plain, s"fpp=$fpp")
+      // oversized sliver → the shuffled anti-join fallback, same rows
+      assert(out(Corpus.dedupKeepFirstAgainstIndexBloom(
+        batch, idx, "text", "doc_id", bloom,
+        maxSliverUnits = 0L)) == plain, s"fallback fpp=$fpp")
+    }
+    // empty index → null sidecar → plain in-batch keep-first
+    val emptyIdx = idx.filter(lit(false))
+    assert(Corpus.unitIndexBloom(emptyIdx) == null)
+    assert(out(Corpus.dedupKeepFirstAgainstIndexBloom(
+        batch, emptyIdx, "text", "doc_id", null)) ==
+      out(Corpus.dedupKeepFirst(batch, "text", "doc_id")))
+  }
+
   test("perplexityBuckets cuts exact per-group terciles, ranked by lp") {
     // en: c(a)=5, c(q)=4 over T=18 → doc 1 (all common) > 2 (mixed) >
     // 3 (all rare); fr mirrors with b/z. Each lang n=3 → one doc per

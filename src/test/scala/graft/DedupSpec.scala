@@ -378,6 +378,11 @@ class DedupSpec extends AnyFunSuite {
     assert(ids(Dedup.dedupAgainstIndexBloom(batch, idx, "text", "doc_id",
       saturated)) == plain,
       "a saturated filter must not change results")
+    // oversized accepted sliver → the shuffled anti-join fallback
+    // (instead of the broadcast-sliver split) — same rows either way
+    assert(ids(Dedup.dedupAgainstIndexBloom(batch, idx, "text", "doc_id",
+      bloom, maxSliverRows = 0L)) == plain,
+      "sliver-cap fallback must be row-identical")
     // bootstrap: EMPTY index → null sidecar → the whole deduped batch
     // survives, exactly like the plain path (a naive null probe would
     // silently drop every row instead)
