@@ -3176,6 +3176,56 @@ object QueriesPipeline {
     // doc_id%4 so the DOC gate fires for 3/4 of the corpus. The whole
     // operator is one higher-order filter in a scan: no explode, no
     // shuffle.
+    // C4-style flagged-wordlist document filter: exact word-boundary
+    // match after lower + non-alnum split (never substring), list as
+    // one constant-folded array literal — map-only, no shuffle. The
+    // mixed-case entry pins the list-side lowercasing.
+    "q_corpus_flagged_words" -> Entry(
+      (s, dir) => graft.operators.Corpus.filterFlaggedWords(
+          t(s, dir, "documents")
+            .select(col("doc_id"), col("text"), col("lang")),
+          "text", Seq("Vector", "hash", "stream"))
+        .select(col("doc_id"), col("lang")),
+      Some("""SELECT doc_id, lang FROM documents
+          WHERE text IS NULL OR NOT list_has_any(
+            regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+            ['vector', 'hash', 'stream'])""")),
+    // URL domain-blocklist filter: label-suffix match (blocking
+    // example.com drops a.b.example.com, never notexample.com). The
+    // planted host is doc_id arithmetic, so the oracle constructs the
+    // EXPECTED host directly and replays suffix match as
+    // equals-or-endswith-dot — ground truth, not a re-implementation.
+    // The three entries cover apex-suffix, mid-label, and exact-host
+    // match modes.
+    "q_corpus_domain_blocklist" -> Entry(
+      (s, dir) => {
+        import s.implicits._
+        val id = col("doc_id")
+        val url = concat(lit("https://"),
+          when(pmod(id, lit(3)) === 0, lit("sub.")).otherwise(lit("")),
+          lit("site"), pmod(id, lit(10)).cast("string"),
+          lit(".tier"), pmod(id, lit(4)).cast("string"),
+          lit(".example.com/p/"), id.cast("string"))
+        val docs = t(s, dir, "documents")
+          .select(id, url.as("url"), col("lang"))
+        val bl = Seq("tier3.example.com", "site4.tier0.example.com",
+          "sub.site1.tier1.example.com").toDF("domain")
+        graft.operators.Corpus.filterDomainBlocklist(docs, "url", bl)
+          .select(col("doc_id"), col("lang"))
+      },
+      Some("""WITH u AS (
+          SELECT doc_id, lang,
+            (CASE WHEN doc_id % 3 = 0 THEN 'sub.' ELSE '' END)
+              || 'site' || (doc_id % 10) || '.tier' || (doc_id % 4)
+              || '.example.com' AS host
+          FROM documents)
+        SELECT doc_id, lang FROM u
+        WHERE NOT (host = 'tier3.example.com'
+          OR host LIKE '%.tier3.example.com'
+          OR host = 'site4.tier0.example.com'
+          OR host LIKE '%.site4.tier0.example.com'
+          OR host = 'sub.site1.tier1.example.com'
+          OR host LIKE '%.sub.site1.tier1.example.com')""")),
     "q_corpus_c4_lines" -> Entry(
       (s, dir) => {
         val id = col("doc_id")

@@ -236,6 +236,78 @@ object Corpus {
       .filter(col("n_kept") >= minKeptLines)
   }
 
+  /** C4 §2.2-style flagged-wordlist DOCUMENT filter: drop any document
+    * whose normalized token stream contains a word from `flagged`
+    * (exact word match after lower + non-alphanumeric split — never a
+    * substring hit, so flagging "ass" does not drop "class"; that is
+    * the whole reason this is not a `contains` scan). Null text passes
+    * through, the shared null-pass-through convention.
+    *
+    * Scale shape: the deduplicated lowercase list rides the plan as
+    * ONE constant-folded array literal into a codegen'd
+    * `arrays_overlap` (which hash-sets the smaller side) — map-only,
+    * no join, no shuffle; filtering 100 TB is one scan. Wordlists are
+    * 10^2-10^3 entries (the published C4 list is ~400); the require
+    * caps the literal at 10^5 — past that a list is a TABLE, and the
+    * right tool is [[filterDomainBlocklist]]'s explode + anti-join
+    * shape on tokens. */
+  def filterFlaggedWords(docs: DataFrame, textCol: String,
+      flagged: Seq[String]): DataFrame = {
+    val list = flagged.map(_.toLowerCase.trim).filter(_.nonEmpty).distinct
+    require(list.nonEmpty,
+      "filterFlaggedWords: empty wordlist — filtering by nothing is " +
+        "a no-op; pass the list or skip the stage")
+    require(list.size <= 100000,
+      s"filterFlaggedWords: ${list.size} entries would ride the plan " +
+        "as a literal; a list that size is a table — use a tokenized " +
+        "anti-join instead")
+    val toks = split(
+      regexp_replace(lower(col(textCol)), "[^a-z0-9']+", " "), " ", -1)
+    docs.filter(col(textCol).isNull ||
+      !arrays_overlap(toks, lit(list.toArray)))
+  }
+
+  /** URL domain-blocklist DOCUMENT filter — the RefinedWeb/Dolma
+    * source-level gate: drop documents whose URL host falls under any
+    * blocklisted domain, where "under" is label-suffix match
+    * (blocking example.com drops a.b.example.com but NOT
+    * notexample.com — the label boundary is the point; a `endsWith`
+    * scan gets that wrong). `blocklist` is a single-column frame of
+    * lowercase domains — a real blocklist is 10^5-10^7 rows, a TABLE,
+    * not a literal. Docs with null/host-less URLs pass through.
+    *
+    * Scale shape: corpus hosts DISTINCT first (hosts are many-per-doc
+    * duplicated — the distinct shuffles short strings, never text),
+    * then each distinct host explodes into its ≤ label-count suffixes
+    * map-side and left-semi-joins the blocklist to a matched-host
+    * set, bounded by actual matches; the text-bearing corpus touches
+    * only the final host-keyed LEFT ANTI join, which AQE broadcasts
+    * when the matched set is small (the common case: a blocklist hits
+    * a sliver of a crawl). Nothing here scales with blocklist ×
+    * corpus. */
+  def filterDomainBlocklist(docs: DataFrame, urlCol: String,
+      blocklist: DataFrame): DataFrame = {
+    require(blocklist.columns.length == 1,
+      "filterDomainBlocklist: blocklist must be a single-column " +
+        s"frame of domains (got ${blocklist.columns.mkString(", ")})")
+    val blCol = blocklist.columns.head
+    val withHost = docs.withColumn("__bl_host",
+      graft.functions.Url.host(col(urlCol)))
+    val labels = split(col("__bl_host"), "\\.")
+    val suffixes = transform(sequence(lit(1), size(labels)),
+      i => array_join(slice(labels, i, size(labels) - i + 1), "."))
+    val blocked = withHost
+      .select(col("__bl_host"))
+      .where(col("__bl_host").isNotNull && col("__bl_host") =!= "")
+      .distinct()
+      .select(col("__bl_host"), explode(suffixes).as("__sfx"))
+      .join(blocklist, col("__sfx") === col(blCol), "left_semi")
+      .select(col("__bl_host"))
+      .distinct()
+    withHost.join(blocked, Seq("__bl_host"), "left_anti")
+      .drop("__bl_host")
+  }
+
   /** Per-GROUP boilerplate line removal — the domain-scoped variant of
     * [[dedupLines]] (web curation strips nav bars / footers / cookie
     * banners, which are frequent WITHIN their site and invisible to a

@@ -860,6 +860,46 @@ class CorpusSpec extends AnyFunSuite {
     assert(degenerate.find(_._1 == 10L).get._2 == "x y p q r s w")
   }
 
+  test("filterFlaggedWords: word-boundary match, case-folded list, " +
+      "null text passes, empty list refused") {
+    val docs = Seq(
+      (1L, "the cat sat"),            // flagged word → dropped
+      (2L, "concatenate the results"),// substring only → KEPT
+      (3L, "CAT, loud."),             // case + punctuation boundary → dropped
+      (4L, "don't panic"),            // apostrophe-internal token → dropped
+      (5L, null.asInstanceOf[String]) // null text → kept (pass-through)
+    ).toDF("doc_id", "text")
+    val kept = Corpus.filterFlaggedWords(docs, "text",
+        Seq("Cat", "DON'T"))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(2L, 5L))
+    intercept[IllegalArgumentException] {
+      Corpus.filterFlaggedWords(docs, "text", Seq("  ", ""))
+    }
+  }
+
+  test("filterDomainBlocklist: label-suffix semantics — subdomains " +
+      "block, lookalike hosts and null URLs pass") {
+    val docs = Seq(
+      (1L, "https://a.b.example.com/x"),  // under example.com → dropped
+      (2L, "https://example.com/y"),      // exact → dropped
+      (3L, "https://notexample.com/z"),   // label boundary → KEPT
+      (4L, "https://ok.org/w"),           // unlisted → kept
+      (5L, null.asInstanceOf[String])     // null URL → kept
+    ).toDF("doc_id", "url")
+    val bl = Seq("example.com").toDF("domain")
+    val kept = Corpus.filterDomainBlocklist(docs, "url", bl)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(3L, 4L, 5L))
+    // empty blocklist: everything survives
+    assert(Corpus.filterDomainBlocklist(docs, "url",
+      bl.filter(lit(false))).count() == 5L)
+    // a multi-column frame is not a blocklist
+    intercept[IllegalArgumentException] {
+      Corpus.filterDomainBlocklist(docs, "url", docs)
+    }
+  }
+
   test("dedupKeepFirst keeps only the globally first unit occurrence") {
     val df = Seq(
       (1L, "alpha\nbeta"),

@@ -541,6 +541,25 @@ class PlanAssertionsSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), s"no cartesian:\n$p")
   }
 
+  test("q_corpus_flagged_words is a map-only scan (wordlist is a " +
+      "constant-folded literal — zero Exchange, zero join)") {
+    val p = plan("q_corpus_flagged_words")
+    assert(!p.contains("Exchange"), s"wordlist filter must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"wordlist filter must not join:\n$p")
+  }
+
+  test("q_corpus_domain_blocklist: text rides only the final host anti-" +
+      "join; suffix explode touches distinct hosts, never documents") {
+    val p = plan("q_corpus_domain_blocklist")
+    assert(p.contains("LeftAnti"), s"no anti-join gate:\n$p")
+    // the matched-host set is bounded by actual blocklist hits, so the
+    // corpus-side anti-join must broadcast it, not shuffle the corpus
+    assert(p.contains("BroadcastHashJoin") &&
+      p.contains("LeftSemi"), s"suffix semi-join shape missing:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus shuffled against the blocklist:\n$p")
+  }
+
   test("q_quality_ppl_buckets: group offsets broadcast; no per-group " +
       "window anywhere (ranks come from the two-phase prefix sum)") {
     val p = plan("q_quality_ppl_buckets")
