@@ -3176,6 +3176,44 @@ object QueriesPipeline {
     // doc_id%4 so the DOC gate fires for 3/4 of the corpus. The whole
     // operator is one higher-order filter in a scan: no explode, no
     // shuffle.
+    // Within-document line dedup (FineWeb page cleanup): repeated
+    // lines keep their first occurrence INSIDE each doc, order kept,
+    // no cross-doc semantics — one higher-order filter, zero shuffle.
+    // The plant repeats two lines at arbitrary offsets; both engines
+    // run first-position-wins over the same 1-based list positions.
+    "q_corpus_within_doc_dedup" -> Entry(
+      (s, dir) => {
+        val w = split(trim(col("text")), " ")
+        val l1 = array_join(slice(w, 1, 4), " ")
+        val l2 = array_join(slice(w, 5, 3), " ")
+        val l3 = array_join(slice(w, 8, 5), " ")
+        val body = concat_ws("\n", l1, l2, l1, l3, l2, l1)
+        graft.operators.Corpus.dedupUnitsWithinDoc(
+          t(s, dir, "documents").select(col("doc_id"),
+            body.as("body")),
+          "body", "doc_id")
+      },
+      Some("""WITH planted AS (
+          SELECT doc_id,
+            concat_ws(chr(10),
+              coalesce(array_to_string((string_split(trim(text), ' '))[1:4], ' '), ''),
+              coalesce(array_to_string((string_split(trim(text), ' '))[5:7], ' '), ''),
+              coalesce(array_to_string((string_split(trim(text), ' '))[1:4], ' '), ''),
+              coalesce(array_to_string((string_split(trim(text), ' '))[8:12], ' '), ''),
+              coalesce(array_to_string((string_split(trim(text), ' '))[5:7], ' '), ''),
+              coalesce(array_to_string((string_split(trim(text), ' '))[1:4], ' '), ''))
+              AS body
+          FROM documents
+        ), u AS (
+          SELECT doc_id, string_split(body, chr(10)) AS ls FROM planted)
+        SELECT doc_id,
+          array_to_string(
+            list_filter(ls, (x, i) -> list_position(ls, x) = i),
+            chr(10)) AS clean_text,
+          cast(len(ls) - len(
+            list_filter(ls, (x, i) -> list_position(ls, x) = i))
+            AS bigint) AS n_units_removed
+        FROM u""")),
     // C4-style flagged-wordlist document filter: exact word-boundary
     // match after lower + non-alnum split (never substring), list as
     // one constant-folded array literal — map-only, no shuffle. The

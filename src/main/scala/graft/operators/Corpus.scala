@@ -566,6 +566,34 @@ object Corpus {
     keepFirstRebuild(unitsOf(docs, textCol, idCol, delim), idCol,
       textCol, delim)
 
+  /** WITHIN-document unit dedup — the doc-internal complement of
+    * [[dedupKeepFirst]] (FineWeb-style page cleanup: a nav line or
+    * repeated header appearing five times in ONE page keeps its first
+    * occurrence; other documents are not consulted, so no global
+    * canonical-copy semantics and no shuffle). A unit survives iff it
+    * is the first occurrence of its string within its own document;
+    * unit order is preserved.
+    *
+    * Scale shape: entirely row-local — one higher-order
+    * `filter((u, i) => array_position(units, u) == i+1)` over the
+    * split array, codegen, zero Exchange; deduping 100 TB is one
+    * scan. Quadratic in UNITS-PER-DOC (array_position rescans the
+    * prefix), which is bounded by page size, not corpus size — the
+    * global variant pays shuffles instead because its duplicate set
+    * is corpus-wide.
+    *
+    * Returns (idCol, clean_text, n_units_removed). */
+  def dedupUnitsWithinDoc(docs: DataFrame, textCol: String,
+      idCol: String, delim: String = "\n"): DataFrame = {
+    val units = split(col(textCol),
+      java.util.regex.Pattern.quote(delim), -1)
+    val kept = filter(units,
+      (u, i) => array_position(units, u) === i.cast("long") + 1L)
+    docs.select(col(idCol),
+      array_join(kept, delim).as("clean_text"),
+      (size(units) - size(kept)).cast("long").as("n_units_removed"))
+  }
+
   /** (id, pos, unit) tiling of a corpus — the shared front of the
     * keep-first family. */
   private def unitsOf(docs: DataFrame, textCol: String, idCol: String,

@@ -900,6 +900,24 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("dedupUnitsWithinDoc: first occurrence per doc, order kept, " +
+      "no cross-doc effect, trailing empties survive the round-trip") {
+    val docs = Seq(
+      (1L, "a\nb\na\nc\nb"), // repeats collapse to first sighting
+      (2L, "a\nb"),          // doc 1's dups must not touch doc 2
+      (3L, "x\n\ny\n\nx"),   // empty lines dedup like any unit
+      (4L, "a\nb\n")         // trailing empty unit: kept, not dropped
+    ).toDF("doc_id", "text")
+    val out = Corpus.dedupUnitsWithinDoc(docs, "text", "doc_id")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    assert(out(1L) == (("a\nb\nc", 2L)))
+    assert(out(2L) == (("a\nb", 0L)))
+    assert(out(3L) == (("x\n\ny", 2L)))
+    assert(out(4L) == (("a\nb\n", 0L)))
+  }
+
   test("dedupKeepFirst keeps only the globally first unit occurrence") {
     val df = Seq(
       (1L, "alpha\nbeta"),

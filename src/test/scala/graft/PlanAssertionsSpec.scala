@@ -541,6 +541,12 @@ class PlanAssertionsSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), s"no cartesian:\n$p")
   }
 
+  test("q_corpus_within_doc_dedup is a map-only scan (per-doc dedup " +
+      "is row-local — zero Exchange)") {
+    val p = plan("q_corpus_within_doc_dedup")
+    assert(!p.contains("Exchange"), s"within-doc dedup shuffled:\n$p")
+  }
+
   test("q_corpus_flagged_words is a map-only scan (wordlist is a " +
       "constant-folded literal — zero Exchange, zero join)") {
     val p = plan("q_corpus_flagged_words")
