@@ -3176,6 +3176,74 @@ object QueriesPipeline {
     // doc_id%4 so the DOC gate fires for 3/4 of the corpus. The whole
     // operator is one higher-order filter in a scan: no explode, no
     // shuffle.
+    // Paragraph-level NEAR dedup (Dolma rule): two planted units per
+    // doc cluster corpus-wide by verified Jaccard >= 0.4 (the
+    // perturbed-twin corpus makes real near-dup unit pairs); each
+    // cluster keeps its first (doc, pos) member, docs rebuild in unit
+    // order. Runs the exactCandidates mode, so the oracle's brute-
+    // force unit-pair Jaccard + recursive closure + min-member keep is
+    // the operator's semantics BY CONSTRUCTION — no banding-recall
+    // assumption (which measurably fails at unit granularity here,
+    // unlike q_dedup_minhash's doc-level corpus).
+    "q_corpus_paragraph_near_dedup" -> Entry(
+      (s, dir) => {
+        val w = split(trim(col("text")), " ")
+        val body = concat_ws("\n",
+          array_join(slice(w, 1, 8), " "),
+          array_join(slice(w, 9, 7), " "))
+        // exactCandidates: the kept set must be a pure function of
+        // the corpus for the brute-force oracle (LSH recall at J≈0.4
+        // is probabilistic — measured misses at unit granularity)
+        graft.operators.Corpus.nearDedupUnits(
+          t(s, dir, "documents").select(col("doc_id"),
+            body.as("body")),
+          "body", "doc_id", exactCandidates = true)
+      },
+      Some("""WITH RECURSIVE planted AS (
+          SELECT doc_id,
+            coalesce(array_to_string((string_split(trim(text), ' '))[1:8], ' '), '') AS u1,
+            coalesce(array_to_string((string_split(trim(text), ' '))[9:15], ' '), '') AS u2
+          FROM documents
+        ), uid AS (
+          SELECT doc_id * 1000000 + 0 AS uid, doc_id, 0 AS pos, u1 AS u
+          FROM planted
+          UNION ALL
+          SELECT doc_id * 1000000 + 1, doc_id, 1, u2 FROM planted
+        ), words AS (
+          SELECT uid, regexp_split_to_array(trim(lower(u)), '\s+') AS ws
+          FROM uid
+        ), sh AS (
+          SELECT DISTINCT uid,
+            CASE WHEN len(ws) <= 3 THEN array_to_string(ws, ' ')
+            ELSE array_to_string(list_slice(ws, i, i+2), ' ') END AS s
+          FROM words, unnest(CASE WHEN len(ws) <= 3 THEN [1]
+            ELSE range(1, len(ws)-1) END) AS t(i)
+        ), sizes AS (SELECT uid, count(*) AS n FROM sh GROUP BY 1),
+        inter AS (
+          SELECT a.uid AS id1, b.uid AS id2, count(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.uid < b.uid
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT id1, id2, round(i / (sa.n + sb.n - i), 3) AS jaccard
+          FROM inter
+          JOIN sizes sa ON sa.uid = id1
+          JOIN sizes sb ON sb.uid = id2
+          WHERE jaccard >= 0.4),
+        edges AS (
+          SELECT id1 AS a, id2 AS b FROM pairs
+          UNION SELECT id2, id1 FROM pairs),
+        reach(id, r) AS (
+          SELECT DISTINCT a, a FROM edges
+          UNION
+          SELECT e.a, r.r FROM edges e JOIN reach r ON r.id = e.b),
+        comp AS (SELECT id, min(r) AS c FROM reach GROUP BY 1),
+        kept AS (
+          SELECT u.doc_id, u.pos, u.u FROM uid u
+          LEFT JOIN comp ON comp.id = u.uid
+          WHERE comp.id IS NULL OR comp.c = u.uid)
+        SELECT doc_id,
+          array_to_string(list(u ORDER BY pos), chr(10)) AS body
+        FROM kept GROUP BY doc_id""")),
     // Within-document line dedup (FineWeb page cleanup): repeated
     // lines keep their first occurrence INSIDE each doc, order kept,
     // no cross-doc semantics — one higher-order filter, zero shuffle.

@@ -612,10 +612,65 @@ object Corpus {
       .agg(min(struct(col(idCol), col("pos"))).as("__first"))
       .select(col("__first")(idCol).as(idCol),
         col("__first")("pos").as("pos"), col("u"))
-    kept.groupBy(col(idCol))
+    rebuildDocs(kept, idCol, textCol, delim)
+  }
+
+  /** Ordered document rebuild from a surviving (idCol, pos, u) unit
+    * stream — one doc-keyed shuffle; docs with no surviving unit
+    * vanish. Shared tail of the keep-first and near-dedup families. */
+  private def rebuildDocs(units: DataFrame, idCol: String,
+      textCol: String, delim: String): DataFrame =
+    units.groupBy(col(idCol))
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("pos"), col("u")))),
           x => x("u")), delim).as(textCol))
+
+  /** Paragraph-level NEAR dedup — the Dolma paragraph rule, and the
+    * missing cell of the dedup matrix (exact×{doc,paragraph,substring}
+    * and near×doc exist elsewhere in this package): `delim`-separated
+    * units cluster corpus-wide by minhash-LSH candidates + exact
+    * Jaccard verification at `threshold`
+    * ([[graft.operators.Dedup.removeNearDups]] machinery — same
+    * banding, caps, and verification gate), each cluster keeps its
+    * globally FIRST member by (doc id, pos) — the [[dedupKeepFirst]]
+    * policy, which exact unit dedup and near unit dedup must share or
+    * compose incoherently — and documents rebuild in unit order (docs
+    * whose every unit was a non-first cluster member vanish).
+    *
+    * The keep-first priority rides a single orderable unit id
+    * `id·maxUnitsPerDoc + pos` (the documented-stride pattern):
+    * `idCol` must be a non-negative integral id and docs must stay
+    * under `maxUnitsPerDoc` units — at the default stride ids up to
+    * ~9.2×10^12 fit a long.
+    *
+    * Scale: unit rows ≈ corpus units (not docs²); every stage is the
+    * banded/capped/verified pipeline SCALE.md measures for doc-level
+    * near-dup, at unit granularity, plus one doc-keyed rebuild
+    * shuffle. Set `broadcastSurvivors=false` past broadcastable
+    * survivor-set sizes (the [[graft.operators.Dedup.removeNearDups]]
+    * contract). */
+  def nearDedupUnits(docs: DataFrame, textCol: String, idCol: String,
+      delim: String = "\n", threshold: Double = 0.4,
+      shingleWords: Int = 3, maxUnitsPerDoc: Long = 1000000L,
+      broadcastSurvivors: Boolean = true,
+      exactCandidates: Boolean = false): DataFrame = {
+    require(maxUnitsPerDoc > 0,
+      s"nearDedupUnits: maxUnitsPerDoc > 0 (got $maxUnitsPerDoc)")
+    val units = unitsOf(docs, textCol, idCol, delim)
+      .select((col(idCol) * maxUnitsPerDoc + col("pos")).as("__uid"),
+        col(idCol), col("pos"), col("u"))
+    // exactCandidates = shared-shingle pair generation instead of LSH
+    // banding: the kept set becomes a pure function of the corpus (the
+    // strict-oracle / recall-critical mode) at Σ(bucket²) cost — see
+    // Dedup.exactCandidates; the default banded path is the 100 TB one
+    val kept =
+      if (exactCandidates)
+        Dedup.removeNearDupsExact(units, "u", "__uid", threshold,
+          shingleWords, broadcastSurvivors)
+      else Dedup.removeNearDups(units, "u", "__uid", threshold,
+        shingleWords, broadcastSurvivors)
+    rebuildDocs(kept.select(col(idCol), col("pos"), col("u")),
+      idCol, textCol, delim)
   }
 
   /** Persisted-index form of [[dedupKeepFirst]] — the incremental

@@ -152,6 +152,50 @@ object Dedup {
           .select(col("id1"), col("id2"))
       case None => cands0
     }
+    verifyCandidates(df, cands, textCol, idCol, threshold,
+      shingleWords, broadcastSurvivors)
+  }
+
+  /** EXACT candidate pairs: every id pair sharing at least one word-
+    * `shingleWords`-gram — a zero-false-negative generator (any pair
+    * with Jaccard > 0 shares a shingle), where LSH banding is
+    * probabilistic (recall ~12% at J=0.4 with the default 5×4 bands —
+    * fine for the high-J near-dup mass, wrong when the caller needs
+    * brute-force-equivalent TOTALITY, e.g. an exact-oracle path or a
+    * recall-critical decontamination pass). Same one-exchange bucket
+    * shape as [[minhashCandidates]], keyed by the shingle hash itself;
+    * cost is Σ(bucket²) over shingle buckets — quadratic in docs-per-
+    * SHINGLE, so this is the moderate-scale/verification tool, not the
+    * 100 TB default ([[verifiedPairs]] is). Uncapped by default: a cap
+    * would silently reintroduce the false negatives this exists to
+    * remove — pass `maxBucket` only when a boilerplate shingle's
+    * bucket blows up AND approximate recall is acceptable. */
+  def exactCandidates(df: DataFrame, textCol: String, idCol: String,
+      shingleWords: Int = 3,
+      maxBucket: Int = Int.MaxValue): DataFrame =
+    minhashCandidates(
+      fanOut(df.select(col(idCol), col(textCol)))
+        .select(col(idCol), explode(graft.plans.HashExpressions
+          .word_shingle_hashes(col(textCol), shingleWords))
+          .as("band_hash"))
+        .withColumn("band", lit(0)),
+      idCol, maxBucket)
+
+  /** [[verifiedPairs]] over [[exactCandidates]] — brute-force-
+    * equivalent verified pairs (modulo 64-bit shingle-hash
+    * collisions), deterministic in the corpus alone. */
+  def verifiedPairsExact(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double = 0.4, shingleWords: Int = 3,
+      broadcastSurvivors: Boolean = true): DataFrame =
+    verifyCandidates(df,
+      exactCandidates(df, textCol, idCol, shingleWords),
+      textCol, idCol, threshold, shingleWords, broadcastSurvivors)
+
+  /** Shared verification tail: exact word-n-gram Jaccard over a
+    * candidate pair set (see [[verifiedPairs]] for the cost shape). */
+  private def verifyCandidates(df: DataFrame, cands: DataFrame,
+      textCol: String, idCol: String, threshold: Double,
+      shingleWords: Int, broadcastSurvivors: Boolean): DataFrame = {
     val candIds = cands
       .select(explode(array(col("id1"), col("id2"))).as(idCol))
       .distinct()
@@ -490,9 +534,25 @@ object Dedup {
     * measures for the shared pipeline. */
   def removeNearDups(df: DataFrame, textCol: String, idCol: String,
       threshold: Double = 0.4, shingleWords: Int = 3,
-      broadcastSurvivors: Boolean = true): DataFrame = {
-    val pairs = verifiedPairs(df, textCol, idCol, threshold, shingleWords,
-      broadcastSurvivors).select(col("id1"), col("id2"))
+      broadcastSurvivors: Boolean = true): DataFrame =
+    dropNonRepresentatives(df, idCol,
+      verifiedPairs(df, textCol, idCol, threshold, shingleWords,
+        broadcastSurvivors))
+
+  /** [[removeNearDups]] with [[exactCandidates]] instead of LSH
+    * banding — the purge whose kept set is a pure function of the
+    * corpus (no banding-recall dependence); see [[verifiedPairsExact]]
+    * for when that totality is worth its Σ(bucket²) cost. */
+  def removeNearDupsExact(df: DataFrame, textCol: String,
+      idCol: String, threshold: Double = 0.4, shingleWords: Int = 3,
+      broadcastSurvivors: Boolean = true): DataFrame =
+    dropNonRepresentatives(df, idCol,
+      verifiedPairsExact(df, textCol, idCol, threshold, shingleWords,
+        broadcastSurvivors))
+
+  private def dropNonRepresentatives(df: DataFrame, idCol: String,
+      pairsDf: DataFrame): DataFrame = {
+    val pairs = pairsDf.select(col("id1"), col("id2"))
     val drop = connectedComponents(pairs)
       .filter(col("id") =!= col("component"))
       .select(col("id").as(idCol))

@@ -900,6 +900,26 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("nearDedupUnits: near-dup paragraphs keep the first (doc, pos) " +
+      "member across docs; fully-deduped docs vanish") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps high\nzebra lion"),
+      // u1 near-dups doc 1's u1 (Jaccard 0.6), u2 exact-dups doc 1's u2
+      (2L, "the quick brown fox jumps low\nzebra lion"),
+      (3L, "completely different words here now\nanother unique paragraph")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Corpus
+      .nearDedupUnits(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(
+      1L -> "the quick brown fox jumps high\nzebra lion",
+      3L -> "completely different words here now\nanother unique paragraph"))
+    intercept[IllegalArgumentException] {
+      graft.operators.Corpus.nearDedupUnits(docs, "text", "doc_id",
+        maxUnitsPerDoc = 0L)
+    }
+  }
+
   test("dedupUnitsWithinDoc: first occurrence per doc, order kept, " +
       "no cross-doc effect, trailing empties survive the round-trip") {
     val docs = Seq(
