@@ -3176,6 +3176,74 @@ object QueriesPipeline {
     // doc_id%4 so the DOC gate fires for 3/4 of the corpus. The whole
     // operator is one higher-order filter in a scan: no explode, no
     // shuffle.
+    // Composed end-to-end web curation: domain blocklist → flagged-
+    // wordlist gate → within-doc line dedup → cross-doc keep-first,
+    // under ONE oracle — stage interactions are the point (keep-first
+    // sees exactly the gated survivors' deduped lines; a doc dropped
+    // by the blocklist must not donate a "first occurrence"). The
+    // flagged word 'dup' hits ~5% of docs; tier3 blocks 25%.
+    "q_pipeline_web_curation" -> Entry(
+      (s, dir) => {
+        import s.implicits._
+        val id = col("doc_id")
+        val url = concat(lit("https://"),
+          when(pmod(id, lit(3)) === 0, lit("sub.")).otherwise(lit("")),
+          lit("site"), pmod(id, lit(10)).cast("string"),
+          lit(".tier"), pmod(id, lit(4)).cast("string"),
+          lit(".example.com/p/"), id.cast("string"))
+        val w = split(trim(col("text")), " ")
+        val body = concat_ws("\n",
+          array_join(slice(w, 1, 4), " "),
+          array_join(slice(w, 5, 3), " "),
+          array_join(slice(w, 1, 4), " "),
+          array_join(slice(w, 8, 5), " "))
+        val docs = t(s, dir, "documents")
+          .select(id, col("text"), url.as("url"), body.as("body"))
+        val gated = graft.operators.Corpus.filterFlaggedWords(
+          graft.operators.Corpus.filterDomainBlocklist(docs, "url",
+            Seq("tier3.example.com").toDF("domain")),
+          "text", Seq("dup"))
+        val within = graft.operators.Corpus.dedupUnitsWithinDoc(
+          gated.select(col("doc_id"), col("body")), "body", "doc_id")
+        graft.operators.Corpus.dedupKeepFirst(
+          within.select(col("doc_id"), col("clean_text")),
+          "clean_text", "doc_id")
+      },
+      Some("""WITH u AS (
+          SELECT doc_id, text,
+            (CASE WHEN doc_id % 3 = 0 THEN 'sub.' ELSE '' END)
+              || 'site' || (doc_id % 10) || '.tier' || (doc_id % 4)
+              || '.example.com' AS host
+          FROM documents
+        ), surv AS (
+          SELECT doc_id, text FROM u
+          WHERE NOT (host = 'tier3.example.com'
+              OR host LIKE '%.tier3.example.com')
+            AND (text IS NULL OR NOT list_has_any(
+              regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+              ['dup']))
+        ), planted AS (
+          SELECT doc_id, concat_ws(chr(10),
+            coalesce(array_to_string((string_split(trim(text), ' '))[1:4], ' '), ''),
+            coalesce(array_to_string((string_split(trim(text), ' '))[5:7], ' '), ''),
+            coalesce(array_to_string((string_split(trim(text), ' '))[1:4], ' '), ''),
+            coalesce(array_to_string((string_split(trim(text), ' '))[8:12], ' '), ''))
+            AS body
+          FROM surv
+        ), wdd AS (
+          SELECT doc_id,
+            list_filter(ls, (x, i) -> list_position(ls, x) = i) AS ks
+          FROM (SELECT doc_id, string_split(body, chr(10)) AS ls
+                FROM planted) w
+        ), units AS (
+          SELECT doc_id, i AS pos, ks[i] AS u
+          FROM wdd, unnest(range(1, len(ks) + 1)) AS t(i)
+        ), r AS (
+          SELECT doc_id, pos, u,
+            row_number() OVER (PARTITION BY u ORDER BY doc_id, pos) AS rn
+          FROM units)
+        SELECT doc_id, string_agg(u, chr(10) ORDER BY pos) AS clean_text
+        FROM r WHERE rn = 1 GROUP BY doc_id""")),
     // Paragraph-level NEAR dedup (Dolma rule): two planted units per
     // doc cluster corpus-wide by verified Jaccard >= 0.4 (the
     // perturbed-twin corpus makes real near-dup unit pairs); each

@@ -463,6 +463,44 @@ object ScaleStress {
       }
     }
 
+    // Round-11 paragraph-near-dedup drill: 3-unit docs where every odd
+    // doc near-dups its predecessor's units (shared 9-word prefix,
+    // doc-unique last token → unit Jaccard 7/9). Banded mode is the
+    // 100 TB default (recall ~90% per pair at J=0.78, deterministic on
+    // the md5 basis); exact mode (shared-shingle candidates) is the
+    // zero-false-negative oracle path — here vocabularies are doc-pair
+    // -local so its buckets stay tiny; its Σ(bucket²) blowup needs
+    // SHARED shingles (the dup-heavy 'text' drill shape), which is
+    // exactly why banded stays the default.
+    println(f"\n${"docs"}%9s ${"band_kept"}%9s ${"t_band"}%8s " +
+      f"${"band_MB"}%8s ${"exact_kept"}%10s ${"t_exact"}%8s " +
+      f"${"exact_MB"}%9s")
+    if (which == "all" || which == "ndunits") {
+      for (n <- Seq(100000L, 100000L * maxScale)) {
+        val base = (col("doc_id") - pmod(col("doc_id"), lit(2))) * 100
+        def unit(k: Int): Column = concat(
+          array_join(transform(sequence(lit(0), lit(8)),
+            j => concat(lit("w"), (base + lit(k * 10) + j)
+              .cast("string"))), " "),
+          lit(" t"), (col("doc_id") * 3 + k).cast("string"))
+        val docs = spark.range(n).select(col("id").as("doc_id"))
+          .select(col("doc_id"),
+            concat_ws("\n", unit(0), unit(1), unit(2)).as("text"))
+          .cache()
+        docs.count()
+        val (nBand, tBand, mbBand) = timedMB {
+          Corpus.nearDedupUnits(docs, "text", "doc_id").count()
+        }
+        val (nExact, tExact, mbExact) = timedMB {
+          Corpus.nearDedupUnits(docs, "text", "doc_id",
+            exactCandidates = true).count()
+        }
+        println(f"$n%9d $nBand%9d $tBand%8.1f $mbBand%8.1f " +
+          f"$nExact%10d $tExact%8.1f $mbExact%9.1f")
+        docs.unpersist()
+      }
+    }
+
     // Round-8 line-dedup drill: the rewritten one-cached-pass plan
     // (dup-heavy: every copy shares its full token stream, so the
     // frequent set is the whole shared vocabulary above threshold —
