@@ -541,6 +541,14 @@ class PlanAssertionsSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), s"no cartesian:\n$p")
   }
 
+  test("q_pipeline_web_curation: the four-stage chain never shuffle-" +
+      "joins the corpus; blocklist gate is a broadcast LeftAnti") {
+    val p = plan("q_pipeline_web_curation")
+    assert(p.contains("LeftAnti"), s"no blocklist anti-join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus shuffled against a gate:\n$p")
+  }
+
   test("q_corpus_within_doc_dedup is a map-only scan (per-doc dedup " +
       "is row-local — zero Exchange)") {
     val p = plan("q_corpus_within_doc_dedup")
