@@ -394,6 +394,27 @@ class DedupSpec extends AnyFunSuite {
       "doc_id", Dedup.indexBloom(empty))) == emptyPlain)
   }
 
+  test("exactCandidates emits every shingle-sharing pair and nothing " +
+      "else; verifiedPairsExact matches hand Jaccard; exact purge " +
+      "keeps min-id representatives") {
+    val df = Seq(
+      (1L, "a b c d e"), // shares [a b c], [b c d] with 2 → J=0.5
+      (2L, "a b c d x"),
+      (3L, "p q r s t"), // exact dup pair → J=1.0
+      (4L, "p q r s t")
+    ).toDF("doc_id", "text")
+    val cands = Dedup.exactCandidates(df, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(cands == Seq((1L, 2L), (3L, 4L)))
+    val pairs = Dedup.verifiedPairsExact(df, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    assert(pairs == Seq((1L, 2L, 0.5), (3L, 4L, 1.0)))
+    assert(Dedup.removeNearDupsExact(df, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 3L))
+  }
+
   test("removeNearDupsKeepBest keeps the highest-priority cluster member") {
     // one near-dup cluster (same long text ± a token), one unique doc;
     // doc 3 is the LONGEST so it must win despite the highest id
