@@ -132,6 +132,58 @@ object Streams {
       .drop("__fp")
   }
 
+  /** Streaming PARAGRAPH keep-first — [[graft.operators.Corpus.dedupKeepFirstAgainstIndex]]'s
+    * semantics on a continuous document stream: each arriving doc's
+    * units drop when (a) already in the static [[graft.operators.Corpus.unitIndex]]
+    * (optionally Bloom-bypassed, identical results at any fpp), or
+    * (b) already emitted by the stream within the watermark horizon —
+    * first ARRIVAL wins, the only total order a stream has (batch
+    * keep-first's (id, pos) rule needs one a stream cannot provide;
+    * a within-microbatch cross-doc tie is arbitrary BY THAT SEMANTICS,
+    * so tests and replayable pipelines should order their batches).
+    * Within-doc repeats collapse FIRST through the row-local
+    * first-position filter (deterministic, no state), so stream state
+    * only carries cross-doc unit fingerprints. Surviving units rebuild
+    * per doc in original unit order once the doc's event-time window
+    * passes the watermark.
+    *
+    * Scale: two chained stateful operators, both bounded — unit-
+    * fingerprint dedup state by the watermark horizon, rebuild state
+    * by docs in flight inside `windowDur`; the static index joins
+    * per microbatch exactly like [[dedupDocsAgainstIndex]] (sliver
+    * discipline via the sidecar). Docs whose every unit drops vanish. */
+  def dedupUnitsAgainstIndexStream(docs: DataFrame, index: DataFrame,
+      textCol: String = "text", delim: String = "\n",
+      delay: String = "10 minutes", windowDur: String = "1 minute",
+      bloom: Array[Byte] = null): DataFrame = {
+    val lines = split(col(textCol),
+      java.util.regex.Pattern.quote(delim), -1)
+    val firstPos = filter(lines,
+      (u, i) => array_position(lines, u) === i.cast("long") + 1L)
+    val units = docs.withWatermark("ts", delay)
+      .select(col("doc_id"), col("ts"),
+        posexplode(firstPos).as(Seq("pos", "u")))
+      .withColumn("__ufp", md5(col("u")))
+    val indexed = index.select(col("ufp").as("__ufp"))
+    val checked =
+      if (bloom == null) units.join(indexed, Seq("__ufp"), "left_anti")
+      else {
+        val probed = units.withColumn("__maybe",
+          graft.plans.BloomProbe.mightContain(bloom,
+            xxhash64(col("__ufp"))))
+        probed.filter(!col("__maybe")).drop("__maybe")
+          .unionByName(probed.filter(col("__maybe")).drop("__maybe")
+            .join(indexed, Seq("__ufp"), "left_anti"))
+      }
+    checked
+      .dropDuplicatesWithinWatermark("__ufp")
+      .groupBy(col("doc_id"), window(col("ts"), windowDur))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("u")))),
+          x => x("u")), delim).as(textCol))
+      .select(col("doc_id"), col("window.start").as("ts"), col(textCol))
+  }
+
   /** Quality-gate a DOCUMENT STREAM with a trained
     * [[graft.operators.TextClassifier]] model: keep rows whose predicted
     * quality probability ≥ `threshold`. The score is the codegen'd

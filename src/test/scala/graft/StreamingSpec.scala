@@ -195,6 +195,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming paragraph keep-first: index units strip, cross-doc " +
+      "stream dups keep first arrival, in-doc repeats collapse, docs " +
+      "rebuild in order; bloom sidecar row-identical") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val corpus = Seq((1L, "alpha\nbeta")).toDF("doc_id", "text")
+    val index = graft.operators.Corpus.unitIndex(corpus, "text", "doc_id")
+    def doc(id: Long, min: Int, text: String) = Streams.Doc(id,
+      java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00"), text)
+    def run(name: String, bloom: Array[Byte]): Map[Long, String] = {
+      val ms = MemoryStream[Streams.Doc]
+      val q = Streams.dedupUnitsAgainstIndexStream(ms.toDF(), index,
+          delay = "30 minutes", bloom = bloom)
+        .writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(name).start()
+      try {
+        // batch order IS the keep-first order (the stream's only total
+        // order) — separate batches pin cross-doc winners
+        ms.addData(doc(10, 0, "beta\ngamma\ngamma")) // beta indexed;
+        q.processAllAvailable()                      // gamma² collapses
+        ms.addData(doc(11, 1, "gamma\ndelta")) // gamma seen at doc 10
+        q.processAllAvailable()
+        ms.addData(doc(12, 2, "alpha\nbeta")) // all indexed → vanishes
+        q.processAllAvailable()
+        // flush: advance the watermark (50 − 30 = :20) past the doc
+        // windows so the append-mode rebuild emits
+        ms.addData(doc(99, 50, "flush"))
+        q.processAllAvailable()
+        spark.table(name).collect()
+          .map(r => r.getLong(0) -> r.getString(2)).toMap
+      } finally q.stop()
+    }
+    val plain = run("unit_dedup_out", null)
+    assert(plain == Map(10L -> "gamma", 11L -> "delta"))
+    val bloom = graft.operators.Corpus.unitIndexBloom(index)
+    assert(run("unit_dedup_bloom_out", bloom) == plain)
+  }
+
   test("streaming quality gate: trained model filters the stream, " +
       "stream ≡ batch, zero state") {
     import spark.implicits._
