@@ -100,7 +100,10 @@ object BloomProbe {
     * stays literal-free (an AQE re-plan of a 100 TB job must not copy
     * a filter-sized literal per stage). `hashed` must be non-null
     * (both probes return null on null input, which would drop the row
-    * from BOTH branches of a miss/accept split). */
+    * from BOTH branches of a miss/accept split). Each big-filter call
+    * registers one Broadcast that lives until the session ends — call
+    * once per batch/increment (the probe-function shape), not inside
+    * a loop body that builds thousands of plans. */
   def mightContain(filter: Array[Byte], hashed: Column): Column =
     if (filter.length <= literalMaxBytes)
       column(BloomFilterMightContain(Literal(filter, BinaryType),

@@ -449,16 +449,34 @@ object ScaleStress {
           spans(Corpus.dedupSubstringsAgainstIndex(
             batch, idx, "text", "doc_id", k = 8))
         }
-        val bloom = Corpus.substringIndexBloom(idx,
-          expectedItems = nAnchors)
+        // real lifecycle: the sidecar comes from the PERSISTED store
+        // (FingerprintIndexStore: keys parquet + bloom + manifest), so
+        // the bloom leg scans parquet, not the cached frame, and the
+        // store write/append walls land in the table
+        val storeDir = java.nio.file.Files
+          .createTempDirectory("ssidx-store").toString + "/idx"
+        val (_, tWrite, _) = timedMB {
+          graft.sinks.FingerprintIndexStore.write(idx, storeDir); 0L
+        }
+        val loaded = graft.sinks.FingerprintIndexStore
+          .load(spark, storeDir, "afp")
+        require(loaded.nKeys == nAnchors, "store lost anchors")
         val (sBloom, tBloom, mbBloom) = timedMB {
           spans(Corpus.dedupSubstringsAgainstIndexBloom(
-            batch, idx, "text", "doc_id", bloom, k = 8))
+            batch, loaded.keys, "text", "doc_id", loaded.bloom, k = 8))
         }
         require(sPlain == sBloom,
           s"sidecar changed results: $sPlain vs $sBloom")
+        val (_, tAppend, _) = timedMB {
+          graft.sinks.FingerprintIndexStore.append(
+            Corpus.substringAnchorIndex(batch, "text", "doc_id", 8),
+            storeDir)
+          graft.sinks.FingerprintIndexStore
+            .load(spark, storeDir, "afp").nKeys
+        }
         println(f"$n%9d $nAnchors%9d $sPlain%7d " +
-          f"$tPlain%8.1f $mbPlain%9.1f $tBloom%8.1f $mbBloom%9.1f")
+          f"$tPlain%8.1f $mbPlain%9.1f $tBloom%8.1f $mbBloom%9.1f " +
+          f"write=$tWrite%.1f append=$tAppend%.1f")
         idx.unpersist(); batch.unpersist()
       }
     }
