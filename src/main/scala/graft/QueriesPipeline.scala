@@ -3167,6 +3167,59 @@ object QueriesPipeline {
         SELECT doc_id, txt, cast(length(txt) as bigint) AS n_chars
         FROM fin""")),
 
+    // Unicode NFC normalization (plans/TextExpressions.scala
+    // UnicodeNormalizeExpr) — the transform every published pipeline
+    // runs before tokenizing/shingling so decomposed and precomposed
+    // text dedups identically. The corpus is ASCII (which must ride
+    // the no-alloc fast path unchanged), so both sides plant the same
+    // doc_id-selected canonical-equivalence suffixes: combining acute
+    // (e+U+0301→é), angstrom sign (U+212B→Å) + o+diaeresis, Hangul
+    // jamo composition (U+1100 U+1161 U+11A8→각), ohm sign
+    // (U+2126→Ω), and a pure-ASCII control. Oracle: DuckDB's
+    // utf8proc-backed nfc_normalize — an independent UAX #15
+    // implementation, so the hash compare cross-checks the JDK
+    // normalizer against utf8proc, not the kernel against itself.
+    // Map-only scan; NFKC/NFD forms are spec-covered (DuckDB only
+    // exposes NFC).
+    "q_text_unicode_norm" -> Entry(
+      (s, dir) => {
+        import graft.plans.TextExpressions.unicode_normalize
+        val id = col("doc_id")
+        // decomposed plants, ASCII-escaped in source (the raw side
+        // must match the oracle's chr() construction byte-for-byte;
+        // precomposed literals would already be NFC)
+        val planted = concat(col("text"), lit(" "),
+          when(pmod(id, lit(5)) === 0, lit("café"))
+            .when(pmod(id, lit(5)) === 1,
+              lit("Ångström"))
+            .when(pmod(id, lit(5)) === 2, lit("각"))
+            .when(pmod(id, lit(5)) === 3, lit("Ω ohm"))
+            .otherwise(lit("plain ascii")))
+        // staged Projects (q_url_normalize convention): plant and
+        // normalized form each computed once behind an alias
+        t(s, dir, "documents").select(id, planted.as("t"))
+          .select(col("doc_id"), col("t"),
+            unicode_normalize(col("t")).as("nfc"))
+          .select(col("doc_id"), sha2(col("nfc"), 256).as("nfc_sha"),
+            length(col("nfc")).cast("long").as("nfc_chars"),
+            length(col("t")).cast("long").as("raw_chars"),
+            (col("nfc") === col("t")).cast("int").as("already_nfc"))
+      },
+      Some("""WITH planted AS (
+          SELECT doc_id, text || ' ' ||
+            CASE doc_id % 5
+              WHEN 0 THEN 'cafe' || chr(769)
+              WHEN 1 THEN chr(8491) || 'ngstro' || chr(776) || 'm'
+              WHEN 2 THEN chr(4352) || chr(4449) || chr(4520)
+              WHEN 3 THEN chr(8486) || ' ohm'
+              ELSE 'plain ascii' END AS t
+          FROM documents)
+        SELECT doc_id, sha256(nfc_normalize(t)) AS nfc_sha,
+          cast(length(nfc_normalize(t)) as bigint) AS nfc_chars,
+          cast(length(t) as bigint) AS raw_chars,
+          cast(nfc_normalize(t) = t as int) AS already_nfc
+        FROM planted""")),
+
     // C4-style line-level quality filter (Corpus.c4FilterLines): keep
     // prose-shaped lines (≥3 words, terminal punctuation, no
     // javascript/lorem-ipsum/cookie chrome, no '{'), drop docs left

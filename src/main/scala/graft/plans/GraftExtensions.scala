@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{IntegerType, StringType}
 
 /** SparkSessionExtensions entry point: registers every graft custom
   * expression for SQL use plus the [[JaccardLengthPruning]] optimizer
@@ -37,6 +37,15 @@ object GraftExtensions {
       s"$fn expects literal int shape parameters")
   }
 
+  /** Mode parameters (normalization form…) likewise select codegen —
+    * literal strings only. */
+  private def strLit(e: Expression, fn: String): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+      v.toString
+    case _ => throw new IllegalArgumentException(
+      s"$fn expects literal string mode parameters")
+  }
+
   /** Every kernel: (SQL name, expression class for DESCRIBE FUNCTION,
     * builder) — one list serving both the extensions path and
     * [[register]]. */
@@ -52,6 +61,9 @@ object GraftExtensions {
       (es: Seq[Expression]) => TokenCountExpr(es.head)),
     ("deflated_size", classOf[DeflatedSizeExpr].getName,
       (es: Seq[Expression]) => DeflatedSizeExpr(es.head)),
+    ("unicode_normalize", classOf[UnicodeNormalizeExpr].getName,
+      (es: Seq[Expression]) => UnicodeNormalizeExpr(es.head,
+        if (es.length > 1) strLit(es(1), "unicode_normalize") else "NFC")),
     ("top_gram_char_frac", classOf[TopGramCharFracExpr].getName,
       (es: Seq[Expression]) => TopGramCharFracExpr(es.head)),
     ("dup_gram_char_frac", classOf[DupGramCharFracExpr].getName,

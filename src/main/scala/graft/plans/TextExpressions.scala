@@ -309,6 +309,25 @@ object TextKernels {
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
   }
 
+  /** Unicode normalization (UAX #15). Two fast paths before the
+    * (allocating) `java.text.Normalizer` call: pure-ASCII byte scan —
+    * ASCII is normalized under all four forms, and post-HTML-strip web
+    * text is overwhelmingly ASCII, so the common row never decodes to
+    * a String at all — and the quick-check `isNormalized` pass, which
+    * returns the input UTF8String untouched for already-normalized
+    * non-ASCII text (no re-encode). Row-local: normalizing a 100 TB
+    * corpus is one map-only scan with zero per-executor state. */
+  def unicodeNormalize(s: UTF8String, form: java.text.Normalizer.Form)
+      : UTF8String = {
+    val nb = s.numBytes
+    var i = 0
+    while (i < nb && s.getByte(i) >= 0) i += 1
+    if (i == nb) return s
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, form)) s
+    else UTF8String.fromString(java.text.Normalizer.normalize(str, form))
+  }
+
   def wordShingles(s: UTF8String, n: Int): ArrayData = {
     val words = splitWords(s)
     if (words.length <= n) {
@@ -435,6 +454,39 @@ case class ShinglesExpr(child: Expression, n: Int, word: Boolean)
     copy(child = newChild)
 }
 
+/** Unicode normalization as a codegen'd kernel — the first transform of
+  * every published curation pipeline (NFC before tokenization/hashing so
+  * that `cafe`+COMBINING-ACUTE and precomposed `café` dedup/shingle
+  * identically; NFKC for tokenizer folding of ligatures/fullwidth
+  * forms). Composable Spark has no normalizer; a Scala UDF would break
+  * the whole-stage-codegen span this sits inside.
+  * Ref: vunnel normalizes identifiers per-provider (e.g.
+  * src/vunnel/providers/debian/parser.py lowercasing); the corpus-text
+  * form follows the published pipelines (Gopher §A.1, C4) instead. */
+case class UnicodeNormalizeExpr(child: Expression, form: String)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  require(UnicodeNormalizeExpr.forms.contains(form),
+    s"unicode_normalize: form must be one of ${UnicodeNormalizeExpr.forms
+        .mkString("/")}, got '$form'")
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = s"unicode_${form.toLowerCase}"
+  @transient private lazy val f = java.text.Normalizer.Form.valueOf(form)
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.unicodeNormalize(v.asInstanceOf[UTF8String], f)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s =>
+      s"graft.plans.TextKernels.unicodeNormalize($s, " +
+        s"java.text.Normalizer.Form.$form)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object UnicodeNormalizeExpr {
+  val forms: Set[String] = Set("NFC", "NFD", "NFKC", "NFKD")
+}
+
 object TextExpressions {
   import org.apache.spark.sql.graft.bridge.{column, expression}
 
@@ -454,4 +506,6 @@ object TextExpressions {
     column(RepetitionNgramExpr(expression(text)))
   def deflated_size(text: Column): Column =
     column(DeflatedSizeExpr(expression(text)))
+  def unicode_normalize(text: Column, form: String = "NFC"): Column =
+    column(UnicodeNormalizeExpr(expression(text), form))
 }

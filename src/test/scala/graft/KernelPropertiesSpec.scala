@@ -83,6 +83,54 @@ class KernelPropertiesSpec extends AnyFunSuite {
       TextKernels.deflatedSize(UTF8String.fromString("a" * 20)))
   }
 
+  test("unicodeNormalize: agrees with UAX#15, idempotent, fast paths " +
+      "return the input instance; NFKC folds what NFC preserves; SQL " +
+      "registration + literal-form validation") {
+    import graft.plans.TextKernels
+    val NFC = java.text.Normalizer.Form.NFC
+    val NFKC = java.text.Normalizer.Form.NFKC
+    def nfc(s: String): String =
+      TextKernels.unicodeNormalize(UTF8String.fromString(s), NFC).toString
+    def nfkc(s: String): String =
+      TextKernels.unicodeNormalize(UTF8String.fromString(s), NFKC).toString
+    // mixed ASCII + decomposed/composed/astral runs: agree with the
+    // JDK normalizer and be idempotent (UAX#15 guarantees NFC(NFC(x))
+    // = NFC(x); the kernel's fast paths must not break it)
+    val gen = Gen.listOf(Gen.frequency(
+      3 -> Gen.asciiPrintableStr,
+      1 -> Gen.oneOf("café", "Å", "각",
+        "Ω", "ö", "😀", "café"))).map(_.mkString)
+    check(forAll(gen) { s =>
+      val out = nfc(s)
+      out == java.text.Normalizer.normalize(s, NFC) && nfc(out) == out
+    })
+    // ASCII fast path: the INPUT UTF8String comes back (no decode, no
+    // copy) — this is the 100 TB common path
+    val a = UTF8String.fromString("plain ascii only")
+    assert(TextKernels.unicodeNormalize(a, NFC) eq a)
+    // already-normalized non-ASCII: quick-check path, same instance
+    val c = UTF8String.fromString("café")
+    assert(TextKernels.unicodeNormalize(c, NFC) eq c)
+    // canonical-equivalence witnesses (the q_text_unicode_norm plants)
+    assert(nfc("café") == "café")
+    assert(nfc("Å") == "Å")          // angstrom sign → Å
+    assert(nfc("각") == "각") // jamo → hangul syllable
+    assert(nfc("Ω") == "Ω")          // ohm sign → omega
+    // compatibility forms: NFC preserves, NFKC folds
+    assert(nfc("ﬁle") == "ﬁle")
+    assert(nfkc("ﬁle Ａ 2²") == "file A 22")
+    // SQL path ≡ kernel; the form parameter must be a literal from
+    // the UAX#15 set
+    val spark = SparkTestSession.spark
+    graft.plans.GraftExtensions.register(spark)
+    assert(spark.sql("SELECT unicode_normalize('café')")
+      .head().getString(0) == "café")
+    assert(spark.sql("SELECT unicode_normalize('ﬁle', 'NFKC')")
+      .head().getString(0) == "file")
+    intercept[Exception](
+      spark.sql("SELECT unicode_normalize('x', 'NFX')").collect())
+  }
+
   test("topCount equals max group multiplicity on random string lists") {
     val gen = Gen.listOf(Gen.oneOf("a", "b", "c", "dd", "e f", ""))
     check(forAll(gen) { xs =>
