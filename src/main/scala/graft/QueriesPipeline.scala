@@ -3760,6 +3760,79 @@ object QueriesPipeline {
             THEN 1 ELSE 0 END as int) AS keep
         FROM feat""")),
 
+    // Gopher table-A1 paragraph-repetition pair
+    // (Text.paragraph_dup_features/gopher_para_keep): the PARAGRAPH
+    // complement to q_quality_gopher's line pair, at the paper's own
+    // 0.30/0.20 thresholds. The corpus is single-line, so both sides
+    // plant the same doc_id-derived multi-paragraph bodies:
+    // %3=0 → [A,A,B] (dup frac 0.3333 fails the 0.30 rule),
+    // %3=1 → [A,B] (clean, keeps), %3=2 → [A,B,C,A] (dup frac 0.25
+    // PASSES, but the duplicated 6-word A dominates chars → char-frac
+    // rule fails — the two rules trip independently). Row-local
+    // higher-order array ops, one scan, zero shuffle.
+    "q_quality_gopher_para" -> Entry(
+      (s, dir) => {
+        val id = col("doc_id")
+        val w = split(trim(col("text")), " ")
+        val pa = array_join(slice(w, 1, 6), " ")
+        val pb = array_join(slice(w, 7, 6), " ")
+        val pc = array_join(slice(w, 13, 2), " ")
+        val body = when(pmod(id, lit(3)) === 0,
+            concat_ws("\n\n", pa, pa, pb))
+          .when(pmod(id, lit(3)) === 1, concat_ws("\n\n", pa, pb))
+          .otherwise(concat_ws("\n\n", pa, pb, pc, pa))
+        val f = Text.paragraph_dup_features(col("body"))
+        t(s, dir, "documents").select(id, body.as("body"))
+          .select(id, f.as("f"))
+          .select(id,
+            col("f.n_paras").as("n_paras"),
+            col("f.dup_para_frac").as("dup_para_frac"),
+            col("f.dup_para_char_frac").as("dup_para_char_frac"),
+            Text.gopher_para_keep(col("f")).cast("int").as("keep"))
+      },
+      Some("""WITH parts AS (
+          SELECT doc_id,
+            coalesce(array_to_string(
+              (string_split(trim(text), ' '))[1:6], ' '), '') AS pa,
+            coalesce(array_to_string(
+              (string_split(trim(text), ' '))[7:12], ' '), '') AS pb,
+            coalesce(array_to_string(
+              (string_split(trim(text), ' '))[13:14], ' '), '') AS pc
+          FROM documents
+        ), planted AS (
+          SELECT doc_id,
+            CASE doc_id % 3
+              WHEN 0 THEN concat_ws(chr(10)||chr(10), pa, pa, pb)
+              WHEN 1 THEN concat_ws(chr(10)||chr(10), pa, pb)
+              ELSE concat_ws(chr(10)||chr(10), pa, pb, pc, pa) END AS body
+          FROM parts
+        ), base AS (
+          SELECT doc_id, string_split(body, chr(10)||chr(10)) AS ps
+          FROM planted
+        ), m AS (
+          SELECT doc_id,
+            cast(len(ps) as bigint) AS n_paras,
+            cast(len(list_distinct(ps)) as bigint) AS ndp,
+            cast(coalesce(list_aggregate(
+              list_transform(ps, p -> length(p)), 'sum'), 0) as bigint)
+              AS pchars,
+            cast(coalesce(list_aggregate(
+              list_transform(list_distinct(ps), p -> length(p)), 'sum'),
+              0) as bigint) AS dchars
+          FROM base
+        ), feat AS (
+          SELECT doc_id, n_paras,
+            round(1.0 - ndp / n_paras, 4) AS dup_para_frac,
+            round(CASE WHEN pchars > 0
+              THEN (pchars - dchars) / pchars
+              ELSE 0 END, 4) AS dup_para_char_frac
+          FROM m)
+        SELECT doc_id, n_paras, dup_para_frac, dup_para_char_frac,
+          cast(CASE WHEN dup_para_frac <= 0.30
+            AND dup_para_char_frac <= 0.20
+            THEN 1 ELSE 0 END as int) AS keep
+        FROM feat""")),
+
     // Data profiling: per-column null/distinct/min/max over lineitem,
     // ONE single-distinct aggregate per column unioned (all-in-one-agg
     // triggers the RewriteDistinctAggregates Expand — see

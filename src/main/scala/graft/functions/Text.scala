@@ -250,6 +250,46 @@ object Text {
       f.getField("dup_line_frac") <= maxDupLineFrac &&
       f.getField("dup_line_char_frac") <= maxDupLineCharFrac
 
+  /** Gopher table-A1 paragraph-repetition pair (Rae et al. 2021 —
+    * the PARAGRAPH-granularity complement to [[gopher_features]]'
+    * line pair; the paper thresholds both): paragraphs split on the
+    * blank-line boundary `\n\n`, duplicate-paragraph fraction
+    * (1 − distinct/total) and duplicate-paragraph CHARACTER fraction
+    * ((chars − distinctChars)/chars — one boilerplate banner pasted
+    * between every section weighs by its length, not its count).
+    * Row-local higher-order array ops, zero shuffle; ratios round to
+    * 4 dp so the identical arithmetic replays in DuckDB
+    * (`q_quality_gopher_para`). `split("", …)` yields `[""]`, so
+    * n_paras ≥ 1 and the frac denominator never zeroes. */
+  def paragraph_dup_features(text: Column): Column = {
+    val paras = split(text, "\n\n", -1)
+    val nParas = size(paras).cast("long")
+    val dupParaFrac = round(
+      lit(1.0) - size(array_distinct(paras)).cast("double") / nParas, 4)
+    val paraChars =
+      coalesce(aggregate(paras, lit(0L), (a, p) => a + length(p)), lit(0L))
+    val distinctChars = coalesce(
+      aggregate(array_distinct(paras), lit(0L), (a, p) => a + length(p)),
+      lit(0L))
+    val dupParaCharFrac = when(paraChars > 0,
+      round((paraChars - distinctChars).cast("double") / paraChars, 4))
+      .otherwise(lit(0.0))
+    struct(
+      nParas.as("n_paras"),
+      dupParaFrac.as("dup_para_frac"),
+      dupParaCharFrac.as("dup_para_char_frac"))
+  }
+
+  /** The published A1 paragraph gate over [[paragraph_dup_features]]:
+    * keep iff dup_para_frac ≤ 0.30 AND dup_para_char_frac ≤ 0.20
+    * (Gopher's table values as defaults). AND-compose with
+    * [[gopher_keep]] for the full rule set. */
+  def gopher_para_keep(f: Column,
+      maxDupParaFrac: Double = 0.30,
+      maxDupParaCharFrac: Double = 0.20): Column =
+    f.getField("dup_para_frac") <= maxDupParaFrac &&
+      f.getField("dup_para_char_frac") <= maxDupParaCharFrac
+
   /** HTML → text extraction — the first step of every web-corpus
     * pipeline (C4/CommonCrawl lineage). Pure chained regexp/replace
     * Column ops (codegen'd, RE2-safe so the identical arithmetic

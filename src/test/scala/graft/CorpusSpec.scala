@@ -654,6 +654,35 @@ class CorpusSpec extends AnyFunSuite {
     assert(kept == Set(1L))
   }
 
+  test("paragraph_dup_features/gopher_para_keep: hand-computed " +
+      "paragraph-repetition fractions; frac and char-frac rules trip " +
+      "independently") {
+    val docs = Seq(
+      (1L, "alpha beta\n\ngamma delta"),             // clean: 2 distinct
+      (2L, "one two\n\none two\n\nthree"),           // dup pair of 3
+      // 4 paras, dup frac 0.25 (passes 0.30) but the duplicated LONG
+      // para owns most chars → char rule fails alone
+      (3L, "a long duplicated paragraph\n\nx\n\ny\n\na long duplicated paragraph"),
+      (4L, "")                                       // split("") = [""]
+    ).toDF("doc_id", "text")
+    val f = Text.paragraph_dup_features(col("text"))
+    val out = docs.select(col("doc_id"), f.as("f")).select(col("doc_id"),
+        col("f.n_paras"), col("f.dup_para_frac"),
+        col("f.dup_para_char_frac"))
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(out(1L) == Seq(2L, 0.0, 0.0))
+    // doc 2: 1 - 2/3; chars 7+7+5=19, distinct 12 → 7/19
+    assert(out(2L) == Seq(3L, 0.3333, 0.3684))
+    // doc 3: 1 - 3/4 = 0.25; chars 27+1+1+27=56, distinct 29 → 27/56
+    assert(out(3L) == Seq(4L, 0.25, 0.4821))
+    // doc 4: one implicit empty paragraph, zero fractions
+    assert(out(4L) == Seq(1L, 0.0, 0.0))
+    val kept = docs.select(col("doc_id"), f.as("f"))
+      .filter(Text.gopher_para_keep(col("f")))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L)) // 2 fails frac; 3 fails char-frac only
+  }
+
   test("html_to_text: blocks drop, breaks become newlines, entities " +
       "decode after the tag strip, whitespace canonicalizes") {
     val html =
