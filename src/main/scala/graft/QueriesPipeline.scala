@@ -3220,6 +3220,60 @@ object QueriesPipeline {
           cast(nfc_normalize(t) = t as int) AS already_nfc
         FROM planted""")),
 
+    // Mojibake repair (plans/TextExpressions.scala FixMojibakeExpr —
+    // the ftfy fix_encoding core case): UTF-8 read as windows-1252
+    // upstream, so é arrives as Ã©. The Spark side runs the GENERIC
+    // round-trip repairer on planted corruptions; DuckDB plants the
+    // independently-constructed expected outputs — the hash compare
+    // proves the kernel inverts each corruption rather than
+    // pattern-matching it. Cases (doc_id%7): single-encoded é/’/ü/…
+    // (the last two exercising cp1252's 0x80–0x9F punctuation block),
+    // DOUBLE-encoded é (two fixpoint rounds), legitimate precomposed
+    // café (must NOT change — 0xE9 never round-trips as UTF-8), pure
+    // ASCII (fast path). Map-only scan.
+    "q_text_fix_mojibake" -> Entry(
+      (s, dir) => {
+        import graft.plans.TextExpressions.fix_mojibake
+        val id = col("doc_id")
+        val planted = concat(col("text"), lit(" "),
+          when(pmod(id, lit(7)) === 0, lit("cafÃ©"))
+            .when(pmod(id, lit(7)) === 1, lit("donâ€™t"))
+            .when(pmod(id, lit(7)) === 2, lit("Ã¼ber"))
+            .when(pmod(id, lit(7)) === 3, lit("â€¦end"))
+            .when(pmod(id, lit(7)) === 4, lit("ÃƒÂ©"))
+            .when(pmod(id, lit(7)) === 5, lit("café"))
+            .otherwise(lit("plain ascii")))
+        t(s, dir, "documents").select(id, planted.as("t"))
+          .select(id, col("t"), fix_mojibake(col("t")).as("fx"))
+          .select(id, sha2(col("fx"), 256).as("fixed_sha"),
+            length(col("fx")).cast("long").as("fixed_chars"),
+            (col("fx") =!= col("t")).cast("int").as("changed"))
+      },
+      Some("""WITH planted AS (
+          SELECT doc_id, text || ' ' ||
+            CASE doc_id % 7
+              WHEN 0 THEN 'caf' || chr(195) || chr(169)
+              WHEN 1 THEN 'don' || chr(226) || chr(8364) || chr(8482) || 't'
+              WHEN 2 THEN chr(195) || chr(188) || 'ber'
+              WHEN 3 THEN chr(226) || chr(8364) || chr(166) || 'end'
+              WHEN 4 THEN chr(195) || chr(402) || chr(194) || chr(169)
+              WHEN 5 THEN 'caf' || chr(233)
+              ELSE 'plain ascii' END AS t,
+            text || ' ' ||
+            CASE doc_id % 7
+              WHEN 0 THEN 'caf' || chr(233)
+              WHEN 1 THEN 'don' || chr(8217) || 't'
+              WHEN 2 THEN chr(252) || 'ber'
+              WHEN 3 THEN chr(8230) || 'end'
+              WHEN 4 THEN chr(233)
+              WHEN 5 THEN 'caf' || chr(233)
+              ELSE 'plain ascii' END AS fx
+          FROM documents)
+        SELECT doc_id, sha256(fx) AS fixed_sha,
+          cast(length(fx) as bigint) AS fixed_chars,
+          cast(fx != t as int) AS changed
+        FROM planted""")),
+
     // C4-style line-level quality filter (Corpus.c4FilterLines): keep
     // prose-shaped lines (≥3 words, terminal punctuation, no
     // javascript/lorem-ipsum/cookie chrome, no '{'), drop docs left

@@ -64,6 +64,8 @@ object GraftExtensions {
     ("unicode_normalize", classOf[UnicodeNormalizeExpr].getName,
       (es: Seq[Expression]) => UnicodeNormalizeExpr(es.head,
         if (es.length > 1) strLit(es(1), "unicode_normalize") else "NFC")),
+    ("fix_mojibake", classOf[FixMojibakeExpr].getName,
+      (es: Seq[Expression]) => FixMojibakeExpr(es.head)),
     ("top_gram_char_frac", classOf[TopGramCharFracExpr].getName,
       (es: Seq[Expression]) => TopGramCharFracExpr(es.head)),
     ("dup_gram_char_frac", classOf[DupGramCharFracExpr].getName,

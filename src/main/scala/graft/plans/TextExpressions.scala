@@ -328,6 +328,59 @@ object TextKernels {
     else UTF8String.fromString(java.text.Normalizer.normalize(str, form))
   }
 
+  private val CP1252 = java.nio.charset.Charset.forName("windows-1252")
+
+  /** One round of the classic mojibake inversion: the string's chars
+    * map back to the windows-1252 bytes a broken pipeline read them
+    * from, and those bytes strict-decode as UTF-8. Null = not mojibake
+    * (some char has no cp1252 byte, the bytes aren't valid UTF-8, or
+    * the round-trip is the identity — pure single-byte text). REPORT
+    * everywhere: String.getBytes would silently '?'-substitute and
+    * manufacture a "fix". */
+  private def unmojibakeOnce(str: String): String = {
+    import java.nio.charset.{CharacterCodingException, CodingErrorAction}
+    val enc = CP1252.newEncoder()
+      .onMalformedInput(CodingErrorAction.REPORT)
+      .onUnmappableCharacter(CodingErrorAction.REPORT)
+    val bytes =
+      try enc.encode(java.nio.CharBuffer.wrap(str))
+      catch { case _: CharacterCodingException => return null }
+    val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(CodingErrorAction.REPORT)
+      .onUnmappableCharacter(CodingErrorAction.REPORT)
+    val out =
+      try dec.decode(bytes).toString
+      catch { case _: CharacterCodingException => return null }
+    if (out == str) null else out
+  }
+
+  /** Mojibake repair (the ftfy `fix_encoding` core case): UTF-8 text
+    * that was decoded as windows-1252 somewhere upstream and re-saved,
+    * so `é` arrives as `Ã©` and `’` as `â€™`. Whole-string and
+    * conservative — the repair applies only when EVERY char round-trips
+    * (cp1252-encodable AND the byte string is valid UTF-8 with at least
+    * one multibyte sequence), so legitimate `café` (é = 0xE9, never a
+    * UTF-8 lead byte for what follows) and CJK/emoji text (not
+    * cp1252-encodable) pass through untouched. Fixpoint-iterates ≤3
+    * rounds for double/triple-encoded text. ASCII byte-scan fast path
+    * returns the input UTF8String unallocated — the 100 TB common path.
+    * Row-local: one map-only scan, zero per-executor state. */
+  def fixMojibake(s: UTF8String): UTF8String = {
+    val nb = s.numBytes
+    var i = 0
+    while (i < nb && s.getByte(i) >= 0) i += 1
+    if (i == nb) return s
+    var cur = s.toString
+    var rounds = 0
+    var next = unmojibakeOnce(cur)
+    while (next != null) {
+      cur = next
+      rounds += 1
+      next = if (rounds < 3) unmojibakeOnce(cur) else null
+    }
+    if (rounds == 0) s else UTF8String.fromString(cur)
+  }
+
   def wordShingles(s: UTF8String, n: Int): ArrayData = {
     val words = splitWords(s)
     if (words.length <= n) {
@@ -487,6 +540,27 @@ object UnicodeNormalizeExpr {
   val forms: Set[String] = Set("NFC", "NFD", "NFKC", "NFKD")
 }
 
+/** Mojibake repair as a codegen'd kernel — see
+  * [[TextKernels.fixMojibake]]. Precedes [[UnicodeNormalizeExpr]] in a
+  * curation pipeline: encoding damage must be undone before NFC, or the
+  * mojibake chars normalize and fossilize.
+  * Ref: vunnel ingests vendor feeds as declared-charset HTTP bodies
+  * (src/vunnel/utils/http_wrapper.py response.text) and never repairs;
+  * web-crawl pipelines (ftfy lineage) must. */
+case class FixMojibakeExpr(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "fix_mojibake"
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.fixMojibake(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.plans.TextKernels.fixMojibake($s)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   import org.apache.spark.sql.graft.bridge.{column, expression}
 
@@ -508,4 +582,6 @@ object TextExpressions {
     column(DeflatedSizeExpr(expression(text)))
   def unicode_normalize(text: Column, form: String = "NFC"): Column =
     column(UnicodeNormalizeExpr(expression(text), form))
+  def fix_mojibake(text: Column): Column =
+    column(FixMojibakeExpr(expression(text)))
 }

@@ -131,6 +131,55 @@ class KernelPropertiesSpec extends AnyFunSuite {
       spark.sql("SELECT unicode_normalize('x', 'NFX')").collect())
   }
 
+  test("fixMojibake: inverts cp1252 mojibake, fixpoints double-encoding, " +
+      "never touches legitimate text; ASCII fast path returns the input " +
+      "instance; SQL registration") {
+    import graft.plans.TextKernels
+    def fix(s: String): String =
+      TextKernels.fixMojibake(UTF8String.fromString(s)).toString
+    // single-encoded: é, ’ (0x80-0x9F punctuation block), ü, …
+    assert(fix("cafÃ©") == "café")
+    assert(fix("donâ€™t") == "don’t")
+    assert(fix("Ã¼ber") == "über")
+    assert(fix("â€¦end") == "…end")
+    // double-encoded é needs two fixpoint rounds
+    assert(fix("ÃƒÂ©") == "é")
+    // conservative: legitimate precomposed text is NOT valid UTF-8
+    // after the cp1252 round-trip → untouched
+    assert(fix("café") == "café")
+    assert(fix("café Ã©") == "café Ã©") // mixed damage: no partial fix
+    // not cp1252-encodable → untouched (CJK, emoji)
+    assert(fix("日本語") == "日本語")
+    assert(fix("ok 😀") == "ok 😀")
+    // ASCII fast path: the input instance comes back unallocated
+    val a = UTF8String.fromString("plain ascii")
+    assert(TextKernels.fixMojibake(a) eq a)
+    // property: generic text round-trips through corruption — corrupt
+    // any cp1252-representable repair target by the inverse map, the
+    // kernel must invert it; and fixing is idempotent
+    // space-joined so non-ASCII chars stay isolated: adjacent repaired
+    // chars can form byte runs that legitimately re-decode as UTF-8
+    // ("é……" IS byte-identical to mojibake of a CJK char) — that
+    // ambiguity is inherent to encoding repair, not a kernel defect
+    val gen = Gen.listOf(Gen.frequency(
+      4 -> Gen.asciiPrintableStr,
+      1 -> Gen.oneOf("é", "ü", "’", "…", "Ω"))).map(_.mkString(" "))
+    check(forAll(gen) { s =>
+      val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val corrupted = new String(bytes,
+        java.nio.charset.Charset.forName("windows-1252"))
+      // skip strings whose UTF-8 bytes hit cp1252's five unmapped
+      // holes (0x81/8D/8F/90/9D → U+FFFD on decode): a real cp1252
+      // reader couldn't have produced that mojibake either
+      corrupted.contains('�') ||
+        (fix(corrupted) == s && fix(fix(corrupted)) == fix(corrupted))
+    })
+    val spark = SparkTestSession.spark
+    graft.plans.GraftExtensions.register(spark)
+    assert(spark.sql("SELECT fix_mojibake('caf' || chr(195) || chr(169))")
+      .head().getString(0) == "café")
+  }
+
   test("topCount equals max group multiplicity on random string lists") {
     val gen = Gen.listOf(Gen.oneOf("a", "b", "c", "dd", "e f", ""))
     check(forAll(gen) { xs =>
