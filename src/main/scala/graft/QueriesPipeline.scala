@@ -3274,6 +3274,98 @@ object QueriesPipeline {
           cast(fx != t as int) AS changed
         FROM planted""")),
 
+    // Unicode-script profile (plans/TextExpressions.scala
+    // ScriptCountsExpr + Text.scriptFractions): per-script letter
+    // fractions + dominant script — the multilingual routing gate that
+    // runs BEFORE langid in CCNet/mC4-style pipelines. The corpus is
+    // ASCII, so non-%6=0 docs plant a repeated non-Latin body ahead of
+    // two Latin words (dominance flips, fractions stay mixed). Oracle
+    // cross-checks the JDK's Character.UnicodeScript table against
+    // RE2's \p{Script} classes — two independent implementations of
+    // the Unicode Script property. One fused kernel pass per row
+    // (ASCII rows never decode), map-only scan.
+    "q_text_script_profile" -> Entry(
+      (s, dir) => {
+        import graft.plans.TextExpressions.script_counts
+        val id = col("doc_id")
+        val w = split(trim(col("text")), " ")
+        val two = array_join(slice(w, 1, 2), " ")
+        val planted = when(pmod(id, lit(6)) === 0, col("text"))
+          .when(pmod(id, lit(6)) === 1,
+            concat(repeat(lit("привет мир "), 8), two))
+          .when(pmod(id, lit(6)) === 2,
+            concat(repeat(lit("αβγδ εζ "), 8), two))
+          .when(pmod(id, lit(6)) === 3,
+            concat(repeat(lit("مرحبا بكم "), 8), two))
+          .when(pmod(id, lit(6)) === 4,
+            concat(repeat(lit("中文漢字 "), 8), two))
+          .otherwise(concat(repeat(lit("한국어 글 "), 8), two))
+        val f = Text.scriptFractions(col("c"))
+        t(s, dir, "documents").select(id, planted.as("t"))
+          .select(id, script_counts(col("t")).as("c"))
+          .select(id, f.as("f"))
+          .select(id,
+            col("f.n_letters").as("n_letters"),
+            col("f.latin_frac").as("latin_frac"),
+            col("f.cyrillic_frac").as("cyrillic_frac"),
+            col("f.greek_frac").as("greek_frac"),
+            col("f.arabic_frac").as("arabic_frac"),
+            col("f.han_frac").as("han_frac"),
+            col("f.hangul_frac").as("hangul_frac"),
+            col("f.other_frac").as("other_frac"),
+            col("f.dominant").as("dominant"))
+      },
+      Some("""WITH parts AS (
+          SELECT doc_id, text,
+            coalesce(array_to_string(
+              (string_split(trim(text), ' '))[1:2], ' '), '') AS two
+          FROM documents
+        ), planted AS (
+          SELECT doc_id,
+            CASE doc_id % 6
+              WHEN 0 THEN text
+              WHEN 1 THEN repeat('привет мир ', 8) || two
+              WHEN 2 THEN repeat('αβγδ εζ ', 8) || two
+              WHEN 3 THEN repeat('مرحبا بكم ', 8) || two
+              WHEN 4 THEN repeat('中文漢字 ', 8) || two
+              ELSE repeat('한국어 글 ', 8) || two END AS t
+          FROM parts
+        ), m AS (
+          SELECT doc_id,
+            cast(len(regexp_extract_all(t, '\pL')) as bigint) AS nl,
+            cast(len(regexp_extract_all(t, '\p{Latin}')) as bigint) AS lat,
+            cast(len(regexp_extract_all(t, '\p{Cyrillic}')) as bigint) AS cyr,
+            cast(len(regexp_extract_all(t, '\p{Greek}')) as bigint) AS grk,
+            cast(len(regexp_extract_all(t, '\p{Arabic}')) as bigint) AS ara,
+            cast(len(regexp_extract_all(t, '\p{Han}')) as bigint) AS han,
+            cast(len(regexp_extract_all(t, '\p{Hangul}')) as bigint) AS hang
+          FROM planted
+        ), m2 AS (
+          SELECT *, nl - lat - cyr - grk - ara - han - hang AS oth
+          FROM m)
+        SELECT doc_id, nl AS n_letters,
+          round(CASE WHEN nl > 0 THEN lat / nl ELSE 0 END, 4) AS latin_frac,
+          round(CASE WHEN nl > 0 THEN cyr / nl ELSE 0 END, 4)
+            AS cyrillic_frac,
+          round(CASE WHEN nl > 0 THEN grk / nl ELSE 0 END, 4) AS greek_frac,
+          round(CASE WHEN nl > 0 THEN ara / nl ELSE 0 END, 4) AS arabic_frac,
+          round(CASE WHEN nl > 0 THEN han / nl ELSE 0 END, 4) AS han_frac,
+          round(CASE WHEN nl > 0 THEN hang / nl ELSE 0 END, 4)
+            AS hangul_frac,
+          round(CASE WHEN nl > 0 THEN oth / nl ELSE 0 END, 4) AS other_frac,
+          CASE WHEN nl = 0 THEN 'none'
+            WHEN lat >= cyr AND lat >= grk AND lat >= ara AND lat >= han
+              AND lat >= hang AND lat >= oth THEN 'latin'
+            WHEN cyr >= grk AND cyr >= ara AND cyr >= han AND cyr >= hang
+              AND cyr >= oth THEN 'cyrillic'
+            WHEN grk >= ara AND grk >= han AND grk >= hang AND grk >= oth
+              THEN 'greek'
+            WHEN ara >= han AND ara >= hang AND ara >= oth THEN 'arabic'
+            WHEN han >= hang AND han >= oth THEN 'han'
+            WHEN hang >= oth THEN 'hangul'
+            ELSE 'other' END AS dominant
+        FROM m2""")),
+
     // C4-style line-level quality filter (Corpus.c4FilterLines): keep
     // prose-shaped lines (≥3 words, terminal punctuation, no
     // javascript/lorem-ipsum/cookie chrome, no '{'), drop docs left

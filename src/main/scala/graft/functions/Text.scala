@@ -290,6 +290,32 @@ object Text {
     f.getField("dup_para_frac") <= maxDupParaFrac &&
       f.getField("dup_para_char_frac") <= maxDupParaCharFrac
 
+  /** Script fractions + dominant script over a
+    * [[graft.plans.TextExpressions.script_counts]] struct — the
+    * multilingual routing signal (script gates BEFORE langid: a
+    * Latin-trained model scores garbage on Devanagari). Pass the SAME
+    * struct Column so the kernel runs once per row. Fractions round to
+    * 4 dp (DuckDB replay, `q_text_script_profile`); dominant breaks
+    * ties by the canonical bucket order (first ≥-max wins), `none`
+    * for letterless text. Row-local, zero shuffle. */
+  def scriptFractions(c: Column): Column = {
+    val names = Seq("latin", "cyrillic", "greek", "arabic", "han", "hangul",
+      "other")
+    val nL = c.getField("n_letters")
+    def frac(n: String) = when(nL > 0,
+      round(c.getField(n).cast("double") / nL, 4)).otherwise(lit(0.0))
+    // first bucket ≥ every later bucket wins — the oracle's CASE chain
+    // replays the same tie-break
+    val dominant = names.init.zipWithIndex.foldLeft(
+      when(nL === 0, "none")) { case (acc, (n, i)) =>
+        acc.when(names.drop(i + 1)
+          .map(m => c.getField(n) >= c.getField(m)).reduce(_ && _), n)
+      }.otherwise(names.last)
+    struct(
+      (nL.as("n_letters") +: names.map(n => frac(n).as(s"${n}_frac"))) :+
+        dominant.as("dominant"): _*)
+  }
+
   /** HTML → text extraction — the first step of every web-corpus
     * pipeline (C4/CommonCrawl lineage). Pure chained regexp/replace
     * Column ops (codegen'd, RE2-safe so the identical arithmetic

@@ -66,6 +66,8 @@ object GraftExtensions {
         if (es.length > 1) strLit(es(1), "unicode_normalize") else "NFC")),
     ("fix_mojibake", classOf[FixMojibakeExpr].getName,
       (es: Seq[Expression]) => FixMojibakeExpr(es.head)),
+    ("script_counts", classOf[ScriptCountsExpr].getName,
+      (es: Seq[Expression]) => ScriptCountsExpr(es.head)),
     ("top_gram_char_frac", classOf[TopGramCharFracExpr].getName,
       (es: Seq[Expression]) => TopGramCharFracExpr(es.head)),
     ("dup_gram_char_frac", classOf[DupGramCharFracExpr].getName,

@@ -381,6 +381,55 @@ object TextKernels {
     if (rounds == 0) s else UTF8String.fromString(cur)
   }
 
+  /** Per-script letter counts in ONE code-point pass — the routing
+    * signal of multilingual pipelines (CCNet/mC4 route by script
+    * before language ID; a Latin-script langid model is useless on
+    * Devanagari). Buckets follow the Unicode Script property
+    * (`Character.UnicodeScript`, the same standard RE2's `\p{Xxx}`
+    * implements — the oracle cross-checks the two tables): latin,
+    * cyrillic, greek, arabic, han, hangul, everything-else. ASCII
+    * byte-scan fast path counts [A-Za-z] without ever decoding to a
+    * String — the 100 TB common path allocates nothing. */
+  def scriptCounts(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val nb = s.numBytes
+    var i = 0
+    while (i < nb && s.getByte(i) >= 0) i += 1
+    if (i == nb) { // pure ASCII: every letter is Latin
+      var lat = 0L
+      var j = 0
+      while (j < nb) {
+        val b = s.getByte(j)
+        if ((b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z')) lat += 1
+        j += 1
+      }
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](lat, lat, 0L, 0L, 0L, 0L, 0L, 0L))
+    }
+    val str = s.toString
+    var nL = 0L; var lat = 0L; var cyr = 0L; var grk = 0L
+    var ara = 0L; var han = 0L; var hang = 0L; var oth = 0L
+    var p = 0
+    while (p < str.length) {
+      val cp = str.codePointAt(p)
+      if (Character.isLetter(cp)) {
+        nL += 1
+        import Character.UnicodeScript
+        UnicodeScript.of(cp) match {
+          case UnicodeScript.LATIN    => lat += 1
+          case UnicodeScript.CYRILLIC => cyr += 1
+          case UnicodeScript.GREEK    => grk += 1
+          case UnicodeScript.ARABIC   => ara += 1
+          case UnicodeScript.HAN      => han += 1
+          case UnicodeScript.HANGUL   => hang += 1
+          case _                      => oth += 1
+        }
+      }
+      p += Character.charCount(cp)
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nL, lat, cyr, grk, ara, han, hang, oth))
+  }
+
   def wordShingles(s: UTF8String, n: Int): ArrayData = {
     val words = splitWords(s)
     if (words.length <= n) {
@@ -547,6 +596,36 @@ object UnicodeNormalizeExpr {
   * Ref: vunnel ingests vendor feeds as declared-charset HTTP bodies
   * (src/vunnel/utils/http_wrapper.py response.text) and never repairs;
   * web-crawl pipelines (ftfy lineage) must. */
+/** Per-script letter counts as a codegen'd struct kernel — see
+  * [[TextKernels.scriptCounts]]. Field CSE dedupes the eight
+  * GetStructField projections of one kernel call (the
+  * RepetitionNgramExpr precedent); derive fractions and the dominant
+  * script composably on top ([[graft.functions.Text.scriptFractions]]).
+  * Ref: the reference is mono-script metadata (vunnel identifiers);
+  * script routing follows the published multilingual pipelines. */
+case class ScriptCountsExpr(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ScriptCountsExpr.schema
+  override def prettyName: String = "script_counts"
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.scriptCounts(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.plans.TextKernels.scriptCounts($s)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ScriptCountsExpr {
+  /** Canonical bucket order — [[graft.functions.Text.scriptFractions]]'
+    * dominant tie-break follows it. */
+  val fieldNames: Seq[String] = Seq("n_letters",
+    "latin", "cyrillic", "greek", "arabic", "han", "hangul", "other")
+  val schema: StructType = StructType(
+    fieldNames.map(StructField(_, LongType, nullable = false)))
+}
+
 case class FixMojibakeExpr(child: Expression)
     extends UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
@@ -584,4 +663,6 @@ object TextExpressions {
     column(UnicodeNormalizeExpr(expression(text), form))
   def fix_mojibake(text: Column): Column =
     column(FixMojibakeExpr(expression(text)))
+  def script_counts(text: Column): Column =
+    column(ScriptCountsExpr(expression(text)))
 }

@@ -683,6 +683,29 @@ class CorpusSpec extends AnyFunSuite {
     assert(kept == Set(1L, 4L)) // 2 fails frac; 3 fails char-frac only
   }
 
+  test("scriptFractions: fractions, canonical-order dominant tie-break, " +
+      "letterless → none") {
+    import graft.plans.TextExpressions.script_counts
+    val docs = Seq(
+      (1L, "Hello world"),       // pure latin
+      (2L, "привет миру ab"),    // cyrillic-dominant, mixed
+      (3L, "ab αβ"),             // 2-2 tie → latin (earlier bucket)
+      (4L, "中文 한국"),          // 2-2 tie → han (earlier bucket)
+      (5L, "123 --")             // no letters
+    ).toDF("doc_id", "text")
+    val out = docs
+      .select(col("doc_id"), script_counts(col("text")).as("c"))
+      .select(col("doc_id"), Text.scriptFractions(col("c")).as("f"))
+      .select(col("doc_id"), col("f.n_letters"), col("f.latin_frac"),
+        col("f.cyrillic_frac"), col("f.dominant"))
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(out(1L) == Seq(10L, 1.0, 0.0, "latin"))
+    assert(out(2L) == Seq(12L, 0.1667, 0.8333, "cyrillic"))
+    assert(out(3L) == Seq(4L, 0.5, 0.0, "latin"))
+    assert(out(4L)(3) == "han")
+    assert(out(5L) == Seq(0L, 0.0, 0.0, "none"))
+  }
+
   test("html_to_text: blocks drop, breaks become newlines, entities " +
       "decode after the tag strip, whitespace canonicalizes") {
     val html =

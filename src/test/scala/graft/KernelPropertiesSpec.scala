@@ -180,6 +180,29 @@ class KernelPropertiesSpec extends AnyFunSuite {
       .head().getString(0) == "café")
   }
 
+  test("scriptCounts: per-script letter counts, ASCII fast path, " +
+      "marks/digits/punct excluded; SQL registration") {
+    import graft.plans.TextKernels
+    def counts(s: String): Seq[Long] = {
+      val r = TextKernels.scriptCounts(UTF8String.fromString(s))
+      (0 until 8).map(r.getLong)
+    }
+    // (n_letters, latin, cyrillic, greek, arabic, han, hangul, other)
+    assert(counts("Hello, 42!") == Seq(5L, 5L, 0L, 0L, 0L, 0L, 0L, 0L))
+    assert(counts("привет Hi") == Seq(8L, 2L, 6L, 0L, 0L, 0L, 0L, 0L))
+    assert(counts("αβγ 中文 한") == Seq(6L, 0L, 0L, 3L, 0L, 2L, 1L, 0L))
+    assert(counts("مرحبا") == Seq(5L, 0L, 0L, 0L, 5L, 0L, 0L, 0L))
+    // Devanagari letters land in 'other'; the combining mark (Mn, not
+    // a letter) and the decomposed U+0301 are excluded entirely
+    assert(counts("नमस्ते") == Seq(4L, 0L, 0L, 0L, 0L, 0L, 0L, 4L))
+    assert(counts("é") == Seq(1L, 1L, 0L, 0L, 0L, 0L, 0L, 0L))
+    assert(counts("  12 --") == Seq(0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L))
+    val spark = SparkTestSession.spark
+    graft.plans.GraftExtensions.register(spark)
+    assert(spark.sql("SELECT script_counts('привет Hi').cyrillic")
+      .head().getLong(0) == 6L)
+  }
+
   test("topCount equals max group multiplicity on random string lists") {
     val gen = Gen.listOf(Gen.oneOf("a", "b", "c", "dd", "e f", ""))
     check(forAll(gen) { xs =>
