@@ -3549,6 +3549,41 @@ object QueriesPipeline {
             list_filter(ls, (x, i) -> list_position(ls, x) = i))
             AS bigint) AS n_units_removed
         FROM u""")),
+
+    // Boilerplate audit report (Corpus.topDuplicatedUnits): the
+    // most-duplicated 5-word tiles with occurrence + doc counts — the
+    // table FineWeb/Dolma publish before turning keep-first loose.
+    // doc_id%4=0 docs carry the planted crawl footer (substrFooter
+    // convention), whose tiles dominate the report across the 5
+    // word-count-mod-5 alignment phases — the real-world effect that
+    // motivates substring dedup. Two partial-agg exchanges ((u,doc)
+    // then (u)), global top-k via TakeOrderedAndProject; count-2 ties
+    // at the k-boundary break on the unit string, so the cut is
+    // deterministic on both engines.
+    "q_corpus_boilerplate_topk" -> Entry(
+      (s, dir) => {
+        val planted = t(s, dir, "documents").select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(4)) === 0,
+            concat(col("text"), lit(" " + substrFooter)))
+            .otherwise(col("text")).as("text"))
+        graft.operators.Corpus.topDuplicatedUnits(
+          planted, "doc_id", tile5(col("text")), 100)
+      },
+      Some(s"""WITH planted AS (
+          SELECT doc_id, CASE WHEN doc_id % 4 = 0
+            THEN text || ' $substrFooter' ELSE text END AS text
+          FROM documents
+        ), ds AS (
+          SELECT doc_id,
+            string_split(replace(text, chr(10), ' '), ' ') AS ws
+          FROM planted
+        ), $tile5Sql
+        SELECT u, cast(count(*) as bigint) AS n_occurrences,
+          cast(count(DISTINCT doc_id) as bigint) AS n_docs
+        FROM ch GROUP BY u
+        HAVING count(*) >= 2
+        ORDER BY n_occurrences DESC, u LIMIT 100""")),
+
     // C4-style flagged-wordlist document filter: exact word-boundary
     // match after lower + non-alnum split (never substring), list as
     // one constant-folded array literal — map-only, no shuffle. The

@@ -594,6 +594,31 @@ object Corpus {
       (size(units) - size(kept)).cast("long").as("n_units_removed"))
   }
 
+  /** Boilerplate audit report — the diagnostic a paragraph-dedup
+    * deploy runs FIRST (FineWeb/Dolma publish exactly this table): the
+    * k most-duplicated units with occurrence and document counts, so
+    * an operator can eyeball what keep-first is about to delete before
+    * pointing it at a crawl. Scale shape: two partially-aggregated
+    * exchanges — (unit, doc) first, so a mega-duplicated unit's
+    * occurrences crush map-side before any wire; then (unit), where
+    * the per-(unit, doc) rows crush to one row per unit per map task —
+    * a unit present in EVERY document of a 100 TB corpus ships
+    * O(tasks) rows, never O(docs). The global top-k is
+    * TakeOrderedAndProject (per-partition k, driver merges
+    * |partitions|·k rows). minCount floors the report to actual
+    * repetition; (count desc, unit asc) is a deterministic total
+    * order, so the k-boundary never flaps. */
+  def topDuplicatedUnits(docs: DataFrame, idCol: String, units: Column,
+      k: Int, minCount: Long = 2L): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(split(units, "\n", -1)).as("u"))
+      .groupBy("u", "doc_id").agg(count(lit(1)).as("c"))
+      .groupBy("u").agg(sum("c").as("n_occurrences"),
+        count(lit(1)).as("n_docs"))
+      .filter(col("n_occurrences") >= minCount)
+      .orderBy(col("n_occurrences").desc, col("u").asc)
+      .limit(k)
+
   /** (id, pos, unit) tiling of a corpus — the shared front of the
     * keep-first family. */
   private def unitsOf(docs: DataFrame, textCol: String, idCol: String,

@@ -706,6 +706,24 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(5L) == Seq(0L, 0.0, 0.0, "none"))
   }
 
+  test("topDuplicatedUnits: occurrence vs doc counts, minCount floor, " +
+      "count-then-unit ordering, k cut") {
+    val docs = Seq(
+      (1L, "x\ny\nx"),   // x twice in one doc
+      (2L, "x\nz"),
+      (3L, "z\nw")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Corpus
+      .topDuplicatedUnits(docs, "doc_id", col("text"), k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // x: 3 occurrences across 2 docs; z: 2/2; y,w floored out (count 1)
+    assert(out.toSeq == Seq(("x", 3L, 2L), ("z", 2L, 2L)))
+    val top1 = graft.operators.Corpus
+      .topDuplicatedUnits(docs, "doc_id", col("text"), k = 1)
+      .collect().map(_.getString(0)).toSeq
+    assert(top1 == Seq("x"))
+  }
+
   test("html_to_text: blocks drop, breaks become newlines, entities " +
       "decode after the tag strip, whitespace canonicalizes") {
     val html =

@@ -178,6 +178,15 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"corpus-side shuffle join:\n$p")
   }
 
+  test("q_corpus_boilerplate_topk: both aggs partial below their " +
+      "exchanges; the global cut is TakeOrdered, never a full sort") {
+    val p = plan("q_corpus_boilerplate_topk")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"unit counts must combine map-side:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must be per-partition k + driver merge, not a sort:\n$p")
+  }
+
   test("kNN rerank partial-aggregates the bounded top-k before the exchange") {
     val p = plan("q_sim_knn_ivf")
     assert(p.contains("partial_top_k_agg"),
