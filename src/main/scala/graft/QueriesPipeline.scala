@@ -3375,6 +3375,74 @@ object QueriesPipeline {
     // doc_id%4 so the DOC gate fires for 3/4 of the corpus. The whole
     // operator is one higher-order filter in a scan: no explode, no
     // shuffle.
+    // Composed text-normalization front: mojibake repair → NFC →
+    // script-dominance gate, under ONE oracle — the stage ordering is
+    // the point (encoding damage must be undone BEFORE normalization
+    // or the mojibake fossilizes; the script gate must see normalized
+    // text). Case %5=2 exercises the full chain: mojibake of the
+    // angstrom SIGN fixes to U+212B, which only then NFC-folds to Å.
+    // DuckDB replays NFC (utf8proc) and the script gate (RE2 \p{Xxx})
+    // genuinely — only the mojibake inverse is planted. All three
+    // stages are map-only kernels in one scan: zero shuffle.
+    "q_pipeline_text_normalize" -> Entry(
+      (s, dir) => {
+        import graft.plans.TextExpressions.{fix_mojibake,
+          unicode_normalize, script_counts}
+        val id = col("doc_id")
+        val w = split(trim(col("text")), " ")
+        val two = array_join(slice(w, 1, 2), " ")
+        val planted = when(pmod(id, lit(5)) === 0,
+            concat(col("text"), lit(" cafÃ©")))
+          .when(pmod(id, lit(5)) === 1,
+            concat(col("text"), lit(" café")))
+          .when(pmod(id, lit(5)) === 2,
+            concat(col("text"), lit(" â„«ngstrom")))
+          .when(pmod(id, lit(5)) === 3,
+            concat(repeat(lit("привет мир "), 8), two))
+          .otherwise(concat(col("text"), lit(" plain ascii")))
+        t(s, dir, "documents").select(id, planted.as("raw"))
+          .select(id,
+            unicode_normalize(fix_mojibake(col("raw"))).as("t"))
+          .select(id, col("t"), script_counts(col("t")).as("c"))
+          .select(id, col("t"),
+            Text.scriptFractions(col("c")).as("f"))
+          .filter(col("f.dominant") === "latin")
+          .select(id, sha2(col("t"), 256).as("final_sha"),
+            col("f.n_letters").as("n_letters"))
+      },
+      Some("""WITH parts AS (
+          SELECT doc_id, text,
+            coalesce(array_to_string(
+              (string_split(trim(text), ' '))[1:2], ' '), '') AS two
+          FROM documents
+        ), planted AS (
+          SELECT doc_id,
+            CASE doc_id % 5
+              WHEN 0 THEN text || ' caf' || chr(233)
+              WHEN 1 THEN text || ' cafe' || chr(769)
+              WHEN 2 THEN text || ' ' || chr(8491) || 'ngstrom'
+              WHEN 3 THEN repeat('привет мир ', 8) || two
+              ELSE text || ' plain ascii' END AS fixed
+          FROM parts
+        ), norm AS (
+          SELECT doc_id, nfc_normalize(fixed) AS t FROM planted
+        ), m AS (
+          SELECT doc_id, t,
+            cast(len(regexp_extract_all(t, '\pL')) as bigint) AS nl,
+            cast(len(regexp_extract_all(t, '\p{Latin}')) as bigint) AS lat,
+            cast(len(regexp_extract_all(t, '\p{Cyrillic}')) as bigint) AS cyr,
+            cast(len(regexp_extract_all(t, '\p{Greek}')) as bigint) AS grk,
+            cast(len(regexp_extract_all(t, '\p{Arabic}')) as bigint) AS ara,
+            cast(len(regexp_extract_all(t, '\p{Han}')) as bigint) AS han,
+            cast(len(regexp_extract_all(t, '\p{Hangul}')) as bigint) AS hang
+          FROM norm
+        ), m2 AS (
+          SELECT *, nl - lat - cyr - grk - ara - han - hang AS oth FROM m)
+        SELECT doc_id, sha256(t) AS final_sha, nl AS n_letters
+        FROM m2
+        WHERE nl > 0 AND lat >= cyr AND lat >= grk AND lat >= ara
+          AND lat >= han AND lat >= hang AND lat >= oth""")),
+
     // Composed end-to-end web curation: domain blocklist → flagged-
     // wordlist gate → within-doc line dedup → cross-doc keep-first,
     // under ONE oracle — stage interactions are the point (keep-first
