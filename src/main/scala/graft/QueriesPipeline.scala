@@ -1697,6 +1697,80 @@ object QueriesPipeline {
         SELECT doc_id, CASE WHEN hits > 0 THEN lang ELSE 'und' END AS lang
         FROM ranked WHERE rn = 1""")),
 
+    // Per-unit language mixture (Corpus.unitLangProfile): CCNet's
+    // per-paragraph langid regrouped to a doc-level dominance signal —
+    // dominant_frac < 1 flags the code-switching pages a whole-doc
+    // langid mislabels. The corpus is single-line, so both sides plant
+    // multi-unit bodies: the first unit is the doc's own words
+    // (variable — en or und by marker luck), the rest are fixed
+    // es/en | fr/de/fr | junk units by doc_id%3. Everything — unit
+    // split, per-unit vote, argmax — runs as higher-order array ops in
+    // ONE scan: no explode, no shuffle; the oracle replays the same
+    // votes through an unnest + two ranked windows.
+    "q_text_langid_units" -> Entry(
+      (s, dir) => {
+        val w = split(trim(col("text")), " ")
+        val head = array_join(slice(w, 1, 4), " ")
+        val body = when(pmod(col("doc_id"), lit(3)) === 0,
+            concat_ws("\n", head, lit("el que la de los"),
+              lit("the sun is to rise")))
+          .when(pmod(col("doc_id"), lit(3)) === 1,
+            concat_ws("\n", head, lit("le chat et la vie"),
+              lit("der hund und das ist"), lit("le vin est bon")))
+          .otherwise(concat_ws("\n", head, lit("qwerty asdf")))
+        graft.operators.Corpus.unitLangProfile(
+          t(s, dir, "documents").select(col("doc_id"), body.as("body")),
+          "body", "doc_id")
+      },
+      Some("""WITH parts AS (
+          SELECT doc_id, coalesce(array_to_string(
+            (string_split(trim(text), ' '))[1:4], ' '), '') AS head
+          FROM documents
+        ), planted AS (
+          SELECT doc_id,
+            CASE doc_id % 3
+              WHEN 0 THEN concat_ws(chr(10), head,
+                'el que la de los', 'the sun is to rise')
+              WHEN 1 THEN concat_ws(chr(10), head, 'le chat et la vie',
+                'der hund und das ist', 'le vin est bon')
+              ELSE concat_ws(chr(10), head, 'qwerty asdf') END AS body
+          FROM parts
+        ), us AS (
+          SELECT doc_id, string_split(body, chr(10)) AS ls FROM planted
+        ), unit AS (
+          SELECT doc_id, j AS pos,
+            regexp_split_to_array(trim(lower(ls[j+1])), '\s+') AS ws
+          FROM us, unnest(range(0, len(ls))) AS t(j)
+        ), scores AS (
+          SELECT doc_id, pos, 'en' AS lang, len(list_filter(ws,
+            w -> w IN ('the','and','of','to','is'))) AS hits FROM unit
+          UNION ALL SELECT doc_id, pos, 'es', len(list_filter(ws,
+            w -> w IN ('el','la','de','que','los'))) FROM unit
+          UNION ALL SELECT doc_id, pos, 'de', len(list_filter(ws,
+            w -> w IN ('der','die','und','das','ist'))) FROM unit
+          UNION ALL SELECT doc_id, pos, 'fr', len(list_filter(ws,
+            w -> w IN ('le','la','les','et','est'))) FROM unit
+        ), ranked AS (
+          SELECT doc_id, pos, lang, hits, row_number() OVER (
+            PARTITION BY doc_id, pos ORDER BY hits DESC, lang DESC) AS rn
+          FROM scores
+        ), ulang AS (
+          SELECT doc_id, pos,
+            CASE WHEN hits > 0 THEN lang ELSE 'und' END AS lang
+          FROM ranked WHERE rn = 1
+        ), votes AS (
+          SELECT doc_id, lang, count(*) AS votes
+          FROM ulang GROUP BY doc_id, lang
+        ), dom AS (
+          SELECT doc_id, lang, votes, row_number() OVER (
+            PARTITION BY doc_id ORDER BY votes DESC, lang DESC) AS rn
+          FROM votes
+        ), n AS (
+          SELECT doc_id, cast(len(ls) as bigint) AS n_units FROM us)
+        SELECT n.doc_id, n.n_units, d.lang AS dominant_lang,
+          round(d.votes / n.n_units, 4) AS dominant_frac
+        FROM n JOIN dom d ON d.doc_id = n.doc_id AND d.rn = 1""")),
+
     // ---- dedup ------------------------------------------------------
     // Exact dedup on normalized-text fingerprint.
     "q_dedup_exact" -> Entry(

@@ -358,12 +358,18 @@ object Text {
   /** Heuristic language-ID over stopword markers per language. Returns the
     * language with the highest marker hit-count ('und' when nothing hits;
     * ties break toward the later language code). One narrow pass. */
+  private val langMarkers: Seq[(String, Seq[Any])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "es" -> Seq("el", "la", "de", "que", "los"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"))
+
+  /** The language codes [[lang_id]] can emit (besides 'und') — vote
+    * buckets for [[graft.operators.Corpus.unitLangProfile]]. */
+  val langIdCodes: Seq[String] = langMarkers.map(_._1)
+
   def lang_id(text: Column): Column = {
-    val markers: Seq[(String, Seq[Any])] = Seq(
-      "en" -> Seq("the", "and", "of", "to", "is"),
-      "es" -> Seq("el", "la", "de", "que", "los"),
-      "de" -> Seq("der", "die", "und", "das", "ist"),
-      "fr" -> Seq("le", "la", "les", "et", "est"))
+    val markers = langMarkers
     val words = split(lower(trim(text)), "\\s+")
     val scores = markers.map { case (lang, ws) =>
       struct(

@@ -594,6 +594,34 @@ object Corpus {
       (size(units) - size(kept)).cast("long").as("n_units_removed"))
   }
 
+  /** Per-unit language profile — CCNet's per-paragraph langid regrouped
+    * to a document mixture signal: language votes over the doc's units
+    * (paragraphs/lines), the dominant language, and the fraction of
+    * units agreeing with it. dominant_frac < 1 flags code-switching
+    * pages that a whole-doc langid mislabels (the reason CCNet LIDs
+    * paragraphs, not pages). ENTIRELY row-local — the unit split, the
+    * per-unit [[graft.functions.Text.lang_id]] vote, and the argmax
+    * all run as higher-order array ops inside one scan: profiling a
+    * 100 TB corpus shuffles nothing. Ties break toward the
+    * lexicographically larger code (array_max struct order; the
+    * oracle's `ORDER BY votes DESC, lang DESC` replays it). */
+  def unitLangProfile(docs: DataFrame, textCol: String, idCol: String,
+      delim: String = "\n"): DataFrame = {
+    val units = split(col(textCol),
+      java.util.regex.Pattern.quote(delim), -1)
+    val langs = transform(units, u => graft.functions.Text.lang_id(u))
+    val votes = ("und" +: graft.functions.Text.langIdCodes).map { l =>
+      struct(size(filter(langs, x => x === l)).as("votes"),
+        lit(l).as("lang"))
+    }
+    val best = array_max(array(votes: _*))
+    docs.select(col(idCol),
+      size(units).cast("long").as("n_units"),
+      best.getField("lang").as("dominant_lang"),
+      round(best.getField("votes").cast("double") / size(units), 4)
+        .as("dominant_frac"))
+  }
+
   /** Boilerplate audit report — the diagnostic a paragraph-dedup
     * deploy runs FIRST (FineWeb/Dolma publish exactly this table): the
     * k most-duplicated units with occurrence and document counts, so

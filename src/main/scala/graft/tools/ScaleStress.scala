@@ -368,7 +368,8 @@ object ScaleStress {
 
     println(f"\n${"docs"}%9s ${"kf_kept"}%9s ${"t_kf"}%7s " +
       f"${"kf_shufMB"}%10s ${"web_kept"}%9s ${"t_web"}%7s " +
-      f"${"web_shufMB"}%11s")
+      f"${"web_shufMB"}%11s ${"aud_rows"}%9s ${"t_aud"}%7s " +
+      f"${"aud_shufMB"}%11s")
     if (which == "all" || which == "r11ops") {
       for (n <- Seq(1000000L, 1000000L * maxScale)) {
         // deterministic Zipf unit ids: md5 uniform → inverse CDF of
@@ -403,8 +404,18 @@ object ScaleStress {
           Corpus.dedupKeepFirst(kept.select(col("doc_id"), col("text")),
             "text", "doc_id", "\n").count()
         }
+        // boilerplate audit over the SAME Zipf corpus: the mega-unit
+        // (~5% of ALL occurrences) must crush map-side TWICE — (u,doc)
+        // then (u) — so the report's shuffle tracks distinct
+        // (unit, doc) pairs, never occurrence depth, and the cut is
+        // TakeOrdered (per-partition k), never a global sort
+        val (nAud, tAud, mbAud) = timedMB {
+          Corpus.topDuplicatedUnits(docs, "doc_id", col("text"), 100)
+            .count()
+        }
         println(f"$n%9d $nKf%9d $tKf%7.1f $mbKf%10.1f " +
-          f"$nWeb%9d $tWeb%7.1f $mbWeb%11.1f")
+          f"$nWeb%9d $tWeb%7.1f $mbWeb%11.1f " +
+          f"$nAud%9d $tAud%7.1f $mbAud%11.1f")
         docs.unpersist()
       }
     }

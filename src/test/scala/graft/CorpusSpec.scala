@@ -724,6 +724,24 @@ class CorpusSpec extends AnyFunSuite {
     assert(top1 == Seq("x"))
   }
 
+  test("unitLangProfile: per-unit votes, dominance fraction, und " +
+      "fallback, tie toward the larger code") {
+    val docs = Seq(
+      (1L, "the cat is here\nel que la de los\nthe sun is to rise"),
+      (2L, "le chat et la vie\nqwerty asdf"),  // fr 1, und 1 → tie: und
+      (3L, "zz yy\nxx ww\nvv uu"),             // all und
+      (4L, "der hund und das ist")             // single de unit
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Corpus
+      .unitLangProfile(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((3L, "en", 0.6667)))
+    assert(out(2L) == ((2L, "und", 0.5)))
+    assert(out(3L) == ((3L, "und", 1.0)))
+    assert(out(4L) == ((1L, "de", 1.0)))
+  }
+
   test("html_to_text: blocks drop, breaks become newlines, entities " +
       "decode after the tag strip, whitespace canonicalizes") {
     val html =
