@@ -2866,6 +2866,33 @@ object QueriesPipeline {
             AS id
         FROM flat GROUP BY w ORDER BY n DESC, word LIMIT 200""")),
 
+    // Vocabulary coverage curve (Corpus.vocabCoverage): cumulative
+    // token-coverage fraction by frequency rank — the table that sizes
+    // a tokenizer budget ("95% coverage needs N words"). One partial-
+    // agg word-count exchange + TakeOrdered(k); the prefix sums run in
+    // the ARRAY domain on the single collected top-k row (k-bounded,
+    // buildVocab's trick — no single-partition WindowExec); the token
+    // total rides a one-row broadcast crossJoin.
+    "q_vocab_coverage" -> Entry(
+      (s, dir) => graft.operators.Corpus.vocabCoverage(
+        t(s, dir, "documents"), "text", 200),
+      Some("""WITH flat AS (
+          SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+            AS w
+          FROM documents
+        ), tot AS (
+          SELECT cast(count(*) as double) AS total FROM flat
+        ), counts AS (
+          SELECT w AS word, cast(count(*) as bigint) AS n
+          FROM flat GROUP BY w
+        ), top AS (
+          SELECT word, n, cast(row_number() OVER (ORDER BY n DESC, word)
+            as bigint) AS rank
+          FROM counts ORDER BY n DESC, word LIMIT 200)
+        SELECT word, n, rank,
+          round(sum(n) OVER (ORDER BY rank) / total, 4) AS cum_frac
+        FROM top, tot""")),
+
     // Token-id encoding of every document against that vocabulary
     // (OOV → 0, order-preserving). Spark looks ids up via a BROADCAST
     // hash join on the exploded token stream (O(1)/token in codegen);

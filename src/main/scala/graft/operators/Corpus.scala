@@ -1565,6 +1565,34 @@ object Corpus {
         (col("pos") + 1).cast("long").as("id"))
   }
 
+  /** Vocabulary coverage curve — the vocab-size design table: for each
+    * of the top-k words (frequency rank order), the cumulative fraction
+    * of ALL corpus tokens the vocabulary up to that rank covers. Read
+    * off "95% token coverage needs N words" before fixing a tokenizer
+    * budget. Scale shape: one word-count exchange with map-side partial
+    * counts (shared with [[buildVocab]]), a TakeOrdered top-k, ONE
+    * one-row scalar crossJoin for the token total, and the prefix sums
+    * computed in the ARRAY domain on the single collected top-k row
+    * (k-bounded O(k²) element adds — buildVocab's trick, avoiding a
+    * single-partition WindowExec). Nothing driver-side, nothing
+    * corpus-sized past the first exchange. */
+  def vocabCoverage(docs: DataFrame, textCol: String, k: Int)
+      : DataFrame = {
+    val counts = wordCounts(docs, textCol)
+    val total = counts.agg(sum(col("n")).cast("double").as("__total"))
+    counts.orderBy(col("n").desc, col("word").asc).limit(k)
+      .agg(array_sort(collect_list(struct((-col("n")).as("negn"),
+        col("word")))).as("vs"))
+      .crossJoin(broadcast(total))
+      .select(col("__total"), posexplode(col("vs")).as(Seq("pos", "v")),
+        col("vs"))
+      .select(col("v.word").as("word"), (-col("v.negn")).as("n"),
+        (col("pos") + 1).cast("long").as("rank"),
+        round(aggregate(slice(col("vs"), lit(1), col("pos") + 1), lit(0L),
+          (a, x) => a - x.getField("negn")).cast("double") / col("__total"),
+          4).as("cum_frac"))
+  }
+
   /** Encode each document as its vocabulary-id sequence
     * (out-of-vocabulary → 0), preserving token order. The lookup is a
     * BROADCAST hash join against the exploded (id, pos, token) stream —

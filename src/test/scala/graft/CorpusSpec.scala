@@ -724,6 +724,24 @@ class CorpusSpec extends AnyFunSuite {
     assert(top1 == Seq("x"))
   }
 
+  test("vocabCoverage: cumulative fractions by rank, tie order, k cut, " +
+      "last-row sanity") {
+    // tokens: a×4, b×2, c×2, d×1, e×1 → total 10
+    val docs = Seq((1L, "a a b c d"), (2L, "a a b c e")).toDF("doc_id", "text")
+    val out = graft.operators.Corpus
+      .vocabCoverage(docs, "text", 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    // rank order (n desc, word asc); d/e tie at 1 → d enters at k=4
+    assert(out.toSeq == Seq(
+      ("a", 4L, 1L, 0.4), ("b", 2L, 2L, 0.6),
+      ("c", 2L, 3L, 0.8), ("d", 1L, 4L, 0.9)))
+    // full vocab covers everything
+    val full = graft.operators.Corpus.vocabCoverage(docs, "text", 10)
+      .collect()
+    assert(full.last.getDouble(3) == 1.0 && full.length == 5)
+  }
+
   test("unitLangProfile: per-unit votes, dominance fraction, und " +
       "fallback, tie toward the larger code") {
     val docs = Seq(

@@ -187,6 +187,18 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"top-k must be per-partition k + driver merge, not a sort:\n$p")
   }
 
+  test("q_vocab_coverage: partial word counts below the exchange; the " +
+      "token total rides a one-row broadcast, no WindowExec") {
+    val p = plan("q_vocab_coverage")
+    assert(p.contains("partial_count"),
+      s"word counts must combine map-side:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      s"the scalar total must broadcast:\n$p")
+    assert(!p.contains("Window"),
+      s"prefix sums must stay in the array domain:\n$p")
+  }
+
   test("kNN rerank partial-aggregates the bounded top-k before the exchange") {
     val p = plan("q_sim_knn_ivf")
     assert(p.contains("partial_top_k_agg"),
