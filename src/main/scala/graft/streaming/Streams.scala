@@ -201,6 +201,26 @@ object Streams {
         .hashed_logit(col(textCol), weights.toSeq, tf, ngrams))))
         >= threshold)
 
+  /** The normalization front (mojibake repair → NFC → script-dominance
+    * gate, the `q_pipeline_text_normalize` composition) as a STREAM
+    * stage: all three are row-local codegen kernels — pure maps with
+    * zero per-executor state — so the gate adds NO streaming state and
+    * composes with any watermark/dedup downstream. The text column is
+    * rewritten in place with the repaired+normalized form (downstream
+    * stages must shingle/fingerprint the CLEAN text, not the damaged
+    * input). Works identically on batch frames. */
+  def normalizeGate(docs: DataFrame, textCol: String,
+      keepScript: String = "latin"): DataFrame = {
+    import graft.plans.TextExpressions.{fix_mojibake, unicode_normalize,
+      script_counts}
+    docs
+      .withColumn(textCol, unicode_normalize(fix_mojibake(col(textCol))))
+      .withColumn("__f", graft.functions.Text
+        .scriptFractions(script_counts(col(textCol))))
+      .filter(col("__f").getField("dominant") === keepScript)
+      .drop("__f")
+  }
+
   /** Per-window trending terms as a true stream: watermarked tumbling
     * windows over a document stream, tokens from the native shingle
     * kernel, and the [[graft.plans.CmsAgg]] count-min heavy-hitter

@@ -271,6 +271,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming normalize gate: mojibake fixed + NFC'd in-flight, " +
+      "non-latin docs dropped, stream ≡ batch, zero state") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[Streams.Doc]
+    def doc(id: Long, min: Int, text: String) = Streams.Doc(id,
+      java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00"), text)
+    val q = Streams.normalizeGate(ms.toDF(), "text")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("norm_out").start()
+    try {
+      val batch = Seq(
+        doc(10, 0, "the cafÃ© menu"),       // mojibake → café, latin keep
+        doc(11, 1, "café news"),      // decomposed → NFC, keep
+        doc(12, 2, "привет мир тут сейчас"),// cyrillic-dominant → drop
+        doc(13, 3, "plain ascii words"))    // fast paths, keep
+      ms.addData(batch: _*)
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.isEmpty)
+      val out = spark.table("norm_out").select("doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(out.keySet == Set(10L, 11L, 13L))
+      assert(out(10L) == "the caf\u00e9 menu") // repaired in-flight
+      assert(out(11L) == "caf\u00e9 news") // NFC-composed in-flight
+      val batchOut = Streams.normalizeGate(batch.toDF(), "text")
+        .select("doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(batchOut == out)
+    } finally q.stop()
+  }
+
   test("streaming ingestion dedup with bloom sidecar ≡ plain path") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
