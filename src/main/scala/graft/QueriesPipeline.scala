@@ -4183,6 +4183,87 @@ object QueriesPipeline {
             THEN 1 ELSE 0 END as int) AS keep
         FROM feat""")),
 
+    // Code-vs-prose routing (Text.code_features/code_like): the
+    // structural heuristics that ROUTE documents before prose quality
+    // gates shred source code — brace/semicolon line fraction,
+    // indentation-led line fraction, code-symbol character mass,
+    // OR-composed. The corpus is single-line prose, so both sides
+    // plant the same doc_id-derived bodies: %3=0 a brace+indent code
+    // block (trips two signals), %3=1 pure prose (trips none), %3=2
+    // prose with one assignment line (symbol mass stays under the
+    // threshold — near-miss pin). Row-local split + higher-order
+    // filters, one scan, zero shuffle.
+    "q_quality_code_detect" -> Entry(
+      (s, dir) => {
+        val id = col("doc_id")
+        val w = split(trim(col("text")), " ")
+        val w1 = array_join(slice(w, 1, 1), "")
+        val la = array_join(slice(w, 1, 5), " ")
+        val lb = array_join(slice(w, 6, 5), " ")
+        val lc = array_join(slice(w, 11, 5), " ")
+        val body = when(pmod(id, lit(3)) === 0,
+            concat_ws("\n",
+              concat(lit("def "), w1, lit("(x) {")),
+              concat(lit("    return "), w1, lit(";")),
+              lit("}")))
+          .when(pmod(id, lit(3)) === 1, concat_ws("\n", la, lb, lc))
+          .otherwise(concat_ws("\n",
+            concat(lit("x = "), w1), la, lb, lc))
+        val f = Text.code_features(col("body"))
+        t(s, dir, "documents").select(id, body.as("body"))
+          .select(id, f.as("f"))
+          .select(id,
+            col("f.brace_line_frac").as("brace_line_frac"),
+            col("f.indent_line_frac").as("indent_line_frac"),
+            col("f.symbol_char_frac").as("symbol_char_frac"),
+            Text.code_like(col("f")).cast("int").as("is_code"))
+      },
+      Some("""WITH parts AS (
+          SELECT doc_id,
+            coalesce(array_to_string(
+              (string_split(trim(text), ' '))[1:1], ''), '') AS w1,
+            coalesce(array_to_string(
+              (string_split(trim(text), ' '))[1:5], ' '), '') AS la,
+            coalesce(array_to_string(
+              (string_split(trim(text), ' '))[6:10], ' '), '') AS lb,
+            coalesce(array_to_string(
+              (string_split(trim(text), ' '))[11:15], ' '), '') AS lc
+          FROM documents
+        ), planted AS (
+          SELECT doc_id,
+            CASE doc_id % 3
+              WHEN 0 THEN concat_ws(chr(10),
+                'def ' || w1 || '(x) {',
+                '    return ' || w1 || ';', '}')
+              WHEN 1 THEN concat_ws(chr(10), la, lb, lc)
+              ELSE concat_ws(chr(10), 'x = ' || w1, la, lb, lc) END
+              AS body
+          FROM parts
+        ), m AS (
+          SELECT doc_id, body, string_split(body, chr(10)) AS ls
+          FROM planted
+        ), feat AS (
+          SELECT doc_id,
+            round(len(list_filter(ls,
+              l -> regexp_matches(l, '[{};]'))) /
+              cast(len(ls) as double), 4) AS brace_line_frac,
+            round(len(list_filter(ls,
+              l -> regexp_matches(l, '^(    |\t)'))) /
+              cast(len(ls) as double), 4) AS indent_line_frac,
+            round(CASE WHEN length(body) > 0
+              THEN (length(body) -
+                length(translate(body, '{}[]();=<>', '')))
+                / cast(length(body) as double)
+              ELSE 0 END, 4) AS symbol_char_frac
+          FROM m)
+        SELECT doc_id, brace_line_frac, indent_line_frac,
+          symbol_char_frac,
+          cast(CASE WHEN brace_line_frac >= 0.3
+            OR indent_line_frac >= 0.3
+            OR symbol_char_frac >= 0.08
+            THEN 1 ELSE 0 END as int) AS is_code
+        FROM feat""")),
+
     // Data profiling: per-column null/distinct/min/max over lineitem,
     // ONE single-distinct aggregate per column unioned (all-in-one-agg
     // triggers the RewriteDistinctAggregates Expand — see

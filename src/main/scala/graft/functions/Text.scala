@@ -290,6 +290,44 @@ object Text {
     f.getField("dup_para_frac") <= maxDupParaFrac &&
       f.getField("dup_para_char_frac") <= maxDupParaCharFrac
 
+  /** Code-vs-prose routing features — the cheap structural heuristics
+    * web pipelines use to ROUTE documents before language-specific
+    * processing (code goes to a code pipeline, not through prose
+    * quality gates that would shred it; C4 instead just drops `{`
+    * lines): fraction of lines carrying code punctuation (`{`/`}`/`;`),
+    * fraction of indentation-led lines (4+ spaces or tab), and the
+    * character mass in code symbols `{}[]();=<>`. Row-local split +
+    * higher-order filters, 4-dp rounding for the DuckDB replay
+    * (`q_quality_code_detect`); one scan, zero shuffle. */
+  def code_features(text: Column): Column = {
+    val lines = split(text, "\n", -1)
+    val nLines = size(lines).cast("double")
+    val braceFrac = round(
+      size(filter(lines, l => l.rlike("[{};]"))) / nLines, 4)
+    val indentFrac = round(
+      size(filter(lines, l => l.rlike("^( {4}|\t)"))) / nLines, 4)
+    val chars = length(text).cast("long")
+    val symFrac = when(chars > 0, round(
+      (chars - length(translate(text, "{}[]();=<>", ""))).cast("double")
+        / chars, 4)).otherwise(lit(0.0))
+    struct(
+      braceFrac.as("brace_line_frac"),
+      indentFrac.as("indent_line_frac"),
+      symFrac.as("symbol_char_frac"))
+  }
+
+  /** The routing decision over [[code_features]] — any one structural
+    * signal past its threshold marks the doc code-like (OR-composed:
+    * minified JS trips symbols with no indentation; Python trips
+    * indentation with no braces). Defaults are heuristic, not from a
+    * paper — tune per corpus. */
+  def code_like(f: Column,
+      minBraceFrac: Double = 0.3, minIndentFrac: Double = 0.3,
+      minSymbolFrac: Double = 0.08): Column =
+    f.getField("brace_line_frac") >= minBraceFrac ||
+      f.getField("indent_line_frac") >= minIndentFrac ||
+      f.getField("symbol_char_frac") >= minSymbolFrac
+
   /** Script fractions + dominant script over a
     * [[graft.plans.TextExpressions.script_counts]] struct — the
     * multilingual routing signal (script gates BEFORE langid: a

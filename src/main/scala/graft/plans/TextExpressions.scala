@@ -364,7 +364,14 @@ object TextKernels {
     * cp1252-encodable) pass through untouched. Fixpoint-iterates ≤3
     * rounds for double/triple-encoded text. ASCII byte-scan fast path
     * returns the input UTF8String unallocated — the 100 TB common path.
-    * Row-local: one map-only scan, zero per-executor state. */
+    * Row-local: one map-only scan, zero per-executor state.
+    *
+    * Mixed-damage documents (one mojibake line pasted into clean
+    * non-ASCII text) stay untouched at whole-doc granularity by
+    * design; to repair per line/paragraph, apply the kernel inside a
+    * higher-order transform over the unit split —
+    * `array_join(transform(split(t, "\n", -1), u => fix_mojibake(u)),
+    * "\n")` — which is still one map-only scan. */
   def fixMojibake(s: UTF8String): UTF8String = {
     val nb = s.numBytes
     var i = 0

@@ -742,6 +742,30 @@ class CorpusSpec extends AnyFunSuite {
     assert(full.last.getDouble(3) == 1.0 && full.length == 5)
   }
 
+  test("code_features/code_like: structural fractions; each signal " +
+      "routes independently; prose stays prose") {
+    val docs = Seq(
+      (1L, "def f(x) {\n    return x;\n}"),       // braces + indent
+      (2L, "plain prose line\nanother line"),     // nothing
+      (3L, "\tindented line\n\tmore indent\nx"),  // tabs only
+      (4L, "a=b;c=d;e=f[0];")                     // minified: symbols
+    ).toDF("doc_id", "text")
+    val f = Text.code_features(col("text"))
+    val out = docs.select(col("doc_id"), f.as("f"))
+      .select(col("doc_id"), col("f.brace_line_frac"),
+        col("f.indent_line_frac"), col("f.symbol_char_frac"),
+        Text.code_like(col("f")).as("c"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3),
+          r.getBoolean(4)))).toMap
+    assert(out(1L) == ((1.0, 0.3333, 0.1923, true)))
+    assert(out(2L) == ((0.0, 0.0, 0.0, false)))
+    assert(out(3L)._2 == 0.6667 && out(3L)._4)
+    // doc 4: one line, ';' counts as brace-punct; 8 of 15 chars are
+    // code symbols (= ; [ ])
+    assert(out(4L)._1 == 1.0 && out(4L)._3 == 0.5333 && out(4L)._4)
+  }
+
   test("unitLangProfile: per-unit votes, dominance fraction, und " +
       "fallback, tie toward the larger code") {
     val docs = Seq(
