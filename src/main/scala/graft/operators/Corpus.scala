@@ -609,16 +609,23 @@ object Corpus {
       delim: String = "\n"): DataFrame = {
     val units = split(col(textCol),
       java.util.regex.Pattern.quote(delim), -1)
-    val langs = transform(units, u => graft.functions.Text.lang_id(u))
+    // stage the per-unit votes behind a Project: the six downstream
+    // references (five vote buckets + size) must reuse ONE evaluation
+    // of the transform — re-expanding the lang_id chain per bucket is
+    // the captured-subexpression trap the shingle kernel documents
+    val staged = docs.select(col(idCol),
+      transform(units, u => graft.functions.Text.lang_id(u))
+        .as("__langs"))
+    val langs = col("__langs")
     val votes = ("und" +: graft.functions.Text.langIdCodes).map { l =>
       struct(size(filter(langs, x => x === l)).as("votes"),
         lit(l).as("lang"))
     }
     val best = array_max(array(votes: _*))
-    docs.select(col(idCol),
-      size(units).cast("long").as("n_units"),
+    staged.select(col(idCol),
+      size(langs).cast("long").as("n_units"),
       best.getField("lang").as("dominant_lang"),
-      round(best.getField("votes").cast("double") / size(units), 4)
+      round(best.getField("votes").cast("double") / size(langs), 4)
         .as("dominant_frac"))
   }
 
@@ -1578,6 +1585,10 @@ object Corpus {
     * corpus-sized past the first exchange. */
   def vocabCoverage(docs: DataFrame, textCol: String, k: Int)
       : DataFrame = {
+    require(k > 0 && k <= 65536,
+      s"vocabCoverage: k must be in (0, 65536], got $k — the prefix " +
+        "sums run O(k²) element adds in the array domain; a curve " +
+        "past 64k ranks stops being a design table")
     val counts = wordCounts(docs, textCol)
     val total = counts.agg(sum(col("n")).cast("double").as("__total"))
     counts.orderBy(col("n").desc, col("word").asc).limit(k)
