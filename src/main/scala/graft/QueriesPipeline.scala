@@ -2820,6 +2820,20 @@ object QueriesPipeline {
       },
       None),
 
+    // Gzip-JSONL shard export (Shards.writeJsonlShards): the Dolma-
+    // lineage wire format under the SAME packing discipline as the
+    // parquet writer — ShardsSpec pins manifest equality between the
+    // two. Rows-only like every file-IO sink (the manifest is the
+    // auditable surface; byte layout is spec-checked).
+    "q_shards_jsonl" -> Entry(
+      (s, dir) => {
+        val out = Q.tempDir("graft_jshards") + "/shards"
+        graft.sinks.Shards.writeJsonlShards(
+          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          "doc_id", "text", out)
+      },
+      None),
+
     // WebDataset-style tar shards: the multimodal training-export
     // layout (one tar per shard, samples as <key>.<ext> member runs).
     // Payload bytes cross ONE exchange — the shard boundaries come

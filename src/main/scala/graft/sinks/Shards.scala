@@ -63,6 +63,41 @@ object Shards {
       .parquet(outPath))
   }
 
+  /** Gzip-JSONL training shards — the wire format LLM data releases
+    * actually ship (Dolma/RedPajama lineage: one gzipped
+    * JSON-object-per-line file tree, shard-partitioned). Identical
+    * packing discipline to [[writeTrainingShards]] — deterministic md5
+    * shuffle order, token-budget sequence packing, `shard` from the
+    * bin id — so the two writers produce THE SAME manifest for the
+    * same (input, seed); only the bytes-at-rest format differs.
+    * Spark-native: `DataFrameWriter.json` already writes
+    * object-per-line with per-file gzip (`compression=gzip`), so the
+    * 100 TB write is the same one-exchange plan as the parquet path
+    * with codec work on the writer tasks. Returns the manifest read
+    * back from the WRITTEN tree (explicit schema: an all-filtered-out
+    * corpus writes zero files, where inference would throw). */
+  def writeJsonlShards(docs: DataFrame, idCol: String, textCol: String,
+      outPath: String, tokensPerBin: Long = 4096,
+      binsPerShard: Long = 256, seed: Long = 0L): DataFrame = {
+    require(tokensPerBin > 0 && binsPerShard > 0, "positive budgets")
+    val keyed = docs
+      .withColumn("__ord", graft.operators.Corpus.shuffleKey(
+        col(idCol), seed))
+      .withColumn("__tok", coalesce(
+        graft.functions.Text.token_count(col(textCol)).cast("long"),
+        lit(0L)))
+    val packed = graft.operators.Pack
+      .sequencePack(keyed, "__ord", "__tok", tokensPerBin)
+      .withColumn("shard", floor(col("seq_id") / binsPerShard).cast("long"))
+      .drop("__ord", "cum_before")
+    packed.write.mode("overwrite")
+      .option("partitionOverwriteMode", "static")
+      .option("compression", "gzip")
+      .partitionBy("shard").json(outPath)
+    manifestAgg(docs.sparkSession.read.schema(packed.schema)
+      .json(outPath))
+  }
+
   /** Per-shard manifest of a written shard tree: (shard, n_docs,
     * n_tokens, n_bins), shard-ordered. Reads only the written layout,
     * so it can audit any prior run. */

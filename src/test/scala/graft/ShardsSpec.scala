@@ -64,6 +64,33 @@ class ShardsSpec extends AnyFunSuite {
     }.toDF("key", "img", "meta")
   }
 
+  test("jsonl shards: gzip object-per-line layout, lossless round-trip, " +
+      "manifest identical to the parquet writer's") {
+    val outJ = java.nio.file.Files.createTempDirectory("jshards").toString
+    val outP = java.nio.file.Files.createTempDirectory("pshards").toString
+    val mJ = Shards.writeJsonlShards(docs, "doc_id", "text", outJ,
+      tokensPerBin = 2048, binsPerShard = 8).collect()
+    val mP = Shards.writeTrainingShards(docs, "doc_id", "text", outP,
+      tokensPerBin = 2048, binsPerShard = 8).collect()
+    // same packing discipline → the SAME manifest, format-independent
+    assert(mJ.map(_.toSeq).toSeq == mP.map(_.toSeq).toSeq)
+    // the files at rest are gzipped json
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(outJ))
+      .filter(p => p.getFileName.toString.startsWith("part-"))
+      .toArray.map(_.toString)
+    assert(files.nonEmpty && files.forall(_.endsWith(".json.gz")),
+      s"expected .json.gz parts, got ${files.take(3).mkString(",")}")
+    // lossless: every (doc_id, text) survives the round-trip through
+    // the library's OWN read path (explicit schema, like the writer)
+    val schema = spark.read.parquet(s"$outP").schema
+    val back = spark.read.schema(schema).json(outJ)
+      .select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val orig = docs.select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(back == orig)
+  }
+
   test("tar shards round-trip bytes exactly and respect the byte budget") {
     val out = java.nio.file.Files.createTempDirectory("webds").toString
     val m = Shards.writeTarShards(mediaSamples, "key",
