@@ -3389,6 +3389,53 @@ object QueriesPipeline {
           cast(fx != t as int) AS changed
         FROM planted""")),
 
+    // Winnowing document fingerprints (plans/TextExpressions.scala
+    // WinnowFingerprintsExpr — Schleimer et al. MOSS): Karp-Rabin
+    // rolling hashes over 8-codepoint windows, min-of-4 winnow,
+    // distinct sorted picks. Runs on the RAW corpus text — no
+    // planting; the oracle recomputes every window hash from scratch
+    // with DuckDB list_reduce modular arithmetic (O(n·w) replay of the
+    // kernel's O(n) roll), so the hash compare proves the rolling
+    // update against the definition. Map-only scan; the long array
+    // serializes via join (arrays hash engine-dependently).
+    "q_text_winnow_fps" -> Entry(
+      (s, dir) => {
+        import graft.plans.TextExpressions.winnow_fingerprints
+        t(s, dir, "documents").select(col("doc_id"),
+          winnow_fingerprints(col("text"), 8, 4).as("fp"))
+          .select(col("doc_id"),
+            size(col("fp")).cast("long").as("n_fps"),
+            array_join(transform(col("fp"), x => x.cast("string")), ",")
+              .as("fps"))
+      },
+      Some("""WITH cps AS (
+          SELECT doc_id,
+            list_transform(regexp_extract_all(text, '[\s\S]'),
+              c -> cast(unicode(c) as bigint)) AS cp
+          FROM documents
+        ), hs AS (
+          SELECT doc_id,
+            CASE WHEN len(cp) = 0 THEN CAST([] AS BIGINT[])
+              WHEN len(cp) < 8 THEN [list_reduce(cp,
+                (a, c) -> (a * 257 + c) % 1000000007)]
+              ELSE list_transform(range(1, len(cp) - 6),
+                i -> list_reduce(cp[i:i+7],
+                  (a, c) -> (a * 257 + c) % 1000000007))
+              END AS hh
+          FROM cps
+        ), fps AS (
+          SELECT doc_id,
+            CASE WHEN len(hh) = 0 THEN CAST([] AS BIGINT[])
+              WHEN len(hh) < 4 THEN [list_aggregate(hh, 'min')]
+              ELSE list_sort(list_distinct(
+                list_transform(range(1, len(hh) - 2),
+                  p -> list_aggregate(hh[p:p+3], 'min'))))
+              END AS fp
+          FROM hs)
+        SELECT doc_id, cast(len(fp) as bigint) AS n_fps,
+          array_to_string(fp, ',') AS fps
+        FROM fps""")),
+
     // Unicode-script profile (plans/TextExpressions.scala
     // ScriptCountsExpr + Text.scriptFractions): per-script letter
     // fractions + dominant script — the multilingual routing gate that

@@ -68,6 +68,10 @@ object GraftExtensions {
       (es: Seq[Expression]) => FixMojibakeExpr(es.head)),
     ("script_counts", classOf[ScriptCountsExpr].getName,
       (es: Seq[Expression]) => ScriptCountsExpr(es.head)),
+    ("winnow_fingerprints", classOf[WinnowFingerprintsExpr].getName,
+      (es: Seq[Expression]) => WinnowFingerprintsExpr(es.head,
+        if (es.length > 1) intLit(es(1), "winnow_fingerprints") else 8,
+        if (es.length > 2) intLit(es(2), "winnow_fingerprints") else 4)),
     ("top_gram_char_frac", classOf[TopGramCharFracExpr].getName,
       (es: Seq[Expression]) => TopGramCharFracExpr(es.head)),
     ("dup_gram_char_frac", classOf[DupGramCharFracExpr].getName,

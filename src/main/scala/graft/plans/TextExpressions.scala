@@ -437,6 +437,64 @@ object TextKernels {
       Array[Any](nL, lat, cyr, grk, ara, han, hang, oth))
   }
 
+  /** Karp-Rabin rolling hashes + winnowing (Schleimer et al. 2003, the
+    * MOSS fingerprint): polynomial hashes over every w-codepoint
+    * window computed in ONE O(n) rolling pass (each step retires the
+    * outgoing codepoint and shifts in the incoming one — the thing
+    * "rolling" means; a per-window recompute is O(n·w)), then the
+    * winnow: the minimum hash of each k-hash window, distinct, sorted.
+    * Winnowing's guarantee: any shared substring of length ≥ w+k−1
+    * contributes at least one COMMON fingerprint to both documents, so
+    * the fingerprint sets support plagiarism/overlap detection at a
+    * ~2/(k+1) sample rate instead of all n hashes. Degenerate inputs
+    * keep the guarantee's spirit: text shorter than w yields one hash
+    * of the whole text; fewer than k hashes yield their single min.
+    * B=257, M=1e9+7 — small enough that DuckDB's 64-bit list_reduce
+    * replays the arithmetic exactly. Row-local, zero shuffle. */
+  def winnowFingerprints(s: UTF8String, w: Int, k: Int): ArrayData = {
+    val M = 1000000007L
+    val B = 257L
+    val cps = s.toString.codePoints().toArray
+    val n = cps.length
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    def hashAll(from: Int, until: Int): Long = {
+      var h = 0L
+      var i = from
+      while (i < until) { h = (h * B + cps(i)) % M; i += 1 }
+      h
+    }
+    if (n < w)
+      return new GenericArrayData(Array[Any](hashAll(0, n)))
+    val nH = n - w + 1
+    val hs = new Array[Long](nH)
+    hs(0) = hashAll(0, w)
+    var pw = 1L // B^(w-1) mod M
+    var e = 0
+    while (e < w - 1) { pw = pw * B % M; e += 1 }
+    var i = 1
+    while (i < nH) {
+      val dropped = cps(i - 1) % M * pw % M
+      hs(i) = ((hs(i - 1) - dropped + M) % M * B + cps(i + w - 1)) % M
+      i += 1
+    }
+    if (nH < k)
+      return new GenericArrayData(Array[Any](hs.min))
+    val picks = new java.util.TreeSet[java.lang.Long]()
+    var p = 0
+    while (p <= nH - k) {
+      var m = hs(p)
+      var j = p + 1
+      while (j < p + k) { if (hs(j) < m) m = hs(j); j += 1 }
+      picks.add(m)
+      p += 1
+    }
+    val out = new Array[Any](picks.size)
+    val it = picks.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next().longValue; o += 1 }
+    new GenericArrayData(out)
+  }
+
   def wordShingles(s: UTF8String, n: Int): ArrayData = {
     val words = splitWords(s)
     if (words.length <= n) {
@@ -543,6 +601,31 @@ object RepetitionNgramExpr {
       (5 to 10).map(k => s"dup_${k}gram_char_frac")
   val schema: StructType = StructType(
     fieldNames.map(StructField(_, DoubleType, nullable = false)))
+}
+
+/** Winnowing fingerprints as a codegen'd kernel — see
+  * [[TextKernels.winnowFingerprints]]. Complements the whole-doc
+  * sha-256 fingerprint (exact dedup) and the shingle MinHash
+  * (set-resemblance): winnowing is the POSITIONAL fingerprint — any
+  * shared run of ≥ w+k−1 codepoints is guaranteed a common pick, the
+  * property plagiarism/overlap detectors need and samplers can't give.
+  * Ref: vunnel has only whole-record digests
+  * (src/vunnel/utils/hasher.py); the substring-grade fingerprint
+  * follows Schleimer et al. */
+case class WinnowFingerprintsExpr(child: Expression, w: Int, k: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  require(w > 0 && k > 0, "winnow_fingerprints: w and k must be positive")
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fingerprints"
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.winnowFingerprints(v.asInstanceOf[UTF8String], w, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      s => s"graft.plans.TextKernels.winnowFingerprints($s, $w, $k)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 case class ShinglesExpr(child: Expression, n: Int, word: Boolean)
@@ -672,4 +755,6 @@ object TextExpressions {
     column(FixMojibakeExpr(expression(text)))
   def script_counts(text: Column): Column =
     column(ScriptCountsExpr(expression(text)))
+  def winnow_fingerprints(text: Column, w: Int = 8, k: Int = 4): Column =
+    column(WinnowFingerprintsExpr(expression(text), w, k))
 }

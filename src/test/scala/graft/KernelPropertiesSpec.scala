@@ -203,6 +203,49 @@ class KernelPropertiesSpec extends AnyFunSuite {
       .head().getLong(0) == 6L)
   }
 
+  test("winnowFingerprints: rolling hashes equal the per-window " +
+      "definition; shared-substring guarantee; degenerate inputs; SQL " +
+      "registration") {
+    import graft.plans.TextKernels
+    val M = 1000000007L
+    def windowHash(cps: Array[Int], from: Int, w: Int): Long = {
+      var h = 0L
+      for (i <- from until from + w) h = (h * 257 + cps(i)) % M
+      h
+    }
+    // the definitional recompute the oracle also uses
+    def naive(s: String, w: Int, k: Int): Seq[Long] = {
+      val cps = s.codePoints().toArray
+      if (cps.isEmpty) return Seq.empty
+      if (cps.length < w) return Seq(windowHash(cps, 0, cps.length))
+      val hs = (0 to cps.length - w).map(windowHash(cps, _, w))
+      if (hs.length < k) Seq(hs.min)
+      else hs.sliding(k).map(_.min).toSeq.distinct.sorted
+    }
+    def kernel(s: String, w: Int, k: Int): Seq[Long] =
+      TextKernels.winnowFingerprints(UTF8String.fromString(s), w, k)
+        .toLongArray().toSeq
+    check(forAll(Gen.asciiPrintableStr, Gen.choose(1, 12),
+        Gen.choose(1, 6)) { (s, w, k) =>
+      kernel(s, w, k) == naive(s, w, k)
+    })
+    // winnowing guarantee: a shared run of ≥ w+k−1 codepoints yields
+    // at least one common pick in BOTH docs' fingerprint sets
+    val common = "the quick brown fox"
+    check(forAll(Gen.asciiPrintableStr, Gen.asciiPrintableStr) {
+      (a, b) =>
+        val fa = kernel(a + common + b, 8, 4).toSet
+        val fb = kernel(b + "|" + common + "|" + a, 8, 4).toSet
+        fa.intersect(fb).nonEmpty
+    })
+    assert(kernel("", 8, 4).isEmpty)
+    assert(kernel("hi", 8, 4).size == 1) // whole-text hash under w
+    val spark = SparkTestSession.spark
+    graft.plans.GraftExtensions.register(spark)
+    assert(spark.sql("SELECT size(winnow_fingerprints('abcdefghij'))")
+      .head().getInt(0) >= 1)
+  }
+
   test("topCount equals max group multiplicity on random string lists") {
     val gen = Gen.listOf(Gen.oneOf("a", "b", "c", "dd", "e f", ""))
     check(forAll(gen) { xs =>

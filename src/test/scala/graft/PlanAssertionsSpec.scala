@@ -422,7 +422,8 @@ class PlanAssertionsSpec extends AnyFunSuite {
         "q_quality_repetition_ngrams", "q_text_unicode_norm",
         "q_quality_gopher_para", "q_text_fix_mojibake",
         "q_text_script_profile", "q_pipeline_text_normalize",
-        "q_text_langid_units", "q_quality_code_detect")) {
+        "q_text_langid_units", "q_quality_code_detect",
+        "q_text_winnow_fps")) {
       val p = plan(q)
       assert(!p.contains("Exchange"), s"$q must not shuffle:\n$p")
       assert(!p.contains("Generate"), s"$q must not explode:\n$p")
