@@ -3436,6 +3436,54 @@ object QueriesPipeline {
           array_to_string(fp, ',') AS fps
         FROM fps""")),
 
+    // Cross-doc overlap pairs over winnowing fingerprints
+    // (Dedup.winnowOverlapPairs) — substring-grade near-copy detection,
+    // the fingerprint's purpose: at w=24 (≈4 words) the 31-word
+    // synthetic vocabulary stops colliding and the report isolates the
+    // corpus's true near-dup pairs (~30 at sf0.001); at w=8 EVERYTHING
+    // overlaps — window size is the semantic dial, documented in the
+    // operator. Capped-bucket equi-join (maxBucket=64 drops
+    // boilerplate picks), partial-agg pair counts, minShared=4 floor.
+    "q_dedup_winnow_pairs" -> Entry(
+      (s, dir) => graft.operators.Dedup.winnowOverlapPairs(
+        t(s, dir, "documents"), "text", "doc_id"),
+      Some("""WITH cps AS (
+          SELECT doc_id,
+            list_transform(regexp_extract_all(text, '[\s\S]'),
+              c -> cast(unicode(c) as bigint)) AS cp
+          FROM documents
+        ), hs AS (
+          SELECT doc_id,
+            CASE WHEN len(cp) = 0 THEN CAST([] AS BIGINT[])
+              WHEN len(cp) < 24 THEN [list_reduce(cp,
+                (a, c) -> (a * 257 + c) % 1000000007)]
+              ELSE list_transform(range(1, len(cp) - 22),
+                i -> list_reduce(cp[i:i+23],
+                  (a, c) -> (a * 257 + c) % 1000000007))
+              END AS hh
+          FROM cps
+        ), fpl AS (
+          SELECT doc_id,
+            CASE WHEN len(hh) = 0 THEN CAST([] AS BIGINT[])
+              WHEN len(hh) < 4 THEN [list_aggregate(hh, 'min')]
+              ELSE list_sort(list_distinct(
+                list_transform(range(1, len(hh) - 2),
+                  p -> list_aggregate(hh[p:p+3], 'min'))))
+              END AS fp
+          FROM hs
+        ), fps AS (
+          SELECT doc_id, unnest(fp) AS fp FROM fpl
+        ), cnt AS (
+          SELECT fp, count(*) AS c FROM fps GROUP BY fp
+        ), elig AS (
+          SELECT f.doc_id, f.fp FROM fps f JOIN cnt USING (fp)
+          WHERE c <= 64)
+        SELECT a.doc_id AS id1, b.doc_id AS id2,
+          cast(count(*) as bigint) AS n_shared
+        FROM elig a JOIN elig b
+          ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 4""")),
+
     // Unicode-script profile (plans/TextExpressions.scala
     // ScriptCountsExpr + Text.scriptFractions): per-script letter
     // fractions + dominant script — the multilingual routing gate that

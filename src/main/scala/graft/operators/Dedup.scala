@@ -181,6 +181,40 @@ object Dedup {
         .withColumn("band", lit(0)),
       idCol, maxBucket)
 
+  /** Cross-document overlap pairs from winnowing fingerprints
+    * (Schleimer et al.'s actual use — plagiarism/near-copy detection
+    * at SUBSTRING granularity, where MinHash measures set resemblance
+    * and misses a long verbatim run pasted into an otherwise-different
+    * page): each doc yields its
+    * [[graft.plans.TextExpressions.winnow_fingerprints]] picks (one
+    * map-only kernel scan, distinct per doc by construction), hot
+    * fingerprints past `maxBucket` drop as boilerplate (the
+    * minhashCandidates cap convention — a pick shared by everything
+    * identifies nothing), and the fingerprint equi-join + pair count
+    * is the established one-exchange bucket shape: cost Σ(bucket²)
+    * over CAPPED buckets. `minShared` floors the report to real
+    * overlap — with the winnow guarantee, a shared run of ≥ w+k−1
+    * codepoints plants at least one common pick, and longer runs
+    * plant proportionally more. Output (id1, id2, n_shared), id1<id2,
+    * deterministic in the corpus alone. */
+  def winnowOverlapPairs(df: DataFrame, textCol: String, idCol: String,
+      w: Int = 24, k: Int = 4, minShared: Long = 4,
+      maxBucket: Long = 64): DataFrame = {
+    import graft.plans.TextExpressions.winnow_fingerprints
+    val fps = df.select(col(idCol).as("__id"),
+      explode(winnow_fingerprints(col(textCol), w, k)).as("fp"))
+    val eligible = fps.join(
+      fps.groupBy("fp").agg(count(lit(1)).as("__c"))
+        .filter(col("__c") <= maxBucket).select("fp"),
+      "fp")
+    eligible.as("a")
+      .join(eligible.as("b"),
+        col("a.fp") === col("b.fp") && col("a.__id") < col("b.__id"))
+      .groupBy(col("a.__id").as("id1"), col("b.__id").as("id2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** [[verifiedPairs]] over [[exactCandidates]] — brute-force-
     * equivalent verified pairs (modulo 64-bit shingle-hash
     * collisions), deterministic in the corpus alone. */

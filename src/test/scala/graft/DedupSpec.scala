@@ -594,6 +594,41 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("winnowOverlapPairs: a shared long run pairs its docs, unrelated " +
+      "docs don't, and boilerplate fingerprints drop at the bucket cap") {
+    import spark.implicits._
+    val run = "the quick brown fox jumps over the lazy dog tonight"
+    val docs = Seq(
+      (1L, s"alpha bravo charlie $run delta echo"),
+      (2L, s"zulu yankee $run xray whiskey victor"),
+      (3L, "uniform tango sierra romeo quebec papa oscar november mike")
+    ).toDF("doc_id", "text")
+    val pairs = graft.operators.Dedup
+      .winnowOverlapPairs(docs, "text", "doc_id", minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+    // plant the run in EVERY doc: uncapped, all three pair on the
+    // run's deep picks; capping buckets below the corpus size drops
+    // those now-ubiquitous picks as boilerplate. Picks from the
+    // boundary REGION (k-window mixing doc-specific and run hashes)
+    // are context-dependent and may survive for a 2-doc subset —
+    // correct winnowing behavior — but far below the deep-run mass
+    val all = Seq(
+      (1L, s"alpha bravo $run"), (2L, s"zulu yankee $run"),
+      (3L, s"uniform tango $run")).toDF("doc_id", "text")
+    def pairCounts(cap: Long): Map[(Long, Long), Long] =
+      graft.operators.Dedup
+        .winnowOverlapPairs(all, "text", "doc_id",
+          minShared = 1, maxBucket = cap)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val uncapped = pairCounts(Long.MaxValue)
+    assert(uncapped.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    val capped = pairCounts(2L)
+    assert(capped.values.forall(_ < uncapped.values.min),
+      s"cap must kill the deep-run mass: $capped vs $uncapped")
+  }
+
   test("keepBestByKey keeps the max-order row per key and counts dups") {
     val df = Seq(
       ("u1", 10L, 5L), ("u1", 12L, 9L), ("u1", 11L, 9L),

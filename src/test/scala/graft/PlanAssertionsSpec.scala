@@ -187,6 +187,15 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"top-k must be per-partition k + driver merge, not a sort:\n$p")
   }
 
+  test("q_dedup_winnow_pairs: bucket counts and pair counts both " +
+      "partial-aggregate; the kernel runs in the scan, no cartesian") {
+    val p = plan("q_dedup_winnow_pairs")
+    assert(p.contains("partial_count"),
+      s"counts must combine map-side:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the pair join must stay an equi-join on fp:\n$p")
+  }
+
   test("q_vocab_coverage: partial word counts below the exchange; the " +
       "token total rides a one-row broadcast, no WindowExec") {
     val p = plan("q_vocab_coverage")
