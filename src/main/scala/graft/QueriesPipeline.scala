@@ -113,6 +113,50 @@ object QueriesPipeline {
   private val substrFooter: String =
     "subscribe to the daily data digest for updates and exclusive query offers"
 
+  /** DuckDB replay of [[graft.operators.Dedup.winnowOverlapPairs]] at
+    * the q_dedup_winnow_* defaults (w=24, k=4, maxBucket=64,
+    * minShared=4): fingerprints from definitional window recomputes,
+    * bucket cap, pair join + floor — ends in `wpairs(id1, id2,
+    * n_shared)`. Shared by the pairs report and the purge so both
+    * count the SAME pairs. */
+  private val winnowPairsCtes: String = """cps AS (
+          SELECT doc_id,
+            list_transform(regexp_extract_all(text, '[\s\S]'),
+              c -> cast(unicode(c) as bigint)) AS cp
+          FROM documents
+        ), hs AS (
+          SELECT doc_id,
+            CASE WHEN len(cp) = 0 THEN CAST([] AS BIGINT[])
+              WHEN len(cp) < 24 THEN [list_reduce(cp,
+                (a, c) -> (a * 257 + c) % 1000000007)]
+              ELSE list_transform(range(1, len(cp) - 22),
+                i -> list_reduce(cp[i:i+23],
+                  (a, c) -> (a * 257 + c) % 1000000007))
+              END AS hh
+          FROM cps
+        ), fpl AS (
+          SELECT doc_id,
+            CASE WHEN len(hh) = 0 THEN CAST([] AS BIGINT[])
+              WHEN len(hh) < 4 THEN [list_aggregate(hh, 'min')]
+              ELSE list_sort(list_distinct(
+                list_transform(range(1, len(hh) - 2),
+                  p -> list_aggregate(hh[p:p+3], 'min'))))
+              END AS fp
+          FROM hs
+        ), fps AS (
+          SELECT doc_id, unnest(fp) AS fp FROM fpl
+        ), cnt AS (
+          SELECT fp, count(*) AS c FROM fps GROUP BY fp
+        ), elig AS (
+          SELECT f.doc_id, f.fp FROM fps f JOIN cnt USING (fp)
+          WHERE c <= 64
+        ), wpairs AS (
+          SELECT a.doc_id AS id1, b.doc_id AS id2,
+            cast(count(*) as bigint) AS n_shared
+          FROM elig a JOIN elig b
+            ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY 1, 2 HAVING count(*) >= 4)"""
+
   /** DuckDB replay of [[tile5]]: `ch(doc_id, pos, u)` from a CTE named
     * `ds(doc_id, ws)`. */
   private val tile5Sql: String = """ch AS (
@@ -3447,42 +3491,32 @@ object QueriesPipeline {
     "q_dedup_winnow_pairs" -> Entry(
       (s, dir) => graft.operators.Dedup.winnowOverlapPairs(
         t(s, dir, "documents"), "text", "doc_id"),
-      Some("""WITH cps AS (
-          SELECT doc_id,
-            list_transform(regexp_extract_all(text, '[\s\S]'),
-              c -> cast(unicode(c) as bigint)) AS cp
-          FROM documents
-        ), hs AS (
-          SELECT doc_id,
-            CASE WHEN len(cp) = 0 THEN CAST([] AS BIGINT[])
-              WHEN len(cp) < 24 THEN [list_reduce(cp,
-                (a, c) -> (a * 257 + c) % 1000000007)]
-              ELSE list_transform(range(1, len(cp) - 22),
-                i -> list_reduce(cp[i:i+23],
-                  (a, c) -> (a * 257 + c) % 1000000007))
-              END AS hh
-          FROM cps
-        ), fpl AS (
-          SELECT doc_id,
-            CASE WHEN len(hh) = 0 THEN CAST([] AS BIGINT[])
-              WHEN len(hh) < 4 THEN [list_aggregate(hh, 'min')]
-              ELSE list_sort(list_distinct(
-                list_transform(range(1, len(hh) - 2),
-                  p -> list_aggregate(hh[p:p+3], 'min'))))
-              END AS fp
-          FROM hs
-        ), fps AS (
-          SELECT doc_id, unnest(fp) AS fp FROM fpl
-        ), cnt AS (
-          SELECT fp, count(*) AS c FROM fps GROUP BY fp
-        ), elig AS (
-          SELECT f.doc_id, f.fp FROM fps f JOIN cnt USING (fp)
-          WHERE c <= 64)
-        SELECT a.doc_id AS id1, b.doc_id AS id2,
-          cast(count(*) as bigint) AS n_shared
-        FROM elig a JOIN elig b
-          ON a.fp = b.fp AND a.doc_id < b.doc_id
-        GROUP BY 1, 2 HAVING count(*) >= 4""")),
+      Some(s"""WITH $winnowPairsCtes
+        SELECT id1, id2, n_shared FROM wpairs""")),
+
+    // Winnow-overlap purge (Dedup.removeWinnowOverlaps): the remove
+    // step over those pairs — connected components by iterative
+    // min-label propagation, component representatives survive (the
+    // q_dedup_purge policy, oracle'd by the same recursive-CTE
+    // transitive closure). Detect→cluster→remove for the
+    // substring-grade family.
+    "q_dedup_winnow_purge" -> Entry(
+      (s, dir) => graft.operators.Dedup.removeWinnowOverlaps(
+          t(s, dir, "documents"), "text", "doc_id")
+        .select(col("doc_id")),
+      Some(s"""WITH RECURSIVE $winnowPairsCtes,
+        edges AS (
+          SELECT id1 AS a, id2 AS b FROM wpairs
+          UNION SELECT id2, id1 FROM wpairs),
+        reach(id, r) AS (
+          SELECT DISTINCT a, a FROM edges
+          UNION
+          SELECT e.a, r.r FROM edges e JOIN reach r ON r.id = e.b),
+        dropped AS (
+          SELECT id FROM (SELECT id, min(r) AS c FROM reach GROUP BY id)
+          WHERE c <> id)
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT id FROM dropped)""")),
 
     // Unicode-script profile (plans/TextExpressions.scala
     // ScriptCountsExpr + Text.scriptFractions): per-script letter

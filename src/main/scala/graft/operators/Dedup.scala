@@ -215,6 +215,17 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** The remove step over [[winnowOverlapPairs]]: cluster the overlap
+    * graph (distributed min-label components, same machinery as every
+    * other purge) and keep each component's representative — the purge
+    * for substring-grade near-copies, where [[removeNearDups]] purges
+    * by whole-set resemblance. */
+  def removeWinnowOverlaps(df: DataFrame, textCol: String,
+      idCol: String, w: Int = 24, k: Int = 4, minShared: Long = 4,
+      maxBucket: Long = 64): DataFrame =
+    dropNonRepresentatives(df, idCol,
+      winnowOverlapPairs(df, textCol, idCol, w, k, minShared, maxBucket))
+
   /** [[verifiedPairs]] over [[exactCandidates]] — brute-force-
     * equivalent verified pairs (modulo 64-bit shingle-hash
     * collisions), deterministic in the corpus alone. */

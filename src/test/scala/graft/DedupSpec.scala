@@ -607,6 +607,11 @@ class DedupSpec extends AnyFunSuite {
       .winnowOverlapPairs(docs, "text", "doc_id", minShared = 1)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L)))
+    // the purge drops the pair's non-representative, keeps the rest
+    val kept = graft.operators.Dedup
+      .removeWinnowOverlaps(docs, "text", "doc_id", minShared = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L))
     // plant the run in EVERY doc: uncapped, all three pair on the
     // run's deep picks; capping buckets below the corpus size drops
     // those now-ubiquitous picks as boilerplate. Picks from the
