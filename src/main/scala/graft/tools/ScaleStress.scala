@@ -530,6 +530,43 @@ object ScaleStress {
       }
     }
 
+    // Round-12 winnow drill: proves winnowOverlapPairs' Σ(capped-
+    // bucket²) claim at 10×. Each doc = 256 unique hex chars + a
+    // 160-char passage shared by its 2-doc pair group (≥5 guaranteed
+    // common picks at w=24,k=4 — well past minShared=4) + a ~200-char
+    // boilerplate footer IDENTICAL across every doc. The footer's
+    // fingerprints land in n-deep buckets — past maxBucket=64 they
+    // drop as boilerplate, which is the whole cap story: uncapped this
+    // corpus is an n² pair explosion; capped, pairs = exactly n/2 and
+    // shuffle tracks the linear fingerprint mass. With the r12
+    // single-scan fix the text generates once into the fps cache;
+    // wall should scale ~linearly with n.
+    println(f"\n${"docs"}%9s ${"pairs"}%9s ${"t_winnow"}%9s " +
+      f"${"winnow_MB"}%10s")
+    if (which == "all" || which == "winnow") {
+      for (n <- Seq(100000L, 100000L * maxScale)) {
+        def md5cat(tag: String, idExpr: Column, m: Int): Column =
+          array_join(transform(sequence(lit(0), lit(m - 1)), j =>
+            md5(concat(lit(tag), idExpr.cast("string"), lit(":"),
+              j.cast("string")))), "")
+        val docs = spark.range(n).select(col("id").as("doc_id"))
+          .select(col("doc_id"), concat(
+            md5cat("u", col("doc_id"), 8), lit("\n"),
+            md5cat("g", col("doc_id") - pmod(col("doc_id"), lit(2L)), 5),
+            lit("\nshared boilerplate footer every document carries " +
+              "verbatim so its fingerprints saturate far past the " +
+              "bucket cap and must be dropped before any pair forms " +
+              "at all scales tested here")).as("text"))
+          .cache()
+        docs.count()
+        val (nPairs, tW, mbW) = timedMB {
+          Dedup.winnowOverlapPairs(docs, "text", "doc_id").count()
+        }
+        println(f"$n%9d $nPairs%9d $tW%9.1f $mbW%10.1f")
+        docs.unpersist()
+      }
+    }
+
     // Round-8 line-dedup drill: the rewritten one-cached-pass plan
     // (dup-heavy: every copy shares its full token stream, so the
     // frequent set is the whole shared vocabulary above threshold —

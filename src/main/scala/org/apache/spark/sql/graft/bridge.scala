@@ -12,4 +12,26 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Observed metrics from an EXECUTED plan, descending through AQE
+    * wrappers. `QueryExecution.observedMetrics` comes back empty when
+    * the root is AdaptiveSparkPlanExec (the CollectMetricsExec nodes
+    * live inside query stages its TreeNode traversal treats as
+    * leaves — verified empirically on 4.1.2: the same query reports
+    * its metrics with AQE off and Map() with AQE on), so telemetry
+    * that must survive the default AQE-on config walks the adaptive
+    * plan and the stage-wrapped subtrees itself. */
+  def observedMetrics(plan: org.apache.spark.sql.execution.SparkPlan)
+      : Map[String, org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.execution.{CollectMetricsExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec}
+    def nodes(p: SparkPlan): Seq[CollectMetricsExec] = p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case q: QueryStageExec => nodes(q.plan)
+      case c: CollectMetricsExec => c +: c.children.flatMap(nodes)
+      case other => other.children.flatMap(nodes)
+    }
+    nodes(plan).map(c => c.name -> c.collectedMetrics).toMap
+  }
 }

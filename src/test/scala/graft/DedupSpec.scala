@@ -678,4 +678,88 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
     assert(one.toSet == Set(("u1", 11L, 3L), ("u2", 20L, 1L)))
   }
+
+  test("LSH saturation telemetry: a templated corpus trips the " +
+      "fail-fast gate with the remediation message; a diverse corpus " +
+      "passes it; candidate output is unchanged by the observation") {
+    // 40 docs sharing ONE template: every band bucket holds all 40
+    // docs, far past maxBucket=8 — the silent shape the gate exists
+    // for (all buckets dropped => zero candidates, zero recall).
+    val templated = spark.range(40)
+      .selectExpr("id as doc_id",
+        "'the same boilerplate template text repeated verbatim in " +
+          "every single document of this corpus' as text")
+    val bands = Dedup.minhashBands(templated, "text", "doc_id")
+    val cands = Dedup.minhashCandidates(bands, "doc_id", maxBucket = 8)
+    assert(cands.count() == 0L) // recall collapsed — silently, sans gate
+    val stats = Dedup.lshBucketHealth(bands, maxBucket = 8)
+    assert(stats.saturatedFrac == 1.0 && stats.maxBucket == 40L,
+      s"every bucket holds the full corpus here: $stats")
+    val ex = intercept[IllegalStateException] {
+      Dedup.requireHealthyLshBuckets(bands, maxBucket = 8)
+    }
+    assert(ex.getMessage.contains("exactCandidates"),
+      s"remediation must name the zero-FN fallback: ${ex.getMessage}")
+    assert(ex.getMessage.contains("shingleLen"),
+      s"remediation must name the diversity knob: ${ex.getMessage}")
+    // Diverse corpus: same preflight, same cap — the gate passes,
+    // returns the stats, and the candidate stage output is unaffected
+    // by its planted observation.
+    val diverse = spark.range(20).selectExpr("id as doc_id",
+      "concat('document ', id, ' discusses a distinct subject: ', " +
+        "md5(concat('a', id)), ' ', md5(concat('b', id))) as text")
+    val okBands = Dedup.minhashBands(diverse, "text", "doc_id")
+    val ok = Dedup.requireHealthyLshBuckets(okBands, maxBucket = 8)
+    assert(ok.saturatedFrac <= 0.05 && ok.buckets > 0)
+    assert(Dedup.minhashCandidates(okBands, "doc_id", 8).count() == 0L)
+    // empty bands frame: no buckets, trivially healthy (nothing to
+    // saturate), gate passes rather than dividing by zero
+    val empty = Dedup.requireHealthyLshBuckets(
+      okBands.filter(lit(false)), maxBucket = 8)
+    assert(empty.buckets == 0L)
+  }
+
+  test("LSH passive telemetry: partial saturation (non-empty result) " +
+      "delivers the observed bucket metrics through the AQE walk the " +
+      "session listener uses") {
+    import org.apache.spark.sql.util.QueryExecutionListener
+    import org.apache.spark.sql.execution.QueryExecution
+    // half the corpus shares one template (saturates its buckets past
+    // the cap), the other half is a planted near-dup pair per doc —
+    // the result is NON-empty, so AQE keeps the metrics node alive.
+    val mixed = spark.range(30).selectExpr("id as doc_id",
+      "case when id < 20 then 'identical template body shared by the " +
+        "templated half of this corpus' " +
+        "else concat('unique subject ', md5(concat('s', cast(id/2 as " +
+        "int))), ' tail ', id % 2) end as text")
+    val cands = Dedup.minhashCandidates(
+      Dedup.minhashBands(mixed, "text", "doc_id"), "doc_id",
+      maxBucket = 8)
+    @volatile var rows: List[org.apache.spark.sql.Row] = Nil
+    val l = new QueryExecutionListener {
+      override def onSuccess(f: String, qe: QueryExecution,
+          d: Long): Unit =
+        rows = org.apache.spark.sql.graft.bridge
+          .observedMetrics(qe.executedPlan)
+          .collect { case (n, r)
+            if n.startsWith(Dedup.LshObservePrefix) => r }
+          .toList ::: rows
+      override def onFailure(f: String, qe: QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      assert(cands.count() > 0, "the diverse half must still pair")
+      // listener bus is async
+      var tries = 0
+      while (rows.isEmpty && tries < 100) { Thread.sleep(100); tries += 1 }
+      assert(rows.nonEmpty,
+        "observed metrics must survive the AQE plan walk")
+      val r = rows.head
+      assert(r.getAs[Long]("saturated_buckets") > 0,
+        s"the templated half must saturate buckets: $r")
+      assert(r.getAs[Long]("buckets") > r.getAs[Long]("saturated_buckets"),
+        s"the diverse half must keep healthy buckets: $r")
+    } finally spark.listenerManager.unregister(l)
+  }
 }

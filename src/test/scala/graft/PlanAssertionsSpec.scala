@@ -196,6 +196,30 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"the pair join must stay an equi-join on fp:\n$p")
   }
 
+  test("q_dedup_winnow_pairs: the corpus scans ONCE — every path to the " +
+      "parquet goes through the persisted fingerprint/eligible caches") {
+    // The plan STRING re-prints each cached plan under every
+    // InMemoryRelation occurrence, so counting 'winnow_fingerprints'
+    // or 'FileScan' substrings overstates the work 4x; the execution
+    // truth lives in the cache-substituted logical plan: zero raw
+    // relations outside a cache, and a single distinct cache builder
+    // at the top (the eligible frame, whose one-time build itself
+    // reads the one-time fps cache).
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val qe = SparkEntry.queries("q_dedup_winnow_pairs")(spark, dir)
+      .queryExecution
+    val cached = qe.withCachedData
+    val raw = cached.collect { case r: LogicalRelation => r }
+    assert(raw.isEmpty,
+      s"corpus must be read only through the fps cache:\n$cached")
+    val builders = cached.collect { case r: InMemoryRelation => r }
+      .map(_.cacheBuilder.cachedPlan).distinct
+    assert(builders.size == 1,
+      s"both self-join legs must read the SAME cached eligible frame, " +
+        s"got ${builders.size} distinct caches:\n$cached")
+  }
+
   test("q_vocab_coverage: partial word counts below the exchange; the " +
       "token total rides a one-row broadcast, no WindowExec") {
     val p = plan("q_vocab_coverage")
