@@ -53,8 +53,16 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // {STAGING:tag} → the run's staging dir for that tag: oracles that
+    // replay a query against a PERSISTED artifact (IVF centroids) need
+    // the same md5-keyed path the query wrote — static SQL can't spell
+    // it, so the dump substitutes it per sfDir.
+    val stagingPat = "\\{STAGING:([A-Za-z0-9_]+)\\}".r
+    def subst(sql: String): String = stagingPat.replaceAllIn(sql,
+      m => java.util.regex.Matcher.quoteReplacement(
+        Q.stagingDir(sfDir, m.group(1))))
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(subst(v))}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

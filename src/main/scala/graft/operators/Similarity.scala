@@ -182,8 +182,14 @@ object Similarity {
   def knnJoinIvf(corpus: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       nlist: Int = 64, nprobe: Int = 4,
-      trainFraction: Double = 1.0): DataFrame = {
-    val cents = trainCentroids(corpus, vecCol, nlist, trainFraction)
+      trainFraction: Double = 1.0,
+      centroids: Option[Seq[(Int, Array[Float])]] = None): DataFrame = {
+    // `centroids` bypasses training with a PERSISTED quantizer (a
+    // writeIvfIndex sidecar): the production shape — train once, every
+    // self-join and probe replays the same cells — and what lets an
+    // external oracle replay assignment + probes from the same floats.
+    val cents = centroids.getOrElse(
+      trainCentroids(corpus, vecCol, nlist, trainFraction))
     val assigned = spread(corpus.select(col(idCol), col(vecCol)))
       .select(col(idCol), col(vecCol),
         nearestCell(col(vecCol), cents).as("cell"))
@@ -408,14 +414,19 @@ object Similarity {
     * cells at the file-listing level, so probe I/O is |probed cells|,
     * not |corpus|. Centroids (nlist rows) are collected driver-side and
     * folded into the probe expression; queries are broadcast. */
+  /** The persisted quantizer of a [[writeIvfIndex]] layout, driver-side
+    * (nlist rows — the sidecar IS the broadcast-sized half). */
+  def readCentroids(spark: SparkSession,
+      path: String): Seq[(Int, Array[Float])] =
+    spark.read.parquet(s"$path/centroids").collect().toSeq
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+
   def ivfTopKFromIndex(spark: SparkSession, path: String,
       queries: DataFrame, k: Int, nprobe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding",
       qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
-    val cents: Seq[(Int, Array[Float])] =
-      spark.read.parquet(s"$path/centroids").collect().toSeq
-        .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
-        .sortBy(_._1)
+    val cents: Seq[(Int, Array[Float])] = readCentroids(spark, path)
     // the probe frame is materialized ONCE (query-set-sized — it rides
     // a broadcast anyway): the cell-pruning collect below and the
     // rerank join must see the SAME probe rows, and a nondeterministic
