@@ -386,9 +386,11 @@ object Corpus {
       .join(broadcast(nDocs), Seq("__g"))
       .filter(col("__n") > col("__nd") * maxDocShare)
       .select(col("__g"), col("__l"))
+      // persisted across guard + consume — see dedupLinesImpl
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (nFreq, bFreq) = guardFrequentSet(freqStrings, "__l",
-      maxFrequentLines, maxFrequentBytes, lines, "dedupLinesPerGroup",
-      "raise maxDocShare / minDocs or the caps")
+      maxFrequentLines, maxFrequentBytes, Seq(lines, freqStrings),
+      "dedupLinesPerGroup", "raise maxDocShare / minDocs or the caps")
     // the rewrite is shared by both paths: unconditional, so null text
     // normalizes to "" exactly like dedupLines, independent of whether
     // any group happened to have boilerplate
@@ -407,6 +409,7 @@ object Corpus {
         .groupBy(col("__g")).agg(collect_set(col("__l")).as("__f"))
         .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
       lines.unpersist(blocking = false)
+      freqStrings.unpersist(blocking = false)
       val freqForRow =
         if (freqMap.isEmpty) lit(null).cast("array<string>")
         else element_at(typedlit(freqMap), col(groupCol).cast("string"))
@@ -414,10 +417,11 @@ object Corpus {
     } else {
       // join path: the frequent frame stays on the cluster and reaches
       // every doc row through one broadcast left-outer join on the
-      // group key. `lines` is unpersisted here, so the returned plan
-      // recomputes the explode once when it executes — the price of
-      // not pinning a cache entry in a lazily-consumed result (same
-      // stance as the bench entries' cache = false).
+      // group key. `lines` is unpersisted here; freqStrings stays
+      // persisted (guard-bounded) so the returned plan reads the
+      // already-filled cache instead of re-running both counting
+      // passes per action — ContextCleaner reclaims it with the
+      // plan's lineage (the dedupLinesImpl lifecycle).
       val freqSets = freqStrings
         .groupBy(col("__g")).agg(collect_set(col("__l")).as("__freq"))
       lines.unpersist(blocking = false)
@@ -431,17 +435,25 @@ object Corpus {
   /** The collect guard shared by the line-dedup family: reject an
     * oversized frequent set with a two-long aggregate BEFORE any line
     * string leaves the cluster (a bare limit(cap) row check would let
-    * millions of KB-sized lines assemble driver-side first). */
+    * millions of KB-sized lines assemble driver-side first).
+    *
+    * `freq` must arrive PERSISTED: the guard's head() is then also the
+    * cache fill, so the consumer that follows (the literal collect or
+    * the join path's set aggregate) reads the just-guarded cache
+    * instead of re-running the two counting passes — the r11 bench
+    * regression was exactly this aggregate running as a second full
+    * evaluation. On rejection every frame in `cached` unpersists. */
   private def guardFrequentSet(freq: DataFrame, lineCol: String,
       maxLines: Long, maxBytes: Long,
-      cached: DataFrame, opName: String, remedy: String): (Long, Long) = {
+      cached: Seq[DataFrame], opName: String, remedy: String)
+      : (Long, Long) = {
     val g = freq
       .agg(count(lit(1)).as("__n"),
         coalesce(sum(octet_length(col(lineCol))), lit(0L)).as("__b"))
       .head()
     val (n, b) = (g.getLong(0), g.getLong(1))
     if (n > maxLines || b > maxBytes) {
-      cached.unpersist(blocking = false)
+      cached.foreach(_.unpersist(blocking = false))
       throw new IllegalArgumentException(
         s"$opName: frequent set is $n lines / $b bytes " +
           s"(caps: $maxLines lines, $maxBytes bytes) — $remedy.")
@@ -486,10 +498,16 @@ object Corpus {
       .groupBy(col("__l")).agg(count(lit(1)).as("__n"))
       .crossJoin(thr).filter(col("__n") > col("__thr"))
       .select(col("__l"))
+      // persisted so the guard's aggregate IS the only evaluation of
+      // the two counting passes — the collect (literal path) and the
+      // set aggregate (join path) read this cache, guarded-bounded at
+      // ≤ maxFrequentBytes
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // guard FIRST (shared [[guardFrequentSet]]): an oversized frequent
     // set is rejected before a single line string leaves the cluster
     val (nFreq, bFreq) = guardFrequentSet(freqStrings, "__l",
-      maxFrequentLines, maxFrequentBytes, lines, "dedupLines",
+      maxFrequentLines, maxFrequentBytes, Seq(lines, freqStrings),
+      "dedupLines",
       "the rewrite carries the frequent set as a broadcast, which is " +
         "only bounded when the threshold is large relative to the " +
         "corpus; raise maxOccurrences (or use dedupLinesAuto, " +
@@ -510,6 +528,7 @@ object Corpus {
         .agg(collect_set(col("__l")).as("__freq"))
         .head().getSeq[String](0)
       lines.unpersist(blocking = false)
+      freqStrings.unpersist(blocking = false)
       docs.withColumn(textCol,
         concat_ws(delim, filter(lineArr,
           l => !array_contains(typedlit(freqArr), l))))
@@ -520,7 +539,11 @@ object Corpus {
       // per-group drill measured this form ~2.7x faster than a
       // thousands-of-lines map literal (the literal rides every task
       // binary); without it a 4M-line frequent set was a ~256 MB
-      // typedlit in the plan.
+      // typedlit in the plan. freqStrings stays persisted (guard-
+      // bounded ≤ maxFrequentBytes): the returned plan reads the
+      // already-filled cache instead of re-running both counting
+      // passes per action; ContextCleaner reclaims it when the plan's
+      // lineage is collected — the winnowOverlapPairs lifecycle.
       val freqSet = freqStrings.agg(collect_set(col("__l")).as("__freq"))
       lines.unpersist(blocking = false)
       docs.crossJoin(broadcast(freqSet))
