@@ -154,11 +154,15 @@ object QueriesPipeline {
     * bucket cap, pair join + floor — ends in `wpairs(id1, id2,
     * n_shared)`. Shared by the pairs report and the purge so both
     * count the SAME pairs. */
-  private val winnowPairsCtes: String = """cps AS (
+  private val winnowPairsCtes: String = winnowPairCtesOver("documents")
+
+  /** The same replay over any (doc_id, text) relation — the composed
+    * normalize→fingerprint oracle runs it over its normalized CTE. */
+  private def winnowPairCtesOver(src: String): String = ("""cps AS (
           SELECT doc_id,
             list_transform(regexp_extract_all(text, '[\s\S]'),
               c -> cast(unicode(c) as bigint)) AS cp
-          FROM documents
+          FROM __SRC__
         ), hs AS (
           SELECT doc_id,
             CASE WHEN len(cp) = 0 THEN CAST([] AS BIGINT[])
@@ -190,7 +194,7 @@ object QueriesPipeline {
             cast(count(*) as bigint) AS n_shared
           FROM elig a JOIN elig b
             ON a.fp = b.fp AND a.doc_id < b.doc_id
-          GROUP BY 1, 2 HAVING count(*) >= 4)"""
+          GROUP BY 1, 2 HAVING count(*) >= 4)""").replace("__SRC__", src)
 
   /** DuckDB replay of [[tile5]]: `ch(doc_id, pos, u)` from a CTE named
     * `ds(doc_id, ws)`. */
@@ -3764,6 +3768,51 @@ object QueriesPipeline {
         FROM m2
         WHERE nl > 0 AND lat >= cyr AND lat >= grk AND lat >= ara
           AND lat >= han AND lat >= hang AND lat >= oth""")),
+
+    // Composed normalize→fingerprint (README's 100 TB ordering note,
+    // pinned): the SAME content arrives three ways per 3-doc group —
+    // mojibake'd (cafÃ©), NFC-decomposed (cafe+U+0301), clean
+    // precomposed — and the winnow fingerprints are computed AFTER
+    // fix_mojibake→NFC, so all three variants converge to identical
+    // fingerprint sets and winnowOverlapPairs reports every within-
+    // group pair. A future kernel reorder (NFC before repair, or
+    // fingerprinting raw text) breaks the convergence and the hash.
+    // Oracle: mojibake inverse planted (the q_text_fix_mojibake
+    // convention), NFC replayed genuinely (utf8proc), every rolling
+    // hash + winnow pick + bucket cap + pair floor recomputed from the
+    // definition over the normalized CTE.
+    "q_pipeline_normalize_fingerprint" -> Entry(
+      (s, dir) => {
+        import graft.plans.TextExpressions.{fix_mojibake,
+          unicode_normalize}
+        val id = col("doc_id")
+        val g = ((id - pmod(id, lit(3))) / 3).cast("long")
+        val marker = when(pmod(id, lit(3)) === 0,
+            lit("caf\u00c3\u00a9"))
+          .when(pmod(id, lit(3)) === 1, lit("cafe\u0301"))
+          .otherwise(lit("caf\u00e9"))
+        val base = concat_ws(" ",
+          md5(concat(g.cast("string"), lit(":a"))),
+          md5(concat(g.cast("string"), lit(":b"))),
+          marker,
+          md5(concat(g.cast("string"), lit(":c"))))
+        val docs = t(s, dir, "documents").select(id,
+          unicode_normalize(fix_mojibake(base)).as("text"))
+        graft.operators.Dedup.winnowOverlapPairs(docs, "text", "doc_id")
+          .select(col("id1"), col("id2"), col("n_shared"))
+      },
+      Some(s"""WITH nsrc AS (
+          SELECT doc_id, nfc_normalize(
+            md5(cast(doc_id // 3 as varchar) || ':a') || ' ' ||
+            md5(cast(doc_id // 3 as varchar) || ':b') || ' ' ||
+            CASE doc_id % 3
+              WHEN 0 THEN 'caf' || chr(233)
+              WHEN 1 THEN 'cafe' || chr(769)
+              ELSE 'caf' || chr(233) END || ' ' ||
+            md5(cast(doc_id // 3 as varchar) || ':c')) AS text
+          FROM documents),
+        ${winnowPairCtesOver("nsrc")}
+        SELECT id1, id2, n_shared FROM wpairs""")),
 
     // Composed end-to-end web curation: domain blocklist → flagged-
     // wordlist gate → within-doc line dedup → cross-doc keep-first,

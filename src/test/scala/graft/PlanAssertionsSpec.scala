@@ -220,6 +220,25 @@ class PlanAssertionsSpec extends AnyFunSuite {
         s"got ${builders.size} distinct caches:\n$cached")
   }
 
+  test("q_pipeline_normalize_fingerprint: repair→NFC order pinned in " +
+      "the plan; the normalize front fuses into the kernel's scan " +
+      "stage (zero Exchange from scan to fingerprints)") {
+    val p = plan("q_pipeline_normalize_fingerprint")
+    assert(p.contains("unicode_nfc(fix_mojibake("),
+      s"normalization must run repair-then-NFC, in one projection:\n$p")
+    val i = p.indexOf("Generate explode(winnow_fingerprints")
+    assert(i >= 0, s"winnow kernel missing:\n$p")
+    val seg = p.substring(i, p.indexOf("FileScan", i))
+    assert(!seg.contains("Exchange"),
+      s"normalize+fingerprint must stay one map stage:\n$seg")
+    // single-corpus-scan discipline inherited from winnowOverlapPairs
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val raw = SparkEntry.queries("q_pipeline_normalize_fingerprint")(
+      spark, dir).queryExecution.withCachedData.collect {
+      case r: LogicalRelation => r }
+    assert(raw.isEmpty, "corpus must be read only through the fps cache")
+  }
+
   test("q_vocab_coverage: partial word counts below the exchange; the " +
       "token total rides a one-row broadcast, no WindowExec") {
     val p = plan("q_vocab_coverage")
