@@ -192,7 +192,9 @@ object Contamination {
       // ONCE (the rebuild join below reads the cache, not a second
       // full-corpus shingle pass); stays cached for the lazy consumer —
       // span lists are bounded by actual contamination and spill to
-      // disk, never the driver
+      // disk, never the driver. Reclaimed by ContextCleaner once the
+      // caller drops the result's lineage; drivers running many
+      // increments should release references between batches
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val spansSide =
       if (spans.count() <= broadcastMaxHitDocs) broadcast(spans)

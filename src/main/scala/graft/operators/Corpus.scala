@@ -243,6 +243,15 @@ object Corpus {
     * the whole reason this is not a `contains` scan). Null text passes
     * through, the shared null-pass-through convention.
     *
+    * Every entry is normalized through the SAME tokenizer as the text
+    * (the real C4 list mixes case, hyphens, and multi-word phrases —
+    * an entry the text tokenizer could never emit would otherwise be
+    * silently inert and the filter under-drops with no signal): an
+    * entry that tokenizes to MULTIPLE words matches as a phrase —
+    * its token sequence, word-boundary-exact, via a padded substring
+    * probe over the space-joined token stream; an entry that
+    * tokenizes to NOTHING (pure punctuation) throws.
+    *
     * Scale shape: the deduplicated lowercase list rides the plan as
     * ONE constant-folded array literal into a codegen'd
     * `arrays_overlap` (which hash-sets the smaller side) — map-only,
@@ -253,7 +262,16 @@ object Corpus {
     * shape on tokens. */
   def filterFlaggedWords(docs: DataFrame, textCol: String,
       flagged: Seq[String]): DataFrame = {
-    val list = flagged.map(_.toLowerCase.trim).filter(_.nonEmpty).distinct
+    // entry-side normalization = the text-side tokenizer, exactly
+    def tokenize(e: String): String =
+      e.toLowerCase.replaceAll("[^a-z0-9']+", " ").trim
+    val inert = flagged.filter(e => e.trim.nonEmpty && tokenize(e).isEmpty)
+    require(inert.isEmpty,
+      s"filterFlaggedWords: entries ${inert.mkString("'", "', '", "'")} " +
+        "tokenize to nothing under the [a-z0-9'] tokenizer — they " +
+        "could never match a token and the filter would silently " +
+        "under-drop; remove them or fix the entries")
+    val list = flagged.map(tokenize).filter(_.nonEmpty).distinct
     require(list.nonEmpty,
       "filterFlaggedWords: empty wordlist — filtering by nothing is " +
         "a no-op; pass the list or skip the stage")
@@ -261,10 +279,23 @@ object Corpus {
       s"filterFlaggedWords: ${list.size} entries would ride the plan " +
         "as a literal; a list that size is a table — use a tokenized " +
         "anti-join instead")
+    val (phrases, words) = list.partition(_.contains(" "))
     val toks = split(
       regexp_replace(lower(col(textCol)), "[^a-z0-9']+", " "), " ", -1)
-    docs.filter(col(textCol).isNull ||
-      !arrays_overlap(toks, lit(list.toArray)))
+    val wordHit =
+      if (words.nonEmpty) arrays_overlap(toks, lit(words.toArray))
+      else lit(false)
+    // phrase entries: word-boundary-exact sequence match against the
+    // space-joined token stream (padded so ends are boundaries too) —
+    // still map-only; the joined stream is built once per row and
+    // only when the list actually has phrases
+    val phraseHit =
+      if (phrases.isEmpty) lit(false)
+      else {
+        val stream = concat(lit(" "), array_join(toks, " "), lit(" "))
+        phrases.map(p => stream.contains(s" $p ")).reduce(_ || _)
+      }
+    docs.filter(col(textCol).isNull || !(wordHit || phraseHit))
   }
 
   /** URL domain-blocklist DOCUMENT filter — the RefinedWeb/Dolma
@@ -739,9 +770,36 @@ object Corpus {
       exactCandidates: Boolean = false): DataFrame = {
     require(maxUnitsPerDoc > 0,
       s"nearDedupUnits: maxUnitsPerDoc > 0 (got $maxUnitsPerDoc)")
+    // The stride arithmetic is only sound over integral non-negative
+    // ids with pos under the stride — and both failure shapes are
+    // SILENT without a guard (a string id implicit-casts to double and
+    // nulls/rounds the uid; a doc past maxUnitsPerDoc collides into
+    // its neighbor's uid range), corrupting keep-first winners rather
+    // than crashing. Type is checked up front (the topKPerGroup
+    // stance); the value bounds ride the projection as a raise_error
+    // branch — two comparisons per unit row, no extra pass. Stride
+    // OVERFLOW (huge id × stride) throws on its own: ANSI mode.
+    locally {
+      import org.apache.spark.sql.types.{ByteType, IntegerType,
+        LongType, ShortType}
+      val idType = docs.schema(idCol).dataType
+      require(Seq(LongType, IntegerType, ShortType, ByteType)
+          .contains(idType),
+        s"nearDedupUnits: idCol '$idCol' must be an integral type " +
+          s"(got $idType) — the keep-first priority is " +
+          "id*maxUnitsPerDoc+pos, and a non-integral id would cast " +
+          "to double and corrupt it silently")
+    }
+    val uid = when(col(idCol) < 0 || col("pos") >= maxUnitsPerDoc,
+      raise_error(concat(
+        lit("nearDedupUnits: doc id "), col(idCol).cast("string"),
+        lit(" pos "), col("pos").cast("string"),
+        lit(s" violates 0 <= id, pos < maxUnitsPerDoc=$maxUnitsPerDoc" +
+          " — raise maxUnitsPerDoc (ids up to Long.MaxValue/stride" +
+          " fit) or split oversized docs"))).cast("long"))
+      .otherwise(col(idCol).cast("long") * maxUnitsPerDoc + col("pos"))
     val units = unitsOf(docs, textCol, idCol, delim)
-      .select((col(idCol) * maxUnitsPerDoc + col("pos")).as("__uid"),
-        col(idCol), col("pos"), col("u"))
+      .select(uid.as("__uid"), col(idCol), col("pos"), col("u"))
     // exactCandidates = shared-shingle pair generation instead of LSH
     // banding: the kept set becomes a pure function of the corpus (the
     // strict-oracle / recall-critical mode) at Σ(bucket²) cost — see
@@ -821,6 +879,11 @@ object Corpus {
       .withColumn("__maybe", graft.plans.BloomProbe
         .mightContain(bloom, xxhash64(col("__ufp"))))
     val miss = probed.filter(!col("__maybe")).drop("__maybe")
+      // increment-lived cache: the count probe fills it, the returned
+      // lazy split reads it; reclaimed by ContextCleaner once the
+      // caller drops the result's lineage — drivers running MANY
+      // increments should release references between batches (or
+      // spark.catalog.clearCache())
     val accepted = probed.filter(col("__maybe")).drop("__maybe")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // row count bounds distinct count — one map-only pass, no shuffle
@@ -991,6 +1054,11 @@ object Corpus {
       .withColumn("__maybe", graft.plans.BloomProbe
         .mightContain(bloom, xxhash64(col("__gfp"))))
     val miss = probed.filter(!col("__maybe")).drop("__maybe")
+      // increment-lived cache: the count probe fills it, the returned
+      // lazy split reads it; reclaimed by ContextCleaner once the
+      // caller drops the result's lineage — drivers running MANY
+      // increments should release references between batches (or
+      // spark.catalog.clearCache())
     val accepted = probed.filter(col("__maybe")).drop("__maybe")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // row count bounds distinct count — one map-only pass, no shuffle

@@ -497,6 +497,11 @@ object Dedup {
         .mightContain(bloom, xxhash64(col("__fp"))))
     val definitelyNew = probed.filter(!col("__maybe"))
       .drop("__maybe", "__fp")
+      // increment-lived cache: the count probe fills it, the returned
+      // lazy split reads it; reclaimed by ContextCleaner once the
+      // caller drops the result's lineage — drivers running MANY
+      // increments should release references between batches (or
+      // spark.catalog.clearCache())
     val accepted = probed.filter(col("__maybe")).drop("__maybe")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // row count bounds distinct count — one map-only pass, no shuffle

@@ -1174,4 +1174,58 @@ class CorpusSpec extends AnyFunSuite {
         "doc_id", "text", "lang")
     }
   }
+
+  test("filterFlaggedWords: phrase entries match word-boundary-exact " +
+      "token sequences; non-token entries throw instead of going inert") {
+    val docs = Seq(
+      (1L, "some lorem ipsum filler"),     // phrase hit → dropped
+      (2L, "Lorem, Ipsum! shouting"),      // case+punct tokenize same → dropped
+      (3L, "lorem thoughts on ipsum"),     // words apart → KEPT
+      (4L, "breathe catalog entries"),     // substring of phrase only → KEPT
+      (5L, "the cat sat")                  // phrase at row start → dropped
+    ).toDF("doc_id", "text")
+    val kept = Corpus.filterFlaggedWords(docs, "text",
+        Seq("Lorem-Ipsum", "the cat"))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(3L, 4L))
+    val ex = intercept[IllegalArgumentException] {
+      Corpus.filterFlaggedWords(docs, "text", Seq("ok", "!!!"))
+    }
+    assert(ex.getMessage.contains("!!!"),
+      s"the inert entry must be named: ${ex.getMessage}")
+  }
+
+  test("nearDedupUnits: non-integral id type refused; out-of-contract " +
+      "id/pos values fail loudly instead of corrupting keep-first") {
+    val ok = Seq((1L, "aa bb cc dd\nee ff gg hh"),
+      (2L, "aa bb cc dd\nii jj kk ll")).toDF("doc_id", "text")
+    // sanity: the guarded projection still dedups (shared first unit
+    // survives only in doc 1)
+    val out = Corpus.nearDedupUnits(ok, "text", "doc_id",
+        threshold = 0.9, shingleWords = 2, exactCandidates = true)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "aa bb cc dd\nee ff gg hh")
+    assert(out(2L) == "ii jj kk ll")
+    // string ids: the stride arithmetic would double-cast silently
+    val strIds = Seq(("a", "x y")).toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      Corpus.nearDedupUnits(strIds, "text", "doc_id")
+    }
+    assert(ex.getMessage.contains("integral"))
+    // a doc past maxUnitsPerDoc collides uids into its neighbor —
+    // must throw (raise_error), not silently mis-rank
+    val wide = Seq((1L, "u0\nu1\nu2")).toDF("doc_id", "text")
+    val ex2 = intercept[Exception] {
+      Corpus.nearDedupUnits(wide, "text", "doc_id",
+        maxUnitsPerDoc = 2L).collect()
+    }
+    assert(ex2.getMessage.contains("maxUnitsPerDoc"),
+      s"got: ${ex2.getMessage}")
+    // negative ids break the (id, pos) order encoding
+    val neg = Seq((-1L, "x y")).toDF("doc_id", "text")
+    val ex3 = intercept[Exception] {
+      Corpus.nearDedupUnits(neg, "text", "doc_id").collect()
+    }
+    assert(ex3.getMessage.contains("maxUnitsPerDoc"))
+  }
 }
