@@ -127,6 +127,50 @@ object QueriesPipeline {
     idxPath
   }
 
+  /** Build-if-stale a persisted PCA model (tag-keyed staging, the
+    * [[ensureIvfIndex]] convention). `fit` runs only when the store is
+    * missing or older than embeddings.parquet; the returned model is
+    * ALWAYS read back from the store, so the projection the query runs
+    * and the {STAGING:tag} oracle replay share bit-identical doubles. */
+  private def ensurePcaModel(s: SparkSession, dir: String, tag: String)(
+      fit: => graft.operators.Embeddings.PcaModel)
+      : graft.operators.Embeddings.PcaModel = {
+    val p = Q.stagingDir(dir, tag)
+    val success = new java.io.File(s"$p/model/_SUCCESS")
+    val src = new java.io.File(s"$dir/embeddings.parquet")
+    if (!success.exists() || success.lastModified() < src.lastModified())
+      graft.operators.Embeddings.writePcaModel(s, fit, p)
+    graft.operators.Embeddings.readPcaModel(s, p)
+  }
+
+  /** DuckDB replay of [[graft.operators.Embeddings.pcaProject]] against
+    * a [[ensurePcaModel]] store: per (vec, comp), the centered dot
+    * product recomputed in the KERNEL'S summation order (list_reduce
+    * left-to-right ≡ matProjectFloat's sequential `s += (x−mu)·w`) from
+    * the same persisted doubles, so the pre-round float result is
+    * bit-identical, not merely close. `__SCALE__` hooks the whitening
+    * factor (1.0 for the plain projection; 1/√max(eig,1e-12) applied to
+    * w BEFORE the product for the whitened one, matching the driver's
+    * pre-scaled matrix). */
+  private def pcaReplaySql(tag: String, scaleSql: String): String =
+    s"""WITH m AS (
+          SELECT comp, i, w, mu, eig
+          FROM read_parquet('{STAGING:$tag}/model/*.parquet')
+        ), basis AS (
+          SELECT comp,
+            list(w ORDER BY i) AS w, list(mu ORDER BY i) AS mu,
+            min(eig) AS eig
+          FROM m GROUP BY comp
+        ), v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings
+          WHERE embedding IS NOT NULL AND len(embedding) > 0)
+        SELECT vec_id, comp,
+          round(list_reduce(list_transform(range(1, len(e) + 1),
+            ii -> (e[ii] - mu[ii]) * (w[ii] * ($scaleSql))),
+            (a, b) -> a + b), 3) + 0.0 AS pca
+        FROM v CROSS JOIN basis"""
+
   /** DuckDB replay of the persisted-IVF probe machinery, shared by the
     * q_sim_ivf / q_sim_knn_ivf oracles: `cents` reads the centroid
     * sidecar [[ensureIvfIndex]] wrote ({STAGING:ivf_n8} substitutes to
@@ -1488,55 +1532,72 @@ object QueriesPipeline {
 
     // Distributed PCA, step 2: Jacobi eigenbasis of that covariance
     // (driver-side, d×d-bounded) + corpus projection through the native
-    // codegen'd mat_project kernel. DuckDB has no eigensolver, so this
-    // is rows-only; EmbeddingsSpec pins orthonormality, variance
-    // ordering, and kernel ≡ manual projection.
+    // codegen'd mat_project kernel. r12: STRICT oracle (was rows-only)
+    // — the model persists to a staging store and the projection runs
+    // with the doubles read BACK from it, so DuckDB replays the
+    // centered dot products from the same floats in the same
+    // summation order; only the eigensolve (iterative Jacobi) stays
+    // outside the oracle. EmbeddingsSpec still pins orthonormality,
+    // variance ordering, and kernel ≡ manual projection. Output is one
+    // (vec_id, comp, pca) row per component — plain doubles hash
+    // strictly; arrays wouldn't.
     "q_embed_pca" -> Entry(
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
-        val model = graft.operators.Embeddings.fitPca(emb, "embedding", 4)
+        val model = ensurePcaModel(s, dir, "pca_k4")(
+          graft.operators.Embeddings.fitPca(emb, "embedding", 4))
         graft.operators.Embeddings.pcaProject(emb, "embedding", model)
           .select(col("vec_id"),
-            // serialized (not raw array<double>): the driver's pandas
-            // sort cannot hash ndarray cells even for rows-only checks
-            array_join(transform(col("pca"),
-              x => round(x, 3).cast("string")), " ").as("pca"))
+            posexplode(col("pca")).as(Seq("comp", "y")))
+          .select(col("vec_id"), col("comp").cast("long").as("comp"),
+            // + 0.0: signed-zero normalization (q_embed_pca_cov rule)
+            (round(col("y"), 3) + lit(0.0)).as("pca"))
       },
-      None),
+      Some(pcaReplaySql("pca_k4", "1.0"))),
 
     // Incremental PCA: raw moments are ADDITIVE, so each batch appends
     // ONE (n, Σv, Σvvᵀ) row to a persisted stats store and the fit
     // folds the rows — a growing corpus never rescans old batches
     // (same incremental pattern as the dedup fingerprint index). Here:
     // two half-corpus batches → fold → WHITENED projection (unit
-    // variance per component, spec-pinned). Eigen is driver-side, so
-    // rows-only; EmbeddingsSpec pins two-batch ≡ one-shot.
+    // variance per component, spec-pinned). r12: STRICT oracle via the
+    // q_embed_pca persisted-model replay — the whitening factor
+    // 1/√max(λ,1e-12) recomputes in DuckDB from the stored eigenvalue
+    // (sqrt and division are correctly-rounded IEEE ops on both
+    // engines, so the pre-scaled weights are bit-identical); only the
+    // moment fold + eigensolve stay outside. EmbeddingsSpec pins
+    // two-batch ≡ one-shot.
     "q_embed_pca_inc" -> Entry(
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
-        // per-invocation temp store (a fixed shared path would race
-        // overwrite/append/read between concurrent runs and silently
-        // fit on a half-written store); the store is only needed until
-        // the fit below, so it is deleted eagerly — and Q.tempDir's
-        // exit hook covers the failure path
-        val p = Q.tempDir("graft_moments") + "/stats"
-        graft.operators.Embeddings.appendMomentStats(
-          emb.filter(col("vec_id") % 2 === 0), "embedding", p,
-          overwrite = true)
-        graft.operators.Embeddings.appendMomentStats(
-          emb.filter(col("vec_id") % 2 === 1), "embedding", p)
-        val m = graft.operators.Embeddings.fitPcaFromStats(s, p, 4)
-        // the model is in memory; the moment store is dead weight now
-        org.apache.commons.io.FileUtils.deleteQuietly(
-          new java.io.File(p).getParentFile)
+        val m = ensurePcaModel(s, dir, "pca_inc_k4") {
+          // per-invocation temp store (a fixed shared path would race
+          // overwrite/append/read between concurrent runs and silently
+          // fit on a half-written store); the store is only needed
+          // until the fit below, so it is deleted eagerly — and
+          // Q.tempDir's exit hook covers the failure path
+          val p = Q.tempDir("graft_moments") + "/stats"
+          graft.operators.Embeddings.appendMomentStats(
+            emb.filter(col("vec_id") % 2 === 0), "embedding", p,
+            overwrite = true)
+          graft.operators.Embeddings.appendMomentStats(
+            emb.filter(col("vec_id") % 2 === 1), "embedding", p)
+          val fitted = graft.operators.Embeddings.fitPcaFromStats(s, p, 4)
+          // the model is persisted by ensurePcaModel; the moment store
+          // is dead weight now
+          org.apache.commons.io.FileUtils.deleteQuietly(
+            new java.io.File(p).getParentFile)
+          fitted
+        }
         graft.operators.Embeddings
           .pcaProject(emb, "embedding", m, whiten = true)
           .select(col("vec_id"),
-            // serialized for the driver compare (see q_embed_pca)
-            array_join(transform(col("pca"),
-              x => round(x, 3).cast("string")), " ").as("pca"))
+            posexplode(col("pca")).as(Seq("comp", "y")))
+          .select(col("vec_id"), col("comp").cast("long").as("comp"),
+            (round(col("y"), 3) + lit(0.0)).as("pca"))
       },
-      None),
+      Some(pcaReplaySql("pca_inc_k4",
+        "1.0 / sqrt(greatest(eig, 1e-12))"))),
 
     // Incremental EMBEDDING near-dup: batch vectors probe a persisted
     // index of hyperplane band keys + int8-quantized corpus vectors
@@ -1676,26 +1737,72 @@ object QueriesPipeline {
 
     // Cluster-balanced (diversity) sampling: k-means cells +
     // deterministic per-cell cap — the anti-mode-collapse sampler for
-    // dense semantic regions. Centroids are data-derived (no DuckDB
-    // replay), so rows-only; EmbeddingsSpec pins cap/determinism.
+    // dense semantic regions. r12: STRICT oracle (was rows-only) via
+    // the persisted nlist=8 quantizer: DuckDB replays cell assignment
+    // (ivfReplayCtes) and the md5(id)-ordered per-cell cap exactly;
+    // only the k-means fit stays outside. EmbeddingsSpec pins
+    // cap/determinism.
     "q_embed_balanced" -> Entry(
-      (s, dir) => graft.operators.Embeddings
-        .balancedSample(t(s, dir, "embeddings"), "embedding", "vec_id",
-          nlist = 8, perCell = 40)
-        .select(col("vec_id"), col("cell")),
-      None),
+      (s, dir) => {
+        val idxPath = ensureIvfIndex(s, dir)
+        graft.operators.Embeddings
+          .balancedSample(t(s, dir, "embeddings"), "embedding", "vec_id",
+            nlist = 8, perCell = 40,
+            centroids = Some(Similarity.readCentroids(s, idxPath)))
+          .select(col("vec_id"), col("cell"))
+      },
+      Some(s"""WITH $ivfReplayCtes,
+        ranked AS (
+          SELECT vec_id, cell, row_number() OVER (PARTITION BY cell
+            ORDER BY md5(cast(vec_id AS varchar)), vec_id) AS rnk
+          FROM assigned)
+        SELECT vec_id, cell FROM ranked WHERE rnk <= 40""")),
 
     // BERTopic-style cluster topic labels: k-means cells over the
     // embedding space, each labeled with its c-TF-IDF-distinctive
     // terms via the documents join (vec_id ≡ doc_id in the fixture).
-    // Rows-only — driver-Lloyd centroids are float-iterative with no
-    // SQL replay; EmbeddingsSpec pins planted-cluster topic recovery.
+    // r12: STRICT oracle (was rows-only) — labeling runs against the
+    // SAME persisted nlist=8 quantizer the IVF probes use (train once,
+    // every pass replays the same cells), so DuckDB replays cell
+    // assignment (argmax cosine, ties to lowest cell — the
+    // ivfReplayCtes machinery) and the full c-TF-IDF scoring from the
+    // q_text_distinctive oracle, regrouped by cell. Only the k-means
+    // FIT stays outside (float-iterative). EmbeddingsSpec still pins
+    // planted-cluster topic recovery.
     "q_embed_topics" -> Entry(
-      (s, dir) => graft.operators.Embeddings
-        .clusterTopics(t(s, dir, "embeddings"), "vec_id", "embedding",
-          t(s, dir, "documents"), "doc_id", "text",
-          nlist = 8, topTerms = 3),
-      None),
+      (s, dir) => {
+        val idxPath = ensureIvfIndex(s, dir)
+        graft.operators.Embeddings
+          .clusterTopics(t(s, dir, "embeddings"), "vec_id", "embedding",
+            t(s, dir, "documents"), "doc_id", "text",
+            nlist = 8, topTerms = 3,
+            centroids = Some(Similarity.readCentroids(s, idxPath)))
+      },
+      Some(s"""WITH $ivfReplayCtes,
+        labeled AS (
+          SELECT a.cell, d.text FROM assigned a
+          JOIN documents d ON d.doc_id = a.vec_id
+        ), sizes AS (
+          SELECT cell, count(*) AS n_docs FROM labeled GROUP BY 1
+        ), words AS (
+          SELECT cell,
+            unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+          FROM labeled
+        ), tf AS (
+          SELECT cell, w, count(*) AS tf FROM words GROUP BY 1, 2
+        ), gdf AS (SELECT w, count(*) AS gdf FROM tf GROUP BY 1),
+        ng AS (SELECT count(DISTINCT cell) AS n FROM labeled),
+        scored AS (
+          SELECT cell, w, tf, gdf,
+            round(tf * ln((1.0 + n) / (1.0 + gdf)), 6) AS score6
+          FROM tf JOIN gdf USING (w), ng
+        ), ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY cell
+            ORDER BY score6 DESC, w ASC) AS rnk
+          FROM scored)
+        SELECT r.cell, s.n_docs, r.w AS term, r.tf, r.gdf,
+          round(r.score6, 3) AS score
+        FROM ranked r JOIN sizes s USING (cell) WHERE rnk <= 3""")),
 
     // Sequence packing: docs → consecutive 4096-token training bins via
     // the two-phase distributed prefix sum (operators/Pack.scala — no

@@ -372,6 +372,55 @@ object Embeddings {
     * the kernel is one JVM call per row) — projection is a pure scan,
     * no shuffle, and composes with quantized storage via
     * [[dequantize]]. */
+  /** Persist a fitted [[PcaModel]] as one flat parquet relation at
+    * `path/model`: rows (comp, i, w, mu, eig) — component weight
+    * w = components(comp)(i), the per-dimension mean mu (repeated per
+    * comp), and the component's eigenvalue. k·d rows of plain doubles:
+    * the shape an external SQL engine can replay the projection from
+    * directly (the strict q_embed_pca oracle), and small enough that
+    * coalesce(1) is the right layout. A projection that wants to be
+    * replayable must RUN with the model read back from this store
+    * ([[readPcaModel]]) so both sides share bit-identical doubles —
+    * never the in-memory fit (a refit's distributed moment sums can
+    * land in a different partition-merge order). */
+  def writePcaModel(spark: org.apache.spark.sql.SparkSession,
+      model: PcaModel, path: String): Unit = {
+    val rows = for {
+      c <- model.components.indices
+      i <- model.mean.indices
+    } yield (c.toLong, i.toLong, model.components(c)(i), model.mean(i),
+      model.eigenvalues(c))
+    import spark.implicits._
+    rows.toDF("comp", "i", "w", "mu", "eig")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/model")
+  }
+
+  /** Load a [[writePcaModel]] store. Driver-side (k·d rows — the model
+    * IS the broadcast-sized half, same stance as
+    * [[Similarity.readCentroids]]). */
+  def readPcaModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): PcaModel = {
+    val rows = spark.read.parquet(s"$path/model")
+      .select(col("comp"), col("i"), col("w"), col("mu"), col("eig"))
+      .collect()
+    require(rows.nonEmpty, s"readPcaModel: empty model at $path")
+    val k = rows.iterator.map(_.getLong(0)).max.toInt + 1
+    val d = rows.iterator.map(_.getLong(1)).max.toInt + 1
+    require(rows.length == k * d,
+      s"readPcaModel: ${rows.length} rows, expected $k×$d — torn store?")
+    val mean = new Array[Double](d)
+    val eig = new Array[Double](k)
+    val comps = Array.fill(k)(new Array[Double](d))
+    rows.foreach { r =>
+      val c = r.getLong(0).toInt
+      val i = r.getLong(1).toInt
+      comps(c)(i) = r.getDouble(2)
+      mean(i) = r.getDouble(3)
+      eig(c) = r.getDouble(4)
+    }
+    PcaModel(mean, eig, comps)
+  }
+
   def pcaProject(df: DataFrame, vecCol: String, model: PcaModel,
       outCol: String = "pca", whiten: Boolean = false): DataFrame = {
     val mat =
@@ -433,8 +482,14 @@ object Embeddings {
     * exchange — the shuffle carries at most nlist·perCell rows per
     * partition, never the corpus. */
   def balancedSample(df: DataFrame, vecCol: String, idCol: String,
-      nlist: Int, perCell: Int): DataFrame = {
-    val cents = Similarity.trainCentroids(df, vecCol, nlist)
+      nlist: Int, perCell: Int,
+      centroids: Option[Seq[(Int, Array[Float])]] = None): DataFrame = {
+    // persisted-quantizer option: same contract as [[clusterTopics]] —
+    // pass a writeIvfIndex sidecar to replay the exact cells an
+    // external engine can re-derive (the strict q_embed_balanced
+    // oracle); default trains in-line
+    val cents = centroids.getOrElse(
+      Similarity.trainCentroids(df, vecCol, nlist))
     val assigned = df.withColumn("cell",
       Similarity.nearestCell(col(vecCol), cents))
     Corpus.capPerGroup(assigned, "cell",
@@ -460,9 +515,17 @@ object Embeddings {
     * scan; vectors never move after assignment. */
   def clusterTopics(embedded: DataFrame, idCol: String, vecCol: String,
       docs: DataFrame, docIdCol: String, textCol: String,
-      nlist: Int, topTerms: Int = 5): DataFrame = {
+      nlist: Int, topTerms: Int = 5,
+      centroids: Option[Seq[(Int, Array[Float])]] = None): DataFrame = {
     require(nlist > 0 && topTerms > 0, "nlist and topTerms must be positive")
-    val cents = Similarity.trainCentroids(embedded, vecCol, nlist)
+    // `centroids`: a persisted quantizer (e.g. the writeIvfIndex
+    // sidecar via Similarity.readCentroids) — the production shape:
+    // train once, every labeling pass replays the same cells, and an
+    // external replayer can reread the identical floats (the strict
+    // q_embed_topics oracle). Default trains in-line (knnJoinIvf's
+    // convention).
+    val cents = centroids.getOrElse(
+      Similarity.trainCentroids(embedded, vecCol, nlist))
     val assigned = embedded.select(col(idCol).as("__cid"),
       Similarity.nearestCell(col(vecCol), cents).as("cell"))
     val labeled = assigned.join(

@@ -238,6 +238,43 @@ class EmbeddingsSpec extends AnyFunSuite {
         assert(math.abs(x - y) < 1e-7, "component drift") } }
   }
 
+  test("PCA model store round-trips bit-exactly") {
+    // the strict q_embed_pca oracle depends on the projection running
+    // with the EXACT doubles the replayer reads back — the store must
+    // lose nothing (parquet doubles are lossless; this pins the
+    // row-flattening/reassembly code around them)
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 80).map(_ => Seq.fill(5)(rnd.nextGaussian().toFloat))
+      .toDF("embedding")
+    val m = Embeddings.fitPca(df, "embedding", 3)
+    val p = java.nio.file.Files.createTempDirectory("pcastore").toString
+    Embeddings.writePcaModel(spark, m, p)
+    val r = Embeddings.readPcaModel(spark, p)
+    assert(r.mean.sameElements(m.mean))
+    assert(r.eigenvalues.sameElements(m.eigenvalues))
+    assert(r.components.length == m.components.length)
+    r.components.zip(m.components).foreach { case (a, b) =>
+      assert(a.sameElements(b)) }
+  }
+
+  test("balancedSample with persisted centroids equals in-line training") {
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(7)
+    val df = (1L to 200L).map(i =>
+        (i, Seq.fill(3)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.trainCentroids(df, "embedding", 4)
+    val inline = Embeddings.balancedSample(df, "embedding", "vec_id",
+      nlist = 4, perCell = 15)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val persisted = Embeddings.balancedSample(df, "embedding", "vec_id",
+      nlist = 4, perCell = 15, centroids = Some(cents))
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(inline == persisted)
+  }
+
   test("capped centroid training cuts by content hash, not partition " +
       "prefix") {
     import graft.operators.Similarity
