@@ -54,6 +54,25 @@ object ScaleStress {
           .as("embedding"))
   }
 
+  /** Zipf-skewed 20-unit docs, deterministic: per-unit md5 uniform →
+    * inverse CDF of the log-uniform density over [1, 10^6]
+    * (P(id=r) ≈ 1/(r·ln 10^6) — Zipf s≈1; unit 1 alone is ~5% of ALL
+    * occurrences, the blank-line/cookie-banner shape). Shared by the
+    * r11ops drill (10^6–10^7 docs, cached) and the r12 flagship drill
+    * (10^8 docs, NOT cached — 56 GB of text; re-generation stands in
+    * for the parquet re-scan a real 100 TB run would pay). */
+  def zipfDocs(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(col("id").as("doc_id"))
+      .select(col("doc_id"), array_join(
+        transform(sequence(lit(0), lit(19)), j =>
+          concat(lit("unit"),
+            floor(exp(
+              (conv(substring(md5(concat(col("doc_id").cast("string"),
+                lit(":"), j.cast("string"))), 1, 15), 16, 10)
+                .cast("double") / lit(math.pow(2.0, 60))) *
+              log(lit(1000000.0)))).cast("long").cast("string"),
+            lit(" alpha beta gamma delta"))), "\n").as("text"))
+
   /** Exact global top-25 word bigrams — the baseline both the curate
     * drill and the CMS comparison leg time, kept identical here. */
   private def topBigramsExact(docs: DataFrame): Long = {
@@ -374,17 +393,7 @@ object ScaleStress {
       for (n <- Seq(1000000L, 1000000L * maxScale)) {
         // deterministic Zipf unit ids: md5 uniform → inverse CDF of
         // the log-uniform density (P(id=r) ≈ 1/(r·ln 10^6))
-        val docs = spark.range(n).select(col("id").as("doc_id"))
-          .select(col("doc_id"), array_join(
-            transform(sequence(lit(0), lit(19)), j =>
-              concat(lit("unit"),
-                floor(exp(
-                  (conv(substring(md5(concat(col("doc_id").cast("string"),
-                    lit(":"), j.cast("string"))), 1, 15), 16, 10)
-                    .cast("double") / lit(math.pow(2.0, 60))) *
-                  log(lit(1000000.0)))).cast("long").cast("string"),
-                lit(" alpha beta gamma delta"))), "\n").as("text"))
-          .cache()
+        val docs = zipfDocs(spark, n).cache()
         docs.count() // materialize: legs time dedup, not generation
         val (nKf, tKf, mbKf) = timedMB {
           Corpus.dedupKeepFirst(docs, "text", "doc_id", "\n").count()
@@ -418,6 +427,58 @@ object ScaleStress {
           f"$nAud%9d $tAud%7.1f $mbAud%11.1f")
         docs.unpersist()
       }
+    }
+
+    // Round-12 flagship drill (VERDICT r11 item 6): the composed web
+    // pipeline — URL keep-best 5:1 collapse, then Zipf keep-first
+    // paragraph dedup over the survivors, the q_pipeline_web_dedup
+    // plan — at 10^8 docs / 2×10^9 unit occurrences, 10× the largest
+    // curation drill. Run with SPARK_DRIVER_MEM=64g. The corpus is
+    // NOT cached (≈56 GB of text): each scan regenerates, standing in
+    // for the parquet re-scan a real 100 TB run pays. Shuffle
+    // partitions are raised to 256 for this leg — the 100 TB config,
+    // where a 32-way exchange of 4×10^8 unit rows would put >1 GB on
+    // every reduce task; AQE coalesces the small stages back down.
+    // Skew accounting: a QueryExecutionListener sums AQE skew
+    // partition splits over the leg (the Zipf mega-unit's rebuild-join
+    // partition is the candidate) via bridge.skewStats.
+    if (which == "flagship") {
+      import org.apache.spark.sql.execution.QueryExecution
+      import org.apache.spark.sql.util.QueryExecutionListener
+      val skewParts = new java.util.concurrent.atomic.AtomicLong
+      val skewSplits = new java.util.concurrent.atomic.AtomicLong
+      spark.listenerManager.register(new QueryExecutionListener {
+        override def onSuccess(name: String, qe: QueryExecution,
+            durationNs: Long): Unit = {
+          val (p, s) = org.apache.spark.sql.graft.bridge
+            .skewStats(qe.executedPlan)
+          skewParts.addAndGet(p); skewSplits.addAndGet(s)
+        }
+        override def onFailure(name: String, qe: QueryExecution,
+            error: Exception): Unit = ()
+      })
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "256")
+      println(f"\n${"docs"}%10s ${"web_kept"}%9s ${"t_web"}%8s " +
+        f"${"web_shufMB"}%11s ${"skew_parts"}%11s ${"skew_splits"}%12s")
+      val n = 10000000L * maxScale
+      val (nWeb, tWeb, mbWeb) = timedMB {
+        val docs = zipfDocs(spark, n)
+        val urled = docs.select(col("doc_id"), col("text"),
+          length(col("text")).cast("long").as("n_chars"),
+          concat(lit("https://example.invalid/p/"),
+            (col("doc_id") / 5).cast("long").cast("string"))
+            .as("url_norm"))
+        val kept = Dedup.keepBestByKey(urled, "url_norm",
+          struct(col("n_chars"), -col("doc_id")),
+          nullsPassThrough = false)
+        Corpus.dedupKeepFirst(kept.select(col("doc_id"), col("text")),
+          "text", "doc_id", "\n").count()
+      }
+      Thread.sleep(2000) // QueryExecutionListener events land async
+      println(f"$n%10d $nWeb%9d $tWeb%8.1f $mbWeb%11.1f " +
+        f"${skewParts.get}%11d ${skewSplits.get}%12d")
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     }
 
     // Round-11 substring-index drill: incremental substring dedup of a

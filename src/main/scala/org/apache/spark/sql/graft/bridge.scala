@@ -34,4 +34,29 @@ object bridge {
     }
     nodes(plan).map(c => c.name -> c.collectedMetrics).toMap
   }
+
+  /** (numSkewedPartitions, numSkewedSplits) summed over every
+    * AQEShuffleRead in an executed adaptive plan — the instrument the
+    * 10^8-doc flagship drill uses to record whether AQE's skew-join
+    * handling fired (the Zipf mega-unit's rebuild-join partition is
+    * the candidate). Same stage-descent as [[observedMetrics]]: the
+    * reads live inside query stages the plain TreeNode walk treats as
+    * leaves. */
+  def skewStats(plan: org.apache.spark.sql.execution.SparkPlan)
+      : (Long, Long) = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, AQEShuffleReadExec, QueryStageExec}
+    def nodes(p: SparkPlan): Seq[AQEShuffleReadExec] = p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case q: QueryStageExec => nodes(q.plan)
+      case r: AQEShuffleReadExec => r +: r.children.flatMap(nodes)
+      case other => other.children.flatMap(nodes)
+    }
+    val rs = nodes(plan)
+    def m(r: AQEShuffleReadExec, k: String): Long =
+      r.metrics.get(k).map(_.value).getOrElse(0L)
+    (rs.map(m(_, "numSkewedPartitions")).sum,
+      rs.map(m(_, "numSkewedSplits")).sum)
+  }
 }
