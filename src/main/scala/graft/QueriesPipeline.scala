@@ -2320,13 +2320,33 @@ object QueriesPipeline {
     // SemDeDup-style semantic near-dup pairs: k-means cells (driver
     // Lloyd quantizer) + within-cell exact cosine ≥ threshold.
     // Approximate by construction (pairs straddling cells are missed)
-    // → rows-only; DedupSpec pins precision (= exact, by the cosine
+    // — but DETERMINISTIC given the quantizer, so r12 upgrades it to a
+    // STRICT oracle against the persisted nlist=8 cells (ivfReplayCtes
+    // assignment + the maxCell cap + within-cell cosine, the
+    // q_dedup_embedding cosine-replay precedent); only the k-means fit
+    // stays outside. DedupSpec pins precision (= exact, by the cosine
     // verify) and recall vs the brute-force pair set.
     "q_dedup_semantic" -> Entry(
-      (s, dir) => Dedup.semanticNearDups(
-          t(s, dir, "embeddings"), "vec_id", "embedding", 0.3, nlist = 8)
-        .select(col("id1"), col("id2"), round(col("sim"), 3).as("sim")),
-      None),
+      (s, dir) => {
+        val idxPath = ensureIvfIndex(s, dir)
+        Dedup.semanticNearDups(
+            t(s, dir, "embeddings"), "vec_id", "embedding", 0.3, nlist = 8,
+            centroids = Some(Similarity.readCentroids(s, idxPath)))
+          .select(col("id1"), col("id2"), round(col("sim"), 3).as("sim"))
+      },
+      Some(s"""WITH $ivfReplayCtes,
+        ok AS (SELECT cell FROM assigned
+          GROUP BY cell HAVING count(*) <= 10000),
+        a AS (
+          SELECT s.vec_id, s.cell, e.embedding
+          FROM assigned s JOIN ok USING (cell)
+          JOIN embeddings e ON e.vec_id = s.vec_id)
+        SELECT id1, id2, round(sim, 3) AS sim FROM (
+          SELECT l.vec_id AS id1, r.vec_id AS id2,
+            list_cosine_similarity(CAST(l.embedding AS DOUBLE[]),
+              CAST(r.embedding AS DOUBLE[])) AS sim
+          FROM a l JOIN a r ON l.cell = r.cell AND l.vec_id < r.vec_id)
+        WHERE sim >= 0.3""")),
 
     // ---- similarity search ------------------------------------------
     // Brute-force cosine top-k (correctness baseline; queries broadcast).
@@ -2802,12 +2822,18 @@ object QueriesPipeline {
 
     // Trained quality classifier (the fastText-style gate of the
     // GPT-3/CCNet curation lineage): hashed bag-of-words logistic
-    // regression fit on a content-hash train split (label: is the doc
-    // English?), then scored on the held-out split. Rows-only —
-    // iterative gradient descent has no SQL form; ClassifierSpec pins
+    // regression fit on a content-hash train split (label: does the
+    // doc carry the marker term?), then scored on the held-out split.
+    // r12: STRICT oracle (was rows-only) — the trained weights persist
+    // to a staging store (the operator's own "persist the trained
+    // array, not retrain per run" contract) and scoring runs with the
+    // doubles read back, so DuckDB replays the presence-branch
+    // hashed_logit exactly: md5-16-bit buckets mod k, per-doc distinct
+    // buckets summed in ASCENDING bucket order (the kernel sorts
+    // before the dedup-sum), + bias, sigmoid, threshold. Only the
+    // gradient-descent FIT stays outside. ClassifierSpec pins
     // separation/layout laws. Training cost is bounded by the labeled
-    // split (one persisted triple set + per-iteration slim shuffles);
-    // scoring is the corpus-scan-sized path.
+    // split; scoring is the corpus-scan-sized path.
     "q_quality_classifier" -> Entry(
       (s, dir) => {
         import graft.operators.{Corpus, TextClassifier}
@@ -2821,16 +2847,49 @@ object QueriesPipeline {
         val ws = split(col("text"), "\\s+")
         val docs = t(s, dir, "documents").withColumn("y",
           array_contains(ws, "vector").cast("int"))
-        val train = docs.filter(Corpus.hashKeep(col("doc_id").cast("string"), 0.5))
         val held = docs.filter(!Corpus.hashKeep(col("doc_id").cast("string"), 0.5))
-        val w = TextClassifier.train(train, "doc_id", "text", "y",
-          k = 256, iters = 4, lr = 1.0, tf = false)
+        val p = Q.stagingDir(dir, "clf_k256")
+        val success = new java.io.File(s"$p/model/_SUCCESS")
+        val src = new java.io.File(s"$dir/documents.parquet")
+        if (!success.exists() || success.lastModified() < src.lastModified()) {
+          val train = docs.filter(
+            Corpus.hashKeep(col("doc_id").cast("string"), 0.5))
+          TextClassifier.writeWeights(s,
+            TextClassifier.train(train, "doc_id", "text", "y",
+              k = 256, iters = 4, lr = 1.0, tf = false), p)
+        }
+        val w = TextClassifier.readWeights(s, p)
         TextClassifier.score(held, "doc_id", "text", w, k = 256, tf = false)
           .join(held.select(col("doc_id"), col("y")), Seq("doc_id"))
           .select(col("doc_id"), (col("score") >= 0.5).cast("int").as("y_pred"),
             col("y").as("y_true"))
       },
-      None),
+      Some("""WITH wrows AS (
+          SELECT i, w FROM read_parquet('{STAGING:clf_k256}/model/*.parquet')
+        ), warr AS (SELECT list(w ORDER BY i) AS wl FROM wrows),
+        held AS (
+          SELECT doc_id, text,
+            CASE WHEN list_contains(
+              regexp_split_to_array(trim(text), '\s+'), 'vector')
+            THEN 1 ELSE 0 END AS y_true
+          FROM documents
+          WHERE NOT (substr(md5(cast(doc_id AS varchar)), 1, 4) < '8000')
+        ), toks AS (
+          SELECT doc_id, list_sort(list_distinct(list_transform(
+            regexp_split_to_array(trim(text), '\s+'),
+            t -> ('0x' || substr(md5(t), 1, 4))::BIGINT % 256))) AS bs
+          FROM held
+        ), lg AS (
+          SELECT doc_id,
+            list_reduce(list_prepend(0.0,
+              list_transform(bs, b -> wl[b + 1])), (a, b) -> a + b)
+              + wl[257] AS logit
+          FROM toks CROSS JOIN warr)
+        SELECT h.doc_id,
+          CASE WHEN 1.0 / (1.0 + exp(-l.logit)) >= 0.5
+            THEN 1 ELSE 0 END AS y_pred,
+          h.y_true
+        FROM held h JOIN lg l USING (doc_id)""")),
 
     // Deterministic stratified sampling: content-hash (md5-prefix)
     // Bernoulli keep with per-language rates — a pure map-side filter

@@ -74,6 +74,32 @@ object TextClassifier {
 
   /** Train logistic weights on (idCol, textCol, labelCol∈{0,1}) rows by
     * full-batch gradient descent. Returns length k+1 (bias last). */
+  /** Persist a trained weight vector as (i, w) parquet rows at
+    * `path/model` — the Scaladoc's "persist the trained array, not
+    * retrain per run" made real code: training is deterministic only
+    * up to float partial-sum order, so a scoring pass that must be
+    * externally replayable (the strict q_quality_classifier oracle)
+    * runs with the doubles read BACK from this store. */
+  def writeWeights(spark: org.apache.spark.sql.SparkSession,
+      weights: Array[Double], path: String): Unit = {
+    import spark.implicits._
+    weights.toSeq.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("i", "w")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/model")
+  }
+
+  /** Load a [[writeWeights]] store (driver-side; k+1 doubles). */
+  def readWeights(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[Double] = {
+    val rows = spark.read.parquet(s"$path/model")
+      .select(col("i"), col("w")).collect()
+    require(rows.nonEmpty, s"readWeights: empty model at $path")
+    val out = new Array[Double](
+      rows.iterator.map(_.getLong(0)).max.toInt + 1)
+    rows.foreach(r => out(r.getLong(0).toInt) = r.getDouble(1))
+    out
+  }
+
   def train(labeled: DataFrame, idCol: String, textCol: String,
       labelCol: String, k: Int = 1024, iters: Int = 30,
       lr: Double = 1.0, l2: Double = 0.0,

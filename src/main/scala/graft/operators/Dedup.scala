@@ -874,8 +874,13 @@ object Dedup {
     * bucket guard. */
   def semanticNearDups(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nlist: Int = 16, maxCell: Int = 10000,
-      trainFraction: Double = 1.0): DataFrame = {
-    val cents = Similarity.trainCentroids(df, vecCol, nlist, trainFraction)
+      trainFraction: Double = 1.0,
+      centroids: Option[Seq[(Int, Array[Float])]] = None): DataFrame = {
+    // `centroids`: a persisted quantizer (writeIvfIndex sidecar) — the
+    // train-once shape that lets an external engine replay the cells
+    // (the strict q_dedup_semantic oracle); default trains in-line.
+    val cents = centroids.getOrElse(
+      Similarity.trainCentroids(df, vecCol, nlist, trainFraction))
     val assigned0 = df.select(col(idCol), col(vecCol),
       Similarity.nearestCell(col(vecCol), cents).as("cell"))
     // cell cap via a ≤nlist-row aggregate broadcast back — a window
