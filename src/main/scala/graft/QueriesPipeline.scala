@@ -127,6 +127,69 @@ object QueriesPipeline {
     idxPath
   }
 
+  /** Build-if-stale the flat PQ index (m=8 subspaces × ncodes=16,
+    * d=64 → 8 ints/vector) that q_embed_pq_codes and q_sim_knn_pq (and
+    * their oracles) share — the [[ensureIvfIndex]] convention. */
+  private def ensurePqIndex(s: SparkSession, dir: String): String = {
+    val p = Q.stagingDir(dir, "pq_m8x16")
+    val success = new java.io.File(s"$p/codes/_SUCCESS")
+    val src = new java.io.File(s"$dir/embeddings.parquet")
+    if (!success.exists() || success.lastModified() < src.lastModified())
+      Similarity.writePqIndex(t(s, dir, "embeddings"), p,
+        m = 8, ncodes = 16)
+    p
+  }
+
+  /** Build-if-stale the IVF-PQ layout: codes partitioned by the SAME
+    * persisted nlist=8 coarse cells as every other IVF query, PQ
+    * m=8×16 within. */
+  private def ensureIvfPqIndex(s: SparkSession, dir: String): String = {
+    val p = Q.stagingDir(dir, "ivfpq_n8_m8x16")
+    val success = new java.io.File(s"$p/codes/_SUCCESS")
+    val src = new java.io.File(s"$dir/embeddings.parquet")
+    if (!success.exists() || success.lastModified() < src.lastModified())
+      Similarity.writeIvfPqIndex(t(s, dir, "embeddings"), p,
+        Similarity.readCentroids(s, ensureIvfIndex(s, dir)),
+        m = 8, ncodes = 16)
+    p
+  }
+
+  /** DuckDB replay of the PQ machinery against a persisted index:
+    * `cb` reads the codebook sidecar, `recon` rebuilds each corpus
+    * vector's QUANTIZED form (the 8 codebook centroids its codes name,
+    * flattened in subspace order) so the ADC distance replays as ONE
+    * continuous 64-term sequential reduce — bit-identical to the
+    * pq_adc kernel's single running accumulator (sub-subtotals summed
+    * separately would round differently). `partitioned` switches the
+    * codes scan to the hive layout (IVF-PQ) and carries the cell. */
+  private def pqReconCtes(tag: String, partitioned: Boolean): String = {
+    val codesSrc =
+      if (partitioned)
+        s"read_parquet('{STAGING:$tag}/codes/*/*.parquet', hive_partitioning = true)"
+      else s"read_parquet('{STAGING:$tag}/codes/*.parquet')"
+    val cellSel = if (partitioned) ", CAST(k.cell AS INTEGER) AS cell" else ""
+    val cellGrp = if (partitioned) ", 2" else ""
+    s"""cb AS (
+          SELECT sub, code, CAST(centroid AS DOUBLE[]) AS c
+          FROM read_parquet('{STAGING:$tag}/codebooks/*.parquet')
+        ), cl AS (
+          SELECT k.vec_id$cellSel, s.sub AS sub,
+            k.codes[s.sub + 1] AS code
+          FROM $codesSrc k, (SELECT unnest(range(8)) AS sub) s
+        ), recon AS (
+          SELECT cl.vec_id${if (partitioned) ", cl.cell" else ""},
+            flatten(list(cb.c ORDER BY cb.sub)) AS r
+          FROM cl JOIN cb ON cb.sub = cl.sub AND cb.code = cl.code
+          GROUP BY 1$cellGrp)"""
+  }
+
+  /** The 64-term sequential squared-L2 reduce both PQ oracles share —
+    * kernel order: one running accumulator seeded 0.0 over dims. */
+  private val pqAdcDistSql: String =
+    """list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+            i -> (q.e[i] - r.r[i]) * (q.e[i] - r.r[i]))),
+            (a, b) -> a + b)"""
+
   /** Build-if-stale a persisted PCA model (tag-keyed staging, the
     * [[ensureIvfIndex]] convention). `fit` runs only when the store is
     * missing or older than embeddings.parquet; the returned model is
@@ -2736,6 +2799,111 @@ object QueriesPipeline {
           JOIN embeddings ce ON ce.vec_id = a.vec_id
           JOIN embeddings qe ON qe.vec_id = p.qid
           WHERE a.vec_id <> p.qid)
+        WHERE rnk <= 10""")),
+
+    // PQ encode (the memory half of web-scale ANN): the corpus at rest
+    // as m=8 codebook codes per vector — 8 ints vs 64 floats, one
+    // zero-Exchange scan through the codegen'd pq_encode kernel at
+    // index-build time. STRICT oracle: DuckDB recomputes every
+    // subspace argmin (sequential squared-L2 per candidate code, ties
+    // to the lowest code) from the persisted codebook floats and the
+    // raw embeddings — the whole encode arithmetic replays; only the
+    // per-subspace k-means fit stays outside. PqSpec pins kernel laws
+    // (ties, shape nulls, round-trip distortion).
+    "q_embed_pq_codes" -> Entry(
+      (s, dir) => {
+        val p = ensurePqIndex(s, dir)
+        s.read.parquet(s"$p/codes")
+          .select(col("vec_id"),
+            posexplode(col("codes")).as(Seq("sub", "code")))
+      },
+      Some("""WITH cb AS (
+          SELECT sub, code, CAST(centroid AS DOUBLE[]) AS c
+          FROM read_parquet('{STAGING:pq_m8x16}/codebooks/*.parquet')
+        ), v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings
+          WHERE embedding IS NOT NULL AND len(embedding) > 0
+        ), d AS (
+          SELECT v.vec_id, cb.sub, cb.code,
+            list_reduce(list_prepend(0.0, list_transform(range(1, 9),
+              i -> (e[cb.sub * 8 + i] - c[i]) * (e[cb.sub * 8 + i] - c[i]))),
+              (a, b) -> a + b) AS dist
+          FROM v CROSS JOIN cb
+        ), r AS (
+          SELECT vec_id, sub, code,
+            row_number() OVER (PARTITION BY vec_id, sub
+              ORDER BY dist, code) AS rn
+          FROM d)
+        SELECT vec_id, sub, code FROM r WHERE rn = 1""")),
+
+    // PQ flat (ADC) kNN: every query scans the code table with the
+    // asymmetric distance — no vector is read or shuffled after the
+    // index build, the compute/memory-bound ANN baseline (IVF-PQ below
+    // adds I/O pruning). STRICT oracle: DuckDB reconstructs each
+    // corpus vector's quantized form from its persisted codes and
+    // replays the 64-term sequential ADC reduce bit-exactly, then the
+    // (distance, id) ranking. Only the codebook fit stays outside.
+    "q_sim_knn_pq" -> Entry(
+      (s, dir) => {
+        val em = t(s, dir, "embeddings")
+        val p = ensurePqIndex(s, dir)
+        val queries = em.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        Similarity.pqTopKFromIndex(s, p, queries, 10)
+          .select(col("qid"), col("rank").as("rnk"), col("vec_id"))
+      },
+      Some(s"""WITH ${pqReconCtes("pq_m8x16", partitioned = false)},
+        q AS (
+          SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings WHERE vec_id < 5)
+        SELECT qid, rnk, vec_id FROM (
+          SELECT q.qid, r.vec_id,
+            row_number() OVER (PARTITION BY q.qid ORDER BY
+              $pqAdcDistSql, r.vec_id) AS rnk
+          FROM recon r CROSS JOIN q WHERE r.vec_id <> q.qid)
+        WHERE rnk <= 10""")),
+
+    // IVF-PQ kNN — the full web-scale ANN layout (the FAISS shape, on
+    // the shared-codebook variant): probe I/O bounded by nprobe
+    // partition-pruned cells, probe compute by 8-int ADC rows, memory
+    // by the code table; raw vectors appear nowhere in the probe plan.
+    // Both sidecars persist (coarse cells shared with every other IVF
+    // query; codebooks shared with the flat PQ path). STRICT oracle:
+    // cell probes replay by cosine against the coarse centroids, ADC
+    // by the same reconstructed-vector sequential reduce as
+    // q_sim_knn_pq — only the two k-means fits stay outside.
+    "q_sim_knn_ivfpq" -> Entry(
+      (s, dir) => {
+        val em = t(s, dir, "embeddings")
+        val p = ensureIvfPqIndex(s, dir)
+        val queries = em.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        Similarity.ivfPqTopKFromIndex(s, p, queries, 10, nprobe = 4)
+          .select(col("qid"), col("rank").as("rnk"), col("vec_id"))
+      },
+      Some(s"""WITH ${pqReconCtes("ivfpq_n8_m8x16", partitioned = true)},
+        q AS (
+          SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings WHERE vec_id < 5),
+        qcell AS (
+          SELECT qid, cell FROM (
+            SELECT q.qid, c.cell,
+              row_number() OVER (PARTITION BY q.qid ORDER BY
+                list_cosine_similarity(q.e,
+                  CAST(c.centroid AS DOUBLE[])) DESC, c.cell) AS pr
+            FROM q CROSS JOIN (
+              SELECT cell, centroid FROM read_parquet(
+                '{STAGING:ivfpq_n8_m8x16}/centroids/*.parquet')) c)
+          WHERE pr <= 4)
+        SELECT qid, rnk, vec_id FROM (
+          SELECT p.qid, r.vec_id,
+            row_number() OVER (PARTITION BY p.qid ORDER BY
+              $pqAdcDistSql, r.vec_id) AS rnk
+          FROM recon r
+          JOIN qcell p ON r.cell = p.cell
+          JOIN q ON q.qid = p.qid
+          WHERE r.vec_id <> p.qid)
         WHERE rnk <= 10""")),
 
     // Skew-mitigated aggregation: two-stage salted groupBy (hot grouping

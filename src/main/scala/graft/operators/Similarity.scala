@@ -478,4 +478,167 @@ object Similarity {
     topKPerGroup(cands.select(col(qidCol), col(idCol), col("sim")),
       k, qidCol, idCol)
   }
+
+  // ---- product quantization (PQ / IVF-PQ) ------------------------------
+
+  /** A trained PQ codebook set: `dsub` dims per subspace, `ncodes`
+    * centroids per subspace, and the per-(sub, code) float centroids —
+    * m = cents.length / ncodes subspaces. `flat` lays the centroids out
+    * row-major (sub-major, then code, then dim) as the doubles the
+    * kernels and any external replayer consume; floats upcast once
+    * here, so kernel and replay arithmetic share identical values. */
+  final case class PqCodebooks(ncodes: Int, dsub: Int,
+      cents: Seq[(Int, Int, Array[Float])]) {
+    val m: Int = cents.length / math.max(1, ncodes)
+    def flat: Array[Double] = {
+      val out = new Array[Double](cents.length * dsub)
+      cents.sortBy(c => (c._1, c._2)).zipWithIndex.foreach {
+        case ((_, _, v), i) =>
+          var j = 0
+          while (j < dsub) { out(i * dsub + j) = v(j).toDouble; j += 1 }
+      }
+      out
+    }
+  }
+
+  /** Train PQ codebooks: the d-dim space splits into `m` contiguous
+    * subspaces of d/m dims; each gets its own `ncodes`-centroid k-means
+    * codebook, fit by the SAME bounded deterministic driver-Lloyd as
+    * the coarse quantizer ([[trainCentroids]] on the sliced subvector
+    * frame — k-means++ + fixed LCG + sorted sample, so codebooks are
+    * layout-independent). m sample scans, all driver-bounded; at 100 TB
+    * the fit reads a sliver either way. */
+  def trainPqCodebooks(corpus: DataFrame, vecCol: String, m: Int,
+      ncodes: Int, trainFraction: Double = 1.0): PqCodebooks = {
+    require(m > 0 && ncodes > 1, "need m > 0 subspaces and ncodes > 1")
+    val d = corpus.select(size(col(vecCol)).as("d"))
+      .filter(col("d") > 0).limit(1).collect()
+      .headOption.map(_.getInt(0))
+      .getOrElse(throw new IllegalArgumentException(
+        s"trainPqCodebooks: no non-empty '$vecCol'"))
+    require(d % m == 0, s"dim $d must split evenly into m=$m subspaces")
+    val dsub = d / m
+    val cents = (0 until m).flatMap { s =>
+      val sub = corpus.select(
+        slice(col(vecCol), s * dsub + 1, dsub).as("__sv"))
+      trainCentroids(sub, "__sv", ncodes, trainFraction).map {
+        case (code, v) => (s, code, v)
+      }
+    }
+    require(cents.length == m * ncodes,
+      s"trainPqCodebooks: got ${cents.length} centroids, expected " +
+        s"${m * ncodes} — corpus has fewer distinct subvectors than " +
+        "ncodes; lower ncodes")
+    PqCodebooks(ncodes, dsub, cents)
+  }
+
+  /** Materialize a PQ index: per-subspace codebooks as a tiny sidecar
+    * (`path/codebooks`: sub, code, centroid float rows) and the corpus
+    * encoded to m-int code arrays (`path/codes`: idCol, codes). The
+    * encode is ONE zero-Exchange scan through the codegen'd
+    * [[graft.plans.PqEncodeExpr]] kernel (codebook rides the plan as a
+    * reference object); at rest each vector is m ints vs d floats —
+    * the 100 TB memory story (m·log₂ncodes bits, 32× smaller at
+    * m=8/ncodes=16/d=64). This is the SHARED-codebook (non-residual)
+    * PQ variant: codes quantize raw vectors, not per-cell residuals —
+    * one codebook set serves flat and IVF layouts and every number
+    * replays externally; FAISS's residual refinement is a documented
+    * divergence, not implemented. */
+  def writePqIndex(corpus: DataFrame, path: String, m: Int = 8,
+      ncodes: Int = 16, idCol: String = "vec_id",
+      vecCol: String = "embedding", trainFraction: Double = 1.0): Unit = {
+    val cb = trainPqCodebooks(corpus, vecCol, m, ncodes, trainFraction)
+    corpus.sparkSession.createDataFrame(cb.cents)
+      .toDF("sub", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    corpus.select(col(idCol),
+        graft.plans.PqExpressions.pq_encode(col(vecCol), cb.ncodes,
+          cb.dsub, cb.flat).as("codes"))
+      .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Load a [[writePqIndex]]/[[writeIvfPqIndex]] codebook sidecar,
+    * driver-side (m·ncodes rows). */
+  def readPqCodebooks(spark: SparkSession, path: String): PqCodebooks = {
+    val rows = spark.read.parquet(s"$path/codebooks").collect().toSeq
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+      .sortBy(c => (c._1, c._2))
+    require(rows.nonEmpty, s"readPqCodebooks: empty sidecar at $path")
+    val ncodes = rows.map(_._2).max + 1
+    PqCodebooks(ncodes, rows.head._3.length, rows)
+  }
+
+  /** PQ-only (flat ADC) top-k: every query scores the WHOLE code table
+    * via the asymmetric distance Σₛ‖qₛ − Cₛ[codeₛ]‖² — a broadcast-join
+    * map scan of m-int rows, no vector ever read or shuffled. Ranking
+    * is best-first on NEGATED distance through the same bounded
+    * [[TopK]] map-side-truncating aggregate as every other knn.
+    * The memory-bound baseline; [[ivfPqTopKFromIndex]] adds cell
+    * pruning on top. */
+  def pqTopKFromIndex(spark: SparkSession, path: String,
+      queries: DataFrame, k: Int, idCol: String = "vec_id",
+      qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    val cb = readPqCodebooks(spark, path)
+    val codes = spread(spark.read.parquet(s"$path/codes"))
+    val scored = codes
+      .join(broadcast(queries.select(col(qidCol), col(qvecCol))),
+        col(idCol) =!= col(qidCol))
+      .select(col(qidCol), col(idCol),
+        (-graft.plans.PqExpressions.pq_adc(col(qvecCol), col("codes"),
+          cb.ncodes, cb.dsub, cb.flat)).as("sim"))
+    topKPerGroup(scored, k, qidCol, idCol)
+  }
+
+  /** Materialize the IVF-PQ layout — the web-scale ANN shape: codes
+    * partitioned on disk by the coarse cell (probe I/O = |probed
+    * cells|, storage-level pruning) AND quantized to m ints (probe
+    * compute = ADC over 32×-smaller rows). `coarse` is the persisted
+    * coarse quantizer (a [[writeIvfIndex]] sidecar — train once, every
+    * layout shares the cells); codebooks train here and persist beside
+    * the codes, with the coarse centroids copied in so the store is
+    * self-contained. */
+  def writeIvfPqIndex(corpus: DataFrame, path: String,
+      coarse: Seq[(Int, Array[Float])], m: Int = 8, ncodes: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      trainFraction: Double = 1.0): Unit = {
+    val cb = trainPqCodebooks(corpus, vecCol, m, ncodes, trainFraction)
+    corpus.sparkSession.createDataFrame(cb.cents)
+      .toDF("sub", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    corpus.sparkSession.createDataFrame(coarse).toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    corpus.select(col(idCol),
+        nearestCell(col(vecCol), coarse).as("cell"),
+        graft.plans.PqExpressions.pq_encode(col(vecCol), cb.ncodes,
+          cb.dsub, cb.flat).as("codes"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+  }
+
+  /** Probe an IVF-PQ layout: nprobe nearest cells per query (coarse
+    * centroids folded into the probe expression), partition-pruned
+    * scan of ONLY those cells' code files, ADC rank within them. The
+    * full ANN scale path: I/O bounded by probed cells, compute by
+    * m-int ADC, memory by the code table — vectors appear nowhere. */
+  def ivfPqTopKFromIndex(spark: SparkSession, path: String,
+      queries: DataFrame, k: Int, nprobe: Int = 4,
+      idCol: String = "vec_id", qidCol: String = "qid",
+      qvecCol: String = "qvec"): DataFrame = {
+    val cents = readCentroids(spark, path)
+    val cb = readPqCodebooks(spark, path)
+    // same materialize-once contract as ivfTopKFromIndex: the pruning
+    // collect and the rerank join must see identical probe rows
+    val probes = queries.select(col(qidCol), col(qvecCol),
+      explode(probeCells(col(qvecCol), cents, nprobe)).as("cell"))
+      .localCheckpoint(eager = true)
+    val probedCells = probes.select("cell").distinct()
+      .collect().map(_.getInt(0)) // |q|·nprobe ints — driver-bounded
+    val codes = spark.read.parquet(s"$path/codes")
+      .filter(col("cell").isin(probedCells.toSeq: _*)) // partition pruning
+    val scored = codes.join(broadcast(probes), Seq("cell"))
+      .filter(col(idCol) =!= col(qidCol))
+      .select(col(qidCol), col(idCol),
+        (-graft.plans.PqExpressions.pq_adc(col(qvecCol), col("codes"),
+          cb.ncodes, cb.dsub, cb.flat)).as("sim"))
+    topKPerGroup(scored, k, qidCol, idCol)
+  }
 }

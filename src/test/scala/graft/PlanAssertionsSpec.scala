@@ -151,6 +151,40 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"no partition pruning in plan:\n$p")
   }
 
+  test("q_embed_pq_codes reads ONLY the persisted code table") {
+    val p = plan("q_embed_pq_codes") // builds the index on first touch
+    // the probe-time plan must never touch raw vectors: codes scan +
+    // posexplode, zero Exchange
+    assert(!p.contains("embedding"),
+      s"raw vectors in the codes plan:\n$p")
+    assert(!p.contains("Exchange"), "codes dump must be a pure scan")
+  }
+
+  test("q_sim_knn_pq scores codes via the native ADC kernel; vectors " +
+      "never shuffle") {
+    val p = plan("q_sim_knn_pq")
+    assert(p.contains("pq_adc"), "ADC must be the codegen kernel")
+    assert(!p.contains("SortMergeJoin"), "queries must broadcast")
+    val exchanges = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(exchanges.forall(l =>
+      !l.contains("embedding") && !l.contains("qvec") &&
+        !l.contains("codes")),
+      s"vector/code column in an Exchange:\n${exchanges.mkString("\n")}")
+  }
+
+  test("q_sim_knn_ivfpq prunes cells at the file listing and never " +
+      "exchanges vectors or codes") {
+    val p = plan("q_sim_knn_ivfpq")
+    assert(p.contains("pq_adc"))
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined,
+      s"no partition pruning in plan:\n$p")
+    val exchanges = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(exchanges.forall(l =>
+      !l.contains("embedding") && !l.contains("qvec") &&
+        !l.contains("codes")),
+      s"vector/code column in an Exchange:\n${exchanges.mkString("\n")}")
+  }
+
   test("q_sample_stratified is a map-only scan (zero Exchange)") {
     val p = plan("q_sample_stratified")
     assert(!p.contains("Exchange"), s"sampler must not shuffle:\n$p")

@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Similarity
+import graft.plans.PqExpressions
+
+/** Kernel laws and store contracts for the product-quantization ANN
+  * family (pq_encode / pq_adc / writePqIndex / IVF-PQ probes). The
+  * DuckDB oracles check the full persisted-index arithmetic; these pin
+  * the hand-computable kernel semantics the oracles build on. */
+class PqSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // m=2 subspaces × dsub=2 dims × ncodes=2: flat layout is sub-major,
+  // then code, then dim
+  private val cb = Array[Double](
+    0.0, 0.0, /* sub0 code0 */ 1.0, 1.0, /* sub0 code1 */
+    0.0, 0.0, /* sub1 code0 */ 2.0, 2.0 /* sub1 code1 */)
+
+  test("pq_encode: per-subspace argmin, hand-checked") {
+    val df = Seq(Seq(0.9f, 0.9f, 0.1f, 0.2f)).toDF("v")
+    val got = df.select(PqExpressions.pq_encode(col("v"), 2, 2, cb))
+      .head().getSeq[Int](0)
+    assert(got == Seq(1, 0)) // sub0 nearer (1,1); sub1 nearer (0,0)
+  }
+
+  test("pq_encode: ties break to the LOWEST code") {
+    val dup = Array[Double](1.0, 1.0, 1.0, 1.0, /* sub0: identical */
+      3.0, 3.0, 3.0, 3.0 /* sub1: identical */)
+    val df = Seq(Seq(5.0f, 5.0f, 5.0f, 5.0f)).toDF("v")
+    val got = df.select(PqExpressions.pq_encode(col("v"), 2, 2, dup))
+      .head().getSeq[Int](0)
+    assert(got == Seq(0, 0))
+  }
+
+  test("pq_encode: shape mismatch yields null, not garbage") {
+    val df = Seq(Seq(1.0f, 2.0f, 3.0f)).toDF("v") // |v| = 3 ≠ m·dsub = 4
+    assert(df.select(PqExpressions.pq_encode(col("v"), 2, 2, cb))
+      .head().isNullAt(0))
+  }
+
+  test("pq_adc: hand-computed asymmetric distance") {
+    val df = Seq((Seq(1.0f, 0.0f, 0.0f, 0.0f), Seq(1, 0))).toDF("q", "c")
+    val d = df.select(PqExpressions.pq_adc(col("q"), col("c"), 2, 2, cb))
+      .head().getDouble(0)
+    // sub0 vs (1,1): 0 + 1; sub1 vs (0,0): 0 + 0
+    assert(d == 1.0)
+  }
+
+  test("pq_adc: out-of-range code yields null") {
+    val df = Seq((Seq(1.0f, 0.0f, 0.0f, 0.0f), Seq(5, 0))).toDF("q", "c")
+    assert(df.select(PqExpressions.pq_adc(col("q"), col("c"), 2, 2, cb))
+      .head().isNullAt(0))
+  }
+
+  test("pq index round-trip: re-encode from the read-back codebooks " +
+      "equals the persisted codes") {
+    val rnd = new scala.util.Random(13)
+    val df = (1L to 120L).map(i => (i, Seq.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val p = java.nio.file.Files.createTempDirectory("pqidx").toString
+    Similarity.writePqIndex(df, p, m = 4, ncodes = 4)
+    val cbs = Similarity.readPqCodebooks(spark, p)
+    assert(cbs.m == 4 && cbs.ncodes == 4 && cbs.dsub == 2)
+    val stored = spark.read.parquet(s"$p/codes")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val re = df.select(col("vec_id"),
+        PqExpressions.pq_encode(col("embedding"), cbs.ncodes, cbs.dsub,
+          cbs.flat).as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(stored == re)
+  }
+
+  test("PQ ADC is EXACT when the codebook covers the distinct " +
+      "subvectors: top-k equals exact squared-L2 ranking") {
+    // every SUBVECTOR drawn whole from 4 prototypes — ncodes=4
+    // quantizes with zero distortion (k-means++ D² seeding picks 4
+    // distinct points, Lloyd fixes each on its prototype), so
+    // ADC ≡ exact L2 and the ranking must match
+    val protos = Array(Seq(0.0f, 0.0f), Seq(1.0f, 1.0f),
+      Seq(2.0f, 0.5f), Seq(0.5f, 3.0f))
+    val rnd = new scala.util.Random(29)
+    val vecs = (1L to 90L).map(i =>
+      (i, Seq.fill(4)(protos(rnd.nextInt(4))).flatten))
+    val df = vecs.toDF("vec_id", "embedding")
+    val p = java.nio.file.Files.createTempDirectory("pqexact").toString
+    Similarity.writePqIndex(df, p, m = 4, ncodes = 4)
+    val queries = df.filter(col("vec_id") <= 2)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val got = Similarity.pqTopKFromIndex(spark, p, queries, 5)
+      .select("qid", "rank", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // exact squared-L2 ranking, ties by ascending id (the kernel order)
+    val byId = vecs.toMap
+    val want = (1L to 2L).flatMap { q =>
+      val qv = byId(q)
+      vecs.filter(_._1 != q)
+        .map { case (id, v) =>
+          val d = qv.zip(v).map { case (a, b) =>
+            (a.toDouble - b) * (a.toDouble - b) }.sum
+          (id, d)
+        }
+        .sortBy { case (id, d) => (d, id) }
+        .take(5).zipWithIndex
+        .map { case ((id, _), i) => (q, i + 1, id) }
+    }.toSet
+    assert(got == want)
+  }
+
+  test("PQ and IVF-PQ recall vs exact L2 on the real embeddings table") {
+    val em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = em.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    // exact L2 top-5 (driver-side: 500 × 3 pairs)
+    val all = em.select("vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val exact = all.filter(_._1 < 3).flatMap { case (q, qv) =>
+      all.filter(_._1 != q)
+        .map { case (id, v) =>
+          var d = 0.0; var i = 0
+          while (i < qv.length) {
+            val t = qv(i).toDouble - v(i); d += t * t; i += 1 }
+          (id, d)
+        }
+        .sortBy { case (id, d) => (d, id) }.take(5)
+        .map { case (id, _) => (q, id) }
+    }.toSet
+    val pp = java.nio.file.Files.createTempDirectory("pqreal").toString
+    Similarity.writePqIndex(em, pp, m = 8, ncodes = 16)
+    val pq = Similarity.pqTopKFromIndex(spark, pp, queries, 5)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val rPq = (exact & pq).size.toDouble / exact.size
+    // the fixture's 64 dims are unstructured, so 8×16 PQ (32:1
+    // compression, 4 bits/subspace) is genuinely coarse — measured
+    // ~0.27 recall@5; real embedding spaces have the low intrinsic
+    // dimension PQ exploits. The bound pins "far better than the
+    // 0.01 of chance", not production recall.
+    assert(rPq >= 0.15, s"flat PQ recall=$rPq")
+    val ip = java.nio.file.Files.createTempDirectory("ivfpqreal").toString
+    val coarse = Similarity.trainCentroids(em, "embedding", 8)
+    Similarity.writeIvfPqIndex(em, ip, coarse, m = 8, ncodes = 16)
+    val ivfpq = Similarity.ivfPqTopKFromIndex(spark, ip, queries, 5,
+        nprobe = 4)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    // cell pruning can only REMOVE candidates relative to flat PQ
+    val rIvfPq = (exact & ivfpq).size.toDouble / exact.size
+    assert(rIvfPq >= 0.1, s"IVF-PQ recall=$rIvfPq")
+    assert(ivfpq.size == 15) // 3 queries × k=5 — probes found enough
+  }
+}
