@@ -653,14 +653,21 @@ case class CosineSimExpr(left: Expression, right: Expression)
       HashKernels.cosineFloat(a.asInstanceOf[ArrayData],
         b.asInstanceOf[ArrayData])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // freshName: cellSims evaluates MANY cosine_sim calls in one
+    // projection — fixed locals collide when they share a codegen
+    // function and kick the stage to interpreted (found via
+    // PqEncodeExpr; whether they share depends only on Spark's
+    // code-size splitting, so it's a silent performance cliff)
+    val r = ctx.freshName("cosRes")
     nullSafeCodeGen(ctx, ev, (a, b) => {
       s"""
-      Object r = graft.plans.HashKernels.$kernel($a, $b);
-      if (r == null) { ${ev.isNull} = true; }
-      else { ${ev.value} = ((Double) r).doubleValue(); }
+      Object $r = graft.plans.HashKernels.$kernel($a, $b);
+      if ($r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ((Double) $r).doubleValue(); }
       """
     })
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
@@ -716,11 +723,15 @@ case class MatProjectExpr(child: Expression, mean: Seq[Double],
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val meanRef = ctx.addReferenceObj("matProjMean", meanArr, "double[]")
     val matRef = ctx.addReferenceObj("matProjMat", matArr, "double[]")
+    // freshName: a second kernel call in the same codegen function
+    // (two projections in one select) would collide on a fixed local
+    // and kick the stage to interpreted (found via PqEncodeExpr)
+    val r = ctx.freshName("matProjRes")
     nullSafeCodeGen(ctx, ev, c => {
       s"""
-      Object r = graft.plans.HashKernels.$kernel($c, $meanRef, $matRef);
-      if (r == null) { ${ev.isNull} = true; }
-      else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) r; }
+      Object $r = graft.plans.HashKernels.$kernel($c, $meanRef, $matRef);
+      if ($r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $r; }
       """
     })
   }

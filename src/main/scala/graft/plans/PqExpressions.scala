@@ -144,11 +144,15 @@ case class PqEncodeExpr(child: Expression, ncodes: Int, dsub: Int,
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cbRef = ctx.addReferenceObj("pqCb", cbArr, "double[]")
+    // freshName: two kernel calls can land in ONE codegen function
+    // (e.g. nearestCell + pq_encode in the same projection) — a fixed
+    // local name would collide and kick the whole stage to interpreted
+    val r = ctx.freshName("pqRes")
     nullSafeCodeGen(ctx, ev, c => {
       s"""
-      Object r = graft.plans.PqKernels.$kernel($c, $m, $ncodes, $dsub, $cbRef);
-      if (r == null) { ${ev.isNull} = true; }
-      else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) r; }
+      Object $r = graft.plans.PqKernels.$kernel($c, $m, $ncodes, $dsub, $cbRef);
+      if ($r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $r; }
       """
     })
   }
@@ -203,11 +207,12 @@ case class PqAdcExpr(left: Expression, right: Expression, ncodes: Int,
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cbRef = ctx.addReferenceObj("pqAdcCb", cbArr, "double[]")
+    val d = ctx.freshName("pqDist") // see PqEncodeExpr: no fixed locals
     nullSafeCodeGen(ctx, ev, (q, c) => {
       s"""
-      double d = graft.plans.PqKernels.$kernel($q, $c, $m, $ncodes, $dsub, $cbRef);
-      if (Double.isNaN(d)) { ${ev.isNull} = true; }
-      else { ${ev.value} = d; }
+      double $d = graft.plans.PqKernels.$kernel($q, $c, $m, $ncodes, $dsub, $cbRef);
+      if (Double.isNaN($d)) { ${ev.isNull} = true; }
+      else { ${ev.value} = $d; }
       """
     })
   }

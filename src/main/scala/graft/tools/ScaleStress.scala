@@ -744,6 +744,59 @@ object ScaleStress {
       vecs.unpersist(); exact.unpersist(); lsh.unpersist(); ivf.unpersist()
     }
 
+    // Round-12 PQ drill: the quantized-ANN layouts at 10⁵ → 10⁶
+    // vectors (md5-derived synthetic 64-dim corpus — embCorpus tops
+    // out at 2×10⁴). Claims under measure: index build (m sample
+    // fits + one encode scan) and the FLAT ADC probe are linear in n;
+    // the IVF-PQ probe with nlist ∝ n (fixed ~2.5k-vector cells) is
+    // FLAT in n — nprobe cells of constant size, partition-pruned at
+    // the file listing, is the whole point of the layout.
+    if (which == "pq") {
+      import org.apache.spark.sql.Column
+      def synthVec(id: Column): Column =
+        transform(sequence(lit(0), lit(63)), j =>
+          ((conv(substring(md5(concat(id.cast("string"), lit(":"),
+            j.cast("string"))), 1, 8), 16, 10).cast("double")
+            % 1000.0) / 500.0 - 1.0).cast("float"))
+      println(f"\n${"vecs"}%9s ${"t_build"}%8s ${"t_flat"}%8s " +
+        f"${"flat_MB"}%8s ${"t_bivfpq"}%9s ${"t_ivfpq"}%8s " +
+        f"${"ivfpq_MB"}%9s")
+      for (n <- Seq(100000L, 100000L * maxScale)) {
+        val vecs = spark.range(n).select(col("id").as("vec_id"),
+          synthVec(col("id")).as("embedding")).cache()
+        vecs.count()
+        val queries = spark.range(20).select(col("id").as("qid"),
+          synthVec(col("id")).as("qvec"))
+        val flatPath = java.nio.file.Files
+          .createTempDirectory("pq-flat").toString + "/idx"
+        val (_, tBuild, _) = timedMB {
+          Similarity.writePqIndex(vecs, flatPath, m = 8, ncodes = 16); 0L
+        }
+        val (nFlat, tFlat, mbFlat) = timedMB {
+          Similarity.pqTopKFromIndex(spark, flatPath, queries, 10).count()
+        }
+        val ivfPath = java.nio.file.Files
+          .createTempDirectory("pq-ivf").toString + "/idx"
+        val nlist = math.max(8, (n / 2500).toInt)
+        val (_, tBuildIvf, _) = timedMB {
+          val coarse = Similarity.trainCentroids(vecs, "embedding", nlist,
+            trainFraction = math.min(1.0, 100000.0 / n))
+          Similarity.writeIvfPqIndex(vecs, ivfPath, coarse,
+            m = 8, ncodes = 16)
+          0L
+        }
+        val (nIvf, tIvf, mbIvf) = timedMB {
+          Similarity.ivfPqTopKFromIndex(spark, ivfPath, queries, 10,
+            nprobe = 4).count()
+        }
+        require(nFlat == 200 && nIvf == 200,
+          s"probe row counts drifted: flat=$nFlat ivfpq=$nIvf")
+        println(f"$n%9d $tBuild%8.1f $tFlat%8.1f $mbFlat%8.1f " +
+          f"$tBuildIvf%9.1f $tIvf%8.1f $mbIvf%9.1f")
+        vecs.unpersist()
+      }
+    }
+
     // Embedding/encoding ops drill: PCA fit is ONE aggregate whose
     // shuffle is |partitions| moment buffers (corpus-size-independent);
     // projection and encoding are scans, so both must scale ~linearly
