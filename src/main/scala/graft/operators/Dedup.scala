@@ -879,6 +879,9 @@ object Dedup {
     // `centroids`: a persisted quantizer (writeIvfIndex sidecar) — the
     // train-once shape that lets an external engine replay the cells
     // (the strict q_dedup_semantic oracle); default trains in-line.
+    centroids.foreach(cs => require(cs.size == nlist,
+      s"semanticNearDups: persisted quantizer has ${cs.size} cells but " +
+        s"nlist=$nlist — pass the matching nlist"))
     val cents = centroids.getOrElse(
       Similarity.trainCentroids(df, vecCol, nlist, trainFraction))
     val assigned0 = df.select(col(idCol), col(vecCol),

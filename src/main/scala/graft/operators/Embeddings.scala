@@ -488,6 +488,9 @@ object Embeddings {
     // pass a writeIvfIndex sidecar to replay the exact cells an
     // external engine can re-derive (the strict q_embed_balanced
     // oracle); default trains in-line
+    centroids.foreach(cs => require(cs.size == nlist,
+      s"balancedSample: persisted quantizer has ${cs.size} cells but " +
+        s"nlist=$nlist — pass the matching nlist"))
     val cents = centroids.getOrElse(
       Similarity.trainCentroids(df, vecCol, nlist))
     val assigned = df.withColumn("cell",
@@ -524,6 +527,10 @@ object Embeddings {
     // external replayer can reread the identical floats (the strict
     // q_embed_topics oracle). Default trains in-line (knnJoinIvf's
     // convention).
+    centroids.foreach(cs => require(cs.size == nlist,
+      s"clusterTopics: persisted quantizer has ${cs.size} cells but " +
+        s"nlist=$nlist — pass the matching nlist (a silent mismatch " +
+        "would relabel every cell)"))
     val cents = centroids.getOrElse(
       Similarity.trainCentroids(embedded, vecCol, nlist))
     val assigned = embedded.select(col(idCol).as("__cid"),

@@ -188,6 +188,9 @@ object Similarity {
     // writeIvfIndex sidecar): the production shape — train once, every
     // self-join and probe replays the same cells — and what lets an
     // external oracle replay assignment + probes from the same floats.
+    centroids.foreach(cs => require(cs.size == nlist,
+      s"knnJoinIvf: persisted quantizer has ${cs.size} cells but " +
+        s"nlist=$nlist — pass the matching nlist"))
     val cents = centroids.getOrElse(
       trainCentroids(corpus, vecCol, nlist, trainFraction))
     val assigned = spread(corpus.select(col(idCol), col(vecCol)))
