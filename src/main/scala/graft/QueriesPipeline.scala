@@ -190,6 +190,19 @@ object QueriesPipeline {
             i -> (q.e[i] - r.r[i]) * (q.e[i] - r.r[i]))),
             (a, b) -> a + b)"""
 
+  /** Build-if-stale the RESIDUAL IVF-PQ layout (codes quantize
+    * v − c_cell; finer at the same bit budget). */
+  private def ensureIvfPqResIndex(s: SparkSession, dir: String): String = {
+    val p = Q.stagingDir(dir, "ivfpqr_n8_m8x16")
+    val success = new java.io.File(s"$p/codes/_SUCCESS")
+    val src = new java.io.File(s"$dir/embeddings.parquet")
+    if (!success.exists() || success.lastModified() < src.lastModified())
+      Similarity.writeIvfPqIndex(t(s, dir, "embeddings"), p,
+        Similarity.readCentroids(s, ensureIvfIndex(s, dir)),
+        m = 8, ncodes = 16, residual = true)
+    p
+  }
+
   /** Build-if-stale a persisted PCA model (tag-keyed staging, the
     * [[ensureIvfIndex]] convention). `fit` runs only when the store is
     * missing or older than embeddings.parquet; the returned model is
@@ -2904,6 +2917,54 @@ object QueriesPipeline {
           JOIN qcell p ON r.cell = p.cell
           JOIN q ON q.qid = p.qid
           WHERE r.vec_id <> p.qid)
+        WHERE rnk <= 10""")),
+
+    // Residual IVF-PQ kNN — the FAISS-style refinement: codes quantize
+    // v − c_cell (within-cell variance ≪ corpus variance, so the same
+    // 8×4 bits buy a finer quantization); queries rebase to q − c_cell
+    // per probed cell and ADC scores ‖(q−c) − quant(v−c)‖², the same
+    // true-distance approximation in every cell. All residual
+    // arithmetic runs in double on BOTH engines (float subtraction
+    // would round unreplayably). STRICT oracle: qcell probes, the
+    // per-cell query rebase, residual reconstruction, and the 64-term
+    // sequential ADC all replay from the persisted sidecars — only the
+    // two k-means fits stay outside.
+    "q_sim_knn_ivfpq_res" -> Entry(
+      (s, dir) => {
+        val em = t(s, dir, "embeddings")
+        val p = ensureIvfPqResIndex(s, dir)
+        val queries = em.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        Similarity.ivfPqTopKFromIndex(s, p, queries, 10, nprobe = 4)
+          .select(col("qid"), col("rank").as("rnk"), col("vec_id"))
+      },
+      Some(s"""WITH ${pqReconCtes("ivfpqr_n8_m8x16", partitioned = true)},
+        qraw AS (
+          SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings WHERE vec_id < 5),
+        cents2 AS (
+          SELECT cell, CAST(centroid AS DOUBLE[]) AS c
+          FROM read_parquet(
+            '{STAGING:ivfpqr_n8_m8x16}/centroids/*.parquet')),
+        qcell AS (
+          SELECT qid, cell FROM (
+            SELECT qraw.qid, c2.cell,
+              row_number() OVER (PARTITION BY qraw.qid ORDER BY
+                list_cosine_similarity(qraw.e, c2.c) DESC, c2.cell) AS pr
+            FROM qraw CROSS JOIN cents2 c2)
+          WHERE pr <= 4),
+        q AS (
+          SELECT p.qid, p.cell,
+            list_transform(range(1, 65), i -> qraw.e[i] - c2.c[i]) AS e
+          FROM qcell p
+          JOIN qraw ON qraw.qid = p.qid
+          JOIN cents2 c2 ON c2.cell = p.cell)
+        SELECT qid, rnk, vec_id FROM (
+          SELECT q.qid, r.vec_id,
+            row_number() OVER (PARTITION BY q.qid ORDER BY
+              $pqAdcDistSql, r.vec_id) AS rnk
+          FROM recon r JOIN q ON r.cell = q.cell
+          WHERE r.vec_id <> q.qid)
         WHERE rnk <= 10""")),
 
     // Skew-mitigated aggregation: two-stage salted groupBy (hot grouping

@@ -545,8 +545,8 @@ object Similarity {
     * m=8/ncodes=16/d=64). This is the SHARED-codebook (non-residual)
     * PQ variant: codes quantize raw vectors, not per-cell residuals —
     * one codebook set serves flat and IVF layouts and every number
-    * replays externally; FAISS's residual refinement is a documented
-    * divergence, not implemented. */
+    * replays externally. The FAISS-style residual refinement exists on
+    * the IVF layout ([[writeIvfPqIndex]] `residual = true`). */
   def writePqIndex(corpus: DataFrame, path: String, m: Int = 8,
       ncodes: Int = 16, idCol: String = "vec_id",
       vecCol: String = "embedding", trainFraction: Double = 1.0): Unit = {
@@ -603,18 +603,51 @@ object Similarity {
   def writeIvfPqIndex(corpus: DataFrame, path: String,
       coarse: Seq[(Int, Array[Float])], m: Int = 8, ncodes: Int = 16,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      trainFraction: Double = 1.0): Unit = {
-    val cb = trainPqCodebooks(corpus, vecCol, m, ncodes, trainFraction)
-    corpus.sparkSession.createDataFrame(cb.cents)
+      trainFraction: Double = 1.0, residual: Boolean = false): Unit = {
+    val spark = corpus.sparkSession
+    // `residual = true` is the FAISS-style refinement: codebooks train
+    // on, and codes quantize, v − c_cell instead of v — within-cell
+    // variance is much smaller than corpus variance, so the same
+    // m·log₂ncodes bits buy a finer quantization. Residuals are
+    // computed in DOUBLE (cast both sides before the zip_with
+    // subtract): float subtraction would round each element and the
+    // external replay — double arithmetic on the same exact float
+    // values — could not reproduce it bit-for-bit. The zip_with runs
+    // interpreted per element, which is fine HERE (one-time build
+    // scan, amortized over every probe); the probe path stays on the
+    // codegen kernels. The layout self-describes via `$path/meta`
+    // (residual flag), so a probe can never silently mis-read one
+    // variant as the other.
+    val celled = corpus.select(col(idCol), col(vecCol),
+      nearestCell(col(vecCol), coarse).as("cell"))
+    val centDf = spark.createDataFrame(coarse).toDF("cell", "centroid")
+    val encodeSrc =
+      if (!residual) celled.withColumn("__enc", col(vecCol))
+      else celled
+        .join(broadcast(centDf.select(col("cell"),
+          col("centroid").cast("array<double>").as("__c"))), Seq("cell"))
+        .withColumn("__enc", zip_with(col(vecCol).cast("array<double>"),
+          col("__c"), (x, c) => x - c))
+    val cb = trainPqCodebooks(encodeSrc, "__enc", m, ncodes, trainFraction)
+    spark.createDataFrame(cb.cents)
       .toDF("sub", "code", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
-    corpus.sparkSession.createDataFrame(coarse).toDF("cell", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    corpus.select(col(idCol),
-        nearestCell(col(vecCol), coarse).as("cell"),
-        graft.plans.PqExpressions.pq_encode(col(vecCol), cb.ncodes,
+    centDf.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    import spark.implicits._
+    Seq(residual).toDF("residual")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    encodeSrc.select(col(idCol), col("cell"),
+        graft.plans.PqExpressions.pq_encode(col("__enc"), cb.ncodes,
           cb.dsub, cb.flat).as("codes"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+  }
+
+  /** The residual flag of a [[writeIvfPqIndex]] layout; layouts from
+    * before the meta sidecar existed read as non-residual. */
+  def readIvfPqMeta(spark: SparkSession, path: String): Boolean = {
+    val f = new java.io.File(s"$path/meta/_SUCCESS")
+    f.exists() && spark.read.parquet(s"$path/meta")
+      .head().getBoolean(0)
   }
 
   /** Probe an IVF-PQ layout: nprobe nearest cells per query (coarse
@@ -628,11 +661,27 @@ object Similarity {
       qvecCol: String = "qvec"): DataFrame = {
     val cents = readCentroids(spark, path)
     val cb = readPqCodebooks(spark, path)
+    val residual = readIvfPqMeta(spark, path)
     // same materialize-once contract as ivfTopKFromIndex: the pruning
     // collect and the rerank join must see identical probe rows
-    val probes = queries.select(col(qidCol), col(qvecCol),
+    val probes0 = queries.select(col(qidCol), col(qvecCol),
       explode(probeCells(col(qvecCol), cents, nprobe)).as("cell"))
-      .localCheckpoint(eager = true)
+    // residual layout: the query rebases to q − c_cell per probed cell
+    // (probe-frame-sized work — |q|·nprobe rows against an nlist-row
+    // broadcast; double arithmetic for the same replayability reason
+    // as the build side). ADC against residual codes then scores
+    // ‖(q−c) − quant(v−c)‖² — the same true-distance approximation in
+    // every probed cell, so ranks compare across cells.
+    val probes = (if (!residual) probes0
+      else {
+        val centDf = spark.createDataFrame(cents).toDF("cell", "centroid")
+        probes0
+          .join(broadcast(centDf.select(col("cell"),
+            col("centroid").cast("array<double>").as("__c"))), Seq("cell"))
+          .select(col(qidCol), col("cell"),
+            zip_with(col(qvecCol).cast("array<double>"), col("__c"),
+              (x, c) => x - c).as(qvecCol))
+      }).localCheckpoint(eager = true)
     val probedCells = probes.select("cell").distinct()
       .collect().map(_.getInt(0)) // |q|·nprobe ints — driver-bounded
     val codes = spark.read.parquet(s"$path/codes")

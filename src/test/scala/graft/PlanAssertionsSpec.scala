@@ -185,6 +185,19 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"vector/code column in an Exchange:\n${exchanges.mkString("\n")}")
   }
 
+  test("q_sim_knn_ivfpq_res keeps the residual layout's probe shape: " +
+      "pruned cells, kernel ADC, no vector/code exchange") {
+    val p = plan("q_sim_knn_ivfpq_res")
+    assert(p.contains("pq_adc"))
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined,
+      s"no partition pruning in plan:\n$p")
+    val exchanges = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(exchanges.forall(l =>
+      !l.contains("embedding") && !l.contains("qvec") &&
+        !l.contains("codes")),
+      s"vector/code column in an Exchange:\n${exchanges.mkString("\n")}")
+  }
+
   test("q_sample_stratified is a map-only scan (zero Exchange)") {
     val p = plan("q_sample_stratified")
     assert(!p.contains("Exchange"), s"sampler must not shuffle:\n$p")
