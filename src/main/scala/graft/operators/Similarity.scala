@@ -568,6 +568,15 @@ object Similarity {
       .sortBy(c => (c._1, c._2))
     require(rows.nonEmpty, s"readPqCodebooks: empty sidecar at $path")
     val ncodes = rows.map(_._2).max + 1
+    val m = rows.map(_._1).max + 1
+    // a torn/hand-edited sidecar must fail here, not as a silent
+    // mis-indexed flat array inside the kernels
+    require(rows.length == m * ncodes &&
+        rows.map(c => (c._1, c._2)).distinct.length == rows.length,
+      s"readPqCodebooks: ${rows.length} rows at $path, expected a " +
+        s"complete $m×$ncodes grid — torn store?")
+    require(rows.forall(_._3.length == rows.head._3.length),
+      s"readPqCodebooks: centroid dims drift at $path")
     PqCodebooks(ncodes, rows.head._3.length, rows)
   }
 
