@@ -2572,6 +2572,32 @@ object QueriesPipeline {
       },
       None),
 
+    // Video frame-sample + decode over the staged media table's
+    // MJPEG-AVI rows: every 2nd frame of each decodable video decodes
+    // through the SAME image kernel as still images (real container
+    // walk + real JPEG codec, bare JDK) — the video half of the
+    // decode/feature-extract/frame-sample trio, end-to-end real for
+    // the JDK-decodable codec; BMFF rows (no JDK codec) contribute no
+    // rows by contract. Rows-only — no video surface in DuckDB;
+    // MultimodalSpec pins frame counts, sampling indices, dims, and
+    // codec fallbacks.
+    "q_multimodal_video_frames" -> Entry(
+      (s, dir) => {
+        import graft.operators.Multimodal
+        val p = Q.stagingDir(dir, s"media_g${Multimodal.mediaGeneration}")
+        val success = new java.io.File(s"$p/_SUCCESS")
+        val src = new java.io.File(s"$dir/documents.parquet")
+        if (!success.exists() || success.lastModified() < src.lastModified())
+          Multimodal.syntheticMedia(s, dir)
+            .write.mode("overwrite").parquet(p)
+        Multimodal.videoFrames(
+            s.read.parquet(p).filter(col("kind") === "video"), step = 2)
+          .groupBy(col("n_frames"))
+          .agg(count(lit(1)).as("n_sampled"),
+            count(col("feature")).as("n_decoded"))
+      },
+      None),
+
     // Image near-dup detection over the staged media table: every
     // image gains a brightness-shifted PNG twin (a REAL different
     // payload), and the perceptual-dHash pipeline (hash → 8×8-bit

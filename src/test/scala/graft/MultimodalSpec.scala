@@ -4,10 +4,11 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Multimodal
 
-/** Real-image and real-audio multimodal paths: the JDK's javax.imageio
-  * decodes actual rasters and javax.sound.sampled decodes actual
-  * WAV/PCM samples, so decode/feature/resize are REAL for images and
-  * audio (only video remains behind the declared deterministic stub). */
+/** Real multimodal paths on the bare JDK: javax.imageio decodes actual
+  * rasters, javax.sound.sampled decodes actual WAV/PCM samples, and
+  * MJPEG-AVI video frame-decodes through the same image codec (each
+  * '00dc' chunk is a complete JPEG). Only DCT-codec video remains
+  * behind the declared deterministic stub. */
 class MultimodalSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
@@ -207,12 +208,64 @@ class MultimodalSpec extends AnyFunSuite {
     evil.putInt(8); evil.put("skip".getBytes)
     val evilBytes = java.util.Arrays.copyOf(evil.array(), evil.position())
     assert(Multimodal.probeVideo(evilBytes).isEmpty) // no mvhd, no spin
-    // and the pipeline routes video rows through the probe: slot 1 is
-    // the mvhd timescale, not a histogram fraction <= 1
+    // and the pipeline routes video rows through the REAL probes:
+    // BMFF rows (doc_id % 6 == 2) read the mvhd timescale in slot 1,
+    // MJPEG-AVI rows (doc_id % 6 == 5) the 16 px frame width — never a
+    // histogram fraction <= 1 (the stub)
     val media = Multimodal.syntheticMedia(spark, "/root/testdata/sf0.001")
     val vid = Multimodal.extractFeatures(media)
       .filter(col("kind") === "video").collect()
     assert(vid.nonEmpty)
-    assert(vid.forall(r => r.getSeq[Float](3)(1) == 1000f))
+    assert(vid.forall { r =>
+      val slot1 = r.getSeq[Float](3)(1)
+      if (r.getLong(0) % 6 == 2) slot1 == 1000f else slot1 == 16f
+    })
+  }
+
+  test("MJPEG-AVI frames decode for real: counts, dims, sampling, " +
+      "codec fallbacks") {
+    // id 7 → 2 + ((7 / 3) % 3) = 4 frames of 16×12 JPEG
+    val avi = Multimodal.syntheticAvi(7L)
+    val frames = Multimodal.decodeAviMjpegFrames(avi).get
+    assert(frames.length == 4)
+    frames.foreach { j =>
+      assert((j(0) & 0xFF) == 0xFF && (j(1) & 0xFF) == 0xD8) // JPEG SOI
+      val (w, h, _) = Multimodal.decodeImage(j).get
+      assert(w == 16 && h == 12)
+    }
+    // frames differ (per-frame fill): features must not be identical
+    val f0 = Multimodal.decodeImage(frames(0)).get._3.toSeq
+    val f1 = Multimodal.decodeImage(frames(1)).get._3.toSeq
+    assert(f0 != f1)
+    // non-AVI containers refuse cleanly: BMFF video and plain bytes
+    assert(Multimodal.decodeAviMjpegFrames(
+      Multimodal.syntheticMp4(7L)).isEmpty)
+    assert(Multimodal.decodeAviMjpegFrames("plain text".getBytes).isEmpty)
+    // a malformed chunk size cannot hang the walk
+    val evil = java.nio.ByteBuffer.allocate(32)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    evil.put("RIFF".getBytes); evil.putInt(24); evil.put("AVI ".getBytes)
+    evil.put("LIST".getBytes); evil.putInt(-4); evil.put("movi".getBytes)
+    assert(Multimodal.decodeAviMjpegFrames(
+      java.util.Arrays.copyOf(evil.array(), evil.position())).isEmpty)
+    // the distributed frame-sample: step 2 over 2/3/4-frame videos
+    // keeps indices {0}, {0, 2}, {0, 2} and decodes every sampled frame
+    val df = Seq(
+      (5L, Multimodal.syntheticAvi(5L)),   // 2 + (5/3)%3 = 3 frames
+      (7L, Multimodal.syntheticAvi(7L)),   // 4 frames
+      (9L, Multimodal.syntheticAvi(9L)),   // 2 frames
+      (1L, Multimodal.syntheticMp4(1L))    // no JDK codec → no rows
+    ).toDF("media_id", "content")
+    val got = Multimodal.videoFrames(df, step = 2)
+      .select("media_id", "frame_idx", "n_frames", "width", "height")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4))).toSet
+    assert(got == Set(
+      (5L, 0, 3, 16, 12), (5L, 2, 3, 16, 12),
+      (7L, 0, 4, 16, 12), (7L, 2, 4, 16, 12),
+      (9L, 0, 2, 16, 12)))
+    // probeAviMjpeg feature: slot 0 is the real frame count
+    assert(Multimodal.probeAviMjpeg(avi).get(0) == 4f)
   }
 }
