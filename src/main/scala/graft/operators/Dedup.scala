@@ -587,7 +587,7 @@ object Dedup {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
   }
 
-  private def checkIndexParams(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def checkIndexParams(spark: org.apache.spark.sql.SparkSession,
       path: String, params: Map[String, Long], op: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$path/params")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -92,6 +92,66 @@ object Streams {
 
   final case class Doc(doc_id: Long, ts: java.sql.Timestamp, text: String)
 
+  final case class Vec(vec_id: Long, ts: java.sql.Timestamp,
+      embedding: Seq[Float])
+
+  /** Streaming embedding near-dup HITS against a persisted
+    * [[graft.operators.Dedup.writeEmbeddingIndex]] store — the
+    * embedding-modality face of the ingestion-dedup family: each
+    * arriving vector bands row-locally (one kernel pass), candidates
+    * come from a stream-static inner join against the stored capped
+    * band keys, and verification is exact cosine against the
+    * DEQUANTIZED stored vector — per-candidate, computed AFTER the
+    * join so the int8 store never dequantizes wholesale per
+    * microbatch. Emits (batch_id, corpus_id, cosine, ts) hit rows —
+    * the quarantine/telemetry stage of a continuous embedding ingest.
+    * The only state is the watermark-bounded pair dedup (one logical
+    * hit per pair even when it collides on several bands); everything
+    * else is stateless, so the stream scales exactly like the batch
+    * probe ([[graft.operators.Dedup.embeddingNearDupsAgainstIndex]],
+    * which it must match row-for-row on ordered batches — spec-pinned).
+    * A DROP-the-hits gate composes as `foreachBatch` over the batch
+    * operator (per-batch anti semantics need the stream on the LEFT of
+    * an anti-join against its own derived hit set, which append-mode
+    * streaming cannot express in one query). */
+  def embeddingHitsAgainstIndexStream(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      vecs: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", threshold: Double = 0.9,
+      bands: Int = 8, bitsPerBand: Int = 12, md5Basis: Boolean = false,
+      delay: String = "10 minutes"): DataFrame = {
+    graft.operators.Dedup.checkIndexParams(spark, path,
+      Map("bands" -> bands.toLong, "bitsPerBand" -> bitsPerBand.toLong,
+        "md5Basis" -> (if (md5Basis) 1L else 0L)),
+      "embeddingHitsAgainstIndexStream")
+    val keys =
+      if (md5Basis) graft.plans.HashExpressions
+        .hyperplane_band_sigs_md5(col(vecCol), bands, bitsPerBand)
+      else graft.plans.HashExpressions
+        .hyperplane_band_sigs(col(vecCol), bands, bitsPerBand)
+    // the batch vector rides the banded rows (cast to float — the
+    // cosine kernel refuses mixed float/double pairs) so no stream
+    // self-join is ever needed
+    val banded = vecs.select(col(idCol).as("batch_id"), col("ts"),
+      col(vecCol).cast("array<float>").as("__bv"),
+      posexplode(keys).as(Seq("band", "band_hash")))
+    val idxBands = spark.read.parquet(s"$path/bands")
+    val ivecs = spark.read.parquet(s"$path/vecs")
+      .select(col("id").as("corpus_id"), col("qvec"), col("scale"))
+    banded
+      .join(idxBands, Seq("band", "band_hash"))
+      .select(col("batch_id"), col("ts"), col("__bv"),
+        col("id").as("corpus_id"))
+      .join(ivecs, Seq("corpus_id"))
+      .withColumn("cosine", round(graft.plans.HashExpressions
+        .cosine_sim(col("__bv"), graft.operators.Embeddings
+          .dequantize(col("qvec"), col("scale"))), 3))
+      .filter(col("cosine") >= threshold)
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("batch_id", "corpus_id")
+      .select(col("batch_id"), col("corpus_id"), col("cosine"), col("ts"))
+  }
+
   /** Streaming ingestion dedup — the streaming face of
     * [[graft.operators.Dedup.dedupAgainstIndex]]: arriving documents
     * (a) drop when their content fingerprint is already in the STATIC

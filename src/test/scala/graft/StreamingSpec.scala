@@ -195,6 +195,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming embedding hits equal the batch index probe; " +
+      "multi-band collisions emit one hit per pair") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.2f, 0.1f, 0.0f, 0.3f, 0.1f, 0.0f, 0.2f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f, 0.4f, 0.0f, 0.2f, 0.5f, 0.0f)),
+      (3L, Seq(0.2f, 0.0f, 1.0f, 0.0f, 0.1f, 0.0f, 0.0f, 0.6f))
+    ).toDF("vec_id", "embedding")
+    val p = java.nio.file.Files.createTempDirectory("embidx").toString
+    graft.operators.Dedup.writeEmbeddingIndex(corpus, p, "vec_id",
+      "embedding", bands = 8, bitsPerBand = 12, md5Basis = true)
+    def vec(id: Long, min: Int, e: Seq[Float]) = Streams.Vec(id,
+      java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00"), e)
+    val batch = Seq(
+      // near-identical to corpus 1: shares EVERY band — the pair-dedup
+      // state must still emit exactly one hit row
+      vec(100L, 0, Seq(1.0f, 0.21f, 0.1f, 0.0f, 0.3f, 0.1f, 0.0f, 0.2f)),
+      vec(101L, 1, Seq(-0.9f, 0.1f, -0.8f, 0.7f, -0.2f, 0.9f, -0.5f, 0.1f)))
+    val ms = MemoryStream[Streams.Vec]
+    val q = Streams.embeddingHitsAgainstIndexStream(spark, p, ms.toDF(),
+        threshold = 0.9, md5Basis = true)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("emb_hits").start()
+    try {
+      ms.addData(batch: _*)
+      q.processAllAvailable()
+      val got = spark.table("emb_hits")
+        .select("batch_id", "corpus_id", "cosine").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val want = graft.operators.Dedup.embeddingNearDupsAgainstIndex(
+          spark, p, batch.toDF(), "vec_id", "embedding",
+          threshold = 0.9, md5Basis = true)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == want, s"stream $got != batch $want")
+      assert(got.map(_._1) == Set(100L), "novel vector must not hit")
+      assert(got.size == 1, "one logical hit per pair")
+    } finally q.stop()
+  }
+
   test("streaming paragraph keep-first: index units strip, cross-doc " +
       "stream dups keep first arrival, in-doc repeats collapse, docs " +
       "rebuild in order; bloom sidecar row-identical") {
