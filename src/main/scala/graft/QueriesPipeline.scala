@@ -2590,11 +2590,16 @@ object QueriesPipeline {
         if (!success.exists() || success.lastModified() < src.lastModified())
           Multimodal.syntheticMedia(s, dir)
             .write.mode("overwrite").parquet(p)
+        // n_videos (distinct decodable sources), not count(feature):
+        // videoFrames only emits rows whose frame DID decode, so a
+        // per-row feature count is tautologically n_sampled — the real
+        // codec-coverage audit compares n_videos against the input's
+        // video-row count (BMFF rows contribute nothing by contract)
         Multimodal.videoFrames(
             s.read.parquet(p).filter(col("kind") === "video"), step = 2)
           .groupBy(col("n_frames"))
           .agg(count(lit(1)).as("n_sampled"),
-            count(col("feature")).as("n_decoded"))
+            countDistinct(col("media_id")).as("n_videos"))
       },
       None),
 

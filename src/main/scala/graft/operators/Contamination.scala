@@ -192,9 +192,10 @@ object Contamination {
       // ONCE (the rebuild join below reads the cache, not a second
       // full-corpus shingle pass); stays cached for the lazy consumer —
       // span lists are bounded by actual contamination and spill to
-      // disk, never the driver. Reclaimed by ContextCleaner once the
-      // caller drops the result's lineage; drivers running many
-      // increments should release references between batches
+      // disk, never the driver. The cache entry lives in the
+      // CacheManager until an explicit unpersist/clearCache (the
+      // ContextCleaner never reclaims Dataset caches on GC); drivers
+      // running many increments must clearCache between batches
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val spansSide =
       if (spans.count() <= broadcastMaxHitDocs) broadcast(spans)

@@ -451,8 +451,9 @@ object Corpus {
       // group key. `lines` is unpersisted here; freqStrings stays
       // persisted (guard-bounded) so the returned plan reads the
       // already-filled cache instead of re-running both counting
-      // passes per action — ContextCleaner reclaims it with the
-      // plan's lineage (the dedupLinesImpl lifecycle).
+      // passes per action — it stays in the CacheManager until the
+      // caller unpersists/clearCaches (the dedupLinesImpl lifecycle;
+      // the ContextCleaner never reclaims Dataset caches on GC).
       val freqSets = freqStrings
         .groupBy(col("__g")).agg(collect_set(col("__l")).as("__freq"))
       lines.unpersist(blocking = false)
@@ -573,8 +574,10 @@ object Corpus {
       // typedlit in the plan. freqStrings stays persisted (guard-
       // bounded ≤ maxFrequentBytes): the returned plan reads the
       // already-filled cache instead of re-running both counting
-      // passes per action; ContextCleaner reclaims it when the plan's
-      // lineage is collected — the winnowOverlapPairs lifecycle.
+      // passes per action; it stays in the CacheManager until the
+      // caller unpersists/clearCaches — the winnowOverlapPairs
+      // lifecycle (the ContextCleaner never reclaims Dataset caches
+      // on GC).
       val freqSet = freqStrings.agg(collect_set(col("__l")).as("__freq"))
       lines.unpersist(blocking = false)
       docs.crossJoin(broadcast(freqSet))
@@ -880,10 +883,11 @@ object Corpus {
         .mightContain(bloom, xxhash64(col("__ufp"))))
     val miss = probed.filter(!col("__maybe")).drop("__maybe")
       // increment-lived cache: the count probe fills it, the returned
-      // lazy split reads it; reclaimed by ContextCleaner once the
-      // caller drops the result's lineage — drivers running MANY
-      // increments should release references between batches (or
-      // spark.catalog.clearCache())
+      // lazy split reads it. Dataset caches live in the session's
+      // CacheManager until EXPLICIT unpersist/clearCache — the
+      // ContextCleaner does NOT reclaim them on GC — so drivers
+      // running many increments must spark.catalog.clearCache()
+      // (or unpersist the inputs) between batches
     val accepted = probed.filter(col("__maybe")).drop("__maybe")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // row count bounds distinct count — one map-only pass, no shuffle
@@ -1055,10 +1059,11 @@ object Corpus {
         .mightContain(bloom, xxhash64(col("__gfp"))))
     val miss = probed.filter(!col("__maybe")).drop("__maybe")
       // increment-lived cache: the count probe fills it, the returned
-      // lazy split reads it; reclaimed by ContextCleaner once the
-      // caller drops the result's lineage — drivers running MANY
-      // increments should release references between batches (or
-      // spark.catalog.clearCache())
+      // lazy split reads it. Dataset caches live in the session's
+      // CacheManager until EXPLICIT unpersist/clearCache — the
+      // ContextCleaner does NOT reclaim them on GC — so drivers
+      // running many increments must spark.catalog.clearCache()
+      // (or unpersist the inputs) between batches
     val accepted = probed.filter(col("__maybe")).drop("__maybe")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // row count bounds distinct count — one map-only pass, no shuffle

@@ -152,9 +152,14 @@ object Dedup {
   val LshSaturationWarnFrac = 0.05
 
   private val lshObsId = new java.util.concurrent.atomic.AtomicLong()
+  // weak keys: sessions must be compared by IDENTITY (never a hash a
+  // later session could reuse after GC) and must not be pinned in
+  // memory by their own telemetry bookkeeping
   private val lshTelemetrySessions =
     java.util.Collections.newSetFromMap(
-      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
+      java.util.Collections.synchronizedMap(
+        new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+          java.lang.Boolean]()))
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Bucket-health snapshot of one [[minhashCandidates]] run. */
@@ -183,8 +188,11 @@ object Dedup {
     * near-empty candidate set. */
   private def registerLshTelemetry(
       spark: org.apache.spark.sql.SparkSession): Unit =
-    if (lshTelemetrySessions.add(
-        String.valueOf(System.identityHashCode(spark)))) {
+    // the weak identity set, not identityHashCode strings: a new
+    // session can reuse a GC'd session's identity hash, which would
+    // silently skip the registration — and a string key would pin an
+    // entry per dead session forever
+    if (lshTelemetrySessions.add(spark)) {
       spark.listenerManager.register(
         new org.apache.spark.sql.util.QueryExecutionListener {
           override def onSuccess(funcName: String,
@@ -352,10 +360,13 @@ object Dedup {
     * re-derives `fps` per reference and the plan pays four corpus
     * scans + four kernel runs (the r11 judge's one weak flag). Both
     * caches are MEMORY_AND_DISK (the fingerprint frame is ~2/(w+1) of
-    * corpus codepoints as (id, long) rows — it spills, never OOMs) and
-    * are reclaimed by Spark's ContextCleaner when the returned frame's
-    * lineage is garbage-collected, the same lifecycle as every other
-    * intra-operator persist in this file. */
+    * corpus codepoints as (id, long) rows — it spills, never OOMs).
+    * Cache lifecycle, same as every intra-operator persist in this
+    * file: Dataset caches sit in the session's CacheManager until an
+    * EXPLICIT unpersist or `spark.catalog.clearCache()` — Spark's
+    * ContextCleaner does NOT reclaim them when the frame is GC'd — so
+    * a long-lived driver calling this per batch must clearCache
+    * between batches. */
   def winnowOverlapPairs(df: DataFrame, textCol: String, idCol: String,
       w: Int = 24, k: Int = 4, minShared: Long = 4,
       maxBucket: Long = 64): DataFrame = {
@@ -498,10 +509,11 @@ object Dedup {
     val definitelyNew = probed.filter(!col("__maybe"))
       .drop("__maybe", "__fp")
       // increment-lived cache: the count probe fills it, the returned
-      // lazy split reads it; reclaimed by ContextCleaner once the
-      // caller drops the result's lineage — drivers running MANY
-      // increments should release references between batches (or
-      // spark.catalog.clearCache())
+      // lazy split reads it. Dataset caches live in the session's
+      // CacheManager until EXPLICIT unpersist/clearCache — the
+      // ContextCleaner does NOT reclaim them on GC — so drivers
+      // running many increments must spark.catalog.clearCache()
+      // (or unpersist the inputs) between batches
     val accepted = probed.filter(col("__maybe")).drop("__maybe")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // row count bounds distinct count — one map-only pass, no shuffle

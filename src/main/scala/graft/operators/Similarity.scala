@@ -637,25 +637,41 @@ object Similarity {
           col("centroid").cast("array<double>").as("__c"))), Seq("cell"))
         .withColumn("__enc", zip_with(col(vecCol).cast("array<double>"),
           col("__c"), (x, c) => x - c))
-    val cb = trainPqCodebooks(encodeSrc, "__enc", m, ncodes, trainFraction)
-    spark.createDataFrame(cb.cents)
-      .toDF("sub", "code", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
-    centDf.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    import spark.implicits._
-    Seq(residual).toDF("residual")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
-    encodeSrc.select(col(idCol), col("cell"),
-        graft.plans.PqExpressions.pq_encode(col("__enc"), cb.ncodes,
-          cb.dsub, cb.flat).as("codes"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+    // materialize the encode source ONCE for the build's ~18 actions
+    // (m subspace fits each count+collect, plus the dim probe and the
+    // final encode): on the residual path every action would otherwise
+    // re-run the nlist-way cell argmax and the per-element residual
+    // lambda over the whole corpus. Everything lands on disk inside
+    // this function, so the unpersist is safe — no returned frame can
+    // recompute.
+    if (residual) encodeSrc.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cb = trainPqCodebooks(encodeSrc, "__enc", m, ncodes, trainFraction)
+      spark.createDataFrame(cb.cents)
+        .toDF("sub", "code", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+      centDf.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+      import spark.implicits._
+      Seq(residual).toDF("residual")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+      encodeSrc.select(col(idCol), col("cell"),
+          graft.plans.PqExpressions.pq_encode(col("__enc"), cb.ncodes,
+            cb.dsub, cb.flat).as("codes"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+    } finally if (residual) { encodeSrc.unpersist(); () }
   }
 
   /** The residual flag of a [[writeIvfPqIndex]] layout; layouts from
     * before the meta sidecar existed read as non-residual. */
   def readIvfPqMeta(spark: SparkSession, path: String): Boolean = {
-    val f = new java.io.File(s"$path/meta/_SUCCESS")
-    f.exists() && spark.read.parquet(s"$path/meta")
+    // Hadoop FS, not java.io.File (the checkIndexParams convention):
+    // a local-only existence test on an HDFS/S3 layout would always
+    // read false and silently probe a residual index without the
+    // query rebase — wrong neighbors, no error
+    val f = new org.apache.hadoop.fs.Path(s"$path/meta/_SUCCESS")
+    val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(f) && spark.read.parquet(s"$path/meta")
       .head().getBoolean(0)
   }
 

@@ -459,26 +459,30 @@ object ScaleStress {
       })
       val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
       spark.conf.set("spark.sql.shuffle.partitions", "256")
-      println(f"\n${"docs"}%10s ${"web_kept"}%9s ${"t_web"}%8s " +
-        f"${"web_shufMB"}%11s ${"skew_parts"}%11s ${"skew_splits"}%12s")
-      val n = 10000000L * maxScale
-      val (nWeb, tWeb, mbWeb) = timedMB {
-        val docs = zipfDocs(spark, n)
-        val urled = docs.select(col("doc_id"), col("text"),
-          length(col("text")).cast("long").as("n_chars"),
-          concat(lit("https://example.invalid/p/"),
-            (col("doc_id") / 5).cast("long").cast("string"))
-            .as("url_norm"))
-        val kept = Dedup.keepBestByKey(urled, "url_norm",
-          struct(col("n_chars"), -col("doc_id")),
-          nullsPassThrough = false)
-        Corpus.dedupKeepFirst(kept.select(col("doc_id"), col("text")),
-          "text", "doc_id", "\n").count()
-      }
-      Thread.sleep(2000) // QueryExecutionListener events land async
-      println(f"$n%10d $nWeb%9d $tWeb%8.1f $mbWeb%11.1f " +
-        f"${skewParts.get}%11d ${skewSplits.get}%12d")
-      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      // try/finally: an OOM/failure in the timed leg must not leave
+      // the 256-partition override active for later legs in a chained
+      // run — their timings would quietly distort
+      try {
+        println(f"\n${"docs"}%10s ${"web_kept"}%9s ${"t_web"}%8s " +
+          f"${"web_shufMB"}%11s ${"skew_parts"}%11s ${"skew_splits"}%12s")
+        val n = 10000000L * maxScale
+        val (nWeb, tWeb, mbWeb) = timedMB {
+          val docs = zipfDocs(spark, n)
+          val urled = docs.select(col("doc_id"), col("text"),
+            length(col("text")).cast("long").as("n_chars"),
+            concat(lit("https://example.invalid/p/"),
+              (col("doc_id") / 5).cast("long").cast("string"))
+              .as("url_norm"))
+          val kept = Dedup.keepBestByKey(urled, "url_norm",
+            struct(col("n_chars"), -col("doc_id")),
+            nullsPassThrough = false)
+          Corpus.dedupKeepFirst(kept.select(col("doc_id"), col("text")),
+            "text", "doc_id", "\n").count()
+        }
+        Thread.sleep(2000) // QueryExecutionListener events land async
+        println(f"$n%10d $nWeb%9d $tWeb%8.1f $mbWeb%11.1f " +
+          f"${skewParts.get}%11d ${skewSplits.get}%12d")
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     }
 
     // Round-11 substring-index drill: incremental substring dedup of a
@@ -789,10 +793,28 @@ object ScaleStress {
           Similarity.ivfPqTopKFromIndex(spark, ivfPath, queries, 10,
             nprobe = 4).count()
         }
-        require(nFlat == 200 && nIvf == 200,
-          s"probe row counts drifted: flat=$nFlat ivfpq=$nIvf")
+        // residual layout: same coarse cells (retrained — identical
+        // sample → identical centroids), residual codebooks + the
+        // per-cell query rebase; probe must stay as flat-in-n as the
+        // raw-vector layout (the rebase is probe-frame-sized work)
+        val resPath = java.nio.file.Files
+          .createTempDirectory("pq-ivfres").toString + "/idx"
+        val (_, tBuildRes, _) = timedMB {
+          val coarse = Similarity.trainCentroids(vecs, "embedding", nlist,
+            trainFraction = math.min(1.0, 100000.0 / n))
+          Similarity.writeIvfPqIndex(vecs, resPath, coarse,
+            m = 8, ncodes = 16, residual = true)
+          0L
+        }
+        val (nRes, tRes, mbRes) = timedMB {
+          Similarity.ivfPqTopKFromIndex(spark, resPath, queries, 10,
+            nprobe = 4).count()
+        }
+        require(nFlat == 200 && nIvf == 200 && nRes == 200,
+          s"probe row counts drifted: flat=$nFlat ivfpq=$nIvf res=$nRes")
         println(f"$n%9d $tBuild%8.1f $tFlat%8.1f $mbFlat%8.1f " +
-          f"$tBuildIvf%9.1f $tIvf%8.1f $mbIvf%9.1f")
+          f"$tBuildIvf%9.1f $tIvf%8.1f $mbIvf%9.1f " +
+          f"t_bres=$tBuildRes%.1f t_res=$tRes%.1f res_MB=$mbRes%.1f")
         vecs.unpersist()
       }
     }
