@@ -237,6 +237,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("embeddingGateBatch drops index hits per microbatch, keeps " +
+      "novel vectors") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.2f, 0.1f, 0.0f, 0.3f, 0.1f, 0.0f, 0.2f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f, 0.4f, 0.0f, 0.2f, 0.5f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val p = java.nio.file.Files.createTempDirectory("embgate").toString
+    graft.operators.Dedup.writeEmbeddingIndex(corpus, p, "vec_id",
+      "embedding", bands = 8, bitsPerBand = 12, md5Basis = true)
+    def vec(id: Long, min: Int, e: Seq[Float]) = Streams.Vec(id,
+      java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00"), e)
+    val survived = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val ms = MemoryStream[Streams.Vec]
+    val q = ms.toDF().writeStream
+      .foreachBatch(Streams.embeddingGateBatch(spark, p,
+        sink = b => b.select("vec_id").collect()
+          .foreach(r => { survived.add(r.getLong(0)); () }),
+        threshold = 0.9, md5Basis = true))
+      .start()
+    try {
+      ms.addData(
+        vec(100L, 0, Seq(1.0f, 0.21f, 0.1f, 0.0f, 0.3f, 0.1f, 0.0f, 0.2f)),
+        vec(101L, 1, Seq(-0.9f, 0.1f, -0.8f, 0.7f, -0.2f, 0.9f, -0.5f, 0.1f)))
+      q.processAllAvailable()
+      assert(survived.toArray.toSet == Set(101L),
+        s"index hit must drop, novel must survive: $survived")
+    } finally q.stop()
+  }
+
   test("streaming paragraph keep-first: index units strip, cross-doc " +
       "stream dups keep first arrival, in-doc repeats collapse, docs " +
       "rebuild in order; bloom sidecar row-identical") {
