@@ -114,35 +114,6 @@ object Streams {
     * semantics need the stream on the LEFT of an anti-join against its
     * own derived hit set, which append-mode streaming cannot express
     * in one query — `foreachBatch` territory). */
-  /** The DROP-the-hits gate [[embeddingHitsAgainstIndexStream]]'s
-    * Scaladoc promises, as real code: a `foreachBatch` body that runs
-    * the BATCH probe
-    * ([[graft.operators.Dedup.embeddingNearDupsAgainstIndex]]) on each
-    * microbatch and anti-joins the hits away — per-batch relational
-    * logic (the stream anti-joined against its own derived hit set) is
-    * exactly what `foreachBatch` exists for; append-mode streaming
-    * cannot express it in one query. Usage:
-    * {{{
-    * vecs.writeStream.foreachBatch(
-    *   Streams.embeddingGateBatch(spark, path, sink = b =>
-    *     b.write.mode("append").parquet(out))).start()
-    * }}}
-    * Within-microbatch novelty only — cross-batch in-stream near-dup
-    * needs the hits stream's watermark state; the common composition
-    * runs this gate for the index check and refreshes the index from
-    * the survivors on the batch cadence. */
-  def embeddingGateBatch(
-      spark: org.apache.spark.sql.SparkSession, path: String,
-      sink: DataFrame => Unit, idCol: String = "vec_id",
-      vecCol: String = "embedding", threshold: Double = 0.9,
-      bands: Int = 8, bitsPerBand: Int = 12, md5Basis: Boolean = false)
-      : (DataFrame, Long) => Unit = { (batch, _) =>
-    val hits = graft.operators.Dedup.embeddingNearDupsAgainstIndex(
-        spark, path, batch, idCol, vecCol, threshold, bands,
-        bitsPerBand, md5Basis)
-      .select(col("batch_id").as(idCol)).distinct()
-    sink(batch.join(hits, Seq(idCol), "left_anti"))
-  }
 
   def embeddingHitsAgainstIndexStream(
       spark: org.apache.spark.sql.SparkSession, path: String,
@@ -180,6 +151,36 @@ object Streams {
       .withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("batch_id", "corpus_id")
       .select(col("batch_id"), col("corpus_id"), col("cosine"), col("ts"))
+  }
+
+  /** The DROP-the-hits gate [[embeddingHitsAgainstIndexStream]]'s
+    * Scaladoc promises, as real code: a `foreachBatch` body that runs
+    * the BATCH probe
+    * ([[graft.operators.Dedup.embeddingNearDupsAgainstIndex]]) on each
+    * microbatch and anti-joins the hits away — per-batch relational
+    * logic (the stream anti-joined against its own derived hit set) is
+    * exactly what `foreachBatch` exists for; append-mode streaming
+    * cannot express it in one query. Usage:
+    * {{{
+    * vecs.writeStream.foreachBatch(
+    *   Streams.embeddingGateBatch(spark, path, sink = b =>
+    *     b.write.mode("append").parquet(out))).start()
+    * }}}
+    * Within-microbatch novelty only — cross-batch in-stream near-dup
+    * needs the hits stream's watermark state; the common composition
+    * runs this gate for the index check and refreshes the index from
+    * the survivors on the batch cadence. */
+  def embeddingGateBatch(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      sink: DataFrame => Unit, idCol: String = "vec_id",
+      vecCol: String = "embedding", threshold: Double = 0.9,
+      bands: Int = 8, bitsPerBand: Int = 12, md5Basis: Boolean = false)
+      : (DataFrame, Long) => Unit = { (batch, _) =>
+    val hits = graft.operators.Dedup.embeddingNearDupsAgainstIndex(
+        spark, path, batch, idCol, vecCol, threshold, bands,
+        bitsPerBand, md5Basis)
+      .select(col("batch_id").as(idCol)).distinct()
+    sink(batch.join(hits, Seq(idCol), "left_anti"))
   }
 
   /** Streaming ingestion dedup — the streaming face of
