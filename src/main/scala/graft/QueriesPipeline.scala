@@ -3508,21 +3508,94 @@ object QueriesPipeline {
     // bounded by the dictionary (the sequential-by-nature part; a
     // 100 TB corpus costs the same loop as 100 MB). Encoding is
     // map-only: broadcast merge ranks + per-partition word memo.
-    // Iterative argmax merging has no SQL expression → rows-only;
-    // BpeSpec pins the merge sequence, greedy generalization
-    // ("lowest" → low + est</w>), and decode round-trip by hand.
+    // r12: STRICT oracle (was rows-only) — the trained merges persist
+    // to a staging store and the encode runs with the read-back copy,
+    // so DuckDB replays the greedy ENCODE loop exactly: a recursive
+    // CTE advances every distinct word one merge step per iteration
+    // (LATERAL min-rank applicable pair; the left-to-right
+    // merge-every-occurrence rewrite as a sentinel-joined string fold,
+    // overlap-skipping by construction — a just-merged a·b can never
+    // re-match as a bare `a`), then documents reassemble in word
+    // order. Only the merge LEARNING loop (global pair argmax per
+    // round) stays outside the oracle. BpeSpec pins the merge
+    // sequence, greedy generalization ("lowest" → low + est</w>),
+    // decode round-trip, and the merge-store round-trip.
     "q_tokens_bpe" -> Entry(
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val model = graft.operators.Bpe.train(docs, "text",
-          numMerges = 200, maxWords = 1 << 15, minCount = 2L)
+        val p = Q.stagingDir(dir, "bpe_m200")
+        val success = new java.io.File(s"$p/merges/_SUCCESS")
+        val src = new java.io.File(s"$dir/documents.parquet")
+        if (!success.exists() || success.lastModified() < src.lastModified())
+          graft.operators.Bpe.writeMerges(s,
+            graft.operators.Bpe.train(docs, "text",
+              numMerges = 200, maxWords = 1 << 15, minCount = 2L), p)
+        val model = graft.operators.Bpe.readMerges(s, p)
         graft.operators.Bpe.encode(docs, "doc_id", "text", model)
           // serialized: array cells hash engine-dependently in the
-          // driver's pandas compare even for rows-only entries
+          // driver's pandas compare
           .select(col("doc_id"),
             array_join(col("pieces"), " ").as("pieces"))
       },
-      None),
+      // chr(57344) = the  end-of-word symbol; chr(57345) = the
+      // fold/split sentinel (never inside a symbol: base symbols are
+      // corpus codepoints with  stripped, plus  itself)
+      Some("""WITH RECURSIVE m AS (
+          SELECT rank, a, b, a || chr(57345) || b AS pairkey
+          FROM read_parquet('{STAGING:bpe_m200}/merges/*.parquet')
+        ), words AS (
+          SELECT DISTINCT w AS word FROM (
+            SELECT unnest(list_filter(list_transform(
+              regexp_split_to_array(trim(lower(text)), '\s+'),
+              x -> replace(x, chr(57344), '')), x -> x <> '')) AS w
+            FROM documents WHERE text IS NOT NULL)
+        ), enc AS (
+          SELECT word,
+            list_append(regexp_extract_all(word, '[\s\S]'), chr(57344))
+              AS syms,
+            0 AS it
+          FROM words
+          UNION ALL
+          SELECT x.word,
+            list_filter(string_split(
+              list_reduce(
+                list_prepend('', list_transform(x.syms,
+                  s -> chr(57345) || s)),
+                (acc, cur) -> CASE
+                  WHEN ends_with(acc, chr(57345) || best.a)
+                    AND cur = chr(57345) || best.b
+                  THEN left(acc, length(acc) - length(best.a))
+                    || best.a || best.b
+                  ELSE acc || cur END),
+              chr(57345)), s2 -> s2 <> '') AS syms,
+            x.it + 1
+          FROM (
+            SELECT word, syms, it,
+              list_transform(range(1, len(syms)),
+                i -> syms[i] || chr(57345) || syms[i + 1]) AS prs
+            FROM enc WHERE len(syms) > 1) x,
+          LATERAL (
+            SELECT mm.rank, mm.a, mm.b FROM m mm
+            WHERE list_contains(x.prs, mm.pairkey)
+            ORDER BY mm.rank LIMIT 1) best
+        ), final AS (
+          SELECT word, syms FROM (
+            SELECT word, syms,
+              row_number() OVER (PARTITION BY word ORDER BY it DESC) AS rn
+            FROM enc) WHERE rn = 1
+        ), docw AS (
+          SELECT doc_id, i AS pos, ws[i] AS w
+          FROM (SELECT doc_id, list_filter(list_transform(
+              regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'),
+              x -> replace(x, chr(57344), '')), x -> x <> '') AS ws
+            FROM documents) d, unnest(range(1, len(ws) + 1)) t(i))
+        SELECT doc.doc_id,
+          coalesce(string_agg(array_to_string(f.syms, ' '), ' '
+            ORDER BY dw.pos), '') AS pieces
+        FROM documents doc
+        LEFT JOIN docw dw ON dw.doc_id = doc.doc_id
+        LEFT JOIN final f ON f.word = dw.w
+        GROUP BY doc.doc_id""")),
 
     // PII scrubbing: emails / IPv4s / phone-shaped runs → typed tokens,
     // with per-class counts. The corpus has no organic PII, so the query

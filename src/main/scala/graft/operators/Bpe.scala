@@ -101,6 +101,34 @@ object Bpe {
   /** A word's base symbol sequence: its Unicode CODEPOINTS (an astral
     * character — emoji, rare CJK — is one symbol, never an unpaired
     * surrogate half) plus the trailing [[EndOfWord]] marker. */
+  /** Persist a trained merge list as (rank, a, b) parquet rows at
+    * `path/merges` — train once, every encode (and any external
+    * replayer: the strict q_tokens_bpe oracle) reads the same merges.
+    * Training is deterministic, but the persisted list is the
+    * contract; an encode that must be replayable runs with
+    * [[readMerges]]' copy. */
+  def writeMerges(spark: org.apache.spark.sql.SparkSession,
+      model: BpeModel, path: String): Unit = {
+    import spark.implicits._
+    model.merges.zipWithIndex
+      .map { case ((a, b), r) => (r.toLong, a, b) }
+      .toDF("rank", "a", "b")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/merges")
+  }
+
+  /** Load a [[writeMerges]] store (driver-side; numMerges rows). */
+  def readMerges(spark: org.apache.spark.sql.SparkSession,
+      path: String): BpeModel = {
+    val rows = spark.read.parquet(s"$path/merges")
+      .select(col("rank"), col("a"), col("b")).collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getString(2))))
+      .sortBy(_._1)
+    require(rows.nonEmpty, s"readMerges: empty merge store at $path")
+    require(rows.map(_._1).toSeq == (0L until rows.length).toSeq,
+      s"readMerges: ranks at $path are not contiguous from 0 — torn store?")
+    BpeModel(rows.map(_._2).toIndexedSeq)
+  }
+
   private[graft] def baseSymbols(word: String): Array[String] = {
     val out = new mutable.ArrayBuffer[String](word.length + 1)
     var i = 0

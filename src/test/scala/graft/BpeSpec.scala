@@ -124,6 +124,20 @@ class BpeSpec extends AnyFunSuite {
       (a + b).contains("i") || (a + b).contains("d") })
   }
 
+  test("merge store round-trips the model exactly") {
+    // the strict q_tokens_bpe oracle replays the ENCODE from the
+    // persisted merges — the store must lose neither merge content nor
+    // rank ORDER (rank is the greedy loop's priority)
+    val docs = Seq((1L, "low lower lowest low low")).toDF("id", "text")
+    val m = Bpe.train(docs, "text", numMerges = 6, maxWords = 100,
+      minCount = 1L)
+    val p = java.nio.file.Files.createTempDirectory("bpestore").toString
+    Bpe.writeMerges(spark, m, p)
+    val r = Bpe.readMerges(spark, p)
+    assert(r.merges == m.merges)
+    assert(r.ranks == m.ranks)
+  }
+
   test("mergedTokens lists merge products in rank order") {
     val model = Bpe.BpeModel(expectedMerges)
     assert(model.mergedTokens.take(3) == Seq("es", "est", "est" + W))
