@@ -409,6 +409,29 @@ object Multimodal {
     }(enc)
   }
 
+  /** Per-row video codec classification — the coverage audit
+    * [[videoFrames]] needs beside it (frame extraction silently emits
+    * nothing for undecodable rows BY CONTRACT, so "how much of the
+    * corpus can we frame-decode" must be asked separately):
+    * 'avi_mjpeg' (full frame decode available), 'bmff' (container
+    * metadata only — no JDK codec for the stream), 'undecodable'.
+    * One partition-batch scan, groupBy-able to corpus totals. */
+  def videoCodecProfile(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("codec", StringType, nullable = false))))
+    media.select("media_id", "content").mapPartitions { it =>
+      it.map { r =>
+        val content = r.getAs[Array[Byte]]("content")
+        val codec =
+          if (decodeAviMjpegFrames(content).isDefined) "avi_mjpeg"
+          else if (probeVideo(content).isDefined) "bmff"
+          else "undecodable"
+        Row(r.getLong(0), codec)
+      }
+    }(enc)
+  }
+
   /** Deterministic MJPEG-AVI for a synthetic video row: 2-4 real
     * ImageIO-encoded JPEG frames (id- and frame-derived fill) inside a
     * real RIFF tree — LIST hdrl (avih + one strl: 'vids'/'MJPG' strh +

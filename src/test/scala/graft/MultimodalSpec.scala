@@ -267,5 +267,15 @@ class MultimodalSpec extends AnyFunSuite {
       (9L, 0, 2, 16, 12)))
     // probeAviMjpeg feature: slot 0 is the real frame count
     assert(Multimodal.probeAviMjpeg(avi).get(0) == 4f)
+    // the codec-coverage audit frame extraction cannot provide itself:
+    // per-row classification over the same mixed table
+    val prof = Multimodal.videoCodecProfile(df)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(prof == Map(5L -> "avi_mjpeg", 7L -> "avi_mjpeg",
+      9L -> "avi_mjpeg", 1L -> "bmff"))
+    val junk = Seq((99L, "not a video".getBytes))
+      .toDF("media_id", "content")
+    assert(Multimodal.videoCodecProfile(junk).head().getString(1)
+      == "undecodable")
   }
 }
