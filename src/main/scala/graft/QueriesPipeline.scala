@@ -118,41 +118,44 @@ object QueriesPipeline {
     * cost amortized over every probe — exactly how IVF is used at
     * scale; the queries themselves are pruned-partition probes over
     * the persisted layout. Returns the index path. */
-  private def ensureIvfIndex(s: SparkSession, dir: String): String = {
-    val idxPath = Q.stagingDir(dir, "ivf_n8")
-    val success = new java.io.File(s"$idxPath/centroids/_SUCCESS")
-    val src = new java.io.File(s"$dir/embeddings.parquet")
+  /** Build-if-stale for every tag-keyed persisted artifact: run
+    * `build` into the md5-keyed staging dir when `successSub`'s
+    * _SUCCESS marker is missing or older than `srcTable`'s parquet.
+    * ONE definition of the staleness rule, so a fix to it cannot
+    * silently miss one of the stores (there are nine). */
+  private def ensureStaged(s: SparkSession, dir: String, tag: String,
+      successSub: String, srcTable: String)(build: String => Unit)
+      : String = {
+    val p = Q.stagingDir(dir, tag)
+    val marker = if (successSub.isEmpty) s"$p/_SUCCESS"
+      else s"$p/$successSub/_SUCCESS"
+    val success = new java.io.File(marker)
+    val src = new java.io.File(s"$dir/$srcTable.parquet")
     if (!success.exists() || success.lastModified() < src.lastModified())
-      Similarity.writeIvfIndex(t(s, dir, "embeddings"), idxPath, nlist = 8)
-    idxPath
+      build(p)
+    p
   }
+
+  private def ensureIvfIndex(s: SparkSession, dir: String): String =
+    ensureStaged(s, dir, "ivf_n8", "centroids", "embeddings")(p =>
+      Similarity.writeIvfIndex(t(s, dir, "embeddings"), p, nlist = 8))
 
   /** Build-if-stale the flat PQ index (m=8 subspaces × ncodes=16,
     * d=64 → 8 ints/vector) that q_embed_pq_codes and q_sim_knn_pq (and
     * their oracles) share — the [[ensureIvfIndex]] convention. */
-  private def ensurePqIndex(s: SparkSession, dir: String): String = {
-    val p = Q.stagingDir(dir, "pq_m8x16")
-    val success = new java.io.File(s"$p/codes/_SUCCESS")
-    val src = new java.io.File(s"$dir/embeddings.parquet")
-    if (!success.exists() || success.lastModified() < src.lastModified())
+  private def ensurePqIndex(s: SparkSession, dir: String): String =
+    ensureStaged(s, dir, "pq_m8x16", "codes", "embeddings")(p =>
       Similarity.writePqIndex(t(s, dir, "embeddings"), p,
-        m = 8, ncodes = 16)
-    p
-  }
+        m = 8, ncodes = 16))
 
   /** Build-if-stale the IVF-PQ layout: codes partitioned by the SAME
     * persisted nlist=8 coarse cells as every other IVF query, PQ
     * m=8×16 within. */
-  private def ensureIvfPqIndex(s: SparkSession, dir: String): String = {
-    val p = Q.stagingDir(dir, "ivfpq_n8_m8x16")
-    val success = new java.io.File(s"$p/codes/_SUCCESS")
-    val src = new java.io.File(s"$dir/embeddings.parquet")
-    if (!success.exists() || success.lastModified() < src.lastModified())
+  private def ensureIvfPqIndex(s: SparkSession, dir: String): String =
+    ensureStaged(s, dir, "ivfpq_n8_m8x16", "codes", "embeddings")(p =>
       Similarity.writeIvfPqIndex(t(s, dir, "embeddings"), p,
         Similarity.readCentroids(s, ensureIvfIndex(s, dir)),
-        m = 8, ncodes = 16)
-    p
-  }
+        m = 8, ncodes = 16))
 
   /** DuckDB replay of the PQ machinery against a persisted index:
     * `cb` reads the codebook sidecar, `recon` rebuilds each corpus
@@ -192,16 +195,11 @@ object QueriesPipeline {
 
   /** Build-if-stale the RESIDUAL IVF-PQ layout (codes quantize
     * v − c_cell; finer at the same bit budget). */
-  private def ensureIvfPqResIndex(s: SparkSession, dir: String): String = {
-    val p = Q.stagingDir(dir, "ivfpqr_n8_m8x16")
-    val success = new java.io.File(s"$p/codes/_SUCCESS")
-    val src = new java.io.File(s"$dir/embeddings.parquet")
-    if (!success.exists() || success.lastModified() < src.lastModified())
+  private def ensureIvfPqResIndex(s: SparkSession, dir: String): String =
+    ensureStaged(s, dir, "ivfpqr_n8_m8x16", "codes", "embeddings")(p =>
       Similarity.writeIvfPqIndex(t(s, dir, "embeddings"), p,
         Similarity.readCentroids(s, ensureIvfIndex(s, dir)),
-        m = 8, ncodes = 16, residual = true)
-    p
-  }
+        m = 8, ncodes = 16, residual = true))
 
   /** Build-if-stale a persisted PCA model (tag-keyed staging, the
     * [[ensureIvfIndex]] convention). `fit` runs only when the store is
@@ -210,14 +208,10 @@ object QueriesPipeline {
     * and the {STAGING:tag} oracle replay share bit-identical doubles. */
   private def ensurePcaModel(s: SparkSession, dir: String, tag: String)(
       fit: => graft.operators.Embeddings.PcaModel)
-      : graft.operators.Embeddings.PcaModel = {
-    val p = Q.stagingDir(dir, tag)
-    val success = new java.io.File(s"$p/model/_SUCCESS")
-    val src = new java.io.File(s"$dir/embeddings.parquet")
-    if (!success.exists() || success.lastModified() < src.lastModified())
-      graft.operators.Embeddings.writePcaModel(s, fit, p)
-    graft.operators.Embeddings.readPcaModel(s, p)
-  }
+      : graft.operators.Embeddings.PcaModel =
+    graft.operators.Embeddings.readPcaModel(s,
+      ensureStaged(s, dir, tag, "model", "embeddings")(p =>
+        graft.operators.Embeddings.writePcaModel(s, fit, p)))
 
   /** DuckDB replay of [[graft.operators.Embeddings.pcaProject]] against
     * a [[ensurePcaModel]] store: per (vec, comp), the centered dot
@@ -1691,13 +1685,10 @@ object QueriesPipeline {
         // cached index, mtime-guarded like q_dedup_incr_near: the query
         // must time the per-batch PROBE, not index construction, and a
         // regenerated embeddings.parquet must force a rebuild
-        val p = Q.stagingDir(dir, "embidx_md5_b8w12")
-        val success = new java.io.File(s"$p/vecs/_SUCCESS")
-        val src = new java.io.File(s"$dir/embeddings.parquet")
-        if (!success.exists() || success.lastModified() < src.lastModified())
-          graft.operators.Dedup.writeEmbeddingIndex(
-            em.filter(col("vec_id") % 5 < 4), p, "vec_id", "embedding",
-            md5Basis = true)
+        val p = ensureStaged(s, dir, "embidx_md5_b8w12", "vecs",
+          "embeddings")(pp => graft.operators.Dedup.writeEmbeddingIndex(
+            em.filter(col("vec_id") % 5 < 4), pp, "vec_id", "embedding",
+            md5Basis = true))
         // batch: re-keyed perturbed copies (cosine ≥ 0.99) of INDEXED
         // corpus vectors — the re-crawl shape; the probe must match
         // each back to its stored source
@@ -2090,11 +2081,9 @@ object QueriesPipeline {
         // guarded by mtime — a regenerated documents.parquet must
         // rebuild the index or the oracle would compare against the
         // OLD corpus' signatures
-        val idxPath = Q.stagingDir(dir, "ndidx_s5k20b5w3")
-        val success = new java.io.File(s"$idxPath/docs/_SUCCESS")
-        val src = new java.io.File(s"$dir/documents.parquet")
-        if (!success.exists() || success.lastModified() < src.lastModified())
-          Dedup.writeNearDupIndex(corpus, idxPath, "text", "doc_id")
+        val idxPath = ensureStaged(s, dir, "ndidx_s5k20b5w3", "docs",
+          "documents")(pp =>
+          Dedup.writeNearDupIndex(corpus, pp, "text", "doc_id"))
         Dedup.nearDupsAgainstIndex(s, idxPath, batch, "text", "doc_id")
       },
       Some("""WITH words AS (
@@ -2559,12 +2548,10 @@ object QueriesPipeline {
         // not the per-row PNG/WAV/MP4 synthesis that fakes one up.
         // md5-keyed via Q.stagingDir (collision rationale there); the
         // synthesis-format generation lives next to the synthesis code
-        val p = Q.stagingDir(dir, s"media_g${Multimodal.mediaGeneration}")
-        val success = new java.io.File(s"$p/_SUCCESS")
-        val src = new java.io.File(s"$dir/documents.parquet")
-        if (!success.exists() || success.lastModified() < src.lastModified())
+        val p = ensureStaged(s, dir,
+          s"media_g${Multimodal.mediaGeneration}", "", "documents")(pp =>
           Multimodal.syntheticMedia(s, dir)
-            .write.mode("overwrite").parquet(p)
+            .write.mode("overwrite").parquet(pp))
         val feats = Multimodal.extractFeatures(s.read.parquet(p))
         feats.groupBy(col("kind"))
           .agg(count(lit(1)).as("n"),
@@ -2584,12 +2571,10 @@ object QueriesPipeline {
     "q_multimodal_video_frames" -> Entry(
       (s, dir) => {
         import graft.operators.Multimodal
-        val p = Q.stagingDir(dir, s"media_g${Multimodal.mediaGeneration}")
-        val success = new java.io.File(s"$p/_SUCCESS")
-        val src = new java.io.File(s"$dir/documents.parquet")
-        if (!success.exists() || success.lastModified() < src.lastModified())
+        val p = ensureStaged(s, dir,
+          s"media_g${Multimodal.mediaGeneration}", "", "documents")(pp =>
           Multimodal.syntheticMedia(s, dir)
-            .write.mode("overwrite").parquet(p)
+            .write.mode("overwrite").parquet(pp))
         // n_videos (distinct decodable sources), not count(feature):
         // videoFrames only emits rows whose frame DID decode, so a
         // per-row feature count is tautologically n_sampled — the real
@@ -2614,39 +2599,33 @@ object QueriesPipeline {
         import graft.operators.Multimodal
         // same staged parquet as q_multimodal_features (synthesis is
         // not what this query times); twins staged alongside
-        val p = Q.stagingDir(dir, s"media_g${Multimodal.mediaGeneration}")
-        val success = new java.io.File(s"$p/_SUCCESS")
-        val src = new java.io.File(s"$dir/documents.parquet")
-        if (!success.exists() || success.lastModified() < src.lastModified())
+        val p = ensureStaged(s, dir,
+          s"media_g${Multimodal.mediaGeneration}", "", "documents")(pp =>
           Multimodal.syntheticMedia(s, dir)
-            .write.mode("overwrite").parquet(p)
-        val tp = Q.stagingDir(dir,
-          s"media_twins_g${Multimodal.mediaGeneration}")
-        val tsuccess = new java.io.File(s"$tp/_SUCCESS")
-        if (!tsuccess.exists() ||
-            tsuccess.lastModified() < src.lastModified()) {
+            .write.mode("overwrite").parquet(pp))
+        val tp = ensureStaged(s, dir,
+          s"media_twins_g${Multimodal.mediaGeneration}", "",
+          "documents") { tpp =>
           val shift =
             udf((b: Array[Byte]) => Multimodal.brightnessShift(b, 8))
           s.read.parquet(p).filter(col("kind") === "image")
             .select((col("media_id") + 1000000L).as("media_id"),
               shift(col("content")).as("content"))
-            .write.mode("overwrite").parquet(tp)
+            .write.mode("overwrite").parquet(tpp)
         }
         // stage the dHash index once (decode is the expensive half;
         // 16 bytes/image after) and pair from the index — the 100 TB
         // shape, and it keeps the bench free of persist(): the r8
         // driver log's `Asked to cache already cached data` warnings
         // were this entry's cache=true default re-pinning per run.
-        val hp = Q.stagingDir(dir,
-          s"media_hashes_g${Multimodal.mediaGeneration}")
-        val hsuccess = new java.io.File(s"$hp/_SUCCESS")
-        if (!hsuccess.exists() ||
-            hsuccess.lastModified() < src.lastModified()) {
+        val hp = ensureStaged(s, dir,
+          s"media_hashes_g${Multimodal.mediaGeneration}", "",
+          "documents") { hpp =>
           val images = s.read.parquet(p).filter(col("kind") === "image")
             .select(col("media_id"), col("content"))
           Multimodal.imageHashes(
               images.unionByName(s.read.parquet(tp)))
-            .write.mode("overwrite").parquet(hp)
+            .write.mode("overwrite").parquet(hpp)
         }
         Multimodal.imageNearDupsFromHashes(
             s.read.parquet(hp), maxHamming = 7)
@@ -3108,15 +3087,13 @@ object QueriesPipeline {
         val docs = t(s, dir, "documents").withColumn("y",
           array_contains(ws, "vector").cast("int"))
         val held = docs.filter(!Corpus.hashKeep(col("doc_id").cast("string"), 0.5))
-        val p = Q.stagingDir(dir, "clf_k256")
-        val success = new java.io.File(s"$p/model/_SUCCESS")
-        val src = new java.io.File(s"$dir/documents.parquet")
-        if (!success.exists() || success.lastModified() < src.lastModified()) {
-          val train = docs.filter(
-            Corpus.hashKeep(col("doc_id").cast("string"), 0.5))
-          TextClassifier.writeWeights(s,
-            TextClassifier.train(train, "doc_id", "text", "y",
-              k = 256, iters = 4, lr = 1.0, tf = false), p)
+        val p = ensureStaged(s, dir, "clf_k256", "model", "documents") {
+          pp =>
+            val train = docs.filter(
+              Corpus.hashKeep(col("doc_id").cast("string"), 0.5))
+            TextClassifier.writeWeights(s,
+              TextClassifier.train(train, "doc_id", "text", "y",
+                k = 256, iters = 4, lr = 1.0, tf = false), pp)
         }
         val w = TextClassifier.readWeights(s, p)
         TextClassifier.score(held, "doc_id", "text", w, k = 256, tf = false)
@@ -3523,13 +3500,10 @@ object QueriesPipeline {
     "q_tokens_bpe" -> Entry(
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val p = Q.stagingDir(dir, "bpe_m200")
-        val success = new java.io.File(s"$p/merges/_SUCCESS")
-        val src = new java.io.File(s"$dir/documents.parquet")
-        if (!success.exists() || success.lastModified() < src.lastModified())
-          graft.operators.Bpe.writeMerges(s,
+        val p = ensureStaged(s, dir, "bpe_m200", "merges", "documents")(
+          pp => graft.operators.Bpe.writeMerges(s,
             graft.operators.Bpe.train(docs, "text",
-              numMerges = 200, maxWords = 1 << 15, minCount = 2L), p)
+              numMerges = 200, maxWords = 1 << 15, minCount = 2L), pp))
         val model = graft.operators.Bpe.readMerges(s, p)
         graft.operators.Bpe.encode(docs, "doc_id", "text", model)
           // serialized: array cells hash engine-dependently in the
@@ -3537,11 +3511,14 @@ object QueriesPipeline {
           .select(col("doc_id"),
             array_join(col("pieces"), " ").as("pieces"))
       },
-      // chr(57344) = the  end-of-word symbol; chr(57345) = the
-      // fold/split sentinel (never inside a symbol: base symbols are
-      // corpus codepoints with  stripped, plus  itself)
+      // chr(57344) = the  end-of-word symbol. The fold/split
+      // sentinel is chr(10): words come from a \s+ split, so NO
+      // whitespace codepoint can ever sit inside a symbol — unlike a
+      // private-use char, which corpus text could legitimately carry
+      // (a literal U+E001 inside a word would have broken a
+      // private-use sentinel;  is stripped on both sides)
       Some("""WITH RECURSIVE m AS (
-          SELECT rank, a, b, a || chr(57345) || b AS pairkey
+          SELECT rank, a, b, a || chr(10) || b AS pairkey
           FROM read_parquet('{STAGING:bpe_m200}/merges/*.parquet')
         ), words AS (
           SELECT DISTINCT w AS word FROM (
@@ -3560,19 +3537,19 @@ object QueriesPipeline {
             list_filter(string_split(
               list_reduce(
                 list_prepend('', list_transform(x.syms,
-                  s -> chr(57345) || s)),
+                  s -> chr(10) || s)),
                 (acc, cur) -> CASE
-                  WHEN ends_with(acc, chr(57345) || best.a)
-                    AND cur = chr(57345) || best.b
+                  WHEN ends_with(acc, chr(10) || best.a)
+                    AND cur = chr(10) || best.b
                   THEN left(acc, length(acc) - length(best.a))
                     || best.a || best.b
                   ELSE acc || cur END),
-              chr(57345)), s2 -> s2 <> '') AS syms,
+              chr(10)), s2 -> s2 <> '') AS syms,
             x.it + 1
           FROM (
             SELECT word, syms, it,
               list_transform(range(1, len(syms)),
-                i -> syms[i] || chr(57345) || syms[i + 1]) AS prs
+                i -> syms[i] || chr(10) || syms[i + 1]) AS prs
             FROM enc WHERE len(syms) > 1) x,
           LATERAL (
             SELECT mm.rank, mm.a, mm.b FROM m mm

@@ -101,6 +101,18 @@ object Bpe {
   /** A word's base symbol sequence: its Unicode CODEPOINTS (an astral
     * character — emoji, rare CJK — is one symbol, never an unpaired
     * surrogate half) plus the trailing [[EndOfWord]] marker. */
+  private[graft] def baseSymbols(word: String): Array[String] = {
+    val out = new mutable.ArrayBuffer[String](word.length + 1)
+    var i = 0
+    while (i < word.length) {
+      val n = Character.charCount(word.codePointAt(i))
+      out += word.substring(i, i + n)
+      i += n
+    }
+    out += EndOfWord
+    out.toArray
+  }
+
   /** Persist a trained merge list as (rank, a, b) parquet rows at
     * `path/merges` — train once, every encode (and any external
     * replayer: the strict q_tokens_bpe oracle) reads the same merges.
@@ -116,29 +128,20 @@ object Bpe {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/merges")
   }
 
-  /** Load a [[writeMerges]] store (driver-side; numMerges rows). */
+  /** Load a [[writeMerges]] store (driver-side; numMerges rows). An
+    * EMPTY store is a legitimate model, not a torn one: a degenerate
+    * corpus where no pair ever repeats trains zero merges, and encode
+    * handles that fine (every word stays base symbols) — only
+    * non-contiguous ranks signal corruption. */
   def readMerges(spark: org.apache.spark.sql.SparkSession,
       path: String): BpeModel = {
     val rows = spark.read.parquet(s"$path/merges")
       .select(col("rank"), col("a"), col("b")).collect()
       .map(r => (r.getLong(0), (r.getString(1), r.getString(2))))
       .sortBy(_._1)
-    require(rows.nonEmpty, s"readMerges: empty merge store at $path")
     require(rows.map(_._1).toSeq == (0L until rows.length).toSeq,
       s"readMerges: ranks at $path are not contiguous from 0 — torn store?")
     BpeModel(rows.map(_._2).toIndexedSeq)
-  }
-
-  private[graft] def baseSymbols(word: String): Array[String] = {
-    val out = new mutable.ArrayBuffer[String](word.length + 1)
-    var i = 0
-    while (i < word.length) {
-      val n = Character.charCount(word.codePointAt(i))
-      out += word.substring(i, i + n)
-      i += n
-    }
-    out += EndOfWord
-    out.toArray
   }
 
   /** The sequential merge loop over a bounded word-count dictionary.

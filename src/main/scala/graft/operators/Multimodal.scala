@@ -321,17 +321,31 @@ object Multimodal {
     * [[probeVideo]]'s box walk. */
   private[graft] def decodeAviMjpegFrames(content: Array[Byte])
       : Option[IndexedSeq[Array[Byte]]] = {
+    val fs = aviMjpegWalk(content, firstOnly = false)
+    if (fs.isEmpty) None else Some(fs)
+  }
+
+  /** The FIRST MJPEG frame only — the classification probe: same walk,
+    * early exit, ONE payload copy instead of the corpus's whole MJPEG
+    * byte volume when the caller only needs a yes/no. */
+  private[graft] def firstMjpegFrame(content: Array[Byte])
+      : Option[Array[Byte]] =
+    aviMjpegWalk(content, firstOnly = true).headOption
+
+  private def aviMjpegWalk(content: Array[Byte], firstOnly: Boolean)
+      : IndexedSeq[Array[Byte]] = {
     def le32(o: Int): Long =
       (content(o) & 0xFFL) | ((content(o + 1) & 0xFFL) << 8) |
         ((content(o + 2) & 0xFFL) << 16) | ((content(o + 3) & 0xFFL) << 24)
     def fourcc(o: Int): String = new String(content, o, 4, "ISO-8859-1")
     try {
       if (content.length < 12 || fourcc(0) != "RIFF" ||
-          fourcc(8) != "AVI ") return None
+          fourcc(8) != "AVI ") return IndexedSeq.empty
       val frames = IndexedSeq.newBuilder[Array[Byte]]
+      var found = 0
       def walk(lo: Int, hi: Int): Unit = {
         var off = lo
-        while (off + 8 <= hi) {
+        while (off + 8 <= hi && !(firstOnly && found > 0)) {
           val id = fourcc(off)
           val sz = le32(off + 4)
           val ps = off + 8
@@ -342,8 +356,11 @@ object Multimodal {
             if (lt == "movi" || lt == "rec ") walk(ps + 4, pe)
           } else if (id.length == 4 && id(2) == 'd' &&
               (id(3) == 'c' || id(3) == 'b') && pe - ps >= 4 &&
-              (content(ps) & 0xFF) == 0xFF && (content(ps + 1) & 0xFF) == 0xD8)
+              (content(ps) & 0xFF) == 0xFF &&
+              (content(ps + 1) & 0xFF) == 0xD8) {
             frames += java.util.Arrays.copyOfRange(content, ps, pe)
+            found += 1
+          }
           // chunk payloads pad to even length; a size pointing at or
           // before its own header is malformed — stop, don't spin
           val next = pe + ((pe - ps) & 1)
@@ -352,9 +369,8 @@ object Multimodal {
         }
       }
       walk(12, content.length)
-      val fs = frames.result()
-      if (fs.isEmpty) None else Some(fs)
-    } catch { case _: Exception => None }
+      frames.result()
+    } catch { case _: Exception => IndexedSeq.empty }
   }
 
   /** 8-dim video feature from a decodable MJPEG-AVI: [n_frames, width,
@@ -423,8 +439,13 @@ object Multimodal {
     media.select("media_id", "content").mapPartitions { it =>
       it.map { r =>
         val content = r.getAs[Array[Byte]]("content")
+        // 'avi_mjpeg' requires the FIRST frame to actually decode
+        // (SOI magic alone would count corrupt-JPEG AVIs as covered
+        // while videoFrames emits nothing for them); the first-frame
+        // probe copies ONE payload, never the whole stream
         val codec =
-          if (decodeAviMjpegFrames(content).isDefined) "avi_mjpeg"
+          if (firstMjpegFrame(content).exists(f =>
+            decodeImage(f).isDefined)) "avi_mjpeg"
           else if (probeVideo(content).isDefined) "bmff"
           else "undecodable"
         Row(r.getLong(0), codec)
