@@ -124,14 +124,24 @@ object QueriesPipeline {
     * ONE definition of the staleness rule, so a fix to it cannot
     * silently miss one of the stores (there are nine). */
   private def ensureStaged(s: SparkSession, dir: String, tag: String,
-      successSub: String, srcTable: String)(build: String => Unit)
+      successSub: String, srcTable: String,
+      alsoRequire: Seq[String] = Nil)(build: String => Unit)
       : String = {
     val p = Q.stagingDir(dir, tag)
     val marker = if (successSub.isEmpty) s"$p/_SUCCESS"
       else s"$p/$successSub/_SUCCESS"
     val success = new java.io.File(marker)
     val src = new java.io.File(s"$dir/$srcTable.parquet")
-    if (!success.exists() || success.lastModified() < src.lastModified())
+    // `alsoRequire`: sub-layouts the CURRENT writer always produces but
+    // an older cached build may predate (e.g. the IVF-PQ meta sidecar,
+    // added after some staging dirs were already on disk). A cache
+    // missing one is a different-VERSION layout, not a fresh one —
+    // rebuild rather than let the reader's torn-store guard refuse it.
+    def hasParquet(sub: String): Boolean =
+      Option(new java.io.File(s"$p/$sub").listFiles()).exists(
+        _.exists(f => f.isFile && f.getName.endsWith(".parquet")))
+    if (!success.exists() || success.lastModified() < src.lastModified()
+        || !alsoRequire.forall(hasParquet))
       build(p)
     p
   }
@@ -152,7 +162,8 @@ object QueriesPipeline {
     * persisted nlist=8 coarse cells as every other IVF query, PQ
     * m=8×16 within. */
   private def ensureIvfPqIndex(s: SparkSession, dir: String): String =
-    ensureStaged(s, dir, "ivfpq_n8_m8x16", "codes", "embeddings")(p =>
+    ensureStaged(s, dir, "ivfpq_n8_m8x16", "codes", "embeddings",
+      alsoRequire = Seq("meta"))(p =>
       Similarity.writeIvfPqIndex(t(s, dir, "embeddings"), p,
         Similarity.readCentroids(s, ensureIvfIndex(s, dir)),
         m = 8, ncodes = 16))
@@ -196,7 +207,8 @@ object QueriesPipeline {
   /** Build-if-stale the RESIDUAL IVF-PQ layout (codes quantize
     * v − c_cell; finer at the same bit budget). */
   private def ensureIvfPqResIndex(s: SparkSession, dir: String): String =
-    ensureStaged(s, dir, "ivfpqr_n8_m8x16", "codes", "embeddings")(p =>
+    ensureStaged(s, dir, "ivfpqr_n8_m8x16", "codes", "embeddings",
+      alsoRequire = Seq("meta"))(p =>
       Similarity.writeIvfPqIndex(t(s, dir, "embeddings"), p,
         Similarity.readCentroids(s, ensureIvfIndex(s, dir)),
         m = 8, ncodes = 16, residual = true))

@@ -88,14 +88,22 @@ object TextClassifier {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/model")
   }
 
-  /** Load a [[writeWeights]] store (driver-side; k+1 doubles). */
+  /** Load a [[writeWeights]] store (driver-side; k+1 doubles).
+    * Torn-store validation mirrors readPqCodebooks/readMerges: a
+    * missing (i, w) row must fail here, not silently score with that
+    * weight at 0.0 — the store is a contiguous 0..k index grid by
+    * construction, so any gap or duplicate means a partial copy. */
   def readWeights(spark: org.apache.spark.sql.SparkSession,
       path: String): Array[Double] = {
     val rows = spark.read.parquet(s"$path/model")
       .select(col("i"), col("w")).collect()
     require(rows.nonEmpty, s"readWeights: empty model at $path")
-    val out = new Array[Double](
-      rows.iterator.map(_.getLong(0)).max.toInt + 1)
+    val maxI = rows.iterator.map(_.getLong(0)).max.toInt
+    require(rows.length == maxI + 1 &&
+        rows.iterator.map(_.getLong(0)).toSet.size == rows.length,
+      s"readWeights: ${rows.length} rows at $path but max index $maxI " +
+        "— gaps or duplicates in the weight grid (torn store?)")
+    val out = new Array[Double](maxI + 1)
     rows.foreach(r => out(r.getLong(0).toInt) = r.getDouble(1))
     out
   }

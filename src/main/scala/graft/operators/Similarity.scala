@@ -554,9 +554,15 @@ object Similarity {
     corpus.sparkSession.createDataFrame(cb.cents)
       .toDF("sub", "code", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    // rows whose vector has the wrong length (or is null) encode to
+    // NULL codes — dead weight in the index: pq_adc yields NULL sim for
+    // them on every probe forever. Drop them at WRITE time (one cheap
+    // IsNotNull the scan pushes down), so the probe path never carries
+    // or re-filters them.
     corpus.select(col(idCol),
         graft.plans.PqExpressions.pq_encode(col(vecCol), cb.ncodes,
           cb.dsub, cb.flat).as("codes"))
+      .filter(col("codes").isNotNull)
       .write.mode("overwrite").parquet(s"$path/codes")
   }
 
@@ -655,24 +661,41 @@ object Similarity {
       import spark.implicits._
       Seq(residual).toDF("residual")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+      // same null-code drop as writePqIndex: wrong-length vectors must
+      // not persist as forever-null ADC rows
       encodeSrc.select(col(idCol), col("cell"),
           graft.plans.PqExpressions.pq_encode(col("__enc"), cb.ncodes,
             cb.dsub, cb.flat).as("codes"))
+        .filter(col("codes").isNotNull)
         .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
     } finally if (residual) { encodeSrc.unpersist(); () }
   }
 
-  /** The residual flag of a [[writeIvfPqIndex]] layout; layouts from
-    * before the meta sidecar existed read as non-residual. */
+  /** The residual flag of a [[writeIvfPqIndex]] layout. Every layout
+    * writeIvfPqIndex has ever produced carries the meta sidecar, so a
+    * `$path/codes` store with no readable meta is NOT an old layout —
+    * it is a torn or partially-copied one (committer configured with
+    * marksuccessfuljobs=false, an interrupted distcp), and defaulting
+    * it to non-residual would probe a residual index without the query
+    * rebase: wrong neighbors, no error. Fail loudly instead. The test
+    * looks for actual meta PARQUET files via Hadoop FS (not
+    * java.io.File — a local-only test on an HDFS/S3 layout would
+    * always miss — and not `_SUCCESS` alone, which a
+    * marksuccessfuljobs=false committer legitimately omits). */
   def readIvfPqMeta(spark: SparkSession, path: String): Boolean = {
-    // Hadoop FS, not java.io.File (the checkIndexParams convention):
-    // a local-only existence test on an HDFS/S3 layout would always
-    // read false and silently probe a residual index without the
-    // query rebase — wrong neighbors, no error
-    val f = new org.apache.hadoop.fs.Path(s"$path/meta/_SUCCESS")
-    val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(f) && spark.read.parquet(s"$path/meta")
-      .head().getBoolean(0)
+    val meta = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasMetaParquet = fs.exists(meta) &&
+      fs.listStatus(meta).exists { st =>
+        val n = st.getPath.getName
+        st.isFile && n.endsWith(".parquet") && !n.startsWith("_") &&
+          !n.startsWith(".")
+      }
+    require(hasMetaParquet,
+      s"readIvfPqMeta: no readable meta sidecar at $path/meta — torn " +
+        "or partially-copied IVF-PQ store (every writeIvfPqIndex " +
+        "layout has one); refusing to guess the residual flag")
+    spark.read.parquet(s"$path/meta").head().getBoolean(0)
   }
 
   /** Probe an IVF-PQ layout: nprobe nearest cells per query (coarse

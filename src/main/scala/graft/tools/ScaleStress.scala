@@ -447,7 +447,7 @@ object ScaleStress {
       import org.apache.spark.sql.util.QueryExecutionListener
       val skewParts = new java.util.concurrent.atomic.AtomicLong
       val skewSplits = new java.util.concurrent.atomic.AtomicLong
-      spark.listenerManager.register(new QueryExecutionListener {
+      val skewListener = new QueryExecutionListener {
         override def onSuccess(name: String, qe: QueryExecution,
             durationNs: Long): Unit = {
           val (p, s) = org.apache.spark.sql.graft.bridge
@@ -456,12 +456,15 @@ object ScaleStress {
         }
         override def onFailure(name: String, qe: QueryExecution,
             error: Exception): Unit = ()
-      })
+      }
+      spark.listenerManager.register(skewListener)
       val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
       spark.conf.set("spark.sql.shuffle.partitions", "256")
       // try/finally: an OOM/failure in the timed leg must not leave
       // the 256-partition override active for later legs in a chained
-      // run — their timings would quietly distort
+      // run — their timings would quietly distort. Same for the
+      // listener: unregister it so a chained run's later legs don't
+      // keep incrementing these atomics.
       try {
         println(f"\n${"docs"}%10s ${"web_kept"}%9s ${"t_web"}%8s " +
           f"${"web_shufMB"}%11s ${"skew_parts"}%11s ${"skew_splits"}%12s")
@@ -479,10 +482,17 @@ object ScaleStress {
           Corpus.dedupKeepFirst(kept.select(col("doc_id"), col("text")),
             "text", "doc_id", "\n").count()
         }
-        Thread.sleep(2000) // QueryExecutionListener events land async
+        // settle the listener bus instead of a fixed sleep: async
+        // execution events still in flight would undercount the skew
+        // tallies (ADVICE r12)
+        org.apache.spark.sql.graft.bridge.settleListenerBus(
+          spark.sparkContext, 30000L)
         println(f"$n%10d $nWeb%9d $tWeb%8.1f $mbWeb%11.1f " +
           f"${skewParts.get}%11d ${skewSplits.get}%12d")
-      } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+        spark.listenerManager.unregister(skewListener)
+      }
     }
 
     // Round-11 substring-index drill: incremental substring dedup of a

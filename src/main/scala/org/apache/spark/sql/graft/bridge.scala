@@ -35,6 +35,17 @@ object bridge {
     nodes(plan).map(c => c.name -> c.collectedMetrics).toMap
   }
 
+  /** Block until the shared listener bus has dispatched every queued
+    * event (QueryExecutionListener callbacks ride an AsyncEventQueue on
+    * this bus). The instrument the skew-tally drills use instead of a
+    * fixed sleep — a sleep can return while execution events are still
+    * in flight and silently undercount. `waitUntilEmpty` is
+    * private[spark] in source, hence this bridge. */
+  def settleListenerBus(sc: org.apache.spark.SparkContext,
+      timeoutMs: Long): Unit =
+    try sc.listenerBus.waitUntilEmpty(timeoutMs)
+    catch { case _: java.util.concurrent.TimeoutException => () }
+
   /** (numSkewedPartitions, numSkewedSplits) summed over every
     * AQEShuffleRead in an executed adaptive plan — the instrument the
     * 10^8-doc flagship drill uses to record whether AQE's skew-join

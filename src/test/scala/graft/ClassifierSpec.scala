@@ -154,4 +154,19 @@ class ClassifierSpec extends AnyFunSuite {
       TextClassifier.score(df, "doc_id", "text", new Array[Double](5), k = 128)
     }
   }
+
+  test("weight store round-trips; a torn store (gap in the index grid) " +
+      "is rejected, not silently read as weight 0.0") {
+    val w = Array(0.5, -1.25, 3.0, 0.0, 42.0)
+    val p = java.nio.file.Files.createTempDirectory("clfw").toString
+    TextClassifier.writeWeights(spark, w, p)
+    assert(TextClassifier.readWeights(spark, p).toSeq == w.toSeq)
+    // simulate the torn copy: drop one interior row and rewrite
+    spark.read.parquet(s"$p/model").filter(col("i") =!= 2L)
+      .write.mode("overwrite").parquet(s"$p/torn/model")
+    val e = intercept[IllegalArgumentException] {
+      TextClassifier.readWeights(spark, s"$p/torn")
+    }
+    assert(e.getMessage.contains("torn store"))
+  }
 }

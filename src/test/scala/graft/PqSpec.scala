@@ -109,6 +109,45 @@ class PqSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("an IVF-PQ store with codes but no meta sidecar is refused — " +
+      "never silently probed as non-residual") {
+    val rnd = new scala.util.Random(7)
+    val df = (1L to 60L).map(i => (i, Seq.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val p = java.nio.file.Files.createTempDirectory("pqtorn").toString
+    val coarse = Similarity.trainCentroids(df, "embedding", 4)
+    Similarity.writeIvfPqIndex(df, p, coarse, m = 4, ncodes = 4)
+    // simulate the partial copy: delete the meta directory entirely
+    // (a marksuccessfuljobs=false committer would instead leave parquet
+    // without _SUCCESS — which must STILL read fine, checked below)
+    def rmr(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmr)); f.delete(); ()
+    }
+    // _SUCCESS absent but parquet present → reads fine (the committer
+    // config case the _SUCCESS-only probe used to break)
+    new java.io.File(s"$p/meta/_SUCCESS").delete()
+    assert(!Similarity.readIvfPqMeta(spark, p))
+    rmr(new java.io.File(s"$p/meta"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.readIvfPqMeta(spark, p)
+    }
+    assert(e.getMessage.contains("torn"))
+  }
+
+  test("wrong-length vectors are dropped at PQ index write, not " +
+      "persisted as null-code rows") {
+    val rnd = new scala.util.Random(11)
+    val ok = (1L to 40L).map(i =>
+      (i, Seq.fill(8)(rnd.nextGaussian().toFloat)))
+    val bad = Seq((999L, Seq(1.0f, 2.0f, 3.0f))) // |v|=3 ≠ 8
+    val df = (ok ++ bad).toDF("vec_id", "embedding")
+    val p = java.nio.file.Files.createTempDirectory("pqnull").toString
+    Similarity.writePqIndex(df, p, m = 4, ncodes = 4)
+    val codes = spark.read.parquet(s"$p/codes")
+    assert(codes.filter(col("codes").isNull).count() == 0)
+    assert(codes.count() == 40)
+  }
+
   test("PQ and IVF-PQ recall vs exact L2 on the real embeddings table") {
     val em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = em.filter(col("vec_id") < 3)
