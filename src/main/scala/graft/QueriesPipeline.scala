@@ -150,6 +150,17 @@ object QueriesPipeline {
     ensureStaged(s, dir, "ivf_n8", "centroids", "embeddings")(p =>
       Similarity.writeIvfIndex(t(s, dir, "embeddings"), p, nlist = 8))
 
+  /** Build-if-stale the HIERARCHICAL (two-level) IVF index: a 3×3
+    * grid — tiny here so the fixture populates every cell, but the
+    * same fit/assign/probe path that holds at nlist 10⁵⁻⁶ (drilled in
+    * `ScaleStress coarse`). */
+  private def ensureIvfHierIndex(s: SparkSession, dir: String): String =
+    ensureStaged(s, dir, "ivfh_3x3", "index", "embeddings")(p => {
+      Similarity.writeIvfIndexHier(t(s, dir, "embeddings"), p, nlist = 9,
+        minPointsPerCentroid = 8)
+      ()
+    })
+
   /** Build-if-stale the flat PQ index (m=8 subspaces × ncodes=16,
     * d=64 → 8 ints/vector) that q_embed_pq_codes and q_sim_knn_pq (and
     * their oracles) share — the [[ensureIvfIndex]] convention. */
@@ -321,6 +332,42 @@ object QueriesPipeline {
           FROM elig a JOIN elig b
             ON a.fp = b.fp AND a.doc_id < b.doc_id
           GROUP BY 1, 2 HAVING count(*) >= 4)""").replace("__SRC__", src)
+
+  /** DuckDB replay of the [[graft.sinks.Shards]] packing, from a CTE
+    * named `src(doc_id, text)` (the rows read back OUT of a written
+    * shard tree): the md5("id:seed") shuffle key (seed 0, id appended
+    * — [[graft.operators.Corpus.shuffleKey]]), whitespace token
+    * counts (the q_pack_sequences replay, null → 0 mirroring the
+    * writers' coalesce), the running prefix sum in key order, bins of
+    * `tokensPerBin`, shards of `binsPerShard` bins. Ends in
+    * `b(seq_id, shardR, n)`. */
+  private def shardReplayCtes(tokensPerBin: String,
+      binsPerShard: String): String = s"""t AS (
+          SELECT
+            md5(coalesce(CAST(doc_id AS VARCHAR), '') || ':0') || ':' ||
+              coalesce(CAST(doc_id AS VARCHAR), '') AS ord,
+            CASE WHEN text IS NULL THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n
+          FROM src
+        ), c AS (
+          SELECT ord, n,
+            coalesce(sum(n) OVER (ORDER BY ord
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+          FROM t
+        ), b AS (
+          SELECT CAST(floor(cb / $tokensPerBin) AS BIGINT) AS seq_id,
+            CAST(floor(floor(cb / $tokensPerBin) / $binsPerShard)
+              AS BIGINT) AS shardR, n
+          FROM c)"""
+
+  /** The manifest aggregation over [[shardReplayCtes]]' `b` — the
+    * (shard, n_docs, n_tokens, n_bins) rows both shard writers
+    * return. */
+  private val shardReplaySelect: String = """
+        SELECT shardR AS shard, count(*) AS n_docs,
+          CAST(sum(n) AS BIGINT) AS n_tokens,
+          CAST(count(DISTINCT seq_id) AS BIGINT) AS n_bins
+        FROM b GROUP BY 1"""
 
   /** DuckDB replay of [[tile5]]: `ch(doc_id, pos, u)` from a CTE named
     * `ds(doc_id, ws)`. */
@@ -2604,8 +2651,13 @@ object QueriesPipeline {
     // image gains a brightness-shifted PNG twin (a REAL different
     // payload), and the perceptual-dHash pipeline (hash → 8×8-bit
     // banding → Hamming verify; images never shuffle) must pair each
-    // with its twin. Rows-only — no image surface in DuckDB; the
-    // invariance/selectivity laws live in MultimodalSpec.
+    // with its twin. r13: STRICT oracle via the persisted-artifact
+    // move — the query already stages the decoded (media_id, phash)
+    // index; DuckDB replays the 8×8-bit banding, the 2..maxBucket
+    // bucket cap, the canonical id1<id2 pairing, and the
+    // bit_count(xor) Hamming verify from those persisted hashes.
+    // Only the JPEG/PNG decode stays outside (no image surface in
+    // DuckDB); its invariance/selectivity laws live in MultimodalSpec.
     "q_multimodal_image_dedup" -> Entry(
       (s, dir) => {
         import graft.operators.Multimodal
@@ -2643,7 +2695,30 @@ object QueriesPipeline {
             s.read.parquet(hp), maxHamming = 7)
           .select(col("id1"), col("id2"), col("hamming"))
       },
-      None),
+      Some(s"""WITH h AS (
+          SELECT media_id, phash FROM read_parquet(
+            '{STAGING:media_hashes_g${
+              graft.operators.Multimodal.mediaGeneration}}/*.parquet')
+        ), bands AS (
+          SELECT media_id, b.band,
+            (phash >> (CAST(b.band AS INTEGER) * 8)) & 255 AS band_hash
+          FROM h, (SELECT unnest(range(8)) AS band) b
+        ), bsz AS (
+          SELECT band, band_hash, count(*) AS n
+          FROM bands GROUP BY 1, 2
+        ), cands AS (
+          SELECT DISTINCT a.media_id AS id1, b.media_id AS id2
+          FROM bands a
+          JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+            AND a.media_id < b.media_id
+          JOIN bsz ON bsz.band = a.band AND bsz.band_hash = a.band_hash
+          WHERE bsz.n BETWEEN 2 AND 1000)
+        SELECT c.id1, c.id2,
+          CAST(bit_count(xor(h1.phash, h2.phash)) AS INTEGER) AS hamming
+        FROM cands c
+        JOIN h h1 ON h1.media_id = c.id1
+        JOIN h h2 ON h2.media_id = c.id2
+        WHERE bit_count(xor(h1.phash, h2.phash)) <= 7""")),
 
     // LSH-bucketed ANN, multi-probe: 8-bit signature + Hamming-1 probes
     // — each query reranks ~9/256 of the corpus (falls with more bits)
@@ -2824,6 +2899,83 @@ object QueriesPipeline {
                   CAST(c.centroid AS DOUBLE[])) DESC, c.cell) AS pr
             FROM q CROSS JOIN cents c)
           WHERE pr <= 4)
+        SELECT qid, rnk, vec_id FROM (
+          SELECT p.qid, a.vec_id,
+            row_number() OVER (PARTITION BY p.qid ORDER BY
+              list_cosine_similarity(CAST(ce.embedding AS DOUBLE[]),
+                CAST(qe.embedding AS DOUBLE[])) DESC, a.vec_id) AS rnk
+          FROM assigned a
+          JOIN qcell p ON a.cell = p.cell
+          JOIN embeddings ce ON ce.vec_id = a.vec_id
+          JOIN embeddings qe ON qe.vec_id = p.qid
+          WHERE a.vec_id <> p.qid)
+        WHERE rnk <= 10""")),
+
+    // Hierarchical (two-level) IVF ANN — the fit/assign/probe that
+    // scales past the flat quantizer's driver-Lloyd + literal-fold
+    // ceiling: k1 level-1 cells × k2 sub-centroids each, composed
+    // cell = c1·k2 + c2, assignment/probe O(√nlist) per vector via
+    // codegen kernels carrying the quantizer as a reference object
+    // (FAISS inverted-multi-index shape). STRICT oracle: DuckDB reads
+    // the persisted l1/quantizer sidecars and replays BOTH argmax
+    // stages of the assignment, the beam-2 probe (top-2 level-1 cells,
+    // then top-4 composed cells among their subs), and the exact-
+    // cosine rerank — only the k-means fits stay outside. The 3×3
+    // grid here is fixture-sized; CoarseSpec pins kernel laws and
+    // `ScaleStress coarse` measures the fit at nlist ≥ 16k.
+    "q_sim_ivf_hier" -> Entry(
+      (s, dir) => {
+        val idxPath = ensureIvfHierIndex(s, dir)
+        val em = t(s, dir, "embeddings")
+        val queries = em.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        Similarity.ivfHierTopKFromIndex(s, idxPath, queries, 10,
+            nprobe = 4, beam = 2)
+          .select(col("qid"), col("rank").as("rnk"), col("vec_id"))
+      },
+      Some("""WITH l1c AS (
+          SELECT c1, CAST(centroid AS DOUBLE[]) AS c
+          FROM read_parquet('{STAGING:ivfh_3x3}/l1/*.parquet')
+        ), l2c AS (
+          SELECT c1, c1 * 3 + c2 AS cell, CAST(centroid AS DOUBLE[]) AS c
+          FROM read_parquet('{STAGING:ivfh_3x3}/quantizer/*.parquet')
+        ), a1 AS (
+          SELECT vec_id, c1 FROM (
+            SELECT e.vec_id, l.c1,
+              row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                  l.c) DESC, l.c1) AS r
+            FROM embeddings e CROSS JOIN l1c l)
+          WHERE r = 1
+        ), assigned AS (
+          SELECT vec_id, cell FROM (
+            SELECT a1.vec_id, s.cell,
+              row_number() OVER (PARTITION BY a1.vec_id ORDER BY
+                list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                  s.c) DESC, s.cell) AS r
+            FROM a1 JOIN embeddings e USING (vec_id)
+            JOIN l2c s ON s.c1 = a1.c1)
+          WHERE r = 1
+        ), q AS (
+          SELECT vec_id AS qid, embedding FROM embeddings
+          WHERE vec_id < 5
+        ), qb AS (
+          SELECT qid, c1 FROM (
+            SELECT q.qid, l.c1,
+              row_number() OVER (PARTITION BY q.qid ORDER BY
+                list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                  l.c) DESC, l.c1) AS r
+            FROM q CROSS JOIN l1c l)
+          WHERE r <= 2
+        ), qcell AS (
+          SELECT qid, cell FROM (
+            SELECT q.qid, s.cell,
+              row_number() OVER (PARTITION BY q.qid ORDER BY
+                list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                  s.c) DESC, s.cell) AS r
+            FROM q JOIN qb ON qb.qid = q.qid
+            JOIN l2c s ON s.c1 = qb.c1)
+          WHERE r <= 4)
         SELECT qid, rnk, vec_id FROM (
           SELECT p.qid, a.vec_id,
             row_number() OVER (PARTITION BY p.qid ORDER BY
@@ -3347,33 +3499,59 @@ object QueriesPipeline {
     // is deterministic for (corpus, seed, budgets) but involves a
     // filesystem round-trip, so rows-only; ShardsSpec pins bounds,
     // losslessness, and rerun-stability.
+    // Token-packed parquet training shards. r13: STRICT oracle — the
+    // shards now land in a staged (mtime-guarded) tree the oracle can
+    // reach after the Spark JVM exits, and DuckDB replays the WHOLE
+    // packing independently from only the (doc_id, text) it reads back
+    // out of the written files: the md5("id:seed") shuffle order, the
+    // whitespace token counts, the running prefix sum, the 4096-token
+    // bins, the 256-bin shards, then the manifest aggregation. A
+    // writer that dropped rows, misassigned a shard, or persisted a
+    // wrong __tok/seq_id shifts the replayed prefix sums and
+    // hash-mismatches. (Staging replaces the old per-invocation temp:
+    // same build-if-stale sharing contract as every persisted index.)
     "q_shards_manifest" -> Entry(
       (s, dir) => {
-        // invocation-private (concurrency rationale at Q.tempDir) and
-        // read LAZILY by the returned manifest, so it lives until JVM
-        // exit, where the hook reclaims it
-        val out = Q.tempDir("graft_shards") + "/shards"
-        // slim projection: the shard files (a per-invocation temp tree)
-        // only need the columns the packer consumes
-        graft.sinks.Shards.writeTrainingShards(
-          t(s, dir, "documents").select(col("doc_id"), col("text")),
-          "doc_id", "text", out)
+        val p = ensureStaged(s, dir, "pshards_v1", "", "documents")(pp => {
+          // slim projection: the shard files only need the columns the
+          // packer consumes
+          graft.sinks.Shards.writeTrainingShards(
+            t(s, dir, "documents").select(col("doc_id"), col("text")),
+            "doc_id", "text", pp)
+          ()
+        })
+        graft.sinks.Shards.manifest(s, p)
       },
-      None),
+      Some(s"""WITH src AS (
+          SELECT doc_id, text FROM read_parquet(
+            '{STAGING:pshards_v1}/shard=*/*.parquet')
+        ), ${shardReplayCtes("4096", "256")}"""
+        + shardReplaySelect)),
 
     // Gzip-JSONL shard export (Shards.writeJsonlShards): the Dolma-
     // lineage wire format under the SAME packing discipline as the
     // parquet writer — ShardsSpec pins manifest equality between the
-    // two. Rows-only like every file-IO sink (the manifest is the
-    // auditable surface; byte layout is spec-checked).
+    // two. r13: STRICT oracle, one step deeper than the parquet twin —
+    // DuckDB's read_json consumes the written gzip-JSONL tree
+    // natively, so the replay ALSO proves the shards are readable
+    // outside Spark (the wire-format contract of the layout) and that
+    // text survives the JSON round-trip, before replaying the same
+    // full packing from (doc_id, text).
     "q_shards_jsonl" -> Entry(
       (s, dir) => {
-        val out = Q.tempDir("graft_jshards") + "/shards"
-        graft.sinks.Shards.writeJsonlShards(
-          t(s, dir, "documents").select(col("doc_id"), col("text")),
-          "doc_id", "text", out)
+        val p = ensureStaged(s, dir, "jshards_v1", "", "documents")(pp => {
+          graft.sinks.Shards.writeJsonlShards(
+            t(s, dir, "documents").select(col("doc_id"), col("text")),
+            "doc_id", "text", pp)
+          ()
+        })
+        graft.sinks.Shards.manifestJsonl(s, p)
       },
-      None),
+      Some(s"""WITH src AS (
+          SELECT doc_id, text FROM read_json(
+            '{STAGING:jshards_v1}/shard=*/*.json.gz')
+        ), ${shardReplayCtes("4096", "256")}"""
+        + shardReplaySelect)),
 
     // WebDataset-style tar shards: the multimodal training-export
     // layout (one tar per shard, samples as <key>.<ext> member runs).

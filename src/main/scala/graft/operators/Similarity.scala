@@ -227,6 +227,18 @@ object Similarity {
   def trainCentroids(corpus: DataFrame, vecCol: String, nlist: Int,
       trainFraction: Double = 1.0,
       maxTrainRows: Int = 1 << 16): Seq[(Int, Array[Float])] = {
+    // The driver-local fit's ceiling, enforced rather than documented:
+    // past a few thousand cells the Lloyd loop is
+    // O(sample·nlist·d·iters) on one node AND the literal-folding
+    // assignment/probe expressions downstream grow O(nlist) Catalyst
+    // nodes. The nlist ∝ n sizing a 10⁹-vector corpus implies belongs
+    // to the two-level path ([[trainCoarseHierarchical]]), whose fit
+    // is distributed and whose kernels carry the quantizer as a
+    // reference object.
+    require(nlist <= 4096,
+      s"trainCentroids: nlist=$nlist exceeds the driver-local fit's " +
+        "ceiling (4096) — use trainCoarseHierarchical / " +
+        "writeIvfIndexHier for large-nlist quantizers")
     val sampled =
       if (trainFraction < 1.0)
         corpus.sample(withReplacement = false, trainFraction, 42L)
@@ -261,6 +273,27 @@ object Similarity {
       else projected).collect()
       .map(_.getSeq[Float](0).toArray).filter(_.nonEmpty)
     require(collected.nonEmpty, s"trainCentroids: no non-empty '$vecCol'")
+    if (collected.length < 32L * nlist)
+      log.warn(s"trainCentroids: ${collected.length} training points " +
+        s"for nlist=$nlist (${collected.length / math.max(1, nlist)} " +
+        "per centroid, < 32) — cells will be statistically noisy; " +
+        "raise trainFraction/maxTrainRows or lower nlist")
+    lloydFit(collected, nlist, par = true)
+      .zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+  }
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** The deterministic local k-means both quantizer fits share:
+    * content-sort (layout independence), k-means++ seeding on a fixed
+    * LCG, ≤10 Lloyd iterations. `par` parallelizes the assignment step
+    * across driver cores — executors calling this from inside a task
+    * (the hierarchical level-2 fits) pass false to avoid thread
+    * oversubscription; results are identical either way (assignment is
+    * pure per point and order-preserved). Returns min(k, |data|)
+    * centers. */
+  private[operators] def lloydFit(collected: Array[Array[Float]],
+      nlist: Int, par: Boolean): Array[Array[Float]] = {
     val data: Array[Array[Float]] = {
       implicit val fo: Ordering[Float] = Ordering.Float.TotalOrdering
       import scala.math.Ordering.Implicits._
@@ -304,13 +337,15 @@ object Similarity {
     var iter = 0
     while (moved && iter < 10) {
       val cs = cents
-      val assign = data.par.map { v =>
+      def nearest(v: Array[Float]): Int = {
         var best = 0; var bd = Double.MaxValue; var c = 0
         while (c < cs.length) {
           val d = d2(v, cs(c)); if (d < bd) { bd = d; best = c }; c += 1
         }
         best
-      }.toArray
+      }
+      val assign =
+        if (par) data.par.map(nearest).toArray else data.map(nearest)
       val sums = Array.fill(k)(new Array[Double](dim))
       val counts = new Array[Long](k)
       var i = 0
@@ -329,7 +364,7 @@ object Similarity {
       cents = next
       iter += 1
     }
-    cents.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+    cents
   }
 
   /** Per-cell cosine sims as array<struct<sim, negCell>> — a pure
@@ -438,6 +473,235 @@ object Similarity {
     // losing its candidates
     val probes = queries.select(col(qidCol), col(qvecCol),
       explode(probeCells(col(qvecCol), cents, nprobe)).as("cell"))
+      .localCheckpoint(eager = true)
+    val probedCells = probes.select("cell").distinct()
+      .collect().map(_.getInt(0)) // |q|·nprobe ints — driver-bounded
+    val index = spark.read.parquet(s"$path/index")
+      .filter(col("cell").isin(probedCells.toSeq: _*)) // partition pruning
+    rerankWithinCells(index, probes, k, idCol, vecCol, qidCol, qvecCol)
+  }
+
+  // ---- hierarchical (two-level) coarse quantizer ----------------------
+
+  /** A trained two-level coarse quantizer: `k1` level-1 cells, each
+    * owning `k2` sub-centroids; composed cell id = c1·k2 + c2, so
+    * nlist = k1·k2 (a request rounds UP to the grid). `l1` is the k1
+    * level-1 centroids, `l2` the full (c1, c2, centroid) grid. The
+    * FlatSeq views wrap the float-upcast-to-double tables the kernels
+    * and any external replayer consume — one upcast, shared values. */
+  final case class CoarseQuantizer(k1: Int, k2: Int, dim: Int,
+      l1: Seq[(Int, Array[Float])],
+      l2: Seq[(Int, Int, Array[Float])]) {
+    def nlist: Int = k1 * k2
+    private def flatten(rows: Seq[(Int, Array[Float])]): Array[Double] = {
+      val out = new Array[Double](rows.length * dim)
+      rows.sortBy(_._1).zipWithIndex.foreach { case ((_, v), i) =>
+        var j = 0
+        while (j < dim) { out(i * dim + j) = v(j).toDouble; j += 1 }
+      }
+      out
+    }
+    lazy val l1FlatSeq: Seq[Double] =
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(flatten(l1))
+    lazy val l2FlatSeq: Seq[Double] =
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(flatten(
+        l2.map { case (c1, c2, v) => (c1 * k2 + c2, v) }))
+  }
+
+  /** Train the two-level quantizer — the fit that scales past
+    * [[trainCentroids]]' driver-Lloyd ceiling (the nlist ∝ n sizing a
+    * 10⁹-vector corpus implies: nlist ~ 10⁵⁻⁶, where a flat fit gives
+    * <1 sample point per centroid and hours of driver loop).
+    *
+    * Level 1 (k1 ≈ √nlist cells) fits with the SAME bounded
+    * deterministic driver-Lloyd as every other quantizer — √nlist
+    * stays driver-sized up to nlist ~ 16M. Level 2 runs DISTRIBUTED:
+    * one assignment scan tags each sampled vector with its level-1
+    * cell (the [[graft.plans.CoarseKernels]] kernel, zero literals),
+    * then every cell's k2-center sub-fit executes as its own task
+    * ([[lloydFit]] inside flatMapGroups — same content-sort + LCG
+    * arithmetic, so the result is layout-independent). Fit wall grows
+    * ~√nlist, not nlist.
+    *
+    * Scale contract: the only shuffle carries the capped training
+    * sample (≤ ~2·k1·perCellCap vector rows — globally pre-thinned by
+    * a content-independent Bernoulli, per-cell capped by content-hash
+    * order, both deterministic); each sub-fit task holds ≤ perCellCap
+    * vectors. Fails fast when the sample provides fewer than
+    * `minPointsPerCentroid` training points per centroid overall —
+    * statistically meaningless cells should stop the build, not ship
+    * a bad index (raise trainFraction or lower nlist).
+    *
+    * Level-1 cells whose sample slice is too small to fit k2 distinct
+    * sub-centroids pad the remaining slots with the level-1 centroid
+    * itself — duplicate centroids are harmless (argmax ties break to
+    * the lowest id; padded cells just stay empty). */
+  def trainCoarseHierarchical(corpus: DataFrame, vecCol: String,
+      nlist: Int, trainFraction: Double = 1.0,
+      minPointsPerCentroid: Int = 32,
+      perCellCap: Int = 1 << 13): CoarseQuantizer = {
+    require(nlist >= 4, s"trainCoarseHierarchical: nlist=$nlist < 4 — " +
+      "use trainCentroids for tiny quantizers")
+    require(perCellCap > 0 && minPointsPerCentroid > 0,
+      "perCellCap and minPointsPerCentroid must be positive")
+    val k1 = math.ceil(math.sqrt(nlist.toDouble)).toInt
+    val k2 = math.ceil(nlist.toDouble / k1).toInt
+    val l1Fit = trainCentroids(corpus, vecCol, k1, trainFraction,
+      maxTrainRows = 1 << 15)
+    require(l1Fit.size == k1,
+      s"trainCoarseHierarchical: sample yielded only ${l1Fit.size} " +
+        s"level-1 cells for k1=$k1 — the corpus is too small for " +
+        s"nlist=$nlist; use trainCentroids")
+    val dim = l1Fit.head._2.length
+    val l1Seq: Seq[Double] = {
+      val out = new Array[Double](k1 * dim)
+      l1Fit.sortBy(_._1).zipWithIndex.foreach { case ((_, v), i) =>
+        var j = 0
+        while (j < dim) { out(i * dim + j) = v(j).toDouble; j += 1 }
+      }
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+    }
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sampled =
+      if (trainFraction < 1.0)
+        corpus.sample(withReplacement = false, trainFraction, 43L)
+      else corpus
+    val vecs = sampled.select(col(vecCol).cast("array<float>").as("__v"))
+      .filter(size(col("__v")) === dim)
+    // global pre-thin before the per-cell window: the window shuffles
+    // its input, so bound it at ~2× the per-cell caps' total instead
+    // of the whole (sampled) corpus
+    val n = vecs.count()
+    val globalCap = 2L * k1 * perCellCap
+    val thinned =
+      if (n > globalCap)
+        vecs.sample(withReplacement = false,
+          math.min(1.0, globalCap.toDouble / n), 4242L)
+      else vecs
+    // level-1 tag via the kernel with k2=1 and l2=l1 (composed cell
+    // degenerates to c1) — zero literals, one scan
+    val assigned = thinned.select(col("__v"),
+      graft.plans.CoarseExpressions.coarse_assign(col("__v"), k1, 1,
+        dim, l1Seq, l1Seq).as("__c1"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("__c1")
+      .orderBy(xxhash64(col("__v")), col("__v"))
+    val capped = assigned
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= perCellCap)
+      .select(col("__c1"), col("__v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val total = capped.count()
+      require(total >= minPointsPerCentroid.toLong * k1 * k2,
+        s"trainCoarseHierarchical: $total training points for " +
+          s"nlist=${k1 * k2} is ${total / math.max(1, k1 * k2)} per " +
+          s"centroid (< $minPointsPerCentroid) — statistically " +
+          "meaningless cells; raise trainFraction/perCellCap or lower " +
+          "nlist")
+      val subs = capped.as[(Int, Array[Float])]
+        .groupByKey(_._1)
+        .flatMapGroups { (c1, it) =>
+          val data = it.map(_._2).toArray
+          lloydFit(data, k2, par = false)
+            .iterator.zipWithIndex.map { case (v, c2) => (c1, c2, v) }
+        }.collect()
+      val byC1 = subs.groupBy(_._1)
+      val l1Map = l1Fit.toMap
+      val l2 = (0 until k1).flatMap { c1 =>
+        val have = byC1.getOrElse(c1, Array.empty[(Int, Int, Array[Float])])
+          .map(s => s._2 -> s._3).toMap
+        (0 until k2).map(c2 => (c1, c2, have.getOrElse(c2, l1Map(c1))))
+      }
+      CoarseQuantizer(k1, k2, dim, l1Fit, l2)
+    } finally { capped.unpersist(); () }
+  }
+
+  /** Composed cell id of a vector under a hierarchical quantizer —
+    * the O(√nlist)-per-row, zero-literal sibling of [[nearestCell]]. */
+  def assignCellHier(vec: Column, cq: CoarseQuantizer): Column =
+    graft.plans.CoarseExpressions.coarse_assign(vec, cq.k1, cq.k2,
+      cq.dim, cq.l1FlatSeq, cq.l2FlatSeq)
+
+  /** The nprobe best composed cells searched through `beam` level-1
+    * cells — [[probeCells]]' hierarchical sibling. Approximate in
+    * beam: a near cell under an unopened level-1 cell is missed
+    * (recall vs the exhaustive probe measured in CoarseSpec). */
+  def probeCellsHier(vec: Column, cq: CoarseQuantizer, nprobe: Int,
+      beam: Int): Column =
+    graft.plans.CoarseExpressions.coarse_probe(vec, cq.k1, cq.k2,
+      cq.dim, cq.l1FlatSeq, cq.l2FlatSeq, nprobe, beam)
+
+  /** Materialize a hierarchical IVF index: corpus partitioned by
+    * composed cell, quantizer as (l1, quantizer, meta) sidecars — the
+    * [[writeIvfIndex]] layout generalized to the two-level fit. The
+    * assignment scan carries the quantizer as a reference object, so
+    * the plan is O(1) in nlist and the write is one zero-Exchange
+    * scan + partitioned layout, same as the flat path. */
+  def writeIvfIndexHier(corpus: DataFrame, path: String, nlist: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      trainFraction: Double = 1.0, minPointsPerCentroid: Int = 32,
+      perCellCap: Int = 1 << 13): CoarseQuantizer = {
+    val cq = trainCoarseHierarchical(corpus, vecCol, nlist,
+      trainFraction, minPointsPerCentroid, perCellCap)
+    val spark = corpus.sparkSession
+    spark.createDataFrame(cq.l1.map { case (c1, v) => (c1, v.toSeq) })
+      .toDF("c1", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/l1")
+    spark.createDataFrame(
+        cq.l2.map { case (c1, c2, v) => (c1, c2, v.toSeq) })
+      .toDF("c1", "c2", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/quantizer")
+    import spark.implicits._
+    Seq((cq.k1, cq.k2, cq.dim)).toDF("k1", "k2", "dim")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    corpus.select(col(idCol), col(vecCol),
+        assignCellHier(col(vecCol), cq).as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/index")
+    cq
+  }
+
+  /** Load a [[writeIvfIndexHier]] quantizer, driver-side (k1·k2 rows).
+    * Torn-store validation per the readPqCodebooks convention: the
+    * sidecars are complete grids by construction, so any gap,
+    * duplicate, dim drift, or meta mismatch is a partial copy and
+    * fails here rather than as silent mis-assignment. */
+  def readCoarseQuantizer(spark: SparkSession,
+      path: String): CoarseQuantizer = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val (k1, k2, dim) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    val l1 = spark.read.parquet(s"$path/l1").collect().toSeq
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    require(l1.length == k1 && l1.map(_._1).distinct.length == k1 &&
+        l1.forall(_._2.length == dim),
+      s"readCoarseQuantizer: l1 sidecar at $path is not a complete " +
+        s"$k1×$dim grid — torn store?")
+    val l2 = spark.read.parquet(s"$path/quantizer").collect().toSeq
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+      .sortBy(c => (c._1, c._2))
+    require(l2.length == k1 * k2 &&
+        l2.map(c => (c._1, c._2)).distinct.length == l2.length &&
+        l2.forall(_._3.length == dim),
+      s"readCoarseQuantizer: quantizer sidecar at $path is not a " +
+        s"complete $k1×$k2×$dim grid — torn store?")
+    CoarseQuantizer(k1, k2, dim, l1, l2)
+  }
+
+  /** Probe a hierarchical IVF index: same partition-pruned shape as
+    * [[ivfTopKFromIndex]] (probed `cell isin` is a PARTITION filter;
+    * queries broadcast; exact cosine rerank within probed cells), with
+    * the O(√nlist) kernel probe in place of the literal fold. */
+  def ivfHierTopKFromIndex(spark: SparkSession, path: String,
+      queries: DataFrame, k: Int, nprobe: Int = 4, beam: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    val cq = readCoarseQuantizer(spark, path)
+    // materialize-once contract shared with ivfTopKFromIndex: the
+    // pruning collect and the rerank join must see identical probes
+    val probes = queries.select(col(qidCol), col(qvecCol),
+      explode(probeCellsHier(col(qvecCol), cq, nprobe, beam)).as("cell"))
       .localCheckpoint(eager = true)
     val probedCells = probes.select("cell").distinct()
       .collect().map(_.getInt(0)) // |q|·nprobe ints — driver-bounded

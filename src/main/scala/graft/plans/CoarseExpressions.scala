@@ -1,0 +1,313 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Two-level (hierarchical) coarse-quantizer kernels — the IVF cell
+  * assignment and probe that stay tractable past the flat quantizer's
+  * ceiling.
+  *
+  * The flat IVF path ([[graft.operators.Similarity.nearestCell]]) folds
+  * every centroid into the plan as a LITERAL struct and scores all
+  * `nlist` of them per vector: O(nlist·d) per row and an O(nlist)
+  * Catalyst expression tree — both fine at nlist ≤ a few thousand,
+  * both fatal at the nlist ∝ n sizing a 10⁹-vector corpus implies
+  * (nlist ~ 10⁵⁻⁶: the expression tree alone would dwarf the codegen
+  * budget, and assignment cost would be a dense scan of the quantizer
+  * per vector).
+  *
+  * The hierarchical shape is the FAISS inverted-multi-index family's
+  * answer (Babenko & Lempitsky, "The Inverted Multi-Index", CVPR 2012;
+  * FAISS's two-level coarse quantizers): k1 ≈ √nlist level-1 cells,
+  * each owning k2 ≈ √nlist sub-centroids; a vector's cell is
+  * cell = c1·k2 + c2 where c1 = argmax cosine over the k1 level-1
+  * centroids and c2 = argmax cosine over the k2 sub-centroids OF THAT
+  * level-1 cell. Assignment cost: k1 + k2 ≈ 2√nlist cosines per
+  * vector instead of nlist. Probing opens the `beam` nearest level-1
+  * cells and ranks their beam·k2 sub-centroids for the `nprobe` best —
+  * the standard multi-index approximation (a true nearest cell hiding
+  * under a level-1 cell outside the beam is missed; recall is tuned by
+  * `beam`, measured in the spec).
+  *
+  * Both kernels are single primitive JVM loops inside whole-stage
+  * codegen with the centroid tables riding the plan as flat double[]
+  * REFERENCE OBJECTS (the [[PqEncodeExpr]] pattern) — never literals,
+  * so the expression tree is O(1) in nlist and the quantizer can be
+  * megabytes without touching the codegen budget.
+  *
+  * Arithmetic contract (what an external replayer must reproduce):
+  * cosine in double with sequential accumulation over dims — exactly
+  * [[HashKernels.cosineFloat]]'s dot/(√na·√nb) — float inputs upcast
+  * per element; argmax keeps the FIRST maximum (strict `>`), i.e. ties
+  * break to the LOWEST index at both levels; NaN similarities (a
+  * zero-norm vector or centroid) never win, and an all-NaN row lands
+  * deterministically in index 0.
+  */
+object CoarseKernels {
+
+  /** Sequential-double cosine of x against the `dim` doubles of `tab`
+    * at `base` — the [[HashKernels.cosineFloat]] arithmetic. */
+  private def cosAt(x: Int => Double, dim: Int, tab: Array[Double],
+      base: Int): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < dim) {
+      val a = x(i); val b = tab(base + i)
+      dot += a * b; na += a * a; nb += b * b
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Composed cell id c1·k2 + c2 by two-stage argmax-cosine; −1 shape
+    * marker (caller maps to SQL null) when |vec| ≠ dim. `l1` is k1×dim
+    * flat (cell-major), `l2` is k1×k2×dim flat: sub-centroid (c1, c2)
+    * at ((c1·k2)+c2)·dim. */
+  private def assignImpl(x: Int => Double, n: Int, k1: Int, k2: Int,
+      dim: Int, l1: Array[Double], l2: Array[Double]): Int = {
+    if (n != dim) return -1
+    var best1 = 0; var bs1 = Double.NegativeInfinity
+    var c = 0
+    while (c < k1) {
+      val s = cosAt(x, dim, l1, c * dim)
+      if (s > bs1) { bs1 = s; best1 = c } // NaN never wins; ties → lowest
+      c += 1
+    }
+    var best2 = 0; var bs2 = Double.NegativeInfinity
+    var c2 = 0
+    while (c2 < k2) {
+      val s = cosAt(x, dim, l2, (best1 * k2 + c2) * dim)
+      if (s > bs2) { bs2 = s; best2 = c2 }
+      c2 += 1
+    }
+    best1 * k2 + best2
+  }
+
+  def assignFloat(vec: ArrayData, k1: Int, k2: Int, dim: Int,
+      l1: Array[Double], l2: Array[Double]): Int =
+    assignImpl(i => vec.getFloat(i).toDouble, vec.numElements(),
+      k1, k2, dim, l1, l2)
+
+  def assignDouble(vec: ArrayData, k1: Int, k2: Int, dim: Int,
+      l1: Array[Double], l2: Array[Double]): Int =
+    assignImpl(vec.getDouble, vec.numElements(), k1, k2, dim, l1, l2)
+
+  /** The `nprobe` best composed cells (sim desc, composed id asc on
+    * ties), searched through the `beam` nearest level-1 cells only.
+    * Null shape marker when |vec| ≠ dim. Selection is repeated argmax
+    * (beam and nprobe are small — single digits at any sane config),
+    * so no allocation beyond the output and two sim scratch arrays. */
+  private def probeImpl(x: Int => Double, n: Int, k1: Int, k2: Int,
+      dim: Int, l1: Array[Double], l2: Array[Double], nprobe: Int,
+      beam: Int): ArrayData = {
+    if (n != dim) return null
+    val m1 = math.min(beam, k1)
+    // NaN sims (zero-norm vector or centroid) sanitize to −∞ at fill
+    // time: every later comparison is then total, NaN can never win a
+    // slot or poison a running max, and an all-NaN row degrades to the
+    // deterministic lowest-index picks
+    val s1 = new Array[Double](k1)
+    var c = 0
+    while (c < k1) {
+      val s = cosAt(x, dim, l1, c * dim)
+      s1(c) = if (java.lang.Double.isNaN(s)) Double.NegativeInfinity else s
+      c += 1
+    }
+    val picked1 = new Array[Int](m1)
+    val taken1 = new Array[Boolean](k1)
+    var slot = 0
+    while (slot < m1) {
+      var best = -1; var bs = Double.NegativeInfinity
+      var i = 0
+      while (i < k1) {
+        // best<0 seeds with the first untaken index; strict > after
+        // that keeps the LOWEST index on ties
+        if (!taken1(i) && (best < 0 || s1(i) > bs)) {
+          bs = s1(i); best = i
+        }
+        i += 1
+      }
+      taken1(best) = true; picked1(slot) = best; slot += 1
+    }
+    val nc = m1 * k2
+    val cells = new Array[Int](nc)
+    val s2 = new Array[Double](nc)
+    var j = 0
+    var p = 0
+    while (p < m1) {
+      val c1 = picked1(p)
+      var c2 = 0
+      while (c2 < k2) {
+        cells(j) = c1 * k2 + c2
+        val s = cosAt(x, dim, l2, (c1 * k2 + c2) * dim)
+        s2(j) = if (java.lang.Double.isNaN(s)) Double.NegativeInfinity else s
+        c2 += 1; j += 1
+      }
+      p += 1
+    }
+    val out = new Array[Int](math.min(nprobe, nc))
+    val taken2 = new Array[Boolean](nc)
+    var o = 0
+    while (o < out.length) {
+      var best = -1; var bs = Double.NegativeInfinity
+      var bc = Int.MaxValue
+      var i = 0
+      while (i < nc) {
+        // ties by sim break to the LOWEST composed cell id — the
+        // candidate list is not cell-ordered across level-1 picks, so
+        // the tiebreak must compare ids explicitly
+        if (!taken2(i) && (best < 0 || s2(i) > bs ||
+            (s2(i) == bs && cells(i) < bc))) {
+          bs = s2(i); bc = cells(i); best = i
+        }
+        i += 1
+      }
+      taken2(best) = true; out(o) = cells(best); o += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def probeFloat(vec: ArrayData, k1: Int, k2: Int, dim: Int,
+      l1: Array[Double], l2: Array[Double], nprobe: Int,
+      beam: Int): ArrayData =
+    probeImpl(i => vec.getFloat(i).toDouble, vec.numElements(),
+      k1, k2, dim, l1, l2, nprobe, beam)
+
+  def probeDouble(vec: ArrayData, k1: Int, k2: Int, dim: Int,
+      l1: Array[Double], l2: Array[Double], nprobe: Int,
+      beam: Int): ArrayData =
+    probeImpl(vec.getDouble, vec.numElements(), k1, k2, dim, l1, l2,
+      nprobe, beam)
+}
+
+/** Shared shape plumbing for the two coarse kernels: array<float|double>
+  * child, centroid tables as Seq[Double] in the case-class signature
+  * (value equality for semanticEquals / subexpression elimination) and
+  * primitive double[] on the kernel path. */
+sealed trait CoarseQuantExpr extends UnaryExpression {
+  def k1: Int
+  def k2: Int
+  def dim: Int
+  def l1: Seq[Double]
+  def l2: Seq[Double]
+  protected final lazy val l1Arr: Array[Double] = l1.toArray
+  protected final lazy val l2Arr: Array[Double] = l2.toArray
+  protected final def isDouble: Boolean = child.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      if (k1 > 0 && k2 > 0 && dim > 0 && l1.length == k1 * dim &&
+          l2.length == k1 * k2 * dim)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName quantizer shape: need |l1| = k1·dim " +
+          s"(${k1 * dim}, got ${l1.length}) and |l2| = k1·k2·dim " +
+          s"(${k1 * k2 * dim}, got ${l2.length})")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float> or array<double>, got ${t.sql}; " +
+        "cast explicitly")
+  }
+  override def nullable: Boolean = true
+}
+
+/** Hierarchical cell assignment: array<float|double> → int composed
+  * cell id (c1·k2 + c2); null when |vec| ≠ dim. */
+case class CoarseAssignExpr(child: Expression, k1: Int, k2: Int,
+    dim: Int, l1: Seq[Double], l2: Seq[Double]) extends CoarseQuantExpr {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "coarse_assign"
+  private def kernel: String = if (isDouble) "assignDouble" else "assignFloat"
+
+  override def nullSafeEval(v: Any): Any = {
+    val r =
+      if (isDouble)
+        CoarseKernels.assignDouble(v.asInstanceOf[ArrayData], k1, k2,
+          dim, l1Arr, l2Arr)
+      else
+        CoarseKernels.assignFloat(v.asInstanceOf[ArrayData], k1, k2,
+          dim, l1Arr, l2Arr)
+    if (r < 0) null else r
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val l1Ref = ctx.addReferenceObj("coarseL1", l1Arr, "double[]")
+    val l2Ref = ctx.addReferenceObj("coarseL2", l2Arr, "double[]")
+    val r = ctx.freshName("cell")
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+      int $r = graft.plans.CoarseKernels.$kernel($c, $k1, $k2, $dim,
+        $l1Ref, $l2Ref);
+      if ($r < 0) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+/** Hierarchical probe: array<float|double> → array<int> of the nprobe
+  * best composed cells through a beam of level-1 cells; null when
+  * |vec| ≠ dim. */
+case class CoarseProbeExpr(child: Expression, k1: Int, k2: Int,
+    dim: Int, l1: Seq[Double], l2: Seq[Double], nprobe: Int,
+    beam: Int) extends CoarseQuantExpr {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "coarse_probe"
+  private def kernel: String = if (isDouble) "probeDouble" else "probeFloat"
+
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  override def checkInputDataTypes(): TypeCheckResult =
+    super.checkInputDataTypes() match {
+      case TypeCheckResult.TypeCheckSuccess if nprobe <= 0 || beam <= 0 =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs nprobe > 0 and beam > 0")
+      case other => other
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    if (isDouble)
+      CoarseKernels.probeDouble(v.asInstanceOf[ArrayData], k1, k2, dim,
+        l1Arr, l2Arr, nprobe, beam)
+    else
+      CoarseKernels.probeFloat(v.asInstanceOf[ArrayData], k1, k2, dim,
+        l1Arr, l2Arr, nprobe, beam)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val l1Ref = ctx.addReferenceObj("coarseL1", l1Arr, "double[]")
+    val l2Ref = ctx.addReferenceObj("coarseL2", l2Arr, "double[]")
+    val r = ctx.freshName("probeRes")
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+      Object $r = graft.plans.CoarseKernels.$kernel($c, $k1, $k2, $dim,
+        $l1Ref, $l2Ref, $nprobe, $beam);
+      if ($r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $r; }
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+object CoarseExpressions {
+  import org.apache.spark.sql.graft.bridge.{column, expression}
+
+  def coarse_assign(vec: Column, k1: Int, k2: Int, dim: Int,
+      l1: Seq[Double], l2: Seq[Double]): Column =
+    column(CoarseAssignExpr(expression(vec), k1, k2, dim, l1, l2))
+
+  def coarse_probe(vec: Column, k1: Int, k2: Int, dim: Int,
+      l1: Seq[Double], l2: Seq[Double], nprobe: Int, beam: Int): Column =
+    column(CoarseProbeExpr(expression(vec), k1, k2, dim, l1, l2,
+      nprobe, beam))
+}

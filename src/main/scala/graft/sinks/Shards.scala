@@ -104,6 +104,13 @@ object Shards {
   def manifest(spark: SparkSession, outPath: String): DataFrame =
     manifestAgg(spark.read.parquet(outPath))
 
+  /** [[manifest]] for a [[writeJsonlShards]] tree. Schema inference is
+    * fine here (unlike the writers' explicit-schema read-back): the
+    * auditor's contract is a tree that HAS shards — a zero-file tree
+    * is a caller error, not an empty manifest. */
+  def manifestJsonl(spark: SparkSession, outPath: String): DataFrame =
+    manifestAgg(spark.read.json(outPath))
+
   private def manifestAgg(written: DataFrame): DataFrame =
     written
       .groupBy(col("shard").cast("long").as("shard"))

@@ -829,6 +829,57 @@ object ScaleStress {
       }
     }
 
+    // Round-13 coarse-quantizer drill (VERDICT r12 item 1): the
+    // two-level hierarchical fit past the driver-Lloyd ceiling,
+    // measured at the nlist range the flat path cannot reach (its
+    // ceiling is now an enforced require at 4096). Claims under
+    // measure: (a) fit wall grows ~√nlist — level 1 is a k1 ≈ √nlist
+    // driver fit, level 2 is k1 DISTRIBUTED per-cell sub-fits of k2
+    // centers each — vs the flat fit's O(nlist) driver loop (shown at
+    // 1024 for reference, the largest this corpus makes honest);
+    // (b) the assignment scan is O(√nlist) per vector — kernel with
+    // the quantizer as a reference object, zero literals — so t_assign
+    // moves with √nlist, never nlist. ppc = training points per
+    // centroid (the fail-fast floor is 32).
+    if (which == "coarse") {
+      import org.apache.spark.sql.Column
+      def synthVec(id: Column): Column =
+        transform(sequence(lit(0), lit(63)), j =>
+          ((conv(substring(md5(concat(id.cast("string"), lit(":"),
+            j.cast("string"))), 1, 8), 16, 10).cast("double")
+            % 1000.0) / 500.0 - 1.0).cast("float"))
+      val n = 100000L * maxScale
+      val vecs = spark.range(n).select(col("id").as("vec_id"),
+        synthVec(col("id")).as("embedding")).cache()
+      vecs.count()
+      println(f"\n${"vecs"}%9s ${"nlist"}%7s ${"grid"}%9s ${"ppc"}%5s " +
+        f"${"t_fit"}%7s ${"t_assign"}%9s ${"t_flat_fit"}%11s")
+      for (nlist <- Seq(1024, 4096, 16384)
+          if n >= 32L * nlist) {
+        var cq: Similarity.CoarseQuantizer = null
+        val tFit = timed {
+          cq = Similarity.trainCoarseHierarchical(vecs, "embedding",
+            nlist)
+        }
+        val (nAssigned, tAssign, _) = timedMB {
+          vecs.select(Similarity.assignCellHier(col("embedding"), cq)
+            .as("cell")).filter(col("cell").isNotNull).count()
+        }
+        require(nAssigned == n, s"assignment dropped rows: $nAssigned")
+        // flat driver-Lloyd reference, only where its ceiling allows
+        // and the wall stays drill-sized
+        val tFlat =
+          if (nlist <= 1024)
+            timed { Similarity.trainCentroids(vecs, "embedding", nlist,
+              trainFraction = math.min(1.0, 100000.0 / n)) }
+          else Double.NaN
+        val ppc = math.min(n, 2L * cq.k1 * 8192) / nlist
+        println(f"$n%9d $nlist%7d ${s"${cq.k1}x${cq.k2}"}%9s $ppc%5d " +
+          f"$tFit%7.1f $tAssign%9.1f $tFlat%11.1f")
+      }
+      vecs.unpersist()
+    }
+
     // Embedding/encoding ops drill: PCA fit is ONE aggregate whose
     // shuffle is |partitions| moment buffers (corpus-size-independent);
     // projection and encoding are scans, so both must scale ~linearly
