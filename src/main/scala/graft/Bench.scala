@@ -31,6 +31,43 @@ object Bench {
   def confirmedContended(first: Double, remeasured: Double): Boolean =
     remeasured < first / 1.25
 
+  /** Queries whose reading drifted >2× ABOVE their previous round's —
+    * the trigger the neighborhood-median mechanism missed for r12's
+    * q_dedup_url (0.38 → 0.80 s: sub-second, median-invisible, still a
+    * 2.1× round-over-round move the verdict had to hand-investigate).
+    * A floor of 0.2 s keeps micro-query jitter out. Prior readings
+    * come from the newest committed BENCH_full_r*.json whose `sf`
+    * matches this run's — cross-SF comparison would flag everything. */
+  def driftOutliers(timings: Seq[(String, Double)],
+      prior: Map[String, Double], factor: Double = 2.0,
+      floorSec: Double = 0.2): Set[String] =
+    timings.collect { case (n, t)
+        if t > floorSec && prior.get(n).exists(p => t > factor * p) => n
+    }.toSet
+
+  /** The previous round's warm per-query map at this sfDir, parsed
+    * from the highest-indexed BENCH_full_r*.json (regex over the
+    * hand-written single-line format — no JSON library on purpose,
+    * the writer below owns the shape). Empty when none matches. */
+  def priorWarmMap(sfDir: String): Map[String, Double] = {
+    val rx = "BENCH_full_r(\\d+)\\.json".r
+    val candidates = Option(new java.io.File(".").list()).toSeq.flatten
+      .collect { case f @ rx(n) => (n.toInt, f) }.sortBy(-_._1)
+    candidates.iterator.map { case (_, f) =>
+      try {
+        val txt = java.nio.file.Files.readString(
+          java.nio.file.Paths.get(f))
+        if (!txt.contains("\"sf\":\"" + sfDir + "\"")) Map.empty[String, Double]
+        else {
+          val qBlock = "\"queries\":\\{([^}]*)\\}".r
+            .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+          "\"([^\"]+)\":([0-9.]+)".r.findAllMatchIn(qBlock)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+      } catch { case _: Throwable => Map.empty[String, Double] }
+    }.find(_.nonEmpty).getOrElse(Map.empty)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -115,8 +152,9 @@ object Bench {
     // failed queries are excluded from the INPUT, not just the flag
     // set: an elapsed-to-failure reading (near-zero for an early crash)
     // would corrupt its neighbors' median and flag healthy queries
-    val outliers = contendedOutliers(
-      firstPass.collect { case (n, w, _) if !failed(n) => (n, w) })
+    val healthy = firstPass.collect { case (n, w, _) if !failed(n) => (n, w) }
+    val outliers = contendedOutliers(healthy) ++
+      driftOutliers(healthy, priorWarmMap(sfDir))
     val contended = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = firstPass.map { case (name, warm, cold) =>
       if (!outliers.contains(name)) (name, warm, cold)

@@ -524,7 +524,7 @@ object Corpus {
     // ≈ |frequent| × partitions partial rows, not every line), then
     // RE-COUNT by the actual string so hash collisions can't delete
     // innocent lines or pool two sub-threshold lines over the limit
-    val freqStrings = lines
+    val freqStrings = GraftCaches.register(lines
       .join(broadcast(freqHashes),
         xxhash64(col("__l")) === col("__h"), "left_semi")
       .groupBy(col("__l")).agg(count(lit(1)).as("__n"))
@@ -533,8 +533,10 @@ object Corpus {
       // persisted so the guard's aggregate IS the only evaluation of
       // the two counting passes — the collect (literal path) and the
       // set aggregate (join path) read this cache, guarded-bounded at
-      // ≤ maxFrequentBytes
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // ≤ maxFrequentBytes. GraftCaches-registered: on the join path
+      // it outlives this function (the returned plan reads it), so
+      // only the caller-lifecycle release can drop it
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // guard FIRST (shared [[guardFrequentSet]]): an oversized frequent
     // set is rejected before a single line string leaves the cluster
     val (nFreq, bFreq) = guardFrequentSet(freqStrings, "__l",
@@ -883,13 +885,13 @@ object Corpus {
         .mightContain(bloom, xxhash64(col("__ufp"))))
     val miss = probed.filter(!col("__maybe")).drop("__maybe")
       // increment-lived cache: the count probe fills it, the returned
-      // lazy split reads it. Dataset caches live in the session's
-      // CacheManager until EXPLICIT unpersist/clearCache — the
-      // ContextCleaner does NOT reclaim them on GC — so drivers
-      // running many increments must spark.catalog.clearCache()
-      // (or unpersist the inputs) between batches
-    val accepted = probed.filter(col("__maybe")).drop("__maybe")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // lazy split reads it. Registered with [[GraftCaches]] — drivers
+      // running many increments call GraftCaches.release() (or
+      // spark.catalog.clearCache()) between batches; the ContextCleaner
+      // does NOT reclaim Dataset caches on GC
+    val accepted = GraftCaches.register(
+      probed.filter(col("__maybe")).drop("__maybe")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // row count bounds distinct count — one map-only pass, no shuffle
     val novel =
       if (accepted.count() <= maxSliverUnits)
@@ -1059,13 +1061,13 @@ object Corpus {
         .mightContain(bloom, xxhash64(col("__gfp"))))
     val miss = probed.filter(!col("__maybe")).drop("__maybe")
       // increment-lived cache: the count probe fills it, the returned
-      // lazy split reads it. Dataset caches live in the session's
-      // CacheManager until EXPLICIT unpersist/clearCache — the
-      // ContextCleaner does NOT reclaim them on GC — so drivers
-      // running many increments must spark.catalog.clearCache()
-      // (or unpersist the inputs) between batches
-    val accepted = probed.filter(col("__maybe")).drop("__maybe")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // lazy split reads it. Registered with [[GraftCaches]] — drivers
+      // running many increments call GraftCaches.release() (or
+      // spark.catalog.clearCache()) between batches; the ContextCleaner
+      // does NOT reclaim Dataset caches on GC
+    val accepted = GraftCaches.register(
+      probed.filter(col("__maybe")).drop("__maybe")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // row count bounds distinct count — one map-only pass, no shuffle
     val hits =
       if (accepted.count() <= maxSliverAnchors) {

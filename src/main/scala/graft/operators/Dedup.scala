@@ -152,6 +152,12 @@ object Dedup {
   val LshSaturationWarnFrac = 0.05
 
   private val lshObsId = new java.util.concurrent.atomic.AtomicLong()
+  // observe names already WARN-logged (names embed a monotonic per-JVM
+  // counter, so the set only ever holds one entry per saturated
+  // minhashCandidates CALL — process-lifetime growth is bounded by
+  // the number of distinct saturated runs, bytes each)
+  private val lshWarnedObserves =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   // weak keys: sessions must be compared by IDENTITY (never a hash a
   // later session could reuse after GC) and must not be pinned in
   // memory by their own telemetry bookkeeping
@@ -210,7 +216,13 @@ object Dedup {
                   row.getAs[Long]("max_bucket"),
                   row.getAs[Long]("candidate_pairs"),
                   row.getAs[Long]("bucket_cap"))
-                if (s.saturatedFrac > LshSaturationWarnFrac)
+                // once per observe (names are per-call unique): a
+                // PERSISTED candidate subtree re-surfaces its metrics
+                // on every action that scans the cache — e.g. each
+                // connectedComponents iteration — and one saturated
+                // run must warn once, not once per downstream job
+                if (s.saturatedFrac > LshSaturationWarnFrac &&
+                    lshWarnedObserves.add(name))
                   log.warn(lshSaturationMessage(s))
               }
             }
@@ -364,21 +376,25 @@ object Dedup {
     * Cache lifecycle, same as every intra-operator persist in this
     * file: Dataset caches sit in the session's CacheManager until an
     * EXPLICIT unpersist or `spark.catalog.clearCache()` — Spark's
-    * ContextCleaner does NOT reclaim them when the frame is GC'd — so
-    * a long-lived driver calling this per batch must clearCache
-    * between batches. */
+    * ContextCleaner does NOT reclaim them when the frame is GC'd.
+    * Both persists are [[GraftCaches]]-registered: a long-lived
+    * driver calling this per batch invokes `GraftCaches.release()`
+    * between batches (after materializing the batch's output) and no
+    * graft cache survives the increment cycle — pinned by
+    * GraftCachesSpec's CacheManager-empty assertion. */
   def winnowOverlapPairs(df: DataFrame, textCol: String, idCol: String,
       w: Int = 24, k: Int = 4, minShared: Long = 4,
       maxBucket: Long = 64): DataFrame = {
     import graft.plans.TextExpressions.winnow_fingerprints
-    val fps = df.select(col(idCol).as("__id"),
-      explode(winnow_fingerprints(col(textCol), w, k)).as("fp"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val eligible = fps.join(
+    val fps = GraftCaches.register(
+      df.select(col(idCol).as("__id"),
+        explode(winnow_fingerprints(col(textCol), w, k)).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val eligible = GraftCaches.register(fps.join(
       fps.groupBy("fp").agg(count(lit(1)).as("__c"))
         .filter(col("__c") <= maxBucket).select("fp"),
       "fp")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     eligible.as("a")
       .join(eligible.as("b"),
         col("a.fp") === col("b.fp") && col("a.__id") < col("b.__id"))
@@ -509,13 +525,13 @@ object Dedup {
     val definitelyNew = probed.filter(!col("__maybe"))
       .drop("__maybe", "__fp")
       // increment-lived cache: the count probe fills it, the returned
-      // lazy split reads it. Dataset caches live in the session's
-      // CacheManager until EXPLICIT unpersist/clearCache — the
-      // ContextCleaner does NOT reclaim them on GC — so drivers
-      // running many increments must spark.catalog.clearCache()
-      // (or unpersist the inputs) between batches
-    val accepted = probed.filter(col("__maybe")).drop("__maybe")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // lazy split reads it. Registered with [[GraftCaches]] — drivers
+      // running many increments call GraftCaches.release() (or
+      // spark.catalog.clearCache()) between batches; the ContextCleaner
+      // does NOT reclaim Dataset caches on GC
+    val accepted = GraftCaches.register(
+      probed.filter(col("__maybe")).drop("__maybe")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // row count bounds distinct count — one map-only pass, no shuffle
     val maybeDup =
       if (accepted.count() <= maxSliverRows)

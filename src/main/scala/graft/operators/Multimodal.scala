@@ -333,7 +333,16 @@ object Multimodal {
     aviMjpegWalk(content, firstOnly = true).headOption
 
   private def aviMjpegWalk(content: Array[Byte], firstOnly: Boolean)
-      : IndexedSeq[Array[Byte]] = {
+      : IndexedSeq[Array[Byte]] =
+    aviFrameChunks(content, firstOnly, requireSoi = true)
+
+  /** The shared RIFF-AVI movi walk: '##dc'/'##db' frame chunks in
+    * stream order. `requireSoi` keeps only chunks opening with the
+    * JPEG SOI marker (the MJPEG path); the rawvideo path takes every
+    * frame chunk and validates byte geometry against the stream
+    * header instead. */
+  private def aviFrameChunks(content: Array[Byte], firstOnly: Boolean,
+      requireSoi: Boolean): IndexedSeq[Array[Byte]] = {
     def le32(o: Int): Long =
       (content(o) & 0xFFL) | ((content(o + 1) & 0xFFL) << 8) |
         ((content(o + 2) & 0xFFL) << 16) | ((content(o + 3) & 0xFFL) << 24)
@@ -356,8 +365,8 @@ object Multimodal {
             if (lt == "movi" || lt == "rec ") walk(ps + 4, pe)
           } else if (id.length == 4 && id(2) == 'd' &&
               (id(3) == 'c' || id(3) == 'b') && pe - ps >= 4 &&
-              (content(ps) & 0xFF) == 0xFF &&
-              (content(ps + 1) & 0xFF) == 0xD8) {
+              (!requireSoi || ((content(ps) & 0xFF) == 0xFF &&
+                (content(ps + 1) & 0xFF) == 0xD8))) {
             frames += java.util.Arrays.copyOfRange(content, ps, pe)
             found += 1
           }
@@ -371,6 +380,107 @@ object Multimodal {
       walk(12, content.length)
       frames.result()
     } catch { case _: Exception => IndexedSeq.empty }
+  }
+
+  /** The first 'vids' stream's format from LIST hdrl → LIST strl:
+    * (handler fourcc from strh, width, height, bit count, compression)
+    * from the strf BITMAPINFOHEADER. None when the bytes aren't
+    * RIFF-AVI or carry no video stream header. */
+  private def aviStreamFormat(content: Array[Byte])
+      : Option[(String, Int, Int, Int, Long)] = {
+    def le32(o: Int): Long =
+      (content(o) & 0xFFL) | ((content(o + 1) & 0xFFL) << 8) |
+        ((content(o + 2) & 0xFFL) << 16) | ((content(o + 3) & 0xFFL) << 24)
+    def le16(o: Int): Int =
+      (content(o) & 0xFF) | ((content(o + 1) & 0xFF) << 8)
+    def fourcc(o: Int): String = new String(content, o, 4, "ISO-8859-1")
+    try {
+      if (content.length < 12 || fourcc(0) != "RIFF" ||
+          fourcc(8) != "AVI ") return None
+      var handler: String = null
+      var isVids = false
+      var result: Option[(String, Int, Int, Int, Long)] = None
+      def walk(lo: Int, hi: Int): Unit = {
+        var off = lo
+        while (off + 8 <= hi && result.isEmpty) {
+          val id = fourcc(off)
+          val sz = le32(off + 4)
+          val ps = off + 8
+          val pe = math.min(ps + math.max(sz, 0L), hi.toLong).toInt
+          if (id == "LIST" && pe >= ps + 4) {
+            val lt = fourcc(ps)
+            if (lt == "hdrl" || lt == "strl") walk(ps + 4, pe)
+          } else if (id == "strh" && pe - ps >= 8) {
+            isVids = fourcc(ps) == "vids"
+            handler = fourcc(ps + 4)
+          } else if (id == "strf" && isVids && pe - ps >= 20) {
+            // BITMAPINFOHEADER: biWidth@4, biHeight@8 (negative =
+            // top-down rows), biBitCount@14, biCompression@16
+            result = Some((handler, le32(ps + 4).toInt,
+              le32(ps + 8).toInt, le16(ps + 14), le32(ps + 16)))
+          }
+          val next = pe + ((pe - ps) & 1)
+          if (next <= off) return
+          off = next
+        }
+      }
+      walk(12, content.length)
+      result
+    } catch { case _: Exception => None }
+  }
+
+  /** Uncompressed-RGB AVI frame decode ('DIB '/rawvideo: BI_RGB
+    * 24-bit, the zero-codec capture format) — the second genuinely
+    * JDK-decodable codec beside MJPEG: each '##db'/'##dc' chunk is the
+    * raw bottom-up BGR bitmap itself, rows padded to 4 bytes, so
+    * "decoding" is byte geometry + channel order, no codec at all.
+    * Returns (width, height, frames); frames whose byte length doesn't
+    * match the header geometry drop (a truncated chunk must not read
+    * out of bounds as pixels). Negative biHeight (top-down rows) is
+    * normalized here so [[dibFrameImage]] sees one orientation. */
+  private[graft] def decodeAviDibFrames(content: Array[Byte])
+      : Option[(Int, Int, IndexedSeq[Array[Byte]])] =
+    aviStreamFormat(content).flatMap { case (handler, w, h0, bpp, comp) =>
+      val raw = comp == 0L && bpp == 24 &&
+        (handler == "DIB " || handler == "    " ||
+          handler == "RGB ")
+      val h = math.abs(h0)
+      if (!raw || w <= 0 || h == 0) None
+      else {
+        val stride = (w * 3 + 3) & ~3
+        val want = stride.toLong * h
+        val fs = aviFrameChunks(content, firstOnly = false,
+            requireSoi = false)
+          .filter(_.length.toLong == want)
+        if (fs.isEmpty) None else Some((w, h0, fs))
+      }
+    }
+
+  /** One raw BI_RGB frame → BufferedImage: bottom-up BGR rows (the
+    * positive-biHeight DIB layout; negative = top-down), stride padded
+    * to 4 bytes. */
+  private[graft] def dibFrameImage(frame: Array[Byte], w: Int,
+      h0: Int): java.awt.image.BufferedImage = {
+    val h = math.abs(h0)
+    val topDown = h0 < 0
+    val stride = (w * 3 + 3) & ~3
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      val row = if (topDown) y else h - 1 - y
+      var x = 0
+      while (x < w) {
+        val o = row * stride + x * 3
+        val b = frame(o) & 0xFF
+        val g = frame(o + 1) & 0xFF
+        val r = frame(o + 2) & 0xFF
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    img
   }
 
   /** 8-dim video feature from a decodable MJPEG-AVI: [n_frames, width,
@@ -400,13 +510,14 @@ object Multimodal {
     StructField("feature", ArrayType(FloatType), nullable = false)))
 
   /** Frame-sample + decode: every `step`-th frame of each decodable
-    * MJPEG-AVI row, decoded and featured with the SAME image kernel as
-    * still images — the video half of the brief's decode /
-    * feature-extract / frame-sample trio, now real end-to-end for the
-    * JDK-decodable codec. Rows whose container/codec can't frame-
+    * AVI row — MJPEG frames through the SAME image kernel as still
+    * images, uncompressed-RGB ('DIB '/rawvideo) frames through the
+    * raw-bitmap geometry — the video half of the brief's decode /
+    * feature-extract / frame-sample trio, real end-to-end for both
+    * JDK-decodable codecs. Rows whose container/codec can't frame-
     * decode contribute no rows (count them against the input to audit
-    * codec coverage); partition-wise batch loop like
-    * [[extractFeatures]] so codec init amortizes. */
+    * codec coverage — [[videoCodecProfile]]); partition-wise batch
+    * loop like [[extractFeatures]] so codec init amortizes. */
   def videoFrames(media: DataFrame, step: Int = 1): DataFrame = {
     require(step >= 1, "step must be >= 1")
     val enc = RowEncoder.encoderFor(videoFrameSchema)
@@ -414,12 +525,21 @@ object Multimodal {
       it.flatMap { r =>
         val id = r.getLong(0)
         val content = r.getAs[Array[Byte]](1)
-        decodeAviMjpegFrames(content).iterator.flatMap { fs =>
+        val mjpeg = decodeAviMjpegFrames(content).iterator.flatMap { fs =>
           (0 until fs.length by step).iterator.flatMap { i =>
             decodeImage(fs(i)).map { case (w, h, feat) =>
               Row(id, i, fs.length, w, h, feat)
             }
           }
+        }
+        if (mjpeg.hasNext) mjpeg
+        else decodeAviDibFrames(content).iterator.flatMap {
+          case (w, h0, fs) =>
+            (0 until fs.length by step).iterator.map { i =>
+              val img = dibFrameImage(fs(i), w, h0)
+              Row(id, i, fs.length, img.getWidth, img.getHeight,
+                imageFeature(img))
+            }
         }
       }
     }(enc)
@@ -429,9 +549,10 @@ object Multimodal {
     * [[videoFrames]] needs beside it (frame extraction silently emits
     * nothing for undecodable rows BY CONTRACT, so "how much of the
     * corpus can we frame-decode" must be asked separately):
-    * 'avi_mjpeg' (full frame decode available), 'bmff' (container
-    * metadata only — no JDK codec for the stream), 'undecodable'.
-    * One partition-batch scan, groupBy-able to corpus totals. */
+    * 'avi_mjpeg' / 'avi_rawvideo' (full frame decode available),
+    * 'bmff' (container metadata only — no JDK codec for the stream),
+    * 'undecodable'. One partition-batch scan, groupBy-able to corpus
+    * totals. */
   def videoCodecProfile(media: DataFrame): DataFrame = {
     val enc = RowEncoder.encoderFor(StructType(Seq(
       StructField("media_id", LongType, nullable = false),
@@ -442,10 +563,13 @@ object Multimodal {
         // 'avi_mjpeg' requires the FIRST frame to actually decode
         // (SOI magic alone would count corrupt-JPEG AVIs as covered
         // while videoFrames emits nothing for them); the first-frame
-        // probe copies ONE payload, never the whole stream
+        // probe copies ONE payload, never the whole stream.
+        // 'avi_rawvideo' mirrors it: header geometry must match at
+        // least one frame chunk — the same bar videoFrames applies.
         val codec =
           if (firstMjpegFrame(content).exists(f =>
             decodeImage(f).isDefined)) "avi_mjpeg"
+          else if (decodeAviDibFrames(content).isDefined) "avi_rawvideo"
           else if (probeVideo(content).isDefined) "bmff"
           else "undecodable"
         Row(r.getLong(0), codec)
@@ -528,6 +652,76 @@ object Multimodal {
     }
     list("movi") {
       jpegs.foreach(j => chunk("00dc") { bb.put(j) })
+    }
+    bb.putInt(riffSizeAt, bb.position() - riffSizeAt - 4)
+    java.util.Arrays.copyOf(bb.array(), bb.position())
+  }
+
+  /** Deterministic uncompressed-RGB AVI ('DIB ' handler, BI_RGB 24-bit
+    * BITMAPINFOHEADER, raw bottom-up BGR '00db' chunks with 4-byte row
+    * padding) — the rawvideo twin of [[syntheticAvi]], for pinning the
+    * zero-codec decode path against real container bytes. */
+  private[graft] def syntheticDibAvi(id: Long): Array[Byte] = {
+    val w = 10; val h = 7 // odd width exercises the stride padding
+    val nf = 2 + ((id / 3) % 3).toInt
+    val stride = (w * 3 + 3) & ~3
+    val frames = (0 until nf).map { f =>
+      val bytes = new Array[Byte](stride * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val o = y * stride + x * 3
+          bytes(o) = ((id + f + x + y) & 0xFF).toByte          // B
+          bytes(o + 1) = ((id * 17 + f * 29 + y * 7) & 0xFF).toByte // G
+          bytes(o + 2) = ((id * 37 + f * 53 + x * 11) & 0xFF).toByte // R
+          x += 1
+        }
+        y += 1
+      }
+      bytes
+    }
+    val bb = java.nio.ByteBuffer.allocate(
+      4096 + frames.iterator.map(_.length + 16).sum)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fcc(t: String): Unit = bb.put(t.getBytes("ISO-8859-1"))
+    def chunk(t: String)(body: => Unit): Unit = {
+      fcc(t); val sizeAt = bb.position(); bb.putInt(0); body
+      val sz = bb.position() - sizeAt - 4
+      bb.putInt(sizeAt, sz)
+      if ((sz & 1) == 1) bb.put(0.toByte)
+    }
+    def list(lt: String)(body: => Unit): Unit =
+      chunk("LIST") { fcc(lt); body }
+    fcc("RIFF"); val riffSizeAt = bb.position(); bb.putInt(0); fcc("AVI ")
+    list("hdrl") {
+      chunk("avih") {
+        bb.putInt(40000); bb.putInt(0); bb.putInt(0)
+        bb.putInt(0); bb.putInt(nf)
+        bb.putInt(0); bb.putInt(1); bb.putInt(0)
+        bb.putInt(w); bb.putInt(h)
+        (0 until 4).foreach(_ => bb.putInt(0))
+      }
+      list("strl") {
+        chunk("strh") {
+          fcc("vids"); fcc("DIB ")
+          bb.putInt(0); bb.putInt(0); bb.putInt(0)
+          bb.putInt(1); bb.putInt(25)
+          bb.putInt(0); bb.putInt(nf)
+          bb.putInt(0); bb.putInt(0); bb.putInt(0)
+          bb.putShort(0); bb.putShort(0)
+          bb.putShort(w.toShort); bb.putShort(h.toShort)
+        }
+        chunk("strf") { // BITMAPINFOHEADER, biCompression = 0 (BI_RGB)
+          bb.putInt(40); bb.putInt(w); bb.putInt(h)
+          bb.putShort(1); bb.putShort(24)
+          bb.putInt(0); bb.putInt(stride * h)
+          bb.putInt(0); bb.putInt(0); bb.putInt(0); bb.putInt(0)
+        }
+      }
+    }
+    list("movi") {
+      frames.foreach(fr => chunk("00db") { bb.put(fr) })
     }
     bb.putInt(riffSizeAt, bb.position() - riffSizeAt - 4)
     java.util.Arrays.copyOf(bb.array(), bb.position())

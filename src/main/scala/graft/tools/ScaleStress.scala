@@ -605,6 +605,63 @@ object ScaleStress {
       }
     }
 
+    // Round-13 LSH saturation-telemetry drill (VERDICT r12 item 6):
+    // the ndunits corpus CANNOT saturate (every unit appears exactly
+    // twice — bucket depth 2 ≪ cap), and a FULLY templated corpus
+    // hits the documented AQE blind spot (all buckets saturate → the
+    // candidate subtree is empty → AQE's empty-relation collapse
+    // erases the observed metrics — requireHealthyLshBuckets exists
+    // for that edge). The listener's regime is PARTIAL saturation, so
+    // the drill corpus mixes both populations: every doc carries two
+    // units from a 1000-template pool (bucket depth ~2n/1000 ≫ the
+    // 1000 cap → saturated, DROPPED) and 1 doc pair per 100 docs
+    // carries a genuine shared unit (depth-2 buckets → healthy,
+    // candidates flow; distinct pair texts sized so saturated
+    // buckets ≈ 1000/11000 ≈ 9% of all buckets, past the 5%
+    // threshold). Expected: pair dups ARE found, and the session
+    // listener WARN-logs the measured saturated fraction with the
+    // remediation message — the 100 TB footgun announcing itself
+    // instead of silently under-reporting.
+    if (which == "lshsat") {
+      val n = 100000L * maxScale
+      def template(k: Column): Column = concat(
+        lit("template boilerplate body number "),
+        pmod(k, lit(1000)).cast("string"),
+        lit(" lorem ipsum dolor sit amet consetetur sadipscing elitr"))
+      val hasPair = pmod(col("doc_id"), lit(100)) < 2
+      val pairUnit = concat(
+        lit("shared pair paragraph with distinctive words number "),
+        floor(col("doc_id") / 2).cast("long").cast("string"),
+        lit(" end of paragraph marker"))
+      val docs = spark.range(n).select(col("id").as("doc_id"))
+        .select(col("doc_id"),
+          when(hasPair, concat_ws("\n", template(col("doc_id") * 2),
+            template(col("doc_id") * 2 + 1), pairUnit))
+          .otherwise(concat_ws("\n", template(col("doc_id") * 2),
+            template(col("doc_id") * 2 + 1))).as("text"))
+      val t0 = System.nanoTime()
+      val kept = Corpus.nearDedupUnits(docs, "text", "doc_id").count()
+      org.apache.spark.sql.graft.bridge.settleListenerBus(
+        spark.sparkContext, 30000L)
+      // the same stats the listener read, printed as the drill record
+      // (the WARN goes to the driver log; this line goes to SCALE.md)
+      val units = spark.range(n).select(col("id").as("doc_id"))
+        .select(col("doc_id"),
+          when(hasPair, concat_ws("\n", template(col("doc_id") * 2),
+            template(col("doc_id") * 2 + 1), pairUnit))
+          .otherwise(concat_ws("\n", template(col("doc_id") * 2),
+            template(col("doc_id") * 2 + 1))).as("text"))
+        .select(col("doc_id"), explode(split(col("text"), "\n")).as("u"))
+      val stats = Dedup.lshBucketHealth(
+        Dedup.minhashBands(units, "u", "doc_id"))
+      println(f"lshsat: docs=$n kept_docs=$kept " +
+        f"t=${(System.nanoTime() - t0) / 1e9}%.1f s " +
+        f"buckets=${stats.buckets} saturated=${stats.saturatedBuckets} " +
+        f"frac=${100 * stats.saturatedFrac}%.1f%% " +
+        f"max_bucket=${stats.maxBucket} — the 'LSH banding degraded' " +
+        "WARN above carries the same fraction")
+    }
+
     // Round-12 winnow drill: proves winnowOverlapPairs' Σ(capped-
     // bucket²) claim at 10×. Each doc = 256 unique hex chars + a
     // 160-char passage shared by its 2-doc pair group (≥5 guaranteed

@@ -26,14 +26,31 @@ object bridge {
     import org.apache.spark.sql.execution.{CollectMetricsExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{
       AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     def nodes(p: SparkPlan): Seq[CollectMetricsExec] = p match {
       case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
       case q: QueryStageExec => nodes(q.plan)
+      // a persisted subtree hides its plan behind InMemoryTableScan —
+      // without this descent, metrics observed below a .persist() are
+      // invisible to the session listener on the action that FILLS
+      // the cache (found live: the LSH saturation WARN never fired
+      // inside nearDedupUnits because connectedComponents persists
+      // the candidate pairs)
+      case i: InMemoryTableScanExec => nodes(i.relation.cachedPlan)
       case c: CollectMetricsExec => c +: c.children.flatMap(nodes)
       case other => other.children.flatMap(nodes)
     }
     nodes(plan).map(c => c.name -> c.collectedMetrics).toMap
   }
+
+  /** Whether the session's CacheManager holds no cached plans — the
+    * instrument GraftCachesSpec uses to prove no graft-created cache
+    * survives an increment cycle. CacheManager is private[sql], hence
+    * this bridge. */
+  def cacheManagerIsEmpty(spark: org.apache.spark.sql.SparkSession)
+      : Boolean =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sharedState.cacheManager.isEmpty
 
   /** Block until the shared listener bus has dispatched every queued
     * event (QueryExecutionListener callbacks ride an AsyncEventQueue on

@@ -19,6 +19,31 @@ class BenchSelfCorrectSpec extends AnyFunSuite {
     assert(Bench.contendedOutliers(timings) == Set("q_014"))
   }
 
+  test("round-over-round drift: a sub-second 2.1x move invisible to " +
+      "the neighborhood median is flagged against the prior round") {
+    // the r12 q_dedup_url shape: 0.38 -> 0.80 s in a ~0.5 s
+    // neighborhood — median-normal, still a real drift candidate
+    val timings = uniform(30, 0.5).updated(14, ("q_014", 0.80))
+    assert(Bench.contendedOutliers(timings).isEmpty)
+    val prior = timings.map { case (n, _) => n -> 0.38 }.toMap
+    assert(Bench.driftOutliers(timings, prior) == Set("q_014"))
+    // the 0.2 s floor keeps micro-query jitter out, and a query with
+    // no prior reading (new this round) is never flagged
+    assert(Bench.driftOutliers(Seq(("q_new", 0.15)),
+      Map("q_new" -> 0.05)).isEmpty)
+    assert(Bench.driftOutliers(Seq(("q_added", 5.0)), prior).isEmpty)
+  }
+
+  test("priorWarmMap ignores files at a different sf and parses the " +
+      "hand-written single-line format") {
+    // exercised against the repo's real committed artifacts: the
+    // newest BENCH_full_r*.json is an sf0.1 record, so an sf0.1 lookup
+    // finds it and a bogus-sf lookup finds nothing
+    val real = Bench.priorWarmMap("/root/testdata/sf0.1")
+    assert(real.nonEmpty && real.values.forall(_ >= 0.0))
+    assert(Bench.priorWarmMap("/no/such/sf").isEmpty)
+  }
+
   test("r9's actual driver artifact shape: four contended phantoms " +
       "flagged, the genuinely expensive queries are not") {
     // modeled on BENCH_full_r10.json: ~0.5s neighborhood, 1.5-2.9s

@@ -762,4 +762,48 @@ class DedupSpec extends AnyFunSuite {
         s"the diverse half must keep healthy buckets: $r")
     } finally spark.listenerManager.unregister(l)
   }
+
+  test("LSH passive telemetry survives a PERSISTED candidate subtree " +
+      "— the connectedComponents shape every purge/cluster path runs") {
+    import org.apache.spark.sql.util.QueryExecutionListener
+    import org.apache.spark.sql.execution.QueryExecution
+    // the r13 lshsat drill's live find: every purge path persists the
+    // candidate pairs (connectedComponents), which buries the observe
+    // under InMemoryTableScan — without the bridge's cached-plan
+    // descent the saturation WARN never fired in any real pipeline,
+    // only on direct candidate actions
+    val mixed = spark.range(30).selectExpr("id as doc_id",
+      "case when id < 20 then 'identical template body shared by the " +
+        "templated half of this corpus' " +
+        "else concat('unique subject ', md5(concat('s', cast(id/2 as " +
+        "int))), ' tail ', id % 2) end as text")
+    val cands = Dedup.minhashCandidates(
+        Dedup.minhashBands(mixed, "text", "doc_id"), "doc_id",
+        maxBucket = 8)
+      .persist()
+    @volatile var rows: List[org.apache.spark.sql.Row] = Nil
+    val l = new QueryExecutionListener {
+      override def onSuccess(f: String, qe: QueryExecution,
+          d: Long): Unit =
+        rows = org.apache.spark.sql.graft.bridge
+          .observedMetrics(qe.executedPlan)
+          .collect { case (n, r)
+            if n.startsWith(Dedup.LshObservePrefix) => r }
+          .toList ::: rows
+      override def onFailure(f: String, qe: QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      assert(cands.count() > 0)
+      var tries = 0
+      while (rows.isEmpty && tries < 100) { Thread.sleep(100); tries += 1 }
+      assert(rows.nonEmpty,
+        "observed metrics must survive the InMemoryTableScan descent")
+      assert(rows.head.getAs[Long]("saturated_buckets") > 0)
+    } finally {
+      spark.listenerManager.unregister(l)
+      cands.unpersist()
+    }
+  }
 }

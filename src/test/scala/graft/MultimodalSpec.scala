@@ -278,4 +278,54 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.videoCodecProfile(junk).head().getString(1)
       == "undecodable")
   }
+
+  test("rawvideo AVI ('DIB ', BI_RGB 24-bit) frames decode: geometry, " +
+      "channel order, stride padding, codec audit") {
+    // id 7 → 4 frames of 10×7 raw BGR, stride 32 (padding exercised)
+    val avi = Multimodal.syntheticDibAvi(7L)
+    val (w, h0, frames) = Multimodal.decodeAviDibFrames(avi).get
+    assert(w == 10 && h0 == 7 && frames.length == 4)
+    assert(frames.forall(_.length == 32 * 7))
+    // pixel (x=2, y=3) of frame 1: the generator's formulas, read back
+    // through the bottom-up + BGR normalization
+    val img = Multimodal.dibFrameImage(frames(1), w, h0)
+    assert(img.getWidth == 10 && img.getHeight == 7)
+    val p = img.getRGB(2, 3)
+    val id = 7L; val f = 1; val x = 2; val y = 3
+    assert(((p >> 16) & 0xFF) == ((id * 37 + f * 53 + x * 11) & 0xFF))
+    assert(((p >> 8) & 0xFF) == ((id * 17 + f * 29 + y * 7) & 0xFF))
+    assert((p & 0xFF) == ((id + f + x + y) & 0xFF))
+    // an MJPEG container never takes the raw path (its frames' byte
+    // length cannot match BI_RGB geometry, and its strf says MJPG)
+    assert(Multimodal.decodeAviDibFrames(
+      Multimodal.syntheticAvi(7L)).isEmpty)
+    // frame-sample over a mixed MJPEG + rawvideo + BMFF table: both
+    // AVI codecs emit, BMFF stays silent
+    val df = Seq(
+      (5L, Multimodal.syntheticDibAvi(5L)), // 3 raw frames
+      (7L, Multimodal.syntheticAvi(7L)),    // 4 MJPEG frames
+      (1L, Multimodal.syntheticMp4(1L))
+    ).toDF("media_id", "content")
+    val got = Multimodal.videoFrames(df, step = 2)
+      .select("media_id", "frame_idx", "n_frames", "width", "height")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4))).toSet
+    assert(got == Set(
+      (5L, 0, 3, 10, 7), (5L, 2, 3, 10, 7),
+      (7L, 0, 4, 16, 12), (7L, 2, 4, 16, 12)))
+    val prof = Multimodal.videoCodecProfile(df)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(prof == Map(5L -> "avi_rawvideo", 7L -> "avi_mjpeg",
+      1L -> "bmff"))
+    // a truncated frame chunk drops that frame, never reads out of
+    // bounds: clip the last chunk's payload by rewriting its size
+    val clipped = avi.clone()
+    // find the final '00db' and shrink the whole container by 8 bytes
+    val shorter = java.util.Arrays.copyOf(clipped, clipped.length - 8)
+    // RIFF size now overshoots the buffer — the walk clamps; the last
+    // frame fails the geometry check and drops
+    val res = Multimodal.decodeAviDibFrames(shorter)
+    assert(res.forall(_._3.length == 3))
+  }
 }

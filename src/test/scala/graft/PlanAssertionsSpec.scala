@@ -151,6 +151,22 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"no partition pruning in plan:\n$p")
   }
 
+  test("q_sim_ivf_hier: kernel probe, partition pruning, vectors " +
+      "never exchange") {
+    val p = plan("q_sim_ivf_hier") // builds the index on first touch
+    // (the coarse_probe kernel itself sits behind the probe frame's
+    // localCheckpoint, like the flat path's probeCells — CoarseSpec
+    // pins its semantics; this guard pins the rerank plan shape)
+    // same vector-exchange law as the flat path
+    val exchanges = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(exchanges.forall(l =>
+      !l.contains("embedding") && !l.contains("qvec")),
+      s"vector column in an Exchange:\n${exchanges.mkString("\n")}")
+    // and the probed cells prune index partitions at the file listing
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined,
+      s"no partition pruning in plan:\n$p")
+  }
+
   test("q_embed_pq_codes reads ONLY the persisted code table") {
     val p = plan("q_embed_pq_codes") // builds the index on first touch
     // the probe-time plan must never touch raw vectors: codes scan +
