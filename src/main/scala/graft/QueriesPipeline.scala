@@ -215,6 +215,37 @@ object QueriesPipeline {
             i -> (q.e[i] - r.r[i]) * (q.e[i] - r.r[i]))),
             (a, b) -> a + b)"""
 
+  /** Build-if-stale the HIERARCHICAL IVF-PQ layout: the 3×3 composed
+    * grid (fixture-sized; `ScaleStress coarse` drills it at 16k),
+    * m=8×16 PQ codes inside, the grouped-directory layout. */
+  private def ensureIvfPqHierIndex(s: SparkSession, dir: String): String =
+    ensureStaged(s, dir, "ivfpqh_3x3_m8x16", "codes", "embeddings")(p => {
+      val em = t(s, dir, "embeddings")
+      Similarity.writeIvfPqIndexHier(em, p,
+        Similarity.trainCoarseHierarchical(em, "embedding", 9,
+          minPointsPerCentroid = 8),
+        m = 8, ncodes = 16)
+      ()
+    })
+
+  /** The [[pqReconCtes]] replay over the hierarchical layout's
+    * GROUPED directory tree (cell is a data column there, sorted
+    * within cell_grp files — not a hive partition). */
+  private def pqReconCtesGrouped(tag: String): String =
+    s"""cb AS (
+          SELECT sub, code, CAST(centroid AS DOUBLE[]) AS c
+          FROM read_parquet('{STAGING:$tag}/codebooks/*.parquet')
+        ), cl AS (
+          SELECT k.vec_id, CAST(k.cell AS INTEGER) AS cell, s.sub AS sub,
+            k.codes[s.sub + 1] AS code
+          FROM read_parquet('{STAGING:$tag}/codes/cell_grp=*/*.parquet') k,
+            (SELECT unnest(range(8)) AS sub) s
+        ), recon AS (
+          SELECT cl.vec_id, cl.cell,
+            flatten(list(cb.c ORDER BY cb.sub)) AS r
+          FROM cl JOIN cb ON cb.sub = cl.sub AND cb.code = cl.code
+          GROUP BY 1, 2)"""
+
   /** Build-if-stale the RESIDUAL IVF-PQ layout (codes quantize
     * v − c_cell; finer at the same bit budget). */
   private def ensureIvfPqResIndex(s: SparkSession, dir: String): String =
@@ -2986,6 +3017,64 @@ object QueriesPipeline {
           JOIN embeddings ce ON ce.vec_id = a.vec_id
           JOIN embeddings qe ON qe.vec_id = p.qid
           WHERE a.vec_id <> p.qid)
+        WHERE rnk <= 10""")),
+
+    // Hierarchical IVF-PQ — the two pieces of the web-scale layout
+    // composed: the √nlist-cost two-level quantizer (assignment +
+    // beam probes as reference-object kernels) over m-int PQ codes in
+    // the GROUPED directory layout (nlist/64 dirs, cell-sorted files
+    // — listing-level + row-group-level pruning; one dir per cell at
+    // nlist 10⁵⁻⁶ is a metastore problem of its own). STRICT oracle,
+    // the deepest in the ANN family: DuckDB reads the persisted
+    // l1/quantizer/codebook sidecars and the grouped code tree, then
+    // replays the beam probe (top-2 level-1 cells by cosine, top-4
+    // composed cells among their subs) AND the full ADC arithmetic
+    // (codes → reconstructed centroids → 64-term sequential reduce)
+    // — only the k-means fits stay outside.
+    "q_sim_knn_ivfpq_hier" -> Entry(
+      (s, dir) => {
+        val idxPath = ensureIvfPqHierIndex(s, dir)
+        val em = t(s, dir, "embeddings")
+        val queries = em.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        Similarity.ivfPqHierTopKFromIndex(s, idxPath, queries, 10,
+            nprobe = 4, beam = 2)
+          .select(col("qid"), col("rank").as("rnk"), col("vec_id"))
+      },
+      Some(s"""WITH ${pqReconCtesGrouped("ivfpqh_3x3_m8x16")},
+        l1c AS (
+          SELECT c1, CAST(centroid AS DOUBLE[]) AS c
+          FROM read_parquet('{STAGING:ivfpqh_3x3_m8x16}/l1/*.parquet')
+        ), l2c AS (
+          SELECT c1, c1 * 3 + c2 AS cell, CAST(centroid AS DOUBLE[]) AS c
+          FROM read_parquet(
+            '{STAGING:ivfpqh_3x3_m8x16}/quantizer/*.parquet')
+        ), q AS (
+          SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings WHERE vec_id < 5
+        ), qb AS (
+          SELECT qid, c1 FROM (
+            SELECT q.qid, l.c1,
+              row_number() OVER (PARTITION BY q.qid ORDER BY
+                list_cosine_similarity(q.e, l.c) DESC, l.c1) AS pr
+            FROM q CROSS JOIN l1c l)
+          WHERE pr <= 2
+        ), qcell AS (
+          SELECT qid, cell FROM (
+            SELECT q.qid, s.cell,
+              row_number() OVER (PARTITION BY q.qid ORDER BY
+                list_cosine_similarity(q.e, s.c) DESC, s.cell) AS pr
+            FROM q JOIN qb ON qb.qid = q.qid
+            JOIN l2c s ON s.c1 = qb.c1)
+          WHERE pr <= 4)
+        SELECT qid, rnk, vec_id FROM (
+          SELECT p.qid, r.vec_id,
+            row_number() OVER (PARTITION BY p.qid ORDER BY
+              $pqAdcDistSql ASC, r.vec_id) AS rnk
+          FROM recon r
+          JOIN qcell p ON r.cell = p.cell
+          JOIN q ON q.qid = p.qid
+          WHERE r.vec_id <> p.qid)
         WHERE rnk <= 10""")),
 
     // PQ encode (the memory half of web-scale ANN): the corpus at rest

@@ -669,8 +669,11 @@ object Similarity {
     * fails here rather than as silent mis-assignment. */
   def readCoarseQuantizer(spark: SparkSession,
       path: String): CoarseQuantizer = {
+    // by NAME, not position: the hierarchical IVF-PQ layout's meta
+    // carries an extra `residual` column after these three
     val meta = spark.read.parquet(s"$path/meta").head()
-    val (k1, k2, dim) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    val (k1, k2, dim) = (meta.getAs[Int]("k1"), meta.getAs[Int]("k2"),
+      meta.getAs[Int]("dim"))
     val l1 = spark.read.parquet(s"$path/l1").collect().toSeq
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
@@ -960,6 +963,143 @@ object Similarity {
         "or partially-copied IVF-PQ store (every writeIvfPqIndex " +
         "layout has one); refusing to guess the residual flag")
     spark.read.parquet(s"$path/meta").head().getBoolean(0)
+  }
+
+  /** Materialize the HIERARCHICAL IVF-PQ layout — [[writeIvfPqIndex]]
+    * with the two-level quantizer in place of the flat one: codes
+    * partitioned by the composed cell (probe I/O = |probed cells|),
+    * assignment through the O(√nlist) [[assignCellHier]] kernel (the
+    * flat path's literal fold caps out at nlist ≈ 4096), quantizer +
+    * codebooks + meta persisted as self-contained sidecars. This is
+    * the full web-scale shape: nlist ∝ n cells via the distributed
+    * fit, m-int codes at rest, partition-pruned beam probes. */
+  /** @param cellsPerGroup directory fan-out control: codes partition
+    *   on `cell_grp = cell / cellsPerGroup`, NOT on the raw cell — at
+    *   the nlist ∝ n sizing (10⁵⁻⁶ cells) one directory per cell is a
+    *   file-listing/metastore problem all of its own, while ~nlist/64
+    *   group dirs stay bounded. Files are repartitioned one-per-group
+    *   and SORTED by cell, so a probe prunes group dirs at the listing
+    *   AND unprobed cells at the parquet row-group stats — two-level
+    *   pruning in place of one. */
+  def writeIvfPqIndexHier(corpus: DataFrame, path: String,
+      cq: CoarseQuantizer, m: Int = 8, ncodes: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      trainFraction: Double = 1.0, residual: Boolean = false,
+      cellsPerGroup: Int = 64): Unit = {
+    require(cellsPerGroup > 0, "cellsPerGroup must be positive")
+    val spark = corpus.sparkSession
+    val celled = corpus.select(col(idCol), col(vecCol),
+      assignCellHier(col(vecCol), cq).as("cell"))
+    // composed-cell centroid table for the residual rebase: nlist rows
+    // of the LEVEL-2 centroids (the cell a vector actually lands in)
+    val centDf = spark.createDataFrame(
+        cq.l2.map { case (c1, c2, v) => (c1 * cq.k2 + c2, v.toSeq) })
+      .toDF("cell", "centroid")
+    val encodeSrc =
+      if (!residual) celled.withColumn("__enc", col(vecCol))
+      else celled
+        .join(broadcast(centDf.select(col("cell"),
+          col("centroid").cast("array<double>").as("__c"))), Seq("cell"))
+        .withColumn("__enc", zip_with(col(vecCol).cast("array<double>"),
+          col("__c"), (x, c) => x - c))
+    // same materialize-once rationale as writeIvfPqIndex: the m
+    // subspace fits, the dim probe and the final encode all re-derive
+    // the assignment (and residual lambda) without it
+    if (residual) encodeSrc.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cb = trainPqCodebooks(encodeSrc, "__enc", m, ncodes,
+        trainFraction)
+      spark.createDataFrame(cb.cents)
+        .toDF("sub", "code", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+      spark.createDataFrame(cq.l1.map { case (c1, v) => (c1, v.toSeq) })
+        .toDF("c1", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/l1")
+      spark.createDataFrame(
+          cq.l2.map { case (c1, c2, v) => (c1, c2, v.toSeq) })
+        .toDF("c1", "c2", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/quantizer")
+      import spark.implicits._
+      Seq((cq.k1, cq.k2, cq.dim, residual, cellsPerGroup))
+        .toDF("k1", "k2", "dim", "residual", "cells_per_group")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+      encodeSrc.select(col(idCol), col("cell"),
+          graft.plans.PqExpressions.pq_encode(col("__enc"), cb.ncodes,
+            cb.dsub, cb.flat).as("codes"))
+        .filter(col("codes").isNotNull)
+        .withColumn("cell_grp",
+          (col("cell") / cellsPerGroup).cast("int"))
+        // one file per group, cell-sorted inside: the shuffle carries
+        // slim (id, cell, 8-int codes) rows — the 32×-smaller half of
+        // the layout, never vectors
+        .repartition(col("cell_grp"))
+        .sortWithinPartitions(col("cell"))
+        .write.mode("overwrite").partitionBy("cell_grp")
+        .parquet(s"$path/codes")
+    } finally if (residual) { encodeSrc.unpersist(); () }
+  }
+
+  /** The residual flag of a [[writeIvfPqIndexHier]] layout — same
+    * fail-loudly torn-store contract as [[readIvfPqMeta]]. */
+  def readIvfPqHierMeta(spark: SparkSession, path: String): Boolean = {
+    val meta = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasMetaParquet = fs.exists(meta) &&
+      fs.listStatus(meta).exists { st =>
+        val n = st.getPath.getName
+        st.isFile && n.endsWith(".parquet") && !n.startsWith("_") &&
+          !n.startsWith(".")
+      }
+    require(hasMetaParquet,
+      s"readIvfPqHierMeta: no readable meta sidecar at $path/meta — " +
+        "torn or partially-copied store; refusing to guess the " +
+        "residual flag")
+    spark.read.parquet(s"$path/meta").head().getAs[Boolean]("residual")
+  }
+
+  /** Probe a hierarchical IVF-PQ layout: the [[ivfPqTopKFromIndex]]
+    * plan with the O(√nlist) beam probe in place of the literal fold —
+    * partition-pruned code scan, m-int ADC, residual query rebase when
+    * the layout says so. */
+  def ivfPqHierTopKFromIndex(spark: SparkSession, path: String,
+      queries: DataFrame, k: Int, nprobe: Int = 4, beam: Int = 2,
+      idCol: String = "vec_id", qidCol: String = "qid",
+      qvecCol: String = "qvec"): DataFrame = {
+    val cq = readCoarseQuantizer(spark, path)
+    val cb = readPqCodebooks(spark, path)
+    val residual = readIvfPqHierMeta(spark, path)
+    val probes0 = queries.select(col(qidCol), col(qvecCol),
+      explode(probeCellsHier(col(qvecCol), cq, nprobe, beam)).as("cell"))
+    val probes = (if (!residual) probes0
+      else {
+        val centDf = spark.createDataFrame(
+            cq.l2.map { case (c1, c2, v) => (c1 * cq.k2 + c2, v.toSeq) })
+          .toDF("cell", "centroid")
+        probes0
+          .join(broadcast(centDf.select(col("cell"),
+            col("centroid").cast("array<double>").as("__c"))), Seq("cell"))
+          .select(col(qidCol), col("cell"),
+            zip_with(col(qvecCol).cast("array<double>"), col("__c"),
+              (x, c) => x - c).as(qvecCol))
+      }).localCheckpoint(eager = true)
+    val probedCells = probes.select("cell").distinct()
+      .collect().map(_.getInt(0)) // |q|·nprobe ints — driver-bounded
+    val cpg = spark.read.parquet(s"$path/meta").head()
+      .getAs[Int]("cells_per_group")
+    val probedGroups = probedCells.map(_ / cpg).distinct
+    // two-level pruning: group dirs at the file listing, then cells at
+    // the parquet row-group stats (files are cell-sorted) and the row
+    // filter — see writeIvfPqIndexHier's layout rationale
+    val codes = spark.read.parquet(s"$path/codes")
+      .filter(col("cell_grp").isin(probedGroups.toSeq: _*) &&
+        col("cell").isin(probedCells.toSeq: _*))
+    val scored = codes.join(broadcast(probes), Seq("cell"))
+      .filter(col(idCol) =!= col(qidCol))
+      .select(col(qidCol), col(idCol),
+        (-graft.plans.PqExpressions.pq_adc(col(qvecCol), col("codes"),
+          cb.ncodes, cb.dsub, cb.flat)).as("sim"))
+    topKPerGroup(scored, k, qidCol, idCol)
   }
 
   /** Probe an IVF-PQ layout: nprobe nearest cells per query (coarse

@@ -934,6 +934,33 @@ object ScaleStress {
         println(f"$n%9d $nlist%7d ${s"${cq.k1}x${cq.k2}"}%9s $ppc%5d " +
           f"$tFit%7.1f $tAssign%9.1f $tFlat%11.1f")
       }
+      // the layout that USES the big quantizer: hierarchical IVF-PQ
+      // at nlist 16k — build (fit + m subspace fits + one kernel
+      // encode into 16k partitions) and the beam probe, which must
+      // stay bounded by |probed cells| (≈ nprobe · n/nlist rows of
+      // 8-int codes), not by n or nlist
+      locally {
+        val nlist = 16384
+        var cq: Similarity.CoarseQuantizer = null
+        val queries = spark.range(20).select(col("id").as("qid"),
+          synthVec(col("id")).as("qvec"))
+        val path = java.nio.file.Files
+          .createTempDirectory("coarse-ivfpq").toString + "/idx"
+        val tBuild = timed {
+          cq = Similarity.trainCoarseHierarchical(vecs, "embedding",
+            nlist)
+          Similarity.writeIvfPqIndexHier(vecs, path, cq,
+            m = 8, ncodes = 16)
+        }
+        var nProbe = 0L
+        val tProbe = timed {
+          nProbe = Similarity.ivfPqHierTopKFromIndex(spark, path,
+            queries, 10, nprobe = 4, beam = 2).count()
+        }
+        require(nProbe == 200L, s"probe rows drifted: $nProbe")
+        println(f"hier-ivfpq: nlist=$nlist t_build=$tBuild%.1f " +
+          f"t_probe=$tProbe%.1f (20 queries, beam=2, nprobe=4)")
+      }
       vecs.unpersist()
     }
 

@@ -136,6 +136,81 @@ class CoarseSpec extends AnyFunSuite {
     assert(e.getMessage.contains("torn"))
   }
 
+  test("hierarchical IVF-PQ: recall vs exact L2, residual layout " +
+      "improves distortion, torn meta refused") {
+    val em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cq = Similarity.trainCoarseHierarchical(em, "embedding", 9)
+    val queries = em.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    // exact L2 top-5 (driver-side: 500 × 3 pairs)
+    val all = em.select("vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val exact = all.filter(_._1 < 3).flatMap { case (q, qv) =>
+      all.filter(_._1 != q)
+        .map { case (id, v) =>
+          var d = 0.0; var i = 0
+          while (i < qv.length) {
+            val t = qv(i).toDouble - v(i); d += t * t; i += 1 }
+          (id, d)
+        }
+        .sortBy { case (id, d) => (d, id) }.take(5)
+        .map { case (id, _) => (q, id) }
+    }.toSet
+    val p = java.nio.file.Files.createTempDirectory("ivfpqh").toString
+    Similarity.writeIvfPqIndexHier(em, p, cq, m = 8, ncodes = 16)
+    assert(!Similarity.readIvfPqHierMeta(spark, p))
+    val got = Similarity.ivfPqHierTopKFromIndex(spark, p, queries, 5,
+        nprobe = 4, beam = 3)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    assert(got.size == 15) // 3 queries × k=5 — probes found enough
+    val r = (exact & got).size.toDouble / exact.size
+    assert(r >= 0.1, s"hier IVF-PQ recall=$r") // ≫ chance (~0.01)
+    // residual layout: same grid, rebased queries, flag round-trips
+    val rp = java.nio.file.Files.createTempDirectory("ivfpqhr").toString
+    Similarity.writeIvfPqIndexHier(em, rp, cq, m = 8, ncodes = 16,
+      residual = true)
+    assert(Similarity.readIvfPqHierMeta(spark, rp))
+    val res = Similarity.ivfPqHierTopKFromIndex(spark, rp, queries, 5,
+        nprobe = 4, beam = 3)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    assert(res.size == 15)
+    // residual self-distortion strictly below raw over the corpus —
+    // the same witness PqSpec uses for the flat layout
+    def meanDistortion(path: String, resLayout: Boolean): Double = {
+      val cbs = Similarity.readPqCodebooks(spark, path)
+      val codes = spark.read.parquet(s"$path/codes")
+      val joined = em.join(codes, Seq("vec_id"))
+      val x =
+        if (!resLayout) col("embedding").cast("array<double>")
+        else {
+          val centDf = spark.createDataFrame(
+              cq.l2.map { case (c1, c2, v) => (c1 * cq.k2 + c2, v.toSeq) })
+            .toDF("cell2", "centroid")
+          zip_with(col("embedding").cast("array<double>"),
+            col("centroid").cast("array<double>"), (a, b) => a - b)
+        }
+      val src =
+        if (!resLayout) joined
+        else joined.join(broadcast(spark.createDataFrame(
+            cq.l2.map { case (c1, c2, v) => (c1 * cq.k2 + c2, v.toSeq) })
+          .toDF("cell2", "centroid")), col("cell") === col("cell2"))
+      src.select(graft.plans.PqExpressions.pq_adc(x, col("codes"),
+          cbs.ncodes, cbs.dsub, cbs.flat).as("d"))
+        .agg(avg(col("d"))).head().getDouble(0)
+    }
+    assert(meanDistortion(rp, resLayout = true) <
+      meanDistortion(p, resLayout = false))
+    // torn store: meta gone → refuse
+    def rmr(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmr)); f.delete(); ()
+    }
+    rmr(new java.io.File(s"$p/meta"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.readIvfPqHierMeta(spark, p)
+    }
+    assert(e.getMessage.contains("torn"))
+  }
+
   test("hierarchical probe recall vs exact cosine top-10; widening the " +
       "beam never loses recall") {
     val em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
