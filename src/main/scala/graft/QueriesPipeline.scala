@@ -3019,6 +3019,73 @@ object QueriesPipeline {
           WHERE a.vec_id <> p.qid)
         WHERE rnk <= 10""")),
 
+    // Corpus kNN self-join through the hierarchical quantizer — the
+    // self-join at the nlist ∝ n sizing the flat literal fold cannot
+    // reach; the 3×3 grid here shares ensureIvfHierIndex's PERSISTED
+    // quantizer, so the whole computation downstream of the k-means
+    // fit replays. STRICT oracle: both argmax assignment stages, the
+    // beam-2 probes for EVERY vector, the cell equi-join and the
+    // cosine rerank all recomputed by DuckDB from the sidecar floats.
+    "q_sim_knn_ivf_hier" -> Entry(
+      (s, dir) => {
+        val idxPath = ensureIvfHierIndex(s, dir)
+        val cq = Similarity.readCoarseQuantizer(s, idxPath)
+        Similarity.knnJoinIvfHier(t(s, dir, "embeddings"), 3,
+            nlist = 9, nprobe = 3, beam = 2, quantizer = Some(cq))
+          .select(col("qid"), col("rank").as("rnk"), col("vec_id"))
+      },
+      Some("""WITH l1c AS (
+          SELECT c1, CAST(centroid AS DOUBLE[]) AS c
+          FROM read_parquet('{STAGING:ivfh_3x3}/l1/*.parquet')
+        ), l2c AS (
+          SELECT c1, c1 * 3 + c2 AS cell, CAST(centroid AS DOUBLE[]) AS c
+          FROM read_parquet('{STAGING:ivfh_3x3}/quantizer/*.parquet')
+        ), a1 AS (
+          SELECT vec_id, c1 FROM (
+            SELECT e.vec_id, l.c1,
+              row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                  l.c) DESC, l.c1) AS r
+            FROM embeddings e CROSS JOIN l1c l)
+          WHERE r = 1
+        ), assigned AS (
+          SELECT vec_id, cell FROM (
+            SELECT a1.vec_id, s.cell,
+              row_number() OVER (PARTITION BY a1.vec_id ORDER BY
+                list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                  s.c) DESC, s.cell) AS r
+            FROM a1 JOIN embeddings e USING (vec_id)
+            JOIN l2c s ON s.c1 = a1.c1)
+          WHERE r = 1
+        ), qb AS (
+          SELECT vec_id AS qid, c1 FROM (
+            SELECT e.vec_id, l.c1,
+              row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                  l.c) DESC, l.c1) AS r
+            FROM embeddings e CROSS JOIN l1c l)
+          WHERE r <= 2
+        ), qcell AS (
+          SELECT qid, cell FROM (
+            SELECT qb.qid, s.cell,
+              row_number() OVER (PARTITION BY qb.qid ORDER BY
+                list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                  s.c) DESC, s.cell) AS r
+            FROM qb JOIN embeddings e ON e.vec_id = qb.qid
+            JOIN l2c s ON s.c1 = qb.c1)
+          WHERE r <= 3)
+        SELECT qid, rnk, vec_id FROM (
+          SELECT p.qid, a.vec_id,
+            row_number() OVER (PARTITION BY p.qid ORDER BY
+              list_cosine_similarity(CAST(ce.embedding AS DOUBLE[]),
+                CAST(qe.embedding AS DOUBLE[])) DESC, a.vec_id) AS rnk
+          FROM assigned a
+          JOIN qcell p ON a.cell = p.cell
+          JOIN embeddings ce ON ce.vec_id = a.vec_id
+          JOIN embeddings qe ON qe.vec_id = p.qid
+          WHERE a.vec_id <> p.qid)
+        WHERE rnk <= 3""")),
+
     // Hierarchical IVF-PQ — the two pieces of the web-scale layout
     // composed: the √nlist-cost two-level quantizer (assignment +
     // beam probes as reference-object kernels) over m-int PQ codes in

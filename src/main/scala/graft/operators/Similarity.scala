@@ -618,6 +618,38 @@ object Similarity {
     } finally { capped.unpersist(); () }
   }
 
+  /** [[knnJoinIvf]] with the two-level quantizer — the corpus
+    * self-join at the nlist ∝ n sizing the flat path cannot reach:
+    * assignment and probes are the O(√nlist) kernels, the cell
+    * equi-join and everything downstream is the flat plan unchanged
+    * (both sides are the corpus, so the join shuffles (cell, id,
+    * vector) rows — linear, never all-pairs). Recall has the beam
+    * approximation on TOP of the nprobe one: a true neighbor whose
+    * home cell hides under an unopened level-1 cell is missed. */
+  def knnJoinIvfHier(corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      nlist: Int = 64, nprobe: Int = 4, beam: Int = 2,
+      trainFraction: Double = 1.0,
+      quantizer: Option[CoarseQuantizer] = None,
+      minPointsPerCentroid: Int = 32): DataFrame = {
+    quantizer.foreach(q => require(q.nlist == nlist,
+      s"knnJoinIvfHier: persisted quantizer has ${q.nlist} cells but " +
+        s"nlist=$nlist — pass the matching nlist"))
+    val cq = quantizer.getOrElse(trainCoarseHierarchical(corpus, vecCol,
+      nlist, trainFraction, minPointsPerCentroid))
+    val assigned = spread(corpus.select(col(idCol), col(vecCol)))
+      .select(col(idCol), col(vecCol),
+        assignCellHier(col(vecCol), cq).as("cell"))
+    val probes = corpus.select(col(idCol).as("qid"),
+      col(vecCol).as("qvec"),
+      explode(probeCellsHier(col(vecCol), cq, nprobe, beam)).as("cell"))
+    val scored = assigned.join(probes, Seq("cell"))
+      .filter(col(idCol) =!= col("qid"))
+      .select(col("qid"), col(idCol),
+        cosine(col(vecCol), col("qvec")).as("sim"))
+    topKPerGroup(scored, k, "qid", idCol)
+  }
+
   /** Composed cell id of a vector under a hierarchical quantizer —
     * the O(√nlist)-per-row, zero-literal sibling of [[nearestCell]]. */
   def assignCellHier(vec: Column, cq: CoarseQuantizer): Column =

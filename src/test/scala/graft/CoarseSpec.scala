@@ -136,6 +136,25 @@ class CoarseSpec extends AnyFunSuite {
     assert(e.getMessage.contains("torn"))
   }
 
+  test("knnJoinIvfHier: self-join recall vs exact kNN; quantizer/nlist " +
+      "mismatch refused") {
+    val em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = Similarity.knnJoinExact(em, 3)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val got = Similarity.knnJoinIvfHier(em, 3, nlist = 9, nprobe = 3,
+        beam = 3, minPointsPerCentroid = 8)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val r = (exact & got).size.toDouble / exact.size
+    // 3 of 9 cells probed through a beam of 3: recall must beat the
+    // unguided 1/3 corpus fraction comfortably
+    assert(r >= 0.5, s"hier self-join recall=$r")
+    val cq = Similarity.trainCoarseHierarchical(em, "embedding", 9)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.knnJoinIvfHier(em, 3, nlist = 16, quantizer = Some(cq))
+    }
+    assert(e.getMessage.contains("matching nlist"))
+  }
+
   test("hierarchical IVF-PQ: recall vs exact L2, residual layout " +
       "improves distortion, torn meta refused") {
     val em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
