@@ -155,7 +155,7 @@ object QueriesPipeline {
     * same fit/assign/probe path that holds at nlist 10⁵⁻⁶ (drilled in
     * `ScaleStress coarse`). */
   private def ensureIvfHierIndex(s: SparkSession, dir: String): String =
-    ensureStaged(s, dir, "ivfh_3x3", "index", "embeddings")(p => {
+    ensureStaged(s, dir, "ivfh_3x3_v2", "index", "embeddings")(p => {
       Similarity.writeIvfIndexHier(t(s, dir, "embeddings"), p, nlist = 9,
         minPointsPerCentroid = 8)
       ()
@@ -2966,10 +2966,10 @@ object QueriesPipeline {
       },
       Some("""WITH l1c AS (
           SELECT c1, CAST(centroid AS DOUBLE[]) AS c
-          FROM read_parquet('{STAGING:ivfh_3x3}/l1/*.parquet')
+          FROM read_parquet('{STAGING:ivfh_3x3_v2}/l1/*.parquet')
         ), l2c AS (
           SELECT c1, c1 * 3 + c2 AS cell, CAST(centroid AS DOUBLE[]) AS c
-          FROM read_parquet('{STAGING:ivfh_3x3}/quantizer/*.parquet')
+          FROM read_parquet('{STAGING:ivfh_3x3_v2}/quantizer/*.parquet')
         ), a1 AS (
           SELECT vec_id, c1 FROM (
             SELECT e.vec_id, l.c1,
@@ -3036,10 +3036,10 @@ object QueriesPipeline {
       },
       Some("""WITH l1c AS (
           SELECT c1, CAST(centroid AS DOUBLE[]) AS c
-          FROM read_parquet('{STAGING:ivfh_3x3}/l1/*.parquet')
+          FROM read_parquet('{STAGING:ivfh_3x3_v2}/l1/*.parquet')
         ), l2c AS (
           SELECT c1, c1 * 3 + c2 AS cell, CAST(centroid AS DOUBLE[]) AS c
-          FROM read_parquet('{STAGING:ivfh_3x3}/quantizer/*.parquet')
+          FROM read_parquet('{STAGING:ivfh_3x3_v2}/quantizer/*.parquet')
         ), a1 AS (
           SELECT vec_id, c1 FROM (
             SELECT e.vec_id, l.c1,

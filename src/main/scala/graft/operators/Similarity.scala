@@ -665,16 +665,23 @@ object Similarity {
     graft.plans.CoarseExpressions.coarse_probe(vec, cq.k1, cq.k2,
       cq.dim, cq.l1FlatSeq, cq.l2FlatSeq, nprobe, beam)
 
-  /** Materialize a hierarchical IVF index: corpus partitioned by
-    * composed cell, quantizer as (l1, quantizer, meta) sidecars — the
-    * [[writeIvfIndex]] layout generalized to the two-level fit. The
-    * assignment scan carries the quantizer as a reference object, so
-    * the plan is O(1) in nlist and the write is one zero-Exchange
-    * scan + partitioned layout, same as the flat path. */
+  /** Materialize a hierarchical IVF index: corpus in the GROUPED cell
+    * layout (same rationale as [[writeIvfPqIndexHier]]: `cell_grp =
+    * cell / cellsPerGroup` directories — bounded fan-out at nlist
+    * 10⁵⁻⁶, where one dir per cell is a file-listing problem — with
+    * one cell-sorted file per group so probes prune groups at the
+    * listing and cells at the row-group stats), quantizer as
+    * (l1, quantizer, meta) sidecars. Assignment carries the quantizer
+    * as a reference object, O(1) plan size in nlist. Note the grouping
+    * shuffle here carries the VECTORS (this layout stores them — it is
+    * the rerank side); the PQ layout is the one whose rows stay
+    * 32× slimmer. */
   def writeIvfIndexHier(corpus: DataFrame, path: String, nlist: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       trainFraction: Double = 1.0, minPointsPerCentroid: Int = 32,
-      perCellCap: Int = 1 << 13): CoarseQuantizer = {
+      perCellCap: Int = 1 << 13,
+      cellsPerGroup: Int = 64): CoarseQuantizer = {
+    require(cellsPerGroup > 0, "cellsPerGroup must be positive")
     val cq = trainCoarseHierarchical(corpus, vecCol, nlist,
       trainFraction, minPointsPerCentroid, perCellCap)
     val spark = corpus.sparkSession
@@ -686,11 +693,16 @@ object Similarity {
       .toDF("c1", "c2", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/quantizer")
     import spark.implicits._
-    Seq((cq.k1, cq.k2, cq.dim)).toDF("k1", "k2", "dim")
+    Seq((cq.k1, cq.k2, cq.dim, cellsPerGroup))
+      .toDF("k1", "k2", "dim", "cells_per_group")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     corpus.select(col(idCol), col(vecCol),
         assignCellHier(col(vecCol), cq).as("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/index")
+      .withColumn("cell_grp", (col("cell") / cellsPerGroup).cast("int"))
+      .repartition(col("cell_grp"))
+      .sortWithinPartitions(col("cell"))
+      .write.mode("overwrite").partitionBy("cell_grp")
+      .parquet(s"$path/index")
     cq
   }
 
@@ -724,10 +736,11 @@ object Similarity {
     CoarseQuantizer(k1, k2, dim, l1, l2)
   }
 
-  /** Probe a hierarchical IVF index: same partition-pruned shape as
-    * [[ivfTopKFromIndex]] (probed `cell isin` is a PARTITION filter;
-    * queries broadcast; exact cosine rerank within probed cells), with
-    * the O(√nlist) kernel probe in place of the literal fold. */
+  /** Probe a hierarchical IVF index: the [[ivfTopKFromIndex]] shape
+    * with the O(√nlist) kernel probe in place of the literal fold and
+    * TWO-LEVEL pruning over the grouped layout — probed `cell_grp`s at
+    * the file listing, unprobed cells at the parquet row-group stats
+    * (files are cell-sorted) and the row filter. */
   def ivfHierTopKFromIndex(spark: SparkSession, path: String,
       queries: DataFrame, k: Int, nprobe: Int = 4, beam: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding",
@@ -740,8 +753,12 @@ object Similarity {
       .localCheckpoint(eager = true)
     val probedCells = probes.select("cell").distinct()
       .collect().map(_.getInt(0)) // |q|·nprobe ints — driver-bounded
+    val cpg = spark.read.parquet(s"$path/meta").head()
+      .getAs[Int]("cells_per_group")
+    val probedGroups = probedCells.map(_ / cpg).distinct
     val index = spark.read.parquet(s"$path/index")
-      .filter(col("cell").isin(probedCells.toSeq: _*)) // partition pruning
+      .filter(col("cell_grp").isin(probedGroups.toSeq: _*) &&
+        col("cell").isin(probedCells.toSeq: _*))
     rerankWithinCells(index, probes, k, idCol, vecCol, qidCol, qvecCol)
   }
 
