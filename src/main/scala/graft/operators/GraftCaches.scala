@@ -33,7 +33,11 @@ object GraftCaches {
 
   /** Unpersist every registered cache and empty the registry. Safe to
     * call repeatedly and concurrently with registration; unpersisting
-    * an already-unpersisted frame is a no-op. */
+    * an already-unpersisted frame is a no-op. Drops caches across ALL
+    * sessions — the single-driver shape; a JVM hosting several
+    * independent pipelines on separate sessions uses the
+    * session-scoped overload so one pipeline's between-batch release
+    * cannot drop another's live caches mid-computation. */
   def release(): Unit = synchronized {
     live.foreach { ds =>
       try { ds.unpersist(blocking = false); () }
@@ -41,6 +45,20 @@ object GraftCaches {
     }
     live.clear()
   }
+
+  /** [[release]] scoped to one session's caches (identity compare —
+    * a Dataset knows the session that created it). */
+  def release(spark: org.apache.spark.sql.SparkSession): Unit =
+    synchronized {
+      val (mine, others) = live.partition(_.sparkSession eq spark)
+      mine.foreach { ds =>
+        try { ds.unpersist(blocking = false); () }
+        catch { case _: Throwable => () }
+      }
+      live.clear()
+      live ++= others
+      ()
+    }
 
   /** Registered-but-unreleased cache count (spec instrument). */
   def liveCount: Int = synchronized { live.size }

@@ -466,20 +466,23 @@ object Multimodal {
     val stride = (w * 3 + 3) & ~3
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
+    // bulk setRGB with one int[] buffer — per-pixel setRGB pays a
+    // bounds check + color-model conversion per call, ~2M calls per
+    // 1080p frame on the production decode path
+    val buf = new Array[Int](w * h)
     var y = 0
     while (y < h) {
       val row = if (topDown) y else h - 1 - y
       var x = 0
       while (x < w) {
         val o = row * stride + x * 3
-        val b = frame(o) & 0xFF
-        val g = frame(o + 1) & 0xFF
-        val r = frame(o + 2) & 0xFF
-        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        buf(y * w + x) = ((frame(o + 2) & 0xFF) << 16) |
+          ((frame(o + 1) & 0xFF) << 8) | (frame(o) & 0xFF)
         x += 1
       }
       y += 1
     }
+    img.setRGB(0, 0, w, h, buf, 0, w)
     img
   }
 

@@ -544,8 +544,8 @@ object Similarity {
       "use trainCentroids for tiny quantizers")
     require(perCellCap > 0 && minPointsPerCentroid > 0,
       "perCellCap and minPointsPerCentroid must be positive")
-    val k1 = math.ceil(math.sqrt(nlist.toDouble)).toInt
-    val k2 = math.ceil(nlist.toDouble / k1).toInt
+    val k1 = gridK1(nlist)
+    val k2 = gridK2(nlist)
     val l1Fit = trainCentroids(corpus, vecCol, k1, trainFraction,
       maxTrainRows = 1 << 15)
     require(l1Fit.size == k1,
@@ -571,8 +571,11 @@ object Similarity {
       .filter(size(col("__v")) === dim)
     // global pre-thin before the per-cell window: the window shuffles
     // its input, so bound it at ~2× the per-cell caps' total instead
-    // of the whole (sampled) corpus
-    val n = vecs.count()
+    // of the whole (sampled) corpus. The count runs on the UNprojected
+    // frame — metadata-cheap on parquet, the trainCentroids stance —
+    // so it over-counts any wrong-dim rows and the thin fraction is
+    // merely conservative, never a full extra data scan.
+    val n = sampled.count()
     val globalCap = 2L * k1 * perCellCap
     val thinned =
       if (n > globalCap)
@@ -632,9 +635,14 @@ object Similarity {
       trainFraction: Double = 1.0,
       quantizer: Option[CoarseQuantizer] = None,
       minPointsPerCentroid: Int = 32): DataFrame = {
-    quantizer.foreach(q => require(q.nlist == nlist,
+    // accept the ROUNDED grid for the same request: the trainer rounds
+    // nlist up to k1×k2, so the quantizer this very API produced for
+    // `nlist` must pair back with `nlist`
+    quantizer.foreach(q => require(
+      q.nlist == nlist || q.nlist == roundedNlist(nlist),
       s"knnJoinIvfHier: persisted quantizer has ${q.nlist} cells but " +
-        s"nlist=$nlist — pass the matching nlist"))
+        s"nlist=$nlist (grid-rounded: ${roundedNlist(nlist)}) — pass " +
+        "the matching nlist"))
     val cq = quantizer.getOrElse(trainCoarseHierarchical(corpus, vecCol,
       nlist, trainFraction, minPointsPerCentroid))
     val assigned = spread(corpus.select(col(idCol), col(vecCol)))
@@ -649,6 +657,15 @@ object Similarity {
         cosine(col(vecCol), col("qvec")).as("sim"))
     topKPerGroup(scored, k, "qid", idCol)
   }
+
+  private def gridK1(nlist: Int): Int =
+    math.ceil(math.sqrt(nlist.toDouble)).toInt
+  private def gridK2(nlist: Int): Int =
+    math.ceil(nlist.toDouble / gridK1(nlist)).toInt
+
+  /** The cell count a `nlist` request actually trains: the k1×k2 grid
+    * rounds the request UP (k1 = ⌈√nlist⌉, k2 = ⌈nlist/k1⌉). */
+  def roundedNlist(nlist: Int): Int = gridK1(nlist) * gridK2(nlist)
 
   /** Composed cell id of a vector under a hierarchical quantizer —
     * the O(√nlist)-per-row, zero-literal sibling of [[nearestCell]]. */
@@ -698,6 +715,10 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     corpus.select(col(idCol), col(vecCol),
         assignCellHier(col(vecCol), cq).as("cell"))
+      // wrong-length vectors assign to a null cell — drop them at
+      // write like the PQ writers drop null codes, instead of
+      // persisting a __HIVE_DEFAULT_PARTITION__ of dead rows
+      .filter(col("cell").isNotNull)
       .withColumn("cell_grp", (col("cell") / cellsPerGroup).cast("int"))
       .repartition(col("cell_grp"))
       .sortWithinPartitions(col("cell"))
@@ -711,11 +732,13 @@ object Similarity {
     * sidecars are complete grids by construction, so any gap,
     * duplicate, dim drift, or meta mismatch is a partial copy and
     * fails here rather than as silent mis-assignment. */
-  def readCoarseQuantizer(spark: SparkSession,
-      path: String): CoarseQuantizer = {
+  def readCoarseQuantizer(spark: SparkSession, path: String,
+      preReadMeta: Option[org.apache.spark.sql.Row] = None)
+      : CoarseQuantizer = {
     // by NAME, not position: the hierarchical IVF-PQ layout's meta
-    // carries an extra `residual` column after these three
-    val meta = spark.read.parquet(s"$path/meta").head()
+    // carries extra columns after these three. `preReadMeta` lets a
+    // probe that already read the one-row sidecar skip the re-read.
+    val meta = preReadMeta.getOrElse(hierMetaRow(spark, path))
     val (k1, k2, dim) = (meta.getAs[Int]("k1"), meta.getAs[Int]("k2"),
       meta.getAs[Int]("dim"))
     val l1 = spark.read.parquet(s"$path/l1").collect().toSeq
@@ -745,7 +768,8 @@ object Similarity {
       queries: DataFrame, k: Int, nprobe: Int = 4, beam: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding",
       qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
-    val cq = readCoarseQuantizer(spark, path)
+    val meta = hierMetaRow(spark, path)
+    val cq = readCoarseQuantizer(spark, path, Some(meta))
     // materialize-once contract shared with ivfTopKFromIndex: the
     // pruning collect and the rerank join must see identical probes
     val probes = queries.select(col(qidCol), col(qvecCol),
@@ -753,8 +777,7 @@ object Similarity {
       .localCheckpoint(eager = true)
     val probedCells = probes.select("cell").distinct()
       .collect().map(_.getInt(0)) // |q|·nprobe ints — driver-bounded
-    val cpg = spark.read.parquet(s"$path/meta").head()
-      .getAs[Int]("cells_per_group")
+    val cpg = meta.getAs[Int]("cells_per_group")
     val probedGroups = probedCells.map(_ / cpg).distinct
     val index = spark.read.parquet(s"$path/index")
       .filter(col("cell_grp").isin(probedGroups.toSeq: _*) &&
@@ -988,16 +1011,19 @@ object Similarity {
   }
 
   /** The residual flag of a [[writeIvfPqIndex]] layout. Every layout
-    * writeIvfPqIndex has ever produced carries the meta sidecar, so a
-    * `$path/codes` store with no readable meta is NOT an old layout —
-    * it is a torn or partially-copied one (committer configured with
-    * marksuccessfuljobs=false, an interrupted distcp), and defaulting
-    * it to non-residual would probe a residual index without the query
-    * rebase: wrong neighbors, no error. Fail loudly instead. The test
-    * looks for actual meta PARQUET files via Hadoop FS (not
-    * java.io.File — a local-only test on an HDFS/S3 layout would
-    * always miss — and not `_SUCCESS` alone, which a
-    * marksuccessfuljobs=false committer legitimately omits). */
+    * the RELEASED writer produces carries the meta sidecar, so a
+    * `$path/codes` store with no readable meta is either torn /
+    * partially copied (committer configured with
+    * marksuccessfuljobs=false, an interrupted distcp) or from an
+    * interim pre-meta build — and defaulting EITHER to non-residual
+    * would probe a residual index without the query rebase: wrong
+    * neighbors, no error. Fail loudly instead; pre-meta stores should
+    * be rebuilt (the staging staleness rule does this automatically
+    * via its alsoRequire check). The test looks for actual meta
+    * PARQUET files via Hadoop FS (not java.io.File — a local-only
+    * test on an HDFS/S3 layout would always miss — and not `_SUCCESS`
+    * alone, which a marksuccessfuljobs=false committer legitimately
+    * omits). */
   def readIvfPqMeta(spark: SparkSession, path: String): Boolean = {
     val meta = new org.apache.hadoop.fs.Path(s"$path/meta")
     val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1091,7 +1117,16 @@ object Similarity {
 
   /** The residual flag of a [[writeIvfPqIndexHier]] layout — same
     * fail-loudly torn-store contract as [[readIvfPqMeta]]. */
-  def readIvfPqHierMeta(spark: SparkSession, path: String): Boolean = {
+  def readIvfPqHierMeta(spark: SparkSession, path: String): Boolean =
+    hierMetaRow(spark, path).getAs[Boolean]("residual")
+
+  /** The one-row meta sidecar of a hierarchical layout, read ONCE per
+    * probe call (a probe needs k1/k2/dim, cells_per_group and — on the
+    * PQ layout — the residual flag; reading the same one-row file
+    * three times cost three driver jobs per query batch). Fail-loudly
+    * presence check per the readIvfPqMeta convention. */
+  private def hierMetaRow(spark: SparkSession,
+      path: String): org.apache.spark.sql.Row = {
     val meta = new org.apache.hadoop.fs.Path(s"$path/meta")
     val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val hasMetaParquet = fs.exists(meta) &&
@@ -1101,10 +1136,9 @@ object Similarity {
           !n.startsWith(".")
       }
     require(hasMetaParquet,
-      s"readIvfPqHierMeta: no readable meta sidecar at $path/meta — " +
-        "torn or partially-copied store; refusing to guess the " +
-        "residual flag")
-    spark.read.parquet(s"$path/meta").head().getAs[Boolean]("residual")
+      s"no readable meta sidecar at $path/meta — torn or " +
+        "partially-copied store; refusing to guess the layout")
+    spark.read.parquet(s"$path/meta").head()
   }
 
   /** Probe a hierarchical IVF-PQ layout: the [[ivfPqTopKFromIndex]]
@@ -1115,9 +1149,10 @@ object Similarity {
       queries: DataFrame, k: Int, nprobe: Int = 4, beam: Int = 2,
       idCol: String = "vec_id", qidCol: String = "qid",
       qvecCol: String = "qvec"): DataFrame = {
-    val cq = readCoarseQuantizer(spark, path)
+    val meta = hierMetaRow(spark, path)
+    val cq = readCoarseQuantizer(spark, path, Some(meta))
     val cb = readPqCodebooks(spark, path)
-    val residual = readIvfPqHierMeta(spark, path)
+    val residual = meta.getAs[Boolean]("residual")
     val probes0 = queries.select(col(qidCol), col(qvecCol),
       explode(probeCellsHier(col(qvecCol), cq, nprobe, beam)).as("cell"))
     val probes = (if (!residual) probes0
@@ -1134,8 +1169,7 @@ object Similarity {
       }).localCheckpoint(eager = true)
     val probedCells = probes.select("cell").distinct()
       .collect().map(_.getInt(0)) // |q|·nprobe ints — driver-bounded
-    val cpg = spark.read.parquet(s"$path/meta").head()
-      .getAs[Int]("cells_per_group")
+    val cpg = meta.getAs[Int]("cells_per_group")
     val probedGroups = probedCells.map(_ / cpg).distinct
     // two-level pruning: group dirs at the file listing, then cells at
     // the parquet row-group stats (files are cell-sorted) and the row

@@ -230,8 +230,7 @@ class CoarseSpec extends AnyFunSuite {
     assert(e.getMessage.contains("torn"))
   }
 
-  test("hierarchical probe recall vs exact cosine top-10; widening the " +
-      "beam never loses recall") {
+  test("hierarchical probe recall vs exact cosine top-10 across beams") {
     val em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val p = java.nio.file.Files.createTempDirectory("ivfhr").toString
     Similarity.writeIvfIndexHier(em, p, 9)
@@ -247,9 +246,13 @@ class CoarseSpec extends AnyFunSuite {
     }
     val r1 = recallAt(1); val r2 = recallAt(2); val r3 = recallAt(3)
     // 4 of 9 cells probed: chance would be ~0.44 of the corpus seen —
-    // real recall must beat the unguided fraction comfortably
+    // real recall must beat the unguided fraction comfortably. NOTE:
+    // recall is NOT guaranteed monotone in beam at fixed nprobe (a
+    // wider beam's candidate cells can DISPLACE a narrower beam's
+    // true-neighbor cell from the top-nprobe), so only floors are
+    // asserted — the algorithm promises nothing stronger.
+    assert(r1 >= 0.3, s"beam=1 recall=$r1")
     assert(r2 >= 0.6, s"beam=2 recall=$r2")
-    assert(r2 >= r1 - 1e-9 && r3 >= r2 - 1e-9,
-      s"beam recall not monotone: $r1 / $r2 / $r3")
+    assert(r3 >= 0.6, s"beam=3 recall=$r3")
   }
 }
