@@ -903,17 +903,40 @@ object Dedup {
   def semanticNearDups(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nlist: Int = 16, maxCell: Int = 10000,
       trainFraction: Double = 1.0,
-      centroids: Option[Seq[(Int, Array[Float])]] = None): DataFrame = {
-    // `centroids`: a persisted quantizer (writeIvfIndex sidecar) — the
-    // train-once shape that lets an external engine replay the cells
-    // (the strict q_dedup_semantic oracle); default trains in-line.
+      centroids: Option[Seq[(Int, Array[Float])]] = None,
+      hierQuantizer: Option[Similarity.CoarseQuantizer] = None)
+      : DataFrame = {
+    // `centroids`: a persisted FLAT quantizer (writeIvfIndex sidecar)
+    // — the train-once shape that lets an external engine replay the
+    // cells (the strict q_dedup_semantic oracle). `hierQuantizer`: a
+    // persisted TWO-LEVEL quantizer (writeIvfIndexHier sidecar) for
+    // the nlist ∝ n sizing the flat literal fold cannot reach; with
+    // NEITHER given, nlist ≤ 4096 trains flat in-line and larger
+    // nlist auto-routes to the hierarchical fit — everything
+    // downstream (cell cap, one vector exchange, within-cell pairs)
+    // is identical, only the assignment expression differs.
+    require(centroids.isEmpty || hierQuantizer.isEmpty,
+      "semanticNearDups: pass at most one of centroids/hierQuantizer")
     centroids.foreach(cs => require(cs.size == nlist,
       s"semanticNearDups: persisted quantizer has ${cs.size} cells but " +
         s"nlist=$nlist — pass the matching nlist"))
-    val cents = centroids.getOrElse(
-      Similarity.trainCentroids(df, vecCol, nlist, trainFraction))
+    hierQuantizer.foreach(q => require(
+      q.nlist == nlist || q.nlist == Similarity.roundedNlist(nlist),
+      s"semanticNearDups: persisted quantizer has ${q.nlist} cells " +
+        s"but nlist=$nlist (grid-rounded: " +
+        s"${Similarity.roundedNlist(nlist)}) — pass the matching nlist"))
+    val assignExpr: Column = hierQuantizer match {
+      case Some(cq) => Similarity.assignCellHier(col(vecCol), cq)
+      case None if centroids.isEmpty && nlist > 4096 =>
+        Similarity.assignCellHier(col(vecCol),
+          Similarity.trainCoarseHierarchical(df, vecCol, nlist,
+            trainFraction))
+      case None => Similarity.nearestCell(col(vecCol),
+        centroids.getOrElse(
+          Similarity.trainCentroids(df, vecCol, nlist, trainFraction)))
+    }
     val assigned0 = df.select(col(idCol), col(vecCol),
-      Similarity.nearestCell(col(vecCol), cents).as("cell"))
+      assignExpr.as("cell"))
     // cell cap via a ≤nlist-row aggregate broadcast back — a window
     // count would drag every VECTOR through a per-cell sort instead
     // (the aggregate recomputes the scan-and-assign map, no shuffle)

@@ -136,6 +136,37 @@ class CoarseSpec extends AnyFunSuite {
     assert(e.getMessage.contains("torn"))
   }
 
+  test("semanticNearDups through a hierarchical quantizer finds the " +
+      "planted twins; flat/hier exclusivity enforced") {
+    import graft.operators.Dedup
+    val rnd = new scala.util.Random(23)
+    // 60 base vectors + a near-identical twin for the first 10
+    val base = (1L to 60L).map(i =>
+      (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val twins = base.take(10).map { case (i, v) =>
+      (1000L + i, v.map(x => x + 0.001f))
+    }
+    val df = (base ++ twins).map { case (i, v) => (i, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    val cq = Similarity.trainCoarseHierarchical(df, "embedding", 9,
+      minPointsPerCentroid = 1)
+    val pairs = Dedup.semanticNearDups(df, "vec_id", "embedding",
+        threshold = 0.999, nlist = 9, hierQuantizer = Some(cq))
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    // a twin pair can only be missed if the 0.001 nudge crosses a
+    // cell boundary — on 16-dim gaussians that is rare; require most
+    assert((1L to 10L).count(i => pairs.contains((i, 1000L + i))) >= 8,
+      s"planted twins missed: $pairs")
+    // and nothing else is .999-similar in a random gaussian corpus
+    assert(pairs.forall { case (a, b) => b - a == 1000L })
+    val e = intercept[IllegalArgumentException] {
+      Dedup.semanticNearDups(df, "vec_id", "embedding", 0.9,
+        nlist = 9, centroids = Some(Seq.empty),
+        hierQuantizer = Some(cq))
+    }
+    assert(e.getMessage.contains("at most one"))
+  }
+
   test("knnJoinIvfHier: self-join recall vs exact kNN; quantizer/nlist " +
       "mismatch refused") {
     val em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
