@@ -228,6 +228,19 @@ object QueriesPipeline {
       ()
     })
 
+  /** Build-if-stale the RESIDUAL hierarchical IVF-PQ layout (codes
+    * quantize v − c_cell of the composed level-2 cell). */
+  private def ensureIvfPqHierResIndex(s: SparkSession,
+      dir: String): String =
+    ensureStaged(s, dir, "ivfpqhr_3x3_m8x16", "codes", "embeddings")(p => {
+      val em = t(s, dir, "embeddings")
+      Similarity.writeIvfPqIndexHier(em, p,
+        Similarity.trainCoarseHierarchical(em, "embedding", 9,
+          minPointsPerCentroid = 8),
+        m = 8, ncodes = 16, residual = true)
+      ()
+    })
+
   /** The [[pqReconCtes]] replay over the hierarchical layout's
     * GROUPED directory tree (cell is a data column there, sorted
     * within cell_grp files — not a hive partition). */
@@ -3142,6 +3155,62 @@ object QueriesPipeline {
           JOIN qcell p ON r.cell = p.cell
           JOIN q ON q.qid = p.qid
           WHERE r.vec_id <> p.qid)
+        WHERE rnk <= 10""")),
+
+    // The residual refinement on the HIERARCHICAL layout — codes
+    // quantize v − c_cell of the composed level-2 cell, queries rebase
+    // per probed cell. STRICT oracle: the hier beam probe + the
+    // per-cell rebase + the full ADC replay, all from the persisted
+    // sidecars — the last cell of the flat×hier / raw×residual ANN
+    // oracle matrix.
+    "q_sim_knn_ivfpq_hier_res" -> Entry(
+      (s, dir) => {
+        val idxPath = ensureIvfPqHierResIndex(s, dir)
+        val em = t(s, dir, "embeddings")
+        val queries = em.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        Similarity.ivfPqHierTopKFromIndex(s, idxPath, queries, 10,
+            nprobe = 4, beam = 2)
+          .select(col("qid"), col("rank").as("rnk"), col("vec_id"))
+      },
+      Some(s"""WITH ${pqReconCtesGrouped("ivfpqhr_3x3_m8x16")},
+        l1c AS (
+          SELECT c1, CAST(centroid AS DOUBLE[]) AS c
+          FROM read_parquet('{STAGING:ivfpqhr_3x3_m8x16}/l1/*.parquet')
+        ), l2c AS (
+          SELECT c1, c1 * 3 + c2 AS cell, CAST(centroid AS DOUBLE[]) AS c
+          FROM read_parquet(
+            '{STAGING:ivfpqhr_3x3_m8x16}/quantizer/*.parquet')
+        ), qraw AS (
+          SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings WHERE vec_id < 5
+        ), qb AS (
+          SELECT qid, c1 FROM (
+            SELECT qraw.qid, l.c1,
+              row_number() OVER (PARTITION BY qraw.qid ORDER BY
+                list_cosine_similarity(qraw.e, l.c) DESC, l.c1) AS pr
+            FROM qraw CROSS JOIN l1c l)
+          WHERE pr <= 2
+        ), qcell AS (
+          SELECT qid, cell FROM (
+            SELECT qraw.qid, s.cell,
+              row_number() OVER (PARTITION BY qraw.qid ORDER BY
+                list_cosine_similarity(qraw.e, s.c) DESC, s.cell) AS pr
+            FROM qraw JOIN qb ON qb.qid = qraw.qid
+            JOIN l2c s ON s.c1 = qb.c1)
+          WHERE pr <= 4
+        ), q AS (
+          SELECT p.qid, p.cell,
+            list_transform(range(1, 65), i -> qraw.e[i] - s.c[i]) AS e
+          FROM qcell p
+          JOIN qraw ON qraw.qid = p.qid
+          JOIN l2c s ON s.cell = p.cell)
+        SELECT qid, rnk, vec_id FROM (
+          SELECT q.qid, r.vec_id,
+            row_number() OVER (PARTITION BY q.qid ORDER BY
+              $pqAdcDistSql, r.vec_id) AS rnk
+          FROM recon r JOIN q ON r.cell = q.cell
+          WHERE r.vec_id <> q.qid)
         WHERE rnk <= 10""")),
 
     // PQ encode (the memory half of web-scale ANN): the corpus at rest
