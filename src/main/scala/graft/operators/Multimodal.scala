@@ -504,6 +504,24 @@ object Multimodal {
       }
     }
 
+  /** [[probeAviMjpeg]]'s rawvideo twin — same 8-dim feature layout,
+    * first frame through the raw-bitmap geometry instead of the JPEG
+    * codec. */
+  private[graft] def probeAviDib(content: Array[Byte])
+      : Option[Array[Float]] =
+    decodeAviDibFrames(content).map { case (w0, h0, fs) =>
+      val img = dibFrameImage(fs(0), w0, h0)
+      val feat = imageFeature(img)
+      val frameBytes = fs.iterator.map(_.length.toLong).sum
+      Array(fs.length.toFloat, img.getWidth.toFloat,
+        img.getHeight.toFloat,
+        if (img.getHeight > 0) img.getWidth.toFloat / img.getHeight
+        else 0f,
+        feat(6), feat(7),
+        (frameBytes.toDouble / math.max(content.length, 1)).toFloat,
+        (frameBytes.toFloat / fs.length) / 1024f)
+    }
+
   val videoFrameSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("frame_idx", IntegerType, nullable = false),
@@ -783,7 +801,7 @@ object Multimodal {
     * bumping it here — REQUIRED whenever syntheticPng/Wav/Mp4 or
     * [[syntheticMedia]]'s row shape changes — invalidates every staged
     * copy at the same commit that changes the bytes. */
-  val mediaGeneration = 5
+  val mediaGeneration = 6
 
   /** Synthesize a media table from the documents table: image rows get
     * REAL PNG payloads, audio rows REAL WAV payloads, and video rows
@@ -795,6 +813,7 @@ object Multimodal {
     val wavUdf = udf((id: Long) => syntheticWav(id))
     val mp4Udf = udf((id: Long) => syntheticMp4(id))
     val aviUdf = udf((id: Long) => syntheticAvi(id))
+    val dibUdf = udf((id: Long) => syntheticDibAvi(id))
     val kind = element_at(array(lit("image"), lit("audio"), lit("video")),
       (col("doc_id") % 3 + 1).cast("int"))
     docs.select(
@@ -802,9 +821,12 @@ object Multimodal {
       kind.as("kind"),
       when(kind === "image", pngUdf(col("doc_id")))
         .when(kind === "audio", wavUdf(col("doc_id")))
-        // video rows alternate container/codec: BMFF (probe-only) and
-        // MJPEG-AVI (full frame decode) — both paths run distributed
+        // video rows cycle container/codec: BMFF (probe-only, half),
+        // MJPEG-AVI and rawvideo-AVI (full frame decode, a quarter
+        // each) — all three classification + decode paths run
+        // distributed in the graded media queries
         .when(pmod(col("doc_id"), lit(6)) === 2, mp4Udf(col("doc_id")))
+        .when(pmod(col("doc_id"), lit(12)) === 5, dibUdf(col("doc_id")))
         .otherwise(aviUdf(col("doc_id"))).as("content"),
       length(col("text")).cast("int").as("meta_width"),
       (col("n_chars") % 1080).cast("int").as("meta_height"))
@@ -831,6 +853,7 @@ object Multimodal {
             .getOrElse(decodeStub(kind, content))
           case "video" => probeVideo(content)
             .orElse(probeAviMjpeg(content))
+            .orElse(probeAviDib(content))
             .getOrElse(decodeStub(kind, content))
           case _ => decodeStub(kind, content)
         }

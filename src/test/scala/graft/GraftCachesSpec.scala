@@ -68,7 +68,11 @@ class GraftCachesSpec extends AnyFunSuite {
     // 25..30 repeat history; 31..40 are novel
     assert(out.count() == 10)
     assert(GraftCaches.liveCount >= 1, "sliver persist not registered")
-    GraftCaches.release()
-    assert(cacheEmpty, "bloom sliver cache survived release()")
+    // the session-scoped overload drains this session's caches (the
+    // only session here — a foreign-session release must be a no-op,
+    // which the partition logic gives by construction)
+    GraftCaches.release(spark)
+    assert(GraftCaches.liveCount == 0)
+    assert(cacheEmpty, "bloom sliver cache survived release(spark)")
   }
 }

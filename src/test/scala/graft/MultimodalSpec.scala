@@ -210,15 +210,18 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.probeVideo(evilBytes).isEmpty) // no mvhd, no spin
     // and the pipeline routes video rows through the REAL probes:
     // BMFF rows (doc_id % 6 == 2) read the mvhd timescale in slot 1,
-    // MJPEG-AVI rows (doc_id % 6 == 5) the 16 px frame width — never a
-    // histogram fraction <= 1 (the stub)
+    // rawvideo rows (doc_id % 12 == 5) the 10 px DIB frame width,
+    // MJPEG-AVI rows the 16 px JPEG frame width — never a histogram
+    // fraction <= 1 (the stub)
     val media = Multimodal.syntheticMedia(spark, "/root/testdata/sf0.001")
     val vid = Multimodal.extractFeatures(media)
       .filter(col("kind") === "video").collect()
     assert(vid.nonEmpty)
     assert(vid.forall { r =>
       val slot1 = r.getSeq[Float](3)(1)
-      if (r.getLong(0) % 6 == 2) slot1 == 1000f else slot1 == 16f
+      if (r.getLong(0) % 6 == 2) slot1 == 1000f
+      else if (r.getLong(0) % 12 == 5) slot1 == 10f
+      else slot1 == 16f
     })
   }
 
@@ -327,5 +330,32 @@ class MultimodalSpec extends AnyFunSuite {
     // frame fails the geometry check and drops
     val res = Multimodal.decodeAviDibFrames(shorter)
     assert(res.forall(_._3.length == 3))
+    // the rawvideo feature probe mirrors probeAviMjpeg's layout
+    val pf = Multimodal.probeAviDib(avi).get
+    assert(pf(0) == 4f && pf(1) == 10f && pf(2) == 7f)
+  }
+
+  test("synthetic media's video rows exercise all three codec classes") {
+    val media = Multimodal.syntheticMedia(spark,
+      "/root/testdata/sf0.001")
+    val codecs = Multimodal.videoCodecProfile(
+        media.filter(col("kind") === "video"))
+      .select("codec").distinct().collect().map(_.getString(0)).toSet
+    assert(Set("avi_mjpeg", "avi_rawvideo", "bmff").subsetOf(codecs),
+      s"missing codec class in synthetic media: $codecs")
+    // and extractFeatures gives BOTH AVI codecs a REAL (non-stub)
+    // feature: the probes lead with the frame count (≥ 2 for every
+    // synthetic AVI), where the stub's head is a byte-histogram
+    // fraction ≤ 1
+    val aviIds = Multimodal.videoCodecProfile(
+        media.filter(col("kind") === "video"))
+      .filter(col("codec").startsWith("avi_"))
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    val feats = Multimodal.extractFeatures(
+        media.filter(col("kind") === "video"))
+      .collect()
+      .filter(r => aviIds.contains(r.getLong(0)))
+      .map(_.getSeq[Float](3))
+    assert(feats.nonEmpty && feats.forall(_.head >= 2f))
   }
 }
