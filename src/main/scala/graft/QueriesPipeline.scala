@@ -3157,6 +3157,70 @@ object QueriesPipeline {
           WHERE r.vec_id <> p.qid)
         WHERE rnk <= 10""")),
 
+    // The REFINE stage over the hierarchical layout — the FAISS
+    // two-stage search: ADC shortlists k·4 candidates from the code
+    // table (probed-cell I/O, m-int compute), then only those
+    // candidates' raw vectors rerank by exact cosine (the shortlist
+    // BROADCASTS into the corpus scan — vectors never shuffle).
+    // STRICT oracle: the full hier-ADC replay ranks the shortlist,
+    // then DuckDB reranks it with exact cosine from the raw
+    // embeddings — both stages recomputed from the persisted store.
+    "q_sim_knn_ivfpq_hier_refined" -> Entry(
+      (s, dir) => {
+        val idxPath = ensureIvfPqHierIndex(s, dir)
+        val em = t(s, dir, "embeddings")
+        val queries = em.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        Similarity.ivfPqHierTopKRefined(s, idxPath, em, queries, 10,
+            nprobe = 4, beam = 2, refineFactor = 4)
+          .select(col("qid"), col("rank").as("rnk"), col("vec_id"))
+      },
+      Some(s"""WITH ${pqReconCtesGrouped("ivfpqh_3x3_m8x16")},
+        l1c AS (
+          SELECT c1, CAST(centroid AS DOUBLE[]) AS c
+          FROM read_parquet('{STAGING:ivfpqh_3x3_m8x16}/l1/*.parquet')
+        ), l2c AS (
+          SELECT c1, c1 * 3 + c2 AS cell, CAST(centroid AS DOUBLE[]) AS c
+          FROM read_parquet(
+            '{STAGING:ivfpqh_3x3_m8x16}/quantizer/*.parquet')
+        ), q AS (
+          SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings WHERE vec_id < 5
+        ), qb AS (
+          SELECT qid, c1 FROM (
+            SELECT q.qid, l.c1,
+              row_number() OVER (PARTITION BY q.qid ORDER BY
+                list_cosine_similarity(q.e, l.c) DESC, l.c1) AS pr
+            FROM q CROSS JOIN l1c l)
+          WHERE pr <= 2
+        ), qcell AS (
+          SELECT qid, cell FROM (
+            SELECT q.qid, s.cell,
+              row_number() OVER (PARTITION BY q.qid ORDER BY
+                list_cosine_similarity(q.e, s.c) DESC, s.cell) AS pr
+            FROM q JOIN qb ON qb.qid = q.qid
+            JOIN l2c s ON s.c1 = qb.c1)
+          WHERE pr <= 4
+        ), shortlist AS (
+          SELECT qid, vec_id FROM (
+            SELECT q.qid, r.vec_id,
+              row_number() OVER (PARTITION BY q.qid ORDER BY
+                $pqAdcDistSql ASC, r.vec_id) AS adcr
+            FROM recon r
+            JOIN qcell p ON r.cell = p.cell
+            JOIN q ON q.qid = p.qid
+            WHERE r.vec_id <> q.qid)
+          WHERE adcr <= 40)
+        SELECT qid, rnk, vec_id FROM (
+          SELECT sl.qid, sl.vec_id,
+            row_number() OVER (PARTITION BY sl.qid ORDER BY
+              list_cosine_similarity(CAST(ce.embedding AS DOUBLE[]),
+                CAST(qe.embedding AS DOUBLE[])) DESC, sl.vec_id) AS rnk
+          FROM shortlist sl
+          JOIN embeddings ce ON ce.vec_id = sl.vec_id
+          JOIN embeddings qe ON qe.vec_id = sl.qid)
+        WHERE rnk <= 10""")),
+
     // The residual refinement on the HIERARCHICAL layout — codes
     // quantize v − c_cell of the composed level-2 cell, queries rebase
     // per probed cell. STRICT oracle: the hier beam probe + the

@@ -1185,6 +1185,34 @@ object Similarity {
     topKPerGroup(scored, k, qidCol, idCol)
   }
 
+  /** Refined hierarchical IVF-PQ search — the FAISS refine stage: the
+    * ADC probe shortlists `k·refineFactor` candidates per query from
+    * the code table (I/O and compute bounded by probed cells and
+    * m-int rows), then ONLY those candidates' raw vectors are read
+    * for an exact-cosine rerank to the final k. The candidate set is
+    * |q|·k·refineFactor rows — it BROADCASTS into the corpus scan, so
+    * raw vectors are touched once, filtered at the join, and never
+    * shuffled. Result law (spec-pinned): exactly the exact-cosine
+    * ranking RESTRICTED to the ADC shortlist — PQ decides what gets
+    * looked at, floats decide the order. */
+  def ivfPqHierTopKRefined(spark: SparkSession, path: String,
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      nprobe: Int = 4, beam: Int = 2, refineFactor: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    require(refineFactor >= 1, "refineFactor must be >= 1")
+    val shortlist = ivfPqHierTopKFromIndex(spark, path, queries,
+        k * refineFactor, nprobe, beam, idCol, qidCol, qvecCol)
+      .select(col(qidCol), col(idCol))
+    val scored = corpus.select(col(idCol), col(vecCol))
+      .join(broadcast(shortlist), Seq(idCol))
+      .join(broadcast(queries.select(col(qidCol), col(qvecCol))),
+        Seq(qidCol))
+      .select(col(qidCol), col(idCol),
+        cosine(col(vecCol), col(qvecCol)).as("sim"))
+    topKPerGroup(scored, k, qidCol, idCol)
+  }
+
   /** Probe an IVF-PQ layout: nprobe nearest cells per query (coarse
     * centroids folded into the probe expression), partition-pruned
     * scan of ONLY those cells' code files, ADC rank within them. The

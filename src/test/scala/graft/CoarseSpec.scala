@@ -261,6 +261,44 @@ class CoarseSpec extends AnyFunSuite {
     assert(e.getMessage.contains("torn"))
   }
 
+  test("refined hier IVF-PQ equals the exact-cosine ranking restricted " +
+      "to the ADC shortlist — the refine-stage law") {
+    val em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cq = Similarity.trainCoarseHierarchical(em, "embedding", 9)
+    val p = java.nio.file.Files.createTempDirectory("ivfpqhRef").toString
+    Similarity.writeIvfPqIndexHier(em, p, cq, m = 8, ncodes = 16)
+    val queries = em.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val shortlist = Similarity.ivfPqHierTopKFromIndex(spark, p, queries,
+        15, nprobe = 4, beam = 3)
+      .select("qid", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val refined = Similarity.ivfPqHierTopKRefined(spark, p, em, queries,
+        5, nprobe = 4, beam = 3, refineFactor = 3)
+      .select("qid", "rank", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .toSet
+    val vecs = em.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = shortlist.flatMap { case (qid, cands) =>
+      val qv = vecs(qid)
+      cands.toSeq.map(id => (id, cos(vecs(id), qv)))
+        .sortBy { case (id, s) => (-s, id) }
+        .take(5).zipWithIndex
+        .map { case ((id, _), i) => (qid, i + 1, id) }
+    }.toSet
+    assert(refined == want,
+      "refine must be exact-cosine over exactly the ADC shortlist")
+  }
+
   test("hierarchical probe recall vs exact cosine top-10 across beams") {
     val em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val p = java.nio.file.Files.createTempDirectory("ivfhr").toString
