@@ -936,26 +936,49 @@ object ScaleStress {
       }
       // the layout that USES the big quantizer: hierarchical IVF-PQ
       // at nlist 16k — build (fit + m subspace fits + one kernel
-      // encode into 16k partitions) and the beam probe, which must
+      // encode into the grouped layout) and the beam probe, which must
       // stay bounded by |probed cells| (≈ nprobe · n/nlist rows of
-      // 8-int codes), not by n or nlist
+      // 8-int codes), not by n or nlist. This leg's corpus is
+      // CLUSTERED (n/50 planted clusters, 0.15-scale noise): uniform
+      // random 64-dim vectors have no locality for ANN to exploit —
+      // recall against them reads ~0.02 (still ~80× the 0.0002 chance
+      // rate, but meaningless as a quality receipt); real embedding
+      // spaces have the cluster structure IVF cells align to, and the
+      // planted corpus reproduces that regime so the adc-vs-refined
+      // recall comparison measures what the refine stage actually buys.
       locally {
         val nlist = 16384
+        def h(tag: String, key: Column, j: Column): Column =
+          ((conv(substring(md5(concat(lit(tag), key.cast("string"),
+            lit(":"), j.cast("string"))), 1, 8), 16, 10).cast("double")
+            % 1000.0) / 500.0 - 1.0)
+        def clusteredVec(id: Column): Column = {
+          val cl = pmod(id, lit(n / 50))
+          transform(sequence(lit(0), lit(63)), j =>
+            (h("c", cl, j) + lit(0.15) * h("n", id, j)).cast("float"))
+        }
+        val cvecs = spark.range(n).select(col("id").as("vec_id"),
+          clusteredVec(col("id")).as("embedding")).cache()
+        cvecs.count()
         var cq: Similarity.CoarseQuantizer = null
         val queries = spark.range(20).select(col("id").as("qid"),
-          synthVec(col("id")).as("qvec"))
+          clusteredVec(col("id")).as("qvec"))
         val path = java.nio.file.Files
           .createTempDirectory("coarse-ivfpq").toString + "/idx"
         val tBuild = timed {
-          cq = Similarity.trainCoarseHierarchical(vecs, "embedding",
+          cq = Similarity.trainCoarseHierarchical(cvecs, "embedding",
             nlist)
-          Similarity.writeIvfPqIndexHier(vecs, path, cq,
+          Similarity.writeIvfPqIndexHier(cvecs, path, cq,
             m = 8, ncodes = 16)
         }
         var nProbe = 0L
+        var adc: Set[(Long, Long)] = Set.empty
         val tProbe = timed {
-          nProbe = Similarity.ivfPqHierTopKFromIndex(spark, path,
-            queries, 10, nprobe = 4, beam = 2).count()
+          adc = Similarity.ivfPqHierTopKFromIndex(spark, path,
+              queries, 10, nprobe = 4, beam = 2)
+            .select(col("qid"), col("vec_id"))
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+          nProbe = adc.size.toLong
         }
         // a floor, not equality: a sparse probed cell under skewed
         // synthetic occupancy can legitimately yield < k candidates
@@ -963,8 +986,27 @@ object ScaleStress {
         // engine bug the drill should die on
         require(nProbe >= 100L && nProbe <= 200L,
           s"probe rows out of range: $nProbe")
+        // the refine stage: ADC shortlist (4x) + exact rerank of only
+        // the shortlist's raw vectors — wall must track the probe,
+        // never a corpus scan; recall vs exact cosine must IMPROVE
+        // over raw ADC order (the stage's whole point)
+        var refined: Set[(Long, Long)] = Set.empty
+        val tRefined = timed {
+          refined = Similarity.ivfPqHierTopKRefined(spark, path, cvecs,
+              queries, 10, nprobe = 4, beam = 2, refineFactor = 4)
+            .select(col("qid"), col("vec_id"))
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        }
+        val exact = Similarity.bruteForceTopK(cvecs, queries, 10)
+          .select(col("qid"), col("vec_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val rAdc = (exact & adc).size.toDouble / exact.size
+        val rRef = (exact & refined).size.toDouble / exact.size
         println(f"hier-ivfpq: nlist=$nlist t_build=$tBuild%.1f " +
-          f"t_probe=$tProbe%.1f (20 queries, beam=2, nprobe=4)")
+          f"t_probe=$tProbe%.1f t_refined=$tRefined%.1f " +
+          f"recall@10 adc=$rAdc%.2f refined=$rRef%.2f " +
+          "(clustered corpus, 20 queries, beam=2, nprobe=4, refine=4x)")
+        cvecs.unpersist()
       }
       vecs.unpersist()
     }
