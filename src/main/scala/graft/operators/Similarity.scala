@@ -535,7 +535,15 @@ object Similarity {
     * Level-1 cells whose sample slice is too small to fit k2 distinct
     * sub-centroids pad the remaining slots with the level-1 centroid
     * itself — duplicate centroids are harmless (argmax ties break to
-    * the lowest id; padded cells just stay empty). */
+    * the lowest id; padded cells just stay empty).
+    *
+    * Memory regime note: the trained quantizer is nlist·dim·8 B of
+    * doubles riding the plan as a reference object — 16 MB at
+    * nlist 64Ki/d=64, shipped once per executor with the stage's task
+    * binary. Past ~10⁵ cells that object is the next thing to move
+    * (an explicit Broadcast handle, or a two-level PROBE that loads
+    * only opened level-1 cells' sub-tables); the fit itself scales
+    * further already. */
   def trainCoarseHierarchical(corpus: DataFrame, vecCol: String,
       nlist: Int, trainFraction: Double = 1.0,
       minPointsPerCentroid: Int = 32,
