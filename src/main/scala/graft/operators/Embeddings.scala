@@ -487,14 +487,21 @@ object Embeddings {
     // persisted-quantizer option: same contract as [[clusterTopics]] —
     // pass a writeIvfIndex sidecar to replay the exact cells an
     // external engine can re-derive (the strict q_embed_balanced
-    // oracle); default trains in-line
+    // oracle); default trains in-line. nlist ∝ n sizing past the flat
+    // quantizer's 4096-cell ceiling auto-routes to the hierarchical
+    // fit (the semanticNearDups convention) — cell-balanced corpus
+    // selection is exactly the operator that wants fixed cell sizes
+    // at any corpus scale.
     centroids.foreach(cs => require(cs.size == nlist,
       s"balancedSample: persisted quantizer has ${cs.size} cells but " +
         s"nlist=$nlist — pass the matching nlist"))
-    val cents = centroids.getOrElse(
-      Similarity.trainCentroids(df, vecCol, nlist))
-    val assigned = df.withColumn("cell",
-      Similarity.nearestCell(col(vecCol), cents))
+    val cellExpr: Column =
+      if (centroids.isEmpty && nlist > 4096)
+        Similarity.assignCellHier(col(vecCol),
+          Similarity.trainCoarseHierarchical(df, vecCol, nlist))
+      else Similarity.nearestCell(col(vecCol),
+        centroids.getOrElse(Similarity.trainCentroids(df, vecCol, nlist)))
+    val assigned = df.withColumn("cell", cellExpr)
     Corpus.capPerGroup(assigned, "cell",
       Seq(md5(col(idCol).cast("string")), col(idCol)), perCell)
       .drop("rnk") // capPerGroup's working column, not part of the contract

@@ -167,6 +167,20 @@ class CoarseSpec extends AnyFunSuite {
     assert(e.getMessage.contains("at most one"))
   }
 
+  test("balancedSample auto-routes past the flat ceiling to the " +
+      "hierarchical fit") {
+    val em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // the route proof without a heavyweight train: past 4096 cells the
+    // call must land in trainCoarseHierarchical, whose points-per-
+    // centroid fail-fast names itself — the flat path would instead
+    // throw trainCentroids' ceiling message
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Embeddings.balancedSample(em, "embedding",
+        "vec_id", nlist = 4097, perCell = 10)
+    }
+    assert(e.getMessage.contains("trainCoarseHierarchical"))
+  }
+
   test("knnJoinIvfHier: self-join recall vs exact kNN; quantizer/nlist " +
       "mismatch refused") {
     val em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
