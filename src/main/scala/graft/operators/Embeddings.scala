@@ -538,10 +538,18 @@ object Embeddings {
       s"clusterTopics: persisted quantizer has ${cs.size} cells but " +
         s"nlist=$nlist — pass the matching nlist (a silent mismatch " +
         "would relabel every cell)"))
-    val cents = centroids.getOrElse(
-      Similarity.trainCentroids(embedded, vecCol, nlist))
+    // in-line fits past the flat ceiling auto-route to the
+    // hierarchical quantizer (the semanticNearDups/balancedSample
+    // convention) — topic maps over web-scale corpora want
+    // nlist ∝ n cells
+    val cellExpr: Column =
+      if (centroids.isEmpty && nlist > 4096)
+        Similarity.assignCellHier(col(vecCol),
+          Similarity.trainCoarseHierarchical(embedded, vecCol, nlist))
+      else Similarity.nearestCell(col(vecCol), centroids.getOrElse(
+        Similarity.trainCentroids(embedded, vecCol, nlist)))
     val assigned = embedded.select(col(idCol).as("__cid"),
-      Similarity.nearestCell(col(vecCol), cents).as("cell"))
+      cellExpr.as("cell"))
     val labeled = assigned.join(
       docs.select(col(docIdCol).as("__cid"), col(textCol)), Seq("__cid"))
     val sizes = labeled.groupBy(col("cell"))

@@ -179,6 +179,14 @@ class CoarseSpec extends AnyFunSuite {
         "vec_id", nlist = 4097, perCell = 10)
     }
     assert(e.getMessage.contains("trainCoarseHierarchical"))
+    // same route in clusterTopics (its in-line fit shares the rule)
+    val docs = em.select(col("vec_id").as("doc_id"),
+      lit("some words here").as("text"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.Embeddings.clusterTopics(em, "vec_id",
+        "embedding", docs, "doc_id", "text", nlist = 4097)
+    }
+    assert(e2.getMessage.contains("trainCoarseHierarchical"))
   }
 
   test("knnJoinIvfHier: self-join recall vs exact kNN; quantizer/nlist " +
