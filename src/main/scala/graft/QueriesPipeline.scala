@@ -155,7 +155,8 @@ object QueriesPipeline {
     * same fit/assign/probe path that holds at nlist 10⁵⁻⁶ (drilled in
     * `ScaleStress coarse`). */
   private def ensureIvfHierIndex(s: SparkSession, dir: String): String =
-    ensureStaged(s, dir, "ivfh_3x3_v2", "index", "embeddings")(p => {
+    ensureStaged(s, dir, "ivfh_3x3_v2", "index", "embeddings",
+      alsoRequire = Seq("meta"))(p => {
       Similarity.writeIvfIndexHier(t(s, dir, "embeddings"), p, nlist = 9,
         minPointsPerCentroid = 8)
       ()
@@ -219,7 +220,8 @@ object QueriesPipeline {
     * grid (fixture-sized; `ScaleStress coarse` drills it at 16k),
     * m=8×16 PQ codes inside, the grouped-directory layout. */
   private def ensureIvfPqHierIndex(s: SparkSession, dir: String): String =
-    ensureStaged(s, dir, "ivfpqh_3x3_m8x16", "codes", "embeddings")(p => {
+    ensureStaged(s, dir, "ivfpqh_3x3_m8x16", "codes", "embeddings",
+      alsoRequire = Seq("meta"))(p => {
       val em = t(s, dir, "embeddings")
       Similarity.writeIvfPqIndexHier(em, p,
         Similarity.trainCoarseHierarchical(em, "embedding", 9,
@@ -232,7 +234,8 @@ object QueriesPipeline {
     * quantize v − c_cell of the composed level-2 cell). */
   private def ensureIvfPqHierResIndex(s: SparkSession,
       dir: String): String =
-    ensureStaged(s, dir, "ivfpqhr_3x3_m8x16", "codes", "embeddings")(p => {
+    ensureStaged(s, dir, "ivfpqhr_3x3_m8x16", "codes", "embeddings",
+      alsoRequire = Seq("meta"))(p => {
       val em = t(s, dir, "embeddings")
       Similarity.writeIvfPqIndexHier(em, p,
         Similarity.trainCoarseHierarchical(em, "embedding", 9,

@@ -491,35 +491,40 @@ object Multimodal {
     * frame-bytes fraction of the container, mean bytes per frame /
     * 1024]. The [[extractFeatures]] video path tries the BMFF probe,
     * then this, then the stub. */
+  /** The ONE 8-slot AVI feature assembly both codec probes share —
+    * [n_frames, width, height, aspect, first-frame mean luma,
+    * first-frame edge energy, frame-bytes fraction of the container,
+    * mean bytes per frame / 1024]. Duplicating it per codec would let
+    * the two "same layout" probes silently drift apart on the next
+    * slot change. */
+  private def aviFeature(nFrames: Int, w: Int, h: Int,
+      firstFrameFeat: Array[Float], frameBytes: Long,
+      containerLen: Int): Array[Float] =
+    Array(nFrames.toFloat, w.toFloat, h.toFloat,
+      if (h > 0) w.toFloat / h else 0f,
+      firstFrameFeat(6), firstFrameFeat(7),
+      (frameBytes.toDouble / math.max(containerLen, 1)).toFloat,
+      (frameBytes.toFloat / nFrames) / 1024f)
+
   private[graft] def probeAviMjpeg(content: Array[Byte])
       : Option[Array[Float]] =
     decodeAviMjpegFrames(content).flatMap { fs =>
       decodeImage(fs(0)).map { case (w, h, feat) =>
-        val frameBytes = fs.iterator.map(_.length.toLong).sum
-        Array(fs.length.toFloat, w.toFloat, h.toFloat,
-          if (h > 0) w.toFloat / h else 0f,
-          feat(6), feat(7),
-          (frameBytes.toDouble / math.max(content.length, 1)).toFloat,
-          (frameBytes.toFloat / fs.length) / 1024f)
+        aviFeature(fs.length, w, h, feat,
+          fs.iterator.map(_.length.toLong).sum, content.length)
       }
     }
 
-  /** [[probeAviMjpeg]]'s rawvideo twin — same 8-dim feature layout,
-    * first frame through the raw-bitmap geometry instead of the JPEG
-    * codec. */
+  /** [[probeAviMjpeg]]'s rawvideo twin — same 8-dim feature layout
+    * (the shared [[aviFeature]] assembler), first frame through the
+    * raw-bitmap geometry instead of the JPEG codec. */
   private[graft] def probeAviDib(content: Array[Byte])
       : Option[Array[Float]] =
     decodeAviDibFrames(content).map { case (w0, h0, fs) =>
       val img = dibFrameImage(fs(0), w0, h0)
-      val feat = imageFeature(img)
-      val frameBytes = fs.iterator.map(_.length.toLong).sum
-      Array(fs.length.toFloat, img.getWidth.toFloat,
-        img.getHeight.toFloat,
-        if (img.getHeight > 0) img.getWidth.toFloat / img.getHeight
-        else 0f,
-        feat(6), feat(7),
-        (frameBytes.toDouble / math.max(content.length, 1)).toFloat,
-        (frameBytes.toFloat / fs.length) / 1024f)
+      aviFeature(fs.length, img.getWidth, img.getHeight,
+        imageFeature(img), fs.iterator.map(_.length.toLong).sum,
+        content.length)
     }
 
   val videoFrameSchema: StructType = StructType(Seq(

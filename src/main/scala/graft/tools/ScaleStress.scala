@@ -934,6 +934,10 @@ object ScaleStress {
         println(f"$n%9d $nlist%7d ${s"${cq.k1}x${cq.k2}"}%9s $ppc%5d " +
           f"$tFit%7.1f $tAssign%9.1f $tFlat%11.1f")
       }
+      // the uniform corpus is done — free its cache before the
+      // clustered leg caches its own n rows, or two corpus-sized
+      // vector caches coexist and spill distorts the walls below
+      vecs.unpersist()
       // the layout that USES the big quantizer: hierarchical IVF-PQ
       // at nlist 16k — build (fit + m subspace fits + one kernel
       // encode into the grouped layout) and the beam probe, which must
@@ -1008,7 +1012,6 @@ object ScaleStress {
           "(clustered corpus, 20 queries, beam=2, nprobe=4, refine=4x)")
         cvecs.unpersist()
       }
-      vecs.unpersist()
     }
 
     // Embedding/encoding ops drill: PCA fit is ONE aggregate whose

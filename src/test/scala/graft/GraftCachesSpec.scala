@@ -67,10 +67,17 @@ class GraftCachesSpec extends AnyFunSuite {
       "doc_id", loaded.bloom)
     // 25..30 repeat history; 31..40 are novel
     assert(out.count() == 10)
-    assert(GraftCaches.liveCount >= 1, "sliver persist not registered")
-    // the session-scoped overload drains this session's caches (the
-    // only session here — a foreign-session release must be a no-op,
-    // which the partition logic gives by construction)
+    val mine = GraftCaches.liveCount
+    assert(mine >= 1, "sliver persist not registered")
+    // a FOREIGN session's release must be a no-op on this session's
+    // caches — the exact cross-pipeline drop the overload exists to
+    // prevent (a regression to clear-everything would pass a
+    // single-session test silently)
+    GraftCaches.release(spark.newSession())
+    assert(GraftCaches.liveCount == mine,
+      "a foreign session's release dropped this session's caches")
+    assert(!cacheEmpty)
+    // and this session's scoped release drains them
     GraftCaches.release(spark)
     assert(GraftCaches.liveCount == 0)
     assert(cacheEmpty, "bloom sliver cache survived release(spark)")
