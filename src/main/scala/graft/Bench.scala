@@ -48,24 +48,37 @@ object Bench {
   /** The previous round's warm per-query map at this sfDir, parsed
     * from the highest-indexed BENCH_full_r*.json (regex over the
     * hand-written single-line format — no JSON library on purpose,
-    * the writer below owns the shape). Empty when none matches. */
+    * the writer below owns the shape). The baseline is the NEWEST
+    * round file ONLY: a newest-file sf mismatch yields no baseline
+    * rather than silently falling back to an arbitrarily old round
+    * (a drift flag against a stale many-rounds-old reading is not
+    * traceable to anything). The chosen comparison point is logged so
+    * any flag can be traced to its baseline file. */
   def priorWarmMap(sfDir: String): Map[String, Double] = {
     val rx = "BENCH_full_r(\\d+)\\.json".r
-    val candidates = Option(new java.io.File(".").list()).toSeq.flatten
+    val newest = Option(new java.io.File(".").list()).toSeq.flatten
       .collect { case f @ rx(n) => (n.toInt, f) }.sortBy(-_._1)
-    candidates.iterator.map { case (_, f) =>
+      .headOption
+    newest.map { case (_, f) =>
       try {
         val txt = java.nio.file.Files.readString(
           java.nio.file.Paths.get(f))
-        if (!txt.contains("\"sf\":\"" + sfDir + "\"")) Map.empty[String, Double]
-        else {
+        if (!txt.contains("\"sf\":\"" + sfDir + "\"")) {
+          System.err.println(s"[bench] drift baseline: newest round " +
+            s"file $f is a different sf — drift check skipped (no " +
+            "fallback to older rounds)")
+          Map.empty[String, Double]
+        } else {
           val qBlock = "\"queries\":\\{([^}]*)\\}".r
             .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
-          "\"([^\"]+)\":([0-9.]+)".r.findAllMatchIn(qBlock)
+          val m = "\"([^\"]+)\":([0-9.]+)".r.findAllMatchIn(qBlock)
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          System.err.println(
+            s"[bench] drift baseline: $f (${m.size} queries)")
+          m
         }
       } catch { case _: Throwable => Map.empty[String, Double] }
-    }.find(_.nonEmpty).getOrElse(Map.empty)
+    }.getOrElse(Map.empty)
   }
 
   def main(args: Array[String]): Unit = {

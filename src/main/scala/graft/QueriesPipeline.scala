@@ -153,12 +153,17 @@ object QueriesPipeline {
   /** Build-if-stale the HIERARCHICAL (two-level) IVF index: a 3×3
     * grid — tiny here so the fixture populates every cell, but the
     * same fit/assign/probe path that holds at nlist 10⁵⁻⁶ (drilled in
-    * `ScaleStress coarse`). */
+    * `ScaleStress coarse`). Built as BUILD + APPEND — the recurring-
+    * crawl shape (quantizer from the first 4/5, the rest appended with
+    * it, per-group file adds) — so the strict q_sim_*hier oracles
+    * replay probes over a genuinely appended, fragmented tree. */
   private def ensureIvfHierIndex(s: SparkSession, dir: String): String =
-    ensureStaged(s, dir, "ivfh_3x3_v2", "index", "embeddings",
-      alsoRequire = Seq("meta"))(p => {
-      Similarity.writeIvfIndexHier(t(s, dir, "embeddings"), p, nlist = 9,
-        minPointsPerCentroid = 8)
+    ensureStaged(s, dir, "ivfh_3x3_v3", "index", "embeddings",
+      alsoRequire = Seq("meta", "appends"))(p => {
+      val em = t(s, dir, "embeddings")
+      Similarity.writeIvfIndexHier(em.filter(col("vec_id") < 400), p,
+        nlist = 9, minPointsPerCentroid = 8)
+      Similarity.appendIvfIndexHier(em.filter(col("vec_id") >= 400), p)
       ()
     })
 
@@ -218,15 +223,22 @@ object QueriesPipeline {
 
   /** Build-if-stale the HIERARCHICAL IVF-PQ layout: the 3×3 composed
     * grid (fixture-sized; `ScaleStress coarse` drills it at 16k),
-    * m=8×16 PQ codes inside, the grouped-directory layout. */
+    * m=8×16 PQ codes inside, the grouped-directory layout. Built as
+    * BUILD + APPEND + COMPACT — quantizer AND codebooks fit on the
+    * first 4/5, the rest encoded with them and appended, fragmented
+    * groups compacted back to one file — so the strict oracles replay
+    * the full recurring-crawl lifecycle from the final tree. */
   private def ensureIvfPqHierIndex(s: SparkSession, dir: String): String =
-    ensureStaged(s, dir, "ivfpqh_3x3_m8x16", "codes", "embeddings",
-      alsoRequire = Seq("meta"))(p => {
+    ensureStaged(s, dir, "ivfpqh_3x3_m8x16_v2", "codes", "embeddings",
+      alsoRequire = Seq("meta", "appends"))(p => {
       val em = t(s, dir, "embeddings")
-      Similarity.writeIvfPqIndexHier(em, p,
-        Similarity.trainCoarseHierarchical(em, "embedding", 9,
+      val head = em.filter(col("vec_id") < 400)
+      Similarity.writeIvfPqIndexHier(head, p,
+        Similarity.trainCoarseHierarchical(head, "embedding", 9,
           minPointsPerCentroid = 8),
         m = 8, ncodes = 16)
+      Similarity.appendIvfPqIndexHier(em.filter(col("vec_id") >= 400), p)
+      Similarity.compactIvfPqIndexHier(s, p)
       ()
     })
 
@@ -393,8 +405,17 @@ object QueriesPipeline {
           SELECT
             md5(coalesce(CAST(doc_id AS VARCHAR), '') || ':0') || ':' ||
               coalesce(CAST(doc_id AS VARCHAR), '') AS ord,
+            -- token count pins the ENGINE kernel's Java semantics, not
+            -- DuckDB's: Java String.trim strips every char <= 0x20
+            -- (DuckDB trim() strips spaces only) and Java \\s includes
+            -- \\x0B (RE2 \\s does not) — tab/VT-framed text would
+            -- otherwise count one token more here and shift every
+            -- downstream prefix sum
             CASE WHEN text IS NULL THEN 0
-              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n
+              ELSE len(regexp_split_to_array(
+                regexp_replace(regexp_replace(text,
+                  '^[\\x00-\\x20]+', ''), '[\\x00-\\x20]+$$', ''),
+                '[\\t\\n\\x0B\\f\\r ]+')) END AS n
           FROM src
         ), c AS (
           SELECT ord, n,
@@ -1990,7 +2011,12 @@ object QueriesPipeline {
           .select(col("seq_id"), col("n_docs"), col("sum_tokens"))
       },
       Some("""WITH t AS (SELECT doc_id,
-          len(regexp_split_to_array(trim(text), '\s+')) AS n FROM documents),
+          -- Java-trim (<= 0x20) + Java \s (incl. \x0B): the engine
+          -- side is the pinned token_count kernel, not DuckDB trim()
+          len(regexp_split_to_array(
+            regexp_replace(regexp_replace(text,
+              '^[\x00-\x20]+', ''), '[\x00-\x20]+$', ''),
+            '[\t\n\x0B\f\r ]+')) AS n FROM documents),
         c AS (SELECT doc_id, n,
           coalesce(sum(n) OVER (ORDER BY doc_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
@@ -2982,10 +3008,10 @@ object QueriesPipeline {
       },
       Some("""WITH l1c AS (
           SELECT c1, CAST(centroid AS DOUBLE[]) AS c
-          FROM read_parquet('{STAGING:ivfh_3x3_v2}/l1/*.parquet')
+          FROM read_parquet('{STAGING:ivfh_3x3_v3}/l1/*.parquet')
         ), l2c AS (
           SELECT c1, c1 * 3 + c2 AS cell, CAST(centroid AS DOUBLE[]) AS c
-          FROM read_parquet('{STAGING:ivfh_3x3_v2}/quantizer/*.parquet')
+          FROM read_parquet('{STAGING:ivfh_3x3_v3}/quantizer/*.parquet')
         ), a1 AS (
           SELECT vec_id, c1 FROM (
             SELECT e.vec_id, l.c1,
@@ -3052,10 +3078,10 @@ object QueriesPipeline {
       },
       Some("""WITH l1c AS (
           SELECT c1, CAST(centroid AS DOUBLE[]) AS c
-          FROM read_parquet('{STAGING:ivfh_3x3_v2}/l1/*.parquet')
+          FROM read_parquet('{STAGING:ivfh_3x3_v3}/l1/*.parquet')
         ), l2c AS (
           SELECT c1, c1 * 3 + c2 AS cell, CAST(centroid AS DOUBLE[]) AS c
-          FROM read_parquet('{STAGING:ivfh_3x3_v2}/quantizer/*.parquet')
+          FROM read_parquet('{STAGING:ivfh_3x3_v3}/quantizer/*.parquet')
         ), a1 AS (
           SELECT vec_id, c1 FROM (
             SELECT e.vec_id, l.c1,
@@ -3124,14 +3150,14 @@ object QueriesPipeline {
             nprobe = 4, beam = 2)
           .select(col("qid"), col("rank").as("rnk"), col("vec_id"))
       },
-      Some(s"""WITH ${pqReconCtesGrouped("ivfpqh_3x3_m8x16")},
+      Some(s"""WITH ${pqReconCtesGrouped("ivfpqh_3x3_m8x16_v2")},
         l1c AS (
           SELECT c1, CAST(centroid AS DOUBLE[]) AS c
-          FROM read_parquet('{STAGING:ivfpqh_3x3_m8x16}/l1/*.parquet')
+          FROM read_parquet('{STAGING:ivfpqh_3x3_m8x16_v2}/l1/*.parquet')
         ), l2c AS (
           SELECT c1, c1 * 3 + c2 AS cell, CAST(centroid AS DOUBLE[]) AS c
           FROM read_parquet(
-            '{STAGING:ivfpqh_3x3_m8x16}/quantizer/*.parquet')
+            '{STAGING:ivfpqh_3x3_m8x16_v2}/quantizer/*.parquet')
         ), q AS (
           SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS e
           FROM embeddings WHERE vec_id < 5
@@ -3178,14 +3204,14 @@ object QueriesPipeline {
             nprobe = 4, beam = 2, refineFactor = 4)
           .select(col("qid"), col("rank").as("rnk"), col("vec_id"))
       },
-      Some(s"""WITH ${pqReconCtesGrouped("ivfpqh_3x3_m8x16")},
+      Some(s"""WITH ${pqReconCtesGrouped("ivfpqh_3x3_m8x16_v2")},
         l1c AS (
           SELECT c1, CAST(centroid AS DOUBLE[]) AS c
-          FROM read_parquet('{STAGING:ivfpqh_3x3_m8x16}/l1/*.parquet')
+          FROM read_parquet('{STAGING:ivfpqh_3x3_m8x16_v2}/l1/*.parquet')
         ), l2c AS (
           SELECT c1, c1 * 3 + c2 AS cell, CAST(centroid AS DOUBLE[]) AS c
           FROM read_parquet(
-            '{STAGING:ivfpqh_3x3_m8x16}/quantizer/*.parquet')
+            '{STAGING:ivfpqh_3x3_m8x16_v2}/quantizer/*.parquet')
         ), q AS (
           SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS e
           FROM embeddings WHERE vec_id < 5

@@ -20,12 +20,15 @@ import org.apache.spark.sql.types._
   * supported containers — [[probeVideo]] parses the MP4/ISO-BMFF box
   * tree and [[decodeAviMjpegFrames]] walks the RIFF-AVI chunk tree,
   * plain byte arithmetic, no codec needed — and FRAME decode is real
-  * for MJPEG-AVI ([[videoFrames]]: every '##dc' chunk is a complete
-  * JPEG the built-in `javax.imageio` decodes — the camera/capture
-  * codec). DCT-stream codecs (H.264/VP9/AV1) stay behind the
-  * deterministic [[decodeStub]]: the JDK ships no such codec and this
-  * container has no FFI ones; swap only that function when one
-  * exists. Either way the batch loop, schema
+  * for every JDK-decodable sample stream: MJPEG-AVI (every '##dc'
+  * chunk a complete JPEG through `javax.imageio` — the camera/capture
+  * codec), rawvideo-AVI ('DIB '/BI_RGB byte geometry), and
+  * JPEG-in-BMFF ([[decodeBmffJpegFrames]]: the MOV Motion-JPEG
+  * sample entry, frames reconstructed from the stsd/stsz/stsc/stco
+  * sample tables, same JPEG codec). DCT-stream codecs (H.264/VP9/AV1)
+  * stay behind the deterministic [[decodeStub]]: the JDK ships no
+  * such codec and this container has no FFI ones; swap only that
+  * function when one exists. Either way the batch loop, schema
   * contract, and partitioning are the production shape (equivalent of a
   * Pandas `mapInPandas` UDF, done Scala-side with mapPartitions so each
   * task amortizes codec init across its whole partition — at 100 TB
@@ -184,36 +187,48 @@ object Multimodal {
     * the container metadata is the real thing, same split as a
     * production pipeline that shreds containers cluster-side and ships
     * frames to codec-equipped workers. */
-  private[graft] def probeVideo(content: Array[Byte]): Option[Array[Float]] = {
-    def be32(o: Int): Long =
-      ((content(o) & 0xFFL) << 24) | ((content(o + 1) & 0xFFL) << 16) |
-        ((content(o + 2) & 0xFFL) << 8) | (content(o + 3) & 0xFFL)
-    def typ(o: Int): String = new String(content, o, 4, "ISO-8859-1")
-    // walk a box span, returning (type, payloadStart, payloadEnd)
-    def boxes(lo: Int, hi: Int): Iterator[(String, Int, Int)] =
-      new Iterator[(String, Int, Int)] {
-        private var off = lo
-        def hasNext: Boolean = off + 8 <= hi
-        def next(): (String, Int, Int) = {
-          val size = be32(off)
-          val t = typ(off + 4)
-          // size 0 = to end of span; size 1 (64-bit largesize) is
-          // legal but > 2 GB payloads can't sit in one row anyway
-          val end =
-            if (size == 0) hi
-            else if (size == 1 && off + 16 <= hi) {
-              val sHi = be32(off + 8); val sLo = be32(off + 12)
-              val s = (sHi << 32) | sLo
-              math.min(off + math.min(s, Int.MaxValue.toLong), hi.toLong).toInt
-            } else math.min(off + math.max(size, 8L), hi.toLong).toInt
-          val start = off + (if (size == 1) 16 else 8)
-          // guaranteed progress: a box whose declared size points at or
-          // before its own header (largesize 0 / backward) is malformed
-          // — stop the walk rather than spin the task forever
-          off = if (end <= off) hi else end
-          (t, math.min(start, end), end)
-        }
+  private def bmffBe32(content: Array[Byte])(o: Int): Long =
+    ((content(o) & 0xFFL) << 24) | ((content(o + 1) & 0xFFL) << 16) |
+      ((content(o + 2) & 0xFFL) << 8) | (content(o + 3) & 0xFFL)
+
+  private def bmffTyp(content: Array[Byte])(o: Int): String =
+    new String(content, o, 4, "ISO-8859-1")
+
+  /** Walk a BMFF box span, yielding (type, payloadStart, payloadEnd) —
+    * the shared byte-arithmetic walker behind [[probeVideo]] and
+    * [[decodeBmffJpegFrames]]. */
+  private def bmffBoxes(content: Array[Byte])(lo: Int,
+      hi: Int): Iterator[(String, Int, Int)] =
+    new Iterator[(String, Int, Int)] {
+      private val be32 = bmffBe32(content) _
+      private var off = lo
+      def hasNext: Boolean = off + 8 <= hi
+      def next(): (String, Int, Int) = {
+        val size = be32(off)
+        val t = bmffTyp(content)(off + 4)
+        // size 0 = to end of span; size 1 (64-bit largesize) is
+        // legal but > 2 GB payloads can't sit in one row anyway
+        val end =
+          if (size == 0) hi
+          else if (size == 1 && off + 16 <= hi) {
+            val sHi = be32(off + 8); val sLo = be32(off + 12)
+            val s = (sHi << 32) | sLo
+            math.min(off + math.min(s, Int.MaxValue.toLong), hi.toLong).toInt
+          } else math.min(off + math.max(size, 8L), hi.toLong).toInt
+        val start = off + (if (size == 1) 16 else 8)
+        // guaranteed progress: a box whose declared size points at or
+        // before its own header (largesize 0 / backward) is malformed
+        // — stop the walk rather than spin the task forever
+        off = if (end <= off) hi else end
+        (t, math.min(start, end), end)
       }
+    }
+
+  private[graft] def probeVideo(content: Array[Byte]): Option[Array[Float]] = {
+    val be32 = bmffBe32(content) _
+    def typ(o: Int): String = bmffTyp(content)(o)
+    def boxes(lo: Int, hi: Int): Iterator[(String, Int, Int)] =
+      bmffBoxes(content)(lo, hi)
     try {
       if (content.length < 12 || typ(4) != "ftyp") return None
       var durationS = 0f; var timescale = 0f
@@ -307,6 +322,233 @@ object Multimodal {
       while (i < n) { bb.put(((id * 131 + i * 17) & 0xFF).toByte); i += 1 }
     }
     java.util.Arrays.copyOf(bb.array(), bb.position())
+  }
+
+  /** Deterministic JPEG-in-BMFF (MOV Motion-JPEG) for a synthetic
+    * video row: 2-4 real ImageIO-encoded JPEG frames (same fill rule
+    * as [[syntheticAvi]]) laid out ftyp | mdat | moov with a REAL
+    * sample-table tree — stsd (`jpeg` visual sample entry), stsz
+    * (per-sample sizes), stsc (one sample per chunk), stco (absolute
+    * offsets recorded while the mdat is written) — so the
+    * [[decodeBmffJpegFrames]] walk runs distributed against genuine
+    * table-driven structure, and [[probeVideo]] still reads the
+    * mvhd/tkhd metadata. */
+  private[graft] def syntheticMovJpeg(id: Long): Array[Byte] = {
+    val w = 16; val h = 12
+    val nf = 2 + ((id / 3) % 3).toInt
+    val jpegs = (0 until nf).map { f =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val r = ((id * 41 + f * 59 + x * 13) & 0xFF).toInt
+          val g = ((id * 19 + f * 31 + y * 5) & 0xFF).toInt
+          val b = ((id + f * 3 + x + y * 2) & 0xFF).toInt
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val timescale = 600
+    val durationTicks = nf * 25 // 25 ticks/frame
+    val bb = java.nio.ByteBuffer.allocate(
+      8192 + jpegs.iterator.map(_.length + 16).sum) // big-endian
+    def fcc(t: String): Unit = bb.put(t.getBytes("ISO-8859-1"))
+    def box(t: String)(body: => Unit): Unit = {
+      val sizeAt = bb.position(); bb.putInt(0); fcc(t); body
+      bb.putInt(sizeAt, bb.position() - sizeAt)
+    }
+    box("ftyp") { fcc("qt  "); bb.putInt(0); fcc("qt  ") }
+    val offsets = new Array[Int](nf)
+    box("mdat") {
+      jpegs.zipWithIndex.foreach { case (j, i) =>
+        offsets(i) = bb.position(); bb.put(j)
+      }
+    }
+    box("moov") {
+      box("mvhd") {
+        bb.putInt(0); bb.putInt(0); bb.putInt(0)
+        bb.putInt(timescale); bb.putInt(durationTicks)
+        bb.putInt(0x00010000); bb.putShort(0x0100.toShort)
+        bb.putShort(0); bb.putLong(0)
+        Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+          .foreach(bb.putInt)
+        (0 until 6).foreach(_ => bb.putInt(0))
+        bb.putInt(2)
+      }
+      box("trak") {
+        box("tkhd") {
+          bb.putInt(7); bb.putInt(0); bb.putInt(0)
+          bb.putInt(1); bb.putInt(0)
+          bb.putInt(durationTicks)
+          bb.putLong(0)
+          bb.putShort(0); bb.putShort(0); bb.putShort(0); bb.putShort(0)
+          Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+            .foreach(bb.putInt)
+          bb.putInt(w << 16); bb.putInt(h << 16)
+        }
+        box("mdia") {
+          box("minf") {
+            box("stbl") {
+              box("stsd") {
+                bb.putInt(0) // version + flags
+                bb.putInt(1) // entry_count
+                val seAt = bb.position(); bb.putInt(0); fcc("jpeg")
+                (0 until 6).foreach(_ => bb.put(0.toByte)) // reserved
+                bb.putShort(1)                // data_reference_index
+                bb.putShort(0); bb.putShort(0) // version, revision
+                bb.putInt(0); bb.putInt(0); bb.putInt(0) // vendor, quals
+                bb.putShort(w.toShort); bb.putShort(h.toShort)
+                bb.putInt(0x00480000); bb.putInt(0x00480000) // 72 dpi
+                bb.putInt(0); bb.putShort(1)  // data size, frame count
+                (0 until 32).foreach(_ => bb.put(0.toByte)) // compressor
+                bb.putShort(24); bb.putShort(0xFFFF.toShort) // depth, ct
+                bb.putInt(seAt, bb.position() - seAt)
+              }
+              box("stsz") {
+                bb.putInt(0); bb.putInt(0); bb.putInt(nf)
+                jpegs.foreach(j => bb.putInt(j.length))
+              }
+              box("stsc") {
+                bb.putInt(0); bb.putInt(1)
+                bb.putInt(1); bb.putInt(1); bb.putInt(1)
+              }
+              box("stco") {
+                bb.putInt(0); bb.putInt(nf)
+                offsets.foreach(bb.putInt)
+              }
+            }
+          }
+        }
+      }
+    }
+    java.util.Arrays.copyOf(bb.array(), bb.position())
+  }
+
+  /** REAL frame decode for JPEG-in-BMFF (the QuickTime/MOV `jpeg`
+    * sample entry — Motion-JPEG stored one complete JPEG per sample):
+    * the SAME JDK codec as MJPEG-AVI; only the walk to the sample
+    * bytes is new. The sample tables name everything (ISO 14496-12
+    * §8.5–8.7): `stsd` the codec fourcc, `stsz` per-sample sizes,
+    * `stsc` the sample→chunk map, `stco`/`co64` absolute chunk
+    * offsets — each reconstructed slice of the file is a complete
+    * JPEG. Tables are gathered PER TRAK (a leading audio trak must
+    * not donate its sizes to the video trak's frames) and the first
+    * trak whose sample entry is `jpeg`/`mjpa` wins. None when the
+    * bytes aren't BMFF, no trak carries a JPEG sample entry, the
+    * tables are inconsistent, or any slice fails the SOI check —
+    * DCT codecs (avc1/vp09/av01) remain the documented no-JDK-codec
+    * gap. */
+  private[graft] def decodeBmffJpegFrames(content: Array[Byte])
+      : Option[IndexedSeq[Array[Byte]]] = {
+    val fs = bmffJpegWalk(content, firstOnly = false)
+    if (fs.isEmpty) None else Some(fs)
+  }
+
+  /** First JPEG sample only — the classification probe (one payload
+    * copy), [[firstMjpegFrame]]'s BMFF twin. */
+  private[graft] def firstBmffJpegFrame(content: Array[Byte])
+      : Option[Array[Byte]] =
+    bmffJpegWalk(content, firstOnly = true).headOption
+
+  private def bmffJpegWalk(content: Array[Byte], firstOnly: Boolean)
+      : IndexedSeq[Array[Byte]] = {
+    val be32 = bmffBe32(content) _
+    def be64(o: Int): Long = (be32(o) << 32) | be32(o + 4)
+    try {
+      if (content.length < 12 || bmffTyp(content)(4) != "ftyp")
+        return IndexedSeq.empty
+      // per-trak sample-table gather: containers descend, leaves fill
+      final case class Tables(var fmt: String = null,
+        var sizes: Array[Int] = null,
+        var stsc: Array[(Long, Long)] = null,
+        var chunkOffs: Array[Long] = null)
+      def scanTrak(lo: Int, hi: Int, tb: Tables): Unit =
+        bmffBoxes(content)(lo, hi).foreach { case (t, s, e) =>
+          t match {
+            case "mdia" | "minf" | "stbl" => scanTrak(s, e, tb)
+            case "stsd" if tb.fmt == null && s + 16 <= e &&
+                be32(s + 4) >= 1 =>
+              tb.fmt = bmffTyp(content)(s + 12) // first entry's fourcc
+            case "stsz" if tb.sizes == null && s + 12 <= e =>
+              val fixed = be32(s + 4)
+              val n = be32(s + 8).toInt
+              if (n >= 0 && (fixed != 0 || s + 12 + 4L * n <= e))
+                tb.sizes =
+                  if (fixed != 0) Array.fill(n)(fixed.toInt)
+                  else Array.tabulate(n)(i => be32(s + 12 + 4 * i).toInt)
+            case "stsc" if tb.stsc == null && s + 8 <= e =>
+              val n = be32(s + 4).toInt
+              if (n >= 0 && s + 8 + 12L * n <= e)
+                tb.stsc = Array.tabulate(n)(i =>
+                  (be32(s + 8 + 12 * i), be32(s + 12 + 12 * i)))
+            case "stco" if tb.chunkOffs == null && s + 8 <= e =>
+              val n = be32(s + 4).toInt
+              if (n >= 0 && s + 8 + 4L * n <= e)
+                tb.chunkOffs = Array.tabulate(n)(i => be32(s + 8 + 4 * i))
+            case "co64" if tb.chunkOffs == null && s + 8 <= e =>
+              val n = be32(s + 4).toInt
+              if (n >= 0 && s + 8 + 8L * n <= e)
+                tb.chunkOffs = Array.tabulate(n)(i => be64(s + 8 + 8 * i))
+            case _ => ()
+          }
+        }
+      var tables: Tables = null
+      bmffBoxes(content)(0, content.length).foreach { case (t, s, e) =>
+        if (t == "moov" && tables == null)
+          bmffBoxes(content)(s, e).foreach { case (tt, ts, te) =>
+            if (tt == "trak" && tables == null) {
+              val tb = Tables()
+              scanTrak(ts, te, tb)
+              if (tb.fmt == "jpeg" || tb.fmt == "mjpa") tables = tb
+            }
+          }
+      }
+      if (tables == null || tables.sizes == null ||
+          tables.sizes.isEmpty || tables.stsc == null ||
+          tables.stsc.isEmpty || tables.chunkOffs == null ||
+          tables.chunkOffs.isEmpty)
+        return IndexedSeq.empty
+      val sizes = tables.sizes
+      val out = IndexedSeq.newBuilder[Array[Byte]]
+      var sample = 0
+      var c = 0
+      while (c < tables.chunkOffs.length && sample < sizes.length) {
+        // applicable stsc entry: greatest first_chunk <= c+1
+        var spc = tables.stsc(0)._2
+        var i = 0
+        while (i < tables.stsc.length && tables.stsc(i)._1 <= c + 1) {
+          spc = tables.stsc(i)._2; i += 1
+        }
+        var off = tables.chunkOffs(c)
+        var j = 0L
+        while (j < spc && sample < sizes.length) {
+          val sz = sizes(sample)
+          // every slice must be in-bounds and start at a JPEG SOI — a
+          // single inconsistent sample invalidates the whole stream
+          // (half-decoded "coverage" is the lie videoCodecProfile
+          // exists to prevent)
+          if (sz < 4 || off < 0 || off + sz > content.length ||
+              (content(off.toInt) & 0xFF) != 0xFF ||
+              (content(off.toInt + 1) & 0xFF) != 0xD8)
+            return IndexedSeq.empty
+          out += java.util.Arrays.copyOfRange(content, off.toInt,
+            (off + sz).toInt)
+          if (firstOnly) return out.result()
+          off += sz; sample += 1; j += 1
+        }
+        c += 1
+      }
+      // the tables must be mutually consistent: every declared sample
+      // reconstructed, none left over
+      if (sample != sizes.length) IndexedSeq.empty else out.result()
+    } catch { case _: Exception => IndexedSeq.empty }
   }
 
   /** REAL video FRAME decode for the one codec the bare JDK can
@@ -527,6 +769,17 @@ object Multimodal {
         content.length)
     }
 
+  /** [[probeAviMjpeg]]'s BMFF twin — same 8-dim feature layout, frames
+    * from the sample tables instead of RIFF chunks. */
+  private[graft] def probeBmffJpeg(content: Array[Byte])
+      : Option[Array[Float]] =
+    decodeBmffJpegFrames(content).flatMap { fs =>
+      decodeImage(fs(0)).map { case (w, h, feat) =>
+        aviFeature(fs.length, w, h, feat,
+          fs.iterator.map(_.length.toLong).sum, content.length)
+      }
+    }
+
   val videoFrameSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("frame_idx", IntegerType, nullable = false),
@@ -559,13 +812,23 @@ object Multimodal {
           }
         }
         if (mjpeg.hasNext) mjpeg
-        else decodeAviDibFrames(content).iterator.flatMap {
-          case (w, h0, fs) =>
-            (0 until fs.length by step).iterator.map { i =>
-              val img = dibFrameImage(fs(i), w, h0)
-              Row(id, i, fs.length, img.getWidth, img.getHeight,
-                imageFeature(img))
+        else {
+          val dib = decodeAviDibFrames(content).iterator.flatMap {
+            case (w, h0, fs) =>
+              (0 until fs.length by step).iterator.map { i =>
+                val img = dibFrameImage(fs(i), w, h0)
+                Row(id, i, fs.length, img.getWidth, img.getHeight,
+                  imageFeature(img))
+              }
+          }
+          if (dib.hasNext) dib
+          else decodeBmffJpegFrames(content).iterator.flatMap { fs =>
+            (0 until fs.length by step).iterator.flatMap { i =>
+              decodeImage(fs(i)).map { case (w, h, feat) =>
+                Row(id, i, fs.length, w, h, feat)
+              }
             }
+          }
         }
       }
     }(enc)
@@ -596,6 +859,12 @@ object Multimodal {
           if (firstMjpegFrame(content).exists(f =>
             decodeImage(f).isDefined)) "avi_mjpeg"
           else if (decodeAviDibFrames(content).isDefined) "avi_rawvideo"
+          // 'bmff_jpeg' = frame decode available (the MOV Motion-JPEG
+          // sample entry — same first-frame bar as avi_mjpeg); plain
+          // 'bmff' = container metadata only, no JDK codec for the
+          // sample stream
+          else if (firstBmffJpegFrame(content).exists(f =>
+            decodeImage(f).isDefined)) "bmff_jpeg"
           else if (probeVideo(content).isDefined) "bmff"
           else "undecodable"
         Row(r.getLong(0), codec)
@@ -806,7 +1075,7 @@ object Multimodal {
     * bumping it here — REQUIRED whenever syntheticPng/Wav/Mp4 or
     * [[syntheticMedia]]'s row shape changes — invalidates every staged
     * copy at the same commit that changes the bytes. */
-  val mediaGeneration = 6
+  val mediaGeneration = 7
 
   /** Synthesize a media table from the documents table: image rows get
     * REAL PNG payloads, audio rows REAL WAV payloads, and video rows
@@ -819,6 +1088,7 @@ object Multimodal {
     val mp4Udf = udf((id: Long) => syntheticMp4(id))
     val aviUdf = udf((id: Long) => syntheticAvi(id))
     val dibUdf = udf((id: Long) => syntheticDibAvi(id))
+    val movUdf = udf((id: Long) => syntheticMovJpeg(id))
     val kind = element_at(array(lit("image"), lit("audio"), lit("video")),
       (col("doc_id") % 3 + 1).cast("int"))
     docs.select(
@@ -826,11 +1096,15 @@ object Multimodal {
       kind.as("kind"),
       when(kind === "image", pngUdf(col("doc_id")))
         .when(kind === "audio", wavUdf(col("doc_id")))
-        // video rows cycle container/codec: BMFF (probe-only, half),
-        // MJPEG-AVI and rawvideo-AVI (full frame decode, a quarter
-        // each) — all three classification + decode paths run
-        // distributed in the graded media queries
-        .when(pmod(col("doc_id"), lit(6)) === 2, mp4Udf(col("doc_id")))
+        // video rows cycle container/codec evenly: plain BMFF
+        // (metadata-only probe), MOV Motion-JPEG (BMFF + full frame
+        // decode via the sample tables), MJPEG-AVI and rawvideo-AVI
+        // (frame decode via RIFF chunks) — all four classification +
+        // decode paths run distributed in the graded media queries.
+        // Video ids are ≡ 2 (mod 3), so mod-12 splits them by the
+        // residues {2, 5, 8, 11}
+        .when(pmod(col("doc_id"), lit(12)) === 2, mp4Udf(col("doc_id")))
+        .when(pmod(col("doc_id"), lit(12)) === 8, movUdf(col("doc_id")))
         .when(pmod(col("doc_id"), lit(12)) === 5, dibUdf(col("doc_id")))
         .otherwise(aviUdf(col("doc_id"))).as("content"),
       length(col("text")).cast("int").as("meta_width"),
@@ -856,7 +1130,8 @@ object Multimodal {
             .getOrElse(decodeStub(kind, content))
           case "audio" => decodeAudio(content)
             .getOrElse(decodeStub(kind, content))
-          case "video" => probeVideo(content)
+          case "video" => probeBmffJpeg(content) // frame-grade BEFORE
+            .orElse(probeVideo(content))         // container-grade
             .orElse(probeAviMjpeg(content))
             .orElse(probeAviDib(content))
             .getOrElse(decodeStub(kind, content))

@@ -487,8 +487,16 @@ object Similarity {
     * owning `k2` sub-centroids; composed cell id = c1·k2 + c2, so
     * nlist = k1·k2 (a request rounds UP to the grid). `l1` is the k1
     * level-1 centroids, `l2` the full (c1, c2, centroid) grid. The
-    * FlatSeq views wrap the float-upcast-to-double tables the kernels
-    * and any external replayer consume — one upcast, shared values. */
+    * Flat views are the float-upcast-to-double tables the kernels and
+    * any external replayer consume — one upcast, shared values.
+    *
+    * [[tables]] is the kernel carrier ([[graft.plans.CoarseTables]]):
+    * l1 as a plan reference object, l2 via an explicit Broadcast with
+    * digest-keyed equality — built (and l2 broadcast) ONCE per
+    * quantizer instance and shared by every assignment/probe
+    * expression derived from it, so a multi-stage pipeline over one
+    * quantizer ships the big table to each executor once, never per
+    * task binary. */
   final case class CoarseQuantizer(k1: Int, k2: Int, dim: Int,
       l1: Seq[(Int, Array[Float])],
       l2: Seq[(Int, Int, Array[Float])]) {
@@ -501,11 +509,16 @@ object Similarity {
       }
       out
     }
-    lazy val l1FlatSeq: Seq[Double] =
-      scala.collection.immutable.ArraySeq.unsafeWrapArray(flatten(l1))
-    lazy val l2FlatSeq: Seq[Double] =
-      scala.collection.immutable.ArraySeq.unsafeWrapArray(flatten(
-        l2.map { case (c1, c2, v) => (c1 * k2 + c2, v) }))
+    lazy val l1Flat: Array[Double] = flatten(l1)
+    lazy val l2Flat: Array[Double] =
+      flatten(l2.map { case (c1, c2, v) => (c1 * k2 + c2, v) })
+    @transient private var tablesCache: graft.plans.CoarseTables = _
+    def tables: graft.plans.CoarseTables = synchronized {
+      if (tablesCache == null)
+        tablesCache = graft.plans.CoarseTables(
+          org.apache.spark.sql.SparkSession.active, l1Flat, l2Flat)
+      tablesCache
+    }
   }
 
   /** Train the two-level quantizer — the fit that scales past
@@ -537,13 +550,14 @@ object Similarity {
     * itself — duplicate centroids are harmless (argmax ties break to
     * the lowest id; padded cells just stay empty).
     *
-    * Memory regime note: the trained quantizer is nlist·dim·8 B of
-    * doubles riding the plan as a reference object — 16 MB at
-    * nlist 64Ki/d=64, shipped once per executor with the stage's task
-    * binary. Past ~10⁵ cells that object is the next thing to move
-    * (an explicit Broadcast handle, or a two-level PROBE that loads
-    * only opened level-1 cells' sub-tables); the fit itself scales
-    * further already. */
+    * Memory regime: the trained l2 table is nlist·dim·8 B of doubles —
+    * 0.5–8 GB at the nlist 10⁵⁻⁶ / d≥512 sizing this path targets. It
+    * rides an explicit BROADCAST inside [[CoarseQuantizer.tables]]
+    * (shipped to each executor once via the block manager), never the
+    * plan: task binaries stay l1-sized (√nlist) and plan transforms
+    * are O(1) in the table via digest-keyed expression equality —
+    * measured flat across a 16×-nlist sweep in SCALE.md's coarse
+    * drill. */
   def trainCoarseHierarchical(corpus: DataFrame, vecCol: String,
       nlist: Int, trainFraction: Double = 1.0,
       minPointsPerCentroid: Int = 32,
@@ -679,7 +693,7 @@ object Similarity {
     * the O(√nlist)-per-row, zero-literal sibling of [[nearestCell]]. */
   def assignCellHier(vec: Column, cq: CoarseQuantizer): Column =
     graft.plans.CoarseExpressions.coarse_assign(vec, cq.k1, cq.k2,
-      cq.dim, cq.l1FlatSeq, cq.l2FlatSeq)
+      cq.dim, cq.tables)
 
   /** The nprobe best composed cells searched through `beam` level-1
     * cells — [[probeCells]]' hierarchical sibling. Approximate in
@@ -688,7 +702,7 @@ object Similarity {
   def probeCellsHier(vec: Column, cq: CoarseQuantizer, nprobe: Int,
       beam: Int): Column =
     graft.plans.CoarseExpressions.coarse_probe(vec, cq.k1, cq.k2,
-      cq.dim, cq.l1FlatSeq, cq.l2FlatSeq, nprobe, beam)
+      cq.dim, cq.tables, nprobe, beam)
 
   /** Materialize a hierarchical IVF index: corpus in the GROUPED cell
     * layout (same rationale as [[writeIvfPqIndexHier]]: `cell_grp =
@@ -705,10 +719,14 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       trainFraction: Double = 1.0, minPointsPerCentroid: Int = 32,
       perCellCap: Int = 1 << 13,
-      cellsPerGroup: Int = 64): CoarseQuantizer = {
+      cellsPerGroup: Int = 64,
+      quantizer: Option[CoarseQuantizer] = None): CoarseQuantizer = {
     require(cellsPerGroup > 0, "cellsPerGroup must be positive")
-    val cq = trainCoarseHierarchical(corpus, vecCol, nlist,
-      trainFraction, minPointsPerCentroid, perCellCap)
+    // `quantizer` bypasses the fit with a pre-trained grid — the
+    // rebuild-for-comparison / shared-quantizer-across-layouts shape,
+    // and what makes `append ≡ rebuild` a testable law
+    val cq = quantizer.getOrElse(trainCoarseHierarchical(corpus, vecCol,
+      nlist, trainFraction, minPointsPerCentroid, perCellCap))
     val spark = corpus.sparkSession
     spark.createDataFrame(cq.l1.map { case (c1, v) => (c1, v.toSeq) })
       .toDF("c1", "centroid")
@@ -717,10 +735,6 @@ object Similarity {
         cq.l2.map { case (c1, c2, v) => (c1, c2, v.toSeq) })
       .toDF("c1", "c2", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/quantizer")
-    import spark.implicits._
-    Seq((cq.k1, cq.k2, cq.dim, cellsPerGroup))
-      .toDF("k1", "k2", "dim", "cells_per_group")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     corpus.select(col(idCol), col(vecCol),
         assignCellHier(col(vecCol), cq).as("cell"))
       // wrong-length vectors assign to a null cell — drop them at
@@ -732,7 +746,65 @@ object Similarity {
       .sortWithinPartitions(col("cell"))
       .write.mode("overwrite").partitionBy("cell_grp")
       .parquet(s"$path/index")
+    // build-time distortion from the BYTES ON DISK (the sidecar
+    // convention FingerprintIndexStore set): the append path's drift
+    // threshold compares against this
+    val base = meanCellDistortion(
+      spark.read.parquet(s"$path/index"), cq, vecCol)
+    // meta is the manifest and goes LAST: a crash anywhere above
+    // leaves a store hierMetaRow refuses loudly
+    writeHierMeta(spark, path, cq, cellsPerGroup, residual = None, base)
     cq
+  }
+
+  /** Mean quantizer distortion of an assigned frame — mean squared L2
+    * distance to the OWN cell centroid, i.e. the k-means objective the
+    * fit minimized. This is the drift signal the append path
+    * thresholds: a batch whose distribution moved (norms, location,
+    * spread) shows it directly in the objective the quantizer was
+    * optimal for, and a threshold breach means a re-fit would
+    * materially change the cells. (Cosine would NOT work here: in
+    * high dimension with bounded nlist, 1−cos saturates near 1 for
+    * build corpus and drifted batch alike, so no multiplicative
+    * threshold could ever fire.) One bounded batch-sized pass; the
+    * interpreted zip_with/aggregate lambdas are fine off the probe
+    * path. */
+  private def meanCellDistortion(assigned: DataFrame,
+      cq: CoarseQuantizer, vecCol: String): Double = {
+    val spark = assigned.sparkSession
+    val centDf = spark.createDataFrame(
+        cq.l2.map { case (c1, c2, v) => (c1 * cq.k2 + c2, v.toSeq) })
+      .toDF("cell", "__cent")
+    val diff = zip_with(col(vecCol).cast("array<double>"),
+      col("__cent").cast("array<double>"), (x, c) => x - c)
+    assigned.join(broadcast(centDf), Seq("cell"))
+      .select(aggregate(diff, lit(0.0), (acc, x) => acc + x * x).as("__d"))
+      .filter(col("__d").isNotNull && !isnan(col("__d")))
+      .agg(avg(col("__d"))).head() match {
+        case r if r.isNullAt(0) => 0.0
+        case r => r.getDouble(0)
+      }
+  }
+
+  /** The one-row meta manifest both hierarchical layouts share —
+    * written strictly LAST by writers, appends and compaction (the
+    * FingerprintIndexStore torn-write contract: data without meta is
+    * formally torn and every reader refuses it loudly). `residual` is
+    * present only on the PQ layout. */
+  private def writeHierMeta(spark: SparkSession, path: String,
+      cq: CoarseQuantizer, cellsPerGroup: Int,
+      residual: Option[Boolean], baseDistortion: Double): Unit = {
+    import spark.implicits._
+    val df = residual match {
+      case Some(r) =>
+        Seq((cq.k1, cq.k2, cq.dim, r, cellsPerGroup, baseDistortion))
+          .toDF("k1", "k2", "dim", "residual", "cells_per_group",
+            "base_distortion")
+      case None =>
+        Seq((cq.k1, cq.k2, cq.dim, cellsPerGroup, baseDistortion))
+          .toDF("k1", "k2", "dim", "cells_per_group", "base_distortion")
+    }
+    df.coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
   /** Load a [[writeIvfIndexHier]] quantizer, driver-side (k1·k2 rows).
@@ -752,17 +824,22 @@ object Similarity {
     val l1 = spark.read.parquet(s"$path/l1").collect().toSeq
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
-    require(l1.length == k1 && l1.map(_._1).distinct.length == k1 &&
+    // ids must span EXACTLY 0..k1-1 (count/distinct alone would pass
+    // an out-of-range id like {0,1,2,4}, and the position-based
+    // flatten in CoarseQuantizer would then silently misalign every
+    // centroid table) — the writer emits the complete grid by
+    // construction, so anything else is a torn/edited store
+    require(l1.map(_._1) == (0 until k1) &&
         l1.forall(_._2.length == dim),
-      s"readCoarseQuantizer: l1 sidecar at $path is not a complete " +
-        s"$k1×$dim grid — torn store?")
+      s"readCoarseQuantizer: l1 sidecar at $path is not the complete " +
+        s"0..${k1 - 1}×$dim grid — torn store?")
     val l2 = spark.read.parquet(s"$path/quantizer").collect().toSeq
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
       .sortBy(c => (c._1, c._2))
-    require(l2.length == k1 * k2 &&
-        l2.map(c => (c._1, c._2)).distinct.length == l2.length &&
+    require(l2.map(c => (c._1, c._2)) ==
+        (for (c1 <- 0 until k1; c2 <- 0 until k2) yield (c1, c2)) &&
         l2.forall(_._3.length == dim),
-      s"readCoarseQuantizer: quantizer sidecar at $path is not a " +
+      s"readCoarseQuantizer: quantizer sidecar at $path is not the " +
         s"complete $k1×$k2×$dim grid — torn store?")
     CoarseQuantizer(k1, k2, dim, l1, l2)
   }
@@ -791,6 +868,202 @@ object Similarity {
       .filter(col("cell_grp").isin(probedGroups.toSeq: _*) &&
         col("cell").isin(probedCells.toSeq: _*))
     rerankWithinCells(index, probes, k, idCol, vecCol, qidCol, qvecCol)
+  }
+
+  // ---- ANN index append / compaction ----------------------------------
+
+  /** Append a batch to a [[writeIvfIndexHier]] layout WITHOUT
+    * re-fitting: arriving vectors are assigned with the PERSISTED
+    * quantizer (a pure kernel scan — cost ∝ |batch|; the existing
+    * index is never read, shuffled or rewritten), their rows land as
+    * per-group file adds in the grouped tree, and the meta manifest is
+    * refreshed LAST (the [[graft.sinks.FingerprintIndexStore]]
+    * torn-write contract: from the meta delete to the final meta write
+    * the store is formally torn and every reader refuses it loudly —
+    * never a fresh manifest blessing half-appended data).
+    *
+    * Drift contract: the batch's quantizer distortion (mean squared
+    * L2 to its own cell centroid — the k-means objective, see
+    * [[meanCellDistortion]]) is measured BEFORE anything mutates, and
+    * the append refuses when it exceeds `refitThreshold` × the
+    * build-time distortion riding the meta — a distribution that
+    * drifted that far belongs to a re-fit + rebuild, not a silent
+    * append into cells that no longer describe it. Every append logs
+    * (n_rows, distortion, base, threshold) to the `appends` sidecar
+    * for trend audit ([[readAppendLog]]).
+    *
+    * Law (spec-pinned): append ≡ rebuild — probes of an appended store
+    * are row-identical to a store built over the union corpus with the
+    * SAME quantizer. Caller contract: batch ids are novel (id-dedup
+    * belongs to the dedup indexes this layout composes with);
+    * duplicate ids append as duplicate rows. Many small appends
+    * accumulate files per group — run [[compactIvfIndexHier]] on the
+    * crawl cadence (probe results never depend on it; row-group
+    * pruning just degrades as files-per-group grows).
+    *
+    * Returns the measured batch distortion. */
+  def appendIvfIndexHier(batch: DataFrame, path: String,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      refitThreshold: Double = 2.0): Double = {
+    val spark = batch.sparkSession
+    val meta = hierMetaRow(spark, path)
+    val cq = readCoarseQuantizer(spark, path, Some(meta))
+    val assigned = batch.select(col(idCol), col(vecCol),
+        assignCellHier(col(vecCol), cq).as("cell"))
+      .filter(col("cell").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try
+      appendHierRows(spark, path, "index", meta, cq, assigned, vecCol,
+        assigned, refitThreshold, residual = None)
+    finally { assigned.unpersist(); () }
+  }
+
+  /** [[appendIvfIndexHier]] for the [[writeIvfPqIndexHier]] layout:
+    * the batch is assigned with the persisted quantizer AND encoded
+    * with the persisted codebooks (residual rebase when the meta says
+    * so) — never a re-fit of either — then appended to the grouped
+    * code tree under the same drift/torn-write/log contract. */
+  def appendIvfPqIndexHier(batch: DataFrame, path: String,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      refitThreshold: Double = 2.0): Double = {
+    val spark = batch.sparkSession
+    val meta = hierMetaRow(spark, path)
+    val cq = readCoarseQuantizer(spark, path, Some(meta))
+    val cb = readPqCodebooks(spark, path)
+    val residual = meta.getAs[Boolean]("residual")
+    val celled = batch.select(col(idCol), col(vecCol),
+        assignCellHier(col(vecCol), cq).as("cell"))
+      .filter(col("cell").isNotNull)
+    val encodeSrc =
+      (if (!residual) celled.withColumn("__enc", col(vecCol))
+      else {
+        val centDf = spark.createDataFrame(
+            cq.l2.map { case (c1, c2, v) => (c1 * cq.k2 + c2, v.toSeq) })
+          .toDF("cell", "centroid")
+        celled
+          .join(broadcast(centDf.select(col("cell"),
+            col("centroid").cast("array<double>").as("__c"))), Seq("cell"))
+          .withColumn("__enc", zip_with(col(vecCol).cast("array<double>"),
+            col("__c"), (x, c) => x - c))
+      }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val rows = encodeSrc.select(col(idCol), col("cell"),
+          graft.plans.PqExpressions.pq_encode(col("__enc"), cb.ncodes,
+            cb.dsub, cb.flat).as("codes"))
+        .filter(col("codes").isNotNull)
+      appendHierRows(spark, path, "codes", meta, cq, encodeSrc, vecCol,
+        rows, refitThreshold, residual = Some(residual))
+    } finally { encodeSrc.unpersist(); () }
+  }
+
+  /** The audit log of a store's appends: (n_rows, distortion,
+    * base_distortion, refit_threshold) rows, one per append. Empty
+    * store never appended → path absent (read throws). */
+  def readAppendLog(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/appends")
+
+  /** Shared back half of the two appends: drift gate (before any
+    * mutation), meta off, per-group file adds, append log, meta LAST. */
+  private def appendHierRows(spark: SparkSession, path: String,
+      sub: String, meta: org.apache.spark.sql.Row, cq: CoarseQuantizer,
+      measured: DataFrame, vecCol: String, writeRows: DataFrame,
+      refitThreshold: Double, residual: Option[Boolean]): Double = {
+    require(refitThreshold > 0, "refitThreshold must be positive")
+    val cpg = meta.getAs[Int]("cells_per_group")
+    val base = baseDistortionOf(meta, path, "append")
+    val nRows = measured.count()
+    require(nRows > 0,
+      s"append: batch has no validly-shaped vectors for the $path store")
+    val bDist = meanCellDistortion(measured, cq, vecCol)
+    require(bDist <= refitThreshold * math.max(base, 1e-12),
+      f"append: batch distortion $bDist%.6f exceeds $refitThreshold%.1f× " +
+        f"the build-time $base%.6f at $path — the corpus distribution " +
+        "has drifted past the quantizer; re-fit and rebuild instead of " +
+        "appending into cells that no longer describe it")
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // manifest off FIRST: the store is formally torn until the final
+    // writeHierMeta, and hierMetaRow refuses it in between
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/meta"), true)
+    writeRows
+      .withColumn("cell_grp", (col("cell") / cpg).cast("int"))
+      .repartition(col("cell_grp"))
+      .sortWithinPartitions(col("cell"))
+      .write.mode("append").partitionBy("cell_grp")
+      .parquet(s"$path/$sub")
+    import spark.implicits._
+    Seq((nRows, bDist, base, refitThreshold))
+      .toDF("n_rows", "distortion", "base_distortion", "refit_threshold")
+      .coalesce(1).write.mode("append").parquet(s"$path/appends")
+    writeHierMeta(spark, path, cq, cpg, residual, base)
+    bDist
+  }
+
+  private def baseDistortionOf(meta: org.apache.spark.sql.Row,
+      path: String, op: String): Double = {
+    require(meta.schema.fieldNames.contains("base_distortion"),
+      s"$op: store at $path predates the append-era meta (no " +
+        "base_distortion) — rebuild with the current writer")
+    meta.getAs[Double]("base_distortion")
+  }
+
+  /** Rewrite FRAGMENTED groups of a hierarchical layout's tree back to
+    * one cell-sorted file each — the periodic pass that undoes append
+    * fragmentation. Cost ∝ the groups whose file count exceeds
+    * `maxFilesPerGroup`, never the whole tree (at 100 TB a recurring
+    * crawl fragments the groups its batches touch; untouched groups
+    * must not be re-shuffled to fix them). Same meta-last torn-write
+    * contract as the appends; a no-op (nothing fragmented) leaves the
+    * store untouched, meta included. Probe results are identical
+    * before and after (spec-pinned). */
+  def compactIvfIndexHier(spark: SparkSession, path: String,
+      maxFilesPerGroup: Int = 1): Unit =
+    compactHierStore(spark, path, "index", maxFilesPerGroup)
+
+  /** [[compactIvfIndexHier]] for the PQ code tree. */
+  def compactIvfPqIndexHier(spark: SparkSession, path: String,
+      maxFilesPerGroup: Int = 1): Unit =
+    compactHierStore(spark, path, "codes", maxFilesPerGroup)
+
+  private def compactHierStore(spark: SparkSession, path: String,
+      sub: String, maxFilesPerGroup: Int): Unit = {
+    require(maxFilesPerGroup >= 1, "maxFilesPerGroup must be >= 1")
+    val meta = hierMetaRow(spark, path)
+    val cq = readCoarseQuantizer(spark, path, Some(meta))
+    val cpg = meta.getAs[Int]("cells_per_group")
+    val residual =
+      if (meta.schema.fieldNames.contains("residual"))
+        Some(meta.getAs[Boolean]("residual"))
+      else None
+    val base = baseDistortionOf(meta, path, "compact")
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val fragmented = fs
+      .listStatus(new org.apache.hadoop.fs.Path(s"$path/$sub"))
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("cell_grp="))
+      .filter(g => fs.listStatus(g.getPath).count(f => f.isFile &&
+        f.getPath.getName.endsWith(".parquet")) > maxFilesPerGroup)
+      .map(_.getPath)
+    if (fragmented.isEmpty) return
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/meta"), true)
+    // materialize AWAY from the tree being read (Spark cannot
+    // overwrite a path it reads), then swap ONLY the fragmented group
+    // dirs — the FingerprintIndexStore keys_next shape, per group
+    spark.read.option("basePath", s"$path/$sub")
+      .parquet(fragmented.map(_.toString).toSeq: _*)
+      .repartition(col("cell_grp"))
+      .sortWithinPartitions(col("cell"))
+      .write.mode("overwrite").partitionBy("cell_grp")
+      .parquet(s"$path/${sub}_next")
+    fragmented.foreach { g =>
+      val next = new org.apache.hadoop.fs.Path(
+        s"$path/${sub}_next/${g.getName}")
+      fs.delete(g, true)
+      require(fs.rename(next, g), s"compact: rename of $next failed")
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/${sub}_next"), true)
+    writeHierMeta(spark, path, cq, cpg, residual, base)
   }
 
   /** LSH-bucketed ANN with multi-probe: candidates = corpus rows whose
@@ -1068,7 +1341,8 @@ object Similarity {
       cq: CoarseQuantizer, m: Int = 8, ncodes: Int = 16,
       idCol: String = "vec_id", vecCol: String = "embedding",
       trainFraction: Double = 1.0, residual: Boolean = false,
-      cellsPerGroup: Int = 64): Unit = {
+      cellsPerGroup: Int = 64,
+      codebooks: Option[PqCodebooks] = None): Unit = {
     require(cellsPerGroup > 0, "cellsPerGroup must be positive")
     val spark = corpus.sparkSession
     val celled = corpus.select(col(idCol), col(vecCol),
@@ -1088,11 +1362,16 @@ object Similarity {
     // same materialize-once rationale as writeIvfPqIndex: the m
     // subspace fits, the dim probe and the final encode all re-derive
     // the assignment (and residual lambda) without it
-    if (residual) encodeSrc.persist(
+    // distortion needs the celled vectors TWICE (measure + encode) —
+    // persist on both variants now, not just residual's many actions
+    encodeSrc.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val cb = trainPqCodebooks(encodeSrc, "__enc", m, ncodes,
-        trainFraction)
+      // `codebooks` bypasses the PQ fit with pre-trained books — the
+      // append ≡ rebuild comparison shape (an appended store's codes
+      // come from the BUILD-time books, so the rebuild side must too)
+      val cb = codebooks.getOrElse(trainPqCodebooks(encodeSrc, "__enc",
+        m, ncodes, trainFraction))
       spark.createDataFrame(cb.cents)
         .toDF("sub", "code", "centroid")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
@@ -1103,10 +1382,6 @@ object Similarity {
           cq.l2.map { case (c1, c2, v) => (c1, c2, v.toSeq) })
         .toDF("c1", "c2", "centroid")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/quantizer")
-      import spark.implicits._
-      Seq((cq.k1, cq.k2, cq.dim, residual, cellsPerGroup))
-        .toDF("k1", "k2", "dim", "residual", "cells_per_group")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
       encodeSrc.select(col(idCol), col("cell"),
           graft.plans.PqExpressions.pq_encode(col("__enc"), cb.ncodes,
             cb.dsub, cb.flat).as("codes"))
@@ -1120,7 +1395,13 @@ object Similarity {
         .sortWithinPartitions(col("cell"))
         .write.mode("overwrite").partitionBy("cell_grp")
         .parquet(s"$path/codes")
-    } finally if (residual) { encodeSrc.unpersist(); () }
+      // coarse-quantizer distortion over the build corpus (the codes
+      // layout stores no vectors, so measure the PERSISTED encode
+      // frame — it carries vec + cell); meta goes strictly LAST
+      val base = meanCellDistortion(
+        encodeSrc.filter(col("cell").isNotNull), cq, vecCol)
+      writeHierMeta(spark, path, cq, cellsPerGroup, Some(residual), base)
+    } finally { encodeSrc.unpersist(); () }
   }
 
   /** The residual flag of a [[writeIvfPqIndexHier]] layout — same

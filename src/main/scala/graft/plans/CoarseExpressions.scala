@@ -33,10 +33,14 @@ import org.apache.spark.sql.types._
   * `beam`, measured in the spec).
   *
   * Both kernels are single primitive JVM loops inside whole-stage
-  * codegen with the centroid tables riding the plan as flat double[]
-  * REFERENCE OBJECTS (the [[PqEncodeExpr]] pattern) — never literals,
-  * so the expression tree is O(1) in nlist and the quantizer can be
-  * megabytes without touching the codegen budget.
+  * codegen. The centroid tables never appear as literals (the
+  * expression tree is O(1) in nlist): l1 — √nlist-sized — rides the
+  * plan as a flat double[] REFERENCE OBJECT (the [[PqEncodeExpr]]
+  * pattern), while l2 — nlist·dim, the table that reaches GBs at the
+  * nlist 10⁵⁻⁶ / d≥512 sizing — ships via an explicit BROADCAST and is
+  * unpacked once per executor ([[CoarseTables]]); expression equality
+  * keys on a content digest so plan transforms stay O(1) in the table
+  * size.
   *
   * Arithmetic contract (what an external replayer must reproduce):
   * cosine in double with sequential accumulation over dims — exactly
@@ -45,6 +49,17 @@ import org.apache.spark.sql.types._
   * break to the LOWEST index at both levels; NaN similarities (a
   * zero-norm vector or centroid) never win, and an all-NaN row lands
   * deterministically in index 0.
+  *
+  * NaN replay precondition: DuckDB's total order sorts NaN ABOVE all
+  * doubles, so an `ORDER BY list_cosine_similarity(...) DESC` replay
+  * ranks a zero-norm vector FIRST where these kernels demote it —
+  * the strict sim oracles (hier and flat alike) therefore carry a
+  * no-zero-norm-vector precondition. That is also the semantic
+  * contract: a zero vector has no cosine direction, so index it
+  * deliberately or drop it at ingest; the fixture corpus and every
+  * staged index satisfy the precondition by construction (a replayer
+  * that must tolerate zero vectors wraps each sim in
+  * `CASE WHEN isnan(s) THEN -1e308 ELSE s END`).
   */
 object CoarseKernels {
 
@@ -183,32 +198,109 @@ object CoarseKernels {
       nprobe, beam)
 }
 
+/** The trained quantizer as the kernel expressions carry it — the
+  * memory-regime half of the hierarchical design (the fit half is
+  * [[graft.operators.Similarity.trainCoarseHierarchical]]):
+  *
+  *   - `l1` (k1·dim doubles — √nlist-sized, ~1.5 MB even at
+  *     nlist=10⁶/d=512) stays a plain array on the expression, riding
+  *     each stage as a codegen reference object;
+  *   - `l2` (nlist·dim doubles — 0.5–8 GB at the nlist 10⁵⁻⁶ / d≥512
+  *     sizing the grouped store layout targets) rides an explicit
+  *     `Broadcast`, so it ships to each EXECUTOR once through the
+  *     block manager instead of serializing into every stage's task
+  *     binary (the round-13 shape put it in the case-class signature:
+  *     nlist·dim·8 B per task binary, O(nlist·dim) semanticEquals);
+  *   - equality / hashCode key on a content DIGEST computed once at
+  *     construction — `semanticEquals`, canonicalization and
+  *     subexpression elimination over plans carrying these expressions
+  *     are O(1) in nlist·dim. Two tables with equal digests are
+  *     value-equal by construction (the digest covers both tables'
+  *     bytes and the shape), so CSE across separately-built instances
+  *     of the same quantizer remains sound.
+  */
+final class CoarseTables(
+    val l1: Array[Double],
+    val l2Len: Int,
+    val l2Bc: org.apache.spark.broadcast.Broadcast[Array[Double]],
+    val digest: String) extends Serializable {
+  /** Executor-local view of the broadcast table (driver: the cached
+    * local value — no copy). */
+  @transient lazy val l2: Array[Double] = l2Bc.value
+  override def equals(o: Any): Boolean = o match {
+    case t: CoarseTables => t.digest == digest
+    case _ => false
+  }
+  override def hashCode(): Int = digest.hashCode
+  // Expression.toString renders constructor args — keep it O(1), never
+  // the tables themselves
+  override def toString: String =
+    s"coarse_tables(l1=${l1.length}, l2=$l2Len, ${digest.take(12)})"
+}
+
+object CoarseTables {
+  /** Digest + broadcast construction. The MD5 runs once per trained
+    * quantizer (one linear pass over the tables — microseconds next to
+    * the fit), never per plan transform. */
+  def apply(spark: org.apache.spark.sql.SparkSession, l1: Array[Double],
+      l2: Array[Double]): CoarseTables = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val buf = java.nio.ByteBuffer.allocate(8 * 1024)
+    def feed(a: Array[Double]): Unit = {
+      buf.clear(); buf.putInt(a.length); buf.flip()
+      md.update(buf); buf.clear()
+      var i = 0
+      while (i < a.length) {
+        if (buf.remaining() < 8) { buf.flip(); md.update(buf); buf.clear() }
+        buf.putDouble(a(i)); i += 1
+      }
+      buf.flip(); md.update(buf); buf.clear()
+    }
+    feed(l1); feed(l2)
+    val digest = md.digest().map("%02x".format(_)).mkString
+    new CoarseTables(l1, l2.length, spark.sparkContext.broadcast(l2),
+      digest)
+  }
+}
+
 /** Shared shape plumbing for the two coarse kernels: array<float|double>
-  * child, centroid tables as Seq[Double] in the case-class signature
-  * (value equality for semanticEquals / subexpression elimination) and
-  * primitive double[] on the kernel path. */
+  * child, centroid tables via [[CoarseTables]] (digest equality for
+  * semanticEquals / subexpression elimination, broadcast l2, plan-object
+  * l1) and primitive double[] on the kernel path. */
 sealed trait CoarseQuantExpr extends UnaryExpression {
   def k1: Int
   def k2: Int
   def dim: Int
-  def l1: Seq[Double]
-  def l2: Seq[Double]
-  protected final lazy val l1Arr: Array[Double] = l1.toArray
-  protected final lazy val l2Arr: Array[Double] = l2.toArray
+  def tables: CoarseTables
+  protected final def l1Arr: Array[Double] = tables.l1
+  protected final def l2Arr: Array[Double] = tables.l2
   protected final def isDouble: Boolean = child.dataType match {
     case ArrayType(DoubleType, _) => true
     case _ => false
   }
+  import org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext
+  /** The generated-code terms for the two tables: l1 as a reference
+    * object; l2 unpacked from its broadcast ONCE per generated-class
+    * instance (executor-side `Broadcast.value` is the block-manager
+    * fetch, cached per executor). */
+  protected final def genTableRefs(ctx: CodegenContext): (String, String) = {
+    val l1Ref = ctx.addReferenceObj("coarseL1", tables.l1, "double[]")
+    val bcRef = ctx.addReferenceObj("coarseL2Bc", tables.l2Bc,
+      "org.apache.spark.broadcast.Broadcast")
+    val l2Tab = ctx.addMutableState("double[]", "coarseL2Tab",
+      v => s"$v = (double[]) $bcRef.value();")
+    (l1Ref, l2Tab)
+  }
   import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
-      if (k1 > 0 && k2 > 0 && dim > 0 && l1.length == k1 * dim &&
-          l2.length == k1 * k2 * dim)
+      if (k1 > 0 && k2 > 0 && dim > 0 && tables.l1.length == k1 * dim &&
+          tables.l2Len == k1 * k2 * dim)
         TypeCheckResult.TypeCheckSuccess
       else TypeCheckResult.TypeCheckFailure(
         s"$prettyName quantizer shape: need |l1| = k1·dim " +
-          s"(${k1 * dim}, got ${l1.length}) and |l2| = k1·k2·dim " +
-          s"(${k1 * k2 * dim}, got ${l2.length})")
+          s"(${k1 * dim}, got ${tables.l1.length}) and |l2| = k1·k2·dim " +
+          s"(${k1 * k2 * dim}, got ${tables.l2Len})")
     case t => TypeCheckResult.TypeCheckFailure(
       s"$prettyName expects array<float> or array<double>, got ${t.sql}; " +
         "cast explicitly")
@@ -219,7 +311,7 @@ sealed trait CoarseQuantExpr extends UnaryExpression {
 /** Hierarchical cell assignment: array<float|double> → int composed
   * cell id (c1·k2 + c2); null when |vec| ≠ dim. */
 case class CoarseAssignExpr(child: Expression, k1: Int, k2: Int,
-    dim: Int, l1: Seq[Double], l2: Seq[Double]) extends CoarseQuantExpr {
+    dim: Int, tables: CoarseTables) extends CoarseQuantExpr {
   override def dataType: DataType = IntegerType
   override def prettyName: String = "coarse_assign"
   private def kernel: String = if (isDouble) "assignDouble" else "assignFloat"
@@ -237,8 +329,7 @@ case class CoarseAssignExpr(child: Expression, k1: Int, k2: Int,
 
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode = {
-    val l1Ref = ctx.addReferenceObj("coarseL1", l1Arr, "double[]")
-    val l2Ref = ctx.addReferenceObj("coarseL2", l2Arr, "double[]")
+    val (l1Ref, l2Ref) = genTableRefs(ctx)
     val r = ctx.freshName("cell")
     nullSafeCodeGen(ctx, ev, c => {
       s"""
@@ -257,7 +348,7 @@ case class CoarseAssignExpr(child: Expression, k1: Int, k2: Int,
   * best composed cells through a beam of level-1 cells; null when
   * |vec| ≠ dim. */
 case class CoarseProbeExpr(child: Expression, k1: Int, k2: Int,
-    dim: Int, l1: Seq[Double], l2: Seq[Double], nprobe: Int,
+    dim: Int, tables: CoarseTables, nprobe: Int,
     beam: Int) extends CoarseQuantExpr {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "coarse_probe"
@@ -282,8 +373,7 @@ case class CoarseProbeExpr(child: Expression, k1: Int, k2: Int,
 
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode = {
-    val l1Ref = ctx.addReferenceObj("coarseL1", l1Arr, "double[]")
-    val l2Ref = ctx.addReferenceObj("coarseL2", l2Arr, "double[]")
+    val (l1Ref, l2Ref) = genTableRefs(ctx)
     val r = ctx.freshName("probeRes")
     nullSafeCodeGen(ctx, ev, c => {
       s"""
@@ -303,11 +393,26 @@ object CoarseExpressions {
   import org.apache.spark.sql.graft.bridge.{column, expression}
 
   def coarse_assign(vec: Column, k1: Int, k2: Int, dim: Int,
+      tables: CoarseTables): Column =
+    column(CoarseAssignExpr(expression(vec), k1, k2, dim, tables))
+
+  def coarse_probe(vec: Column, k1: Int, k2: Int, dim: Int,
+      tables: CoarseTables, nprobe: Int, beam: Int): Column =
+    column(CoarseProbeExpr(expression(vec), k1, k2, dim, tables,
+      nprobe, beam))
+
+  /** Seq-table conveniences (specs, one-off grids): each call digests
+    * and broadcasts its l2 — production callers go through
+    * [[graft.operators.Similarity.CoarseQuantizer]]'s cached tables so
+    * one quantizer is broadcast once per session, not per expression. */
+  def coarse_assign(vec: Column, k1: Int, k2: Int, dim: Int,
       l1: Seq[Double], l2: Seq[Double]): Column =
-    column(CoarseAssignExpr(expression(vec), k1, k2, dim, l1, l2))
+    coarse_assign(vec, k1, k2, dim, CoarseTables(
+      org.apache.spark.sql.SparkSession.active, l1.toArray, l2.toArray))
 
   def coarse_probe(vec: Column, k1: Int, k2: Int, dim: Int,
       l1: Seq[Double], l2: Seq[Double], nprobe: Int, beam: Int): Column =
-    column(CoarseProbeExpr(expression(vec), k1, k2, dim, l1, l2,
-      nprobe, beam))
+    coarse_probe(vec, k1, k2, dim, CoarseTables(
+      org.apache.spark.sql.SparkSession.active, l1.toArray, l2.toArray),
+      nprobe, beam)
 }

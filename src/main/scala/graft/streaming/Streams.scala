@@ -183,6 +183,93 @@ object Streams {
     sink(batch.join(hits, Seq(idCol), "left_anti"))
   }
 
+  /** Streaming ANN top-k against a persisted HIERARCHICAL IVF-PQ store
+    * ([[graft.operators.Similarity.writeIvfPqIndexHier]]) — the ANN
+    * face of the continuous-ingestion family
+    * ([[embeddingHitsAgainstIndexStream]] is the near-dup face): each
+    * arriving query vector probes its beam cells ROW-LOCALLY via the
+    * coarse kernel (the quantizer rides its executor Broadcast — no
+    * per-batch fit, no streaming state), candidates come from a
+    * stream-static inner join against the slim code tree on the
+    * composed cell, the codegen ADC kernel scores them (codebooks as
+    * reference objects), and per-query top-k emits from a
+    * watermark-bounded windowed [[graft.plans.TopKAgg]] aggregation
+    * once the query's event-time window closes. State is the
+    * per-(window, qid) BOUNDED top-k buffer — never candidate sets,
+    * never vectors; a pair meeting in several probed cells dedups
+    * inside the aggregator exactly like the batch path, so the emitted
+    * (qid, rank, vec_id, sim) rows match the batch probe row-for-row
+    * (spec-pinned).
+    *
+    * Scale note, stated honestly: a stream-static join re-plans the
+    * static side per microbatch WITHOUT the batch probe's
+    * collect-driven pruning (no literal cell list exists at stream
+    * plan time), so each microbatch scans the code tree's slim m-int
+    * rows and filters at the join. When probe I/O selectivity matters
+    * more than one-query latency, use [[annProbeBatch]] — the
+    * foreachBatch form runs the BATCH probe per microbatch, which
+    * prunes group dirs at the file listing and cells at the row-group
+    * stats. Residual layouts rebase the query per probed cell exactly
+    * like the batch path (broadcast join against the nlist-row
+    * centroid table — static, stateless). */
+  def annTopKStream(spark: SparkSession, path: String, vecs: DataFrame,
+      k: Int, nprobe: Int = 4, beam: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      delay: String = "10 minutes", windowDur: String = "1 minute")
+      : DataFrame = {
+    import graft.operators.Similarity
+    val cq = Similarity.readCoarseQuantizer(spark, path)
+    val cb = Similarity.readPqCodebooks(spark, path)
+    val residual = Similarity.readIvfPqHierMeta(spark, path)
+    val probes0 = vecs.withWatermark("ts", delay)
+      .select(col(idCol).as("qid"), col("ts"), col(vecCol).as("__qv"),
+        explode(Similarity.probeCellsHier(col(vecCol), cq, nprobe, beam))
+          .as("cell"))
+    val probes =
+      if (!residual) probes0
+      else {
+        val centDf = spark.createDataFrame(
+            cq.l2.map { case (c1, c2, v) => (c1 * cq.k2 + c2, v.toSeq) })
+          .toDF("cell", "centroid")
+        probes0
+          .join(broadcast(centDf.select(col("cell"),
+            col("centroid").cast("array<double>").as("__c"))), Seq("cell"))
+          .select(col("qid"), col("ts"), col("cell"),
+            zip_with(col("__qv").cast("array<double>"), col("__c"),
+              (x, c) => x - c).as("__qv"))
+      }
+    val codes = spark.read.parquet(s"$path/codes")
+    probes.join(codes, Seq("cell"))
+      .filter(col(idCol) =!= col("qid"))
+      .select(col("qid"), col("ts"), col(idCol),
+        (-graft.plans.PqExpressions.pq_adc(col("__qv"), col("codes"),
+          cb.ncodes, cb.dsub, cb.flat)).as("sim"))
+      .groupBy(window(col("ts"), windowDur), col("qid"))
+      .agg(graft.plans.TopKAgg.top_k_agg(k)(
+        col("sim"), col(idCol).cast("long")).as("__top"))
+      .select(col("window.start").as("win_start"), col("qid"),
+        posexplode(col("__top")).as(Seq("__p", "__e")))
+      .select(col("win_start"), col("qid"),
+        col("__e.id").as(idCol), col("__e.score").as("sim"),
+        (col("__p") + 1).cast("int").as("rank"))
+  }
+
+  /** The per-batch-pruned streaming ANN form [[annTopKStream]]'s
+    * Scaladoc promises — a `foreachBatch` body that runs the BATCH
+    * probe ([[graft.operators.Similarity.ivfPqHierTopKFromIndex]],
+    * with its collect-driven group/cell pruning) on each microbatch of
+    * query vectors and hands the ranked rows to `sink`. Identical
+    * results to the batch probe by construction; use when the store is
+    * huge and probe selectivity dominates. */
+  def annProbeBatch(spark: SparkSession, path: String,
+      sink: DataFrame => Unit, k: Int, nprobe: Int = 4, beam: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : (DataFrame, Long) => Unit = { (batch, _) =>
+    sink(graft.operators.Similarity.ivfPqHierTopKFromIndex(spark, path,
+      batch.select(col(idCol).as("qid"), col(vecCol).as("qvec")),
+      k, nprobe, beam))
+  }
+
   /** Streaming ingestion dedup — the streaming face of
     * [[graft.operators.Dedup.dedupAgainstIndex]]: arriving documents
     * (a) drop when their content fingerprint is already in the STATIC

@@ -990,27 +990,152 @@ object ScaleStress {
         // engine bug the drill should die on
         require(nProbe >= 100L && nProbe <= 200L,
           s"probe rows out of range: $nProbe")
-        // the refine stage: ADC shortlist (4x) + exact rerank of only
-        // the shortlist's raw vectors — wall must track the probe,
-        // never a corpus scan; recall vs exact cosine must IMPROVE
-        // over raw ADC order (the stage's whole point)
-        var refined: Set[(Long, Long)] = Set.empty
-        val tRefined = timed {
-          refined = Similarity.ivfPqHierTopKRefined(spark, path, cvecs,
-              queries, 10, nprobe = 4, beam = 2, refineFactor = 4)
-            .select(col("qid"), col("vec_id"))
-            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-        }
+        // the refine stage: ADC shortlist (refineFactor·k) + exact
+        // rerank of only the shortlist's raw vectors — wall must track
+        // the probe (the shortlist broadcasts into ONE corpus scan;
+        // raw vectors never shuffle — plan-guarded in
+        // PlanAssertionsSpec), never a corpus rerank; recall vs exact
+        // cosine must IMPROVE over raw ADC order and grow with the
+        // factor, while the wall grows only with the shortlist join
+        // probe count, not the corpus
         val exact = Similarity.bruteForceTopK(cvecs, queries, 10)
           .select(col("qid"), col("vec_id"))
           .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
         val rAdc = (exact & adc).size.toDouble / exact.size
-        val rRef = (exact & refined).size.toDouble / exact.size
         println(f"hier-ivfpq: nlist=$nlist t_build=$tBuild%.1f " +
-          f"t_probe=$tProbe%.1f t_refined=$tRefined%.1f " +
-          f"recall@10 adc=$rAdc%.2f refined=$rRef%.2f " +
-          "(clustered corpus, 20 queries, beam=2, nprobe=4, refine=4x)")
+          f"t_probe=$tProbe%.1f recall@10 adc=$rAdc%.2f " +
+          "(clustered corpus, 20 queries, beam=2, nprobe=4)")
+        for (rf <- Seq(2, 4, 8)) {
+          var refined: Set[(Long, Long)] = Set.empty
+          val tRefined = timed {
+            refined = Similarity.ivfPqHierTopKRefined(spark, path, cvecs,
+                queries, 10, nprobe = 4, beam = 2, refineFactor = rf)
+              .select(col("qid"), col("vec_id"))
+              .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+          }
+          val rRef = (exact & refined).size.toDouble / exact.size
+          println(f"  refined rf=$rf%d: t=$tRefined%.1f " +
+            f"recall@10=$rRef%.2f")
+        }
         cvecs.unpersist()
+      }
+
+      // Round-14 carrier leg (VERDICT r13 item 1): the quantizer OFF
+      // the plan. The r13 expressions carried l2 in the case-class
+      // signature — nlist·dim·8 B into every task binary, O(nlist·dim)
+      // semanticEquals. Now l2 rides an explicit Broadcast and equality
+      // is a content digest; under measure at the sizing the layout
+      // itself targets (nlist ≥ 131072, d = 512, l2 > 0.5 GB):
+      // (a) the java-serialized assign expression — what a task binary
+      // carries — stays l1-sized (√nlist·d, ~KBs) while l2 grows 8×;
+      // (b) 10k semanticEquals calls (plan-transform cost) stay flat;
+      // (c) the assignment scan wall still moves with √nlist only.
+      // The grid is SYNTHETIC (deterministic LCG floats): the carrier
+      // is under measure, not the fit — fit scaling is the sweep above.
+      locally {
+        val rows = 50000L
+        println(f"\n${"nlist"}%8s ${"dim"}%5s ${"l2_MB"}%7s " +
+          f"${"expr_KB"}%8s ${"t_eq10k"}%8s ${"t_assign"}%9s")
+        for ((nlist, d) <- Seq((16384, 512), (131072, 512))) {
+          val k1 = math.ceil(math.sqrt(nlist.toDouble)).toInt
+          val k2 = math.ceil(nlist.toDouble / k1).toInt
+          def tab(n: Int, seed: Long): Array[Float] = {
+            val a = new Array[Float](n); var s = seed * 2654435761L + 1L
+            var i = 0
+            while (i < n) {
+              s = s * 6364136223846793005L + 1442695040888963407L
+              a(i) = ((s >>> 40).toInt % 1000) / 500f - 1f; i += 1
+            }
+            a
+          }
+          val cq = Similarity.CoarseQuantizer(k1, k2, d,
+            (0 until k1).map(i => (i, tab(d, i.toLong))),
+            (0 until k1).flatMap(c1 => (0 until k2).map(c2 =>
+              (c1, c2, tab(d, (c1.toLong << 20) + c2)))))
+          val tables = cq.tables // digest + broadcast, once
+          import org.apache.spark.sql.catalyst.expressions.BoundReference
+          import org.apache.spark.sql.types.{ArrayType, FloatType}
+          def mkExpr = graft.plans.CoarseAssignExpr(
+            BoundReference(0, ArrayType(FloatType), nullable = true),
+            k1, k2, d, tables)
+          val expr = mkExpr
+          val bos = new java.io.ByteArrayOutputStream()
+          val oos = new java.io.ObjectOutputStream(bos)
+          oos.writeObject(expr); oos.close()
+          val exprKb = bos.size() / 1024.0
+          val twin = mkExpr
+          val tEq = timed {
+            var i = 0
+            while (i < 10000) {
+              require(expr.semanticEquals(twin)); i += 1
+            }
+          }
+          def vec512(id: Column): Column =
+            transform(sequence(lit(0), lit(d - 1)), j =>
+              ((conv(substring(md5(concat(id.cast("string"), lit(":"),
+                j.cast("string"))), 1, 8), 16, 10).cast("double")
+                % 1000.0) / 500.0 - 1.0).cast("float"))
+          val vecs = spark.range(rows).select(
+            vec512(col("id")).as("embedding"))
+          val tAssign = timed {
+            val nAssigned = vecs.select(
+                Similarity.assignCellHier(col("embedding"), cq).as("cell"))
+              .filter(col("cell").isNotNull).count()
+            require(nAssigned == rows, s"assignment dropped: $nAssigned")
+          }
+          println(f"$nlist%8d $d%5d ${nlist.toLong * d * 8 / 1048576.0}%7.0f " +
+            f"$exprKb%8.1f $tEq%8.2f $tAssign%9.1f")
+        }
+      }
+
+      // Round-14 append leg (VERDICT r13 item 2): append cost ∝
+      // |batch|, NOT |index|. Two hier IVF-PQ stores at 1× and 4×
+      // corpus size (same clustered generator), the SAME-SIZE batch
+      // appended to each: t_append must stay ~flat while the index
+      // quadruples, because the append never reads the index — the
+      // batch is assigned + encoded by kernel scans and lands as
+      // per-group file adds.
+      locally {
+        val batchN = 20000L
+        println(f"\n${"index_n"}%9s ${"nlist"}%6s ${"t_build"}%8s " +
+          f"${"t_append"}%9s ${"probe_ok"}%9s")
+        for (mult <- Seq(1, 4)) {
+          val nIdx = math.max(200000L, n / 4) * mult
+          def h(tag: String, key: Column, j: Column): Column =
+            ((conv(substring(md5(concat(lit(tag), key.cast("string"),
+              lit(":"), j.cast("string"))), 1, 8), 16, 10).cast("double")
+              % 1000.0) / 500.0 - 1.0)
+          def cvec(id: Column): Column = {
+            val cl = pmod(id, lit(nIdx / 50))
+            transform(sequence(lit(0), lit(63)), j =>
+              (h("c", cl, j) + lit(0.15) * h("n", id, j)).cast("float"))
+          }
+          val corpus = spark.range(nIdx).select(col("id").as("vec_id"),
+            cvec(col("id")).as("embedding"))
+          val batch = spark.range(nIdx, nIdx + batchN)
+            .select(col("id").as("vec_id"), cvec(col("id")).as("embedding"))
+          val path = java.nio.file.Files
+            .createTempDirectory("coarse-append").toString + "/idx"
+          val nlist = 4096
+          var cq: Similarity.CoarseQuantizer = null
+          val tBuild = timed {
+            cq = Similarity.trainCoarseHierarchical(corpus, "embedding",
+              nlist)
+            Similarity.writeIvfPqIndexHier(corpus, path, cq,
+              m = 8, ncodes = 16)
+          }
+          val tAppend = timed {
+            Similarity.appendIvfPqIndexHier(batch, path)
+          }
+          // appended rows must be searchable: probe with 5 appended
+          // vectors as queries — each must surface candidates
+          val queries = batch.limit(5)
+            .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+          val hits = Similarity.ivfPqHierTopKFromIndex(spark, path,
+            queries, 5, nprobe = 4, beam = 2).count()
+          println(f"$nIdx%9d $nlist%6d $tBuild%8.1f $tAppend%9.1f " +
+            f"${if (hits >= 20) "yes" else s"NO($hits)"}%9s")
+        }
       }
     }
 

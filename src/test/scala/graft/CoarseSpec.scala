@@ -321,6 +321,94 @@ class CoarseSpec extends AnyFunSuite {
       "refine must be exact-cosine over exactly the ADC shortlist")
   }
 
+  test("append ≡ rebuild: hier IVF probes row-identical on an appended " +
+      "store; appends log records distortion; compaction collapses " +
+      "fragmented groups without changing probes") {
+    val em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = em.filter(col("vec_id") < 400)
+    val b = em.filter(col("vec_id") >= 400)
+    val cq = Similarity.trainCoarseHierarchical(a, "embedding", 9,
+      minPointsPerCentroid = 8)
+    val p1 = java.nio.file.Files.createTempDirectory("ivfhApp").toString
+    val p2 = java.nio.file.Files.createTempDirectory("ivfhReb").toString
+    Similarity.writeIvfIndexHier(a, p1, 9, quantizer = Some(cq))
+    val dist = Similarity.appendIvfIndexHier(b, p1)
+    assert(dist > 0.0 && !dist.isNaN)
+    // rebuild over the union with the SAME quantizer — the law's oracle
+    Similarity.writeIvfIndexHier(em, p2, 9, quantizer = Some(cq))
+    val queries = em.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    def probe(p: String) = Similarity.ivfHierTopKFromIndex(spark, p,
+        queries, 5, nprobe = 4, beam = 2)
+      .select("qid", "rank", "vec_id", "sim")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val appended = probe(p1)
+    assert(appended == probe(p2), "append ≡ rebuild probe law broke")
+    // appended rows are genuinely searchable: some result ids >= 400
+    assert(appended.exists(_._3 >= 400L))
+    val log = Similarity.readAppendLog(spark, p1).collect()
+    assert(log.length == 1 &&
+      log.head.getAs[Long]("n_rows") == 100L &&
+      log.head.getAs[Double]("base_distortion") > 0.0)
+    // the append fragmented at least one group; compaction collapses
+    // every group back to one file and probes are unchanged
+    def maxFiles(p: String): Int = new java.io.File(s"$p/index")
+      .listFiles().filter(f => f.isDirectory &&
+        f.getName.startsWith("cell_grp=")).map(
+        _.listFiles().count(f2 => f2.isFile &&
+          f2.getName.endsWith(".parquet"))).max
+    assert(maxFiles(p1) >= 2, "append did not add per-group files")
+    Similarity.compactIvfIndexHier(spark, p1)
+    assert(maxFiles(p1) == 1, "compaction left fragmented groups")
+    assert(probe(p1) == appended, "compaction changed probe results")
+    // a second compact is a no-op (nothing fragmented): meta mtime
+    // proves the store was not touched
+    val metaDir = new java.io.File(s"$p1/meta")
+    val before = metaDir.listFiles().map(_.lastModified()).max
+    Similarity.compactIvfIndexHier(spark, p1)
+    assert(metaDir.listFiles().map(_.lastModified()).max == before)
+  }
+
+  test("append ≡ rebuild for hier IVF-PQ (persisted quantizer AND " +
+      "codebooks); drifted batch refused BEFORE any mutation") {
+    val em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = em.filter(col("vec_id") < 400)
+    val b = em.filter(col("vec_id") >= 400)
+    val cq = Similarity.trainCoarseHierarchical(a, "embedding", 9,
+      minPointsPerCentroid = 8)
+    val p1 = java.nio.file.Files.createTempDirectory("ivfpqhApp").toString
+    val p2 = java.nio.file.Files.createTempDirectory("ivfpqhReb").toString
+    Similarity.writeIvfPqIndexHier(a, p1, cq, m = 8, ncodes = 16,
+      residual = true)
+    Similarity.appendIvfPqIndexHier(b, p1)
+    // rebuild over the union with the SAME quantizer and the APPENDED
+    // store's persisted codebooks (fit on a alone — what append used)
+    val cb = Similarity.readPqCodebooks(spark, p1)
+    Similarity.writeIvfPqIndexHier(em, p2, cq, m = 8, ncodes = 16,
+      residual = true, codebooks = Some(cb))
+    val queries = em.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    def probe(p: String) = Similarity.ivfPqHierTopKFromIndex(spark, p,
+        queries, 5, nprobe = 4, beam = 3)
+      .select("qid", "rank", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val appended = probe(p1)
+    assert(appended == probe(p2), "PQ append ≡ rebuild probe law broke")
+    assert(appended.exists(_._3 >= 400L))
+    // drift gate: a 5×-scaled batch has ~25× the squared-L2 distortion
+    // (the k-means objective the threshold compares in) and must be
+    // refused with the default threshold — and the refusal happens
+    // BEFORE any mutation, so the store still probes identically
+    val drifted = b.select(col("vec_id"),
+      transform(col("embedding"), x => x * lit(5.0f)).as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.appendIvfPqIndexHier(drifted, p1)
+    }
+    assert(e.getMessage.contains("drifted"))
+    assert(probe(p1) == appended, "refused append mutated the store")
+  }
+
   test("hierarchical probe recall vs exact cosine top-10 across beams") {
     val em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val p = java.nio.file.Files.createTempDirectory("ivfhr").toString

@@ -209,17 +209,19 @@ class MultimodalSpec extends AnyFunSuite {
     val evilBytes = java.util.Arrays.copyOf(evil.array(), evil.position())
     assert(Multimodal.probeVideo(evilBytes).isEmpty) // no mvhd, no spin
     // and the pipeline routes video rows through the REAL probes:
-    // BMFF rows (doc_id % 6 == 2) read the mvhd timescale in slot 1,
-    // rawvideo rows (doc_id % 12 == 5) the 10 px DIB frame width,
-    // MJPEG-AVI rows the 16 px JPEG frame width — never a histogram
-    // fraction <= 1 (the stub)
+    // plain-BMFF rows (doc_id % 12 == 2) read the mvhd timescale in
+    // slot 1, MOV Motion-JPEG rows (% 12 == 8) the 16 px JPEG frame
+    // width (frame-grade probe outranks the container probe),
+    // rawvideo rows (% 12 == 5) the 10 px DIB frame width, MJPEG-AVI
+    // rows the 16 px JPEG frame width — never a histogram fraction
+    // <= 1 (the stub)
     val media = Multimodal.syntheticMedia(spark, "/root/testdata/sf0.001")
     val vid = Multimodal.extractFeatures(media)
       .filter(col("kind") === "video").collect()
     assert(vid.nonEmpty)
     assert(vid.forall { r =>
       val slot1 = r.getSeq[Float](3)(1)
-      if (r.getLong(0) % 6 == 2) slot1 == 1000f
+      if (r.getLong(0) % 12 == 2) slot1 == 1000f
       else if (r.getLong(0) % 12 == 5) slot1 == 10f
       else slot1 == 16f
     })
@@ -335,26 +337,73 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pf(0) == 4f && pf(1) == 10f && pf(2) == 7f)
   }
 
-  test("synthetic media's video rows exercise all three codec classes") {
+  test("JPEG-in-BMFF (MOV 'jpeg' sample entry) frames decode via the " +
+      "sample tables: counts, dims, frame-sample, codec audit, " +
+      "corrupt sample refuses the whole stream") {
+    val mov = Multimodal.syntheticMovJpeg(8L) // nf = 2 + (8/3)%3 = 4
+    val frames = Multimodal.decodeBmffJpegFrames(mov).get
+    assert(frames.length == 4)
+    frames.foreach { f =>
+      val (w, h, _) = Multimodal.decodeImage(f).get
+      assert(w == 16 && h == 12)
+    }
+    // probeVideo reads the mvhd/tkhd metadata from the SAME tree
+    val meta = Multimodal.probeVideo(mov).get
+    assert(meta(1) == 600f && meta(3) == 16f && meta(4) == 12f)
+    // plain MP4 (no jpeg sample entry) and RIFF-AVI bytes refuse
+    assert(Multimodal.decodeBmffJpegFrames(
+      Multimodal.syntheticMp4(2L)).isEmpty)
+    assert(Multimodal.decodeBmffJpegFrames(
+      Multimodal.syntheticAvi(7L)).isEmpty)
+    // frame-sample + codec audit over a mixed BMFF table
+    val df = Seq(
+      (8L, Multimodal.syntheticMovJpeg(8L)),
+      (2L, Multimodal.syntheticMp4(2L))
+    ).toDF("media_id", "content")
+    val got = Multimodal.videoFrames(df, step = 2)
+      .select("media_id", "frame_idx", "n_frames", "width", "height")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4))).toSet
+    assert(got == Set((8L, 0, 4, 16, 12), (8L, 2, 4, 16, 12)))
+    val prof = Multimodal.videoCodecProfile(df)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(prof == Map(8L -> "bmff_jpeg", 2L -> "bmff"))
+    // a corrupted first sample (offset 28: ftyp is 20 bytes, mdat
+    // header 8) fails the SOI check and invalidates the WHOLE stream —
+    // half-decoded coverage is the lie the audit exists to prevent
+    val bad = mov.clone()
+    assert((bad(28) & 0xFF) == 0xFF && (bad(29) & 0xFF) == 0xD8,
+      "test premise: first sample starts at byte 28")
+    bad(28) = 0
+    assert(Multimodal.decodeBmffJpegFrames(bad).isEmpty)
+    // the feature probe mirrors the AVI probes' 8-slot layout
+    val pf = Multimodal.probeBmffJpeg(mov).get
+    assert(pf(0) == 4f && pf(1) == 16f && pf(2) == 12f)
+  }
+
+  test("synthetic media's video rows exercise all four codec classes") {
     val media = Multimodal.syntheticMedia(spark,
       "/root/testdata/sf0.001")
     val codecs = Multimodal.videoCodecProfile(
         media.filter(col("kind") === "video"))
       .select("codec").distinct().collect().map(_.getString(0)).toSet
-    assert(Set("avi_mjpeg", "avi_rawvideo", "bmff").subsetOf(codecs),
+    assert(Set("avi_mjpeg", "avi_rawvideo", "bmff", "bmff_jpeg")
+        .subsetOf(codecs),
       s"missing codec class in synthetic media: $codecs")
-    // and extractFeatures gives BOTH AVI codecs a REAL (non-stub)
-    // feature: the probes lead with the frame count (≥ 2 for every
-    // synthetic AVI), where the stub's head is a byte-histogram
-    // fraction ≤ 1
-    val aviIds = Multimodal.videoCodecProfile(
+    // and extractFeatures gives every frame-decodable codec a REAL
+    // (non-stub) feature: the probes lead with the frame count (≥ 2
+    // for every synthetic stream), where the stub's head is a
+    // byte-histogram fraction ≤ 1
+    val frameIds = Multimodal.videoCodecProfile(
         media.filter(col("kind") === "video"))
-      .filter(col("codec").startsWith("avi_"))
+      .filter(col("codec").startsWith("avi_") ||
+        col("codec") === "bmff_jpeg")
       .select("media_id").collect().map(_.getLong(0)).toSet
     val feats = Multimodal.extractFeatures(
         media.filter(col("kind") === "video"))
       .collect()
-      .filter(r => aviIds.contains(r.getLong(0)))
+      .filter(r => frameIds.contains(r.getLong(0)))
       .map(_.getSeq[Float](3))
     assert(feats.nonEmpty && feats.forall(_.head >= 2f))
   }

@@ -167,6 +167,22 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"no partition pruning in plan:\n$p")
   }
 
+  test("q_sim_knn_ivfpq_hier_refined: shortlist broadcasts into the " +
+      "corpus scan — raw vectors are read once, never shuffled") {
+    val p = plan("q_sim_knn_ivfpq_hier_refined")
+    // the refine stage's whole point: the ADC shortlist (|q|·k·factor
+    // rows) and the query set broadcast; the corpus vector scan is the
+    // STREAMED side of hash joins — no SortMergeJoin, and no Exchange
+    // may carry a vector column (shuffling raw vectors at 100 TB is
+    // the failure mode this stage exists to avoid)
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+    val exchanges = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(exchanges.forall(l =>
+      !l.contains("embedding") && !l.contains("qvec")),
+      s"vector column in an Exchange:\n${exchanges.mkString("\n")}")
+  }
+
   test("q_embed_pq_codes reads ONLY the persisted code table") {
     val p = plan("q_embed_pq_codes") // builds the index on first touch
     // the probe-time plan must never touch raw vectors: codes scan +

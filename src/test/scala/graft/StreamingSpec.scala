@@ -237,6 +237,76 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming ANN probe: windowed stream top-k equals the batch " +
+      "probe row-for-row; foreachBatch form identical too") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions.col
+    implicit val sq = spark.sqlContext
+    val em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cq = Similarity.trainCoarseHierarchical(em, "embedding", 9,
+      minPointsPerCentroid = 8)
+    val p = java.nio.file.Files.createTempDirectory("annstream").toString
+    Similarity.writeIvfPqIndexHier(em, p, cq, m = 8, ncodes = 16,
+      residual = true) // residual: the stream must rebase like batch
+    val qvecs = em.filter(col("vec_id") < 5)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    def vec(id: Long, min: Int, e: Seq[Float]) = Streams.Vec(id,
+      java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00"), e)
+    val ms = MemoryStream[Streams.Vec]
+    val out = Streams.annTopKStream(spark, p, ms.toDF(), k = 5,
+      nprobe = 4, beam = 3, windowDur = "1 minute")
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ann_stream").start()
+    try {
+      ms.addData(qvecs.map { case (id, e) => vec(id, 0, e) }: _*)
+      q.processAllAvailable()
+      // advance the watermark past the 10:00 window + 10 min delay so
+      // the append-mode aggregation finalizes and emits
+      ms.addData(vec(9999L, 30, qvecs.head._2))
+      q.processAllAvailable()
+      val got = spark.table("ann_stream")
+        .filter(col("qid") < 5)
+        .select("qid", "rank", "vec_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .toSet
+      val want = Similarity.ivfPqHierTopKFromIndex(spark, p,
+          em.filter(col("vec_id") < 5).select(
+            col("vec_id").as("qid"), col("embedding").as("qvec")),
+          5, nprobe = 4, beam = 3)
+        .select("qid", "rank", "vec_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .toSet
+      assert(got == want, s"stream ${got.size} != batch ${want.size}")
+      assert(got.nonEmpty && got.size == 25, "5 queries × k=5")
+    } finally q.stop()
+    // the per-batch-pruned foreachBatch form: identical rows
+    val acc = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Long, Int, Long)]()
+    val ms2 = MemoryStream[Streams.Vec]
+    val q2 = ms2.toDF().writeStream
+      .foreachBatch(Streams.annProbeBatch(spark, p,
+        sink = b => b.select("qid", "rank", "vec_id").collect()
+          .foreach(r => { acc.add((r.getLong(0), r.getInt(1),
+            r.getLong(2))); () }),
+        k = 5, nprobe = 4, beam = 3))
+      .start()
+    try {
+      ms2.addData(qvecs.map { case (id, e) => vec(id, 0, e) }: _*)
+      q2.processAllAvailable()
+      val want = Similarity.ivfPqHierTopKFromIndex(spark, p,
+          em.filter(col("vec_id") < 5).select(
+            col("vec_id").as("qid"), col("embedding").as("qvec")),
+          5, nprobe = 4, beam = 3)
+        .select("qid", "rank", "vec_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .toSet
+      assert(acc.toArray(Array.empty[(Long, Int, Long)]).toSet == want)
+    } finally q2.stop()
+  }
+
   test("embeddingGateBatch drops index hits per microbatch, keeps " +
       "novel vectors") {
     import spark.implicits._
