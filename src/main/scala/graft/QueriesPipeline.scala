@@ -3061,6 +3061,63 @@ object QueriesPipeline {
           WHERE a.vec_id <> p.qid)
         WHERE rnk <= 10""")),
 
+    // The ANN append path under a STRICT oracle: the staged hier tree
+    // builds as BUILD(vec_id < 400) + APPEND(vec_id >= 400) with the
+    // persisted quantizer, so the appended rows' cells are a pure
+    // kernel function of the sidecars — DuckDB re-derives every
+    // appended row's composed cell by the two-stage argmax replay,
+    // the grouped dir from the meta's cells_per_group, and the append
+    // log's n_rows, and all three must match the tree byte-for-byte.
+    // This is the law appendIvfIndexHier ships on: append never
+    // re-fits, so an external replayer can predict exactly where
+    // every appended vector landed.
+    "q_sim_hier_append_audit" -> Entry(
+      (s, dir) => {
+        val idxPath = ensureIvfHierIndex(s, dir)
+        val idx = s.read.parquet(s"$idxPath/index")
+          .filter(col("vec_id") >= 400)
+          .select(col("vec_id"), col("cell"),
+            col("cell_grp").cast("int").as("cell_grp"))
+        val log = Similarity.readAppendLog(s, idxPath)
+          .select(col("n_rows").as("batch_rows"))
+        idx.join(broadcast(log))
+      },
+      Some("""WITH l1c AS (
+          SELECT c1, CAST(centroid AS DOUBLE[]) AS c
+          FROM read_parquet('{STAGING:ivfh_3x3_v3}/l1/*.parquet')
+        ), l2c AS (
+          SELECT c1, c1 * 3 + c2 AS cell, CAST(centroid AS DOUBLE[]) AS c
+          FROM read_parquet('{STAGING:ivfh_3x3_v3}/quantizer/*.parquet')
+        ), batch AS (
+          SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 400
+        ), a1 AS (
+          SELECT vec_id, c1 FROM (
+            SELECT b.vec_id, l.c1,
+              row_number() OVER (PARTITION BY b.vec_id ORDER BY
+                list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+                  l.c) DESC, l.c1) AS r
+            FROM batch b CROSS JOIN l1c l)
+          WHERE r = 1
+        ), assigned AS (
+          SELECT vec_id, cell FROM (
+            SELECT a1.vec_id, s.cell,
+              row_number() OVER (PARTITION BY a1.vec_id ORDER BY
+                list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+                  s.c) DESC, s.cell) AS r
+            FROM a1 JOIN batch b USING (vec_id)
+            JOIN l2c s ON s.c1 = a1.c1)
+          WHERE r = 1
+        ), cpg AS (
+          SELECT cells_per_group
+          FROM read_parquet('{STAGING:ivfh_3x3_v3}/meta/*.parquet')
+        ), logrow AS (
+          SELECT n_rows AS batch_rows
+          FROM read_parquet('{STAGING:ivfh_3x3_v3}/appends/*.parquet'))
+        SELECT a.vec_id, a.cell,
+          CAST(floor(a.cell / cpg.cells_per_group) AS INT) AS cell_grp,
+          logrow.batch_rows
+        FROM assigned a, cpg, logrow""")),
+
     // Corpus kNN self-join through the hierarchical quantizer — the
     // self-join at the nlist ∝ n sizing the flat literal fold cannot
     // reach; the 3×3 grid here shares ensureIvfHierIndex's PERSISTED

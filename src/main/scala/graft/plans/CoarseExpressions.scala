@@ -218,6 +218,15 @@ object CoarseKernels {
   *     value-equal by construction (the digest covers both tables'
   *     bytes and the shape), so CSE across separately-built instances
   *     of the same quantizer remains sound.
+  *
+  * Lifecycle: the broadcast lives exactly as long as this handle is
+  * reachable — Spark's ContextCleaner reference-tracks Broadcast
+  * handles and frees the executor blocks once the handle is GC'd, so
+  * a dropped quantizer cleans itself up; this is the OPPOSITE regime
+  * from persisted frames (strong references in the CacheManager,
+  * which is why [[graft.operators.GraftCaches]] exists for those and
+  * no release hook is needed here). Callers running many quantizers
+  * in one session just let the old ones go out of scope.
   */
 final class CoarseTables(
     val l1: Array[Double],
