@@ -146,9 +146,19 @@ object QueriesPipeline {
     p
   }
 
+  /** Built as BUILD(vec_id < 400) + APPEND(rest) — the flat layouts'
+    * appends run under the same strict oracles as the hier trees'
+    * (the replays recompute assignment for EVERY row from the
+    * persisted centroids, so an appended tree must match exactly). */
   private def ensureIvfIndex(s: SparkSession, dir: String): String =
-    ensureStaged(s, dir, "ivf_n8", "centroids", "embeddings")(p =>
-      Similarity.writeIvfIndex(t(s, dir, "embeddings"), p, nlist = 8))
+    ensureStaged(s, dir, "ivf_n8_v2", "centroids", "embeddings",
+      alsoRequire = Seq("meta", "appends"))(p => {
+      val em = t(s, dir, "embeddings")
+      Similarity.writeIvfIndex(em.filter(col("vec_id") < 400), p,
+        nlist = 8)
+      Similarity.appendIvfIndex(em.filter(col("vec_id") >= 400), p)
+      ()
+    })
 
   /** Build-if-stale the HIERARCHICAL (two-level) IVF index: a 3×3
     * grid — tiny here so the fixture populates every cell, but the
@@ -171,19 +181,28 @@ object QueriesPipeline {
     * d=64 → 8 ints/vector) that q_embed_pq_codes and q_sim_knn_pq (and
     * their oracles) share — the [[ensureIvfIndex]] convention. */
   private def ensurePqIndex(s: SparkSession, dir: String): String =
-    ensureStaged(s, dir, "pq_m8x16", "codes", "embeddings")(p =>
-      Similarity.writePqIndex(t(s, dir, "embeddings"), p,
-        m = 8, ncodes = 16))
+    ensureStaged(s, dir, "pq_m8x16_v2", "codes", "embeddings",
+      alsoRequire = Seq("meta", "appends"))(p => {
+      val em = t(s, dir, "embeddings")
+      Similarity.writePqIndex(em.filter(col("vec_id") < 400), p,
+        m = 8, ncodes = 16)
+      Similarity.appendPqIndex(em.filter(col("vec_id") >= 400), p)
+      ()
+    })
 
   /** Build-if-stale the IVF-PQ layout: codes partitioned by the SAME
     * persisted nlist=8 coarse cells as every other IVF query, PQ
     * m=8×16 within. */
   private def ensureIvfPqIndex(s: SparkSession, dir: String): String =
-    ensureStaged(s, dir, "ivfpq_n8_m8x16", "codes", "embeddings",
-      alsoRequire = Seq("meta"))(p =>
-      Similarity.writeIvfPqIndex(t(s, dir, "embeddings"), p,
+    ensureStaged(s, dir, "ivfpq_n8_m8x16_v2", "codes", "embeddings",
+      alsoRequire = Seq("meta", "appends"))(p => {
+      val em = t(s, dir, "embeddings")
+      Similarity.writeIvfPqIndex(em.filter(col("vec_id") < 400), p,
         Similarity.readCentroids(s, ensureIvfIndex(s, dir)),
-        m = 8, ncodes = 16))
+        m = 8, ncodes = 16)
+      Similarity.appendIvfPqIndex(em.filter(col("vec_id") >= 400), p)
+      ()
+    })
 
   /** DuckDB replay of the PQ machinery against a persisted index:
     * `cb` reads the codebook sidecar, `recon` rebuilds each corpus
@@ -325,7 +344,7 @@ object QueriesPipeline {
 
   /** DuckDB replay of the persisted-IVF probe machinery, shared by the
     * q_sim_ivf / q_sim_knn_ivf oracles: `cents` reads the centroid
-    * sidecar [[ensureIvfIndex]] wrote ({STAGING:ivf_n8} substitutes to
+    * sidecar [[ensureIvfIndex]] wrote ({STAGING:ivf_n8_v2} substitutes to
     * the run's staging path in Verify's oracle dump), `assigned`
     * recomputes every corpus vector's home cell from those floats —
     * argmax cosine, ties to the LOWEST cell, the
@@ -334,7 +353,7 @@ object QueriesPipeline {
     * downstream of the persisted model is replayed from scratch. */
   private val ivfReplayCtes: String = """cents AS (
           SELECT cell, centroid
-          FROM read_parquet('{STAGING:ivf_n8}/centroids/*.parquet')
+          FROM read_parquet('{STAGING:ivf_n8_v2}/centroids/*.parquet')
         ), assigned AS (
           SELECT vec_id, cell FROM (
             SELECT e.vec_id, c.cell,
@@ -3381,7 +3400,7 @@ object QueriesPipeline {
       },
       Some("""WITH cb AS (
           SELECT sub, code, CAST(centroid AS DOUBLE[]) AS c
-          FROM read_parquet('{STAGING:pq_m8x16}/codebooks/*.parquet')
+          FROM read_parquet('{STAGING:pq_m8x16_v2}/codebooks/*.parquet')
         ), v AS (
           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
           FROM embeddings
@@ -3415,7 +3434,7 @@ object QueriesPipeline {
         Similarity.pqTopKFromIndex(s, p, queries, 10)
           .select(col("qid"), col("rank").as("rnk"), col("vec_id"))
       },
-      Some(s"""WITH ${pqReconCtes("pq_m8x16", partitioned = false)},
+      Some(s"""WITH ${pqReconCtes("pq_m8x16_v2", partitioned = false)},
         q AS (
           SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS e
           FROM embeddings WHERE vec_id < 5)
@@ -3444,7 +3463,7 @@ object QueriesPipeline {
         Similarity.ivfPqTopKFromIndex(s, p, queries, 10, nprobe = 4)
           .select(col("qid"), col("rank").as("rnk"), col("vec_id"))
       },
-      Some(s"""WITH ${pqReconCtes("ivfpq_n8_m8x16", partitioned = true)},
+      Some(s"""WITH ${pqReconCtes("ivfpq_n8_m8x16_v2", partitioned = true)},
         q AS (
           SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS e
           FROM embeddings WHERE vec_id < 5),
@@ -3456,7 +3475,7 @@ object QueriesPipeline {
                   CAST(c.centroid AS DOUBLE[])) DESC, c.cell) AS pr
             FROM q CROSS JOIN (
               SELECT cell, centroid FROM read_parquet(
-                '{STAGING:ivfpq_n8_m8x16}/centroids/*.parquet')) c)
+                '{STAGING:ivfpq_n8_m8x16_v2}/centroids/*.parquet')) c)
           WHERE pr <= 4)
         SELECT qid, rnk, vec_id FROM (
           SELECT p.qid, r.vec_id,

@@ -437,14 +437,112 @@ object Similarity {
     * out by cell without any preceding Exchange. */
   def writeIvfIndex(corpus: DataFrame, path: String, nlist: Int = 16,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      trainFraction: Double = 1.0): Unit = {
-    val cents = trainCentroids(corpus, vecCol, nlist, trainFraction)
+      trainFraction: Double = 1.0,
+      centroids: Option[Seq[(Int, Array[Float])]] = None): Unit = {
+    // `centroids` bypasses the fit — the shared-quantizer / rebuild-
+    // for-comparison shape, mirroring knnJoinIvf's parameter
+    centroids.foreach(cs => require(cs.size == nlist,
+      s"writeIvfIndex: persisted quantizer has ${cs.size} cells but " +
+        s"nlist=$nlist — pass the matching nlist"))
+    val cents = centroids.getOrElse(
+      trainCentroids(corpus, vecCol, nlist, trainFraction))
+    val spark = corpus.sparkSession
     corpus.select(col(idCol), col(vecCol),
         nearestCell(col(vecCol), cents).as("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/index")
-    val centDf = corpus.sparkSession.createDataFrame(cents)
+    val centDf = spark.createDataFrame(cents)
       .toDF("cell", "centroid")
     centDf.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    // append-era manifest, written LAST (build-time distortion from
+    // the bytes on disk — the drift base for appendIvfIndex). Probes
+    // read only centroids, so pre-meta stores keep probing; appends
+    // refuse them with a rebuild instruction.
+    val base = meanCellDistortionTable(
+      spark.read.parquet(s"$path/index"),
+      centTableOf(spark, cents), vecCol)
+    import spark.implicits._
+    Seq(base).toDF("base_distortion")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Append a batch to a [[writeIvfIndex]] (flat) layout — the
+    * [[appendIvfIndexHier]] contract with the literal-fold assignment
+    * and the one-dir-per-cell hive tree: batch assigned with the
+    * PERSISTED centroids (never a re-fit; cost ∝ |batch|), per-cell
+    * file adds, k-means-objective drift gate BEFORE any mutation,
+    * `appends` log, meta manifest rewritten LAST. Mid-append
+    * visibility differs from the hier layout ONLY in which readers
+    * enforce the manifest: flat probes read just the centroids
+    * sidecar (a reader mid-append sees a valid subset — rows only
+    * ever add), while append/audit surfaces refuse the torn meta.
+    * Requires an append-era store (rebuild pre-meta stores). */
+  def appendIvfIndex(batch: DataFrame, path: String,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      refitThreshold: Double = 2.0): Double = {
+    val spark = batch.sparkSession
+    val cents = readCentroids(spark, path)
+    val meta = flatMetaRow(spark, path)
+    val base = baseDistortionOf(meta, path, "append")
+    val assigned = batch.select(col(idCol), col(vecCol),
+        nearestCell(col(vecCol), cents).as("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nRows = assigned.count()
+      require(nRows > 0, s"append: empty batch for the $path store")
+      val bDist = meanCellDistortionTable(assigned,
+        centTableOf(spark, cents), vecCol)
+      requireNoDrift(bDist, base, refitThreshold, path)
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/meta"), true)
+      assigned.write.mode("append").partitionBy("cell")
+        .parquet(s"$path/index")
+      appendLogRow(spark, path, nRows, bDist, base, refitThreshold)
+      import spark.implicits._
+      Seq(base).toDF("base_distortion")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+      bDist
+    } finally { assigned.unpersist(); () }
+  }
+
+  /** One-row flat-layout meta manifest — fail-loud presence per the
+    * [[readIvfPqMeta]] convention. */
+  private def flatMetaRow(spark: SparkSession,
+      path: String): org.apache.spark.sql.Row = {
+    val meta = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ok = fs.exists(meta) && fs.listStatus(meta).exists { st =>
+      val n = st.getPath.getName
+      st.isFile && n.endsWith(".parquet") && !n.startsWith("_") &&
+        !n.startsWith(".")
+    }
+    require(ok, s"no readable meta sidecar at $path/meta — pre-append-" +
+      "era or torn store; rebuild with the current writer")
+    spark.read.parquet(s"$path/meta").head()
+  }
+
+  private def centTableOf(spark: SparkSession,
+      cents: Seq[(Int, Array[Float])]): DataFrame =
+    spark.createDataFrame(cents.map { case (c, v) => (c, v.toSeq) })
+      .toDF("cell", "__cent")
+
+  private def requireNoDrift(bDist: Double, base: Double,
+      refitThreshold: Double, path: String): Unit = {
+    require(refitThreshold > 0, "refitThreshold must be positive")
+    require(bDist <= refitThreshold * math.max(base, 1e-12),
+      f"append: batch distortion $bDist%.6f exceeds $refitThreshold%.1f× " +
+        f"the build-time $base%.6f at $path — the corpus distribution " +
+        "has drifted past the quantizer; re-fit and rebuild instead of " +
+        "appending into cells that no longer describe it")
+  }
+
+  private def appendLogRow(spark: SparkSession, path: String,
+      nRows: Long, bDist: Double, base: Double,
+      refitThreshold: Double): Unit = {
+    import spark.implicits._
+    Seq((nRows, bDist, base, refitThreshold))
+      .toDF("n_rows", "distortion", "base_distortion", "refit_threshold")
+      .coalesce(1).write.mode("append").parquet(s"$path/appends")
   }
 
   /** Probe a materialized IVF index: the `cell isin(probes)` predicate is
@@ -770,11 +868,17 @@ object Similarity {
     * interpreted zip_with/aggregate lambdas are fine off the probe
     * path. */
   private def meanCellDistortion(assigned: DataFrame,
-      cq: CoarseQuantizer, vecCol: String): Double = {
-    val spark = assigned.sparkSession
-    val centDf = spark.createDataFrame(
-        cq.l2.map { case (c1, c2, v) => (c1 * cq.k2 + c2, v.toSeq) })
-      .toDF("cell", "__cent")
+      cq: CoarseQuantizer, vecCol: String): Double =
+    meanCellDistortionTable(assigned,
+      assigned.sparkSession.createDataFrame(
+          cq.l2.map { case (c1, c2, v) => (c1 * cq.k2 + c2, v.toSeq) })
+        .toDF("cell", "__cent"), vecCol)
+
+  /** The table-keyed core: `centDf` is (cell, __cent) — composed
+    * level-2 centroids for the hier layouts, the flat centroid
+    * sidecar for the flat ones. */
+  private def meanCellDistortionTable(assigned: DataFrame,
+      centDf: DataFrame, vecCol: String): Double = {
     val diff = zip_with(col(vecCol).cast("array<double>"),
       col("__cent").cast("array<double>"), (x, c) => x - c)
     assigned.join(broadcast(centDf), Seq("cell"))
@@ -968,18 +1072,13 @@ object Similarity {
       sub: String, meta: org.apache.spark.sql.Row, cq: CoarseQuantizer,
       measured: DataFrame, vecCol: String, writeRows: DataFrame,
       refitThreshold: Double, residual: Option[Boolean]): Double = {
-    require(refitThreshold > 0, "refitThreshold must be positive")
     val cpg = meta.getAs[Int]("cells_per_group")
     val base = baseDistortionOf(meta, path, "append")
     val nRows = measured.count()
     require(nRows > 0,
       s"append: batch has no validly-shaped vectors for the $path store")
     val bDist = meanCellDistortion(measured, cq, vecCol)
-    require(bDist <= refitThreshold * math.max(base, 1e-12),
-      f"append: batch distortion $bDist%.6f exceeds $refitThreshold%.1f× " +
-        f"the build-time $base%.6f at $path — the corpus distribution " +
-        "has drifted past the quantizer; re-fit and rebuild instead of " +
-        "appending into cells that no longer describe it")
+    requireNoDrift(bDist, base, refitThreshold, path)
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     // manifest off FIRST: the store is formally torn until the final
@@ -991,10 +1090,7 @@ object Similarity {
       .sortWithinPartitions(col("cell"))
       .write.mode("append").partitionBy("cell_grp")
       .parquet(s"$path/$sub")
-    import spark.implicits._
-    Seq((nRows, bDist, base, refitThreshold))
-      .toDF("n_rows", "distortion", "base_distortion", "refit_threshold")
-      .coalesce(1).write.mode("append").parquet(s"$path/appends")
+    appendLogRow(spark, path, nRows, bDist, base, refitThreshold)
     writeHierMeta(spark, path, cq, cpg, residual, base)
     bDist
   }
@@ -1169,9 +1265,12 @@ object Similarity {
     * the IVF layout ([[writeIvfPqIndex]] `residual = true`). */
   def writePqIndex(corpus: DataFrame, path: String, m: Int = 8,
       ncodes: Int = 16, idCol: String = "vec_id",
-      vecCol: String = "embedding", trainFraction: Double = 1.0): Unit = {
-    val cb = trainPqCodebooks(corpus, vecCol, m, ncodes, trainFraction)
-    corpus.sparkSession.createDataFrame(cb.cents)
+      vecCol: String = "embedding", trainFraction: Double = 1.0,
+      codebooks: Option[PqCodebooks] = None): Unit = {
+    val spark = corpus.sparkSession
+    val cb = codebooks.getOrElse(
+      trainPqCodebooks(corpus, vecCol, m, ncodes, trainFraction))
+    spark.createDataFrame(cb.cents)
       .toDF("sub", "code", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
     // rows whose vector has the wrong length (or is null) encode to
@@ -1184,6 +1283,64 @@ object Similarity {
           cb.dsub, cb.flat).as("codes"))
       .filter(col("codes").isNotNull)
       .write.mode("overwrite").parquet(s"$path/codes")
+    // append-era manifest, LAST: build-time ADC self-distortion (the
+    // PQ objective — there are no cells here, so codebook
+    // reconstruction error IS the drift signal for appendPqIndex)
+    val base = meanSelfAdc(
+      corpus.select(col(idCol), col(vecCol))
+        .join(spark.read.parquet(s"$path/codes"), Seq(idCol)),
+      vecCol, cb)
+    import spark.implicits._
+    Seq(base).toDF("base_distortion")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Mean ADC self-distortion of a frame carrying BOTH the (possibly
+    * rebased) vector and its codes — the PQ objective the codebook
+    * fit minimized; the flat code-table appends' drift signal. */
+  private def meanSelfAdc(frame: DataFrame, encCol: String,
+      cb: PqCodebooks): Double =
+    frame.select(graft.plans.PqExpressions.pq_adc(col(encCol),
+        col("codes"), cb.ncodes, cb.dsub, cb.flat).as("__d"))
+      .filter(col("__d").isNotNull && !isnan(col("__d")))
+      .agg(avg(col("__d"))).head() match {
+        case r if r.isNullAt(0) => 0.0
+        case r => r.getDouble(0)
+      }
+
+  /** Append a batch to a [[writePqIndex]] layout: encode with the
+    * PERSISTED codebooks (kernel scan, cost ∝ |batch|), append to the
+    * code table, ADC-self-distortion drift gate BEFORE any mutation,
+    * `appends` log, meta rewritten LAST — [[appendIvfIndexHier]]'s
+    * contract on the cell-less flat table. */
+  def appendPqIndex(batch: DataFrame, path: String,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      refitThreshold: Double = 2.0): Double = {
+    val spark = batch.sparkSession
+    val cb = readPqCodebooks(spark, path)
+    val meta = flatMetaRow(spark, path)
+    val base = baseDistortionOf(meta, path, "append")
+    val rows = batch.select(col(idCol), col(vecCol),
+        graft.plans.PqExpressions.pq_encode(col(vecCol), cb.ncodes,
+          cb.dsub, cb.flat).as("codes"))
+      .filter(col("codes").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nRows = rows.count()
+      require(nRows > 0, s"append: empty batch for the $path store")
+      val bDist = meanSelfAdc(rows, vecCol, cb)
+      requireNoDrift(bDist, base, refitThreshold, path)
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/meta"), true)
+      rows.select(col(idCol), col("codes"))
+        .write.mode("append").parquet(s"$path/codes")
+      appendLogRow(spark, path, nRows, bDist, base, refitThreshold)
+      import spark.implicits._
+      Seq(base).toDF("base_distortion")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+      bDist
+    } finally { rows.unpersist(); () }
   }
 
   /** Load a [[writePqIndex]]/[[writeIvfPqIndex]] codebook sidecar,
@@ -1238,7 +1395,8 @@ object Similarity {
   def writeIvfPqIndex(corpus: DataFrame, path: String,
       coarse: Seq[(Int, Array[Float])], m: Int = 8, ncodes: Int = 16,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      trainFraction: Double = 1.0, residual: Boolean = false): Unit = {
+      trainFraction: Double = 1.0, residual: Boolean = false,
+      codebooks: Option[PqCodebooks] = None): Unit = {
     val spark = corpus.sparkSession
     // `residual = true` is the FAISS-style refinement: codebooks train
     // on, and codes quantize, v − c_cell instead of v — within-cell
@@ -1264,23 +1422,21 @@ object Similarity {
         .withColumn("__enc", zip_with(col(vecCol).cast("array<double>"),
           col("__c"), (x, c) => x - c))
     // materialize the encode source ONCE for the build's ~18 actions
-    // (m subspace fits each count+collect, plus the dim probe and the
-    // final encode): on the residual path every action would otherwise
-    // re-run the nlist-way cell argmax and the per-element residual
-    // lambda over the whole corpus. Everything lands on disk inside
-    // this function, so the unpersist is safe — no returned frame can
-    // recompute.
-    if (residual) encodeSrc.persist(
+    // (m subspace fits each count+collect, the dim probe, the final
+    // encode, the distortion base): on the residual path every action
+    // would otherwise re-run the nlist-way cell argmax and the
+    // per-element residual lambda over the whole corpus. Everything
+    // lands on disk inside this function, so the unpersist is safe —
+    // no returned frame can recompute.
+    encodeSrc.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val cb = trainPqCodebooks(encodeSrc, "__enc", m, ncodes, trainFraction)
+      val cb = codebooks.getOrElse(
+        trainPqCodebooks(encodeSrc, "__enc", m, ncodes, trainFraction))
       spark.createDataFrame(cb.cents)
         .toDF("sub", "code", "centroid")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
       centDf.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-      import spark.implicits._
-      Seq(residual).toDF("residual")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
       // same null-code drop as writePqIndex: wrong-length vectors must
       // not persist as forever-null ADC rows
       encodeSrc.select(col(idCol), col("cell"),
@@ -1288,7 +1444,63 @@ object Similarity {
             cb.dsub, cb.flat).as("codes"))
         .filter(col("codes").isNotNull)
         .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
-    } finally if (residual) { encodeSrc.unpersist(); () }
+      // meta LAST (the torn-store anchor readIvfPqMeta enforces),
+      // now carrying the coarse-drift base for appendIvfPqIndex —
+      // residual stays column 0 (readIvfPqMeta reads positionally)
+      val base = meanCellDistortionTable(
+        encodeSrc.filter(col("cell").isNotNull),
+        centTableOf(spark, coarse), vecCol)
+      import spark.implicits._
+      Seq((residual, base)).toDF("residual", "base_distortion")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    } finally { encodeSrc.unpersist(); () }
+  }
+
+  /** Append a batch to a [[writeIvfPqIndex]] (flat) layout: assigned
+    * with the persisted centroids, encoded with the persisted
+    * codebooks (residual rebase when the meta says so), per-cell file
+    * adds under the meta-last torn-write contract, coarse-drift gate
+    * and `appends` log — [[appendIvfPqIndexHier]]'s flat sibling. */
+  def appendIvfPqIndex(batch: DataFrame, path: String,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      refitThreshold: Double = 2.0): Double = {
+    val spark = batch.sparkSession
+    val cents = readCentroids(spark, path)
+    val cb = readPqCodebooks(spark, path)
+    val meta = flatMetaRow(spark, path)
+    val residual = meta.getAs[Boolean]("residual")
+    val base = baseDistortionOf(meta, path, "append")
+    val celled = batch.select(col(idCol), col(vecCol),
+      nearestCell(col(vecCol), cents).as("cell"))
+    val centDf = spark.createDataFrame(cents).toDF("cell", "centroid")
+    val encodeSrc =
+      (if (!residual) celled.withColumn("__enc", col(vecCol))
+      else celled
+        .join(broadcast(centDf.select(col("cell"),
+          col("centroid").cast("array<double>").as("__c"))), Seq("cell"))
+        .withColumn("__enc", zip_with(col(vecCol).cast("array<double>"),
+          col("__c"), (x, c) => x - c)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nRows = encodeSrc.count()
+      require(nRows > 0, s"append: empty batch for the $path store")
+      val bDist = meanCellDistortionTable(encodeSrc,
+        centTableOf(spark, cents), vecCol)
+      requireNoDrift(bDist, base, refitThreshold, path)
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/meta"), true)
+      encodeSrc.select(col(idCol), col("cell"),
+          graft.plans.PqExpressions.pq_encode(col("__enc"), cb.ncodes,
+            cb.dsub, cb.flat).as("codes"))
+        .filter(col("codes").isNotNull)
+        .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+      appendLogRow(spark, path, nRows, bDist, base, refitThreshold)
+      import spark.implicits._
+      Seq((residual, base)).toDF("residual", "base_distortion")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+      bDist
+    } finally { encodeSrc.unpersist(); () }
   }
 
   /** The residual flag of a [[writeIvfPqIndex]] layout. Every layout
