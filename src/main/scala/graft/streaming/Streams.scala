@@ -270,6 +270,36 @@ object Streams {
       k, nprobe, beam))
   }
 
+  /** Continuous ANN-index ingestion — the APPEND-side composition of
+    * the streaming family ([[annTopKStream]]/[[annProbeBatch]] are the
+    * probe side): a `foreachBatch` body that appends each microbatch
+    * of vectors to a persisted hierarchical IVF-PQ store with the
+    * PERSISTED quantizer and codebooks
+    * ([[graft.operators.Similarity.appendIvfPqIndexHier]] — never a
+    * re-fit), so a crawl keeps the index current while probes keep
+    * running against it. Per-microbatch cost ∝ |batch| (kernel
+    * assign + encode + per-group file adds — the index is never read);
+    * schedule [[graft.operators.Similarity.compactIvfPqIndexHier]] on
+    * the crawl cadence. The drift gate FAILS THE STREAM by design when
+    * the corpus distribution walks past the quantizer — a restarted
+    * query beats a silently degrading index. Batches should be
+    * id-novel: the dedup gates ([[embeddingGateBatch]],
+    * [[dedupDocsAgainstIndex]]) compose upstream of this. `onAppend`
+    * observes (batchId, rows, distortion) per append for telemetry. */
+  def annIngestBatch(spark: SparkSession, path: String,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      refitThreshold: Double = 2.0,
+      onAppend: (Long, Long, Double) => Unit = (_, _, _) => ())
+      : (DataFrame, Long) => Unit = { (batch, batchId) =>
+    if (!batch.isEmpty) {
+      val n = batch.count()
+      val dist = graft.operators.Similarity.appendIvfPqIndexHier(
+        batch.select(col(idCol), col(vecCol)), path, idCol, vecCol,
+        refitThreshold)
+      onAppend(batchId, n, dist)
+    }
+  }
+
   /** Streaming ingestion dedup — the streaming face of
     * [[graft.operators.Dedup.dedupAgainstIndex]]: arriving documents
     * (a) drop when their content fingerprint is already in the STATIC

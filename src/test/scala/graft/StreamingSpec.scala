@@ -307,6 +307,63 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("streaming ANN ingestion: microbatch appends equal a batch " +
+      "build over the union; probes see appended vectors immediately") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions.col
+    implicit val sq = spark.sqlContext
+    val em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val head = em.filter(col("vec_id") < 300)
+    val cq = Similarity.trainCoarseHierarchical(head, "embedding", 9,
+      minPointsPerCentroid = 8)
+    val p1 = java.nio.file.Files.createTempDirectory("annIngest").toString
+    Similarity.writeIvfPqIndexHier(head, p1, cq, m = 8, ncodes = 16)
+    val cb = Similarity.readPqCodebooks(spark, p1)
+    // stream the remaining 200 vectors in two microbatches
+    def vec(id: Long, e: Seq[Float]) = Streams.Vec(id,
+      java.sql.Timestamp.valueOf("2026-01-01 10:00:00"), e)
+    val rest = em.filter(col("vec_id") >= 300)
+      .select("vec_id", "embedding").collect()
+      .map(r => vec(r.getLong(0), r.getSeq[Float](1)))
+    val appends = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val ms = MemoryStream[Streams.Vec]
+    val q = ms.toDF().writeStream
+      .foreachBatch(Streams.annIngestBatch(spark, p1,
+        onAppend = (_, n, dist) => {
+          assert(dist > 0.0 && !dist.isNaN); appends.add(n); ()
+        }))
+      .start()
+    try {
+      ms.addData(rest.take(100).toSeq: _*)
+      q.processAllAvailable()
+      ms.addData(rest.drop(100).toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(appends.toArray(Array.empty[java.lang.Long])
+      .map(_.longValue).sorted.toSeq == Seq(100L, 100L))
+    assert(Similarity.readAppendLog(spark, p1).count() == 2)
+    // stream-appended store ≡ batch build over the union with the
+    // SAME quantizer + codebooks
+    val p2 = java.nio.file.Files.createTempDirectory("annIngReb").toString
+    Similarity.writeIvfPqIndexHier(em, p2, cq, m = 8, ncodes = 16,
+      codebooks = Some(cb))
+    val queries = em.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    def probe(p: String) = Similarity.ivfPqHierTopKFromIndex(spark, p,
+        queries, 5, nprobe = 4, beam = 3)
+      .select("qid", "rank", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val streamed = probe(p1)
+    assert(streamed == probe(p2),
+      "stream-ingested store diverged from the batch build")
+    assert(streamed.exists(_._3 >= 300L), "appended rows not probed")
+    // compaction on the crawl cadence: probes unchanged
+    Similarity.compactIvfPqIndexHier(spark, p1)
+    assert(probe(p1) == streamed)
+  }
+
   test("embeddingGateBatch drops index hits per microbatch, keeps " +
       "novel vectors") {
     import spark.implicits._
