@@ -2710,13 +2710,14 @@ object QueriesPipeline {
       },
       None),
 
-    // Video frame-sample + decode over the staged media table's
-    // MJPEG-AVI rows: every 2nd frame of each decodable video decodes
-    // through the SAME image kernel as still images (real container
-    // walk + real JPEG codec, bare JDK) — the video half of the
-    // decode/feature-extract/frame-sample trio, end-to-end real for
-    // the JDK-decodable codec; BMFF rows (no JDK codec) contribute no
-    // rows by contract. Rows-only — no video surface in DuckDB;
+    // Video frame-sample + decode over the staged media table: every
+    // 2nd frame of each decodable video decodes through the SAME image
+    // kernel as still images (real container walk + real codec, bare
+    // JDK) — the video half of the decode/feature-extract/frame-sample
+    // trio, end-to-end real for all three JDK-decodable sample streams
+    // (MJPEG-AVI, rawvideo-AVI, and r14's JPEG-in-BMFF via the sample
+    // tables); plain-BMFF rows (DCT codecs, no JDK codec) contribute
+    // no rows by contract. Rows-only — no video surface in DuckDB;
     // MultimodalSpec pins frame counts, sampling indices, dims, and
     // codec fallbacks.
     "q_multimodal_video_frames" -> Entry(
@@ -2730,7 +2731,8 @@ object QueriesPipeline {
         // videoFrames only emits rows whose frame DID decode, so a
         // per-row feature count is tautologically n_sampled — the real
         // codec-coverage audit compares n_videos against the input's
-        // video-row count (BMFF rows contribute nothing by contract)
+        // video-row count (plain-BMFF DCT rows contribute nothing by
+        // contract; MOV Motion-JPEG rows decode and count since r14)
         Multimodal.videoFrames(
             s.read.parquet(p).filter(col("kind") === "video"), step = 2)
           .groupBy(col("n_frames"))

@@ -76,6 +76,31 @@ class CoarseSpec extends AnyFunSuite {
     }
   }
 
+  test("CoarseTables digest equality: separately-built same-content " +
+      "tables are semanticEqual (CSE-sound); different content is not; " +
+      "toString never renders the tables") {
+    import graft.plans.{CoarseAssignExpr, CoarseTables}
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val l1a = l1.toArray; val l2a = l2.toArray
+    val ta = CoarseTables(spark, l1a, l2a)
+    val tb = CoarseTables(spark, l1.toArray, l2.toArray) // fresh arrays
+    assert(ta == tb && ta.hashCode == tb.hashCode,
+      "same content must digest-equal across instances")
+    val child = BoundReference(0, ArrayType(FloatType), nullable = true)
+    assert(CoarseAssignExpr(child, k1, k2, dim, ta)
+      .semanticEquals(CoarseAssignExpr(child, k1, k2, dim, tb)))
+    val tc = CoarseTables(spark, l1a,
+      l2.updated(0, 0.5).toArray) // one value differs
+    assert(ta != tc, "different content must not digest-equal")
+    assert(!CoarseAssignExpr(child, k1, k2, dim, ta)
+      .semanticEquals(CoarseAssignExpr(child, k1, k2, dim, tc)))
+    // O(1) rendering: an expression toString must never inline the
+    // tables (the r13 Seq signature printed them)
+    val s = CoarseAssignExpr(child, k1, k2, dim, ta).toString
+    assert(s.length < 200 && s.contains("coarse_tables"))
+  }
+
   test("train on the embeddings fixture: complete grid, " +
       "layout-independent, assignment covers the corpus") {
     val em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
