@@ -479,7 +479,13 @@ object Multimodal {
             case "stsz" if tb.sizes == null && s + 12 <= e =>
               val fixed = be32(s + 4)
               val n = be32(s + 8).toInt
-              if (n >= 0 && (fixed != 0 || s + 12 + 4L * n <= e))
+              // bound n on BOTH branches: a hostile fixed-size stsz
+              // (12 bytes declaring 2^31 samples) must not allocate —
+              // more samples than container bytes is inconsistent by
+              // construction, same bar the variable branch's payload
+              // bound enforces
+              if (n >= 0 && n <= content.length &&
+                  (fixed != 0 || s + 12 + 4L * n <= e))
                 tb.sizes =
                   if (fixed != 0) Array.fill(n)(fixed.toInt)
                   else Array.tabulate(n)(i => be32(s + 12 + 4 * i).toInt)
@@ -533,14 +539,17 @@ object Multimodal {
           // every slice must be in-bounds and start at a JPEG SOI — a
           // single inconsistent sample invalidates the whole stream
           // (half-decoded "coverage" is the lie videoCodecProfile
-          // exists to prevent)
+          // exists to prevent). firstOnly therefore still WALKS and
+          // VALIDATES every sample — it only skips the payload copies
+          // past the first, so the classification bar and the decode
+          // bar are the same all-or-nothing judgment
           if (sz < 4 || off < 0 || off + sz > content.length ||
               (content(off.toInt) & 0xFF) != 0xFF ||
               (content(off.toInt + 1) & 0xFF) != 0xD8)
             return IndexedSeq.empty
-          out += java.util.Arrays.copyOfRange(content, off.toInt,
-            (off + sz).toInt)
-          if (firstOnly) return out.result()
+          if (!firstOnly || sample == 0)
+            out += java.util.Arrays.copyOfRange(content, off.toInt,
+              (off + sz).toInt)
           off += sz; sample += 1; j += 1
         }
         c += 1
@@ -838,7 +847,8 @@ object Multimodal {
     * [[videoFrames]] needs beside it (frame extraction silently emits
     * nothing for undecodable rows BY CONTRACT, so "how much of the
     * corpus can we frame-decode" must be asked separately):
-    * 'avi_mjpeg' / 'avi_rawvideo' (full frame decode available),
+    * 'avi_mjpeg' / 'avi_rawvideo' / 'bmff_jpeg' (full frame decode
+    * available — the last via the MOV Motion-JPEG sample tables),
     * 'bmff' (container metadata only — no JDK codec for the stream),
     * 'undecodable'. One partition-batch scan, groupBy-able to corpus
     * totals. */

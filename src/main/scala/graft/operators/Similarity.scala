@@ -447,6 +447,7 @@ object Similarity {
     val cents = centroids.getOrElse(
       trainCentroids(corpus, vecCol, nlist, trainFraction))
     val spark = corpus.sparkSession
+    clearAppendLog(spark, path)
     corpus.select(col(idCol), col(vecCol),
         nearestCell(col(vecCol), cents).as("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/index")
@@ -505,10 +506,12 @@ object Similarity {
     } finally { assigned.unpersist(); () }
   }
 
-  /** One-row flat-layout meta manifest — fail-loud presence per the
-    * [[readIvfPqMeta]] convention. */
-  private def flatMetaRow(spark: SparkSession,
-      path: String): org.apache.spark.sql.Row = {
+  /** THE meta-parquet presence check every manifest reader shares
+    * (a torn/partially-copied store — or a pre-meta-era one — must
+    * fail loudly, never default): one definition, so a committer-
+    * marker fix cannot silently miss one of the three readers. */
+  private def requireMetaParquet(spark: SparkSession,
+      path: String): Unit = {
     val meta = new org.apache.hadoop.fs.Path(s"$path/meta")
     val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val ok = fs.exists(meta) && fs.listStatus(meta).exists { st =>
@@ -516,8 +519,17 @@ object Similarity {
       st.isFile && n.endsWith(".parquet") && !n.startsWith("_") &&
         !n.startsWith(".")
     }
-    require(ok, s"no readable meta sidecar at $path/meta — pre-append-" +
-      "era or torn store; rebuild with the current writer")
+    require(ok, s"no readable meta sidecar at $path/meta — torn or " +
+      "partially-copied store, or one predating the current writer; " +
+      "refusing to guess the layout (rebuild, or hand-write the " +
+      "one-row meta)")
+  }
+
+  /** One-row flat-layout meta manifest — fail-loud presence per the
+    * [[readIvfPqMeta]] convention. */
+  private def flatMetaRow(spark: SparkSession,
+      path: String): org.apache.spark.sql.Row = {
+    requireMetaParquet(spark, path)
     spark.read.parquet(s"$path/meta").head()
   }
 
@@ -529,7 +541,19 @@ object Similarity {
   private def requireNoDrift(bDist: Double, base: Double,
       refitThreshold: Double, path: String): Unit = {
     require(refitThreshold > 0, "refitThreshold must be positive")
-    require(bDist <= refitThreshold * math.max(base, 1e-12),
+    // a zero base means the build corpus quantized EXACTLY (rows ≤
+    // cells, or codebooks covering every distinct subvector — normal
+    // for a bootstrap-sized store): a multiplicative gate has no
+    // scale there and would refuse every real batch forever, so warn
+    // and admit instead — the appends log still records the absolute
+    // distortions for the operator to threshold by hand
+    if (base <= 0.0)
+      log.warn(s"append: build-time distortion at $path is 0 (the " +
+        "build corpus quantized exactly — a bootstrap-sized store); " +
+        "the multiplicative drift gate has no scale and is SKIPPED — " +
+        "monitor the appends log and re-fit once the corpus outgrows " +
+        "the grid")
+    else require(bDist <= refitThreshold * base,
       f"append: batch distortion $bDist%.6f exceeds $refitThreshold%.1f× " +
         f"the build-time $base%.6f at $path — the corpus distribution " +
         "has drifted past the quantizer; re-fit and rebuild instead of " +
@@ -544,6 +568,47 @@ object Similarity {
       .toDF("n_rows", "distortion", "base_distortion", "refit_threshold")
       .coalesce(1).write.mode("append").parquet(s"$path/appends")
   }
+
+  /** A REBUILD invalidates append history: every writer clears the
+    * `appends` sidecar up front, so [[readAppendLog]] never mixes a
+    * dead store's rows into the new store's audit trail (the log
+    * writes mode-append per batch, so it would otherwise survive an
+    * in-place re-fit + rebuild — exactly the flow the drift refusal
+    * instructs). */
+  private def clearAppendLog(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/appends")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(p, true)
+    ()
+  }
+
+  /** The residual rebase every IVF-PQ surface shares — build encode,
+    * append encode, and probe query-rebase alike: subtract the own
+    * (or probed) cell's centroid in DOUBLE (float subtraction would
+    * round per element and the strict external replays — double
+    * arithmetic over the same persisted floats — could not reproduce
+    * it) via ONE broadcast join against the nlist-row centroid
+    * table. `centDf` is (cell, centroid float[]); the result lands in
+    * `outCol` as array<double>, other columns pass through. One
+    * definition, because five sites encoding this contract
+    * independently is how append ≡ rebuild and stream ≡ batch laws
+    * silently diverge. */
+  private[graft] def rebaseByCell(df: DataFrame, centDf: DataFrame,
+      vecCol: String, outCol: String): DataFrame =
+    df.join(broadcast(centDf.select(col("cell"),
+        col("centroid").cast("array<double>").as("__c"))), Seq("cell"))
+      .withColumn(outCol, zip_with(col(vecCol).cast("array<double>"),
+        col("__c"), (x, c) => x - c))
+      .drop("__c")
+
+  /** The composed level-2 centroid table of a hierarchical quantizer
+    * as the (cell, centroid) frame [[rebaseByCell]] and the distortion
+    * measures consume. */
+  private[graft] def composedCentroids(spark: SparkSession,
+      cq: CoarseQuantizer): DataFrame =
+    spark.createDataFrame(
+        cq.l2.map { case (c1, c2, v) => (c1 * cq.k2 + c2, v.toSeq) })
+      .toDF("cell", "centroid")
 
   /** Probe a materialized IVF index: the `cell isin(probes)` predicate is
     * a PARTITION filter on the index layout — Spark prunes unprobed
@@ -826,6 +891,7 @@ object Similarity {
     val cq = quantizer.getOrElse(trainCoarseHierarchical(corpus, vecCol,
       nlist, trainFraction, minPointsPerCentroid, perCellCap))
     val spark = corpus.sparkSession
+    clearAppendLog(spark, path)
     spark.createDataFrame(cq.l1.map { case (c1, v) => (c1, v.toSeq) })
       .toDF("c1", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/l1")
@@ -1040,16 +1106,9 @@ object Similarity {
       .filter(col("cell").isNotNull)
     val encodeSrc =
       (if (!residual) celled.withColumn("__enc", col(vecCol))
-      else {
-        val centDf = spark.createDataFrame(
-            cq.l2.map { case (c1, c2, v) => (c1 * cq.k2 + c2, v.toSeq) })
-          .toDF("cell", "centroid")
-        celled
-          .join(broadcast(centDf.select(col("cell"),
-            col("centroid").cast("array<double>").as("__c"))), Seq("cell"))
-          .withColumn("__enc", zip_with(col(vecCol).cast("array<double>"),
-            col("__c"), (x, c) => x - c))
-      }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else rebaseByCell(celled, composedCentroids(spark, cq),
+        vecCol, "__enc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val rows = encodeSrc.select(col(idCol), col("cell"),
           graft.plans.PqExpressions.pq_encode(col("__enc"), cb.ncodes,
@@ -1268,6 +1327,7 @@ object Similarity {
       vecCol: String = "embedding", trainFraction: Double = 1.0,
       codebooks: Option[PqCodebooks] = None): Unit = {
     val spark = corpus.sparkSession
+    clearAppendLog(spark, path)
     val cb = codebooks.getOrElse(
       trainPqCodebooks(corpus, vecCol, m, ncodes, trainFraction))
     spark.createDataFrame(cb.cents)
@@ -1411,16 +1471,13 @@ object Similarity {
     // codegen kernels. The layout self-describes via `$path/meta`
     // (residual flag), so a probe can never silently mis-read one
     // variant as the other.
+    clearAppendLog(spark, path)
     val celled = corpus.select(col(idCol), col(vecCol),
       nearestCell(col(vecCol), coarse).as("cell"))
     val centDf = spark.createDataFrame(coarse).toDF("cell", "centroid")
     val encodeSrc =
       if (!residual) celled.withColumn("__enc", col(vecCol))
-      else celled
-        .join(broadcast(centDf.select(col("cell"),
-          col("centroid").cast("array<double>").as("__c"))), Seq("cell"))
-        .withColumn("__enc", zip_with(col(vecCol).cast("array<double>"),
-          col("__c"), (x, c) => x - c))
+      else rebaseByCell(celled, centDf, vecCol, "__enc")
     // materialize the encode source ONCE for the build's ~18 actions
     // (m subspace fits each count+collect, the dim probe, the final
     // encode, the distortion base): on the residual path every action
@@ -1472,14 +1529,11 @@ object Similarity {
     val base = baseDistortionOf(meta, path, "append")
     val celled = batch.select(col(idCol), col(vecCol),
       nearestCell(col(vecCol), cents).as("cell"))
-    val centDf = spark.createDataFrame(cents).toDF("cell", "centroid")
     val encodeSrc =
       (if (!residual) celled.withColumn("__enc", col(vecCol))
-      else celled
-        .join(broadcast(centDf.select(col("cell"),
-          col("centroid").cast("array<double>").as("__c"))), Seq("cell"))
-        .withColumn("__enc", zip_with(col(vecCol).cast("array<double>"),
-          col("__c"), (x, c) => x - c)))
+      else rebaseByCell(celled,
+        spark.createDataFrame(cents).toDF("cell", "centroid"),
+        vecCol, "__enc"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val nRows = encodeSrc.count()
@@ -1518,18 +1572,7 @@ object Similarity {
     * alone, which a marksuccessfuljobs=false committer legitimately
     * omits). */
   def readIvfPqMeta(spark: SparkSession, path: String): Boolean = {
-    val meta = new org.apache.hadoop.fs.Path(s"$path/meta")
-    val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hasMetaParquet = fs.exists(meta) &&
-      fs.listStatus(meta).exists { st =>
-        val n = st.getPath.getName
-        st.isFile && n.endsWith(".parquet") && !n.startsWith("_") &&
-          !n.startsWith(".")
-      }
-    require(hasMetaParquet,
-      s"readIvfPqMeta: no readable meta sidecar at $path/meta — torn " +
-        "or partially-copied IVF-PQ store (every writeIvfPqIndex " +
-        "layout has one); refusing to guess the residual flag")
+    requireMetaParquet(spark, path)
     spark.read.parquet(s"$path/meta").head().getBoolean(0)
   }
 
@@ -1557,20 +1600,15 @@ object Similarity {
       codebooks: Option[PqCodebooks] = None): Unit = {
     require(cellsPerGroup > 0, "cellsPerGroup must be positive")
     val spark = corpus.sparkSession
+    clearAppendLog(spark, path)
     val celled = corpus.select(col(idCol), col(vecCol),
       assignCellHier(col(vecCol), cq).as("cell"))
     // composed-cell centroid table for the residual rebase: nlist rows
     // of the LEVEL-2 centroids (the cell a vector actually lands in)
-    val centDf = spark.createDataFrame(
-        cq.l2.map { case (c1, c2, v) => (c1 * cq.k2 + c2, v.toSeq) })
-      .toDF("cell", "centroid")
     val encodeSrc =
       if (!residual) celled.withColumn("__enc", col(vecCol))
-      else celled
-        .join(broadcast(centDf.select(col("cell"),
-          col("centroid").cast("array<double>").as("__c"))), Seq("cell"))
-        .withColumn("__enc", zip_with(col(vecCol).cast("array<double>"),
-          col("__c"), (x, c) => x - c))
+      else rebaseByCell(celled, composedCentroids(spark, cq),
+        vecCol, "__enc")
     // same materialize-once rationale as writeIvfPqIndex: the m
     // subspace fits, the dim probe and the final encode all re-derive
     // the assignment (and residual lambda) without it
@@ -1628,17 +1666,7 @@ object Similarity {
     * presence check per the readIvfPqMeta convention. */
   private def hierMetaRow(spark: SparkSession,
       path: String): org.apache.spark.sql.Row = {
-    val meta = new org.apache.hadoop.fs.Path(s"$path/meta")
-    val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hasMetaParquet = fs.exists(meta) &&
-      fs.listStatus(meta).exists { st =>
-        val n = st.getPath.getName
-        st.isFile && n.endsWith(".parquet") && !n.startsWith("_") &&
-          !n.startsWith(".")
-      }
-    require(hasMetaParquet,
-      s"no readable meta sidecar at $path/meta — torn or " +
-        "partially-copied store; refusing to guess the layout")
+    requireMetaParquet(spark, path)
     spark.read.parquet(s"$path/meta").head()
   }
 
@@ -1657,17 +1685,8 @@ object Similarity {
     val probes0 = queries.select(col(qidCol), col(qvecCol),
       explode(probeCellsHier(col(qvecCol), cq, nprobe, beam)).as("cell"))
     val probes = (if (!residual) probes0
-      else {
-        val centDf = spark.createDataFrame(
-            cq.l2.map { case (c1, c2, v) => (c1 * cq.k2 + c2, v.toSeq) })
-          .toDF("cell", "centroid")
-        probes0
-          .join(broadcast(centDf.select(col("cell"),
-            col("centroid").cast("array<double>").as("__c"))), Seq("cell"))
-          .select(col(qidCol), col("cell"),
-            zip_with(col(qvecCol).cast("array<double>"), col("__c"),
-              (x, c) => x - c).as(qvecCol))
-      }).localCheckpoint(eager = true)
+      else rebaseByCell(probes0, composedCentroids(spark, cq),
+        qvecCol, qvecCol)).localCheckpoint(eager = true)
     val probedCells = probes.select("cell").distinct()
       .collect().map(_.getInt(0)) // |q|·nprobe ints — driver-bounded
     val cpg = meta.getAs[Int]("cells_per_group")
@@ -1737,15 +1756,9 @@ object Similarity {
     // ‖(q−c) − quant(v−c)‖² — the same true-distance approximation in
     // every probed cell, so ranks compare across cells.
     val probes = (if (!residual) probes0
-      else {
-        val centDf = spark.createDataFrame(cents).toDF("cell", "centroid")
-        probes0
-          .join(broadcast(centDf.select(col("cell"),
-            col("centroid").cast("array<double>").as("__c"))), Seq("cell"))
-          .select(col(qidCol), col("cell"),
-            zip_with(col(qvecCol).cast("array<double>"), col("__c"),
-              (x, c) => x - c).as(qvecCol))
-      }).localCheckpoint(eager = true)
+      else rebaseByCell(probes0,
+        spark.createDataFrame(cents).toDF("cell", "centroid"),
+        qvecCol, qvecCol)).localCheckpoint(eager = true)
     val probedCells = probes.select("cell").distinct()
       .collect().map(_.getInt(0)) // |q|·nprobe ints — driver-bounded
     val codes = spark.read.parquet(s"$path/codes")

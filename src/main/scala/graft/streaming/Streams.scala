@@ -225,19 +225,14 @@ object Streams {
       .select(col(idCol).as("qid"), col("ts"), col(vecCol).as("__qv"),
         explode(Similarity.probeCellsHier(col(vecCol), cq, nprobe, beam))
           .as("cell"))
+    // the SAME rebase helper as every batch IVF-PQ surface — stream ≡
+    // batch holds because the arithmetic has one definition
     val probes =
       if (!residual) probes0
-      else {
-        val centDf = spark.createDataFrame(
+      else graft.operators.Similarity.rebaseByCell(probes0,
+        spark.createDataFrame(
             cq.l2.map { case (c1, c2, v) => (c1 * cq.k2 + c2, v.toSeq) })
-          .toDF("cell", "centroid")
-        probes0
-          .join(broadcast(centDf.select(col("cell"),
-            col("centroid").cast("array<double>").as("__c"))), Seq("cell"))
-          .select(col("qid"), col("ts"), col("cell"),
-            zip_with(col("__qv").cast("array<double>"), col("__c"),
-              (x, c) => x - c).as("__qv"))
-      }
+          .toDF("cell", "centroid"), "__qv", "__qv")
     val codes = spark.read.parquet(s"$path/codes")
     probes.join(codes, Seq("cell"))
       .filter(col(idCol) =!= col("qid"))
@@ -291,8 +286,11 @@ object Streams {
       refitThreshold: Double = 2.0,
       onAppend: (Long, Long, Double) => Unit = (_, _, _) => ())
       : (DataFrame, Long) => Unit = { (batch, batchId) =>
-    if (!batch.isEmpty) {
-      val n = batch.count()
+    // ONE action decides both the empty-guard and the telemetry count
+    // (isEmpty + count would scan the unpersisted microbatch twice
+    // before the append's own scan)
+    val n = batch.count()
+    if (n > 0) {
       val dist = graft.operators.Similarity.appendIvfPqIndexHier(
         batch.select(col(idCol), col(vecCol)), path, idCol, vecCol,
         refitThreshold)

@@ -39,6 +39,16 @@ class AnnAppendSpec extends AnyFunSuite {
     assert(appended.exists(_._3 >= 400L), "appended rows not searchable")
     val log = Similarity.readAppendLog(spark, p1).collect()
     assert(log.length == 1 && log.head.getAs[Long]("n_rows") == 100L)
+    // a REBUILD invalidates append history: rebuilding in place
+    // clears the log (the flow the drift refusal itself instructs),
+    // so the audit trail never mixes dead-store rows
+    Similarity.writeIvfIndex(em, p1, nlist = 8, centroids = Some(cents))
+    intercept[Exception] { // log path gone entirely
+      Similarity.readAppendLog(spark, p1).collect()
+    }
+    Similarity.appendIvfIndex(b, p1)
+    assert(Similarity.readAppendLog(spark, p1).count() == 1,
+      "rebuilt store's log must start fresh")
     // a pre-append-era store (no meta) refuses the append loudly
     val old = java.nio.file.Files.createTempDirectory("ivfOld").toString
     Similarity.writeIvfIndex(a, old, nlist = 8)
@@ -50,6 +60,22 @@ class AnnAppendSpec extends AnyFunSuite {
       Similarity.appendIvfIndex(b, old)
     }
     assert(e.getMessage.contains("meta"))
+  }
+
+  test("zero-distortion (bootstrap-sized) build: the multiplicative " +
+      "drift gate has no scale, so it warns and admits instead of " +
+      "refusing every real batch forever") {
+    // 8 distinct vectors, 8 cells: every vector is its own centroid,
+    // base_distortion persists as exactly 0.0
+    val tiny = em.filter(col("vec_id") < 8)
+    val p = java.nio.file.Files.createTempDirectory("ivfBoot").toString
+    Similarity.writeIvfIndex(tiny, p, nlist = 8)
+    val meta = spark.read.parquet(s"$p/meta").head()
+    assert(meta.getAs[Double]("base_distortion") == 0.0)
+    val d = Similarity.appendIvfIndex(
+      em.filter(col("vec_id") >= 8 && col("vec_id") < 40), p)
+    assert(d > 0.0, "realistic batch must append despite a zero base")
+    assert(Similarity.readAppendLog(spark, p).count() == 1)
   }
 
   test("flat PQ: append ≡ rebuild (persisted codebooks); ADC-self-" +

@@ -376,6 +376,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert((bad(28) & 0xFF) == 0xFF && (bad(29) & 0xFF) == 0xD8,
       "test premise: first sample starts at byte 28")
     bad(28) = 0
+    // a corrupt LATER sample also invalidates the whole stream for
+    // BOTH the decoder and the classification probe — firstOnly still
+    // walks and validates every sample, so coverage ('bmff_jpeg') and
+    // decode share one all-or-nothing bar
+    val badLast = mov.clone()
+    val lastOff = 28 + frames.take(3).map(_.length).sum
+    assert((badLast(lastOff) & 0xFF) == 0xFF)
+    badLast(lastOff) = 0
+    assert(Multimodal.decodeBmffJpegFrames(badLast).isEmpty)
+    assert(Multimodal.firstBmffJpegFrame(badLast).isEmpty)
+    // a hostile fixed-size stsz declaring 2^31-1 samples in 12 bytes
+    // must refuse (more samples than container bytes), never allocate
+    val hostile = mov.clone()
+    val pat = "stsz".getBytes("ISO-8859-1")
+    val si = (0 until hostile.length - 4).find(i =>
+      pat.indices.forall(j => hostile(i + j) == pat(j))).get
+    hostile(si + 8) = 0; hostile(si + 9) = 0
+    hostile(si + 10) = 0; hostile(si + 11) = 1 // sample_size = 1 (fixed)
+    hostile(si + 12) = 0x7F.toByte; hostile(si + 13) = -1
+    hostile(si + 14) = -1; hostile(si + 15) = -1 // count = 0x7FFFFFFF
+    assert(Multimodal.decodeBmffJpegFrames(hostile).isEmpty)
     assert(Multimodal.decodeBmffJpegFrames(bad).isEmpty)
     // the feature probe mirrors the AVI probes' 8-slot layout
     val pf = Multimodal.probeBmffJpeg(mov).get
