@@ -167,6 +167,20 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"no partition pruning in plan:\n$p")
   }
 
+  test("q_sim_hier_append_audit: appended-batch filter pushes to the " +
+      "index scan; the one-row log broadcasts; no shuffle anywhere") {
+    val p = plan("q_sim_hier_append_audit")
+    // the audit reads ONLY the appended half: vec_id >= 400 reaches
+    // the parquet scan as a pushed filter, the single-row appends log
+    // rides a broadcast join, and nothing exchanges
+    assert(p.contains("PushedFilters: [IsNotNull(vec_id), GreaterThanOrEqual(vec_id,400)]")
+      || p.contains("GreaterThanOrEqual(vec_id,400)"), s"filter not pushed:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"unexpected shuffle in the audit plan:\n$p")
+  }
+
   test("q_sim_knn_ivfpq_hier_refined: shortlist broadcasts into the " +
       "corpus scan — raw vectors are read once, never shuffled") {
     val p = plan("q_sim_knn_ivfpq_hier_refined")
