@@ -227,6 +227,14 @@ object CoarseKernels {
   * which is why [[graft.operators.GraftCaches]] exists for those and
   * no release hook is needed here). Callers running many quantizers
   * in one session just let the old ones go out of scope.
+  *
+  * Regime ceiling, stated honestly: a broadcast still materializes
+  * the WHOLE l2 on every executor — measured fine at 0.5 GB
+  * (nlist=131k/d=512, SCALE.md r14), and sound to the few-GB range;
+  * past nlist ~10⁶ at d≥1024 (8 GB+) the next step is a probe that
+  * loads only the beam's OPENED level-1 cells' k2-sized sub-tables
+  * from the quantizer sidecar (beam·k2·d doubles per executor — KBs),
+  * trading a per-stage sidecar read for the resident table.
   */
 final class CoarseTables(
     val l1: Array[Double],
