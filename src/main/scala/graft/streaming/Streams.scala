@@ -201,17 +201,22 @@ object Streams {
     * (qid, rank, vec_id, sim) rows match the batch probe row-for-row
     * (spec-pinned).
     *
-    * Scale note, stated honestly: a stream-static join re-plans the
-    * static side per microbatch WITHOUT the batch probe's
-    * collect-driven pruning (no literal cell list exists at stream
-    * plan time), so each microbatch scans the code tree's slim m-int
-    * rows and filters at the join. When probe I/O selectivity matters
-    * more than one-query latency, use [[annProbeBatch]] — the
-    * foreachBatch form runs the BATCH probe per microbatch, which
-    * prunes group dirs at the file listing and cells at the row-group
-    * stats. Residual layouts rebase the query per probed cell exactly
-    * like the batch path (broadcast join against the nlist-row
-    * centroid table — static, stateless). */
+    * Scale note, stated honestly and MEASURED (SCALE.md r14
+    * stream-probe leg): a stream-static join re-plans the static side
+    * per microbatch WITHOUT the batch probe's collect-driven pruning
+    * (no literal cell list exists at stream plan time), so each
+    * microbatch scans the code tree's slim m-int rows and filters at
+    * the join. At 10⁶ codes that full scan is actually FASTER than
+    * the pruned batch probe (0.6 vs 1.2 s per 100-query microbatch —
+    * the slim tree is ~40 MB while pruning pays sidecar reads, a
+    * probe checkpoint and a cell collect per batch, and 100 queries ×
+    * nprobe already touch most groups). The pruned [[annProbeBatch]]
+    * form wins when the tree outgrows scan budget AND batches are
+    * small: probed cells ≪ nlist makes its I/O per batch
+    * |probed cells| instead of |corpus codes| — the 100 TB regime.
+    * Residual layouts rebase the query per probed cell exactly like
+    * the batch path (broadcast join against the nlist-row centroid
+    * table — static, stateless). */
   def annTopKStream(spark: SparkSession, path: String, vecs: DataFrame,
       k: Int, nprobe: Int = 4, beam: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding",

@@ -1135,6 +1135,50 @@ object ScaleStress {
             queries, 5, nprobe = 4, beam = 2).count()
           println(f"$nIdx%9d $nlist%6d $tBuild%8.1f $tAppend%9.1f " +
             f"${if (hits >= 20) "yes" else s"NO($hits)"}%9s")
+
+          // r14 streaming-probe cost leg (on the LARGER store only):
+          // annTopKStream's Scaladoc claims the one-query stream-static
+          // form scans the whole slim code tree per microbatch (no
+          // literal cell list exists at stream plan time) while the
+          // foreachBatch form keeps the batch probe's collect-driven
+          // group/cell pruning — measure both shapes for the same
+          // 100-query microbatch so the documented tradeoff has
+          // numbers: t_pruned = the batch probe; t_fullscan = the
+          // identical join WITHOUT the isin pruning (exactly what the
+          // stream-static plan executes per microbatch).
+          if (mult == 4) {
+            val qs = spark.range(nIdx, nIdx + 100)
+              .select(col("id").as("qid"), cvec(col("id")).as("qvec"))
+              .cache()
+            qs.count()
+            val tPruned = timed {
+              Similarity.ivfPqHierTopKFromIndex(spark, path, qs, 10,
+                nprobe = 4, beam = 2).count()
+            }
+            val meta = spark.read.parquet(s"$path/meta").head()
+            val cqS = Similarity.readCoarseQuantizer(spark, path)
+            val cbS = Similarity.readPqCodebooks(spark, path)
+            val tFull = timed {
+              val probes = qs.select(col("qid"),
+                explode(Similarity.probeCellsHier(col("qvec"), cqS, 4, 2))
+                  .as("cell"), col("qvec"))
+              val codes = spark.read.parquet(s"$path/codes")
+              val scored = codes.join(broadcast(probes), Seq("cell"))
+                .select(col("qid"), col("vec_id"),
+                  (-graft.plans.PqExpressions.pq_adc(col("qvec"),
+                    col("codes"), cbS.ncodes, cbS.dsub, cbS.flat))
+                    .as("sim"))
+              scored.groupBy(col("qid"))
+                .agg(graft.plans.TopKAgg.top_k_agg(10)(
+                  col("sim"), col("vec_id").cast("long")).as("t"))
+                .count()
+            }
+            println(f"  stream-probe shapes at n=$nIdx%d " +
+              f"(100-query microbatch): t_pruned=$tPruned%.1f " +
+              f"t_fullscan=$tFull%.1f " +
+              f"(cells_per_group=${meta.getAs[Int]("cells_per_group")}%d)")
+            qs.unpersist()
+          }
         }
       }
     }
