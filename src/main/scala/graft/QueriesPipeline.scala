@@ -146,17 +146,19 @@ object QueriesPipeline {
     p
   }
 
-  /** Built as BUILD(vec_id < 400) + APPEND(rest) — the flat layouts'
-    * appends run under the same strict oracles as the hier trees'
-    * (the replays recompute assignment for EVERY row from the
-    * persisted centroids, so an appended tree must match exactly). */
+  /** Built as BUILD(vec_id < 400) + APPEND(rest) + COMPACT — the flat
+    * layouts' full recurring-crawl lifecycle runs under the same
+    * strict oracles as the hier trees' (the replays recompute
+    * assignment for EVERY row from the persisted centroids, so an
+    * appended-then-compacted tree must match exactly). */
   private def ensureIvfIndex(s: SparkSession, dir: String): String =
-    ensureStaged(s, dir, "ivf_n8_v2", "centroids", "embeddings",
+    ensureStaged(s, dir, "ivf_n8_v3", "centroids", "embeddings",
       alsoRequire = Seq("meta", "appends"))(p => {
       val em = t(s, dir, "embeddings")
       Similarity.writeIvfIndex(em.filter(col("vec_id") < 400), p,
         nlist = 8)
       Similarity.appendIvfIndex(em.filter(col("vec_id") >= 400), p)
+      Similarity.compactIvfIndex(s, p)
       ()
     })
 
@@ -168,7 +170,7 @@ object QueriesPipeline {
     * it, per-group file adds) — so the strict q_sim_*hier oracles
     * replay probes over a genuinely appended, fragmented tree. */
   private def ensureIvfHierIndex(s: SparkSession, dir: String): String =
-    ensureStaged(s, dir, "ivfh_3x3_v3", "index", "embeddings",
+    ensureStaged(s, dir, "ivfh_3x3_v4", "index", "embeddings",
       alsoRequire = Seq("meta", "appends"))(p => {
       val em = t(s, dir, "embeddings")
       Similarity.writeIvfIndexHier(em.filter(col("vec_id") < 400), p,
@@ -181,12 +183,13 @@ object QueriesPipeline {
     * d=64 → 8 ints/vector) that q_embed_pq_codes and q_sim_knn_pq (and
     * their oracles) share — the [[ensureIvfIndex]] convention. */
   private def ensurePqIndex(s: SparkSession, dir: String): String =
-    ensureStaged(s, dir, "pq_m8x16_v2", "codes", "embeddings",
+    ensureStaged(s, dir, "pq_m8x16_v3", "codes", "embeddings",
       alsoRequire = Seq("meta", "appends"))(p => {
       val em = t(s, dir, "embeddings")
       Similarity.writePqIndex(em.filter(col("vec_id") < 400), p,
         m = 8, ncodes = 16)
       Similarity.appendPqIndex(em.filter(col("vec_id") >= 400), p)
+      Similarity.compactPqIndex(s, p, maxFiles = 1)
       ()
     })
 
@@ -194,13 +197,14 @@ object QueriesPipeline {
     * persisted nlist=8 coarse cells as every other IVF query, PQ
     * m=8×16 within. */
   private def ensureIvfPqIndex(s: SparkSession, dir: String): String =
-    ensureStaged(s, dir, "ivfpq_n8_m8x16_v2", "codes", "embeddings",
+    ensureStaged(s, dir, "ivfpq_n8_m8x16_v3", "codes", "embeddings",
       alsoRequire = Seq("meta", "appends"))(p => {
       val em = t(s, dir, "embeddings")
       Similarity.writeIvfPqIndex(em.filter(col("vec_id") < 400), p,
         Similarity.readCentroids(s, ensureIvfIndex(s, dir)),
         m = 8, ncodes = 16)
       Similarity.appendIvfPqIndex(em.filter(col("vec_id") >= 400), p)
+      Similarity.compactIvfPqIndex(s, p)
       ()
     })
 
@@ -248,7 +252,7 @@ object QueriesPipeline {
     * groups compacted back to one file — so the strict oracles replay
     * the full recurring-crawl lifecycle from the final tree. */
   private def ensureIvfPqHierIndex(s: SparkSession, dir: String): String =
-    ensureStaged(s, dir, "ivfpqh_3x3_m8x16_v2", "codes", "embeddings",
+    ensureStaged(s, dir, "ivfpqh_3x3_m8x16_v3", "codes", "embeddings",
       alsoRequire = Seq("meta", "appends"))(p => {
       val em = t(s, dir, "embeddings")
       val head = em.filter(col("vec_id") < 400)
@@ -265,7 +269,7 @@ object QueriesPipeline {
     * quantize v − c_cell of the composed level-2 cell). */
   private def ensureIvfPqHierResIndex(s: SparkSession,
       dir: String): String =
-    ensureStaged(s, dir, "ivfpqhr_3x3_m8x16", "codes", "embeddings",
+    ensureStaged(s, dir, "ivfpqhr_3x3_m8x16_v2", "codes", "embeddings",
       alsoRequire = Seq("meta"))(p => {
       val em = t(s, dir, "embeddings")
       Similarity.writeIvfPqIndexHier(em, p,
@@ -296,7 +300,7 @@ object QueriesPipeline {
   /** Build-if-stale the RESIDUAL IVF-PQ layout (codes quantize
     * v − c_cell; finer at the same bit budget). */
   private def ensureIvfPqResIndex(s: SparkSession, dir: String): String =
-    ensureStaged(s, dir, "ivfpqr_n8_m8x16", "codes", "embeddings",
+    ensureStaged(s, dir, "ivfpqr_n8_m8x16_v2", "codes", "embeddings",
       alsoRequire = Seq("meta"))(p =>
       Similarity.writeIvfPqIndex(t(s, dir, "embeddings"), p,
         Similarity.readCentroids(s, ensureIvfIndex(s, dir)),
@@ -344,7 +348,7 @@ object QueriesPipeline {
 
   /** DuckDB replay of the persisted-IVF probe machinery, shared by the
     * q_sim_ivf / q_sim_knn_ivf oracles: `cents` reads the centroid
-    * sidecar [[ensureIvfIndex]] wrote ({STAGING:ivf_n8_v2} substitutes to
+    * sidecar [[ensureIvfIndex]] wrote ({STAGING:ivf_n8_v3} substitutes to
     * the run's staging path in Verify's oracle dump), `assigned`
     * recomputes every corpus vector's home cell from those floats —
     * argmax cosine, ties to the LOWEST cell, the
@@ -353,7 +357,7 @@ object QueriesPipeline {
     * downstream of the persisted model is replayed from scratch. */
   private val ivfReplayCtes: String = """cents AS (
           SELECT cell, centroid
-          FROM read_parquet('{STAGING:ivf_n8_v2}/centroids/*.parquet')
+          FROM read_parquet('{STAGING:ivf_n8_v3}/centroids/*.parquet')
         ), assigned AS (
           SELECT vec_id, cell FROM (
             SELECT e.vec_id, c.cell,
@@ -3029,10 +3033,10 @@ object QueriesPipeline {
       },
       Some("""WITH l1c AS (
           SELECT c1, CAST(centroid AS DOUBLE[]) AS c
-          FROM read_parquet('{STAGING:ivfh_3x3_v3}/l1/*.parquet')
+          FROM read_parquet('{STAGING:ivfh_3x3_v4}/l1/*.parquet')
         ), l2c AS (
           SELECT c1, c1 * 3 + c2 AS cell, CAST(centroid AS DOUBLE[]) AS c
-          FROM read_parquet('{STAGING:ivfh_3x3_v3}/quantizer/*.parquet')
+          FROM read_parquet('{STAGING:ivfh_3x3_v4}/quantizer/*.parquet')
         ), a1 AS (
           SELECT vec_id, c1 FROM (
             SELECT e.vec_id, l.c1,
@@ -3101,14 +3105,23 @@ object QueriesPipeline {
             col("cell_grp").cast("int").as("cell_grp"))
         val log = Similarity.readAppendLog(s, idxPath)
           .select(col("n_rows").as("batch_rows"))
+        // the keyless broadcast join below is a deliberate one-row
+        // carrier, correct ONLY while the staged tree has exactly one
+        // append — a second append in a future fixture revision must
+        // fail HERE, loudly, not silently multiply every audit row on
+        // both the engine and oracle sides
+        require(log.count() == 1L,
+          s"q_sim_hier_append_audit: expected exactly 1 append-log row " +
+            s"at $idxPath (the staged BUILD+APPEND recipe); the fixture " +
+            "changed — rework the audit join to key on the append")
         idx.join(broadcast(log))
       },
       Some("""WITH l1c AS (
           SELECT c1, CAST(centroid AS DOUBLE[]) AS c
-          FROM read_parquet('{STAGING:ivfh_3x3_v3}/l1/*.parquet')
+          FROM read_parquet('{STAGING:ivfh_3x3_v4}/l1/*.parquet')
         ), l2c AS (
           SELECT c1, c1 * 3 + c2 AS cell, CAST(centroid AS DOUBLE[]) AS c
-          FROM read_parquet('{STAGING:ivfh_3x3_v3}/quantizer/*.parquet')
+          FROM read_parquet('{STAGING:ivfh_3x3_v4}/quantizer/*.parquet')
         ), batch AS (
           SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 400
         ), a1 AS (
@@ -3130,10 +3143,10 @@ object QueriesPipeline {
           WHERE r = 1
         ), cpg AS (
           SELECT cells_per_group
-          FROM read_parquet('{STAGING:ivfh_3x3_v3}/meta/*.parquet')
+          FROM read_parquet('{STAGING:ivfh_3x3_v4}/meta/*.parquet')
         ), logrow AS (
           SELECT n_rows AS batch_rows
-          FROM read_parquet('{STAGING:ivfh_3x3_v3}/appends/*.parquet'))
+          FROM read_parquet('{STAGING:ivfh_3x3_v4}/appends/*.parquet'))
         SELECT a.vec_id, a.cell,
           CAST(floor(a.cell / cpg.cells_per_group) AS INT) AS cell_grp,
           logrow.batch_rows
@@ -3156,10 +3169,10 @@ object QueriesPipeline {
       },
       Some("""WITH l1c AS (
           SELECT c1, CAST(centroid AS DOUBLE[]) AS c
-          FROM read_parquet('{STAGING:ivfh_3x3_v3}/l1/*.parquet')
+          FROM read_parquet('{STAGING:ivfh_3x3_v4}/l1/*.parquet')
         ), l2c AS (
           SELECT c1, c1 * 3 + c2 AS cell, CAST(centroid AS DOUBLE[]) AS c
-          FROM read_parquet('{STAGING:ivfh_3x3_v3}/quantizer/*.parquet')
+          FROM read_parquet('{STAGING:ivfh_3x3_v4}/quantizer/*.parquet')
         ), a1 AS (
           SELECT vec_id, c1 FROM (
             SELECT e.vec_id, l.c1,
@@ -3228,14 +3241,14 @@ object QueriesPipeline {
             nprobe = 4, beam = 2)
           .select(col("qid"), col("rank").as("rnk"), col("vec_id"))
       },
-      Some(s"""WITH ${pqReconCtesGrouped("ivfpqh_3x3_m8x16_v2")},
+      Some(s"""WITH ${pqReconCtesGrouped("ivfpqh_3x3_m8x16_v3")},
         l1c AS (
           SELECT c1, CAST(centroid AS DOUBLE[]) AS c
-          FROM read_parquet('{STAGING:ivfpqh_3x3_m8x16_v2}/l1/*.parquet')
+          FROM read_parquet('{STAGING:ivfpqh_3x3_m8x16_v3}/l1/*.parquet')
         ), l2c AS (
           SELECT c1, c1 * 3 + c2 AS cell, CAST(centroid AS DOUBLE[]) AS c
           FROM read_parquet(
-            '{STAGING:ivfpqh_3x3_m8x16_v2}/quantizer/*.parquet')
+            '{STAGING:ivfpqh_3x3_m8x16_v3}/quantizer/*.parquet')
         ), q AS (
           SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS e
           FROM embeddings WHERE vec_id < 5
@@ -3282,14 +3295,14 @@ object QueriesPipeline {
             nprobe = 4, beam = 2, refineFactor = 4)
           .select(col("qid"), col("rank").as("rnk"), col("vec_id"))
       },
-      Some(s"""WITH ${pqReconCtesGrouped("ivfpqh_3x3_m8x16_v2")},
+      Some(s"""WITH ${pqReconCtesGrouped("ivfpqh_3x3_m8x16_v3")},
         l1c AS (
           SELECT c1, CAST(centroid AS DOUBLE[]) AS c
-          FROM read_parquet('{STAGING:ivfpqh_3x3_m8x16_v2}/l1/*.parquet')
+          FROM read_parquet('{STAGING:ivfpqh_3x3_m8x16_v3}/l1/*.parquet')
         ), l2c AS (
           SELECT c1, c1 * 3 + c2 AS cell, CAST(centroid AS DOUBLE[]) AS c
           FROM read_parquet(
-            '{STAGING:ivfpqh_3x3_m8x16_v2}/quantizer/*.parquet')
+            '{STAGING:ivfpqh_3x3_m8x16_v3}/quantizer/*.parquet')
         ), q AS (
           SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS e
           FROM embeddings WHERE vec_id < 5
@@ -3344,14 +3357,14 @@ object QueriesPipeline {
             nprobe = 4, beam = 2)
           .select(col("qid"), col("rank").as("rnk"), col("vec_id"))
       },
-      Some(s"""WITH ${pqReconCtesGrouped("ivfpqhr_3x3_m8x16")},
+      Some(s"""WITH ${pqReconCtesGrouped("ivfpqhr_3x3_m8x16_v2")},
         l1c AS (
           SELECT c1, CAST(centroid AS DOUBLE[]) AS c
-          FROM read_parquet('{STAGING:ivfpqhr_3x3_m8x16}/l1/*.parquet')
+          FROM read_parquet('{STAGING:ivfpqhr_3x3_m8x16_v2}/l1/*.parquet')
         ), l2c AS (
           SELECT c1, c1 * 3 + c2 AS cell, CAST(centroid AS DOUBLE[]) AS c
           FROM read_parquet(
-            '{STAGING:ivfpqhr_3x3_m8x16}/quantizer/*.parquet')
+            '{STAGING:ivfpqhr_3x3_m8x16_v2}/quantizer/*.parquet')
         ), qraw AS (
           SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS e
           FROM embeddings WHERE vec_id < 5
@@ -3402,7 +3415,7 @@ object QueriesPipeline {
       },
       Some("""WITH cb AS (
           SELECT sub, code, CAST(centroid AS DOUBLE[]) AS c
-          FROM read_parquet('{STAGING:pq_m8x16_v2}/codebooks/*.parquet')
+          FROM read_parquet('{STAGING:pq_m8x16_v3}/codebooks/*.parquet')
         ), v AS (
           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
           FROM embeddings
@@ -3436,7 +3449,7 @@ object QueriesPipeline {
         Similarity.pqTopKFromIndex(s, p, queries, 10)
           .select(col("qid"), col("rank").as("rnk"), col("vec_id"))
       },
-      Some(s"""WITH ${pqReconCtes("pq_m8x16_v2", partitioned = false)},
+      Some(s"""WITH ${pqReconCtes("pq_m8x16_v3", partitioned = false)},
         q AS (
           SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS e
           FROM embeddings WHERE vec_id < 5)
@@ -3465,7 +3478,7 @@ object QueriesPipeline {
         Similarity.ivfPqTopKFromIndex(s, p, queries, 10, nprobe = 4)
           .select(col("qid"), col("rank").as("rnk"), col("vec_id"))
       },
-      Some(s"""WITH ${pqReconCtes("ivfpq_n8_m8x16_v2", partitioned = true)},
+      Some(s"""WITH ${pqReconCtes("ivfpq_n8_m8x16_v3", partitioned = true)},
         q AS (
           SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS e
           FROM embeddings WHERE vec_id < 5),
@@ -3477,7 +3490,7 @@ object QueriesPipeline {
                   CAST(c.centroid AS DOUBLE[])) DESC, c.cell) AS pr
             FROM q CROSS JOIN (
               SELECT cell, centroid FROM read_parquet(
-                '{STAGING:ivfpq_n8_m8x16_v2}/centroids/*.parquet')) c)
+                '{STAGING:ivfpq_n8_m8x16_v3}/centroids/*.parquet')) c)
           WHERE pr <= 4)
         SELECT qid, rnk, vec_id FROM (
           SELECT p.qid, r.vec_id,
@@ -3508,14 +3521,14 @@ object QueriesPipeline {
         Similarity.ivfPqTopKFromIndex(s, p, queries, 10, nprobe = 4)
           .select(col("qid"), col("rank").as("rnk"), col("vec_id"))
       },
-      Some(s"""WITH ${pqReconCtes("ivfpqr_n8_m8x16", partitioned = true)},
+      Some(s"""WITH ${pqReconCtes("ivfpqr_n8_m8x16_v2", partitioned = true)},
         qraw AS (
           SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS e
           FROM embeddings WHERE vec_id < 5),
         cents2 AS (
           SELECT cell, CAST(centroid AS DOUBLE[]) AS c
           FROM read_parquet(
-            '{STAGING:ivfpqr_n8_m8x16}/centroids/*.parquet')),
+            '{STAGING:ivfpqr_n8_m8x16_v2}/centroids/*.parquet')),
         qcell AS (
           SELECT qid, cell FROM (
             SELECT qraw.qid, c2.cell,

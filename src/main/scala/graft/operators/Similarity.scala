@@ -447,23 +447,25 @@ object Similarity {
     val cents = centroids.getOrElse(
       trainCentroids(corpus, vecCol, nlist, trainFraction))
     val spark = corpus.sparkSession
-    clearAppendLog(spark, path)
-    corpus.select(col(idCol), col(vecCol),
-        nearestCell(col(vecCol), cents).as("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/index")
-    val centDf = spark.createDataFrame(cents)
-      .toDF("cell", "centroid")
-    centDf.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    // append-era manifest, written LAST (build-time distortion from
-    // the bytes on disk — the drift base for appendIvfIndex). Probes
-    // read only centroids, so pre-meta stores keep probing; appends
-    // refuse them with a rebuild instruction.
-    val base = meanCellDistortionTable(
-      spark.read.parquet(s"$path/index"),
-      centTableOf(spark, cents), vecCol)
-    import spark.implicits._
-    Seq(base).toDF("base_distortion")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    withWriterLock(spark, path, "writeIvfIndex") {
+      beginRebuild(spark, path)
+      corpus.select(col(idCol), col(vecCol),
+          nearestCell(col(vecCol), cents).as("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$path/index")
+      val centDf = spark.createDataFrame(cents)
+        .toDF("cell", "centroid")
+      centDf.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+      // append-era manifest, written LAST (build-time distortion from
+      // the bytes on disk — the drift base for appendIvfIndex). Probes
+      // read only centroids, so pre-meta stores keep probing; appends
+      // refuse them with a rebuild instruction.
+      val base = meanCellDistortionTable(
+        spark.read.parquet(s"$path/index"),
+        centTableOf(spark, cents), vecCol)
+      import spark.implicits._
+      writeSidecarAtomic(spark, s"$path/meta",
+        Seq(base).toDF("base_distortion"))
+    }
   }
 
   /** Append a batch to a [[writeIvfIndex]] (flat) layout — the
@@ -471,16 +473,17 @@ object Similarity {
     * and the one-dir-per-cell hive tree: batch assigned with the
     * PERSISTED centroids (never a re-fit; cost ∝ |batch|), per-cell
     * file adds, k-means-objective drift gate BEFORE any mutation,
-    * `appends` log, meta manifest rewritten LAST. Mid-append
-    * visibility differs from the hier layout ONLY in which readers
-    * enforce the manifest: flat probes read just the centroids
-    * sidecar (a reader mid-append sees a valid subset — rows only
-    * ever add), while append/audit surfaces refuse the torn meta.
-    * Requires an append-era store (rebuild pre-meta stores). */
+    * `appends` log, meta manifest republished LAST by atomic versioned
+    * swap ([[writeSidecarAtomic]]) — an append NEVER tears the store:
+    * any reader mid-append sees the old manifest plus a valid subset
+    * of the new rows (rows only ever add). Single-writer enforced via
+    * the store lock. Requires an append-era store (rebuild pre-meta
+    * stores). */
   def appendIvfIndex(batch: DataFrame, path: String,
       idCol: String = "vec_id", vecCol: String = "embedding",
       refitThreshold: Double = 2.0): Double = {
     val spark = batch.sparkSession
+    withWriterLock(spark, path, "appendIvfIndex") {
     val cents = readCentroids(spark, path)
     val meta = flatMetaRow(spark, path)
     val base = baseDistortionOf(meta, path, "append")
@@ -493,17 +496,15 @@ object Similarity {
       val bDist = meanCellDistortionTable(assigned,
         centTableOf(spark, cents), vecCol)
       requireNoDrift(bDist, base, refitThreshold, path)
-      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
-        spark.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/meta"), true)
       assigned.write.mode("append").partitionBy("cell")
         .parquet(s"$path/index")
       appendLogRow(spark, path, nRows, bDist, base, refitThreshold)
       import spark.implicits._
-      Seq(base).toDF("base_distortion")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+      writeSidecarAtomic(spark, s"$path/meta",
+        Seq(rearmedBase(base, bDist)).toDF("base_distortion"))
       bDist
     } finally { assigned.unpersist(); () }
+    }
   }
 
   /** THE meta-parquet presence check every manifest reader shares
@@ -530,7 +531,129 @@ object Similarity {
   private def flatMetaRow(spark: SparkSession,
       path: String): org.apache.spark.sql.Row = {
     requireMetaParquet(spark, path)
-    spark.read.parquet(s"$path/meta").head()
+    readSidecar(spark, s"$path/meta").head()
+  }
+
+  // ---- atomic versioned sidecars + single-writer enforcement ----------
+  //
+  // The store-mutation protocol every ANN layout shares (r15):
+  //  * meta and the appends log are each ONE versioned parquet file
+  //    (`v<n>.parquet`); a writer publishes the next version by
+  //    tmp-write + atomic rename, THEN sweeps superseded versions — so
+  //    a racing reader always resolves one complete manifest (old or
+  //    new, never none, never a partial). Appends therefore never tear
+  //    the store: mid-append a probe sees the old manifest plus a
+  //    growing valid subset of the new rows (rows only ever add).
+  //  * every mutator (build / append / compact) runs under the store's
+  //    `.writer.lock` — single-writer enforced, because two interleaved
+  //    sidecar swaps could publish a manifest that forgets the other
+  //    writer's append. A crashed writer leaves the lock behind: the
+  //    next mutator refuses loudly with recovery instructions while
+  //    probes keep working ([[releaseWriterLock]] after inspection).
+  //  * rebuild-in-place and compaction still mark the store formally
+  //    torn (meta off) for their whole write window — they REWRITE data
+  //    readers may hold listings of, so loud refusal beats a silently
+  //    inconsistent read. Appends are the continuous-ingestion path and
+  //    get the never-torn guarantee; rebuild/compact are maintenance.
+  //
+  // External replays stay valid: DuckDB's `meta/*.parquet` /
+  // `appends/*.parquet` globs see exactly the one live version file
+  // (pre-protocol stores fall back to the legacy whole-dir read).
+
+  private val SidecarVersionRe = """v(\d{16})\.parquet""".r
+
+  private def hadoopFs(spark: SparkSession, path: String)
+      : org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+
+  /** The newest protocol-versioned file under a sidecar dir, if any. */
+  private def latestSidecarFile(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path)
+      : Option[(org.apache.hadoop.fs.Path, Long)] =
+    (if (fs.exists(dir)) fs.listStatus(dir).toSeq else Nil)
+      .filter(_.isFile)
+      .flatMap(st => st.getPath.getName match {
+        case SidecarVersionRe(n) => Some((st.getPath, n.toLong))
+        case _ => None
+      })
+      .sortBy(-_._2).headOption
+
+  /** Read a sidecar dir: the max-version `v*.parquet` when the atomic
+    * protocol is present, else the legacy whole-dir parquet read (so
+    * stores written before the protocol keep reading unchanged). */
+  private def readSidecar(spark: SparkSession, dir: String): DataFrame =
+    latestSidecarFile(hadoopFs(spark, dir),
+        new org.apache.hadoop.fs.Path(dir)) match {
+      case Some((f, _)) => spark.read.parquet(f.toString)
+      case None => spark.read.parquet(dir)
+    }
+
+  /** Publish `df` as the sidecar dir's next version ATOMICALLY: write
+    * to a tmp dir beside it, rename the single part file in as
+    * `v<n+1>.parquet` (the commit point — rename is atomic on HDFS and
+    * posix filesystems alike), then sweep superseded versions and any
+    * legacy unversioned files. A reader racing the publish resolves
+    * either the old max or the new one — never zero, never a torn
+    * file; a crash leaves at most a stray tmp dir or a superseded
+    * version the next publish sweeps. */
+  private def writeSidecarAtomic(spark: SparkSession, dir: String,
+      df: DataFrame): Unit = {
+    val fs = hadoopFs(spark, dir)
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val next = latestSidecarFile(fs, dirPath).map(_._2).getOrElse(0L) + 1
+    val tmp = s"$dir.tmp-${java.util.UUID.randomUUID}"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+      .find(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(
+        s"sidecar publish: no part file written under $tmp"))
+      .getPath
+    fs.mkdirs(dirPath)
+    val dest = new org.apache.hadoop.fs.Path(dirPath, f"v$next%016d.parquet")
+    require(fs.rename(part, dest),
+      s"sidecar publish: rename to $dest failed")
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    fs.listStatus(dirPath).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isFile && n != dest.getName &&
+          (n.endsWith(".parquet") || n == "_SUCCESS"))
+        fs.delete(st.getPath, false)
+    }
+  }
+
+  /** Run `body` holding the store's single-writer lock. Concurrent
+    * mutators refuse loudly (two interleaved manifest swaps could
+    * publish a version that forgets the other writer's rows); probes
+    * never take the lock. A crashed writer leaves the lock behind by
+    * design — the store may hold data rows its appends log never
+    * admitted, and the next mutator must not bless them silently. */
+  private def withWriterLock[A](spark: SparkSession, path: String,
+      op: String)(body: => A): A = {
+    val fs = hadoopFs(spark, path)
+    val dirPath = new org.apache.hadoop.fs.Path(path)
+    fs.mkdirs(dirPath)
+    val lock = new org.apache.hadoop.fs.Path(dirPath, ".writer.lock")
+    val acquired =
+      try fs.createNewFile(lock)
+      catch { case _: java.io.IOException => false }
+    require(acquired, s"$op: writer lock already held at $lock — " +
+      "single-writer is enforced on ANN store mutations. If the " +
+      "holder is live, wait for it; if it crashed, inspect the store " +
+      "(data rows without a matching appends-log entry are the dead " +
+      "writer's partial batch — compact or rebuild), then " +
+      "Similarity.releaseWriterLock(spark, path)")
+    try body
+    finally { fs.delete(lock, false); () }
+  }
+
+  /** Manual recovery after a crashed writer: drop the store's
+    * single-writer lock. Only after inspecting the store — see the
+    * refusal message in [[withWriterLock]]. */
+  def releaseWriterLock(spark: SparkSession, path: String): Unit = {
+    hadoopFs(spark, path).delete(
+      new org.apache.hadoop.fs.Path(s"$path/.writer.lock"), false)
+    ()
   }
 
   private def centTableOf(spark: SparkSession,
@@ -550,9 +673,10 @@ object Similarity {
     if (base <= 0.0)
       log.warn(s"append: build-time distortion at $path is 0 (the " +
         "build corpus quantized exactly — a bootstrap-sized store); " +
-        "the multiplicative drift gate has no scale and is SKIPPED — " +
-        "monitor the appends log and re-fit once the corpus outgrows " +
-        "the grid")
+        "the multiplicative drift gate has no scale and is SKIPPED " +
+        "for THIS batch — the admitted batch's own distortion is " +
+        "persisted as the new base, so the gate re-arms on the next " +
+        "append")
     else require(bDist <= refitThreshold * base,
       f"append: batch distortion $bDist%.6f exceeds $refitThreshold%.1f× " +
         f"the build-time $base%.6f at $path — the corpus distribution " +
@@ -560,26 +684,57 @@ object Similarity {
         "appending into cells that no longer describe it")
   }
 
+  /** The base distortion to persist back after an admitted append:
+    * unchanged when real, replaced by the batch's own measured
+    * distortion when the build base was 0 (bootstrap-sized build) so
+    * the [[requireNoDrift]] gate re-arms instead of staying disabled
+    * forever on a store that has long outgrown its bootstrap. */
+  private def rearmedBase(base: Double, bDist: Double): Double =
+    if (base <= 0.0) bDist else base
+
   private def appendLogRow(spark: SparkSession, path: String,
       nRows: Long, bDist: Double, base: Double,
       refitThreshold: Double): Unit = {
     import spark.implicits._
-    Seq((nRows, bDist, base, refitThreshold))
+    val row = Seq((nRows, bDist, base, refitThreshold))
       .toDF("n_rows", "distortion", "base_distortion", "refit_threshold")
-      .coalesce(1).write.mode("append").parquet(s"$path/appends")
+    // the log is rewritten WHOLE as the next sidecar version (old rows
+    // first, the new row last): file count stays at one forever — a
+    // 1-minute ingest cadence is ~1,440 appends/day, and a
+    // one-file-per-append log would hand readAppendLog an unbounded
+    // listing within a week. Cost is ∝ |log| per append — four scalars
+    // per historical append, trivial against the batch encode until
+    // ~10⁶ appends, at which point the store wants a re-fit anyway.
+    val dir = s"$path/appends"
+    val fs = hadoopFs(spark, dir)
+    val hasLog = fs.exists(new org.apache.hadoop.fs.Path(dir)) &&
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir)).exists(st =>
+        st.isFile && st.getPath.getName.endsWith(".parquet"))
+    val full = if (hasLog) readSidecar(spark, dir).union(row) else row
+    writeSidecarAtomic(spark, dir, full)
   }
 
   /** A REBUILD invalidates append history: every writer clears the
     * `appends` sidecar up front, so [[readAppendLog]] never mixes a
     * dead store's rows into the new store's audit trail (the log
-    * writes mode-append per batch, so it would otherwise survive an
-    * in-place re-fit + rebuild — exactly the flow the drift refusal
-    * instructs). */
+    * would otherwise survive an in-place re-fit + rebuild — exactly
+    * the flow the drift refusal instructs). */
   private def clearAppendLog(spark: SparkSession, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$path/appends")
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(p, true)
     ()
+  }
+
+  /** Rebuild-in-place entry ritual every builder runs FIRST: meta off
+    * (the store is formally torn for the whole rebuild window — a
+    * rebuild REWRITES trees readers may hold listings of, so loud
+    * refusal beats an inconsistent read; contrast appends, which never
+    * tear) and the append history cleared ([[clearAppendLog]]). */
+  private def beginRebuild(spark: SparkSession, path: String): Unit = {
+    hadoopFs(spark, path).delete(
+      new org.apache.hadoop.fs.Path(s"$path/meta"), true)
+    clearAppendLog(spark, path)
   }
 
   /** The residual rebase every IVF-PQ surface shares — build encode,
@@ -891,33 +1046,35 @@ object Similarity {
     val cq = quantizer.getOrElse(trainCoarseHierarchical(corpus, vecCol,
       nlist, trainFraction, minPointsPerCentroid, perCellCap))
     val spark = corpus.sparkSession
-    clearAppendLog(spark, path)
-    spark.createDataFrame(cq.l1.map { case (c1, v) => (c1, v.toSeq) })
-      .toDF("c1", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/l1")
-    spark.createDataFrame(
-        cq.l2.map { case (c1, c2, v) => (c1, c2, v.toSeq) })
-      .toDF("c1", "c2", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/quantizer")
-    corpus.select(col(idCol), col(vecCol),
-        assignCellHier(col(vecCol), cq).as("cell"))
-      // wrong-length vectors assign to a null cell — drop them at
-      // write like the PQ writers drop null codes, instead of
-      // persisting a __HIVE_DEFAULT_PARTITION__ of dead rows
-      .filter(col("cell").isNotNull)
-      .withColumn("cell_grp", (col("cell") / cellsPerGroup).cast("int"))
-      .repartition(col("cell_grp"))
-      .sortWithinPartitions(col("cell"))
-      .write.mode("overwrite").partitionBy("cell_grp")
-      .parquet(s"$path/index")
-    // build-time distortion from the BYTES ON DISK (the sidecar
-    // convention FingerprintIndexStore set): the append path's drift
-    // threshold compares against this
-    val base = meanCellDistortion(
-      spark.read.parquet(s"$path/index"), cq, vecCol)
-    // meta is the manifest and goes LAST: a crash anywhere above
-    // leaves a store hierMetaRow refuses loudly
-    writeHierMeta(spark, path, cq, cellsPerGroup, residual = None, base)
+    withWriterLock(spark, path, "writeIvfIndexHier") {
+      beginRebuild(spark, path)
+      spark.createDataFrame(cq.l1.map { case (c1, v) => (c1, v.toSeq) })
+        .toDF("c1", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/l1")
+      spark.createDataFrame(
+          cq.l2.map { case (c1, c2, v) => (c1, c2, v.toSeq) })
+        .toDF("c1", "c2", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/quantizer")
+      corpus.select(col(idCol), col(vecCol),
+          assignCellHier(col(vecCol), cq).as("cell"))
+        // wrong-length vectors assign to a null cell — drop them at
+        // write like the PQ writers drop null codes, instead of
+        // persisting a __HIVE_DEFAULT_PARTITION__ of dead rows
+        .filter(col("cell").isNotNull)
+        .withColumn("cell_grp", (col("cell") / cellsPerGroup).cast("int"))
+        .repartition(col("cell_grp"))
+        .sortWithinPartitions(col("cell"))
+        .write.mode("overwrite").partitionBy("cell_grp")
+        .parquet(s"$path/index")
+      // build-time distortion from the BYTES ON DISK (the sidecar
+      // convention FingerprintIndexStore set): the append path's drift
+      // threshold compares against this
+      val base = meanCellDistortion(
+        spark.read.parquet(s"$path/index"), cq, vecCol)
+      // meta is the manifest and goes LAST: a crash anywhere above
+      // leaves a store hierMetaRow refuses loudly
+      writeHierMeta(spark, path, cq, cellsPerGroup, residual = None, base)
+    }
     cq
   }
 
@@ -974,7 +1131,7 @@ object Similarity {
         Seq((cq.k1, cq.k2, cq.dim, cellsPerGroup, baseDistortion))
           .toDF("k1", "k2", "dim", "cells_per_group", "base_distortion")
     }
-    df.coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    writeSidecarAtomic(spark, s"$path/meta", df)
   }
 
   /** Load a [[writeIvfIndexHier]] quantizer, driver-side (k1·k2 rows).
@@ -1074,19 +1231,53 @@ object Similarity {
     * Returns the measured batch distortion. */
   def appendIvfIndexHier(batch: DataFrame, path: String,
       idCol: String = "vec_id", vecCol: String = "embedding",
+      refitThreshold: Double = 2.0): Double =
+    appendIvfIndexHierWith(batch, path,
+      readCoarseQuantizer(batch.sparkSession, path), idCol, vecCol,
+      refitThreshold)
+
+  /** [[appendIvfIndexHier]] with the quantizer PRE-LOADED — the
+    * continuous-ingestion shape: a foreachBatch loop reads the
+    * nlist·dim quantizer sidecar ONCE at stream start instead of
+    * re-collecting it every microbatch (at the carrier's 0.5–8 GB l2
+    * sizing that re-read would dwarf the batch itself). The one-row
+    * meta IS re-read per call — it carries the (possibly re-armed)
+    * drift base and costs one tiny file — and its grid shape must
+    * match the pre-loaded quantizer, so a store re-fit under a live
+    * ingest loop fails loudly instead of appending with dead
+    * centroids. */
+  def appendIvfIndexHierWith(batch: DataFrame,
+      path: String, cq: CoarseQuantizer, idCol: String = "vec_id",
+      vecCol: String = "embedding",
       refitThreshold: Double = 2.0): Double = {
     val spark = batch.sparkSession
-    val meta = hierMetaRow(spark, path)
-    val cq = readCoarseQuantizer(spark, path, Some(meta))
-    val assigned = batch.select(col(idCol), col(vecCol),
-        assignCellHier(col(vecCol), cq).as("cell"))
-      .filter(col("cell").isNotNull)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try
-      appendHierRows(spark, path, "index", meta, cq, assigned, vecCol,
-        assigned, refitThreshold, residual = None)
-    finally { assigned.unpersist(); () }
+    withWriterLock(spark, path, "appendIvfIndexHier") {
+      val meta = hierMetaRow(spark, path)
+      requireMetaMatchesQuantizer(meta, cq, path)
+      val assigned = batch.select(col(idCol), col(vecCol),
+          assignCellHier(col(vecCol), cq).as("cell"))
+        .filter(col("cell").isNotNull)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try
+        appendHierRows(spark, path, "index", meta, cq, assigned, vecCol,
+          assigned, refitThreshold, residual = None)
+      finally { assigned.unpersist(); () }
+    }
   }
+
+  /** A pre-loaded quantizer must still describe the store it is
+    * appending into: grid-shape equality with the live meta is the
+    * cheap invariant (a same-shape re-fit is indistinguishable here —
+    * the drift gate catches that case statistically). */
+  private def requireMetaMatchesQuantizer(meta: org.apache.spark.sql.Row,
+      cq: CoarseQuantizer, path: String): Unit =
+    require(meta.getAs[Int]("k1") == cq.k1 &&
+        meta.getAs[Int]("k2") == cq.k2 &&
+        meta.getAs[Int]("dim") == cq.dim,
+      s"append: pre-loaded quantizer (${cq.k1}x${cq.k2}x${cq.dim}) no " +
+        s"longer matches the store meta at $path — the store was " +
+        "re-fit under a live ingest loop; restart the stream so it " +
+        "re-reads the sidecars")
 
   /** [[appendIvfIndexHier]] for the [[writeIvfPqIndexHier]] layout:
     * the batch is assigned with the persisted quantizer AND encoded
@@ -1097,36 +1288,58 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       refitThreshold: Double = 2.0): Double = {
     val spark = batch.sparkSession
-    val meta = hierMetaRow(spark, path)
-    val cq = readCoarseQuantizer(spark, path, Some(meta))
-    val cb = readPqCodebooks(spark, path)
-    val residual = meta.getAs[Boolean]("residual")
-    val celled = batch.select(col(idCol), col(vecCol),
-        assignCellHier(col(vecCol), cq).as("cell"))
-      .filter(col("cell").isNotNull)
-    val encodeSrc =
-      (if (!residual) celled.withColumn("__enc", col(vecCol))
-      else rebaseByCell(celled, composedCentroids(spark, cq),
-        vecCol, "__enc"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val rows = encodeSrc.select(col(idCol), col("cell"),
-          graft.plans.PqExpressions.pq_encode(col("__enc"), cb.ncodes,
-            cb.dsub, cb.flat).as("codes"))
-        .filter(col("codes").isNotNull)
-      appendHierRows(spark, path, "codes", meta, cq, encodeSrc, vecCol,
-        rows, refitThreshold, residual = Some(residual))
-    } finally { encodeSrc.unpersist(); () }
+    appendIvfPqIndexHierWith(batch, path,
+      readCoarseQuantizer(spark, path), readPqCodebooks(spark, path),
+      idCol, vecCol, refitThreshold)
+  }
+
+  /** [[appendIvfPqIndexHier]] with quantizer AND codebooks PRE-LOADED
+    * — see [[appendIvfIndexHierWith]]: the foreachBatch ingest loop
+    * reads the big sidecars once at stream start; the one-row meta
+    * (re-armed drift base, residual flag) is re-read per call and
+    * shape-checked against the pre-loaded grid. */
+  def appendIvfPqIndexHierWith(batch: DataFrame, path: String,
+      cq: CoarseQuantizer, cb: PqCodebooks,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      refitThreshold: Double = 2.0): Double = {
+    val spark = batch.sparkSession
+    withWriterLock(spark, path, "appendIvfPqIndexHier") {
+      val meta = hierMetaRow(spark, path)
+      requireMetaMatchesQuantizer(meta, cq, path)
+      val residual = meta.getAs[Boolean]("residual")
+      val celled = batch.select(col(idCol), col(vecCol),
+          assignCellHier(col(vecCol), cq).as("cell"))
+        .filter(col("cell").isNotNull)
+      val encodeSrc =
+        (if (!residual) celled.withColumn("__enc", col(vecCol))
+        else rebaseByCell(celled, composedCentroids(spark, cq),
+          vecCol, "__enc"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val rows = encodeSrc.select(col(idCol), col("cell"),
+            graft.plans.PqExpressions.pq_encode(col("__enc"), cb.ncodes,
+              cb.dsub, cb.flat).as("codes"))
+          .filter(col("codes").isNotNull)
+        appendHierRows(spark, path, "codes", meta, cq, encodeSrc, vecCol,
+          rows, refitThreshold, residual = Some(residual))
+      } finally { encodeSrc.unpersist(); () }
+    }
   }
 
   /** The audit log of a store's appends: (n_rows, distortion,
     * base_distortion, refit_threshold) rows, one per append. Empty
-    * store never appended → path absent (read throws). */
+    * store never appended → path absent (read throws). One versioned
+    * file regardless of append count ([[appendLogRow]]); legacy
+    * one-file-per-append logs read via the whole-dir fallback. */
   def readAppendLog(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/appends")
+    readSidecar(spark, s"$path/appends")
 
   /** Shared back half of the two appends: drift gate (before any
-    * mutation), meta off, per-group file adds, append log, meta LAST. */
+    * mutation), per-group file adds, append log, meta republished LAST
+    * by atomic versioned swap — the store stays continuously readable
+    * through the whole append window (old manifest + a valid subset of
+    * the new rows; see the protocol note above [[writeSidecarAtomic]]).
+    * Callers hold the writer lock. */
   private def appendHierRows(spark: SparkSession, path: String,
       sub: String, meta: org.apache.spark.sql.Row, cq: CoarseQuantizer,
       measured: DataFrame, vecCol: String, writeRows: DataFrame,
@@ -1138,11 +1351,6 @@ object Similarity {
       s"append: batch has no validly-shaped vectors for the $path store")
     val bDist = meanCellDistortion(measured, cq, vecCol)
     requireNoDrift(bDist, base, refitThreshold, path)
-    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    // manifest off FIRST: the store is formally torn until the final
-    // writeHierMeta, and hierMetaRow refuses it in between
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/meta"), true)
     writeRows
       .withColumn("cell_grp", (col("cell") / cpg).cast("int"))
       .repartition(col("cell_grp"))
@@ -1150,7 +1358,7 @@ object Similarity {
       .write.mode("append").partitionBy("cell_grp")
       .parquet(s"$path/$sub")
     appendLogRow(spark, path, nRows, bDist, base, refitThreshold)
-    writeHierMeta(spark, path, cq, cpg, residual, base)
+    writeHierMeta(spark, path, cq, cpg, residual, rearmedBase(base, bDist))
     bDist
   }
 
@@ -1167,59 +1375,130 @@ object Similarity {
     * fragmentation. Cost ∝ the groups whose file count exceeds
     * `maxFilesPerGroup`, never the whole tree (at 100 TB a recurring
     * crawl fragments the groups its batches touch; untouched groups
-    * must not be re-shuffled to fix them). Same meta-last torn-write
-    * contract as the appends; a no-op (nothing fragmented) leaves the
-    * store untouched, meta included. Probe results are identical
-    * before and after (spec-pinned). */
+    * must not be re-shuffled to fix them). Compaction REWRITES dirs
+    * probes may hold listings of, so the store is formally torn (meta
+    * off) for the swap window — a maintenance op, unlike the never-
+    * torn appends; run it when probes quiesce, on the crawl cadence.
+    * A no-op (nothing fragmented) leaves the store untouched, meta
+    * included. Probe results are identical before and after
+    * (spec-pinned). Single-writer enforced via the store lock. */
   def compactIvfIndexHier(spark: SparkSession, path: String,
       maxFilesPerGroup: Int = 1): Unit =
-    compactHierStore(spark, path, "index", maxFilesPerGroup)
+    compactPartitionedStore(spark, path, "index", "cell_grp",
+      maxFilesPerGroup, sortCol = Some("cell"), "compactIvfIndexHier")
 
   /** [[compactIvfIndexHier]] for the PQ code tree. */
   def compactIvfPqIndexHier(spark: SparkSession, path: String,
       maxFilesPerGroup: Int = 1): Unit =
-    compactHierStore(spark, path, "codes", maxFilesPerGroup)
+    compactPartitionedStore(spark, path, "codes", "cell_grp",
+      maxFilesPerGroup, sortCol = Some("cell"), "compactIvfPqIndexHier")
 
-  private def compactHierStore(spark: SparkSession, path: String,
-      sub: String, maxFilesPerGroup: Int): Unit = {
-    require(maxFilesPerGroup >= 1, "maxFilesPerGroup must be >= 1")
-    val meta = hierMetaRow(spark, path)
-    val cq = readCoarseQuantizer(spark, path, Some(meta))
-    val cpg = meta.getAs[Int]("cells_per_group")
-    val residual =
-      if (meta.schema.fieldNames.contains("residual"))
-        Some(meta.getAs[Boolean]("residual"))
-      else None
-    val base = baseDistortionOf(meta, path, "compact")
-    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    val fragmented = fs
-      .listStatus(new org.apache.hadoop.fs.Path(s"$path/$sub"))
-      .filter(st => st.isDirectory &&
-        st.getPath.getName.startsWith("cell_grp="))
-      .filter(g => fs.listStatus(g.getPath).count(f => f.isFile &&
-        f.getPath.getName.endsWith(".parquet")) > maxFilesPerGroup)
-      .map(_.getPath)
-    if (fragmented.isEmpty) return
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/meta"), true)
-    // materialize AWAY from the tree being read (Spark cannot
-    // overwrite a path it reads), then swap ONLY the fragmented group
-    // dirs — the FingerprintIndexStore keys_next shape, per group
-    spark.read.option("basePath", s"$path/$sub")
-      .parquet(fragmented.map(_.toString).toSeq: _*)
-      .repartition(col("cell_grp"))
-      .sortWithinPartitions(col("cell"))
-      .write.mode("overwrite").partitionBy("cell_grp")
-      .parquet(s"$path/${sub}_next")
-    fragmented.foreach { g =>
-      val next = new org.apache.hadoop.fs.Path(
-        s"$path/${sub}_next/${g.getName}")
-      fs.delete(g, true)
-      require(fs.rename(next, g), s"compact: rename of $next failed")
+  /** [[compactIvfIndexHier]] for the FLAT per-cell IVF hive tree
+    * ([[writeIvfIndex]]/[[appendIvfIndex]]): a recurring crawl lands
+    * one file per touched cell per append, fragmenting the hive tree
+    * without bound; this rewrites only cells whose file count exceeds
+    * the threshold. Same torn-window maintenance contract. */
+  def compactIvfIndex(spark: SparkSession, path: String,
+      maxFilesPerCell: Int = 1): Unit =
+    compactPartitionedStore(spark, path, "index", "cell",
+      maxFilesPerCell, sortCol = None, "compactIvfIndex")
+
+  /** [[compactIvfIndex]] for the flat IVF-PQ code tree
+    * ([[writeIvfPqIndex]]/[[appendIvfPqIndex]]). */
+  def compactIvfPqIndex(spark: SparkSession, path: String,
+      maxFilesPerCell: Int = 1): Unit =
+    compactPartitionedStore(spark, path, "codes", "cell",
+      maxFilesPerCell, sortCol = None, "compactIvfPqIndex")
+
+  /** Compaction for the CELL-LESS flat PQ code table
+    * ([[writePqIndex]]/[[appendPqIndex]]): no partition dirs to scope
+    * the rewrite to, so when the table's file count exceeds
+    * `maxFiles` the WHOLE table rewrites to ~128 MB-target files —
+    * cost ∝ |table|, the honest price of the unpartitioned baseline
+    * layout (the celled layouts exist precisely so compaction and
+    * probes can prune). Same torn-window maintenance contract. */
+  def compactPqIndex(spark: SparkSession, path: String,
+      maxFiles: Int = 4): Unit = {
+    require(maxFiles >= 1, "maxFiles must be >= 1")
+    withWriterLock(spark, path, "compactPqIndex") {
+      val fs = hadoopFs(spark, path)
+      val (metaRows, metaSchema) = snapshotMeta(spark, path)
+      val sub = new org.apache.hadoop.fs.Path(s"$path/codes")
+      val files = fs.listStatus(sub).filter(st => st.isFile &&
+        st.getPath.getName.endsWith(".parquet"))
+      if (files.length > maxFiles) {
+        val nOut = math.max(1,
+          (files.map(_.getLen).sum / (128L << 20)).toInt)
+        val next = new org.apache.hadoop.fs.Path(s"$path/codes_next")
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/meta"), true)
+        spark.read.parquet(sub.toString).repartition(nOut)
+          .write.mode("overwrite").parquet(next.toString)
+        fs.delete(sub, true)
+        require(fs.rename(next, sub), s"compact: rename of $next failed")
+        restoreMeta(spark, path, metaRows, metaSchema)
+      }
     }
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/${sub}_next"), true)
-    writeHierMeta(spark, path, cq, cpg, residual, base)
   }
+
+  /** The one generic partition-scoped compaction core (hier groups and
+    * flat hive cells share it): list dirs whose parquet-file count
+    * exceeds the threshold, materialize them AWAY from the tree being
+    * read (Spark cannot overwrite a path it reads), then swap ONLY the
+    * fragmented dirs — the FingerprintIndexStore keys_next shape, per
+    * dir. Meta is snapshotted before, off during the swap, restored
+    * byte-identical after. */
+  private def compactPartitionedStore(spark: SparkSession, path: String,
+      sub: String, partCol: String, maxFiles: Int,
+      sortCol: Option[String], op: String): Unit = {
+    require(maxFiles >= 1, "maxFiles must be >= 1")
+    withWriterLock(spark, path, op) {
+      val fs = hadoopFs(spark, path)
+      val (metaRows, metaSchema) = snapshotMeta(spark, path)
+      val fragmented = fs
+        .listStatus(new org.apache.hadoop.fs.Path(s"$path/$sub"))
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith(s"$partCol="))
+        .filter(g => fs.listStatus(g.getPath).count(f => f.isFile &&
+          f.getPath.getName.endsWith(".parquet")) > maxFiles)
+        .map(_.getPath)
+      if (fragmented.nonEmpty) {
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/meta"), true)
+        val src = spark.read.option("basePath", s"$path/$sub")
+          .parquet(fragmented.map(_.toString).toSeq: _*)
+          .repartition(col(partCol))
+        sortCol.fold(src)(c => src.sortWithinPartitions(col(c)))
+          .write.mode("overwrite").partitionBy(partCol)
+          .parquet(s"$path/${sub}_next")
+        fragmented.foreach { g =>
+          val next = new org.apache.hadoop.fs.Path(
+            s"$path/${sub}_next/${g.getName}")
+          fs.delete(g, true)
+          require(fs.rename(next, g), s"compact: rename of $next failed")
+        }
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/${sub}_next"), true)
+        restoreMeta(spark, path, metaRows, metaSchema)
+      }
+    }
+  }
+
+  /** Capture the live meta manifest (rows + schema, driver-side — one
+    * tiny row) so compaction can restore it IDENTICALLY after the
+    * swap, whatever the layout's meta schema is. Fails loudly on a
+    * torn store before anything mutates. */
+  private def snapshotMeta(spark: SparkSession, path: String)
+      : (Array[org.apache.spark.sql.Row],
+         org.apache.spark.sql.types.StructType) = {
+    requireMetaParquet(spark, path)
+    val df = readSidecar(spark, s"$path/meta")
+    (df.collect(), df.schema)
+  }
+
+  private def restoreMeta(spark: SparkSession, path: String,
+      rows: Array[org.apache.spark.sql.Row],
+      schema: org.apache.spark.sql.types.StructType): Unit =
+    writeSidecarAtomic(spark, s"$path/meta",
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), schema))
 
   /** LSH-bucketed ANN with multi-probe: candidates = corpus rows whose
     * signature equals the query's signature OR any signature within
@@ -1327,32 +1606,34 @@ object Similarity {
       vecCol: String = "embedding", trainFraction: Double = 1.0,
       codebooks: Option[PqCodebooks] = None): Unit = {
     val spark = corpus.sparkSession
-    clearAppendLog(spark, path)
     val cb = codebooks.getOrElse(
       trainPqCodebooks(corpus, vecCol, m, ncodes, trainFraction))
-    spark.createDataFrame(cb.cents)
-      .toDF("sub", "code", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
-    // rows whose vector has the wrong length (or is null) encode to
-    // NULL codes — dead weight in the index: pq_adc yields NULL sim for
-    // them on every probe forever. Drop them at WRITE time (one cheap
-    // IsNotNull the scan pushes down), so the probe path never carries
-    // or re-filters them.
-    corpus.select(col(idCol),
-        graft.plans.PqExpressions.pq_encode(col(vecCol), cb.ncodes,
-          cb.dsub, cb.flat).as("codes"))
-      .filter(col("codes").isNotNull)
-      .write.mode("overwrite").parquet(s"$path/codes")
-    // append-era manifest, LAST: build-time ADC self-distortion (the
-    // PQ objective — there are no cells here, so codebook
-    // reconstruction error IS the drift signal for appendPqIndex)
-    val base = meanSelfAdc(
-      corpus.select(col(idCol), col(vecCol))
-        .join(spark.read.parquet(s"$path/codes"), Seq(idCol)),
-      vecCol, cb)
-    import spark.implicits._
-    Seq(base).toDF("base_distortion")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    withWriterLock(spark, path, "writePqIndex") {
+      beginRebuild(spark, path)
+      spark.createDataFrame(cb.cents)
+        .toDF("sub", "code", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+      // rows whose vector has the wrong length (or is null) encode to
+      // NULL codes — dead weight in the index: pq_adc yields NULL sim
+      // for them on every probe forever. Drop them at WRITE time (one
+      // cheap IsNotNull the scan pushes down), so the probe path never
+      // carries or re-filters them.
+      corpus.select(col(idCol),
+          graft.plans.PqExpressions.pq_encode(col(vecCol), cb.ncodes,
+            cb.dsub, cb.flat).as("codes"))
+        .filter(col("codes").isNotNull)
+        .write.mode("overwrite").parquet(s"$path/codes")
+      // append-era manifest, LAST: build-time ADC self-distortion (the
+      // PQ objective — there are no cells here, so codebook
+      // reconstruction error IS the drift signal for appendPqIndex)
+      val base = meanSelfAdc(
+        corpus.select(col(idCol), col(vecCol))
+          .join(spark.read.parquet(s"$path/codes"), Seq(idCol)),
+        vecCol, cb)
+      import spark.implicits._
+      writeSidecarAtomic(spark, s"$path/meta",
+        Seq(base).toDF("base_distortion"))
+    }
   }
 
   /** Mean ADC self-distortion of a frame carrying BOTH the (possibly
@@ -1377,6 +1658,7 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       refitThreshold: Double = 2.0): Double = {
     val spark = batch.sparkSession
+    withWriterLock(spark, path, "appendPqIndex") {
     val cb = readPqCodebooks(spark, path)
     val meta = flatMetaRow(spark, path)
     val base = baseDistortionOf(meta, path, "append")
@@ -1390,17 +1672,15 @@ object Similarity {
       require(nRows > 0, s"append: empty batch for the $path store")
       val bDist = meanSelfAdc(rows, vecCol, cb)
       requireNoDrift(bDist, base, refitThreshold, path)
-      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
-        spark.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/meta"), true)
       rows.select(col(idCol), col("codes"))
         .write.mode("append").parquet(s"$path/codes")
       appendLogRow(spark, path, nRows, bDist, base, refitThreshold)
       import spark.implicits._
-      Seq(base).toDF("base_distortion")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+      writeSidecarAtomic(spark, s"$path/meta",
+        Seq(rearmedBase(base, bDist)).toDF("base_distortion"))
       bDist
     } finally { rows.unpersist(); () }
+    }
   }
 
   /** Load a [[writePqIndex]]/[[writeIvfPqIndex]] codebook sidecar,
@@ -1471,7 +1751,6 @@ object Similarity {
     // codegen kernels. The layout self-describes via `$path/meta`
     // (residual flag), so a probe can never silently mis-read one
     // variant as the other.
-    clearAppendLog(spark, path)
     val celled = corpus.select(col(idCol), col(vecCol),
       nearestCell(col(vecCol), coarse).as("cell"))
     val centDf = spark.createDataFrame(coarse).toDF("cell", "centroid")
@@ -1487,7 +1766,8 @@ object Similarity {
     // no returned frame can recompute.
     encodeSrc.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
+    try withWriterLock(spark, path, "writeIvfPqIndex") {
+      beginRebuild(spark, path)
       val cb = codebooks.getOrElse(
         trainPqCodebooks(encodeSrc, "__enc", m, ncodes, trainFraction))
       spark.createDataFrame(cb.cents)
@@ -1508,8 +1788,8 @@ object Similarity {
         encodeSrc.filter(col("cell").isNotNull),
         centTableOf(spark, coarse), vecCol)
       import spark.implicits._
-      Seq((residual, base)).toDF("residual", "base_distortion")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+      writeSidecarAtomic(spark, s"$path/meta",
+        Seq((residual, base)).toDF("residual", "base_distortion"))
     } finally { encodeSrc.unpersist(); () }
   }
 
@@ -1522,6 +1802,7 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       refitThreshold: Double = 2.0): Double = {
     val spark = batch.sparkSession
+    withWriterLock(spark, path, "appendIvfPqIndex") {
     val cents = readCentroids(spark, path)
     val cb = readPqCodebooks(spark, path)
     val meta = flatMetaRow(spark, path)
@@ -1541,9 +1822,6 @@ object Similarity {
       val bDist = meanCellDistortionTable(encodeSrc,
         centTableOf(spark, cents), vecCol)
       requireNoDrift(bDist, base, refitThreshold, path)
-      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
-        spark.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/meta"), true)
       encodeSrc.select(col(idCol), col("cell"),
           graft.plans.PqExpressions.pq_encode(col("__enc"), cb.ncodes,
             cb.dsub, cb.flat).as("codes"))
@@ -1551,10 +1829,13 @@ object Similarity {
         .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
       appendLogRow(spark, path, nRows, bDist, base, refitThreshold)
       import spark.implicits._
-      Seq((residual, base)).toDF("residual", "base_distortion")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+      // residual stays column 0 (readIvfPqMeta reads positionally)
+      writeSidecarAtomic(spark, s"$path/meta",
+        Seq((residual, rearmedBase(base, bDist)))
+          .toDF("residual", "base_distortion"))
       bDist
     } finally { encodeSrc.unpersist(); () }
+    }
   }
 
   /** The residual flag of a [[writeIvfPqIndex]] layout. Every layout
@@ -1573,7 +1854,7 @@ object Similarity {
     * omits). */
   def readIvfPqMeta(spark: SparkSession, path: String): Boolean = {
     requireMetaParquet(spark, path)
-    spark.read.parquet(s"$path/meta").head().getBoolean(0)
+    readSidecar(spark, s"$path/meta").head().getBoolean(0)
   }
 
   /** Materialize the HIERARCHICAL IVF-PQ layout — [[writeIvfPqIndex]]
@@ -1600,7 +1881,6 @@ object Similarity {
       codebooks: Option[PqCodebooks] = None): Unit = {
     require(cellsPerGroup > 0, "cellsPerGroup must be positive")
     val spark = corpus.sparkSession
-    clearAppendLog(spark, path)
     val celled = corpus.select(col(idCol), col(vecCol),
       assignCellHier(col(vecCol), cq).as("cell"))
     // composed-cell centroid table for the residual rebase: nlist rows
@@ -1616,7 +1896,8 @@ object Similarity {
     // persist on both variants now, not just residual's many actions
     encodeSrc.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
+    try withWriterLock(spark, path, "writeIvfPqIndexHier") {
+      beginRebuild(spark, path)
       // `codebooks` bypasses the PQ fit with pre-trained books — the
       // append ≡ rebuild comparison shape (an appended store's codes
       // come from the BUILD-time books, so the rebuild side must too)
@@ -1667,7 +1948,7 @@ object Similarity {
   private def hierMetaRow(spark: SparkSession,
       path: String): org.apache.spark.sql.Row = {
     requireMetaParquet(spark, path)
-    spark.read.parquet(s"$path/meta").head()
+    readSidecar(spark, s"$path/meta").head()
   }
 
   /** Probe a hierarchical IVF-PQ layout: the [[ivfPqTopKFromIndex]]

@@ -216,7 +216,16 @@ object Streams {
     * |probed cells| instead of |corpus codes| — the 100 TB regime.
     * Residual layouts rebase the query per probed cell exactly like
     * the batch path (broadcast join against the nlist-row centroid
-    * table — static, stateless). */
+    * table — static, stateless).
+    *
+    * Staleness under a concurrent [[annIngestBatch]]: the stream-
+    * static side snapshots the codes FILE LISTING at stream start, so
+    * a running probe stream never observes appended rows — restart it
+    * (or use [[annProbeBatch]], which re-reads the store per
+    * microbatch) to pick appends up. Appends never tear the store
+    * (atomic sidecar protocol), but compaction rewrites files and can
+    * crash a running probe stream with missing-file errors — it is a
+    * maintenance op for when probe streams quiesce. */
   def annTopKStream(spark: SparkSession, path: String, vecs: DataFrame,
       k: Int, nprobe: Int = 4, beam: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding",
@@ -274,32 +283,55 @@ object Streams {
     * the streaming family ([[annTopKStream]]/[[annProbeBatch]] are the
     * probe side): a `foreachBatch` body that appends each microbatch
     * of vectors to a persisted hierarchical IVF-PQ store with the
-    * PERSISTED quantizer and codebooks
-    * ([[graft.operators.Similarity.appendIvfPqIndexHier]] — never a
-    * re-fit), so a crawl keeps the index current while probes keep
-    * running against it. Per-microbatch cost ∝ |batch| (kernel
-    * assign + encode + per-group file adds — the index is never read);
-    * schedule [[graft.operators.Similarity.compactIvfPqIndexHier]] on
-    * the crawl cadence. The drift gate FAILS THE STREAM by design when
-    * the corpus distribution walks past the quantizer — a restarted
-    * query beats a silently degrading index. Batches should be
-    * id-novel: the dedup gates ([[embeddingGateBatch]],
-    * [[dedupDocsAgainstIndex]]) compose upstream of this. `onAppend`
-    * observes (batchId, rows, distortion) per append for telemetry. */
+    * PERSISTED quantizer and codebooks — never a re-fit. The big
+    * sidecars (quantizer l2 is the 0.5–8 GB half at real nlist·dim)
+    * are read ONCE here at stream construction and reused by every
+    * microbatch via
+    * [[graft.operators.Similarity.appendIvfPqIndexHierWith]], so
+    * per-microbatch cost is genuinely ∝ |batch| (kernel assign +
+    * encode + per-group file adds; only the one-row meta re-reads per
+    * batch, and a store re-fit under the live loop fails loudly on
+    * the grid-shape check).
+    *
+    * Concurrency (the r15 store protocol): appends publish meta and
+    * the appends log by atomic versioned swap, so the store is NEVER
+    * torn mid-append — concurrent [[annProbeBatch]] probes (which
+    * re-read the store per microbatch) observe each append as soon as
+    * its meta lands, and batch probes racing an append see the old
+    * manifest plus a valid subset of the new rows. A concurrent
+    * [[annTopKStream]] is different: its stream-static side snapshots
+    * the codes FILE LISTING at stream start, so a running probe
+    * stream never sees appended rows (restart it to pick them up) —
+    * and a compaction pass (which rewrites files) can crash it with
+    * missing-file errors; compaction is a maintenance op to run when
+    * probe streams quiesce. Single-writer is enforced on the store,
+    * so exactly one ingest loop per index.
+    *
+    * The drift gate FAILS THE STREAM by design when the corpus
+    * distribution walks past the quantizer — a restarted query beats
+    * a silently degrading index. Batches should be id-novel: the
+    * dedup gates ([[embeddingGateBatch]], [[dedupDocsAgainstIndex]])
+    * compose upstream of this. `onAppend` observes (batchId, rows,
+    * distortion) per append for telemetry. */
   def annIngestBatch(spark: SparkSession, path: String,
       idCol: String = "vec_id", vecCol: String = "embedding",
       refitThreshold: Double = 2.0,
       onAppend: (Long, Long, Double) => Unit = (_, _, _) => ())
-      : (DataFrame, Long) => Unit = { (batch, batchId) =>
-    // ONE action decides both the empty-guard and the telemetry count
-    // (isEmpty + count would scan the unpersisted microbatch twice
-    // before the append's own scan)
-    val n = batch.count()
-    if (n > 0) {
-      val dist = graft.operators.Similarity.appendIvfPqIndexHier(
-        batch.select(col(idCol), col(vecCol)), path, idCol, vecCol,
-        refitThreshold)
-      onAppend(batchId, n, dist)
+      : (DataFrame, Long) => Unit = {
+    import graft.operators.Similarity
+    val cq = Similarity.readCoarseQuantizer(spark, path)
+    val cb = Similarity.readPqCodebooks(spark, path)
+    (batch, batchId) => {
+      // ONE action decides both the empty-guard and the telemetry count
+      // (isEmpty + count would scan the unpersisted microbatch twice
+      // before the append's own scan)
+      val n = batch.count()
+      if (n > 0) {
+        val dist = Similarity.appendIvfPqIndexHierWith(
+          batch.select(col(idCol), col(vecCol)), path, cq, cb, idCol,
+          vecCol, refitThreshold)
+        onAppend(batchId, n, dist)
+      }
     }
   }
 
