@@ -3086,6 +3086,80 @@ object QueriesPipeline {
           WHERE a.vec_id <> p.qid)
         WHERE rnk <= 10""")),
 
+    // The LAZY hierarchical probe under the SAME strict replay — the
+    // probe shape for the regime past the broadcast carrier's ceiling
+    // (nlist ~10⁶ at d≥1024, where shipping the whole l2 grid per
+    // executor stops scaling): stage 1 beams on the √nlist-sized l1
+    // through the real kernel, stage 2 scores ONLY the beam-opened
+    // cells' sub-tables read relationally from the quantizer sidecar.
+    // Lazy ≡ kernel is spec-pinned row-for-row (CoarseSpec); here the
+    // lazy path additionally replays externally against DuckDB with
+    // its own beam/nprobe/k so the two queries cannot mask each other.
+    "q_sim_ivf_hier_lazy" -> Entry(
+      (s, dir) => {
+        val idxPath = ensureIvfHierIndex(s, dir)
+        val em = t(s, dir, "embeddings")
+        val queries = em.filter(col("vec_id") >= 5 && col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        Similarity.ivfHierTopKFromIndexLazy(s, idxPath, queries, 8,
+            nprobe = 3, beam = 3)
+          .select(col("qid"), col("rank").as("rnk"), col("vec_id"))
+      },
+      Some("""WITH l1c AS (
+          SELECT c1, CAST(centroid AS DOUBLE[]) AS c
+          FROM read_parquet('{STAGING:ivfh_3x3_v4}/l1/*.parquet')
+        ), l2c AS (
+          SELECT c1, c1 * 3 + c2 AS cell, CAST(centroid AS DOUBLE[]) AS c
+          FROM read_parquet('{STAGING:ivfh_3x3_v4}/quantizer/*.parquet')
+        ), a1 AS (
+          SELECT vec_id, c1 FROM (
+            SELECT e.vec_id, l.c1,
+              row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                  l.c) DESC, l.c1) AS r
+            FROM embeddings e CROSS JOIN l1c l)
+          WHERE r = 1
+        ), assigned AS (
+          SELECT vec_id, cell FROM (
+            SELECT a1.vec_id, s.cell,
+              row_number() OVER (PARTITION BY a1.vec_id ORDER BY
+                list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                  s.c) DESC, s.cell) AS r
+            FROM a1 JOIN embeddings e USING (vec_id)
+            JOIN l2c s ON s.c1 = a1.c1)
+          WHERE r = 1
+        ), q AS (
+          SELECT vec_id AS qid, embedding FROM embeddings
+          WHERE vec_id >= 5 AND vec_id < 10
+        ), qb AS (
+          SELECT qid, c1 FROM (
+            SELECT q.qid, l.c1,
+              row_number() OVER (PARTITION BY q.qid ORDER BY
+                list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                  l.c) DESC, l.c1) AS r
+            FROM q CROSS JOIN l1c l)
+          WHERE r <= 3
+        ), qcell AS (
+          SELECT qid, cell FROM (
+            SELECT q.qid, s.cell,
+              row_number() OVER (PARTITION BY q.qid ORDER BY
+                list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                  s.c) DESC, s.cell) AS r
+            FROM q JOIN qb ON qb.qid = q.qid
+            JOIN l2c s ON s.c1 = qb.c1)
+          WHERE r <= 3)
+        SELECT qid, rnk, vec_id FROM (
+          SELECT p.qid, a.vec_id,
+            row_number() OVER (PARTITION BY p.qid ORDER BY
+              list_cosine_similarity(CAST(ce.embedding AS DOUBLE[]),
+                CAST(qe.embedding AS DOUBLE[])) DESC, a.vec_id) AS rnk
+          FROM assigned a
+          JOIN qcell p ON a.cell = p.cell
+          JOIN embeddings ce ON ce.vec_id = a.vec_id
+          JOIN embeddings qe ON qe.vec_id = p.qid
+          WHERE a.vec_id <> p.qid)
+        WHERE rnk <= 8""")),
+
     // The ANN append path under a STRICT oracle: the staged hier tree
     // builds as BUILD(vec_id < 400) + APPEND(vec_id >= 400) with the
     // persisted quantizer, so the appended rows' cells are a pure

@@ -1986,6 +1986,139 @@ object Similarity {
     topKPerGroup(scored, k, qidCol, idCol)
   }
 
+  // ---- lazy (past-broadcast-ceiling) hierarchical probes ---------------
+
+  /** The composed (cell, centroid) table read RELATIONALLY from the
+    * quantizer sidecar — the lazy regime's replacement for
+    * [[composedCentroids]], which materializes the whole l2 grid
+    * driver-side. Callers MUST filter to probed cells before
+    * broadcasting it (that is the point: |probed|·d values move, not
+    * nlist·d). */
+  private def sidecarComposedCentroids(spark: SparkSession,
+      path: String, k2: Int): DataFrame =
+    spark.read.parquet(s"$path/quantizer")
+      .select((col("c1") * lit(k2) + col("c2")).cast("int").as("cell"),
+        col("centroid"))
+
+  /** Beam-opened probe cells as a DATAFRAME (qid, qvec, cell) — the
+    * probe shape for the regime PAST the broadcast carrier's ceiling
+    * (nlist ~10⁶ at d ≥ 1024: l2 ≥ 8 GB resident per executor — the
+    * ceiling [[graft.plans.CoarseTables]] names). Nothing here ever
+    * materializes or broadcasts the l2 grid:
+    *
+    *   - stage 1 (the level-1 beam) runs the SAME kernel as
+    *     [[probeCellsHier]] over the √nlist-sized l1 viewed as a
+    *     k2 = 1 quantizer — plan-sized tables, exact stage-1 tie-break
+    *     semantics by construction (same code path);
+    *   - stage 2 scores ONLY the beam-opened level-1 cells' k2-sized
+    *     sub-tables, read relationally from the quantizer sidecar (the
+    *     sidecar is (c1, c2)-sorted at write, so the `c1 isin(opened)`
+    *     predicate prunes at the parquet row-group stats); executors
+    *     stream the scan's batches — residency is ∝ beam·k2·d per
+    *     query batch, never nlist·d.
+    *
+    * Exact parity with the kernel probe is spec-pinned: cosine_sim IS
+    * the kernel's cosAt arithmetic (sequential double, per-element
+    * float upcast), NaN sanitizes to −∞ exactly like the kernel's fill
+    * loop, and the (sim desc, composed cell asc) window reproduces the
+    * kernel's stage-2 tie-break. */
+  private def lazyHierProbes(spark: SparkSession, path: String,
+      meta: org.apache.spark.sql.Row, queries: DataFrame, nprobe: Int,
+      beam: Int, qidCol: String, qvecCol: String): DataFrame = {
+    val (k1, k2, dim) = (meta.getAs[Int]("k1"), meta.getAs[Int]("k2"),
+      meta.getAs[Int]("dim"))
+    val l1 = spark.read.parquet(s"$path/l1").collect().toSeq
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    require(l1.map(_._1) == (0 until k1) &&
+        l1.forall(_._2.length == dim),
+      s"lazyHierProbes: l1 sidecar at $path is not the complete " +
+        s"0..${k1 - 1}×$dim grid — torn store?")
+    // l1 as a k2=1 quantizer: the stage-1 beam through the REAL kernel
+    // (composed id ≡ level-1 index when k2 = 1), nprobe = beam so all
+    // opened cells come back
+    val l1Cq = CoarseQuantizer(k1, 1, dim, l1,
+      l1.map { case (c, v) => (c, 0, v) })
+    val probesL1 = queries.select(col(qidCol), col(qvecCol),
+        explode(probeCellsHier(col(qvecCol), l1Cq, beam, beam)).as("c1"))
+      .localCheckpoint(eager = true)
+    val opened = probesL1.select("c1").distinct()
+      .collect().map(_.getInt(0)) // |q|·beam ints — driver-bounded
+    val sub = spark.read.parquet(s"$path/quantizer")
+      .filter(col("c1").isin(opened.toSeq: _*))
+      .select(col("c1"),
+        (col("c1") * lit(k2) + col("c2")).cast("int").as("cell"),
+        col("centroid"))
+    val s = cosine(col("centroid"), col(qvecCol))
+    val scored = sub.join(broadcast(probesL1), Seq("c1"))
+      .withColumn("__s",
+        when(isnan(s), lit(Double.NegativeInfinity)).otherwise(s))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qidCol))
+      .orderBy(col("__s").desc, col("cell").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= nprobe)
+      .select(col(qidCol), col(qvecCol), col("cell"))
+  }
+
+  /** [[ivfHierTopKFromIndex]] through the LAZY probe
+    * ([[lazyHierProbes]]) — row-identical results (spec-pinned and
+    * strict-oracle-replayed), executor table residency ∝ beam·k2·d
+    * instead of nlist·d. Deploy this shape past the broadcast
+    * carrier's ceiling; below it the kernel probe wins (no sidecar
+    * scan, no probe window shuffle per query batch). */
+  def ivfHierTopKFromIndexLazy(spark: SparkSession, path: String,
+      queries: DataFrame, k: Int, nprobe: Int = 4, beam: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qidCol: String = "qid", qvecCol: String = "qvec"): DataFrame = {
+    val meta = hierMetaRow(spark, path)
+    val probes = lazyHierProbes(spark, path, meta, queries, nprobe,
+      beam, qidCol, qvecCol).localCheckpoint(eager = true)
+    val probedCells = probes.select("cell").distinct()
+      .collect().map(_.getInt(0)) // |q|·nprobe ints — driver-bounded
+    val cpg = meta.getAs[Int]("cells_per_group")
+    val probedGroups = probedCells.map(_ / cpg).distinct
+    val index = spark.read.parquet(s"$path/index")
+      .filter(col("cell_grp").isin(probedGroups.toSeq: _*) &&
+        col("cell").isin(probedCells.toSeq: _*))
+    rerankWithinCells(index, probes, k, idCol, vecCol, qidCol, qvecCol)
+  }
+
+  /** [[ivfPqHierTopKFromIndex]] through the LAZY probe — the 100 TB
+    * endgame shape: m-int ADC over the group/cell-pruned code tree,
+    * residual query rebase against the SIDECAR-backed centroid table
+    * filtered to probed cells (|probed|·d values broadcast — never
+    * the nlist·d grid), and no l2 table resident anywhere. */
+  def ivfPqHierTopKFromIndexLazy(spark: SparkSession, path: String,
+      queries: DataFrame, k: Int, nprobe: Int = 4, beam: Int = 2,
+      idCol: String = "vec_id", qidCol: String = "qid",
+      qvecCol: String = "qvec"): DataFrame = {
+    val meta = hierMetaRow(spark, path)
+    val cb = readPqCodebooks(spark, path)
+    val residual = meta.getAs[Boolean]("residual")
+    val k2 = meta.getAs[Int]("k2")
+    val probes0 = lazyHierProbes(spark, path, meta, queries, nprobe,
+      beam, qidCol, qvecCol).localCheckpoint(eager = true)
+    val probedCells = probes0.select("cell").distinct()
+      .collect().map(_.getInt(0)) // |q|·nprobe ints — driver-bounded
+    val probes = (if (!residual) probes0
+      else rebaseByCell(probes0,
+        sidecarComposedCentroids(spark, path, k2)
+          .filter(col("cell").isin(probedCells.toSeq: _*)),
+        qvecCol, qvecCol)).localCheckpoint(eager = true)
+    val cpg = meta.getAs[Int]("cells_per_group")
+    val probedGroups = probedCells.map(_ / cpg).distinct
+    val codes = spark.read.parquet(s"$path/codes")
+      .filter(col("cell_grp").isin(probedGroups.toSeq: _*) &&
+        col("cell").isin(probedCells.toSeq: _*))
+    val scored = codes.join(broadcast(probes), Seq("cell"))
+      .filter(col(idCol) =!= col(qidCol))
+      .select(col(qidCol), col(idCol),
+        (-graft.plans.PqExpressions.pq_adc(col(qvecCol), col("codes"),
+          cb.ncodes, cb.dsub, cb.flat)).as("sim"))
+    topKPerGroup(scored, k, qidCol, idCol)
+  }
+
   /** Refined hierarchical IVF-PQ search — the FAISS refine stage: the
     * ADC probe shortlists `k·refineFactor` candidates per query from
     * the code table (I/O and compute bounded by probed cells and

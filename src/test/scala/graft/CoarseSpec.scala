@@ -459,4 +459,44 @@ class CoarseSpec extends AnyFunSuite {
     assert(r2 >= 0.6, s"beam=2 recall=$r2")
     assert(r3 >= 0.6, s"beam=3 recall=$r3")
   }
+
+  test("lazy probe ≡ kernel probe, row-for-row: hier IVF and hier " +
+      "IVF-PQ (raw and residual), across beams — the past-the-" +
+      "broadcast-ceiling path must be a pure re-plumbing of the same " +
+      "arithmetic, never a different ranking") {
+    val em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cq = Similarity.trainCoarseHierarchical(em, "embedding", 9,
+      minPointsPerCentroid = 8)
+    val queries = em.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val pIvf = java.nio.file.Files.createTempDirectory("lazyIvf").toString
+    Similarity.writeIvfIndexHier(em, pIvf, 9, quantizer = Some(cq))
+    for (beam <- Seq(1, 2, 3); nprobe <- Seq(2, 4)) {
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select("qid", "rank", "vec_id", "sim").collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+            r.getDouble(3))).toSet
+      val kern = rows(Similarity.ivfHierTopKFromIndex(spark, pIvf,
+        queries, 5, nprobe = nprobe, beam = beam))
+      val lazyR = rows(Similarity.ivfHierTopKFromIndexLazy(spark, pIvf,
+        queries, 5, nprobe = nprobe, beam = beam))
+      assert(lazyR == kern, s"hier IVF lazy ≠ kernel at beam=$beam " +
+        s"nprobe=$nprobe")
+    }
+    for (residual <- Seq(false, true)) {
+      val p = java.nio.file.Files.createTempDirectory(
+        s"lazyPq$residual").toString
+      Similarity.writeIvfPqIndexHier(em, p, cq, m = 8, ncodes = 16,
+        residual = residual)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select("qid", "rank", "vec_id").collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val kern = rows(Similarity.ivfPqHierTopKFromIndex(spark, p,
+        queries, 5, nprobe = 4, beam = 3))
+      val lazyR = rows(Similarity.ivfPqHierTopKFromIndexLazy(spark, p,
+        queries, 5, nprobe = 4, beam = 3))
+      assert(lazyR == kern,
+        s"hier IVF-PQ (residual=$residual) lazy ≠ kernel")
+    }
+  }
 }

@@ -167,6 +167,26 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"no partition pruning in plan:\n$p")
   }
 
+  test("q_sim_ivf_hier_lazy: the lazy probe's rerank keeps the kernel " +
+      "path's plan laws — partition pruning, vectors never exchange, " +
+      "and NO l2-table broadcast variable anywhere") {
+    val p = plan("q_sim_ivf_hier_lazy")
+    // same vector-exchange law as the kernel path: the probe frame is
+    // checkpointed, so the final plan is the pruned index scan + the
+    // broadcast probes rerank — an Exchange carrying an embedding
+    // column would mean the lazy re-plumbing broke the rerank shape
+    val exchanges = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(exchanges.forall(l =>
+      !l.contains("embedding") && !l.contains("qvec")),
+      s"vector column in an Exchange:\n${exchanges.mkString("\n")}")
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined,
+      s"no partition pruning in plan:\n$p")
+    // the whole point of the lazy shape: no coarse_probe kernel (and
+    // with it no whole-l2 broadcast) in the final rerank plan
+    assert(!p.contains("coarse_probe"),
+      s"lazy probe plan still carries the kernel probe:\n$p")
+  }
+
   test("q_sim_hier_append_audit: appended-batch filter pushes to the " +
       "index scan; the one-row log broadcasts; no shuffle anywhere") {
     val p = plan("q_sim_hier_append_audit")
