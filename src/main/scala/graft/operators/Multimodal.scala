@@ -74,14 +74,39 @@ object Multimodal {
 
   /** One raster decode, shared by feature extraction and resize (the
     * resize path previously decoded the same bytes twice — once for
-    * dims, once for the scale — doubling its dominant per-row cost). */
+    * dims, once for the scale — doubling its dominant per-row cost).
+    *
+    * Hostile-input bound (the stsz discipline, applied to rasters):
+    * image headers DECLARE their dimensions, and ImageIO allocates the
+    * raster from the header before decoding a single pixel — a
+    * 100-byte BMP declaring 2³⁰×2³⁰ would OOM the executor. Dims are
+    * therefore read from the header FIRST (readers parse them without
+    * decoding) and the decode refuses when declared pixels exceed
+    * max(2²⁶, 256·|bytes|) — 67 MP flat, or a 256-pixels-per-input-
+    * byte compression ratio, beyond any real photographic encoding;
+    * refusal means None (the undecodable contract), never an OOM. */
   private def readRaster(content: Array[Byte])
       : Option[java.awt.image.BufferedImage] = {
-    val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
-      catch { case _: Exception => null }
-    if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
-    else Some(img)
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(content))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val w = reader.getWidth(0)
+            val h = reader.getHeight(0)
+            val maxPixels = math.max(1L << 26, 256L * content.length)
+            if (w <= 0 || h <= 0 || w.toLong * h > maxPixels) None
+            else Option(reader.read(0))
+              .filter(img => img.getWidth > 0 && img.getHeight > 0)
+          } finally reader.dispose()
+        }
+      } finally if (iis != null) iis.close()
+    } catch { case _: Exception => None }
   }
 
   private def imageFeature(img: java.awt.image.BufferedImage): Array[Float] = {
@@ -355,6 +380,26 @@ object Multimodal {
       javax.imageio.ImageIO.write(img, "jpg", bos)
       bos.toByteArray
     }
+    syntheticMov("jpeg", w, h, jpegs)
+  }
+
+  /** Deterministic FOREIGN-codec BMFF: the [[syntheticMovJpeg]] tree
+    * with the stsd sample entry set to `fourcc` and opaque payloads —
+    * the BMFF-side fixture for the [[VideoFrameDecoder]] seam. */
+  private[graft] def syntheticForeignMov(id: Long,
+      fourcc: String): Array[Byte] = {
+    require(fourcc.length == 4, "fourcc must be 4 chars")
+    val nf = 2 + ((id / 3) % 3).toInt
+    val frames = (0 until nf).map { f =>
+      Array.tabulate(48)(i => ((id * 13 + f * 5 + i) & 0xFF).toByte)
+    }
+    syntheticMov(fourcc, 16, 12, frames)
+  }
+
+  /** The shared ftyp|mdat|moov writer behind both synthetic MOVs. */
+  private def syntheticMov(fmt: String, w: Int, h: Int,
+      jpegs: Seq[Array[Byte]]): Array[Byte] = {
+    val nf = jpegs.length
     val timescale = 600
     val durationTicks = nf * 25 // 25 ticks/frame
     val bb = java.nio.ByteBuffer.allocate(
@@ -399,7 +444,7 @@ object Multimodal {
               box("stsd") {
                 bb.putInt(0) // version + flags
                 bb.putInt(1) // entry_count
-                val seAt = bb.position(); bb.putInt(0); fcc("jpeg")
+                val seAt = bb.position(); bb.putInt(0); fcc(fmt)
                 (0 until 6).foreach(_ => bb.put(0.toByte)) // reserved
                 bb.putShort(1)                // data_reference_index
                 bb.putShort(0); bb.putShort(0) // version, revision
@@ -458,12 +503,28 @@ object Multimodal {
     bmffJpegWalk(content, firstOnly = true).headOption
 
   private def bmffJpegWalk(content: Array[Byte], firstOnly: Boolean)
-      : IndexedSeq[Array[Byte]] = {
+      : IndexedSeq[Array[Byte]] =
+    bmffSampleWalk(content, firstOnly,
+      accept = f => f == "jpeg" || f == "mjpa", requireSoi = true)
+      .map(_._2).getOrElse(IndexedSeq.empty)
+
+  /** The parameterized sample-table walk [[bmffJpegWalk]] and the
+    * decoder-seam's foreign extraction share: gather stsd/stsz/stsc/
+    * stco per trak, take the first trak whose sample-entry fourcc
+    * `accept` claims, reconstruct every sample slice with the same
+    * in-bounds + mutual-consistency bars. `requireSoi` adds the JPEG
+    * SOI check per slice (the jpeg/mjpa path's all-or-nothing decode
+    * bar); foreign codecs keep the structural bars but their payload
+    * validity is the DECODER's judgment, not the walker's. Returns
+    * (sample-entry fourcc, frames). */
+  private def bmffSampleWalk(content: Array[Byte], firstOnly: Boolean,
+      accept: String => Boolean, requireSoi: Boolean)
+      : Option[(String, IndexedSeq[Array[Byte]])] = {
     val be32 = bmffBe32(content) _
     def be64(o: Int): Long = (be32(o) << 32) | be32(o + 4)
     try {
       if (content.length < 12 || bmffTyp(content)(4) != "ftyp")
-        return IndexedSeq.empty
+        return None
       // per-trak sample-table gather: containers descend, leaves fill
       final case class Tables(var fmt: String = null,
         var sizes: Array[Int] = null,
@@ -512,7 +573,7 @@ object Multimodal {
             if (tt == "trak" && tables == null) {
               val tb = Tables()
               scanTrak(ts, te, tb)
-              if (tb.fmt == "jpeg" || tb.fmt == "mjpa") tables = tb
+              if (tb.fmt != null && accept(tb.fmt)) tables = tb
             }
           }
       }
@@ -520,7 +581,7 @@ object Multimodal {
           tables.sizes.isEmpty || tables.stsc == null ||
           tables.stsc.isEmpty || tables.chunkOffs == null ||
           tables.chunkOffs.isEmpty)
-        return IndexedSeq.empty
+        return None
       val sizes = tables.sizes
       val out = IndexedSeq.newBuilder[Array[Byte]]
       var sample = 0
@@ -543,10 +604,11 @@ object Multimodal {
           // VALIDATES every sample — it only skips the payload copies
           // past the first, so the classification bar and the decode
           // bar are the same all-or-nothing judgment
-          if (sz < 4 || off < 0 || off + sz > content.length ||
-              (content(off.toInt) & 0xFF) != 0xFF ||
-              (content(off.toInt + 1) & 0xFF) != 0xD8)
-            return IndexedSeq.empty
+          if (sz < 1 || off < 0 || off + sz > content.length ||
+              (requireSoi && (sz < 4 ||
+                (content(off.toInt) & 0xFF) != 0xFF ||
+                (content(off.toInt + 1) & 0xFF) != 0xD8)))
+            return None
           if (!firstOnly || sample == 0)
             out += java.util.Arrays.copyOfRange(content, off.toInt,
               (off + sz).toInt)
@@ -556,8 +618,9 @@ object Multimodal {
       }
       // the tables must be mutually consistent: every declared sample
       // reconstructed, none left over
-      if (sample != sizes.length) IndexedSeq.empty else out.result()
-    } catch { case _: Exception => IndexedSeq.empty }
+      if (sample != sizes.length) None
+      else Some((tables.fmt, out.result()))
+    } catch { case _: Exception => None }
   }
 
   /** REAL video FRAME decode for the one codec the bare JDK can
@@ -698,8 +761,16 @@ object Multimodal {
       val h = math.abs(h0)
       if (!raw || w <= 0 || h == 0) None
       else {
-        val stride = (w * 3 + 3) & ~3
-        val want = stride.toLong * h
+        // stride in LONG: a hostile header width near 2³⁰ overflows
+        // 32-bit w*3 to a small stride whose `want` could match a tiny
+        // chunk — and dibFrameImage would then allocate w·h pixels
+        // from the lying header. In long arithmetic a hostile width
+        // yields want > |content| ≥ every chunk, so nothing matches
+        // and the row is honestly undecodable; accepted frames thus
+        // guarantee w·h ≤ |content|/3 and the image allocation is
+        // bounded by input size.
+        val stride = (w.toLong * 3 + 3) & ~3L
+        val want = stride * h
         val fs = aviFrameChunks(content, firstOnly = false,
             requireSoi = false)
           .filter(_.length.toLong == want)
@@ -797,6 +868,77 @@ object Multimodal {
     StructField("height", IntegerType, nullable = false),
     StructField("feature", ArrayType(FloatType), nullable = false)))
 
+  /** The pluggable frame-decoder seam — the extension point that turns
+    * the bare-JDK DCT-codec gap (H.264/VP9/AV1) into a seam instead of
+    * a wall: the container walkers (RIFF-AVI movi chunks, BMFF sample
+    * tables) extract frame payloads for ANY codec fourcc; payloads
+    * whose codec the built-in JDK paths can't decode are handed to the
+    * registered decoders. An FFI/JNI-backed H.264 decoder plugs in
+    * here WITHOUT touching schema, frame sampling, feature shape or
+    * the coverage audit — they are all codec-agnostic. Implementations
+    * must be Serializable (they ride the mapPartitions closure) and
+    * thread-safe per executor. */
+  trait VideoFrameDecoder extends Serializable {
+    /** Shown in [[videoCodecProfile]] as `ext:<codec>` provenance. */
+    def name: String
+    /** Claimed codec ids — normalized fourcc, lowercase, trimmed
+      * (e.g. "h264", "avc1", "vp09", "av01"). */
+    def claims(codec: String): Boolean
+    /** One frame payload → (width, height, feature); None = payload
+      * undecodable (the row contributes no frame, same contract as the
+      * built-in paths). `width`/`height` are the CONTAINER's declared
+      * geometry (-1 when the container doesn't state it — BMFF sample
+      * entries carry it, this seam passes what it has). */
+    def decode(codec: String, width: Int, height: Int,
+        payload: Array[Byte]): Option[(Int, Int, Array[Float])]
+  }
+
+  /** Normalized codec id of a fourcc: trimmed, lowercase. */
+  private def normFourcc(f: String): String = f.trim.toLowerCase
+
+  /** biCompression (a little-endian fourcc when non-zero) or the
+    * stream-handler fourcc — the AVI side's codec id. */
+  private def aviCodecId(comp: Long, handler: String): String =
+    if (comp != 0L)
+      normFourcc(new String(Array((comp & 0xFF).toByte,
+        ((comp >> 8) & 0xFF).toByte, ((comp >> 16) & 0xFF).toByte,
+        ((comp >> 24) & 0xFF).toByte), "ISO-8859-1"))
+    else normFourcc(handler)
+
+  /** Foreign-codec frame extraction: the container walk for streams
+    * the built-in JDK paths do NOT decode, dispatched to the first
+    * registered decoder claiming the codec. AVI hands every movi
+    * frame chunk (no SOI bar — payload validity is the decoder's
+    * judgment); BMFF reconstructs the sample slices through the same
+    * structural bars as the jpeg walk. Returns
+    * (codec, width, height, frames, decoder). */
+  private def foreignStream(content: Array[Byte],
+      decoders: Seq[VideoFrameDecoder])
+      : Option[(String, Int, Int, IndexedSeq[Array[Byte]],
+        VideoFrameDecoder)] = {
+    if (decoders.isEmpty) return None
+    val avi = aviStreamFormat(content).flatMap {
+      case (handler, w, h, _, comp) =>
+        val codec = aviCodecId(comp, handler)
+        decoders.find(_.claims(codec)).flatMap { d =>
+          val fs = aviFrameChunks(content, firstOnly = false,
+            requireSoi = false)
+          if (fs.isEmpty) None
+          else Some((codec, w, math.abs(h), fs, d))
+        }
+    }
+    avi.orElse {
+      bmffSampleWalk(content, firstOnly = false,
+          accept = f => decoders.exists(_.claims(normFourcc(f))),
+          requireSoi = false)
+        .flatMap { case (fmt, fs) =>
+          val codec = normFourcc(fmt)
+          decoders.find(_.claims(codec)).flatMap(d =>
+            if (fs.isEmpty) None else Some((codec, -1, -1, fs, d)))
+        }
+    }
+  }
+
   /** Frame-sample + decode: every `step`-th frame of each decodable
     * AVI row — MJPEG frames through the SAME image kernel as still
     * images, uncompressed-RGB ('DIB '/rawvideo) frames through the
@@ -805,8 +947,14 @@ object Multimodal {
     * JDK-decodable codecs. Rows whose container/codec can't frame-
     * decode contribute no rows (count them against the input to audit
     * codec coverage — [[videoCodecProfile]]); partition-wise batch
-    * loop like [[extractFeatures]] so codec init amortizes. */
-  def videoFrames(media: DataFrame, step: Int = 1): DataFrame = {
+    * loop like [[extractFeatures]] so codec init amortizes.
+    *
+    * `decoders`: the [[VideoFrameDecoder]] seam — streams the built-in
+    * paths can't decode are walked for their codec id and handed to
+    * the first claiming decoder. Default empty: the bare-JDK behavior,
+    * byte-identical to the pre-seam implementation. */
+  def videoFrames(media: DataFrame, step: Int = 1,
+      decoders: Seq[VideoFrameDecoder] = Nil): DataFrame = {
     require(step >= 1, "step must be >= 1")
     val enc = RowEncoder.encoderFor(videoFrameSchema)
     media.select("media_id", "content").mapPartitions { it =>
@@ -831,11 +979,23 @@ object Multimodal {
               }
           }
           if (dib.hasNext) dib
-          else decodeBmffJpegFrames(content).iterator.flatMap { fs =>
-            (0 until fs.length by step).iterator.flatMap { i =>
-              decodeImage(fs(i)).map { case (w, h, feat) =>
-                Row(id, i, fs.length, w, h, feat)
+          else {
+            val bmff = decodeBmffJpegFrames(content).iterator.flatMap { fs =>
+              (0 until fs.length by step).iterator.flatMap { i =>
+                decodeImage(fs(i)).map { case (w, h, feat) =>
+                  Row(id, i, fs.length, w, h, feat)
+                }
               }
+            }
+            if (bmff.hasNext) bmff
+            else foreignStream(content, decoders).iterator.flatMap {
+              case (codec, w, h, fs, d) =>
+                (0 until fs.length by step).iterator.flatMap { i =>
+                  d.decode(codec, w, h, fs(i)).map {
+                    case (dw, dh, feat) => Row(id, i, fs.length, dw, dh,
+                      feat)
+                  }
+                }
             }
           }
         }
@@ -849,10 +1009,14 @@ object Multimodal {
     * corpus can we frame-decode" must be asked separately):
     * 'avi_mjpeg' / 'avi_rawvideo' / 'bmff_jpeg' (full frame decode
     * available — the last via the MOV Motion-JPEG sample tables),
-    * 'bmff' (container metadata only — no JDK codec for the stream),
-    * 'undecodable'. One partition-batch scan, groupBy-able to corpus
-    * totals. */
-  def videoCodecProfile(media: DataFrame): DataFrame = {
+    * 'ext:<codec>' (a REGISTERED [[VideoFrameDecoder]] claims the
+    * stream and its first frame decodes — same first-frame bar as the
+    * built-ins), 'bmff' (container metadata only — no decoder for the
+    * stream), 'undecodable'. One partition-batch scan, groupBy-able to
+    * corpus totals. Default `decoders` empty = the bare-JDK profile,
+    * byte-identical to the pre-seam implementation. */
+  def videoCodecProfile(media: DataFrame,
+      decoders: Seq[VideoFrameDecoder] = Nil): DataFrame = {
     val enc = RowEncoder.encoderFor(StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("codec", StringType, nullable = false))))
@@ -871,12 +1035,20 @@ object Multimodal {
           else if (decodeAviDibFrames(content).isDefined) "avi_rawvideo"
           // 'bmff_jpeg' = frame decode available (the MOV Motion-JPEG
           // sample entry — same first-frame bar as avi_mjpeg); plain
-          // 'bmff' = container metadata only, no JDK codec for the
+          // 'bmff' = container metadata only, no decoder for the
           // sample stream
           else if (firstBmffJpegFrame(content).exists(f =>
             decodeImage(f).isDefined)) "bmff_jpeg"
-          else if (probeVideo(content).isDefined) "bmff"
-          else "undecodable"
+          else foreignStream(content, decoders) match {
+            // same first-frame bar as the built-ins: a registered
+            // decoder that claims the codec but can't decode frame 0
+            // must not report coverage videoFrames won't deliver
+            case Some((c, w, h, fs, d))
+                if d.decode(c, w, h, fs.head).isDefined => s"ext:$c"
+            case _ =>
+              if (probeVideo(content).isDefined) "bmff"
+              else "undecodable"
+          }
         Row(r.getLong(0), codec)
       }
     }(enc)
@@ -957,6 +1129,66 @@ object Multimodal {
     }
     list("movi") {
       jpegs.foreach(j => chunk("00dc") { bb.put(j) })
+    }
+    bb.putInt(riffSizeAt, bb.position() - riffSizeAt - 4)
+    java.util.Arrays.copyOf(bb.array(), bb.position())
+  }
+
+  /** Deterministic FOREIGN-codec AVI: the [[syntheticAvi]] RIFF tree
+    * with the stream handler AND biCompression set to `fourcc` and
+    * opaque (id-derived, non-JPEG) frame payloads — the fixture for
+    * the [[VideoFrameDecoder]] seam (a DCT stream the bare JDK cannot
+    * decode, in a container the walkers fully parse). Bare-JDK
+    * classification: 'undecodable'; with a claiming decoder:
+    * 'ext:<codec>' and frames flow end-to-end. */
+  private[graft] def syntheticForeignAvi(id: Long,
+      fourcc: String): Array[Byte] = {
+    require(fourcc.length == 4, "fourcc must be 4 chars")
+    val w = 16; val h = 12
+    val nf = 2 + ((id / 3) % 3).toInt
+    val frames = (0 until nf).map { f =>
+      Array.tabulate(64)(i => ((id * 31 + f * 7 + i) & 0xFF).toByte)
+    }
+    val bb = java.nio.ByteBuffer.allocate(
+      4096 + frames.iterator.map(_.length + 16).sum)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fcc(t: String): Unit = bb.put(t.getBytes("ISO-8859-1"))
+    def chunk(t: String)(body: => Unit): Unit = {
+      fcc(t); val sizeAt = bb.position(); bb.putInt(0); body
+      val sz = bb.position() - sizeAt - 4
+      bb.putInt(sizeAt, sz)
+      if ((sz & 1) == 1) bb.put(0.toByte)
+    }
+    def list(lt: String)(body: => Unit): Unit =
+      chunk("LIST") { fcc(lt); body }
+    fcc("RIFF"); val riffSizeAt = bb.position(); bb.putInt(0); fcc("AVI ")
+    list("hdrl") {
+      chunk("avih") {
+        bb.putInt(40000); bb.putInt(0); bb.putInt(0)
+        bb.putInt(0); bb.putInt(nf); bb.putInt(0); bb.putInt(1)
+        bb.putInt(0); bb.putInt(w); bb.putInt(h)
+        (0 until 4).foreach(_ => bb.putInt(0))
+      }
+      list("strl") {
+        chunk("strh") {
+          fcc("vids"); fcc(fourcc)
+          bb.putInt(0); bb.putInt(0); bb.putInt(0)
+          bb.putInt(1); bb.putInt(25)
+          bb.putInt(0); bb.putInt(nf)
+          bb.putInt(0); bb.putInt(0); bb.putInt(0)
+          bb.putShort(0); bb.putShort(0)
+          bb.putShort(w.toShort); bb.putShort(h.toShort)
+        }
+        chunk("strf") {
+          bb.putInt(40); bb.putInt(w); bb.putInt(h)
+          bb.putShort(1); bb.putShort(24)
+          fcc(fourcc); bb.putInt(w * h * 3)
+          bb.putInt(0); bb.putInt(0); bb.putInt(0); bb.putInt(0)
+        }
+      }
+    }
+    list("movi") {
+      frames.foreach(fr => chunk("00dc") { bb.put(fr) })
     }
     bb.putInt(riffSizeAt, bb.position() - riffSizeAt - 4)
     java.util.Arrays.copyOf(bb.array(), bb.position())

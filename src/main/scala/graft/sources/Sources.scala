@@ -51,19 +51,27 @@ object Sources {
     * through an 8 KB buffer), only the MATCHING members' contents are
     * held, per archive, while its row batch is built. A 100-archive
     * corpus fans out one archive per partition across executors.
-    * Returns (archive_path, member_name, content_string). */
+    * Returns (archive_path, member_name, content_string).
+    *
+    * `maxMemberBytes` is the hostile-archive bound: a tar header
+    * DECLARES each member's size, and a hostile archive (or a gzip
+    * bomb, whose embedded tar headers declare the EXPANDED sizes) can
+    * declare gigabytes for a kilobyte of input — the walk refuses such
+    * members loudly before buffering a byte, and the read loop
+    * enforces the same cap against streams that lie. */
   def tarMembers(spark: SparkSession, path: String,
-      memberGlob: String = "*"): DataFrame = {
+      memberGlob: String = "*",
+      maxMemberBytes: Long = 1L << 28): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
       StructField("archive", StringType),
       StructField("member", StringType),
       StructField("content", StringType)))
-    val rows = tarMemberBytes(spark, path, memberGlob).map {
-      case (archive, member, bytes) =>
+    val rows = tarMemberBytes(spark, path, memberGlob, maxMemberBytes)
+      .map { case (archive, member, bytes) =>
         Row(archive, member, new String(bytes, "UTF-8"))
-    }
+      }
     spark.createDataFrame(rows, schema)
   }
 
@@ -71,21 +79,21 @@ object Sources {
     * the read side of WebDataset-style multimodal shards, where a
     * UTF-8 round-trip would corrupt image/audio content). */
   def tarMembersBinary(spark: SparkSession, path: String,
-      memberGlob: String = "*"): DataFrame = {
+      memberGlob: String = "*",
+      maxMemberBytes: Long = 1L << 28): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
       StructField("archive", StringType),
       StructField("member", StringType),
       StructField("content", BinaryType)))
-    val rows = tarMemberBytes(spark, path, memberGlob).map {
-      case (archive, member, bytes) => Row(archive, member, bytes)
-    }
+    val rows = tarMemberBytes(spark, path, memberGlob, maxMemberBytes)
+      .map { case (archive, member, bytes) => Row(archive, member, bytes) }
     spark.createDataFrame(rows, schema)
   }
 
   private def tarMemberBytes(spark: SparkSession, path: String,
-      memberGlob: String)
+      memberGlob: String, maxMemberBytes: Long)
       : org.apache.spark.rdd.RDD[(String, String, Array[Byte])] = {
     val regex = ("^" + java.util.regex.Pattern.quote(memberGlob)
       .replace("*", "\\E.*\\Q").replace("?", "\\E.\\Q") + "$").r
@@ -110,10 +118,26 @@ object Sources {
           Iterator.continually(tin.getNextEntry).takeWhile(_ != null)
             .filter(e => !e.isDirectory && regex.matches(e.getName))
             .map { e =>
+              // refusal, not OOM: the DECLARED size gates before any
+              // buffering (covers gzip bombs — the embedded tar header
+              // declares the expanded size), and the read loop enforces
+              // the same cap against a stream that contradicts its
+              // header
+              require(e.getSize <= maxMemberBytes,
+                s"tar member ${e.getName} in $archive declares " +
+                  s"${e.getSize} bytes > the $maxMemberBytes cap - " +
+                  "a hostile or mis-packed archive; raise " +
+                  "maxMemberBytes deliberately if the member is real")
               val out = new java.io.ByteArrayOutputStream()
               val buf = new Array[Byte](8192)
               var n = tin.read(buf)
-              while (n > 0) { out.write(buf, 0, n); n = tin.read(buf) }
+              while (n > 0) {
+                require(out.size.toLong + n <= maxMemberBytes,
+                  s"tar member ${e.getName} in $archive exceeds the " +
+                    s"$maxMemberBytes cap mid-read - stream contradicts " +
+                    "its own header")
+                out.write(buf, 0, n); n = tin.read(buf)
+              }
               (archive, e.getName, out.toByteArray)
             }.toList
         } finally tin.close()

@@ -428,4 +428,156 @@ class MultimodalSpec extends AnyFunSuite {
       .map(_.getSeq[Float](3))
     assert(feats.nonEmpty && feats.forall(_.head >= 2f))
   }
+
+  /** A fake DCT decoder for the seam spec: claims h264/avc1, decodes
+    * every payload to a deterministic 4-dim feature of its bytes —
+    * stands in for an FFI-backed codec to prove frames flow
+    * end-to-end through the container walkers and the dispatch. */
+  private object FakeDctDecoder extends Multimodal.VideoFrameDecoder {
+    def name: String = "fake-dct"
+    def claims(codec: String): Boolean =
+      codec == "h264" || codec == "avc1"
+    def decode(codec: String, width: Int, height: Int,
+        payload: Array[Byte]): Option[(Int, Int, Array[Float])] =
+      if (payload.isEmpty) None
+      else Some((if (width > 0) width else 8,
+        if (height > 0) height else 8,
+        Array(payload.length.toFloat, (payload.head & 0xFF).toFloat,
+          (payload.last & 0xFF).toFloat, codec.length.toFloat)))
+  }
+
+  test("decoder seam: foreign-codec AVI and BMFF streams flow " +
+      "end-to-end through a registered decoder — and WITHOUT one the " +
+      "bare-JDK behavior is unchanged (no frames, honest audit)") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val df = Seq(
+      (5L, Multimodal.syntheticForeignAvi(5L, "H264")), // 3 frames
+      (7L, Multimodal.syntheticForeignMov(7L, "avc1")), // 4 frames
+      (9L, Multimodal.syntheticAvi(9L))                 // 2 MJPEG frames
+    ).toDF("media_id", "content")
+    // bare JDK (no decoders): foreign rows contribute nothing, the
+    // MJPEG row is untouched by the seam's existence
+    val bare = Multimodal.videoFrames(df)
+      .select("media_id").as[Long].collect()
+    assert(bare.toSet == Set(9L) && bare.length == 2)
+    val bareProfile = Multimodal.videoCodecProfile(df)
+      .as[(Long, String)].collect().toMap
+    assert(bareProfile(5L) == "undecodable") // AVI container, DCT codec
+    assert(bareProfile(7L) == "bmff")        // BMFF metadata only
+    assert(bareProfile(9L) == "avi_mjpeg")
+    // with the fake DCT decoder registered: frames flow end-to-end
+    // with container-derived counts/geometry and decoder features
+    val got = Multimodal.videoFrames(df, step = 1,
+        decoders = Seq(FakeDctDecoder))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getInt(3), r.getInt(4), r.getSeq[Float](5)))
+    val avi = got.filter(_._1 == 5L)
+    assert(avi.length == 3 && avi.forall(_._3 == 3),
+      s"foreign AVI frames: ${avi.toSeq}")
+    assert(avi.forall(f => f._4 == 16 && f._5 == 12),
+      "container geometry must reach the decoder")
+    assert(avi.forall(f => f._6.length == 4 && f._6.head == 64f),
+      "decoder feature must come through unmodified")
+    val mov = got.filter(_._1 == 7L)
+    assert(mov.length == 4 && mov.forall(_._3 == 4),
+      s"foreign BMFF frames: ${mov.toSeq}")
+    assert(mov.forall(f => f._6.length == 4 && f._6.head == 48f))
+    assert(got.count(_._1 == 9L) == 2, "MJPEG row must be unaffected")
+    // audit: ext:<codec> provenance with the same first-frame bar
+    val profile = Multimodal.videoCodecProfile(df,
+        decoders = Seq(FakeDctDecoder))
+      .as[(Long, String)].collect().toMap
+    assert(profile(5L) == "ext:h264")
+    assert(profile(7L) == "ext:avc1")
+    assert(profile(9L) == "avi_mjpeg")
+    // frame sampling is codec-agnostic: step=2 over the 4-frame MOV
+    val sampled = Multimodal.videoFrames(df, step = 2,
+        decoders = Seq(FakeDctDecoder))
+      .filter(col("media_id") === 7L)
+      .select("frame_idx").as[Int].collect().sorted
+    assert(sampled.toSeq == Seq(0, 2))
+  }
+
+  test("hostile raster: a 58-byte BMP declaring 2^30 pixels refuses " +
+      "(None) instead of letting ImageIO allocate the raster from the " +
+      "lying header; sane images still decode") {
+    // minimal BMP: 14-byte file header + 40-byte BITMAPINFOHEADER
+    // declaring 32768 x 32768 x 24bpp with 4 bytes of 'pixel' data
+    val bb = java.nio.ByteBuffer.allocate(58)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte)
+    bb.putInt(58); bb.putInt(0); bb.putInt(54) // size, resv, data offset
+    bb.putInt(40)                              // BITMAPINFOHEADER size
+    bb.putInt(32768); bb.putInt(32768)         // 2^30 declared pixels
+    bb.putShort(1); bb.putShort(24)            // planes, bpp
+    bb.putInt(0); bb.putInt(0)                 // BI_RGB, image size
+    bb.putInt(0); bb.putInt(0); bb.putInt(0); bb.putInt(0)
+    bb.putInt(0)                               // 4 bytes of "pixels"
+    assert(Multimodal.decodeImage(bb.array()).isEmpty,
+      "hostile BMP dims must refuse before allocation")
+    // the bound is a refusal bar, not a decode regression
+    assert(Multimodal.decodeImage(Multimodal.syntheticPng(3L)).isDefined)
+  }
+
+  test("hostile DIB AVI: a header width crafted so 32-bit stride " +
+      "arithmetic would wrap to match a tiny chunk must be " +
+      "undecodable, never an allocation from the lying header") {
+    // w = 0x55555556: w*3 wraps to 2 in 32-bit, stride would be 4 and
+    // want 4*6 = 24 — matching the 24-byte chunk below; long
+    // arithmetic makes want ~17 GB and nothing matches
+    val w = 0x55555556; val h = 6
+    val bb = java.nio.ByteBuffer.allocate(512)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fcc(t: String): Unit = bb.put(t.getBytes("ISO-8859-1"))
+    def chunk(t: String)(body: => Unit): Unit = {
+      fcc(t); val at = bb.position(); bb.putInt(0); body
+      val sz = bb.position() - at - 4
+      bb.putInt(at, sz); if ((sz & 1) == 1) bb.put(0.toByte)
+    }
+    def list(lt: String)(body: => Unit): Unit =
+      chunk("LIST") { fcc(lt); body }
+    fcc("RIFF"); val rsAt = bb.position(); bb.putInt(0); fcc("AVI ")
+    list("hdrl") {
+      list("strl") {
+        chunk("strh") {
+          fcc("vids"); fcc("DIB ")
+          (0 until 9).foreach(_ => bb.putInt(0))
+          bb.putShort(0); bb.putShort(0)
+          bb.putShort(0); bb.putShort(0)
+        }
+        chunk("strf") {
+          bb.putInt(40); bb.putInt(w); bb.putInt(h)
+          bb.putShort(1); bb.putShort(24)
+          bb.putInt(0) // BI_RGB
+          (0 until 5).foreach(_ => bb.putInt(0))
+        }
+      }
+    }
+    list("movi") { chunk("00db") { (0 until 6).foreach(_ => bb.putInt(0)) } }
+    bb.putInt(rsAt, bb.position() - rsAt - 4)
+    val bytes = java.util.Arrays.copyOf(bb.array(), bb.position())
+    assert(Multimodal.decodeAviDibFrames(bytes).isEmpty,
+      "overflowed stride must not admit a frame")
+  }
+
+  test("hostile WAV: a data chunk declaring 2^31-1 bytes over 8 real " +
+      "ones completes bounded by the ACTUAL stream (never the header)") {
+    val bb = java.nio.ByteBuffer.allocate(52)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fcc(t: String): Unit = bb.put(t.getBytes("ISO-8859-1"))
+    fcc("RIFF"); bb.putInt(Int.MaxValue); fcc("WAVE")
+    fcc("fmt "); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1)       // PCM, mono
+    bb.putInt(8000); bb.putInt(16000)    // rate, byte rate
+    bb.putShort(2); bb.putShort(16)      // block align, bits
+    fcc("data"); bb.putInt(Int.MaxValue) // declared: 2 GB
+    bb.putInt(0x12345678); bb.putInt(0x0abcdef0) // actual: 8 bytes
+    val got = Multimodal.decodeAudio(
+      java.util.Arrays.copyOf(bb.array(), bb.position()))
+    // 4 samples of real data — duration must reflect the truncated
+    // actual bytes (4/8000 s), proving nothing sized from the header
+    assert(got.isDefined && got.get.head <= 0.001f,
+      s"duration must come from actual bytes, got ${got.map(_.head)}")
+  }
 }

@@ -75,6 +75,62 @@ class ProviderSpec extends AnyFunSuite {
     assert(parsed == Seq("CVE-2023-1111", "CVE-2023-2222"))
   }
 
+  test("hostile tar: a member DECLARING 8 GB refuses loudly at the " +
+      "header (never buffers a byte), and a sane cap raise still " +
+      "reads real members") {
+    // hand-craft a single 512-byte tar header declaring a 2^33-byte
+    // member with a valid checksum — the exact shape a gzip bomb's
+    // embedded tar headers take (declared size = expanded size)
+    val header = new Array[Byte](512)
+    def put(off: Int, s: String): Unit = {
+      val b = s.getBytes("US-ASCII")
+      System.arraycopy(b, 0, header, off, b.length)
+    }
+    put(0, "bomb.bin")                        // name
+    put(100, "0000644 ")                 // mode
+    put(108, "0000000 "); put(116, "0000000 ") // uid gid
+    put(124, "77777777777 ")             // size: 2^33-1 (~8 GB) octal
+    put(136, "00000000000 ")    // mtime
+    put(156, "0")                             // typeflag: regular
+    java.util.Arrays.fill(header, 148, 156, ' '.toByte) // cksum spaces
+    val sum = header.map(_ & 0xFF).sum
+    put(148, f"${sum}%06o  ")
+    val dir = java.nio.file.Files.createTempDirectory("hostiletar")
+    val tarPath = dir.resolve("bomb.tar")
+    java.nio.file.Files.write(tarPath,
+      header ++ new Array[Byte](1024)) // end-of-archive blocks
+    val e = intercept[Exception] {
+      Sources.tarMembers(spark, tarPath.toString).collect()
+    }
+    // the refusal message, possibly wrapped in a SparkException
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("cap")),
+      s"expected the declared-size refusal, got: ${messages(e)}")
+    // the cap is a dial, and it guards the READ loop too: a real
+    // (well-formed) archive under a deliberately tiny cap refuses
+    // with the same message instead of buffering past it
+    val realTar = dir.resolve("real.tar")
+    val tos = new org.apache.commons.compress.archivers.tar
+      .TarArchiveOutputStream(java.nio.file.Files.newOutputStream(realTar))
+    val entry = new org.apache.commons.compress.archivers.tar
+      .TarArchiveEntry("doc.txt")
+    val payload = Array.fill[Byte](100)('x'.toByte)
+    entry.setSize(payload.length.toLong)
+    tos.putArchiveEntry(entry); tos.write(payload)
+    tos.closeArchiveEntry(); tos.close()
+    val e2 = intercept[Exception] {
+      Sources.tarMembers(spark, realTar.toString,
+        maxMemberBytes = 10L).collect()
+    }
+    assert(messages(e2).exists(_.contains("cap")))
+    // and the default cap reads it untouched
+    val rows = Sources.tarMembers(spark, realTar.toString).collect()
+    assert(rows.length == 1 &&
+      rows.head.getAs[String]("content") == "x" * 100)
+  }
+
   test("EPSS CSV scan: comment skipped, score_date captured, typed") {
     val df = Sources.epss(spark, fixture("epss.csv"))
     val rows = df.collect()
