@@ -3351,6 +3351,59 @@ object QueriesPipeline {
           WHERE r.vec_id <> p.qid)
         WHERE rnk <= 10""")),
 
+    // The LAZY hierarchical IVF-PQ probe under the same deepest-strict
+    // replay (see q_sim_ivf_hier_lazy for the shape's rationale): the
+    // probe cells come from the sidecar-scan stage-2 instead of the
+    // whole-l2 kernel, the ADC arithmetic is identical, and the
+    // external oracle cannot tell which path ran — which is exactly
+    // the law. Own beam/nprobe/k and query set so the kernel query
+    // cannot mask this one.
+    "q_sim_knn_ivfpq_hier_lazy" -> Entry(
+      (s, dir) => {
+        val idxPath = ensureIvfPqHierIndex(s, dir)
+        val em = t(s, dir, "embeddings")
+        val queries = em.filter(col("vec_id") >= 5 && col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        Similarity.ivfPqHierTopKFromIndexLazy(s, idxPath, queries, 6,
+            nprobe = 3, beam = 3)
+          .select(col("qid"), col("rank").as("rnk"), col("vec_id"))
+      },
+      Some(s"""WITH ${pqReconCtesGrouped("ivfpqh_3x3_m8x16_v3")},
+        l1c AS (
+          SELECT c1, CAST(centroid AS DOUBLE[]) AS c
+          FROM read_parquet('{STAGING:ivfpqh_3x3_m8x16_v3}/l1/*.parquet')
+        ), l2c AS (
+          SELECT c1, c1 * 3 + c2 AS cell, CAST(centroid AS DOUBLE[]) AS c
+          FROM read_parquet(
+            '{STAGING:ivfpqh_3x3_m8x16_v3}/quantizer/*.parquet')
+        ), q AS (
+          SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings WHERE vec_id >= 5 AND vec_id < 10
+        ), qb AS (
+          SELECT qid, c1 FROM (
+            SELECT q.qid, l.c1,
+              row_number() OVER (PARTITION BY q.qid ORDER BY
+                list_cosine_similarity(q.e, l.c) DESC, l.c1) AS pr
+            FROM q CROSS JOIN l1c l)
+          WHERE pr <= 3
+        ), qcell AS (
+          SELECT qid, cell FROM (
+            SELECT q.qid, s.cell,
+              row_number() OVER (PARTITION BY q.qid ORDER BY
+                list_cosine_similarity(q.e, s.c) DESC, s.cell) AS pr
+            FROM q JOIN qb ON qb.qid = q.qid
+            JOIN l2c s ON s.c1 = qb.c1)
+          WHERE pr <= 3)
+        SELECT qid, rnk, vec_id FROM (
+          SELECT p.qid, r.vec_id,
+            row_number() OVER (PARTITION BY p.qid ORDER BY
+              $pqAdcDistSql ASC, r.vec_id) AS rnk
+          FROM recon r
+          JOIN qcell p ON r.cell = p.cell
+          JOIN q ON q.qid = p.qid
+          WHERE r.vec_id <> p.qid)
+        WHERE rnk <= 6""")),
+
     // The REFINE stage over the hierarchical layout — the FAISS
     // two-stage search: ADC shortlists k·4 candidates from the code
     // table (probed-cell I/O, m-int compute), then only those

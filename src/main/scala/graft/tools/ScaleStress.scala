@@ -1540,6 +1540,266 @@ object ScaleStress {
         println(f"$w%9d $cnt%10d $mb%10.1f $tFlow%8.1f")
       }
     }
+    // ---- r15 drills -----------------------------------------------------
+
+    if (which == "ingest500") {
+      // Continuous-ingestion drill (the r14 verdict's done-bar): 500
+      // sequential microbatch appends into ONE hier IVF-PQ store under
+      // the r15 atomic-sidecar protocol, pre-loaded quantizer/codebooks
+      // (the annIngestBatch shape). Must hold: (a) sidecar file counts
+      // stay BOUNDED — one live meta version, one live log file — not
+      // one file per append; (b) a concurrent reader (meta row, append
+      // log, a probe) succeeds after EVERY append: zero torn-store
+      // refusals; (c) append wall flat first-100 vs last-100 (cost ∝
+      // |batch|, the store is never read); (d) probe wall flat as the
+      // store grows, compaction on a 100-append cadence bounding
+      // per-group fragmentation.
+      import org.apache.spark.sql.Column
+      val nAppends = 500
+      val batchN = 50L
+      val bootN = 20000L
+      def hv(tag: String, key: Column, j: Column): Column =
+        (pmod(hash(lit(tag), key, j), lit(1000)).cast("double") / 500.0
+          - 1.0)
+      def cvec(id: Column): Column = {
+        val cl = pmod(id, lit(50L))
+        transform(sequence(lit(0), lit(63)), j =>
+          (hv("c", cl, j) + lit(0.15) * hv("n", id, j)).cast("float"))
+      }
+      val boot = spark.range(bootN).select(col("id").as("vec_id"),
+        cvec(col("id")).as("embedding"))
+      val path = java.nio.file.Files
+        .createTempDirectory("ingest500").toString + "/idx"
+      val cq0 = Similarity.trainCoarseHierarchical(boot, "embedding", 256)
+      Similarity.writeIvfPqIndexHier(boot, path, cq0, m = 8, ncodes = 16)
+      val preCq = Similarity.readCoarseQuantizer(spark, path)
+      val cb = Similarity.readPqCodebooks(spark, path)
+      val queries = spark.range(5).select(col("id").as("qid"),
+        cvec(col("id")).as("qvec")).cache()
+      queries.count()
+      def files(sub: String): Int =
+        Option(new java.io.File(s"$path/$sub").listFiles())
+          .map(_.count(f => f.isFile && f.getName.endsWith(".parquet")))
+          .getOrElse(0)
+      def maxGrpFiles: Int =
+        new java.io.File(s"$path/codes").listFiles()
+          .filter(f => f.isDirectory && f.getName.startsWith("cell_grp="))
+          .map(_.listFiles().count(f => f.isFile &&
+            f.getName.endsWith(".parquet"))).max
+      val walls = new Array[Double](nAppends)
+      var tornRefusals = 0
+      println(f"\n${"appends"}%8s ${"meta_f"}%7s ${"log_f"}%6s " +
+        f"${"max_grp_f"}%10s ${"t_compact"}%10s ${"t_probe"}%8s")
+      for (i <- 0 until nAppends) {
+        val lo = bootN + i * batchN
+        val batch = spark.range(lo, lo + batchN)
+          .select(col("id").as("vec_id"), cvec(col("id")).as("embedding"))
+        walls(i) = timed {
+          Similarity.appendIvfPqIndexHierWith(batch, path, preCq, cb)
+          ()
+        }
+        // the concurrent-reader simulation: every surface an audit or
+        // probe touches must resolve between (and conceptually during)
+        // appends — the atomic protocol's promise
+        try {
+          require(Similarity.readAppendLog(spark, path).count() > 0)
+          require(!Similarity.readIvfPqHierMeta(spark, path))
+        } catch { case _: Exception => tornRefusals += 1 }
+        if ((i + 1) % 100 == 0) {
+          val tCompact = timed {
+            Similarity.compactIvfPqIndexHier(spark, path,
+              maxFilesPerGroup = 4)
+          }
+          val tProbe = timed {
+            require(Similarity.ivfPqHierTopKFromIndex(spark, path,
+              queries, 10, nprobe = 4, beam = 2).count() >= 40)
+          }
+          println(f"${i + 1}%8d ${files("meta")}%7d ${files("appends")}%6d " +
+            f"$maxGrpFiles%10d $tCompact%10.1f $tProbe%8.1f")
+        }
+      }
+      val first100 = walls.take(100).sum / 100
+      val last100 = walls.takeRight(100).sum / 100
+      println(f"append wall: first100=$first100%.2f s/batch " +
+        f"last100=$last100%.2f s/batch torn_refusals=$tornRefusals " +
+        f"log_rows=${Similarity.readAppendLog(spark, path).count()}")
+      require(tornRefusals == 0, "a reader hit a torn store")
+      require(files("meta") <= 2 && files("appends") <= 2,
+        "sidecar file counts must stay bounded")
+      queries.unpersist()
+    }
+
+    if (which == "lazyprobe") {
+      // Lazy-probe residency drill (the r14 verdict item 3 done-bar):
+      // nlist = 10^6 (k1 = k2 = 1000) at d = 1024 — the l2 grid is
+      // 10^6·1024 doubles ≈ 8 GB resident per executor on the
+      // broadcast carrier, PAST its documented ceiling. The lazy probe
+      // runs the same two-stage search with the quantizer sidecar
+      // staying ON DISK: measured as (a) JVM heap delta ≪ l2 size, (b)
+      // bytes READ from the sidecar scan ≪ its full size (file +
+      // row-group pruning over the c1-sorted layout — opened cells are
+      // |q|·beam of k1). Sidecars are synthesized directly (the coarse
+      // drill owns fit cost; this leg measures probe I/O shape), and
+      // the lazy ≡ kernel law is pinned at fixture size in CoarseSpec
+      // + the strict q_sim_ivf_hier_lazy oracle.
+      import org.apache.spark.sql.Column
+      val k1 = 1000; val k2 = 1000; val d = 1024
+      val path = java.nio.file.Files
+        .createTempDirectory("lazyprobe").toString + "/idx"
+      def hv(tag: String, a: Column, b: Column): Column =
+        (pmod(hash(lit(tag), a, b), lit(1000)).cast("double") / 500.0
+          - 1.0)
+      def vecOf(tag: String, key: Column): Column =
+        transform(sequence(lit(0), lit(d - 1)), j =>
+          hv(tag, key, j).cast("float"))
+      var t = timed {
+        spark.range(k1).select(col("id").cast("int").as("c1"),
+            vecOf("l1", col("id")).as("centroid"))
+          .coalesce(1).write.parquet(s"$path/l1")
+        spark.range(k1.toLong * k2).select(
+            (col("id") / k2).cast("int").as("c1"),
+            pmod(col("id"), lit(k2.toLong)).cast("int").as("c2"),
+            vecOf("l2", col("id")).as("centroid"))
+          .repartitionByRange(32, col("c1"))
+          .sortWithinPartitions(col("c1"), col("c2"))
+          .write.parquet(s"$path/quantizer")
+        import spark.implicits._
+        Seq((k1, k2, d, 64, 0.1))
+          .toDF("k1", "k2", "dim", "cells_per_group", "base_distortion")
+          .coalesce(1).write.parquet(s"$path/meta")
+        // a 200k-row index tree (cells hashed over the grid): the
+        // rerank side — small next to the 8 GB quantizer, which is the
+        // object under measurement
+        spark.range(200000L).select(col("id").as("vec_id"),
+            vecOf("x", col("id")).as("embedding"),
+            pmod(hash(col("id")), lit(k1 * k2)).as("cell"))
+          .withColumn("cell_grp", (col("cell") / 64).cast("int"))
+          .repartition(col("cell_grp"))
+          .write.partitionBy("cell_grp").parquet(s"$path/index")
+      }
+      def dirBytes(sub: String): Long =
+        new java.io.File(s"$path/$sub").listFiles()
+          .filter(_.isFile).map(_.length()).sum
+      val qBytes = dirBytes("quantizer")
+      println(f"\nsidecars built in $t%.0f s; quantizer on disk = " +
+        f"${qBytes / 1048576.0}%.0f MB (l2 as doubles would be " +
+        f"${k1.toLong * k2 * d * 8 / 1048576.0}%.0f MB per executor)")
+      val bytesRead = new java.util.concurrent.atomic.AtomicLong(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (e.taskMetrics != null)
+            bytesRead.addAndGet(e.taskMetrics.inputMetrics.bytesRead)
+      }
+      val queries = spark.range(8).select(col("id").as("qid"),
+        vecOf("q", col("id")).as("qvec"))
+      val rt = Runtime.getRuntime
+      System.gc()
+      val heapBefore = rt.totalMemory() - rt.freeMemory()
+      spark.sparkContext.addSparkListener(listener)
+      var rows = 0L
+      t = timed {
+        rows = Similarity.ivfHierTopKFromIndexLazy(spark, path, queries,
+          10, nprobe = 4, beam = 2).count()
+      }
+      // drain the listener bus (the ubuntu-envelopes leg's polling
+      // pattern): bytesRead must be stable before we read it
+      var stable = 0; var last = -1L; var polls = 0
+      while (stable < 2 && polls < 50) {
+        Thread.sleep(200)
+        val now = bytesRead.get
+        stable = if (now == last) stable + 1 else 0
+        last = now; polls += 1
+      }
+      spark.sparkContext.removeSparkListener(listener)
+      System.gc()
+      val heapAfter = rt.totalMemory() - rt.freeMemory()
+      val mb = bytesRead.get / 1048576.0
+      println(f"lazy probe: rows=$rows wall=$t%.1f s " +
+        f"bytes_read=$mb%.0f MB (${100.0 * bytesRead.get / qBytes}%.0f%% " +
+        f"of the sidecar) heap_delta=" +
+        f"${(heapAfter - heapBefore) / 1048576.0}%.0f MB")
+      require(rows > 0, "lazy probe returned nothing")
+      // the residency law: the probe must NOT have read (or held)
+      // anything near the whole grid — 8 queries × beam 2 open ≤ 16 of
+      // 1000 c1 groups (1.6%); scan overshoot past 40% of the sidecar
+      // means pruning broke
+      require(bytesRead.get < qBytes * 2 / 5,
+        s"lazy probe read ${bytesRead.get} of $qBytes sidecar bytes - " +
+          "row-group pruning broke")
+    }
+
+    if (which == "streamx") {
+      // Streaming-probe crossover drill (the r14 verdict item 6): the
+      // r14 measurement said the FULL-tree stream-static scan beats
+      // the pruned batch probe at 10^6 codes (0.6 vs 1.2 s / 100-query
+      // microbatch) because pruning pays sidecar reads + a probe
+      // checkpoint + a cell collect per batch while the slim tree is
+      // ~40 MB. Scale the tree until the pruned form wins and record
+      // the rule. Same two shapes as the r14 leg, same 100-query
+      // microbatch, hash-based generator (md5 would dominate the build
+      // at 10^7+).
+      import org.apache.spark.sql.Column
+      def hv(tag: String, key: Column, j: Column): Column =
+        (pmod(hash(lit(tag), key, j), lit(1000)).cast("double") / 500.0
+          - 1.0)
+      println(f"\n${"codes_n"}%9s ${"tree_mb"}%8s ${"t_build"}%8s " +
+        f"${"t_pruned"}%9s ${"t_fullscan"}%11s ${"winner"}%8s")
+      for (n <- Seq(1000000L, 10000000L, 30000000L)
+          if n <= 3000000L * maxScale) {
+        def cvec(id: Column): Column = {
+          val cl = pmod(id, lit(n / 50))
+          transform(sequence(lit(0), lit(63)), j =>
+            (hv("c", cl, j) + lit(0.15) * hv("n", id, j)).cast("float"))
+        }
+        val corpus = spark.range(n).select(col("id").as("vec_id"),
+          cvec(col("id")).as("embedding"))
+        val path = java.nio.file.Files
+          .createTempDirectory("streamx").toString + "/idx"
+        val nlist = 4096
+        val tBuild = timed {
+          val cq = Similarity.trainCoarseHierarchical(corpus,
+            "embedding", nlist)
+          Similarity.writeIvfPqIndexHier(corpus, path, cq,
+            m = 8, ncodes = 16)
+        }
+        val treeMb = {
+          def walk(f: java.io.File): Long =
+            if (f.isFile) f.length()
+            else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+          walk(new java.io.File(s"$path/codes")) / 1048576.0
+        }
+        val qs = spark.range(n, n + 100)
+          .select(col("id").as("qid"), cvec(col("id")).as("qvec"))
+          .cache()
+        qs.count()
+        val tPruned = timed {
+          Similarity.ivfPqHierTopKFromIndex(spark, path, qs, 10,
+            nprobe = 4, beam = 2).count()
+        }
+        val cqS = Similarity.readCoarseQuantizer(spark, path)
+        val cbS = Similarity.readPqCodebooks(spark, path)
+        val tFull = timed {
+          val probes = qs.select(col("qid"),
+            explode(Similarity.probeCellsHier(col("qvec"), cqS, 4, 2))
+              .as("cell"), col("qvec"))
+          val codes = spark.read.parquet(s"$path/codes")
+          val scored = codes.join(broadcast(probes), Seq("cell"))
+            .select(col("qid"), col("vec_id"),
+              (-graft.plans.PqExpressions.pq_adc(col("qvec"),
+                col("codes"), cbS.ncodes, cbS.dsub, cbS.flat))
+                .as("sim"))
+          scored.groupBy(col("qid"))
+            .agg(graft.plans.TopKAgg.top_k_agg(10)(
+              col("sim"), col("vec_id").cast("long")).as("t"))
+            .count()
+        }
+        println(f"$n%9d $treeMb%8.0f $tBuild%8.0f $tPruned%9.1f " +
+          f"$tFull%11.1f ${if (tPruned < tFull) "pruned" else "full"}%8s")
+        qs.unpersist()
+      }
+    }
+
     spark.stop()
   }
 }

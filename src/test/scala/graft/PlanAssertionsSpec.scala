@@ -187,6 +187,22 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"lazy probe plan still carries the kernel probe:\n$p")
   }
 
+  test("q_sim_knn_ivfpq_hier_lazy: ADC kernel on the pruned code " +
+      "scan, no kernel probe / whole-l2 broadcast, nothing exchanges " +
+      "vectors or codes") {
+    val p = plan("q_sim_knn_ivfpq_hier_lazy")
+    assert(p.contains("pq_adc"), "ADC must be the codegen kernel")
+    assert("PartitionFilters: \\[[^\\]]*cell_grp".r.findFirstIn(p).isDefined,
+      s"no group pruning in plan:\n$p")
+    assert(!p.contains("coarse_probe"),
+      s"lazy probe plan still carries the kernel probe:\n$p")
+    val exchanges = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(exchanges.forall(l =>
+      !l.contains("embedding") && !l.contains("qvec") &&
+        !l.contains("codes")),
+      s"vector/code column in an Exchange:\n${exchanges.mkString("\n")}")
+  }
+
   test("q_sim_hier_append_audit: appended-batch filter pushes to the " +
       "index scan; the one-row log broadcasts; no shuffle anywhere") {
     val p = plan("q_sim_hier_append_audit")
