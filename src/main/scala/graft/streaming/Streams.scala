@@ -201,19 +201,25 @@ object Streams {
     * (qid, rank, vec_id, sim) rows match the batch probe row-for-row
     * (spec-pinned).
     *
-    * Scale note, stated honestly and MEASURED (SCALE.md r14
-    * stream-probe leg): a stream-static join re-plans the static side
-    * per microbatch WITHOUT the batch probe's collect-driven pruning
-    * (no literal cell list exists at stream plan time), so each
-    * microbatch scans the code tree's slim m-int rows and filters at
-    * the join. At 10⁶ codes that full scan is actually FASTER than
-    * the pruned batch probe (0.6 vs 1.2 s per 100-query microbatch —
-    * the slim tree is ~40 MB while pruning pays sidecar reads, a
-    * probe checkpoint and a cell collect per batch, and 100 queries ×
-    * nprobe already touch most groups). The pruned [[annProbeBatch]]
-    * form wins when the tree outgrows scan budget AND batches are
-    * small: probed cells ≪ nlist makes its I/O per batch
-    * |probed cells| instead of |corpus codes| — the 100 TB regime.
+    * Scale note — the crossover is now MEASURED, not extrapolated
+    * (SCALE.md r15 streamx leg): a stream-static join re-plans the
+    * static side per microbatch WITHOUT the batch probe's
+    * collect-driven pruning (no literal cell list exists at stream
+    * plan time), so each microbatch scans the code tree's slim m-int
+    * rows and filters at the join — cost ∝ tree bytes / scan
+    * throughput, while the pruned [[annProbeBatch]] form pays a FLAT
+    * per-batch overhead (~3 s at local[32]: sidecar reads, probe
+    * checkpoint, cell collect, listing) plus |probed cells| I/O.
+    * Decision rule: (1) deploy THIS form while tree_bytes /
+    * scan_throughput < that flat overhead — at local[32] the tie sits
+    * at ≈10⁸ codes (~1 GB slim tree, nlist=65,536, 10-query batches:
+    * 3.0 s full vs 3.2 s pruned), and past it [[annProbeBatch]] wins
+    * linearly; (2) pruning must actually PRUNE — keep |q|·nprobe ≪
+    * nlist per microbatch (nlist ∝ √n gives this), because at
+    * nlist=4096 with 100-query batches the probed fraction is ~10%
+    * and the pruned form is strictly WORSE at any size (6.7 s vs
+    * 0.6 s at 10⁸ codes — the cell isin row filter costs more than
+    * the scan it fails to avoid).
     * Residual layouts rebase the query per probed cell exactly like
     * the batch path (broadcast join against the nlist-row centroid
     * table — static, stateless).
@@ -268,8 +274,14 @@ object Streams {
     * probe ([[graft.operators.Similarity.ivfPqHierTopKFromIndex]],
     * with its collect-driven group/cell pruning) on each microbatch of
     * query vectors and hands the ranked rows to `sink`. Identical
-    * results to the batch probe by construction; use when the store is
-    * huge and probe selectivity dominates. */
+    * results to the batch probe by construction. Deploy when BOTH
+    * hold (the measured [[annTopKStream]] decision rule, SCALE.md r15
+    * streamx): the slim code tree outgrows the scan budget (past
+    * ≈10⁸ codes / ~1 GB at local[32] — this form's flat ~3 s
+    * per-batch overhead then beats a scan that grows with the tree)
+    * AND the microbatch actually prunes (|q|·nprobe ≪ nlist;
+    * otherwise the cell isin filter costs more than the scan it
+    * fails to avoid and the full-scan form is strictly better). */
   def annProbeBatch(spark: SparkSession, path: String,
       sink: DataFrame => Unit, k: Int, nprobe: Int = 4, beam: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding")

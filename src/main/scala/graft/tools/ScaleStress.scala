@@ -1743,25 +1743,62 @@ object ScaleStress {
       def hv(tag: String, key: Column, j: Column): Column =
         (pmod(hash(lit(tag), key, j), lit(1000)).cast("double") / 500.0
           - 1.0)
-      println(f"\n${"codes_n"}%9s ${"tree_mb"}%8s ${"t_build"}%8s " +
+      // stores are SYNTHESIZED structurally (complete quantizer grid,
+      // complete codebooks, hashed cells, hashed 8-int codes): this is
+      // a probe COST drill — both shapes run the identical plans a
+      // trained store would, but a real fit+encode at 10^8 rows is a
+      // build-cost question the coarse drill owns (and OOMs a single
+      // 24 GB host before the probe question even starts). Recall is
+      // pinned at fixture size by the strict oracles.
+      // config dials: the DEFAULT (nlist=4096, 100-query microbatch)
+      // is the r14 leg's shape; the 100 TB shape is nlist ∝ √n with
+      // small batches (SPARK_GRAFT_STREAMX_K1=256 → nlist=65,536,
+      // SPARK_GRAFT_STREAMX_QN=10), where probed cells ≪ nlist and
+      // pruning actually prunes
+      val k1x = sys.env.getOrElse("SPARK_GRAFT_STREAMX_K1", "64").toInt
+      val k2x = k1x; val d = 64
+      val qn = sys.env.getOrElse("SPARK_GRAFT_STREAMX_QN", "100").toInt
+      println(f"\nnlist=${k1x * k2x} microbatch=$qn queries")
+      println(f"${"codes_n"}%9s ${"tree_mb"}%8s ${"t_build"}%8s " +
         f"${"t_pruned"}%9s ${"t_fullscan"}%11s ${"winner"}%8s")
-      for (n <- Seq(1000000L, 10000000L, 30000000L)
+      for (n <- Seq(1000000L, 10000000L, 30000000L, 100000000L)
           if n <= 3000000L * maxScale) {
         def cvec(id: Column): Column = {
           val cl = pmod(id, lit(n / 50))
           transform(sequence(lit(0), lit(63)), j =>
             (hv("c", cl, j) + lit(0.15) * hv("n", id, j)).cast("float"))
         }
-        val corpus = spark.range(n).select(col("id").as("vec_id"),
-          cvec(col("id")).as("embedding"))
         val path = java.nio.file.Files
           .createTempDirectory("streamx").toString + "/idx"
-        val nlist = 4096
+        val nlist = k1x * k2x
+        def vecOf(tag: String, key: Column): Column =
+          transform(sequence(lit(0), lit(d - 1)), j =>
+            hv(tag, key, j).cast("float"))
         val tBuild = timed {
-          val cq = Similarity.trainCoarseHierarchical(corpus,
-            "embedding", nlist)
-          Similarity.writeIvfPqIndexHier(corpus, path, cq,
-            m = 8, ncodes = 16)
+          spark.range(k1x).select(col("id").cast("int").as("c1"),
+              vecOf("l1", col("id")).as("centroid"))
+            .coalesce(1).write.parquet(s"$path/l1")
+          spark.range(nlist).select((col("id") / k2x).cast("int").as("c1"),
+              pmod(col("id"), lit(k2x.toLong)).cast("int").as("c2"),
+              vecOf("l2", col("id")).as("centroid"))
+            .coalesce(1).write.parquet(s"$path/quantizer")
+          spark.range(8 * 16).select((col("id") / 16).cast("int").as("sub"),
+              pmod(col("id"), lit(16L)).cast("int").as("code"),
+              transform(sequence(lit(0), lit(7)), j =>
+                hv("cb", col("id"), j).cast("float")).as("centroid"))
+            .coalesce(1).write.parquet(s"$path/codebooks")
+          import spark.implicits._
+          Seq((k1x, k2x, d, false, 64, 0.1)).toDF("k1", "k2", "dim",
+              "residual", "cells_per_group", "base_distortion")
+            .coalesce(1).write.parquet(s"$path/meta")
+          spark.range(n).select(col("id").as("vec_id"),
+              pmod(hash(col("id")), lit(nlist)).as("cell"),
+              transform(sequence(lit(0), lit(7)), j =>
+                pmod(hash(col("id"), j), lit(16))).as("codes"))
+            .withColumn("cell_grp", (col("cell") / 64).cast("int"))
+            .repartition(col("cell_grp"))
+            .sortWithinPartitions(col("cell"))
+            .write.partitionBy("cell_grp").parquet(s"$path/codes")
         }
         val treeMb = {
           def walk(f: java.io.File): Long =
@@ -1769,7 +1806,7 @@ object ScaleStress {
             else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
           walk(new java.io.File(s"$path/codes")) / 1048576.0
         }
-        val qs = spark.range(n, n + 100)
+        val qs = spark.range(n, n + qn)
           .select(col("id").as("qid"), cvec(col("id")).as("qvec"))
           .cache()
         qs.count()
