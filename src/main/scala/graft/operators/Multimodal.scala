@@ -506,7 +506,7 @@ object Multimodal {
       : IndexedSeq[Array[Byte]] =
     bmffSampleWalk(content, firstOnly,
       accept = f => f == "jpeg" || f == "mjpa", requireSoi = true)
-      .map(_._2).getOrElse(IndexedSeq.empty)
+      .map(_._4).getOrElse(IndexedSeq.empty)
 
   /** The parameterized sample-table walk [[bmffJpegWalk]] and the
     * decoder-seam's foreign extraction share: gather stsd/stsz/stsc/
@@ -516,10 +516,13 @@ object Multimodal {
     * SOI check per slice (the jpeg/mjpa path's all-or-nothing decode
     * bar); foreign codecs keep the structural bars but their payload
     * validity is the DECODER's judgment, not the walker's. Returns
-    * (sample-entry fourcc, frames). */
+    * (sample-entry fourcc, declared width, declared height, frames) —
+    * the visual sample entry carries its geometry at fixed offsets
+    * (ISO 14496-12 §12.1.3), passed through for decoders that need it
+    * (-1 when the entry is too short to carry one). */
   private def bmffSampleWalk(content: Array[Byte], firstOnly: Boolean,
       accept: String => Boolean, requireSoi: Boolean)
-      : Option[(String, IndexedSeq[Array[Byte]])] = {
+      : Option[(String, Int, Int, IndexedSeq[Array[Byte]])] = {
     val be32 = bmffBe32(content) _
     def be64(o: Int): Long = (be32(o) << 32) | be32(o + 4)
     try {
@@ -527,6 +530,7 @@ object Multimodal {
         return None
       // per-trak sample-table gather: containers descend, leaves fill
       final case class Tables(var fmt: String = null,
+        var width: Int = -1, var height: Int = -1,
         var sizes: Array[Int] = null,
         var stsc: Array[(Long, Long)] = null,
         var chunkOffs: Array[Long] = null)
@@ -537,6 +541,13 @@ object Multimodal {
             case "stsd" if tb.fmt == null && s + 16 <= e &&
                 be32(s + 4) >= 1 =>
               tb.fmt = bmffTyp(content)(s + 12) // first entry's fourcc
+              // visual sample entry geometry: 16-bit width/height at
+              // entry+32/+34 (entry starts at s+8)
+              if (s + 44 <= e) {
+                def be16(o: Int): Int =
+                  ((content(o) & 0xFF) << 8) | (content(o + 1) & 0xFF)
+                tb.width = be16(s + 40); tb.height = be16(s + 42)
+              }
             case "stsz" if tb.sizes == null && s + 12 <= e =>
               val fixed = be32(s + 4)
               val n = be32(s + 8).toInt
@@ -619,7 +630,7 @@ object Multimodal {
       // the tables must be mutually consistent: every declared sample
       // reconstructed, none left over
       if (sample != sizes.length) None
-      else Some((tables.fmt, out.result()))
+      else Some((tables.fmt, tables.width, tables.height, out.result()))
     } catch { case _: Exception => None }
   }
 
@@ -913,7 +924,7 @@ object Multimodal {
     * structural bars as the jpeg walk. Returns
     * (codec, width, height, frames, decoder). */
   private def foreignStream(content: Array[Byte],
-      decoders: Seq[VideoFrameDecoder])
+      decoders: Seq[VideoFrameDecoder], firstOnly: Boolean)
       : Option[(String, Int, Int, IndexedSeq[Array[Byte]],
         VideoFrameDecoder)] = {
     if (decoders.isEmpty) return None
@@ -921,20 +932,21 @@ object Multimodal {
       case (handler, w, h, _, comp) =>
         val codec = aviCodecId(comp, handler)
         decoders.find(_.claims(codec)).flatMap { d =>
-          val fs = aviFrameChunks(content, firstOnly = false,
-            requireSoi = false)
+          val fs = aviFrameChunks(content, firstOnly, requireSoi = false)
           if (fs.isEmpty) None
           else Some((codec, w, math.abs(h), fs, d))
         }
     }
     avi.orElse {
-      bmffSampleWalk(content, firstOnly = false,
+      bmffSampleWalk(content, firstOnly,
           accept = f => decoders.exists(_.claims(normFourcc(f))),
           requireSoi = false)
-        .flatMap { case (fmt, fs) =>
+        .flatMap { case (fmt, w, h, fs) =>
           val codec = normFourcc(fmt)
           decoders.find(_.claims(codec)).flatMap(d =>
-            if (fs.isEmpty) None else Some((codec, -1, -1, fs, d)))
+            if (fs.isEmpty) None
+            else Some((codec, if (w > 0) w else -1,
+              if (h > 0) h else -1, fs, d)))
         }
     }
   }
@@ -988,7 +1000,8 @@ object Multimodal {
               }
             }
             if (bmff.hasNext) bmff
-            else foreignStream(content, decoders).iterator.flatMap {
+            else foreignStream(content, decoders,
+                firstOnly = false).iterator.flatMap {
               case (codec, w, h, fs, d) =>
                 (0 until fs.length by step).iterator.flatMap { i =>
                   d.decode(codec, w, h, fs(i)).map {
@@ -1039,7 +1052,9 @@ object Multimodal {
           // sample stream
           else if (firstBmffJpegFrame(content).exists(f =>
             decodeImage(f).isDefined)) "bmff_jpeg"
-          else foreignStream(content, decoders) match {
+          // firstOnly: classification needs frame 0, never the whole
+          // byte volume (the firstMjpegFrame discipline)
+          else foreignStream(content, decoders, firstOnly = true) match {
             // same first-frame bar as the built-ins: a registered
             // decoder that claims the codec but can't decode frame 0
             // must not report coverage videoFrames won't deliver

@@ -447,7 +447,8 @@ object Similarity {
     val cents = centroids.getOrElse(
       trainCentroids(corpus, vecCol, nlist, trainFraction))
     val spark = corpus.sparkSession
-    withWriterLock(spark, path, "writeIvfIndex") {
+    withWriterLock(spark, path, "writeIvfIndex") { guard =>
+      guard.begin()
       beginRebuild(spark, path)
       corpus.select(col(idCol), col(vecCol),
           nearestCell(col(vecCol), cents).as("cell"))
@@ -483,7 +484,7 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       refitThreshold: Double = 2.0): Double = {
     val spark = batch.sparkSession
-    withWriterLock(spark, path, "appendIvfIndex") {
+    withWriterLock(spark, path, "appendIvfIndex") { guard =>
     val cents = readCentroids(spark, path)
     val meta = flatMetaRow(spark, path)
     val base = baseDistortionOf(meta, path, "append")
@@ -496,6 +497,7 @@ object Similarity {
       val bDist = meanCellDistortionTable(assigned,
         centTableOf(spark, cents), vecCol)
       requireNoDrift(bDist, base, refitThreshold, path)
+      guard.begin() // first mutation: a failure past here keeps the lock
       assigned.write.mode("append").partitionBy("cell")
         .parquet(s"$path/index")
       appendLogRow(spark, path, nRows, bDist, base, refitThreshold)
@@ -531,7 +533,7 @@ object Similarity {
   private def flatMetaRow(spark: SparkSession,
       path: String): org.apache.spark.sql.Row = {
     requireMetaParquet(spark, path)
-    readSidecar(spark, s"$path/meta").head()
+    readSidecarRows(spark, s"$path/meta").head
   }
 
   // ---- atomic versioned sidecars + single-writer enforcement ----------
@@ -581,13 +583,45 @@ object Similarity {
 
   /** Read a sidecar dir: the max-version `v*.parquet` when the atomic
     * protocol is present, else the legacy whole-dir parquet read (so
-    * stores written before the protocol keep reading unchanged). */
+    * stores written before the protocol keep reading unchanged).
+    * NOTE for racing readers: a concurrent publish can sweep the
+    * version this frame resolved to before an ACTION runs it — the
+    * one-row manifest readers therefore go through [[readSidecarRows]]
+    * (re-resolve + retry); DataFrame-returning consumers
+    * ([[readAppendLog]] in a joined audit) either run against a
+    * quiescent store or own their retry. */
   private def readSidecar(spark: SparkSession, dir: String): DataFrame =
     latestSidecarFile(hadoopFs(spark, dir),
         new org.apache.hadoop.fs.Path(dir)) match {
       case Some((f, _)) => spark.read.parquet(f.toString)
       case None => spark.read.parquet(dir)
     }
+
+  /** Materialize a sidecar's rows with the race closed: resolve the
+    * latest version and COLLECT inside a bounded retry, so a
+    * concurrent publish sweeping the resolved version between the
+    * listing and the read (its rename+delete window) re-resolves to
+    * the new version instead of surfacing FileNotFoundException — the
+    * 'old or new, never none' promise, made true for readers racing a
+    * live ingest loop. */
+  private def readSidecarRows(spark: SparkSession,
+      dir: String): Array[org.apache.spark.sql.Row] = {
+    var attempt = 0
+    while (true) {
+      try return readSidecar(spark, dir).collect()
+      catch {
+        case e: Throwable if attempt < 4 && {
+            def fnf(t: Throwable): Boolean = t != null &&
+              (t.isInstanceOf[java.io.FileNotFoundException] ||
+                fnf(t.getCause))
+            fnf(e)
+          } =>
+          attempt += 1
+          Thread.sleep(50L * attempt)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   /** Publish `df` as the sidecar dir's next version ATOMICALLY: write
     * to a tmp dir beside it, rename the single part file in as
@@ -601,6 +635,16 @@ object Similarity {
       df: DataFrame): Unit = {
     val fs = hadoopFs(spark, dir)
     val dirPath = new org.apache.hadoop.fs.Path(dir)
+    // sweep stray tmp dirs a CRASHED publish left beside the sidecar
+    // (we hold the writer lock, so any surviving tmp is dead)
+    Option(dirPath.getParent).foreach { parent =>
+      if (fs.exists(parent))
+        fs.listStatus(parent).foreach { st =>
+          if (st.isDirectory &&
+              st.getPath.getName.startsWith(s"${dirPath.getName}.tmp-"))
+            fs.delete(st.getPath, true)
+        }
+    }
     val next = latestSidecarFile(fs, dirPath).map(_._2).getOrElse(0L) + 1
     val tmp = s"$dir.tmp-${java.util.UUID.randomUUID}"
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -622,14 +666,31 @@ object Similarity {
     }
   }
 
+  /** The mutation-phase sentinel [[withWriterLock]] hands its body:
+    * `begin()` marks the point after which the store has (possibly
+    * partially) mutated — a failure BEFORE it (drift refusal, torn
+    * meta, empty batch) is side-effect-free and releases the lock; a
+    * failure AFTER it leaves the lock IN PLACE, because the store may
+    * hold data rows its appends log never admitted and the next
+    * mutator (e.g. a streaming retry of the same batch) must not
+    * re-append them blind. */
+  private final class MutationGuard {
+    @volatile private var begun = false
+    def begin(): Unit = { begun = true }
+    def hasBegun: Boolean = begun
+  }
+
   /** Run `body` holding the store's single-writer lock. Concurrent
     * mutators refuse loudly (two interleaved manifest swaps could
     * publish a version that forgets the other writer's rows); probes
-    * never take the lock. A crashed writer leaves the lock behind by
-    * design — the store may hold data rows its appends log never
-    * admitted, and the next mutator must not bless them silently. */
+    * never take the lock. The lock releases when the body completes
+    * OR fails before its [[MutationGuard.begin]] call (a pure
+    * refusal); a failure after `begin()` — or a crashed JVM — leaves
+    * the lock behind BY DESIGN: the store may hold data rows its
+    * appends log never admitted, and the next mutator must not bless
+    * (or re-append) them silently. */
   private def withWriterLock[A](spark: SparkSession, path: String,
-      op: String)(body: => A): A = {
+      op: String)(body: MutationGuard => A): A = {
     val fs = hadoopFs(spark, path)
     val dirPath = new org.apache.hadoop.fs.Path(path)
     fs.mkdirs(dirPath)
@@ -639,12 +700,27 @@ object Similarity {
       catch { case _: java.io.IOException => false }
     require(acquired, s"$op: writer lock already held at $lock — " +
       "single-writer is enforced on ANN store mutations. If the " +
-      "holder is live, wait for it; if it crashed, inspect the store " +
-      "(data rows without a matching appends-log entry are the dead " +
-      "writer's partial batch — compact or rebuild), then " +
+      "holder is live, wait for it; if it crashed or failed " +
+      "mid-mutation, inspect the store (data rows without a matching " +
+      "appends-log entry are the dead writer's partial batch — " +
+      "compact or rebuild), then " +
       "Similarity.releaseWriterLock(spark, path)")
-    try body
-    finally { fs.delete(lock, false); () }
+    val guard = new MutationGuard
+    var failedAfterBegin = false
+    try body(guard)
+    catch {
+      case e: Throwable =>
+        failedAfterBegin = guard.hasBegun
+        if (failedAfterBegin)
+          log.error(s"$op: failed AFTER mutating $path — the writer " +
+            "lock is retained so the next mutator refuses until the " +
+            "store is inspected (partial rows have no appends-log " +
+            "entry); releaseWriterLock after recovery", e)
+        throw e
+    } finally {
+      if (!failedAfterBegin) fs.delete(lock, false)
+      ()
+    }
   }
 
   /** Manual recovery after a crashed writer: drop the store's
@@ -1046,7 +1122,8 @@ object Similarity {
     val cq = quantizer.getOrElse(trainCoarseHierarchical(corpus, vecCol,
       nlist, trainFraction, minPointsPerCentroid, perCellCap))
     val spark = corpus.sparkSession
-    withWriterLock(spark, path, "writeIvfIndexHier") {
+    withWriterLock(spark, path, "writeIvfIndexHier") { guard =>
+      guard.begin()
       beginRebuild(spark, path)
       spark.createDataFrame(cq.l1.map { case (c1, v) => (c1, v.toSeq) })
         .toDF("c1", "centroid")
@@ -1148,18 +1225,7 @@ object Similarity {
     val meta = preReadMeta.getOrElse(hierMetaRow(spark, path))
     val (k1, k2, dim) = (meta.getAs[Int]("k1"), meta.getAs[Int]("k2"),
       meta.getAs[Int]("dim"))
-    val l1 = spark.read.parquet(s"$path/l1").collect().toSeq
-      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
-      .sortBy(_._1)
-    // ids must span EXACTLY 0..k1-1 (count/distinct alone would pass
-    // an out-of-range id like {0,1,2,4}, and the position-based
-    // flatten in CoarseQuantizer would then silently misalign every
-    // centroid table) — the writer emits the complete grid by
-    // construction, so anything else is a torn/edited store
-    require(l1.map(_._1) == (0 until k1) &&
-        l1.forall(_._2.length == dim),
-      s"readCoarseQuantizer: l1 sidecar at $path is not the complete " +
-        s"0..${k1 - 1}×$dim grid — torn store?")
+    val l1 = readL1Sidecar(spark, path, k1, dim)
     val l2 = spark.read.parquet(s"$path/quantizer").collect().toSeq
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
       .sortBy(c => (c._1, c._2))
@@ -1169,6 +1235,25 @@ object Similarity {
       s"readCoarseQuantizer: quantizer sidecar at $path is not the " +
         s"complete $k1×$k2×$dim grid — torn store?")
     CoarseQuantizer(k1, k2, dim, l1, l2)
+  }
+
+  /** The l1 sidecar, driver-side (k1 rows), with THE completeness
+    * validation both consumers share: ids must span EXACTLY 0..k1-1
+    * (count/distinct alone would pass an out-of-range id like
+    * {0,1,2,4}, and the position-based flatten in CoarseQuantizer —
+    * or the lazy probe's k2=1 view — would then silently misalign
+    * every centroid table); the writer emits the complete grid by
+    * construction, so anything else is a torn/edited store. */
+  private def readL1Sidecar(spark: SparkSession, path: String,
+      k1: Int, dim: Int): Seq[(Int, Array[Float])] = {
+    val l1 = spark.read.parquet(s"$path/l1").collect().toSeq
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    require(l1.map(_._1) == (0 until k1) &&
+        l1.forall(_._2.length == dim),
+      s"readL1Sidecar: l1 sidecar at $path is not the complete " +
+        s"0..${k1 - 1}×$dim grid — torn store?")
+    l1
   }
 
   /** Probe a hierarchical IVF index: the [[ivfTopKFromIndex]] shape
@@ -1232,35 +1317,44 @@ object Similarity {
   def appendIvfIndexHier(batch: DataFrame, path: String,
       idCol: String = "vec_id", vecCol: String = "embedding",
       refitThreshold: Double = 2.0): Double =
-    appendIvfIndexHierWith(batch, path,
-      readCoarseQuantizer(batch.sparkSession, path), idCol, vecCol,
-      refitThreshold)
+    appendIvfHierCore(batch, path, None, idCol, vecCol, refitThreshold)
 
   /** [[appendIvfIndexHier]] with the quantizer PRE-LOADED — the
     * continuous-ingestion shape: a foreachBatch loop reads the
     * nlist·dim quantizer sidecar ONCE at stream start instead of
     * re-collecting it every microbatch (at the carrier's 0.5–8 GB l2
     * sizing that re-read would dwarf the batch itself). The one-row
-    * meta IS re-read per call — it carries the (possibly re-armed)
-    * drift base and costs one tiny file — and its grid shape must
-    * match the pre-loaded quantizer, so a store re-fit under a live
-    * ingest loop fails loudly instead of appending with dead
-    * centroids. */
+    * meta IS re-read per call, under the lock — it carries the
+    * (possibly re-armed) drift base and costs one tiny file — and its
+    * grid shape must match the pre-loaded quantizer, so a store
+    * re-fit under a live ingest loop fails loudly instead of
+    * appending with dead centroids. */
   def appendIvfIndexHierWith(batch: DataFrame,
       path: String, cq: CoarseQuantizer, idCol: String = "vec_id",
       vecCol: String = "embedding",
-      refitThreshold: Double = 2.0): Double = {
+      refitThreshold: Double = 2.0): Double =
+    appendIvfHierCore(batch, path, Some(cq), idCol, vecCol,
+      refitThreshold)
+
+  /** Shared core of the two hier-IVF appends: ONE meta read under the
+    * lock serves the freshness re-check, the quantizer load (when not
+    * pre-loaded) and the drift base alike. */
+  private def appendIvfHierCore(batch: DataFrame, path: String,
+      preCq: Option[CoarseQuantizer], idCol: String, vecCol: String,
+      refitThreshold: Double): Double = {
     val spark = batch.sparkSession
-    withWriterLock(spark, path, "appendIvfIndexHier") {
+    withWriterLock(spark, path, "appendIvfIndexHier") { guard =>
       val meta = hierMetaRow(spark, path)
-      requireMetaMatchesQuantizer(meta, cq, path)
+      val cq = preCq.getOrElse(
+        readCoarseQuantizer(spark, path, Some(meta)))
+      preCq.foreach(requireMetaMatchesQuantizer(meta, _, path))
       val assigned = batch.select(col(idCol), col(vecCol),
           assignCellHier(col(vecCol), cq).as("cell"))
         .filter(col("cell").isNotNull)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try
         appendHierRows(spark, path, "index", meta, cq, assigned, vecCol,
-          assigned, refitThreshold, residual = None)
+          assigned, refitThreshold, residual = None, guard)
       finally { assigned.unpersist(); () }
     }
   }
@@ -1286,26 +1380,35 @@ object Similarity {
     * code tree under the same drift/torn-write/log contract. */
   def appendIvfPqIndexHier(batch: DataFrame, path: String,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      refitThreshold: Double = 2.0): Double = {
-    val spark = batch.sparkSession
-    appendIvfPqIndexHierWith(batch, path,
-      readCoarseQuantizer(spark, path), readPqCodebooks(spark, path),
-      idCol, vecCol, refitThreshold)
-  }
+      refitThreshold: Double = 2.0): Double =
+    appendIvfPqHierCore(batch, path, None, idCol, vecCol,
+      refitThreshold)
 
   /** [[appendIvfPqIndexHier]] with quantizer AND codebooks PRE-LOADED
     * — see [[appendIvfIndexHierWith]]: the foreachBatch ingest loop
     * reads the big sidecars once at stream start; the one-row meta
-    * (re-armed drift base, residual flag) is re-read per call and
-    * shape-checked against the pre-loaded grid. */
+    * (re-armed drift base, residual flag) is re-read per call, under
+    * the lock, and shape-checked against the pre-loaded grid. */
   def appendIvfPqIndexHierWith(batch: DataFrame, path: String,
       cq: CoarseQuantizer, cb: PqCodebooks,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      refitThreshold: Double = 2.0): Double = {
+      refitThreshold: Double = 2.0): Double =
+    appendIvfPqHierCore(batch, path, Some((cq, cb)), idCol, vecCol,
+      refitThreshold)
+
+  /** Shared core of the two hier IVF-PQ appends — ONE meta read under
+    * the lock ([[appendIvfHierCore]]'s shape, plus codebooks). */
+  private def appendIvfPqHierCore(batch: DataFrame, path: String,
+      pre: Option[(CoarseQuantizer, PqCodebooks)], idCol: String,
+      vecCol: String, refitThreshold: Double): Double = {
     val spark = batch.sparkSession
-    withWriterLock(spark, path, "appendIvfPqIndexHier") {
+    withWriterLock(spark, path, "appendIvfPqIndexHier") { guard =>
       val meta = hierMetaRow(spark, path)
-      requireMetaMatchesQuantizer(meta, cq, path)
+      val (cq, cb) = pre.getOrElse(
+        (readCoarseQuantizer(spark, path, Some(meta)),
+          readPqCodebooks(spark, path)))
+      pre.foreach { case (c, _) =>
+        requireMetaMatchesQuantizer(meta, c, path) }
       val residual = meta.getAs[Boolean]("residual")
       val celled = batch.select(col(idCol), col(vecCol),
           assignCellHier(col(vecCol), cq).as("cell"))
@@ -1321,7 +1424,7 @@ object Similarity {
               cb.dsub, cb.flat).as("codes"))
           .filter(col("codes").isNotNull)
         appendHierRows(spark, path, "codes", meta, cq, encodeSrc, vecCol,
-          rows, refitThreshold, residual = Some(residual))
+          rows, refitThreshold, residual = Some(residual), guard)
       } finally { encodeSrc.unpersist(); () }
     }
   }
@@ -1343,7 +1446,8 @@ object Similarity {
   private def appendHierRows(spark: SparkSession, path: String,
       sub: String, meta: org.apache.spark.sql.Row, cq: CoarseQuantizer,
       measured: DataFrame, vecCol: String, writeRows: DataFrame,
-      refitThreshold: Double, residual: Option[Boolean]): Double = {
+      refitThreshold: Double, residual: Option[Boolean],
+      guard: MutationGuard): Double = {
     val cpg = meta.getAs[Int]("cells_per_group")
     val base = baseDistortionOf(meta, path, "append")
     val nRows = measured.count()
@@ -1351,6 +1455,7 @@ object Similarity {
       s"append: batch has no validly-shaped vectors for the $path store")
     val bDist = meanCellDistortion(measured, cq, vecCol)
     requireNoDrift(bDist, base, refitThreshold, path)
+    guard.begin() // first mutation: a failure past here keeps the lock
     writeRows
       .withColumn("cell_grp", (col("cell") / cpg).cast("int"))
       .repartition(col("cell_grp"))
@@ -1420,7 +1525,7 @@ object Similarity {
   def compactPqIndex(spark: SparkSession, path: String,
       maxFiles: Int = 4): Unit = {
     require(maxFiles >= 1, "maxFiles must be >= 1")
-    withWriterLock(spark, path, "compactPqIndex") {
+    withWriterLock(spark, path, "compactPqIndex") { guard =>
       val fs = hadoopFs(spark, path)
       val (metaRows, metaSchema) = snapshotMeta(spark, path)
       val sub = new org.apache.hadoop.fs.Path(s"$path/codes")
@@ -1430,6 +1535,7 @@ object Similarity {
         val nOut = math.max(1,
           (files.map(_.getLen).sum / (128L << 20)).toInt)
         val next = new org.apache.hadoop.fs.Path(s"$path/codes_next")
+        guard.begin() // meta off = the mutation has started
         fs.delete(new org.apache.hadoop.fs.Path(s"$path/meta"), true)
         spark.read.parquet(sub.toString).repartition(nOut)
           .write.mode("overwrite").parquet(next.toString)
@@ -1451,7 +1557,7 @@ object Similarity {
       sub: String, partCol: String, maxFiles: Int,
       sortCol: Option[String], op: String): Unit = {
     require(maxFiles >= 1, "maxFiles must be >= 1")
-    withWriterLock(spark, path, op) {
+    withWriterLock(spark, path, op) { guard =>
       val fs = hadoopFs(spark, path)
       val (metaRows, metaSchema) = snapshotMeta(spark, path)
       val fragmented = fs
@@ -1462,6 +1568,7 @@ object Similarity {
           f.getPath.getName.endsWith(".parquet")) > maxFiles)
         .map(_.getPath)
       if (fragmented.nonEmpty) {
+        guard.begin() // meta off = the mutation has started
         fs.delete(new org.apache.hadoop.fs.Path(s"$path/meta"), true)
         val src = spark.read.option("basePath", s"$path/$sub")
           .parquet(fragmented.map(_.toString).toSeq: _*)
@@ -1608,7 +1715,8 @@ object Similarity {
     val spark = corpus.sparkSession
     val cb = codebooks.getOrElse(
       trainPqCodebooks(corpus, vecCol, m, ncodes, trainFraction))
-    withWriterLock(spark, path, "writePqIndex") {
+    withWriterLock(spark, path, "writePqIndex") { guard =>
+      guard.begin()
       beginRebuild(spark, path)
       spark.createDataFrame(cb.cents)
         .toDF("sub", "code", "centroid")
@@ -1658,7 +1766,7 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       refitThreshold: Double = 2.0): Double = {
     val spark = batch.sparkSession
-    withWriterLock(spark, path, "appendPqIndex") {
+    withWriterLock(spark, path, "appendPqIndex") { guard =>
     val cb = readPqCodebooks(spark, path)
     val meta = flatMetaRow(spark, path)
     val base = baseDistortionOf(meta, path, "append")
@@ -1672,6 +1780,7 @@ object Similarity {
       require(nRows > 0, s"append: empty batch for the $path store")
       val bDist = meanSelfAdc(rows, vecCol, cb)
       requireNoDrift(bDist, base, refitThreshold, path)
+      guard.begin() // first mutation: a failure past here keeps the lock
       rows.select(col(idCol), col("codes"))
         .write.mode("append").parquet(s"$path/codes")
       appendLogRow(spark, path, nRows, bDist, base, refitThreshold)
@@ -1766,7 +1875,8 @@ object Similarity {
     // no returned frame can recompute.
     encodeSrc.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try withWriterLock(spark, path, "writeIvfPqIndex") {
+    try withWriterLock(spark, path, "writeIvfPqIndex") { guard =>
+      guard.begin()
       beginRebuild(spark, path)
       val cb = codebooks.getOrElse(
         trainPqCodebooks(encodeSrc, "__enc", m, ncodes, trainFraction))
@@ -1802,7 +1912,7 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       refitThreshold: Double = 2.0): Double = {
     val spark = batch.sparkSession
-    withWriterLock(spark, path, "appendIvfPqIndex") {
+    withWriterLock(spark, path, "appendIvfPqIndex") { guard =>
     val cents = readCentroids(spark, path)
     val cb = readPqCodebooks(spark, path)
     val meta = flatMetaRow(spark, path)
@@ -1822,6 +1932,7 @@ object Similarity {
       val bDist = meanCellDistortionTable(encodeSrc,
         centTableOf(spark, cents), vecCol)
       requireNoDrift(bDist, base, refitThreshold, path)
+      guard.begin() // first mutation: a failure past here keeps the lock
       encodeSrc.select(col(idCol), col("cell"),
           graft.plans.PqExpressions.pq_encode(col("__enc"), cb.ncodes,
             cb.dsub, cb.flat).as("codes"))
@@ -1854,7 +1965,7 @@ object Similarity {
     * omits). */
   def readIvfPqMeta(spark: SparkSession, path: String): Boolean = {
     requireMetaParquet(spark, path)
-    readSidecar(spark, s"$path/meta").head().getBoolean(0)
+    readSidecarRows(spark, s"$path/meta").head.getBoolean(0)
   }
 
   /** Materialize the HIERARCHICAL IVF-PQ layout — [[writeIvfPqIndex]]
@@ -1896,7 +2007,8 @@ object Similarity {
     // persist on both variants now, not just residual's many actions
     encodeSrc.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try withWriterLock(spark, path, "writeIvfPqIndexHier") {
+    try withWriterLock(spark, path, "writeIvfPqIndexHier") { guard =>
+      guard.begin()
       beginRebuild(spark, path)
       // `codebooks` bypasses the PQ fit with pre-trained books — the
       // append ≡ rebuild comparison shape (an appended store's codes
@@ -1948,7 +2060,7 @@ object Similarity {
   private def hierMetaRow(spark: SparkSession,
       path: String): org.apache.spark.sql.Row = {
     requireMetaParquet(spark, path)
-    readSidecar(spark, s"$path/meta").head()
+    readSidecarRows(spark, s"$path/meta").head
   }
 
   /** Probe a hierarchical IVF-PQ layout: the [[ivfPqTopKFromIndex]]
@@ -2027,13 +2139,7 @@ object Similarity {
       beam: Int, qidCol: String, qvecCol: String): DataFrame = {
     val (k1, k2, dim) = (meta.getAs[Int]("k1"), meta.getAs[Int]("k2"),
       meta.getAs[Int]("dim"))
-    val l1 = spark.read.parquet(s"$path/l1").collect().toSeq
-      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
-      .sortBy(_._1)
-    require(l1.map(_._1) == (0 until k1) &&
-        l1.forall(_._2.length == dim),
-      s"lazyHierProbes: l1 sidecar at $path is not the complete " +
-        s"0..${k1 - 1}×$dim grid — torn store?")
+    val l1 = readL1Sidecar(spark, path, k1, dim)
     // l1 as a k2=1 quantizer: the stage-1 beam through the REAL kernel
     // (composed id ≡ level-1 index when k2 = 1), nprobe = beam so all
     // opened cells come back

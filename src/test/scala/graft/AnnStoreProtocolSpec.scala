@@ -113,6 +113,34 @@ class AnnStoreProtocolSpec extends AnyFunSuite {
       "a refused append must release the writer lock")
   }
 
+  test("a failure AFTER mutation begins keeps the writer lock (the " +
+      "next mutator must refuse — a streaming retry must not blindly " +
+      "re-append a half-landed batch), while pure refusals before " +
+      "mutation release it") {
+    val p = tmp("protoMidFail")
+    Similarity.writeIvfIndexHier(
+      em.filter(col("vec_id") < 400), p, 9, minPointsPerCentroid = 8)
+    // sabotage the data tree AFTER the drift gate will pass: replace
+    // the index dir with a plain file so the per-group append write
+    // itself fails mid-mutation
+    def rmr(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmr)); f.delete(); ()
+    }
+    rmr(new java.io.File(s"$p/index"))
+    assert(new java.io.File(s"$p/index").createNewFile())
+    val batch = em.filter(col("vec_id") >= 400)
+    intercept[Exception] { Similarity.appendIvfIndexHier(batch, p) }
+    assert(new java.io.File(s"$p/.writer.lock").exists(),
+      "a mid-mutation failure must RETAIN the lock")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.appendIvfIndexHier(batch, p)
+    }
+    assert(e.getMessage.contains("writer lock"),
+      "the next mutator must refuse the possibly-partial store")
+    Similarity.releaseWriterLock(spark, p)
+    assert(!new java.io.File(s"$p/.writer.lock").exists())
+  }
+
   test("zero-base re-arm: a bootstrap-sized build (base 0) admits the " +
       "first batch and persists ITS distortion as the new base, so a " +
       "drifted second batch is refused instead of the gate staying " +

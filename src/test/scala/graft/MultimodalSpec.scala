@@ -482,6 +482,8 @@ class MultimodalSpec extends AnyFunSuite {
     val mov = got.filter(_._1 == 7L)
     assert(mov.length == 4 && mov.forall(_._3 == 4),
       s"foreign BMFF frames: ${mov.toSeq}")
+    assert(mov.forall(f => f._4 == 16 && f._5 == 12),
+      "the stsd sample entry's declared geometry must reach the decoder")
     assert(mov.forall(f => f._6.length == 4 && f._6.head == 48f))
     assert(got.count(_._1 == 9L) == 2, "MJPEG row must be unaffected")
     // audit: ext:<codec> provenance with the same first-frame bar
