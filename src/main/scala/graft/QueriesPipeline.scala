@@ -3009,6 +3009,37 @@ object QueriesPipeline {
           WHERE a.vec_id <> p.qid)
         WHERE rnk <= 10""")),
 
+    // The flat-compaction invariant under a STRICT oracle: the staged
+    // flat IVF tree builds BUILD+APPEND+COMPACT, so every cell dir
+    // must hold exactly ONE parquet file — the engine audits the tree
+    // through the store's own file listing (and REQUIRES the
+    // compacted invariant, so a compaction regression fails loudly at
+    // build time), while DuckDB re-derives the same per-cell file
+    // counts from the filenames of the rows it reads. Engine listing
+    // ≡ external file reality, per cell.
+    "q_sim_ivf_compact_audit" -> Entry(
+      (s, dir) => {
+        val idxPath = ensureIvfIndex(s, dir)
+        val counts = Option(new java.io.File(s"$idxPath/index")
+            .listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+          .map(d => (d.getName.stripPrefix("cell=").toInt,
+            d.listFiles().count(f => f.isFile &&
+              f.getName.endsWith(".parquet")).toLong))
+          .sortBy(_._1).toSeq
+        require(counts.nonEmpty && counts.forall(_._2 == 1L),
+          s"q_sim_ivf_compact_audit: staged flat IVF tree at $idxPath " +
+            s"is not compacted to one file per cell: $counts — " +
+            "compactIvfIndex regressed or the staging recipe changed")
+        import s.implicits._
+        counts.toDF("cell", "n_files")
+      },
+      Some("""SELECT CAST(cell AS INT) AS cell,
+          CAST(count(DISTINCT filename) AS BIGINT) AS n_files
+        FROM read_parquet('{STAGING:ivf_n8_v3}/index/*/*.parquet',
+          filename = true, hive_partitioning = true)
+        GROUP BY cell""")),
+
     // Hierarchical (two-level) IVF ANN — the fit/assign/probe that
     // scales past the flat quantizer's driver-Lloyd + literal-fold
     // ceiling: k1 level-1 cells × k2 sub-centroids each, composed

@@ -605,16 +605,35 @@ object Similarity {
     * 'old or new, never none' promise, made true for readers racing a
     * live ingest loop. */
   private def readSidecarRows(spark: SparkSession,
-      dir: String): Array[org.apache.spark.sql.Row] = {
+      dir: String): Array[org.apache.spark.sql.Row] =
+    retryOnVanishedSidecar { readSidecar(spark, dir).collect() }
+
+  /** THE bounded retry both materializing sidecar readers share: a
+    * concurrent publish can sweep the version a read resolved between
+    * the listing and the action (its rename+delete window) — retry on
+    * the three faces that race wears (found by the ingest500 drill's
+    * genuinely-concurrent reader, not guessed): FileNotFoundException
+    * from a task reading a swept file, AnalysisException
+    * [PATH_NOT_FOUND] from the load-time footer read of a swept file,
+    * and [UNABLE_TO_INFER_SCHEMA] from a protocol dir observed in its
+    * first publish's mkdirs→rename window (exists, momentarily
+    * empty). Re-resolve and retry ≤4 times with linear backoff; a
+    * store that is GENUINELY broken still fails with the original
+    * exception after ~0.5 s. Anything else propagates untouched. */
+  private def retryOnVanishedSidecar[A](body: => A): A = {
     var attempt = 0
     while (true) {
-      try return readSidecar(spark, dir).collect()
+      try return body
       catch {
         case e: Throwable if attempt < 4 && {
-            def fnf(t: Throwable): Boolean = t != null &&
+            def vanished(t: Throwable): Boolean = t != null &&
               (t.isInstanceOf[java.io.FileNotFoundException] ||
-                fnf(t.getCause))
-            fnf(e)
+                (t.isInstanceOf[org.apache.spark.sql.AnalysisException] &&
+                  { val m = String.valueOf(t.getMessage)
+                    m.contains("PATH_NOT_FOUND") ||
+                      m.contains("UNABLE_TO_INFER_SCHEMA") }) ||
+                vanished(t.getCause))
+            vanished(e)
           } =>
           attempt += 1
           Thread.sleep(50L * attempt)
@@ -1433,9 +1452,24 @@ object Similarity {
     * base_distortion, refit_threshold) rows, one per append. Empty
     * store never appended → path absent (read throws). One versioned
     * file regardless of append count ([[appendLogRow]]); legacy
-    * one-file-per-append logs read via the whole-dir fallback. */
-  def readAppendLog(spark: SparkSession, path: String): DataFrame =
-    readSidecar(spark, s"$path/appends")
+    * one-file-per-append logs read via the whole-dir fallback.
+    * The versioned read MATERIALIZES the log (driver-side, bounded —
+    * four scalars per append) inside the re-resolve/retry loop, so an
+    * audit racing a live ingest loop's publish-then-sweep never sees
+    * a vanished version file; the returned frame is a local relation
+    * safe to hold across further appends. */
+  def readAppendLog(spark: SparkSession, path: String): DataFrame = {
+    val dir = s"$path/appends"
+    latestSidecarFile(hadoopFs(spark, dir),
+        new org.apache.hadoop.fs.Path(dir)) match {
+      case Some(_) => retryOnVanishedSidecar {
+          val df = readSidecar(spark, dir)
+          spark.createDataFrame(
+            java.util.Arrays.asList(df.collect(): _*), df.schema)
+        }
+      case None => spark.read.parquet(dir) // legacy layout
+    }
+  }
 
   /** Shared back half of the two appends: drift gate (before any
     * mutation), per-group file adds, append log, meta republished LAST

@@ -1574,6 +1574,16 @@ object ScaleStress {
       Similarity.writeIvfPqIndexHier(boot, path, cq0, m = 8, ncodes = 16)
       val preCq = Similarity.readCoarseQuantizer(spark, path)
       val cb = Similarity.readPqCodebooks(spark, path)
+      // one bootstrap append BEFORE the racing reader starts: the
+      // reader's contract assumes an appended store (readAppendLog on
+      // a never-appended store throws by contract — a racing reader
+      // during the very first append would count that legitimate
+      // refusal as a protocol failure)
+      Similarity.appendIvfPqIndexHierWith(
+        spark.range(bootN + nAppends * batchN,
+            bootN + nAppends * batchN + batchN)
+          .select(col("id").as("vec_id"), cvec(col("id")).as("embedding")),
+        path, preCq, cb)
       val queries = spark.range(5).select(col("id").as("qid"),
         cvec(col("id")).as("qvec")).cache()
       queries.count()
@@ -1588,6 +1598,48 @@ object ScaleStress {
             f.getName.endsWith(".parquet"))).max
       val walls = new Array[Double](nAppends)
       var tornRefusals = 0
+      // a GENUINELY concurrent reader: its own thread hammers the
+      // manifest surfaces (meta row, residual flag, append-log count)
+      // the whole time the 500 appends run — the exact race the
+      // versioned-swap protocol (publish-then-sweep + reader
+      // re-resolve/retry) exists to win. Sequential simulation can
+      // never hit the rename→sweep window; this does, thousands of
+      // times.
+      val raceFailures = new java.util.concurrent.atomic.AtomicLong(0)
+      val raceReads = new java.util.concurrent.atomic.AtomicLong(0)
+      val compactRefusals = new java.util.concurrent.atomic.AtomicLong(0)
+      @volatile var ingestDone = false
+      // compaction is the documented torn-by-design maintenance window
+      // (meta off while group dirs swap): reader refusals STRADDLING a
+      // compaction are the protocol working, not a failure — only a
+      // refusal whose whole attempt ran outside any compaction window
+      // counts against the never-torn APPEND promise
+      @volatile var compacting = false
+      val reader = new Thread(() => {
+        while (!ingestDone) {
+          val startedClean = !compacting
+          try {
+            require(!Similarity.readIvfPqHierMeta(spark, path))
+            require(Similarity.readAppendLog(spark, path).count() >= 0)
+            raceReads.incrementAndGet()
+          } catch {
+            case _: InterruptedException => ()
+            case e: Exception =>
+              if (startedClean && !compacting) {
+                raceFailures.incrementAndGet()
+                println(s"  racing reader failed: ${e.getClass.getName}: " +
+                  s"${String.valueOf(e.getMessage).take(160)}")
+              } else {
+                compactRefusals.incrementAndGet()
+                // loud refusal is the documented behavior; don't spin
+                // at FS speed against a window we know is torn
+                Thread.sleep(20)
+              }
+          }
+        }
+      }, "ingest500-racing-reader")
+      reader.setDaemon(true)
+      reader.start()
       println(f"\n${"appends"}%8s ${"meta_f"}%7s ${"log_f"}%6s " +
         f"${"max_grp_f"}%10s ${"t_compact"}%10s ${"t_probe"}%8s")
       for (i <- 0 until nAppends) {
@@ -1606,10 +1658,12 @@ object ScaleStress {
           require(!Similarity.readIvfPqHierMeta(spark, path))
         } catch { case _: Exception => tornRefusals += 1 }
         if ((i + 1) % 100 == 0) {
+          compacting = true
           val tCompact = timed {
             Similarity.compactIvfPqIndexHier(spark, path,
               maxFilesPerGroup = 4)
           }
+          compacting = false
           val tProbe = timed {
             require(Similarity.ivfPqHierTopKFromIndex(spark, path,
               queries, 10, nprobe = 4, beam = 2).count() >= 40)
@@ -1618,12 +1672,23 @@ object ScaleStress {
             f"$maxGrpFiles%10d $tCompact%10.1f $tProbe%8.1f")
         }
       }
+      ingestDone = true
+      reader.join(30000)
       val first100 = walls.take(100).sum / 100
       val last100 = walls.takeRight(100).sum / 100
       println(f"append wall: first100=$first100%.2f s/batch " +
         f"last100=$last100%.2f s/batch torn_refusals=$tornRefusals " +
-        f"log_rows=${Similarity.readAppendLog(spark, path).count()}")
+        f"log_rows=${Similarity.readAppendLog(spark, path).count()} " +
+        f"racing_reads=${raceReads.get} racing_failures=" +
+        f"${raceFailures.get} compact_window_refusals=" +
+        f"${compactRefusals.get}")
       require(tornRefusals == 0, "a reader hit a torn store")
+      require(raceFailures.get == 0,
+        "the CONCURRENT racing reader hit a torn/vanished sidecar " +
+          "OUTSIDE a compaction window - the never-torn append " +
+          "promise broke")
+      require(raceReads.get > 100,
+        "racing reader barely ran - the drill didn't race anything")
       require(files("meta") <= 2 && files("appends") <= 2,
         "sidecar file counts must stay bounded")
       queries.unpersist()

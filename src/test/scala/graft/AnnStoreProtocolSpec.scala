@@ -49,6 +49,14 @@ class AnnStoreProtocolSpec extends AnyFunSuite {
     assert(sidecarFiles(s"$p/meta").head == "v0000000000000004.parquet")
     // the DuckDB-shaped whole-dir glob still sees exactly the live log
     assert(spark.read.parquet(s"$p/appends").count() == 3)
+    // readAppendLog MATERIALIZES the versioned log (race-safe local
+    // relation): a frame read before a further append stays valid —
+    // it must not lazily re-resolve to a swept version file later
+    val held = Similarity.readAppendLog(spark, p)
+    Similarity.appendIvfIndexHier(
+      em.filter(col("vec_id") >= 450 && col("vec_id") < 470), p)
+    assert(held.count() == 3, "held log frame must stay readable")
+    assert(Similarity.readAppendLog(spark, p).count() == 4)
   }
 
   test("legacy (pre-protocol) sidecars keep reading: a hand-written " +
