@@ -620,7 +620,7 @@ object Similarity {
     * empty). Re-resolve and retry ≤4 times with linear backoff; a
     * store that is GENUINELY broken still fails with the original
     * exception after ~0.5 s. Anything else propagates untouched. */
-  private def retryOnVanishedSidecar[A](body: => A): A = {
+  private[graft] def retryOnVanishedSidecar[A](body: => A): A = {
     var attempt = 0
     while (true) {
       try return body

@@ -286,9 +286,18 @@ object Streams {
       sink: DataFrame => Unit, k: Int, nprobe: Int = 4, beam: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding")
       : (DataFrame, Long) => Unit = { (batch, _) =>
-    sink(graft.operators.Similarity.ivfPqHierTopKFromIndex(spark, path,
-      batch.select(col(idCol).as("qid"), col(vecCol).as("qvec")),
-      k, nprobe, beam))
+    // compaction-tolerant: a compaction pass racing this probe can
+    // rewrite files between the per-batch listing and the tasks that
+    // read them (FAILED_READ_FILE / FileNotFound) — re-running the
+    // WHOLE probe+sink re-lists the store and lands on the compacted
+    // tree. Sound because foreachBatch sinks are already required to
+    // be idempotent per batch (Spark re-runs batches after recovery);
+    // a genuinely broken store still fails after the bounded retries.
+    graft.operators.Similarity.retryOnVanishedSidecar {
+      sink(graft.operators.Similarity.ivfPqHierTopKFromIndex(spark,
+        path, batch.select(col(idCol).as("qid"), col(vecCol).as("qvec")),
+        k, nprobe, beam))
+    }
   }
 
   /** Continuous ANN-index ingestion — the APPEND-side composition of
