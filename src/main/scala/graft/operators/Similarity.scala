@@ -448,13 +448,16 @@ object Similarity {
       trainCentroids(corpus, vecCol, nlist, trainFraction))
     val spark = corpus.sparkSession
     withWriterLock(spark, path, "writeIvfIndex") { guard =>
+      // pre-mutation construction stays ABOVE begin(): a failure here
+      // is a pure refusal that releases the lock — the store has not
+      // been touched (begin() is adjacent to the first disk mutation)
+      val centDf = spark.createDataFrame(cents)
+        .toDF("cell", "centroid")
       guard.begin()
       beginRebuild(spark, path)
       corpus.select(col(idCol), col(vecCol),
           nearestCell(col(vecCol), cents).as("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(s"$path/index")
-      val centDf = spark.createDataFrame(cents)
-        .toDF("cell", "centroid")
       centDf.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
       // append-era manifest, written LAST (build-time distortion from
       // the bytes on disk — the drift base for appendIvfIndex). Probes
@@ -589,13 +592,35 @@ object Similarity {
     * one-row manifest readers therefore go through [[readSidecarRows]]
     * (re-resolve + retry); DataFrame-returning consumers
     * ([[readAppendLog]] in a joined audit) either run against a
-    * quiescent store or own their retry. */
-  private def readSidecar(spark: SparkSession, dir: String): DataFrame =
-    latestSidecarFile(hadoopFs(spark, dir),
-        new org.apache.hadoop.fs.Path(dir)) match {
+    * quiescent store or own their retry.
+    *
+    * The legacy branch re-checks for version files AFTER the
+    * whole-dir load: a store's FIRST versioned publish renames
+    * `v1.parquet` in and only then sweeps the legacy files, so in
+    * that rename-to-sweep window the dir holds BOTH and a whole-dir
+    * glob would silently read doubled rows (no exception, so
+    * [[retryOnVanishedSidecar]] never engages). The load's own file
+    * listing is complete by the time it returns, so if it could have
+    * seen a version file, the re-check sees it too and prefers it;
+    * if the version lands after the re-check, the sweep then deletes
+    * the legacy files under the pinned listing → FileNotFound → the
+    * caller's retry re-resolves. External whole-dir globs (DuckDB's
+    * parquet-glob oracle replays over `meta/` and `appends/`) carry
+    * no such re-check and are only valid against QUIESCENT stores —
+    * the documented replay contract. */
+  private def readSidecar(spark: SparkSession, dir: String): DataFrame = {
+    val fs = hadoopFs(spark, dir)
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    latestSidecarFile(fs, dirPath) match {
       case Some((f, _)) => spark.read.parquet(f.toString)
-      case None => spark.read.parquet(dir)
+      case None =>
+        val legacy = spark.read.parquet(dir)
+        latestSidecarFile(fs, dirPath) match {
+          case Some((f, _)) => spark.read.parquet(f.toString)
+          case None => legacy
+        }
     }
+  }
 
   /** Materialize a sidecar's rows with the race closed: resolve the
     * latest version and COLLECT inside a bounded retry, so a
@@ -717,13 +742,48 @@ object Similarity {
     val acquired =
       try fs.createNewFile(lock)
       catch { case _: java.io.IOException => false }
-    require(acquired, s"$op: writer lock already held at $lock — " +
-      "single-writer is enforced on ANN store mutations. If the " +
-      "holder is live, wait for it; if it crashed or failed " +
-      "mid-mutation, inspect the store (data rows without a matching " +
-      "appends-log entry are the dead writer's partial batch — " +
-      "compact or rebuild), then " +
-      "Similarity.releaseWriterLock(spark, path)")
+    if (!acquired) {
+      // stale-lock forensics: the refusal names the holder (op, pid,
+      // acquire time, age) so an operator can tell a live writer from
+      // a corpse BEFORE reaching for releaseWriterLock
+      val holder =
+        try {
+          val in = fs.open(lock)
+          try {
+            val bytes = new Array[Byte](512)
+            val n = in.read(bytes)
+            if (n > 0) new String(bytes, 0, n,
+              java.nio.charset.StandardCharsets.UTF_8).trim
+            else "unknown (pre-forensics lock: no holder metadata)"
+          } finally in.close()
+        } catch { case _: java.io.IOException => "unreadable" }
+      val age =
+        try {
+          val ms = System.currentTimeMillis() -
+            fs.getFileStatus(lock).getModificationTime
+          f"${ms / 1000.0}%.0f s"
+        } catch { case _: java.io.IOException => "unknown" }
+      throw new IllegalArgumentException(
+        s"requirement failed: $op: writer lock already held at $lock " +
+        s"(holder: $holder; lock age: $age) — single-writer is " +
+        "enforced on ANN store mutations. If the holder is live, " +
+        "wait for it; if it crashed or failed mid-mutation, inspect " +
+        "the store (data rows without a matching appends-log entry " +
+        "are the dead writer's partial batch — compact or rebuild), " +
+        "then Similarity.releaseWriterLock(spark, path)")
+    }
+    // we own the lock: record holder metadata for the forensics above
+    // (best-effort — a metadata-write failure must not fail the
+    // mutation the lock exists to protect)
+    try {
+      val out = fs.create(lock, true)
+      try out.write(
+        (s"op=$op pid=${java.lang.ProcessHandle.current().pid()} " +
+          s"acquired=${java.time.Instant.now()} " +
+          s"app=${spark.sparkContext.applicationId}")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    } catch { case _: java.io.IOException => () }
     val guard = new MutationGuard
     var failedAfterBegin = false
     try body(guard)
@@ -1142,15 +1202,18 @@ object Similarity {
       nlist, trainFraction, minPointsPerCentroid, perCellCap))
     val spark = corpus.sparkSession
     withWriterLock(spark, path, "writeIvfIndexHier") { guard =>
-      guard.begin()
-      beginRebuild(spark, path)
-      spark.createDataFrame(cq.l1.map { case (c1, v) => (c1, v.toSeq) })
+      // frame construction ABOVE begin(): a failure here releases the
+      // lock (pure refusal) — begin() is adjacent to the first mutation
+      val l1Df = spark.createDataFrame(
+          cq.l1.map { case (c1, v) => (c1, v.toSeq) })
         .toDF("c1", "centroid")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/l1")
-      spark.createDataFrame(
+      val l2Df = spark.createDataFrame(
           cq.l2.map { case (c1, c2, v) => (c1, c2, v.toSeq) })
         .toDF("c1", "c2", "centroid")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/quantizer")
+      guard.begin()
+      beginRebuild(spark, path)
+      l1Df.coalesce(1).write.mode("overwrite").parquet(s"$path/l1")
+      l2Df.coalesce(1).write.mode("overwrite").parquet(s"$path/quantizer")
       corpus.select(col(idCol), col(vecCol),
           assignCellHier(col(vecCol), cq).as("cell"))
         // wrong-length vectors assign to a null cell — drop them at
@@ -1750,11 +1813,13 @@ object Similarity {
     val cb = codebooks.getOrElse(
       trainPqCodebooks(corpus, vecCol, m, ncodes, trainFraction))
     withWriterLock(spark, path, "writePqIndex") { guard =>
+      // frame construction ABOVE begin(): a failure here releases the
+      // lock (pure refusal) — begin() is adjacent to the first mutation
+      val cbDf = spark.createDataFrame(cb.cents)
+        .toDF("sub", "code", "centroid")
       guard.begin()
       beginRebuild(spark, path)
-      spark.createDataFrame(cb.cents)
-        .toDF("sub", "code", "centroid")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+      cbDf.coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
       // rows whose vector has the wrong length (or is null) encode to
       // NULL codes — dead weight in the index: pq_adc yields NULL sim
       // for them on every probe forever. Drop them at WRITE time (one
@@ -1910,13 +1975,17 @@ object Similarity {
     encodeSrc.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try withWriterLock(spark, path, "writeIvfPqIndex") { guard =>
-      guard.begin()
-      beginRebuild(spark, path)
+      // the PQ fit (an action that can legitimately fail on bad data)
+      // and frame construction run ABOVE begin(): a failure here is a
+      // pure refusal that releases the lock — begin() is adjacent to
+      // the first disk mutation
       val cb = codebooks.getOrElse(
         trainPqCodebooks(encodeSrc, "__enc", m, ncodes, trainFraction))
-      spark.createDataFrame(cb.cents)
+      val cbDf = spark.createDataFrame(cb.cents)
         .toDF("sub", "code", "centroid")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+      guard.begin()
+      beginRebuild(spark, path)
+      cbDf.coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
       centDf.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
       // same null-code drop as writePqIndex: wrong-length vectors must
       // not persist as forever-null ADC rows
@@ -2042,23 +2111,28 @@ object Similarity {
     encodeSrc.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try withWriterLock(spark, path, "writeIvfPqIndexHier") { guard =>
-      guard.begin()
-      beginRebuild(spark, path)
       // `codebooks` bypasses the PQ fit with pre-trained books — the
       // append ≡ rebuild comparison shape (an appended store's codes
-      // come from the BUILD-time books, so the rebuild side must too)
+      // come from the BUILD-time books, so the rebuild side must too).
+      // The fit (an action that can legitimately fail on bad data) and
+      // frame construction run ABOVE begin(): a failure here is a pure
+      // refusal that releases the lock — begin() is adjacent to the
+      // first disk mutation
       val cb = codebooks.getOrElse(trainPqCodebooks(encodeSrc, "__enc",
         m, ncodes, trainFraction))
-      spark.createDataFrame(cb.cents)
+      val cbDf = spark.createDataFrame(cb.cents)
         .toDF("sub", "code", "centroid")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
-      spark.createDataFrame(cq.l1.map { case (c1, v) => (c1, v.toSeq) })
+      val l1Df = spark.createDataFrame(
+          cq.l1.map { case (c1, v) => (c1, v.toSeq) })
         .toDF("c1", "centroid")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/l1")
-      spark.createDataFrame(
+      val l2Df = spark.createDataFrame(
           cq.l2.map { case (c1, c2, v) => (c1, c2, v.toSeq) })
         .toDF("c1", "c2", "centroid")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/quantizer")
+      guard.begin()
+      beginRebuild(spark, path)
+      cbDf.coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+      l1Df.coalesce(1).write.mode("overwrite").parquet(s"$path/l1")
+      l2Df.coalesce(1).write.mode("overwrite").parquet(s"$path/quantizer")
       encodeSrc.select(col(idCol), col("cell"),
           graft.plans.PqExpressions.pq_encode(col("__enc"), cb.ncodes,
             cb.dsub, cb.flat).as("codes"))
@@ -2184,6 +2258,25 @@ object Similarity {
       .localCheckpoint(eager = true)
     val opened = probesL1.select("c1").distinct()
       .collect().map(_.getInt(0)) // |q|·beam ints — driver-bounded
+    // grid-completeness gate on the PRUNED relational read — the lazy
+    // path's analog of readCoarseQuantizer's full-grid validation: a
+    // torn or partially-copied quantizer sidecar would otherwise
+    // silently DROP candidate cells here (wrong top-k, no exception)
+    // where the kernel path refuses loudly. Cheap: the count scan
+    // reads only the c1 column of the |opened| row groups.
+    val perC1 = spark.read.parquet(s"$path/quantizer")
+      .filter(col("c1").isin(opened.toSeq: _*))
+      .groupBy("c1").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val torn = opened.filter(c1 => perC1.getOrElse(c1, 0L) != k2.toLong)
+    require(torn.isEmpty,
+      s"quantizer sidecar at $path/quantizer is torn: level-1 cell(s) " +
+        torn.sorted.take(8).map(c1 =>
+          s"$c1 (${perC1.getOrElse(c1, 0L)} of $k2 sub-cells)")
+          .mkString(", ") +
+        (if (torn.length > 8) s" and ${torn.length - 8} more" else "") +
+        " — the store was interrupted mid-copy or mid-rebuild; " +
+        "restore or rebuild it before probing")
     val sub = spark.read.parquet(s"$path/quantizer")
       .filter(col("c1").isin(opened.toSeq: _*))
       .select(col("c1"),

@@ -289,15 +289,21 @@ object Streams {
     // compaction-tolerant: a compaction pass racing this probe can
     // rewrite files between the per-batch listing and the tasks that
     // read them (FAILED_READ_FILE / FileNotFound) — re-running the
-    // WHOLE probe+sink re-lists the store and lands on the compacted
-    // tree. Sound because foreachBatch sinks are already required to
-    // be idempotent per batch (Spark re-runs batches after recovery);
-    // a genuinely broken store still fails after the bounded retries.
-    graft.operators.Similarity.retryOnVanishedSidecar {
-      sink(graft.operators.Similarity.ivfPqHierTopKFromIndex(spark,
+    // probe re-lists the store and lands on the compacted tree. The
+    // probe MATERIALIZES (|q|·k ranked rows, driver-bounded) inside
+    // the retry and the sink runs exactly ONCE on the pinned result:
+    // a retry therefore never re-invokes the sink, so a sink that is
+    // not idempotent within one batchId execution (append files, push
+    // to a queue) never sees duplicated output from this wrapper —
+    // and a FileNotFound raised by the SINK itself for an unrelated
+    // reason propagates instead of silently re-running it. A
+    // genuinely broken store still fails after the bounded retries.
+    val ranked = graft.operators.Similarity.retryOnVanishedSidecar {
+      graft.operators.Similarity.ivfPqHierTopKFromIndex(spark,
         path, batch.select(col(idCol).as("qid"), col(vecCol).as("qvec")),
-        k, nprobe, beam))
+        k, nprobe, beam).localCheckpoint(eager = true)
     }
+    sink(ranked)
   }
 
   /** Continuous ANN-index ingestion — the APPEND-side composition of

@@ -145,8 +145,33 @@ class AnnStoreProtocolSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("writer lock"),
       "the next mutator must refuse the possibly-partial store")
+    // stale-lock forensics: the refusal names the dead holder (op,
+    // pid, acquire time) and the lock's age, so an operator can tell
+    // a live writer from a corpse before releaseWriterLock
+    assert(e.getMessage.contains("op=appendIvfIndexHier"),
+      s"refusal must name the holding op: ${e.getMessage}")
+    assert(e.getMessage.contains(
+        s"pid=${java.lang.ProcessHandle.current().pid()}"),
+      s"refusal must name the holder pid: ${e.getMessage}")
+    assert(e.getMessage.contains("acquired=") &&
+        e.getMessage.contains("lock age:"),
+      s"refusal must carry acquire time and age: ${e.getMessage}")
     Similarity.releaseWriterLock(spark, p)
     assert(!new java.io.File(s"$p/.writer.lock").exists())
+  }
+
+  test("a lock file with no holder metadata (pre-forensics, or " +
+      "created out-of-band) still refuses, flagged as such") {
+    val p = tmp("protoLockBare")
+    Similarity.writeIvfIndexHier(
+      em.filter(col("vec_id") < 400), p, 9, minPointsPerCentroid = 8)
+    assert(new java.io.File(s"$p/.writer.lock").createNewFile())
+    val e = intercept[IllegalArgumentException] {
+      Similarity.appendIvfIndexHier(em.filter(col("vec_id") >= 400), p)
+    }
+    assert(e.getMessage.contains("no holder metadata"),
+      s"an empty lock must be flagged pre-forensics: ${e.getMessage}")
+    Similarity.releaseWriterLock(spark, p)
   }
 
   test("zero-base re-arm: a bootstrap-sized build (base 0) admits the " +

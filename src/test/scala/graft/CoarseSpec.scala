@@ -499,4 +499,39 @@ class CoarseSpec extends AnyFunSuite {
         s"hier IVF-PQ (residual=$residual) lazy ≠ kernel")
     }
   }
+
+  test("lazy probe refuses a torn quantizer sidecar loudly — the " +
+      "pruned relational read validates grid completeness (every " +
+      "opened level-1 cell contributes exactly k2 rows) instead of " +
+      "silently dropping candidate cells, matching the kernel path's " +
+      "readCoarseQuantizer refusal") {
+    val em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val p = java.nio.file.Files.createTempDirectory("lazyTorn").toString
+    Similarity.writeIvfIndexHier(em, p, 9, minPointsPerCentroid = 8)
+    val queries = em.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    // sanity: intact store probes fine
+    assert(Similarity.ivfHierTopKFromIndexLazy(spark, p, queries, 5,
+      nprobe = 4, beam = 3).collect().nonEmpty)
+    // tear the quantizer: drop one (c1, c2) row, as a partial copy or
+    // interrupted rebuild would
+    val q = spark.read.parquet(s"$p/quantizer").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2)))
+    val torn = q.filterNot { case (c1, c2, _) => c1 == 0 && c2 == 0 }
+    def rmr(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmr)); f.delete(); ()
+    }
+    rmr(new java.io.File(s"$p/quantizer"))
+    spark.createDataFrame(torn.toSeq)
+      .toDF("c1", "c2", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$p/quantizer")
+    // beam=3 opens all three level-1 cells, so the torn c1=0 is probed
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfHierTopKFromIndexLazy(spark, p, queries, 5,
+        nprobe = 4, beam = 3).collect()
+    }
+    assert(e.getMessage.contains("torn") &&
+        e.getMessage.contains("2 of 3"),
+      s"must refuse with the torn-store message: ${e.getMessage}")
+  }
 }

@@ -305,6 +305,24 @@ class StreamingSpec extends AnyFunSuite {
         .toSet
       assert(acc.toArray(Array.empty[(Long, Int, Long)]).toSet == want)
     } finally q2.stop()
+
+    // sink-once contract: the compaction-tolerance retry wraps ONLY
+    // the probe (materialized before the sink sees it) — a retryable
+    // FileNotFound raised by the SINK itself propagates instead of
+    // silently re-running probe+sink, so a sink that is not
+    // idempotent within one batchId execution never sees duplicates
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val body = Streams.annProbeBatch(spark, p,
+      sink = _ => {
+        calls.incrementAndGet()
+        throw new java.io.FileNotFoundException(
+          "sink-side failure — must not re-run the probe")
+      }, k = 5, nprobe = 4, beam = 3)
+    val batch = em.filter(col("vec_id") < 5)
+      .select("vec_id", "embedding")
+    intercept[java.io.FileNotFoundException] { body(batch, 0L) }
+    assert(calls.get() == 1,
+      s"sink must run exactly once per batch, ran ${calls.get()}")
   }
 
   test("streaming ANN ingestion: microbatch appends equal a batch " +
