@@ -2707,7 +2707,10 @@ object QueriesPipeline {
           s"media_g${Multimodal.mediaGeneration}", "", "documents")(pp =>
           Multimodal.syntheticMedia(s, dir)
             .write.mode("overwrite").parquet(pp))
-        val feats = Multimodal.extractFeatures(s.read.parquet(p))
+        // r16: RawVideoDecoder registered — uncompressed-YUV rows get
+        // real frame-grade features through the seam instead of the stub
+        val feats = Multimodal.extractFeatures(s.read.parquet(p),
+          decoders = Seq(Multimodal.RawVideoDecoder))
         feats.groupBy(col("kind"))
           .agg(count(lit(1)).as("n"),
             sum(col("n_bytes")).as("total_bytes"))
@@ -2737,13 +2740,75 @@ object QueriesPipeline {
         // codec-coverage audit compares n_videos against the input's
         // video-row count (plain-BMFF DCT rows contribute nothing by
         // contract; MOV Motion-JPEG rows decode and count since r14)
+        // r16: the RawVideoDecoder seam decoder is registered, so the
+        // uncompressed-YUV rows (YUY2/I420/UYVY) frame-decode here
+        // alongside the built-in codecs — the seam dispatch runs at
+        // bench scale, not just in specs
         Multimodal.videoFrames(
-            s.read.parquet(p).filter(col("kind") === "video"), step = 2)
+            s.read.parquet(p).filter(col("kind") === "video"), step = 2,
+            decoders = Seq(Multimodal.RawVideoDecoder))
           .groupBy(col("n_frames"))
           .agg(count(lit(1)).as("n_sampled"),
             countDistinct(col("media_id")).as("n_videos"))
       },
       None),
+
+    // Per-FRAME near-dup detection — video content flowing into the
+    // image-dedup pipeline: every decodable frame (built-in MJPEG /
+    // rawvideo / MOV Motion-JPEG rows AND the uncompressed-YUV rows
+    // seam-decoded by RawVideoDecoder) hashes to a 64-bit dHash keyed
+    // by the packed frame_id, then pairs through the SAME banding +
+    // Hamming pipeline as still images. Consecutive frames of one
+    // video are near-identical by construction, so the pairing has
+    // real positives. STRICT oracle via the persisted-artifact move:
+    // the staged (frame_id, phash) index is the replay surface —
+    // DuckDB re-derives banding, bucket cap, canonical pairing and
+    // the bit_count(xor) verify; only the pixel decode stays outside
+    // (no video surface in DuckDB), its math pinned in MultimodalSpec.
+    "q_multimodal_frame_dedup" -> Entry(
+      (s, dir) => {
+        import graft.operators.Multimodal
+        val p = ensureStaged(s, dir,
+          s"media_g${Multimodal.mediaGeneration}", "", "documents")(pp =>
+          Multimodal.syntheticMedia(s, dir)
+            .write.mode("overwrite").parquet(pp))
+        val hp = ensureStaged(s, dir,
+          s"frame_hashes_g${Multimodal.mediaGeneration}", "",
+          "documents") { hpp =>
+          Multimodal.videoFrameHashes(
+              s.read.parquet(p).filter(col("kind") === "video"),
+              decoders = Seq(Multimodal.RawVideoDecoder))
+            .select(col("frame_id"), col("phash"))
+            .write.mode("overwrite").parquet(hpp)
+        }
+        Multimodal.imageNearDupsFromHashes(
+            s.read.parquet(hp), idCol = "frame_id", maxHamming = 7)
+          .select(col("id1"), col("id2"), col("hamming"))
+      },
+      Some(s"""WITH h AS (
+          SELECT frame_id, phash FROM read_parquet(
+            '{STAGING:frame_hashes_g${
+              graft.operators.Multimodal.mediaGeneration}}/*.parquet')
+        ), bands AS (
+          SELECT frame_id, b.band,
+            (phash >> (CAST(b.band AS INTEGER) * 8)) & 255 AS band_hash
+          FROM h, (SELECT unnest(range(8)) AS band) b
+        ), bsz AS (
+          SELECT band, band_hash, count(*) AS n
+          FROM bands GROUP BY 1, 2
+        ), cands AS (
+          SELECT DISTINCT a.frame_id AS id1, b.frame_id AS id2
+          FROM bands a
+          JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+            AND a.frame_id < b.frame_id
+          JOIN bsz ON bsz.band = a.band AND bsz.band_hash = a.band_hash
+          WHERE bsz.n BETWEEN 2 AND 1000)
+        SELECT c.id1, c.id2,
+          CAST(bit_count(xor(h1.phash, h2.phash)) AS INTEGER) AS hamming
+        FROM cands c
+        JOIN h h1 ON h1.frame_id = c.id1
+        JOIN h h2 ON h2.frame_id = c.id2
+        WHERE bit_count(xor(h1.phash, h2.phash)) <= 7""")),
 
     // Image near-dup detection over the staged media table: every
     // image gains a brightness-shifted PNG twin (a REAL different

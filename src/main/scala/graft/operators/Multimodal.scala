@@ -767,7 +767,7 @@ object Multimodal {
       : Option[(Int, Int, IndexedSeq[Array[Byte]])] =
     aviStreamFormat(content).flatMap { case (handler, w, h0, bpp, comp) =>
       val raw = comp == 0L && bpp == 24 &&
-        (handler == "DIB " || handler == "    " ||
+        (handler == "DIB " || handler == "\u0000\u0000\u0000\u0000" ||
           handler == "RGB ")
       val h = math.abs(h0)
       if (!raw || w <= 0 || h == 0) None
@@ -860,6 +860,23 @@ object Multimodal {
         content.length)
     }
 
+  /** [[probeAviMjpeg]]'s seam twin — same 8-dim feature layout, first
+    * frame through a registered [[VideoFrameDecoder]] claiming the
+    * stream's codec (the same first-frame bar as the built-ins); the
+    * decoder's feature slots 6–7 fill the texture positions the image
+    * kernel fills for the built-ins (feature layouts are
+    * decoder-defined — pad when shorter). */
+  private[graft] def probeForeign(content: Array[Byte],
+      decoders: Seq[VideoFrameDecoder]): Option[Array[Float]] =
+    foreignStream(content, decoders, firstOnly = false).flatMap {
+      case (codec, w, h, fs, d) =>
+        d.decode(codec, w, h, fs.head).map { case (dw, dh, feat) =>
+          aviFeature(fs.length, dw, dh,
+            if (feat.length >= 8) feat else feat.padTo(8, 0f),
+            fs.iterator.map(_.length.toLong).sum, content.length)
+        }
+    }
+
   /** [[probeAviMjpeg]]'s BMFF twin — same 8-dim feature layout, frames
     * from the sample tables instead of RIFF chunks. */
   private[graft] def probeBmffJpeg(content: Array[Byte])
@@ -902,10 +919,134 @@ object Multimodal {
       * entries carry it, this seam passes what it has). */
     def decode(codec: String, width: Int, height: Int,
         payload: Array[Byte]): Option[(Int, Int, Array[Float])]
+    /** One frame payload → decoded PIXEL CONTENT (an RGB raster), for
+      * decoders that can hand downstream image ops (per-frame dHash
+      * near-dup, frame shards) the actual frame — the content half of
+      * the seam, where [[decode]] is the feature half. Default None:
+      * a feature-only decoder (e.g. one wrapping a codec that exposes
+      * only summary stats) keeps working, its rows simply contribute
+      * no content to [[videoFrameHashes]]/[[videoFrameContent]]. */
+    def decodeRaster(codec: String, width: Int, height: Int,
+        payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      None
   }
 
   /** Normalized codec id of a fourcc: trimmed, lowercase. */
   private def normFourcc(f: String): String = f.trim.toLowerCase
+
+  /** A REAL pure-JVM [[VideoFrameDecoder]]: the uncompressed-YUV
+    * fourcc family (packed 4:2:2 — YUY2/YUYV and UYVY/2vuy — and
+    * planar 4:2:0 — I420/IYUV, YV12, NV12/NV21), the capture/interchange
+    * pixel formats sitting between 'DIB ' raw RGB (built-in) and the
+    * DCT codecs. Decoding is chroma desubsampling + BT.601
+    * limited-range YCbCr→RGB — real pixel math, exact and
+    * deterministic, no codec state. Frame geometry comes from the
+    * container header (the seam's contract); a payload whose byte
+    * length doesn't equal the format's exact w·h-derived size refuses
+    * (None), so the raster allocation is always bounded by the input
+    * size. Registered explicitly like any seam decoder:
+    * `videoFrames(df, decoders = Seq(Multimodal.RawVideoDecoder))`. */
+  object RawVideoDecoder extends VideoFrameDecoder {
+    def name: String = "rawvideo-yuv"
+    // packed 4:2:2, Y first: [Y0 U Y1 V] per 2 pixels
+    private val yuyv = Set("yuy2", "yuyv", "yunv", "v422")
+    // packed 4:2:2, chroma first: [U Y0 V Y1]
+    private val uyvy = Set("uyvy", "2vuy", "hdyc")
+    // planar 4:2:0: full Y plane then quarter-res chroma planes
+    private val p420 = Set("i420", "iyuv", "yv12", "nv12", "nv21")
+    def claims(codec: String): Boolean =
+      yuyv(codec) || uyvy(codec) || p420(codec)
+
+    def decode(codec: String, width: Int, height: Int,
+        payload: Array[Byte]): Option[(Int, Int, Array[Float])] =
+      decodeRaster(codec, width, height, payload)
+        .map(img => (img.getWidth, img.getHeight, imageFeature(img)))
+
+    /** BT.601 limited-range (Y' 16–235, C 16–240) to full-range RGB —
+      * the studio-swing matrix every capture format in this family
+      * declares by default. */
+    private def rgb(y: Int, cb: Int, cr: Int): Int = {
+      val yy = 1.164 * (y - 16)
+      def c(v: Double): Int =
+        if (v < 0.5) 0 else if (v > 254.5) 255 else (v + 0.5).toInt
+      val r = c(yy + 1.596 * (cr - 128))
+      val g = c(yy - 0.392 * (cb - 128) - 0.813 * (cr - 128))
+      val b = c(yy + 2.017 * (cb - 128))
+      (r << 16) | (g << 8) | b
+    }
+
+    override def decodeRaster(codec: String, width: Int, height: Int,
+        payload: Array[Byte])
+        : Option[java.awt.image.BufferedImage] = {
+      if (width <= 0 || height <= 0) return None
+      val w = width; val h = height
+      val planar = p420(codec)
+      // exact-size bar: packed 4:2:2 is 2 bytes/px (even width);
+      // planar 4:2:0 is 1.5 bytes/px (even width AND height). The
+      // equality doubles as the allocation bound — w·h pixels can
+      // never exceed the bytes the row actually carries.
+      val expect =
+        if (planar) { if ((w & 1) != 0 || (h & 1) != 0) return None
+          w.toLong * h * 3 / 2 }
+        else { if ((w & 1) != 0) return None
+          w.toLong * h * 2 }
+      if (payload.length.toLong != expect) return None
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      if (!planar) {
+        val chromaFirst = uyvy(codec)
+        var y = 0
+        while (y < h) {
+          val row = y * w * 2
+          var x = 0
+          while (x < w) {
+            val o = row + x * 2
+            val (y0, cb, y1, cr) =
+              if (chromaFirst)
+                (payload(o + 1) & 0xFF, payload(o) & 0xFF,
+                  payload(o + 3) & 0xFF, payload(o + 2) & 0xFF)
+              else
+                (payload(o) & 0xFF, payload(o + 1) & 0xFF,
+                  payload(o + 2) & 0xFF, payload(o + 3) & 0xFF)
+            img.setRGB(x, y, rgb(y0, cb, cr))
+            img.setRGB(x + 1, y, rgb(y1, cb, cr))
+            x += 2
+          }
+          y += 1
+        }
+      } else {
+        val ySize = w * h
+        val cw = w / 2
+        val cSize = cw * (h / 2)
+        // plane order per fourcc: I420 = Y,U,V; YV12 = Y,V,U;
+        // NV12/NV21 = Y then one interleaved chroma plane
+        def cbAt(cx: Int, cy: Int): Int = codec match {
+          case "yv12" => payload(ySize + cSize + cy * cw + cx) & 0xFF
+          case "nv12" => payload(ySize + (cy * cw + cx) * 2) & 0xFF
+          case "nv21" => payload(ySize + (cy * cw + cx) * 2 + 1) & 0xFF
+          case _ => payload(ySize + cy * cw + cx) & 0xFF
+        }
+        def crAt(cx: Int, cy: Int): Int = codec match {
+          case "yv12" => payload(ySize + cy * cw + cx) & 0xFF
+          case "nv12" => payload(ySize + (cy * cw + cx) * 2 + 1) & 0xFF
+          case "nv21" => payload(ySize + (cy * cw + cx) * 2) & 0xFF
+          case _ => payload(ySize + cSize + cy * cw + cx) & 0xFF
+        }
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val cb = cbAt(x / 2, y / 2)
+            val cr = crAt(x / 2, y / 2)
+            img.setRGB(x, y, rgb(payload(y * w + x) & 0xFF, cb, cr))
+            x += 1
+          }
+          y += 1
+        }
+      }
+      Some(img)
+    }
+  }
 
   /** biCompression (a little-endian fourcc when non-zero) or the
     * stream-handler fourcc — the AVI side's codec id. */
@@ -1014,6 +1155,133 @@ object Multimodal {
         }
       }
     }(enc)
+  }
+
+  /** The shared frame→CONTENT dispatch behind [[videoFrameHashes]]
+    * and [[videoFrameContent]] — the same path order and decode bars
+    * as [[videoFrames]], resolved to decoded RASTERS plus (when the
+    * frame payload is already a self-contained image) the original
+    * bytes: (frame_idx, n_frames, raster, format, payload). Foreign
+    * codecs contribute only when their registered decoder overrides
+    * [[VideoFrameDecoder.decodeRaster]] — the content half of the
+    * seam; a feature-only decoder keeps [[videoFrames]] flowing but
+    * has no pixels to hand the ops built on this. */
+  private def frameRasterRows(content: Array[Byte], step: Int,
+      decoders: Seq[VideoFrameDecoder])
+      : Iterator[(Int, Int, java.awt.image.BufferedImage, String,
+        Option[Array[Byte]])] = {
+    val mjpeg = decodeAviMjpegFrames(content).iterator.flatMap { fs =>
+      (0 until fs.length by step).iterator.flatMap { i =>
+        readRaster(fs(i)).map(img =>
+          (i, fs.length, img, "jpeg", Some(fs(i))))
+      }
+    }
+    if (mjpeg.hasNext) mjpeg
+    else {
+      val dib = decodeAviDibFrames(content).iterator.flatMap {
+        case (w, h0, fs) =>
+          (0 until fs.length by step).iterator.map { i =>
+            (i, fs.length, dibFrameImage(fs(i), w, h0), "png",
+              Option.empty[Array[Byte]])
+          }
+      }
+      if (dib.hasNext) dib
+      else {
+        val bmff = decodeBmffJpegFrames(content).iterator.flatMap { fs =>
+          (0 until fs.length by step).iterator.flatMap { i =>
+            readRaster(fs(i)).map(img =>
+              (i, fs.length, img, "jpeg", Some(fs(i))))
+          }
+        }
+        if (bmff.hasNext) bmff
+        else foreignStream(content, decoders, firstOnly = false)
+          .iterator.flatMap { case (codec, w, h, fs, d) =>
+            (0 until fs.length by step).iterator.flatMap { i =>
+              d.decodeRaster(codec, w, h, fs(i)).map(img =>
+                (i, fs.length, img, "png", Option.empty[Array[Byte]]))
+            }
+          }
+      }
+    }
+  }
+
+  /** Max frames a single video row may contribute to the packed
+    * `frame_id` key space: idx lives in the low 20 bits. */
+  private val FrameIdBits = 20
+
+  /** Per-FRAME perceptual dHash rows — where the video pipeline meets
+    * the image-dedup pipeline: every `step`-th decodable frame hashes
+    * with [[rasterHash64]] (the [[imageHash64]] kernel over the
+    * decoded raster — no lossy re-encode round trip), so frame
+    * near-dup pairing is exactly [[imageNearDupsFromHashes]] keyed on
+    * `frame_id`. `frame_id` packs (media_id, frame_idx) into one
+    * 64-bit key — `media_id · 2²⁰ + frame_idx` — because the
+    * banding/pairing ops key on a single column; a row with ≥ 2²⁰
+    * frames refuses loudly rather than collide, and media_ids must
+    * stay below 2⁴³. Foreign codecs flow through a registered
+    * decoder's [[VideoFrameDecoder.decodeRaster]]; built-in codecs
+    * (MJPEG, rawvideo DIB, MOV Motion-JPEG) need no decoder. */
+  def videoFrameHashes(media: DataFrame, step: Int = 1,
+      decoders: Seq[VideoFrameDecoder] = Nil): DataFrame = {
+    require(step >= 1, "step must be >= 1")
+    val enc = RowEncoder.encoderFor(StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = false),
+      StructField("frame_id", LongType, nullable = false),
+      StructField("phash", LongType, nullable = false))))
+    media.select("media_id", "content").mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        frameRasterRows(r.getAs[Array[Byte]](1), step, decoders).map {
+          case (i, n, img, _, _) =>
+            require(i < (1 << FrameIdBits), s"frame_idx $i overflows " +
+              s"the packed frame_id key (max 2^$FrameIdBits frames)")
+            Row(id, i, n, (id << FrameIdBits) + i, rasterHash64(img))
+        }
+      }
+    }(enc)
+  }
+
+  /** Per-frame CONTENT rows — the frame-shard feed: every `step`-th
+    * decodable frame as a self-contained image payload. Frames whose
+    * container payload already IS one (MJPEG / MOV Motion-JPEG)
+    * pass through untranscoded as `format = "jpeg"`; raster-only
+    * frames (rawvideo DIB, seam-decoded foreign codecs) encode
+    * losslessly as `format = "png"`. The format column is the shard
+    * member extension; the content column drops straight into
+    * [[graft.sinks.Shards.writeWebDataset]]-style binary members or
+    * back into [[imageHashes]]/[[extractFeatures]] as a first-class
+    * image table. */
+  def videoFrameContent(media: DataFrame, step: Int = 1,
+      decoders: Seq[VideoFrameDecoder] = Nil): DataFrame = {
+    require(step >= 1, "step must be >= 1")
+    val enc = RowEncoder.encoderFor(StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("format", StringType, nullable = false),
+      StructField("content", BinaryType, nullable = false))))
+    media.select("media_id", "content").mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        frameRasterRows(r.getAs[Array[Byte]](1), step, decoders).map {
+          case (i, n, img, fmt, payload) =>
+            Row(id, i, n, img.getWidth, img.getHeight, fmt,
+              payload.getOrElse(pngBytes(img)))
+        }
+      }
+    }(enc)
+  }
+
+  /** Lossless PNG of a raster — the transcode for frames that exist
+    * only as decoded pixels. */
+  private def pngBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
   /** Per-row video codec classification — the coverage audit
@@ -1209,6 +1477,124 @@ object Multimodal {
     java.util.Arrays.copyOf(bb.array(), bb.position())
   }
 
+  /** The YUV planes a [[syntheticYuvAvi]] frame carries, as formulas —
+    * all within the BT.601 legal ranges, shared with the spec so the
+    * decoder verifies against independently-computed expected pixels.
+    * Y is a PER-ID blocky noise field (2×2 blocks from a deterministic
+    * integer scramble) plus a per-frame brightness offset: frames of
+    * one video therefore dHash near-identically (gradients are
+    * brightness-invariant) while different ids produce unrelated
+    * gradient signs — the shape a frame-dedup drill needs. */
+  private[graft] def yuvPlane(id: Long, f: Int, x: Int, y: Int)
+      : (Int, Int, Int) = {
+    val mix = id * 1000003L + (x / 2) * 7919L + (y / 2) * 104729L
+    val n = (((mix ^ (mix >>> 13)) % 200) + 200) % 200
+    (16 + n.toInt + f,
+      16 + ((x / 2 * 7 + y / 2 * 11 + (id % 5).toInt) % 224),
+      240 - ((x / 2 * 5 + y / 2 * 13 + f * 3) % 224))
+  }
+
+  /** Deterministic uncompressed-YUV AVI for the [[RawVideoDecoder]]
+    * family: real RIFF tree, strh handler AND strf biCompression set
+    * to `fourcc`, '00dc' chunks holding exactly-sized packed-4:2:2 or
+    * planar-4:2:0 payloads of [[yuvPlane]] pixels (chroma sited at
+    * the even-pixel/even-row samples the decoder reconstructs
+    * from). */
+  private[graft] def syntheticYuvAvi(id: Long,
+      fourcc: String): Array[Byte] = {
+    require(fourcc.length == 4, "fourcc must be 4 chars")
+    val codec = fourcc.trim.toLowerCase
+    val w = 16; val h = 12
+    val nf = 2 + ((id / 3) % 3).toInt
+    val planar = Set("i420", "iyuv", "yv12", "nv12", "nv21")(codec)
+    val chromaFirst = Set("uyvy", "2vuy", "hdyc")(codec)
+    val frames = (0 until nf).map { f =>
+      if (!planar) {
+        val out = new Array[Byte](w * h * 2)
+        var yy = 0
+        while (yy < h) {
+          var x = 0
+          while (x < w) {
+            val o = (yy * w + x) * 2
+            val (y0, cb, cr) = yuvPlane(id, f, x, yy)
+            val y1 = yuvPlane(id, f, x + 1, yy)._1
+            if (chromaFirst) {
+              out(o) = cb.toByte; out(o + 1) = y0.toByte
+              out(o + 2) = cr.toByte; out(o + 3) = y1.toByte
+            } else {
+              out(o) = y0.toByte; out(o + 1) = cb.toByte
+              out(o + 2) = y1.toByte; out(o + 3) = cr.toByte
+            }
+            x += 2
+          }
+          yy += 1
+        }
+        out
+      } else {
+        val cw = w / 2; val ch = h / 2
+        val yP = Array.tabulate(w * h)(i =>
+          yuvPlane(id, f, i % w, i / w)._1.toByte)
+        val cbP = Array.tabulate(cw * ch)(i =>
+          yuvPlane(id, f, (i % cw) * 2, (i / cw) * 2)._2.toByte)
+        val crP = Array.tabulate(cw * ch)(i =>
+          yuvPlane(id, f, (i % cw) * 2, (i / cw) * 2)._3.toByte)
+        codec match {
+          case "yv12" => yP ++ crP ++ cbP
+          case "nv12" => yP ++ cbP.zip(crP).flatMap {
+            case (b, r) => Array(b, r) }
+          case "nv21" => yP ++ cbP.zip(crP).flatMap {
+            case (b, r) => Array(r, b) }
+          case _ => yP ++ cbP ++ crP
+        }
+      }
+    }
+    val bb = java.nio.ByteBuffer.allocate(
+      4096 + frames.iterator.map(_.length + 16).sum)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fcc(t: String): Unit = bb.put(t.getBytes("ISO-8859-1"))
+    def chunk(t: String)(body: => Unit): Unit = {
+      fcc(t); val sizeAt = bb.position(); bb.putInt(0); body
+      val sz = bb.position() - sizeAt - 4
+      bb.putInt(sizeAt, sz)
+      if ((sz & 1) == 1) bb.put(0.toByte)
+    }
+    def list(lt: String)(body: => Unit): Unit =
+      chunk("LIST") { fcc(lt); body }
+    fcc("RIFF"); val riffSizeAt = bb.position(); bb.putInt(0); fcc("AVI ")
+    list("hdrl") {
+      chunk("avih") {
+        bb.putInt(40000); bb.putInt(0); bb.putInt(0)
+        bb.putInt(0); bb.putInt(nf); bb.putInt(0); bb.putInt(1)
+        bb.putInt(0); bb.putInt(w); bb.putInt(h)
+        (0 until 4).foreach(_ => bb.putInt(0))
+      }
+      list("strl") {
+        chunk("strh") {
+          fcc("vids"); fcc(fourcc)
+          bb.putInt(0); bb.putInt(0); bb.putInt(0)
+          bb.putInt(1); bb.putInt(25)
+          bb.putInt(0); bb.putInt(nf)
+          bb.putInt(0); bb.putInt(0); bb.putInt(0)
+          bb.putShort(0); bb.putShort(0)
+          bb.putShort(w.toShort); bb.putShort(h.toShort)
+        }
+        chunk("strf") {
+          bb.putInt(40); bb.putInt(w); bb.putInt(h)
+          bb.putShort(1)
+          bb.putShort(if (planar) 12 else 16)
+          fcc(fourcc)
+          bb.putInt(frames.head.length)
+          bb.putInt(0); bb.putInt(0); bb.putInt(0); bb.putInt(0)
+        }
+      }
+    }
+    list("movi") {
+      frames.foreach(fr => chunk("00dc") { bb.put(fr) })
+    }
+    bb.putInt(riffSizeAt, bb.position() - riffSizeAt - 4)
+    java.util.Arrays.copyOf(bb.array(), bb.position())
+  }
+
   /** Deterministic uncompressed-RGB AVI ('DIB ' handler, BI_RGB 24-bit
     * BITMAPINFOHEADER, raw bottom-up BGR '00db' chunks with 4-byte row
     * padding) — the rawvideo twin of [[syntheticAvi]], for pinning the
@@ -1332,7 +1718,7 @@ object Multimodal {
     * bumping it here — REQUIRED whenever syntheticPng/Wav/Mp4 or
     * [[syntheticMedia]]'s row shape changes — invalidates every staged
     * copy at the same commit that changes the bytes. */
-  val mediaGeneration = 7
+  val mediaGeneration = 8
 
   /** Synthesize a media table from the documents table: image rows get
     * REAL PNG payloads, audio rows REAL WAV payloads, and video rows
@@ -1346,6 +1732,9 @@ object Multimodal {
     val aviUdf = udf((id: Long) => syntheticAvi(id))
     val dibUdf = udf((id: Long) => syntheticDibAvi(id))
     val movUdf = udf((id: Long) => syntheticMovJpeg(id))
+    val yuy2Udf = udf((id: Long) => syntheticYuvAvi(id, "YUY2"))
+    val i420Udf = udf((id: Long) => syntheticYuvAvi(id, "I420"))
+    val uyvyUdf = udf((id: Long) => syntheticYuvAvi(id, "UYVY"))
     val kind = element_at(array(lit("image"), lit("audio"), lit("video")),
       (col("doc_id") % 3 + 1).cast("int"))
     docs.select(
@@ -1356,13 +1745,18 @@ object Multimodal {
         // video rows cycle container/codec evenly: plain BMFF
         // (metadata-only probe), MOV Motion-JPEG (BMFF + full frame
         // decode via the sample tables), MJPEG-AVI and rawvideo-AVI
-        // (frame decode via RIFF chunks) — all four classification +
-        // decode paths run distributed in the graded media queries.
-        // Video ids are ≡ 2 (mod 3), so mod-12 splits them by the
-        // residues {2, 5, 8, 11}
-        .when(pmod(col("doc_id"), lit(12)) === 2, mp4Udf(col("doc_id")))
-        .when(pmod(col("doc_id"), lit(12)) === 8, movUdf(col("doc_id")))
-        .when(pmod(col("doc_id"), lit(12)) === 5, dibUdf(col("doc_id")))
+        // (frame decode via RIFF chunks), plus three uncompressed-YUV
+        // fourccs (YUY2/I420/UYVY) that only decode through the
+        // [[RawVideoDecoder]] seam — so classification, built-in
+        // decode, AND seam dispatch all run distributed in the graded
+        // media queries. Video ids are ≡ 2 (mod 3), so mod-24 splits
+        // them by the residues {2, 5, 8, 11, 14, 17, 20, 23}
+        .when(pmod(col("doc_id"), lit(24)) === 2, mp4Udf(col("doc_id")))
+        .when(pmod(col("doc_id"), lit(24)) === 8, movUdf(col("doc_id")))
+        .when(pmod(col("doc_id"), lit(24)) === 5, dibUdf(col("doc_id")))
+        .when(pmod(col("doc_id"), lit(24)) === 14, yuy2Udf(col("doc_id")))
+        .when(pmod(col("doc_id"), lit(24)) === 20, i420Udf(col("doc_id")))
+        .when(pmod(col("doc_id"), lit(24)) === 17, uyvyUdf(col("doc_id")))
         .otherwise(aviUdf(col("doc_id"))).as("content"),
       length(col("text")).cast("int").as("meta_width"),
       (col("n_chars") % 1080).cast("int").as("meta_height"))
@@ -1371,7 +1765,8 @@ object Multimodal {
   /** Batch feature extraction over partitions: one codec "session" per
     * partition (the expensive-init amortization point), rows streamed
     * through it. */
-  def extractFeatures(media: DataFrame): DataFrame = {
+  def extractFeatures(media: DataFrame,
+      decoders: Seq[VideoFrameDecoder] = Nil): DataFrame = {
     val enc = RowEncoder.encoderFor(featureSchema)
     media.select("media_id", "kind", "content").mapPartitions { it =>
       // codec init amortized per partition (ImageIO scans its reader
@@ -1387,10 +1782,16 @@ object Multimodal {
             .getOrElse(decodeStub(kind, content))
           case "audio" => decodeAudio(content)
             .getOrElse(decodeStub(kind, content))
-          case "video" => probeBmffJpeg(content) // frame-grade BEFORE
-            .orElse(probeVideo(content))         // container-grade
+          // frame-grade probes (built-ins, then the seam — a
+          // registered decoder's frame decode outranks container
+          // metadata; with no decoders probeForeign is an instant None
+          // and behavior is byte-identical to the bare JDK) BEFORE the
+          // container-grade box walk, then the stub
+          case "video" => probeBmffJpeg(content)
             .orElse(probeAviMjpeg(content))
             .orElse(probeAviDib(content))
+            .orElse(probeForeign(content, decoders))
+            .orElse(probeVideo(content))
             .getOrElse(decodeStub(kind, content))
           case _ => decodeStub(kind, content)
         }
@@ -1406,7 +1807,15 @@ object Multimodal {
     * shifts and robust to re-encoding/resizing — the standard
     * image-dedup key. None for undecodable bytes. */
   private[graft] def imageHash64(content: Array[Byte]): Option[Long] =
-    readRaster(content).map { img =>
+    readRaster(content).map(rasterHash64)
+
+  /** The dHash over an ALREADY-DECODED raster — shared by
+    * [[imageHash64]] (encoded bytes) and [[videoFrameHashes]] (frames
+    * that exist only as rasters: rawvideo DIB rows, seam-decoded
+    * foreign codecs), so a frame hashes without a lossy re-encode
+    * round trip. */
+  private[graft] def rasterHash64(img: java.awt.image.BufferedImage)
+      : Long = {
       val w = img.getWidth; val h = img.getHeight
       val gw = 9; val gh = 8
       val luma = Array.ofDim[Double](gh, gw)

@@ -209,22 +209,30 @@ class MultimodalSpec extends AnyFunSuite {
     val evilBytes = java.util.Arrays.copyOf(evil.array(), evil.position())
     assert(Multimodal.probeVideo(evilBytes).isEmpty) // no mvhd, no spin
     // and the pipeline routes video rows through the REAL probes:
-    // plain-BMFF rows (doc_id % 12 == 2) read the mvhd timescale in
-    // slot 1, MOV Motion-JPEG rows (% 12 == 8) the 16 px JPEG frame
+    // plain-BMFF rows (doc_id % 24 == 2) read the mvhd timescale in
+    // slot 1, MOV Motion-JPEG rows (% 24 == 8) the 16 px JPEG frame
     // width (frame-grade probe outranks the container probe),
-    // rawvideo rows (% 12 == 5) the 10 px DIB frame width, MJPEG-AVI
-    // rows the 16 px JPEG frame width — never a histogram fraction
-    // <= 1 (the stub)
+    // rawvideo rows (% 24 == 5) the 10 px DIB frame width, MJPEG-AVI
+    // and seam-decoded YUV rows the 16 px frame width — never a
+    // histogram fraction <= 1 (the stub) when the RawVideoDecoder is
+    // registered
     val media = Multimodal.syntheticMedia(spark, "/root/testdata/sf0.001")
-    val vid = Multimodal.extractFeatures(media)
+    val vid = Multimodal.extractFeatures(media,
+        decoders = Seq(Multimodal.RawVideoDecoder))
       .filter(col("kind") === "video").collect()
     assert(vid.nonEmpty)
     assert(vid.forall { r =>
       val slot1 = r.getSeq[Float](3)(1)
-      if (r.getLong(0) % 12 == 2) slot1 == 1000f
-      else if (r.getLong(0) % 12 == 5) slot1 == 10f
+      if (r.getLong(0) % 24 == 2) slot1 == 1000f
+      else if (r.getLong(0) % 24 == 5) slot1 == 10f
       else slot1 == 16f
     })
+    // bare JDK (no decoders): the YUV rows honestly fall to the stub
+    // (first slot a histogram fraction <= 1), everything else as above
+    val bare = Multimodal.extractFeatures(media)
+      .filter(col("kind") === "video").collect()
+    assert(bare.filter(r => Set(14L, 17L, 20L)(r.getLong(0) % 24))
+      .forall(_.getSeq[Float](3).head <= 1f))
   }
 
   test("MJPEG-AVI frames decode for real: counts, dims, sampling, " +
@@ -581,5 +589,144 @@ class MultimodalSpec extends AnyFunSuite {
     // actual bytes (4/8000 s), proving nothing sized from the header
     assert(got.isDefined && got.get.head <= 0.001f,
       s"duration must come from actual bytes, got ${got.map(_.head)}")
+  }
+
+  test("RawVideoDecoder: BT.601 pixel math is exact (constant-gray " +
+      "planes), all five layouts of the same logical YUV decode to " +
+      "the IDENTICAL raster, and wrong-size/odd-geometry payloads " +
+      "refuse") {
+    val d = Multimodal.RawVideoDecoder
+    // constant Y=126, Cb=Cr=128 (no chroma) → gray 1.164*(126-16)
+    val w = 8; val h = 4
+    val grayY = 126
+    val i420 = Array.fill(w * h)(grayY.toByte) ++
+      Array.fill(w / 2 * (h / 2) * 2)(128.toByte)
+    val img = d.decodeRaster("i420", w, h, i420).get
+    val expect = (1.164 * (grayY - 16) + 0.5).toInt
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = img.getRGB(x, y)
+      assert(((p >> 16) & 0xFF) == expect && ((p >> 8) & 0xFF) == expect
+        && (p & 0xFF) == expect, f"pixel ($x,$y) = 0x$p%06x")
+    }
+    // the five layouts carry the SAME logical planes → identical rasters
+    def raster(fourcc: String): IndexedSeq[Int] = {
+      val codec = fourcc.trim.toLowerCase
+      val avi = Multimodal.syntheticYuvAvi(7L, fourcc)
+      val frames = Multimodal.videoFrames(
+        Seq((7L, avi)).toDF("media_id", "content"),
+        decoders = Seq(d))
+      assert(frames.count() > 0, s"$fourcc must frame-decode")
+      val content = Multimodal.videoFrameContent(
+          Seq((7L, avi)).toDF("media_id", "content"),
+          decoders = Seq(d))
+        .filter(col("frame_idx") === 0)
+        .select("content").collect().head.getAs[Array[Byte]](0)
+      val im = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(content))
+      for (y <- 0 until im.getHeight; x <- 0 until im.getWidth)
+        yield im.getRGB(x, y)
+    }
+    val base = raster("YUY2")
+    for (f <- Seq("UYVY", "I420", "YV12", "NV12"))
+      assert(raster(f) == base, s"$f raster differs from YUY2")
+    // decoded pixels match the independently computed BT.601 of the
+    // generator's yuvPlane formulas
+    val avi = Multimodal.syntheticYuvAvi(7L, "I420")
+    val content0 = Multimodal.videoFrameContent(
+        Seq((7L, avi)).toDF("media_id", "content"),
+        decoders = Seq(d))
+      .filter(col("frame_idx") === 0)
+      .select("content").collect().head.getAs[Array[Byte]](0)
+    val im0 = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(content0))
+    def clamp(v: Double): Int =
+      if (v < 0.5) 0 else if (v > 254.5) 255 else (v + 0.5).toInt
+    for (y <- 0 until 12; x <- 0 until 16) {
+      val (yy, cb, cr) = Multimodal.yuvPlane(7L, 0, x, y)
+      // chroma sites at the even sample, like the decoder reconstructs
+      val (cbS, crS) = (Multimodal.yuvPlane(7L, 0, x / 2 * 2, y / 2 * 2)._2,
+        Multimodal.yuvPlane(7L, 0, x / 2 * 2, y / 2 * 2)._3)
+      assert(cb == cbS && cr == crS) // formula already sites at /2
+      val yv = 1.164 * (yy - 16)
+      val want = (clamp(yv + 1.596 * (cr - 128)) << 16) |
+        (clamp(yv - 0.392 * (cb - 128) - 0.813 * (cr - 128)) << 8) |
+        clamp(yv + 2.017 * (cb - 128))
+      assert((im0.getRGB(x, y) & 0xFFFFFF) == want,
+        f"pixel ($x,$y): got 0x${im0.getRGB(x, y) & 0xFFFFFF}%06x " +
+          f"want 0x$want%06x")
+    }
+    // refusals: truncated payload, odd width (packed), odd height
+    // (planar), unclaimed codec
+    assert(d.decodeRaster("yuy2", w, h,
+      Array.fill(w * h * 2 - 1)(0.toByte)).isEmpty)
+    assert(d.decodeRaster("yuy2", 7, 4,
+      Array.fill(7 * 4 * 2)(0.toByte)).isEmpty)
+    assert(d.decodeRaster("i420", 8, 5,
+      Array.fill(60)(0.toByte)).isEmpty)
+    assert(!d.claims("h264") && !d.claims("mjpg"))
+  }
+
+  test("frame content flows end-to-end: foreign YUV codecs through " +
+      "the seam into per-frame dHash near-dup pairing and the " +
+      "frame-shard content table; bare JDK stays honest (no frames, " +
+      "undecodable audit)") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val df = Seq(
+      (3L, Multimodal.syntheticYuvAvi(3L, "YUY2")),  // 3 frames
+      (6L, Multimodal.syntheticYuvAvi(6L, "I420")),  // 4 frames
+      (9L, Multimodal.syntheticAvi(9L))              // 2 MJPEG frames
+    ).toDF("media_id", "content")
+    // bare JDK: YUV rows contribute nothing and audit honestly
+    assert(Multimodal.videoFrames(df).select("media_id")
+      .as[Long].collect().toSet == Set(9L))
+    assert(Multimodal.videoFrameHashes(df).select("media_id")
+      .as[Long].collect().toSet == Set(9L))
+    val bareProfile = Multimodal.videoCodecProfile(df)
+      .as[(Long, String)].collect().toMap
+    assert(bareProfile(3L) == "undecodable" &&
+      bareProfile(6L) == "undecodable")
+    // with the REAL decoder: frames, audit provenance, content
+    val dec = Seq(Multimodal.RawVideoDecoder)
+    val profile = Multimodal.videoCodecProfile(df, decoders = dec)
+      .as[(Long, String)].collect().toMap
+    assert(profile(3L) == "ext:yuy2" && profile(6L) == "ext:i420" &&
+      profile(9L) == "avi_mjpeg")
+    val hashes = Multimodal.videoFrameHashes(df, decoders = dec)
+    val hs = hashes.collect().map(r => (r.getLong(0), r.getInt(1),
+      r.getInt(2), r.getLong(3), r.getLong(4)))
+    assert(hs.count(_._1 == 3L) == 3 && hs.count(_._1 == 6L) == 4 &&
+      hs.count(_._1 == 9L) == 2, s"frame counts: ${hs.toSeq}")
+    assert(hs.forall(h => h._4 == (h._1 << 20) + h._2),
+      "frame_id must pack (media_id, frame_idx)")
+    // per-frame hashes feed the IMAGE near-dup pairing directly:
+    // consecutive frames of one video are near-identical by
+    // construction (the Y ramp shifts by 1 per frame)
+    val pairs = Multimodal.imageNearDupsFromHashes(
+        hashes.select(col("frame_id"), col("phash")),
+        idCol = "frame_id", maxHamming = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "consecutive YUV frames must pair")
+    assert(pairs.forall { case (a, b) =>
+      (a >> 20) == (b >> 20) },
+      s"only intra-video frames may pair here: ${pairs.toSeq}")
+    // content table: YUV frames land as lossless PNG whose re-decode
+    // re-hashes to the SAME phash; MJPEG frames pass through as their
+    // ORIGINAL jpeg payloads (no transcode)
+    val content = Multimodal.videoFrameContent(df, decoders = dec)
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), (r.getInt(3),
+        r.getInt(4), r.getString(5), r.getAs[Array[Byte]](6)))).toMap
+    val phashOf = hs.map(h => ((h._1, h._2), h._5)).toMap
+    assert(content.keySet == phashOf.keySet)
+    content.foreach { case ((id, idx), (cw, ch, fmt, bytes)) =>
+      assert(cw == 16 && ch == 12)
+      assert(fmt == (if (id == 9L) "jpeg" else "png"))
+      assert(Multimodal.imageHash64(bytes).get == phashOf((id, idx)),
+        s"content round-trip hash mismatch at ($id, $idx)")
+    }
+    val mjpegPayloads = Multimodal.decodeAviMjpegFrames(
+      Multimodal.syntheticAvi(9L)).get
+    assert(content((9L, 0))._4.sameElements(mjpegPayloads(0)),
+      "jpeg frames must pass through untranscoded")
   }
 }
