@@ -676,7 +676,7 @@ object Similarity {
     * file; a crash leaves at most a stray tmp dir or a superseded
     * version the next publish sweeps. */
   private def writeSidecarAtomic(spark: SparkSession, dir: String,
-      df: DataFrame): Unit = {
+      df: DataFrame, preserve: String => Boolean = _ => false): Unit = {
     val fs = hadoopFs(spark, dir)
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     // sweep stray tmp dirs a CRASHED publish left beside the sidecar
@@ -704,7 +704,7 @@ object Similarity {
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     fs.listStatus(dirPath).foreach { st =>
       val n = st.getPath.getName
-      if (st.isFile && n != dest.getName &&
+      if (st.isFile && n != dest.getName && !preserve(n) &&
           (n.endsWith(".parquet") || n == "_SUCCESS"))
         fs.delete(st.getPath, false)
     }
@@ -847,26 +847,125 @@ object Similarity {
   private def rearmedBase(base: Double, bDist: Double): Double =
     if (base <= 0.0) bDist else base
 
+  /** Rows per sealed appends-log segment. The ACTIVE segment is the
+    * one versioned sidecar and is rewritten whole per append (bounded:
+    * ≤ this many 4-scalar rows); on reaching the cap it SEALS — the
+    * live version file renames to an immutable `seg-<n>.parquet`
+    * (atomic, rows move and are never copied) and the next append
+    * starts a fresh active sidecar. Per-append log cost is therefore
+    * O(segment) FLAT regardless of store age — the pre-r16 whole-log
+    * rewrite was O(n) per append, O(n²) cumulative, a real wall for a
+    * years-long minute-cadence ingest (~1,440 appends/day) — and the
+    * file count grows one per 512 appends (a 10⁶-append store lists
+    * ~2k log files; compaction merges them back to one). */
+  private[graft] val AppendLogSegmentRows = 512
+
+  private[graft] val AppendLogSegmentRe = """seg-(\d{12})\.parquet""".r
+  private def isLogSegment(name: String): Boolean = name match {
+    case AppendLogSegmentRe(_) => true
+    case _ => false
+  }
+  private def sealedSegments(fs: org.apache.hadoop.fs.FileSystem,
+      dirPath: org.apache.hadoop.fs.Path)
+      : Seq[(org.apache.hadoop.fs.Path, Long)] =
+    (if (fs.exists(dirPath)) fs.listStatus(dirPath).toSeq else Nil)
+      .filter(_.isFile)
+      .flatMap(st => st.getPath.getName match {
+        case AppendLogSegmentRe(n) => Some((st.getPath, n.toLong))
+        case _ => None
+      })
+      .sortBy(_._2)
+
   private def appendLogRow(spark: SparkSession, path: String,
       nRows: Long, bDist: Double, base: Double,
-      refitThreshold: Double): Unit = {
+      refitThreshold: Double): Unit =
+    appendLogRowSeg(spark, path, nRows, bDist, base, refitThreshold,
+      AppendLogSegmentRows)
+
+  /** The segment-size-parameterized core (specs drill the seal/roll
+    * protocol at a small cap; production uses
+    * [[AppendLogSegmentRows]]). DuckDB's whole-dir `appends` glob
+    * stays exact: sealed segments plus the one live version file
+    * together hold each audit row exactly once. */
+  private[graft] def appendLogRowSeg(spark: SparkSession, path: String,
+      nRows: Long, bDist: Double, base: Double, refitThreshold: Double,
+      segmentRows: Int): Unit = {
     import spark.implicits._
     val row = Seq((nRows, bDist, base, refitThreshold))
       .toDF("n_rows", "distortion", "base_distortion", "refit_threshold")
-    // the log is rewritten WHOLE as the next sidecar version (old rows
-    // first, the new row last): file count stays at one forever — a
-    // 1-minute ingest cadence is ~1,440 appends/day, and a
-    // one-file-per-append log would hand readAppendLog an unbounded
-    // listing within a week. Cost is ∝ |log| per append — four scalars
-    // per historical append, trivial against the batch encode until
-    // ~10⁶ appends, at which point the store wants a re-fit anyway.
     val dir = s"$path/appends"
     val fs = hadoopFs(spark, dir)
-    val hasLog = fs.exists(new org.apache.hadoop.fs.Path(dir)) &&
-      fs.listStatus(new org.apache.hadoop.fs.Path(dir)).exists(st =>
-        st.isFile && st.getPath.getName.endsWith(".parquet"))
-    val full = if (hasLog) readSidecar(spark, dir).union(row) else row
-    writeSidecarAtomic(spark, dir, full)
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    // the ACTIVE segment only: the max version file when present, else
+    // any legacy pre-protocol files (excluding sealed segments — a
+    // sealed store whose last append just rolled has segments but no
+    // active version, and its active is honestly empty)
+    val (activeDf, activeCount) =
+      latestSidecarFile(fs, dirPath) match {
+        case Some((f, _)) =>
+          val df = spark.read.parquet(f.toString)
+          (Some(df), df.count())
+        case None =>
+          val legacy =
+            (if (fs.exists(dirPath)) fs.listStatus(dirPath).toSeq
+             else Nil)
+              .filter(st => st.isFile &&
+                st.getPath.getName.endsWith(".parquet") &&
+                !isLogSegment(st.getPath.getName))
+              .map(_.getPath.toString)
+          if (legacy.isEmpty) (None, 0L)
+          else {
+            val df = spark.read.parquet(legacy: _*)
+            (Some(df), df.count())
+          }
+      }
+    val full = activeDf.map(_.union(row)).getOrElse(row)
+    writeSidecarAtomic(spark, dir, full, preserve = isLogSegment)
+    if (activeCount + 1 >= segmentRows) {
+      // SEAL: the just-published version becomes an immutable segment.
+      // Atomic rename — the rows move, they are never in two files; a
+      // reader that resolved the version pre-rename retries into the
+      // no-active state, where the sealed segments alone ARE the
+      // complete log.
+      latestSidecarFile(fs, dirPath).foreach { case (live, _) =>
+        val next = sealedSegments(fs, dirPath)
+          .lastOption.map(_._2).getOrElse(0L) + 1
+        require(fs.rename(live,
+          new org.apache.hadoop.fs.Path(dirPath, f"seg-$next%012d.parquet")),
+          s"appends-log seal: rename of $live failed")
+      }
+    }
+  }
+
+  /** Merge all sealed appends-log segments (and the active version)
+    * back into ONE active sidecar — the compaction-side half of the
+    * segmented log: bounded file counts over any store lifetime.
+    * Published by the same atomic versioned swap (the full log renames
+    * in as the next version, THEN superseded segments sweep), so
+    * version-resolving readers always see a complete log; a whole-dir
+    * reader racing the rename→sweep window can transiently observe
+    * rows twice — the same torn-by-design caveat every compaction
+    * window already carries (data-tree rewrites refuse loudly there;
+    * the audit log degrades to a transient double-count instead).
+    * Callers hold the writer lock. */
+  private[graft] def compactAppendLog(spark: SparkSession,
+      path: String): Unit = {
+    val dir = s"$path/appends"
+    val fs = hadoopFs(spark, dir)
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val segs = sealedSegments(fs, dirPath)
+    if (segs.isEmpty) return
+    val files = segs.map(_._1.toString) ++
+      latestSidecarFile(fs, dirPath).map(_._1.toString)
+    val full = spark.read.parquet(files: _*)
+    // materialize BEFORE the publish sweeps the segment files the scan
+    // would otherwise read from (bounded: 4 scalars per append); the
+    // publish's own sweep (no preserve) deletes the superseded
+    // segments right after the rename
+    val rows = full.collect()
+    writeSidecarAtomic(spark, dir,
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+        full.schema))
   }
 
   /** A REBUILD invalidates append history: every writer clears the
@@ -1512,25 +1611,34 @@ object Similarity {
   }
 
   /** The audit log of a store's appends: (n_rows, distortion,
-    * base_distortion, refit_threshold) rows, one per append. Empty
-    * store never appended → path absent (read throws). One versioned
-    * file regardless of append count ([[appendLogRow]]); legacy
+    * base_distortion, refit_threshold) rows, one per append — a
+    * MULTISET (no ordering contract across segment files). Empty
+    * store never appended → path absent (read throws). Layout (r16):
+    * sealed immutable `seg-*.parquet` segments plus at most one
+    * active versioned sidecar ([[appendLogRowSeg]]); legacy
     * one-file-per-append logs read via the whole-dir fallback.
-    * The versioned read MATERIALIZES the log (driver-side, bounded —
-    * four scalars per append) inside the re-resolve/retry loop, so an
-    * audit racing a live ingest loop's publish-then-sweep never sees
-    * a vanished version file; the returned frame is a local relation
-    * safe to hold across further appends. */
+    * The read MATERIALIZES the log from ONE directory snapshot
+    * (driver-side, bounded — four scalars per append) inside the
+    * re-resolve/retry loop, so an audit racing a live ingest loop's
+    * publish-then-sweep or a seal's rename never sees a vanished
+    * file; the returned frame is a local relation safe to hold across
+    * further appends. Audits racing a COMPACTION's log merge can
+    * transiently read a row twice (the documented compaction-window
+    * caveat, [[compactAppendLog]]). */
   def readAppendLog(spark: SparkSession, path: String): DataFrame = {
     val dir = s"$path/appends"
-    latestSidecarFile(hadoopFs(spark, dir),
-        new org.apache.hadoop.fs.Path(dir)) match {
-      case Some(_) => retryOnVanishedSidecar {
-          val df = readSidecar(spark, dir)
-          spark.createDataFrame(
-            java.util.Arrays.asList(df.collect(): _*), df.schema)
-        }
-      case None => spark.read.parquet(dir) // legacy layout
+    val fs = hadoopFs(spark, dir)
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    retryOnVanishedSidecar {
+      val segs = sealedSegments(fs, dirPath).map(_._1.toString)
+      val active = latestSidecarFile(fs, dirPath).map(_._1.toString)
+      val files = segs ++ active
+      if (files.isEmpty) spark.read.parquet(dir) // legacy layout
+      else {
+        val df = spark.read.parquet(files: _*)
+        spark.createDataFrame(
+          java.util.Arrays.asList(df.collect(): _*), df.schema)
+      }
     }
   }
 
@@ -1640,6 +1748,13 @@ object Similarity {
         require(fs.rename(next, sub), s"compact: rename of $next failed")
         restoreMeta(spark, path, metaRows, metaSchema)
       }
+      // bounded file counts are compaction's contract for every store
+      // surface: merge the appends-log segments under the same lock
+      if (sealedSegments(fs,
+          new org.apache.hadoop.fs.Path(s"$path/appends")).nonEmpty) {
+        guard.begin()
+        compactAppendLog(spark, path)
+      }
     }
   }
 
@@ -1681,6 +1796,13 @@ object Similarity {
         }
         fs.delete(new org.apache.hadoop.fs.Path(s"$path/${sub}_next"), true)
         restoreMeta(spark, path, metaRows, metaSchema)
+      }
+      // same appends-log segment merge as compactPqIndex: bounded
+      // file counts for every store surface, under the same lock
+      if (sealedSegments(fs,
+          new org.apache.hadoop.fs.Path(s"$path/appends")).nonEmpty) {
+        guard.begin()
+        compactAppendLog(spark, path)
       }
     }
   }

@@ -1794,6 +1794,92 @@ object ScaleStress {
           "row-group pruning broke")
     }
 
+    if (which == "appendlog") {
+      // r16 drill (verdict item: segment the appends log). The pre-r16
+      // log rewrote WHOLE per append — O(n)/append, O(n²) cumulative:
+      // trivial to ~10⁵ appends but a real wall for a years-long
+      // minute-cadence ingest. The segmented log seals the active
+      // sidecar into an immutable seg-*.parquet every 512 rows, so
+      // per-append cost is O(segment) FLAT and file counts stay
+      // bounded (1 seg per 512 appends; compaction merges to one).
+      // This leg drives the log protocol directly (the data-tree cost
+      // around it is ingest500's subject): N appends in W windows —
+      // flat ms/append across windows for the segmented log, visibly
+      // climbing for the unsegmented shape (segmentRows = MaxValue
+      // reproduces the pre-r16 behavior on the same code path) — then
+      // a compaction merge back to one live file with zero row loss.
+      // The marginal-cost-vs-store-age measurement: row-by-row
+      // appending to a 10⁶-age store would take days, so store AGE is
+      // SEEDED directly in the on-disk protocol layout (plain file
+      // copies — no private surface) and the drill measures the
+      // MARGINAL cost of the next appends at each age. Pre-r16 shape
+      // (one whole-log active file, segmentRows = MaxValue so the
+      // same code path never seals) must grow with age; the
+      // segmented log must stay flat.
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      def partFileOf(rows: Long): java.nio.file.Path = {
+        val t = Files.createTempDirectory("applog_part").toString
+        spark.range(rows).select(col("id").as("n_rows"),
+            lit(0.1).as("distortion"), lit(0.1).as("base_distortion"),
+            lit(2.0).as("refit_threshold"))
+          .coalesce(1).write.mode("overwrite").parquet(t)
+        new java.io.File(t).listFiles()
+          .find(_.getName.endsWith(".parquet")).get.toPath
+      }
+      val segPart = partFileOf(512)    // one sealed-segment body
+      val smallPart = partFileOf(100)  // a part-full active sidecar
+      def seed(age: Long, segmented: Boolean): String = {
+        val p = Files.createTempDirectory(
+          s"applog_${if (segmented) "seg" else "unseg"}_$age").toString +
+          "/idx"
+        val dir = s"$p/appends"
+        Files.createDirectories(Paths.get(dir))
+        if (segmented) {
+          val nSegs = age / 512
+          (1L to nSegs).foreach(i => Files.copy(segPart,
+            Paths.get(dir, f"seg-$i%012d.parquet"),
+            StandardCopyOption.REPLACE_EXISTING))
+          Files.copy(smallPart,
+            Paths.get(dir, "v0000000000000001.parquet"))
+        } else {
+          Files.copy(partFileOf(age),
+            Paths.get(dir, "v0000000000000001.parquet"))
+        }
+        p
+      }
+      val perAge = 20
+      var segBig: String = null
+      for (age <- Seq(10000L, 100000L, 1000000L)) {
+        val rows = new Array[Double](2)
+        for ((segmented, slot) <- Seq((true, 0), (false, 1))) {
+          val p = seed(age, segmented)
+          if (segmented && age == 1000000L) segBig = p
+          val t0 = System.nanoTime()
+          for (i <- 0 until perAge)
+            graft.operators.Similarity.appendLogRowSeg(spark, p,
+              i.toLong, 0.1, 0.1, 2.0,
+              if (segmented) 512 else Int.MaxValue)
+          rows(slot) = (System.nanoTime() - t0) / 1e9 / perAge * 1000
+        }
+        println(f"appendlog age=$age%8d: seg512 ${rows(0)}%7.1f " +
+          f"ms/append | unseg ${rows(1)}%8.1f ms/append")
+      }
+      // merge the 10⁶-age segmented store back to one live file
+      val before = graft.operators.Similarity
+        .readAppendLog(spark, segBig).count()
+      val t0 = System.nanoTime()
+      graft.operators.Similarity.compactAppendLog(spark, segBig)
+      val files = new java.io.File(s"$segBig/appends").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      val total = graft.operators.Similarity.readAppendLog(spark, segBig)
+        .count()
+      println(f"appendlog merge at age 10^6: " +
+        f"${(System.nanoTime() - t0) / 1e9}%5.1f s → $files file(s), " +
+        f"$total rows (was $before)")
+      require(files == 1 && total == before,
+        "compaction must merge to one live file with zero row loss")
+    }
+
     if (which == "streamx") {
       // Streaming-probe crossover drill (the r14 verdict item 6): the
       // r14 measurement said the FULL-tree stream-static scan beats

@@ -59,6 +59,62 @@ class AnnStoreProtocolSpec extends AnyFunSuite {
     assert(Similarity.readAppendLog(spark, p).count() == 4)
   }
 
+  test("segmented appends log: the active sidecar seals into an " +
+      "immutable segment at the cap (per-append rewrite cost is " +
+      "O(segment), flat in store age), every reader — versioned, " +
+      "legacy whole-dir glob — sees each row exactly once, and " +
+      "compaction merges the segments back to one file") {
+    val p = tmp("protoSegLog")
+    // 10 synthetic appends at cap 4 → seg-1 (4 rows), seg-2 (4 rows),
+    // active v* (2 rows)
+    (1 to 10).foreach(i => Similarity.appendLogRowSeg(spark, p,
+      i.toLong, 0.1, 0.1, 2.0, segmentRows = 4))
+    val f1 = sidecarFiles(s"$p/appends")
+    assert(f1.count(_.startsWith("seg-")) == 2, f1.toSeq)
+    assert(f1.count(_.startsWith("v")) == 1, f1.toSeq)
+    assert(Similarity.readAppendLog(spark, p).count() == 10)
+    assert(spark.read.parquet(s"$p/appends").count() == 10,
+      "the DuckDB-shaped whole-dir glob must see each row exactly once")
+    // the active file is bounded by the cap — THE flat-cost invariant
+    assert(spark.read.parquet(s"$p/appends/" +
+      f1.find(_.startsWith("v")).get).count() <= 4)
+    // appends 11-12 roll a third segment and leave NO active (the
+    // sealed segments alone are the complete log in that state)
+    (11 to 12).foreach(i => Similarity.appendLogRowSeg(spark, p,
+      i.toLong, 0.1, 0.1, 2.0, segmentRows = 4))
+    val f2 = sidecarFiles(s"$p/appends")
+    assert(f2.count(_.startsWith("seg-")) == 3 &&
+      f2.count(_.startsWith("v")) == 0, f2.toSeq)
+    assert(Similarity.readAppendLog(spark, p).count() == 12)
+    // no row lost or duplicated across the seal/roll lifecycle
+    assert(Similarity.readAppendLog(spark, p)
+      .agg(sum(col("n_rows"))).collect().head.getLong(0) == 78L)
+
+    // merge-on-compact: a REAL store whose log has sealed segments
+    // collapses back to one live version file, rows intact
+    val sp = tmp("protoSegMerge")
+    Similarity.writeIvfIndexHier(
+      em.filter(col("vec_id") < 300), sp, 9, minPointsPerCentroid = 8)
+    Similarity.appendIvfIndexHier(
+      em.filter(col("vec_id") >= 300 && col("vec_id") < 350), sp)
+    (1 to 5).foreach(i => Similarity.appendLogRowSeg(spark, sp,
+      100L + i, 0.1, 0.1, 2.0, segmentRows = 2))
+    assert(sidecarFiles(s"$sp/appends").count(_.startsWith("seg-")) >= 2)
+    val before = Similarity.readAppendLog(spark, sp).count()
+    Similarity.compactIvfIndexHier(spark, sp)
+    val f3 = sidecarFiles(s"$sp/appends")
+    assert(f3.count(_.startsWith("seg-")) == 0 &&
+      f3.count(_.startsWith("v")) == 1,
+      s"compaction must merge log segments to one live file: ${f3.toSeq}")
+    assert(Similarity.readAppendLog(spark, sp).count() == before)
+    assert(spark.read.parquet(s"$sp/appends").count() == before)
+    // the store still probes after the merge
+    val q = em.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    assert(Similarity.ivfHierTopKFromIndex(spark, sp, q, 5)
+      .count() > 0)
+  }
+
   test("legacy (pre-protocol) sidecars keep reading: a hand-written " +
       "unversioned meta dir resolves through the whole-dir fallback, " +
       "and the first append upgrades it to a versioned file") {
