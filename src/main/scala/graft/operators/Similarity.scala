@@ -1437,10 +1437,37 @@ object Similarity {
     l1
   }
 
+  /** Scan of ONLY the probed groups' partition dirs in a grouped tree
+    * — file-listing AND partition-discovery cost ∝ |probed groups|,
+    * never ∝ nlist/cellsPerGroup. The plain
+    * `spark.read.parquet(root).filter(cell_grp isin …)` form prunes
+    * the SCAN to probed groups, but its partition DISCOVERY still
+    * lists every group dir — 15,625 dirs at nlist 10⁶ dominated the
+    * r15 lazyprobe drill's 25 s cold wall (SCALE.md). Reading the
+    * probed dirs directly (with `basePath`, so `cell_grp` survives as
+    * a partition column and the group/cell isin filters still show as
+    * partition/row-group pruning in the plan) makes discovery itself
+    * ∝ probed groups: |probed| existence RPCs driver-side, bounded by
+    * |q|·nprobe. Probed groups whose dir is absent (every cell in
+    * them empty) skip; the rare all-absent case falls back to an
+    * empty scan of the root (one full listing, correct schema). */
+  private def probedGroupScan(spark: SparkSession, root: String,
+      probedGroups: Array[Int], probedCells: Array[Int]): DataFrame = {
+    val fs = hadoopFs(spark, root)
+    val dirs = probedGroups.map(g => s"$root/cell_grp=$g")
+      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
+    val base =
+      if (dirs.isEmpty) spark.read.parquet(root).filter(lit(false))
+      else spark.read.option("basePath", root).parquet(dirs.toSeq: _*)
+    base.filter(col("cell_grp").isin(probedGroups.toSeq: _*) &&
+      col("cell").isin(probedCells.toSeq: _*))
+  }
+
   /** Probe a hierarchical IVF index: the [[ivfTopKFromIndex]] shape
     * with the O(√nlist) kernel probe in place of the literal fold and
     * TWO-LEVEL pruning over the grouped layout — probed `cell_grp`s at
-    * the file listing, unprobed cells at the parquet row-group stats
+    * the partition DISCOVERY ([[probedGroupScan]]: only probed dirs
+    * are even listed), unprobed cells at the parquet row-group stats
     * (files are cell-sorted) and the row filter. */
   def ivfHierTopKFromIndex(spark: SparkSession, path: String,
       queries: DataFrame, k: Int, nprobe: Int = 4, beam: Int = 2,
@@ -1457,9 +1484,8 @@ object Similarity {
       .collect().map(_.getInt(0)) // |q|·nprobe ints — driver-bounded
     val cpg = meta.getAs[Int]("cells_per_group")
     val probedGroups = probedCells.map(_ / cpg).distinct
-    val index = spark.read.parquet(s"$path/index")
-      .filter(col("cell_grp").isin(probedGroups.toSeq: _*) &&
-        col("cell").isin(probedCells.toSeq: _*))
+    val index = probedGroupScan(spark, s"$path/index",
+      probedGroups, probedCells)
     rerankWithinCells(index, probes, k, idCol, vecCol, qidCol, qvecCol)
   }
 
@@ -2314,12 +2340,12 @@ object Similarity {
       .collect().map(_.getInt(0)) // |q|·nprobe ints — driver-bounded
     val cpg = meta.getAs[Int]("cells_per_group")
     val probedGroups = probedCells.map(_ / cpg).distinct
-    // two-level pruning: group dirs at the file listing, then cells at
+    // two-level pruning: probed group dirs at the partition discovery
+    // (probedGroupScan — only they are even listed), then cells at
     // the parquet row-group stats (files are cell-sorted) and the row
     // filter — see writeIvfPqIndexHier's layout rationale
-    val codes = spark.read.parquet(s"$path/codes")
-      .filter(col("cell_grp").isin(probedGroups.toSeq: _*) &&
-        col("cell").isin(probedCells.toSeq: _*))
+    val codes = probedGroupScan(spark, s"$path/codes",
+      probedGroups, probedCells)
     val scored = codes.join(broadcast(probes), Seq("cell"))
       .filter(col(idCol) =!= col(qidCol))
       .select(col(qidCol), col(idCol),
@@ -2433,9 +2459,8 @@ object Similarity {
       .collect().map(_.getInt(0)) // |q|·nprobe ints — driver-bounded
     val cpg = meta.getAs[Int]("cells_per_group")
     val probedGroups = probedCells.map(_ / cpg).distinct
-    val index = spark.read.parquet(s"$path/index")
-      .filter(col("cell_grp").isin(probedGroups.toSeq: _*) &&
-        col("cell").isin(probedCells.toSeq: _*))
+    val index = probedGroupScan(spark, s"$path/index",
+      probedGroups, probedCells)
     rerankWithinCells(index, probes, k, idCol, vecCol, qidCol, qvecCol)
   }
 
@@ -2463,9 +2488,8 @@ object Similarity {
         qvecCol, qvecCol)).localCheckpoint(eager = true)
     val cpg = meta.getAs[Int]("cells_per_group")
     val probedGroups = probedCells.map(_ / cpg).distinct
-    val codes = spark.read.parquet(s"$path/codes")
-      .filter(col("cell_grp").isin(probedGroups.toSeq: _*) &&
-        col("cell").isin(probedCells.toSeq: _*))
+    val codes = probedGroupScan(spark, s"$path/codes",
+      probedGroups, probedCells)
     val scored = codes.join(broadcast(probes), Seq("cell"))
       .filter(col(idCol) =!= col(qidCol))
       .select(col(qidCol), col(idCol),
