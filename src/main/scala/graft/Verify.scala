@@ -22,6 +22,16 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.GraftExtensions.register(spark)
     new java.io.File(outDir).mkdirs()
+    // build the cached staging fixtures concurrently up front (r16):
+    // same wall-clock cut as Bench — the staged trees' build chains
+    // run on parallel driver threads instead of serializing through
+    // whichever query touches each first. Skipped for single-query
+    // local iteration (`only`), where staging the world would cost
+    // more than it saves.
+    if (only.isEmpty)
+      try QueriesPipeline.preStageAll(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] prestage failed: ${e.getMessage}") }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
