@@ -231,7 +231,9 @@ object Streams {
     * microbatch) to pick appends up. Appends never tear the store
     * (atomic sidecar protocol), but compaction rewrites files and can
     * crash a running probe stream with missing-file errors — it is a
-    * maintenance op for when probe streams quiesce. */
+    * maintenance op for when probe streams quiesce, OR run the stream
+    * under [[annTopKStreamSupervised]], which detects that crash and
+    * restarts the stream on the compacted tree automatically. */
   def annTopKStream(spark: SparkSession, path: String, vecs: DataFrame,
       k: Int, nprobe: Int = 4, beam: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding",
@@ -268,6 +270,103 @@ object Streams {
         col("__e.id").as(idCol), col("__e.score").as("sim"),
         (col("__p") + 1).cast("int").as("rank"))
   }
+
+  /** A vanished-file failure — the compaction file-rewrite crash's
+    * faces: a task reading a swept/rewritten file
+    * (FileNotFoundException, wrapped as FAILED_READ_FILE in Spark 4),
+    * a load-time footer read of one (PATH_NOT_FOUND), or a dir
+    * observed mid-swap (UNABLE_TO_INFER_SCHEMA) — the same three
+    * faces the sidecar retry covers, here matched through a
+    * streaming-query failure's cause chain (depth-bounded: exception
+    * causes can cycle). */
+  private[graft] def isVanishedFileFailure(t: Throwable,
+      depth: Int = 0): Boolean = t != null && depth < 16 && {
+    t.isInstanceOf[java.io.FileNotFoundException] || {
+      val m = String.valueOf(t.getMessage)
+      m.contains("FAILED_READ_FILE") || m.contains("PATH_NOT_FOUND") ||
+        m.contains("FileNotFoundException") ||
+        m.contains("UNABLE_TO_INFER_SCHEMA")
+    } || isVanishedFileFailure(t.getCause, depth + 1)
+  }
+
+  /** A streaming query under restart supervision — what
+    * [[annTopKStreamSupervised]] returns. `active` is the live query
+    * (it CHANGES across restarts — always go through this handle),
+    * `restarts` how many times the supervisor has rebuilt it,
+    * `failure` the terminal error if supervision gave up (restart
+    * budget exhausted, a non-vanished-file failure, or a rebuild that
+    * itself failed). `stop()` ends supervision and the live query. */
+  final class SupervisedQuery private[streaming] (
+      build: () => DataFrame,
+      start: DataFrame => org.apache.spark.sql.streaming.StreamingQuery,
+      maxRestarts: Int) {
+    @volatile private var restartCount = 0
+    @volatile private var terminal: Option[Throwable] = None
+    @volatile private var stopping = false
+    @volatile private var live = start(build())
+    private val thread = new Thread(() => {
+      var done = false
+      while (!done) {
+        try { live.awaitTermination(); done = true } // clean stop
+        catch {
+          case e: Throwable if !stopping && restartCount < maxRestarts &&
+              isVanishedFileFailure(e) =>
+            // the store was compacted under the pinned file listing:
+            // REBUILDING the stream re-lists the (now-compacted) tree,
+            // and the checkpoint resumes offsets — no operator action
+            restartCount += 1
+            try live = start(build())
+            catch { case e2: Throwable =>
+              terminal = Some(e2); done = true }
+          case e: Throwable =>
+            if (!stopping) terminal = Some(e)
+            done = true
+        }
+      }
+    }, "ann-probe-stream-supervisor")
+    thread.setDaemon(true)
+    thread.start()
+    def active: org.apache.spark.sql.streaming.StreamingQuery = live
+    def restarts: Int = restartCount
+    def failure: Option[Throwable] = terminal
+    def stop(): Unit = {
+      stopping = true
+      try live.stop() catch { case _: Exception => () }
+      thread.join(30000)
+    }
+  }
+
+  /** [[annTopKStream]] under a restart supervisor — the operational
+    * fix for its stream-static snapshot semantics: the codes file
+    * listing pins at stream START, so a COMPACTION racing a running
+    * probe stream crashes it with vanished-file errors (appends never
+    * do — the atomic sidecar protocol — they are merely unobserved).
+    * The supervisor watches the query; when it dies with a
+    * vanished-file failure it rebuilds the stream (the listing
+    * re-pins on the compacted tree, and appends landed so far become
+    * visible as a side effect) and restarts it, up to `maxRestarts`.
+    * Any other failure — and a vanished-file failure past the budget,
+    * i.e. a genuinely broken store — surfaces in `failure`.
+    *
+    * `start` owns the sink/trigger/checkpoint wiring and MUST set a
+    * `checkpointLocation` for exactly-once across restarts (the
+    * restarted query resumes source offsets and watermark state from
+    * it; with no checkpoint a restart reprocesses the source from
+    * scratch). The honest semantics note stands: between the crash
+    * and the restart the stream emits nothing, and a restarted
+    * snapshot is as stream-static as the first — this supervises the
+    * documented maintenance-window behavior, it does not change it. */
+  def annTopKStreamSupervised(spark: SparkSession, path: String,
+      vecs: DataFrame, k: Int,
+      start: DataFrame => org.apache.spark.sql.streaming.StreamingQuery,
+      nprobe: Int = 4, beam: Int = 2, idCol: String = "vec_id",
+      vecCol: String = "embedding", delay: String = "10 minutes",
+      windowDur: String = "1 minute", maxRestarts: Int = 3)
+      : SupervisedQuery =
+    new SupervisedQuery(
+      () => annTopKStream(spark, path, vecs, k, nprobe, beam, idCol,
+        vecCol, delay, windowDur),
+      start, maxRestarts)
 
   /** The per-batch-pruned streaming ANN form [[annTopKStream]]'s
     * Scaladoc promises — a `foreachBatch` body that runs the BATCH

@@ -325,6 +325,91 @@ class StreamingSpec extends AnyFunSuite {
       s"sink must run exactly once per batch, ran ${calls.get()}")
   }
 
+  test("supervised ANN probe stream survives a mid-stream compaction: " +
+      "the vanished-file crash is detected, the stream rebuilds on the " +
+      "compacted tree without operator action, and post-compaction " +
+      "windows still match the batch probe row-for-row") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions.col
+    implicit val sq = spark.sqlContext
+    val em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cq = Similarity.trainCoarseHierarchical(
+      em.filter(col("vec_id") < 300), "embedding", 9,
+      minPointsPerCentroid = 8)
+    val p = java.nio.file.Files.createTempDirectory("svann").toString
+    // BUILD + two APPENDs: per-group file counts > 1, so the
+    // compaction genuinely rewrites files under the pinned listing
+    Similarity.writeIvfPqIndexHier(
+      em.filter(col("vec_id") < 300), p, cq, m = 8, ncodes = 16)
+    Similarity.appendIvfPqIndexHier(
+      em.filter(col("vec_id") >= 300 && col("vec_id") < 400), p)
+    Similarity.appendIvfPqIndexHier(
+      em.filter(col("vec_id") >= 400 && col("vec_id") < 500), p)
+    val qvecs = em.filter(col("vec_id") < 5)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    def vec(id: Long, min: Int, e: Seq[Float]) = Streams.Vec(id,
+      java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00"), e)
+    val ms = MemoryStream[Streams.Vec]
+    val acc = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Long, Int, Long)]()
+    val ckpt = java.nio.file.Files.createTempDirectory("svckpt").toString
+    val sup = Streams.annTopKStreamSupervised(spark, p, ms.toDF(), 5,
+      start = df => df.writeStream.outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.filter(col("qid") < 5).select("qid", "rank", "vec_id")
+            .collect().foreach(r => { acc.add((r.getLong(0),
+              r.getInt(1), r.getLong(2))); () })
+          ()
+        }.start(),
+      nprobe = 4, beam = 3)
+    try {
+      ms.addData(qvecs.map { case (id, e) => vec(id, 0, e) }: _*)
+      sup.active.processAllAvailable()
+      ms.addData(vec(9999L, 30, qvecs.head._2)) // watermark pusher
+      sup.active.processAllAvailable()
+      assert(acc.size == 25, s"pre-compaction window: ${acc.size}")
+      // COMPACT while the stream runs — rewrites the files its
+      // stream-static listing pinned
+      Similarity.compactIvfPqIndexHier(spark, p)
+      ms.addData(qvecs.map { case (id, e) => vec(id, 45, e) }: _*)
+      ms.addData(vec(9998L, 59, qvecs.head._2)) // next pusher
+      // the running query crashes on the vanished files; the
+      // supervisor rebuilds on the compacted tree and the checkpoint
+      // resumes the source — poll for the post-compaction window
+      try sup.active.processAllAvailable()
+      catch { case _: Exception => () } // the crash face, expected
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (acc.size < 50 && sup.failure.isEmpty &&
+          System.nanoTime() < deadline) {
+        try sup.active.processAllAvailable()
+        catch { case _: Exception => () }
+        Thread.sleep(250)
+      }
+      assert(sup.failure.isEmpty, s"supervisor gave up: ${sup.failure}")
+      assert(sup.restarts >= 1,
+        "the compaction must have crashed the pinned listing at least " +
+          "once — if this never fires the drill is not drilling")
+      assert(acc.size == 50, s"post-compaction window missing: ${acc.size}")
+      // and the recovered window's rows equal the batch probe on the
+      // (compacted, identical-content) store
+      val want = Similarity.ivfPqHierTopKFromIndex(spark, p,
+          em.filter(col("vec_id") < 5).select(
+            col("vec_id").as("qid"), col("embedding").as("qvec")),
+          5, nprobe = 4, beam = 3)
+        .select("qid", "rank", "vec_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .toSet
+      val got = acc.toArray(Array.empty[(Long, Int, Long)])
+      assert(got.drop(25).toSet == want,
+        "recovered window must match the batch probe")
+    } finally sup.stop()
+  }
+
   test("streaming ANN ingestion: microbatch appends equal a batch " +
       "build over the union; probes see appended vectors immediately") {
     import spark.implicits._
