@@ -2760,7 +2760,8 @@ object QueriesPipeline {
         // r16: RawVideoDecoder registered — uncompressed-YUV rows get
         // real frame-grade features through the seam instead of the stub
         val feats = Multimodal.extractFeatures(s.read.parquet(p),
-          decoders = Seq(Multimodal.RawVideoDecoder))
+          decoders = Seq(Multimodal.RawVideoDecoder,
+              graft.operators.Mpeg1.Decoder))
         feats.groupBy(col("kind"))
           .agg(count(lit(1)).as("n"),
             sum(col("n_bytes")).as("total_bytes"))
@@ -2796,7 +2797,8 @@ object QueriesPipeline {
         // bench scale, not just in specs
         Multimodal.videoFrames(
             s.read.parquet(p).filter(col("kind") === "video"), step = 2,
-            decoders = Seq(Multimodal.RawVideoDecoder))
+            decoders = Seq(Multimodal.RawVideoDecoder,
+              graft.operators.Mpeg1.Decoder))
           .groupBy(col("n_frames"))
           .agg(count(lit(1)).as("n_sampled"),
             countDistinct(col("media_id")).as("n_videos"))
@@ -2827,7 +2829,8 @@ object QueriesPipeline {
           "documents") { hpp =>
           Multimodal.videoFrameHashes(
               s.read.parquet(p).filter(col("kind") === "video"),
-              decoders = Seq(Multimodal.RawVideoDecoder))
+              decoders = Seq(Multimodal.RawVideoDecoder,
+              graft.operators.Mpeg1.Decoder))
             .select(col("frame_id"), col("phash"))
             .write.mode("overwrite").parquet(hpp)
         }

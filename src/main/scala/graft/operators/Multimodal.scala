@@ -109,7 +109,8 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
-  private def imageFeature(img: java.awt.image.BufferedImage): Array[Float] = {
+  private[operators] def imageFeature(
+      img: java.awt.image.BufferedImage): Array[Float] = {
       val w = img.getWidth
       val h = img.getHeight
       val stepX = math.max(w / 64, 1)
@@ -1595,6 +1596,70 @@ object Multimodal {
     java.util.Arrays.copyOf(bb.array(), bb.position())
   }
 
+  /** Deterministic MPEG-1 AVI for the [[Mpeg1.Decoder]] seam decoder:
+    * real RIFF tree with 'mpg1' handler/compression, each '00dc'
+    * chunk a standard-compliant all-intra MPEG-1 video elementary
+    * stream ([[Mpeg1.encodeIFrame]]) over [[yuvPlane]] pixels — the
+    * DCT-codec fixture (sequence header, slices, VLC entropy coding,
+    * dequant, IDCT all run for real on decode). */
+  private[graft] def syntheticMpeg1Avi(id: Long): Array[Byte] = {
+    val w = 32; val h = 16
+    val nf = 2 + ((id / 3) % 3).toInt
+    val frames = (0 until nf).map { f =>
+      val yP = Array.tabulate(w * h)(i => yuvPlane(id, f, i % w, i / w)._1)
+      val cw = w / 2; val ch = h / 2
+      val cbP = Array.tabulate(cw * ch)(i =>
+        yuvPlane(id, f, (i % cw) * 2, (i / cw) * 2)._2)
+      val crP = Array.tabulate(cw * ch)(i =>
+        yuvPlane(id, f, (i % cw) * 2, (i / cw) * 2)._3)
+      Mpeg1.encodeIFrame(w, h, yP, cbP, crP)
+    }
+    val bb = java.nio.ByteBuffer.allocate(
+      4096 + frames.iterator.map(_.length + 16).sum)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fcc(t: String): Unit = bb.put(t.getBytes("ISO-8859-1"))
+    def chunk(t: String)(body: => Unit): Unit = {
+      fcc(t); val sizeAt = bb.position(); bb.putInt(0); body
+      val sz = bb.position() - sizeAt - 4
+      bb.putInt(sizeAt, sz)
+      if ((sz & 1) == 1) bb.put(0.toByte)
+    }
+    def list(lt: String)(body: => Unit): Unit =
+      chunk("LIST") { fcc(lt); body }
+    fcc("RIFF"); val riffSizeAt = bb.position(); bb.putInt(0); fcc("AVI ")
+    list("hdrl") {
+      chunk("avih") {
+        bb.putInt(40000); bb.putInt(0); bb.putInt(0)
+        bb.putInt(0); bb.putInt(nf); bb.putInt(0); bb.putInt(1)
+        bb.putInt(0); bb.putInt(w); bb.putInt(h)
+        (0 until 4).foreach(_ => bb.putInt(0))
+      }
+      list("strl") {
+        chunk("strh") {
+          fcc("vids"); fcc("mpg1")
+          bb.putInt(0); bb.putInt(0); bb.putInt(0)
+          bb.putInt(1); bb.putInt(25)
+          bb.putInt(0); bb.putInt(nf)
+          bb.putInt(0); bb.putInt(0); bb.putInt(0)
+          bb.putShort(0); bb.putShort(0)
+          bb.putShort(w.toShort); bb.putShort(h.toShort)
+        }
+        chunk("strf") {
+          bb.putInt(40); bb.putInt(w); bb.putInt(h)
+          bb.putShort(1); bb.putShort(24)
+          fcc("mpg1")
+          bb.putInt(0)
+          bb.putInt(0); bb.putInt(0); bb.putInt(0); bb.putInt(0)
+        }
+      }
+    }
+    list("movi") {
+      frames.foreach(fr => chunk("00dc") { bb.put(fr) })
+    }
+    bb.putInt(riffSizeAt, bb.position() - riffSizeAt - 4)
+    java.util.Arrays.copyOf(bb.array(), bb.position())
+  }
+
   /** Deterministic uncompressed-RGB AVI ('DIB ' handler, BI_RGB 24-bit
     * BITMAPINFOHEADER, raw bottom-up BGR '00db' chunks with 4-byte row
     * padding) — the rawvideo twin of [[syntheticAvi]], for pinning the
@@ -1718,7 +1783,7 @@ object Multimodal {
     * bumping it here — REQUIRED whenever syntheticPng/Wav/Mp4 or
     * [[syntheticMedia]]'s row shape changes — invalidates every staged
     * copy at the same commit that changes the bytes. */
-  val mediaGeneration = 8
+  val mediaGeneration = 9
 
   /** Synthesize a media table from the documents table: image rows get
     * REAL PNG payloads, audio rows REAL WAV payloads, and video rows
@@ -1735,6 +1800,7 @@ object Multimodal {
     val yuy2Udf = udf((id: Long) => syntheticYuvAvi(id, "YUY2"))
     val i420Udf = udf((id: Long) => syntheticYuvAvi(id, "I420"))
     val uyvyUdf = udf((id: Long) => syntheticYuvAvi(id, "UYVY"))
+    val mpg1Udf = udf((id: Long) => syntheticMpeg1Avi(id))
     val kind = element_at(array(lit("image"), lit("audio"), lit("video")),
       (col("doc_id") % 3 + 1).cast("int"))
     docs.select(
@@ -1747,16 +1813,19 @@ object Multimodal {
         // decode via the sample tables), MJPEG-AVI and rawvideo-AVI
         // (frame decode via RIFF chunks), plus three uncompressed-YUV
         // fourccs (YUY2/I420/UYVY) that only decode through the
-        // [[RawVideoDecoder]] seam — so classification, built-in
-        // decode, AND seam dispatch all run distributed in the graded
-        // media queries. Video ids are ≡ 2 (mod 3), so mod-24 splits
-        // them by the residues {2, 5, 8, 11, 14, 17, 20, 23}
+        // [[RawVideoDecoder]] seam AND an all-intra MPEG-1 stream
+        // ([[Mpeg1.Decoder]] — real DCT entropy decode) — so
+        // classification, built-in decode, and both seam decoders all
+        // run distributed in the graded media queries. Video ids are
+        // ≡ 2 (mod 3), so mod-24 splits them by the residues
+        // {2, 5, 8, 11, 14, 17, 20, 23}
         .when(pmod(col("doc_id"), lit(24)) === 2, mp4Udf(col("doc_id")))
         .when(pmod(col("doc_id"), lit(24)) === 8, movUdf(col("doc_id")))
         .when(pmod(col("doc_id"), lit(24)) === 5, dibUdf(col("doc_id")))
         .when(pmod(col("doc_id"), lit(24)) === 14, yuy2Udf(col("doc_id")))
         .when(pmod(col("doc_id"), lit(24)) === 20, i420Udf(col("doc_id")))
         .when(pmod(col("doc_id"), lit(24)) === 17, uyvyUdf(col("doc_id")))
+        .when(pmod(col("doc_id"), lit(24)) === 23, mpg1Udf(col("doc_id")))
         .otherwise(aviUdf(col("doc_id"))).as("content"),
       length(col("text")).cast("int").as("meta_width"),
       (col("n_chars") % 1080).cast("int").as("meta_height"))

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.Multimodal
+import graft.operators.{Mpeg1, Multimodal}
 
 /** Real multimodal paths on the bare JDK: javax.imageio decodes actual
   * rasters, javax.sound.sampled decodes actual WAV/PCM samples, and
@@ -212,26 +212,29 @@ class MultimodalSpec extends AnyFunSuite {
     // plain-BMFF rows (doc_id % 24 == 2) read the mvhd timescale in
     // slot 1, MOV Motion-JPEG rows (% 24 == 8) the 16 px JPEG frame
     // width (frame-grade probe outranks the container probe),
-    // rawvideo rows (% 24 == 5) the 10 px DIB frame width, MJPEG-AVI
-    // and seam-decoded YUV rows the 16 px frame width — never a
-    // histogram fraction <= 1 (the stub) when the RawVideoDecoder is
-    // registered
+    // rawvideo rows (% 24 == 5) the 10 px DIB frame width,
+    // seam-decoded MPEG-1 rows (% 24 == 23) their 32 px stream width,
+    // MJPEG-AVI and seam-decoded YUV rows the 16 px frame width —
+    // never a histogram fraction <= 1 (the stub) with both seam
+    // decoders registered
     val media = Multimodal.syntheticMedia(spark, "/root/testdata/sf0.001")
     val vid = Multimodal.extractFeatures(media,
-        decoders = Seq(Multimodal.RawVideoDecoder))
+        decoders = Seq(Multimodal.RawVideoDecoder, Mpeg1.Decoder))
       .filter(col("kind") === "video").collect()
     assert(vid.nonEmpty)
     assert(vid.forall { r =>
       val slot1 = r.getSeq[Float](3)(1)
       if (r.getLong(0) % 24 == 2) slot1 == 1000f
       else if (r.getLong(0) % 24 == 5) slot1 == 10f
+      else if (r.getLong(0) % 24 == 23) slot1 == 32f
       else slot1 == 16f
     })
-    // bare JDK (no decoders): the YUV rows honestly fall to the stub
-    // (first slot a histogram fraction <= 1), everything else as above
+    // bare JDK (no decoders): the seam-only rows honestly fall to the
+    // stub (first slot a histogram fraction <= 1), everything else as
+    // above
     val bare = Multimodal.extractFeatures(media)
       .filter(col("kind") === "video").collect()
-    assert(bare.filter(r => Set(14L, 17L, 20L)(r.getLong(0) % 24))
+    assert(bare.filter(r => Set(14L, 17L, 20L, 23L)(r.getLong(0) % 24))
       .forall(_.getSeq[Float](3).head <= 1f))
   }
 
