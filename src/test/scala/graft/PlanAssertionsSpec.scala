@@ -203,6 +203,21 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"vector/code column in an Exchange:\n${exchanges.mkString("\n")}")
   }
 
+  test("q_multimodal_frame_dedup: the pairing plan never carries " +
+      "pixels — only the staged 16-byte (frame_id, phash) rows band, " +
+      "shuffle and verify; the Hamming check is codegen bit_count") {
+    val p = plan("q_multimodal_frame_dedup")
+    assert(!p.contains("content"),
+      s"frame content bytes in the pairing plan:\n$p")
+    assert(p.contains("bit_count"), "Hamming verify must be bit_count")
+    // the banding exchange carries only the slim band keys/ids — a
+    // phash column in an Exchange is fine (8 bytes), raster/binary
+    // columns are not (there are none in the staged input by design,
+    // so this pins the INPUT shape too)
+    assert(p.contains("Exchange hashpartitioning"),
+      "banding must be an equi-shuffle on band keys")
+  }
+
   test("q_sim_hier_append_audit: appended-batch filter pushes to the " +
       "index scan; the one-row log broadcasts; no shuffle anywhere") {
     val p = plan("q_sim_hier_append_audit")
