@@ -115,6 +115,51 @@ class AnnStoreProtocolSpec extends AnyFunSuite {
       .count() > 0)
   }
 
+  test("a reader RACING the segmented log never fails and never sees " +
+      "a torn count: seals (active→segment rename) and publishes " +
+      "(version swap) stay invisible — counts only ever grow") {
+    val p = tmp("protoSegRace")
+    // prime one row so the reader always has a log to read
+    Similarity.appendLogRowSeg(spark, p, 0L, 0.1, 0.1, 2.0, 3)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val reads = new java.util.concurrent.atomic.AtomicInteger(0)
+    val appended = new java.util.concurrent.atomic.AtomicInteger(1)
+    val reader = new Thread(() => {
+      var lastCount = 0L
+      while (!stop.get()) {
+        try {
+          val n = Similarity.readAppendLog(spark, p).count()
+          val hi = appended.get() // read AFTER the count: the log may
+          // have grown between our snapshot and this bound, never shrunk
+          if (n < lastCount)
+            failures.add(s"count shrank: $lastCount -> $n")
+          if (n > hi) failures.add(s"count $n above appended $hi")
+          lastCount = n
+          reads.incrementAndGet()
+          ()
+        } catch { case e: Exception =>
+          failures.add(s"reader failed: ${e.getMessage}")
+        }
+      }
+    }, "seg-log-racing-reader")
+    reader.start()
+    // 59 more appends at cap 3 → ~20 seal renames race the reader
+    (1 to 59).foreach { i =>
+      Similarity.appendLogRowSeg(spark, p, i.toLong, 0.1, 0.1, 2.0, 3)
+      appended.incrementAndGet()
+      ()
+    }
+    stop.set(true)
+    reader.join(30000)
+    assert(failures.isEmpty, s"racing reader: ${failures.toArray.toSeq}")
+    assert(reads.get() > 0, "the reader must actually have raced")
+    assert(Similarity.readAppendLog(spark, p).count() == 60)
+    val files = sidecarFiles(s"$p/appends")
+    assert(files.count(_.startsWith("seg-")) == 20 &&
+      files.count(_.startsWith("v")) == 0, files.toSeq)
+  }
+
   test("legacy (pre-protocol) sidecars keep reading: a hand-written " +
       "unversioned meta dir resolves through the whole-dir fallback, " +
       "and the first append upgrades it to a versioned file") {
