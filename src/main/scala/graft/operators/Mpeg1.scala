@@ -614,6 +614,10 @@ object Mpeg1 {
   private[graft] def encodeIFrame(w: Int, h: Int, yP: Array[Int],
       cbP: Array[Int], crP: Array[Int], qscale: Int = 8): Array[Byte] = {
     require(w % 16 == 0 && h % 16 == 0, "dims must be multiples of 16")
+    // slice start codes are 0x01 + row and may not pass 0xAF — a
+    // taller image would silently emit reserved/sequence codes as
+    // 'slices' (175 macroblock rows = 2800 px, plenty for fixtures)
+    require(h <= 2800, "encodeIFrame supports heights up to 2800")
     require(qscale >= 1 && qscale <= 31, "qscale in 1..31")
     val out = new java.io.ByteArrayOutputStream()
     def startCode(c: Int): Unit = {

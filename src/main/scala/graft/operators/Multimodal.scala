@@ -767,9 +767,12 @@ object Multimodal {
   private[graft] def decodeAviDibFrames(content: Array[Byte])
       : Option[(Int, Int, IndexedSeq[Array[Byte]])] =
     aviStreamFormat(content).flatMap { case (handler, w, h0, bpp, comp) =>
+      // accepted handlers: 'DIB '/'RGB ', the all-zeroes id (escaped
+      // NULs - keeps this file text to grep), and the space-padded id
+      // some muxers write for uncompressed streams
       val raw = comp == 0L && bpp == 24 &&
         (handler == "DIB " || handler == "\u0000\u0000\u0000\u0000" ||
-          handler == "RGB ")
+          handler == "    " || handler == "RGB ")
       val h = math.abs(h0)
       if (!raw || w <= 0 || h == 0) None
       else {

@@ -650,21 +650,33 @@ object Similarity {
     while (true) {
       try return body
       catch {
-        case e: Throwable if attempt < 4 && {
-            def vanished(t: Throwable): Boolean = t != null &&
-              (t.isInstanceOf[java.io.FileNotFoundException] ||
-                (t.isInstanceOf[org.apache.spark.sql.AnalysisException] &&
-                  { val m = String.valueOf(t.getMessage)
-                    m.contains("PATH_NOT_FOUND") ||
-                      m.contains("UNABLE_TO_INFER_SCHEMA") }) ||
-                vanished(t.getCause))
-            vanished(e)
-          } =>
+        case e: Throwable if attempt < 4 && vanishedFileFace(e) =>
           attempt += 1
           Thread.sleep(50L * attempt)
       }
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** THE vanished-file predicate, in ONE place — shared by
+    * [[retryOnVanishedSidecar]] and the streaming restart supervisor
+    * ([[graft.streaming.Streams]]), so a newly-discovered face of the
+    * sweep/compaction race gets added once and both classifiers
+    * agree. The faces (found by racing drills, not guessed): a task
+    * reading a swept file (FileNotFoundException, which Spark 4 wraps
+    * as FAILED_READ_FILE), a load-time footer read of one
+    * (PATH_NOT_FOUND), and a dir observed mid-swap
+    * (UNABLE_TO_INFER_SCHEMA). Cause walk is depth-bounded (exception
+    * causes can cycle). */
+  private[graft] def vanishedFileFace(t: Throwable,
+      depth: Int = 0): Boolean = t != null && depth < 16 && {
+    t.isInstanceOf[java.io.FileNotFoundException] || {
+      val m = String.valueOf(t.getMessage)
+      m.contains("PATH_NOT_FOUND") ||
+        m.contains("UNABLE_TO_INFER_SCHEMA") ||
+        m.contains("FAILED_READ_FILE") ||
+        m.contains("FileNotFoundException")
+    } || vanishedFileFace(t.getCause, depth + 1)
   }
 
   /** Publish `df` as the sidecar dir's next version ATOMICALLY: write
@@ -675,8 +687,16 @@ object Similarity {
     * either the old max or the new one — never zero, never a torn
     * file; a crash leaves at most a stray tmp dir or a superseded
     * version the next publish sweeps. */
+  /** `minVersion`: a floor for the published version number. The
+    * segmented appends log needs it because a seal renames the ONLY
+    * version file away — without the floor the next publish would
+    * restart at v1, and version-name REUSE breaks the protocol's core
+    * immutability guarantee (a resolved version path must either read
+    * the exact rows it named or vanish into the retry — never
+    * silently resolve to a different generation's rows). */
   private def writeSidecarAtomic(spark: SparkSession, dir: String,
-      df: DataFrame, preserve: String => Boolean = _ => false): Unit = {
+      df: DataFrame, preserve: String => Boolean = _ => false,
+      minVersion: Long = 0L): Unit = {
     val fs = hadoopFs(spark, dir)
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     // sweep stray tmp dirs a CRASHED publish left beside the sidecar
@@ -689,7 +709,9 @@ object Similarity {
             fs.delete(st.getPath, true)
         }
     }
-    val next = latestSidecarFile(fs, dirPath).map(_._2).getOrElse(0L) + 1
+    val next = math.max(
+      latestSidecarFile(fs, dirPath).map(_._2).getOrElse(0L) + 1,
+      minVersion)
     val tmp = s"$dir.tmp-${java.util.UUID.randomUUID}"
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
     val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
@@ -896,6 +918,7 @@ object Similarity {
     val dir = s"$path/appends"
     val fs = hadoopFs(spark, dir)
     val dirPath = new org.apache.hadoop.fs.Path(dir)
+    recoverPendingMerge(fs, dirPath) // finish a crashed merge first
     // the ACTIVE segment only: the max version file when present, else
     // any legacy pre-protocol files (excluding sealed segments — a
     // sealed store whose last append just rolled has segments but no
@@ -920,18 +943,25 @@ object Similarity {
           }
       }
     val full = activeDf.map(_.union(row)).getOrElse(row)
-    writeSidecarAtomic(spark, dir, full, preserve = isLogSegment)
+    // version floor: segment NAMES are the version numbers they were
+    // sealed from, so max(segments)+1 keeps the counter monotonic
+    // across seals (a seal removes the only v-file; without the floor
+    // the next publish would REUSE v1 — and a racing reader that
+    // resolved the old generation's v1 could silently read the new
+    // generation's rows under the same name)
+    val floor = sealedSegments(fs, dirPath)
+      .lastOption.map(_._2).getOrElse(0L) + 1
+    writeSidecarAtomic(spark, dir, full, preserve = isLogSegment,
+      minVersion = floor)
     if (activeCount + 1 >= segmentRows) {
-      // SEAL: the just-published version becomes an immutable segment.
-      // Atomic rename — the rows move, they are never in two files; a
-      // reader that resolved the version pre-rename retries into the
-      // no-active state, where the sealed segments alone ARE the
-      // complete log.
-      latestSidecarFile(fs, dirPath).foreach { case (live, _) =>
-        val next = sealedSegments(fs, dirPath)
-          .lastOption.map(_._2).getOrElse(0L) + 1
+      // SEAL: the just-published version becomes an immutable segment
+      // NAMED BY ITS VERSION NUMBER. Atomic rename — the rows move,
+      // they are never in two files; a reader that resolved the
+      // version pre-rename retries into the no-active state, where
+      // the sealed segments alone ARE the complete log.
+      latestSidecarFile(fs, dirPath).foreach { case (live, ver) =>
         require(fs.rename(live,
-          new org.apache.hadoop.fs.Path(dirPath, f"seg-$next%012d.parquet")),
+          new org.apache.hadoop.fs.Path(dirPath, f"seg-$ver%012d.parquet")),
           s"appends-log seal: rename of $live failed")
       }
     }
@@ -947,12 +977,22 @@ object Similarity {
     * rows twice — the same torn-by-design caveat every compaction
     * window already carries (data-tree rewrites refuse loudly there;
     * the audit log degrades to a transient double-count instead).
-    * Callers hold the writer lock. */
+    *
+    * Crash fence: a `.merge.pending` marker (absorbed max segment,
+    * target version) brackets the publish, so a crash between the
+    * version rename and the segment sweep does NOT bake a permanent
+    * double count — [[recoverPendingMerge]] (run by every log
+    * mutator) and [[readAppendLog]] (read-only exclusion) both treat
+    * segments ≤ the marker's bound as dead once the marked version
+    * exists. A crash BEFORE the rename leaves the marked version
+    * absent, so the same rule keeps the segments live and merely
+    * drops the stale marker. Callers hold the writer lock. */
   private[graft] def compactAppendLog(spark: SparkSession,
       path: String): Unit = {
     val dir = s"$path/appends"
     val fs = hadoopFs(spark, dir)
     val dirPath = new org.apache.hadoop.fs.Path(dir)
+    recoverPendingMerge(fs, dirPath)
     val segs = sealedSegments(fs, dirPath)
     if (segs.isEmpty) return
     val files = segs.map(_._1.toString) ++
@@ -963,10 +1003,68 @@ object Similarity {
     // publish's own sweep (no preserve) deletes the superseded
     // segments right after the rename
     val rows = full.collect()
+    // same monotonic-version floor as the append path: the merged
+    // active must outnumber every version a segment was sealed from
+    val targetVer = math.max(
+      latestSidecarFile(fs, dirPath).map(_._2).getOrElse(0L) + 1,
+      segs.last._2 + 1)
+    writeMergeMarker(fs, dirPath, segs.last._2, targetVer)
     writeSidecarAtomic(spark, dir,
       spark.createDataFrame(java.util.Arrays.asList(rows: _*),
-        full.schema))
+        full.schema), minVersion = targetVer)
+    fs.delete(mergeMarkerPath(dirPath), false)
+    ()
   }
+
+  private def mergeMarkerPath(dirPath: org.apache.hadoop.fs.Path)
+      : org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(dirPath, ".merge.pending")
+
+  private[graft] def writeMergeMarker(fs: org.apache.hadoop.fs.FileSystem,
+      dirPath: org.apache.hadoop.fs.Path, absorbedMaxSeg: Long,
+      targetVersion: Long): Unit = {
+    val out = fs.create(mergeMarkerPath(dirPath), true)
+    try out.write(s"$absorbedMaxSeg $targetVersion".getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The crashed-merge marker, parsed: (absorbed max segment number,
+    * target version). None when absent or unreadable. */
+  private def readMergeMarker(fs: org.apache.hadoop.fs.FileSystem,
+      dirPath: org.apache.hadoop.fs.Path): Option[(Long, Long)] =
+    try {
+      val p = mergeMarkerPath(dirPath)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try {
+          val bytes = new Array[Byte](128)
+          val n = in.read(bytes)
+          val parts = new String(bytes, 0, math.max(n, 0),
+            java.nio.charset.StandardCharsets.UTF_8).trim.split(" ")
+          if (parts.length == 2) Some((parts(0).toLong, parts(1).toLong))
+          else None
+        } finally in.close()
+      }
+    } catch { case _: Exception => None }
+
+  /** Finish (or void) a crashed [[compactAppendLog]]: if the marker's
+    * target version was published, the absorbed segments are dead —
+    * delete them; either way drop the marker. Mutates — callers hold
+    * the writer lock. */
+  private def recoverPendingMerge(fs: org.apache.hadoop.fs.FileSystem,
+      dirPath: org.apache.hadoop.fs.Path): Unit =
+    readMergeMarker(fs, dirPath).foreach { case (bound, ver) =>
+      val published =
+        latestSidecarFile(fs, dirPath).exists(_._2 >= ver)
+      if (published)
+        sealedSegments(fs, dirPath)
+          .filter(_._2 <= bound)
+          .foreach { case (p, _) => fs.delete(p, false) }
+      fs.delete(mergeMarkerPath(dirPath), false)
+      ()
+    }
 
   /** A REBUILD invalidates append history: every writer clears the
     * `appends` sidecar up front, so [[readAppendLog]] never mixes a
@@ -1656,14 +1754,85 @@ object Similarity {
     val fs = hadoopFs(spark, dir)
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     retryOnVanishedSidecar {
-      val segs = sealedSegments(fs, dirPath).map(_._1.toString)
-      val active = latestSidecarFile(fs, dirPath).map(_._1.toString)
-      val files = segs ++ active
-      if (files.isEmpty) spark.read.parquet(dir) // legacy layout
+      // ONE listStatus snapshot for BOTH the segments and the active
+      // version: two separate listings would let a seal rename land
+      // between them — the first missing the new segment, the second
+      // missing the renamed-away active — silently dropping up to a
+      // segment of rows with no exception for the retry to catch
+      def snapshot(): Seq[org.apache.hadoop.fs.FileStatus] =
+        (if (fs.exists(dirPath)) fs.listStatus(dirPath).toSeq else Nil)
+          .filter(_.isFile)
+      var files = snapshot()
+      // rename(2) is atomic, but a readdir RACING it can see the moved
+      // entry zero times (the directory-iteration anomaly — found by
+      // the racing-reader spec, not guessed): a listing with files but
+      // NO version file is exactly that suspicious state (legitimate
+      // only immediately after a seal), so re-list until two
+      // consecutive snapshots agree before trusting it
+      if (files.nonEmpty &&
+          !files.exists(st => SidecarVersionRe.findFirstIn(
+            st.getPath.getName).isDefined)) {
+        var prev = files.map(_.getPath.getName).toSet
+        var stable = false
+        var tries = 0
+        while (!stable && tries < 8) {
+          Thread.sleep(5)
+          val again = snapshot()
+          val names = again.map(_.getPath.getName).toSet
+          if (names == prev) stable = true
+          else { prev = names; files = again }
+          tries += 1
+        }
+      }
+      val marker = readMergeMarker(fs, dirPath)
+      val verOf: String => Option[Long] = {
+        case SidecarVersionRe(n) => Some(n.toLong)
+        case _ => None
+      }
+      val activeVer = files
+        .flatMap(st => verOf(st.getPath.getName)).sorted.lastOption
+      // a crashed merge's absorbed segments are DEAD once the marked
+      // version exists — exclude them (read-only recovery; the next
+      // mutator deletes them via recoverPendingMerge)
+      val deadBound = marker match {
+        case Some((bound, ver)) if activeVer.exists(_ >= ver) => bound
+        case _ => -1L
+      }
+      val segs = files.flatMap(st => st.getPath.getName match {
+          case AppendLogSegmentRe(n) if n.toLong > deadBound =>
+            Some((n.toLong, st.getPath.toString))
+          case _ => None
+        }).sortBy(_._1).map(_._2)
+      val active = for {
+        v <- activeVer
+        st <- files.find(st => verOf(st.getPath.getName).contains(v))
+      } yield st.getPath.toString
+      val all = segs ++ active
+      if (all.isEmpty) spark.read.parquet(dir) // legacy layout
       else {
-        val df = spark.read.parquet(files: _*)
-        spark.createDataFrame(
-          java.util.Arrays.asList(df.collect(): _*), df.schema)
+        // silent-vanish guard: every listed file must contribute at
+        // least one row (each seal and each publish writes >= 1).
+        // The racing-reader spec caught a file swept mid-read
+        // surfacing as SILENTLY EMPTY rather than as a FileNotFound
+        // face on the local filesystem — promote that to the
+        // retryable face so the retry re-lists instead of returning
+        // a short log
+        val df = spark.read.parquet(all: _*)
+          .withColumn("__file", input_file_name())
+        val rows = df.collect()
+        val contributed = rows.map(r =>
+          r.getString(r.length - 1).split('/').last).toSet
+        val missing = all.map(_.split('/').last)
+          .filterNot(contributed.contains)
+        if (missing.nonEmpty)
+          throw new java.io.FileNotFoundException(
+            s"append-log file(s) ${missing.mkString(",")} vanished " +
+              "mid-read (silent-empty face)")
+        val schema = org.apache.spark.sql.types.StructType(
+          df.schema.fields.dropRight(1))
+        spark.createDataFrame(java.util.Arrays.asList(
+          rows.map(r => org.apache.spark.sql.Row.fromSeq(
+            r.toSeq.dropRight(1))): _*), schema)
       }
     }
   }
@@ -2410,8 +2579,12 @@ object Similarity {
     // path's analog of readCoarseQuantizer's full-grid validation: a
     // torn or partially-copied quantizer sidecar would otherwise
     // silently DROP candidate cells here (wrong top-k, no exception)
-    // where the kernel path refuses loudly. Cheap: the count scan
-    // reads only the c1 column of the |opened| row groups.
+    // where the kernel path refuses loudly. Deliberately a SECOND
+    // (tiny) scan rather than a materialization of the pruned `sub`
+    // below: counting prunes to the c1 column alone (a few KB of the
+    // |opened| row groups), while checkpointing `sub` would pin
+    // |opened|·k2·d centroid doubles in the block manager — the exact
+    // residency this lazy path exists to avoid.
     val perC1 = spark.read.parquet(s"$path/quantizer")
       .filter(col("c1").isin(opened.toSeq: _*))
       .groupBy("c1").count().collect()

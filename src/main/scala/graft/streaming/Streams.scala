@@ -271,23 +271,14 @@ object Streams {
         (col("__p") + 1).cast("int").as("rank"))
   }
 
-  /** A vanished-file failure — the compaction file-rewrite crash's
-    * faces: a task reading a swept/rewritten file
-    * (FileNotFoundException, wrapped as FAILED_READ_FILE in Spark 4),
-    * a load-time footer read of one (PATH_NOT_FOUND), or a dir
-    * observed mid-swap (UNABLE_TO_INFER_SCHEMA) — the same three
-    * faces the sidecar retry covers, here matched through a
-    * streaming-query failure's cause chain (depth-bounded: exception
-    * causes can cycle). */
-  private[graft] def isVanishedFileFailure(t: Throwable,
-      depth: Int = 0): Boolean = t != null && depth < 16 && {
-    t.isInstanceOf[java.io.FileNotFoundException] || {
-      val m = String.valueOf(t.getMessage)
-      m.contains("FAILED_READ_FILE") || m.contains("PATH_NOT_FOUND") ||
-        m.contains("FileNotFoundException") ||
-        m.contains("UNABLE_TO_INFER_SCHEMA")
-    } || isVanishedFileFailure(t.getCause, depth + 1)
-  }
+  /** A vanished-file failure — the compaction file-rewrite crash, as
+    * seen through a streaming-query failure's cause chain. ONE
+    * definition, shared with the sidecar retry
+    * ([[graft.operators.Similarity.vanishedFileFace]]): a race face
+    * discovered by either surface's drills is classified identically
+    * by both. */
+  private[graft] def isVanishedFileFailure(t: Throwable): Boolean =
+    graft.operators.Similarity.vanishedFileFace(t)
 
   /** A streaming query under restart supervision — what
     * [[annTopKStreamSupervised]] returns. `active` is the live query
@@ -299,8 +290,10 @@ object Streams {
   final class SupervisedQuery private[streaming] (
       build: () => DataFrame,
       start: DataFrame => org.apache.spark.sql.streaming.StreamingQuery,
-      maxRestarts: Int) {
+      maxRestarts: Int, budgetResetMs: Long) {
     @volatile private var restartCount = 0
+    @volatile private var consecutive = 0
+    @volatile private var lastCrashNanos = 0L
     @volatile private var terminal: Option[Throwable] = None
     @volatile private var stopping = false
     @volatile private var live = start(build())
@@ -309,18 +302,41 @@ object Streams {
       while (!done) {
         try { live.awaitTermination(); done = true } // clean stop
         catch {
-          case e: Throwable if !stopping && restartCount < maxRestarts &&
-              isVanishedFileFailure(e) =>
-            // the store was compacted under the pinned file listing:
-            // REBUILDING the stream re-lists the (now-compacted) tree,
-            // and the checkpoint resumes offsets — no operator action
-            restartCount += 1
-            try live = start(build())
-            catch { case e2: Throwable =>
-              terminal = Some(e2); done = true }
           case e: Throwable =>
-            if (!stopping) terminal = Some(e)
-            done = true
+            // the restart budget counts CONSECUTIVE failures, not
+            // lifetime ones: a stream that ran stably past
+            // budgetResetMs since its last crash has proven each
+            // earlier restart genuinely recovered, so a later routine
+            // compaction gets a fresh budget — only a crash LOOP
+            // (a genuinely broken store re-crashing immediately)
+            // exhausts it
+            val now = System.nanoTime()
+            if (now - lastCrashNanos > budgetResetMs * 1000000L)
+              consecutive = 0
+            lastCrashNanos = now
+            consecutive += 1
+            if (!stopping && isVanishedFileFailure(e) &&
+                consecutive <= maxRestarts) {
+              // the store was compacted under the pinned file
+              // listing: REBUILDING the stream re-lists the
+              // (now-compacted) tree, and the checkpoint resumes
+              // offsets — no operator action
+              restartCount += 1
+              try {
+                live = start(build())
+                // a stop() that raced the rebuild stopped the OLD
+                // query; honor it on the new one instead of leaking
+                // a running stream past stop()'s return
+                if (stopping) {
+                  try live.stop() catch { case _: Exception => () }
+                  done = true
+                }
+              } catch { case e2: Throwable =>
+                terminal = Some(e2); done = true }
+            } else {
+              if (!stopping) terminal = Some(e)
+              done = true
+            }
         }
       }
     }, "ann-probe-stream-supervisor")
@@ -333,6 +349,9 @@ object Streams {
       stopping = true
       try live.stop() catch { case _: Exception => () }
       thread.join(30000)
+      // belt-and-braces for the stop-races-restart window: `live` may
+      // have been swapped while we stopped the old query
+      try live.stop() catch { case _: Exception => () }
     }
   }
 
@@ -344,9 +363,12 @@ object Streams {
     * The supervisor watches the query; when it dies with a
     * vanished-file failure it rebuilds the stream (the listing
     * re-pins on the compacted tree, and appends landed so far become
-    * visible as a side effect) and restarts it, up to `maxRestarts`.
-    * Any other failure — and a vanished-file failure past the budget,
-    * i.e. a genuinely broken store — surfaces in `failure`.
+    * visible as a side effect) and restarts it, up to `maxRestarts`
+    * CONSECUTIVE failures — the budget refills after the stream runs
+    * `budgetResetMs` past its last crash, so routine maintenance
+    * compactions over a long lifetime never exhaust it; only a crash
+    * LOOP does. Any other failure — and a crash loop past the
+    * budget, i.e. a genuinely broken store — surfaces in `failure`.
     *
     * `start` owns the sink/trigger/checkpoint wiring and MUST set a
     * `checkpointLocation` for exactly-once across restarts (the
@@ -361,12 +383,12 @@ object Streams {
       start: DataFrame => org.apache.spark.sql.streaming.StreamingQuery,
       nprobe: Int = 4, beam: Int = 2, idCol: String = "vec_id",
       vecCol: String = "embedding", delay: String = "10 minutes",
-      windowDur: String = "1 minute", maxRestarts: Int = 3)
-      : SupervisedQuery =
+      windowDur: String = "1 minute", maxRestarts: Int = 3,
+      budgetResetMs: Long = 10L * 60 * 1000): SupervisedQuery =
     new SupervisedQuery(
       () => annTopKStream(spark, path, vecs, k, nprobe, beam, idCol,
         vecCol, delay, windowDur),
-      start, maxRestarts)
+      start, maxRestarts, budgetResetMs)
 
   /** The per-batch-pruned streaming ANN form [[annTopKStream]]'s
     * Scaladoc promises — a `foreachBatch` body that runs the BATCH

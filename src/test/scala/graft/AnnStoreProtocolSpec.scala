@@ -115,6 +115,59 @@ class AnnStoreProtocolSpec extends AnyFunSuite {
       .count() > 0)
   }
 
+  test("a merge that crashes between its version publish and its " +
+      "segment sweep never bakes a double count: the marker makes " +
+      "readers exclude the absorbed segments and the next mutator " +
+      "deletes them") {
+    val p = tmp("protoMergeCrash")
+    (1 to 7).foreach(i => Similarity.appendLogRowSeg(spark, p,
+      i.toLong, 0.1, 0.1, 2.0, 2)) // 3 segs (2 rows each) + active (1)
+    val dir = new java.io.File(s"$p/appends")
+    val segBytes = dir.listFiles().filter(_.getName.startsWith("seg-"))
+      .map(f => f.getName ->
+        java.nio.file.Files.readAllBytes(f.toPath)).toMap
+    assert(segBytes.size == 3)
+    Similarity.compactAppendLog(spark, p)
+    assert(Similarity.readAppendLog(spark, p).count() == 7)
+    // simulate the crash window: resurrect the swept segments and the
+    // marker exactly as a JVM death between rename and sweep leaves
+    // them (the merged version is live, the old segments linger)
+    segBytes.foreach { case (n, b) =>
+      java.nio.file.Files.write(new java.io.File(dir, n).toPath, b); () }
+    val fs = new org.apache.hadoop.fs.Path(s"$p/appends")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ver = dir.listFiles().map(_.getName)
+      .collect { case n if n.startsWith("v") =>
+        n.stripPrefix("v").stripSuffix(".parquet").toLong }.max
+    val maxSeg = segBytes.keys
+      .map(_.stripPrefix("seg-").stripSuffix(".parquet").toLong).max
+    Similarity.writeMergeMarker(fs,
+      new org.apache.hadoop.fs.Path(s"$p/appends"), maxSeg, ver)
+    // whole-dir would now double-count; the reader must NOT
+    assert(spark.read.parquet(s"$p/appends").count() == 13,
+      "precondition: the crash window really does double rows on disk")
+    assert(Similarity.readAppendLog(spark, p).count() == 7,
+      "reader must exclude the marker's absorbed segments")
+    // the next mutation finishes the recovery: segments gone, marker
+    // gone, rows intact
+    Similarity.appendLogRowSeg(spark, p, 8L, 0.1, 0.1, 2.0, 2)
+    assert(dir.listFiles().count(_.getName.startsWith("seg-")) <= 1)
+    assert(!new java.io.File(dir, ".merge.pending").exists())
+    assert(Similarity.readAppendLog(spark, p).count() == 8)
+    // and a marker whose version was NEVER published (crash before
+    // the rename) keeps the segments live and just drops the marker
+    val p2 = tmp("protoMergeCrash2")
+    (1 to 5).foreach(i => Similarity.appendLogRowSeg(spark, p2,
+      i.toLong, 0.1, 0.1, 2.0, 2))
+    Similarity.writeMergeMarker(fs,
+      new org.apache.hadoop.fs.Path(s"$p2/appends"), 2L, 9999L)
+    assert(Similarity.readAppendLog(spark, p2).count() == 5,
+      "an unpublished merge must not kill live segments")
+    Similarity.appendLogRowSeg(spark, p2, 6L, 0.1, 0.1, 2.0, 2)
+    assert(Similarity.readAppendLog(spark, p2).count() == 6)
+    assert(!new java.io.File(s"$p2/appends/.merge.pending").exists())
+  }
+
   test("a reader RACING the segmented log never fails and never sees " +
       "a torn count: seals (active→segment rename) and publishes " +
       "(version swap) stay invisible — counts only ever grow") {
