@@ -706,7 +706,7 @@ object QueriesPipeline {
 
     // F17: JSON extraction from the events props column.
     "q_fn_json" -> Entry(
-      (s, dir) => t(s, dir, "events")
+      (s, dir) => Q.spread(t(s, dir, "events"))
         .select(col("event_id"),
           get_json_object(col("props"), "$.k").cast("int").as("k")),
       Some("""SELECT event_id, cast(props->>'$.k' as int) AS k
@@ -737,7 +737,7 @@ object QueriesPipeline {
     // F10: fuzzy multi-format date normalization round-trip.
     "q_fn_fuzzy_date" -> Entry(
       (s, dir) => {
-        val e = t(s, dir, "events")
+        val e = Q.spread(t(s, dir, "events"))
         val raw = when(col("user_id") % 3 === 0,
           date_format(col("ts"), "yyyy-MM-dd"))
           .when(col("user_id") % 3 === 1,
@@ -1119,7 +1119,7 @@ object QueriesPipeline {
     // shuffle (operators/Corpus.chunk).
     "q_corpus_chunk" -> Entry(
       (s, dir) => graft.operators.Corpus
-        .chunk(t(s, dir, "documents"), "doc_id", "text",
+        .chunk(Q.spread(t(s, dir, "documents")), "doc_id", "text",
           maxTokens = 64, overlap = 16),
       Some("""WITH words AS (
           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
@@ -2101,7 +2101,7 @@ object QueriesPipeline {
     "q_text_quality" -> Entry(
       (s, dir) => {
         val f = Text.quality_features(col("text"))
-        t(s, dir, "documents")
+        Q.spread(t(s, dir, "documents"))
           .select(col("doc_id"),
             f.getField("n_words").cast("long").as("n_words"),
             round(f.getField("mean_word_len"), 4).as("mean_word_len"),
@@ -2137,7 +2137,7 @@ object QueriesPipeline {
     // Heuristic language-ID: stopword-marker hit counts per language,
     // argmax with deterministic tie-break (hits, then lang code).
     "q_text_langid" -> Entry(
-      (s, dir) => t(s, dir, "documents")
+      (s, dir) => Q.spread(t(s, dir, "documents"))
         .select(col("doc_id"), Text.lang_id(col("text")).as("lang")),
       Some("""WITH words AS (
           SELECT doc_id,
@@ -2181,7 +2181,7 @@ object QueriesPipeline {
               lit("der hund und das ist"), lit("le vin est bon")))
           .otherwise(concat_ws("\n", head, lit("qwerty asdf")))
         graft.operators.Corpus.unitLangProfile(
-          t(s, dir, "documents").select(col("doc_id"), body.as("body")),
+          Q.spread(t(s, dir, "documents")).select(col("doc_id"), body.as("body")),
           "body", "doc_id")
       },
       Some("""WITH parts AS (
@@ -3854,7 +3854,7 @@ object QueriesPipeline {
     "q_quality_repetition" -> Entry(
       (s, dir) => {
         val f = Text.repetition_features(col("text"))
-        t(s, dir, "documents").select(col("doc_id"),
+        Q.spread(t(s, dir, "documents")).select(col("doc_id"),
           f.getField("n_words").as("n_words"),
           round(f.getField("dup_word_frac"), 4).as("dup_word_frac"),
           round(f.getField("top_bigram_frac"), 4).as("top_bigram_frac"))
@@ -3886,7 +3886,7 @@ object QueriesPipeline {
         val cols = Seq("top_2gram_char_frac", "top_3gram_char_frac",
           "top_4gram_char_frac") ++
           (5 to 10).map(k => s"dup_${k}gram_char_frac")
-        t(s, dir, "documents").select(
+        Q.spread(t(s, dir, "documents")).select(
           (col("doc_id") +: cols.map(c => f.getField(c).as(c))) :+
             Text.repetition_ngram_keep(f).as("keep"): _*)
       },
@@ -3901,7 +3901,7 @@ object QueriesPipeline {
     "q_quality_compress" -> Entry(
       (s, dir) => {
         val r = Text.compression_ratio(col("text"))
-        t(s, dir, "documents").select(col("doc_id"), r.as("c_ratio"),
+        Q.spread(t(s, dir, "documents")).select(col("doc_id"), r.as("c_ratio"),
           // the two-sided gate: repeated boilerplate compresses away,
           // high-entropy noise doesn't compress at all
           (r.between(0.10, 0.95)).as("keep"))
@@ -4030,7 +4030,7 @@ object QueriesPipeline {
       // rounded output alias, and a raw-double cut would let last-ulp
       // ln() drift or a past-4dp tie at the boundary pick different
       // row sets (the distinctiveTerms rounding rule, applied here)
-      (s, dir) => graft.operators.Corpus.bm25(t(s, dir, "documents"),
+      (s, dir) => graft.operators.Corpus.bm25(Q.spread(t(s, dir, "documents")),
           "doc_id", "text", Seq("table", "spark", "vector"))
         .select(col("doc_id"), col("dl").cast("long").as("dl"),
           round(col("score"), 4).as("score"))
@@ -4095,7 +4095,7 @@ object QueriesPipeline {
     // never a single-partition global sort.
     "q_ngram_topk" -> Entry(
       (s, dir) => {
-        t(s, dir, "documents")
+        Q.spread(t(s, dir, "documents"))
           .select(explode(bigramsOf(col("text"))).as("bigram"))
           .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("bigram").asc)
@@ -4120,7 +4120,7 @@ object QueriesPipeline {
     // exactness on a wide sketch.
     "q_ngram_topk_cms" -> Entry(
       (s, dir) => {
-        t(s, dir, "documents")
+        Q.spread(t(s, dir, "documents"))
           .select(explode(bigramsOf(col("text"))).as("bigram"))
           .agg(graft.plans.CmsAgg.cms_topk(25)(col("bigram")).as("top"))
           .select(explode(col("top")).as("e"))
@@ -4143,7 +4143,7 @@ object QueriesPipeline {
       (s, dir) => {
         val depth = 4
         val w = 1024
-        val grams = t(s, dir, "documents")
+        val grams = Q.spread(t(s, dir, "documents"))
           .select(explode(bigramsOf(col("text"))).as("bigram"))
         val top = grams.groupBy(col("bigram")).agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("bigram").asc).limit(25)
@@ -4463,7 +4463,7 @@ object QueriesPipeline {
           pmod(col("doc_id"), lit(256)).cast("string"),
           lit(".7 tel 555-01"), pmod(col("doc_id"), lit(100)).cast("string"))
         val p = Corpus.scrubPii(planted)
-        t(s, dir, "documents").select(col("doc_id"),
+        Q.spread(t(s, dir, "documents")).select(col("doc_id"),
           p.getField("n_emails").as("n_emails"),
           p.getField("n_ips").as("n_ips"),
           p.getField("n_phones").as("n_phones"),
@@ -4525,7 +4525,7 @@ object QueriesPipeline {
         // expression tree (codegen-method blowup); behind an alias,
         // CollapseProject keeps the non-cheap multi-referenced plant
         // in its own Project
-        t(s, dir, "documents").select(col("doc_id"), url.as("url"))
+        Q.spread(t(s, dir, "documents")).select(col("doc_id"), url.as("url"))
           .select(col("doc_id"),
             Url.normalize(col("url")).as("url_norm"),
             Url.host(col("url")).as("host"),
@@ -4701,7 +4701,7 @@ object QueriesPipeline {
           lit("<br/>tail &#39;q&#39;</div></body></html>"))
         // staged Project (q_url_normalize convention): the plant stays
         // behind an alias so the extractor chain references ONE column
-        t(s, dir, "documents").select(id, html.as("html"))
+        Q.spread(t(s, dir, "documents")).select(id, html.as("html"))
           .select(col("doc_id"),
             Text.html_to_text(col("html")).as("txt"))
           .select(col("doc_id"), col("txt"),
@@ -4789,7 +4789,7 @@ object QueriesPipeline {
             .otherwise(lit("plain ascii")))
         // staged Projects (q_url_normalize convention): plant and
         // normalized form each computed once behind an alias
-        t(s, dir, "documents").select(id, planted.as("t"))
+        Q.spread(t(s, dir, "documents")).select(id, planted.as("t"))
           .select(col("doc_id"), col("t"),
             unicode_normalize(col("t")).as("nfc"))
           .select(col("doc_id"), sha2(col("nfc"), 256).as("nfc_sha"),
@@ -4835,7 +4835,7 @@ object QueriesPipeline {
             .when(pmod(id, lit(7)) === 4, lit("ÃƒÂ©"))
             .when(pmod(id, lit(7)) === 5, lit("café"))
             .otherwise(lit("plain ascii")))
-        t(s, dir, "documents").select(id, planted.as("t"))
+        Q.spread(t(s, dir, "documents")).select(id, planted.as("t"))
           .select(id, col("t"), fix_mojibake(col("t")).as("fx"))
           .select(id, sha2(col("fx"), 256).as("fixed_sha"),
             length(col("fx")).cast("long").as("fixed_chars"),
@@ -4878,7 +4878,7 @@ object QueriesPipeline {
     "q_text_winnow_fps" -> Entry(
       (s, dir) => {
         import graft.plans.TextExpressions.winnow_fingerprints
-        t(s, dir, "documents").select(col("doc_id"),
+        Q.spread(t(s, dir, "documents")).select(col("doc_id"),
           winnow_fingerprints(col("text"), 8, 4).as("fp"))
           .select(col("doc_id"),
             size(col("fp")).cast("long").as("n_fps"),
@@ -4978,7 +4978,7 @@ object QueriesPipeline {
             concat(repeat(lit("中文漢字 "), 8), two))
           .otherwise(concat(repeat(lit("한국어 글 "), 8), two))
         val f = Text.scriptFractions(col("c"))
-        t(s, dir, "documents").select(id, planted.as("t"))
+        Q.spread(t(s, dir, "documents")).select(id, planted.as("t"))
           .select(id, script_counts(col("t")).as("c"))
           .select(id, f.as("f"))
           .select(id,
@@ -5077,10 +5077,17 @@ object QueriesPipeline {
           .when(pmod(id, lit(5)) === 3,
             concat(repeat(lit("привет мир "), 8), two))
           .otherwise(concat(col("text"), lit(" plain ascii")))
-        t(s, dir, "documents").select(id, planted.as("raw"))
+        // spread: mojibake+NFC+script kernels per row (Q.spread) — the
+        // one-row-group test scan otherwise runs the whole chain on a
+        // single task. The two kernel stages are pinned with
+        // StageBarrier.stage: the script-gate filter otherwise pushes
+        // below the respread exchange with the whole kernel chain
+        // substituted into its condition (§4.4 double evaluation).
+        import graft.plans.StageBarrier.stage
+        Q.spread(t(s, dir, "documents")).select(id, planted.as("raw"))
           .select(id,
-            unicode_normalize(fix_mojibake(col("raw"))).as("t"))
-          .select(id, col("t"), script_counts(col("t")).as("c"))
+            stage(unicode_normalize(fix_mojibake(col("raw")))).as("t"))
+          .select(id, col("t"), stage(script_counts(col("t"))).as("c"))
           .select(id, col("t"),
             Text.scriptFractions(col("c")).as("f"))
           .filter(col("f.dominant") === "latin")
@@ -5314,7 +5321,7 @@ object QueriesPipeline {
         val l3 = array_join(slice(w, 8, 5), " ")
         val body = concat_ws("\n", l1, l2, l1, l3, l2, l1)
         graft.operators.Corpus.dedupUnitsWithinDoc(
-          t(s, dir, "documents").select(col("doc_id"),
+          Q.spread(t(s, dir, "documents")).select(col("doc_id"),
             body.as("body")),
           "body", "doc_id")
       },
@@ -5352,7 +5359,7 @@ object QueriesPipeline {
     // deterministic on both engines.
     "q_corpus_boilerplate_topk" -> Entry(
       (s, dir) => {
-        val planted = t(s, dir, "documents").select(col("doc_id"),
+        val planted = Q.spread(t(s, dir, "documents")).select(col("doc_id"),
           when(pmod(col("doc_id"), lit(4)) === 0,
             concat(col("text"), lit(" " + substrFooter)))
             .otherwise(col("text")).as("text"))
@@ -5380,8 +5387,13 @@ object QueriesPipeline {
     // mixed-case entry pins the list-side lowercasing.
     "q_corpus_flagged_words" -> Entry(
       (s, dir) => graft.operators.Corpus.filterFlaggedWords(
-          t(s, dir, "documents")
-            .select(col("doc_id"), col("text"), col("lang")),
+          // text staged: the operator is one Filter over a tokenizer
+          // kernel, which would otherwise push below the respread
+          // exchange and run single-task on the test scan
+          Q.spread(t(s, dir, "documents"))
+            .select(col("doc_id"),
+              graft.plans.StageBarrier.stage(col("text")).as("text"),
+              col("lang")),
           "text", Seq("Vector", "hash", "stream"))
         .select(col("doc_id"), col("lang")),
       Some("""SELECT doc_id, lang FROM documents
@@ -5438,7 +5450,7 @@ object QueriesPipeline {
             when(pmod(id, lit(4)) === 0, lit(" here?"))
               .otherwise(lit(" here"))))
         Corpus.c4FilterLines(
-          t(s, dir, "documents").select(id, body.as("body")),
+          Q.spread(t(s, dir, "documents")).select(id, body.as("body")),
           "body", "doc_id", minWordsPerLine = 3, minKeptLines = 2)
       },
       Some("""WITH planted AS (
@@ -5491,7 +5503,7 @@ object QueriesPipeline {
           array_join(slice(w, 9, 6), " "),
           lit(" tail.</p><div>Please enable javascript to continue." +
             "</div></body></html>"))
-        val extracted = t(s, dir, "documents").select(id, html.as("html"))
+        val extracted = Q.spread(t(s, dir, "documents")).select(id, html.as("html"))
           .select(id, Text.html_to_text(col("html")).as("body"))
         val lined = Corpus.c4FilterLines(extracted, "body", "doc_id",
           minWordsPerLine = 3, minKeptLines = 1)
@@ -5638,7 +5650,7 @@ object QueriesPipeline {
           .otherwise(concat_ws("\n", lineA,
             concat(array_join(slice(w, 7, 6), " "), lit("..."))))
         val f = Text.gopher_features(col("body"))
-        t(s, dir, "documents").select(id, body.as("body"))
+        Q.spread(t(s, dir, "documents")).select(id, body.as("body"))
           .select(id, f.as("f"))
           .select(id,
             col("f.n_words").as("n_words"),
@@ -5831,7 +5843,7 @@ object QueriesPipeline {
           .otherwise(concat_ws("\n",
             concat(lit("x = "), w1), la, lb, lc))
         val f = Text.code_features(col("body"))
-        t(s, dir, "documents").select(id, body.as("body"))
+        Q.spread(t(s, dir, "documents")).select(id, body.as("body"))
           .select(id, f.as("f"))
           .select(id,
             col("f.brace_line_frac").as("brace_line_frac"),

@@ -227,7 +227,13 @@ object Corpus {
         !denied && !t.contains("{")
     })
     docs
-      .select(col(idCol), lines.as("__lines"), kept.as("__kept"))
+      // __kept is pinned with StageBarrier.stage: the minKeptLines
+      // filter otherwise pushes below any upstream exchange with the
+      // whole per-line kernel chain substituted into its condition
+      // (§4.4 double evaluation — found via the respread test scan,
+      // where the duplicate ran single-task)
+      .select(col(idCol), lines.as("__lines"),
+        graft.plans.StageBarrier.stage(kept).as("__kept"))
       .select(col(idCol),
         array_join(col("__kept"), "\n").as("clean_text"),
         size(col("__kept")).cast("long").as("n_kept"),
@@ -727,10 +733,33 @@ object Corpus {
     * winner groupBy, winners ARE the kept set, no window, no join). */
   private def keepFirstRebuild(units: DataFrame, idCol: String,
       textCol: String, delim: String): DataFrame = {
-    val kept = units.groupBy(col("u"))
-      .agg(min(struct(col(idCol), col("pos"))).as("__first"))
-      .select(col("__first")(idCol).as(idCol),
-        col("__first")("pos").as("pos"), col("u"))
+    // min_long_pair, not min(struct): a declarative Min over a struct
+    // buffer is ineligible for HashAggregateExec and drags the whole
+    // aggregation onto SortAggregate — a full sort of the exploded
+    // unit stream below AND above the exchange. The primitive
+    // object-hash form keeps partial aggregation and the winner rule
+    // identical (lexicographic (id, pos) min) with zero Sort
+    // operators and no per-row allocation. Integral ids only (every
+    // corpus id in this repo); other id types keep the generic form.
+    val idIsIntegral = units.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    val kept = (if (idIsIntegral)
+      units.groupBy(col("u"))
+        .agg(graft.plans.ArgExtremumAgg
+          .min_long_pair(col(idCol), col("pos")).as("__first"))
+        .select(col("__first")("id").cast(units.schema(idCol).dataType)
+          .as(idCol), col("__first")("pos").as("pos"), col("u"))
+    else
+      units.groupBy(col("u"))
+        .agg(graft.plans.ArgExtremumAgg
+          .obj_min(struct(col(idCol), col("pos"))).as("__first"))
+        .select(col("__first")(idCol).as(idCol),
+          col("__first")("pos").as("pos"), col("u")))
     rebuildDocs(kept, idCol, textCol, delim)
   }
 
@@ -966,14 +995,29 @@ object Corpus {
     * count ≥ 2 prune, skew-splittable rejoin; see [[dedupSubstrings]]
     * for the scale shape). */
   private def nonFirstOccurrences(anchors: DataFrame): DataFrame = {
+    // min_long_pair: same SortAggregate-avoidance as
+    // [[keepFirstRebuild]] (anchorsOf ids are the caller's idCol —
+    // integral everywhere in this repo; p is a posexplode int).
+    // Non-integral ids keep the generic struct-min form.
+    val docIsIntegral = anchors.schema("__doc").dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    val firstAgg =
+      if (docIsIntegral) graft.plans.ArgExtremumAgg
+        .min_long_pair(col("__doc"), col("p"))
+      else graft.plans.ArgExtremumAgg
+        .obj_min(struct(col("__doc").as("id"), col("p").as("pos")))
     val winners = anchors.groupBy(col("__gfp"))
-      .agg(min(struct(col("__doc"), col("p"))).as("__first"),
-        count(lit(1)).as("__c"))
+      .agg(firstAgg.as("__first"), count(lit(1)).as("__c"))
       .filter(col("__c") >= 2)
       .select(col("__gfp"), col("__first"))
     anchors.join(winners, Seq("__gfp"))
-      .filter(!(col("__doc") === col("__first")("__doc") &&
-        col("p") === col("__first")("p")))
+      .filter(!(col("__doc") === col("__first")("id") &&
+        col("p") === col("__first")("pos")))
       .select(col("__doc"), col("p"))
   }
 

@@ -611,8 +611,9 @@ class PlanAssertionsSpec extends AnyFunSuite {
   }
 
   test("the row-local curation trio (html strip, C4 lines, gopher) are " +
-      "map-only scans: zero Exchange, filters/features inside the scan " +
-      "stage") {
+      "map-only scans: no keyed Exchange, filters/features inside the " +
+      "scan stage (the only allowed Exchange is Q.spread's conditional " +
+      "RoundRobin respread — a no-op on a well-split scan at scale)") {
     for (q <- Seq("q_text_html_strip", "q_corpus_c4_lines",
         "q_quality_gopher", "q_pipeline_web",
         "q_quality_repetition_ngrams", "q_text_unicode_norm",
@@ -621,9 +622,19 @@ class PlanAssertionsSpec extends AnyFunSuite {
         "q_text_langid_units", "q_quality_code_detect",
         "q_text_winnow_fps")) {
       val p = plan(q)
-      assert(!p.contains("Exchange"), s"$q must not shuffle:\n$p")
+      assertOnlyRespreadExchange(p, q)
       assert(!p.contains("Generate"), s"$q must not explode:\n$p")
     }
+  }
+
+  /** The query may carry at most Q.spread's RoundRobin respread —
+    * never a keyed (hash/range) exchange. */
+  private def assertOnlyRespreadExchange(p: String, q: String): Unit = {
+    val total = "Exchange".r.findAllIn(p).length
+    val rr = "Exchange RoundRobinPartitioning".r.findAllIn(p).length
+    assert(total == rr,
+      s"$q must not shuffle beyond the conditional respread:\n$p")
+    assert(rr <= 1, s"$q respreads more than once:\n$p")
   }
 
   test("q_decontaminate_scrub: bench shingles and span lists ride " +
@@ -771,15 +782,16 @@ class PlanAssertionsSpec extends AnyFunSuite {
   }
 
   test("q_corpus_within_doc_dedup is a map-only scan (per-doc dedup " +
-      "is row-local — zero Exchange)") {
+      "is row-local — no keyed Exchange, only the conditional respread)") {
     val p = plan("q_corpus_within_doc_dedup")
-    assert(!p.contains("Exchange"), s"within-doc dedup shuffled:\n$p")
+    assertOnlyRespreadExchange(p, "q_corpus_within_doc_dedup")
   }
 
   test("q_corpus_flagged_words is a map-only scan (wordlist is a " +
-      "constant-folded literal — zero Exchange, zero join)") {
+      "constant-folded literal — no keyed Exchange, zero join; the " +
+      "kernel filter stays ABOVE the respread so it parallelizes)") {
     val p = plan("q_corpus_flagged_words")
-    assert(!p.contains("Exchange"), s"wordlist filter must not shuffle:\n$p")
+    assertOnlyRespreadExchange(p, "q_corpus_flagged_words")
     assert(!p.contains("Join"), s"wordlist filter must not join:\n$p")
   }
 
