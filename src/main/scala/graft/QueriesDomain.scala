@@ -256,7 +256,10 @@ object QueriesDomain {
           lit("High"), lit("Critical")), (col("event_id") % 5 + 1).cast("int"))
         e.select(col("user_id"), sev.as("sev"))
           .groupBy(col("user_id"))
-          .agg(max_by(col("sev"), Norm.severity_rank(col("sev")))
+          // obj_max_by: hash-path max_by (see q_agg_rpm_max; rank is
+          // injective on the five severity words)
+          .agg(graft.plans.ArgExtremumAgg
+            .obj_max_by(col("sev"), Norm.severity_rank(col("sev")))
             .as("max_severity"), count(lit(1)).as("n"))
       },
       Some("""SELECT user_id,

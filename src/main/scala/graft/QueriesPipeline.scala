@@ -706,7 +706,7 @@ object QueriesPipeline {
 
     // F17: JSON extraction from the events props column.
     "q_fn_json" -> Entry(
-      (s, dir) => Q.spread(t(s, dir, "events"))
+      (s, dir) => t(s, dir, "events")
         .select(col("event_id"),
           get_json_object(col("props"), "$.k").cast("int").as("k")),
       Some("""SELECT event_id, cast(props->>'$.k' as int) AS k
@@ -1119,7 +1119,7 @@ object QueriesPipeline {
     // shuffle (operators/Corpus.chunk).
     "q_corpus_chunk" -> Entry(
       (s, dir) => graft.operators.Corpus
-        .chunk(Q.spread(t(s, dir, "documents")), "doc_id", "text",
+        .chunk(t(s, dir, "documents"), "doc_id", "text",
           maxTokens = 64, overlap = 16),
       Some("""WITH words AS (
           SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
@@ -4095,7 +4095,7 @@ object QueriesPipeline {
     // never a single-partition global sort.
     "q_ngram_topk" -> Entry(
       (s, dir) => {
-        Q.spread(t(s, dir, "documents"))
+        t(s, dir, "documents")
           .select(explode(bigramsOf(col("text"))).as("bigram"))
           .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("bigram").asc)
@@ -4789,7 +4789,7 @@ object QueriesPipeline {
             .otherwise(lit("plain ascii")))
         // staged Projects (q_url_normalize convention): plant and
         // normalized form each computed once behind an alias
-        Q.spread(t(s, dir, "documents")).select(id, planted.as("t"))
+        t(s, dir, "documents").select(id, planted.as("t"))
           .select(col("doc_id"), col("t"),
             unicode_normalize(col("t")).as("nfc"))
           .select(col("doc_id"), sha2(col("nfc"), 256).as("nfc_sha"),
@@ -4835,7 +4835,7 @@ object QueriesPipeline {
             .when(pmod(id, lit(7)) === 4, lit("ÃƒÂ©"))
             .when(pmod(id, lit(7)) === 5, lit("café"))
             .otherwise(lit("plain ascii")))
-        Q.spread(t(s, dir, "documents")).select(id, planted.as("t"))
+        t(s, dir, "documents").select(id, planted.as("t"))
           .select(id, col("t"), fix_mojibake(col("t")).as("fx"))
           .select(id, sha2(col("fx"), 256).as("fixed_sha"),
             length(col("fx")).cast("long").as("fixed_chars"),
@@ -5386,14 +5386,12 @@ object QueriesPipeline {
     // one constant-folded array literal — map-only, no shuffle. The
     // mixed-case entry pins the list-side lowercasing.
     "q_corpus_flagged_words" -> Entry(
+      // (no Q.spread: the tokenizer+overlap kernel is cheaper than the
+      // respread exchange at any tested size — measured 0.29 s -> 0.43 s
+      // with the respread at sf0.1)
       (s, dir) => graft.operators.Corpus.filterFlaggedWords(
-          // text staged: the operator is one Filter over a tokenizer
-          // kernel, which would otherwise push below the respread
-          // exchange and run single-task on the test scan
-          Q.spread(t(s, dir, "documents"))
-            .select(col("doc_id"),
-              graft.plans.StageBarrier.stage(col("text")).as("text"),
-              col("lang")),
+          t(s, dir, "documents")
+            .select(col("doc_id"), col("text"), col("lang")),
           "text", Seq("Vector", "hash", "stream"))
         .select(col("doc_id"), col("lang")),
       Some("""SELECT doc_id, lang FROM documents
@@ -5650,7 +5648,7 @@ object QueriesPipeline {
           .otherwise(concat_ws("\n", lineA,
             concat(array_join(slice(w, 7, 6), " "), lit("..."))))
         val f = Text.gopher_features(col("body"))
-        Q.spread(t(s, dir, "documents")).select(id, body.as("body"))
+        t(s, dir, "documents").select(id, body.as("body"))
           .select(id, f.as("f"))
           .select(id,
             col("f.n_words").as("n_words"),
@@ -5843,7 +5841,7 @@ object QueriesPipeline {
           .otherwise(concat_ws("\n",
             concat(lit("x = "), w1), la, lb, lc))
         val f = Text.code_features(col("body"))
-        Q.spread(t(s, dir, "documents")).select(id, body.as("body"))
+        t(s, dir, "documents").select(id, body.as("body"))
           .select(id, f.as("f"))
           .select(id,
             col("f.brace_line_frac").as("brace_line_frac"),

@@ -47,7 +47,10 @@ object QueriesRelational {
         val o = t(s, dir, "orders")
         val rank = lit(6) - substring(col("o_orderpriority"), 1, 1).cast("int")
         o.groupBy(col("o_custkey"))
-          .agg(max_by(col("o_orderpriority"), rank).as("top_priority"),
+          // obj_max_by: same SortAggregate-avoidance as q_agg_rpm_max
+          // (rank is injective on the five fixed priority strings)
+          .agg(graft.plans.ArgExtremumAgg
+            .obj_max_by(col("o_orderpriority"), rank).as("top_priority"),
             count(lit(1)).as("n_orders"))
       },
       Some("""SELECT o_custkey,
@@ -119,7 +122,13 @@ object QueriesRelational {
         // spread: rpm_sort_key kernel per row (Q.spread)
         Q.spread(li).select(col("l_partkey"), QueriesDomain.synthVer.as("ver"))
           .groupBy(col("l_partkey"))
-          .agg(max_by(col("ver"), RpmVersion.rpm_sort_key(col("ver")))
+          // obj_max_by: declarative max_by with a string key degrades
+          // the whole aggregation to SortAggregate (two full sorts of
+          // the respread stream); the object-hash form is plan-
+          // identical semantics on the hash path (ties impossible:
+          // rpm_sort_key is injective on these synthesized versions)
+          .agg(graft.plans.ArgExtremumAgg
+            .obj_max_by(col("ver"), RpmVersion.rpm_sort_key(col("ver")))
             .as("max_ver"),
             count(lit(1)).as("n_builds"))
       },
@@ -138,8 +147,11 @@ object QueriesRelational {
       (s, dir) => {
         val li = t(s, dir, "lineitem")
         val o = t(s, dir, "orders")
+        // no inner sort_array: the final array_sort over the flatten
+        // re-establishes the total order, so per-order sorting was
+        // pure wasted work (one sort per order group)
         val perOrder = li.groupBy(col("l_orderkey"))
-          .agg(sort_array(collect_list(col("l_linenumber"))).as("lines"))
+          .agg(collect_list(col("l_linenumber")).as("lines"))
         o.join(perOrder, col("o_orderkey") === col("l_orderkey"))
           .groupBy(col("o_custkey"))
           .agg(array_sort(flatten(collect_list(col("lines")))).as("merged"))
@@ -158,17 +170,23 @@ object QueriesRelational {
     // collect to nested, transform to add a computed field, explode back.
     "q_nested_patch" -> Entry(
       (s, dir) => {
-        val li = t(s, dir, "lineitem")
+        // row-filter BEFORE the collect: dq = l_quantity*2 > 50 is
+        // exactly l_quantity > 25 (*2 is exact in IEEE), so the
+        // predicate pushes into the parquet scan and the collect_list
+        // exchange carries only surviving rows (~half) — the nested
+        // patch (transform-over-collected structs, explode back) is
+        // unchanged, it just never nests rows the array filter would
+        // drop anyway
+        val li = t(s, dir, "lineitem").filter(col("l_quantity") > 25)
         val nested = li.groupBy(col("l_orderkey"))
           .agg(collect_list(struct(col("l_partkey"), col("l_quantity")))
             .as("items"))
         nested
           .select(col("l_orderkey"),
-            explode(filter(
+            explode(
               transform(col("items"), it => struct(
                 it.getField("l_partkey").as("partkey"),
-                (it.getField("l_quantity") * 2).as("dq"))),
-              it => it.getField("dq") > 50)).as("item"))
+                (it.getField("l_quantity") * 2).as("dq")))).as("item"))
           .select(col("l_orderkey"), col("item.partkey").as("partkey"),
             col("item.dq").as("dq"))
       },

@@ -824,7 +824,7 @@ object Dedup {
       // Null priority must sort LAST (struct ordering puts null fields
       // first in a min, which would crown the unscored member) — same
       // rule as the oracle's ORDER BY p DESC NULLS LAST
-      .agg(min_by(col("id"),
+      .agg(graft.plans.ArgExtremumAgg.obj_min_by(col("id"),
         struct(coalesce(-col("__p"), lit(Double.MaxValue)).as("np"),
           col("id"))).as("__keep"))
     val drop = members.join(keep, Seq("component"))
@@ -875,7 +875,12 @@ object Dedup {
     val best = (if (nullsPassThrough) df.filter(col(keyCol).isNotNull)
         else df)
       .groupBy(col(keyCol))
-      .agg(max_by(struct(carry.map(col): _*), order).as("__best"),
+      // obj_max_by: a declarative max_by whose BUFFER carries the
+      // struct payload is ineligible for hash aggregation and drags
+      // the exchange onto the SortAggregate path; the object-hash form
+      // keeps the same partial aggregation and first-seen tie rule
+      .agg(graft.plans.ArgExtremumAgg
+        .obj_max_by(struct(carry.map(col): _*), order).as("__best"),
         count(lit(1)).as("n_dups"))
       .select(col(keyCol) +: carry.map(c => col(s"__best.`$c`").as(c)) :+
         col("n_dups"): _*)

@@ -74,7 +74,8 @@ object FixDate {
         ecosystem.map(_ => col("ecosystem").as("__fd_e"))
       val dim = fd
         .groupBy(keyCols: _*)
-        .agg(min(struct(col("date"), col("kind"))).as("__best"))
+        .agg(graft.plans.ArgExtremumAgg
+          .obj_min(struct(col("date"), col("kind"))).as("__best"))
         .withColumn("available_date", col("__best.date"))
         .withColumn("available_kind", col("__best.kind"))
         .drop("__best")

@@ -706,12 +706,15 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!p.contains("Union"), s"single-branch plan expected:\n$p")
     assert("FileScan parquet".r.findAllIn(p).length == 1,
       s"one corpus scan expected:\n$p")
-    // partial_max_by BELOW the exchange: map tasks pre-reduce to one
-    // candidate per key before the shuffle (SortAggregate, not
-    // HashAggregate — max_by's struct-valued buffer is not hash-agg
-    // representable; the invariant that matters is the partial pass)
-    assert(p.contains("partial_max_by"),
+    // partial_obj_max_by BELOW the exchange: map tasks pre-reduce to
+    // one candidate per key before the shuffle. obj_max_by (r16): the
+    // declarative max_by's struct-valued buffer was not hash-agg
+    // representable and dragged the aggregation onto SortAggregate —
+    // the object-hash form keeps the partial pass with no sort
+    assert(p.contains("partial_obj_max_by"),
       s"partial aggregation missing:\n$p")
+    assert(!p.contains("SortAggregate"),
+      s"keep-best must stay on the hash path:\n$p")
   }
 
   test("q_corpus_paragraph_dedup: exactly the two keyed exchanges " +
