@@ -101,6 +101,16 @@ object Bench {
       // keeps the hash path; buffers here are small bounded objects.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         (1 << 22).toString)
+      // AQE's coalesce FLOOR, not its target: the default 1 MB floor
+      // collapses any post-shuffle stage under ~1 MB×cores to ONE
+      // task, which single-threads compute-heavy small-data stages
+      // (LSH candidate expansion, dHash banding — measured 0.6-0.8 s
+      // single-task stages at sf0.1). 64k keeps those parallel while
+      // remaining irrelevant at production shuffle sizes, where the
+      // 64 MB advisory target and parallelismFirst govern. Env-
+      // overridable for cluster profiles.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -102,6 +102,23 @@ object Q {
     if (df.rdd.getNumPartitions < want) df.repartition(want) else df
   } // Similarity.spread delegates here — ONE copy of the heuristic
 
+  /** [[spread]] keyed by existing columns instead of round-robin. Two
+    * wins over the keyless form where a suitable key exists: no
+    * sortBeforeRepartition pass (round-robin locally SORTS its input
+    * for retry determinism — measured ~0.6 s on the 600k-row lineitem
+    * respread, the dominant cost of the exchange), and when the key is
+    * the downstream grouping key the aggregation REUSES the
+    * partitioning, so the whole query pays one exchange total. Key
+    * choice is the caller's skew responsibility (guide §2.5): use the
+    * grouping key when grouped, any high-cardinality column when
+    * map-only. Same at-scale contract as [[spread]]: a well-split scan
+    * makes this a no-op. */
+  def spreadBy(df: DataFrame, keys: Column*): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < want) df.repartition(want, keys: _*)
+    else df
+  }
+
   /** Exact cents encoding of a double money value. */
   def cents(c: Column): Column = floor(c * 100 + lit(0.5)).cast("long")
 

@@ -40,14 +40,21 @@ object QueriesDomain {
     "q_fn_evr_split" -> Entry(
       (s, dir) => {
         // spread: EVR parse kernel over every row (see Q.spread)
-        val li = Q.spread(t(s, dir, "lineitem"))
+        // spreadBy(l_orderkey): keyed respread — no local sort (the
+        // round-robin form pays sortBeforeRepartition over 600k rows)
+        val li = Q.spreadBy(t(s, dir, "lineitem"), col("l_orderkey"))
         val full = concat(
           when(col("l_linenumber") % 3 === 0, lit("2:")).otherwise(lit("")),
           synthVer)
         // ONE parse per row: the struct-returning native kernel
         // (plans/EvrSplitExpr) replaces three per-field UDFs that each
-        // re-split the string (r8 plan-audit micro-win)
-        li.select(col("l_orderkey"), col("l_linenumber"), full.as("full_ver"))
+        // re-split the string (r8 plan-audit micro-win).
+        // stage(): deterministic projections are pushed BELOW the
+        // respread exchange (single task on the test scan) — the
+        // barrier pins the version-string build above it, which also
+        // shrinks the exchange to the raw columns
+        li.select(col("l_orderkey"), col("l_linenumber"),
+          graft.plans.StageBarrier.stage(full).as("full_ver"))
           .select(col("l_orderkey"), col("l_linenumber"), col("full_ver"),
             graft.plans.RpmExpressions.evr_split(col("full_ver"))
               .as("__evr"))
@@ -107,8 +114,14 @@ object QueriesDomain {
     "q_rpm_stream_reduce" -> Entry(
       (s, dir) => {
         // spread: versionBase + EVR-compare kernel per row (Q.spread)
-        val li = Q.spread(t(s, dir, "lineitem"))
-        li.select(col("l_partkey"), synthVer.as("ver"))
+        // spreadBy(l_partkey): keyed respread, AND the downstream
+        // groupBy(l_partkey) reuses the partitioning — one exchange
+        // for the whole query, no sortBeforeRepartition pass
+        val li = Q.spreadBy(t(s, dir, "lineitem"), col("l_partkey"))
+        // stage(): pin the version build above the respread (see
+        // q_fn_evr_split)
+        li.select(col("l_partkey"),
+          graft.plans.StageBarrier.stage(synthVer).as("ver"))
           .groupBy(col("l_partkey"))
           .agg(graft.plans.RpmStreamAgg.rpm_stream_reduce(col("ver")).as("r"))
           .select(col("l_partkey"),
@@ -135,8 +148,9 @@ object QueriesDomain {
     // formula in SQL (roundup, scope-conditional impact, severity word).
     "q_cvss_score" -> Entry(
       (s, dir) => {
-        // spread: vector parse + scoring kernel per row (Q.spread)
-        val li = Q.spread(t(s, dir, "lineitem"))
+        // spreadBy(l_orderkey): keyed respread for the parse+scoring
+        // kernel — no sortBeforeRepartition pass (see q_fn_evr_split)
+        val li = Q.spreadBy(t(s, dir, "lineitem"), col("l_orderkey"))
         val av = element_at(array(lit("N"), lit("A"), lit("L"), lit("P")),
           (col("l_linenumber") % 4 + 1).cast("int"))
         val ac = when(col("l_quantity") < 25, "L").otherwise("H")
@@ -149,7 +163,8 @@ object QueriesDomain {
         val vec = concat(lit("CVSS:3.1/AV:"), av, lit("/AC:"), ac,
           lit("/PR:"), pr, lit("/UI:"), ui, lit("/S:"), sc,
           lit("/C:"), c, lit("/I:H/A:L"))
-        li.select(col("l_orderkey"), col("l_linenumber"), vec.as("vector"))
+        li.select(col("l_orderkey"), col("l_linenumber"),
+          graft.plans.StageBarrier.stage(vec).as("vector"))
           .withColumn("s", Cvss.cvss3_score(col("vector")))
           .select(col("l_orderkey"), col("l_linenumber"),
             col("s.baseScore").as("base_score"),

@@ -120,7 +120,12 @@ object QueriesRelational {
       (s, dir) => {
         val li = t(s, dir, "lineitem")
         // spread: rpm_sort_key kernel per row (Q.spread)
-        Q.spread(li).select(col("l_partkey"), QueriesDomain.synthVer.as("ver"))
+        // spreadBy(l_partkey): keyed respread; groupBy(l_partkey)
+        // reuses the partitioning — one exchange, no local sort
+        // stage(): pin the version build above the respread (see
+        // q_fn_evr_split)
+        Q.spreadBy(li, col("l_partkey")).select(col("l_partkey"),
+          graft.plans.StageBarrier.stage(QueriesDomain.synthVer).as("ver"))
           .groupBy(col("l_partkey"))
           // obj_max_by: declarative max_by with a string key degrades
           // the whole aggregation to SortAggregate (two full sorts of

@@ -10,7 +10,9 @@ import scala.collection.mutable
   * `sbt "runMain graft.tools.StageProfile <query> [sfDir] [cpus]"` */
 object StageProfile {
   def main(args: Array[String]): Unit = {
-    val name = args.headOption.getOrElse("q_corpus_paragraph_dedup")
+    val names =
+      if (args.isEmpty) Seq("q_corpus_paragraph_dedup")
+      else args(0).split(",").toSeq
     val dir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val cpus = args.lift(2).getOrElse("32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
@@ -53,26 +55,32 @@ object StageProfile {
         }
       }
     }
-    val fn = graft.SparkEntry.queries(name)
-    def force(): Unit = { fn(spark, dir).queryExecution.toRdd.count(); () }
-    force(); force() // cold + warm-up
     spark.sparkContext.addSparkListener(listener)
-    val t0 = System.nanoTime()
-    force()
-    val wall = (System.nanoTime() - t0) / 1e9
-    org.apache.spark.sql.graft.bridge.settleListenerBus(
-      spark.sparkContext, 10000)
-    println(f"== $name warm wall ${wall}%.3f s, $jobs jobs, ${stages.size} stages")
-    var sumStage = 0.0
-    stages.toSeq.sortBy(_._1).foreach { case (id, s) =>
-      val dur = (s.completed - s.submitted) / 1e9
-      sumStage += math.max(dur, 0)
-      println(f"stage $id%3d dur=${dur}%6.3f tasks=${s.tasks}%3d " +
-        f"taskSum=${s.taskTimeMs}%5d ms maxTask=${s.maxTaskMs}%5d ms " +
-        f"gc=${s.gcMs}%4d in=${s.inputMB}%7.1fMB sr=${s.shufReadMB}%6.1fMB " +
-        f"sw=${s.shufWriteMB}%6.1fMB  ${s.name}")
+    for (name <- names) {
+      stages.clear(); jobs = 0
+      val fn = graft.SparkEntry.queries(name)
+      def force(): Unit = { fn(spark, dir).queryExecution.toRdd.count(); () }
+      force(); force() // cold + warm-up
+      org.apache.spark.sql.graft.bridge.settleListenerBus(
+        spark.sparkContext, 10000)
+      stages.clear(); jobs = 0
+      val t0 = System.nanoTime()
+      force()
+      val wall = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.sql.graft.bridge.settleListenerBus(
+        spark.sparkContext, 10000)
+      println(f"== $name warm wall ${wall}%.3f s, $jobs jobs, ${stages.size} stages")
+      var sumStage = 0.0
+      stages.toSeq.sortBy(_._1).foreach { case (id, s) =>
+        val dur = (s.completed - s.submitted) / 1e9
+        sumStage += math.max(dur, 0)
+        println(f"stage $id%3d dur=${dur}%6.3f tasks=${s.tasks}%3d " +
+          f"taskSum=${s.taskTimeMs}%5d ms maxTask=${s.maxTaskMs}%5d ms " +
+          f"gc=${s.gcMs}%4d in=${s.inputMB}%7.1fMB sr=${s.shufReadMB}%6.1fMB " +
+          f"sw=${s.shufWriteMB}%6.1fMB  ${s.name}")
+      }
+      println(f"stage-wall sum ${sumStage}%.3f s (gaps = driver/planning time)")
     }
-    println(f"stage-wall sum ${sumStage}%.3f s (gaps = driver/planning time)")
     spark.stop()
   }
 }
