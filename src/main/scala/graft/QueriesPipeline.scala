@@ -1407,6 +1407,9 @@ object QueriesPipeline {
         // profiled the uncached double explode at 7 s of the query's
         // 7.06 s total
         graft.operators.Corpus
+          // (no respread: the multi-pass lines cache + final rewrite
+          // pay the exchange per pass — measured 0.99 -> 1.3-1.5 s
+          // with a doc_id respread at sf0.1)
           .dedupLinesAuto(t(s, dir, "documents"), "text", delim = " ")
           .select(col("doc_id"), col("text").as("cleaned"))
       },
@@ -1435,9 +1438,13 @@ object QueriesPipeline {
     // rebuild; the winner set never collects or broadcasts (it is
     // corpus-sized).
     "q_corpus_paragraph_dedup" -> Entry(
+      // spreadBy(doc_id): the tile5+posexplode+partial-winner map
+      // stage otherwise runs as ONE task on the one-row-group test
+      // scan (measured 0.99 s of a 1.56 s wall); keyed respread, so
+      // no sortBeforeRepartition pass
       (s, dir) => graft.operators.Corpus
         .dedupKeepFirst(
-          t(s, dir, "documents")
+          Q.spreadBy(t(s, dir, "documents"), col("doc_id"))
             .select(col("doc_id"), tile5(col("text")).as("text")),
           "text", "doc_id", delim = "\n")
         .select(col("doc_id"), col("text").as("cleaned")),
@@ -1461,7 +1468,9 @@ object QueriesPipeline {
     // increment pays |batch units| + |index|.
     "q_corpus_paragraph_dedup_incr" -> Entry(
       (s, dir) => {
-        val docs = t(s, dir, "documents")
+        // spreadBy(doc_id): parallel tiling for both the index and the
+        // batch side (see q_corpus_paragraph_dedup)
+        val docs = Q.spreadBy(t(s, dir, "documents"), col("doc_id"))
           .select(col("doc_id"), tile5(col("text")).as("text"))
         val idx = graft.operators.Corpus.unitIndex(
           docs.filter(col("doc_id") % 5 < 4), "text", "doc_id")
@@ -1499,8 +1508,11 @@ object QueriesPipeline {
     // oracle replays anchors → rn>1 non-first occurrences → islands →
     // covered-position rebuild arithmetically.
     "q_corpus_substring_dedup" -> Entry(
+      // spreadBy(doc_id): parallel anchor shingling (the explode+md5
+      // map stage is the dominant single-task cost on the test scan)
       (s, dir) => {
-        val docs = t(s, dir, "documents").select(col("doc_id"),
+        val docs = Q.spreadBy(t(s, dir, "documents"), col("doc_id"))
+          .select(col("doc_id"),
           when(col("doc_id") % 4 === 0,
             concat_ws(" ", col("text"), lit(substrFooter)))
             .otherwise(col("text")).as("text"))
@@ -1572,6 +1584,10 @@ object QueriesPipeline {
     // The oracle anti/semi-joins on the gram STRING (≡ md5 keys up to
     // vanishing 128-bit collisions, the unitIndex convention).
     "q_corpus_substring_dedup_incr" -> Entry(
+      // (no respread: the bloom-probe path consumes the anchor stream
+      // through several eager passes — index distinct, count probe,
+      // persist fill, miss-side recompute — and each pays the
+      // exchange again; measured 1.75 -> 2.0-2.4 s with the respread)
       (s, dir) => {
         val docs = t(s, dir, "documents").select(col("doc_id"),
           when(col("doc_id") % 4 === 0,
@@ -1663,6 +1679,8 @@ object QueriesPipeline {
     // threshold can't see. Oracle replays doc-distinct counts,
     // per-group thresholds, and the position-ordered rebuild.
     "q_corpus_line_dedup_group" -> Entry(
+      // (no respread: multi-pass, same measured regression as
+      // q_corpus_line_dedup)
       (s, dir) => graft.operators.Corpus
         .dedupLinesPerGroup(t(s, dir, "documents"), "source", "text",
           delim = " ", maxDocShare = 0.3)
@@ -5263,8 +5281,10 @@ object QueriesPipeline {
         // the corpus for the brute-force oracle (LSH recall at J≈0.4
         // is probabilistic — measured misses at unit granularity)
         graft.operators.Corpus.nearDedupUnits(
-          t(s, dir, "documents").select(col("doc_id"),
-            body.as("body")),
+          // spreadBy(doc_id): parallel unit tiling + shingling (the
+          // map stage is single-task on the one-row-group test scan)
+          Q.spreadBy(t(s, dir, "documents"), col("doc_id"))
+            .select(col("doc_id"), body.as("body")),
           "body", "doc_id", exactCandidates = true)
       },
       Some("""WITH RECURSIVE planted AS (

@@ -717,17 +717,25 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"keep-best must stay on the hash path:\n$p")
   }
 
-  test("q_corpus_paragraph_dedup: exactly the two keyed exchanges " +
-      "(unit winner, doc rebuild); the winner set never broadcasts") {
+  test("q_corpus_paragraph_dedup: exactly the three keyed exchanges " +
+      "(doc_id respread, unit winner, doc rebuild); the winner set " +
+      "never broadcasts") {
     val p = plan("q_corpus_paragraph_dedup")
-    assert("Exchange hashpartitioning".r.findAllIn(p).length == 2,
-      s"unit-keyed winner agg + doc-keyed rebuild expected, no more:\n$p")
-    // partial min(struct) BELOW the exchange: map tasks crush a
+    // r16: +1 for Q.spreadBy(doc_id) — the conditional respread that
+    // parallelizes the tile+explode map stage (no-op at scale)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 3,
+      s"respread + unit-keyed winner agg + doc-keyed rebuild " +
+        s"expected, no more:\n$p")
+    // partial min BELOW the exchange: map tasks crush a
     // mega-duplicated unit to one candidate row each BEFORE anything
     // ships — a PARTITION BY u window would pin every occurrence of a
-    // boilerplate unit on ONE un-splittable task (the r10 skew flag)
-    assert(p.contains("partial_min"),
+    // boilerplate unit on ONE un-splittable task (the r10 skew flag).
+    // r16: the winner rule is the object-hash min_long_pair (the
+    // declarative min(struct) degraded the agg to SortAggregate)
+    assert(p.contains("partial_min_long_pair"),
       s"winner agg must partial-aggregate map-side:\n$p")
+    assert(!p.contains("SortAggregate"),
+      s"winner agg must stay on the hash path:\n$p")
     assert(!p.contains("Window"),
       s"no window — winners come from the partial-agg groupBy:\n$p")
     assert(!p.contains("BroadcastExchange"),
