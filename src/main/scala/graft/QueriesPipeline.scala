@@ -1051,11 +1051,14 @@ object QueriesPipeline {
       // pins the two row-identical. cache = false so a bench/verify
       // session doesn't pin the string-shingle set for the remaining
       // queries (callers of this entry run it once).
-      // (no Q.spread here: the operator consumes docs in multiple
-      // passes, so an uncached respread re-shuffles per pass — measured
-      // net-negative)
+      // spreadBy(doc_id) (r16): the earlier round-robin respread was
+      // net-negative, but the keyed form skips sortBeforeRepartition
+      // and the shingle-explode producer stage — single-task, 0.35 s
+      // of the wall, ReuseExchange-shared by all three consumers —
+      // parallelizes
       (s, dir) => graft.operators.Contamination
-        .crossContainment(t(s, dir, "documents"), "source", "text",
+        .crossContainment(Q.spreadBy(t(s, dir, "documents"),
+          col("doc_id")), "source", "text",
           hashed = false, cache = false),
       Some("""WITH words AS (
           SELECT doc_id, source, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
@@ -1091,7 +1094,8 @@ object QueriesPipeline {
     // bases row-identical.
     "q_corpus_containment_hashed" -> Entry(
       (s, dir) => graft.operators.Contamination
-        .crossContainment(t(s, dir, "documents"), "source", "text",
+        .crossContainment(Q.spreadBy(t(s, dir, "documents"),
+          col("doc_id")), "source", "text",
           cache = false, md5Keys = true),
       Some("""WITH words AS (
           SELECT doc_id, source, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
@@ -1593,8 +1597,14 @@ object QueriesPipeline {
           when(col("doc_id") % 4 === 0,
             concat_ws(" ", col("text"), lit(substrFooter)))
             .otherwise(col("text")).as("text"))
+        // index side only: the history anchor shingling is re-run per
+        // eager pass (distinct + bloom build) as a single-task 0.3 s
+        // stage; the keyed respread parallelizes each re-run. The
+        // BATCH side stays unspread — its persist/count/broadcast
+        // chain re-paid the exchange per pass (measured regression)
         val idx = graft.operators.Corpus.substringAnchorIndex(
-          docs.filter(col("doc_id") % 5 < 4), "text", "doc_id", k = 8)
+          Q.spreadBy(docs.filter(col("doc_id") % 5 < 4),
+            col("doc_id")), "text", "doc_id", k = 8)
         // bloom+sliver probe path (row-identical to the plain probe,
         // which q_corpus_paragraph_dedup_incr keeps oracle-covered)
         graft.operators.Corpus.dedupSubstringsAgainstIndexBloom(

@@ -91,7 +91,13 @@ object QueriesRelational {
         // each single-distinct plans partial_count(distinct …) with
         // map-side dedup and no Expand, and the join keys are the
         // group keys (broadcast-sized)
-        val li = t(s, dir, "lineitem")
+        // spreadBy(l_suppkey): HashPartitioning(l_suppkey) satisfies
+        // BOTH branch aggregates' clustering (the distinct dedup on
+        // (l_suppkey, c) and the final group on l_suppkey) AND the
+        // join, so each branch plans zero further exchanges and
+        // ReuseExchange shares the one respread between them —
+        // 4 exchanges down to 1
+        val li = Q.spreadBy(t(s, dir, "lineitem"), col("l_suppkey"))
         def one(c: String, as: String) = li
           .groupBy(col("l_suppkey"))
           .agg(countDistinct(col(c)).as(as))
