@@ -820,9 +820,11 @@ object QueriesPipeline {
         val keepIds = Dedup.exact(filt, "text", "doc_id")
           .select(col("keep_id").as("doc_id"))
         val kept = filt.join(keepIds, Seq("doc_id"), "left_semi")
-        Dsir.select(kept.filter(col("lang") =!= "en"), "doc_id", "text",
-          kept.filter(col("lang") === "en"),
-          topN = 50, n = 2, k = 512, seed = 11L)
+        // split-frame select: the gate+dedup+semi-join subtree behind
+        // `kept` is a shuffle + aggregation — the tagged fit evaluates
+        // it once instead of once per side (identical counts)
+        Dsir.select(kept, "doc_id", "text", col("lang") === "en",
+          topN = 50, n = 2, k = 512, seed = 11L, temperature = 1.0)
       },
       // gate replay note: DuckDB trim() strips spaces only while the
       // token_count kernel trims all chars ≤ 0x20 — the repo-wide \s+
@@ -1212,6 +1214,10 @@ object QueriesPipeline {
     "q_sample_dsir_weights" -> Entry(
       (s, dir) => {
         val docs = t(s, dir, "documents")
+        // two-frame fit kept deliberately: the tagged single-scan form
+        // was A/B-measured here and LOST (0.40 -> 0.46-0.49 s) — the
+        // base scan is cheap and the union-of-aggregates fit runs its
+        // two legs concurrently, while the fused scan serializes them
         val target = docs.filter(col("lang") === "en")
         val raw = docs.filter(col("lang") =!= "en")
         val ratios = graft.operators.Dsir
@@ -1230,6 +1236,9 @@ object QueriesPipeline {
     "q_sample_dsir" -> Entry(
       (s, dir) => {
         val docs = t(s, dir, "documents")
+        // two-frame select kept deliberately: the split-frame form was
+        // A/B-measured here and LOST (0.47 -> 0.50-0.59 s) — see
+        // q_sample_dsir_weights
         graft.operators.Dsir.select(
           docs.filter(col("lang") =!= "en"), "doc_id", "text",
           docs.filter(col("lang") === "en"),

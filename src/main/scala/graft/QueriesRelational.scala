@@ -161,7 +161,16 @@ object QueriesRelational {
         // no inner sort_array: the final array_sort over the flatten
         // re-establishes the total order, so per-order sorting was
         // pure wasted work (one sort per order group)
-        val perOrder = li.groupBy(col("l_orderkey"))
+        //
+        // spreadBy(l_orderkey): partial collect_list reduces NOTHING
+        // (it's a list), so hoisting the collect above a keyed respread
+        // moves the same bytes while the groupBy reuses the exchange —
+        // and the single-task scan partial (716 ms of the wall) runs
+        // 32-way instead
+        val perOrder = graft.Q.spreadBy(
+            li.select(col("l_orderkey"), col("l_linenumber")),
+            col("l_orderkey"))
+          .groupBy(col("l_orderkey"))
           .agg(collect_list(col("l_linenumber")).as("lines"))
         o.join(perOrder, col("o_orderkey") === col("l_orderkey"))
           .groupBy(col("o_custkey"))
@@ -189,7 +198,12 @@ object QueriesRelational {
         // unchanged, it just never nests rows the array filter would
         // drop anyway
         val li = t(s, dir, "lineitem").filter(col("l_quantity") > 25)
-        val nested = li.groupBy(col("l_orderkey"))
+        // spreadBy(l_orderkey): same rationale as q_agg_flatten_merge —
+        // a partial collect_list reduces nothing, so the keyed respread
+        // (reused by the groupBy) costs the same shuffle bytes and
+        // un-single-tasks the scan-side collect
+        val nested = graft.Q.spreadBy(li, col("l_orderkey"))
+          .groupBy(col("l_orderkey"))
           .agg(collect_list(struct(col("l_partkey"), col("l_quantity")))
             .as("items"))
         nested

@@ -113,6 +113,47 @@ object Dsir {
     }.toDF("bucket", "mnat")
   }
 
+  /** [[logRatios]] when target and raw are the two sides of ONE frame
+    * split by a boolean predicate (the common curation shape:
+    * lang === target vs lang =!= target): a single tagged scan
+    * computes both count tables, so the shared upstream subtree —
+    * which for a gated/deduped corpus is itself a shuffle and a
+    * window — is evaluated ONCE instead of once per side (guide
+    * §1.2: don't recompute what you already read). Rows where
+    * `isTarget` is NULL belong to neither corpus and are excluded,
+    * exactly like the two null-rejecting filters they replace.
+    * Counts are the same integer sums in the same k-bucket space, so
+    * the (bucket, mnat) table is IDENTICAL to the two-scan form, not
+    * merely close. Eager, like [[logRatios]]. */
+  def logRatiosTagged(docs: DataFrame, isTarget: Column, textCol: String,
+      n: Int = 2, k: Int = 4096): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // NO respread here: a respread was measured at sf0.1 and LOST —
+    // the tagged fit is usually one of several eager passes over the
+    // same subtree, and each pass re-pays the exchange (the
+    // multi-pass-consumer regression pattern). The win of this form
+    // is evaluating the shared upstream subtree once, not kernel
+    // parallelism.
+    val merged = docs
+      .select(isTarget.as("__t"), col(textCol))
+      .filter(col("__t").isNotNull)
+      .select(col("__t"), explode(graft.plans.TextExpressions
+        .word_shingles(col(textCol), n)).as("s"))
+      .select(col("__t"), bucket(col("s"), k).as("bucket"))
+      .groupBy("bucket")
+      .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("t_cnt"),
+        sum(when(col("__t"), 0L).otherwise(1L)).as("r_cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val tTotal = merged.map(_._2).sum
+    val rTotal = merged.map(_._3).sum
+    val obs = merged.map(t => t._1 -> ((t._2, t._3))).toMap
+    (0 until k).map { bucket =>
+      val (tCnt, rCnt) = obs.getOrElse(bucket, (0L, 0L))
+      (bucket, mnatOf(tCnt, rCnt, tTotal, rTotal, k))
+    }.toDF("bucket", "mnat")
+  }
+
   /** (idCol, w_mnat) integer importance weight per raw doc: the sum of
     * its shingles' bucket log-ratios in micro-nats, as ONE codegen'd
     * map over the corpus — the ≤k-row ratio table densifies to a long[k]
@@ -135,6 +176,10 @@ object Dsir {
       require(b >= 0 && b < k, s"ratio bucket $b outside [0, $k)")
       dense(b) = r.getLong(1)
     }
+    // NO respread before the kernel: measured at sf0.1 as a net loss —
+    // the (id, text) exchange outweighs the scoring kernel, which is a
+    // single cheap pass over each text (unlike the shingle-explode
+    // paths where Q.spread wins)
     raw
       .filter(col(textCol).isNotNull)
       .select(col(idCol), graft.plans.ClassifierExprs
@@ -213,7 +258,31 @@ object Dsir {
     require(topN > 0, "topN must be positive")
     require(temperature > 0, "temperature must be positive")
     val ratios = logRatios(target, raw, textCol, n, k)
-    val w = importanceWeights(raw, idCol, textCol, ratios, n, k)
+    gumbelTopN(importanceWeights(raw, idCol, textCol, ratios, n, k),
+      idCol, topN, seed, temperature)
+  }
+
+  /** [[select]] over one predicate-split frame: fits the models with
+    * the single tagged scan ([[logRatiosTagged]]) — target = rows
+    * where `isTarget`, raw = rows where NOT `isTarget`, null-tag rows
+    * in neither, exactly the two filters the two-frame form takes.
+    * Same weights, same Gumbel keys, same selection. */
+  def select(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, topN: Int, n: Int, k: Int,
+      seed: Long, temperature: Double): DataFrame = {
+    require(topN > 0, "topN must be positive")
+    require(temperature > 0, "temperature must be positive")
+    val ratios = logRatiosTagged(docs, isTarget, textCol, n, k)
+    gumbelTopN(
+      importanceWeights(docs.filter(!isTarget), idCol, textCol, ratios,
+        n, k),
+      idCol, topN, seed, temperature)
+  }
+
+  /** The shared Gumbel top-`topN` tail of both [[select]] forms (see
+    * the two-frame overload for the full contract). */
+  private def gumbelTopN(w: DataFrame, idCol: String, topN: Int,
+      seed: Long, temperature: Double): DataFrame = {
     // null ids hash like the empty string (the Corpus.shuffleKey
     // precedent) — concat_ws alone would silently SKIP a null id and
     // hash bare ":seed", diverging from the documented DuckDB replay

@@ -19,6 +19,10 @@ object StageProfile {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         (1 << 22).toString)
+      // mirror Bench's AQE coalesce floor — without it the profile
+      // single-tasks post-shuffle stages the bench runs parallel
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.plans.GraftExtensions.register(spark)
