@@ -428,7 +428,16 @@ object QueriesRelational {
     // W1: canonical newest-per-group pick with total tie order.
     "q_window_latest_per_key" -> Entry(
       (s, dir) => {
-        val li = t(s, dir, "lineitem")
+        // spreadBy(l_partkey): the window reuses the respread exchange
+        // (one shuffle total) and the per-key sort+limit runs parallel
+        // instead of as the single-task partial WindowGroupLimit on
+        // the one-row-group scan (672 ms of the wall measured). At a
+        // well-split 100 TB scan this is a no-op and the partial
+        // group-limit keeps its map-side reduction.
+        val li = graft.Q.spreadBy(
+          t(s, dir, "lineitem").select(col("l_partkey"),
+            col("l_orderkey"), col("l_linenumber"), col("l_shipdate")),
+          col("l_partkey"))
         val w = Window.partitionBy(col("l_partkey"))
           .orderBy(col("l_shipdate").desc, col("l_orderkey").desc,
             col("l_linenumber").desc)
