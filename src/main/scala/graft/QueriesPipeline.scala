@@ -1611,9 +1611,18 @@ object QueriesPipeline {
         // stage; the keyed respread parallelizes each re-run. The
         // BATCH side stays unspread — its persist/count/broadcast
         // chain re-paid the exchange per pass (measured regression)
-        val idx = graft.operators.Corpus.substringAnchorIndex(
-          Q.spreadBy(docs.filter(col("doc_id") % 5 < 4),
-            col("doc_id")), "text", "doc_id", k = 8)
+        // the index is consumed by TWO eager passes (bloom build +
+        // sliver split), each otherwise re-running the history
+        // shingling from scratch (two 4.5 s-taskSum stages measured);
+        // persist the distinct 16-byte fingerprints — the production
+        // incremental driver stores this index as a table anyway, and
+        // the GraftCaches lifecycle (release() between increments)
+        // applies as in every bloom-probe path
+        val idx = graft.operators.GraftCaches.register(
+          graft.operators.Corpus.substringAnchorIndex(
+            Q.spreadBy(docs.filter(col("doc_id") % 5 < 4),
+              col("doc_id")), "text", "doc_id", k = 8)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         // bloom+sliver probe path (row-identical to the plain probe,
         // which q_corpus_paragraph_dedup_incr keeps oracle-covered)
         graft.operators.Corpus.dedupSubstringsAgainstIndexBloom(

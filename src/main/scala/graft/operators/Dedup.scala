@@ -429,7 +429,18 @@ object Dedup {
   private def verifyCandidates(df: DataFrame, cands: DataFrame,
       textCol: String, idCol: String, threshold: Double,
       shingleWords: Int, broadcastSurvivors: Boolean): DataFrame = {
-    val candIds = cands
+    // NOTE the candidate list forks here — once into the survivor-id
+    // semi join, once into the verify join — and the two copies prune
+    // to different columns, so the expansion subtree appears twice in
+    // the final plan (two ~1.3 s-taskSum stages per purge query at
+    // sf0.1). A persist() here was A/B-measured and LOST 30-70% on
+    // every family query: the fork is inside ONE job, where concurrent
+    // stages each compute the still-unfilled cache partitions anyway
+    // (no dedup) and pay the serialization on top — unlike the
+    // cross-job forks (bloom-probe index, winnow fps) where the
+    // persist pattern wins.
+    val candsP = cands
+    val candIds = candsP
       .select(explode(array(col("id1"), col("id2"))).as(idCol))
       .distinct()
     val shingled0 = df.join(candIds, Seq(idCol), "left_semi")
@@ -438,7 +449,7 @@ object Dedup {
           .word_shingle_hashes(col(textCol), shingleWords).as("__sh"))
     val shingled =
       if (broadcastSurvivors) broadcast(shingled0) else shingled0
-    cands
+    candsP
       .join(shingled.as("s1"), col("id1") === col("s1.__sid"))
       .join(shingled.as("s2"), col("id2") === col("s2.__sid"))
       .withColumn("jaccard", round(

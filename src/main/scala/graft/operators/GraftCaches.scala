@@ -28,7 +28,7 @@ object GraftCaches {
     * dataset for inline use. The registry holds a strong reference to
     * the (small) Dataset handle — the cached BLOCKS are the leak being
     * managed, and they outlive any weak reference anyway. */
-  private[operators] def register[T](ds: Dataset[T]): Dataset[T] =
+  private[graft] def register[T](ds: Dataset[T]): Dataset[T] =
     synchronized { live += ds; ds }
 
   /** Unpersist every registered cache and empty the registry. Safe to
