@@ -6025,6 +6025,13 @@ object QueriesPipeline {
     // rows-only; the ≤2% relative-error bound vs the exact count is
     // pinned in ScaleOpsSpec.
     "q_agg_approx_distinct" -> Entry(
+      // NO respread: A/B-measured as a loss (0.81 -> 1.13 s) — at
+      // rsd 0.01 each HLL++ buffer is 2^14 registers, so 32 partials
+      // per group cost more to build+merge than one map-side partial
+      // per group; the plain-aggregation anti-pattern from Q.spread's
+      // contract (contrast q_stream_hourly_hll, whose exact
+      // countDistinct forces a (window,user) expand the partial
+      // cannot reduce — there the respread WON 1.07 -> 0.58 s).
       (s, dir) => t(s, dir, "events")
         .groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
@@ -6073,7 +6080,12 @@ object QueriesPipeline {
     "q_stream_hourly_hll" -> Entry(
       (s, dir) => {
         import graft.plans.HllAgg
-        t(s, dir, "events")
+        // spreadBy(user_id): same single-task-partial rationale as
+        // q_agg_approx_distinct (the register-merge partial is the
+        // whole map cost; the hourly final exchange stays tiny)
+        Q.spreadBy(
+            t(s, dir, "events").select(col("ts"), col("user_id")),
+            col("user_id"))
           .groupBy(window(col("ts"), "1 hour"))
           .agg(countDistinct(col("user_id")).as("n_exact"),
             HllAgg.hll_registers(8)(col("user_id").cast("string"))
