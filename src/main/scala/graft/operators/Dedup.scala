@@ -110,7 +110,22 @@ object Dedup {
     * eager [[requireHealthyLshBuckets]] preflight is the tool for
     * pipelines that must fail fast rather than read logs. */
   def minhashCandidates(bandsDf: DataFrame, idCol: String,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000): DataFrame =
+    minhashCandidatesAndIds(bandsDf, idCol, maxBucket)._1
+
+  /** [[minhashCandidates]] plus the distinct member ids of every kept
+    * bucket, BOTH derived from the one bucket aggregation. The id set
+    * covers every id appearing in the pair list (a kept bucket holds
+    * ≥2 distinct ids — one row per (id, band) by construction — so
+    * each member lands in some pair); callers that only need "which
+    * docs participate in any candidate pair" (the verification
+    * corpus prune) read the second frame and skip re-running the
+    * quadratic pair expansion + pair-level distinct that deriving
+    * ids FROM the pairs would cost. The two returned frames share the
+    * same `counted` subtree object, so the bucket exchange is built
+    * once and reused. */
+  def minhashCandidatesAndIds(bandsDf: DataFrame, idCol: String,
+      maxBucket: Int = 1000): (DataFrame, DataFrame) = {
     // ONE exchange (the bucket groupBy); degenerate buckets are dropped
     // before any pair is formed; the quadratic within-bucket fan-out is
     // the native [[graft.plans.PairCombosExpr]] kernel — one plain-JVM
@@ -134,10 +149,13 @@ object Dedup {
         s"$LshObservePrefix${lshObsId.incrementAndGet()}",
         statExprs.head, statExprs.tail: _*)
       .filter(col("n").between(2, maxBucket))
-    counted
+    val pairs = counted
       .select(explode(
         graft.plans.HashExpressions.pair_combos(col("ids"))).as("pair"))
       .select(col("pair.id1"), col("pair.id2")).distinct()
+    val memberIds = counted
+      .select(explode(col("ids")).as(idCol)).distinct()
+    (pairs, memberIds)
   }
 
   /** Metric-name prefix for the LSH bucket-health observation a
@@ -293,7 +311,8 @@ object Dedup {
       threshold: Double = 0.4, shingleWords: Int = 3,
       broadcastSurvivors: Boolean = true,
       estimatePrefilter: Option[Double] = None): DataFrame = {
-    val cands0 = minhashCandidates(minhashBands(df, textCol, idCol), idCol)
+    val (cands0, bucketIds) =
+      minhashCandidatesAndIds(minhashBands(df, textCol, idCol), idCol)
     // Optional signature-level prefilter: drop candidate pairs whose
     // MinHash Jaccard ESTIMATE is below `minEst` before any shingle
     // array is attached (signatures are 160 B/doc vs KBs of shingles).
@@ -317,8 +336,11 @@ object Dedup {
           .select(col("id1"), col("id2"))
       case None => cands0
     }
+    // bucketIds is a (possibly proper, after the prefilter) SUPERSET of
+    // the ids in `cands` — supersets only widen the shingle prune,
+    // never the result (pairs attach by id equi-join)
     verifyCandidates(df, cands, textCol, idCol, threshold,
-      shingleWords, broadcastSurvivors)
+      shingleWords, broadcastSurvivors, Some(bucketIds))
   }
 
   /** EXACT candidate pairs: every id pair sharing at least one word-
@@ -338,13 +360,18 @@ object Dedup {
   def exactCandidates(df: DataFrame, textCol: String, idCol: String,
       shingleWords: Int = 3,
       maxBucket: Int = Int.MaxValue): DataFrame =
-    minhashCandidates(
-      fanOut(df.select(col(idCol), col(textCol)))
-        .select(col(idCol), explode(graft.plans.HashExpressions
-          .word_shingle_hashes(col(textCol), shingleWords))
-          .as("band_hash"))
-        .withColumn("band", lit(0)),
+    minhashCandidates(exactShingleBands(df, textCol, idCol, shingleWords),
       idCol, maxBucket)
+
+  /** The shared-shingle band frame behind [[exactCandidates]] (one
+    * bucket per distinct shingle hash, band fixed at 0). */
+  private def exactShingleBands(df: DataFrame, textCol: String,
+      idCol: String, shingleWords: Int): DataFrame =
+    fanOut(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), explode(graft.plans.HashExpressions
+        .word_shingle_hashes(col(textCol), shingleWords))
+        .as("band_hash"))
+      .withColumn("band", lit(0))
 
   /** Cross-document overlap pairs from winnowing fingerprints
     * (Schleimer et al.'s actual use — plagiarism/near-copy detection
@@ -419,30 +446,37 @@ object Dedup {
     * collisions), deterministic in the corpus alone. */
   def verifiedPairsExact(df: DataFrame, textCol: String, idCol: String,
       threshold: Double = 0.4, shingleWords: Int = 3,
-      broadcastSurvivors: Boolean = true): DataFrame =
-    verifyCandidates(df,
-      exactCandidates(df, textCol, idCol, shingleWords),
-      textCol, idCol, threshold, shingleWords, broadcastSurvivors)
+      broadcastSurvivors: Boolean = true): DataFrame = {
+    val (cands, bucketIds) = minhashCandidatesAndIds(
+      exactShingleBands(df, textCol, idCol, shingleWords), idCol,
+      Int.MaxValue)
+    verifyCandidates(df, cands, textCol, idCol, threshold,
+      shingleWords, broadcastSurvivors, Some(bucketIds))
+  }
 
   /** Shared verification tail: exact word-n-gram Jaccard over a
     * candidate pair set (see [[verifiedPairs]] for the cost shape). */
   private def verifyCandidates(df: DataFrame, cands: DataFrame,
       textCol: String, idCol: String, threshold: Double,
-      shingleWords: Int, broadcastSurvivors: Boolean): DataFrame = {
-    // NOTE the candidate list forks here — once into the survivor-id
-    // semi join, once into the verify join — and the two copies prune
-    // to different columns, so the expansion subtree appears twice in
-    // the final plan (two ~1.3 s-taskSum stages per purge query at
-    // sf0.1). A persist() here was A/B-measured and LOST 30-70% on
-    // every family query: the fork is inside ONE job, where concurrent
-    // stages each compute the still-unfilled cache partitions anyway
-    // (no dedup) and pay the serialization on top — unlike the
-    // cross-job forks (bloom-probe index, winnow fps) where the
-    // persist pattern wins.
+      shingleWords: Int, broadcastSurvivors: Boolean,
+      candIds0: Option[DataFrame] = None): DataFrame = {
+    // Without `candIds0` the candidate list forks here — once into
+    // the survivor-id semi join, once into the verify join — and the
+    // two copies prune to different columns, so the quadratic
+    // expansion subtree appears twice in the final plan (two
+    // ~1.3 s-taskSum stages per purge query at sf0.1). A persist()
+    // was A/B-measured and LOST 30-70% on every family query (the
+    // fork is inside ONE job, where concurrent stages each compute
+    // the still-unfilled cache partitions anyway and pay the
+    // serialization on top); the structural fix is `candIds0` from
+    // [[minhashCandidatesAndIds]] — kept-bucket member ids, derived
+    // BEFORE the expansion. A superset of the pair ids is fine: the
+    // id set only prunes the shingle corpus, pairs attach by
+    // equi-join.
     val candsP = cands
-    val candIds = candsP
+    val candIds = candIds0.getOrElse(candsP
       .select(explode(array(col("id1"), col("id2"))).as(idCol))
-      .distinct()
+      .distinct())
     val shingled0 = df.join(candIds, Seq(idCol), "left_semi")
       .select(col(idCol).as("__sid"),
         graft.plans.HashExpressions
