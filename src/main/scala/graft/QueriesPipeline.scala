@@ -819,10 +819,17 @@ object QueriesPipeline {
         val filt = docs.filter(Text.token_count(col("text")) >= 20)
         val keepIds = Dedup.exact(filt, "text", "doc_id")
           .select(col("keep_id").as("doc_id"))
-        val kept = filt.join(keepIds, Seq("doc_id"), "left_semi")
-        // split-frame select: the gate+dedup+semi-join subtree behind
-        // `kept` is a shuffle + aggregation — the tagged fit evaluates
-        // it once instead of once per side (identical counts)
+        // the gate+dedup+semi-join survivors are consumed by TWO
+        // eager jobs (the tagged model fit collects, then the scoring
+        // pass runs) — a cross-job fork, so the curated corpus
+        // persists like every bloom-probe/winnow intermediate
+        // (GraftCaches lifecycle); a production curation pipeline
+        // materializes its post-dedup corpus before DSIR anyway
+        val kept = graft.operators.GraftCaches.register(
+          filt.join(keepIds, Seq("doc_id"), "left_semi")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        // split-frame select: the tagged fit evaluates the shared
+        // subtree once instead of once per side (identical counts)
         Dsir.select(kept, "doc_id", "text", col("lang") === "en",
           topN = 50, n = 2, k = 512, seed = 11L, temperature = 1.0)
       },
