@@ -111,7 +111,32 @@ object Dedup {
     * pipelines that must fail fast rather than read logs. */
   def minhashCandidates(bandsDf: DataFrame, idCol: String,
       maxBucket: Int = 1000): DataFrame =
-    minhashCandidatesAndIds(bandsDf, idCol, maxBucket)._1
+    keptBuckets(bandsDf, idCol, maxBucket)
+      .select(explode(
+        graft.plans.HashExpressions.pair_combos(col("ids"))).as("pair"))
+      .select(col("pair.id1"), col("pair.id2")).distinct()
+
+  /** The shared kept-bucket aggregation: one (band, band_hash) groupBy
+    * with the saturation observe, filtered to 2..maxBucket members. */
+  private def keptBuckets(bandsDf: DataFrame, idCol: String,
+      maxBucket: Int): DataFrame = {
+    registerLshTelemetry(bandsDf.sparkSession)
+    val counted0 = bandsDf.groupBy("band", "band_hash")
+      .agg(collect_list(col(idCol)).as("ids"), count(lit(1)).as("n"))
+    val statExprs = Seq(
+      count(lit(1)).as("buckets"),
+      sum(when(col("n") > maxBucket, 1L).otherwise(0L))
+        .as("saturated_buckets"),
+      max(col("n")).as("max_bucket"),
+      sum(when(col("n").between(2, maxBucket),
+        (col("n") * (col("n") - 1) / 2).cast("long")).otherwise(0L))
+        .as("candidate_pairs"),
+      max(lit(maxBucket.toLong)).as("bucket_cap"))
+    counted0.observe(
+        s"$LshObservePrefix${lshObsId.incrementAndGet()}",
+        statExprs.head, statExprs.tail: _*)
+      .filter(col("n").between(2, maxBucket))
+  }
 
   /** [[minhashCandidates]] plus the distinct member ids of every kept
     * bucket, BOTH derived from the one bucket aggregation. The id set
@@ -133,28 +158,30 @@ object Dedup {
     // evaluated interpreted per emitted pair and dominated this stage;
     // an equi-self-join shape was codegen'd but re-shuffled and
     // re-sorted the band rows.)
-    registerLshTelemetry(bandsDf.sparkSession)
-    val counted0 = bandsDf.groupBy("band", "band_hash")
-      .agg(collect_list(col(idCol)).as("ids"), count(lit(1)).as("n"))
-    val statExprs = Seq(
-      count(lit(1)).as("buckets"),
-      sum(when(col("n") > maxBucket, 1L).otherwise(0L))
-        .as("saturated_buckets"),
-      max(col("n")).as("max_bucket"),
-      sum(when(col("n").between(2, maxBucket),
-        (col("n") * (col("n") - 1) / 2).cast("long")).otherwise(0L))
-        .as("candidate_pairs"),
-      max(lit(maxBucket.toLong)).as("bucket_cap"))
-    val counted = counted0.observe(
-        s"$LshObservePrefix${lshObsId.incrementAndGet()}",
-        statExprs.head, statExprs.tail: _*)
-      .filter(col("n").between(2, maxBucket))
-    val pairs = counted
-      .select(explode(
-        graft.plans.HashExpressions.pair_combos(col("ids"))).as("pair"))
-      .select(col("pair.id1"), col("pair.id2")).distinct()
-    val memberIds = counted
-      .select(explode(col("ids")).as(idCol)).distinct()
+    //
+    // FUSED single-reader shape (r17): the r16 form derived pairs and
+    // member ids as two readers of the shared bucket subtree — the
+    // bucket EXCHANGE was reused, but everything above it (the final
+    // collect_list aggregation deserializing the id blobs, ~1.3 s
+    // taskSum per purge query at sf0.1) ran once PER READER. Here one
+    // pair_combos_with_members Generate emits member singles (id,
+    // null) ahead of the pairs, the (id1, id2) distinct puts an
+    // exchange ABOVE the expensive subtree, and both returned frames
+    // read that exchange — ReuseExchange shares the whole bucket
+    // aggregation + expansion. The member/pair split filters ride on a
+    // StageBarrier'd id2 so PushPredicateThroughNonJoin cannot push
+    // them below the distinct (pushed copies would specialize the two
+    // exchange subtrees and break the reuse). Member singles add
+    // O(members) rows to a shuffle of O(pairs) — noise at every scale.
+    val fused = keptBuckets(bandsDf, idCol, maxBucket)
+      .select(explode(graft.plans.HashExpressions
+        .pair_combos_with_members(col("ids"))).as("pair"))
+      .select(col("pair.id1"), col("pair.id2"))
+      .distinct()
+    val marker = graft.plans.StageBarrier.stage(col("id2"))
+    val pairs = fused.filter(marker.isNotNull)
+    val memberIds = fused.filter(marker.isNull)
+      .select(col("id1").as(idCol))
     (pairs, memberIds)
   }
 

@@ -964,8 +964,18 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
   * falls back to an interpreted ordering. Upstream bucket caps bound
   * the quadratic fan-out exactly as before ([[graft.operators.Dedup
   * .minhashCandidates]] filters to ≤ maxBucket first).
+  *
+  * `includeMembers = true` ADDITIONALLY emits one (id, null) single
+  * per (non-null) bucket member ahead of the pairs — the fused form
+  * behind [[graft.operators.Dedup.minhashCandidatesAndIds]], where the
+  * pair list and the kept-bucket member-id list must both come out of
+  * ONE reader of the bucket aggregation (two readers each re-ran the
+  * final collect_list aggregation above the reused exchange). A null
+  * id2 marks a member single; real pairs always carry two non-null
+  * ids (nulls are dropped before pairing).
   */
-case class PairCombosExpr(child: Expression) extends UnaryExpression
+case class PairCombosExpr(child: Expression,
+    includeMembers: Boolean = false) extends UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
   import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
   import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -986,7 +996,8 @@ case class PairCombosExpr(child: Expression) extends UnaryExpression
       StructField("id2", elemType, nullable = true))),
     containsNull = false)
   override def nullable: Boolean = child.nullable
-  override def prettyName: String = "pair_combos"
+  override def prettyName: String =
+    if (includeMembers) "pair_combos_with_members" else "pair_combos"
 
   override def nullSafeEval(v: Any): Any = {
     val arr0 = v.asInstanceOf[ArrayData]
@@ -1005,13 +1016,23 @@ case class PairCombosExpr(child: Expression) extends UnaryExpression
           .map(j => arr0.get(j, elemType)).toArray)
     }
     val n = arr.numElements()
-    val total = n.toLong * (n - 1) / 2
+    val singles = if (includeMembers) n.toLong else 0L
+    val total = singles + n.toLong * (n - 1) / 2
     require(total <= Int.MaxValue, s"$prettyName: bucket of $n ids overflows")
     elemType match {
       case LongType =>
         val ids = arr.toLongArray()
         val out = new Array[Any](total.toInt)
-        var w = 0; var i = 0
+        var w = 0
+        if (includeMembers) {
+          var m = 0
+          while (m < n) {
+            val r = new GenericInternalRow(2)
+            r.update(0, ids(m)) // field 1 stays null: the member marker
+            out(w) = r; w += 1; m += 1
+          }
+        }
+        var i = 0
         while (i < n) {
           var j = i + 1
           while (j < n) {
@@ -1031,7 +1052,16 @@ case class PairCombosExpr(child: Expression) extends UnaryExpression
           .getInterpretedOrdering(t)
         val vals = Array.tabulate[Any](n)(i => arr.get(i, t))
         val out = new Array[Any](total.toInt)
-        var w = 0; var i = 0
+        var w = 0
+        if (includeMembers) {
+          var m = 0
+          while (m < n) {
+            val r = new GenericInternalRow(2)
+            r.update(0, vals(m))
+            out(w) = r; w += 1; m += 1
+          }
+        }
+        var i = 0
         while (i < n) {
           var j = i + 1
           while (j < n) {
@@ -1084,6 +1114,8 @@ object HashExpressions {
     column(HyperplaneBandSigsMd5Expr(expression(vec), bands, bitsPerBand))
   def pair_combos(ids: Column): Column =
     column(PairCombosExpr(expression(ids)))
+  def pair_combos_with_members(ids: Column): Column =
+    column(PairCombosExpr(expression(ids), includeMembers = true))
   def mat_project(vec: Column, mean: Array[Double], mat: Array[Double])
       : Column =
     column(MatProjectExpr(expression(vec), mean.toIndexedSeq, mat.toIndexedSeq))

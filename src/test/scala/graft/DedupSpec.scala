@@ -34,6 +34,31 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
+  test("fused candidatesAndIds: pairs == pair-only path; member ids == " +
+      "kept-bucket ids") {
+    // r17 fuse: one pair_combos_with_members Generate serves both the
+    // pair list and the member-id prune — results must match the
+    // independent derivations exactly
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again yesterday"),
+      (3L, "completely unrelated content about spark catalyst optimizer internals"),
+      (4L, "the quick brown fox jumps over the lazy dog again and again tomorrow"))
+      .toDF("doc_id", "text")
+    val bands = Dedup.minhashBands(docs, "text", "doc_id")
+    val (pairs, memberIds) = Dedup.minhashCandidatesAndIds(bands, "doc_id")
+    val pairSet = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pairOnly = Dedup.minhashCandidates(bands, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet == pairOnly && pairSet.nonEmpty)
+    // every kept bucket (≥2 distinct ids) pairs all its members, so the
+    // member-id set equals the union of pair ids
+    val members = memberIds.collect().map(_.getLong(0)).toSet
+    assert(members == pairSet.flatMap(p => Set(p._1, p._2)))
+    // no member single may leak into the pair list (id2 null-marked)
+    assert(pairs.collect().forall(r => !r.isNullAt(1)))
+  }
+
   test("jaccard on word shingles: identity, hand-computed partial " +
       "overlap, and disjoint") {
     // identity — any intersection/union confusion still gives 1.0
