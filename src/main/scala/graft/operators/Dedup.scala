@@ -419,40 +419,30 @@ object Dedup {
     *
     * Scan discipline: at corpus scale the dominant cost is reading the
     * text and running the O(n) rolling-hash kernel, so BOTH must
-    * happen exactly once. The raw fingerprint frame persists before
-    * anything references it twice (the cap aggregate and its probe
-    * side), and the capped `eligible` frame persists before the
-    * self-join reads it from both legs — without these, Catalyst
-    * re-derives `fps` per reference and the plan pays four corpus
-    * scans + four kernel runs (the r11 judge's one weak flag). Both
-    * caches are MEMORY_AND_DISK (the fingerprint frame is ~2/(w+1) of
-    * corpus codepoints as (id, long) rows — it spills, never OOMs).
-    * Cache lifecycle, same as every intra-operator persist in this
-    * file: Dataset caches sit in the session's CacheManager until an
-    * EXPLICIT unpersist or `spark.catalog.clearCache()` — Spark's
-    * ContextCleaner does NOT reclaim them when the frame is GC'd.
-    * Both persists are [[GraftCaches]]-registered: a long-lived
-    * driver calling this per batch invokes `GraftCaches.release()`
-    * between batches (after materializing the batch's output) and no
-    * graft cache survives the increment cycle — pinned by
-    * GraftCachesSpec's CacheManager-empty assertion. */
+    * happen exactly once. The r16 shape got there with two
+    * GraftCaches persists (raw fingerprints + the capped `eligible`
+    * frame the self-join read from both legs); r17 removes the
+    * self-join and the persists outright by reusing the LSH bucket
+    * shape: ONE fingerprint groupBy collects each bucket's member ids
+    * (per-doc-distinct by the winnow kernel's construction, so ids
+    * within a bucket are distinct), the cap filters on the bucket
+    * count, [[graft.plans.PairCombosExpr]] fans out the within-bucket
+    * pairs, and the (id1, id2) count IS n_shared — one corpus scan,
+    * one kernel run, two exchanges, nothing persisted (the honest
+    * bench contract showed the persist fills dominating every run:
+    * 2.0 s walls on 6.8 s task sums at sf0.1). */
   def winnowOverlapPairs(df: DataFrame, textCol: String, idCol: String,
       w: Int = 24, k: Int = 4, minShared: Long = 4,
       maxBucket: Long = 64): DataFrame = {
     import graft.plans.TextExpressions.winnow_fingerprints
-    val fps = GraftCaches.register(
-      df.select(col(idCol).as("__id"),
-        explode(winnow_fingerprints(col(textCol), w, k)).as("fp"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val eligible = GraftCaches.register(fps.join(
-      fps.groupBy("fp").agg(count(lit(1)).as("__c"))
-        .filter(col("__c") <= maxBucket).select("fp"),
-      "fp")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    eligible.as("a")
-      .join(eligible.as("b"),
-        col("a.fp") === col("b.fp") && col("a.__id") < col("b.__id"))
-      .groupBy(col("a.__id").as("id1"), col("b.__id").as("id2"))
+    val fps = df.select(col(idCol).as("__id"),
+      explode(winnow_fingerprints(col(textCol), w, k)).as("fp"))
+    fps.groupBy("fp")
+      .agg(collect_list(col("__id")).as("ids"), count(lit(1)).as("__c"))
+      .filter(col("__c") <= maxBucket)
+      .select(explode(
+        graft.plans.HashExpressions.pair_combos(col("ids"))).as("pair"))
+      .groupBy(col("pair.id1").as("id1"), col("pair.id2").as("id2"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }

@@ -17,8 +17,9 @@ class GraftCachesSpec extends AnyFunSuite {
   private def cacheEmpty: Boolean =
     org.apache.spark.sql.graft.bridge.cacheManagerIsEmpty(spark)
 
-  test("winnow + line-dedup leave caches behind; release() drains " +
-      "them and the CacheManager is empty") {
+  test("winnow caches nothing (r17 bucket shape); line-dedup leaves " +
+      "caches behind; release() drains them and the CacheManager is " +
+      "empty") {
     // a clean slate regardless of suite ordering (other suites may
     // have left caller-owned caches)
     spark.catalog.clearCache()
@@ -32,16 +33,21 @@ class GraftCachesSpec extends AnyFunSuite {
       (3L, "totally different text with no shared windows at all here " +
         "and some more words to cross the winnow window threshold ok"))
       .toDF("doc_id", "text")
-    // materialize a winnow run — its two persists must fill
+    // a winnow run is cache-free since the r17 bucket restructure
     val pairs = Dedup.winnowOverlapPairs(docs, "text", "doc_id")
     assert(pairs.count() >= 1)
-    assert(GraftCaches.liveCount >= 2)
-    assert(!cacheEmpty)
-    // and a line-dedup run on the frequent-set join path
+    assert(GraftCaches.liveCount == 0)
+    assert(cacheEmpty)
+    // a line-dedup run on the frequent-set JOIN path still persists
+    // (maxLiteral* = 0 forces the join fallback, whose returned plan
+    // reads the freqStrings cache — the caller-lifecycle case)
     val lines = (1 to 40).map(i =>
       (i.toLong, "common line\nunique " + i)).toDF("doc_id", "text")
-    assert(Corpus.dedupLines(lines, "text", "doc_id",
-      maxOccurrences = 3).count() > 0)
+    assert(Corpus.dedupLines(lines, "text", delim = "\n",
+      maxOccurrences = 3, maxLiteralLines = 0,
+      maxLiteralBytes = 0).count() > 0)
+    assert(GraftCaches.liveCount >= 1)
+    assert(!cacheEmpty)
     GraftCaches.release()
     assert(GraftCaches.liveCount == 0)
     assert(cacheEmpty, "a graft cache survived release()")

@@ -340,28 +340,26 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"the pair join must stay an equi-join on fp:\n$p")
   }
 
-  test("q_dedup_winnow_pairs: the corpus scans ONCE — every path to the " +
-      "parquet goes through the persisted fingerprint/eligible caches") {
-    // The plan STRING re-prints each cached plan under every
-    // InMemoryRelation occurrence, so counting 'winnow_fingerprints'
-    // or 'FileScan' substrings overstates the work 4x; the execution
-    // truth lives in the cache-substituted logical plan: zero raw
-    // relations outside a cache, and a single distinct cache builder
-    // at the top (the eligible frame, whose one-time build itself
-    // reads the one-time fps cache).
+  test("q_dedup_winnow_pairs: the corpus scans ONCE — the bucket shape " +
+      "reads one relation, builds no caches, runs the kernel once") {
+    // r17: winnowOverlapPairs is the LSH bucket shape (groupBy fp →
+    // pair_combos fan-out → pair count), so single-scan discipline is
+    // STRUCTURAL: exactly one relation in the plan, zero persists,
+    // one winnow kernel evaluation.
     import org.apache.spark.sql.execution.columnar.InMemoryRelation
     import org.apache.spark.sql.execution.datasources.LogicalRelation
     val qe = SparkEntry.queries("q_dedup_winnow_pairs")(spark, dir)
       .queryExecution
     val cached = qe.withCachedData
-    val raw = cached.collect { case r: LogicalRelation => r }
-    assert(raw.isEmpty,
-      s"corpus must be read only through the fps cache:\n$cached")
-    val builders = cached.collect { case r: InMemoryRelation => r }
-      .map(_.cacheBuilder.cachedPlan).distinct
-    assert(builders.size == 1,
-      s"both self-join legs must read the SAME cached eligible frame, " +
-        s"got ${builders.size} distinct caches:\n$cached")
+    assert(cached.collect { case r: InMemoryRelation => r }.isEmpty,
+      s"the bucket shape needs no caches:\n$cached")
+    assert(cached.collect { case r: LogicalRelation => r }.size == 1,
+      s"corpus must be read exactly once:\n$cached")
+    val p = qe.executedPlan.toString
+    assert("winnow_fingerprints".r.findAllIn(p).length == 1,
+      s"the kernel must run once, in the scan stage:\n$p")
+    assert("pair_combos".r.findAllIn(p).length == 1,
+      s"one pair fan-out Generate:\n$p")
   }
 
   test("q_pipeline_normalize_fingerprint: repair→NFC order pinned in " +
@@ -376,11 +374,12 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!seg.contains("Exchange"),
       s"normalize+fingerprint must stay one map stage:\n$seg")
     // single-corpus-scan discipline inherited from winnowOverlapPairs
+    // (r17 bucket shape: one raw relation, no caches)
     import org.apache.spark.sql.execution.datasources.LogicalRelation
     val raw = SparkEntry.queries("q_pipeline_normalize_fingerprint")(
       spark, dir).queryExecution.withCachedData.collect {
       case r: LogicalRelation => r }
-    assert(raw.isEmpty, "corpus must be read only through the fps cache")
+    assert(raw.size == 1, "corpus must be read exactly once")
   }
 
   test("q_vocab_coverage: partial word counts below the exchange; the " +
