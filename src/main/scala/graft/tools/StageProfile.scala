@@ -60,7 +60,13 @@ object StageProfile {
     for (name <- names) {
       stages.clear(); jobs = 0
       val fn = graft.SparkEntry.queries(name)
-      def force(): Unit = { fn(spark, dir).queryExecution.toRdd.count(); () }
+      // mirror Bench's honest-cache contract: every run recomputes
+      // its intra-query persists (release OUTSIDE the timed window)
+      def force(): Unit = {
+        fn(spark, dir).queryExecution.toRdd.count()
+        graft.operators.GraftCaches.release(spark)
+        spark.catalog.clearCache()
+      }
       force(); force() // cold + warm-up
       org.apache.spark.sql.graft.bridge.settleListenerBus(
         spark.sparkContext, 10000)
