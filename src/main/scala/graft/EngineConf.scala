@@ -40,7 +40,19 @@ object EngineConf {
       sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"),
     // Cross-engine determinism (oracle compares assume UTC).
     "spark.sql.session.timeZone" -> "UTC",
-  )
+  ) ++ extraConf
+
+  /** Free-form overrides for cluster profiles and local experiments:
+    * `SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2"`. Applied last, so they win
+    * over the defaults above. */
+  private def extraConf: Seq[(String, String)] =
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
+      .flatMap(_.split(";").toSeq)
+      .map(_.trim).filter(_.contains("="))
+      .map { kv =>
+        val i = kv.indexOf('=')
+        kv.substring(0, i).trim -> kv.substring(i + 1).trim
+      }
 
   /** Apply [[settings]] to a session builder. */
   def tuned(b: SparkSession.Builder): SparkSession.Builder =

@@ -2573,22 +2573,23 @@ object Similarity {
     val probesL1 = queries.select(col(qidCol), col(qvecCol),
         explode(probeCellsHier(col(qvecCol), l1Cq, beam, beam)).as("c1"))
       .localCheckpoint(eager = true)
-    val opened = probesL1.select("c1").distinct()
-      .collect().map(_.getInt(0)) // |q|·beam ints — driver-bounded
-    // grid-completeness gate on the PRUNED relational read — the lazy
-    // path's analog of readCoarseQuantizer's full-grid validation: a
-    // torn or partially-copied quantizer sidecar would otherwise
-    // silently DROP candidate cells here (wrong top-k, no exception)
-    // where the kernel path refuses loudly. Deliberately a SECOND
-    // (tiny) scan rather than a materialization of the pruned `sub`
-    // below: counting prunes to the c1 column alone (a few KB of the
-    // |opened| row groups), while checkpointing `sub` would pin
-    // |opened|·k2·d centroid doubles in the block manager — the exact
-    // residency this lazy path exists to avoid.
-    val perC1 = spark.read.parquet(s"$path/quantizer")
-      .filter(col("c1").isin(opened.toSeq: _*))
-      .groupBy("c1").count().collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // ONE eager pass returns the opened level-1 cells AND the
+    // grid-completeness gate — the lazy path's analog of
+    // readCoarseQuantizer's full-grid validation (a torn or
+    // partially-copied quantizer sidecar would otherwise silently
+    // DROP candidate cells here — wrong top-k, no exception — where
+    // the kernel path refuses loudly). r16 ran these as two eager
+    // passes (distinct-collect, then a second gate scan keyed on its
+    // result); the LEFT join folds them: a missing c1 counts 0 where
+    // an inner count would hide it, and only (c1, c2) ints ever move
+    // — never a centroid, preserving the residency bound this lazy
+    // path exists for.
+    val perC1 = probesL1.select("c1").distinct()
+      .join(spark.read.parquet(s"$path/quantizer")
+        .select(col("c1"), col("c2")), Seq("c1"), "left")
+      .groupBy("c1").agg(count(col("c2")).as("__n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val opened = perC1.keySet.toArray // |q|·beam ints — driver-bounded
     val torn = opened.filter(c1 => perC1.getOrElse(c1, 0L) != k2.toLong)
     require(torn.isEmpty,
       s"quantizer sidecar at $path/quantizer is torn: level-1 cell(s) " +
@@ -2654,11 +2655,16 @@ object Similarity {
       beam, qidCol, qvecCol).localCheckpoint(eager = true)
     val probedCells = probes0.select("cell").distinct()
       .collect().map(_.getInt(0)) // |q|·nprobe ints — driver-bounded
-    val probes = (if (!residual) probes0
+    // no second checkpoint after the rebase (r16 had one — a whole
+    // extra eager pass + driver gap per probe): the rebase is a
+    // deterministic map of the ALREADY-checkpointed probes0 against
+    // the cell-pruned sidecar centroids, so the broadcast build below
+    // re-derives identical rows at |probes|·d map cost
+    val probes = if (!residual) probes0
       else rebaseByCell(probes0,
         sidecarComposedCentroids(spark, path, k2)
           .filter(col("cell").isin(probedCells.toSeq: _*)),
-        qvecCol, qvecCol)).localCheckpoint(eager = true)
+        qvecCol, qvecCol)
     val cpg = meta.getAs[Int]("cells_per_group")
     val probedGroups = probedCells.map(_ / cpg).distinct
     val codes = probedGroupScan(spark, s"$path/codes",
