@@ -1980,13 +1980,26 @@ object Multimodal {
       "8×8-bit banding guarantees candidate recall only to Hamming 7")
     val bandKeys = (0 until 8).map(b =>
       shiftright(col("phash"), b * 8).bitwiseAND(lit(0xFFL)))
-    // NO respread of the bands leg: measured at sf0.1 as a net loss on
-    // both callers (image dedup ~flat at 7x the CPU, frame dedup
-    // 0.79 -> 1.06 s) — the hash index is 16 bytes/item, so the
+    // NO round-robin respread of the bands leg: measured at sf0.1 as a
+    // net loss on both callers (image dedup ~flat at 7x the CPU, frame
+    // dedup 0.79 -> 1.06 s) — the hash index is 16 bytes/item, so the
     // single-task explode+count is cheaper than 32 tasks' fixed
     // overhead plus the extra exchange the banding groupBy re-pays.
+    // What DOES pay (r17): PINNING the banding groupBy's own exchange
+    // with an explicit keyed repartition at the session's shuffle
+    // partition count. The groupBy reuses it (same keys, same count —
+    // zero extra exchange), but a user-numbered repartition is exempt
+    // from AQE coalescing, so the PAIR-EXPANSION stage above the
+    // aggregation — heavy CPU over ~0.1 MB of bucket blobs, which the
+    // byte-targeting coalesce collapsed to ONE task (profiled 0.82 s
+    // of the 1.3 s wall) — keeps the full width. Scale-correct: the
+    // pinned count IS the conf the planner would use, only the
+    // tiny-byte coalesce is opted out.
+    val parts = hashed.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
     val bands = hashed.select(col(idCol),
-      posexplode(array(bandKeys: _*)).as(Seq("band", "band_hash")))
+        posexplode(array(bandKeys: _*)).as(Seq("band", "band_hash")))
+      .repartition(parts, col("band"), col("band_hash"))
     graft.operators.Dedup.minhashCandidates(bands, idCol, maxBucket)
       .join(hashed.select(col(idCol).as("id1"), col("phash").as("__h1")),
         "id1")
